@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers: table readers + exact-arithmetic aggregate builders.
+  *
+  * All fixture doubles carry at most 2 decimal digits (FIXTURES.md), so money
+  * math is routed through DECIMAL / integer-cents domains where addition is
+  * associative. Spark's partial-aggregation order then cannot diverge from
+  * DuckDB's sequential sum, which keeps the driver's exact hash-compare
+  * stable (SURVEY.md §5 pitfalls). Every helper here has a 1:1 SQL mirror in
+  * [[OSQL]] — use them in pairs.
+  */
+object U {
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * refuses by default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
+    * legacy conf and floor-convert to microseconds — exactly what DuckDB's
+    * TIMESTAMP (µs) view of the same file yields, keeping oracle parity. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Exact SUM of a <=2-decimal double column (decimal domain, then double). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Integer cents of a <=2-decimal double (exact). */
+  def cents(c: Column): Column = (c.cast(DecimalType(12, 2)) * 100).cast(LongType)
+
+  /** Exact AVG via integer cents; identical double-op tree to OSQL.davg. */
+  def davg(c: Column): Column =
+    sum(cents(c)).cast(DoubleType) / (lit(100.0) * count(c))
+
+  /** Scratch dir for sink/roundtrip operators; deterministic per (sfDir, tag). */
+  def scratch(sfDir: String, tag: String): String =
+    s"/tmp/graft_scratch/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
+}
+
+/** DuckDB-SQL mirrors of [[U]]'s exact-arithmetic helpers. The driver
+  * hash-compares Spark output against DuckDB running these, so the double
+  * operation trees must match U's exactly (same casts, same division order).
+  */
+object OSQL {
+  def dsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  def cents(x: String): String = s"CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT)"
+  def davg(x: String): String =
+    s"CAST(SUM(${cents(x)}) AS DOUBLE) / (100.0 * COUNT($x))"
+}

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{OSQL, U}
+import graft.functions.{DecayAvgAggregator, WeightedIn}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.4 — aggregations.
+  *
+  * Everything is hash-aggregate with automatic partial (map-side) combine —
+  * the shape that scales: at 100 TB each of these is one shuffle keyed on the
+  * group-by columns, pre-reduced per input partition. Money/variance sums run
+  * in exact integer/decimal domains (see [[graft.U]]) so partial-agg order
+  * can't perturb the result vs the sequential DuckDB oracle.
+  */
+object Aggregations {
+
+  /** Flagship (TPC-H Q1 shape): scan → pushed filter → hash agg → sort. */
+  def q1Pricing(s: SparkSession, d: String): DataFrame = {
+    val pc = U.cents(col("l_extendedprice"))
+    val dc = U.cents(col("l_discount"))
+    val tc = U.cents(col("l_tax"))
+    U.tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        U.dsum(col("l_quantity")).as("sum_qty"),
+        U.dsum(col("l_extendedprice")).as("sum_base_price"),
+        (sum(pc * (lit(100L) - dc)).cast(DoubleType) / lit(10000.0)).as("sum_disc_price"),
+        (sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).cast(DoubleType) / lit(1000000.0)).as("sum_charge"),
+        U.davg(col("l_quantity")).as("avg_qty"),
+        U.davg(col("l_extendedprice")).as("avg_price"),
+        U.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def aggBasic(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        U.dsum(col("o_totalprice")).as("sum_price"),
+        U.davg(col("o_totalprice")).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_part_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch distinct — approximate, so no DuckDB oracle (rows-only gate);
+    * accuracy asserted in ApproxSpec against exact counts. */
+  private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_part"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_order"))
+      .orderBy("l_returnflag")
+
+  /** stddev/var/corr via exact integer power sums + identical double trees
+    * both sides (never the builtin stddev: its merge order is partition-
+    * dependent in float space). */
+  private def aggStats(s: SparkSession, d: String): DataFrame = {
+    val xc = U.cents(col("l_quantity")) // <= 5e3
+    val yc = U.cents(col("l_extendedprice")) // <= 1e7; squares need >64 bits
+    val dec = DecimalType(38, 0)
+    val li = U.tbl(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(xc).cast(DoubleType).as("sx"),
+      sum(yc).cast(DoubleType).as("sy"),
+      sum(xc * xc).cast(DoubleType).as("sxx"),
+      sum(yc.cast(dec) * yc.cast(dec)).cast(DoubleType).as("syy"),
+      sum(xc.cast(dec) * yc.cast(dec)).cast(DoubleType).as("sxy"))
+    val nd = col("nd"); val sx = col("sx"); val sy = col("sy")
+    val varX = (col("sxx") / lit(10000.0) - (sx / lit(100.0)) * (sx / lit(100.0)) / nd) / (nd - lit(1.0))
+    val varY = (col("syy") / lit(10000.0) - (sy / lit(100.0)) * (sy / lit(100.0)) / nd) / (nd - lit(1.0))
+    val cov = (col("sxy") / lit(10000.0) - (sx / lit(100.0)) * (sy / lit(100.0)) / nd) / (nd - lit(1.0))
+    li.select(col("l_returnflag"),
+      (sx / (lit(100.0) * nd)).as("mean_qty"),
+      varX.as("var_qty"), sqrt(varX).as("std_qty"),
+      varY.as("var_price"), sqrt(varY).as("std_price"),
+      (cov / (sqrt(varX) * sqrt(varY))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private def aggCollect(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_sort(collect_list(col("event_type"))).as("all_types"),
+        array_sort(collect_set(col("event_type"))).as("distinct_types"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** Exact quantiles at dyadic probabilities over integer cents — the
+    * interpolation a + (b-a)*frac is then exact in double space regardless of
+    * which algebraically-equivalent formula each engine uses. */
+  private def aggPercentile(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (percentile(U.cents(col("o_totalprice")), lit(0.25)) / lit(100.0)).as("p25"),
+        (percentile(U.cents(col("o_totalprice")), lit(0.5)) / lit(100.0)).as("p50"),
+        (percentile(U.cents(col("o_totalprice")), lit(0.75)) / lit(100.0)).as("p75"))
+      .orderBy("o_orderstatus")
+
+  private def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Custom typed Aggregator (UDAF) — see [[graft.functions.DecayAvgAggregator]]. */
+  private def aggCustomUdaf(s: SparkSession, d: String): DataFrame = {
+    val decayAvg = udaf(DecayAvgAggregator)
+    U.tbl(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        (datediff(col("l_shipdate"), lit("1995-01-01").cast(DateType)) + lit(1))
+          .cast(LongType).as("w"),
+        U.cents(col("l_extendedprice")).as("xc"))
+      .groupBy(col("l_returnflag"))
+      .agg(decayAvg(col("w"), col("xc")).as("decay_avg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing _,
+    "agg_basic" -> aggBasic _,
+    "agg_count_distinct" -> aggCountDistinct _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_stats" -> aggStats _,
+    "agg_collect" -> aggCollect _,
+    "agg_percentile" -> aggPercentile _,
+    "agg_grouping_sets" -> aggGroupingSets _,
+    "agg_custom_udaf" -> aggCustomUdaf _)
+
+  private val q1Sql = {
+    val pc = OSQL.cents("l_extendedprice")
+    val dc = OSQL.cents("l_discount")
+    val tc = OSQL.cents("l_tax")
+    "SELECT l_returnflag, l_linestatus, " +
+      s"${OSQL.dsum("l_quantity")} AS sum_qty, " +
+      s"${OSQL.dsum("l_extendedprice")} AS sum_base_price, " +
+      s"CAST(SUM($pc * (100 - $dc)) AS DOUBLE) / 10000.0 AS sum_disc_price, " +
+      s"CAST(SUM($pc * (100 - $dc) * (100 + $tc)) AS DOUBLE) / 1000000.0 AS sum_charge, " +
+      s"${OSQL.davg("l_quantity")} AS avg_qty, " +
+      s"${OSQL.davg("l_extendedprice")} AS avg_price, " +
+      s"${OSQL.davg("l_discount")} AS avg_disc, " +
+      "COUNT(*) AS count_order FROM lineitem " +
+      "WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+  }
+
+  private val statsSql = {
+    val xc = OSQL.cents("l_quantity")
+    val yc = OSQL.cents("l_extendedprice")
+    "WITH ps AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+      s"CAST(SUM($xc) AS DOUBLE) AS sx, CAST(SUM($yc) AS DOUBLE) AS sy, " +
+      s"CAST(SUM($xc * $xc) AS DOUBLE) AS sxx, " +
+      s"CAST(SUM($yc * $yc) AS DOUBLE) AS syy, " +
+      s"CAST(SUM($xc * $yc) AS DOUBLE) AS sxy " +
+      "FROM lineitem GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, sx / (100.0 * nd) AS mean_qty, " +
+      "(sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0) AS var_qty, " +
+      "sqrt((sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)) AS std_qty, " +
+      "(syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / nd) / (nd - 1.0) AS var_price, " +
+      "sqrt((syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / nd) / (nd - 1.0)) AS std_price, " +
+      "((sxy / 10000.0 - (sx / 100.0) * (sy / 100.0) / nd) / (nd - 1.0)) / " +
+      "(sqrt((sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)) * " +
+      "sqrt((syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / nd) / (nd - 1.0))) AS corr_qty_price " +
+      "FROM ps ORDER BY l_returnflag"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> q1Sql,
+    "agg_basic" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        s"${OSQL.dsum("o_totalprice")} AS sum_price, " +
+        s"${OSQL.davg("o_totalprice")} AS avg_price, " +
+        "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, " +
+        "MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date " +
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "agg_count_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
+        "COUNT(DISTINCT l_suppkey) AS nd_supp, " +
+        "COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_part_supp, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_stats" -> statsSql,
+    "agg_collect" ->
+      ("SELECT user_id, list_sort(list(event_type)) AS all_types, " +
+        "list_sort(list(DISTINCT event_type)) AS distinct_types, COUNT(*) AS n " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "agg_percentile" ->
+      ("SELECT o_orderstatus, " +
+        s"quantile_cont(${OSQL.cents("o_totalprice")}, 0.25) / 100.0 AS p25, " +
+        s"quantile_cont(${OSQL.cents("o_totalprice")}, 0.5) / 100.0 AS p50, " +
+        s"quantile_cont(${OSQL.cents("o_totalprice")}, 0.75) / 100.0 AS p75 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "agg_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        s"${OSQL.dsum("l_quantity")} AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    "agg_custom_udaf" ->
+      ("SELECT l_returnflag, CAST(SUM(w * xc) AS DOUBLE) / (100.0 * CAST(SUM(w) AS DOUBLE)) AS decay_avg_price " +
+        "FROM (SELECT l_returnflag, " +
+        "date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate) + 1 AS w, " +
+        s"${OSQL.cents("l_extendedprice")} AS xc FROM lineitem) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"))
+}

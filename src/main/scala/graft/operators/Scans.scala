@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.U
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1 — scans, sources, sinks.
+  *
+  * The fixtures are parquet-only, so the CSV/JSON scan operators first
+  * round-trip a small dim table through the format under test (written to a
+  * deterministic scratch dir), then read it back with an explicit schema —
+  * exercising the real reader code path while staying oracle-comparable
+  * against the original table. At 100 TB the same readers apply unchanged;
+  * schemas stay explicit (never inferSchema — a full extra pass at scale).
+  */
+object Scans {
+
+  private def scanParquet(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").orderBy("p_partkey")
+
+  /** Reads the `events` table — exercises parquet TIMESTAMP(NANOS) handling. */
+  private def scanEvents(s: SparkSession, d: String): DataFrame =
+    U.events(s, d).orderBy("event_id")
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  private def scanCsv(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "csv_nation")
+    U.tbl(s, d, "nation").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(nationSchema).option("header", "true").csv(path)
+      .orderBy("n_nationkey")
+  }
+
+  private val regionSchema = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  private def scanJson(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "json_region")
+    U.tbl(s, d, "region").coalesce(1).write.mode("overwrite").json(path)
+    s.read.schema(regionSchema).json(path).orderBy("r_regionkey")
+  }
+
+  private def sinkParquet(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_orders")
+    U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path).orderBy("o_orderkey")
+  }
+
+  /** Partitioned write — the 100 TB layout posture: partition by a derived
+    * date bucket so downstream scans prune. Partition value is prefixed
+    * ("y1995") to keep partition-column type inference at StringType. */
+  private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_li_part")
+    U.tbl(s, d, "lineitem")
+      .withColumn("dt", concat(lit("y"), year(col("l_shipdate")).cast(StringType)))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixtures —
+    // sort on the full unique key or the partitioned read scrambles ties.
+    s.read.parquet(path)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet _,
+    "scan_events" -> scanEvents _,
+    "scan_csv" -> scanCsv _,
+    "scan_json" -> scanJson _,
+    "sink_parquet" -> sinkParquet _,
+    "sink_partitioned" -> sinkPartitioned _)
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
+    "scan_events" -> "SELECT * FROM events ORDER BY event_id",
+    "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "sink_parquet" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "sink_partitioned" ->
+      ("SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, " +
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, " +
+        "l_shipdate, 'y' || strftime(l_shipdate, '%Y') AS dt FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"))
+}

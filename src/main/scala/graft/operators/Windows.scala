@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Each query keeps to ONE sort order per partition key (multiple frames
+  * share a window spec), so the physical plan is a single
+  * shuffle-by-partition-key + sort — the scalable shape; extra specs would
+  * each add a full re-sort. Ranking functions that admit ties are computed
+  * over the tie-permitting order (deterministic output values), while
+  * row_number/ntile get a tie-broken unique order.
+  */
+object Windows {
+
+  private def winRank(s: SparkSession, d: String): DataFrame = {
+    val tied = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+    val uniq = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    U.tbl(s, d, "customer").select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      row_number().over(uniq).cast(LongType).as("rn"),
+      rank().over(tied).cast(LongType).as("rk"),
+      dense_rank().over(tied).cast(LongType).as("drk"),
+      ntile(4).over(uniq).cast(LongType).as("quartile"),
+      percent_rank().over(tied).as("prk"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  private def winAnalytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    U.events(s, d).select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      first(col("value")).over(w).as("first_value"),
+      last(col("value")).over(full).as("last_value"),
+      cume_dist().over(w).as("cd"))
+      .orderBy("event_id")
+  }
+
+  /** 7-row moving average per user (ROWS frame) in exact cents. */
+  private def winFrameRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    U.events(s, d).select(
+      col("user_id"), col("event_id"), col("ts"),
+      (sum(U.cents(col("value"))).over(w).cast(DoubleType) /
+        (lit(100.0) * count(lit(1)).over(w))).as("mov_avg"))
+      .orderBy("event_id")
+  }
+
+  /** Cumulative sum with a RANGE frame (ties share the running total). */
+  private def winFrameRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    U.tbl(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      (sum(U.cents(col("o_totalprice"))).over(w).cast(DoubleType) / lit(100.0))
+        .as("cum_spend"))
+      .orderBy("o_orderkey")
+  }
+
+  private def winTopkGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    U.tbl(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> winRank _,
+    "win_analytic" -> winAnalytic _,
+    "win_frame_rows" -> winFrameRows _,
+    "win_frame_range" -> winFrameRange _,
+    "win_topk_group" -> winTopkGroup _)
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, " +
+        "rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rk, " +
+        "dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drk, " +
+        "ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile, " +
+        "percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS prk " +
+        "FROM customer ORDER BY c_mktsegment, c_custkey"),
+    "win_analytic" ->
+      ("SELECT user_id, event_id, ts, value, " +
+        "lag(value, 1) OVER w AS prev_value, " +
+        "lead(value, 1) OVER w AS next_value, " +
+        "first_value(value) OVER w AS first_value, " +
+        "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value, " +
+        "cume_dist() OVER w AS cd FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"),
+    "win_frame_rows" ->
+      ("SELECT user_id, event_id, ts, " +
+        s"CAST(SUM(${OSQL.cents("value")}) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w) AS mov_avg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "win_frame_range" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        s"CAST(SUM(${OSQL.cents("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_spend " +
+        "FROM orders ORDER BY o_orderkey"),
+    "win_topk_group" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"))
+}
