@@ -20,7 +20,9 @@ object SparkEntry {
       FilterProject.queries ++
       Aggregations.queries ++
       Windows.queries ++
-      SetOps.queries
+      SetOps.queries ++
+      Joins.queries ++
+      TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +31,7 @@ object SparkEntry {
       FilterProject.oracleSql ++
       Aggregations.oracleSql ++
       Windows.oracleSql ++
-      SetOps.oracleSql
+      SetOps.oracleSql ++
+      Joins.oracleSql ++
+      TimeSeries.oracleSql
 }

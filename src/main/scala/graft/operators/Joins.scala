@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * Scale notes baked into each shape: dims get `broadcast()` (no shuffle of
+  * the fact side); large-large equi joins rely on sort-merge + AQE; the
+  * non-equi shapes keep an equi prefix (key or bucket) so Catalyst never
+  * degenerates to a broadcast-nested-loop over the fact table. The as-of
+  * join is the union-tag + running-last formulation: one shuffle/sort by
+  * (key, time), no per-row probe — the only as-of shape that survives 100 TB
+  * without a specialized physical operator.
+  */
+object Joins {
+
+  private def joinInnerBroadcast(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .join(broadcast(U.tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("l_quantity")).as("sum_qty"),
+        U.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+
+  private def joinInnerShuffle(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .join(U.tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  private def joinLeft(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "customer")
+      .join(U.tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        U.dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
+
+  private def joinRight(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .join(U.tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))
+
+  private def joinFull(s: SparkSession, d: String): DataFrame = {
+    val big = U.tbl(s, d, "orders").filter(col("o_totalprice") > 250000.0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    val poor = U.tbl(s, d, "customer").filter(col("c_acctbal") < 1000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    big.join(poor, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_big_orders"), col("c_acctbal"))
+      .orderBy("custkey")
+  }
+
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val urgent = U.tbl(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    U.tbl(s, d, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  private def joinAnti(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "customer")
+      .join(U.tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** Non-equi theta join over two tiny dims — BroadcastNestedLoop is the
+    * right plan here and ONLY here (both sides bounded). */
+  private def joinCrossTheta(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "nation")
+      .crossJoin(broadcast(U.tbl(s, d, "region")))
+      .filter(col("n_regionkey") < col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_regionkey"), col("r_name"))
+      .orderBy("n_nationkey", "r_regionkey")
+
+  /** Interval-containment with an equi prefix: the range predicate rides on
+    * the orderkey equi join instead of forcing a nested loop. */
+  private def joinRange(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .join(U.tbl(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** As-of join: each 'error' event enriched with the latest 'purchase' of
+    * the same user at ts <= error ts. Union-tag both sides, one sort per
+    * (user, ts), running last(ignoreNulls) carries the build row forward.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val tagged = build
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast(LongType).as("event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+      .unionByName(probe.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(TimestampType).as("b_ts"),
+        lit(null).cast(DoubleType).as("b_value")))
+    // build rows sort before probe rows at equal ts => "<=" as-of semantics
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_ts", last(col("b_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  /** Interval-overlap join with an equi prefix (user_id): per-user activity
+    * spans of two event types that overlap in time. */
+  private def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val spans = U.events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val a = spans.select(col("user_id"), col("event_type").as("type_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = spans.select(col("user_id").as("user_b"), col("event_type").as("type_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, col("user_id") === col("user_b") &&
+        col("type_a") < col("type_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("user_id"), col("type_a"), col("type_b"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start"),
+        least(col("e_a"), col("e_b")).as("overlap_end"))
+      .orderBy("user_id", "type_a", "type_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_broadcast" -> joinInnerBroadcast _,
+    "join_inner_shuffle" -> joinInnerShuffle _,
+    "join_left" -> joinLeft _,
+    "join_right" -> joinRight _,
+    "join_full" -> joinFull _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "join_cross_theta" -> joinCrossTheta _,
+    "join_range" -> joinRange _,
+    "join_asof" -> joinAsof _,
+    "join_interval_overlap" -> joinIntervalOverlap _)
+
+  val oracleSql: Map[String, String] = Map(
+    "join_inner_broadcast" ->
+      ("SELECT p_brand, COUNT(*) AS n, " +
+        s"${OSQL.dsum("l_quantity")} AS sum_qty, " +
+        s"${OSQL.dsum("l_extendedprice")} AS sum_price " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "join_inner_shuffle" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n, " +
+        s"${OSQL.dsum("l_extendedprice")} AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_left" ->
+      ("SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders, " +
+        s"${OSQL.dsum("o_totalprice")} AS total_spend " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey"),
+    "join_right" ->
+      ("SELECT c_custkey, o_orderkey, o_totalprice " +
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_custkey < 100 ORDER BY c_custkey, o_orderkey NULLS FIRST"),
+    "join_full" ->
+      ("SELECT coalesce(o_custkey, c_custkey) AS custkey, n_big_orders, c_acctbal " +
+        "FROM (SELECT o_custkey, COUNT(*) AS n_big_orders FROM orders " +
+        "WHERE o_totalprice > 250000.0 GROUP BY o_custkey) big " +
+        "FULL JOIN (SELECT c_custkey, c_acctbal FROM customer " +
+        "WHERE c_acctbal < 1000.0) poor ON o_custkey = c_custkey ORDER BY custkey"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
+    "join_cross_theta" ->
+      ("SELECT n_nationkey, n_name, r_regionkey, r_name FROM nation, region " +
+        "WHERE n_regionkey < r_regionkey ORDER BY n_nationkey, r_regionkey"),
+    "join_range" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n, " +
+        s"${OSQL.dsum("l_quantity")} AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate " +
+        "AND l_shipdate <= o_orderdate + INTERVAL 60 DAY " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_asof" ->
+      ("SELECT p.event_id, p.user_id, p.ts, b.ts AS asof_ts, b.value AS asof_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') p " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase') b " +
+        "ON p.user_id = b.user_id AND b.ts <= p.ts ORDER BY p.event_id"),
+    "join_interval_overlap" ->
+      ("WITH spans AS (SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e " +
+        "FROM events GROUP BY user_id, event_type) " +
+        "SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b, " +
+        "greatest(a.s, b.s) AS overlap_start, least(a.e, b.e) AS overlap_end " +
+        "FROM spans a JOIN spans b ON a.user_id = b.user_id " +
+        "AND a.event_type < b.event_type AND a.s <= b.e AND b.s <= a.e " +
+        "ORDER BY a.user_id, type_a, type_b"))
+}

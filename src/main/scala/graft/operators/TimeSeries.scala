@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.8 — time-series operators (the reference's home turf).
+  *
+  * All are single-shuffle shapes: tumbling/sliding windows are plain hash
+  * aggregations on a derived bucket key (no sort); sessionize/diff/resample
+  * are one shuffle+sort per user_id. Value math runs in exact cents
+  * (see [[graft.U]]); bucket arithmetic in exact integer microseconds.
+  */
+object TimeSeries {
+
+  /** 1-hour tumbling window aggregation via Spark's window() — start/end
+    * flattened out of the struct for the oracle compare. */
+  private def tsTumbling(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  /** 1-hour window sliding every 15 minutes — each event lands in 4 windows. */
+  private def tsSliding(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+      .orderBy("wstart")
+
+  /** 30-minute-gap sessionization: flag gap > 30min, running sum of flags
+    * numbers the sessions, then one aggregate per (user, session). */
+  private def tsSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    U.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), U.dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Resample each user's series to a daily grid (sequence+explode — no
+    * driver-side loop) and forward-fill the last observed value. */
+  private def tsResampleFill(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+        date_trunc("DAY", max(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    // deterministic daily closing value: the last (ts, event_id) of the day
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev.withColumn("day", date_trunc("DAY", col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close_value"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("filled_value", last(col("close_value"), ignoreNulls = true).over(wFill))
+      .withColumn("is_observed", col("close_value").isNotNull)
+      .select(col("user_id"), col("day"), col("filled_value"), col("is_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Per-key delta and rate-of-change between consecutive points, in exact
+    * cents / integer microseconds. */
+  private def tsDiffRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val vc = U.cents(col("value"))
+    U.events(s, d)
+      .withColumn("dv_cents", vc - lag(vc, 1).over(w))
+      .withColumn("dt_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("dv_cents").cast(DoubleType) / lit(100.0)).as("delta"),
+        (col("dt_us").cast(DoubleType) / lit(1000000.0)).as("dt_sec"),
+        ((col("dv_cents").cast(DoubleType) / lit(100.0)) /
+          (col("dt_us").cast(DoubleType) / lit(1000000.0))).as("rate"))
+      .orderBy("event_id")
+  }
+
+  /** Per-event-type z-score normalization via exact power sums, joined back
+    * to every event (broadcast: the stats side is tiny). */
+  private def tsZscore(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value")) // value cents <= ~2e4: squares fit Long
+    val stats = U.events(s, d).groupBy(col("event_type").as("et")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(vc).cast(DoubleType).as("sx"),
+      sum(vc * vc).cast(DoubleType).as("sxx"))
+    val mean = col("sx") / (lit(100.0) * col("nd"))
+    val variance = (col("sxx") / lit(10000.0) -
+      (col("sx") / lit(100.0)) * (col("sx") / lit(100.0)) / col("nd")) /
+      (col("nd") - lit(1.0))
+    val enriched = stats.select(col("et"), mean.as("mean_v"), sqrt(variance).as("std_v"))
+    U.events(s, d)
+      .join(broadcast(enriched), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean_v")) / col("std_v")).as("z"),
+        (abs((col("value") - col("mean_v")) / col("std_v")) > lit(3.0)).as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_tumbling" -> tsTumbling _,
+    "ts_sliding" -> tsSliding _,
+    "ts_sessionize" -> tsSessionize _,
+    "ts_resample_fill" -> tsResampleFill _,
+    "ts_diff_rate" -> tsDiffRate _,
+    "ts_zscore" -> tsZscore _)
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS wstart, " +
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend, event_type, " +
+        s"COUNT(*) AS n, ${OSQL.dsum("value")} AS sum_value " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY wstart, event_type"),
+    "ts_sliding" ->
+      ("SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) " +
+        "* 1000000 AS BIGINT)) AS wstart, " +
+        s"COUNT(*) AS n, ${OSQL.dsum("value")} AS sum_value " +
+        "FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offs(j) " +
+        "GROUP BY 1 ORDER BY wstart"),
+    "ts_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "numbered AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_id FROM flagged) " +
+        "SELECT user_id, session_id, MIN(ts) AS session_start, " +
+        "MAX(ts) AS session_end, COUNT(*) AS n_events, " +
+        s"${OSQL.dsum("value")} AS sum_value " +
+        "FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "ts_resample_fill" ->
+      ("WITH grid AS (SELECT user_id, unnest(generate_series(" +
+        "date_trunc('day', MIN(ts)), date_trunc('day', MAX(ts)), " +
+        "INTERVAL 1 DAY)) AS day FROM events GROUP BY user_id), " +
+        "daily AS (SELECT user_id, day, value AS close_value FROM (" +
+        "SELECT user_id, date_trunc('day', ts) AS day, value, " +
+        "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1) " +
+        "SELECT g.user_id, g.day, " +
+        "last_value(d.close_value IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS filled_value, d.close_value IS NOT NULL AS is_observed " +
+        "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
+        "ORDER BY g.user_id, g.day"),
+    "ts_diff_rate" ->
+      ("SELECT user_id, event_id, ts, value, " +
+        s"CAST(${OSQL.cents("value")} - lag(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0 AS delta, " +
+        "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0 AS dt_sec, " +
+        s"(CAST(${OSQL.cents("value")} - lag(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0) / " +
+        "(CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0) AS rate " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"),
+    "ts_zscore" ->
+      ("WITH ps AS (SELECT event_type AS et, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS DOUBLE) AS sx, " +
+        s"CAST(SUM(${OSQL.cents("value")} * ${OSQL.cents("value")}) AS DOUBLE) AS sxx " +
+        "FROM events GROUP BY event_type), " +
+        "st AS (SELECT et, sx / (100.0 * nd) AS mean_v, " +
+        "sqrt((sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)) AS std_v " +
+        "FROM ps) " +
+        "SELECT event_id, event_type, value, (value - mean_v) / std_v AS z, " +
+        "abs((value - mean_v) / std_v) > 3.0 AS is_anomaly " +
+        "FROM events JOIN st ON event_type = et ORDER BY event_id"))
+}
