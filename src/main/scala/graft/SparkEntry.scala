@@ -22,7 +22,8 @@ object SparkEntry {
       Windows.queries ++
       SetOps.queries ++
       Joins.queries ++
-      TimeSeries.queries
+      TimeSeries.queries ++
+      graft.functions.ScalarFns.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Windows.oracleSql ++
       SetOps.oracleSql ++
       Joins.oracleSql ++
-      TimeSeries.oracleSql
+      TimeSeries.oracleSql ++
+      graft.functions.ScalarFns.oracleSql
 }

@@ -1,0 +1,172 @@
+package graft.functions
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.7 — scalar function families, one composite query per family.
+  *
+  * Everything is `org.apache.spark.sql.functions._` built-ins (codegen'd, no
+  * UDFs) so whole-stage codegen spans the full projection. Cross-engine
+  * parity notes are inline where Spark and DuckDB semantics differ
+  * (dayofweek origin, regexp_replace global flag, int widths).
+  */
+object ScalarFns {
+
+  private def fnString(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").select(
+      col("p_partkey"),
+      concat(col("p_name"), lit(" ["), col("p_brand"), lit("]")).as("labeled"),
+      substring(col("p_name"), 1, 5).as("prefix5"),
+      lower(col("p_type")).as("type_lower"),
+      upper(col("p_name")).as("name_upper"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      split(col("p_name"), " ").as("words"),
+      length(col("p_name")).cast(LongType).as("name_len"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      levenshtein(col("p_name"), col("p_type")).cast(LongType).as("lev_to_type"),
+      lpad(col("p_brand"), 10, "*").as("brand_padded"),
+      reverse(col("p_name")).as("name_rev"),
+      repeat(col("p_brand"), 2).as("brand_twice"))
+      .orderBy("p_partkey")
+
+  private def fnDatetime(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      date_trunc("MONTH", col("o_orderdate")).as("month_start"),
+      year(col("o_orderdate")).cast(LongType).as("yr"),
+      month(col("o_orderdate")).cast(LongType).as("mo"),
+      dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+      // Spark: Sunday=1; DuckDB: Sunday=0 — oracle adds 1
+      dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+      unix_timestamp(col("o_orderdate")).as("epoch_sec"),
+      datediff(lit("2002-01-01").cast(DateType), col("o_orderdate"))
+        .cast(LongType).as("days_to_2002"),
+      // 91 (not 90) days: DuckDB 1.0 dedups "equal" interval constants and
+      // months count as 30 days, so 3 MONTH == 90 DAY would alias plus_3mo.
+      (col("o_orderdate") + expr("INTERVAL 91 DAYS")).as("plus_91d"),
+      add_months(col("o_orderdate"), 3).as("plus_3mo"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+      to_date(col("o_orderdate")).as("as_date"))
+      .orderBy("o_orderkey")
+
+  private def fnMath(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").select(
+      col("p_partkey"), col("p_size"), col("p_retailprice"),
+      round(col("p_retailprice") / lit(7.0), 2).as("price_div7"),
+      abs(lit(10) - col("p_size")).cast(LongType).as("abs_off10"),
+      ceil(col("p_retailprice") / lit(100.0)).as("price_ceil"),
+      floor(col("p_retailprice") / lit(100.0)).as("price_floor"),
+      sqrt(col("p_size").cast(DoubleType)).as("size_sqrt"),
+      pow(col("p_size").cast(DoubleType), lit(2.0)).as("size_sq"),
+      round(log(col("p_retailprice")), 6).as("price_ln"),
+      pmod(col("p_partkey"), lit(7L)).as("key_mod7"),
+      signum(col("p_size").cast(DoubleType) - lit(25.0)).as("size_sign"))
+      .orderBy("p_partkey")
+
+  /** Array + higher-order functions over 64-dim float embeddings. Element
+    * math runs on exact small integers (floor(x*10)) so HOF fold order and
+    * engine summation order can't matter. */
+  private def fnArray(s: SparkSession, d: String): DataFrame = {
+    val ints = transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(10.0)))
+    U.tbl(s, d, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast(LongType).as("dim"),
+      element_at(col("embedding"), 1).as("first_elem"),
+      slice(col("embedding"), 1, 4).as("head4"),
+      ints.as("ints"),
+      array_contains(ints, lit(1L)).as("has_one"),
+      sort_array(ints).as("ints_sorted"),
+      sort_array(array_distinct(ints)).as("ints_uniq"),
+      filter(ints, x => x >= lit(0L)).as("non_neg"),
+      aggregate(ints, lit(0L), (acc, x) => acc + x).as("ints_sum"),
+      zip_with(ints, reverse(ints), (a, b) => a + b).as("palin_sum"))
+      .orderBy("vec_id")
+  }
+
+  private def fnMapJson(s: SparkSession, d: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, LongType))
+    U.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k_int"),
+      map_keys(m).as("prop_keys"),
+      map_values(m).as("prop_vals"),
+      element_at(m, "k").as("k_via_map"),
+      to_json(struct((element_at(m, "k") * 2).as("k2"))).as("k2_json"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString _,
+    "fn_datetime" -> fnDatetime _,
+    "fn_math" -> fnMath _,
+    "fn_array" -> fnArray _,
+    "fn_map_json" -> fnMapJson _)
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, " +
+        "p_name || ' [' || p_brand || ']' AS labeled, " +
+        "substring(p_name, 1, 5) AS prefix5, " +
+        "lower(p_type) AS type_lower, upper(p_name) AS name_upper, " +
+        "trim('  ' || p_name || '  ') AS trimmed, " +
+        "string_split(p_name, ' ') AS words, " +
+        "CAST(length(p_name) AS BIGINT) AS name_len, " +
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, " +
+        "levenshtein(p_name, p_type) AS lev_to_type, " +
+        "lpad(p_brand, 10, '*') AS brand_padded, " +
+        "reverse(p_name) AS name_rev, repeat(p_brand, 2) AS brand_twice " +
+        "FROM part ORDER BY p_partkey"),
+    "fn_datetime" ->
+      ("SELECT o_orderkey, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, " +
+        "year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "dayofmonth(o_orderdate) AS dom, " +
+        "dayofweek(o_orderdate) + 1 AS dow, " +
+        "epoch_us(o_orderdate) // 1000000 AS epoch_sec, " +
+        "date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002, " +
+        "o_orderdate + INTERVAL 91 DAY AS plus_91d, " +
+        "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS iso_day, " +
+        "CAST(o_orderdate AS DATE) AS as_date " +
+        "FROM orders ORDER BY o_orderkey"),
+    "fn_math" ->
+      ("SELECT p_partkey, p_size, p_retailprice, " +
+        "round(p_retailprice / 7.0, 2) AS price_div7, " +
+        "CAST(abs(10 - p_size) AS BIGINT) AS abs_off10, " +
+        "CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_ceil, " +
+        "CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_floor, " +
+        "sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt, " +
+        "pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq, " +
+        "round(ln(p_retailprice), 6) AS price_ln, " +
+        "((p_partkey % 7) + 7) % 7 AS key_mod7, " +
+        "CAST(CASE WHEN CAST(p_size AS DOUBLE) - 25.0 > 0 THEN 1.0 " +
+        "WHEN CAST(p_size AS DOUBLE) - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS size_sign " +
+        "FROM part ORDER BY p_partkey"),
+    "fn_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "embedding[1] AS first_elem, " +
+        "list_slice(embedding, 1, 4) AS head4, " +
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS ints, " +
+        "list_contains(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)), 1) AS has_one, " +
+        "list_sort(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT))) AS ints_sorted, " +
+        "list_sort(list_distinct(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)))) AS ints_uniq, " +
+        "list_filter(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)), x -> x >= 0) AS non_neg, " +
+        "CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT))) AS BIGINT) AS ints_sum, " +
+        "list_transform(range(1, 65), i -> " +
+        "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 10.0) AS BIGINT) + " +
+        "CAST(floor(CAST(embedding[CAST(65 - i AS INTEGER)] AS DOUBLE) * 10.0) AS BIGINT)) AS palin_sum " +
+        "FROM embeddings ORDER BY vec_id"),
+    "fn_map_json" ->
+      ("SELECT event_id, " +
+        "json_extract_string(props, '$.k') AS k_str, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_int, " +
+        "json_keys(props) AS prop_keys, " +
+        "[CAST(json_extract(props, '$.k') AS BIGINT)] AS prop_vals, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k_via_map, " +
+        "to_json(struct_pack(k2 := CAST(json_extract(props, '$.k') AS BIGINT) * 2)) AS k2_json " +
+        "FROM events ORDER BY event_id"))
+}
