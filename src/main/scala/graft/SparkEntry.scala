@@ -23,7 +23,11 @@ object SparkEntry {
       SetOps.queries ++
       Joins.queries ++
       TimeSeries.queries ++
-      graft.functions.ScalarFns.queries
+      graft.functions.ScalarFns.queries ++
+      graft.llm.TextAnalysis.queries ++
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +39,9 @@ object SparkEntry {
       SetOps.oracleSql ++
       Joins.oracleSql ++
       TimeSeries.oracleSql ++
-      graft.functions.ScalarFns.oracleSql
+      graft.functions.ScalarFns.oracleSql ++
+      graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Dedup.oracleSql ++
+      graft.llm.Similarity.oracleSql ++
+      graft.llm.Multimodal.oracleSql
 }

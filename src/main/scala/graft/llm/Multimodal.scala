@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.U
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 — multimodal column handling.
+  *
+  * No image/audio fixtures or codecs exist in this environment, so the
+  * binary payloads are the UTF-8 bytes of `documents.text` — but the
+  * Spark-side plumbing is the real thing a multimodal pipeline needs:
+  * BinaryType payload column + typed metadata (mime, byte length, digest),
+  * and a partition-wise "decode" pass (`multimodal_decode`) written as
+  * `mapPartitions` over a typed Dataset — the Scala analogue of a batched
+  * decode UDF: one iterator per partition, amortized per-batch setup,
+  * no per-row driver involvement. The decode itself is a deterministic
+  * stand-in (byte stats) where a codec would go.
+  */
+/** Encoder types for the decode pass — top-level so Catalyst's generated
+  * deserializer can reach them (private nested classes break codegen). */
+case class Blob(doc_id: Long, payload: Array[Byte])
+case class Decoded(doc_id: Long, n_bytes: Long, first_byte: Long, checksum: Long)
+
+object Multimodal {
+
+  /** Binary payload + flat typed metadata, fully oracle-checkable. */
+  private def schema(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("text/plain").as("mime"),
+      octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+      sha2(encode(col("text"), "UTF-8"), 256).as("digest"))
+      .orderBy("doc_id")
+
+
+  /** Partition-wise decode pass. A real pipeline would swap `decodeOne` for
+    * the codec call (image resize, audio frames, ...) — the batch shape,
+    * schema, and partitioning stay identical. Deterministic stand-in:
+    * byte-count / first byte / additive checksum. */
+  private def decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = U.tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+    def decodeOne(b: Blob): Decoded = {
+      var sum = 0L
+      var i = 0
+      while (i < b.payload.length) { sum += b.payload(i) & 0xff; i += 1 }
+      Decoded(b.doc_id, b.payload.length.toLong,
+        if (b.payload.isEmpty) -1L else (b.payload(0) & 0xff).toLong, sum)
+    }
+    blobs.mapPartitions(it => it.map(decodeOne)).toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_schema" -> schema _,
+    "multimodal_decode" -> decode _)
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_schema" ->
+      ("SELECT doc_id, encode(text) AS payload, 'text/plain' AS mime, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "sha256(text) AS digest FROM documents ORDER BY doc_id"),
+    "multimodal_decode" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        "CAST(list_sum(list_transform(range(1, length(text) + 1), " +
+        "i -> CAST(ascii(text[CAST(i AS INTEGER)]) AS BIGINT))) AS BIGINT) AS checksum " +
+        "FROM documents ORDER BY doc_id"))
+}

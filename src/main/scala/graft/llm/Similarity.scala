@@ -1,0 +1,148 @@
+package graft.llm
+
+import graft.U
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 — similarity search over 64-dim float embeddings.
+  *
+  * Vector math runs in FIXED POINT: each component is floored to an integer
+  * at 1e6 scale, so dot products and norms are exact Long sums — associative,
+  * hence identical under Spark's partial aggregation and DuckDB's sequential
+  * fold — and only the final cosine division happens in doubles with an
+  * identical operand tree. This is what makes brute-force cosine
+  * hash-matchable against a SQL oracle at all.
+  *
+  *  - `sim_bruteforce_topk`: exact top-5 neighbors for the 10 query vectors
+  *    (vec_id < 10). Broadcast the queries; one pass over the corpus.
+  *  - `dedup_embedding`: all pairs with cosine >= 0.4 (embedding near-dup).
+  *    O(n^2) here; the 100 TB path is the LSH prefilter below.
+  *  - `sim_lsh_ann`: random-hyperplane LSH (16 deterministic planes →
+  *    16-bit bucket) + exact rerank inside the bucket. Approximate => no SQL
+  *    oracle; LshSpec measures recall against brute force.
+  */
+object Similarity {
+
+  import graft.plans.CustomExprs.fixed_dot
+
+  /** embedding floored to exact integer micro-units, plus its squared norm.
+    * The dot/norm kernels are the custom codegen'd FixedDot expression —
+    * Spark's interpreted HOF lambdas cost minutes inside the O(n^2) pair
+    * joins at sf0.1; the tight generated loop is ~100x faster with byte-for-
+    * byte identical Long results. */
+  private def fixed(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "embeddings").select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1000000.0)))
+        .as("fx"))
+      .withColumn("nrm", fixed_dot(col("fx"), col("fx")))
+
+  private def dotCol(a: Column, b: Column): Column = fixed_dot(a, b)
+
+  private def cosCol(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  private def bruteforceTopk(s: SparkSession, d: String): DataFrame = {
+    val all = fixed(s, d)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("fx").as("qx"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val a = fixed(s, d).select(col("vec_id").as("da"), col("fx").as("xa"), col("nrm").as("na"))
+    val b = fixed(s, d).select(col("vec_id").as("db"), col("fx").as("xb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("cos", cosCol(dotCol(col("xa"), col("xb")), col("na"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("da"), col("db"), col("cos"))
+      .orderBy("da", "db")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG over the flat index — no
+    * RNG object, so plans and results are reproducible across runs). */
+  private[llm] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, i) =>
+      val x = (1103515245L * (j * dim + i + 1) + 12345L) % 2147483648L
+      x.toDouble / 2147483648.0 - 0.5
+    }
+
+  private def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val nPlanes = 8 // 256 buckets — sized so buckets hold a rerank-able handful
+    val pl = planes(nPlanes, 64)
+    val planeCols = pl.zipWithIndex.map { case (p, j) =>
+      // dot(embedding, plane_j) > 0 => bit j of the bucket id
+      val dot = aggregate(
+        zip_with(col("embedding"),
+          array(p.map(v => lit(v)).toIndexedSeq: _*),
+          (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val emb = U.tbl(s, d, "embeddings")
+      .withColumn("bucket", planeCols.reduce(_ + _))
+      .withColumn("fx", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0))))
+      .withColumn("nrm", fixed_dot(col("fx"), col("fx")))
+      .select(col("vec_id"), col("bucket"), col("fx"), col("nrm"))
+    // multiprobe: each query also probes the nPlanes buckets at hamming
+    // distance 1 (sign flips near a hyperplane are the dominant miss mode)
+    val probes = array((lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))): _*)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+        col("fx").as("qx"), col("nrm").as("qn"))
+      .withColumn("flip", explode(probes))
+      .withColumn("probe_bucket", expr("q_bucket ^ flip"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(q), col("bucket") === col("probe_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> bruteforceTopk _,
+    "dedup_embedding" -> embeddingPairs _,
+    "sim_lsh_ann" -> lshAnn _)
+
+  private val fxSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"$a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "q AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "scored AS (SELECT q_id, vec_id, " +
+        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN q WHERE vec_id <> q_id), " +
+        "ranked AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
+        "SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5 " +
+        "ORDER BY q_id, rank"),
+    "dedup_embedding" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f) " +
+        "SELECT a.vec_id AS da, b.vec_id AS db, " +
+        s"CAST(${dotSql("a.fx", "b.fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        s"WHERE CAST(${dotSql("a.fx", "b.fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4 " +
+        "ORDER BY da, db"))
+}

@@ -1,0 +1,151 @@
+package graft.llm
+
+import graft.U
+import graft.llm.TextUtil._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 — text analysis over the `documents` corpus: tokenize/TF,
+  * TF-IDF, corpus quality stats, stopword-list language ID, token counting
+  * (whitespace + BPE-ish regex), and rolling-hash fingerprints.
+  *
+  * All token math stays in integer domains (counts, poly-hashes); the only
+  * floats are final divisions/ln with identical operand trees both engines
+  * (ln rounded to 6 to absorb libm ulp skew). Every shape is
+  * explode→hash-aggregate: one shuffle keyed by token/doc, partial combine
+  * on the map side — linear scale-out over corpus size.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String) = U.tbl(s, d, "documents")
+
+  private def tokenizeTf(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy("token")
+
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf").cast(DoubleType) *
+          round(log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
+  private def qualityStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast(LongType))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_alpha")).cast(DoubleType) / sum(col("n_tokens")).cast(DoubleType))
+          .as("avg_token_len"),
+        (sum(when(col("n_chars") < 200, 1L).otherwise(0L)).cast(DoubleType) /
+          count(lit(1))).as("short_ratio"))
+      .orderBy("lang", "source")
+
+  /** Stopword-list language scoring: count hits per language word-list,
+    * argmax with a fixed tie order. (The fixture vocab is shared across
+    * langs, so this exercises the machinery, not linguistics.) */
+  private def langid(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val sEn = size(filter(t, x => x.isin("scan", "filter", "join"))).cast(LongType)
+    val sFr = size(filter(t, x => x.isin("table", "row", "value"))).cast(LongType)
+    val sDe = size(filter(t, x => x.isin("hash", "merge", "batch"))).cast(LongType)
+    docs(s, d).select(col("doc_id"), col("lang"),
+      sEn.as("s_en"), sFr.as("s_fr"), sDe.as("s_de"))
+      .withColumn("guess",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_de"), "fr").otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_ws"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast(LongType)
+        .as("n_bpe"),
+      size(array_distinct(tokens(col("text")))).cast(LongType).as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprints: whole-text polynomial hash + min token hash
+    * (a 1-permutation MinHash). */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.plans.CustomExprs.poly_hash(col("text"), 7L).as("text_hash"),
+      array_min(graft.plans.CustomExprs.poly_hash_array(tokens(col("text")), 13L))
+        .as("min_token_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize_tf" -> tokenizeTf _,
+    "text_tfidf" -> tfidf _,
+    "text_quality_stats" -> qualityStats _,
+    "text_langid" -> langid _,
+    "text_token_count" -> tokenCount _,
+    "text_fingerprint" -> fingerprint _)
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokenize_tf" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents) " +
+        "SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df " +
+        "FROM tok GROUP BY token ORDER BY token"),
+    "text_tfidf" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, tf.token, tf, " +
+        "round(CAST(tf AS DOUBLE) * " +
+        "round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6), 6) AS tfidf " +
+        "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n " +
+        "ORDER BY doc_id, tf.token"),
+    "text_quality_stats" ->
+      (s"WITH x AS (SELECT lang, source, n_chars, " +
+        s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens, " +
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha " +
+        "FROM documents) " +
+        "SELECT lang, source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, " +
+        "CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens, " +
+        "CAST(SUM(n_alpha) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS avg_token_len, " +
+        "CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS short_ratio " +
+        "FROM x GROUP BY lang, source ORDER BY lang, source"),
+    "text_langid" ->
+      (s"WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents), " +
+        "sc AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['scan','filter','join'], x))) AS BIGINT) AS s_en, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['table','row','value'], x))) AS BIGINT) AS s_fr, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['hash','merge','batch'], x))) AS BIGINT) AS s_de " +
+        "FROM t) " +
+        "SELECT doc_id, lang, s_en, s_fr, s_de, " +
+        "CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en' " +
+        "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS guess " +
+        "FROM sc ORDER BY doc_id"),
+    "text_token_count" ->
+      (s"SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +
+        s"CAST(len(list_distinct(${sqlTokens("text")})) AS BIGINT) AS n_distinct " +
+        "FROM documents ORDER BY doc_id"),
+    "text_fingerprint" ->
+      (s"SELECT doc_id, ${sqlPolyHash("text", 7L)} AS text_hash, " +
+        s"CAST(list_min(list_transform(${sqlTokens("text")}, " +
+        s"t -> ${sqlPolyHash("t", 13L)})) AS BIGINT) AS min_token_hash " +
+        "FROM documents ORDER BY doc_id"))
+}

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §2.11 tier (b)) for the hot
+  * integer kernels of the LLM-pipeline operators.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * interpreted per lambda step — fine for per-row use, pathological inside
+  * O(n^2) similarity joins (bench showed minutes at sf0.1). These
+  * expressions compute the same integer math as tight loops inside
+  * whole-stage codegen (`doGenCode`), with an interpreted `nullSafeEval`
+  * fallback. Semantics are IDENTICAL to the declarative forms and to the
+  * DuckDB oracle SQL (pure Long arithmetic — associative, engine-order-free).
+  */
+
+/** Dot product of two array<long> vectors (fixed-point embeddings). */
+case class FixedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |long acc = 0L;
+      |for (int i = 0; i < n; i++) { acc += $a.getLong(i) * $b.getLong(i); }
+      |${ev.value} = acc;
+      |""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedDot =
+    copy(left = l, right = r)
+}
+
+/** Polynomial rolling hash over the UTF-8 bytes of a string:
+  * fold (acc*31 + byte) mod 1e9+7 — byte == code point for ASCII, matching
+  * TextUtil.polyHash / the oracle's ascii() fold on the fixture corpus. */
+case class PolyHash(child: Expression, seed: Long) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.hashBytes(v.asInstanceOf[UTF8String].getBytes, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHash.hashBytes($c.getBytes(), ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+}
+
+object PolyHash {
+  final val M = 1000000007L
+  def hashBytes(bytes: Array[Byte], seed: Long): Long = {
+    var acc = seed
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31L + (bytes(i) & 0xff)) % M; i += 1 }
+    acc
+  }
+}
+
+/** PolyHash over every element of an array<string> in one pass. */
+case class PolyHashArray(child: Expression, seed: Long) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = PolyHash.hashBytes(arr.getUTF8String(i).getBytes, seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int n = $c.numElements();
+      |long[] out = new long[n];
+      |for (int i = 0; i < n; i++) {
+      |  out[i] = graft.plans.PolyHash.hashBytes($c.getUTF8String(i).getBytes(), ${seed}L);
+      |}
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): PolyHashArray = copy(child = c)
+}
+
+/** 60-bit SimHash of an array<long> of feature hashes: bit b is set iff the
+  * majority of hashes have bit b set ((h>>b)&1 voting +1/-1). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    SimHash60.compute(arr.toLongArray())
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash60.compute($c.toLongArray())")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+}
+
+object SimHash60 {
+  def compute(hs: Array[Long]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      var acc = 0L
+      var i = 0
+      while (i < hs.length) { acc += ((hs(i) >> b) & 1L) * 2L - 1L; i += 1 }
+      if (acc > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Column-API entry points for the custom expressions. */
+object CustomExprs {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  def fixed_dot(a: Column, b: Column): Column = c(FixedDot(e(a), e(b)))
+  def poly_hash(s: Column, seed: Long): Column = c(PolyHash(e(s), seed))
+  def poly_hash_array(s: Column, seed: Long): Column = c(PolyHashArray(e(s), seed))
+  def simhash60(hs: Column): Column = c(SimHash60(e(hs)))
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression <-> Column bridge. Spark 4 made the converters
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so custom
+  * Catalyst expressions need this one-file shim inside the sql package
+  * hierarchy to surface as user-facing Columns. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
