@@ -27,7 +27,8 @@ object SparkEntry {
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
-      graft.llm.Multimodal.queries
+      graft.llm.Multimodal.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
-      graft.llm.Multimodal.oracleSql
+      graft.llm.Multimodal.oracleSql ++
+      graft.streaming.StreamingQueries.oracleSql
 }

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Encoder types for the stateful query — top-level for Catalyst codegen. */
+case class SEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, cents: Long)
+case class SState(n: Long, sum: Long)
+case class SOut(event_id: Long, user_id: Long, running_n: Long, running_sum: Double)
+
+/** SURVEY.md §2.9 — Structured Streaming over a replay of the `events`
+  * table.
+  *
+  * Ingest simulation: events are split into 8 time-range parquet files
+  * written SEQUENTIALLY (strictly increasing mtimes), so the file stream
+  * source batches them in event-time order — watermarks then advance
+  * deterministically batch over batch. Every query runs a REAL streaming
+  * pipeline (readStream → transform → writeStream, Trigger.AvailableNow,
+  * memory sink) and returns the sink contents.
+  *
+  * Four queries are deterministic regardless of micro-batch boundaries and
+  * carry DuckDB oracles (complete-mode sliding agg; dedup-within-watermark
+  * whose kept-row is value-identical either way; flatMapGroupsWithState
+  * running totals, which hash-match a batch window-function query; a
+  * stream-static join). The append-mode watermark queries (tumbling,
+  * session) emit only watermark-finalized windows — batch-boundary-
+  * dependent by design — and are covered by StreamingSpec instead.
+  */
+object StreamingQueries {
+
+  private val nameCounter = new AtomicInteger(0)
+  private val prepared = scala.collection.mutable.Set[String]()
+
+  /** Split events into 8 sequentially-written ts-range files (once per JVM
+    * per sfDir); returns (dir, schema-carrying batch frame). */
+  private def stage(s: SparkSession, d: String, doubled: Boolean): String = synchronized {
+    val tag = if (doubled) "stream_events_x2" else "stream_events"
+    val dir = U.scratch(d, tag)
+    if (!prepared.contains(dir)) {
+      val ev = U.events(s, d)
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+      val step = math.max((hi - lo) / 8, 1L)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      val passes = if (doubled) 2 else 1
+      for (p <- 0 until passes; i <- 0 until 8) {
+        val loB = lo + i * step
+        val hiB = if (i == 7) hi else lo + (i + 1) * step
+        ev.filter(unix_micros(col("ts")) >= loB && unix_micros(col("ts")) < hiB)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      prepared += dir
+    }
+    dir
+  }
+
+  /** Run a streaming transform of the staged events to completion, return
+    * the memory-sink table. */
+  private def runStream(s: SparkSession, d: String, mode: String,
+      doubled: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
+    val dir = stage(s, d, doubled)
+    val schema = s.read.parquet(dir).schema
+    // 2 files/batch: still multi-batch (watermark advances across batches)
+    // at half the per-batch scheduling overhead
+    val in = s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(dir)
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val q = build(in).writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Append-mode tumbling window + 10-minute watermark: only finalized
+    * windows are emitted; late-vs-watermark semantics asserted in tests. */
+  private def tumblingWatermark(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "append") { in =>
+      in.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+    }.select(col("window.start").as("wstart"), col("event_type"), col("n"),
+      col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  /** Complete-mode sliding window — final state equals the batch answer, so
+    * it carries a full oracle. */
+  private def slidingComplete(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "complete") { in =>
+      in.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+    }.select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+      .orderBy("wstart")
+
+  /** Append-mode session windows (30-minute gap) with watermark. */
+  private def sessionWindows(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "append") { in =>
+      in.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), U.dsum(col("value")).as("sum_value"))
+    }.select(col("session_window.start").as("sstart"),
+      col("session_window.end").as("send"), col("user_id"), col("n_events"),
+      col("sum_value"))
+      .orderBy("user_id", "sstart")
+
+  /** Dedup within watermark over a DOUBLED replay (every event arrives
+    * twice): kept rows are value-identical whichever copy wins, so the
+    * result oracles to plain SELECT * FROM events. */
+  private def dedupStream(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "append", doubled = true) { in =>
+      // 60-day delay > the 30-day event span: no state eviction, exact dedup
+      in.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark("event_id")
+    }.orderBy("event_id")
+
+  /** Custom per-key streaming state: running count + cumulative spend per
+    * user via flatMapGroupsWithState. Batches arrive in event-time order
+    * (staged files), each batch's group iterator is sorted in the function,
+    * so the running totals hash-match a batch window-function oracle. */
+  private def statefulRunning(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "append") { in =>
+      import in.sparkSession.implicits._
+      val ds: Dataset[SEvent] = in.select(col("event_id"), col("user_id"),
+        col("ts"), graft.U.cents(col("value")).as("cents")).as[SEvent]
+      def step(key: Long, it: Iterator[SEvent], st: GroupState[SState]): Iterator[SOut] = {
+        val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        var cur = st.getOption.getOrElse(SState(0L, 0L))
+        val out = sorted.map { e =>
+          cur = SState(cur.n + 1, cur.sum + e.cents)
+          SOut(e.event_id, key, cur.n, cur.sum.toDouble / 100.0)
+        }
+        st.update(cur)
+        out.iterator
+      }
+      ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF()
+    }.orderBy("event_id")
+
+  /** Stream-static enrichment join: the static side is a tiny derived dim
+    * (event_type -> code), broadcast to every micro-batch. */
+  private def staticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = U.events(s, d).select(col("event_type")).distinct()
+      .select(col("event_type").as("et"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_type"))).cast(LongType).as("type_code"))
+    runStream(s, d, "append") { in =>
+      in.join(broadcast(dim), col("event_type") === col("et"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("type_code"), col("value"))
+    }.orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_watermark" -> tumblingWatermark _,
+    "stream_sliding" -> slidingComplete _,
+    "stream_session" -> sessionWindows _,
+    "stream_dedup" -> dedupStream _,
+    "stream_stateful" -> statefulRunning _,
+    "stream_static_join" -> staticJoin _)
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_sliding" ->
+      ("SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) " +
+        "* 1000000 AS BIGINT)) AS wstart, " +
+        s"COUNT(*) AS n, ${OSQL.dsum("value")} AS sum_value " +
+        "FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offs(j) " +
+        "GROUP BY 1 ORDER BY wstart"),
+    "stream_dedup" -> "SELECT * FROM events ORDER BY event_id",
+    "stream_stateful" ->
+      ("SELECT event_id, user_id, " +
+        "CAST(row_number() OVER w AS BIGINT) AS running_n, " +
+        s"CAST(SUM(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0 AS running_sum " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "stream_static_join" ->
+      ("SELECT event_id, user_id, event_type, type_code, value FROM events " +
+        "JOIN (SELECT event_type AS et, CAST(row_number() OVER " +
+        "(ORDER BY event_type) AS BIGINT) AS type_code FROM " +
+        "(SELECT DISTINCT event_type FROM events)) ON event_type = et " +
+        "ORDER BY event_id"))
+}

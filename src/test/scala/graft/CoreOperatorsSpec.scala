@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the relational/time-series core — tiny literal
+  * inputs with hand-computed expectations (SURVEY.md §5.1). */
+class CoreOperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("entry flagship returns non-empty pricing summary") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("count_order")).sum > 0)
+  }
+
+  test("every declared query has either an oracle or a documented exclusion") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query impl: ${o -- q}")
+    val nonOracle = q -- o
+    // approx/probabilistic + append-watermark ops are the only exclusions
+    assert(nonOracle == Set("agg_approx_distinct", "dedup_minhash",
+      "sim_lsh_ann", "stream_tumbling_watermark", "stream_session"),
+      s"unexpected non-oracle queries: $nonOracle")
+  }
+
+  test("as-of join matches latest-at-or-before per key across interleavings") {
+    // users A/B interleave; probe at equal ts must match the build row at
+    // the SAME ts (<= semantics); user C has no build row at all
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val probe = Seq((1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "A", ts("2024-01-01 12:00:00")),
+      (3L, "B", ts("2024-01-01 11:00:00")),
+      (4L, "C", ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "user", "ts")
+    val build = Seq(("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 11:30:00"), 2.0),
+      ("B", ts("2024-01-01 11:00:01"), 3.0))
+      .toDF("user", "ts", "v")
+    // same union-tag + running-last formulation as Joins.joinAsof
+    val tagged = build.select(col("user"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("ts").as("b_ts"), col("v").as("b_v"))
+      .unionByName(probe.select(col("user"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("timestamp").as("b_ts"),
+        lit(null).cast("double").as("b_v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = tagged
+      .withColumn("asof_v", last(col("b_v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("asof_v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains(1.0)) // equal-ts build row matches
+    assert(got(2L).contains(2.0)) // latest of two
+    assert(got(3L).isEmpty) // build is 1s AFTER probe: no match
+    assert(got(4L).isEmpty) // no build rows for C
+  }
+
+  test("sessionize: no intra-session gap exceeds threshold, sessions ordered") {
+    val df = graft.operators.TimeSeries.queries("ts_sessionize")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, sess) =>
+      val ordered = sess.sortBy(_.getAs[Long]("session_id"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapUs = b.getAs[java.sql.Timestamp]("session_start").getTime -
+            a.getAs[java.sql.Timestamp]("session_end").getTime
+          assert(gapUs > 1800 * 1000L,
+            s"adjacent sessions closer than the 30min gap: $gapUs ms")
+        case _ =>
+      }
+    }
+  }
+
+  test("resample grid is dense daily per user with forward-filled values") {
+    val df = graft.operators.TimeSeries.queries("ts_resample_fill")(spark, sfDir)
+    val byUser = df.collect().groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val days = rows.map(_.getAs[java.sql.Timestamp]("day").getTime).sorted
+      days.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 86400000L, "grid not daily-dense")
+        case _ =>
+      }
+      // once a value is observed, filled_value never reverts to null
+      val filled = rows.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+        .map(r => Option(r.get(r.fieldIndex("filled_value"))))
+      val firstSome = filled.indexWhere(_.isDefined)
+      if (firstSome >= 0) assert(filled.drop(firstSome).forall(_.isDefined))
+    }
+  }
+
+  test("window topk emits at most k rows per group, ranked") {
+    val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
+    val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rows.length))
+      val prices = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-_)), "not descending by price")
+    }
+  }
+}

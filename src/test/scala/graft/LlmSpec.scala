@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.CustomExprs
+
+/** LLM-pipeline semantics: approx operators validated against their exact
+  * counterparts; custom codegen expressions validated against the
+  * declarative Catalyst forms they replaced (SURVEY.md §5). */
+class LlmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhash-LSH candidates recover the exact-Jaccard pairs (recall)") {
+    val exact = graft.llm.Dedup.queries("dedup_jaccard")(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.llm.Dedup.queries("dedup_minhash")(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixtures should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "minhash emits only exact-verified pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash pairs overlap the Jaccard near-dups") {
+    val jac = graft.llm.Dedup.queries("dedup_jaccard")(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = graft.llm.Dedup.queries("dedup_simhash")(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert((sim intersect jac).size.toDouble / sim.size >= 0.5,
+      "simhash pairs should be dominated by true near-dups")
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with sane scores") {
+    val brute = graft.llm.Similarity.queries("sim_bruteforce_topk")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ann = graft.llm.Similarity.queries("sim_lsh_ann")(spark, sfDir).collect()
+    assert(ann.nonEmpty, "multiprobe LSH should find some candidates")
+    ann.foreach { r =>
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+    }
+    val hits = ann.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(brute.contains)
+    assert(hits > 0, "ANN should recover at least one true top-5 neighbor")
+  }
+
+  test("approx_count_distinct within rsd tolerance of exact") {
+    val apx = graft.operators.Aggregations.queries("agg_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("apx_part")).toMap
+    val exact = graft.operators.Aggregations.queries("agg_count_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("nd_part")).toMap
+    exact.foreach { case (k, ex) =>
+      val er = math.abs(apx(k) - ex).toDouble / ex
+      assert(er < 0.1, s"flag $k: approx $apx vs exact $ex (err $er)")
+    }
+  }
+
+  test("custom codegen expressions match their declarative equivalents") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), "hello world"))
+      .toDF("a", "b", "s")
+    val r = df.select(
+      CustomExprs.fixed_dot(col("a"), col("b")).as("dot"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x).as("dot_hof"),
+      CustomExprs.poly_hash(col("s"), 7L).as("ph"),
+      graft.llm.TextUtil.polyHash(col("s"), 7L).as("ph_hof"),
+      CustomExprs.poly_hash_array(split(col("s"), " "), 13L).as("pha"),
+      transform(split(col("s"), " "),
+        t => graft.llm.TextUtil.polyHash(t, 13L)).as("pha_hof")).head()
+    assert(r.getAs[Long]("dot") == 32L)
+    assert(r.getAs[Long]("dot") == r.getAs[Long]("dot_hof"))
+    assert(r.getAs[Long]("ph") == r.getAs[Long]("ph_hof"))
+    assert(r.getAs[scala.collection.Seq[Long]]("pha").toList ==
+      r.getAs[scala.collection.Seq[Long]]("pha_hof").toList)
+  }
+
+  test("simhash60 of identical hash-sets is identical; disjoint sets differ") {
+    val df = Seq(
+      (1L, Seq(111L, 222L, 333L, 444L)),
+      (2L, Seq(111L, 222L, 333L, 444L)),
+      (3L, Seq(987654321L, 192837465L, 564738291L, 1029384756L)))
+      .toDF("id", "hs")
+      .select(col("id"), CustomExprs.simhash60(col("hs")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("multimodal decode matches metadata byte counts") {
+    val meta = graft.llm.Multimodal.queries("multimodal_schema")(spark, sfDir)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dec = graft.llm.Multimodal.queries("multimodal_decode")(spark, sfDir)
+      .collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") == meta(r.getAs[Long]("doc_id")))
+      val cs = r.getAs[Long]("checksum")
+      assert(cs > 0 && cs <= r.getAs[Long]("n_bytes") * 255)
+    }
+  }
+}

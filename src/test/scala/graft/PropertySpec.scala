@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws over generated inputs (SURVEY.md §5.3). Generation uses
+  * scalacheck Gens pulled with FIXED seeds (the determinism rules ban
+  * wall-clock/entropy seeds), so failures reproduce exactly. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rowsGen = Gen.listOfN(40,
+    Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-100, 100)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("filter fusion: filter(p).filter(q) == filter(p && q)") {
+    samples(rowsGen, 5).foreach { data =>
+      val df = data.toDF("k", "v")
+      val a = df.filter(col("v") > 0).filter(col("k") < 3).count()
+      val b = df.filter(col("v") > 0 && col("k") < 3).count()
+      assert(a == b)
+    }
+  }
+
+  test("union row-count additivity; intersect bounded by both sides") {
+    samples(Gen.zip(rowsGen, rowsGen), 5).foreach { case (d1, d2) =>
+      val a = d1.toDF("k", "v")
+      val b = d2.toDF("k", "v")
+      assert(a.unionAll(b).count() == a.count() + b.count())
+      val i = a.intersect(b).count()
+      assert(i <= math.min(a.distinct().count(), b.distinct().count()))
+    }
+  }
+
+  test("window rank stays within [1, partition size]") {
+    samples(rowsGen, 5).filter(_.nonEmpty).foreach { data =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"), col("k"))
+      val df = data.toDF("k", "v").withColumn("rn", row_number().over(w))
+      val sizes = data.groupBy(_._1).view.mapValues(_.size).toMap
+      df.collect().foreach { r =>
+        val rn = r.getAs[Int]("rn")
+        assert(rn >= 1 && rn <= sizes(r.getAs[Long]("k")))
+      }
+    }
+  }
+
+  test("poly hash is deterministic and order-sensitive") {
+    samples(Gen.alphaNumStr.suchThat(_.length > 1), 10).foreach { s0 =>
+      val s = s0.take(20)
+      val df = Seq(s, s, s.reverse).toDF("t")
+        .select(graft.plans.CustomExprs.poly_hash(col("t"), 7L).as("h"))
+      val hs = df.collect().map(_.getLong(0))
+      assert(hs(0) == hs(1))
+      if (s != s.reverse) assert(hs(0) != hs(2))
+    }
+  }
+
+  test("minhash signatures: identical shingle sets agree on all permutations") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("id", "text")
+      .select(col("id"), graft.plans.CustomExprs.poly_hash_array(
+        split(col("text"), " "), 13L).as("hs"))
+    val sigs = (0 until 8).map(k => array_min(transform(col("hs"),
+      h => pmod(h * lit(2L * k + 1) + lit(k * 12345L + 7L), lit(1000000007L))))
+      .as(s"s$k"))
+    val rows = df.select(col("id") +: sigs: _*).collect()
+    assert(rows(0).toSeq.drop(1) == rows(1).toSeq.drop(1))
+  }
+}
