@@ -111,10 +111,65 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-style ANN: k-means-lite coarse quantizer (deterministic init = the
+    * 16 lowest vec_ids, 2 Lloyd iterations as pure DataFrame ops), then
+    * nprobe=2 cluster search with exact fixed-point rerank. This is the
+    * 100 TB path for embedding search: the O(n^2) work shrinks to
+    * n * nprobe/K, each stage a plain shuffle/broadcast. Approximate =>
+    * rows-only gate; recall asserted in LlmSpec. */
+  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val emb = U.tbl(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      emb.crossJoin(broadcast(cent))
+        // nearest by (negated) inner product — the IVF coarse metric
+        .withColumn("dist", -aggregate(zip_with(col("v"), col("cv"),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+    }
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("cv"))
+    var cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    for (_ <- 0 until 2) { cent = recenter(assign(cent)).persist() }
+    val assigned = assign(cent)
+      .join(fixed(s, d), "vec_id") // attach fx/nrm for exact rerank
+      .select(col("vec_id"), col("cid"), col("fx"), col("nrm")).persist()
+    // queries probe their 2 nearest centroids
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
+    val q = emb.filter(col("vec_id") < 10)
+      .join(fixed(s, d), "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("fx").as("qx"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qdist", -aggregate(zip_with(col("qv"), col("cv"),
+        (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      .withColumn("prb", row_number().over(wq))
+      .filter(col("prb") <= 2)
+      .select(col("q_id"), col("cid"), col("qx"), col("qn"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteforceTopk _,
     "dedup_embedding" -> embeddingPairs _,
-    "sim_lsh_ann" -> lshAnn _)
+    "sim_lsh_ann" -> lshAnn _,
+    "sim_ivf_ann" -> ivfAnn _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"

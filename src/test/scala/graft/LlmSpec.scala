@@ -44,6 +44,30 @@ class LlmSpec extends SparkTestBase {
     assert(hits > 0, "ANN should recover at least one true top-5 neighbor")
   }
 
+  test("IVF ANN recovers true neighbors within its probed clusters") {
+    val brute = graft.llm.Similarity.queries("sim_bruteforce_topk")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = graft.llm.Similarity.queries("sim_ivf_ann")(spark, sfDir).collect()
+    assert(ivf.nonEmpty, "IVF should return candidates for every probed query")
+    val hits = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(brute.contains)
+    assert(hits > 0, "IVF should recover at least one true top-5 neighbor")
+    ivf.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("extensions register the custom expressions as SQL functions") {
+    val r = spark.sql(
+      "SELECT graft_poly_hash('ab', 7) AS h, " +
+        "graft_fixed_dot(array(1L, 2L), array(3L, 4L)) AS d, " +
+        "graft_simhash60(array(111L, 222L)) AS s, " +
+        "graft_poly_hash_array(array('ab'), 7) AS ha").head()
+    assert(r.getAs[Long]("h") == ((7L * 31 + 97) % 1000000007L * 31 + 98) % 1000000007L)
+    assert(r.getAs[Long]("d") == 11L)
+    assert(r.getAs[scala.collection.Seq[Long]]("ha").head == r.getAs[Long]("h"))
+  }
+
   test("approx_count_distinct within rsd tolerance of exact") {
     val apx = graft.operators.Aggregations.queries("agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("apx_part")).toMap
