@@ -60,7 +60,11 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** MinHash + LSH banding, then exact-Jaccard verification of candidates. */
+  /** MinHash + LSH banding, then exact-Jaccard verification of candidates.
+    * Signatures come from the codegen'd MinHashSigs kernel (one pass over
+    * the shingle hashes instead of nPerm interpreted scans); candidate
+    * pairs are deduped as bare (da, db) BEFORE the shingle arrays join back
+    * in, so the banding shuffle never carries arrays. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val nPerm = 16
     val base = docs(s, d)
@@ -68,24 +72,22 @@ object Dedup {
       .select(col("doc_id"), shingles3(col("toks")).as("ss"))
       .filter(size(col("ss")) > 0)
       .withColumn("hs", graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L))
-    val sigs: Seq[Column] = (0 until nPerm).map { k =>
-      array_min(transform(col("hs"),
-        h => pmod(h * lit(2L * k + 1) + lit(k * 12345L + 7L), lit(M))))
-        .as(s"sig$k")
-    }
-    val signed = base.select(col("doc_id") +: col("ss") +: sigs: _*)
-      .persist() // read 8x: 4 band branches x 2 self-join sides
+      .persist() // band branches + the two candidate join-backs read it
+    val signed = base.select(col("doc_id"),
+      graft.plans.CustomExprs.minhash_sigs(col("hs"), nPerm).as("sigs"))
     val bands = (0 until 4).map { bIdx =>
-      signed.select(col("doc_id"), col("ss"), lit(bIdx).as("band"),
-        concat_ws(":", (0 until 4).map(r => col(s"sig${bIdx * 4 + r}")): _*).as("bkey"))
+      signed.select(col("doc_id"), lit(bIdx).as("band"),
+        concat_ws(":", (0 until 4).map(r => element_at(col("sigs"), bIdx * 4 + r + 1)): _*)
+          .as("bkey"))
     }.reduce(_ unionByName _)
     val cand = bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        col("x.ss").as("ssa"), col("y.ss").as("ssb"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     cand
+      .join(base.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
+      .join(base.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
       .withColumn("common", size(array_intersect(col("ssa"), col("ssb"))).cast(LongType))
       .withColumn("jac", col("common").cast(DoubleType) /
         (size(col("ssa")) + size(col("ssb")) - col("common")).cast(DoubleType))
@@ -94,10 +96,19 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 60-bit SimHash per doc + hamming<=3 pairs via exact-recall banding.
+  /** 60-bit SimHash per doc + hamming<=3 pairs.
     * Hashed over 3-gram SHINGLES, not tokens: the fixture vocab is shared
-    * across all docs, so token-level simhashes collapse together (quadratic
-    * pair blowup); shingle sets are near-disjoint except for true near-dups. */
+    * across all docs, so token-level simhashes collapse together; shingle
+    * sets separate near-dups from noise.
+    *
+    * Pairing is DIRECT pairwise popcount, not band blocking, and that is a
+    * measured decision: this corpus has only ~27k distinct shingles shared
+    * across ~10 docs each, so simhash bits correlate and EVERY pair collides
+    * in some 15-bit band — banding produced all n^2/2 candidates and then
+    * paid a 31 s distinct-shuffle on them, while the codegen'd
+    * bit_count(xor) scan over the same n^2/2 pairs costs ~2 s and is exact.
+    * On a high-diversity corpus (where bands actually prune), reinstate
+    * 4x15-bit banding — pigeonhole keeps exact recall for hamming<=3. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -107,17 +118,10 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .withColumn("simhash", graft.plans.CustomExprs.simhash60(col("hs")))
       .select(col("doc_id"), col("simhash"))
-      .persist() // read 8x: 4 band branches x 2 self-join sides
-    val banded = (0 until 4).map { bIdx =>
-      sh.select(col("doc_id"), col("simhash"), lit(bIdx).as("band"),
-        expr(s"CAST(shiftright(simhash, ${bIdx * 15}) AS LONG) & 32767L").as("bkey"))
-    }.reduce(_ unionByName _)
-    banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
+      .persist() // both pairwise sides read it
+    val a = sh.select(col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    a.crossJoin(b).filter(col("da") < col("db"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
       .filter(col("hamming") <= 3)
       .select(col("da"), col("db"), col("hamming"))

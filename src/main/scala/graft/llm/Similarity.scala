@@ -77,20 +77,18 @@ object Similarity {
 
   private def lshAnn(s: SparkSession, d: String): DataFrame = {
     val nPlanes = 8 // 256 buckets — sized so buckets hold a rerank-able handful
-    val pl = planes(nPlanes, 64)
+    // planes quantized to the same 1e6 fixed-point grid as the vectors, so
+    // the bucket-bit sign test is a codegen'd FixedDot, not interpreted HOFs
+    val pl = planes(nPlanes, 64).map(_.map(v => math.floor(v * 1000000.0).toLong))
     val planeCols = pl.zipWithIndex.map { case (p, j) =>
-      // dot(embedding, plane_j) > 0 => bit j of the bucket id
-      val dot = aggregate(
-        zip_with(col("embedding"),
-          array(p.map(v => lit(v)).toIndexedSeq: _*),
-          (x, w) => x.cast(DoubleType) * w),
-        lit(0.0), (acc, x) => acc + x)
+      // dot(fx, plane_j) > 0 => bit j of the bucket id
+      val dot = fixed_dot(col("fx"), array(p.map(v => lit(v)).toIndexedSeq: _*))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     val emb = U.tbl(s, d, "embeddings")
-      .withColumn("bucket", planeCols.reduce(_ + _))
       .withColumn("fx", transform(col("embedding"),
         x => floor(x.cast(DoubleType) * lit(1000000.0))))
+      .withColumn("bucket", planeCols.reduce(_ + _))
       .withColumn("nrm", fixed_dot(col("fx"), col("fx")))
       .select(col("vec_id"), col("bucket"), col("fx"), col("nrm"))
     // multiprobe: each query also probes the nPlanes buckets at hamming
@@ -115,43 +113,43 @@ object Similarity {
     * 16 lowest vec_ids, 2 Lloyd iterations as pure DataFrame ops), then
     * nprobe=2 cluster search with exact fixed-point rerank. This is the
     * 100 TB path for embedding search: the O(n^2) work shrinks to
-    * n * nprobe/K, each stage a plain shuffle/broadcast. Approximate =>
-    * rows-only gate; recall asserted in LlmSpec. */
+    * n * nprobe/K, each stage a plain shuffle/broadcast.
+    *
+    * The whole index build runs in the integer domain — FixedDot coarse
+    * metric, centroids as exact Long sums with integer division — so it is
+    * partial-aggregation-order-free and bit-reproducible run over run
+    * (double-avg centroids are not). Approximate => rows-only gate; recall
+    * asserted in LlmSpec. */
   private def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val emb = U.tbl(s, d, "embeddings").select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
       emb.crossJoin(broadcast(cent))
         // nearest by (negated) inner product — the IVF coarse metric
-        .withColumn("dist", -aggregate(zip_with(col("v"), col("cv"),
-          (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+        .withColumn("dist", -dotCol(col("fx"), col("cfx")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
+        .select(col("vec_id"), col("cid"), col("fx"), col("nrm"))
     }
     def recenter(assigned: DataFrame): DataFrame =
-      assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+      assigned.select(col("cid"), posexplode(col("fx")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("cx", expr("sx DIV cnt"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
-        .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("cv"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("cfx"))
     var cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("fx").as("cfx"))
     for (_ <- 0 until 2) { cent = recenter(assign(cent)).persist() }
-    val assigned = assign(cent)
-      .join(fixed(s, d), "vec_id") // attach fx/nrm for exact rerank
-      .select(col("vec_id"), col("cid"), col("fx"), col("nrm")).persist()
+    val assigned = assign(cent).persist()
     // queries probe their 2 nearest centroids
     val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
     val q = emb.filter(col("vec_id") < 10)
-      .join(fixed(s, d), "vec_id")
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("fx").as("qx"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("fx").as("qx"), col("nrm").as("qn"))
       .crossJoin(broadcast(cent))
-      .withColumn("qdist", -aggregate(zip_with(col("qv"), col("cv"),
-        (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      .withColumn("qdist", -dotCol(col("qx"), col("cfx")))
       .withColumn("prb", row_number().over(wq))
       .filter(col("prb") <= 2)
       .select(col("q_id"), col("cid"), col("qx"), col("qn"))

@@ -140,7 +140,27 @@ object Joins {
       .orderBy("user_id", "type_a", "type_b")
   }
 
+  /** Salted join — the manual skew-mitigation pattern for when one key
+    * dominates (AQE skew-join handles sort-merge skew, but salting is the
+    * only lever for skewed BROADCAST-side build or stateful keys): replicate
+    * the dim row SALT ways, scatter the fact side with pmod(event_id, SALT),
+    * join on (key, salt). Results are identical to the unsalted join, so the
+    * oracle is the plain SQL join. */
+  private def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val salt = 4
+    val ev = U.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salt.toLong)))
+    val dim = U.events(s, d).groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("user_total"))
+      .withColumn("salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    ev.join(broadcast(dim), col("user_id") === col("u") && ev("salt") === dim("salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_totals"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> joinSkewSalted _,
     "join_inner_broadcast" -> joinInnerBroadcast _,
     "join_inner_shuffle" -> joinInnerShuffle _,
     "join_left" -> joinLeft _,
@@ -154,6 +174,12 @@ object Joins {
     "join_interval_overlap" -> joinIntervalOverlap _)
 
   val oracleSql: Map[String, String] = Map(
+    "join_skew_salted" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(user_total) AS BIGINT) AS sum_user_totals FROM events " +
+        "JOIN (SELECT user_id AS u, COUNT(*) AS user_total FROM events " +
+        "GROUP BY user_id) ON user_id = u " +
+        "GROUP BY event_type ORDER BY event_type"),
     "join_inner_broadcast" ->
       ("SELECT p_brand, COUNT(*) AS n, " +
         s"${OSQL.dsum("l_quantity")} AS sum_qty, " +

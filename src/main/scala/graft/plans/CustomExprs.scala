@@ -123,6 +123,38 @@ object SimHash60 {
   }
 }
 
+/** MinHash signature vector in one pass: sig_k = min over the input hashes
+  * of (h*(2k+1) + k*12345+7) mod 1e9+7, for k in [0, nPerm). Replaces
+  * nPerm interpreted transform/array_min scans with one codegen'd loop. */
+case class MinHashSigs(child: Expression, nPerm: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(MinHashSigs.compute(v.asInstanceOf[ArrayData].toLongArray(), nPerm))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.MinHashSigs.compute($c.toLongArray(), $nPerm))")
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
+}
+
+object MinHashSigs {
+  def compute(hs: Array[Long], nPerm: Int): Array[Long] = {
+    val out = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      var k = 0
+      while (k < nPerm) {
+        val v = (hs(i) * (2L * k + 1) + k * 12345L + 7L) % PolyHash.M
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 object CustomExprs {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -132,4 +164,5 @@ object CustomExprs {
   def poly_hash(s: Column, seed: Long): Column = c(PolyHash(e(s), seed))
   def poly_hash_array(s: Column, seed: Long): Column = c(PolyHashArray(e(s), seed))
   def simhash60(hs: Column): Column = c(SimHash60(e(hs)))
+  def minhash_sigs(hs: Column, nPerm: Int): Column = c(MinHashSigs(e(hs), nPerm))
 }

@@ -42,6 +42,8 @@ object StreamingQueries {
   private def stage(s: SparkSession, d: String, doubled: Boolean): String = synchronized {
     val tag = if (doubled) "stream_events_x2" else "stream_events"
     val dir = U.scratch(d, tag)
+    val marker = Paths.get(dir, "_GRAFT_STAGED")
+    if (!prepared.contains(dir) && Files.exists(marker)) prepared += dir
     if (!prepared.contains(dir)) {
       val ev = U.events(s, d)
       val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
@@ -57,6 +59,9 @@ object StreamingQueries {
         ev.filter(unix_micros(col("ts")) >= loB && unix_micros(col("ts")) < hiB)
           .coalesce(1).write.mode("append").parquet(dir)
       }
+      // marker makes the staging reusable across JVMs (Verify, Bench, tests
+      // all replay the same deterministic files with their original mtimes)
+      Files.createFile(marker)
       prepared += dir
     }
     dir
