@@ -21,6 +21,7 @@ object SparkEntry {
       Aggregations.queries ++
       Windows.queries ++
       SetOps.queries ++
+      SqlText.queries ++
       Joins.queries ++
       TimeSeries.queries ++
       graft.functions.ScalarFns.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       Aggregations.oracleSql ++
       Windows.oracleSql ++
       SetOps.oracleSql ++
+      SqlText.oracleSql ++
       Joins.oracleSql ++
       TimeSeries.oracleSql ++
       graft.functions.ScalarFns.oracleSql ++

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text interface (`spark.sql`) over temp views — the other half of the
+  * API surface: the SAME query string runs on Spark and on the DuckDB
+  * oracle, so the dialect-portable subset (ANSI joins, decimal casts,
+  * timestamp literals) is exercised end-to-end through the parser/analyzer
+  * instead of the DataFrame DSL.
+  */
+object SqlText {
+
+  /** TPC-H Q3-style shipping-priority query, dialect-portable. */
+  private val q3 = {
+    val rev = s"CAST(SUM(${OSQL.cents("l_extendedprice")} * " +
+      s"(100 - ${OSQL.cents("l_discount")})) AS DOUBLE) / 10000.0"
+    "SELECT o_orderkey, o_orderdate, o_orderpriority, COUNT(*) AS n_items, " +
+      s"$rev AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+      "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+      "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+  }
+
+  private def sqlQ3(s: SparkSession, d: String): DataFrame = {
+    for (t <- Seq("customer", "orders", "lineitem"))
+      U.tbl(s, d, t).createOrReplaceTempView(t)
+    s.sql(q3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q3_shipping" -> sqlQ3 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "sql_q3_shipping" -> q3)
+}

@@ -112,7 +112,27 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** As-of enrichment applied to the time-series domain (SURVEY §2.8's
+    * `ts_asof_enrich`): every event carries the user's latest prior-or-equal
+    * 'signup' value — same union-tag + running-last shape as join_asof. */
+  private def tsAsofEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        col("value").as("b_value"))
+      .unionByName(ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(DoubleType).as("b_value")))
+    tagged
+      .withColumn("signup_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("signup_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_asof_enrich" -> tsAsofEnrich _,
     "ts_tumbling" -> tsTumbling _,
     "ts_sliding" -> tsSliding _,
     "ts_sessionize" -> tsSessionize _,
@@ -121,6 +141,11 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_asof_enrich" ->
+      ("SELECT e.event_id, e.user_id, e.ts, b.value AS signup_value " +
+        "FROM events e ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, value FROM events WHERE event_type = 'signup') b " +
+        "ON e.user_id = b.user_id AND b.ts <= e.ts ORDER BY e.event_id"),
     "ts_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS wstart, " +
         "date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend, event_type, " +
