@@ -134,7 +134,25 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** KMV distinct sketch (deterministic, mergeable) vs exact distinct —
+    * see [[graft.functions.KmvDistinct]]. The shared polynomial hash makes
+    * the sketch reproducible in the DuckDB oracle, so unlike HLL this
+    * approximate operator still gets the exact hash-compare gate. */
+  private def aggKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvDistinct(64, 1000000007L))
+    U.tbl(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        // poly-hash of a short key string is NOT uniform (bounded by 31^len);
+        // a multiplicative mix spreads it over [0, M) for the KMV estimator
+        pmod(graft.plans.CustomExprs.poly_hash(col("l_partkey").cast(StringType), 13L)
+          * lit(2654435761L), lit(1000000007L)).as("hv"))
+      .groupBy(col("l_returnflag"))
+      .agg(kmv(col("hv")).as("kmv_est"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> aggKmvDistinct _,
     "q1_pricing" -> q1Pricing _,
     "agg_basic" -> aggBasic _,
     "agg_count_distinct" -> aggCountDistinct _,
@@ -182,7 +200,22 @@ object Aggregations {
       "FROM ps ORDER BY l_returnflag"
   }
 
+  private val kmvSql = {
+    // same polynomial hash as the Scala side, over CAST(l_partkey AS VARCHAR)
+    val ph = graft.llm.TextUtil.sqlPolyHash("CAST(l_partkey AS VARCHAR)", 13L)
+    "WITH h AS (SELECT DISTINCT l_returnflag, " +
+      s"($ph * 2654435761) % 1000000007 AS hv FROM lineitem), " +
+      "r AS (SELECT l_returnflag, hv, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt FROM h) " +
+      "SELECT l_returnflag, CAST(CASE WHEN MAX(cnt) < 64 THEN MAX(cnt) " +
+      "ELSE (CAST(63 AS BIGINT) * 1000000007) // MAX(CASE WHEN rn = 64 THEN hv END) END " +
+      "AS BIGINT) AS kmv_est " +
+      "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_kmv_distinct" -> kmvSql,
     "q1_pricing" -> q1Sql,
     "agg_basic" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +

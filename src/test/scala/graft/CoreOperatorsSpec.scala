@@ -26,6 +26,17 @@ class CoreOperatorsSpec extends SparkTestBase {
       s"unexpected non-oracle queries: $nonOracle")
   }
 
+  test("KMV sketch estimate lands near the exact distinct count") {
+    val est = graft.operators.Aggregations.queries("agg_kmv_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kmv_est")).toMap
+    val exact = graft.operators.Aggregations.queries("agg_count_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("nd_part")).toMap
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(est(k) - ex).toDouble / ex
+      assert(err < 0.3, s"flag $k: kmv ${est(k)} vs exact $ex (err $err)")
+    }
+  }
+
   test("as-of join matches latest-at-or-before per key across interleavings") {
     // users A/B interleave; probe at equal ts must match the build row at
     // the SAME ts (<= semantics); user C has no build row at all
