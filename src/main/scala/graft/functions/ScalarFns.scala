@@ -99,7 +99,34 @@ object ScalarFns {
       .orderBy("event_id")
   }
 
+  private def fnBitwise(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").select(
+      col("p_partkey"),
+      expr("p_partkey & 255").as("b_and"),
+      expr("p_partkey | 4096").as("b_or"),
+      expr("p_partkey ^ 1365").as("b_xor"),
+      expr("~p_partkey").as("b_not"),
+      expr("shiftleft(p_partkey, 3)").as("b_shl"),
+      expr("shiftright(p_partkey, 2)").as("b_shr"),
+      expr("CAST(bit_count(p_partkey) AS BIGINT)").as("b_pop"))
+      .orderBy("p_partkey")
+
+  private def fnConditional(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000.0, "big")
+        .when(col("o_totalprice") > 100000.0, "mid")
+        .otherwise("small").as("size_band"),
+      least(col("o_totalprice"), lit(150000.0)).as("capped"),
+      greatest(col("o_totalprice"), lit(1000.0)).as("floored"),
+      nvl2(expr("nullif(o_orderstatus, 'P')"), lit("settled"), lit("pending"))
+        .as("settled_flag"),
+      ifnull(expr("nullif(o_orderstatus, 'P')"), lit("P?")).as("status_or_default"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise _,
+    "fn_conditional" -> fnConditional _,
     "fn_string" -> fnString _,
     "fn_datetime" -> fnDatetime _,
     "fn_math" -> fnMath _,
@@ -107,6 +134,22 @@ object ScalarFns {
     "fn_map_json" -> fnMapJson _)
 
   val oracleSql: Map[String, String] = Map(
+    "fn_bitwise" ->
+      ("SELECT p_partkey, p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, " +
+        "xor(p_partkey, 1365) AS b_xor, ~p_partkey AS b_not, " +
+        "p_partkey << 3 AS b_shl, p_partkey >> 2 AS b_shr, " +
+        "CAST(bit_count(p_partkey) AS BIGINT) AS b_pop " +
+        "FROM part ORDER BY p_partkey"),
+    "fn_conditional" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_totalprice > 200000.0 THEN 'big' " +
+        "WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS size_band, " +
+        "least(o_totalprice, 150000.0) AS capped, " +
+        "greatest(o_totalprice, 1000.0) AS floored, " +
+        "CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'settled' " +
+        "ELSE 'pending' END AS settled_flag, " +
+        "coalesce(nullif(o_orderstatus, 'P'), 'P?') AS status_or_default " +
+        "FROM orders ORDER BY o_orderkey"),
     "fn_string" ->
       ("SELECT p_partkey, " +
         "p_name || ' [' || p_brand || ']' AS labeled, " +

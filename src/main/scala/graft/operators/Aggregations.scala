@@ -121,6 +121,15 @@ object Aggregations {
       .agg(count(lit(1)).as("n"), U.dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE with grouping() flags distinguishing real NULLs from subtotals. */
+  private def aggCube(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Custom typed Aggregator (UDAF) — see [[graft.functions.DecayAvgAggregator]]. */
   private def aggCustomUdaf(s: SparkSession, d: String): DataFrame = {
     val decayAvg = udaf(DecayAvgAggregator)
@@ -153,6 +162,7 @@ object Aggregations {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_kmv_distinct" -> aggKmvDistinct _,
+    "agg_cube" -> aggCube _,
     "q1_pricing" -> q1Pricing _,
     "agg_basic" -> aggBasic _,
     "agg_count_distinct" -> aggCountDistinct _,
@@ -216,6 +226,13 @@ object Aggregations {
 
   val oracleSql: Map[String, String] = Map(
     "agg_kmv_distinct" -> kmvSql,
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        s"${OSQL.dsum("o_totalprice")} AS sum_price, " +
+        "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, " +
+        "CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
     "q1_pricing" -> q1Sql,
     "agg_basic" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
