@@ -131,7 +131,69 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** OHLC downsampling per (user, hour): open/close via min_by/max_by on
+    * the unique (ts) ordering, high/low plain min/max. */
+  private def tsOhlc(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "bucket")
+
+  /** EWMA (alpha=0.2) per user as a LEFT FOLD over the time-ordered value
+    * list, seeded with the first element — exactly DuckDB's list_reduce
+    * semantics, so the double chain is bit-identical on both engines. */
+  private def tsEwma(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("pts"))
+      .select(col("user_id"), size(col("pts")).cast(LongType).as("n"),
+        expr("aggregate(slice(transform(pts, p -> p.value), 2, size(pts) - 1), " +
+          "element_at(transform(pts, p -> p.value), 1), " +
+          "(acc, x) -> 0.2 * x + 0.8 * acc)").as("ewma"))
+      .orderBy("user_id")
+
+  /** Median-absolute-deviation outlier scores per event_type, in exact
+    * cents (dyadic 0.5 quantiles stay exact through interpolation). */
+  private def tsOutlierMad(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val ev = U.events(s, d)
+    val med = ev.groupBy(col("event_type").as("et1"))
+      .agg(percentile(vc, lit(0.5)).as("med_c"))
+    val withMed = ev.join(broadcast(med), col("event_type") === col("et1"))
+      .withColumn("dev", abs(vc - col("med_c")))
+    val mad = withMed.groupBy(col("event_type").as("et2"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_c"))
+    withMed.join(broadcast(mad), col("event_type") === col("et2"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((vc - col("med_c")) / col("mad_c")).as("mad_score"),
+        (abs((vc - col("med_c")) / col("mad_c")) > 3.5).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
+  /** Gap detection: adjacent same-user events more than 2 hours apart. */
+  private def tsGapDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 7200000000L)
+      .select(col("user_id"), col("prev_ts").as("gap_start"), col("ts").as("gap_end"),
+        ((unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast(DoubleType) /
+          lit(1000000.0)).as("gap_seconds"))
+      .orderBy("user_id", "gap_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_downsample_ohlc" -> tsOhlc _,
+    "ts_ewma" -> tsEwma _,
+    "ts_outlier_mad" -> tsOutlierMad _,
+    "ts_gap_detect" -> tsGapDetect _,
     "ts_asof_enrich" -> tsAsofEnrich _,
     "ts_tumbling" -> tsTumbling _,
     "ts_sliding" -> tsSliding _,
@@ -141,6 +203,35 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_downsample_ohlc" ->
+      ("SELECT user_id, date_trunc('hour', ts) AS bucket, " +
+        "arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low, " +
+        "arg_max(value, ts) AS close, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY user_id, bucket"),
+    "ts_ewma" ->
+      ("SELECT user_id, CAST(len(vs) AS BIGINT) AS n, " +
+        "list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma " +
+        "FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vs " +
+        "FROM events GROUP BY user_id) ORDER BY user_id"),
+    "ts_outlier_mad" -> {
+      val vc = OSQL.cents("value")
+      s"WITH med AS (SELECT event_type AS et1, quantile_cont($vc, 0.5) AS med_c " +
+        "FROM events GROUP BY event_type), " +
+        s"dev AS (SELECT event_id, event_type, value, $vc AS c, med_c, " +
+        s"abs($vc - med_c) AS dv FROM events JOIN med ON event_type = et1), " +
+        "mad AS (SELECT event_type AS et2, quantile_cont(dv, 0.5) AS mad_c " +
+        "FROM dev GROUP BY event_type) " +
+        "SELECT event_id, event_type, value, (c - med_c) / mad_c AS mad_score, " +
+        "abs((c - med_c) / mad_c) > 3.5 AS is_outlier " +
+        "FROM dev JOIN mad ON event_type = et2 ORDER BY event_id"
+    },
+    "ts_gap_detect" ->
+      ("SELECT user_id, prev_ts AS gap_start, ts AS gap_end, " +
+        "CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0 AS gap_seconds " +
+        "FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 7200000000 " +
+        "ORDER BY user_id, gap_start"),
     "ts_asof_enrich" ->
       ("SELECT e.event_id, e.user_id, e.ts, b.value AS signup_value " +
         "FROM events e ASOF LEFT JOIN " +
