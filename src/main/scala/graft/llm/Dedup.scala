@@ -29,6 +29,20 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String) = U.tbl(s, d, "documents")
 
+  /** Shared per-(session, sfDir) shingle+hash frame: the Jaccard, MinHash
+    * and SimHash queries all start from it, so the corpus is shingled once
+    * per JVM (codegen'd Shingles3 + PolyHashArray) and served from cache. */
+  private val shingleCache = scala.collection.mutable.Map[(Int, String), DataFrame]()
+  private def shingled(s: SparkSession, d: String): DataFrame = synchronized {
+    shingleCache.getOrElseUpdate((System.identityHashCode(s), d),
+      docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), graft.plans.CustomExprs.shingles3_fast(col("toks")).as("ss"))
+        .filter(size(col("ss")) > 0)
+        .withColumn("hs", graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L))
+        .persist())
+  }
+
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
@@ -42,11 +56,8 @@ object Dedup {
     * every shingle position (interpreted HOFs have no subexpression reuse —
     * this was a 40s/query difference at sf0.1). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles3(col("toks")).as("ss"))
+    val sh = shingled(s, d)
       .select(col("doc_id"), col("ss"), size(col("ss")).cast(LongType).as("n_sh"))
-      .persist() // tiny (one row per doc); both self-join sides read it
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("ss")).as("sg"))
     val a = inv.select(col("doc_id").as("da"), col("n_sh").as("na"), col("sg"))
     val b = inv.select(col("doc_id").as("db"), col("n_sh").as("nb"), col("sg"))
@@ -67,12 +78,7 @@ object Dedup {
     * in, so the banding shuffle never carries arrays. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val nPerm = 16
-    val base = docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles3(col("toks")).as("ss"))
-      .filter(size(col("ss")) > 0)
-      .withColumn("hs", graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L))
-      .persist() // band branches + the two candidate join-backs read it
+    val base = shingled(s, d)
     val signed = base.select(col("doc_id"),
       graft.plans.CustomExprs.minhash_sigs(col("hs"), nPerm).as("sigs"))
     val bands = (0 until 4).map { bIdx =>
@@ -110,12 +116,7 @@ object Dedup {
     * On a high-diversity corpus (where bands actually prune), reinstate
     * 4x15-bit banding — pigeonhole keeps exact recall for hamming<=3. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles3(col("toks")).as("ss"))
-      .select(col("doc_id"),
-        graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L).as("hs"))
-      .filter(size(col("hs")) > 0)
+    val sh = shingled(s, d)
       .withColumn("simhash", graft.plans.CustomExprs.simhash60(col("hs")))
       .select(col("doc_id"), col("simhash"))
       .persist() // both pairwise sides read it

@@ -123,6 +123,34 @@ object SimHash60 {
   }
 }
 
+/** Distinct word-3-gram shingles ("a_b_c") of a token array in one codegen
+  * pass — semantics identical to
+  * array_distinct(transform(sequence..., concat_ws("_", ...))) but without
+  * the per-position interpreted lambda cost. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Shingles3.compute(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Shingles3.compute($c)")
+  override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
+}
+
+object Shingles3 {
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < n - 2) {
+      seen.add(UTF8String.concatWs(UTF8String.fromString("_"),
+        toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+}
+
 /** MinHash signature vector in one pass: sig_k = min over the input hashes
   * of (h*(2k+1) + k*12345+7) mod 1e9+7, for k in [0, nPerm). Replaces
   * nPerm interpreted transform/array_min scans with one codegen'd loop. */
@@ -165,4 +193,5 @@ object CustomExprs {
   def poly_hash_array(s: Column, seed: Long): Column = c(PolyHashArray(e(s), seed))
   def simhash60(hs: Column): Column = c(SimHash60(e(hs)))
   def minhash_sigs(hs: Column, nPerm: Int): Column = c(MinHashSigs(e(hs), nPerm))
+  def shingles3_fast(toks: Column): Column = c(Shingles3(e(toks)))
 }

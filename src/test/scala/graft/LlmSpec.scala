@@ -96,6 +96,14 @@ class LlmSpec extends SparkTestBase {
     assert(r.getAs[Long]("ph") == r.getAs[Long]("ph_hof"))
     assert(r.getAs[scala.collection.Seq[Long]]("pha").toList ==
       r.getAs[scala.collection.Seq[Long]]("pha_hof").toList)
+    val sh = Seq("a b c d b c d e").toDF("t")
+      .select(split(col("t"), " ").as("toks"))
+      .select(CustomExprs.shingles3_fast(col("toks")).as("fast"),
+        graft.llm.TextUtil.shingles3(col("toks")).as("slow")).head()
+    assert(sh.getAs[scala.collection.Seq[String]]("fast").toList ==
+      sh.getAs[scala.collection.Seq[String]]("slow").toList)
+    assert(sh.getAs[scala.collection.Seq[String]]("fast").toList ==
+      List("a_b_c", "b_c_d", "c_d_b", "d_b_c", "c_d_e"))
   }
 
   test("simhash60 of identical hash-sets is identical; disjoint sets differ") {
