@@ -160,8 +160,22 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** PIVOT: per-user event counts spread into one column per event type
+    * (explicit value list keeps the output schema static — at scale an
+    * inferred pivot would need an extra distinct pass). */
+  private def aggPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    U.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_kmv_distinct" -> aggKmvDistinct _,
+    "agg_pivot" -> aggPivot _,
     "agg_cube" -> aggCube _,
     "q1_pricing" -> q1Pricing _,
     "agg_basic" -> aggBasic _,
@@ -226,6 +240,12 @@ object Aggregations {
 
   val oracleSql: Map[String, String] = Map(
     "agg_kmv_distinct" -> kmvSql,
+    "agg_pivot" ->
+      ("SELECT user_id, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id"),
     "agg_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
         s"${OSQL.dsum("o_totalprice")} AS sum_price, " +

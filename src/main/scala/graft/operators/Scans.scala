@@ -46,6 +46,22 @@ object Scans {
     s.read.schema(regionSchema).json(path).orderBy("r_regionkey")
   }
 
+  /** ORC round-trip (DuckDB can't read ORC, so the oracle compares against
+    * the original table — same pattern as the CSV/JSON scans). */
+  private def scanOrc(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "orc_supplier")
+    U.tbl(s, d, "supplier").coalesce(1).write.mode("overwrite").orc(path)
+    s.read.orc(path).orderBy("s_suppkey")
+  }
+
+  /** Line-oriented text source: one document text per line. */
+  private def scanText(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "text_docs")
+    U.tbl(s, d, "documents").select(col("text")).coalesce(1)
+      .write.mode("overwrite").text(path)
+    s.read.text(path).select(col("value").as("text")).orderBy("text")
+  }
+
   private def sinkParquet(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_orders")
     U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
@@ -72,6 +88,8 @@ object Scans {
     "scan_events" -> scanEvents _,
     "scan_csv" -> scanCsv _,
     "scan_json" -> scanJson _,
+    "scan_orc" -> scanOrc _,
+    "scan_text" -> scanText _,
     "sink_parquet" -> sinkParquet _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -80,6 +98,8 @@ object Scans {
     "scan_events" -> "SELECT * FROM events ORDER BY event_id",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "scan_text" -> "SELECT text FROM documents ORDER BY text",
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_partitioned" ->

@@ -63,7 +63,16 @@ object SetOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** UNPIVOT/melt: wide money columns to (metric, val) long form. */
+  private def setUnpivot(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_unpivot" -> setUnpivot _,
     "sort_multi" -> sortMulti _,
     "limit_topk" -> limitTopk _,
     "set_union" -> setUnion _,
@@ -72,6 +81,13 @@ object SetOps {
     "distinct_drop" -> distinctDrop _)
 
   val oracleSql: Map[String, String] = Map(
+    "set_unpivot" ->
+      ("SELECT * FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, " +
+        "l_extendedprice AS val FROM lineitem UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber, metric, val"),
     "sort_multi" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
         "ORDER BY o_orderstatus DESC, o_totalprice ASC, o_orderkey ASC"),

@@ -76,7 +76,19 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** nth_value + lag-with-default over the full partition frame. */
+  private def winNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    U.events(s, d).select(
+      col("user_id"), col("event_id"), col("value"),
+      nth_value(col("value"), 3).over(full).as("third_value"),
+      lag(col("value"), 2, -1.0).over(w).as("lag2_or_default"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_nth" -> winNth _,
     "win_rank" -> winRank _,
     "win_analytic" -> winAnalytic _,
     "win_frame_rows" -> winFrameRows _,
@@ -84,6 +96,12 @@ object Windows {
     "win_topk_group" -> winTopkGroup _)
 
   val oracleSql: Map[String, String] = Map(
+    "win_nth" ->
+      ("SELECT user_id, event_id, value, " +
+        "nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_value, " +
+        "lag(value, 2, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS lag2_or_default FROM events ORDER BY event_id"),
     "win_rank" ->
       ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
         "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, " +

@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan regression guards (SURVEY.md §4): these assert the plan
+  * SHAPES the 100 TB posture depends on — filters reaching the parquet
+  * scan, dims broadcast instead of shuffled, top-k avoiding a global sort,
+  * and the as-of join staying a single sort+window. A change that silently
+  * regresses one of these would still pass the value-level oracle. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("join_inner_broadcast builds a broadcast hash join on the dim") {
+    val p = plan("join_inner_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no BHJ:\n$p")
+  }
+
+  test("join_range keeps the equi key as the join key, range as condition") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"range join degenerated to nested loop:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("limit_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("join_asof is a single union + one window sort, no join operator") {
+    val p = plan("join_asof")
+    assert(p.contains("Union"), s"missing union:\n$p")
+    assert(p.contains("Window"), s"missing window:\n$p")
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+  }
+
+  test("scan column pruning: project_compute reads only the needed columns") {
+    val p = plan("project_compute")
+    assert(p.contains("ReadSchema"), s"no read schema:\n$p")
+    assert(!p.contains("l_returnflag"), s"unpruned column in scan:\n$p")
+  }
+}
