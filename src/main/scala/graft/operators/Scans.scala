@@ -62,6 +62,13 @@ object Scans {
     s.read.text(path).select(col("value").as("text")).orderBy("text")
   }
 
+  /** Generator source: spark.range — parallel, no input files at all. */
+  private def scanRange(s: SparkSession, d: String): DataFrame =
+    s.range(0, 1000)
+      .select(col("id"), (col("id") * col("id")).as("id_sq"),
+        pmod(col("id"), lit(7L)).as("id_mod7"))
+      .orderBy("id")
+
   private def sinkParquet(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_orders")
     U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
@@ -90,6 +97,7 @@ object Scans {
     "scan_json" -> scanJson _,
     "scan_orc" -> scanOrc _,
     "scan_text" -> scanText _,
+    "scan_range" -> scanRange _,
     "sink_parquet" -> sinkParquet _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -100,6 +108,9 @@ object Scans {
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
     "scan_text" -> "SELECT text FROM documents ORDER BY text",
+    "scan_range" ->
+      ("SELECT range AS id, range * range AS id_sq, range % 7 AS id_mod7 " +
+        "FROM range(0, 1000) ORDER BY id"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_partitioned" ->

@@ -32,9 +32,26 @@ object SqlText {
     s.sql(q3)
   }
 
+  /** Correlated scalar + EXISTS subqueries — exercises Catalyst's
+    * decorrelation rewrites (RewriteCorrelatedScalarSubquery) through the
+    * SQL parser; same text runs on the oracle. */
+  private val corr =
+    "SELECT c_custkey, c_mktsegment, " +
+      "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders, " +
+      "EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_totalprice > 300000.0) AS has_big_order " +
+      "FROM customer ORDER BY c_custkey"
+
+  private def sqlCorr(s: SparkSession, d: String): DataFrame = {
+    for (t <- Seq("customer", "orders")) U.tbl(s, d, t).createOrReplaceTempView(t)
+    s.sql(corr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_q3_shipping" -> sqlQ3 _)
+    "sql_q3_shipping" -> sqlQ3 _,
+    "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
-    "sql_q3_shipping" -> q3)
+    "sql_q3_shipping" -> q3,
+    "sql_corr_subquery" -> corr)
 }

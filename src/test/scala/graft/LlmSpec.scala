@@ -57,6 +57,16 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("extensions reject a non-literal hash seed with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_poly_hash('ab', doc_id) FROM VALUES (1L) t(doc_id)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal integer seed") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal integer seed")),
+      s"unhelpful error: ${e.getMessage}")
+  }
+
   test("extensions register the custom expressions as SQL functions") {
     val r = spark.sql(
       "SELECT graft_poly_hash('ab', 7) AS h, " +
