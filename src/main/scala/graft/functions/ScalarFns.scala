@@ -124,7 +124,28 @@ object ScalarFns {
       ifnull(expr("nullif(o_orderstatus, 'P')"), lit("P?")).as("status_or_default"))
       .orderBy("o_orderkey")
 
+  private def fnEncoding(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").select(
+      col("p_partkey"),
+      base64(encode(col("p_name"), "UTF-8")).as("name_b64"),
+      decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8")
+        .as("roundtrip"),
+      // DuckDB hex() is lowercase, Spark's uppercase — normalize here
+      lower(hex(encode(col("p_name"), "UTF-8"))).as("name_hex"),
+      md5(encode(col("p_name"), "UTF-8")).as("name_md5"))
+      .orderBy("p_partkey")
+
+  private def fnStruct(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").select(
+      col("p_partkey"),
+      struct(col("p_brand").as("brand"), col("p_size").as("size")).as("meta"),
+      struct(col("p_brand").as("brand"), col("p_size").as("size"))
+        .getField("size").as("meta_size"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_encoding" -> fnEncoding _,
+    "fn_struct" -> fnStruct _,
     "fn_bitwise" -> fnBitwise _,
     "fn_conditional" -> fnConditional _,
     "fn_string" -> fnString _,
@@ -134,6 +155,15 @@ object ScalarFns {
     "fn_map_json" -> fnMapJson _)
 
   val oracleSql: Map[String, String] = Map(
+    "fn_encoding" ->
+      ("SELECT p_partkey, to_base64(encode(p_name)) AS name_b64, " +
+        "decode(from_base64(to_base64(encode(p_name)))) AS roundtrip, " +
+        "lower(hex(p_name)) AS name_hex, md5(p_name) AS name_md5 " +
+        "FROM part ORDER BY p_partkey"),
+    "fn_struct" ->
+      ("SELECT p_partkey, " +
+        "struct_pack(brand := p_brand, size := p_size) AS meta, " +
+        "p_size AS meta_size FROM part ORDER BY p_partkey"),
     "fn_bitwise" ->
       ("SELECT p_partkey, p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, " +
         "xor(p_partkey, 1365) AS b_xor, ~p_partkey AS b_not, " +

@@ -62,6 +62,16 @@ object Scans {
     s.read.text(path).select(col("value").as("text")).orderBy("text")
   }
 
+  /** XML round-trip (native XML datasource, new in Spark 4). */
+  private def scanXml(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "xml_region")
+    U.tbl(s, d, "region").coalesce(1).write.mode("overwrite")
+      .option("rootTag", "regions").option("rowTag", "region")
+      .format("xml").save(path)
+    s.read.schema(regionSchema).option("rowTag", "region").format("xml").load(path)
+      .orderBy("r_regionkey")
+  }
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -98,6 +108,7 @@ object Scans {
     "scan_orc" -> scanOrc _,
     "scan_text" -> scanText _,
     "scan_range" -> scanRange _,
+    "scan_xml" -> scanXml _,
     "sink_parquet" -> sinkParquet _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -111,6 +122,7 @@ object Scans {
     "scan_range" ->
       ("SELECT range AS id, range * range AS id_sq, range % 7 AS id_mod7 " +
         "FROM range(0, 1000) ORDER BY id"),
+    "scan_xml" -> "SELECT * FROM region ORDER BY r_regionkey",
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_partitioned" ->

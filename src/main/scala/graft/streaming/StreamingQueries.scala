@@ -163,7 +163,28 @@ object StreamingQueries {
     }.orderBy("event_id")
   }
 
+  /** Checkpointed parquet file sink: the streaming transform lands in
+    * exactly-once parquet output (checkpoint dir tracks committed batches);
+    * result = the full replay, so the oracle is plain SELECT *. */
+  private def parquetSink(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(s, d, doubled = false)
+    val outDir = U.scratch(d, "stream_pq_out")
+    val ckDir = U.scratch(d, "stream_pq_ck")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
+    val schema = s.read.parquet(dir).schema
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(dir)
+      .withColumn("value_cents", graft.U.cents(col("value")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
     "stream_sliding" -> slidingComplete _,
     "stream_session" -> sessionWindows _,
@@ -172,6 +193,9 @@ object StreamingQueries {
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_parquet_sink" ->
+      (s"SELECT *, ${OSQL.cents("value")} AS value_cents FROM events " +
+        "ORDER BY event_id"),
     "stream_sliding" ->
       ("SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - j * 900) " +
         "* 1000000 AS BIGINT)) AS wstart, " +
