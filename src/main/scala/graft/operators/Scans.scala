@@ -100,7 +100,23 @@ object Scans {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
+  /** Partition-pruned read over the partitioned layout: the dt filter is a
+    * PartitionFilter (directory-level skip — the 100 TB reason to partition
+    * at all), asserted in PlanSpec. Self-contained: writes the layout first. */
+  private def scanPartitionPruned(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_li_part")
+    U.tbl(s, d, "lineitem")
+      .withColumn("dt", concat(lit("y"), year(col("l_shipdate")).cast(StringType)))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    s.read.parquet(path)
+      .filter(col("dt") === "y1998")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partition_pruned" -> scanPartitionPruned _,
     "scan_parquet" -> scanParquet _,
     "scan_events" -> scanEvents _,
     "scan_csv" -> scanCsv _,
@@ -113,6 +129,11 @@ object Scans {
     "sink_partitioned" -> sinkPartitioned _)
 
   val oracleSql: Map[String, String] = Map(
+    "scan_partition_pruned" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        s"CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE 'y' || strftime(l_shipdate, '%Y') = 'y1998' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
     "scan_events" -> "SELECT * FROM events ORDER BY event_id",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",

@@ -40,6 +40,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
   }
 
+  test("scan_partition_pruned filters at the directory level") {
+    val p = plan("scan_partition_pruned")
+    assert(p.contains("PartitionFilters") && p.contains("dt"),
+      s"dt filter did not become a partition filter:\n$p")
+  }
+
   test("scan column pruning: project_compute reads only the needed columns") {
     val p = plan("project_compute")
     assert(p.contains("ReadSchema"), s"no read schema:\n$p")
