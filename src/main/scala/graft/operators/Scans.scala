@@ -86,14 +86,26 @@ object Scans {
     s.read.parquet(path).orderBy("o_orderkey")
   }
 
-  /** Partitioned write — the 100 TB layout posture: partition by a derived
+  /** Partitioned layout writer — the 100 TB posture: partition by a derived
     * date bucket so downstream scans prune. Partition value is prefixed
-    * ("y1995") to keep partition-column type inference at StringType. */
+    * ("y1995") to keep partition-column type inference at StringType.
+    * Write-once per (JVM, sfDir): both partitioned-layout queries read it,
+    * and the rewrite is the most expensive scratch write in the suite. */
+  private val partitionedWritten = scala.collection.mutable.Set[String]()
+  private def writePartitionedLineitem(s: SparkSession, d: String): String =
+    synchronized {
+      val path = U.scratch(d, "sink_li_part")
+      if (!partitionedWritten.contains(path)) {
+        U.tbl(s, d, "lineitem")
+          .withColumn("dt", concat(lit("y"), year(col("l_shipdate")).cast(StringType)))
+          .write.mode("overwrite").partitionBy("dt").parquet(path)
+        partitionedWritten += path
+      }
+      path
+    }
+
   private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
-    val path = U.scratch(d, "sink_li_part")
-    U.tbl(s, d, "lineitem")
-      .withColumn("dt", concat(lit("y"), year(col("l_shipdate")).cast(StringType)))
-      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    val path = writePartitionedLineitem(s, d)
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixtures —
     // sort on the full unique key or the partitioned read scrambles ties.
     s.read.parquet(path)
@@ -104,10 +116,7 @@ object Scans {
     * PartitionFilter (directory-level skip — the 100 TB reason to partition
     * at all), asserted in PlanSpec. Self-contained: writes the layout first. */
   private def scanPartitionPruned(s: SparkSession, d: String): DataFrame = {
-    val path = U.scratch(d, "sink_li_part")
-    U.tbl(s, d, "lineitem")
-      .withColumn("dt", concat(lit("y"), year(col("l_shipdate")).cast(StringType)))
-      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    val path = writePartitionedLineitem(s, d)
     s.read.parquet(path)
       .filter(col("dt") === "y1998")
       .groupBy(col("l_returnflag"))
@@ -131,7 +140,7 @@ object Scans {
   val oracleSql: Map[String, String] = Map(
     "scan_partition_pruned" ->
       ("SELECT l_returnflag, COUNT(*) AS n, " +
-        s"CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        s"${graft.OSQL.dsum("l_quantity")} AS sum_qty " +
         "FROM lineitem WHERE 'y' || strftime(l_shipdate, '%Y') = 'y1998' " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",

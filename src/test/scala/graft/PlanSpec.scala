@@ -42,7 +42,9 @@ class PlanSpec extends SparkTestBase {
 
   test("scan_partition_pruned filters at the directory level") {
     val p = plan("scan_partition_pruned")
-    assert(p.contains("PartitionFilters") && p.contains("dt"),
+    // the dt predicate must be INSIDE the PartitionFilters bracket — a bare
+    // contains() would pass on 'PartitionFilters: []' plus a post-scan Filter
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(p).isDefined,
       s"dt filter did not become a partition filter:\n$p")
   }
 
