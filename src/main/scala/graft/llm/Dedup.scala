@@ -18,9 +18,9 @@ import org.apache.spark.sql.types._
   *  - `dedup_minhash`: MinHash signatures (16 perms) + LSH banding (4x4) →
   *    candidates → exact-Jaccard verify. Probabilistic recall => no SQL
   *    oracle (rows-only gate); MinhashSpec asserts it against dedup_jaccard.
-  *  - `dedup_simhash`: 60-bit SimHash + 4x15-bit band blocking for
-  *    hamming <= 3 pairs. Pigeonhole: <=3 differing bits can't hit all 4
-  *    bands, so banding has exact recall => oracle-able vs the O(n^2) SQL.
+  *  - `dedup_simhash`: 60-bit SimHash + direct pairwise popcount for
+  *    hamming <= 3 pairs (band blocking degenerates on this corpus — see
+  *    the method comment for the measurement) => oracle-able exactly.
   *
   * All hashes are the shared polynomial hash (TextUtil) — integer
   * arithmetic reproducible in DuckDB, unlike engine-native murmur3.
@@ -32,15 +32,23 @@ object Dedup {
   /** Shared per-(session, sfDir) shingle+hash frame: the Jaccard, MinHash
     * and SimHash queries all start from it, so the corpus is shingled once
     * per JVM (codegen'd Shingles3 + PolyHashArray) and served from cache. */
-  private val shingleCache = scala.collection.mutable.Map[(Int, String), DataFrame]()
+  private val shingleCache =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
   private def shingled(s: SparkSession, d: String): DataFrame = synchronized {
-    shingleCache.getOrElseUpdate((System.identityHashCode(s), d),
-      docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), graft.plans.CustomExprs.shingles3_fast(col("toks")).as("ss"))
-        .filter(size(col("ss")) > 0)
-        .withColumn("hs", graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L))
-        .persist())
+    shingleCache.get(d) match {
+      // reference-compare the session: a cached frame bound to a stopped
+      // session must be rebuilt, and stale entries must not accumulate
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val df = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), graft.plans.CustomExprs.shingles3_fast(col("toks")).as("ss"))
+          .filter(size(col("ss")) > 0)
+          .withColumn("hs", graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L))
+          .persist()
+        shingleCache(d) = (s, df)
+        df
+    }
   }
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -142,7 +150,7 @@ object Dedup {
       s"list_transform($sh, t -> $ph) AS hl FROM documents " +
       s"WHERE len($sh) > 0), " +
       "sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b -> " +
-      "CASE WHEN CAST(list_sum(list_transform(hl, h -> ((h >> b) & 1) * 2 - 1)) AS BIGINT) > 0 " +
+      "CASE WHEN CAST(list_sum(list_transform(hl, h -> (((h * 2654435761) >> b) & 1) * 2 - 1)) AS BIGINT) > 0 " +
       "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash " +
       "FROM hs) " +
       "SELECT a.doc_id AS da, b.doc_id AS db, " +

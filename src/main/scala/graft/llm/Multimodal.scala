@@ -64,10 +64,14 @@ object Multimodal {
       ("SELECT doc_id, encode(text) AS payload, 'text/plain' AS mime, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "sha256(text) AS digest FROM documents ORDER BY doc_id"),
+    // NOTE: the oracle folds per-character code points while the Scala
+    // decode folds UTF-8 bytes — identical for the all-ASCII fixtures; a
+    // non-ASCII corpus would need a byte-level oracle.
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
-        "CAST(list_sum(list_transform(range(1, length(text) + 1), " +
-        "i -> CAST(ascii(text[CAST(i AS INTEGER)]) AS BIGINT))) AS BIGINT) AS checksum " +
+        "CAST(CASE WHEN length(text) = 0 THEN -1 " +
+        "ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_byte, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), " +
+        "i -> CAST(ascii(text[CAST(i AS INTEGER)]) AS BIGINT))), 0) AS BIGINT) AS checksum " +
         "FROM documents ORDER BY doc_id"))
 }

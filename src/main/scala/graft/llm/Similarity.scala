@@ -19,9 +19,10 @@ import org.apache.spark.sql.types._
   *    (vec_id < 10). Broadcast the queries; one pass over the corpus.
   *  - `dedup_embedding`: all pairs with cosine >= 0.4 (embedding near-dup).
   *    O(n^2) here; the 100 TB path is the LSH prefilter below.
-  *  - `sim_lsh_ann`: random-hyperplane LSH (16 deterministic planes →
-  *    16-bit bucket) + exact rerank inside the bucket. Approximate => no SQL
-  *    oracle; LshSpec measures recall against brute force.
+  *  - `sim_lsh_ann`: random-hyperplane LSH (8 deterministic planes →
+  *    256 buckets, hamming-1 multiprobe) + exact rerank inside the probed
+  *    buckets. Approximate => no SQL oracle; LlmSpec measures recall
+  *    against brute force.
   */
 object Similarity {
 
@@ -142,7 +143,12 @@ object Similarity {
         .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("cfx"))
     var cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("fx").as("cfx"))
-    for (_ <- 0 until 2) { cent = recenter(assign(cent)).persist() }
+    for (_ <- 0 until 2) {
+      val next = recenter(assign(cent)).persist()
+      next.count() // materialize before releasing the superseded centroids
+      cent.unpersist()
+      cent = next
+    }
     val assigned = assign(cent).persist()
     // queries probe their 2 nearest centroids
     val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))

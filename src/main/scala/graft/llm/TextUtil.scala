@@ -19,10 +19,14 @@ object TextUtil {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Polynomial rolling hash of a string column: fold (acc*31 + code) mod M. */
+  /** Polynomial rolling hash of a string column: fold (acc*31 + code) mod M.
+    * Empty strings short-circuit to the seed — Spark's sequence(1, 0) counts
+    * DOWN, which would otherwise fold twice (diverging from sqlPolyHash and
+    * the codegen'd PolyHash, which both return the seed). */
   def polyHash(t: Column, seed: Long): Column =
-    aggregate(sequence(lit(1), length(t)), lit(seed),
-      (acc, i) => pmod(acc * lit(31L) + ascii(t.substr(i, lit(1))), lit(M)))
+    when(length(t) === 0, lit(seed)).otherwise(
+      aggregate(sequence(lit(1), length(t)), lit(seed),
+        (acc, i) => pmod(acc * lit(31L) + ascii(t.substr(i, lit(1))), lit(M))))
 
   /** Distinct word 3-gram shingles joined with '_'. Guarded: Spark's
     * sequence(1, 0) counts DOWN, so short docs need the explicit empty. */

@@ -35,12 +35,18 @@ case class FixedDot(left: Expression, right: Expression)
     s
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |long acc = 0L;
-      |for (int i = 0; i < n; i++) { acc += $a.getLong(i) * $b.getLong(i); }
-      |${ev.value} = acc;
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two FixedDots in one flat codegen scope must not collide
+      val n = ctx.freshName("fdN")
+      val acc = ctx.freshName("fdAcc")
+      val i = ctx.freshName("fdI")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |long $acc = 0L;
+      |for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
+      |${ev.value} = $acc;
+      |""".stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedDot =
     copy(left = l, right = r)
 }
@@ -83,14 +89,19 @@ case class PolyHashArray(child: Expression, seed: Long) extends UnaryExpression 
     new GenericArrayData(out)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      |int n = $c.numElements();
-      |long[] out = new long[n];
-      |for (int i = 0; i < n; i++) {
-      |  out[i] = graft.plans.PolyHash.hashBytes($c.getUTF8String(i).getBytes(), ${seed}L);
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("phaN")
+      val out = ctx.freshName("phaOut")
+      val i = ctx.freshName("phaI")
+      s"""
+      |int $n = $c.numElements();
+      |long[] $out = new long[$n];
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $out[$i] = graft.plans.PolyHash.hashBytes($c.getUTF8String($i).getBytes(), ${seed}L);
       |}
-      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
-      |""".stripMargin)
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      |""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): PolyHashArray = copy(child = c)
 }
 
@@ -109,13 +120,17 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 object SimHash60 {
+  /** Knuth multiplicative spread: raw poly-hashes are mod 1e9+7 < 2^30, so
+    * voting their bits directly would leave bits 30..59 permanently zero —
+    * a 30-bit simhash in 60-bit clothing. Mirrored in the oracle SQL. */
+  final val Mix = 2654435761L
   def compute(hs: Array[Long]): Long = {
     var out = 0L
     var b = 0
     while (b < 60) {
       var acc = 0L
       var i = 0
-      while (i < hs.length) { acc += ((hs(i) >> b) & 1L) * 2L - 1L; i += 1 }
+      while (i < hs.length) { acc += (((hs(i) * Mix) >> b) & 1L) * 2L - 1L; i += 1 }
       if (acc > 0) out |= (1L << b)
       b += 1
     }

@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (args: Seq[Expression]) => SimHash60(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
+      (args: Seq[Expression]) =>
+        MinHashSigs(args(0), longLit(args(1), "graft_minhash_sigs").toInt)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles3"),
+      (args: Seq[Expression]) => Shingles3(args(0))))
   }
 }

@@ -67,15 +67,21 @@ object StreamingQueries {
     dir
   }
 
-  /** Run a streaming transform of the staged events to completion, return
-    * the memory-sink table. */
-  private def runStream(s: SparkSession, d: String, mode: String,
-      doubled: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
+  /** Shared streaming source over the staged replay — single definition so
+    * every query (memory- or file-sinked) gets identical micro-batching. */
+  private def stagedSource(s: SparkSession, d: String, doubled: Boolean): DataFrame = {
     val dir = stage(s, d, doubled)
     val schema = s.read.parquet(dir).schema
     // 2 files/batch: still multi-batch (watermark advances across batches)
     // at half the per-batch scheduling overhead
-    val in = s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(dir)
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(dir)
+  }
+
+  /** Run a streaming transform of the staged events to completion, return
+    * the memory-sink table. */
+  private def runStream(s: SparkSession, d: String, mode: String,
+      doubled: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
+    val in = stagedSource(s, d, doubled)
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val q = build(in).writeStream.outputMode(mode)
       .format("memory").queryName(name)
@@ -167,14 +173,12 @@ object StreamingQueries {
     * exactly-once parquet output (checkpoint dir tracks committed batches);
     * result = the full replay, so the oracle is plain SELECT *. */
   private def parquetSink(s: SparkSession, d: String): DataFrame = {
-    val dir = stage(s, d, doubled = false)
     val outDir = U.scratch(d, "stream_pq_out")
     val ckDir = U.scratch(d, "stream_pq_ck")
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
-    val schema = s.read.parquet(dir).schema
-    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(dir)
+    val q = stagedSource(s, d, doubled = false)
       .withColumn("value_cents", graft.U.cents(col("value")))
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckDir)
