@@ -37,6 +37,13 @@ object U {
   def davg(c: Column): Column =
     sum(cents(c)).cast(DoubleType) / (lit(100.0) * count(c))
 
+  /** Sample covariance from exact cents power sums — THE one definition of
+    * the fragile double-op tree (variance = covPowerSums(sxx, sx, sx, nd));
+    * the driver's hash gate requires this tree to match OSQL.covPowerSums
+    * operation-for-operation, so never inline a copy. */
+  def covPowerSums(sxy: Column, sx: Column, sy: Column, nd: Column): Column =
+    (sxy / lit(10000.0) - (sx / lit(100.0)) * (sy / lit(100.0)) / nd) / (nd - lit(1.0))
+
   /** Scratch dir for sink/roundtrip operators; deterministic per (sfDir, tag). */
   def scratch(sfDir: String, tag: String): String =
     s"/tmp/graft_scratch/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
@@ -51,4 +58,6 @@ object OSQL {
   def cents(x: String): String = s"CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT)"
   def davg(x: String): String =
     s"CAST(SUM(${cents(x)}) AS DOUBLE) / (100.0 * COUNT($x))"
+  def covPowerSums(sxy: String, sx: String, sy: String, nd: String): String =
+    s"($sxy / 10000.0 - ($sx / 100.0) * ($sy / 100.0) / $nd) / ($nd - 1.0)"
 }

@@ -45,12 +45,15 @@ class KmvDistinct(k: Int, m: Long) extends Aggregator[Long, KmvBuf, Long] {
     val x = a.hs; val y = b.hs
     val out = new Array[Long](math.min(k, x.length + y.length))
     var i = 0; var j = 0; var n = 0
-    var last = Long.MinValue
+    // explicit first-element flag: a Long.MinValue sentinel would silently
+    // drop a legitimate leading Long.MinValue hash under a full-range hash
+    var hasLast = false
+    var last = 0L
     while (n < out.length && (i < x.length || j < y.length)) {
       val v =
         if (j >= y.length || (i < x.length && x(i) <= y(j))) { val t = x(i); i += 1; t }
         else { val t = y(j); j += 1; t }
-      if (v != last) { out(n) = v; n = n + 1; last = v }
+      if (!hasLast || v != last) { out(n) = v; n = n + 1; last = v; hasLast = true }
     }
     KmvBuf(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
   }

@@ -83,9 +83,9 @@ object Aggregations {
       sum(yc.cast(dec) * yc.cast(dec)).cast(DoubleType).as("syy"),
       sum(xc.cast(dec) * yc.cast(dec)).cast(DoubleType).as("sxy"))
     val nd = col("nd"); val sx = col("sx"); val sy = col("sy")
-    val varX = (col("sxx") / lit(10000.0) - (sx / lit(100.0)) * (sx / lit(100.0)) / nd) / (nd - lit(1.0))
-    val varY = (col("syy") / lit(10000.0) - (sy / lit(100.0)) * (sy / lit(100.0)) / nd) / (nd - lit(1.0))
-    val cov = (col("sxy") / lit(10000.0) - (sx / lit(100.0)) * (sy / lit(100.0)) / nd) / (nd - lit(1.0))
+    val varX = U.covPowerSums(col("sxx"), sx, sx, nd)
+    val varY = U.covPowerSums(col("syy"), sy, sy, nd)
+    val cov = U.covPowerSums(col("sxy"), sx, sy, nd)
     li.select(col("l_returnflag"),
       (sx / (lit(100.0) * nd)).as("mean_qty"),
       varX.as("var_qty"), sqrt(varX).as("std_qty"),
@@ -214,13 +214,13 @@ object Aggregations {
       s"CAST(SUM($xc * $yc) AS DOUBLE) AS sxy " +
       "FROM lineitem GROUP BY l_returnflag) " +
       "SELECT l_returnflag, sx / (100.0 * nd) AS mean_qty, " +
-      "(sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0) AS var_qty, " +
-      "sqrt((sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)) AS std_qty, " +
-      "(syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / nd) / (nd - 1.0) AS var_price, " +
-      "sqrt((syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / nd) / (nd - 1.0)) AS std_price, " +
-      "((sxy / 10000.0 - (sx / 100.0) * (sy / 100.0) / nd) / (nd - 1.0)) / " +
-      "(sqrt((sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)) * " +
-      "sqrt((syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / nd) / (nd - 1.0))) AS corr_qty_price " +
+      s"${OSQL.covPowerSums("sxx", "sx", "sx", "nd")} AS var_qty, " +
+      s"sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) AS std_qty, " +
+      s"${OSQL.covPowerSums("syy", "sy", "sy", "nd")} AS var_price, " +
+      s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")}) AS std_price, " +
+      s"(${OSQL.covPowerSums("sxy", "sx", "sy", "nd")}) / " +
+      s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
+      s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) AS corr_qty_price " +
       "FROM ps ORDER BY l_returnflag"
   }
 

@@ -102,17 +102,21 @@ object Joins {
     val ev = U.events(s, d)
     val probe = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // build rows keep their event_id purely as a window tie-break: two
+    // build rows at an identical (user, ts) would otherwise make the
+    // running-last pick shuffle-order-dependent (the fixtures are
+    // (user_id, ts)-unique, but determinism shouldn't rely on it)
     val build = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val tagged = build
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        lit(null).cast(LongType).as("event_id"),
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
         col("ts").as("b_ts"), col("value").as("b_value"))
       .unionByName(probe.select(col("user_id"), col("ts"), lit(1).as("side"),
         col("event_id"), lit(null).cast(TimestampType).as("b_ts"),
         lit(null).cast(DoubleType).as("b_value")))
     // build rows sort before probe rows at equal ts => "<=" as-of semantics
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof_ts", last(col("b_ts"), ignoreNulls = true).over(w))

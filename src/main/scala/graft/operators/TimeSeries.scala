@@ -100,9 +100,7 @@ object TimeSeries {
       sum(vc).cast(DoubleType).as("sx"),
       sum(vc * vc).cast(DoubleType).as("sxx"))
     val mean = col("sx") / (lit(100.0) * col("nd"))
-    val variance = (col("sxx") / lit(10000.0) -
-      (col("sx") / lit(100.0)) * (col("sx") / lit(100.0)) / col("nd")) /
-      (col("nd") - lit(1.0))
+    val variance = U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))
     val enriched = stats.select(col("et"), mean.as("mean_v"), sqrt(variance).as("std_v"))
     U.events(s, d)
       .join(broadcast(enriched), col("event_type") === col("et"))
@@ -132,7 +130,10 @@ object TimeSeries {
   }
 
   /** OHLC downsampling per (user, hour): open/close via min_by/max_by on
-    * the unique (ts) ordering, high/low plain min/max. */
+    * ts, high/low plain min/max. RELIES on the fixture invariant that
+    * (user_id, ts) is unique (verified at every SF): min_by/arg_min tie
+    * behavior is unspecified in both engines, and DuckDB 1.0's arg_min
+    * accepts no composite ordering key to break ties with. */
   private def tsOhlc(s: SparkSession, d: String): DataFrame =
     U.events(s, d)
       .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("bucket"))
@@ -289,7 +290,7 @@ object TimeSeries {
         s"CAST(SUM(${OSQL.cents("value")} * ${OSQL.cents("value")}) AS DOUBLE) AS sxx " +
         "FROM events GROUP BY event_type), " +
         "st AS (SELECT et, sx / (100.0 * nd) AS mean_v, " +
-        "sqrt((sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)) AS std_v " +
+        s"sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) AS std_v " +
         "FROM ps) " +
         "SELECT event_id, event_type, value, (value - mean_v) / std_v AS z, " +
         "abs((value - mean_v) / std_v) > 3.0 AS is_anomaly " +
