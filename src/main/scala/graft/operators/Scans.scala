@@ -72,6 +72,20 @@ object Scans {
       .orderBy("r_regionkey")
   }
 
+  /** Custom DataSource V2 connector (graft.sources.DeterministicSource):
+    * partitioned parallel reads + column pruning through the real connector
+    * API; the generator arithmetic is mirrored in the DuckDB oracle. */
+  private def scanCustomSource(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.DeterministicSource")
+      .option("rows", "20000").option("slices", "8").load()
+      .filter(col("bucket") < 8)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("sum_cents"),
+        (sum(col("value_cents")).cast(DoubleType) / (lit(100.0) * count(lit(1))))
+          .as("avg_value"))
+      .orderBy("bucket")
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -134,6 +148,7 @@ object Scans {
     "scan_text" -> scanText _,
     "scan_range" -> scanRange _,
     "scan_xml" -> scanXml _,
+    "scan_custom_source" -> scanCustomSource _,
     "sink_parquet" -> sinkParquet _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -153,6 +168,12 @@ object Scans {
       ("SELECT range AS id, range * range AS id_sq, range % 7 AS id_mod7 " +
         "FROM range(0, 1000) ORDER BY id"),
     "scan_xml" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "scan_custom_source" ->
+      ("SELECT bucket, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sum_cents, " +
+        "CAST(SUM(vc) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_value FROM " +
+        "(SELECT range % 32 AS bucket, (range * 2654435761) % 100000 AS vc " +
+        "FROM range(0, 20000)) WHERE bucket < 8 " +
+        "GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_partitioned" ->

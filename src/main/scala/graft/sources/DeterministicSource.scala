@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector (the `sources/` tier of the blueprint): a
+  * deterministic synthetic event generator exposed as a real Spark table —
+  * `spark.read.format("graft.sources.DeterministicSource")
+  *   .option("rows", n).option("slices", p).load()`.
+  *
+  * Demonstrates the full connector surface a 100 TB source needs:
+  * parallel input partitions (`slices` independent [start,end) ranges — the
+  * unit of executor parallelism), and column pruning via
+  * SupportsPushDownRequiredColumns (the reader materializes ONLY requested
+  * fields — a generator stand-in for a columnar store's projection
+  * pushdown). All values are pure integer arithmetic on the row id, so the
+  * output is reproducible in DuckDB SQL for the exact hash gate.
+  */
+class DeterministicSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DeterministicSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DeterministicTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "4").toInt)
+}
+
+object DeterministicSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("value_cents", LongType, nullable = false)))
+  final val Mix = 2654435761L
+  def bucketOf(id: Long): Long = id % 32
+  def centsOf(id: Long): Long = (id * Mix) % 100000L
+}
+
+private class DeterministicTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"deterministic($rows)"
+  override def schema(): StructType = DeterministicSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DeterministicScanBuilder(rows, slices)
+}
+
+private class DeterministicScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DeterministicSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val step = math.max(rows / slices, 1L)
+      (0 until slices).map { i =>
+        val start = i * step
+        val end = if (i == slices - 1) rows else math.min((i + 1) * step, rows)
+        RangeSlice(start, end, required.fieldNames): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new SliceReader(p.asInstanceOf[RangeSlice])
+      }
+  }
+}
+
+private case class RangeSlice(start: Long, end: Long, fields: Array[String])
+    extends InputPartition
+
+private class SliceReader(slice: RangeSlice) extends PartitionReader[InternalRow] {
+  private var id = slice.start - 1
+  override def next(): Boolean = { id += 1; id < slice.end }
+  override def get(): InternalRow = {
+    // materialize only the pruned columns, in the requested order
+    val vals = new Array[Any](slice.fields.length)
+    var i = 0
+    while (i < vals.length) {
+      vals(i) = slice.fields(i) match {
+        case "id" => id
+        case "bucket" => DeterministicSource.bucketOf(id)
+        case "value_cents" => DeterministicSource.centsOf(id)
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+  override def close(): Unit = ()
+}

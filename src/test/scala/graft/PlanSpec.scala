@@ -48,6 +48,14 @@ class PlanSpec extends SparkTestBase {
       s"dt filter did not become a partition filter:\n$p")
   }
 
+  test("custom DSv2 source receives the pruned column set") {
+    val p = plan("scan_custom_source")
+    assert(p.contains("BatchScan"), s"no DSv2 scan:\n$p")
+    // the query touches only bucket/value_cents — `id` must not be read
+    val scanLine = p.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.matches(".*\\bid\\b.*"), s"id not pruned: $scanLine")
+  }
+
   test("scan column pruning: project_compute reads only the needed columns") {
     val p = plan("project_compute")
     assert(p.contains("ReadSchema"), s"no read schema:\n$p")
