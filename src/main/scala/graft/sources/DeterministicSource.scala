@@ -27,10 +27,16 @@ class DeterministicSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DeterministicSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new DeterministicTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "4").toInt)
+      properties: util.Map[String, String]): Table = {
+    val rows = properties.getOrDefault("rows", "1000").toLong
+    val slices = properties.getOrDefault("slices", "4").toInt
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    // id * Mix must stay within Long for DuckDB-reproducible arithmetic
+    // (Java would wrap silently; DuckDB's checked BIGINT would error)
+    require(rows >= 0 && rows <= Long.MaxValue / DeterministicSource.Mix,
+      s"rows must be in [0, ${Long.MaxValue / DeterministicSource.Mix}], got $rows")
+    new DeterministicTable(rows, slices)
+  }
 }
 
 object DeterministicSource {
