@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{OSQL, U}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,9 @@ object ScalarFns {
       lower(col("p_type")).as("type_lower"),
       upper(col("p_name")).as("name_upper"),
       trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
-      split(col("p_name"), " ").as("words"),
+      // serialized (not a raw array): the driver's hash gate sorts pandas
+      // columns, which cannot hash ndarray cells — flat string, same split
+      array_join(split(col("p_name"), " "), "|").as("words"),
       length(col("p_name")).cast(LongType).as("name_len"),
       regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
       levenshtein(col("p_name"), col("p_type")).cast(LongType).as("lev_to_type"),
@@ -67,21 +69,26 @@ object ScalarFns {
 
   /** Array + higher-order functions over 64-dim float embeddings. Element
     * math runs on exact small integers (floor(x*10)) so HOF fold order and
-    * engine summation order can't matter. */
+    * engine summation order can't matter. Array-valued RESULTS are serialized
+    * to comma-joined strings (exact integer domain, so rendering is
+    * byte-stable both engines) — the driver's hash gate can't hash ndarray
+    * cells; the HOF pipeline underneath is unchanged. */
   private def fnArray(s: SparkSession, d: String): DataFrame = {
     val ints = transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(10.0)))
+    def ser(a: Column): Column = array_join(transform(a, x => x.cast(StringType)), ",")
     U.tbl(s, d, "embeddings").select(
       col("vec_id"),
       size(col("embedding")).cast(LongType).as("dim"),
       element_at(col("embedding"), 1).as("first_elem"),
-      slice(col("embedding"), 1, 4).as("head4"),
-      ints.as("ints"),
+      ser(transform(slice(col("embedding"), 1, 4),
+        x => floor(x.cast(DoubleType) * lit(10.0)))).as("head4"),
+      ser(ints).as("ints"),
       array_contains(ints, lit(1L)).as("has_one"),
-      sort_array(ints).as("ints_sorted"),
-      sort_array(array_distinct(ints)).as("ints_uniq"),
-      filter(ints, x => x >= lit(0L)).as("non_neg"),
+      ser(sort_array(ints)).as("ints_sorted"),
+      ser(sort_array(array_distinct(ints))).as("ints_uniq"),
+      ser(filter(ints, x => x >= lit(0L))).as("non_neg"),
       aggregate(ints, lit(0L), (acc, x) => acc + x).as("ints_sum"),
-      zip_with(ints, reverse(ints), (a, b) => a + b).as("palin_sum"))
+      ser(zip_with(ints, reverse(ints), (a, b) => a + b)).as("palin_sum"))
       .orderBy("vec_id")
   }
 
@@ -92,8 +99,9 @@ object ScalarFns {
       get_json_object(col("props"), "$.k").as("k_str"),
       from_json(col("props"), StructType(Seq(StructField("k", LongType))))
         .getField("k").as("k_int"),
-      map_keys(m).as("prop_keys"),
-      map_values(m).as("prop_vals"),
+      array_join(map_keys(m), ",").as("prop_keys"),
+      array_join(transform(map_values(m), x => x.cast(StringType)), ",")
+        .as("prop_vals"),
       element_at(m, "k").as("k_via_map"),
       to_json(struct((element_at(m, "k") * 2).as("k2"))).as("k2_json"))
       .orderBy("event_id")
@@ -135,10 +143,13 @@ object ScalarFns {
       md5(encode(col("p_name"), "UTF-8")).as("name_md5"))
       .orderBy("p_partkey")
 
+  /** Struct build + field access; the struct OUTPUT is serialized via to_json
+    * (hashable flat string; both engines render `{"k":v}` with no spaces). */
   private def fnStruct(s: SparkSession, d: String): DataFrame =
     U.tbl(s, d, "part").select(
       col("p_partkey"),
-      struct(col("p_brand").as("brand"), col("p_size").as("size")).as("meta"),
+      to_json(struct(col("p_brand").as("brand"), col("p_size").as("size")))
+        .as("meta"),
       struct(col("p_brand").as("brand"), col("p_size").as("size"))
         .getField("size").as("meta_size"))
       .orderBy("p_partkey")
@@ -162,7 +173,7 @@ object ScalarFns {
         "FROM part ORDER BY p_partkey"),
     "fn_struct" ->
       ("SELECT p_partkey, " +
-        "struct_pack(brand := p_brand, size := p_size) AS meta, " +
+        "to_json(struct_pack(brand := p_brand, size := p_size)) AS meta, " +
         "p_size AS meta_size FROM part ORDER BY p_partkey"),
     "fn_bitwise" ->
       ("SELECT p_partkey, p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, " +
@@ -186,7 +197,7 @@ object ScalarFns {
         "substring(p_name, 1, 5) AS prefix5, " +
         "lower(p_type) AS type_lower, upper(p_name) AS name_upper, " +
         "trim('  ' || p_name || '  ') AS trimmed, " +
-        "string_split(p_name, ' ') AS words, " +
+        "array_to_string(string_split(p_name, ' '), '|') AS words, " +
         "CAST(length(p_name) AS BIGINT) AS name_len, " +
         "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, " +
         "levenshtein(p_name, p_type) AS lev_to_type, " +
@@ -220,25 +231,31 @@ object ScalarFns {
         "WHEN CAST(p_size AS DOUBLE) - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS size_sign " +
         "FROM part ORDER BY p_partkey"),
     "fn_array" ->
-      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+      // ints0 (not ints) in the CTE: an output alias `ints` must not shadow
+      // the list column in DuckDB's lateral-alias binding
+      ("WITH f AS (SELECT vec_id, embedding, " +
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS ints0 " +
+        "FROM embeddings) " +
+        "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
         "embedding[1] AS first_elem, " +
-        "list_slice(embedding, 1, 4) AS head4, " +
-        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS ints, " +
-        "list_contains(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)), 1) AS has_one, " +
-        "list_sort(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT))) AS ints_sorted, " +
-        "list_sort(list_distinct(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)))) AS ints_uniq, " +
-        "list_filter(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)), x -> x >= 0) AS non_neg, " +
-        "CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT))) AS BIGINT) AS ints_sum, " +
-        "list_transform(range(1, 65), i -> " +
-        "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 10.0) AS BIGINT) + " +
-        "CAST(floor(CAST(embedding[CAST(65 - i AS INTEGER)] AS DOUBLE) * 10.0) AS BIGINT)) AS palin_sum " +
-        "FROM embeddings ORDER BY vec_id"),
+        "array_to_string(list_transform(list_slice(embedding, 1, 4), " +
+        "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT) AS VARCHAR)), ',') AS head4, " +
+        "array_to_string(list_transform(ints0, x -> CAST(x AS VARCHAR)), ',') AS ints, " +
+        "list_contains(ints0, 1) AS has_one, " +
+        "array_to_string(list_transform(list_sort(ints0), x -> CAST(x AS VARCHAR)), ',') AS ints_sorted, " +
+        "array_to_string(list_transform(list_sort(list_distinct(ints0)), x -> CAST(x AS VARCHAR)), ',') AS ints_uniq, " +
+        "array_to_string(list_transform(list_filter(ints0, x -> x >= 0), x -> CAST(x AS VARCHAR)), ',') AS non_neg, " +
+        "CAST(list_sum(ints0) AS BIGINT) AS ints_sum, " +
+        "array_to_string(list_transform(list_transform(range(1, 65), i -> " +
+        "ints0[CAST(i AS INTEGER)] + ints0[CAST(65 - i AS INTEGER)]), " +
+        "x -> CAST(x AS VARCHAR)), ',') AS palin_sum " +
+        "FROM f ORDER BY vec_id"),
     "fn_map_json" ->
       ("SELECT event_id, " +
         "json_extract_string(props, '$.k') AS k_str, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_int, " +
-        "json_keys(props) AS prop_keys, " +
-        "[CAST(json_extract(props, '$.k') AS BIGINT)] AS prop_vals, " +
+        "array_to_string(json_keys(props), ',') AS prop_keys, " +
+        "CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS prop_vals, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_via_map, " +
         "to_json(struct_pack(k2 := CAST(json_extract(props, '$.k') AS BIGINT) * 2)) AS k2_json " +
         "FROM events ORDER BY event_id"))

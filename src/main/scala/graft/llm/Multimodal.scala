@@ -24,11 +24,14 @@ case class Decoded(doc_id: Long, n_bytes: Long, first_byte: Long, checksum: Long
 
 object Multimodal {
 
-  /** Binary payload + flat typed metadata, fully oracle-checkable. */
+  /** Binary payload + flat typed metadata, fully oracle-checkable. The
+    * payload ships hex-encoded (lowercase both engines): the driver's hash
+    * gate can't sort/hash raw byte cells, and hex is the lossless flat view
+    * of the same BinaryType column a real pipeline would carry. */
   private def schema(s: SparkSession, d: String): DataFrame =
     U.tbl(s, d, "documents").select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      lower(hex(encode(col("text"), "UTF-8"))).as("payload_hex"),
       lit("text/plain").as("mime"),
       octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
       sha2(encode(col("text"), "UTF-8"), 256).as("digest"))
@@ -61,7 +64,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_schema" ->
-      ("SELECT doc_id, encode(text) AS payload, 'text/plain' AS mime, " +
+      ("SELECT doc_id, lower(hex(text)) AS payload_hex, 'text/plain' AS mime, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "sha256(text) AS digest FROM documents ORDER BY doc_id"),
     // NOTE: the oracle folds per-character code points while the Scala

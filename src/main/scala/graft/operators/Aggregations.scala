@@ -16,19 +16,23 @@ import org.apache.spark.sql.types._
   */
 object Aggregations {
 
-  /** Flagship (TPC-H Q1 shape): scan → pushed filter → hash agg → sort. */
+  /** Flagship (TPC-H Q1 shape): scan → pushed filter → hash agg → sort.
+    * The per-row cents products (~1e11) fit a Long, but their SUM at sf100+
+    * would wrap BIGINT — so each product is cast to DECIMAL(38,0) before the
+    * sum (mirrored in q1Sql), keeping the 100 TB posture exact. */
   def q1Pricing(s: SparkSession, d: String): DataFrame = {
     val pc = U.cents(col("l_extendedprice"))
     val dc = U.cents(col("l_discount"))
     val tc = U.cents(col("l_tax"))
+    val dec = DecimalType(38, 0)
     U.tbl(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         U.dsum(col("l_quantity")).as("sum_qty"),
         U.dsum(col("l_extendedprice")).as("sum_base_price"),
-        (sum(pc * (lit(100L) - dc)).cast(DoubleType) / lit(10000.0)).as("sum_disc_price"),
-        (sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).cast(DoubleType) / lit(1000000.0)).as("sum_charge"),
+        (sum((pc * (lit(100L) - dc)).cast(dec)).cast(DoubleType) / lit(10000.0)).as("sum_disc_price"),
+        (sum((pc * (lit(100L) - dc) * (lit(100L) + tc)).cast(dec)).cast(DoubleType) / lit(1000000.0)).as("sum_charge"),
         U.davg(col("l_quantity")).as("avg_qty"),
         U.davg(col("l_extendedprice")).as("avg_price"),
         U.davg(col("l_discount")).as("avg_disc"),
@@ -94,12 +98,15 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** collect_list/collect_set with the array OUTPUT serialized (sorted, so
+    * partition arrival order can't leak; comma-joined so the driver's hash
+    * gate — which can't hash ndarray cells — scores it). */
   private def aggCollect(s: SparkSession, d: String): DataFrame =
     U.events(s, d)
       .groupBy(col("user_id"))
       .agg(
-        array_sort(collect_list(col("event_type"))).as("all_types"),
-        array_sort(collect_set(col("event_type"))).as("distinct_types"),
+        array_join(array_sort(collect_list(col("event_type"))), ",").as("all_types"),
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("distinct_types"),
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
@@ -194,8 +201,8 @@ object Aggregations {
     "SELECT l_returnflag, l_linestatus, " +
       s"${OSQL.dsum("l_quantity")} AS sum_qty, " +
       s"${OSQL.dsum("l_extendedprice")} AS sum_base_price, " +
-      s"CAST(SUM($pc * (100 - $dc)) AS DOUBLE) / 10000.0 AS sum_disc_price, " +
-      s"CAST(SUM($pc * (100 - $dc) * (100 + $tc)) AS DOUBLE) / 1000000.0 AS sum_charge, " +
+      s"CAST(SUM(CAST($pc * (100 - $dc) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price, " +
+      s"CAST(SUM(CAST($pc * (100 - $dc) * (100 + $tc) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_charge, " +
       s"${OSQL.davg("l_quantity")} AS avg_qty, " +
       s"${OSQL.davg("l_extendedprice")} AS avg_price, " +
       s"${OSQL.davg("l_discount")} AS avg_disc, " +
@@ -269,8 +276,8 @@ object Aggregations {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_stats" -> statsSql,
     "agg_collect" ->
-      ("SELECT user_id, list_sort(list(event_type)) AS all_types, " +
-        "list_sort(list(DISTINCT event_type)) AS distinct_types, COUNT(*) AS n " +
+      ("SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS all_types, " +
+        "array_to_string(list_sort(list(DISTINCT event_type)), ',') AS distinct_types, COUNT(*) AS n " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
     "agg_percentile" ->
       ("SELECT o_orderstatus, " +
