@@ -58,15 +58,30 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
 
+  /** Hottest-allowed posting list for the Jaccard inverted index. A shingle
+    * appearing in more docs than this is a stop-shingle: its posting list
+    * contributes O(df^2) candidate pairs (the quadratic bomb at 100 TB) and
+    * near-zero Jaccard signal. Fixture max df is 25 at sf0.1, so the cap
+    * drops nothing at test scale — the oracle applies the identical cap, so
+    * both engines agree at ANY scale either way. */
+  private[llm] val ShingleDfCap = 1000L
+
   /** Shingle-set pairs with exact Jaccard, via inverted index.
     * Tokens are materialized into their own projection first: inlining
     * tokens() into shingles3's element_at calls would re-split the text for
     * every shingle position (interpreted HOFs have no subexpression reuse —
-    * this was a 40s/query difference at sf0.1). */
+    * this was a 40s/query difference at sf0.1).
+    *
+    * The df-cap window runs partitioned by shingle — the same hash
+    * partitioning the self-join requires, so Catalyst reuses the exchange
+    * and the cap costs no extra shuffle. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
       .select(col("doc_id"), col("ss"), size(col("ss")).cast(LongType).as("n_sh"))
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("ss")).as("sg"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sg"))))
+      .filter(col("df") <= lit(ShingleDfCap))
+      .drop("df")
     val a = inv.select(col("doc_id").as("da"), col("n_sh").as("na"), col("sg"))
     val b = inv.select(col("doc_id").as("db"), col("n_sh").as("nb"), col("sg"))
     a.join(b, Seq("sg")).filter(col("da") < col("db"))
@@ -110,24 +125,54 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 60-bit SimHash per doc + hamming<=3 pairs.
+  /** 60-bit SimHash per doc + hamming<=3 pairs, via 4x15-bit band blocking.
     * Hashed over 3-gram SHINGLES, not tokens: the fixture vocab is shared
     * across all docs, so token-level simhashes collapse together; shingle
     * sets separate near-dups from noise.
     *
-    * Pairing is DIRECT pairwise popcount, not band blocking, and that is a
-    * measured decision: this corpus has only ~27k distinct shingles shared
-    * across ~10 docs each, so simhash bits correlate and EVERY pair collides
-    * in some 15-bit band — banding produced all n^2/2 candidates and then
-    * paid a 31 s distinct-shuffle on them, while the codegen'd
-    * bit_count(xor) scan over the same n^2/2 pairs costs ~2 s and is exact.
-    * On a high-diversity corpus (where bands actually prune), reinstate
-    * 4x15-bit banding — pigeonhole keeps exact recall for hamming<=3. */
+    * Pigeonhole: a pair at hamming<=3 differs in at most 3 of the 4 bands,
+    * so it collides in at least one — banding has EXACT recall and the
+    * output is byte-identical to the all-pairs scan (same DuckDB oracle).
+    *
+    * Scale shape: an equijoin on the 15-bit band key (hash-partitioned, no
+    * crossJoin/nested-loop — PlanSpec asserts it), with the popcount verify
+    * FUSED into the join condition. That fusion is what makes banding viable
+    * even on this low-diversity corpus: round 1 measured banding at 31 s
+    * because all candidate pairs were materialized through a distinct
+    * shuffle before verification; filtering inside the join keeps the n^2
+    * degenerate-bucket term a codegen'd popcount scan (never shuffled), and
+    * the final distinct only sees verified hamming<=3 pairs. On a diverse
+    * corpus buckets are tiny and the whole thing is genuinely
+    * sub-quadratic — the 100 TB shape. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
+    val banded = simhashed(s, d).select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        // band key = band index tag | 15-bit chunk b of the simhash
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)) +
+          lit(b.toLong << 15)
+      }: _*)).as("bkey"))
+    val a = banded.select(col("bkey"), col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = banded.select(col("bkey").as("bkeyb"), col("doc_id").as("db"),
+      col("simhash").as("hb"))
+    a.join(b, col("bkey") === col("bkeyb") && col("da") < col("db") &&
+        expr("bit_count(ha ^ hb) <= 3"))
+      .select(col("da"), col("db"), expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+      .distinct() // a pair may collide in several bands
+      .orderBy("da", "db")
+  }
+
+  /** doc_id -> simhash frame shared by the banded query and the test-only
+    * exact scan. */
+  private def simhashed(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
       .withColumn("simhash", graft.plans.CustomExprs.simhash60(col("hs")))
       .select(col("doc_id"), col("simhash"))
-      .persist() // both pairwise sides read it
+
+  /** Test-only cross-check: direct all-pairs popcount (the round-1 shape).
+    * O(n^2) shuffle-free scan — correct at any sf but not the scale path;
+    * LlmSpec asserts it equals the banded query exactly. */
+  private[graft] def simhashPairsExact(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashed(s, d)
     val a = sh.select(col("doc_id").as("da"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("db"), col("simhash").as("hb"))
     a.crossJoin(b).filter(col("da") < col("db"))
@@ -167,7 +212,10 @@ object Dedup {
       val toks = sqlTokens("text")
       s"WITH sh AS (SELECT doc_id, ${sqlShingles3(toks)} AS ss FROM documents), " +
         "sized AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n_sh FROM sh), " +
-        "inv AS (SELECT doc_id, n_sh, unnest(ss) AS sg FROM sized), " +
+        "inv0 AS (SELECT doc_id, n_sh, unnest(ss) AS sg FROM sized), " +
+        "inv AS (SELECT doc_id, n_sh, sg FROM (SELECT doc_id, n_sh, sg, " +
+        "COUNT(*) OVER (PARTITION BY sg) AS df FROM inv0) " +
+        s"WHERE df <= ${Dedup.ShingleDfCap}), " +
         "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, " +
         "b.n_sh AS nb, COUNT(*) AS common FROM inv a JOIN inv b " +
         "ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +

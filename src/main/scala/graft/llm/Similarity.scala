@@ -58,6 +58,13 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact all-pairs embedding near-dup (cos >= 0.4). O(n^2) BY DESIGN and
+    * kept oracle-gated at test scale: no deterministic prefilter can
+    * guarantee 100% recall at an arbitrary cosine threshold over
+    * unstructured vectors, so the exact scan is the correctness anchor.
+    * The declared SCALE path is `dedup_embedding_ann` below (IVF-blocked
+    * candidates + identical exact rerank); LlmSpec measures its recall
+    * against this query. */
   private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val a = fixed(s, d).select(col("vec_id").as("da"), col("fx").as("xa"), col("nrm").as("na"))
     val b = fixed(s, d).select(col("vec_id").as("db"), col("fx").as("xb"), col("nrm").as("nb"))
@@ -65,6 +72,36 @@ object Similarity {
       .withColumn("cos", cosCol(dotCol(col("xa"), col("xb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.4)
       .select(col("da"), col("db"), col("cos"))
+      .orderBy("da", "db")
+  }
+
+  /** Scaled embedding near-dup: IVF cluster blocking (each vector probes its
+    * 2 nearest coarse centroids) + exact fixed-point cosine rerank fused
+    * into the within-cluster self-join. Work is n^2 * nprobe / K instead of
+    * n^2, every stage a plain shuffle/broadcast — the 100 TB shape.
+    * Candidates found in both shared clusters dedupe in the final distinct,
+    * which only ever sees verified cos>=0.4 pairs. Approximate recall
+    * (boundary vectors can land in disjoint probe sets) => rows-only gate;
+    * LlmSpec asserts subset-of-exact + recall against `dedup_embedding`. */
+  private def embeddingPairsAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()
+    // k ~ sqrt(n): candidate work is n^2 * nprobe^2 / k, so sqrt-scaling k
+    // keeps the blocked fraction shrinking as the corpus grows while
+    // clusters stay populated enough for near-dups to co-probe (a fixed k
+    // over-fragments small corpora and under-prunes huge ones). The count
+    // is one cheap action on the already-persisted frame.
+    val k = math.max(4, math.min(1024, math.round(math.sqrt(emb.count().toDouble)).toInt))
+    val cent = ivfCentroids(emb, k)
+    val probed = assignN(emb, cent, 3)
+    val a = probed.select(col("cid"), col("vec_id").as("da"), col("fx").as("xa"),
+      col("nrm").as("na"))
+    val b = probed.select(col("cid").as("cidb"), col("vec_id").as("db"),
+      col("fx").as("xb"), col("nrm").as("nb"))
+    a.join(b, col("cid") === col("cidb") && col("da") < col("db") &&
+        cosCol(dotCol(col("xa"), col("xb")), col("na"), col("nb")) >= 0.4)
+      .select(col("da"), col("db"),
+        cosCol(dotCol(col("xa"), col("xb")), col("na"), col("nb")).as("cos"))
+      .distinct()
       .orderBy("da", "db")
   }
 
@@ -121,18 +158,25 @@ object Similarity {
     * partial-aggregation-order-free and bit-reproducible run over run
     * (double-avg centroids are not). Approximate => rows-only gate; recall
     * asserted in LlmSpec. */
-  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
-    val k = 16
-    val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      emb.crossJoin(broadcast(cent))
-        // nearest by (negated) inner product — the IVF coarse metric
-        .withColumn("dist", -dotCol(col("fx"), col("cfx")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("fx"), col("nrm"))
-    }
+  /** Top-`n` nearest-centroid assignment by cosine (dot normalized by the
+    * centroid norm; the vector's own norm is rank-invariant per vec_id) —
+    * the right coarse metric when the downstream predicate is a cosine
+    * threshold. n=1 builds the index; n>1 multi-probes. */
+  private def assignN(emb: DataFrame, cent: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("dist", -dotCol(col("fx"), col("cfx")).cast(DoubleType) /
+        sqrt(dotCol(col("cfx"), col("cfx")).cast(DoubleType)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("vec_id"), col("cid"), col("fx"), col("nrm"))
+  }
+
+  /** k-means-lite coarse quantizer: deterministic init (the k lowest
+    * vec_ids), 2 Lloyd iterations as pure DataFrame ops, all in the integer
+    * domain (exact Long sums + integer division) so centroids are
+    * bit-reproducible regardless of partial-aggregation order. */
+  private def ivfCentroids(emb: DataFrame, k: Int): DataFrame = {
     def recenter(assigned: DataFrame): DataFrame =
       assigned.select(col("cid"), posexplode(col("fx")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -144,18 +188,27 @@ object Similarity {
     var cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("fx").as("cfx"))
     for (_ <- 0 until 2) {
-      val next = recenter(assign(cent)).persist()
+      val next = recenter(assignN(emb, cent, 1)).persist()
       next.count() // materialize before releasing the superseded centroids
       cent.unpersist()
       cent = next
     }
-    val assigned = assign(cent).persist()
+    cent
+  }
+
+  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()
+    val cent = ivfCentroids(emb, k)
+    val assigned = assignN(emb, cent, 1).persist()
     // queries probe their 2 nearest centroids
     val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("fx").as("qx"), col("nrm").as("qn"))
       .crossJoin(broadcast(cent))
-      .withColumn("qdist", -dotCol(col("qx"), col("cfx")))
+      // same cosine coarse metric as assignN, so probe and index agree
+      .withColumn("qdist", -dotCol(col("qx"), col("cfx")).cast(DoubleType) /
+        sqrt(dotCol(col("cfx"), col("cfx")).cast(DoubleType)))
       .withColumn("prb", row_number().over(wq))
       .filter(col("prb") <= 2)
       .select(col("q_id"), col("cid"), col("qx"), col("qn"))
@@ -172,6 +225,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteforceTopk _,
     "dedup_embedding" -> embeddingPairs _,
+    "dedup_embedding_ann" -> embeddingPairsAnn _,
     "sim_lsh_ann" -> lshAnn _,
     "sim_ivf_ann" -> ivfAnn _)
 

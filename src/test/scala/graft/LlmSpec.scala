@@ -20,6 +20,27 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("banded simhash equals the exact all-pairs scan (pigeonhole recall)") {
+    val banded = graft.llm.Dedup.queries("dedup_simhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = graft.llm.Dedup.simhashPairsExact(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixtures should contain simhash near-dups")
+    assert(banded == exact,
+      s"banding lost/added pairs: banded=${banded.size} exact=${exact.size}")
+  }
+
+  test("embedding ANN pairs are a subset of exact with high recall") {
+    val exact = graft.llm.Similarity.queries("dedup_embedding")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.llm.Similarity.queries("dedup_embedding_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixtures should contain embedding near-dups")
+    assert(ann.subsetOf(exact), "ANN reranks exactly, so every pair is true")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-blocked recall too low: $recall (${ann.size}/${exact.size})")
+  }
+
   test("simhash pairs overlap the Jaccard near-dups") {
     val jac = graft.llm.Dedup.queries("dedup_jaccard")(spark, sfDir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -61,4 +61,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ReadSchema"), s"no read schema:\n$p")
     assert(!p.contains("l_returnflag"), s"unpruned column in scan:\n$p")
   }
+
+  test("dedup_simhash plans a band equijoin, not a cross/nested-loop join") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("dedup_embedding_ann pairs via a cluster equijoin, not all-pairs") {
+    val p = plan("dedup_embedding_ann")
+    // the 16-row centroid broadcast crossJoin is the intended IVF shape;
+    // what must NOT happen is the vector-vector pairing degenerating to a
+    // cartesian scan — the cid self-join has to be a shuffle/hash equijoin
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no equijoin on cid:\n$p")
+  }
 }
