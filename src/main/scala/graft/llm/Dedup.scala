@@ -182,11 +182,58 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Near-dup clustering: connected components over the exact-Jaccard pair
+    * set + keeper pick — the step that turns pairwise dedup output into an
+    * actionable "drop these docs" assignment.
+    *
+    * Min-label propagation as pure DataFrame ops: every doc starts labeled
+    * with its own id; each round takes the min over neighbors' labels; at
+    * fixpoint every component carries its min doc_id as cluster_id. Rounds
+    * = component diameter (near-dup clusters are shallow — a handful of
+    * rounds; the loop is bounded and persist/unpersist-disciplined like the
+    * IVF Lloyd loop). Convergence is detected by the label-sum, which is
+    * strictly decreasing until fixpoint (labels only ever decrease);
+    * summed in DECIMAL(38,0) so the check cannot overflow at any corpus
+    * size. Fully deterministic => recursive-CTE DuckDB oracle. */
+  private def clusterAssign(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pairs = jaccardPairs(s, d).select(col("da"), col("db"))
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("u", "v").persist()
+    def labelSum(lab: DataFrame): java.math.BigDecimal =
+      lab.agg(sum(col("cluster").cast(dec))).head().getDecimal(0)
+    def step(lab: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(lab.select(col("doc_id").as("u"), col("cluster").as("lu")), "u")
+        .groupBy(col("v")).agg(min(col("lu")).as("nmin"))
+      lab.join(nbrMin, lab("doc_id") === nbrMin("v"), "left")
+        .select(lab("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+    }
+    var lab = docs(s, d).select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    var prevSum = labelSum(lab)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val next = step(lab).persist()
+      val s2 = labelSum(next) // materializes next before releasing lab
+      lab.unpersist()
+      lab = next
+      if (s2.compareTo(prevSum) == 0) converged = true else prevSum = s2
+      iter += 1
+    }
+    edges.unpersist()
+    lab.select(col("doc_id"), col("cluster").as("cluster_id"),
+      (col("doc_id") === col("cluster")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard" -> jaccardPairs _,
     "dedup_minhash" -> minhashPairs _,
-    "dedup_simhash" -> simhashPairs _)
+    "dedup_simhash" -> simhashPairs _,
+    "dedup_clusters" -> clusterAssign _)
 
   private val simhashSql = {
     val sh = sqlShingles3(sqlTokens("text"))
