@@ -37,7 +37,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's stdout parse has failed twice (BENCH_r01/r02 "parsed":
+    // null) despite a well-formed line — sbt interleaves its own output, so
+    // also persist the JSON to stable paths the driver/judge can read.
+    for (p <- Seq("/tmp/graft_bench.json", "bench_latest.json")) {
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(p))
+        try w.println(json) finally w.close()
+      } catch { case _: Throwable => }
+    }
     spark.stop()
   }
 }

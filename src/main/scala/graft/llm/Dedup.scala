@@ -255,21 +255,39 @@ object Dedup {
     "dedup_exact" ->
       ("SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY sha256(text) ORDER BY keeper"),
-    "dedup_jaccard" -> {
-      val toks = sqlTokens("text")
-      s"WITH sh AS (SELECT doc_id, ${sqlShingles3(toks)} AS ss FROM documents), " +
-        "sized AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n_sh FROM sh), " +
-        "inv0 AS (SELECT doc_id, n_sh, unnest(ss) AS sg FROM sized), " +
-        "inv AS (SELECT doc_id, n_sh, sg FROM (SELECT doc_id, n_sh, sg, " +
-        "COUNT(*) OVER (PARTITION BY sg) AS df FROM inv0) " +
-        s"WHERE df <= ${Dedup.ShingleDfCap}), " +
-        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, " +
-        "b.n_sh AS nb, COUNT(*) AS common FROM inv a JOIN inv b " +
-        "ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
+    "dedup_jaccard" ->
+      (s"WITH $jaccardCtes " +
         "SELECT da, db, common, CAST(common AS DOUBLE) / " +
         "CAST(na + nb - common AS DOUBLE) AS jac FROM pairs " +
         "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2 " +
-        "ORDER BY da, db"
-    },
+        "ORDER BY da, db"),
+    // Connected components as a recursive transitive closure over the same
+    // verified pair set: every doc reaches every member of its component, so
+    // MIN(reachable id) is the cluster label — exactly the Spark fixpoint.
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $jaccardCtes, " +
+        "pr AS (SELECT da, db FROM pairs " +
+        "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        "edges AS (SELECT da AS u, db AS v FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "reach(u, v) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+        "SELECT u AS doc_id, MIN(v) AS cluster_id, (MIN(v) = u) AS is_keeper " +
+        "FROM reach GROUP BY u ORDER BY doc_id"),
     "dedup_simhash" -> simhashSql)
+
+  /** Shared CTE chain producing the exact-Jaccard candidate `pairs` —
+    * dedup_jaccard scores them; dedup_clusters closes over them. */
+  private lazy val jaccardCtes: String = {
+    val toks = sqlTokens("text")
+    s"sh AS (SELECT doc_id, ${sqlShingles3(toks)} AS ss FROM documents), " +
+      "sized AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n_sh FROM sh), " +
+      "inv0 AS (SELECT doc_id, n_sh, unnest(ss) AS sg FROM sized), " +
+      "inv AS (SELECT doc_id, n_sh, sg FROM (SELECT doc_id, n_sh, sg, " +
+      "COUNT(*) OVER (PARTITION BY sg) AS df FROM inv0) " +
+      s"WHERE df <= ${Dedup.ShingleDfCap}), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n_sh AS na, " +
+      "b.n_sh AS nb, COUNT(*) AS common FROM inv a JOIN inv b " +
+      "ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
+  }
 }

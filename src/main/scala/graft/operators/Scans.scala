@@ -54,10 +54,17 @@ object Scans {
     s.read.orc(path).orderBy("s_suppkey")
   }
 
-  /** Line-oriented text source: one document text per line. */
+  /** Line-oriented text source: one document text per line. A document
+    * containing a newline would silently split into multiple rows, so the
+    * write FAILS (distributed raise_error, no extra action) on any text
+    * violating the one-row-per-line invariant instead of diverging. */
   private def scanText(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "text_docs")
-    U.tbl(s, d, "documents").select(col("text")).coalesce(1)
+    U.tbl(s, d, "documents")
+      .select(when(col("text").contains("\n") || col("text").contains("\r"),
+        raise_error(concat(lit("scan_text: newline in document text"))))
+        .otherwise(col("text")).as("text"))
+      .coalesce(1)
       .write.mode("overwrite").text(path)
     s.read.text(path).select(col("value").as("text")).orderBy("text")
   }

@@ -102,11 +102,14 @@ object TimeSeries {
     val mean = col("sx") / (lit(100.0) * col("nd"))
     val variance = U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))
     val enriched = stats.select(col("et"), mean.as("mean_v"), sqrt(variance).as("std_v"))
+    // nullif guard: a constant-valued group has std_v = 0; double 0-division
+    // behavior differs between engines, so both sides yield NULL identically
+    val sd = nullif(col("std_v"), lit(0.0))
     U.events(s, d)
       .join(broadcast(enriched), col("event_type") === col("et"))
       .select(col("event_id"), col("event_type"), col("value"),
-        ((col("value") - col("mean_v")) / col("std_v")).as("z"),
-        (abs((col("value") - col("mean_v")) / col("std_v")) > lit(3.0)).as("is_anomaly"))
+        ((col("value") - col("mean_v")) / sd).as("z"),
+        (abs((col("value") - col("mean_v")) / sd) > lit(3.0)).as("is_anomaly"))
       .orderBy("event_id")
   }
 
@@ -170,10 +173,13 @@ object TimeSeries {
       .withColumn("dev", abs(vc - col("med_c")))
     val mad = withMed.groupBy(col("event_type").as("et2"))
       .agg(percentile(col("dev"), lit(0.5)).as("mad_c"))
+    // nullif guard mirrors the oracle: mad_c = 0 whenever >50% of a group
+    // equals its median — both engines then yield NULL, not Inf/NaN
+    val madSafe = nullif(col("mad_c"), lit(0.0))
     withMed.join(broadcast(mad), col("event_type") === col("et2"))
       .select(col("event_id"), col("event_type"), col("value"),
-        ((vc - col("med_c")) / col("mad_c")).as("mad_score"),
-        (abs((vc - col("med_c")) / col("mad_c")) > 3.5).as("is_outlier"))
+        ((vc - col("med_c")) / madSafe).as("mad_score"),
+        (abs((vc - col("med_c")) / madSafe) > 3.5).as("is_outlier"))
       .orderBy("event_id")
   }
 
@@ -222,8 +228,8 @@ object TimeSeries {
         s"abs($vc - med_c) AS dv FROM events JOIN med ON event_type = et1), " +
         "mad AS (SELECT event_type AS et2, quantile_cont(dv, 0.5) AS mad_c " +
         "FROM dev GROUP BY event_type) " +
-        "SELECT event_id, event_type, value, (c - med_c) / mad_c AS mad_score, " +
-        "abs((c - med_c) / mad_c) > 3.5 AS is_outlier " +
+        "SELECT event_id, event_type, value, (c - med_c) / nullif(mad_c, 0) AS mad_score, " +
+        "abs((c - med_c) / nullif(mad_c, 0)) > 3.5 AS is_outlier " +
         "FROM dev JOIN mad ON event_type = et2 ORDER BY event_id"
     },
     "ts_gap_detect" ->
@@ -292,7 +298,7 @@ object TimeSeries {
         "st AS (SELECT et, sx / (100.0 * nd) AS mean_v, " +
         s"sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) AS std_v " +
         "FROM ps) " +
-        "SELECT event_id, event_type, value, (value - mean_v) / std_v AS z, " +
-        "abs((value - mean_v) / std_v) > 3.0 AS is_anomaly " +
+        "SELECT event_id, event_type, value, (value - mean_v) / nullif(std_v, 0) AS z, " +
+        "abs((value - mean_v) / nullif(std_v, 0)) > 3.0 AS is_anomaly " +
         "FROM events JOIN st ON event_type = et ORDER BY event_id"))
 }

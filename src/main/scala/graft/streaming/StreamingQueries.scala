@@ -50,14 +50,29 @@ object StreamingQueries {
         max(unix_micros(col("ts"))).as("hi")).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
       val step = math.max((hi - lo) / 8, 1L)
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       val passes = if (doubled) 2 else 1
+      // Event-time-ordered replay requires strictly increasing mtimes, but
+      // fast sequential writes can land in the same filesystem-timestamp
+      // tick and FileStreamSource breaks ties by (random) part-file name —
+      // so stamp each batch's new files with an explicit increasing mtime.
+      var seq = 0
+      val stamped = scala.collection.mutable.Set[String]()
       for (p <- 0 until passes; i <- 0 until 8) {
         val loB = lo + i * step
         val hiB = if (i == 7) hi else lo + (i + 1) * step
         ev.filter(unix_micros(col("ts")) >= loB && unix_micros(col("ts")) < hiB)
           .coalesce(1).write.mode("append").parquet(dir)
+        val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(f => f.getPath.getName.startsWith("part-") &&
+            !stamped.contains(f.getPath.getName))
+          .sortBy(_.getPath.getName)
+        for (f <- fresh) {
+          fs.setTimes(f.getPath, 1600000000000L + seq * 1000L, -1L)
+          stamped += f.getPath.getName
+          seq += 1
+        }
       }
       // marker makes the staging reusable across JVMs (Verify, Bench, tests
       // all replay the same deterministic files with their original mtimes)

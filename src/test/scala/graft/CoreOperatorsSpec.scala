@@ -21,8 +21,8 @@ class CoreOperatorsSpec extends SparkTestBase {
     val nonOracle = q -- o
     // approx/probabilistic + append-watermark ops are the only exclusions
     assert(nonOracle == Set("agg_approx_distinct", "dedup_minhash",
-      "sim_lsh_ann", "sim_ivf_ann", "stream_tumbling_watermark",
-      "stream_session"),
+      "dedup_embedding_ann", "sim_lsh_ann", "sim_ivf_ann",
+      "stream_tumbling_watermark", "stream_session"),
       s"unexpected non-oracle queries: $nonOracle")
   }
 
