@@ -4,15 +4,36 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.{OSQL, U}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
 
 /** Encoder types for the stateful query — top-level for Catalyst codegen. */
 case class SEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, cents: Long)
 case class SState(n: Long, sum: Long)
 case class SOut(event_id: Long, user_id: Long, running_n: Long, running_sum: Double)
+
+/** Spark 4.x arbitrary-state API (`transformWithState`) processor computing
+  * the SAME running totals as the flatMapGroupsWithState step — the two
+  * queries share one DuckDB oracle, which pins the semantics across both
+  * state APIs. Top-level class: the processor is serialized to executors. */
+class RunningTotalsProcessor extends StatefulProcessor[Long, SEvent, SOut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[SState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SState]("running", Encoders.product[SState], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[SEvent],
+      tv: TimerValues): Iterator[SOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var cur = if (st.exists()) st.get() else SState(0L, 0L)
+    val out = sorted.map { e =>
+      cur = SState(cur.n + 1, cur.sum + e.cents)
+      SOut(e.event_id, key, cur.n, cur.sum.toDouble / 100.0)
+    }
+    st.update(cur)
+    out.iterator
+  }
+}
 
 /** SURVEY.md §2.9 — Structured Streaming over a replay of the `events`
   * table.
@@ -170,6 +191,59 @@ object StreamingQueries {
         .toDF()
     }.orderBy("event_id")
 
+  /** Same running totals through the Spark 4.x `transformWithState` API
+    * (ValueState + StatefulProcessor) — requires the RocksDB state store
+    * provider, toggled for just this query and restored after. */
+  private def statefulRunningTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append") { in =>
+      import in.sparkSession.implicits._
+      in.select(col("event_id"), col("user_id"), col("ts"),
+          graft.U.cents(col("value")).as("cents")).as[SEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.orderBy("event_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Stream-stream windowed join: clicks joined to the same user's purchases
+    * within the following 4 hours — both sides watermarked, time-interval
+    * join condition (the flagship two-stream Structured Streaming shape).
+    * The 60-day watermark delay exceeds the 30-day replay span, so no state
+    * is evicted mid-replay and the inner join emits EXACTLY the batch
+    * answer regardless of micro-batch boundaries => full DuckDB oracle. */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = stagedSource(s, d, doubled = false)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "60 days")
+    val purchases = stagedSource(s, d, doubled = false)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "60 days")
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("c_event_id"), col("p_event_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("c_event_id", "p_event_id")
+  }
+
   /** Stream-static enrichment join: the static side is a tiny derived dim
     * (event_type -> code), broadcast to every micro-batch. */
   private def staticJoin(s: SparkSession, d: String): DataFrame = {
@@ -209,6 +283,8 @@ object StreamingQueries {
     "stream_session" -> sessionWindows _,
     "stream_dedup" -> dedupStream _,
     "stream_stateful" -> statefulRunning _,
+    "stream_stateful_tws" -> statefulRunningTws _,
+    "stream_stream_join" -> streamStreamJoin _,
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
@@ -228,6 +304,19 @@ object StreamingQueries {
         s"CAST(SUM(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0 AS running_sum " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "stream_stateful_tws" ->
+      ("SELECT event_id, user_id, " +
+        "CAST(row_number() OVER w AS BIGINT) AS running_n, " +
+        s"CAST(SUM(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0 AS running_sum " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "stream_stream_join" ->
+      ("SELECT c.event_id AS c_event_id, p.event_id AS p_event_id, " +
+        "c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value AS p_value " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS " +
+        "ORDER BY c_event_id, p_event_id"),
     "stream_static_join" ->
       ("SELECT event_id, user_id, event_type, type_code, value FROM events " +
         "JOIN (SELECT event_type AS et, CAST(row_number() OVER " +
