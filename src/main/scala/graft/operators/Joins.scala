@@ -163,7 +163,48 @@ object Joins {
       .orderBy("event_type")
   }
 
+  /** Bucketed-layout join — the other half of the 100 TB layout story
+    * (partitioned writes cover pruning; bucketing covers co-located joins).
+    * orders and customer are laid out ONCE per JVM as 8-bucket external
+    * tables on custkey, one file per bucket (repartition(8, key) aligns the
+    * write tasks with the bucket hash), sorted within buckets. A sort-merge
+    * join over both then plans with ZERO Exchange: the shuffle happened at
+    * layout time and is amortized over every subsequent join on the key —
+    * at 100 TB this turns the nightly fact-dim join from a full-fact
+    * shuffle into a local merge. PlanSpec asserts the exchange-free plan;
+    * values are identical to the plain join, so the oracle is plain SQL. */
+  private[graft] def joinBucketedCore(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, ct) = (s"graft_orders_bkt_$tag", s"graft_customer_bkt_$tag")
+    synchronized {
+      if (!s.catalog.tableExists(ot)) {
+        U.tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8, col("o_custkey"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", U.scratch(d, "bucket_orders"))
+          .mode("overwrite").saveAsTable(ot)
+        U.tbl(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .repartition(8, col("c_custkey"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", U.scratch(d, "bucket_customer"))
+          .mode("overwrite").saveAsTable(ct)
+      }
+    }
+    // merge hint: the dim would otherwise broadcast, which also avoids the
+    // shuffle but leaves the bucketed layout unexercised
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+  }
+
+  private def joinBucketed(s: SparkSession, d: String): DataFrame =
+    joinBucketedCore(s, d).orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> joinBucketed _,
     "join_skew_salted" -> joinSkewSalted _,
     "join_inner_broadcast" -> joinInnerBroadcast _,
     "join_inner_shuffle" -> joinInnerShuffle _,
@@ -178,6 +219,10 @@ object Joins {
     "join_interval_overlap" -> joinIntervalOverlap _)
 
   val oracleSql: Map[String, String] = Map(
+    "join_bucketed" ->
+      ("SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_orderkey"),
     "join_skew_salted" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         "CAST(SUM(user_total) AS BIGINT) AS sum_user_totals FROM events " +

@@ -68,6 +68,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
   }
 
+  test("join_bucketed plans a sort-merge join with no Exchange on either side") {
+    // core (pre-orderBy) plan: the bucketed layout must satisfy the SMJ's
+    // distribution requirement on both sides — any Exchange means the
+    // layout shuffle was NOT amortized
+    val p = graft.operators.Joins.joinBucketedCore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"no SMJ:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+  }
+
   test("dedup_embedding_ann pairs via a cluster equijoin, not all-pairs") {
     val p = plan("dedup_embedding_ann")
     // the 16-row centroid broadcast crossJoin is the intended IVF shape;
