@@ -27,6 +27,7 @@ object SparkEntry {
       graft.functions.ScalarFns.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
+      graft.llm.Pipeline.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries ++
       graft.streaming.StreamingQueries.queries
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.functions.ScalarFns.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Dedup.oracleSql ++
+      graft.llm.Pipeline.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.Multimodal.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql

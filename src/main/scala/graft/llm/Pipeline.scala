@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.{OSQL, U}
+import graft.llm.TextUtil._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 extension — the dataset-assembly half of a training-data
+  * pipeline (the dedup/similarity/text-analysis operators cover cleaning;
+  * these cover splitting, sampling, canonicalization, and sequence packing).
+  *
+  * Determinism doctrine: every randomized-looking decision (split
+  * assignment, sample membership) is a pure integer hash of a STABLE key —
+  * content hash for splits, event id for samples — never rand()/row order.
+  * That is also what a 100 TB pipeline needs operationally: re-running a
+  * failed partition, adding a shard, or re-sharding the input must not move
+  * any example across splits. Hashes are the shared polynomial hash
+  * (TextUtil), reproducible in DuckDB, so all four ops are exactly
+  * oracle-able.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, d: String) = U.tbl(s, d, "documents")
+
+  /** Content-keyed train/val/test split (80/10/10): bucket = polyhash(text)
+    * mod 100. Keying on CONTENT (not doc_id) means byte-identical documents
+    * land in the same split even across corpus versions with re-assigned
+    * ids — the property that prevents train/test leakage after a re-crawl.
+    * Pure projection: no shuffle at any scale. */
+  private def splitTrainTest(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        pmod(graft.plans.CustomExprs.poly_hash(col("text"), 7L), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample over events: per-stratum rates
+    * (purchase 50%, click 20%, rest 10%) decided by an LCG hash of the
+    * event id. The CASE rate table is the knob a curriculum/rebalancing
+    * pass turns; membership is a pure per-row predicate, so the sample is
+    * a pushdown-friendly filter — no shuffle, no sort, no rand(). */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(col("event_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    val rate = when(col("event_type") === "purchase", 50L)
+      .when(col("event_type") === "click", 20L)
+      .otherwise(10L)
+    U.events(s, d)
+      .filter(pmod(h, lit(100L)) < rate)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** Canonical-form near-exact dedup: lowercase + whitespace-collapse +
+    * trim, then exact dedup on the normalized form — catches the
+    * formatting-only duplicates content-hash dedup misses (the first
+    * normalization rung below dedup_jaccard's shingle overlap). Same
+    * one-shuffle hash-agg shape as dedup_exact. */
+  private def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  /** Concat-and-chunk sequence packing: docs in doc_id order fill
+    * fixed-capacity 2048-token batches; a doc's batch is its exclusive
+    * cumulative token count DIV 2048 (the streaming packing every LLM data
+    * loader uses). The prefix sum is one window over the corpus order —
+    * at 100 TB you'd run it per shard (the window key) rather than
+    * globally; the fixture corpus is one shard. */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("tok_start DIV 2048").as("batch_id"),
+        pmod(col("tok_start"), lit(2048L)).as("batch_offset"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_train_test" -> splitTrainTest _,
+    "sample_stratified" -> sampleStratified _,
+    "dedup_normalized" -> dedupNormalized _,
+    "pack_sequences" -> packSequences _)
+
+  val oracleSql: Map[String, String] = Map(
+    "split_train_test" ->
+      (s"SELECT doc_id, ${sqlPolyHash("text", 7L)} % 100 AS bucket, " +
+        s"CASE WHEN ${sqlPolyHash("text", 7L)} % 100 < 80 THEN 'train' " +
+        s"WHEN ${sqlPolyHash("text", 7L)} % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "sample_stratified" ->
+      ("SELECT event_id, event_type, user_id, value FROM events " +
+        "WHERE ((event_id * 1103515245 + 12345) % 2147483648) % 100 < " +
+        "CASE event_type WHEN 'purchase' THEN 50 WHEN 'click' THEN 20 " +
+        "ELSE 10 END ORDER BY event_id"),
+    "dedup_normalized" ->
+      ("SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, " +
+        "MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY keeper"),
+    "pack_sequences" ->
+      (s"WITH t AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
+        "AS tok_start FROM t) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(tok_start // 2048 AS BIGINT) AS batch_id, " +
+        "CAST(tok_start % 2048 AS BIGINT) AS batch_offset " +
+        "FROM c ORDER BY doc_id"))
+}
