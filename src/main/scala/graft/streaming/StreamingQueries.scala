@@ -104,20 +104,25 @@ object StreamingQueries {
   }
 
   /** Shared streaming source over the staged replay — single definition so
-    * every query (memory- or file-sinked) gets identical micro-batching. */
-  private def stagedSource(s: SparkSession, d: String, doubled: Boolean): DataFrame = {
+    * every query (memory- or file-sinked) gets identical micro-batching.
+    * filesPerTrigger: watermark-sensitive queries replay at 2 files/batch
+    * (4 batches — enough watermark advances to exercise finalization);
+    * batch-boundary-INDEPENDENT queries may replay at 4 (fewer state-store
+    * commit rounds, same result by construction). */
+  private def stagedSource(s: SparkSession, d: String, doubled: Boolean,
+      filesPerTrigger: Int = 2): DataFrame = {
     val dir = stage(s, d, doubled)
     val schema = s.read.parquet(dir).schema
-    // 2 files/batch: still multi-batch (watermark advances across batches)
-    // at half the per-batch scheduling overhead
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(dir)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(dir)
   }
 
   /** Run a streaming transform of the staged events to completion, return
     * the memory-sink table. */
   private def runStream(s: SparkSession, d: String, mode: String,
-      doubled: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
-    val in = stagedSource(s, d, doubled)
+      doubled: Boolean = false, filesPerTrigger: Int = 2)
+      (build: DataFrame => DataFrame): DataFrame = {
+    val in = stagedSource(s, d, doubled, filesPerTrigger)
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val q = build(in).writeStream.outputMode(mode)
       .format("memory").queryName(name)
@@ -161,8 +166,9 @@ object StreamingQueries {
     * twice): kept rows are value-identical whichever copy wins, so the
     * result oracles to plain SELECT * FROM events. */
   private def dedupStream(s: SparkSession, d: String): DataFrame =
-    runStream(s, d, "append", doubled = true) { in =>
+    runStream(s, d, "append", doubled = true, filesPerTrigger = 4) { in =>
       // 60-day delay > the 30-day event span: no state eviction, exact dedup
+      // (kept rows value-identical whichever copy wins => 4 files/batch safe)
       in.withWatermark("ts", "60 days")
         .dropDuplicatesWithinWatermark("event_id")
     }.orderBy("event_id")
@@ -221,12 +227,15 @@ object StreamingQueries {
     * is evicted mid-replay and the inner join emits EXACTLY the batch
     * answer regardless of micro-batch boundaries => full DuckDB oracle. */
   private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val clicks = stagedSource(s, d, doubled = false)
+    // inner join + no mid-replay eviction => batch-boundary-independent,
+    // so replay at 4 files/batch (2 batches): join state is committed to
+    // the state store once per batch per partition, the dominant cost
+    val clicks = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "60 days")
-    val purchases = stagedSource(s, d, doubled = false)
+    val purchases = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value").as("p_value"))
