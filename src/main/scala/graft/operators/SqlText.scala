@@ -47,11 +47,39 @@ object SqlText {
     s.sql(corr)
   }
 
+  /** TPC-H Q5-style local-supplier-volume: the 6-way snowflake join that
+    * exercises Catalyst's join reordering + dim broadcasts end-to-end. At
+    * plan time region/nation/supplier/customer all broadcast; only
+    * orders⋈lineitem shuffles — the shape a 100 TB star query must take. */
+  private val q5 = {
+    val rev = s"CAST(SUM(${OSQL.cents("l_extendedprice")} * " +
+      s"(100 - ${OSQL.cents("l_discount")})) AS DOUBLE) / 10000.0"
+    "SELECT n_name, COUNT(*) AS n_items, " +
+      s"$rev AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
+  }
+
+  private def sqlQ5(s: SparkSession, d: String): DataFrame = {
+    for (t <- Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
+      U.tbl(s, d, t).createOrReplaceTempView(t)
+    s.sql(q5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q3_shipping" -> sqlQ3 _,
+    "sql_q5_local_supplier" -> sqlQ5 _,
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3,
+    "sql_q5_local_supplier" -> q5,
     "sql_corr_subquery" -> corr)
 }

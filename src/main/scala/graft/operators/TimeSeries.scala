@@ -196,7 +196,28 @@ object TimeSeries {
       .orderBy("user_id", "gap_start")
   }
 
+  /** Conversion funnel (sequence match): each user's FIRST click, then the
+    * first purchase within the following 7 days — the classic
+    * industry-time-sequence funnel stage. Two hash-aggs + one broadcast
+    * join back (the per-user anchor frame is |users|-sized, tiny relative
+    * to events at any scale); no window over the full event stream. */
+  private def tsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val anchor = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t_click"))
+    val conv = ev.join(broadcast(anchor), col("user_id") === col("u"))
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_conv"))
+    anchor.join(conv, col("u") === col("user_id"), "left")
+      .select(col("u").as("user_id"), col("t_click"), col("t_conv"),
+        col("t_conv").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_funnel" -> tsFunnel _,
     "ts_downsample_ohlc" -> tsOhlc _,
     "ts_ewma" -> tsEwma _,
     "ts_outlier_mad" -> tsOutlierMad _,
@@ -210,6 +231,16 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_funnel" ->
+      ("WITH anchor AS (SELECT user_id AS u, MIN(ts) AS t_click FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "conv AS (SELECT e.user_id, MIN(e.ts) AS t_conv FROM events e " +
+        "JOIN anchor a ON e.user_id = a.u WHERE e.event_type = 'purchase' " +
+        "AND e.ts >= a.t_click AND e.ts <= a.t_click + INTERVAL 7 DAY " +
+        "GROUP BY e.user_id) " +
+        "SELECT a.u AS user_id, a.t_click, c.t_conv, " +
+        "c.t_conv IS NOT NULL AS converted " +
+        "FROM anchor a LEFT JOIN conv c ON a.u = c.user_id ORDER BY user_id"),
     "ts_downsample_ohlc" ->
       ("SELECT user_id, date_trunc('hour', ts) AS bucket, " +
         "arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low, " +

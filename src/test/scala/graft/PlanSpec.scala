@@ -68,6 +68,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
   }
 
+  test("sql_q5 snowflake: all dims broadcast, no nested-loop fallback") {
+    val p = plan("sql_q5_local_supplier")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected >=3 dim broadcasts, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in q5:\n$p")
+  }
+
   test("join_bucketed plans a sort-merge join with no Exchange on either side") {
     // core (pre-orderBy) plan: the bucketed layout must satisfy the SMJ's
     // distribution requirement on both sides — any Exchange means the
