@@ -216,7 +216,27 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Cohort retention matrix: users cohorted by first-active day; cell
+    * (cohort_day, day_offset) counts users active offset days later. Same
+    * broadcast-anchor shape as the funnel; offsets in exact integer
+    * micros-DIV-day arithmetic (identical both engines — engine datediff
+    * semantics differ and are avoided). */
+  private def tsRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id").as("u")).agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohort), col("user_id") === col("u"))
+      .select(col("user_id"), col("cohort_day"),
+        expr("(unix_micros(day) - unix_micros(cohort_day)) DIV 86400000000")
+          .as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_retention" -> tsRetention _,
     "ts_funnel" -> tsFunnel _,
     "ts_downsample_ohlc" -> tsOhlc _,
     "ts_ewma" -> tsEwma _,
@@ -231,6 +251,17 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_retention" ->
+      // CAST: DuckDB's date_trunc('day') yields DATE, Spark's TIMESTAMP
+      ("WITH ed AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) " +
+        "AS day FROM events), " +
+        "cohort AS (SELECT user_id AS u, MIN(day) AS cohort_day FROM ed " +
+        "GROUP BY user_id), " +
+        "x AS (SELECT DISTINCT user_id, cohort_day, " +
+        "(epoch_us(day) - epoch_us(cohort_day)) // 86400000000 AS day_offset " +
+        "FROM ed JOIN cohort ON user_id = u) " +
+        "SELECT cohort_day, day_offset, COUNT(*) AS n_active FROM x " +
+        "GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
     "ts_funnel" ->
       ("WITH anchor AS (SELECT user_id AS u, MIN(ts) AS t_click FROM events " +
         "WHERE event_type = 'click' GROUP BY user_id), " +
