@@ -145,7 +145,8 @@ object StreamingQueries {
   /** Complete-mode sliding window — final state equals the batch answer, so
     * it carries a full oracle. */
   private def slidingComplete(s: SparkSession, d: String): DataFrame =
-    runStream(s, d, "complete") { in =>
+    // complete mode: final state = the batch answer at ANY batching => 4
+    runStream(s, d, "complete", filesPerTrigger = 4) { in =>
       in.groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
     }.select(col("window.start").as("wstart"), col("n"), col("sum_value"))
@@ -178,7 +179,9 @@ object StreamingQueries {
     * (staged files), each batch's group iterator is sorted in the function,
     * so the running totals hash-match a batch window-function oracle. */
   private def statefulRunning(s: SparkSession, d: String): DataFrame =
-    runStream(s, d, "append") { in =>
+    // files are time-ranged, the step sorts within each group iterator,
+    // state carries across batches => exact at any files/trigger
+    runStream(s, d, "append", filesPerTrigger = 4) { in =>
       import in.sparkSession.implicits._
       val ds: Dataset[SEvent] = in.select(col("event_id"), col("user_id"),
         col("ts"), graft.U.cents(col("value")).as("cents")).as[SEvent]
@@ -205,7 +208,7 @@ object StreamingQueries {
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runStream(s, d, "append") { in =>
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
       import in.sparkSession.implicits._
       in.select(col("event_id"), col("user_id"), col("ts"),
           graft.U.cents(col("value")).as("cents")).as[SEvent]
@@ -260,7 +263,8 @@ object StreamingQueries {
       .select(col("event_type").as("et"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("event_type"))).cast(LongType).as("type_code"))
-    runStream(s, d, "append") { in =>
+    // stateless enrichment => batch-boundary-independent => 4 files/batch
+    runStream(s, d, "append", filesPerTrigger = 4) { in =>
       in.join(broadcast(dim), col("event_type") === col("et"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("type_code"), col("value"))
@@ -276,7 +280,8 @@ object StreamingQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
-    val q = stagedSource(s, d, doubled = false)
+    // stateless projection sink => batch-boundary-independent => 4
+    val q = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
       .withColumn("value_cents", graft.U.cents(col("value")))
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckDir)
