@@ -87,7 +87,21 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Same result through the custom whole-operator plan
+    * ([[graft.plans.GroupedTopK]]): per-partition bounded heaps instead of
+    * Exchange→full-sort→Window→Filter — O(n log k), no sort buffers. Shares
+    * win_topk_group's oracle; PlanSpec asserts the Window-free plan. */
+  private def winTopkNative(s: SparkSession, d: String): DataFrame =
+    graft.plans.GroupedTopKApi(
+      U.tbl(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      groupBy = Seq("o_custkey"),
+      orderBy = Seq(("o_totalprice", true), ("o_orderkey", false)),
+      k = 3, rankName = "rn")
+      .orderBy("o_custkey", "rn")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_native" -> winTopkNative _,
     "win_nth" -> winNth _,
     "win_rank" -> winRank _,
     "win_analytic" -> winAnalytic _,
@@ -129,8 +143,12 @@ object Windows {
         s"CAST(SUM(${OSQL.cents("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_spend " +
         "FROM orders ORDER BY o_orderkey"),
-    "win_topk_group" ->
-      ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
-        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
-        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"))
+    "win_topk_group" -> topkSql,
+    "win_topk_native" -> topkSql)
+
+  /** One oracle pins both the window and the native-operator formulation. */
+  private lazy val topkSql =
+    "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+      "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"
 }

@@ -1,14 +1,19 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Expression <-> Column bridge. Spark 4 made the converters
-  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so custom
-  * Catalyst expressions need this one-file shim inside the sql package
-  * hierarchy to surface as user-facing Columns. */
+/** Expression <-> Column and LogicalPlan -> DataFrame bridge. Spark 4 made
+  * the converters `private[sql]` (org.apache.spark.sql.classic
+  * .ExpressionUtils / classic.Dataset.ofRows), so custom Catalyst
+  * expressions and plan nodes need this one-file shim inside the sql
+  * package hierarchy to surface through the public API. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

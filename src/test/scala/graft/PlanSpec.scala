@@ -68,6 +68,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
   }
 
+  test("win_topk_native plans the custom operator: no Window, no per-group sort") {
+    val p = plan("win_topk_native")
+    assert(p.contains("GroupedTopK"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"fell back to window:\n$p")
+    // the ONLY sort is the final presentation orderBy; the operator itself
+    // must not sort its input (heaps replace the sort)
+    val sortsBelowTopk = p.linesIterator.dropWhile(!_.contains("GroupedTopK"))
+      .count(_.contains("Sort "))
+    assert(sortsBelowTopk == 0, s"input sorted below the top-k operator:\n$p")
+  }
+
+  test("win_topk_native values match the window formulation row-for-row") {
+    val native = SparkEntry.queries("win_topk_native")(spark, sfDir).collect()
+    val window = SparkEntry.queries("win_topk_group")(spark, sfDir).collect()
+    assert(native.length == window.length)
+    native.zip(window).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("sql_q5 snowflake: all dims broadcast, no nested-loop fallback") {
     val p = plan("sql_q5_local_supplier")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
