@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,33 +56,80 @@ private class DeterministicTable(rows: Long, slices: Int)
   override def name(): String = s"deterministic($rows)"
   override def schema(): StructType = DeterministicSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DeterministicScanBuilder(rows, slices)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val batchRows = options.getOrDefault("batchRows", "5000").toLong
+    require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
+    new DeterministicScanBuilder(rows, slices, batchRows)
+  }
 }
 
-private class DeterministicScanBuilder(rows: Long, slices: Int)
+private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = DeterministicSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** [start, end) split into `slices` parallel ranges over pruned columns. */
+  private def slicePartitions(start: Long, end: Long): Array[InputPartition] = {
+    val n = end - start
+    val step = math.max(n / slices, 1L)
+    (0 until slices).map { i =>
+      val s = start + i * step
+      val e = if (i == slices - 1) end else math.min(start + (i + 1) * step, end)
+      RangeSlice(s, math.max(s, e), required.fieldNames): InputPartition
+    }.toArray
+  }
+
+  private def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new SliceReader(p.asInstanceOf[RangeSlice])
+  }
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] = {
-      val step = math.max(rows / slices, 1L)
-      (0 until slices).map { i =>
-        val start = i * step
-        val end = if (i == slices - 1) rows else math.min((i + 1) * step, rows)
-        RangeSlice(start, end, required.fieldNames): InputPartition
-      }.toArray
-    }
-    override def createReaderFactory(): PartitionReaderFactory =
-      new PartitionReaderFactory {
-        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-          new SliceReader(p.asInstanceOf[RangeSlice])
+    override def planInputPartitions(): Array[InputPartition] =
+      slicePartitions(0L, rows)
+    override def createReaderFactory(): PartitionReaderFactory = readerFactory
+
+    /** Streaming side of the SAME table: the row-id space replayed in
+      * admission-controlled micro-batches of `batchRows` (Trigger
+      * .AvailableNow drains it batch over batch to the fixed end, so the
+      * final state is exactly the batch read => full oracle). The offset
+      * is the next unread row id — trivially serializable, and restart
+      * just resumes the arithmetic at the committed id. */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new MicroBatchStream with SupportsAdmissionControl {
+        private def off(o: Offset): Long = o.asInstanceOf[IdOffset].id
+        override def initialOffset(): Offset = IdOffset(0L)
+        override def latestOffset(): Offset =
+          throw new UnsupportedOperationException(
+            "admission-controlled source: use latestOffset(start, limit)")
+        override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+          // ReadAllAvailable is how Trigger.AvailableNow captures the drain
+          // TARGET at query start — it must see the full row space, or the
+          // replay silently stops after one batch
+          val cap = limit match {
+            case m: ReadMaxRows => m.maxRows()
+            case _: streaming.ReadAllAvailable => rows
+            case _ => batchRows
+          }
+          IdOffset(math.min(rows, off(start) + cap))
+        }
+        override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+        override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+          slicePartitions(off(start), off(end))
+        override def createReaderFactory(): PartitionReaderFactory = readerFactory
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
       }
   }
+}
+
+private case class IdOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
 }
 
 private case class RangeSlice(start: Long, end: Long, fields: Array[String])

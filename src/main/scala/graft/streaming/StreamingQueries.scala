@@ -256,6 +256,24 @@ object StreamingQueries {
     s.table(name).orderBy("c_event_id", "p_event_id")
   }
 
+  /** Streaming read through the custom DSv2 connector
+    * ([[graft.sources.DeterministicSource]]): the generator's row-id space
+    * drains in admission-controlled 5k-row micro-batches (4 batches);
+    * complete-mode aggregate => final state equals the batch read => the
+    * same generator-arithmetic oracle as scan_custom_source. */
+  private def customSourceStream(s: SparkSession, d: String): DataFrame = {
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val q = s.readStream.format("graft.sources.DeterministicSource")
+      .option("rows", "20000").option("slices", "8").option("batchRows", "5000")
+      .load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("bucket")
+  }
+
   /** Stream-static enrichment join: the static side is a tiny derived dim
     * (event_type -> code), broadcast to every micro-batch. */
   private def staticJoin(s: SparkSession, d: String): DataFrame = {
@@ -299,6 +317,7 @@ object StreamingQueries {
     "stream_stateful" -> statefulRunning _,
     "stream_stateful_tws" -> statefulRunningTws _,
     "stream_stream_join" -> streamStreamJoin _,
+    "stream_custom_source" -> customSourceStream _,
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
@@ -331,6 +350,10 @@ object StreamingQueries {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS " +
         "ORDER BY c_event_id, p_event_id"),
+    "stream_custom_source" ->
+      ("SELECT bucket, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sum_cents " +
+        "FROM (SELECT range % 32 AS bucket, (range * 2654435761) % 100000 AS vc " +
+        "FROM range(0, 20000)) GROUP BY bucket ORDER BY bucket"),
     "stream_static_join" ->
       ("SELECT event_id, user_id, event_type, type_code, value FROM events " +
         "JOIN (SELECT event_type AS et, CAST(row_number() OVER " +
