@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator surface: the GroupedTopK strategy + the optimizer rule
+    // rewriting Filter(rn<=k, Window(row_number)) into it
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectFunction((FunctionIdentifier("graft_fixed_dot"),
       new ExpressionInfo(classOf[FixedDot].getName, "graft_fixed_dot"),
       (args: Seq[Expression]) => FixedDot(args(0), args(1))))

@@ -79,6 +79,24 @@ class PlanSpec extends SparkTestBase {
     assert(sortsBelowTopk == 0, s"input sorted below the top-k operator:\n$p")
   }
 
+  test("TopKRewriteRule rewrites the window top-k idiom into GroupedTopK") {
+    graft.plans.GroupedTopKApi.register(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    val prev = exp.extraOptimizations
+    exp.extraOptimizations = prev :+ graft.plans.TopKRewriteRule
+    try {
+      val df = SparkEntry.queries("win_topk_group")(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("GroupedTopK"), s"rule did not rewrite:\n$p")
+      assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+      val rewritten = df.collect()
+      exp.extraOptimizations = prev
+      val plain = SparkEntry.queries("win_topk_group")(spark, sfDir).collect()
+      assert(rewritten.length == plain.length)
+      rewritten.zip(plain).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally exp.extraOptimizations = prev
+  }
+
   test("win_topk_native values match the window formulation row-for-row") {
     val native = SparkEntry.queries("win_topk_native")(spark, sfDir).collect()
     val window = SparkEntry.queries("win_topk_group")(spark, sfDir).collect()
