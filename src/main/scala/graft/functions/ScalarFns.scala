@@ -160,12 +160,38 @@ object ScalarFns {
     "fn_bitwise" -> fnBitwise _,
     "fn_conditional" -> fnConditional _,
     "fn_string" -> fnString _,
+    "fn_regex" -> fnRegex _,
     "fn_datetime" -> fnDatetime _,
     "fn_math" -> fnMath _,
     "fn_array" -> fnArray _,
     "fn_map_json" -> fnMapJson _)
 
+  /** Regex extraction family: first-match extract (with and without group),
+    * all-matches extract (serialized — the hash gate can't sort arrays),
+    * and a membership test. Patterns kept in the RE2-compatible subset so
+    * Java regex and DuckDB RE2 agree. */
+  private def fnRegex(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+      regexp_extract(col("p_type"), "([A-Z]+)([A-Z]*)", 0).as("caps_run"),
+      array_join(expr("regexp_extract_all(p_name, '[a-z]{5,}', 0)"), "|")
+        .as("long_words"),
+      col("p_name").rlike("^[a-z]").as("starts_lower"),
+      size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).cast(LongType)
+        .as("n_vowels"))
+      .orderBy("p_partkey")
+
   val oracleSql: Map[String, String] = Map(
+    "fn_regex" ->
+      ("SELECT p_partkey, " +
+        "coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word, " +
+        "coalesce(regexp_extract(p_type, '([A-Z]+)([A-Z]*)', 0), '') AS caps_run, " +
+        "coalesce(list_aggregate(regexp_extract_all(p_name, '[a-z]{5,}', 0), " +
+        "'string_agg', '|'), '') AS long_words, " +
+        "regexp_matches(p_name, '^[a-z]') AS starts_lower, " +
+        "CAST(len(regexp_extract_all(p_name, '[aeiou]', 0)) AS BIGINT) AS n_vowels " +
+        "FROM part ORDER BY p_partkey"),
     "fn_encoding" ->
       ("SELECT p_partkey, to_base64(encode(p_name)) AS name_b64, " +
         "decode(from_base64(to_base64(encode(p_name)))) AS roundtrip, " +

@@ -180,7 +180,26 @@ object Aggregations {
       .orderBy("user_id")
   }
 
+  /** Deterministic mode: most frequent o_orderpriority per status, count
+    * ties broken by the smaller value — two hash-aggs + one row_number
+    * (engine-native mode()/arg_max tie behavior is unspecified, so the
+    * tiebreak is explicit and identical on both sides). */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    U.tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> aggMode _,
     "agg_kmv_distinct" -> aggKmvDistinct _,
     "agg_pivot" -> aggPivot _,
     "agg_cube" -> aggCube _,
@@ -246,6 +265,13 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mode" ->
+      ("SELECT o_orderstatus, o_orderpriority AS mode_priority, " +
+        "cnt AS mode_count FROM (SELECT o_orderstatus, o_orderpriority, " +
+        "COUNT(*) AS cnt, row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY COUNT(*) DESC, o_orderpriority) AS rn FROM orders " +
+        "GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1 " +
+        "ORDER BY o_orderstatus"),
     "agg_kmv_distinct" -> kmvSql,
     "agg_pivot" ->
       ("SELECT user_id, " +
