@@ -86,13 +86,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-label embedding centroids in the exact fixed-point domain
+    * (posexplode → per-(label, dim) integer sums → floored mean): the
+    * label-analytics rung of embedding curation (class prototypes, drift
+    * checks). One explode shuffle keyed (label, dim) — linear, and the
+    * same recenter shape as the IVF quantizer but fully oracle-able. */
+  private def embLabelCentroid(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "embeddings")
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0)))).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).cast(LongType).as("cx"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_label_centroid" -> embLabelCentroid _,
     "split_train_test" -> splitTrainTest _,
     "sample_stratified" -> sampleStratified _,
     "dedup_normalized" -> dedupNormalized _,
     "pack_sequences" -> packSequences _)
 
   val oracleSql: Map[String, String] = Map(
+    "emb_label_centroid" ->
+      ("WITH f AS (SELECT label, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
+        "FROM embeddings) " +
+        "SELECT label, CAST(i AS BIGINT) AS dim, " +
+        "CAST(floor(CAST(SUM(fx[CAST(i AS INTEGER)]) AS DOUBLE) / COUNT(*)) " +
+        "AS BIGINT) AS cx, COUNT(*) AS n_vecs " +
+        "FROM f CROSS JOIN range(1, 65) t(i) " +
+        "GROUP BY label, i ORDER BY label, dim"),
     "split_train_test" ->
       (s"SELECT doc_id, ${sqlPolyHash("text", 7L)} % 100 AS bucket, " +
         s"CASE WHEN ${sqlPolyHash("text", 7L)} % 100 < 80 THEN 'train' " +

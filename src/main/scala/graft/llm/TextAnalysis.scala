@@ -90,7 +90,31 @@ object TextAnalysis {
         .as("min_token_hash"))
       .orderBy("doc_id")
 
+  /** Unigram log-prob quality score per doc (the perplexity-style rung of
+    * corpus quality filtering): avg over tokens of ln(corpus_tf/total).
+    * The per-token log-prob is floored to INTEGER MICRO-NATS before the
+    * per-doc sum — double addition is not associative, so summing raw
+    * doubles would make the result partial-aggregation-order-dependent;
+    * the integer sum is exact and engine-identical, with one final
+    * division back to doubles. */
+  private def unigramLp(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("token")).agg(count(lit(1)).as("ctf"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(tf, "token").crossJoin(broadcast(tot))
+      .withColumn("lp_micro",
+        floor(log(col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType)) *
+          lit(1000000.0)).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        col("sum_lp_micro").cast(DoubleType) / (lit(1000000.0) * col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_lp" -> unigramLp _,
     "text_tokenize_tf" -> tokenizeTf _,
     "text_tfidf" -> tfidf _,
     "text_quality_stats" -> qualityStats _,
@@ -99,6 +123,19 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_unigram_lp" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, COUNT(*) AS ctf FROM tok GROUP BY token), " +
+        "tot AS (SELECT COUNT(*) AS n_total FROM tok) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "CAST(SUM(CAST(floor(ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) " +
+        "* 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro, " +
+        "CAST(SUM(CAST(floor(ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE)) " +
+        "* 1000000.0) AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
+        "AS avg_logprob " +
+        "FROM tok JOIN tf USING (token) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "text_tokenize_tf" ->
       (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents) " +

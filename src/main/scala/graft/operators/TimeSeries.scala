@@ -235,9 +235,37 @@ object TimeSeries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Multi-stage funnel (windowFunnel shape): signup → click → purchase,
+    * each stage within 7 days of the previous one, max stage per user.
+    * Chained broadcast-anchor joins — each stage frame is |users|-sized. */
+  private def tsFunnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    def stageAfter(prev: DataFrame, prevTs: String, etype: String, out: String) =
+      ev.join(broadcast(prev), ev("user_id") === prev("u"))
+        .filter(col("event_type") === etype &&
+          col("ts") >= col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 7 DAYS"))
+        .groupBy(ev("user_id").as("u2")).agg(min(col("ts")).as(out))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t_signup"))
+    val s2 = stageAfter(s1, "t_signup", "click", "t_click")
+      .select(col("u2").as("u"), col("t_click"))
+    val s3 = stageAfter(s2, "t_click", "purchase", "t_purchase")
+      .select(col("u2").as("u3"), col("t_purchase"))
+    s1.join(s2.select(col("u").as("u2x"), col("t_click")),
+        col("u") === col("u2x"), "left")
+      .join(s3, col("u") === col("u3"), "left")
+      .select(col("u").as("user_id"), col("t_signup"), col("t_click"),
+        col("t_purchase"),
+        (lit(1L) + col("t_click").isNotNull.cast(LongType) +
+          col("t_purchase").isNotNull.cast(LongType)).as("max_stage"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_retention" -> tsRetention _,
     "ts_funnel" -> tsFunnel _,
+    "ts_funnel_steps" -> tsFunnelSteps _,
     "ts_downsample_ohlc" -> tsOhlc _,
     "ts_ewma" -> tsEwma _,
     "ts_outlier_mad" -> tsOutlierMad _,
@@ -251,6 +279,22 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_funnel_steps" ->
+      ("WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t_signup FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t_click FROM events e " +
+        "JOIN s1 ON e.user_id = s1.u WHERE e.event_type = 'click' " +
+        "AND e.ts >= s1.t_signup AND e.ts <= s1.t_signup + INTERVAL 7 DAY " +
+        "GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t_purchase FROM events e " +
+        "JOIN s2 ON e.user_id = s2.u WHERE e.event_type = 'purchase' " +
+        "AND e.ts >= s2.t_click AND e.ts <= s2.t_click + INTERVAL 7 DAY " +
+        "GROUP BY e.user_id) " +
+        "SELECT s1.u AS user_id, s1.t_signup, s2.t_click, s3.t_purchase, " +
+        "1 + CAST(s2.t_click IS NOT NULL AS BIGINT) + " +
+        "CAST(s3.t_purchase IS NOT NULL AS BIGINT) AS max_stage " +
+        "FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u " +
+        "ORDER BY user_id"),
     "ts_retention" ->
       // CAST: DuckDB's date_trunc('day') yields DATE, Spark's TIMESTAMP
       ("WITH ed AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) " +
