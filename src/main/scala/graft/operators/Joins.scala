@@ -126,6 +126,34 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each 'error' enriched with the EARLIEST same-user
+    * 'purchase' at ts >= error ts — the joinAsof formulation with time
+    * reversed (latest-first scan makes earliest-at-or-after a running
+    * last; build rows still sort before probes at equal ts => ">="). */
+  private def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val tagged = build
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+      .unionByName(probe.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(TimestampType).as("b_ts"),
+        lit(null).cast(DoubleType).as("b_value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("next_ts", last(col("b_ts"), ignoreNulls = true).over(w))
+      .withColumn("next_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_ts"),
+        col("next_value"))
+      .orderBy("event_id")
+  }
+
   /** Interval-overlap join with an equi prefix (user_id): per-user activity
     * spans of two event types that overlap in time. */
   private def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
@@ -216,6 +244,7 @@ object Joins {
     "join_cross_theta" -> joinCrossTheta _,
     "join_range" -> joinRange _,
     "join_asof" -> joinAsof _,
+    "join_asof_forward" -> joinAsofForward _,
     "join_interval_overlap" -> joinIntervalOverlap _)
 
   val oracleSql: Map[String, String] = Map(
@@ -279,6 +308,12 @@ object Joins {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase') b " +
         "ON p.user_id = b.user_id AND b.ts <= p.ts ORDER BY p.event_id"),
+    "join_asof_forward" ->
+      ("SELECT p.event_id, p.user_id, p.ts, b.ts AS next_ts, b.value AS next_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') p " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase') b " +
+        "ON p.user_id = b.user_id AND b.ts >= p.ts ORDER BY p.event_id"),
     "join_interval_overlap" ->
       ("WITH spans AS (SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e " +
         "FROM events GROUP BY user_id, event_type) " +

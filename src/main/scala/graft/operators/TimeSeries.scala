@@ -262,7 +262,30 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Centered moving-average detrend (seasonal-decompose's trend pass):
+    * hourly buckets per event_type, trend = mean over the ±12-bucket ROWS
+    * frame in exact cents (long sums; ONE double division at the end),
+    * residual = bucket mean - trend. */
+  private def tsSeasonal(s: SparkSession, d: String): DataFrame = {
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(sum(U.cents(col("value"))).as("sum_c"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-12, 12)
+    hourly
+      .withColumn("trend",
+        (sum(col("sum_c")).over(w).cast(DoubleType) /
+          (lit(100.0) * sum(col("n")).over(w).cast(DoubleType))))
+      .select(col("event_type"), col("bucket"),
+        (col("sum_c").cast(DoubleType) / (lit(100.0) * col("n"))).as("bucket_mean"),
+        col("trend"),
+        ((col("sum_c").cast(DoubleType) / (lit(100.0) * col("n"))) - col("trend"))
+          .as("residual"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal" -> tsSeasonal _,
     "ts_retention" -> tsRetention _,
     "ts_funnel" -> tsFunnel _,
     "ts_funnel_steps" -> tsFunnelSteps _,
@@ -279,6 +302,21 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_seasonal" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket, " +
+        s"CAST(SUM($c) AS BIGINT) AS sum_c, COUNT(*) AS n FROM events " +
+        "GROUP BY 1, 2) " +
+        "SELECT event_type, bucket, " +
+        "CAST(sum_c AS DOUBLE) / (100.0 * n) AS bucket_mean, " +
+        "CAST(SUM(sum_c) OVER w AS DOUBLE) / " +
+        "(100.0 * CAST(SUM(n) OVER w AS DOUBLE)) AS trend, " +
+        "CAST(sum_c AS DOUBLE) / (100.0 * n) - CAST(SUM(sum_c) OVER w AS DOUBLE) / " +
+        "(100.0 * CAST(SUM(n) OVER w AS DOUBLE)) AS residual " +
+        "FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) " +
+        "ORDER BY event_type, bucket"
+    },
     "ts_funnel_steps" ->
       ("WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t_signup FROM events " +
         "WHERE event_type = 'signup' GROUP BY user_id), " +
