@@ -58,9 +58,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: the payload sliced into 4 equal byte-range frames
+    * (ceil split; trailing empty frames dropped), each tagged with its
+    * offset/length and content digest — the deterministic skeleton of
+    * video frame-sampling / audio windowing, where the digest projection
+    * is what a codec feature-extractor would replace. Pure per-row
+    * expressions after an explode: embarrassingly parallel. */
+  private def frameSample(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"))
+      .withColumn("frame_idx", explode(array((0 until 4).map(i => lit(i.toLong)): _*)))
+      .withColumn("f_len", expr("(n_bytes + 3) DIV 4"))
+      .withColumn("f_start", col("frame_idx") * col("f_len") + 1)
+      .filter(col("f_start") <= col("n_bytes"))
+      .select(col("doc_id"), col("frame_idx"), col("f_start"),
+        least(col("f_len"), col("n_bytes") - col("f_start") + 1).as("f_take"),
+        sha2(expr("substring(payload, CAST(f_start AS INT), CAST(f_len AS INT))"), 256)
+          .as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_schema" -> schema _,
-    "multimodal_decode" -> decode _)
+    "multimodal_decode" -> decode _,
+    "multimodal_framesample" -> frameSample _)
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_schema" ->
@@ -70,6 +91,20 @@ object Multimodal {
     // NOTE: the oracle folds per-character code points while the Scala
     // decode folds UTF-8 bytes — identical for the all-ASCII fixtures; a
     // non-ASCII corpus would need a byte-level oracle.
+    // all-ASCII fixture => char positions == byte positions (same caveat
+    // as multimodal_decode)
+    "multimodal_framesample" ->
+      ("WITH b AS (SELECT doc_id, text, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
+        "i * ((n_bytes + 3) // 4) + 1 AS f_start, " +
+        "least((n_bytes + 3) // 4, n_bytes - (i * ((n_bytes + 3) // 4) + 1) + 1) " +
+        "AS f_take, " +
+        "sha256(substring(text, CAST(i * ((n_bytes + 3) // 4) + 1 AS INTEGER), " +
+        "CAST((n_bytes + 3) // 4 AS INTEGER))) AS frame_digest " +
+        "FROM b CROSS JOIN range(0, 4) t(i) " +
+        "WHERE i * ((n_bytes + 3) // 4) + 1 <= n_bytes " +
+        "ORDER BY doc_id, frame_idx"),
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(CASE WHEN length(text) = 0 THEN -1 " +
