@@ -228,42 +228,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Character 5-gram Jaccard near-dup — the language-agnostic rung (word
-    * shingles assume whitespace tokenization; char grams survive CJK,
-    * code, and concatenated text). Same inverted-index + df-cap shape as
-    * the word-level query; hashed grams (poly hash) keep the index rows
-    * narrow. Threshold 0.5: char-gram overlap runs higher than word-gram
-    * overlap for unrelated docs. */
-  private def jaccardCharPairs(s: SparkSession, d: String): DataFrame = {
-    // guard: Spark's sequence(1, 0) counts DOWN (TextUtil pitfall), so
-    // sub-5-char docs need the explicit empty
-    val grams = when(length(col("text")) < 5, array().cast("array<string>"))
-      .otherwise(array_distinct(expr(
-        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")))
-    val sh = docs(s, d)
-      .select(col("doc_id"), grams.as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"),
-        graft.plans.CustomExprs.poly_hash_array(col("gs"), 29L).as("hs"),
-        size(col("gs")).cast(LongType).as("n_g"))
-    val inv = sh.select(col("doc_id"), col("n_g"), explode(col("hs")).as("g"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") <= lit(ShingleDfCap))
-      .drop("df")
-    val a = inv.select(col("doc_id").as("da"), col("n_g").as("na"), col("g"))
-    val b = inv.select(col("doc_id").as("db"), col("n_g").as("nb"), col("g"))
-    a.join(b, Seq("g")).filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jac", col("common").cast(DoubleType) /
-        (col("na") + col("nb") - col("common")).cast(DoubleType))
-      .filter(col("jac") >= 0.5)
-      .select(col("da"), col("db"), col("common"), col("jac"))
-      .orderBy("da", "db")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_jaccard_char" -> jaccardCharPairs _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard" -> jaccardPairs _,
     "dedup_minhash" -> minhashPairs _,
@@ -309,25 +274,6 @@ object Dedup {
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
         "SELECT u AS doc_id, MIN(v) AS cluster_id, (MIN(v) = u) AS is_keeper " +
         "FROM reach GROUP BY u ORDER BY doc_id"),
-    "dedup_jaccard_char" -> {
-      val ph = sqlPolyHash("t", 29L)
-      "WITH g AS (SELECT doc_id, list_distinct(list_transform(" +
-        "range(1, greatest(length(text) - 4, 0) + 1), " +
-        "i -> substring(text, CAST(i AS INTEGER), 5))) AS gs FROM documents), " +
-        s"h AS (SELECT doc_id, list_transform(gs, t -> $ph) AS hs, " +
-        "CAST(len(gs) AS BIGINT) AS n_g FROM g WHERE len(gs) > 0), " +
-        "inv0 AS (SELECT doc_id, n_g, unnest(hs) AS gm FROM h), " +
-        "inv AS (SELECT doc_id, n_g, gm FROM (SELECT doc_id, n_g, gm, " +
-        "COUNT(*) OVER (PARTITION BY gm) AS df FROM inv0) " +
-        s"WHERE df <= ${Dedup.ShingleDfCap}), " +
-        "p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n_g AS na, " +
-        "b.n_g AS nb, COUNT(*) AS common FROM inv a JOIN inv b " +
-        "ON a.gm = b.gm AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
-        "SELECT da, db, common, CAST(common AS DOUBLE) / " +
-        "CAST(na + nb - common AS DOUBLE) AS jac FROM p " +
-        "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5 " +
-        "ORDER BY da, db"
-    },
     "dedup_simhash" -> simhashSql)
 
   /** Shared CTE chain producing the exact-Jaccard candidate `pairs` —
