@@ -198,7 +198,25 @@ object Aggregations {
       .orderBy("o_orderstatus")
   }
 
+  /** Fixed-width histogram ($25 buckets) over event values: bucket id via
+    * floor on exact cents (positive domain, so floor == integer division on
+    * both engines). One hash-agg — the scalable histogram shape; at 100 TB
+    * the bucket count stays O(range/width) regardless of row count. */
+  private def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    U.events(s, d)
+      .groupBy(floor(vc / lit(2500.0)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        U.dsum(col("value")).as("sum_v"))
+      .select(col("bucket"), (col("bucket") * lit(25.0)).as("bucket_lo"),
+        col("n"), col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> aggHistogram _,
     "agg_mode" -> aggMode _,
     "agg_kmv_distinct" -> aggKmvDistinct _,
     "agg_pivot" -> aggPivot _,
@@ -265,6 +283,12 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_histogram" ->
+      ("SELECT bucket, CAST(bucket AS DOUBLE) * 25.0 AS bucket_lo, COUNT(*) AS n, " +
+        "MIN(value) AS min_v, MAX(value) AS max_v, " +
+        s"${OSQL.dsum("value")} AS sum_v FROM (SELECT value, " +
+        s"CAST(floor(${OSQL.cents("value")} / 2500.0) AS BIGINT) AS bucket " +
+        "FROM events) GROUP BY bucket ORDER BY bucket"),
     "agg_mode" ->
       ("SELECT o_orderstatus, o_orderpriority AS mode_priority, " +
         "cnt AS mode_count FROM (SELECT o_orderstatus, o_orderpriority, " +

@@ -284,7 +284,74 @@ object TimeSeries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Linear interpolation of each user's daily series at unobserved grid
+    * points: same sequence+explode grid as [[tsResampleFill]], then the
+    * previous/next observed (value, day) via two frames over ONE sort order,
+    * interp = pv + (nv−pv)·frac with frac an exact-integer-µs ratio — the
+    * identical double-op tree runs in the oracle, so the hash gate holds. */
+  private def tsInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+        date_trunc("DAY", max(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev.withColumn("day", date_trunc("DAY", col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("obs"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("obs").isNotNull, col("day"))
+    val nbrs = grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("pv", last(col("obs"), ignoreNulls = true).over(wB))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(wF))
+      .withColumn("nx", first(obsDay, ignoreNulls = true).over(wF))
+    val frac = (unix_micros(col("day")) - unix_micros(col("pd"))).cast(DoubleType) /
+      (unix_micros(col("nx")) - unix_micros(col("pd"))).cast(DoubleType)
+    nbrs.select(col("user_id"), col("day"),
+      when(col("obs").isNotNull, col("obs"))
+        .when(col("pv").isNull, col("nv"))
+        .when(col("nv").isNull, col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) * frac).as("interp_value"),
+      col("obs").isNotNull.as("is_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Lag-1 autocorrelation of each user's value series: lag over one
+    * shuffle+sort, then exact-cents power sums (products widened to
+    * DECIMAL(38,0) so the sum can't wrap at sf100+) through the shared
+    * covPowerSums tree — one extra hash-agg, no second sort. */
+  private def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dec = DecimalType(38, 0)
+    val pts = U.events(s, d)
+      .withColumn("xc", U.cents(col("value")))
+      .withColumn("yc", lag(col("xc"), 1).over(w))
+      .filter(col("yc").isNotNull)
+    val ps = pts.groupBy(col("user_id")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(col("xc")).cast(DoubleType).as("sx"),
+      sum(col("yc")).cast(DoubleType).as("sy"),
+      sum(col("xc").cast(dec) * col("xc").cast(dec)).cast(DoubleType).as("sxx"),
+      sum(col("yc").cast(dec) * col("yc").cast(dec)).cast(DoubleType).as("syy"),
+      sum(col("xc").cast(dec) * col("yc").cast(dec)).cast(DoubleType).as("sxy"))
+    val varX = U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))
+    val varY = U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd"))
+    val cov = U.covPowerSums(col("sxy"), col("sx"), col("sy"), col("nd"))
+    ps.select(col("user_id"), col("nd").cast(LongType).as("n_pairs"),
+      (cov / (sqrt(varX) * sqrt(varY))).as("lag1_autocorr"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interpolate" -> tsInterpolate _,
+    "ts_autocorr" -> tsAutocorr _,
     "ts_seasonal" -> tsSeasonal _,
     "ts_retention" -> tsRetention _,
     "ts_funnel" -> tsFunnel _,
@@ -302,6 +369,48 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_interpolate" ->
+      ("WITH grid AS (SELECT user_id, unnest(generate_series(" +
+        "date_trunc('day', MIN(ts)), date_trunc('day', MAX(ts)), " +
+        "INTERVAL 1 DAY)) AS day FROM events GROUP BY user_id), " +
+        "daily AS (SELECT user_id, day, value AS obs FROM (" +
+        "SELECT user_id, date_trunc('day', ts) AS day, value, " +
+        "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1), " +
+        "nbrs AS (SELECT g.user_id, g.day, d.obs, " +
+        "last_value(d.obs IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN d.obs IS NOT NULL THEN g.day END IGNORE NULLS) OVER wb AS pd, " +
+        "first_value(d.obs IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN d.obs IS NOT NULL THEN g.day END IGNORE NULLS) OVER wf AS nx " +
+        "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
+        "WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY g.user_id ORDER BY g.day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, day, " +
+        "CASE WHEN obs IS NOT NULL THEN obs " +
+        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * (CAST(epoch_us(day) - epoch_us(pd) AS DOUBLE) / " +
+        "CAST(epoch_us(nx) - epoch_us(pd) AS DOUBLE)) END AS interp_value, " +
+        "obs IS NOT NULL AS is_observed " +
+        "FROM nbrs ORDER BY user_id, day"),
+    "ts_autocorr" -> {
+      val c = OSQL.cents("value")
+      s"WITH pts AS (SELECT user_id, $c AS xc, " +
+        s"lag($c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yc " +
+        "FROM events), " +
+        "ps AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy, " +
+        "CAST(SUM(xc * xc) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(yc * yc) AS DOUBLE) AS syy, " +
+        "CAST(SUM(xc * yc) AS DOUBLE) AS sxy " +
+        "FROM pts WHERE yc IS NOT NULL GROUP BY user_id) " +
+        "SELECT user_id, CAST(nd AS BIGINT) AS n_pairs, " +
+        s"(${OSQL.covPowerSums("sxy", "sx", "sy", "nd")}) / " +
+        s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
+        s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) AS lag1_autocorr " +
+        "FROM ps ORDER BY user_id"
+    },
     "ts_seasonal" -> {
       val c = OSQL.cents("value")
       s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket, " +

