@@ -100,7 +100,82 @@ object Pipeline {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
+  /** Benchmark decontamination: flag train-split docs sharing any word
+    * 3-gram shingle with the test split (the leakage check every eval
+    * pipeline runs before training). The benchmark shingle set is tiny
+    * relative to the corpus — broadcast-joined, so the train side streams
+    * through with no shuffle until the final per-doc count. Splits reuse
+    * [[splitTrainTest]]'s content-hash buckets, so the check is stable
+    * across corpus re-shardings. */
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+      pmod(graft.plans.CustomExprs.poly_hash(col("text"), 7L), lit(100L)).as("bucket"),
+      graft.plans.CustomExprs.shingles3_fast(tokens(col("text"))).as("ss"))
+    val bench = base.filter(col("bucket") >= 90)
+      .select(explode(col("ss")).as("sh")).distinct()
+    val hits = base.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(col("ss")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("nh"))
+    base.filter(col("bucket") < 80).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nh"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("nh"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic fixed-k per-stratum sample (reservoir semantics without
+    * state): rank every event by a multiplicative hash of its id and keep
+    * the k=5 smallest per event_type. Equivalent to a seeded uniform draw,
+    * but re-runnable and shard-order-independent; one shuffle+sort per
+    * stratum, and at scale the same shape runs through GroupedTopK's
+    * bounded heaps instead of a full sort. */
+  private def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hkey"), col("event_id"))
+    U.events(s, d)
+      .withColumn("hkey",
+        pmod(col("event_id") * lit(2654435761L) + lit(40503L), lit(1000000007L)))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"),
+        col("value"))
+      .orderBy("event_type", "rn")
+  }
+
+  /** Symmetric int8 quantization of each embedding (the storage/serving
+    * compression rung): per-vector scale = max|x|/127, q = floor(x/scale
+    * + 0.5) — floor instead of round because the engines' round-half rules
+    * differ while floor is exact. Error accounting in integer nano units so
+    * the per-vector sums are associative. Explode keyed by vec_id — linear,
+    * same shape as [[embLabelCentroid]]. */
+  private def embQuantize(s: SparkSession, d: String): DataFrame = {
+    val scale = nullif(
+      expr("array_max(transform(embedding, x -> abs(cast(x as double))))") / lit(127.0),
+      lit(0.0))
+    U.tbl(s, d, "embeddings")
+      .withColumn("scale", scale)
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xd", col("x").cast(DoubleType))
+      .withColumn("q", least(lit(127L), greatest(lit(-127L),
+        floor(col("xd") / col("scale") + lit(0.5)).cast(LongType))))
+      .withColumn("err_nano",
+        floor(abs(col("xd") - col("q").cast(DoubleType) * col("scale")) *
+          lit(1000000000.0)).cast(LongType))
+      .groupBy(col("vec_id"))
+      .agg(max(col("scale")).as("scale"), count(lit(1)).as("n_dims"),
+        sum(col("q")).as("sum_q"), sum(col("q") * col("q")).as("sum_q2"),
+        sum(col("err_nano")).as("sum_abs_err_nano"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> textDecontaminate _,
+    "sample_reservoir" -> sampleReservoir _,
+    "emb_quantize" -> embQuantize _,
     "emb_label_centroid" -> embLabelCentroid _,
     "split_train_test" -> splitTrainTest _,
     "sample_stratified" -> sampleStratified _,
@@ -108,6 +183,36 @@ object Pipeline {
     "pack_sequences" -> packSequences _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_decontaminate" ->
+      (s"WITH base AS (SELECT doc_id, ${sqlPolyHash("text", 7L)} % 100 AS bucket, " +
+        s"${sqlShingles3(sqlTokens("text"))} AS ss FROM documents), " +
+        "bench AS (SELECT DISTINCT unnest(ss) AS sh FROM base WHERE bucket >= 90), " +
+        "train AS (SELECT doc_id, unnest(ss) AS sh FROM base WHERE bucket < 80), " +
+        "hits AS (SELECT doc_id, COUNT(DISTINCT sh) AS nh FROM train " +
+        "JOIN bench USING (sh) GROUP BY doc_id) " +
+        "SELECT b.doc_id, CAST(COALESCE(nh, 0) AS BIGINT) AS n_hit_shingles, " +
+        "COALESCE(nh, 0) > 0 AS is_contaminated " +
+        "FROM (SELECT doc_id FROM base WHERE bucket < 80) b " +
+        "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"),
+    "sample_reservoir" ->
+      ("SELECT event_type, rn, event_id, user_id, value FROM (" +
+        "SELECT event_type, event_id, user_id, value, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY (event_id * 2654435761 + 40503) % 1000000007, event_id) AS rn " +
+        "FROM events) WHERE rn <= 5 ORDER BY event_type, rn"),
+    "emb_quantize" ->
+      ("WITH e AS (SELECT vec_id, embedding, nullif(list_max(list_transform(" +
+        "embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 0.0) AS scale " +
+        "FROM embeddings), " +
+        "ex AS (SELECT vec_id, scale, CAST(x AS DOUBLE) AS xd " +
+        "FROM e, unnest(embedding) AS t(x)), " +
+        "q AS (SELECT vec_id, scale, xd, least(127, greatest(-127, " +
+        "CAST(floor(xd / scale + 0.5) AS BIGINT))) AS q FROM ex) " +
+        "SELECT vec_id, MAX(scale) AS scale, COUNT(*) AS n_dims, " +
+        "CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(q * q) AS BIGINT) AS sum_q2, " +
+        "CAST(SUM(CAST(floor(abs(xd - CAST(q AS DOUBLE) * scale) * 1000000000.0) " +
+        "AS BIGINT)) AS BIGINT) AS sum_abs_err_nano " +
+        "FROM q GROUP BY vec_id ORDER BY vec_id"),
     "emb_label_centroid" ->
       ("WITH f AS (SELECT label, list_transform(embedding, " +
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +

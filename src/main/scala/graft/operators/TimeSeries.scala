@@ -349,7 +349,23 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** SCD2 version-interval build (the CDC/history-table shape): each event
+    * becomes a version row [valid_from, valid_to) per user, valid_to from
+    * lead(), open interval marked current. One shuffle+sort per user — the
+    * standard change-capture pass a snapshot pipeline runs incrementally. */
+  private def tsScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("ts").as("valid_from"),
+        col("valid_to"), col("value"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_scd2" -> tsScd2 _,
     "ts_interpolate" -> tsInterpolate _,
     "ts_autocorr" -> tsAutocorr _,
     "ts_seasonal" -> tsSeasonal _,
@@ -369,6 +385,13 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_scd2" ->
+      ("SELECT user_id, " +
+        "row_number() OVER w AS version, ts AS valid_from, " +
+        "lead(ts) OVER w AS valid_to, value, " +
+        "lead(ts) OVER w IS NULL AS is_current " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, version"),
     "ts_interpolate" ->
       ("WITH grid AS (SELECT user_id, unnest(generate_series(" +
         "date_trunc('day', MIN(ts)), date_trunc('day', MAX(ts)), " +

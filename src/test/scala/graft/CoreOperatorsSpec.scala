@@ -169,6 +169,58 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("scd2 versions tile each user's timeline with one open interval") {
+    val df = graft.operators.TimeSeries.queries("ts_scd2")(spark, sfDir)
+    df.collect().groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).sameElements(1L to sorted.length))
+      sorted.sliding(2).foreach { // no gap/overlap between versions
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"))
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.get(sorted.last.fieldIndex("valid_to")) == null)
+    }
+  }
+
+  test("reservoir sample keeps exactly k rows per stratum") {
+    val df = graft.llm.Pipeline.queries("sample_reservoir")(spark, sfDir)
+    df.collect().groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rows.length))
+    }
+  }
+
+  test("int8 quantization stays in range with sub-half-step error") {
+    val df = graft.llm.Pipeline.queries("emb_quantize")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_dims")
+      val scale = r.getAs[Double]("scale")
+      assert(math.abs(r.getAs[Long]("sum_q")) <= 127L * n)
+      assert(r.getAs[Long]("sum_q2") <= 127L * 127L * n)
+      // per-dim reconstruction error < scale/2 (+1 nano floor slack per dim)
+      assert(r.getAs[Long]("sum_abs_err_nano") <=
+        (n * (scale / 2.0) * 1e9).toLong + n)
+    }
+  }
+
+  test("decontamination: flagged train docs share a shingle with the test split") {
+    val df = graft.llm.Pipeline.queries("text_decontaminate")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("n_hit_shingles") > 0) == r.getAs[Boolean]("is_contaminated"))
+    }
+    // the train split itself must be complete: one row per bucket<80 doc
+    val nTrain = graft.llm.Pipeline.queries("split_train_test")(spark, sfDir)
+      .filter(col("split") === "train").count()
+    assert(rows.length.toLong == nTrain)
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
