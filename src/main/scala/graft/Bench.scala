@@ -24,7 +24,13 @@ object Bench {
     // the failure list in the JSON (a plan-time crash is milliseconds and
     // would otherwise make a broken suite look faster than a working one)
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration subset filter (comma-separated names); the driver sets
+    // no env, so its invocation always times the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -42,7 +48,7 @@ object Bench {
     // The driver's stdout parse has failed twice (BENCH_r01/r02 "parsed":
     // null) despite a well-formed line — sbt interleaves its own output, so
     // also persist the JSON to stable paths the driver/judge can read.
-    for (p <- Seq("/tmp/graft_bench.json", "bench_latest.json")) {
+    for (p <- Seq("/tmp/graft_bench.json", "bench_latest.json") if only.isEmpty) {
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
         try w.println(json) finally w.close()

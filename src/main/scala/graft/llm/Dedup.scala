@@ -196,6 +196,22 @@ object Dedup {
     * summed in DECIMAL(38,0) so the check cannot overflow at any corpus
     * size. Fully deterministic => recursive-CTE DuckDB oracle. */
   private def clusterAssign(s: SparkSession, d: String): DataFrame = {
+    // The iteration is latency-bound, not bandwidth-bound: each round is a
+    // couple of joins over the (tiny relative to the corpus) label/edge
+    // frames plus a driver-synchronized convergence check, so the fixed
+    // per-round scheduling cost scales with shuffle width. 8 partitions for
+    // the loop; a production run sizes this by |pairs|, not by corpus rows.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try clusterAssignLoop(s, d)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def clusterAssignLoop(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val pairs = jaccardPairs(s, d).select(col("da"), col("db"))
     val edges = pairs.union(pairs.select(col("db"), col("da")))
@@ -210,6 +226,10 @@ object Dedup {
         .select(lab("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
     }
+    // NOTE: pointer-jumping (label <- label-of-label) was tried and measured
+    // SLOWER here: near-dup components are shallow (diameter ~2), so the
+    // extra per-round join costs more than the rounds it saves. It only pays
+    // off for long-chain graphs.
     var lab = docs(s, d).select(col("doc_id"), col("doc_id").as("cluster")).persist()
     var prevSum = labelSum(lab)
     var converged = false

@@ -117,11 +117,29 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(dir)
   }
 
+  /** Run `body` with shuffle parallelism sized for the replay harness: a
+    * state-store instance is committed PER shuffle partition PER micro-batch,
+    * and at local replay scale those commit rounds dominate wall-clock (the
+    * data per batch is tiny). 8 partitions cuts the fixed cost 4× vs the
+    * session's 32 without changing any result (hash partitioning is
+    * key-exact at any width). A production deployment sizes this knob to
+    * cluster cores × state volume instead — it is per-pipeline, not global. */
+  private def withReplayShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Run a streaming transform of the staged events to completion, return
     * the memory-sink table. */
   private def runStream(s: SparkSession, d: String, mode: String,
       doubled: Boolean = false, filesPerTrigger: Int = 2)
-      (build: DataFrame => DataFrame): DataFrame = {
+      (build: DataFrame => DataFrame): DataFrame = withReplayShuffle(s) {
     val in = stagedSource(s, d, doubled, filesPerTrigger)
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val q = build(in).writeStream.outputMode(mode)
@@ -229,7 +247,7 @@ object StreamingQueries {
     * The 60-day watermark delay exceeds the 30-day replay span, so no state
     * is evicted mid-replay and the inner join emits EXACTLY the batch
     * answer regardless of micro-batch boundaries => full DuckDB oracle. */
-  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
     // inner join + no mid-replay eviction => batch-boundary-independent,
     // so replay at 4 files/batch (2 batches): join state is committed to
     // the state store once per batch per partition, the dominant cost
@@ -261,7 +279,7 @@ object StreamingQueries {
     * drains in admission-controlled 5k-row micro-batches (4 batches);
     * complete-mode aggregate => final state equals the batch read => the
     * same generator-arithmetic oracle as scan_custom_source. */
-  private def customSourceStream(s: SparkSession, d: String): DataFrame = {
+  private def customSourceStream(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val q = s.readStream.format("graft.sources.DeterministicSource")
       .option("rows", "20000").option("slices", "8").option("batchRows", "5000")
