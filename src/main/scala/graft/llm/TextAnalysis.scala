@@ -113,7 +113,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram conditional log-prob score per doc (the next rung above
+    * [[unigramLp]]): avg over positions of ln(c(w1,w2)/c(w1 as prefix)),
+    * MLE-conditional on the corpus' own bigram table. Bigrams stay (w1,w2)
+    * pairs — no string re-concatenation, so tokens containing any
+    * delimiter can't alias. Same integer micro-nat doctrine as unigramLp;
+    * docs with fewer than 2 tokens have no bigrams and drop out on both
+    * engines. */
+  private def bigramLp(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2) // sequence(1,0) would count DOWN
+    val pairs = base
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cBg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cPrefix = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    pairs.join(cBg, Seq("w1", "w2")).join(cPrefix, Seq("w1"))
+      .withColumn("lp_micro",
+        floor(log(col("cb").cast(DoubleType) / col("cp").cast(DoubleType)) *
+          lit(1000000.0)).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        col("sum_lp_micro").cast(DoubleType) / (lit(1000000.0) * col("n_bigrams")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lp" -> bigramLp _,
     "text_unigram_lp" -> unigramLp _,
     "text_tokenize_tf" -> tokenizeTf _,
     "text_tfidf" -> tfidf _,
@@ -123,6 +154,22 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_bigram_lp" ->
+      (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "pairs AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, " +
+        "toks[CAST(i + 1 AS INTEGER)] AS w2 " +
+        "FROM base, unnest(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2), " +
+        "cbg AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2), " +
+        "cpx AS (SELECT w1, COUNT(*) AS cp FROM pairs GROUP BY w1) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(CAST(floor(ln(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)) " +
+        "* 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp_micro, " +
+        "CAST(SUM(CAST(floor(ln(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)) " +
+        "* 1000000.0) AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
+        "AS avg_logprob " +
+        "FROM pairs JOIN cbg USING (w1, w2) JOIN cpx USING (w1) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "text_unigram_lp" ->
       (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

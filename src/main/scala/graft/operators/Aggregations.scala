@@ -215,7 +215,44 @@ object Aggregations {
       .orderBy("bucket")
   }
 
+  /** Top-3 nations per market segment by total customer balance, with each
+    * nation's share of the segment total. Hash-agg first (the data-sized
+    * pass), then rank + percent over the agg output — the window runs on
+    * |segments×nations| rows, never on raw data. Share arithmetic in exact
+    * cents with one final double division. */
+  private def aggTopnPercent(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("bal_c").desc, col("c_nationkey"))
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+    U.tbl(s, d, "customer")
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(U.cents(col("c_acctbal"))).as("bal_c"), count(lit(1)).as("n_cust"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("seg_c", sum(col("bal_c")).over(wSeg))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_nationkey"), col("n_cust"),
+        (col("bal_c").cast(DoubleType) / lit(100.0)).as("nation_bal"),
+        (col("bal_c").cast(DoubleType) / col("seg_c").cast(DoubleType)).as("share"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Sketch-based quantiles (KLL-style percentile_approx) — the 100 TB
+    * quantile path: mergeable fixed-size sketches instead of a full sort.
+    * Approximate => rows-only gate + ApproxSpec tolerance vs the exact
+    * percentiles (same doctrine as agg_approx_distinct). */
+  private def aggApproxQuantile(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_topn_percent" -> aggTopnPercent _,
+    "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_histogram" -> aggHistogram _,
     "agg_mode" -> aggMode _,
     "agg_kmv_distinct" -> aggKmvDistinct _,
@@ -283,6 +320,19 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_topn_percent" -> {
+      val bc = OSQL.cents("c_acctbal")
+      s"WITH a AS (SELECT c_mktsegment, c_nationkey, CAST(SUM($bc) AS BIGINT) " +
+        "AS bal_c, COUNT(*) AS n_cust FROM customer GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY bal_c DESC, c_nationkey) AS rn, " +
+        "CAST(SUM(bal_c) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_c " +
+        "FROM a) " +
+        "SELECT c_mktsegment, rn, c_nationkey, n_cust, " +
+        "CAST(bal_c AS DOUBLE) / 100.0 AS nation_bal, " +
+        "CAST(bal_c AS DOUBLE) / CAST(seg_c AS DOUBLE) AS share " +
+        "FROM r WHERE rn <= 3 ORDER BY c_mktsegment, rn"
+    },
     "agg_histogram" ->
       ("SELECT bucket, CAST(bucket AS DOUBLE) * 25.0 AS bucket_lo, COUNT(*) AS n, " +
         "MIN(value) AS min_v, MAX(value) AS max_v, " +

@@ -73,13 +73,42 @@ object SqlText {
     s.sql(q5)
   }
 
+  /** TPC-H Q7-style volume-shipping: bilateral supplier/customer nation
+    * flows by ship year. The nation dim joins twice under different roles —
+    * both broadcast at plan time; the disjunctive nation-pair predicate
+    * lands post-join; only orders⋈lineitem shuffles. */
+  private val q7 = {
+    val rev = s"CAST(SUM(${OSQL.cents("l_extendedprice")} * " +
+      s"(100 - ${OSQL.cents("l_discount")})) AS DOUBLE) / 10000.0"
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(year(l_shipdate) AS BIGINT) AS l_year, COUNT(*) AS n_items, " +
+      s"$rev AS revenue " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') " +
+      "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) " +
+      "GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT) " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+  }
+
+  private def sqlQ7(s: SparkSession, d: String): DataFrame = {
+    for (t <- Seq("customer", "orders", "lineitem", "supplier", "nation"))
+      U.tbl(s, d, t).createOrReplaceTempView(t)
+    s.sql(q7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q3_shipping" -> sqlQ3 _,
     "sql_q5_local_supplier" -> sqlQ5 _,
+    "sql_q7_volume" -> sqlQ7 _,
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3,
     "sql_q5_local_supplier" -> q5,
+    "sql_q7_volume" -> q7,
     "sql_corr_subquery" -> corr)
 }

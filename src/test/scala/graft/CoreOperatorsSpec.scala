@@ -20,8 +20,8 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(o.subsetOf(q), s"oracle keys without query impl: ${o -- q}")
     val nonOracle = q -- o
     // approx/probabilistic + append-watermark ops are the only exclusions
-    assert(nonOracle == Set("agg_approx_distinct", "dedup_minhash",
-      "dedup_embedding_ann", "sim_lsh_ann", "sim_ivf_ann",
+    assert(nonOracle == Set("agg_approx_distinct", "agg_approx_quantile",
+      "dedup_minhash", "dedup_embedding_ann", "sim_lsh_ann", "sim_ivf_ann",
       "stream_tumbling_watermark", "stream_session"),
       s"unexpected non-oracle queries: $nonOracle")
   }
@@ -219,6 +219,40 @@ class CoreOperatorsSpec extends SparkTestBase {
     val nTrain = graft.llm.Pipeline.queries("split_train_test")(spark, sfDir)
       .filter(col("split") === "train").count()
     assert(rows.length.toLong == nTrain)
+  }
+
+  test("approx quantiles land between the exact p25/p75 rails") {
+    val ap = graft.operators.Aggregations.queries("agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("ap50"), r.getAs[Double]("ap90"))).toMap
+    val ex = graft.operators.Aggregations.queries("agg_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
+    ex.foreach { case (k, (p25, p50, p75)) =>
+      val (a50, a90) = ap(k)
+      assert(a50 >= p25 && a50 <= p75, s"$k: ap50 $a50 outside [$p25,$p75]")
+      assert(math.abs(a50 - p50) / p50 < 0.05, s"$k: ap50 $a50 vs exact $p50")
+      assert(a90 >= p75, s"$k: ap90 $a90 below exact p75 $p75")
+    }
+  }
+
+  test("top-n-percent shares per segment sum to at most 1 and rank by balance") {
+    val rows = graft.operators.Aggregations.queries("agg_topn_percent")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, seg) =>
+      assert(seg.length <= 3)
+      val byRank = seg.sortBy(_.getAs[Long]("rn"))
+      val bals = byRank.map(_.getAs[Double]("nation_bal"))
+      assert(bals.sameElements(bals.sortBy(-_)))
+      assert(seg.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+    }
+  }
+
+  test("bigram conditional log-probs are non-positive with sane counts") {
+    val rows = graft.llm.TextAnalysis.queries("text_bigram_lp")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+      assert(r.getAs[Double]("avg_logprob") <= 0.0) // P(w2|w1) <= 1
+    }
   }
 
   test("window topk emits at most k rows per group, ranked") {
