@@ -78,12 +78,30 @@ object Multimodal {
           .as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Exact binary dedup by content digest (the checksum rung of image/audio
+    * dedup): hash the payload bytes, keep the min doc_id per digest. One
+    * hash-agg over (digest) — the payload never shuffles, only its 32-byte
+    * digest, which is what makes this the first pass at 100 TB of media. */
+  private def dedupBinary(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .groupBy(sha2(col("payload"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+        max(octet_length(col("payload"))).cast(LongType).as("n_bytes"))
+      .orderBy("keeper")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dedup" -> dedupBinary _,
     "multimodal_schema" -> schema _,
     "multimodal_decode" -> decode _,
     "multimodal_framesample" -> frameSample _)
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_dedup" ->
+      ("SELECT sha256(text) AS digest, MIN(doc_id) AS keeper, " +
+        "COUNT(*) AS n_copies, " +
+        "CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes " +
+        "FROM documents GROUP BY sha256(text) ORDER BY keeper"),
     "multimodal_schema" ->
       ("SELECT doc_id, lower(hex(text)) AS payload_hex, 'text/plain' AS mime, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

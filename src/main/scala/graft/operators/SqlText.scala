@@ -100,13 +100,30 @@ object SqlText {
     s.sql(q7)
   }
 
+  /** Correlated LATERAL top-k subquery (per-customer two biggest orders) —
+    * exercises Catalyst's DecorrelateInnerQuery turning the per-row LIMIT
+    * into a ranked join; the identical text runs on DuckDB's native lateral. */
+  private val lateral =
+    "SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice " +
+      "FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_custkey = c_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+      "ORDER BY c_custkey, o_totalprice DESC, o_orderkey"
+
+  private def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    for (t <- Seq("customer", "orders")) U.tbl(s, d, t).createOrReplaceTempView(t)
+    s.sql(lateral)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral_topk" -> sqlLateral _,
     "sql_q3_shipping" -> sqlQ3 _,
     "sql_q5_local_supplier" -> sqlQ5 _,
     "sql_q7_volume" -> sqlQ7 _,
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_lateral_topk" -> lateral,
     "sql_q3_shipping" -> q3,
     "sql_q5_local_supplier" -> q5,
     "sql_q7_volume" -> q7,

@@ -364,7 +364,29 @@ object TimeSeries {
       .orderBy("user_id", "version")
   }
 
+  /** One-sided CUSUM drift detector per user: S = max(0, S + dev) folded
+    * left-to-right over the time-ordered series, dev = 2·cents − 2·median
+    * (doubled so the dyadic median stays integer — the whole fold is exact
+    * int64, identical to DuckDB's list_reduce). The reference-style
+    * changepoint primitive; same collect+fold shape as [[tsEwma]]. */
+  private def tsCusum(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val med = U.events(s, d)
+      .agg(floor(percentile(vc, lit(0.5)) * 2).cast(LongType).as("med2"))
+    U.events(s, d)
+      .crossJoin(broadcast(med))
+      .withColumn("dev", vc * 2 - col("med2"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("dev")))).as("pts"))
+      .select(col("user_id"), size(col("pts")).cast(LongType).as("n"),
+        expr("aggregate(transform(pts, p -> p.dev), CAST(0 AS BIGINT), " +
+          "(acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))").as("final_cusum2"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum" -> tsCusum _,
     "ts_scd2" -> tsScd2 _,
     "ts_interpolate" -> tsInterpolate _,
     "ts_autocorr" -> tsAutocorr _,
@@ -385,6 +407,17 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_cusum" -> {
+      val c = OSQL.cents("value")
+      s"WITH med AS (SELECT CAST(floor(quantile_cont($c, 0.5) * 2) AS BIGINT) " +
+        "AS med2 FROM events), " +
+        s"devs AS (SELECT user_id, list($c * 2 - med2 ORDER BY ts, event_id) " +
+        "AS pts FROM events CROSS JOIN med GROUP BY user_id) " +
+        "SELECT user_id, CAST(len(pts) AS BIGINT) AS n, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), pts), " +
+        "(acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS final_cusum2 " +
+        "FROM devs ORDER BY user_id"
+    },
     "ts_scd2" ->
       ("SELECT user_id, " +
         "row_number() OVER w AS version, ts AS valid_from, " +

@@ -255,6 +255,31 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("cusum fold is non-negative and covers every user") {
+    val rows = graft.operators.TimeSeries.queries("ts_cusum")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("final_cusum2") >= 0L) // one-sided fold floors at 0
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("lateral topk yields at most 2 orders per customer, descending") {
+    val rows = graft.operators.SqlText.queries("sql_lateral_topk")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("c_custkey")).foreach { case (_, cs) =>
+      assert(cs.length <= 2)
+      val prices = cs.map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-_)))
+    }
+  }
+
+  test("binary dedup partitions the corpus with min-id keepers") {
+    val rows = graft.llm.Multimodal.queries("multimodal_dedup")(spark, sfDir).collect()
+    val total = graft.U.tbl(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == total)
+    assert(rows.map(_.getAs[Long]("keeper")).distinct.length == rows.length)
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
