@@ -250,7 +250,25 @@ object Aggregations {
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"))
       .orderBy("o_orderstatus")
 
+  /** Bitmap-index distinct: daily distinct users via 32-bit bucket masks —
+    * bit_or partial-aggregates like any hash agg, so the shuffle carries
+    * one long per (day, id-bucket) instead of one row per id (the roaring-
+    * bitmap trick, exact unlike HLL). popcount sum recovers the count.
+    * 32 ids per mask, not 64: bit 63 overflows DuckDB's checked shift. */
+  private def aggBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .select(date_trunc("DAY", col("ts")).as("day"),
+        expr("user_id DIV 32").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))").as("mask"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(expr("bit_or(mask)").as("msk"), count(lit(1)).as("n"))
+      .groupBy(col("day"))
+      .agg(sum(bit_count(col("msk"))).cast(LongType).as("nd_users"),
+        sum(col("n")).cast(LongType).as("n_events"))
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "agg_topn_percent" -> aggTopnPercent _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_histogram" -> aggHistogram _,
@@ -320,6 +338,13 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      ("WITH m AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "user_id // 32 AS bucket, " +
+        "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS msk, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT day, CAST(SUM(bit_count(msk)) AS BIGINT) AS nd_users, " +
+        "CAST(SUM(n) AS BIGINT) AS n_events FROM m GROUP BY day ORDER BY day"),
     "agg_topn_percent" -> {
       val bc = OSQL.cents("c_acctbal")
       s"WITH a AS (SELECT c_mktsegment, c_nationkey, CAST(SUM($bc) AS BIGINT) " +

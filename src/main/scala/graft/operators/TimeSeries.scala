@@ -385,7 +385,38 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** 7-row rolling median per user in exact cents (dyadic 0.5 interpolation
+    * over ints is exact in double on both engines) — the robust-smoothing
+    * sibling of win_frame_rows' moving mean; same single sort order. */
+  private def tsRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    U.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (percentile(U.cents(col("value")), lit(0.5)).over(w) / lit(100.0))
+          .as("rolling_median"))
+      .orderBy("event_id")
+  }
+
+  /** Trailing-1-hour windowed totals per user via a RANGE frame over exact
+    * integer microseconds — the time-interval frame (vs win_frame_rows'
+    * row-count frame): every event sees [ts−1h, ts] regardless of how many
+    * rows that spans. Relies on the fixture's unique (user_id, ts). */
+  private def tsTrailing1h(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-3600000000L, 0)
+    U.events(s, d)
+      .withColumn("es", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        (sum(U.cents(col("value"))).over(w).cast(DoubleType) / lit(100.0))
+          .as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_median" -> tsRollingMedian _,
+    "ts_trailing_1h" -> tsTrailing1h _,
     "ts_cusum" -> tsCusum _,
     "ts_scd2" -> tsScd2 _,
     "ts_interpolate" -> tsInterpolate _,
@@ -407,6 +438,19 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_rolling_median" ->
+      ("SELECT user_id, event_id, ts, " +
+        s"quantile_cont(${OSQL.cents("value")}, 0.5) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS rolling_median " +
+        "FROM events ORDER BY event_id"),
+    "ts_trailing_1h" ->
+      ("SELECT user_id, event_id, ts, " +
+        "COUNT(*) OVER w AS n_1h, " +
+        s"CAST(SUM(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0 AS sum_1h " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     "ts_cusum" -> {
       val c = OSQL.cents("value")
       s"WITH med AS (SELECT CAST(floor(quantile_cont($c, 0.5) * 2) AS BIGINT) " +

@@ -280,6 +280,25 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("keeper")).distinct.length == rows.length)
   }
 
+  test("bitmap distinct equals exact per-day distinct users") {
+    val bm = graft.operators.Aggregations.queries("agg_bitmap_distinct")(spark, sfDir)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("day") -> r.getAs[Long]("nd_users")).toMap
+    val ex = graft.U.events(spark, sfDir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("day") -> r.getAs[Long]("nd")).toMap
+    assert(bm == ex, "bitmap popcount must equal exact distinct")
+  }
+
+  test("rolling median and trailing-1h windows bound their inputs") {
+    val med = graft.operators.TimeSeries.queries("ts_rolling_median")(spark, sfDir).collect()
+    assert(med.nonEmpty)
+    val t1h = graft.operators.TimeSeries.queries("ts_trailing_1h")(spark, sfDir).collect()
+    t1h.foreach { r =>
+      assert(r.getAs[Long]("n_1h") >= 1L) // frame always includes current row
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
