@@ -122,6 +122,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop:\n$p")
+  }
+
+  test("sql_q7 broadcasts the nation dim under both roles") {
+    val p = plan("sql_q7_volume")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected both nation roles broadcast, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q7:\n$p")
+  }
+
+  test("lateral topk decorrelates to a join, not a per-row nested loop") {
+    val p = plan("sql_lateral_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral stayed nested-loop:\n$p")
+  }
+
+  test("bitmap distinct avoids the count-distinct Expand") {
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"), s"bitmap path should not Expand:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+  }
+
   test("dedup_embedding_ann pairs via a cluster equijoin, not all-pairs") {
     val p = plan("dedup_embedding_ann")
     // the 16-row centroid broadcast crossJoin is the intended IVF shape;
