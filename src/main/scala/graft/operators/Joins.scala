@@ -154,6 +154,46 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Nearest-in-time as-of (sensor-alignment join): each 'error' enriched
+    * with the same-user 'purchase' CLOSEST in time, either direction, ties
+    * to the earlier row. One union-tagged frame, two window passes (asc +
+    * desc — two sorts of the same shuffle, still no join operator), then a
+    * pick by integer-µs distance. */
+  private def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val tagged = build
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+      .unionByName(probe.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(TimestampType).as("b_ts"),
+        lit(null).cast(DoubleType).as("b_value")))
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = tagged
+      .withColumn("prev_ts", last(col("b_ts"), ignoreNulls = true).over(wB))
+      .withColumn("prev_value", last(col("b_value"), ignoreNulls = true).over(wB))
+      .withColumn("next_ts", last(col("b_ts"), ignoreNulls = true).over(wF))
+      .withColumn("next_value", last(col("b_value"), ignoreNulls = true).over(wF))
+      .filter(col("side") === 1)
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+    val dNext = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+    val takeBackward = col("next_ts").isNull ||
+      (col("prev_ts").isNotNull && dPrev <= dNext)
+    both.select(col("event_id"), col("user_id"), col("ts"),
+      when(takeBackward, col("prev_ts")).otherwise(col("next_ts")).as("nearest_ts"),
+      when(takeBackward, col("prev_value")).otherwise(col("next_value")).as("nearest_value"),
+      when(takeBackward, dPrev).otherwise(dNext).as("dist_us"))
+      .orderBy("event_id")
+  }
+
   /** Interval-overlap join with an equi prefix (user_id): per-user activity
     * spans of two event types that overlap in time. */
   private def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
@@ -245,6 +285,7 @@ object Joins {
     "join_range" -> joinRange _,
     "join_asof" -> joinAsof _,
     "join_asof_forward" -> joinAsofForward _,
+    "join_asof_nearest" -> joinAsofNearest _,
     "join_interval_overlap" -> joinIntervalOverlap _)
 
   val oracleSql: Map[String, String] = Map(
@@ -314,6 +355,28 @@ object Joins {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase') b " +
         "ON p.user_id = b.user_id AND b.ts >= p.ts ORDER BY p.event_id"),
+    "join_asof_nearest" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'error'), " +
+        "b AS (SELECT user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "bk AS (SELECT p.event_id, b.ts AS prev_ts, b.value AS prev_value " +
+        "FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND b.ts <= p.ts), " +
+        "fw AS (SELECT p.event_id, b.ts AS next_ts, b.value AS next_value " +
+        "FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND b.ts >= p.ts) " +
+        "SELECT p.event_id, p.user_id, p.ts, " +
+        "CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND " +
+        "epoch_us(p.ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(p.ts)) " +
+        "THEN prev_ts ELSE next_ts END AS nearest_ts, " +
+        "CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND " +
+        "epoch_us(p.ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(p.ts)) " +
+        "THEN prev_value ELSE next_value END AS nearest_value, " +
+        "CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND " +
+        "epoch_us(p.ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(p.ts)) " +
+        "THEN epoch_us(p.ts) - epoch_us(prev_ts) " +
+        "ELSE epoch_us(next_ts) - epoch_us(p.ts) END AS dist_us " +
+        "FROM p JOIN bk USING (event_id) JOIN fw USING (event_id) " +
+        "ORDER BY p.event_id"),
     "join_interval_overlap" ->
       ("WITH spans AS (SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e " +
         "FROM events GROUP BY user_id, event_type) " +

@@ -299,6 +299,25 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("nearest as-of picks the minimum of the two directional distances") {
+    val near = graft.operators.Joins.queries("join_asof_nearest")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.get(r.fieldIndex("dist_us"))).map(_.asInstanceOf[Long])).toMap
+    val back = graft.operators.Joins.queries("join_asof")(spark, sfDir)
+      .collect().map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        val at = Option(r.getAs[java.sql.Timestamp]("asof_ts"))
+        r.getAs[Long]("event_id") -> at.map(t => (ts.getTime - t.getTime) * 1000L)
+      }.toMap
+    back.foreach { case (id, bd) =>
+      (near(id), bd) match {
+        case (Some(n), Some(b)) => assert(n <= b, s"event $id: nearest $n > backward $b")
+        case (None, Some(_)) => fail(s"event $id: nearest missing but backward exists")
+        case _ =>
+      }
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
