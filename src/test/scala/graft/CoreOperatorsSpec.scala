@@ -303,11 +303,14 @@ class CoreOperatorsSpec extends SparkTestBase {
     val near = graft.operators.Joins.queries("join_asof_nearest")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("event_id") ->
         Option(r.get(r.fieldIndex("dist_us"))).map(_.asInstanceOf[Long])).toMap
+    // exact micros: getTime is ms-precision, the fraction lives in getNanos
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     val back = graft.operators.Joins.queries("join_asof")(spark, sfDir)
       .collect().map { r =>
         val ts = r.getAs[java.sql.Timestamp]("ts")
         val at = Option(r.getAs[java.sql.Timestamp]("asof_ts"))
-        r.getAs[Long]("event_id") -> at.map(t => (ts.getTime - t.getTime) * 1000L)
+        r.getAs[Long]("event_id") -> at.map(t => micros(ts) - micros(t))
       }.toMap
     back.foreach { case (id, bd) =>
       (near(id), bd) match {
