@@ -125,6 +125,32 @@ object Scans {
       path
     }
 
+  /** Dynamic partition overwrite — the incremental-backfill primitive: a
+    * second write touching ONLY the 'error' partition replaces exactly that
+    * directory (partitionOverwriteMode=dynamic), leaving every other
+    * partition's files untouched. The read-back must therefore equal
+    * non-error originals + the recomputed error rows — which is exactly
+    * what the oracle states. At 100 TB this is how a bad day/source gets
+    * repaired without rewriting the table. */
+  private def sinkDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_dyn_ovr")
+    val ev = U.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try ev.filter(col("event_type") === "error")
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
     val path = writePartitionedLineitem(s, d)
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixtures —
@@ -157,6 +183,7 @@ object Scans {
     "scan_xml" -> scanXml _,
     "scan_custom_source" -> scanCustomSource _,
     "sink_parquet" -> sinkParquet _,
+    "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
 
   val oracleSql: Map[String, String] = Map(
@@ -183,6 +210,10 @@ object Scans {
         "GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "sink_dynamic_overwrite" ->
+      ("SELECT event_id, user_id, event_type, " +
+        "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value " +
+        "FROM events ORDER BY event_id"),
     "sink_partitioned" ->
       ("SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, " +
         "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, " +

@@ -414,7 +414,26 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** MATCH_RECOGNIZE-lite adjacency pattern: a 'click' immediately followed
+    * (no intervening event) by a 'purchase' in the same user's stream — the
+    * lead() formulation of A-then-B sequence matching; one sort, no join. */
+  private def tsPatternAb(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("next_id", lead(col("event_id"), 1).over(w))
+      .filter(col("event_type") === "click" && col("next_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("a_event_id"),
+        col("ts").as("a_ts"), col("next_id").as("b_event_id"),
+        col("next_ts").as("b_ts"),
+        ((unix_micros(col("next_ts")) - unix_micros(col("ts"))).cast(DoubleType) /
+          lit(1000000.0)).as("gap_seconds"))
+      .orderBy("a_event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_pattern_ab" -> tsPatternAb _,
     "ts_rolling_median" -> tsRollingMedian _,
     "ts_trailing_1h" -> tsTrailing1h _,
     "ts_cusum" -> tsCusum _,
@@ -438,6 +457,17 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_pattern_ab" ->
+      ("SELECT user_id, event_id AS a_event_id, ts AS a_ts, " +
+        "next_id AS b_event_id, next_ts AS b_ts, " +
+        "CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE) / 1000000.0 " +
+        "AS gap_seconds FROM (" +
+        "SELECT user_id, event_id, ts, event_type, " +
+        "lead(event_type) OVER w AS next_type, lead(ts) OVER w AS next_ts, " +
+        "lead(event_id) OVER w AS next_id FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "WHERE event_type = 'click' AND next_type = 'purchase' " +
+        "ORDER BY a_event_id"),
     "ts_rolling_median" ->
       ("SELECT user_id, event_id, ts, " +
         s"quantile_cont(${OSQL.cents("value")}, 0.5) OVER " +

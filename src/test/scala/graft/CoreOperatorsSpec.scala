@@ -321,6 +321,31 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic overwrite rewrites only the error partition") {
+    val rows = graft.operators.Scans.queries("sink_dynamic_overwrite")(spark, sfDir)
+      .collect()
+    val orig = graft.U.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val (et, v) = orig(r.getAs[Long]("event_id"))
+      val expect = if (et == "error") v * 2 else v
+      assert(r.getAs[Double]("value") == expect, s"partition repair wrong for $et")
+    }
+  }
+
+  test("A-then-B pattern matches are strictly adjacent in the user stream") {
+    val rows = graft.operators.TimeSeries.queries("ts_pattern_ab")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gap_seconds") >= 0.0)
+      assert(r.getAs[Long]("b_event_id") != r.getAs[Long]("a_event_id"))
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
