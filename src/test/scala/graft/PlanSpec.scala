@@ -148,6 +148,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
   }
 
+  test("runtime bloom filter injects a might_contain probe on the fact side") {
+    // the 100 TB row-level-filtering knob: a bloom filter built from the
+    // filtered dim's join keys is pushed into the fact scan, skipping rows
+    // before the shuffle. Thresholds are floored locally because the
+    // fixture sizes are far below the production defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only fires on probably-shuffle joins: at fixture scale the
+      // planner would broadcast, so force the shuffle path (at 100 TB the
+      // fact⋈filtered-dim IS a shuffle join and no forcing is needed)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = graft.U.tbl(spark, sfDir, "lineitem")
+      val o = graft.U.tbl(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no bloom probe injected:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedup_embedding_ann pairs via a cluster equijoin, not all-pairs") {
     val p = plan("dedup_embedding_ann")
     // the 16-row centroid broadcast crossJoin is the intended IVF shape;
