@@ -143,7 +143,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Denylist redaction (the PII/blocked-term scrub rung): replace every
+    * whole-word denylist hit with a placeholder, count hits per doc. Pure
+    * per-row regex projection — embarrassingly parallel, pushdown-friendly.
+    * DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    * replace-all; counting mirrors the text_token_count precedent. */
+  private def redact(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(customer|key)\\b"
+    docs(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), pat, "[REDACTED]").as("redacted"),
+      regexp_count(col("text"), lit(pat)).cast(LongType).as("n_redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> redact _,
     "text_bigram_lp" -> bigramLp _,
     "text_unigram_lp" -> unigramLp _,
     "text_tokenize_tf" -> tokenizeTf _,
@@ -154,6 +168,12 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_redact" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(text, '\\b(customer|key)\\b', '[REDACTED]', 'g') " +
+        "AS redacted, " +
+        "CAST(len(regexp_extract_all(text, '\\b(customer|key)\\b')) AS BIGINT) " +
+        "AS n_redacted FROM documents ORDER BY doc_id"),
     "text_bigram_lp" ->
       (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

@@ -346,6 +346,19 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("redaction removes every denylist hit and counts them") {
+    val rows = graft.llm.TextAnalysis.queries("text_redact")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var hits = 0L
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!"\\b(customer|key)\\b".r.findFirstIn(red).isDefined,
+        "denylist term survived redaction")
+      hits += r.getAs[Long]("n_redacted")
+    }
+    assert(hits > 0, "fixture should contain denylist terms")
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
