@@ -267,7 +267,38 @@ object Aggregations {
         sum(col("n")).cast(LongType).as("n_events"))
       .orderBy("day")
 
+  /** Skewness / excess kurtosis from exact integer power sums (3rd/4th
+    * moments — the agg_stats doctrine extended): one hash agg collecting
+    * Σx..Σx⁴ in DECIMAL(38,0), then ONE shared double-op tree both engines.
+    * pow() is deliberately avoided — libm powers differ across engines;
+    * m2·sqrt(m2) uses only IEEE-exact ops. Moments are scale-invariant, so
+    * the cents factors cancel. */
+  private def aggMoments(s: SparkSession, d: String): DataFrame = {
+    val xc = U.cents(col("l_quantity"))
+    val dec = DecimalType(38, 0)
+    val x = xc.cast(dec)
+    val ps = U.tbl(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(xc).cast(DoubleType).as("sx"),
+      sum(x * x).cast(DoubleType).as("sxx"),
+      sum(x * x * x).cast(DoubleType).as("sxxx"),
+      sum(x * x * x * x).cast(DoubleType).as("sxxxx"))
+    val nd = col("nd")
+    val mu = col("sx") / nd
+    val m2 = col("sxx") / nd - mu * mu
+    val m3 = col("sxxx") / nd - lit(3.0) * mu * (col("sxx") / nd) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("sxxxx") / nd - lit(4.0) * mu * (col("sxxx") / nd) +
+      lit(6.0) * mu * mu * (col("sxx") / nd) - lit(3.0) * mu * mu * mu * mu
+    ps.select(col("l_returnflag"),
+      (mu / lit(100.0)).as("mean_qty"),
+      (m3 / (m2 * sqrt(m2))).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_moments" -> aggMoments _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "agg_topn_percent" -> aggTopnPercent _,
     "agg_approx_quantile" -> aggApproxQuantile _,
@@ -338,6 +369,26 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_moments" -> {
+      val xc = OSQL.cents("l_quantity")
+      s"WITH ps AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        s"CAST(SUM($xc) AS DOUBLE) AS sx, " +
+        s"CAST(SUM($xc * $xc) AS DOUBLE) AS sxx, " +
+        s"CAST(SUM($xc * $xc * $xc) AS DOUBLE) AS sxxx, " +
+        s"CAST(SUM($xc * $xc * $xc * $xc) AS DOUBLE) AS sxxxx " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, (sx / nd) / 100.0 AS mean_qty, " +
+        "(sxxx / nd - 3.0 * (sx / nd) * (sxx / nd) + " +
+        "2.0 * (sx / nd) * (sx / nd) * (sx / nd)) / " +
+        "((sxx / nd - (sx / nd) * (sx / nd)) * " +
+        "sqrt(sxx / nd - (sx / nd) * (sx / nd))) AS skewness, " +
+        "(sxxxx / nd - 4.0 * (sx / nd) * (sxxx / nd) + " +
+        "6.0 * (sx / nd) * (sx / nd) * (sxx / nd) - " +
+        "3.0 * (sx / nd) * (sx / nd) * (sx / nd) * (sx / nd)) / " +
+        "((sxx / nd - (sx / nd) * (sx / nd)) * " +
+        "(sxx / nd - (sx / nd) * (sx / nd))) - 3.0 AS excess_kurtosis " +
+        "FROM ps ORDER BY l_returnflag"
+    },
     "agg_bitmap_distinct" ->
       ("WITH m AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
         "user_id // 32 AS bucket, " +

@@ -359,6 +359,16 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(hits > 0, "fixture should contain denylist terms")
   }
 
+  test("moments: kurtosis respects the skewness^2 - 2 lower bound") {
+    val rows = graft.operators.Aggregations.queries("agg_moments")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sk = r.getAs[Double]("skewness")
+      val ku = r.getAs[Double]("excess_kurtosis")
+      assert(ku >= sk * sk - 2.0 - 1e-9, s"impossible moment pair ($sk, $ku)")
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
