@@ -292,6 +292,45 @@ object StreamingQueries {
     s.table(name).orderBy("bucket")
   }
 
+  /** foreachBatch upsert sink (the merge pattern every CDC/serving pipeline
+    * runs): each micro-batch's per-user latest row merges into a keyed
+    * store, keeping the (ts, event_id)-max row per user. The store
+    * alternates between two directories per batch — Spark refuses to
+    * overwrite a path it is reading, and the swap also gives exactly-once
+    * semantics on retry (a re-run of batch N rewrites N's target from N-1's
+    * untouched source). Batches replay in event-time order, and the merge
+    * picks the max key regardless, so the final store equals the batch
+    * latest-per-user answer at ANY batching => full oracle. */
+  private def foreachBatchUpsert(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
+    val base = U.scratch(d, s"febatch_${nameCounter.incrementAndGet()}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    for (i <- 0 to 1)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/v$i"), true)
+    val wLatest = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latestPerUser(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val lastDst = new java.util.concurrent.atomic.AtomicReference[String]()
+    val q = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val src = s"$base/v${batchId % 2}"
+        val dst = s"$base/v${(batchId + 1) % 2}"
+        val incoming = latestPerUser(batch)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(src)))
+            latestPerUser(batch.sparkSession.read.parquet(src).unionByName(incoming))
+          else incoming
+        merged.write.mode("overwrite").parquet(dst)
+        lastDst.set(dst)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(lastDst.get()).orderBy("user_id")
+  }
+
   /** Stream-static enrichment join: the static side is a tiny derived dim
     * (event_type -> code), broadcast to every micro-batch. */
   private def staticJoin(s: SparkSession, d: String): DataFrame = {
@@ -336,9 +375,15 @@ object StreamingQueries {
     "stream_stateful_tws" -> statefulRunningTws _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_custom_source" -> customSourceStream _,
+    "stream_upsert_sink" -> foreachBatchUpsert _,
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      ("SELECT user_id, ts, event_id, value FROM (" +
+        "SELECT user_id, ts, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) " +
+        "AS rn FROM events) WHERE rn = 1 ORDER BY user_id"),
     "stream_parquet_sink" ->
       (s"SELECT *, ${OSQL.cents("value")} AS value_cents FROM events " +
         "ORDER BY event_id"),
