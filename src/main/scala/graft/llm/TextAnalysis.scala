@@ -156,7 +156,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (the MOSS document-fingerprint scheme): hash
+    * every POSITIONAL 3-gram shingle (duplicates kept — order matters,
+    * unlike the dedup family's distinct shingle sets), then keep the min
+    * hash of each sliding window of 4 — guarantees any shared run of >= 6
+    * tokens shares a fingerprint, with ~1/4 the storage of full shingling.
+    * All-array per-row ops: no shuffle until the output sort. */
+  private def winnowing(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 6) // need >= 4 shingles for one window
+      .withColumn("sh", expr("transform(sequence(1, size(toks) - 2), " +
+        "i -> concat_ws('_', element_at(toks, i), element_at(toks, i + 1), " +
+        "element_at(toks, i + 2)))"))
+      .withColumn("hs", graft.plans.CustomExprs.poly_hash_array(col("sh"), 13L))
+      .withColumn("fps", array_distinct(expr(
+        "transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))")))
+    base.select(col("doc_id"),
+      size(col("fps")).cast(LongType).as("n_fps"),
+      array_min(col("fps")).as("min_fp"),
+      array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> winnowing _,
     "text_redact" -> redact _,
     "text_bigram_lp" -> bigramLp _,
     "text_unigram_lp" -> unigramLp _,
@@ -168,6 +192,21 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_winnowing" ->
+      (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)] " +
+        "|| '_' || toks[CAST(i + 2 AS INTEGER)]) AS sh " +
+        "FROM t WHERE len(toks) >= 6), " +
+        s"h AS (SELECT doc_id, list_transform(sh, g -> ${sqlPolyHash("g", 13L)}) " +
+        "AS hs FROM sh), " +
+        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 2), " +
+        "i -> list_min(hs[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)]))) AS fps " +
+        "FROM h) " +
+        "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, " +
+        "CAST(list_min(fps) AS BIGINT) AS min_fp, " +
+        "CAST(list_max(fps) AS BIGINT) AS max_fp " +
+        "FROM f ORDER BY doc_id"),
     "text_redact" ->
       ("SELECT doc_id, " +
         "regexp_replace(text, '\\b(customer|key)\\b', '[REDACTED]', 'g') " +

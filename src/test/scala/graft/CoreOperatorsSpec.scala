@@ -369,6 +369,22 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("winnowing compresses the fingerprint set below the shingle count") {
+    val rows = graft.llm.TextAnalysis.queries("text_winnowing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.U.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.llm.TextUtil.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val n = toks(r.getAs[Long]("doc_id"))
+      val nFps = r.getAs[Long]("n_fps")
+      assert(nFps >= 1 && nFps <= n - 5, // windows = shingles - 3 = n - 5
+        s"fingerprint count $nFps out of range for $n tokens")
+      assert(r.getAs[Long]("min_fp") <= r.getAs[Long]("max_fp"))
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
