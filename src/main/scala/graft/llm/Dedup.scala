@@ -235,7 +235,12 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
-      val next = step(lab).persist()
+      // two propagation rounds per materialization: the driver-synchronized
+      // action (labelSum) is the per-round fixed cost, and labels are
+      // monotone non-increasing, so checking every OTHER round still
+      // detects the same fixpoint — half the sync rounds for one possibly
+      // wasted propagation at the end
+      val next = step(step(lab)).persist()
       val s2 = labelSum(next) // materializes next before releasing lab
       lab.unpersist()
       lab = next
