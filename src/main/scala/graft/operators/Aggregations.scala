@@ -297,7 +297,22 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** FILTER-clause aggregates (conditional aggregation without N scans):
+    * several differently-filtered measures out of ONE pass over orders —
+    * the SQL-standard FILTER syntax runs identically on both engines. */
+  private def aggFiltered(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_finished"),
+        expr(s"CAST(SUM(${"CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"}) " +
+          "FILTER (WHERE o_totalprice > 200000.0) AS DOUBLE) / 100.0").as("big_spend"),
+        expr("min(o_orderdate) FILTER (WHERE o_orderstatus = 'O')").as("first_open"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_filtered" -> aggFiltered _,
     "agg_moments" -> aggMoments _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "agg_topn_percent" -> aggTopnPercent _,
@@ -369,6 +384,13 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_filtered" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_all, " +
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, " +
+        s"CAST(SUM(${OSQL.cents("o_totalprice")}) " +
+        "FILTER (WHERE o_totalprice > 200000.0) AS DOUBLE) / 100.0 AS big_spend, " +
+        "MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS first_open " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "agg_moments" -> {
       val xc = OSQL.cents("l_quantity")
       s"WITH ps AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS nd, " +

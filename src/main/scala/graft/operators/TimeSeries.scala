@@ -432,7 +432,22 @@ object TimeSeries {
       .orderBy("a_event_id")
   }
 
+  /** Native session_window in BATCH mode (vs [[tsSessionize]]'s lag-gap
+    * construction): Spark merges events within 30 min of each other; the
+    * window end is last-event + gap. The oracle rebuilds exactly those
+    * bounds from the lag-gap sessions, pinning the two formulations to the
+    * same semantics. */
+  private def tsSessionNative(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), U.dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col("user_id"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sstart")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_session_native" -> tsSessionNative _,
     "ts_pattern_ab" -> tsPatternAb _,
     "ts_rolling_median" -> tsRollingMedian _,
     "ts_trailing_1h" -> tsTrailing1h _,
@@ -457,6 +472,20 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_session_native" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
+        // >= not >: Spark session windows are [start, last+gap) with an
+        // EXCLUSIVE end, so a gap of exactly 30min starts a new session
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "numbered AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS sid FROM flagged) " +
+        "SELECT MIN(ts) AS sstart, MAX(ts) + INTERVAL 30 MINUTE AS send, " +
+        s"user_id, COUNT(*) AS n_events, ${OSQL.dsum("value")} AS sum_value " +
+        "FROM numbered GROUP BY user_id, sid ORDER BY user_id, sstart"),
     "ts_pattern_ab" ->
       ("SELECT user_id, event_id AS a_event_id, ts AS a_ts, " +
         "next_id AS b_event_id, next_ts AS b_ts, " +

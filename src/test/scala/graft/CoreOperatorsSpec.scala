@@ -385,6 +385,22 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("native session windows agree with the lag-gap session count") {
+    val native = graft.operators.TimeSeries.queries("ts_session_native")(spark, sfDir)
+      .count()
+    val lagGap = graft.operators.TimeSeries.queries("ts_sessionize")(spark, sfDir)
+      .count()
+    assert(native == lagGap, s"session count mismatch: native $native vs lag-gap $lagGap")
+  }
+
+  test("filtered aggregates never exceed their unfiltered columns") {
+    val rows = graft.operators.Aggregations.queries("agg_filtered")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_finished") <= r.getAs[Long]("n_all"))
+    }
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
