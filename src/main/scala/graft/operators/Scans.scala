@@ -93,6 +93,18 @@ object Scans {
           .as("avg_value"))
       .orderBy("bucket")
 
+  /** Filter pushdown INTO the custom DSv2 source: the id range predicate
+    * reaches the generator's ScanBuilder and narrows [lo, hi) before any
+    * row is produced (PlanSpec asserts the pushedRange in the BatchScan
+    * description) — the connector analogue of row-group skipping. */
+  private def scanCustomPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.DeterministicSource")
+      .option("rows", "20000").option("slices", "8").load()
+      .filter(col("id") >= 5000 && col("id") < 15000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      .orderBy("bucket")
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -182,6 +194,7 @@ object Scans {
     "scan_range" -> scanRange _,
     "scan_xml" -> scanXml _,
     "scan_custom_source" -> scanCustomSource _,
+    "scan_custom_pushdown" -> scanCustomPushdown _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -208,6 +221,10 @@ object Scans {
         "(SELECT range % 32 AS bucket, (range * 2654435761) % 100000 AS vc " +
         "FROM range(0, 20000)) WHERE bucket < 8 " +
         "GROUP BY bucket ORDER BY bucket"),
+    "scan_custom_pushdown" ->
+      ("SELECT range % 32 AS bucket, COUNT(*) AS n, " +
+        "CAST(SUM((range * 2654435761) % 100000) AS BIGINT) AS sum_cents " +
+        "FROM range(5000, 15000) GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_dynamic_overwrite" ->

@@ -65,10 +65,48 @@ private class DeterministicTable(rows: Long, slices: Int)
 }
 
 private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = DeterministicSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // Filter pushdown: range predicates on `id` narrow the generated
+  // [lo, hi) BEFORE any row exists — the generator analogue of a columnar
+  // store skipping row groups. Everything else is returned to Spark for
+  // post-scan evaluation, so semantics never depend on what gets accepted.
+  private var lo = 0L
+  private var hi = rows
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("id", v) => lit(v).isDefined
+      case GreaterThanOrEqual("id", v) => lit(v).isDefined
+      case LessThan("id", v) => lit(v).isDefined
+      case LessThanOrEqual("id", v) => lit(v).isDefined
+      case EqualTo("id", v) => lit(v).isDefined
+      case IsNotNull("id") => true // non-nullable: trivially satisfied
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v) => lo = math.max(lo, lit(v).get + 1)
+      case GreaterThanOrEqual("id", v) => lo = math.max(lo, lit(v).get)
+      case LessThan("id", v) => hi = math.min(hi, lit(v).get)
+      case LessThanOrEqual("id", v) => hi = math.min(hi, lit(v).get + 1)
+      case EqualTo("id", v) => lo = math.max(lo, lit(v).get); hi = math.min(hi, lit(v).get + 1)
+      case _ => ()
+    }
+    if (hi < lo) hi = lo
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   /** [start, end) split into `slices` parallel ranges over pruned columns. */
   private def slicePartitions(start: Long, end: Long): Array[InputPartition] = {
@@ -89,8 +127,12 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    // surfaced in .explain via the BatchScan node so PlanSpec can assert
+    // that the range actually narrowed at plan time
+    override def description(): String =
+      s"deterministic pushedRange=[$lo,$hi) of $rows"
     override def planInputPartitions(): Array[InputPartition] =
-      slicePartitions(0L, rows)
+      slicePartitions(lo, hi)
     override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
     /** Streaming side of the SAME table: the row-id space replayed in
@@ -119,8 +161,12 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
         }
         override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
         override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
+        // offsets advance over the FULL id space, but each batch intersects
+        // the pushed [lo, hi): accepted filters are removed from post-scan
+        // in streaming too, so ignoring them here would return wrong rows
         override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-          slicePartitions(off(start), off(end))
+          slicePartitions(math.max(off(start), lo),
+            math.max(math.max(off(start), lo), math.min(off(end), hi)))
         override def createReaderFactory(): PartitionReaderFactory = readerFactory
         override def commit(end: Offset): Unit = ()
         override def stop(): Unit = ()

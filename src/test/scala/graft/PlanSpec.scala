@@ -148,6 +148,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
   }
 
+  test("custom DSv2 source narrows its generated range from pushed id filters") {
+    val p = plan("scan_custom_pushdown")
+    assert(p.contains("pushedRange=[5000,15000)"),
+      s"id predicates did not reach the generator:\n$p")
+  }
+
   test("runtime bloom filter injects a might_contain probe on the fact side") {
     // the 100 TB row-level-filtering knob: a bloom filter built from the
     // filtered dim's join keys is pushed into the fact scan, skipping rows
