@@ -105,6 +105,18 @@ object Scans {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
       .orderBy("bucket")
 
+  /** Aggregate pushdown INTO the custom DSv2 source: the whole
+    * COUNT(*)/SUM GROUP BY bucket folds into the generator, whose slices
+    * emit 32 partial rows each — the exchange carries |slices|·32 rows no
+    * matter how many ids were scanned. Spark merges the partials
+    * (supportCompletePushDown=false keeps multi-slice parallelism exact). */
+  private def scanCustomAggPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.DeterministicSource")
+      .option("rows", "20000").option("slices", "8").load()
+      .groupBy(col("bucket"))
+      .agg(expr("count(*)").as("n"), sum(col("value_cents")).as("sum_cents"))
+      .orderBy("bucket")
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -195,6 +207,7 @@ object Scans {
     "scan_xml" -> scanXml _,
     "scan_custom_source" -> scanCustomSource _,
     "scan_custom_pushdown" -> scanCustomPushdown _,
+    "scan_custom_agg_pushdown" -> scanCustomAggPushdown _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -225,6 +238,10 @@ object Scans {
       ("SELECT range % 32 AS bucket, COUNT(*) AS n, " +
         "CAST(SUM((range * 2654435761) % 100000) AS BIGINT) AS sum_cents " +
         "FROM range(5000, 15000) GROUP BY bucket ORDER BY bucket"),
+    "scan_custom_agg_pushdown" ->
+      ("SELECT range % 32 AS bucket, COUNT(*) AS n, " +
+        "CAST(SUM((range * 2654435761) % 100000) AS BIGINT) AS sum_cents " +
+        "FROM range(0, 20000) GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_dynamic_overwrite" ->

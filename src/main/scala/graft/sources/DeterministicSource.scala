@@ -66,7 +66,7 @@ private class DeterministicTable(rows: Long, slices: Int)
 
 private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = DeterministicSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -108,6 +108,42 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  // Aggregate pushdown: COUNT(*) / SUM(value_cents) GROUP BY bucket folds
+  // into the generator — each slice emits its 32 partial rows instead of
+  // its id range, so the exchange carries |slices|·32 rows however many
+  // ids were scanned. supportCompletePushDown=false: Spark still merges
+  // the partials, so multi-slice parallelism keeps exact semantics.
+  private var aggregated = false
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val groupOk = agg.groupByExpressions.toSeq match {
+      case Seq(f: NamedReference) => f.fieldNames.mkString(".") == "bucket"
+      case _ => false
+    }
+    val aggsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case s: Sum => s.column match {
+          case f: NamedReference => f.fieldNames.mkString(".") == "value_cents"
+          case _ => false
+        }
+        case _ => false
+      }
+    if (groupOk && aggsOk) {
+      aggFields = agg.aggregateExpressions.map {
+        case _: CountStar => "agg_count"
+        case _: Sum => "agg_sum"
+      }
+      aggregated = true
+    }
+    aggregated
+  }
+  private var aggFields: Array[String] = Array.empty
+
   /** [start, end) split into `slices` parallel ranges over pruned columns. */
   private def slicePartitions(start: Long, end: Long): Array[InputPartition] = {
     val n = end - start
@@ -115,22 +151,29 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
     (0 until slices).map { i =>
       val s = start + i * step
       val e = if (i == slices - 1) end else math.min(start + (i + 1) * step, end)
-      RangeSlice(s, math.max(s, e), required.fieldNames): InputPartition
+      RangeSlice(s, math.max(s, e), required.fieldNames, aggFields): InputPartition
     }.toArray
   }
 
   private def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new SliceReader(p.asInstanceOf[RangeSlice])
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val slice = p.asInstanceOf[RangeSlice]
+      if (slice.aggs.nonEmpty) new AggSliceReader(slice) else new SliceReader(slice)
+    }
   }
 
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType =
+      if (aggregated)
+        StructType(StructField("bucket", LongType, nullable = false) +:
+          aggFields.toSeq.map(f => StructField(f, LongType, nullable = false)))
+      else required
     override def toBatch: Batch = this
     // surfaced in .explain via the BatchScan node so PlanSpec can assert
-    // that the range actually narrowed at plan time
+    // that the range/agg actually pushed at plan time
     override def description(): String =
-      s"deterministic pushedRange=[$lo,$hi) of $rows"
+      s"deterministic pushedRange=[$lo,$hi) of $rows" +
+        (if (aggregated) s" pushedAggs=bucket:${aggFields.mkString(",")}" else "")
     override def planInputPartitions(): Array[InputPartition] =
       slicePartitions(lo, hi)
     override def createReaderFactory(): PartitionReaderFactory = readerFactory
@@ -178,8 +221,39 @@ private case class IdOffset(id: Long) extends Offset {
   override def json(): String = id.toString
 }
 
-private case class RangeSlice(start: Long, end: Long, fields: Array[String])
-    extends InputPartition
+private case class RangeSlice(start: Long, end: Long, fields: Array[String],
+    aggs: Array[String] = Array.empty) extends InputPartition
+
+/** Partial-aggregate reader: folds the slice's id range into 32 per-bucket
+  * partial rows (bucket, then each pushed agg in order). Spark's final
+  * aggregation merges the per-slice partials. */
+private class AggSliceReader(slice: RangeSlice) extends PartitionReader[InternalRow] {
+  private val rows: Iterator[InternalRow] = {
+    val count = new Array[Long](32)
+    val sum = new Array[Long](32)
+    var id = slice.start
+    while (id < slice.end) {
+      val b = DeterministicSource.bucketOf(id).toInt
+      count(b) += 1
+      sum(b) += DeterministicSource.centsOf(id)
+      id += 1
+    }
+    (0 until 32).iterator.filter(count(_) > 0).map { b =>
+      val vals = new Array[Any](1 + slice.aggs.length)
+      vals(0) = b.toLong
+      var i = 0
+      while (i < slice.aggs.length) {
+        vals(i + 1) = if (slice.aggs(i) == "agg_count") count(b) else sum(b)
+        i += 1
+      }
+      new GenericInternalRow(vals): InternalRow
+    }
+  }
+  private var cur: InternalRow = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
 
 private class SliceReader(slice: RangeSlice) extends PartitionReader[InternalRow] {
   private var id = slice.start - 1

@@ -154,6 +154,12 @@ class PlanSpec extends SparkTestBase {
       s"id predicates did not reach the generator:\n$p")
   }
 
+  test("custom DSv2 source folds the group-by into per-slice partials") {
+    val p = plan("scan_custom_agg_pushdown")
+    assert(p.contains("pushedAggs=bucket:agg_count,agg_sum"),
+      s"aggregation did not reach the generator:\n$p")
+  }
+
   test("runtime bloom filter injects a might_contain probe on the fact side") {
     // the 100 TB row-level-filtering knob: a bloom filter built from the
     // filtered dim's join keys is pushed into the fact scan, skipping rows
