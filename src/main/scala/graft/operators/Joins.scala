@@ -154,6 +154,22 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics a dim with an "unknown"
+    * bucket needs. Keys are per-type aggregates with 'error' nulled out, so
+    * both sides carry exactly one NULL key row and the join must pair them. */
+  private def joinNullsafe(s: SparkSession, d: String): DataFrame = {
+    val a = U.events(s, d)
+      .groupBy(nullif(col("event_type"), lit("error")).as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = U.events(s, d)
+      .groupBy(nullif(col("event_type"), lit("error")).as("kb"))
+      .agg(U.dsum(col("value")).as("sum_b"))
+    a.join(b, col("k") <=> col("kb"))
+      .select(col("k"), col("n_a"), col("sum_b"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** Nearest-in-time as-of (sensor-alignment join): each 'error' enriched
     * with the same-user 'purchase' CLOSEST in time, either direction, ties
     * to the earlier row. One union-tagged frame, two window passes (asc +
@@ -286,6 +302,7 @@ object Joins {
     "join_asof" -> joinAsof _,
     "join_asof_forward" -> joinAsofForward _,
     "join_asof_nearest" -> joinAsofNearest _,
+    "join_nullsafe" -> joinNullsafe _,
     "join_interval_overlap" -> joinIntervalOverlap _)
 
   val oracleSql: Map[String, String] = Map(
@@ -355,6 +372,13 @@ object Joins {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase') b " +
         "ON p.user_id = b.user_id AND b.ts >= p.ts ORDER BY p.event_id"),
+    "join_nullsafe" ->
+      ("WITH a AS (SELECT nullif(event_type, 'error') AS k, COUNT(*) AS n_a " +
+        "FROM events GROUP BY 1), " +
+        s"b AS (SELECT nullif(event_type, 'error') AS kb, ${OSQL.dsum("value")} " +
+        "AS sum_b FROM events GROUP BY 1) " +
+        "SELECT k, n_a, sum_b FROM a JOIN b ON k IS NOT DISTINCT FROM kb " +
+        "ORDER BY k ASC NULLS FIRST"),
     "join_asof_nearest" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events " +
         "WHERE event_type = 'error'), " +

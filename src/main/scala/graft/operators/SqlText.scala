@@ -115,7 +115,20 @@ object SqlText {
     s.sql(lateral)
   }
 
+  /** GROUP BY ALL (the modern-SQL ergonomic both engines adopted): every
+    * non-aggregate select item becomes a group key — same text both sides. */
+  private val groupByAll =
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+      s"${OSQL.dsum("o_totalprice")} AS sum_price " +
+      "FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority"
+
+  private def sqlGroupByAll(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(groupByAll)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> sqlGroupByAll _,
     "sql_lateral_topk" -> sqlLateral _,
     "sql_q3_shipping" -> sqlQ3 _,
     "sql_q5_local_supplier" -> sqlQ5 _,
@@ -123,6 +136,7 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_group_by_all" -> groupByAll,
     "sql_lateral_topk" -> lateral,
     "sql_q3_shipping" -> q3,
     "sql_q5_local_supplier" -> q5,

@@ -401,6 +401,14 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("null-safe join pairs the NULL keys instead of dropping them") {
+    val rows = graft.operators.Joins.queries("join_nullsafe")(spark, sfDir).collect()
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("k"))),
+      "the NULL-key row must survive the null-safe join")
+    val types = graft.U.events(spark, sfDir).select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == types, "one output row per key incl. NULL")
+  }
+
   test("window topk emits at most k rows per group, ranked") {
     val df = graft.operators.Windows.queries("win_topk_group")(spark, sfDir)
     val byCust = df.collect().groupBy(_.getAs[Long]("o_custkey"))
