@@ -105,9 +105,16 @@ object GroupedTopKApi {
     val spark = df.sparkSession
     register(spark)
     val child = df.queryExecution.analyzed
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"grouped_topk: no column '$n' in ${child.output.map(_.name)}"))
+    def attr(n: String): Attribute = child.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"grouped_topk: no column '$n' in ${child.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        // mirror the analyzer's ambiguous-reference error rather than
+        // silently binding to the first match (common after joins)
+        s"grouped_topk: ambiguous column '$n' (${many.size} matches); " +
+          "disambiguate with select/alias first")
+    }
     val order = orderBy.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

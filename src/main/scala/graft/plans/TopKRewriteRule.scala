@@ -48,8 +48,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         case (Some((rank, k)),
             al @ Alias(WindowExpression(RowNumber(),
               WindowSpecDefinition(part, order, _)), _))
-            if rank.exprId == al.exprId && order.nonEmpty &&
+            if rank.exprId == al.exprId && part.nonEmpty && order.nonEmpty &&
               k >= 1 && k <= Int.MaxValue =>
+          // part.nonEmpty: a GLOBAL top-k (empty PARTITION BY) would make
+          // requiredChildDistribution = ClusteredDistribution(Nil), which
+          // Spark rejects — and without that require the per-partition heaps
+          // would silently emit per-partition top-k. Spark already plans the
+          // global case well (WindowGroupLimit / TakeOrderedAndProject).
           // our operator subsumes Spark's sort-based per-group limit
           val child = w.child match {
             case wgl: WindowGroupLimit if wgl.limit >= k => wgl.child
@@ -59,13 +64,20 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             AttributeReference(al.name, LongType, nullable = false)()
           val topk = GroupedTopK(part, order, k.toInt, rankAttr, child)
           // rank references above: cast(int-rank as bigint) becomes the
-          // operator's long rank directly; a bare int reference re-narrows
-          val newProj = projList.map(_.transform {
-            case Cast(a: Attribute, LongType, _, _) if a.exprId == rank.exprId =>
-              rankAttr
+          // operator's long rank directly; a bare int reference re-narrows.
+          // A bare rank attribute at the ROOT of a projection item must stay
+          // a NamedExpression — alias the cast under the original name/exprId
+          // instead of substituting a naked Cast.
+          val newProj = projList.map {
             case a: Attribute if a.exprId == rank.exprId =>
-              Cast(rankAttr, IntegerType)
-          }.asInstanceOf[NamedExpression])
+              Alias(Cast(rankAttr, IntegerType), a.name)(exprId = a.exprId)
+            case ne => ne.transform {
+              case Cast(a: Attribute, LongType, _, _) if a.exprId == rank.exprId =>
+                rankAttr
+              case a: Attribute if a.exprId == rank.exprId =>
+                Cast(rankAttr, IntegerType)
+            }.asInstanceOf[NamedExpression]
+          }
           Project(newProj, topk)
         case _ => p
       }

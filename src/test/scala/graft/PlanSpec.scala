@@ -199,4 +199,60 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"no equijoin on cid:\n$p")
   }
+
+  test("TopKRewriteRule leaves a GLOBAL top-k (empty PARTITION BY) alone") {
+    // regression (ADVICE r3, high): empty partitioning must NOT rewrite —
+    // GroupedTopK over ClusteredDistribution(Nil) is rejected by Spark, and
+    // per-partition heaps would silently return per-partition top-k anyway.
+    // The rule is active in this session via GraftExtensions.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.row_number
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"c_custkey".desc)
+    val q = graft.U.tbl(spark, sfDir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select($"c_custkey", $"rn")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("GroupedTopK"), s"global top-k was rewritten:\n$p")
+    val rows = q.collect() // pre-fix: crashed at plan time
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+  }
+
+  test("TopKRewriteRule aliases a bare un-cast rank reference at project root") {
+    // regression (ADVICE r3, medium): selecting a column subset plus the raw
+    // (int) rank makes the rank Attribute a TOP-LEVEL projection item; the
+    // substituted Cast must be re-aliased under the original name/exprId or
+    // optimization dies with a ClassCastException.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.row_number
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    val q = graft.U.tbl(spark, sfDir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"c_custkey", $"rn")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopK"), s"rule did not rewrite:\n$p")
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // independent oracle: top-2 per nation by (acctbal desc, custkey asc)
+    val raw = graft.U.tbl(spark, sfDir, "customer")
+      .select($"c_nationkey", $"c_acctbal", $"c_custkey").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(t => (-t._2, t._3)).take(2).zipWithIndex
+        .map { case (t, i) => (t._3, i + 1) }
+    }.toSet
+    assert(got == expected, s"values diverge: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
+
+  test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.upper
+    val dup = graft.U.tbl(spark, sfDir, "nation")
+      .select($"n_regionkey", $"n_name", upper($"n_name").as("n_name"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GroupedTopKApi(dup, Seq("n_regionkey"),
+        Seq(("n_name", false)), 2, "rn")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
 }
