@@ -172,7 +172,50 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Weighted dataset mixing (the "data recipe" step every pretraining run
+    * starts with): per-source epoch factors — curated sources repeat
+    * (oversample via explode of a copy sequence), bulk sources keep one
+    * copy, tail sources downsample by a deterministic id hash. Pure
+    * projection + generate: no shuffle; the copy multiplicity is the knob
+    * a mixture-tuning loop turns, and re-running any shard reproduces the
+    * same mixture exactly. */
+  private def datasetMix(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(pmod(col("doc_id") * lit(2654435761L) + lit(101L),
+      lit(1000000007L)), lit(100L))
+    val srcIdx = substring(col("source"), 4, 10).cast(LongType)
+    val copies = when(col("source").isin("src0", "src1"), lit(2L))
+      .when(srcIdx < 10, lit(1L))
+      .otherwise(when(h < 40, lit(1L)).otherwise(lit(0L)))
+    docs(s, d)
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** Overlapping fixed-width chunking (context-window preparation): each doc
+    * becomes ceil-spaced 200-char windows at stride 150, indexed and carrying
+    * their text. The chunk count is closed-form from the length, so the op
+    * is a per-row generate (explode of a computed sequence) — embarrassingly
+    * parallel, no shuffle, and the chunk→doc lineage is explicit in
+    * (doc_id, chunk_idx). */
+  private def docChunking(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("text")).cast(DoubleType)
+    val k = greatest(lit(1L),
+      ceil((n - lit(200.0)) / lit(150.0)) + lit(1L))
+    docs(s, d)
+      .withColumn("n_chunks", k)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        expr("substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast(LongType))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_mix" -> datasetMix _,
+    "doc_chunking" -> docChunking _,
     "text_decontaminate" -> textDecontaminate _,
     "sample_reservoir" -> sampleReservoir _,
     "emb_quantize" -> embQuantize _,
@@ -183,6 +226,25 @@ object Pipeline {
     "pack_sequences" -> packSequences _)
 
   val oracleSql: Map[String, String] = Map(
+    "dataset_mix" ->
+      ("WITH m AS (SELECT doc_id, source, " +
+        "CASE WHEN source IN ('src0','src1') THEN 2 " +
+        "WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 1 " +
+        "WHEN ((doc_id * 2654435761 + 101) % 1000000007) % 100 < 40 THEN 1 " +
+        "ELSE 0 END AS n_copies FROM documents) " +
+        "SELECT doc_id, source, CAST(ci AS BIGINT) AS copy_idx " +
+        "FROM m, LATERAL unnest(generate_series(1, n_copies)) t(ci) " +
+        "WHERE n_copies > 0 ORDER BY doc_id, copy_idx"),
+    "doc_chunking" ->
+      ("WITH t AS (SELECT doc_id, text, greatest(1, " +
+        "CAST(ceil((CAST(length(text) AS DOUBLE) - 200.0) / 150.0) AS BIGINT) " +
+        "+ 1) AS n_chunks FROM documents) " +
+        "SELECT doc_id, n_chunks, CAST(ci AS BIGINT) AS chunk_idx, " +
+        "substr(text, CAST(ci * 150 + 1 AS INTEGER), 200) AS chunk, " +
+        "CAST(length(substr(text, CAST(ci * 150 + 1 AS INTEGER), 200)) " +
+        "AS BIGINT) AS chunk_len " +
+        "FROM t, LATERAL unnest(generate_series(0, n_chunks - 1)) u(ci) " +
+        "ORDER BY doc_id, chunk_idx"),
     "text_decontaminate" ->
       (s"WITH base AS (SELECT doc_id, ${sqlPolyHash("text", 7L)} % 100 AS bucket, " +
         s"${sqlShingles3(sqlTokens("text"))} AS ss FROM documents), " +

@@ -311,7 +311,20 @@ object Aggregations {
         expr("min(o_orderdate) FILTER (WHERE o_orderstatus = 'O')").as("first_open"))
       .orderBy("o_orderpriority")
 
+  /** SQL-standard LISTAGG ... WITHIN GROUP (Spark 4's ordered string
+    * aggregation): deterministic because the WITHIN GROUP order is total
+    * (c_name is unique). Same one-shuffle hash-agg shape as agg_collect —
+    * the ordered concat happens inside the final aggregation buffer. */
+  private def aggListagg(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+        .as("customers"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_listagg" -> aggListagg _,
     "agg_filtered" -> aggFiltered _,
     "agg_moments" -> aggMoments _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
@@ -384,6 +397,11 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_listagg" ->
+      ("SELECT c_nationkey, c_mktsegment, " +
+        "string_agg(c_name, ',' ORDER BY c_name) AS customers, " +
+        "COUNT(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment " +
+        "ORDER BY c_nationkey, c_mktsegment"),
     "agg_filtered" ->
       ("SELECT o_orderpriority, COUNT(*) AS n_all, " +
         "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, " +

@@ -127,7 +127,34 @@ object SqlText {
     s.sql(groupByAll)
   }
 
+  /** WITH RECURSIVE (Spark 4's recursive CTE): generates the month calendar
+    * between the first and last order date by recursion, then LEFT JOINs
+    * order counts/revenue onto it — the canonical "don't drop empty
+    * periods" reporting shape. The recursion carries its own bound in the
+    * working tuple (ym, ym_max) so the recursive term needs no subquery;
+    * month arithmetic stays in the integer ym = 12·year+month−1 domain and
+    * converts back via make_date. Identical text runs on both engines;
+    * depth = #months ≪ Spark's 100-level recursion default. */
+  private val recursiveCte =
+    "WITH RECURSIVE cal(ym, ym_max) AS (" +
+      "SELECT MIN(year(o_orderdate)*12 + month(o_orderdate) - 1), " +
+      "MAX(year(o_orderdate)*12 + month(o_orderdate) - 1) FROM orders " +
+      "UNION ALL SELECT ym + 1, ym_max FROM cal WHERE ym < ym_max) " +
+      "SELECT make_date(CAST(floor(ym/12.0) AS INTEGER), " +
+      "CAST(ym % 12 AS INTEGER) + 1, 1) AS month_start, " +
+      "COUNT(o_orderkey) AS n_orders, " +
+      s"${OSQL.dsum("o_totalprice")} AS revenue " +
+      "FROM cal LEFT JOIN orders " +
+      "ON year(o_orderdate)*12 + month(o_orderdate) - 1 = ym " +
+      "GROUP BY 1 ORDER BY month_start"
+
+  private def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(recursiveCte)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> sqlRecursive _,
     "sql_group_by_all" -> sqlGroupByAll _,
     "sql_lateral_topk" -> sqlLateral _,
     "sql_q3_shipping" -> sqlQ3 _,
@@ -136,6 +163,7 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_recursive_cte" -> recursiveCte,
     "sql_group_by_all" -> groupByAll,
     "sql_lateral_topk" -> lateral,
     "sql_q3_shipping" -> q3,

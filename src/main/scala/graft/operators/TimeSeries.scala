@@ -446,7 +446,27 @@ object TimeSeries {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "sstart")
 
+  /** Hourly VWAP (volume-weighted average price) — the finance rung of
+    * windowed time-series aggregation. Price = value in exact cents, volume
+    * = the numeric field of the props JSON; vwap = Σ(price·vol)/Σvol with
+    * both sums in the integer domain, so the single double division is the
+    * only float op and matches the oracle bit-for-bit. One hash-agg shuffle
+    * keyed on the hour — linear at any scale. */
+  private def tsVwap(s: SparkSession, d: String): DataFrame = {
+    val vol = regexp_extract(col("props"), "[0-9]+", 0).cast(LongType)
+    U.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        U.cents(col("value")).as("pc"), vol.as("vol"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_trades"), sum(col("vol")).as("total_vol"),
+        (sum(col("pc") * col("vol")).cast(DoubleType) /
+          (lit(100.0) * nullif(sum(col("vol")), lit(0L)).cast(DoubleType)))
+          .as("vwap"))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_vwap" -> tsVwap _,
     "ts_session_native" -> tsSessionNative _,
     "ts_pattern_ab" -> tsPatternAb _,
     "ts_rolling_median" -> tsRollingMedian _,
@@ -472,6 +492,15 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_vwap" ->
+      ("SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_trades, " +
+        s"CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) " +
+        "AS total_vol, " +
+        s"CAST(SUM(${OSQL.cents("value")} * " +
+        "CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS DOUBLE) / " +
+        "(100.0 * CAST(NULLIF(CAST(SUM(CAST(regexp_extract(props, '[0-9]+') " +
+        "AS BIGINT)) AS BIGINT), 0) AS DOUBLE)) AS vwap " +
+        "FROM events GROUP BY 1 ORDER BY hour"),
     "ts_session_native" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
         // >= not >: Spark session windows are [start, last+gap) with an
