@@ -117,6 +117,69 @@ object Scans {
       .agg(expr("count(*)").as("n"), sum(col("value_cents")).as("sum_cents"))
       .orderBy("bucket")
 
+  /** Top-N pushdown INTO the custom DSv2 source: ORDER BY id DESC LIMIT k
+    * reaches the generator, so each slice emits only its LAST k ids (ids are
+    * monotone per slice — no sort needed inside the source) and Spark's
+    * TakeOrderedAndProject merges 8·k candidate rows instead of scanning
+    * 100k. The file-source analogue is a reader that stops after k rows per
+    * split. Asserted in PlanSpec via the scan description. */
+  private def scanCustomTopn(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.DeterministicSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .orderBy(col("id").desc).limit(50)
+
+  /** Plain LIMIT pushdown: each slice truncates to its first k ids before
+    * any row is generated; the global limit then drains partition 0 —
+    * deterministic because slice ranges and drain order both are. */
+  private def scanCustomLimit(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.DeterministicSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .limit(120)
+      .orderBy("id")
+
+  /** binaryFile source — the ingestion rung of the multimodal story: opaque
+    * payload files land as (path, length, content) rows. Stages a small
+    * fixture tree of .bin files from document texts (driver-side write of 24
+    * tiny files — staging only, not the read path), then reads them back
+    * distributed, reducing each payload to length + SHA-256 so the oracle
+    * can mirror from the documents table. */
+  private def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
+    val dir = U.scratch(d, "binfiles")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(p, true); fs.mkdirs(p)
+    val docs = U.tbl(s, d, "documents").filter(col("doc_id") < 24)
+      .select(col("doc_id"), col("text")).collect()
+    for (r <- docs) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"))
+      out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "doc_[0-9]+\\.bin", 0).as("fname"),
+        col("length"), sha2(col("content"), 256).as("sha"))
+      .orderBy("fname")
+  }
+
+  /** Schema-evolution read (mergeSchema): two parquet shards written under
+    * different schema versions — v2 added a column — read as ONE dataset;
+    * v1 rows surface NULL for the new column. The per-file footer merge is
+    * exactly how a 100 TB lakehouse table absorbs schema drift without
+    * rewriting old shards. */
+  private def scanMergeSchema(s: SparkSession, d: String): DataFrame = {
+    val dir = U.scratch(d, "evolving_orders")
+    U.tbl(s, d, "orders").filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    U.tbl(s, d, "orders").filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("prio"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("prio")
+  }
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -208,6 +271,10 @@ object Scans {
     "scan_custom_source" -> scanCustomSource _,
     "scan_custom_pushdown" -> scanCustomPushdown _,
     "scan_custom_agg_pushdown" -> scanCustomAggPushdown _,
+    "scan_custom_topn_pushdown" -> scanCustomTopn _,
+    "scan_custom_limit_pushdown" -> scanCustomLimit _,
+    "scan_binary_file" -> scanBinaryFile _,
+    "scan_merge_schema" -> scanMergeSchema _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -238,6 +305,26 @@ object Scans {
       ("SELECT range % 32 AS bucket, COUNT(*) AS n, " +
         "CAST(SUM((range * 2654435761) % 100000) AS BIGINT) AS sum_cents " +
         "FROM range(5000, 15000) GROUP BY bucket ORDER BY bucket"),
+    "scan_custom_topn_pushdown" ->
+      ("SELECT range AS id, range % 32 AS bucket, " +
+        "(range * 2654435761) % 100000 AS value_cents " +
+        "FROM range(0, 100000) ORDER BY id DESC LIMIT 50"),
+    "scan_custom_limit_pushdown" ->
+      ("SELECT range AS id, range % 32 AS bucket, " +
+        "(range * 2654435761) % 100000 AS value_cents " +
+        "FROM range(0, 120) ORDER BY id"),
+    "scan_binary_file" ->
+      ("SELECT 'doc_' || doc_id || '.bin' AS fname, " +
+        "CAST(strlen(text) AS BIGINT) AS length, sha256(text) AS sha " +
+        "FROM documents WHERE doc_id < 24 ORDER BY fname"),
+    "scan_merge_schema" ->
+      ("WITH u AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) " +
+        "AS o_orderpriority FROM orders WHERE year(o_orderdate) = 1995 " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE year(o_orderdate) = 1996) " +
+        "SELECT COALESCE(o_orderpriority, '<legacy>') AS prio, COUNT(*) AS n, " +
+        s"${graft.OSQL.dsum("o_totalprice")} AS sum_price " +
+        "FROM u GROUP BY 1 ORDER BY prio"),
     "scan_custom_agg_pushdown" ->
       ("SELECT range % 32 AS bucket, COUNT(*) AS n, " +
         "CAST(SUM((range * 2654435761) % 100000) AS BIGINT) AS sum_cents " +

@@ -66,7 +66,8 @@ private class DeterministicTable(rows: Long, slices: Int)
 
 private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = DeterministicSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -144,13 +145,50 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
   }
   private var aggFields: Array[String] = Array.empty
 
+  // Limit / top-N pushdown: each slice truncates its id range to the first
+  // (or, for id DESC, last) `limit` ids — the generator analogue of a file
+  // source stopping after `limit` rows per split. Partial push (Spark keeps
+  // the final Limit / TakeOrderedAndProject), so any slicing stays exact.
+  // Only orderings the generator can satisfy WITHOUT sorting are accepted:
+  // `id` asc/desc, since ids are emitted monotonically per slice. Not
+  // combined with aggregate pushdown — a limit over partial aggregates
+  // would drop groups.
+  private var pushedLimit: Option[Int] = None
+  private var topNDesc = false
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggregated) false
+    else { pushedLimit = Some(limit); true }
+  }
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    orders.toSeq match {
+      case Seq(o) if !aggregated =>
+        o.expression() match {
+          case f: NamedReference if f.fieldNames.mkString(".") == "id" =>
+            pushedLimit = Some(limit)
+            topNDesc = o.direction() == SortDirection.DESCENDING
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed: Boolean = true
+
   /** [start, end) split into `slices` parallel ranges over pruned columns. */
   private def slicePartitions(start: Long, end: Long): Array[InputPartition] = {
     val n = end - start
     val step = math.max(n / slices, 1L)
     (0 until slices).map { i =>
-      val s = start + i * step
-      val e = if (i == slices - 1) end else math.min(start + (i + 1) * step, end)
+      val s0 = start + i * step
+      val e0 = if (i == slices - 1) end else math.min(start + (i + 1) * step, end)
+      val (s, e) = pushedLimit match {
+        case Some(k) if !topNDesc => (s0, math.min(e0, s0 + k))
+        case Some(k) => (math.max(s0, e0 - k), e0)
+        case None => (s0, e0)
+      }
       RangeSlice(s, math.max(s, e), required.fieldNames, aggFields): InputPartition
     }.toArray
   }
@@ -173,7 +211,9 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
     // that the range/agg actually pushed at plan time
     override def description(): String =
       s"deterministic pushedRange=[$lo,$hi) of $rows" +
-        (if (aggregated) s" pushedAggs=bucket:${aggFields.mkString(",")}" else "")
+        (if (aggregated) s" pushedAggs=bucket:${aggFields.mkString(",")}" else "") +
+        pushedLimit.map(k =>
+          s" pushedLimit=$k${if (topNDesc) " (topN id DESC)" else ""}").getOrElse("")
     override def planInputPartitions(): Array[InputPartition] =
       slicePartitions(lo, hi)
     override def createReaderFactory(): PartitionReaderFactory = readerFactory

@@ -154,6 +154,18 @@ class PlanSpec extends SparkTestBase {
       s"id predicates did not reach the generator:\n$p")
   }
 
+  test("custom DSv2 source receives the pushed top-N (id DESC limit 50)") {
+    val p = plan("scan_custom_topn_pushdown")
+    assert(p.contains("pushedLimit=50 (topN id DESC)"),
+      s"top-N did not reach the generator:\n$p")
+  }
+
+  test("custom DSv2 source truncates slices from the pushed limit") {
+    val p = plan("scan_custom_limit_pushdown")
+    assert(p.contains("pushedLimit=120"),
+      s"limit did not reach the generator:\n$p")
+  }
+
   test("custom DSv2 source folds the group-by into per-slice partials") {
     val p = plan("scan_custom_agg_pushdown")
     assert(p.contains("pushedAggs=bucket:agg_count,agg_sum"),
