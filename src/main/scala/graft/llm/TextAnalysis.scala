@@ -179,7 +179,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-doc keyword extraction: [[tfidf]]'s scoring reduced to each doc's
+    * top-3 terms (rank by 6-dp-rounded tf-idf, token tiebreak => total
+    * deterministic order both engines). At scale the per-doc top-k runs
+    * through bounded heaps (GroupedTopK shape), not a full per-doc sort. */
+  private def keywordExtract(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast(DoubleType) *
+          round(log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_extract" -> keywordExtract _,
     "text_winnowing" -> winnowing _,
     "text_redact" -> redact _,
     "text_bigram_lp" -> bigramLp _,
@@ -192,6 +215,20 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_keyword_extract" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, tf.token AS token, " +
+        "round(CAST(tf AS DOUBLE) * " +
+        "round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6), 6) AS tfidf " +
+        "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) " +
+        "SELECT doc_id, token, tfidf, rank FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM scored) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank"),
     "text_winnowing" ->
       (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents), " +
         "sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +

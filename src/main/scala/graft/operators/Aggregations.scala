@@ -323,7 +323,23 @@ object Aggregations {
         count(lit(1)).as("n"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** CUBE with grouping metadata: grouping() flags composed into an
+    * explicit gid (2·g(flag) + g(status)) so downstream consumers can tell
+    * a real NULL key from a rollup subtotal — the SQL-standard companion
+    * every BI layer needs on top of agg_cube. Same Expand+hash-agg shape. */
+  private def aggGroupingId(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")).cast(LongType) * 2 +
+          grouping(col("l_linestatus")).cast(LongType)).as("gid"),
+        count(lit(1)).as("n"),
+        U.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_id" -> aggGroupingId _,
     "agg_listagg" -> aggListagg _,
     "agg_filtered" -> aggFiltered _,
     "agg_moments" -> aggMoments _,
@@ -397,6 +413,14 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_grouping_id" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) " +
+        "AS gid, COUNT(*) AS n, " +
+        s"${OSQL.dsum("l_quantity")} AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag ASC NULLS FIRST, " +
+        "l_linestatus ASC NULLS FIRST"),
     "agg_listagg" ->
       ("SELECT c_nationkey, c_mktsegment, " +
         "string_agg(c_name, ',' ORDER BY c_name) AS customers, " +

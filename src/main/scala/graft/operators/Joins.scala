@@ -287,7 +287,38 @@ object Joins {
   private def joinBucketed(s: SparkSession, d: String): DataFrame =
     joinBucketedCore(s, d).orderBy("o_orderkey")
 
+  /** Tolerance-bounded as-of (pandas merge_asof's `tolerance`): the
+    * [[joinAsof]] formulation, then matches older than 1 hour are nulled
+    * out — a stale quote must not enrich a trade. Same single sort+window,
+    * no join operator; the tolerance is a post-pick projection. */
+  private def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val tagged = build
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"))
+      .unionByName(probe.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(TimestampType).as("b_ts"),
+        lit(null).cast(DoubleType).as("b_value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = col("asof_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+    tagged
+      .withColumn("asof_ts", last(col("b_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(inTol, col("asof_ts")).as("asof_ts"),
+        when(inTol, col("asof_value")).as("asof_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_tolerance" -> joinAsofTolerance _,
     "join_bucketed" -> joinBucketed _,
     "join_skew_salted" -> joinSkewSalted _,
     "join_inner_broadcast" -> joinInnerBroadcast _,
@@ -362,6 +393,14 @@ object Joins {
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "join_asof" ->
       ("SELECT p.event_id, p.user_id, p.ts, b.ts AS asof_ts, b.value AS asof_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') p " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase') b " +
+        "ON p.user_id = b.user_id AND b.ts <= p.ts ORDER BY p.event_id"),
+    "join_asof_tolerance" ->
+      ("SELECT p.event_id, p.user_id, p.ts, " +
+        "CASE WHEN b.ts >= p.ts - INTERVAL 1 HOUR THEN b.ts END AS asof_ts, " +
+        "CASE WHEN b.ts >= p.ts - INTERVAL 1 HOUR THEN b.value END AS asof_value " +
         "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') p " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase') b " +

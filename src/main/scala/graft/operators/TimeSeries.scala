@@ -465,7 +465,31 @@ object TimeSeries {
       .orderBy("hour")
   }
 
+  /** Longest sessions leaderboard: the [[tsSessionize]] lag-gap pass
+    * reduced to per-session summaries, then a GLOBAL top-10 by duration —
+    * the session summary set is tiny relative to the events (one row per
+    * session), so the final ordering is a cheap single-stage TopK
+    * (TakeOrderedAndProject), not a sort of the raw data. */
+  private def tsTopSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    U.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .orderBy(col("duration_us").desc, col("user_id"), col("session_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_top_sessions" -> tsTopSessions _,
     "ts_vwap" -> tsVwap _,
     "ts_session_native" -> tsSessionNative _,
     "ts_pattern_ab" -> tsPatternAb _,
@@ -492,6 +516,21 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_top_sessions" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "numbered AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_id FROM flagged), " +
+        "sess AS (SELECT user_id, session_id, MIN(ts) AS session_start, " +
+        "MAX(ts) AS session_end, COUNT(*) AS n_events " +
+        "FROM numbered GROUP BY user_id, session_id) " +
+        "SELECT *, epoch_us(session_end) - epoch_us(session_start) " +
+        "AS duration_us FROM sess " +
+        "ORDER BY duration_us DESC, user_id, session_id LIMIT 10"),
     "ts_vwap" ->
       ("SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_trades, " +
         s"CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) " +

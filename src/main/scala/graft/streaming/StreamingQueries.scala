@@ -367,7 +367,22 @@ object StreamingQueries {
     s.read.parquet(outDir).orderBy("event_id")
   }
 
+  /** Complete-mode streaming top-k: cumulative per-type totals re-ranked on
+    * every batch (sort+limit are legal in complete mode); the memory sink
+    * holds the LAST emission = the exact top-3 over the whole replay, so
+    * batching can't perturb it => full oracle. The production shape of a
+    * live "top movers" leaderboard. */
+  private def streamTopk(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "complete", filesPerTrigger = 4) { in =>
+      in.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.U.cents(col("value"))).as("spend_cents"))
+        .orderBy(col("spend_cents").desc, col("event_type"))
+        .limit(3)
+    }.orderBy(col("spend_cents").desc, col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk" -> streamTopk _,
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
     "stream_sliding" -> slidingComplete _,
@@ -381,6 +396,11 @@ object StreamingQueries {
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_topk" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS spend_cents " +
+        "FROM events GROUP BY event_type " +
+        "ORDER BY spend_cents DESC, event_type LIMIT 3"),
     "stream_upsert_sink" ->
       ("SELECT user_id, ts, event_id, value FROM (" +
         "SELECT user_id, ts, event_id, value, " +
