@@ -317,7 +317,41 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Interval join WITHOUT an equi key — the shape that degenerates to a
+    * nested loop if written naively. The scale-safe plan: explode each
+    * interval into the fixed-width time bins it touches (week grain here),
+    * hash-equijoin on the bin, dedup the candidate pair, then apply the
+    * EXACT overlap predicate. Any overlap point lies in a shared bin, so
+    * recall is exact; the oracle runs the naive range join and must match
+    * row-for-row. Candidate volume = Σ bins-per-interval, not |A|·|B|.
+    * PlanSpec asserts no CartesianProduct/BroadcastNestedLoopJoin. */
+  private def joinIntervalBinned(s: SparkSession, d: String): DataFrame = {
+    val binUs = 604800000000L // 1 week in µs
+    val ev = U.events(s, d)
+    val a = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("s_a"), max(col("ts")).as("e_a"))
+    val b = ev.filter(col("event_type") =!= "click")
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) / binUs).cast(LongType).as("wk"))
+      .agg(min(col("ts")).as("s_b"), max(col("ts")).as("e_b"))
+    val aBinned = a.withColumn("bin", explode(sequence(
+      (unix_micros(col("s_a")) / binUs).cast(LongType),
+      (unix_micros(col("e_a")) / binUs).cast(LongType))))
+    val bBinned = b.withColumn("bin", explode(sequence(
+      (unix_micros(col("s_b")) / binUs).cast(LongType),
+      (unix_micros(col("e_b")) / binUs).cast(LongType))))
+    aBinned.join(bBinned, "bin")
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("user_id"), col("event_type"), col("wk"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start"),
+        least(col("e_a"), col("e_b")).as("overlap_end"))
+      .distinct()
+      .orderBy("user_id", "event_type", "wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_binned" -> joinIntervalBinned _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "join_bucketed" -> joinBucketed _,
     "join_skew_salted" -> joinSkewSalted _,
@@ -397,6 +431,16 @@ object Joins {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase') b " +
         "ON p.user_id = b.user_id AND b.ts <= p.ts ORDER BY p.event_id"),
+    "join_interval_binned" ->
+      ("WITH a AS (SELECT user_id, MIN(ts) AS s_a, MAX(ts) AS e_a " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id), " +
+        "b AS (SELECT event_type, CAST(floor(epoch_us(ts) / 604800000000) " +
+        "AS BIGINT) AS wk, MIN(ts) AS s_b, MAX(ts) AS e_b " +
+        "FROM events WHERE event_type <> 'click' GROUP BY 1, 2) " +
+        "SELECT user_id, event_type, wk, " +
+        "greatest(s_a, s_b) AS overlap_start, least(e_a, e_b) AS overlap_end " +
+        "FROM a JOIN b ON s_a <= e_b AND s_b <= e_a " +
+        "ORDER BY user_id, event_type, wk"),
     "join_asof_tolerance" ->
       ("SELECT p.event_id, p.user_id, p.ts, " +
         "CASE WHEN b.ts >= p.ts - INTERVAL 1 HOUR THEN b.ts END AS asof_ts, " +

@@ -180,6 +180,19 @@ object Scans {
       .orderBy("prio")
   }
 
+  /** Small-file compaction (the table-maintenance pass every 100 TB lake
+    * runs): a 32-way-fragmented write is rewritten into 2 right-sized files
+    * via coalesce (no shuffle — partitions are concatenated, not re-keyed).
+    * Content must be byte-identical through the rewrite, so the oracle is
+    * the identity query; CompactionSpec asserts the file-count drop. */
+  private def sinkCompaction(s: SparkSession, d: String): DataFrame = {
+    val frag = U.scratch(d, "compact_frag")
+    val tidy = U.scratch(d, "compact_tidy")
+    U.events(s, d).repartition(32).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(tidy)
+    s.read.parquet(tidy).orderBy("event_id")
+  }
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -275,6 +288,7 @@ object Scans {
     "scan_custom_limit_pushdown" -> scanCustomLimit _,
     "scan_binary_file" -> scanBinaryFile _,
     "scan_merge_schema" -> scanMergeSchema _,
+    "sink_compaction" -> sinkCompaction _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -286,6 +300,7 @@ object Scans {
         "FROM lineitem WHERE 'y' || strftime(l_shipdate, '%Y') = 'y1998' " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
+    "sink_compaction" -> "SELECT * FROM events ORDER BY event_id",
     "scan_events" -> "SELECT * FROM events ORDER BY event_id",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",

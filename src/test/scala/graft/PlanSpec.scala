@@ -212,6 +212,23 @@ class PlanSpec extends SparkTestBase {
       s"no equijoin on cid:\n$p")
   }
 
+  test("join_interval_binned plans a bin equijoin, not a nested loop") {
+    val p = plan("join_interval_binned")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equijoin on bin:\n$p")
+  }
+
+  test("sink_compaction reduces the fragmented layout to 2 files") {
+    SparkEntry.queries("sink_compaction")(spark, sfDir).collect()
+    def parts(tag: String): Int = new java.io.File(graft.U.scratch(sfDir, tag))
+      .listFiles().count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    assert(parts("compact_frag") == 32, "expected 32 fragmented files")
+    assert(parts("compact_tidy") == 2, "expected 2 compacted files")
+  }
+
   test("TopKRewriteRule leaves a GLOBAL top-k (empty PARTITION BY) alone") {
     // regression (ADVICE r3, high): empty partitioning must NOT rewrite —
     // GroupedTopK over ClusteredDistribution(Nil) is rejected by Spark, and
