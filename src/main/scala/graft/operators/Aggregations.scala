@@ -323,6 +323,40 @@ object Aggregations {
         count(lit(1)).as("n"))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Count-min sketch heavy hitters: d=3 hash rows × w=32 counters over
+    * user_id; a key's estimate is the MIN of its d bucket totals (classic
+    * CMS over-count bound: est >= exact, error from colliding keys). The
+    * sketch build is one hash-agg over 3·n exploded (row, bucket) pairs —
+    * mergeable across shards exactly like a production sketch — and because
+    * the hash functions are fixed integer arithmetic, the whole estimate is
+    * deterministic and ORACLE-ABLE, unlike a seeded sketch. Output: top-10
+    * estimated users with their exact counts alongside (est >= exact holds
+    * row-wise). */
+  private def aggCmsHeavyhitters(s: SparkSession, d: String): DataFrame = {
+    val P = 1000000007L
+    val w = 32L
+    val as = Seq(2654435761L, 2246822519L, 3266489917L)
+    val bs = Seq(101L, 271L, 937L)
+    def bucket(r: Int): Column =
+      pmod(pmod(col("user_id") * lit(as(r)) + lit(bs(r)), lit(P)), lit(w))
+    val ev = U.events(s, d)
+    val counters = ev
+      .select(explode(array((0 until 3).map(r =>
+        struct(lit(r.toLong).as("r"), bucket(r).as("b"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact
+      .withColumn("r", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("b", when(col("r") === 0, bucket(0))
+        .when(col("r") === 1, bucket(1)).otherwise(bucket(2)))
+    probes.join(counters, Seq("r", "b"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("est_n"), max(col("exact_n")).as("exact_n"))
+      .orderBy(col("est_n").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** CUBE with grouping metadata: grouping() flags composed into an
     * explicit gid (2·g(flag) + g(status)) so downstream consumers can tell
     * a real NULL key from a rollup subtotal — the SQL-standard companion
@@ -339,6 +373,7 @@ object Aggregations {
         asc_nulls_first("l_linestatus"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cms_heavyhitters" -> aggCmsHeavyhitters _,
     "agg_grouping_id" -> aggGroupingId _,
     "agg_listagg" -> aggListagg _,
     "agg_filtered" -> aggFiltered _,
@@ -412,7 +447,26 @@ object Aggregations {
       "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"
   }
 
+  private val cmsBucket: String => String = r => r match {
+    case "0" => "((user_id * 2654435761 + 101) % 1000000007) % 32"
+    case "1" => "((user_id * 2246822519 + 271) % 1000000007) % 32"
+    case _ => "((user_id * 3266489917 + 937) % 1000000007) % 32"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_cms_heavyhitters" ->
+      (s"WITH pairs AS (SELECT r, CASE r WHEN 0 THEN ${cmsBucket("0")} " +
+        s"WHEN 1 THEN ${cmsBucket("1")} ELSE ${cmsBucket("2")} END AS b " +
+        "FROM events CROSS JOIN (VALUES (0), (1), (2)) t(r)), " +
+        "counters AS (SELECT r, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2), " +
+        "exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1), " +
+        s"probes AS (SELECT user_id, exact_n, r, CASE r WHEN 0 THEN ${cmsBucket("0")} " +
+        s"WHEN 1 THEN ${cmsBucket("1")} ELSE ${cmsBucket("2")} END AS b " +
+        "FROM exact CROSS JOIN (VALUES (0), (1), (2)) t(r)) " +
+        "SELECT user_id, CAST(MIN(c) AS BIGINT) AS est_n, " +
+        "CAST(MAX(exact_n) AS BIGINT) AS exact_n " +
+        "FROM probes JOIN counters USING (r, b) GROUP BY user_id " +
+        "ORDER BY est_n DESC, user_id LIMIT 10"),
     "agg_grouping_id" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) " +

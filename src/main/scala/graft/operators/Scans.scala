@@ -193,6 +193,32 @@ object Scans {
     s.read.parquet(tidy).orderBy("event_id")
   }
 
+  /** Z-order clustered layout: events keyed by the Morton interleave of
+    * (user_id, hour) — the multi-dimensional clustering a 100 TB table uses
+    * so predicates on EITHER dimension prune to few contiguous key ranges
+    * (= few files). The curve key comes from the codegen'd [[graft.plans
+    * .ZOrder2]] expression; files are partitioned by the key's top bits and
+    * sorted by the full key within each. Output = per-bucket count + both
+    * dims' min/max spans — the clustering quality evidence (both spans
+    * bounded), bit-identical to the oracle's unrolled-interleave SQL. */
+  private def sinkZorder(s: SparkSession, d: String): DataFrame = {
+    val dir = U.scratch(d, "zorder_events")
+    U.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("(unix_micros(ts) - 1704067200000000) DIV 3600000000").as("hour_idx"))
+      .withColumn("z",
+        graft.plans.CustomExprs.zorder2(col("user_id"), col("hour_idx")))
+      .withColumn("zbucket", shiftright(col("z"), 16))
+      .repartition(col("zbucket")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("zbucket").cast(LongType).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("hour_idx")).as("min_hour"), max(col("hour_idx")).as("max_hour"))
+      .orderBy("zbucket")
+  }
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -289,6 +315,7 @@ object Scans {
     "scan_binary_file" -> scanBinaryFile _,
     "scan_merge_schema" -> scanMergeSchema _,
     "sink_compaction" -> sinkCompaction _,
+    "sink_zorder" -> sinkZorder _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -301,6 +328,16 @@ object Scans {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
     "sink_compaction" -> "SELECT * FROM events ORDER BY event_id",
+    "sink_zorder" ->
+      ("WITH base AS (SELECT event_id, user_id, " +
+        "(epoch_us(ts) - 1704067200000000) // 3600000000 AS hour_idx " +
+        "FROM events), " +
+        s"zt AS (SELECT *, ${graft.plans.CustomExprs.sqlZorder2("user_id", "hour_idx")} " +
+        "AS z FROM base) " +
+        "SELECT CAST(z >> 16 AS BIGINT) AS zbucket, COUNT(*) AS n, " +
+        "MIN(user_id) AS min_user, MAX(user_id) AS max_user, " +
+        "MIN(hour_idx) AS min_hour, MAX(hour_idx) AS max_hour " +
+        "FROM zt GROUP BY 1 ORDER BY zbucket"),
     "scan_events" -> "SELECT * FROM events ORDER BY event_id",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",

@@ -198,6 +198,44 @@ object MinHashSigs {
   }
 }
 
+/** Morton/Z-order interleave of the low 16 bits of two longs: bit i of x
+  * lands at position 2i, bit i of y at 2i+1 — the space-filling-curve key a
+  * multi-dimension-clustered table layout sorts by, so range predicates on
+  * EITHER dimension touch few contiguous key ranges (= few files). Pure
+  * integer bit ops, so the unrolled SQL mirror is bit-identical. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  private def interleave(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val z = ctx.freshName("zAcc")
+      val i = ctx.freshName("zI")
+      s"""
+      |long $z = 0L;
+      |for (int $i = 0; $i < 16; $i++) {
+      |  $z |= (($a >> $i) & 1L) << (2 * $i);
+      |  $z |= (($b >> $i) & 1L) << (2 * $i + 1);
+      |}
+      |${ev.value} = $z;
+      |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points for the custom expressions. */
 object CustomExprs {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -209,4 +247,12 @@ object CustomExprs {
   def simhash60(hs: Column): Column = c(SimHash60(e(hs)))
   def minhash_sigs(hs: Column, nPerm: Int): Column = c(MinHashSigs(e(hs), nPerm))
   def shingles3_fast(toks: Column): Column = c(Shingles3(e(toks)))
+  def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
+
+  /** Unrolled SQL mirror of [[ZOrder2]] (both engines): Σ over bit i of
+    * ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). */
+  def sqlZorder2(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
 }

@@ -273,6 +273,72 @@ class PlanSpec extends SparkTestBase {
     assert(got == expected, s"values diverge: ${got.diff(expected)} / ${expected.diff(got)}")
   }
 
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    // the OTHER half of the skew story next to join_skew_salted: Spark's
+    // adaptive re-plan detects the hot key's oversized shuffle partition
+    // and splits it across tasks (skew=true on the join). Thresholds are
+    // floored locally because fixture partitions are KB-sized; a 100 TB
+    // deployment keeps the defaults and just leaves AQE on.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // factor 2: the hot FACT partition (no median to speak of) clears it,
+      // the mildly-uneven dim side must NOT — a partition skewed on both
+      // sides is excluded from splitting
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // fixture shuffle partitions are a few (compressed) KB — floor both
+      // knobs far below the 256MB/64MB production defaults
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // the split adds a shuffle before the downstream groupBy; at 100 TB
+      // that trade is exactly the point, so opt in explicitly
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ev = graft.U.events(spark, sfDir).drop("ts")
+      // collapse most users onto one hot key => one shuffle partition
+      // carries ~2/3 of the rows; replicate ×16 so the hot partition's
+      // compressed shuffle bytes clear the floored threshold
+      // repartition(8) first: a skewed partition is split along MAPPER
+      // boundaries, so the hot key's bytes must come from several map
+      // tasks (the single-file fixture scan is otherwise one mapper and
+      // the hot partition would be unsplittable)
+      val fact = ev.withColumn("k",
+          when(col("user_id") < 100, 0L).otherwise(col("user_id")))
+        .withColumn("rep", explode(expr("sequence(1, 16)")))
+        .repartition(8)
+      val dim = ev.select(col("user_id").as("k"), col("event_id").as("e2"))
+      val j = fact.join(dim, "k")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val fin = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{QueryStageExec, ShuffleQueryStageExec}
+      def stages(pl: SparkPlan): Seq[QueryStageExec] =
+        pl.collect { case q: QueryStageExec => q }
+          .flatMap(q => q +: stages(q.plan))
+      val stats = stages(fin).collect {
+        case s: ShuffleQueryStageExec =>
+          s"stage ${s.id}: " +
+            s.mapStats.map(_.bytesByPartitionId.mkString(",")).getOrElse("none")
+      }.mkString("; ")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skew split [mapstats: $stats]:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper

@@ -59,6 +59,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("zorder2 interleave: known values, monotone bit containment, SQL mirror") {
+    // known pattern: x=0b11, y=0b01 -> z bits (y1 x1 y0 x0) = 0b0111
+    val known = Seq((3L, 1L)).toDF("x", "y")
+      .select(graft.plans.CustomExprs.zorder2(col("x"), col("y")).as("z"))
+      .head().getLong(0)
+    assert(known == 7L, s"zorder2(3,1) = $known, expected 7")
+    // the codegen'd expression must agree with the unrolled SQL mirror
+    samples(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)), 20)
+      .foreach { case (x, y) =>
+        val df = Seq((x, y)).toDF("x", "y")
+        val zExpr = df.select(
+          graft.plans.CustomExprs.zorder2(col("x"), col("y")).as("z"))
+          .head().getLong(0)
+        val zSql = df.selectExpr(
+          graft.plans.CustomExprs.sqlZorder2("x", "y") + " AS z")
+          .head().getLong(0)
+        assert(zExpr == zSql, s"codegen $zExpr != sql $zSql for ($x, $y)")
+      }
+  }
+
   test("minhash signatures: identical shingle sets agree on all permutations") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("id", "text")
