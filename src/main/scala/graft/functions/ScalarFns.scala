@@ -154,7 +154,25 @@ object ScalarFns {
         .getField("size").as("meta_size"))
       .orderBy("p_partkey")
 
+  /** URL decomposition via parse_url over deterministically synthesized
+    * URLs (host/path/query-param extraction — the web-corpus provenance
+    * fields every crawl pipeline materializes). The oracle reconstructs
+    * each component from the same source columns, so Spark's parser is
+    * checked against the ground-truth composition, not another parser. */
+  private def fnUrlParse(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id"),
+        lit("?lang="), col("lang"), lit("&v=2")))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url_parse" -> fnUrlParse _,
     "fn_encoding" -> fnEncoding _,
     "fn_struct" -> fnStruct _,
     "fn_bitwise" -> fnBitwise _,
@@ -183,6 +201,13 @@ object ScalarFns {
       .orderBy("p_partkey")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_url_parse" ->
+      ("SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id " +
+        "|| '?lang=' || lang || '&v=2' AS url, " +
+        "source || '.example.com' AS host, " +
+        "'/docs/' || doc_id AS path, " +
+        "lang AS q_lang, 'https' AS proto " +
+        "FROM documents ORDER BY doc_id"),
     "fn_regex" ->
       ("SELECT p_partkey, " +
         "coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word, " +

@@ -180,6 +180,34 @@ object Scans {
       .orderBy("prio")
   }
 
+  /** PERMISSIVE malformed-row handling: a CSV shard with two injected bad
+    * lines reads without failing — intact fields parse, broken rows land in
+    * _corrupt_record — and the query quarantines them into counts + the
+    * raw bad lines. At 100 TB dirty shards are a certainty; the PERMISSIVE
+    * + corrupt-record column contract is how ingestion survives them
+    * without dropping data silently. */
+  private def scanCsvPermissive(s: SparkSession, d: String): DataFrame = {
+    val dir = U.scratch(d, "csv_permissive")
+    U.tbl(s, d, "nation").coalesce(1)
+      .write.mode("overwrite").csv(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val bad = fs.create(new org.apache.hadoop.fs.Path(dir, "zz_bad.csv"))
+    bad.write("not_an_int,REGION_X,9\n77,TRAILING,5,extra_field\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    bad.close()
+    val schema = nationSchema.add(StructField("_corrupt_record", StringType))
+    // cache: Spark disallows querying ONLY the corrupt-record column of a
+    // lazily-parsed CSV; materializing first is the documented contract
+    val rows = s.read.schema(schema).option("mode", "PERMISSIVE").csv(dir).cache()
+    rows.agg(
+      count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
+      count(col("_corrupt_record")).as("n_bad"),
+      sum(when(col("_corrupt_record").isNull, col("n_regionkey")))
+        .cast(LongType).as("sum_region_good"),
+      array_join(array_sort(collect_list(col("_corrupt_record"))), "|")
+        .as("bad_lines"))
+  }
+
   /** Small-file compaction (the table-maintenance pass every 100 TB lake
     * runs): a 32-way-fragmented write is rewritten into 2 right-sized files
     * via coalesce (no shuffle — partitions are concatenated, not re-keyed).
@@ -310,6 +338,7 @@ object Scans {
     "scan_custom_source" -> scanCustomSource _,
     "scan_custom_pushdown" -> scanCustomPushdown _,
     "scan_custom_agg_pushdown" -> scanCustomAggPushdown _,
+    "scan_csv_permissive" -> scanCsvPermissive _,
     "scan_custom_topn_pushdown" -> scanCustomTopn _,
     "scan_custom_limit_pushdown" -> scanCustomLimit _,
     "scan_binary_file" -> scanBinaryFile _,
@@ -365,6 +394,12 @@ object Scans {
       ("SELECT range AS id, range % 32 AS bucket, " +
         "(range * 2654435761) % 100000 AS value_cents " +
         "FROM range(0, 120) ORDER BY id"),
+    "scan_csv_permissive" ->
+      ("SELECT (SELECT COUNT(*) FROM nation) AS n_good, " +
+        "CAST(2 AS BIGINT) AS n_bad, " +
+        "(SELECT CAST(SUM(n_regionkey) AS BIGINT) FROM nation) " +
+        "AS sum_region_good, " +
+        "'77,TRAILING,5,extra_field|not_an_int,REGION_X,9' AS bad_lines"),
     "scan_binary_file" ->
       ("SELECT 'doc_' || doc_id || '.bin' AS fname, " +
         "CAST(strlen(text) AS BIGINT) AS length, sha256(text) AS sha " +

@@ -153,7 +153,22 @@ object SqlText {
     s.sql(recursiveCte)
   }
 
+  /** Chained set operations through the parser (standard precedence:
+    * INTERSECT binds tighter than EXCEPT in both engines) — customers with
+    * both finished and open orders, minus any with a pending order. */
+  private val setOps =
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+      "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+      "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P' " +
+      "ORDER BY o_custkey"
+
+  private def sqlSetOps(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(setOps)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_set_ops" -> sqlSetOps _,
     "sql_recursive_cte" -> sqlRecursive _,
     "sql_group_by_all" -> sqlGroupByAll _,
     "sql_lateral_topk" -> sqlLateral _,
@@ -163,6 +178,7 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_set_ops" -> setOps,
     "sql_recursive_cte" -> recursiveCte,
     "sql_group_by_all" -> groupByAll,
     "sql_lateral_topk" -> lateral,
