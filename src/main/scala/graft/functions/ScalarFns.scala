@@ -171,7 +171,22 @@ object ScalarFns {
         expr("parse_url(url, 'PROTOCOL')").as("proto"))
       .orderBy("doc_id")
 
+  /** Spark 4 VARIANT type: parse_json into the binary semi-structured
+    * encoding, then typed path extraction (variant_get), schema inference
+    * (schema_of_variant) and canonical re-serialization (to_json) — the
+    * open-schema ingestion path for event payloads that vary by producer.
+    * The oracle mirrors with DuckDB's JSON functions; the fixture props are
+    * single-key objects so the inferred schema string is a constant. */
+  private def fnVariant(s: SparkSession, d: String): DataFrame =
+    U.events(s, d).select(col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_num"),
+      expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+      expr("schema_of_variant(parse_json(props))").as("vschema"),
+      expr("to_json(parse_json(props))").as("normalized"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_variant" -> fnVariant _,
     "fn_url_parse" -> fnUrlParse _,
     "fn_encoding" -> fnEncoding _,
     "fn_struct" -> fnStruct _,
@@ -201,6 +216,13 @@ object ScalarFns {
       .orderBy("p_partkey")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_variant" ->
+      ("SELECT event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +
+        "json_extract_string(props, '$.k') AS k_str, " +
+        "'OBJECT<k: BIGINT>' AS vschema, " +
+        "regexp_replace(props, ': ', ':') AS normalized " +
+        "FROM events ORDER BY event_id"),
     "fn_url_parse" ->
       ("SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id " +
         "|| '?lang=' || lang || '&v=2' AS url, " +

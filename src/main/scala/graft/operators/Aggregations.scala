@@ -167,6 +167,30 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch set operations (the reason mergeable sketches exist): KMV
+    * sketches of two audience segments plus their union — the union sketch
+    * is just the k smallest hashes of the merged streams, i.e. the SAME
+    * Aggregator over the combined filter — and the intersection estimate
+    * falls out by inclusion-exclusion. At 100 TB each segment sketch is a
+    * tiny mergeable buffer; audiences compose without re-scanning. All
+    * integer-deterministic, so all four estimates are exactly oracled. */
+  private def aggKmvSetops(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvDistinct(64, 1000000007L))
+    val ev = U.events(s, d).select(col("event_type"),
+      pmod(graft.plans.CustomExprs.poly_hash(col("user_id").cast(StringType), 13L)
+        * lit(2654435761L), lit(1000000007L)).as("hv"))
+    val a = ev.filter(col("event_type") === "click")
+      .agg(kmv(col("hv")).as("est_click"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .agg(kmv(col("hv")).as("est_purchase"))
+    val u = ev.filter(col("event_type").isin("click", "purchase"))
+      .agg(kmv(col("hv")).as("est_union"))
+    a.crossJoin(b).crossJoin(u)
+      .select(col("est_click"), col("est_purchase"), col("est_union"),
+        (col("est_click") + col("est_purchase") - col("est_union"))
+          .as("est_intersect"))
+  }
+
   /** PIVOT: per-user event counts spread into one column per event type
     * (explicit value list keeps the output schema static — at scale an
     * inferred pivot would need an extra distinct pass). */
@@ -374,6 +398,7 @@ object Aggregations {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cms_heavyhitters" -> aggCmsHeavyhitters _,
+    "agg_kmv_setops" -> aggKmvSetops _,
     "agg_grouping_id" -> aggGroupingId _,
     "agg_listagg" -> aggListagg _,
     "agg_filtered" -> aggFiltered _,
@@ -447,6 +472,19 @@ object Aggregations {
       "FROM r GROUP BY l_returnflag ORDER BY l_returnflag"
   }
 
+  /** Scalar KMV estimate over `events` rows matching `pred` (the kmvSql
+    * estimator shape, parameterized by segment predicate). */
+  private def kmvScalar(pred: String): String = {
+    val ph = graft.llm.TextUtil.sqlPolyHash("CAST(user_id AS VARCHAR)", 13L)
+    "(SELECT CAST(CASE WHEN MAX(cnt) < 64 THEN MAX(cnt) " +
+      "ELSE (CAST(63 AS BIGINT) * 1000000007) // " +
+      "MAX(CASE WHEN rn = 64 THEN hv END) END AS BIGINT) " +
+      "FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, " +
+      "COUNT(*) OVER () AS cnt FROM (SELECT DISTINCT " +
+      s"($ph * 2654435761) % 1000000007 AS hv " +
+      s"FROM events WHERE $pred)))"
+  }
+
   private val cmsBucket: String => String = r => r match {
     case "0" => "((user_id * 2654435761 + 101) % 1000000007) % 32"
     case "1" => "((user_id * 2246822519 + 271) % 1000000007) % 32"
@@ -454,6 +492,13 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_kmv_setops" ->
+      (s"SELECT e_click AS est_click, e_purch AS est_purchase, " +
+        "e_union AS est_union, " +
+        "e_click + e_purch - e_union AS est_intersect FROM " +
+        s"(SELECT ${kmvScalar("event_type = 'click'")} AS e_click, " +
+        s"${kmvScalar("event_type = 'purchase'")} AS e_purch, " +
+        s"${kmvScalar("event_type IN ('click', 'purchase')")} AS e_union)"),
     "agg_cms_heavyhitters" ->
       (s"WITH pairs AS (SELECT r, CASE r WHEN 0 THEN ${cmsBucket("0")} " +
         s"WHEN 1 THEN ${cmsBucket("1")} ELSE ${cmsBucket("2")} END AS b " +

@@ -35,6 +35,49 @@ class RunningTotalsProcessor extends StatefulProcessor[Long, SEvent, SOut] {
   }
 }
 
+/** Session accumulator for [[SessionizeProcessor]]; times in exact µs. */
+case class SessState(sessionId: Long, startUs: Long, lastUs: Long, n: Long, cents: Long)
+case class SessOut(user_id: Long, session_id: Long, start_us: Long, end_us: Long,
+  n_events: Long, cents: Long)
+
+/** Streaming sessionization through `transformWithState` custom state (gap
+  * logic in a ValueState, not the built-in session_window): batches arrive
+  * in event-time order, so each key's open session either extends or closes
+  * on gap>30min exactly as the batch lag-gap pass would. Every touched
+  * session emits its CURRENT summary each batch; the consumer keeps each
+  * session's final (max-n) emission, which equals the batch answer =>
+  * full oracle — unlike watermark-finalized session windows, no session is
+  * lost to end-of-stream. */
+class SessionizeProcessor extends StatefulProcessor[Long, SEvent, SessOut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessState]("sess", Encoders.product[SessState], TTLConfig.NONE)
+  private def us(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000 // exact µs (ms-truncation trap)
+  private def fin(key: Long, c: SessState): SessOut =
+    SessOut(key, c.sessionId, c.startUs, c.lastUs, c.n, c.cents)
+  override def handleInputRows(key: Long, rows: Iterator[SEvent],
+      tv: TimerValues): Iterator[SessOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id))
+    var out = List.empty[SessOut]
+    var cur = if (st.exists()) Option(st.get()) else None
+    for (e <- sorted) {
+      val t = us(e.ts)
+      cur match {
+        case Some(c) if t - c.lastUs <= 1800000000L =>
+          cur = Some(c.copy(lastUs = t, n = c.n + 1, cents = c.cents + e.cents))
+        case Some(c) =>
+          out ::= fin(key, c) // closed by gap: final summary
+          cur = Some(SessState(c.sessionId + 1, t, t, 1L, e.cents))
+        case None =>
+          cur = Some(SessState(1L, t, t, 1L, e.cents))
+      }
+    }
+    cur.foreach { c => st.update(c); out ::= fin(key, c) }
+    out.reverseIterator
+  }
+}
+
 /** SURVEY.md §2.9 — Structured Streaming over a replay of the `events`
   * table.
   *
@@ -243,6 +286,38 @@ object StreamingQueries {
     }
   }
 
+  /** [[SessionizeProcessor]] end-to-end: custom-state session windows whose
+    * kept emissions reproduce the batch lag-gap sessionization exactly. */
+  private def sessionizeTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.select(col("event_id"), col("user_id"), col("ts"),
+          graft.U.cents(col("value")).as("cents")).as[SEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionizeProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.distinct() // a session closed with no growth re-emits its last summary
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1) // final (= largest) emission per session
+      .select(col("user_id"), col("session_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"),
+        (col("cents").cast(DoubleType) / 100.0).as("sum_value"))
+      .orderBy("user_id", "session_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stream-stream windowed join: clicks joined to the same user's purchases
     * within the following 4 hours — both sides watermarked, time-interval
     * join condition (the flagship two-stream Structured Streaming shape).
@@ -382,6 +457,7 @@ object StreamingQueries {
     }.orderBy(col("spend_cents").desc, col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_tws" -> sessionizeTws _,
     "stream_topk" -> streamTopk _,
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
@@ -396,6 +472,19 @@ object StreamingQueries {
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_session_tws" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "numbered AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_id FROM flagged) " +
+        "SELECT user_id, session_id, MIN(ts) AS session_start, " +
+        "MAX(ts) AS session_end, COUNT(*) AS n_events, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS DOUBLE) / 100.0 AS sum_value " +
+        "FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id"),
     "stream_topk" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS spend_cents " +
