@@ -185,7 +185,23 @@ object ScalarFns {
       expr("to_json(parse_json(props))").as("normalized"))
       .orderBy("event_id")
 
+  /** Error-safe arithmetic family (try_divide / try_cast / try_add): bad
+    * rows yield NULL instead of failing the job — the difference between a
+    * 100 TB pipeline quarantining 0.001% dirty values and dying at hour 9.
+    * The oracle mirrors each NULL condition explicitly (CASE guards,
+    * TRY_CAST), pinning WHICH rows degrade, not just that some do. */
+  private def fnTry(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      expr("try_divide(cast(o_totalprice as double), cast(o_custkey % 3 as double))")
+        .as("div3"),
+      expr("try_cast(o_orderpriority as int)").as("prio_num"),
+      expr("try_cast(substring(o_orderpriority, 1, 1) as int)").as("prio_digit"),
+      expr("try_add(9223372036854775000, o_orderkey)").as("near_max_add"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try" -> fnTry _,
     "fn_variant" -> fnVariant _,
     "fn_url_parse" -> fnUrlParse _,
     "fn_encoding" -> fnEncoding _,
@@ -216,6 +232,15 @@ object ScalarFns {
       .orderBy("p_partkey")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_try" ->
+      ("SELECT o_orderkey, " +
+        "CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE " +
+        "CAST(o_totalprice AS DOUBLE) / CAST(o_custkey % 3 AS DOUBLE) END AS div3, " +
+        "TRY_CAST(o_orderpriority AS INTEGER) AS prio_num, " +
+        "TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit, " +
+        "CASE WHEN o_orderkey > 807 THEN NULL " +
+        "ELSE 9223372036854775000 + o_orderkey END AS near_max_add " +
+        "FROM orders ORDER BY o_orderkey"),
     "fn_variant" ->
       ("SELECT event_id, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num, " +

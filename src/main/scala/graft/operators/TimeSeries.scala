@@ -465,6 +465,109 @@ object TimeSeries {
       .orderBy("hour")
   }
 
+  /** LTTB downsampling (largest-triangle-three-buckets — the standard
+    * visual decimation for long series): keep first and last point, split
+    * the middle into 8 buckets, and per bucket keep the point forming the
+    * largest triangle with the PREVIOUSLY kept point and the next bucket's
+    * centroid. The selection is sequential in the previous pick, so the 8
+    * stages unroll into 8 chained per-user argmax joins (each over one
+    * bucket's candidates — tiny frames, persisted once). All geometry runs
+    * in integers: x = µs since the series start, y = cents, and triangle
+    * areas are scaled by the next bucket's count so the centroid never
+    * becomes a fraction — bit-identical to the oracle's unrolled CTEs.
+    * Series with <= 10 points pass through whole. */
+  private def tsLttb(s: SparkSession, d: String): DataFrame = {
+    // the 8 stage jobs are latency-bound (tiny per-user frames, fixed
+    // scheduling cost per shuffle partition) — run the loop narrow, like
+    // the streaming replays and the cluster-propagation loop
+    val key = "spark.sql.shuffle.partitions"
+    val prevConf = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try tsLttbLoop(s, d)
+    finally prevConf match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def tsLttbLoop(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (not persist) after every stage: each pick's logical
+    // plan would otherwise nest ALL previous stages, and Catalyst re-plans
+    // the whole deepening tree per stage — measured 0.8→3.1 s/stage growth
+    // at sf0.1 under persist vs flat ~0.3 s/stage with truncated lineage.
+    // (The fully chained single-plan variant re-executes the O(k²) join
+    // chain and measured slower still.)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // per-user min/count via hash-agg + join, not a second window pass
+    val stats = U.events(s, d).groupBy(col("user_id").as("g_uid"))
+      .agg(min(unix_micros(col("ts"))).as("x0"), count(lit(1)).as("n"))
+    val base = U.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        U.cents(col("value")).as("y"))
+      .withColumn("idx", (row_number().over(wOrd) - 1).cast(LongType))
+      .join(stats, col("user_id") === col("g_uid"))
+      .withColumn("x", unix_micros(col("ts")) - col("x0"))
+      .select("user_id", "idx", "x", "y", "n")
+      .localCheckpoint(true)
+    val mid = base.filter(col("n") > 10 && col("idx") >= 1 && col("idx") <= col("n") - 2)
+      .withColumn("bk", expr("((idx - 1) * 8) DIV (n - 2)"))
+      .localCheckpoint(true)
+    val anc = mid.groupBy(col("user_id").as("a_uid"), col("bk").as("a_bk"))
+      .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val lastp = base.filter(col("n") > 10 && col("idx") === col("n") - 1)
+      .select(col("user_id").as("a_uid"), col("x").as("sx"),
+        col("y").as("sy"), lit(1L).as("c"))
+    def score = abs((col("px") * col("c") - col("sx")) * (col("y") - col("py")) -
+      (col("px") - col("x")) * (col("sy") - col("py") * col("c")))
+    var sel = base.filter(col("n") > 10 && col("idx") === 0)
+      .select(col("user_id").as("s_uid"), col("x").as("px"), col("y").as("py"))
+    val picks = (0 until 8).map { i =>
+      val a =
+        if (i < 7) anc.filter(col("a_bk") === i + 1).drop("a_bk")
+        else lastp
+      val picked = mid.filter(col("bk") === i)
+        .join(sel, col("user_id") === col("s_uid"))
+        .join(a, col("user_id") === col("a_uid"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(score.desc, col("idx"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("idx"), col("x"), col("y"))
+        .localCheckpoint(true) // materialize + truncate lineage
+      sel = picked.select(col("user_id").as("s_uid"), col("x").as("px"),
+        col("y").as("py"))
+      picked.withColumn("rank", lit(i + 1L))
+    }
+    base.filter(col("n") <= 10)
+      .select(col("user_id"), col("idx").as("rank"), col("idx"), col("x"), col("y"))
+      .unionByName(base.filter(col("n") > 10 && col("idx") === 0)
+        .select(col("user_id"), lit(0L).as("rank"), col("idx"), col("x"), col("y")))
+      .unionByName(picks.reduce(_ unionByName _)
+        .select(col("user_id"), col("rank"), col("idx"), col("x"), col("y")))
+      .unionByName(base.filter(col("n") > 10 && col("idx") === col("n") - 1)
+        .select(col("user_id"), lit(9L).as("rank"), col("idx"), col("x"), col("y")))
+      .select(col("user_id"), col("rank"), col("idx"),
+        col("x").as("x_us"), col("y").as("y_cents"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** Occupancy heatmap: events bucketed into (day-of-week, hour-of-day)
+    * cells — the weekly-rhythm fingerprint behind load forecasting. Both
+    * coordinates computed by pure integer epoch arithmetic (epoch day + 4
+    * mod 7 ⇒ 0 = Monday) so neither engine's calendar-function conventions
+    * (Spark 1=Sunday vs DuckDB 0=Sunday) can enter. */
+  private def tsHeatmapBins(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .select(
+        expr("((unix_micros(ts) DIV 86400000000) + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hod"),
+        U.cents(col("value")).as("vc"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("vc")).cast(DoubleType) / lit(100.0)).as("sum_value"))
+      .orderBy("dow", "hod")
+
   /** Longest sessions leaderboard: the [[tsSessionize]] lag-gap pass
     * reduced to per-session summaries, then a GLOBAL top-10 by duration —
     * the session summary set is tiny relative to the events (one row per
@@ -488,7 +591,54 @@ object TimeSeries {
       .limit(10)
   }
 
+  /** Unrolled-CTE mirror of [[tsLttb]]: pick_i selects bucket i's argmax
+    * against sel_{i-1}'s point and bucket i+1's (count-scaled) centroid. */
+  private lazy val lttbSql: String = {
+    val score = "abs((s.px * a.c - a.sx) * (m.y - s.py) - " +
+      "(s.px - m.x) * (a.sy - s.py * a.c))"
+    val stages = (0 until 8).map { i =>
+      val prev = if (i == 0) "sel0" else s"pick${i}"
+      val prevSel =
+        if (i == 0) "sel0 AS (SELECT user_id, x AS px, y AS py FROM pts WHERE idx = 0 AND n > 10), "
+        else ""
+      val ancJoin =
+        if (i < 7) s"JOIN anc a ON m.user_id = a.user_id AND a.bk = ${i + 1} "
+        else "JOIN lastp a ON m.user_id = a.user_id "
+      val prevCols =
+        if (i == 0) "s.user_id, s.px, s.py" else "s.user_id, s.x AS px, s.y AS py"
+      prevSel +
+        s"pick${i + 1} AS (SELECT user_id, idx, x, y FROM (" +
+        s"SELECT m.user_id, m.idx, m.x, m.y, row_number() OVER (" +
+        s"PARTITION BY m.user_id ORDER BY $score DESC, m.idx) AS rn " +
+        s"FROM mid m JOIN (SELECT $prevCols FROM $prev s) s " +
+        s"ON m.user_id = s.user_id $ancJoin WHERE m.bk = $i) WHERE rn = 1)"
+    }.mkString(", ")
+    "WITH base AS (SELECT user_id, " +
+      s"${OSQL.cents("value")} AS y, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 " +
+      "AS BIGINT) AS idx, " +
+      "epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS x, " +
+      "COUNT(*) OVER (PARTITION BY user_id) AS n FROM events), " +
+      "pts AS (SELECT * FROM base), " +
+      "mid AS (SELECT *, ((idx - 1) * 8) // (n - 2) AS bk FROM pts " +
+      "WHERE n > 10 AND idx >= 1 AND idx <= n - 2), " +
+      "anc AS (SELECT user_id, bk, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS c " +
+      "FROM mid GROUP BY 1, 2), " +
+      "lastp AS (SELECT user_id, x AS sx, y AS sy, CAST(1 AS BIGINT) AS c " +
+      "FROM pts WHERE n > 10 AND idx = n - 1), " +
+      stages + " " +
+      "SELECT user_id, rank, idx, x AS x_us, y AS y_cents FROM (" +
+      "SELECT user_id, idx AS rank, idx, x, y FROM pts WHERE n <= 10 " +
+      "UNION ALL SELECT user_id, 0, idx, x, y FROM pts WHERE n > 10 AND idx = 0 " +
+      (1 to 8).map(i =>
+        s"UNION ALL SELECT user_id, $i, idx, x, y FROM pick$i ").mkString +
+      "UNION ALL SELECT user_id, 9, idx, x, y FROM pts WHERE n > 10 AND idx = n - 1" +
+      ") ORDER BY user_id, rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_lttb" -> tsLttb _,
+    "ts_heatmap_bins" -> tsHeatmapBins _,
     "ts_top_sessions" -> tsTopSessions _,
     "ts_vwap" -> tsVwap _,
     "ts_session_native" -> tsSessionNative _,
@@ -516,6 +666,12 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_lttb" -> lttbSql,
+    "ts_heatmap_bins" ->
+      ("SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hod, COUNT(*) AS n, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS DOUBLE) / 100.0 AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY dow, hod"),
     "ts_top_sessions" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
