@@ -350,7 +350,35 @@ object Joins {
       .orderBy("user_id", "event_type", "wk")
   }
 
+  /** Temporal (point-in-time) join against an SCD2 dimension: each click
+    * is enriched with the purchase-version row VALID AT its timestamp —
+    * the warehouse pattern for joining facts to slowly-changing dims.
+    * User equijoin carries the hash join; the validity range is a residual
+    * predicate; left join keeps clicks that precede any version. Each
+    * click matches at most one interval by construction. */
+  private def joinScd2Temporal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = U.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id").as("d_uid"), col("version"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("value").as("p_value"))
+    val clicks = U.events(s, d).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    clicks.join(dim,
+        col("user_id") === col("d_uid") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version"), col("p_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_scd2_temporal" -> joinScd2Temporal _,
     "join_interval_binned" -> joinIntervalBinned _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "join_bucketed" -> joinBucketed _,
@@ -431,6 +459,18 @@ object Joins {
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase') b " +
         "ON p.user_id = b.user_id AND b.ts <= p.ts ORDER BY p.event_id"),
+    "join_scd2_temporal" ->
+      ("WITH dim AS (SELECT user_id AS d_uid, " +
+        "CAST(row_number() OVER w AS BIGINT) AS version, ts AS valid_from, " +
+        "lead(ts) OVER w AS valid_to, value AS p_value " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT c.event_id, c.user_id, c.ts, dim.version, dim.p_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click') c " +
+        "LEFT JOIN dim ON c.user_id = d_uid AND c.ts >= valid_from " +
+        "AND (valid_to IS NULL OR c.ts < valid_to) " +
+        "ORDER BY c.event_id"),
     "join_interval_binned" ->
       ("WITH a AS (SELECT user_id, MIN(ts) AS s_a, MAX(ts) AS e_a " +
         "FROM events WHERE event_type = 'click' GROUP BY user_id), " +

@@ -208,6 +208,25 @@ object Scans {
         .as("bad_lines"))
   }
 
+  /** Merge-on-read with a deletion list (the deletion-vector / tombstone
+    * pattern): the base table is never rewritten; deleted row ids live in a
+    * tiny side file and every read anti-joins them out. The tombstone set
+    * is broadcast, so the base scan streams through unshuffled — at 100 TB
+    * this is why row-level deletes cost nothing until compaction. */
+  private def scanMergeOnRead(s: SparkSession, d: String): DataFrame = {
+    val delDir = U.scratch(d, "tombstones")
+    U.events(s, d).filter(pmod(col("event_id"), lit(97L)) === 0)
+      .select(col("event_id").as("del_id"))
+      .write.mode("overwrite").parquet(delDir)
+    val tombstones = s.read.parquet(delDir)
+    U.events(s, d)
+      .join(broadcast(tombstones), col("event_id") === col("del_id"),
+        "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Small-file compaction (the table-maintenance pass every 100 TB lake
     * runs): a 32-way-fragmented write is rewritten into 2 right-sized files
     * via coalesce (no shuffle — partitions are concatenated, not re-keyed).
@@ -345,6 +364,7 @@ object Scans {
     "scan_merge_schema" -> scanMergeSchema _,
     "sink_compaction" -> sinkCompaction _,
     "sink_zorder" -> sinkZorder _,
+    "scan_merge_on_read" -> scanMergeOnRead _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -357,6 +377,11 @@ object Scans {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
     "sink_compaction" -> "SELECT * FROM events ORDER BY event_id",
+    "scan_merge_on_read" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        s"${graft.OSQL.dsum("value")} AS sum_value " +
+        "FROM events WHERE event_id % 97 <> 0 " +
+        "GROUP BY event_type ORDER BY event_type"),
     "sink_zorder" ->
       ("WITH base AS (SELECT event_id, user_id, " +
         "(epoch_us(ts) - 1704067200000000) // 3600000000 AS hour_idx " +

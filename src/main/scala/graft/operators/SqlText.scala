@@ -167,7 +167,29 @@ object SqlText {
     s.sql(setOps)
   }
 
+  /** TPC-H Q18-style large-volume orders: HAVING over a grouped subquery
+    * feeding an IN predicate, then re-aggregation — the parser/decorrelator
+    * path for "filter groups by their own aggregate". Quantities are
+    * integer-valued doubles, so the HAVING sum is exact on both engines. */
+  private val q18 = {
+    "SELECT c_custkey, o_orderkey, o_orderdate, " +
+      s"${OSQL.dsum("l_quantity")} AS total_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+      "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) " +
+      "GROUP BY c_custkey, o_orderkey, o_orderdate " +
+      "ORDER BY total_qty DESC, o_orderkey LIMIT 20"
+  }
+
+  private def sqlQ18(s: SparkSession, d: String): DataFrame = {
+    for (t <- Seq("customer", "orders", "lineitem"))
+      U.tbl(s, d, t).createOrReplaceTempView(t)
+    s.sql(q18)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q18_large_orders" -> sqlQ18 _,
     "sql_set_ops" -> sqlSetOps _,
     "sql_recursive_cte" -> sqlRecursive _,
     "sql_group_by_all" -> sqlGroupByAll _,
@@ -178,6 +200,7 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_q18_large_orders" -> q18,
     "sql_set_ops" -> setOps,
     "sql_recursive_cte" -> recursiveCte,
     "sql_group_by_all" -> groupByAll,
