@@ -213,7 +213,37 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Weighted systematic sampling: walk the corpus in doc_id order and emit
+    * one doc every `step` characters of cumulative weight (n_chars), i.e. a
+    * doc is selected when the running total crosses a step boundary — docs
+    * are picked proportionally to their weight, the sample is fully
+    * deterministic, and expected size tracks corpus size at any SF.
+    * The scale-relevant part is the global prefix sum: computed in TWO
+    * phases — per-range partials (one row per 1024-id range) cumulated with
+    * a window over that tiny frame, broadcast back, then an intra-range
+    * running sum partitioned by range — so no stage windows the full corpus
+    * in a single partition (the naive global ORDER BY window would; this is
+    * the distributed scan-prefix shape). */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val step = 10000L
+    val base = docs(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("rng", expr("doc_id DIV 1024"))
+    val offs = base.groupBy(col("rng"))
+      .agg(sum(col("n_chars")).as("rng_sum"))
+      .withColumn("rng_off", coalesce(
+        sum(col("rng_sum")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng").as("o_rng"), col("rng_off"))
+    val w = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+    base.join(broadcast(offs), col("rng") === col("o_rng"))
+      .withColumn("cw", col("rng_off") + sum(col("n_chars")).over(w))
+      .filter(expr(s"cw DIV $step") > expr(s"(cw - n_chars) DIV $step"))
+      .select(col("doc_id"), col("n_chars"), col("cw"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> sampleWeighted _,
     "dataset_mix" -> datasetMix _,
     "doc_chunking" -> docChunking _,
     "text_decontaminate" -> textDecontaminate _,
@@ -226,6 +256,12 @@ object Pipeline {
     "pack_sequences" -> packSequences _)
 
   val oracleSql: Map[String, String] = Map(
+    "sample_weighted" ->
+      ("WITH c AS (SELECT doc_id, n_chars, SUM(n_chars) OVER (" +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cw FROM documents) " +
+        "SELECT doc_id, n_chars, CAST(cw AS BIGINT) AS cw FROM c " +
+        "WHERE cw // 10000 > (cw - n_chars) // 10000 ORDER BY doc_id"),
     "dataset_mix" ->
       ("WITH m AS (SELECT doc_id, source, " +
         "CASE WHEN source IN ('src0','src1') THEN 2 " +

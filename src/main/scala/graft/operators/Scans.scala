@@ -266,6 +266,45 @@ object Scans {
       .orderBy("zbucket")
   }
 
+  /** Batch MERGE INTO (SCD1 upsert — the lakehouse write primitive): a
+    * changeset of updates / deletes / inserts is applied to the base table
+    * in ONE full-outer join on the key, then the merged image is written
+    * and read back. The join is the scale shape: both sides shuffle once on
+    * the merge key (or co-locate for free if the table is bucketed by it);
+    * per-row CASE picks the surviving version, so the pass is linear and
+    * never mutates in place. The changeset here is derived deterministically
+    * from the base (keys %10==3 update price +1.00, %10==7 delete, %10==5
+    * insert under a shifted key) so the oracle can restate the merge. */
+  private def sinkMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "merge_upsert")
+    val base = U.tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val m10 = pmod(col("o_orderkey"), lit(10L))
+    val changes = base.filter(m10.isin(3L, 5L, 7L))
+      .select(
+        when(m10 === 5, col("o_orderkey") + lit(100000000L))
+          .otherwise(col("o_orderkey")).as("k"),
+        col("o_custkey").as("c_cust"),
+        when(m10 === 3, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("c_price"),
+        col("o_orderdate").as("c_date"),
+        when(m10 === 3, lit("U")).when(m10 === 5, lit("I"))
+          .otherwise(lit("D")).as("op"))
+    base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+        when(col("op").isNotNull, col("c_cust")).otherwise(col("o_custkey"))
+          .as("o_custkey"),
+        when(col("op").isNotNull, col("c_price")).otherwise(col("o_totalprice"))
+          .as("o_totalprice"),
+        when(col("op").isNotNull, col("c_date")).otherwise(col("o_orderdate"))
+          .as("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path).orderBy("o_orderkey")
+  }
+
   /** Generator source: spark.range — parallel, no input files at all. */
   private def scanRange(s: SparkSession, d: String): DataFrame =
     s.range(0, 1000)
@@ -365,6 +404,7 @@ object Scans {
     "sink_compaction" -> sinkCompaction _,
     "sink_zorder" -> sinkZorder _,
     "scan_merge_on_read" -> scanMergeOnRead _,
+    "sink_merge_upsert" -> sinkMergeUpsert _,
     "sink_parquet" -> sinkParquet _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
@@ -377,6 +417,17 @@ object Scans {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
     "sink_compaction" -> "SELECT * FROM events ORDER BY event_id",
+    "sink_merge_upsert" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "o_orderdate FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0 " +
+        "ELSE o_totalprice END AS o_totalprice, o_orderdate " +
+        "FROM base WHERE o_orderkey % 10 <> 7 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate " +
+        "FROM base WHERE o_orderkey % 10 = 5) ORDER BY o_orderkey"),
     "scan_merge_on_read" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         s"${graft.OSQL.dsum("value")} AS sum_value " +

@@ -636,7 +636,30 @@ object TimeSeries {
       ") ORDER BY user_id, rank"
   }
 
+  /** Local-extremum detection (alarm/peak picking over sensor series): an
+    * event is a peak when its value strictly exceeds both neighbors in the
+    * user's time order, a trough when strictly below. Endpoints and plateau
+    * members are excluded — the unambiguous definition, so both engines
+    * agree without a tie rule. One shuffle+sort per user (two lag/lead over
+    * the same window spec share the sort); comparisons in exact cents. */
+  private def tsPeakDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        U.cents(col("value")).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .withColumn("nc", lead(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull && col("nc").isNotNull &&
+        ((col("c") > col("pc") && col("c") > col("nc")) ||
+          (col("c") < col("pc") && col("c") < col("nc"))))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("c") > col("pc"), lit("peak")).otherwise(lit("trough"))
+          .as("kind"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
     "ts_heatmap_bins" -> tsHeatmapBins _,
     "ts_top_sessions" -> tsTopSessions _,
@@ -666,6 +689,15 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_peak_detect" ->
+      ("SELECT user_id, event_id, ts, value, " +
+        "CASE WHEN c > pc THEN 'peak' ELSE 'trough' END AS kind FROM (" +
+        s"SELECT user_id, event_id, ts, value, ${OSQL.cents("value")} AS c, " +
+        s"lag(${OSQL.cents("value")}) OVER w AS pc, " +
+        s"lead(${OSQL.cents("value")}) OVER w AS nc FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "WHERE pc IS NOT NULL AND nc IS NOT NULL " +
+        "AND ((c > pc AND c > nc) OR (c < pc AND c < nc)) ORDER BY event_id"),
     "ts_lttb" -> lttbSql,
     "ts_heatmap_bins" ->
       ("SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
