@@ -105,6 +105,27 @@ object Scans {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
       .orderBy("bucket")
 
+  /** Runtime (DPP-style) filtering INTO the custom DSv2 source: joining the
+    * generator with a filtered broadcast dim on `id` makes Spark evaluate
+    * the dim first and hand the 5 surviving keys to the scan as a runtime
+    * IN predicate ([[graft.sources.DeterministicSource]] implements
+    * SupportsRuntimeV2Filtering) — the scan then plans one [v,v+1) slice
+    * per key instead of 100k rows. The v2 counterpart of join_dpp: at
+    * 100 TB, scan work tracks the matched keys, not the table size.
+    * PlanSpec asserts both the RuntimeFilters on the BatchScan and the
+    * recorded key-count. */
+  private def scanCustomRuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.format("graft.sources.DeterministicSource")
+      .option("rows", "100000").option("slices", "8").load()
+    val dim = U.tbl(s, d, "nation")
+      .filter(col("n_regionkey") === 2)
+      .select(col("n_name"),
+        (col("n_nationkey") * 4000 + 123).cast(LongType).as("fid"))
+    fact.join(broadcast(dim), col("id") === col("fid"))
+      .select(col("n_name"), col("id"), col("bucket"), col("value_cents"))
+      .orderBy("id")
+  }
+
   /** Aggregate pushdown INTO the custom DSv2 source: the whole
     * COUNT(*)/SUM GROUP BY bucket folds into the generator, whose slices
     * emit 32 partial rows each — the exchange carries |slices|·32 rows no
@@ -383,7 +404,32 @@ object Scans {
       .orderBy("l_returnflag")
   }
 
+  /** Dynamic partition pruning: the fact side is the dt-partitioned layout,
+    * the dim side a tiny year table whose filter (`yr % 2 = 0`) is NOT
+    * expressible over the join key — so static constraint propagation can't
+    * pre-prune, and Spark instead evaluates the broadcast dim at runtime
+    * and skips the odd-year fact DIRECTORIES entirely
+    * (`PartitionFilters: [dynamicpruningexpression(dt IN ...)]`, asserted
+    * in PlanSpec). At 100 TB this is the difference between scanning 3/7
+    * and 7/7 of the table whenever the prunable values are only known
+    * after a dim filter runs. */
+  private def joinDpp(s: SparkSession, d: String): DataFrame = {
+    val path = writePartitionedLineitem(s, d)
+    val fact = s.read.parquet(path)
+    val dim = U.tbl(s, d, "orders")
+      .select(concat(lit("y"), year(col("o_orderdate"))).as("dt2"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .distinct()
+      .filter(pmod(col("yr"), lit(2L)) === 0L)
+    fact.join(broadcast(dim), col("dt") === col("dt2"))
+      .groupBy(col("dt"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("dt", "l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_dpp" -> joinDpp _,
+    "scan_custom_runtime_filter" -> scanCustomRuntimeFilter _,
     "scan_partition_pruned" -> scanPartitionPruned _,
     "scan_parquet" -> scanParquet _,
     "scan_events" -> scanEvents _,
@@ -417,6 +463,21 @@ object Scans {
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_parquet" -> "SELECT * FROM part ORDER BY p_partkey",
     "sink_compaction" -> "SELECT * FROM events ORDER BY event_id",
+    "scan_custom_runtime_filter" ->
+      ("SELECT n_name, CAST(n_nationkey * 4000 + 123 AS BIGINT) AS id, " +
+        "CAST((n_nationkey * 4000 + 123) % 32 AS BIGINT) AS bucket, " +
+        "CAST((CAST(n_nationkey * 4000 + 123 AS BIGINT) * 2654435761) " +
+        "% 100000 AS BIGINT) AS value_cents " +
+        "FROM nation WHERE n_regionkey = 2 ORDER BY id"),
+    "join_dpp" ->
+      ("WITH dim AS (SELECT DISTINCT 'y' || CAST(year(o_orderdate) AS VARCHAR) " +
+        "AS dt2, CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders), " +
+        "f AS (SELECT 'y' || CAST(year(l_shipdate) AS VARCHAR) AS dt, " +
+        "l_returnflag, l_quantity FROM lineitem) " +
+        "SELECT dt, l_returnflag, COUNT(*) AS n, " +
+        s"${graft.OSQL.dsum("l_quantity")} AS sum_qty " +
+        "FROM f JOIN (SELECT dt2 FROM dim WHERE yr % 2 = 0) d ON f.dt = d.dt2 " +
+        "GROUP BY dt, l_returnflag ORDER BY dt, l_returnflag"),
     "sink_merge_upsert" ->
       ("WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, " +
         "o_orderdate FROM orders) " +

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
@@ -49,6 +49,9 @@ object DeterministicSource {
   final val Mix = 2654435761L
   def bucketOf(id: Long): Long = id % 32
   def centsOf(id: Long): Long = (id * Mix) % 100000L
+  /** Test-observability only: #keys of the last runtime IN-filter applied
+    * (set on the driver in SupportsRuntimeV2Filtering.filter). */
+  @volatile var lastRuntimeFilterKeys: Option[Int] = None
 }
 
 private class DeterministicTable(rows: Long, slices: Int)
@@ -200,7 +203,48 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
     }
   }
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with SupportsRuntimeV2Filtering {
+    // Runtime (DPP-style) filtering: when this scan joins a filtered dim on
+    // `id`, Spark evaluates the broadcast dim first and hands the surviving
+    // keys here as an IN predicate — the generator then re-plans ONE tiny
+    // [v, v+1) slice per key instead of the full row space. This is the
+    // DSv2 analogue of dynamic partition pruning for partitioned parquet
+    // (join_dpp): work is proportional to the matched keys, not the table.
+    // Driver-side only (filter() runs at executedPlan materialization);
+    // the last narrowing is recorded for the PlanSpec assertion.
+    private var runtimeIds: Option[Array[Long]] = None
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      predicates.foreach { p =>
+        if (p.name() == "IN" && p.children().nonEmpty) {
+          (p.children()(0), p.children().drop(1)) match {
+            case (f: NamedReference, vs) if f.fieldNames.mkString(".") == "id" =>
+              // LiteralValue is private[sql] in Spark 4.1 — match the
+              // public Literal interface instead (same trap as FieldReference)
+              val ids = vs.collect {
+                case l: Literal[_] if l.value().isInstanceOf[java.lang.Number] =>
+                  l.value().asInstanceOf[java.lang.Number].longValue()
+              }
+              if (ids.length == vs.length) {
+                val kept = ids.filter(v => v >= lo && v < hi).sorted.distinct
+                runtimeIds = Some(kept)
+                DeterministicSource.lastRuntimeFilterKeys = Some(kept.length)
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+
+    override def planInputPartitions(): Array[InputPartition] =
+      runtimeIds match {
+        case Some(ids) =>
+          ids.map(v => RangeSlice(v, v + 1, required.fieldNames, aggFields): InputPartition)
+        case None => slicePartitions(lo, hi)
+      }
+
     override def readSchema(): StructType =
       if (aggregated)
         StructType(StructField("bucket", LongType, nullable = false) +:
@@ -214,8 +258,6 @@ private class DeterministicScanBuilder(rows: Long, slices: Int, batchRows: Long)
         (if (aggregated) s" pushedAggs=bucket:${aggFields.mkString(",")}" else "") +
         pushedLimit.map(k =>
           s" pushedLimit=$k${if (topNDesc) " (topN id DESC)" else ""}").getOrElse("")
-    override def planInputPartitions(): Array[InputPartition] =
-      slicePartitions(lo, hi)
     override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
     /** Streaming side of the SAME table: the row-id space replayed in

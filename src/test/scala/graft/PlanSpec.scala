@@ -148,6 +148,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
   }
 
+  test("join_dpp prunes fact partitions dynamically from the dim filter") {
+    val p = plan("join_dpp")
+    // the dt partition filter must be a RUNTIME subquery (dim's yr%2=0 is
+    // not expressible over the join key, so static pruning can't do this)
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
+  test("custom DSv2 source prunes slices from the runtime join filter") {
+    val df = SparkEntry.queries("scan_custom_runtime_filter")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("RuntimeFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"no runtime filter reached the BatchScan:\n$p")
+    graft.sources.DeterministicSource.lastRuntimeFilterKeys = None
+    assert(df.collect().length == 5)
+    // filter() must have run on the driver and kept exactly the 5 dim keys
+    assert(graft.sources.DeterministicSource.lastRuntimeFilterKeys.contains(5),
+      "SupportsRuntimeV2Filtering.filter did not narrow the scan")
+  }
+
   test("custom DSv2 source narrows its generated range from pushed id filters") {
     val p = plan("scan_custom_pushdown")
     assert(p.contains("pushedRange=[5000,15000)"),
