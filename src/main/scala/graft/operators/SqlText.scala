@@ -188,7 +188,23 @@ object SqlText {
     s.sql(q18)
   }
 
+  /** The injected-SQL-function surface ([[graft.plans.GraftExtensions]]):
+    * the custom codegen expressions called BY NAME from SQL text —
+    * graft_poly_hash (content split hashing) and graft_zorder2 (Morton
+    * clustering key) — registered into the session at query time via the
+    * same builder tuples injectFunction uses. The oracle recomputes both
+    * with DuckDB list/bit arithmetic, so the registered path is exactly
+    * hash-gated like any built-in. */
+  private def sqlRegisteredFns(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(s)
+    U.tbl(s, d, "documents").createOrReplaceTempView("documents")
+    s.sql("SELECT doc_id, graft_poly_hash(text, 7) % 100 AS bucket, " +
+      "graft_zorder2(doc_id % 64, n_chars % 64) AS z " +
+      "FROM documents ORDER BY doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_registered_fns" -> sqlRegisteredFns _,
     "sql_q18_large_orders" -> sqlQ18 _,
     "sql_set_ops" -> sqlSetOps _,
     "sql_recursive_cte" -> sqlRecursive _,
@@ -200,6 +216,11 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_registered_fns" ->
+      (s"SELECT doc_id, ${graft.llm.TextUtil.sqlPolyHash("text", 7L)} % 100 " +
+        "AS bucket, " +
+        s"${graft.plans.CustomExprs.sqlZorder2("doc_id % 64", "n_chars % 64")} " +
+        "AS z FROM documents ORDER BY doc_id"),
     "sql_q18_large_orders" -> q18,
     "sql_set_ops" -> setOps,
     "sql_recursive_cte" -> recursiveCte,
