@@ -22,6 +22,7 @@ object SparkEntry {
       Windows.queries ++
       SetOps.queries ++
       SqlText.queries ++
+      TpchSuite.queries ++
       Joins.queries ++
       TimeSeries.queries ++
       graft.functions.ScalarFns.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       Windows.oracleSql ++
       SetOps.oracleSql ++
       SqlText.oracleSql ++
+      TpchSuite.oracleSql ++
       Joins.oracleSql ++
       TimeSeries.oracleSql ++
       graft.functions.ScalarFns.oracleSql ++
