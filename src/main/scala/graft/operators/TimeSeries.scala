@@ -477,78 +477,96 @@ object TimeSeries {
     * becomes a fraction — bit-identical to the oracle's unrolled CTEs.
     * Series with <= 10 points pass through whole. */
   private def tsLttb(s: SparkSession, d: String): DataFrame = {
-    // the 8 stage jobs are latency-bound (tiny per-user frames, fixed
-    // scheduling cost per shuffle partition) — run the loop narrow, like
-    // the streaming replays and the cluster-propagation loop
-    val key = "spark.sql.shuffle.partitions"
-    val prevConf = s.conf.getOption(key)
-    s.conf.set(key, "8")
-    try tsLttbLoop(s, d)
-    finally prevConf match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
-
-  private def tsLttbLoop(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (not persist) after every stage: each pick's logical
-    // plan would otherwise nest ALL previous stages, and Catalyst re-plans
-    // the whole deepening tree per stage — measured 0.8→3.1 s/stage growth
-    // at sf0.1 under persist vs flat ~0.3 s/stage with truncated lineage.
-    // (The fully chained single-plan variant re-executes the O(k²) join
-    // chain and measured slower still.)
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // per-user min/count via hash-agg + join, not a second window pass
-    val stats = U.events(s, d).groupBy(col("user_id").as("g_uid"))
-      .agg(min(unix_micros(col("ts"))).as("x0"), count(lit(1)).as("n"))
-    val base = U.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        U.cents(col("value")).as("y"))
-      .withColumn("idx", (row_number().over(wOrd) - 1).cast(LongType))
-      .join(stats, col("user_id") === col("g_uid"))
-      .withColumn("x", unix_micros(col("ts")) - col("x0"))
-      .select("user_id", "idx", "x", "y", "n")
-      .localCheckpoint(true)
-    val mid = base.filter(col("n") > 10 && col("idx") >= 1 && col("idx") <= col("n") - 2)
-      .withColumn("bk", expr("((idx - 1) * 8) DIV (n - 2)"))
-      .localCheckpoint(true)
-    val anc = mid.groupBy(col("user_id").as("a_uid"), col("bk").as("a_bk"))
-      .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val lastp = base.filter(col("n") > 10 && col("idx") === col("n") - 1)
-      .select(col("user_id").as("a_uid"), col("x").as("sx"),
-        col("y").as("sy"), lit(1L).as("c"))
-    def score = abs((col("px") * col("c") - col("sx")) * (col("y") - col("py")) -
-      (col("px") - col("x")) * (col("sy") - col("py") * col("c")))
-    var sel = base.filter(col("n") > 10 && col("idx") === 0)
-      .select(col("user_id").as("s_uid"), col("x").as("px"), col("y").as("py"))
-    val picks = (0 until 8).map { i =>
-      val a =
-        if (i < 7) anc.filter(col("a_bk") === i + 1).drop("a_bk")
-        else lastp
-      val picked = mid.filter(col("bk") === i)
-        .join(sel, col("user_id") === col("s_uid"))
-        .join(a, col("user_id") === col("a_uid"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-          .orderBy(score.desc, col("idx"))))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("idx"), col("x"), col("y"))
-        .localCheckpoint(true) // materialize + truncate lineage
-      sel = picked.select(col("user_id").as("s_uid"), col("x").as("px"),
-        col("y").as("py"))
-      picked.withColumn("rank", lit(i + 1L))
-    }
-    base.filter(col("n") <= 10)
-      .select(col("user_id"), col("idx").as("rank"), col("idx"), col("x"), col("y"))
-      .unionByName(base.filter(col("n") > 10 && col("idx") === 0)
-        .select(col("user_id"), lit(0L).as("rank"), col("idx"), col("x"), col("y")))
-      .unionByName(picks.reduce(_ unionByName _)
-        .select(col("user_id"), col("rank"), col("idx"), col("x"), col("y")))
-      .unionByName(base.filter(col("n") > 10 && col("idx") === col("n") - 1)
-        .select(col("user_id"), lit(9L).as("rank"), col("idx"), col("x"), col("y")))
-      .select(col("user_id"), col("rank"), col("idx"),
-        col("x").as("x_us"), col("y").as("y_cents"))
+    import s.implicits._
+    // LTTB is sequential IN the series (each pick depends on the previous
+    // one) and embarrassingly parallel ACROSS series — so the distributed
+    // shape is: one shuffle to co-locate each series, then one in-memory
+    // sequential pass per series. The earlier 8-stage chained-join variant
+    // (8 argmax joins + localCheckpoints) was plan-shaped like the math but
+    // paid ~10 latency-bound jobs; this is 1 shuffle + 1 pass, and at 100 TB
+    // the per-series pass is bounded by series length, not corpus size.
+    // (Genuine per-partition imperative logic — the sanctioned mapPartitions
+    // case; all arithmetic stays in the same integer (µs, cents) domain as
+    // the unrolled-CTE oracle, so the hash gate is unaffected.)
+    val sorted = U.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), U.cents(col("value")).as("y"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tus"), col("event_id"))
+      .select(col("user_id"), col("tus"), col("y"))
+      .as[(Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var uid = 0L
+      var open = false
+      def flush(): Iterator[(Long, Long, Long, Long, Long)] = {
+        val n = buf.length
+        val x0 = buf(0)._1
+        val xs = Array.tabulate(n)(i => buf(i)._1 - x0)
+        val ys = Array.tabulate(n)(i => buf(i)._2)
+        val u = uid
+        buf.clear()
+        if (n <= 10) {
+          Iterator.tabulate(n)(i => (u, i.toLong, i.toLong, xs(i), ys(i)))
+        } else {
+          val out = Array.newBuilder[(Long, Long, Long, Long, Long)]
+          out += ((u, 0L, 0L, xs(0), ys(0)))
+          val m = (n - 2).toLong
+          // mid rows idx 1..n-2 → bucket ((idx-1)*8) div (n-2); idx is
+          // monotone in bucket, so boundaries come from one scan
+          val start = Array.fill(9)(n - 1)
+          var idx = n - 2
+          while (idx >= 1) {
+            start(((idx - 1).toLong * 8L / m).toInt) = idx
+            idx -= 1
+          }
+          var px = xs(0)
+          var py = ys(0)
+          var b = 0
+          while (b < 8) {
+            // anchor: next bucket's (count-scaled) centroid, or last point
+            var sx = 0L; var sy = 0L; var c = 0L
+            if (b < 7) {
+              var j = start(b + 1)
+              while (j < start(b + 2)) { sx += xs(j); sy += ys(j); c += 1; j += 1 }
+            } else { sx = xs(n - 1); sy = ys(n - 1); c = 1L }
+            var best = -1
+            var bestScore = -1L
+            var i = start(b)
+            while (i < start(b + 1)) {
+              val sc = math.abs((px * c - sx) * (ys(i) - py) -
+                (px - xs(i)) * (sy - py * c))
+              if (sc > bestScore) { bestScore = sc; best = i }
+              i += 1
+            }
+            out += ((u, (b + 1).toLong, best.toLong, xs(best), ys(best)))
+            px = xs(best); py = ys(best)
+            b += 1
+          }
+          out += ((u, 9L, (n - 1).toLong, xs(n - 1), ys(n - 1)))
+          out.result().iterator
+        }
+      }
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        private var pending: Iterator[(Long, Long, Long, Long, Long)] =
+          Iterator.empty
+        def hasNext: Boolean = {
+          while (!pending.hasNext && it.hasNext) {
+            val (nuid, tus, y) = it.next()
+            if (open && nuid != uid) pending = flush()
+            uid = nuid
+            open = true
+            buf += ((tus, y))
+          }
+          if (!pending.hasNext && open && buf.nonEmpty) pending = flush()
+          pending.hasNext
+        }
+        def next(): (Long, Long, Long, Long, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
+      }
+    }.toDF("user_id", "rank", "idx", "x_us", "y_cents")
       .orderBy("user_id", "rank")
   }
 
