@@ -396,7 +396,29 @@ object Aggregations {
       .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
+  /** Weighted median (quantity-weighted price per return flag): cumulative
+    * weight over the price-sorted group, first price where 2·cum ≥ total.
+    * All weights/prices integer (cents), so the crossing row — and thus the
+    * answer — is exact; permutations of tied (pc, wt) rows shift their own
+    * cum values but never which price crosses the threshold. One window
+    * sort per group and a hash agg: the same shape at any scale. */
+  private def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = U.tbl(s, d, "lineitem").select(col("l_returnflag").as("rf"),
+      U.cents(col("l_extendedprice")).as("pc"),
+      col("l_quantity").cast(LongType).as("wt"))
+    val run = Window.partitionBy(col("rf")).orderBy(col("pc"), col("wt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("cw", sum(col("wt")).over(run))
+      .withColumn("tw", sum(col("wt")).over(Window.partitionBy(col("rf"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("rf"))
+      .agg((min(col("pc")).cast(DoubleType) / lit(100.0)).as("wmedian"))
+      .orderBy("rf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> aggWeightedMedian _,
     "agg_cms_heavyhitters" -> aggCmsHeavyhitters _,
     "agg_kmv_setops" -> aggKmvSetops _,
     "agg_grouping_id" -> aggGroupingId _,
@@ -492,6 +514,15 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      ("WITH w AS (SELECT l_returnflag AS rf, " +
+        s"${OSQL.cents("l_extendedprice")} AS pc, " +
+        "CAST(l_quantity AS BIGINT) AS wt FROM lineitem), " +
+        "o AS (SELECT rf, pc, wt, SUM(wt) OVER (PARTITION BY rf " +
+        "ORDER BY pc, wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cw, SUM(wt) OVER (PARTITION BY rf) AS tw FROM w) " +
+        "SELECT rf, CAST(MIN(pc) AS DOUBLE) / 100.0 AS wmedian " +
+        "FROM o WHERE cw * 2 >= tw GROUP BY rf ORDER BY rf"),
     "agg_kmv_setops" ->
       (s"SELECT e_click AS est_click, e_purch AS est_purchase, " +
         "e_union AS est_union, " +

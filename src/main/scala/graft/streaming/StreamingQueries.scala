@@ -351,6 +351,45 @@ object StreamingQueries {
     s.table(name).orderBy("c_event_id", "p_event_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join: same click→purchase pairing as
+    * [[streamStreamJoin]], but unmatched clicks are emitted with NULL right
+    * columns once the watermark proves no purchase can still arrive — the
+    * semantics that make streaming outer joins hard (state eviction = null
+    * emission). Determinism: the matched set is batch-boundary-independent,
+    * and the null set depends only on the FINAL watermark, so the
+    * accumulated sink is exactly oracle-able: null rows are precisely the
+    * matchless clicks whose join window [c_ts, c_ts+4 h] closed before the
+    * final watermark. The query's watermark is the MIN across both
+    * watermark nodes, each computed on its post-filter stream — i.e.
+    * min(max click ts, max purchase ts) − 1 h, reached via the AvailableNow
+    * end-of-stream no-data batch (verified empirically: the boundary rows
+    * moved exactly with the per-type maxima, not the global max). Clicks
+    * within ~5 h of stream end stay in state — their window never provably
+    * closes — mirrored in the oracle's cutoff. */
+  private def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
+    val clicks = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 4 HOURS"), "left_outer")
+      .select(col("c_event_id"), col("p_event_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("c_event_id"), col("p_event_id"))
+  }
+
   /** Streaming read through the custom DSv2 connector
     * ([[graft.sources.DeterministicSource]]): the generator's row-id space
     * drains in admission-controlled 5k-row micro-batches (4 batches);
@@ -467,6 +506,7 @@ object StreamingQueries {
     "stream_stateful" -> statefulRunning _,
     "stream_stateful_tws" -> statefulRunningTws _,
     "stream_stream_join" -> streamStreamJoin _,
+    "stream_stream_left_join" -> streamStreamLeftJoin _,
     "stream_custom_source" -> customSourceStream _,
     "stream_upsert_sink" -> foreachBatchUpsert _,
     "stream_static_join" -> staticJoin _)
@@ -524,6 +564,23 @@ object StreamingQueries {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS " +
         "ORDER BY c_event_id, p_event_id"),
+    "stream_stream_left_join" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id, user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT c.event_id AS c_event_id, p.event_id AS p_event_id, " +
+        "c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value AS p_value " +
+        "FROM c JOIN p ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR " +
+        "UNION ALL " +
+        "SELECT c.event_id, NULL, c.user_id, c.ts, NULL, NULL FROM c " +
+        "WHERE c.ts + INTERVAL 4 HOUR < " +
+        "(SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p)) " +
+        "- INTERVAL 1 HOUR) " +
+        "AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR) " +
+        "ORDER BY c_event_id, p_event_id NULLS FIRST"),
     "stream_custom_source" ->
       ("SELECT bucket, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sum_cents " +
         "FROM (SELECT range % 32 AS bucket, (range * 2654435761) % 100000 AS vc " +
