@@ -252,7 +252,14 @@ object Dedup {
     // SLOWER here: near-dup components are shallow (diameter ~2), so the
     // extra per-round join costs more than the rounds it saves. It only pays
     // off for long-chain graphs.
-    var lab = docs(s, d).select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    //
+    // Iterate over edge-INCIDENT docs only: a doc with no near-dup pair can
+    // never change label, so it skips the loop entirely and rejoins as its
+    // own singleton cluster at the end. At 100 TB this is the difference
+    // between propagating over the corpus and propagating over the (orders
+    // of magnitude smaller) near-dup subgraph.
+    val incident = edges.select(col("u").as("doc_id")).distinct().persist()
+    var lab = incident.select(col("doc_id"), col("doc_id").as("cluster")).persist()
     var prevSum = labelSum(lab)
     var converged = false
     var iter = 0
@@ -266,12 +273,20 @@ object Dedup {
       val s2 = labelSum(next) // materializes next before releasing lab
       lab.unpersist()
       lab = next
-      if (s2.compareTo(prevSum) == 0) converged = true else prevSum = s2
+      // null-safe: with an empty edge set the label frame is empty and the
+      // sum is NULL on both sides — that's a fixpoint too
+      if (s2 == prevSum || (s2 != null && prevSum != null &&
+          s2.compareTo(prevSum) == 0)) converged = true
+      else prevSum = s2
       iter += 1
     }
     edges.unpersist()
-    lab.select(col("doc_id"), col("cluster").as("cluster_id"),
-      (col("doc_id") === col("cluster")).as("is_keeper"))
+    val singles = docs(s, d).select(col("doc_id"))
+      .join(incident, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    lab.unionByName(singles)
+      .select(col("doc_id"), col("cluster").as("cluster_id"),
+        (col("doc_id") === col("cluster")).as("is_keeper"))
       .orderBy("doc_id")
   }
 

@@ -163,12 +163,29 @@ object Similarity {
     * the right coarse metric when the downstream predicate is a cosine
     * threshold. n=1 builds the index; n>1 multi-probes. */
   private def assignN(emb: DataFrame, cent: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    emb.crossJoin(broadcast(cent))
+    // Score narrow, shuffle narrow, join the vectors back by id: the
+    // argmin runs over (vec_id, cid, dist) triples instead of dragging the
+    // 64-long fx arrays through the sort/agg exchange (64x the bytes for
+    // data the argmin never reads). n=1 further replaces the sort window
+    // with a map-side-combinable hash agg — min(struct(dist, cid)) is the
+    // same (dist, cid) lexicographic tie-break the window used.
+    val scored = emb.select(col("vec_id").as("a_vid"), col("fx"))
+      .crossJoin(broadcast(cent))
       .withColumn("dist", -dotCol(col("fx"), col("cfx")).cast(DoubleType) /
         sqrt(dotCol(col("cfx"), col("cfx")).cast(DoubleType)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
+      .select(col("a_vid"), col("cid"), col("dist"))
+    val picked =
+      if (n == 1)
+        scored.groupBy(col("a_vid"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("a_vid"), col("m.cid").as("cid"))
+      else {
+        val w = Window.partitionBy(col("a_vid")).orderBy(col("dist"), col("cid"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= n)
+          .select(col("a_vid"), col("cid"))
+      }
+    picked.join(emb, picked("a_vid") === emb("vec_id"))
       .select(col("vec_id"), col("cid"), col("fx"), col("nrm"))
   }
 
