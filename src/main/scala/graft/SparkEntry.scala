@@ -23,6 +23,7 @@ object SparkEntry {
       SetOps.queries ++
       SqlText.queries ++
       TpchSuite.queries ++
+      Graphs.queries ++
       Joins.queries ++
       TimeSeries.queries ++
       graft.functions.ScalarFns.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       SetOps.oracleSql ++
       SqlText.oracleSql ++
       TpchSuite.oracleSql ++
+      Graphs.oracleSql ++
       Joins.oracleSql ++
       TimeSeries.oracleSql ++
       graft.functions.ScalarFns.oracleSql ++

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.U
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph analytics over the co-purchase graph (parts linked when they
+  * appear in the same order) — the relational-to-graph bridge every
+  * warehouse eventually needs, kept exactly oracle-able by doing ALL rank
+  * arithmetic in the integer domain:
+  *
+  *  - `graph_pagerank`: 3 unrolled PageRank iterations with ranks in
+  *    integer micro-units; contrib = rank DIV deg and the damping step is
+  *    150000 + (85·Σcontrib) DIV 100, so every engine computes the same
+  *    integers regardless of aggregation order (no float drift across
+  *    iterations — the classic reason distributed PageRank outputs differ).
+  *  - `graph_triangles`: triangle count via the oriented (u < v) edge list
+  *    joined twice — each triangle counted exactly once.
+  *
+  * Scale shape: the edge list is built once (distinct over an order-keyed
+  * self-join — shuffle on orderkey, then on the edge), persisted, and every
+  * PageRank iteration is one shuffle join + one hash agg on (narrow)
+  * (node, rank) pairs. Degrees are precomputed and carried on the edge so
+  * the loop never re-joins them. At 100 TB the iteration frame is nodes,
+  * not edges — the standard Pregel-style decomposition as plain DataFrames.
+  */
+object Graphs {
+
+  private def edgesDirected(s: SparkSession, d: String): DataFrame = {
+    val li = U.tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok").as("ok2"), col("pk").as("v"))
+    a.join(b, col("ok") === col("ok2") && col("u") =!= col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = edgesDirected(s, d)
+    val deg = edges.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, col("u") === col("du"))
+      .select(col("u"), col("v"), col("deg")).persist()
+    var ranks = e.select(col("u").as("node")).distinct()
+      .withColumn("pr", lit(1000000L))
+    for (_ <- 0 until 3) {
+      ranks = e.join(ranks, col("u") === col("node"))
+        .select(col("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v"))
+        .agg((lit(150000L) + expr("(85 * sum(c)) DIV 100")).as("pr"))
+        .select(col("v").as("node"), col("pr"))
+    }
+    ranks.orderBy(col("pr").desc, col("node")).limit(50)
+  }
+
+  private def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = edgesDirected(s, d).filter(col("u") < col("v")).persist()
+    val e1 = und.select(col("u").as("a"), col("v").as("b"))
+    val e2 = und.select(col("u").as("b2"), col("v").as("c2"))
+    val e3 = und.select(col("u").as("a3"), col("v").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val prIter =
+    "SELECT v AS node, CAST(150000 + (85 * SUM(pr // deg)) // 100 " +
+      "AS BIGINT) AS pr FROM e JOIN %s ON u = node GROUP BY v"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> graphPagerank _,
+    "graph_triangles" -> graphTriangles _)
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "deg AS (SELECT u AS du, COUNT(*) AS deg FROM edges GROUP BY u), " +
+        "e AS (SELECT u, v, deg FROM edges JOIN deg ON u = du), " +
+        "r0 AS (SELECT DISTINCT u AS node, CAST(1000000 AS BIGINT) AS pr " +
+        "FROM e), " +
+        s"r1 AS (${prIter.format("r0")}), " +
+        s"r2 AS (${prIter.format("r1")}), " +
+        s"r3 AS (${prIter.format("r2")}) " +
+        "SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 50"),
+    "graph_triangles" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM edges e1 " +
+        "JOIN edges e2 ON e1.v = e2.u " +
+        "JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v"))
+}
