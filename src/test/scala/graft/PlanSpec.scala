@@ -232,6 +232,40 @@ class PlanSpec extends SparkTestBase {
       s"no equijoin on cid:\n$p")
   }
 
+  test("dedup_editdistance blocks on an equijoin key, not a cartesian scan") {
+    val p = plan("dedup_editdistance")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equijoin on the block key:\n$p")
+  }
+
+  test("sql_q8_mktshare broadcasts every dimension of the snowflake") {
+    val p = plan("sql_q8_mktshare")
+    // part/supplier/customer/nation(x2)/region all broadcast; only
+    // orders jo lineitem may shuffle — the star-query shape at 100 TB
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 5, s"expected >=5 broadcast dims, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("sql_q6_forecast pushes all three predicates into the parquet scan") {
+    val p = plan("sql_q6_forecast")
+    // the PushedFilters bracket is elided in toString past ~4 entries, so
+    // assert the visible prefix: all three columns' IsNotNull plus the
+    // start of the shipdate range — enough to prove the scan got them
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_shipda"), s"filters not pushed:\n$p")
+  }
+
+  test("graph_pagerank iterates on narrow (node, rank) frames") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the persisted degree-carrying edge frame feeds every iteration
+    assert(p.contains("InMemoryTableScan"), s"edge frame not reused:\n$p")
+  }
+
   test("join_interval_binned plans a bin equijoin, not a nested loop") {
     val p = plan("join_interval_binned")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
