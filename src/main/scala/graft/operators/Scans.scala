@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.U
+import graft.{OSQL, U}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -333,6 +333,23 @@ object Scans {
         pmod(col("id"), lit(7L)).as("id_mod7"))
       .orderBy("id")
 
+  /** Write the events through the custom DSv2 sink
+    * ([[graft.sources.StatsSink]]): per-task (count, cent-sum) partials
+    * combine at the commit barrier; the query returns the committed totals.
+    * The distributed aggregation happens IN the writers — the driver only
+    * combines O(tasks) messages — and the result hash-matches the plain
+    * SQL aggregate over the same rows. */
+  private def sinkCustomStats(s: SparkSession, d: String): DataFrame = {
+    val run = s"graft_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    U.events(s, d)
+      .select(col("event_id").as("id"), U.cents(col("value")).as("cents"))
+      .write.format("graft.sources.StatsSink").option("run", run)
+      .mode("append").save()
+    val (n, sum) = graft.sources.StatsSink.committed.get(run)
+    import s.implicits._
+    Seq((n, sum)).toDF("n_rows", "sum_cents")
+  }
+
   private def sinkParquet(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_orders")
     U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
@@ -452,6 +469,7 @@ object Scans {
     "scan_merge_on_read" -> scanMergeOnRead _,
     "sink_merge_upsert" -> sinkMergeUpsert _,
     "sink_parquet" -> sinkParquet _,
+    "sink_custom_stats" -> sinkCustomStats _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -555,6 +573,10 @@ object Scans {
         "FROM range(0, 20000) GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "sink_custom_stats" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS sum_cents " +
+        "FROM events"),
     "sink_dynamic_overwrite" ->
       ("SELECT event_id, user_id, event_type, " +
         "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value " +
