@@ -24,6 +24,7 @@ object SparkEntry {
       SqlText.queries ++
       TpchSuite.queries ++
       Graphs.queries ++
+      TypedApi.queries ++
       Joins.queries ++
       TimeSeries.queries ++
       graft.functions.ScalarFns.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       SqlText.oracleSql ++
       TpchSuite.oracleSql ++
       Graphs.oracleSql ++
+      TypedApi.oracleSql ++
       Joins.oracleSql ++
       TimeSeries.oracleSql ++
       graft.functions.ScalarFns.oracleSql ++

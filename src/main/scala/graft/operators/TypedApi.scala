@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{OSQL, U}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Encoder case classes — top-level so Catalyst derives product encoders. */
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+  o_totalprice: Double)
+case class CustOpen(o_custkey: Long, n_open: Long, open_value: Double)
+
+/** The TYPED half of the API surface: `Dataset[T]` with case-class
+  * encoders, lambda filters, and `groupByKey`/`mapGroups` — the
+  * type-safe entry point users reach for when per-group logic outgrows
+  * SQL expressions. Deliberately ONE query: typed lambdas are opaque to
+  * Catalyst (no predicate pushdown through a `filter(f: T => Boolean)`,
+  * no partial aggregation through `mapGroups`), which is exactly why the
+  * rest of this library states its logic in DataFrame expressions. The
+  * group fold keeps money in integer cents (associative; iteration order
+  * inside a group cannot change the sum), so even the typed path stays
+  * hash-exact against the SQL oracle. */
+object TypedApi {
+
+  private def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[OrderRow] = U.tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .as[OrderRow]
+    ds.filter((o: OrderRow) => o.o_orderstatus == "O")
+      .groupByKey(_.o_custkey)
+      .mapGroups { (k: Long, it: Iterator[OrderRow]) =>
+        var n = 0L
+        var cents = 0L
+        // round(x*100) == the DECIMAL(12,2)-cast cents for any 2-decimal
+        // double (the fixture guarantee), keeping the oracle exact
+        it.foreach { o => n += 1; cents += math.round(o.o_totalprice * 100.0) }
+        CustOpen(k, n, cents.toDouble / 100.0)
+      }
+      .toDF()
+      .orderBy("o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_pipeline" -> typedPipeline _)
+
+  val oracleSql: Map[String, String] = Map(
+    "typed_pipeline" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_open, " +
+        s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS DOUBLE) / 100.0 " +
+        "AS open_value FROM orders WHERE o_orderstatus = 'O' " +
+        "GROUP BY o_custkey ORDER BY o_custkey"))
+}
