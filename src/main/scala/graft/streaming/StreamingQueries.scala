@@ -93,8 +93,11 @@ class SessionizeProcessor extends StatefulProcessor[Long, SEvent, SessOut] {
   * whose kept-row is value-identical either way; flatMapGroupsWithState
   * running totals, which hash-match a batch window-function query; a
   * stream-static join). The append-mode watermark queries (tumbling,
-  * session) emit only watermark-finalized windows — batch-boundary-
-  * dependent by design — and are covered by StreamingSpec instead.
+  * session) emit only watermark-finalized windows; the finalized SET is
+  * nevertheless deterministic — it depends only on the final watermark
+  * (max event time − delay, reached via the AvailableNow no-data batch) —
+  * so round 4 upgraded both to exact oracles (batch aggregate filtered to
+  * watermark-closed windows), on top of StreamingSpec's semantics tests.
   */
 object StreamingQueries {
 
@@ -564,6 +567,40 @@ object StreamingQueries {
         "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS " +
         "ORDER BY c_event_id, p_event_id"),
+    // Finalized tumbling windows: append mode emits exactly the windows
+    // whose end the final watermark (max ts - 10 min, reached via the
+    // AvailableNow no-data batch) has passed — a deterministic set, so the
+    // append-mode query is fully oracle-able after all (empirically pinned
+    // at sf0.01: 3380 groups under both <= and < at the boundary).
+    "stream_tumbling_watermark" ->
+      ("WITH agg AS (SELECT make_timestamp(CAST((epoch_us(ts) // " +
+        "3600000000) * 3600000000 AS BIGINT)) AS wstart, event_type, " +
+        s"COUNT(*) AS n, ${OSQL.dsum("value")} AS sum_value " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT wstart, event_type, n, sum_value FROM agg " +
+        "WHERE wstart + INTERVAL 1 HOUR <= " +
+        "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY wstart, event_type"),
+    // Finalized session windows: session end = last event + 30 min gap;
+    // emitted when the final watermark passes it. Session merging equals
+    // the batch lag-gap pass (proved by ts_session_native), so the oracle
+    // is the batch sessionization filtered to watermark-closed sessions.
+    "stream_session" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "numbered AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS sid FROM flagged), " +
+        "sess AS (SELECT user_id, MIN(ts) AS sstart, " +
+        "MAX(ts) + INTERVAL 30 MINUTE AS send, COUNT(*) AS n_events, " +
+        s"${OSQL.dsum("value")} AS sum_value " +
+        "FROM numbered GROUP BY user_id, sid) " +
+        "SELECT sstart, send, user_id, n_events, sum_value FROM sess " +
+        "WHERE send <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY user_id, sstart"),
     "stream_stream_left_join" ->
       ("WITH c AS (SELECT event_id, user_id, ts FROM events " +
         "WHERE event_type = 'click'), " +

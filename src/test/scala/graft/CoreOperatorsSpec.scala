@@ -19,10 +19,10 @@ class CoreOperatorsSpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query impl: ${o -- q}")
     val nonOracle = q -- o
-    // approx/probabilistic + append-watermark ops are the only exclusions
+    // approx/probabilistic ops are the only exclusions (the append-mode
+    // watermark queries gained exact finalized-set oracles in round 4)
     assert(nonOracle == Set("agg_approx_distinct", "agg_approx_quantile",
-      "dedup_minhash", "dedup_embedding_ann", "sim_lsh_ann", "sim_ivf_ann",
-      "stream_tumbling_watermark", "stream_session"),
+      "dedup_minhash", "dedup_embedding_ann", "sim_lsh_ann", "sim_ivf_ann"),
       s"unexpected non-oracle queries: $nonOracle")
   }
 
@@ -417,6 +417,27 @@ class CoreOperatorsSpec extends SparkTestBase {
       assert(rows.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rows.length))
       val prices = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("o_totalprice"))
       assert(prices.sameElements(prices.sortBy(-_)), "not descending by price")
+    }
+  }
+
+  test("LTTB invariants: 10 picks per long series, indices strictly increasing") {
+    val counts = graft.U.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val out = graft.operators.TimeSeries.queries("ts_lttb")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    counts.foreach { case (uid, n) =>
+      val rows = out(uid).sortBy(_.getAs[Long]("rank"))
+      if (n > 10) {
+        assert(rows.length == 10, s"user $uid: ${rows.length} picks for n=$n")
+        assert(rows.map(_.getAs[Long]("rank")).sameElements(0L to 9L))
+        val idxs = rows.map(_.getAs[Long]("idx"))
+        assert(idxs.zip(idxs.tail).forall { case (a, b) => a < b },
+          s"user $uid: picks not strictly increasing in idx")
+        assert(idxs.head == 0L && idxs.last == n - 1,
+          s"user $uid: first/last point not kept")
+      } else {
+        assert(rows.length.toLong == n, s"user $uid: short series not passed through")
+      }
     }
   }
 }
