@@ -61,7 +61,13 @@ object Graphs {
     var ranks = e.select(col("u").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
     for (_ <- 0 until 3) {
-      ranks = e.join(ranks, col("u") === col("node"))
+      // broadcast the rank frame (|nodes| narrow rows) so the persisted
+      // edge frame never re-shuffles or re-sorts per iteration — the join
+      // is map-side and the only exchange is the partial-aggregated
+      // contribution rollup to |nodes| groups. (At a node count past
+      // broadcast range this becomes a co-partitioned shuffle join on a
+      // pre-partitioned edge frame instead.)
+      ranks = e.join(broadcast(ranks), col("u") === col("node"))
         .select(col("v"), expr("pr DIV deg").as("c"))
         .groupBy(col("v"))
         .agg((lit(150000L) + expr("(85 * sum(c)) DIV 100")).as("pr"))
