@@ -208,6 +208,34 @@ object StreamingQueries {
       col("sum_value"))
       .orderBy("wstart", "event_type")
 
+  /** Chained stateful operators (Spark 4 multi-stateful append support):
+    * 15-minute tumbling counts re-aggregated into hourly rollups — the
+    * two-tier streaming aggregation every metrics pipeline runs. The inner
+    * window's event-time column (window_time = window.end − 1µs) feeds the
+    * outer window, and watermark finalization cascades: an hourly row
+    * emits once the watermark passes its end, fed by exactly its four
+    * finalized quarter-hours. Both finalized sets depend only on the FINAL
+    * watermark, so the accumulated sink is exactly the batch double
+    * aggregate filtered to watermark-closed hours (empirically pinned —
+    * the end-of-stream no-data batches flush both operators). */
+  private def chainedAgg(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "append") { in =>
+      // NO second withWatermark: the window column keeps its event-time
+      // metadata through the agg, and window_time() carries it into the
+      // outer window. (A re-watermark on the derived column creates a
+      // second watermark node that never observes raw data, which pins the
+      // query's global watermark at epoch and deadlocks BOTH tiers —
+      // measured: 0 rows emitted.)
+      in.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n"), sum(U.cents(col("value"))).as("cents"))
+        .groupBy(window(window_time(col("window")), "1 hour"))
+        .agg(sum(col("n")).as("n"), count(lit(1)).as("n_quarters"),
+          sum(col("cents")).as("cents"))
+    }.select(col("window.start").as("hstart"), col("n"), col("n_quarters"),
+      (col("cents").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      .orderBy("hstart")
+
   /** Complete-mode sliding window — final state equals the batch answer, so
     * it carries a full oracle. */
   private def slidingComplete(s: SparkSession, d: String): DataFrame =
@@ -503,6 +531,7 @@ object StreamingQueries {
     "stream_topk" -> streamTopk _,
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
+    "stream_chained_agg" -> chainedAgg _,
     "stream_sliding" -> slidingComplete _,
     "stream_session" -> sessionWindows _,
     "stream_dedup" -> dedupStream _,
@@ -581,6 +610,23 @@ object StreamingQueries {
         "WHERE wstart + INTERVAL 1 HOUR <= " +
         "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
         "ORDER BY wstart, event_type"),
+    // Chained stateful: the batch double aggregate filtered to
+    // watermark-closed hours (the outer tier finalizes every hour whose
+    // end the final global watermark passed; its four quarter-hours are
+    // finalized by construction before it).
+    "stream_chained_agg" ->
+      ("WITH q15 AS (SELECT make_timestamp(CAST((epoch_us(ts) // " +
+        "900000000) * 900000000 AS BIGINT)) AS qstart, COUNT(*) AS n, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1), " +
+        "hr AS (SELECT make_timestamp(CAST((epoch_us(qstart) // " +
+        "3600000000) * 3600000000 AS BIGINT)) AS hstart, " +
+        "CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_quarters, " +
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM q15 GROUP BY 1) " +
+        "SELECT hstart, n, n_quarters, CAST(cents AS DOUBLE) / 100.0 " +
+        "AS sum_value FROM hr WHERE hstart + INTERVAL 1 HOUR <= " +
+        "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY hstart"),
     // Finalized session windows: session end = last event + 30 min gap;
     // emitted when the final watermark passes it. Session merging equals
     // the batch lag-gap pass (proved by ts_session_native), so the oracle
