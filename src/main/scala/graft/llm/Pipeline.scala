@@ -242,7 +242,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Top principal direction of the embedding Gram matrix by POWER
+    * ITERATION, entirely in fixed-point integers — distributed linear
+    * algebra that still hash-matches a SQL oracle. Components floor to 1e6
+    * micro-units; the 64×64 Gram accumulates exact Long products scaled
+    * down by 1e9 (sized so q = C·v and the 1e6-renormalization both stay
+    * inside Long at every fixture SF); each iteration renormalizes by the
+    * max-|component| with integer division. Same integers on any engine,
+    * any aggregation order — the property float power iteration loses.
+    * Scale shape: the Gram build is one self-join shuffle keyed on vec_id
+    * (row-outer-product accumulation — at 100 TB this is the standard
+    * tree-aggregated gramian); iterations run on the tiny (dim², dim)
+    * frames. */
+  private def embTopEigvec(s: SparkSession, d: String): DataFrame = {
+    val flat = U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("i", "x")))
+    val b = flat.select(col("vec_id").as("vid2"), col("i").as("j"),
+      col("x").as("y"))
+    val gram = flat.join(b, col("vec_id") === col("vid2"))
+      .groupBy(col("i"), col("j"))
+      .agg(expr("sum(x * y) DIV 1000000000").as("c")).persist()
+    var v = gram.select(col("i").as("dim")).distinct()
+      .withColumn("v", lit(1000000L))
+    for (_ <- 0 until 2) {
+      val q = gram.join(broadcast(v), col("j") === col("dim"))
+        .groupBy(col("i")).agg(sum(expr("c * v")).as("q"))
+      val mx = q.agg(max(abs(col("q"))).as("mx"))
+      v = q.crossJoin(broadcast(mx))
+        .select(col("i").as("dim"), expr("(q * 1000000) DIV mx").as("v"))
+    }
+    // posexplode's pos is int32; the oracle's generate_subscripts is int64
+    v.select(col("dim").cast(LongType).as("dim"), col("v")).orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_top_eigvec" -> embTopEigvec _,
     "sample_weighted" -> sampleWeighted _,
     "dataset_mix" -> datasetMix _,
     "doc_chunking" -> docChunking _,
@@ -256,6 +292,26 @@ object Pipeline {
     "pack_sequences" -> packSequences _)
 
   val oracleSql: Map[String, String] = Map(
+    "emb_top_eigvec" ->
+      ("WITH fx AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +
+        "FROM embeddings), " +
+        "flat AS (SELECT vec_id, u.i - 1 AS i, u.x AS x FROM fx, " +
+        "LATERAL (SELECT UNNEST(f) AS x, generate_subscripts(f, 1) AS i) u), " +
+        "gram AS (SELECT a.i AS i, b.i AS j, " +
+        "CAST(SUM(a.x * b.x) // 1000000000 AS BIGINT) AS c " +
+        "FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i), " +
+        "v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v " +
+        "FROM (SELECT DISTINCT i FROM gram)), " +
+        "q1 AS (SELECT g.i AS dim, CAST(SUM(g.c * v0.v) AS BIGINT) AS q " +
+        "FROM gram g JOIN v0 ON g.j = v0.dim GROUP BY g.i), " +
+        "v1 AS (SELECT dim, CAST((q * 1000000) // " +
+        "(SELECT MAX(abs(q)) FROM q1) AS BIGINT) AS v FROM q1), " +
+        "q2 AS (SELECT g.i AS dim, CAST(SUM(g.c * v1.v) AS BIGINT) AS q " +
+        "FROM gram g JOIN v1 ON g.j = v1.dim GROUP BY g.i), " +
+        "v2 AS (SELECT dim, CAST((q * 1000000) // " +
+        "(SELECT MAX(abs(q)) FROM q2) AS BIGINT) AS v FROM q2) " +
+        "SELECT dim, v FROM v2 ORDER BY dim"),
     "sample_weighted" ->
       ("WITH c AS (SELECT doc_id, n_chars, SUM(n_chars) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
