@@ -233,11 +233,65 @@ object Dedup {
     }
   }
 
+  /** Edge-count threshold for the single-task union-find fast path. The
+    * VERIFIED near-dup pair set is orders of magnitude smaller than the
+    * corpus (257 pairs from 5k docs at sf0.1); below this bound a one-task
+    * DSU finishes in a single job, where the distributed loop pays ~6
+    * shuffles per materialization plus a driver sync per convergence check
+    * (measured 12 s vs <1 s at sf0.1). Above it — billions of pairs at
+    * 100 TB — the iterative path engages unchanged. Both produce the same
+    * min-id labeling, so the oracle does not care which ran. */
+  private[llm] val DsuEdgeCap = 5000000L
+
+  /** Single-task disjoint-set union over the (tiny) edge list: one
+    * executor core unions all edges and emits (doc_id, min-id-of-component)
+    * — identical output to the propagation fixpoint. */
+  private def dsuLabels(edges: DataFrame): DataFrame = {
+    val s2 = edges.sparkSession
+    import s2.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for ((u, v) <- it) {
+          for (n <- Seq(u, v)) if (!parent.contains(n)) { parent(n) = n; seen += n }
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) parent(ru) = rv
+        }
+        val minOf = scala.collection.mutable.Map.empty[Long, Long]
+        for (n <- seen) {
+          val r = find(n)
+          minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
+        }
+        seen.iterator.map(n => (n, minOf(find(n))))
+      }
+      .toDF("doc_id", "cluster")
+  }
+
   private def clusterAssignLoop(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val pairs = jaccardPairsShared(s, d).select(col("da"), col("db"))
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v").persist()
+    val nEdges = edges.count() // one action on the persisted frame
+    if (nEdges <= DsuEdgeCap) {
+      val lab = dsuLabels(edges).persist()
+      lab.count() // materialize before the anti-join reuses `edges`' cache
+      edges.unpersist()
+      val singles = docs(s, d).select(col("doc_id"))
+        .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster"))
+      return lab.unionByName(singles)
+        .select(col("doc_id"), col("cluster").as("cluster_id"),
+          (col("doc_id") === col("cluster")).as("is_keeper"))
+        .orderBy("doc_id")
+    }
     def labelSum(lab: DataFrame): java.math.BigDecimal =
       lab.agg(sum(col("cluster").cast(dec))).head().getDecimal(0)
     def step(lab: DataFrame): DataFrame = {
