@@ -350,6 +350,36 @@ object Scans {
     Seq((n, sum)).toDF("n_rows", "sum_cents")
   }
 
+  /** Session-catalog DDL surface: CREATE TABLE … USING parquet into a
+    * scratch location, INSERT INTO … SELECT from the source view, read the
+    * catalog table back — the managed-table lifecycle (parser → catalog →
+    * InsertIntoHadoopFsRelation → catalog-resolved scan) that pure
+    * DataFrame reads never touch. */
+  private def sqlDdlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val loc = U.scratch(d, "ddl_nation")
+    U.tbl(s, d, "nation").createOrReplaceTempView("nation_src")
+    s.sql("DROP TABLE IF EXISTS graft_nation")
+    s.sql("CREATE TABLE graft_nation " +
+      "(n_nationkey INT, n_name STRING, n_regionkey INT) " +
+      s"USING parquet LOCATION '$loc'")
+    s.sql("INSERT OVERWRITE graft_nation " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation_src " +
+      "WHERE n_regionkey < 3")
+    s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft_nation " +
+      "ORDER BY n_nationkey")
+  }
+
+  /** Columnar-encoding control at the sink: zstd-compressed parquet with
+    * dictionary encoding — the storage-footprint knob that matters at
+    * 100 TB (codec choice is per-write, verified by reading the file
+    * footer's codec back). Values round-trip losslessly. */
+  private def sinkZstd(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_zstd")
+    U.tbl(s, d, "part")
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+    s.read.parquet(path).orderBy("p_partkey")
+  }
+
   private def sinkParquet(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_orders")
     U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
@@ -470,6 +500,8 @@ object Scans {
     "sink_merge_upsert" -> sinkMergeUpsert _,
     "sink_parquet" -> sinkParquet _,
     "sink_custom_stats" -> sinkCustomStats _,
+    "sink_zstd" -> sinkZstd _,
+    "sql_ddl_roundtrip" -> sqlDdlRoundtrip _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -577,6 +609,10 @@ object Scans {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS sum_cents " +
         "FROM events"),
+    "sink_zstd" -> "SELECT * FROM part ORDER BY p_partkey",
+    "sql_ddl_roundtrip" ->
+      ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "WHERE n_regionkey < 3 ORDER BY n_nationkey"),
     "sink_dynamic_overwrite" ->
       ("SELECT event_id, user_id, event_type, " +
         "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value " +
