@@ -369,6 +369,32 @@ object Scans {
       "ORDER BY n_nationkey")
   }
 
+  /** Nested-schema pruning: orders written with a STRUCT payload column,
+    * then only one subfield projected — the parquet reader must read just
+    * that leaf (`ReadSchema: …payload:struct<price:double>`, asserted in
+    * PlanSpec), not the whole struct. At 100 TB with wide event payloads,
+    * nested pruning is the difference between scanning one leaf column and
+    * deserializing every field of every record. */
+  private val nestedWritten = scala.collection.mutable.Set[String]()
+  private def nestedPath(s: SparkSession, d: String): String = synchronized {
+    val path = U.scratch(d, "scan_nested")
+    if (!nestedWritten.contains(path)) {
+      U.tbl(s, d, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority")).as("payload"))
+        .write.mode("overwrite").parquet(path)
+      nestedWritten += path
+    }
+    path
+  }
+
+  private def scanNestedPruning(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(nestedPath(s, d))
+      .select(col("o_orderkey"), col("payload.price").as("price"))
+      .orderBy("o_orderkey")
+
   /** Columnar-encoding control at the sink: zstd-compressed parquet with
     * dictionary encoding — the storage-footprint knob that matters at
     * 100 TB (codec choice is per-write, verified by reading the file
@@ -502,6 +528,7 @@ object Scans {
     "sink_custom_stats" -> sinkCustomStats _,
     "sink_zstd" -> sinkZstd _,
     "sql_ddl_roundtrip" -> sqlDdlRoundtrip _,
+    "scan_nested_pruning" -> scanNestedPruning _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -610,6 +637,9 @@ object Scans {
         s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS sum_cents " +
         "FROM events"),
     "sink_zstd" -> "SELECT * FROM part ORDER BY p_partkey",
+    "scan_nested_pruning" ->
+      ("SELECT o_orderkey, o_totalprice AS price FROM orders " +
+        "ORDER BY o_orderkey"),
     "sql_ddl_roundtrip" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey < 3 ORDER BY n_nationkey"),

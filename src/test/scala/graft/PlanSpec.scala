@@ -259,6 +259,13 @@ class PlanSpec extends SparkTestBase {
       "GreaterThanOrEqual(l_shipda"), s"filters not pushed:\n$p")
   }
 
+  test("nested-schema pruning reads only the projected struct leaf") {
+    val p = plan("scan_nested_pruning")
+    assert(p.contains("payload:struct<price:double>"),
+      s"struct not pruned to the price leaf:\n$p")
+    assert(!p.contains("status"), s"unprojected leaf read:\n$p")
+  }
+
   test("graph_pagerank iterates on narrow (node, rank) frames") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
