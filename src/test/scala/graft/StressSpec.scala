@@ -36,4 +36,18 @@ class StressSpec extends SparkTestBase {
       assert(math.abs(r.getAs[Double]("avg_price") - b.getAs[Double]("avg_price")) < 1e-9)
     }
   }
+
+  test("imperative-path queries are value-deterministic run-over-run") {
+    // the operators with hand-written sequential kernels (mapPartitions
+    // LTTB, single-task union-find, power iteration, integer PageRank) —
+    // exactly where nondeterminism would sneak in if ordering assumptions
+    // broke; DataFrame-only queries are covered by the oracle gate
+    for (name <- Seq("ts_lttb", "dedup_clusters", "emb_top_eigvec",
+        "graph_pagerank", "agg_weighted_median")) {
+      val f = SparkEntry.queries(name)
+      val r1 = f(spark, sfDir).collect().map(_.toString)
+      val r2 = f(spark, sfDir).collect().map(_.toString)
+      assert(r1.sameElements(r2), s"$name differs run-over-run")
+    }
+  }
 }
