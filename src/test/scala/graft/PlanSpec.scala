@@ -259,6 +259,20 @@ class PlanSpec extends SparkTestBase {
       "GreaterThanOrEqual(l_shipda"), s"filters not pushed:\n$p")
   }
 
+  test("Q21's EXISTS + NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("sql_q21_waiting")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("Q17's correlated scalar aggregate decorrelates to an aggregate join") {
+    val p = plan("sql_q17_small_qty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
   test("nested-schema pruning reads only the projected struct leaf") {
     val p = plan("scan_nested_pruning")
     assert(p.contains("payload:struct<price:double>"),
