@@ -79,6 +79,41 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("weighted median: equals plain median under unit weights, bounded by extremes") {
+    samples(rowsGen, 5).foreach { data =>
+      val df = data.toDF("k", "x").select(col("k"),
+        col("x").cast("long").as("x"), lit(1L).as("w"))
+      import org.apache.spark.sql.expressions.Window
+      val run = Window.partitionBy(col("k")).orderBy(col("x"), col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wm = df.withColumn("cw", sum(col("w")).over(run))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("k"))))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("k")).agg(min(col("x")).as("wmed"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val groups = data.groupBy(_._1)
+      groups.foreach { case (k, rows) =>
+        val xs = rows.map(_._2.toLong).sorted
+        // unit weights: the crossing row is the lower median
+        assert(wm(k) == xs((xs.length - 1) / 2), s"k=$k: ${wm(k)} vs $xs")
+        assert(wm(k) >= xs.head && wm(k) <= xs.last)
+      }
+    }
+  }
+
+  test("LTTB picks are a subset of input points with endpoints kept") {
+    val out = operators.TimeSeries.queries("ts_lttb")(spark, sfDir)
+    val ev = U.events(spark, sfDir).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), U.cents(col("value")).as("y"))
+    // every (user, x+x0, y) pick must exist in the raw series
+    val x0 = ev.groupBy(col("user_id").as("u2")).agg(min(col("tus")).as("x0"))
+    val joined = out.join(x0, col("user_id") === col("u2"))
+      .select(col("user_id"), (col("x_us") + col("x0")).as("tus"),
+        col("y_cents").as("y"))
+    val missing = joined.join(ev, Seq("user_id", "tus", "y"), "left_anti").count()
+    assert(missing == 0L, s"$missing LTTB picks not present in the input")
+  }
+
   test("minhash signatures: identical shingle sets agree on all permutations") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("id", "text")
