@@ -369,6 +369,19 @@ object Scans {
       "ORDER BY n_nationkey")
   }
 
+  /** Hidden METADATA columns (`_metadata.file_path` & co): per-file lineage
+    * every incident-response and backfill job needs ("which files fed this
+    * partition?"). File names carry write-time UUIDs, so the oracle-stable
+    * projection is the partition DIRECTORY extracted from the path — counts
+    * per directory equal the plain partition-column group-by. */
+  private def scanFileMetadata(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(writePartitionedLineitem(s, d))
+      .select(regexp_extract(col("_metadata.file_path"), "dt=([^/]+)", 1)
+        .as("dt_dir"))
+      .groupBy(col("dt_dir"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dt_dir")
+
   /** Nested-schema pruning: orders written with a STRUCT payload column,
     * then only one subfield projected — the parquet reader must read just
     * that leaf (`ReadSchema: …payload:struct<price:double>`, asserted in
@@ -529,6 +542,7 @@ object Scans {
     "sink_zstd" -> sinkZstd _,
     "sql_ddl_roundtrip" -> sqlDdlRoundtrip _,
     "scan_nested_pruning" -> scanNestedPruning _,
+    "scan_file_metadata" -> scanFileMetadata _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -640,6 +654,9 @@ object Scans {
     "scan_nested_pruning" ->
       ("SELECT o_orderkey, o_totalprice AS price FROM orders " +
         "ORDER BY o_orderkey"),
+    "scan_file_metadata" ->
+      ("SELECT 'y' || strftime(l_shipdate, '%Y') AS dt_dir, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY dt_dir"),
     "sql_ddl_roundtrip" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey < 3 ORDER BY n_nationkey"),
