@@ -369,6 +369,26 @@ object Scans {
       "ORDER BY n_nationkey")
   }
 
+  /** In-flight observability: `Dataset.observe` plants a CollectMetrics
+    * node that accumulates exact aggregates WHILE the job runs (no second
+    * scan) — the data-quality counter every production pipeline wants.
+    * The observed totals (all rows at the observe point, upstream of the
+    * later filter) are returned as the query result and hash-match the
+    * plain aggregate oracle. */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_obs_${obsCounter.incrementAndGet()}")
+    val observed = U.tbl(s, d, "orders")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(U.cents(col("o_totalprice"))).as("cents"))
+    observed.filter(col("o_orderstatus") === "O").count() // drives the job
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("cents").asInstanceOf[Long]))
+      .toDF("n_rows", "cents")
+  }
+
   /** Hidden METADATA columns (`_metadata.file_path` & co): per-file lineage
     * every incident-response and backfill job needs ("which files fed this
     * partition?"). File names carry write-time UUIDs, so the oracle-stable
@@ -543,6 +563,7 @@ object Scans {
     "sql_ddl_roundtrip" -> sqlDdlRoundtrip _,
     "scan_nested_pruning" -> scanNestedPruning _,
     "scan_file_metadata" -> scanFileMetadata _,
+    "observe_metrics" -> observeMetrics _,
     "sink_dynamic_overwrite" -> sinkDynamicOverwrite _,
     "sink_partitioned" -> sinkPartitioned _)
 
@@ -657,6 +678,10 @@ object Scans {
     "scan_file_metadata" ->
       ("SELECT 'y' || strftime(l_shipdate, '%Y') AS dt_dir, " +
         "COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY dt_dir"),
+    "observe_metrics" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS BIGINT) AS cents " +
+        "FROM orders"),
     "sql_ddl_roundtrip" ->
       ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "WHERE n_regionkey < 3 ORDER BY n_nationkey"),
