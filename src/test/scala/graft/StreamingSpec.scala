@@ -72,6 +72,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpointed aggregation resumes exactly-once across a query restart") {
+    // durable file source + checkpoint: run 1 consumes files A+B and
+    // terminates; file C lands; run 2 under the SAME checkpoint must read
+    // ONLY C on top of the recovered state. Complete-mode totals prove
+    // exactly-once — if the restart re-read A/B, the recovered state would
+    // double-count them.
+    val srcDir = graft.U.scratch(sfDir, "recovery_src")
+    val ckpt = graft.U.scratch(sfDir, "recovery_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(srcDir, ckpt)) fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    def writeFile(rows: Seq[Long]): Unit =
+      rows.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(name: String): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy((col("v") % 3).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(Seq(1L, 2L))
+    writeFile(Seq(3L))
+    runOnce("recov_a") // consumes A+B, commits offsets + state, stops
+    writeFile(Seq(4L, 5L))
+    runOnce("recov_b") // recovers, must process ONLY the new file
+    val out = spark.table("recov_b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly-once totals over {1..5}: g1={1,4}, g2={2,5}, g0={3}
+    assert(out(1L) == ((2L, 5L)), s"group 1: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 7L)), s"group 2: ${out.get(2L)}")
+    assert(out(0L) == ((1L, 3L)), s"group 0: ${out.get(0L)}")
+  }
+
   test("declared streaming queries run a real streaming pipeline end-to-end") {
     val df = graft.streaming.StreamingQueries.queries("stream_stateful")(spark, sfDir)
     val rows = df.collect()
