@@ -21,6 +21,9 @@ import org.apache.spark.sql.types._
   * deserializer can reach them (private nested classes break codegen). */
 case class Blob(doc_id: Long, payload: Array[Byte])
 case class Decoded(doc_id: Long, n_bytes: Long, first_byte: Long, checksum: Long)
+case class Resized(doc_id: Long, n_in: Long, n_out: Long, resized_hex: String)
+case class Features(doc_id: Long, n_distinct: Long, modal_byte: Long,
+  modal_count: Long, n_spaces: Long)
 
 object Multimodal {
 
@@ -78,6 +81,49 @@ object Multimodal {
           .as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
 
+  /** "Resize" rung: fixed-ratio downsampling of the payload byte signal —
+    * every 8-byte block collapses to its integer-mean byte. A codec resize
+    * (bilinear image scale, audio decimation) slots into `resizeOne`
+    * unchanged: same Blob→Resized batch shape, same partition-wise pass,
+    * same hex-flattened output the hash gate can check. */
+  private def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = U.tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+    def resizeOne(b: Blob): Resized = {
+      val out = b.payload.grouped(8)
+        .map(blk => (blk.map(_ & 0xff).sum / blk.length).toByte).toArray
+      Resized(b.doc_id, b.payload.length.toLong, out.length.toLong,
+        out.map(x => f"${x & 0xff}%02x").mkString)
+    }
+    blobs.mapPartitions(it => it.map(resizeOne)).toDF().orderBy("doc_id")
+  }
+
+  /** Feature-extract rung: per-payload integer features (distinct byte
+    * count, modal byte with min-value tie-break, its frequency, delimiter
+    * count) — the shape of an embedding/feature UDF over media columns,
+    * with a deterministic byte-domain kernel standing in for the model. */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = U.tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+    def featOne(b: Blob): Features = {
+      val counts = new Array[Long](256)
+      b.payload.foreach(x => counts(x & 0xff) += 1)
+      var modal = -1L
+      var modalC = 0L
+      var distinct = 0L
+      for (v <- 0 until 256; c = counts(v) if c > 0) {
+        distinct += 1
+        if (c > modalC) { modalC = c; modal = v.toLong }
+      }
+      Features(b.doc_id, distinct, modal, modalC, counts(' '.toInt))
+    }
+    blobs.mapPartitions(it => it.map(featOne)).toDF().orderBy("doc_id")
+  }
+
   /** Exact binary dedup by content digest (the checksum rung of image/audio
     * dedup): hash the payload bytes, keep the min doc_id per digest. One
     * hash-agg over (digest) — the payload never shuffles, only its 32-byte
@@ -94,6 +140,8 @@ object Multimodal {
     "multimodal_dedup" -> dedupBinary _,
     "multimodal_schema" -> schema _,
     "multimodal_decode" -> decode _,
+    "multimodal_resize" -> resize _,
+    "multimodal_features" -> features _,
     "multimodal_framesample" -> frameSample _)
 
   val oracleSql: Map[String, String] = Map(
@@ -123,6 +171,34 @@ object Multimodal {
         "FROM b CROSS JOIN range(0, 4) t(i) " +
         "WHERE i * ((n_bytes + 3) // 4) + 1 <= n_bytes " +
         "ORDER BY doc_id, frame_idx"),
+    // all-ASCII fixture => ascii(char k) == byte k, same caveat as decode
+    "multimodal_resize" ->
+      ("WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "cv AS (SELECT doc_id, CAST((k - 1) // 8 AS BIGINT) AS jx, " +
+        "ascii(substring(text, CAST(k AS INTEGER), 1)) AS v " +
+        "FROM b CROSS JOIN range(1, 2001) t(k) WHERE k <= n), " +
+        "blk AS (SELECT doc_id, jx, CAST(SUM(v) // COUNT(*) AS BIGINT) " +
+        "AS av FROM cv GROUP BY doc_id, jx) " +
+        "SELECT b.doc_id, CAST(n AS BIGINT) AS n_in, " +
+        "CAST((n + 7) // 8 AS BIGINT) AS n_out, " +
+        "coalesce(string_agg(printf('%02x', av), '' ORDER BY jx), '') " +
+        "AS resized_hex " +
+        "FROM b LEFT JOIN blk ON b.doc_id = blk.doc_id " +
+        "GROUP BY b.doc_id, n ORDER BY b.doc_id"),
+    "multimodal_features" ->
+      ("WITH cv AS (SELECT doc_id, " +
+        "ascii(substring(text, CAST(k AS INTEGER), 1)) AS v " +
+        "FROM documents CROSS JOIN range(1, 2001) t(k) " +
+        "WHERE k <= length(text)), " +
+        "cnt AS (SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM cv GROUP BY 1, 2), " +
+        "ranked AS (SELECT doc_id, v, c, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY c DESC, v) AS rn FROM cnt) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+        "CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS modal_byte, " +
+        "CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS modal_count, " +
+        "CAST(coalesce(SUM(CASE WHEN v = 32 THEN c END), 0) AS BIGINT) " +
+        "AS n_spaces FROM ranked GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(CASE WHEN length(text) = 0 THEN -1 " +
