@@ -570,6 +570,44 @@ object TimeSeries {
       .orderBy("user_id", "rank")
   }
 
+  /** Holt double exponential smoothing (level + trend), entirely in
+    * integer fixed-point: lvl' = (30·y + 70·(lvl+tr)) DIV 100,
+    * tr' = (20·(lvl'−lvl) + 80·tr) DIV 100 — the industrial forecast
+    * smoother, exact on any engine (float recurrences drift; integer ones
+    * don't, and Scala's and DuckDB's integer divisions both truncate
+    * toward zero). Sequential in the series ⇒ same distributed shape as
+    * [[tsLttb]]: one co-partitioning shuffle, one in-memory pass per
+    * series; the oracle is a recursive CTE stepping idx→idx+1. */
+  private def tsHolt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = U.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), U.cents(col("value")).as("y"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tus"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("y"))
+      .as[(Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      var uid = 0L
+      var started = false
+      var lvl = 0L
+      var tr = 0L
+      var idx = -1L
+      it.map { case (u, eid, y) =>
+        if (!started || u != uid) {
+          uid = u; started = true; idx = 0L; lvl = y; tr = 0L
+        } else {
+          idx += 1
+          val nl = (30 * y + 70 * (lvl + tr)) / 100
+          val nt = (20 * (nl - lvl) + 80 * tr) / 100
+          lvl = nl; tr = nt
+        }
+        (u, idx, eid, lvl, tr)
+      }
+    }.toDF("user_id", "idx", "event_id", "lvl", "tr")
+      .orderBy("user_id", "idx")
+  }
+
   /** Occupancy heatmap: events bucketed into (day-of-week, hour-of-day)
     * cells — the weekly-rhythm fingerprint behind load forecasting. Both
     * coordinates computed by pure integer epoch arithmetic (epoch day + 4
@@ -679,6 +717,7 @@ object TimeSeries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
+    "ts_holt" -> tsHolt _,
     "ts_heatmap_bins" -> tsHeatmapBins _,
     "ts_top_sessions" -> tsTopSessions _,
     "ts_vwap" -> tsVwap _,
@@ -717,6 +756,22 @@ object TimeSeries {
         "WHERE pc IS NOT NULL AND nc IS NOT NULL " +
         "AND ((c > pc AND c > nc) OR (c < pc AND c < nc)) ORDER BY event_id"),
     "ts_lttb" -> lttbSql,
+    "ts_holt" ->
+      ("WITH RECURSIVE seq AS (SELECT user_id, event_id, " +
+        s"${OSQL.cents("value")} AS y, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 " +
+        "AS idx FROM events), " +
+        "sm(user_id, idx, event_id, lvl, tr) AS (" +
+        "SELECT user_id, idx, event_id, y, CAST(0 AS BIGINT) FROM seq " +
+        "WHERE idx = 0 " +
+        "UNION ALL SELECT q.user_id, q.idx, q.event_id, " +
+        "(30 * q.y + 70 * (sm.lvl + sm.tr)) // 100, " +
+        "(20 * ((30 * q.y + 70 * (sm.lvl + sm.tr)) // 100 - sm.lvl) " +
+        "+ 80 * sm.tr) // 100 " +
+        "FROM sm JOIN seq q ON q.user_id = sm.user_id " +
+        "AND q.idx = sm.idx + 1) " +
+        "SELECT user_id, idx, event_id, lvl, tr FROM sm " +
+        "ORDER BY user_id, idx"),
     "ts_heatmap_bins" ->
       ("SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
         "(epoch_us(ts) // 3600000000) % 24 AS hod, COUNT(*) AS n, " +
