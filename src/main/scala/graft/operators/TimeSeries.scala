@@ -570,6 +570,23 @@ object TimeSeries {
       .orderBy("user_id", "rank")
   }
 
+  /** Drawdown: running peak minus current value per series (the
+    * risk/alerting primitive) — one running-max window frame, integer
+    * cents end to end. */
+  private def tsDrawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    U.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        U.cents(col("value")).as("c"))
+      .withColumn("peak_c", max(col("c")).over(w))
+      .select(col("user_id"), col("event_id"),
+        (col("peak_c") / lit(100.0)).cast(DoubleType).as("running_peak"),
+        ((col("peak_c") - col("c")) / lit(100.0)).cast(DoubleType)
+          .as("drawdown"))
+      .orderBy("event_id")
+  }
+
   /** Holt double exponential smoothing (level + trend), entirely in
     * integer fixed-point: lvl' = (30·y + 70·(lvl+tr)) DIV 100,
     * tr' = (20·(lvl'−lvl) + 80·tr) DIV 100 — the industrial forecast
@@ -718,6 +735,7 @@ object TimeSeries {
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
     "ts_holt" -> tsHolt _,
+    "ts_drawdown" -> tsDrawdown _,
     "ts_heatmap_bins" -> tsHeatmapBins _,
     "ts_top_sessions" -> tsTopSessions _,
     "ts_vwap" -> tsVwap _,
@@ -756,6 +774,14 @@ object TimeSeries {
         "WHERE pc IS NOT NULL AND nc IS NOT NULL " +
         "AND ((c > pc AND c > nc) OR (c < pc AND c < nc)) ORDER BY event_id"),
     "ts_lttb" -> lttbSql,
+    "ts_drawdown" ->
+      (s"WITH c AS (SELECT user_id, event_id, ts, ${OSQL.cents("value")} " +
+        "AS c FROM events), " +
+        "p AS (SELECT user_id, event_id, c, MAX(c) OVER (PARTITION BY " +
+        "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS peak_c FROM c) " +
+        "SELECT user_id, event_id, peak_c / 100.0 AS running_peak, " +
+        "(peak_c - c) / 100.0 AS drawdown FROM p ORDER BY event_id"),
     "ts_holt" ->
       ("WITH RECURSIVE seq AS (SELECT user_id, event_id, " +
         s"${OSQL.cents("value")} AS y, " +
