@@ -51,6 +51,28 @@ object SetOps {
     all.except(buyers).orderBy("custkey")
   }
 
+  /** MULTISET set ops (`INTERSECT ALL` / `EXCEPT ALL`): bag semantics keep
+    * duplicate multiplicities — min(countL, countR) and countL − countR
+    * copies respectively — which is what reconciliation jobs actually want
+    * ("how many rows of each kind are in both extracts?"). Spark plans both
+    * as a count-compare aggregate + generate, no distinct collapse. */
+  private def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val o = U.tbl(s, d, "orders")
+    val big = o.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey").as("custkey"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    big.intersectAll(open).orderBy("custkey")
+  }
+
+  private def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = U.tbl(s, d, "orders")
+    val all = o.select(col("o_custkey").as("custkey"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    all.exceptAll(open).orderBy("custkey")
+  }
+
   /** Deduplicate by (user_id, event_type), deterministically keeping the
     * earliest event — window-pick-first, not dropDuplicates. */
   private def distinctDrop(s: SparkSession, d: String): DataFrame = {
@@ -78,9 +100,20 @@ object SetOps {
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
+    "set_intersect_all" -> setIntersectAll _,
+    "set_except_all" -> setExceptAll _,
     "distinct_drop" -> distinctDrop _)
 
   val oracleSql: Map[String, String] = Map(
+    "set_intersect_all" ->
+      ("SELECT o_custkey AS custkey FROM orders " +
+        "WHERE o_totalprice > 100000.0 " +
+        "INTERSECT ALL SELECT o_custkey FROM orders " +
+        "WHERE o_orderstatus = 'O' ORDER BY custkey"),
+    "set_except_all" ->
+      ("SELECT o_custkey AS custkey FROM orders " +
+        "EXCEPT ALL SELECT o_custkey FROM orders " +
+        "WHERE o_orderstatus = 'O' ORDER BY custkey"),
     "set_unpivot" ->
       ("SELECT * FROM (" +
         "SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, " +
