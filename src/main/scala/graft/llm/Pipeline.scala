@@ -277,7 +277,32 @@ object Pipeline {
     v.select(col("dim").cast(LongType).as("dim"), col("v")).orderBy("dim")
   }
 
+  /** The operators COMPOSED as one pipeline — the thing a user actually
+    * runs: language filter → length quality gate → exact-dedup keeper
+    * pick → 200-char/150-stride chunking → per-chunk token count. Each
+    * stage is the same formula as its standalone query; the oracle is the
+    * same CTE chain, so the whole pipeline hash-matches end to end. */
+  private def pipelineEnd2End(s: SparkSession, d: String): DataFrame = {
+    val q = U.tbl(s, d, "documents")
+      .filter(col("lang") === "en" && col("n_chars").between(150, 450))
+    val keepers = q.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    q.join(keepers, "doc_id")
+      .withColumn("chunk_idx",
+        explode(array((0 until 10).map(i => lit(i.toLong)): _*)))
+      .filter(col("chunk_idx") * 150 + 1 <= length(col("text")))
+      .withColumn("chunk",
+        expr("substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast(LongType).as("n_chars"),
+        (length(col("chunk")) -
+          length(expr("replace(chunk, ' ', '')")) + 1).cast(LongType)
+          .as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_end2end" -> pipelineEnd2End _,
     "emb_top_eigvec" -> embTopEigvec _,
     "sample_weighted" -> sampleWeighted _,
     "dataset_mix" -> datasetMix _,
@@ -292,6 +317,18 @@ object Pipeline {
     "pack_sequences" -> packSequences _)
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_end2end" ->
+      ("WITH q AS (SELECT doc_id, text FROM documents WHERE lang = 'en' " +
+        "AND n_chars BETWEEN 150 AND 450), " +
+        "k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sha256(text)), " +
+        "kept AS (SELECT q.doc_id, q.text FROM q JOIN k USING (doc_id)), " +
+        "chunks AS (SELECT doc_id, i AS chunk_idx, " +
+        "substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk " +
+        "FROM kept CROSS JOIN range(0, 10) t(i) " +
+        "WHERE i * 150 + 1 <= length(text)) " +
+        "SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS n_chars, " +
+        "CAST(length(chunk) - length(replace(chunk, ' ', '')) + 1 AS BIGINT) " +
+        "AS n_tokens FROM chunks ORDER BY doc_id, chunk_idx"),
     "emb_top_eigvec" ->
       ("WITH fx AS (SELECT vec_id, list_transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +
