@@ -236,6 +236,30 @@ object StreamingQueries {
       (col("cents").cast(DoubleType) / lit(100.0)).as("sum_value"))
       .orderBy("hstart")
 
+  /** The streaming pipeline COMPOSED: watermarked dedup → broadcast static
+    * enrich → tumbling append aggregation, chained in one query (dedup and
+    * agg are both stateful — Spark 4 multi-stateful append). The replay has
+    * no duplicate event_ids, so dedup passes rows through while its state
+    * machinery runs for real; the finalized-window emission follows the
+    * same final-watermark cutoff as [[tumblingWatermark]], making the whole
+    * chain exactly oracle-able. */
+  private def streamPipeline(s: SparkSession, d: String): DataFrame = {
+    val types = U.events(s, d).select(col("event_type")).distinct()
+      .withColumn("type_code",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_type"))).cast(LongType))
+      .withColumnRenamed("event_type", "et")
+    runStream(s, d, "append") { in =>
+      in.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .join(broadcast(types), col("event_type") === col("et"))
+        .groupBy(window(col("ts"), "1 hour"), col("type_code"))
+        .agg(count(lit(1)).as("n"), sum(U.cents(col("value"))).as("cents"))
+    }.select(col("window.start").as("wstart"), col("type_code"), col("n"),
+      (col("cents").cast(DoubleType) / lit(100.0)).as("sum_value"))
+      .orderBy("wstart", "type_code")
+  }
+
   /** Complete-mode sliding window — final state equals the batch answer, so
     * it carries a full oracle. */
   private def slidingComplete(s: SparkSession, d: String): DataFrame =
@@ -532,6 +556,7 @@ object StreamingQueries {
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
     "stream_chained_agg" -> chainedAgg _,
+    "stream_pipeline" -> streamPipeline _,
     "stream_sliding" -> slidingComplete _,
     "stream_session" -> sessionWindows _,
     "stream_dedup" -> dedupStream _,
@@ -627,6 +652,20 @@ object StreamingQueries {
         "AS sum_value FROM hr WHERE hstart + INTERVAL 1 HOUR <= " +
         "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
         "ORDER BY hstart"),
+    // Composed pipeline: batch equivalent of dedup (ids unique => plain
+    // events) -> type_code enrich -> hourly windows, watermark-cutoff
+    "stream_pipeline" ->
+      ("WITH types AS (SELECT event_type AS et, CAST(row_number() OVER " +
+        "(ORDER BY event_type) AS BIGINT) AS type_code FROM " +
+        "(SELECT DISTINCT event_type FROM events)), " +
+        "agg AS (SELECT make_timestamp(CAST((epoch_us(ts) // 3600000000) " +
+        "* 3600000000 AS BIGINT)) AS wstart, type_code, COUNT(*) AS n, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS cents " +
+        "FROM events JOIN types ON event_type = et GROUP BY 1, 2) " +
+        "SELECT wstart, type_code, n, CAST(cents AS DOUBLE) / 100.0 " +
+        "AS sum_value FROM agg WHERE wstart + INTERVAL 1 HOUR <= " +
+        "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
+        "ORDER BY wstart, type_code"),
     // Finalized session windows: session end = last event + 30 min gap;
     // emitted when the final watermark passes it. Session merging equals
     // the batch lag-gap pass (proved by ts_session_native), so the oracle
