@@ -203,7 +203,24 @@ object SqlText {
       "FROM documents ORDER BY doc_id")
   }
 
+  /** Spark 4 SQL-defined functions (`CREATE FUNCTION … RETURN expr`): the
+    * user-extensibility layer that needs no JVM code at all — the function
+    * body is Catalyst-inlined at plan time, so it codegens like any
+    * built-in. The oracle simply inlines the same expression. */
+  private def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(" +
+      "p DOUBLE, disc DOUBLE) RETURNS BIGINT " +
+      "RETURN CAST(CAST(p AS DECIMAL(12,2)) * 100 AS BIGINT) * " +
+      "(100 - CAST(CAST(disc AS DECIMAL(12,2)) * 100 AS BIGINT))")
+    s.sql("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "graft_disc_cents(l_extendedprice, l_discount) AS disc_cents " +
+      "FROM lineitem " +
+      "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, disc_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_udf" -> sqlUdf _,
     "sql_registered_fns" -> sqlRegisteredFns _,
     "sql_q18_large_orders" -> sqlQ18 _,
     "sql_set_ops" -> sqlSetOps _,
@@ -216,6 +233,13 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_udf" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        s"${OSQL.cents("l_extendedprice")} * " +
+        s"(100 - ${OSQL.cents("l_discount")}) AS disc_cents " +
+        "FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "disc_cents"),
     "sql_registered_fns" ->
       (s"SELECT doc_id, ${graft.llm.TextUtil.sqlPolyHash("text", 7L)} % 100 " +
         "AS bucket, " +
