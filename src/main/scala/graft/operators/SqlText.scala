@@ -219,7 +219,34 @@ object SqlText {
       "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, disc_cents")
   }
 
+  /** Lateral column aliases: a select item referencing an alias defined
+    * earlier in the SAME select list — both engines resolve it, one text. */
+  private val lateralAlias =
+    s"SELECT o_orderkey, ${OSQL.cents("o_totalprice")} AS price_cents, " +
+      "price_cents * 100 AS price_units, " +
+      "price_units - price_cents AS delta " +
+      "FROM orders ORDER BY o_orderkey"
+
+  private def sqlLateralAlias(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(lateralAlias)
+  }
+
+  /** Parameterized SQL (`spark.sql(text, args)`): named placeholders bind
+    * server-side — the injection-safe templating API. The oracle inlines
+    * the same constants. */
+  private def sqlParameterized(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders " +
+        "WHERE o_orderstatus = :status AND o_totalprice > :floor " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      Map("status" -> "O", "floor" -> 150000.0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral_alias" -> sqlLateralAlias _,
+    "sql_parameterized" -> sqlParameterized _,
     "sql_udf" -> sqlUdf _,
     "sql_registered_fns" -> sqlRegisteredFns _,
     "sql_q18_large_orders" -> sqlQ18 _,
@@ -233,6 +260,11 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_lateral_alias" -> lateralAlias,
+    "sql_parameterized" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders " +
+        "WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "sql_udf" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
         s"${OSQL.cents("l_extendedprice")} * " +
