@@ -98,12 +98,22 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree distribution of the co-purchase graph — the first profile
+    * anyone pulls on a new graph (is it scale-free? how dense?). One hash
+    * agg over the cached pair frame, then a count-of-counts. */
+  private def graphDegreeDist(s: SparkSession, d: String): DataFrame =
+    coPairs(s, d)
+      .groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
   private val prIter =
     "SELECT v AS node, CAST(150000 + (85 * SUM(pr // deg)) // 100 " +
       "AS BIGINT) AS pr FROM e JOIN %s ON u = node GROUP BY v"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
+    "graph_degree_dist" -> graphDegreeDist _,
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
@@ -119,6 +129,13 @@ object Graphs {
         s"r2 AS (${prIter.format("r1")}), " +
         s"r3 AS (${prIter.format("r2")}) " +
         "SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 50"),
+    "graph_degree_dist" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "deg AS (SELECT u, COUNT(*) AS degree FROM edges GROUP BY u) " +
+        "SELECT degree, COUNT(*) AS n_nodes FROM deg " +
+        "GROUP BY degree ORDER BY degree"),
     "graph_triangles" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, " +
