@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,18 +38,58 @@ object StatsSink {
     StructField("cents", LongType, nullable = false)))
   /** run-tag → (row count, cent sum) as combined by BatchWrite.commit. */
   val committed = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  /** (run-tag, epochId) → per-epoch partial, combined by StreamingWrite
+    * .commit — keyed by epoch so a replayed epoch OVERWRITES rather than
+    * double-counts (the idempotent-commit half of exactly-once). */
+  val epochs = new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]()
+  def streamedTotal(run: String): (Long, Long) = {
+    var n = 0L; var sum = 0L
+    epochs.forEach { (k, v) => if (k._1 == run) { n += v._1; sum += v._2 } }
+    (n, sum)
+  }
 }
 
 private class StatsSinkTable(run: String) extends Table with SupportsWrite {
   override def name(): String = s"stats_sink($run)"
   override def schema(): StructType = StatsSink.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new StatsBatchWrite(run)
+        override def toStreaming: StreamingWrite = new StatsStreamingWrite(run)
       }
+    }
+}
+
+/** Epoch-committed streaming write: per-task partials arrive per epoch;
+  * commit(epochId, …) stores the epoch's combined partial under its id, so
+  * a retried epoch replaces itself instead of double-counting. */
+private class StatsStreamingWrite(run: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    StatsStreamingWriterFactory
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    var n = 0L; var sum = 0L
+    messages.foreach { case StatsPartial(pn, ps) => n += pn; sum += ps }
+    StatsSink.epochs.put((run, epochId), (n, sum))
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    StatsSink.epochs.remove((run, epochId))
+}
+
+private object StatsStreamingWriterFactory extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var n = 0L
+      private var sum = 0L
+      override def write(row: InternalRow): Unit = { n += 1; sum += row.getLong(1) }
+      override def commit(): WriterCommitMessage = StatsPartial(n, sum)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
     }
 }
 

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.{OSQL, U}
+import graft.sources.StatsSink
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
@@ -235,6 +236,32 @@ object StreamingQueries {
     }.select(col("window.start").as("hstart"), col("n"), col("n_quarters"),
       (col("cents").cast(DoubleType) / lit(100.0)).as("sum_value"))
       .orderBy("hstart")
+
+  /** The replay written through the custom DSv2 STREAMING sink
+    * ([[graft.sources.StatsSink]]'s StreamingWrite path): per-task partials
+    * commit per EPOCH, keyed by epoch id so retries replace rather than
+    * double-count — the idempotent-commit half of streaming exactly-once,
+    * demonstrated on our own connector. Totals across epochs equal the
+    * plain batch aggregate. */
+  private def customSinkStream(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
+    val run = s"stream_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // fresh accumulator per JVM run (epochs of an earlier same-tag run in
+    // THIS JVM would otherwise leak into the total)
+    StatsSink.epochs.keySet.removeIf(_._1 == run)
+    val q = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
+      .select(col("event_id").as("id"), U.cents(col("value")).as("cents"))
+      .writeStream
+      .format("graft.sources.StatsSink")
+      .option("run", run)
+      .option("checkpointLocation",
+        U.scratch(d, s"custom_sink_ckpt_${nameCounter.incrementAndGet()}"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val (n, sum) = StatsSink.streamedTotal(run)
+    import s.implicits._
+    Seq((n, sum)).toDF("n_rows", "sum_cents")
+  }
 
   /** The streaming pipeline COMPOSED: watermarked dedup → broadcast static
     * enrich → tumbling append aggregation, chained in one query (dedup and
@@ -557,6 +584,7 @@ object StreamingQueries {
     "stream_tumbling_watermark" -> tumblingWatermark _,
     "stream_chained_agg" -> chainedAgg _,
     "stream_pipeline" -> streamPipeline _,
+    "stream_custom_sink" -> customSinkStream _,
     "stream_sliding" -> slidingComplete _,
     "stream_session" -> sessionWindows _,
     "stream_dedup" -> dedupStream _,
@@ -652,6 +680,10 @@ object StreamingQueries {
         "AS sum_value FROM hr WHERE hstart + INTERVAL 1 HOUR <= " +
         "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
         "ORDER BY hstart"),
+    "stream_custom_sink" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS sum_cents " +
+        "FROM events"),
     // Composed pipeline: batch equivalent of dedup (ids unique => plain
     // events) -> type_code enrich -> hourly windows, watermark-cutoff
     "stream_pipeline" ->
