@@ -417,7 +417,20 @@ object Aggregations {
       .orderBy("rf")
   }
 
+  /** Boolean aggregates (bool_and / bool_or): per-group invariants as
+    * first-class aggregates — "did EVERY order ship clean, did ANY exceed
+    * the limit" — both engines share the function names. */
+  private def aggBool(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+        bool_and(col("o_orderstatus") =!= "P").as("none_pending"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool" -> aggBool _,
     "agg_weighted_median" -> aggWeightedMedian _,
     "agg_cms_heavyhitters" -> aggCmsHeavyhitters _,
     "agg_kmv_setops" -> aggKmvSetops _,
@@ -514,6 +527,12 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bool" ->
+      ("SELECT o_orderpriority, " +
+        "bool_and(o_totalprice > 1000.0) AS all_over_1k, " +
+        "bool_or(o_totalprice > 400000.0) AS any_over_400k, " +
+        "bool_and(o_orderstatus <> 'P') AS none_pending " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "agg_weighted_median" ->
       ("WITH w AS (SELECT l_returnflag AS rf, " +
         s"${OSQL.cents("l_extendedprice")} AS pc, " +
