@@ -248,13 +248,17 @@ object StreamingQueries {
     // fresh accumulator per JVM run (epochs of an earlier same-tag run in
     // THIS JVM would otherwise leak into the total)
     StatsSink.epochs.keySet.removeIf(_._1 == run)
+    // a stale checkpoint would make AvailableNow replay nothing in THIS JVM
+    // and leave the epoch accumulator empty — always start from a clean one
+    val ckDir = U.scratch(d, "custom_sink_ckpt")
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ckDir), true)
     val q = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
       .select(col("event_id").as("id"), U.cents(col("value")).as("cents"))
       .writeStream
       .format("graft.sources.StatsSink")
       .option("run", run)
-      .option("checkpointLocation",
-        U.scratch(d, s"custom_sink_ckpt_${nameCounter.incrementAndGet()}"))
+      .option("checkpointLocation", ckDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
