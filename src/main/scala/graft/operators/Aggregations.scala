@@ -429,7 +429,37 @@ object Aggregations {
         bool_and(col("o_orderstatus") =!= "P").as("none_pending"))
       .orderBy("o_orderpriority")
 
+  /** One-pass table profile — the data-quality report every ingest pipeline
+    * runs before training: per column, non-null count, null count, exact
+    * distinct count, and min/max (stringified in exact-representable
+    * domains only: integers, strings, dates — doubles would diverge in
+    * formatting across engines). ONE scan produces every metric: the
+    * multi-distinct agg plans as a single pass (Catalyst Expand multiplies
+    * rows per distinct-agg, still map-side pre-reduced), then the wide
+    * 1-row result unpivots to long form with `stack`. At 100 TB the same
+    * shape holds with approx_count_distinct swapped in per column. */
+  private def profileTable(s: SparkSession, d: String): DataFrame = {
+    val li = U.tbl(s, d, "lineitem")
+      .withColumn("l_shipday", col("l_shipdate").cast(DateType))
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+      "l_linestatus", "l_shipday")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        count(lit(1)).minus(count(col(c))).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nonnull, n_null, n_distinct, min_s, max_s)"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table" -> profileTable _,
     "agg_bool" -> aggBool _,
     "agg_weighted_median" -> aggWeightedMedian _,
     "agg_cms_heavyhitters" -> aggCmsHeavyhitters _,
@@ -526,7 +556,22 @@ object Aggregations {
     case _ => "((user_id * 3266489917 + 937) % 1000000007) % 32"
   }
 
+  private def profileOracleCol(c: String, src: String): String =
+    s"SELECT '$c' AS column_name, COUNT($src) AS n_nonnull, " +
+      s"COUNT(*) - COUNT($src) AS n_null, " +
+      s"COUNT(DISTINCT $src) AS n_distinct, " +
+      s"CAST(MIN($src) AS VARCHAR) AS min_s, " +
+      s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
+
   val oracleSql: Map[String, String] = Map(
+    "profile_table" ->
+      (Seq(
+        profileOracleCol("l_orderkey", "l_orderkey"),
+        profileOracleCol("l_linenumber", "l_linenumber"),
+        profileOracleCol("l_returnflag", "l_returnflag"),
+        profileOracleCol("l_linestatus", "l_linestatus"),
+        profileOracleCol("l_shipday", "CAST(l_shipdate AS DATE)"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")),
     "agg_bool" ->
       ("SELECT o_orderpriority, " +
         "bool_and(o_totalprice > 1000.0) AS all_over_1k, " +

@@ -118,4 +118,19 @@ class StreamingSpec extends SparkTestBase {
       assert(ns.sameElements(1L to ns.length), "running counter must be dense")
     }
   }
+
+  test("custom sink totals survive a pre-existing checkpoint (full re-replay)") {
+    // Regression: the first run leaves a checkpoint; a second run in the
+    // same (or a later) JVM must still total the WHOLE replay — a reused
+    // checkpoint would make AvailableNow ship zero epochs into the
+    // accumulator and report 0 rows.
+    val run1 = graft.streaming.StreamingQueries
+      .queries("stream_custom_sink")(spark, sfDir).collect()
+    val run2 = graft.streaming.StreamingQueries
+      .queries("stream_custom_sink")(spark, sfDir).collect()
+    assert(run1.head.getLong(0) > 0L, "first run must count the replay")
+    assert(run1.head.getLong(0) == run2.head.getLong(0) &&
+      run1.head.getLong(1) == run2.head.getLong(1),
+      s"re-run must reproduce identical totals: ${run1.head} vs ${run2.head}")
+  }
 }
