@@ -243,36 +243,12 @@ object Dedup {
     * min-id labeling, so the oracle does not care which ran. */
   private[llm] val DsuEdgeCap = 5000000L
 
-  /** Single-task disjoint-set union over the (tiny) edge list: one
-    * executor core unions all edges and emits (doc_id, min-id-of-component)
-    * — identical output to the propagation fixpoint. */
-  private def dsuLabels(edges: DataFrame): DataFrame = {
-    val s2 = edges.sparkSession
-    import s2.implicits._
-    edges.select(col("u"), col("v")).as[(Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-          r
-        }
-        val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
-        for ((u, v) <- it) {
-          for (n <- Seq(u, v)) if (!parent.contains(n)) { parent(n) = n; seen += n }
-          val (ru, rv) = (find(u), find(v))
-          if (ru != rv) parent(ru) = rv
-        }
-        val minOf = scala.collection.mutable.Map.empty[Long, Long]
-        for (n <- seen) {
-          val r = find(n)
-          minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
-        }
-        seen.iterator.map(n => (n, minOf(find(n))))
-      }
+  /** Single-task disjoint-set union over the (tiny) edge list — the shared
+    * [[graft.operators.Components]] kernel, renamed to this module's
+    * (doc_id, cluster) vocabulary. */
+  private def dsuLabels(edges: DataFrame): DataFrame =
+    graft.operators.Components.dsuLabels(edges.select(col("u"), col("v")))
       .toDF("doc_id", "cluster")
-  }
 
   private def clusterAssignLoop(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)

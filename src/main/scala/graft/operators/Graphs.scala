@@ -107,6 +107,25 @@ object Graphs {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 
+  /** Connected components of the SUPPORT-FILTERED co-purchase graph
+    * (edges with >= 2 co-purchasing orders, the same association graph as
+    * `graph_triangles`): (component, size) histogram, component id = min
+    * part id. The support filter leaves a small verified edge set (3.9k at
+    * sf0.1), so the one-task DSU kernel ([[Components.dsuLabels]]) is the
+    * right physical plan; past `Dedup.DsuEdgeCap` the iterative min-label
+    * propagation of `dedup_clusters` computes the identical labeling.
+    * Both are deterministic => recursive-CTE oracle. */
+  private def graphCc(s: SparkSession, d: String): DataFrame = {
+    // coPairs is mirrored (both directions) — duplicate edges are harmless
+    // to the DSU (same unions), so no u<v refilter needed.
+    val e = coPairs(s, d).filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+    Components.dsuLabels(e)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("component"))
+  }
+
   private val prIter =
     "SELECT v AS node, CAST(150000 + (85 * SUM(pr // deg)) // 100 " +
       "AS BIGINT) AS pr FROM e JOIN %s ON u = node GROUP BY v"
@@ -114,9 +133,24 @@ object Graphs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
     "graph_degree_dist" -> graphDegreeDist _,
+    "graph_cc" -> graphCc _,
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_cc" ->
+      ("WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "sup AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, a.pk AS u, " +
+        "b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+        "edges AS (SELECT u, v FROM sup UNION ALL SELECT v, u FROM sup), " +
+        "nodes AS (SELECT DISTINCT u AS n FROM edges), " +
+        "reach(a, b) AS (SELECT n, n FROM nodes " +
+        "UNION SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u), " +
+        "lab AS (SELECT a AS node, MIN(b) AS component FROM reach " +
+        "GROUP BY a) " +
+        "SELECT component, COUNT(*) AS n_nodes FROM lab " +
+        "GROUP BY component ORDER BY n_nodes DESC, component"),
     "graph_pagerank" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
