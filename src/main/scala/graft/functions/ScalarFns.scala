@@ -200,7 +200,29 @@ object ScalarFns {
       expr("try_add(9223372036854775000, o_orderkey)").as("near_max_add"))
       .orderBy("o_orderkey")
 
+  /** Spark 4 COLLATION surface: string comparisons under UTF8_LCASE — the
+    * engine-level answer to "match case-insensitively without lower()-ing
+    * every predicate by hand". A deterministically mixed-cased copy of
+    * p_type (odd keys get First-letter case) is compared/prefix-matched
+    * against lowercase needles through `collate`; the oracle mirrors with
+    * explicit lower() since DuckDB's default collation is binary. Collation
+    * participates in codegen and pushes through Catalyst like any string
+    * predicate — no UDF tax. */
+  private def fnCollation(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "part")
+      .withColumn("styled",
+        when(pmod(col("p_partkey"), lit(2L)) === 0L, col("p_type"))
+          .otherwise(concat(upper(expr("substring(p_type, 1, 1)")),
+            lower(expr("substring(p_type, 2)")))))
+      .select(col("p_partkey"), col("styled"),
+        (collate(col("styled"), "UTF8_LCASE") === lit("promo")).as("is_promo"),
+        startswith(collate(col("styled"), "UTF8_LCASE"), lit("econ"))
+          .as("is_econ"))
+      .filter(col("is_promo") || col("is_econ"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collation" -> fnCollation _,
     "fn_try" -> fnTry _,
     "fn_variant" -> fnVariant _,
     "fn_url_parse" -> fnUrlParse _,
@@ -232,6 +254,14 @@ object ScalarFns {
       .orderBy("p_partkey")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_collation" ->
+      ("WITH styledp AS (SELECT p_partkey, CASE WHEN p_partkey % 2 = 0 " +
+        "THEN p_type ELSE upper(substring(p_type, 1, 1)) || " +
+        "lower(substring(p_type, 2)) END AS styled FROM part) " +
+        "SELECT p_partkey, styled, lower(styled) = 'promo' AS is_promo, " +
+        "starts_with(lower(styled), 'econ') AS is_econ FROM styledp " +
+        "WHERE lower(styled) = 'promo' OR starts_with(lower(styled), 'econ') " +
+        "ORDER BY p_partkey"),
     "fn_try" ->
       ("SELECT o_orderkey, " +
         "CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE " +

@@ -731,7 +731,37 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Per-series least-squares trend (slope + intercept of value-vs-time):
+    * the moments Σx, Σy, Σxy, Σx² are summed EXACTLY — per-row products fit
+    * BIGINT (x = epoch seconds ~2e9, y = cents ~1e5 ⇒ xy ~2e14, x² ~4e18),
+    * and the sums go through DECIMAL(38,0) so no scale wraps them — then
+    * the closed-form slope/intercept runs in DOUBLE with the identical
+    * operation tree on both engines (exact inputs + same IEEE ops = equal
+    * bits). One hash agg, map-side combined: the 100 TB shape. */
+  private def tsTrend(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val D = DoubleType
+    val g = U.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 1000000").as("x"),
+        U.cents(col("value")).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val (n, sx, sy, sxy, sxx) = (col("n").cast(D), col("sx").cast(D),
+      col("sy").cast(D), col("sxy").cast(D), col("sxx").cast(D))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    g.select(col("event_type"), col("n"),
+        slope.as("slope_cents_per_sec"),
+        ((sy - slope * sx) / n).as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_trend" -> tsTrend _,
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
     "ts_holt" -> tsHolt _,
@@ -764,6 +794,23 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_trend" ->
+      ("WITH m AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(38,0))) AS sx, " +
+        s"SUM(CAST(${OSQL.cents("value")} AS DECIMAL(38,0))) AS sy, " +
+        "SUM(CAST((epoch_us(ts) // 1000000) * " +
+        s"${OSQL.cents("value")} AS DECIMAL(38,0))) AS sxy, " +
+        "SUM(CAST((epoch_us(ts) // 1000000) * (epoch_us(ts) // 1000000) " +
+        "AS DECIMAL(38,0))) AS sxx FROM events GROUP BY event_type) " +
+        "SELECT event_type, n, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+        "CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_sec, " +
+        "(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * " +
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents " +
+        "FROM m ORDER BY event_type"),
     "ts_peak_detect" ->
       ("SELECT user_id, event_id, ts, value, " +
         "CASE WHEN c > pc THEN 'peak' ELSE 'trough' END AS kind FROM (" +
