@@ -414,6 +414,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("profile_table is a single scan: one pass produces every column metric") {
+    val p = plan("profile_table")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profiling must not rescan per column:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
+  }
+
+  test("graph_cc plans no cross join and exactly one single-partition pass") {
+    val p = plan("graph_cc")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"component labeling must not cross-join:\n$p")
+    assert(p.contains("Coalesce 1") || p.contains("coalesce"),
+      s"DSU fast path should run as one task over the small edge set:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
