@@ -43,7 +43,7 @@ class StressSpec extends SparkTestBase {
     // exactly where nondeterminism would sneak in if ordering assumptions
     // broke; DataFrame-only queries are covered by the oracle gate
     for (name <- Seq("ts_lttb", "dedup_clusters", "emb_top_eigvec",
-        "graph_pagerank", "agg_weighted_median")) {
+        "graph_pagerank", "agg_weighted_median", "graph_cc")) {
       val f = SparkEntry.queries(name)
       val r1 = f(spark, sfDir).collect().map(_.toString)
       val r2 = f(spark, sfDir).collect().map(_.toString)
