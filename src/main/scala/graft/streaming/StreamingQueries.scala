@@ -220,7 +220,11 @@ object StreamingQueries {
     * aggregate filtered to watermark-closed hours (empirically pinned —
     * the end-of-stream no-data batches flush both operators). */
   private def chainedAgg(s: SparkSession, d: String): DataFrame =
-    runStream(s, d, "append") { in =>
+    // 4 files/batch: the staged replay is event-time-ordered across files,
+    // so no row is ever late and the finalized sets depend only on the
+    // FINAL watermark — batch boundaries can't perturb the result, and the
+    // two stacked stateful operators pay half the state-commit rounds.
+    runStream(s, d, "append", filesPerTrigger = 4) { in =>
       // NO second withWatermark: the window column keeps its event-time
       // metadata through the agg, and window_time() carries it into the
       // outer window. (A re-watermark on the derived column creates a
