@@ -429,32 +429,34 @@ object Aggregations {
         bool_and(col("o_orderstatus") =!= "P").as("none_pending"))
       .orderBy("o_orderpriority")
 
-  /** One-pass table profile — the data-quality report every ingest pipeline
-    * runs before training: per column, non-null count, null count, exact
-    * distinct count, and min/max (stringified in exact-representable
-    * domains only: integers, strings, dates — doubles would diverge in
-    * formatting across engines). ONE scan produces every metric: the
-    * multi-distinct agg plans as a single pass (Catalyst Expand multiplies
-    * rows per distinct-agg, still map-side pre-reduced), then the wide
-    * 1-row result unpivots to long form with `stack`. At 100 TB the same
-    * shape holds with approx_count_distinct swapped in per column. */
+  /** Column-parallel table profile — the data-quality report every ingest
+    * pipeline runs before training: per column, non-null count, null
+    * count, exact distinct count, and min/max (stringified in
+    * exact-representable domains only: integers, strings, dates — doubles
+    * would diverge in formatting across engines). One PRUNED scan branch
+    * per column, unioned: with columnar storage the five branches read the
+    * same total bytes as one five-column scan, each branch's
+    * distinct-shuffle carries only its own values, and the branches
+    * schedule independently. (The single-scan multi-distinct alternative
+    * was measured 6× slower: string min/max buffers force SortAggregate,
+    * and the Expand multiplies WIDE rows through four stacked sorts.) At
+    * 100 TB the same shape holds with approx_count_distinct swapped in
+    * per column. */
   private def profileTable(s: SparkSession, d: String): DataFrame = {
     val li = U.tbl(s, d, "lineitem")
       .withColumn("l_shipday", col("l_shipdate").cast(DateType))
     val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
       "l_linestatus", "l_shipday")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__n"),
-        count(lit(1)).minus(count(col(c))).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast(StringType).as(s"${c}__min"),
-        max(col(c)).cast(StringType).as(s"${c}__max"))
-    }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
-    wide.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_nonnull, n_null, n_distinct, min_s, max_s)"))
+    cols.map { c =>
+      li.select(col(c).as("v"))
+        .agg(count(col("v")).as("n_nonnull"),
+          count(lit(1)).minus(count(col("v"))).as("n_null"),
+          count_distinct(col("v")).as("n_distinct"),
+          min(col("v")).cast(StringType).as("min_s"),
+          max(col("v")).cast(StringType).as("max_s"))
+        .select(lit(c).as("column_name"), col("n_nonnull"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
       .orderBy("column_name")
   }
 

@@ -414,11 +414,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("profile_table is a single scan: one pass produces every column metric") {
+  test("profile_table: one pruned scan branch per column, hash-aggregated") {
     val p = plan("profile_table")
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"profiling must not rescan per column:\n$p")
-    assert(p.contains("Expand"), s"multi-distinct should plan via Expand:\n$p")
+    // five branches, each reading EXACTLY its own column (columnar reads:
+    // same total bytes as a single five-column scan, narrower shuffles)
+    assert("Scan parquet".r.findAllIn(p).size == 5,
+      s"expected one pruned scan per profiled column:\n$p")
+    for (c <- Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+      assert(s"ReadSchema: struct<$c:".r.findFirstIn(p).isDefined,
+        s"branch for $c must prune to that column alone:\n$p")
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand (measured 6x slower via SortAggregate) crept back:\n$p")
   }
 
   test("graph_cc plans no cross join and exactly one single-partition pass") {
