@@ -760,7 +760,36 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Machine-availability rollup — the OEE-style uptime metric of an
+    * industrial time-sequence pipeline: 30-minute-gap activity sessions per
+    * unit (reusing the sessionize shape), each attributed to its START day,
+    * then per unit-day active micros and an availability ratio. All
+    * interval arithmetic in integer micros; the single ratio division runs
+    * in DOUBLE with the identical op tree both sides. One window sort per
+    * unit + one hash agg — the same shape at fleet scale. */
+  private def tsUptime(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    U.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .groupBy(col("user_id"),
+        to_date(timestamp_micros(col("s_us"))).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("e_us") - col("s_us")).as("active_us"))
+      .withColumn("availability",
+        col("active_us").cast(DoubleType) / lit(86400000000.0))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_uptime" -> tsUptime _,
     "ts_trend" -> tsTrend _,
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
@@ -1069,6 +1098,21 @@ object TimeSeries {
         s"COUNT(*) AS n, ${OSQL.dsum("value")} AS sum_value " +
         "FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offs(j) " +
         "GROUP BY 1 ORDER BY wstart"),
+    "ts_uptime" ->
+      ("WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "numbered AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_id FROM flagged), " +
+        "sess AS (SELECT user_id, session_id, MIN(epoch_us(ts)) AS s_us, " +
+        "MAX(epoch_us(ts)) AS e_us FROM numbered GROUP BY user_id, session_id) " +
+        "SELECT user_id, CAST(make_timestamp(s_us) AS DATE) AS day, " +
+        "COUNT(*) AS n_sessions, CAST(SUM(e_us - s_us) AS BIGINT) AS active_us, " +
+        "CAST(SUM(e_us - s_us) AS DOUBLE) / 86400000000.0 AS availability " +
+        "FROM sess GROUP BY user_id, day ORDER BY user_id, day"),
     "ts_sessionize" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
