@@ -47,6 +47,22 @@ object U {
   /** Scratch dir for sink/roundtrip operators; deterministic per (sfDir, tag). */
   def scratch(sfDir: String, tag: String): String =
     s"/tmp/graft_scratch/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
+
+  /** Per-query persisted-frame registry. Queries that persist an internal
+    * frame for the duration of one computation (the PageRank edge frame, the
+    * IVF vector frame, a propagation label fixpoint) register it here; the
+    * harness (Bench/Verify) calls [[releaseTracked]] after each query's
+    * result materializes, so a long benchmark JVM does not accumulate dead
+    * cached blocks. Shared cross-query caches (shingle/pair frames) are NOT
+    * tracked — they are reused between queries by design and rebuilt per
+    * (session, sfDir). */
+  private val tracked = scala.collection.mutable.ListBuffer[DataFrame]()
+  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  def releaseTracked(): Unit = synchronized {
+    tracked.foreach(df => try df.unpersist()
+      catch { case _: Throwable => () })
+    tracked.clear()
+  }
 }
 
 /** DuckDB-SQL mirrors of [[U]]'s exact-arithmetic helpers. The driver

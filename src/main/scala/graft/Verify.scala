@@ -28,6 +28,8 @@ object Verify {
         // messages and this line is the only diagnostic for a zeroed query
         System.err.println(s"[verify] $name failed: $e")
       }
+      // release per-query persisted frames (shared caches are not tracked)
+      U.releaseTracked()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

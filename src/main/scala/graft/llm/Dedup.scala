@@ -39,7 +39,10 @@ object Dedup {
       // reference-compare the session: a cached frame bound to a stopped
       // session must be rebuilt, and stale entries must not accumulate
       case Some((sess, df)) if sess eq s => df
-      case _ =>
+      case stale =>
+        // release the superseded session's cached blocks before rebuilding
+        stale.foreach { case (_, old) =>
+          try old.unpersist() catch { case _: Throwable => () } }
         val df = docs(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), graft.plans.CustomExprs.shingles3_fast(col("toks")).as("ss"))
@@ -50,6 +53,12 @@ object Dedup {
         df
     }
   }
+
+  /** Bench warm-up: materialize the shared shingle + verified-pair caches so
+    * per-query bench numbers stop depending on map iteration order (whoever
+    * runs first otherwise pays the build). */
+  private[graft] def warm(s: SparkSession, d: String): Unit =
+    { jaccardPairsShared(s, d).count(); () }
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -89,7 +98,9 @@ object Dedup {
     synchronized {
       pairsCache.get(d) match {
         case Some((sess, df)) if sess eq s => df
-        case _ =>
+        case stale =>
+          stale.foreach { case (_, old) =>
+            try old.unpersist() catch { case _: Throwable => () } }
           val sh = shingled(s, d)
             .select(col("doc_id"), col("ss"),
               size(col("ss")).cast(LongType).as("n_sh"))
@@ -233,7 +244,8 @@ object Dedup {
     }
   }
 
-  /** Edge-count threshold for the single-task union-find fast path. The
+  /** Edge-count threshold for the single-task union-find fast path — shared
+    * with `graph_cc` via [[graft.operators.Components.DsuEdgeCap]]. The
     * VERIFIED near-dup pair set is orders of magnitude smaller than the
     * corpus (257 pairs from 5k docs at sf0.1); below this bound a one-task
     * DSU finishes in a single job, where the distributed loop pays ~6
@@ -241,78 +253,18 @@ object Dedup {
     * (measured 12 s vs <1 s at sf0.1). Above it — billions of pairs at
     * 100 TB — the iterative path engages unchanged. Both produce the same
     * min-id labeling, so the oracle does not care which ran. */
-  private[llm] val DsuEdgeCap = 5000000L
-
-  /** Single-task disjoint-set union over the (tiny) edge list — the shared
-    * [[graft.operators.Components]] kernel, renamed to this module's
-    * (doc_id, cluster) vocabulary. */
-  private def dsuLabels(edges: DataFrame): DataFrame =
-    graft.operators.Components.dsuLabels(edges.select(col("u"), col("v")))
-      .toDF("doc_id", "cluster")
+  private[llm] val DsuEdgeCap = graft.operators.Components.DsuEdgeCap
 
   private def clusterAssignLoop(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 0)
     val pairs = jaccardPairsShared(s, d).select(col("da"), col("db"))
-    val edges = pairs.union(pairs.select(col("db"), col("da")))
-      .toDF("u", "v").persist()
-    val nEdges = edges.count() // one action on the persisted frame
-    if (nEdges <= DsuEdgeCap) {
-      val lab = dsuLabels(edges).persist()
-      lab.count() // materialize before the anti-join reuses `edges`' cache
-      edges.unpersist()
-      val singles = docs(s, d).select(col("doc_id"))
-        .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster"))
-      return lab.unionByName(singles)
-        .select(col("doc_id"), col("cluster").as("cluster_id"),
-          (col("doc_id") === col("cluster")).as("is_keeper"))
-        .orderBy("doc_id")
-    }
-    def labelSum(lab: DataFrame): java.math.BigDecimal =
-      lab.agg(sum(col("cluster").cast(dec))).head().getDecimal(0)
-    def step(lab: DataFrame): DataFrame = {
-      val nbrMin = edges
-        .join(lab.select(col("doc_id").as("u"), col("cluster").as("lu")), "u")
-        .groupBy(col("v")).agg(min(col("lu")).as("nmin"))
-      lab.join(nbrMin, lab("doc_id") === nbrMin("v"), "left")
-        .select(lab("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-    }
-    // NOTE: pointer-jumping (label <- label-of-label) was tried and measured
-    // SLOWER here: near-dup components are shallow (diameter ~2), so the
-    // extra per-round join costs more than the rounds it saves. It only pays
-    // off for long-chain graphs.
-    //
-    // Iterate over edge-INCIDENT docs only: a doc with no near-dup pair can
-    // never change label, so it skips the loop entirely and rejoins as its
-    // own singleton cluster at the end. At 100 TB this is the difference
-    // between propagating over the corpus and propagating over the (orders
-    // of magnitude smaller) near-dup subgraph.
-    val incident = edges.select(col("u").as("doc_id")).distinct().persist()
-    var lab = incident.select(col("doc_id"), col("doc_id").as("cluster")).persist()
-    var prevSum = labelSum(lab)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      // two propagation rounds per materialization: the driver-synchronized
-      // action (labelSum) is the per-round fixed cost, and labels are
-      // monotone non-increasing, so checking every OTHER round still
-      // detects the same fixpoint — half the sync rounds for one possibly
-      // wasted propagation at the end
-      val next = step(step(lab)).persist()
-      val s2 = labelSum(next) // materializes next before releasing lab
-      lab.unpersist()
-      lab = next
-      // null-safe: with an empty edge set the label frame is empty and the
-      // sum is NULL on both sides — that's a fixpoint too
-      if (s2 == prevSum || (s2 != null && prevSum != null &&
-          s2.compareTo(prevSum) == 0)) converged = true
-      else prevSum = s2
-      iter += 1
-    }
-    edges.unpersist()
+    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("u", "v")
+    // size-gated DSU-vs-propagation dispatch lives in Components.labels
+    val lab = graft.operators.Components.labels(edges, DsuEdgeCap)
+      .toDF("doc_id", "cluster")
+    // a doc with no near-dup pair never enters the labeling; it rejoins as
+    // its own singleton cluster here
     val singles = docs(s, d).select(col("doc_id"))
-      .join(incident, Seq("doc_id"), "left_anti")
+      .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     lab.unionByName(singles)
       .select(col("doc_id"), col("cluster").as("cluster_id"),

@@ -174,9 +174,12 @@ object Multimodal {
     // all-ASCII fixture => ascii(char k) == byte k, same caveat as decode
     "multimodal_resize" ->
       ("WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        // per-doc unnest(range(...)) — the position list derives from each
+        // doc's own length, so no hardcoded cap to outgrow
+        "cv0 AS (SELECT doc_id, text, " +
+        "unnest(range(1, CAST(n AS BIGINT) + 1)) AS k FROM b), " +
         "cv AS (SELECT doc_id, CAST((k - 1) // 8 AS BIGINT) AS jx, " +
-        "ascii(substring(text, CAST(k AS INTEGER), 1)) AS v " +
-        "FROM b CROSS JOIN range(1, 2001) t(k) WHERE k <= n), " +
+        "ascii(substring(text, CAST(k AS INTEGER), 1)) AS v FROM cv0), " +
         "blk AS (SELECT doc_id, jx, CAST(SUM(v) // COUNT(*) AS BIGINT) " +
         "AS av FROM cv GROUP BY doc_id, jx) " +
         "SELECT b.doc_id, CAST(n AS BIGINT) AS n_in, " +
@@ -185,20 +188,30 @@ object Multimodal {
         "AS resized_hex " +
         "FROM b LEFT JOIN blk ON b.doc_id = blk.doc_id " +
         "GROUP BY b.doc_id, n ORDER BY b.doc_id"),
+    // LEFT JOIN back to documents (the resize-oracle pattern): a zero-length
+    // doc produces no cv rows but the Spark impl still emits its
+    // (doc_id, 0, -1, 0, 0) feature row, so the base table anchors the keys
     "multimodal_features" ->
-      ("WITH cv AS (SELECT doc_id, " +
-        "ascii(substring(text, CAST(k AS INTEGER), 1)) AS v " +
-        "FROM documents CROSS JOIN range(1, 2001) t(k) " +
-        "WHERE k <= length(text)), " +
+      ("WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "cv0 AS (SELECT doc_id, text, " +
+        "unnest(range(1, CAST(n AS BIGINT) + 1)) AS k FROM b), " +
+        "cv AS (SELECT doc_id, " +
+        "ascii(substring(text, CAST(k AS INTEGER), 1)) AS v FROM cv0), " +
         "cnt AS (SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c " +
         "FROM cv GROUP BY 1, 2), " +
         "ranked AS (SELECT doc_id, v, c, row_number() OVER " +
-        "(PARTITION BY doc_id ORDER BY c DESC, v) AS rn FROM cnt) " +
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+        "(PARTITION BY doc_id ORDER BY c DESC, v) AS rn FROM cnt), " +
+        "feat AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
         "CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS modal_byte, " +
         "CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS modal_count, " +
         "CAST(coalesce(SUM(CASE WHEN v = 32 THEN c END), 0) AS BIGINT) " +
-        "AS n_spaces FROM ranked GROUP BY doc_id ORDER BY doc_id"),
+        "AS n_spaces FROM ranked GROUP BY doc_id) " +
+        "SELECT b.doc_id, coalesce(n_distinct, 0) AS n_distinct, " +
+        "coalesce(modal_byte, -1) AS modal_byte, " +
+        "coalesce(modal_count, 0) AS modal_count, " +
+        "coalesce(n_spaces, 0) AS n_spaces " +
+        "FROM b LEFT JOIN feat ON b.doc_id = feat.doc_id " +
+        "ORDER BY b.doc_id"),
     "multimodal_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(CASE WHEN length(text) = 0 THEN -1 " +

@@ -261,9 +261,9 @@ object Pipeline {
         .as(Seq("i", "x")))
     val b = flat.select(col("vec_id").as("vid2"), col("i").as("j"),
       col("x").as("y"))
-    val gram = flat.join(b, col("vec_id") === col("vid2"))
+    val gram = U.track(flat.join(b, col("vec_id") === col("vid2"))
       .groupBy(col("i"), col("j"))
-      .agg(expr("sum(x * y) DIV 1000000000").as("c")).persist()
+      .agg(expr("sum(x * y) DIV 1000000000").as("c")).persist())
     var v = gram.select(col("i").as("dim")).distinct()
       .withColumn("v", lit(1000000L))
     for (_ <- 0 until 2) {

@@ -58,25 +58,43 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Exact all-pairs embedding near-dup (cos >= 0.4). O(n^2) BY DESIGN and
-    * kept oracle-gated at test scale: no deterministic prefilter can
-    * guarantee 100% recall at an arbitrary cosine threshold over
-    * unstructured vectors, so the exact scan is the correctness anchor.
-    * The declared SCALE path is `dedup_embedding_ann` below (IVF-blocked
-    * candidates + identical exact rerank); LlmSpec measures its recall
-    * against this query. */
-  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    val a = fixed(s, d).select(col("vec_id").as("da"), col("fx").as("xa"), col("nrm").as("na"))
-    val b = fixed(s, d).select(col("vec_id").as("db"), col("fx").as("xb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("da") < col("db"))
-      .withColumn("cos", cosCol(dotCol(col("xa"), col("xb")), col("na"), col("nb")))
-      .filter(col("cos") >= 0.4)
-      .select(col("da"), col("db"), col("cos"))
-      .orderBy("da", "db")
+  /** Vector-count bound for the exact all-pairs near-dup path: n(n-1)/2
+    * codegen'd 64-dim dot products. 65536 vectors ≈ 2.1e9 pairs — core-
+    * minutes on a cluster, the last scale where exact is sane; past it the
+    * declared query switches to the IVF-blocked candidates + IDENTICAL
+    * exact rerank ([[blockedPairs]], the `dedup_embedding_ann` kernel).
+    * Below the cap the output is exact (the correctness anchor the DuckDB
+    * oracle checks — no deterministic prefilter can guarantee 100% recall
+    * at an arbitrary cosine threshold over unstructured vectors); above it
+    * recall is approximate, which is precisely the documented 100 TB trade.
+    * Same dispatch idiom as [[graft.operators.Components.DsuEdgeCap]]. */
+  private[llm] val EmbExactVecCap = 65536L
+
+  /** Embedding near-dup pairs (cos >= 0.4), size-gated: exact all-pairs
+    * below [[EmbExactVecCap]], IVF-blocked + exact rerank above. */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    embeddingPairsImpl(s, d, EmbExactVecCap)
+
+  private[graft] def embeddingPairsImpl(s: SparkSession, d: String,
+      exactCap: Long): DataFrame = {
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    val n = emb.count() // one action on the persisted frame picks the path
+    if (n <= exactCap) {
+      val a = emb.select(col("vec_id").as("da"), col("fx").as("xa"),
+        col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("db"), col("fx").as("xb"),
+        col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("da") < col("db"))
+        .withColumn("cos", cosCol(dotCol(col("xa"), col("xb")), col("na"), col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("da"), col("db"), col("cos"))
+        .orderBy("da", "db")
+    } else blockedPairs(emb, n)
   }
 
   /** Scaled embedding near-dup: IVF cluster blocking (each vector probes its
-    * 2 nearest coarse centroids) + exact fixed-point cosine rerank fused
+    * 3 nearest coarse centroids) + exact fixed-point cosine rerank fused
     * into the within-cluster self-join. Work is n^2 * nprobe / K instead of
     * n^2, every stage a plain shuffle/broadcast — the 100 TB shape.
     * Candidates found in both shared clusters dedupe in the final distinct,
@@ -84,13 +102,19 @@ object Similarity {
     * (boundary vectors can land in disjoint probe sets) => rows-only gate;
     * LlmSpec asserts subset-of-exact + recall against `dedup_embedding`. */
   private def embeddingPairsAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    blockedPairs(emb, emb.count())
+  }
+
+  /** The shared IVF-blocked pair kernel: `dedup_embedding_ann`'s whole body,
+    * and `dedup_embedding`'s past-the-cap path. `emb` must be persisted. */
+  private def blockedPairs(emb: DataFrame, n: Long): DataFrame = {
     // k ~ sqrt(n): candidate work is n^2 * nprobe^2 / k, so sqrt-scaling k
     // keeps the blocked fraction shrinking as the corpus grows while
     // clusters stay populated enough for near-dups to co-probe (a fixed k
-    // over-fragments small corpora and under-prunes huge ones). The count
-    // is one cheap action on the already-persisted frame.
-    val k = math.max(4, math.min(1024, math.round(math.sqrt(emb.count().toDouble)).toInt))
+    // over-fragments small corpora and under-prunes huge ones).
+    val k = math.max(4, math.min(1024, math.round(math.sqrt(n.toDouble)).toInt))
     val cent = ivfCentroids(emb, k)
     val probed = assignN(emb, cent, 3)
     val a = probed.select(col("cid"), col("vec_id").as("da"), col("fx").as("xa"),
@@ -210,14 +234,15 @@ object Similarity {
       cent.unpersist()
       cent = next
     }
-    cent
+    U.track(cent) // released by the harness after the query materializes
   }
 
   private def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
     val cent = ivfCentroids(emb, k)
-    val assigned = assignN(emb, cent, 1).persist()
+    val assigned = U.track(assignN(emb, cent, 1).persist())
     // queries probe their 2 nearest centroids
     val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
     val q = emb.filter(col("vec_id") < 10)

@@ -1,20 +1,44 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Shared connected-components kernel (used by the co-purchase graph's
-  * `graph_cc` and the near-dup `dedup_clusters` fast path).
+  * `graph_cc` and the near-dup `dedup_clusters`).
   *
-  * Single-task disjoint-set union over a (small) edge list: one executor
-  * core unions all edges and emits (node, min-id-of-component) — identical
-  * output to a min-label propagation fixpoint. The size gate lives at the
-  * callers: a VERIFIED pair/edge set is orders of magnitude smaller than
-  * the base table, so below [[graft.llm.Dedup.DsuEdgeCap]] one task beats
-  * the iterative loop's ~6 shuffles per round + driver sync per convergence
-  * check; past the cap the distributed propagation loop (see
-  * `Dedup.clusterAssignLoop`) computes the same labeling.
+  * Two physical plans for one labeling, dispatched by edge count in
+  * [[labels]]:
+  *
+  *  - below [[DsuEdgeCap]]: single-task disjoint-set union — a VERIFIED
+  *    pair/edge set is orders of magnitude smaller than the base table, so
+  *    one task beats the iterative loop's ~6 shuffles per round + driver
+  *    sync per convergence check (measured 12 s vs <1 s at sf0.1);
+  *  - above it: distributed min-label propagation over edge-incident nodes
+  *    ([[propagateMinLabel]]) — the 100 TB path where billions of edges
+  *    never funnel through one task.
+  *
+  * Both produce component = min reachable node id, so callers (and their
+  * SQL oracles) do not care which ran.
   */
 private[graft] object Components {
+
+  /** Edge-count threshold for the single-task union-find fast path. */
+  private[graft] val DsuEdgeCap = 5000000L
+
+  /** Size-gated labeling over a MIRRORED (both directions) edge list:
+    * (u, v) edges → (node, component) for every edge-incident node.
+    * Persists its inputs/outputs for the duration of the call; the returned
+    * frame is materialized and cache-tracked via [[graft.U.track]]. */
+  def labels(edges: DataFrame, cap: Long = DsuEdgeCap): DataFrame = {
+    val e = edges.select(col("u"), col("v")).persist()
+    val nEdges = e.count() // one action on the persisted frame
+    val lab = graft.U.track(
+      (if (nEdges <= cap) dsuLabels(e) else propagateMinLabel(e)).persist())
+    lab.count() // materialize before releasing the edge cache
+    e.unpersist()
+    lab
+  }
 
   /** (u, v) edges → (node, component) with component = min node id
     * reachable. Mirrored/duplicate edges are harmless (same unions). */
@@ -44,5 +68,62 @@ private[graft] object Components {
         seen.iterator.map(n => (n, minOf(find(n))))
       }
       .toDF("node", "component")
+  }
+
+  /** Distributed min-label propagation to fixpoint — the past-the-cap path.
+    * Every node starts labeled with its own id; each round takes the min
+    * over neighbors' labels; at fixpoint every component carries its min
+    * node id. Rounds = component diameter (near-dup/association components
+    * are shallow — a handful of rounds). Convergence is detected by the
+    * label-sum, which is strictly decreasing until fixpoint (labels only
+    * ever decrease); summed in DECIMAL(38,0) so the check cannot overflow
+    * at any graph size.
+    *
+    * NOTE: pointer-jumping (label <- label-of-label) was tried and measured
+    * SLOWER here: shallow components mean the extra per-round join costs
+    * more than the rounds it saves. It only pays off for long-chain graphs.
+    *
+    * `edges` must be mirrored and SHOULD be persisted by the caller (the
+    * loop re-reads it every round). */
+  def propagateMinLabel(edges: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def labelSum(lab: DataFrame): java.math.BigDecimal =
+      lab.agg(sum(col("component").cast(dec))).head().getDecimal(0)
+    def step(lab: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(lab.select(col("node").as("u"), col("component").as("lu")), "u")
+        .groupBy(col("v")).agg(min(col("lu")).as("nmin"))
+      lab.join(nbrMin, lab("node") === nbrMin("v"), "left")
+        .select(lab("node"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+    }
+    // Iterate over edge-INCIDENT nodes only: a node with no edge can never
+    // change label, so it never enters the loop. At 100 TB this is the
+    // difference between propagating over the corpus and propagating over
+    // the (orders of magnitude smaller) connected subgraph.
+    var lab = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("component")).persist()
+    var prevSum = labelSum(lab)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // two propagation rounds per materialization: the driver-synchronized
+      // action (labelSum) is the per-round fixed cost, and labels are
+      // monotone non-increasing, so checking every OTHER round still
+      // detects the same fixpoint — half the sync rounds for one possibly
+      // wasted propagation at the end
+      val next = step(step(lab)).persist()
+      val s2 = labelSum(next) // materializes next before releasing lab
+      lab.unpersist()
+      lab = next
+      // null-safe: with an empty edge set the label frame is empty and the
+      // sum is NULL on both sides — that's a fixpoint too
+      if (s2 == prevSum || (s2 != null && prevSum != null &&
+          s2.compareTo(prevSum) == 0)) converged = true
+      else prevSum = s2
+      iter += 1
+    }
+    lab
   }
 }

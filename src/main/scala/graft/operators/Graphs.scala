@@ -39,7 +39,10 @@ object Graphs {
   private def coPairs(s: SparkSession, d: String): DataFrame = synchronized {
     pairCache.get(d) match {
       case Some((sess, df)) if sess eq s => df
-      case _ =>
+      case stale =>
+        // release the superseded session's cached blocks before rebuilding
+        stale.foreach { case (_, old) =>
+          try old.unpersist() catch { case _: Throwable => () } }
         // per-order part sets, then pairs generated MAP-SIDE: one narrow
         // shuffle groups the 600k lines into ~150k part-set rows; the u<v
         // pair explosion never shuffles (it feeds the support count's
@@ -63,21 +66,50 @@ object Graphs {
     }
   }
 
-  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  /** Node-count bound for the broadcast-rank PageRank iteration. A rank row
+    * is two longs; 1M nodes is a few tens of MB per broadcast — the sane
+    * ceiling for shipping the whole rank frame to every executor each
+    * round. Past it the co-partitioned shuffle-join path engages: the edge
+    * frame is hash-partitioned by `u` ONCE (persisted), and each iteration
+    * only exchanges the narrow (node, pr) frame — rank traffic is
+    * O(|nodes|/partition), never a full driver-side broadcast build. */
+  private[operators] val PrBroadcastNodeCap = 1000000L
+
+  /** Bench warm-up: materialize the shared pair cache so per-query bench
+    * numbers stop depending on which graph query happens to run first. */
+  private[graft] def warm(s: SparkSession, d: String): Unit =
+    { coPairs(s, d).count(); () }
+
+  private def graphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankImpl(s, d, PrBroadcastNodeCap)
+
+  private[graft] def pagerankImpl(s: SparkSession, d: String,
+      broadcastCap: Long): DataFrame = {
     val edges = coPairs(s, d).select(col("u"), col("v"))
     val deg = edges.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, col("u") === col("du"))
-      .select(col("u"), col("v"), col("deg")).persist()
+    val joined = edges.join(deg, col("u") === col("du"))
+      .select(col("u"), col("v"), col("deg"))
+    // one cheap hash-agg action over the persisted pair cache picks the path
+    val nNodes = deg.count()
+    val small = nNodes <= broadcastCap
+    // past the cap, pre-partition the persisted edge frame by the join key
+    // so the per-iteration join re-uses its layout (no exchange on the edge
+    // side, ever); below it the edge frame is only scanned map-side
+    val e = U.track(
+      (if (small) joined else joined.repartition(col("u"))).persist())
     var ranks = e.select(col("u").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
     for (_ <- 0 until 3) {
-      // broadcast the rank frame (|nodes| narrow rows) so the persisted
-      // edge frame never re-shuffles or re-sorts per iteration — the join
-      // is map-side and the only exchange is the partial-aggregated
-      // contribution rollup to |nodes| groups. (At a node count past
-      // broadcast range this becomes a co-partitioned shuffle join on a
-      // pre-partitioned edge frame instead.)
-      ranks = e.join(broadcast(ranks), col("u") === col("node"))
+      // small graphs: broadcast the rank frame (|nodes| narrow rows) — the
+      // join is map-side and the only exchange is the partial-aggregated
+      // contribution rollup to |nodes| groups. Large graphs: shuffle-hash
+      // join — the rank frame exchanges on `node` into the edge frame's
+      // hash(u) layout (co-partitioned, so after the first round the
+      // groupBy(v)→join(u) chain reuses partitioning and only the rank
+      // rollup exchanges). The hint pins the build side so AQE cannot
+      // "helpfully" re-broadcast what the gate just declined to.
+      val r = if (small) broadcast(ranks) else ranks.hint("shuffle_hash")
+      ranks = e.join(r, col("u") === col("node"))
         .select(col("v"), expr("pr DIV deg").as("c"))
         .groupBy(col("v"))
         .agg((lit(150000L) + expr("(85 * sum(c)) DIV 100")).as("pr"))
@@ -87,9 +119,9 @@ object Graphs {
   }
 
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val und = coPairs(s, d)
+    val und = U.track(coPairs(s, d)
       .filter(col("u") < col("v") && col("support") >= 2)
-      .select(col("u"), col("v")).persist()
+      .select(col("u"), col("v")).persist())
     val e1 = und.select(col("u").as("a"), col("v").as("b"))
     val e2 = und.select(col("u").as("b2"), col("v").as("c2"))
     val e3 = und.select(col("u").as("a3"), col("v").as("c3"))
@@ -112,15 +144,16 @@ object Graphs {
     * `graph_triangles`): (component, size) histogram, component id = min
     * part id. The support filter leaves a small verified edge set (3.9k at
     * sf0.1), so the one-task DSU kernel ([[Components.dsuLabels]]) is the
-    * right physical plan; past `Dedup.DsuEdgeCap` the iterative min-label
-    * propagation of `dedup_clusters` computes the identical labeling.
+    * right physical plan; past [[Components.DsuEdgeCap]] the iterative
+    * min-label propagation computes the identical labeling — the dispatch
+    * is [[Components.labels]], shared with `dedup_clusters`.
     * Both are deterministic => recursive-CTE oracle. */
   private def graphCc(s: SparkSession, d: String): DataFrame = {
     // coPairs is mirrored (both directions) — duplicate edges are harmless
-    // to the DSU (same unions), so no u<v refilter needed.
+    // to the labeling (same unions/minima), so no u<v refilter needed.
     val e = coPairs(s, d).filter(col("support") >= 2)
       .select(col("u"), col("v"))
-    Components.dsuLabels(e)
+    Components.labels(e)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("component"))

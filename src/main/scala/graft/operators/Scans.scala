@@ -160,23 +160,49 @@ object Scans {
 
   /** binaryFile source — the ingestion rung of the multimodal story: opaque
     * payload files land as (path, length, content) rows. Stages a small
-    * fixture tree of .bin files from document texts (driver-side write of 24
-    * tiny files — staging only, not the read path), then reads them back
+    * fixture tree of .bin files from document texts, then reads them back
     * distributed, reducing each payload to length + SHA-256 so the oracle
-    * can mirror from the documents table. */
-  private def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
+    * can mirror from the documents table.
+    *
+    * Staging is DISTRIBUTED (foreachPartition writes each partition's docs;
+    * file names are keyed by doc_id so task retries overwrite idempotently)
+    * and write-once per sfDir behind a versioned marker — the same
+    * `_GRAFT_STAGED` idiom as the streaming replay — so the declared query
+    * path moves no rows through the driver. */
+  private val binStaged = scala.collection.mutable.Set[String]()
+  private def stageBinFiles(s: SparkSession, d: String): String = synchronized {
     val dir = U.scratch(d, "binfiles")
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(p, true); fs.mkdirs(p)
-    val docs = U.tbl(s, d, "documents").filter(col("doc_id") < 24)
-      .select(col("doc_id"), col("text")).collect()
-    for (r <- docs) {
-      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"))
-      out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_STAGED_v1")
+    if (!binStaged.contains(dir) && fs.exists(marker)) binStaged += dir
+    if (!binStaged.contains(dir)) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      U.tbl(s, d, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          // executor-side: local-default Hadoop conf resolves the same
+          // file:// scratch root as the driver in local mode; on a cluster
+          // the scratch root would be a shared filesystem URI
+          val tfs = org.apache.hadoop.fs.FileSystem
+            .get(new org.apache.hadoop.conf.Configuration())
+          for (r <- it) {
+            val out = tfs.create(
+              new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"), true)
+            out.write(r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+          }
+        }
+      fs.create(marker, true).close()
+      binStaged += dir
     }
-    s.read.format("binaryFile").load(dir)
+    dir
+  }
+
+  private def scanBinaryFile(s: SparkSession, d: String): DataFrame = {
+    val dir = stageBinFiles(s, d)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
       .select(regexp_extract(col("path"), "doc_[0-9]+\\.bin", 0).as("fname"),
         col("length"), sha2(col("content"), 256).as("sha"))
       .orderBy("fname")
@@ -339,13 +365,21 @@ object Scans {
     * The distributed aggregation happens IN the writers — the driver only
     * combines O(tasks) messages — and the result hash-matches the plain
     * SQL aggregate over the same rows. */
+  private val statsRunCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def sinkCustomStats(s: SparkSession, d: String): DataFrame = {
-    val run = s"graft_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // per-invocation nonce (same idiom as obsCounter): two concurrent runs
+    // over the same sfDir in one JVM must not race on one map entry
+    val run = s"graft_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"_${statsRunCounter.incrementAndGet()}"
     U.events(s, d)
       .select(col("event_id").as("id"), U.cents(col("value")).as("cents"))
       .write.format("graft.sources.StatsSink").option("run", run)
       .mode("append").save()
-    val (n, sum) = graft.sources.StatsSink.committed.get(run)
+    // an aborted/never-committed job leaves no entry — surface that as a
+    // clear error instead of a destructuring NPE
+    val (n, sum) = Option(graft.sources.StatsSink.committed.get(run))
+      .getOrElse(sys.error(s"StatsSink: no committed stats for run $run"))
+    graft.sources.StatsSink.committed.remove(run) // nonce'd entries never reused
     import s.implicits._
     Seq((n, sum)).toDF("n_rows", "sum_cents")
   }
@@ -451,6 +485,12 @@ object Scans {
     * ("y1995") to keep partition-column type inference at StringType.
     * Write-once per (JVM, sfDir): both partitioned-layout queries read it,
     * and the rewrite is the most expensive scratch write in the suite. */
+  /** Bench warm-up: pre-write the shared partitioned layout so the one-time
+    * rewrite cost does not land on whichever partitioned-layout query runs
+    * first. */
+  private[graft] def warm(s: SparkSession, d: String): Unit =
+    { writePartitionedLineitem(s, d); () }
+
   private val partitionedWritten = scala.collection.mutable.Set[String]()
   private def writePartitionedLineitem(s: SparkSession, d: String): String =
     synchronized {

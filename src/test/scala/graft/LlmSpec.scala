@@ -41,6 +41,18 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF-blocked recall too low: $recall (${ann.size}/${exact.size})")
   }
 
+  test("dedup_embedding past the vector cap dispatches to the blocked kernel") {
+    // cap=0 forces the past-the-cap path of the DECLARED query; it must
+    // produce exactly the IVF-blocked + exact-rerank pair set (the
+    // dedup_embedding_ann kernel — deterministic, so equality is exact)
+    val gated = graft.llm.Similarity.embeddingPairsImpl(spark, sfDir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ann = graft.llm.Similarity.queries("dedup_embedding_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gated == ann, s"gated path diverged from the blocked kernel: " +
+      s"${gated.size} vs ${ann.size} pairs")
+  }
+
   test("simhash pairs overlap the Jaccard near-dups") {
     val jac = graft.llm.Dedup.queries("dedup_jaccard")(spark, sfDir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -427,6 +427,38 @@ class PlanSpec extends SparkTestBase {
       s"multi-distinct Expand (measured 6x slower via SortAggregate) crept back:\n$p")
   }
 
+  test("graph_pagerank past the broadcast cap shuffle-joins ranks (no broadcast build)") {
+    // force the past-the-cap path (cap=0): every iteration must join the
+    // rank frame as a shuffled hash join into the pre-partitioned edge
+    // frame — a broadcast of |nodes| rows per iteration is the flagged
+    // 100 TB scale-killer
+    val df = graft.operators.Graphs.pagerankImpl(spark, sfDir, 0L)
+    val p = df.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(p).size == 3,
+      s"expected the 3 rank iterations as shuffle-hash joins:\n$p")
+    // and the gated path computes the identical integer fixpoint
+    val gated = df.collect()
+    val bcast = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
+    assert(gated.length == bcast.length && gated.sameElements(bcast),
+      "shuffle-join path must equal the broadcast path row-for-row")
+  }
+
+  test("connected-components propagation path equals the DSU fast path") {
+    import spark.implicits._
+    // two chains + an isolated pair + duplicate/mirrored edges
+    val pr = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (1L, 2L))
+    val e = pr.toDF("u", "v")
+    val mirrored = e.union(e.select($"v", $"u"))
+    def labToSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dsu = labToSet(graft.operators.Components.labels(mirrored, Long.MaxValue))
+    val prop = labToSet(graft.operators.Components.labels(mirrored, 0L))
+    assert(dsu == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L),
+      (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
+    assert(prop == dsu, s"propagation diverged: $prop vs $dsu")
+  }
+
   test("graph_cc plans no cross join and exactly one single-partition pass") {
     val p = plan("graph_cc")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

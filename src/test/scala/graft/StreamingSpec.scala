@@ -119,6 +119,74 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream killed mid-replay resumes from checkpoint to the uninterrupted result") {
+    // The 100 TB failure mode exactly-once exists for: a stateful stream
+    // dies partway through its input, restarts from the checkpoint, and the
+    // DURABLE sink must end up byte-identical to a never-interrupted run —
+    // no dropped windows, no double-counted ones. Sink is a parquet
+    // FileStreamSink (its _spark_metadata commit log is what makes the
+    // read-back exactly-once); state is a watermarked window aggregate.
+    val srcDir = graft.U.scratch(sfDir, "kill_src")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (tag <- Seq("kill_src", "kill_ck1", "kill_out1", "kill_ck2", "kill_out2"))
+      fs.delete(new org.apache.hadoop.fs.Path(graft.U.scratch(sfDir, tag)), true)
+    // 8 one-hour files with explicit increasing mtimes (same idiom as the
+    // staged replay: same-tick writes would otherwise replay out of order)
+    val base = ts("2024-03-01 00:00:00").getTime
+    for (i <- 0 until 8) {
+      Seq(0, 10, 25).map(m => (new Timestamp(base + i * 3600000L + m * 60000L), i.toLong))
+        .toDF("ts", "v").coalesce(1).write.mode("append").parquet(srcDir)
+      val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+        .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getModificationTime)
+      fs.setTimes(fresh.last.getPath, 1700000000000L + i * 1000L, -1L)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    def start(ck: String, out: String) = {
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", graft.U.scratch(sfDir, ck))
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").start(graft.U.scratch(sfDir, out))
+    }
+    // uninterrupted reference run
+    start("kill_ck2", "kill_out2").awaitTermination()
+    // interrupted run: a listener kills the query after its 2nd committed
+    // batch — mid-replay, with state and offsets checkpointed
+    val killAfter = new java.util.concurrent.atomic.AtomicInteger(2)
+    @volatile var victim: org.apache.spark.sql.streaming.StreamingQuery = null
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val q = victim
+        if (q != null && e.progress.id == q.id && killAfter.decrementAndGet() == 0)
+          new Thread(() => q.stop()).start()
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q1 = start("kill_ck1", "kill_out1")
+      victim = q1
+      q1.awaitTermination()
+      victim = null
+      // resume from the same checkpoint; AvailableNow drains the remaining
+      // files + the no-data watermark-flush batch
+      start("kill_ck1", "kill_out1").awaitTermination()
+    } finally spark.streams.removeListener(listener)
+    def readSink(tag: String): Map[String, Long] =
+      spark.read.parquet(graft.U.scratch(sfDir, tag)).collect()
+        .map(r => r.getAs[Timestamp]("wstart").toString -> r.getAs[Long]("n")).toMap
+    val expected = readSink("kill_out2")
+    val resumed = readSink("kill_out1")
+    assert(expected.nonEmpty, "reference run must emit finalized windows")
+    assert(resumed == expected,
+      s"killed+resumed sink diverged: $resumed vs $expected")
+  }
+
   test("custom sink totals survive a pre-existing checkpoint (full re-replay)") {
     // Regression: the first run leaves a checkpoint; a second run in the
     // same (or a later) JVM must still total the WHOLE replay — a reused
