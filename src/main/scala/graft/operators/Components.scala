@@ -107,7 +107,14 @@ private[graft] object Components {
     var prevSum = labelSum(lab)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // 80 materializations = 160 propagation rounds of diameter coverage —
+    // far past any near-dup/association component (shallow by construction;
+    // fixpoint lands in 2-3 materializations). The bound exists so a
+    // pathological graph FAILS LOUDLY below instead of silently returning a
+    // not-yet-converged labeling; a genuinely long-chain workload would
+    // switch this kernel to pointer-jumping (label <- label-of-label,
+    // O(log diameter) rounds), which measured slower on the shallow case.
+    while (!converged && iter < 80) {
       // two propagation rounds per materialization: the driver-synchronized
       // action (labelSum) is the per-round fixed cost, and labels are
       // monotone non-increasing, so checking every OTHER round still
@@ -124,6 +131,9 @@ private[graft] object Components {
       else prevSum = s2
       iter += 1
     }
+    if (!converged)
+      sys.error(s"propagateMinLabel: no fixpoint after ${iter * 2} rounds — " +
+        "graph diameter exceeds the propagation bound (see scaladoc)")
     lab
   }
 }

@@ -84,8 +84,14 @@ object Graphs {
     pagerankImpl(s, d, PrBroadcastNodeCap)
 
   private[graft] def pagerankImpl(s: SparkSession, d: String,
+      broadcastCap: Long): DataFrame =
+    pagerankOnEdges(coPairs(s, d).select(col("u"), col("v")), broadcastCap)
+
+  /** The iteration kernel over an arbitrary directed (u, v) edge frame —
+    * parameterized so tests can drive synthetic graphs through both gate
+    * paths at sizes the fixtures don't reach. */
+  private[graft] def pagerankOnEdges(edges: DataFrame,
       broadcastCap: Long): DataFrame = {
-    val edges = coPairs(s, d).select(col("u"), col("v"))
     val deg = edges.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg"))
     val joined = edges.join(deg, col("u") === col("du"))
       .select(col("u"), col("v"), col("deg"))

@@ -37,6 +37,40 @@ class StressSpec extends SparkTestBase {
     }
   }
 
+  test("distributed label propagation labels a 200k-node synthetic graph") {
+    // the PAST-THE-CAP connected-components path at a size the parquet
+    // fixtures never reach: 20k star-shaped components (hub b*10 + 9
+    // spokes — the shallow shape near-dup clusters actually have), 360k
+    // mirrored edges, forced through propagation with cap=0. Expected
+    // labeling is closed-form: every node's component is its block base.
+    val e = spark.range(0L, 180000L)
+      .selectExpr("(id DIV 9) * 10 AS u", "(id DIV 9) * 10 + (id % 9) + 1 AS v")
+    val mirrored = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+    val lab = operators.Components.labels(mirrored, 0L)
+    assert(lab.count() == 200000L, "every incident node must be labeled")
+    val bad = lab.filter(col("component") =!= col("node") - pmod(col("node"), lit(10L)))
+      .count()
+    assert(bad == 0L, s"$bad nodes labeled off their block base")
+    U.releaseTracked()
+  }
+
+  test("shuffle-join pagerank equals the broadcast path on a 30k-node graph") {
+    // both gate paths of the rank iteration over the same synthetic
+    // digraph (two deterministic out-edges per node): identical integer
+    // fixpoint required, top-50 row-for-row
+    val n = 30000L
+    val e = spark.range(0L, n)
+      .selectExpr(s"id AS u", s"(id * 31 + 7) % $n AS v")
+    val edges = e.unionByName(
+      spark.range(0L, n).selectExpr("id AS u", s"(id + 1) % $n AS v"))
+    val bcast = operators.Graphs.pagerankOnEdges(edges, Long.MaxValue).collect()
+    U.releaseTracked()
+    val shuffled = operators.Graphs.pagerankOnEdges(edges, 0L).collect()
+    U.releaseTracked()
+    assert(bcast.length == 50 && bcast.sameElements(shuffled),
+      "gated pagerank paths diverge on the synthetic graph")
+  }
+
   test("imperative-path queries are value-deterministic run-over-run") {
     // the operators with hand-written sequential kernels (mapPartitions
     // LTTB, single-task union-find, power iteration, integer PageRank) —
