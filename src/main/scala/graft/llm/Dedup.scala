@@ -85,13 +85,34 @@ object Dedup {
     * partitioning the self-join requires, so Catalyst reuses the exchange
     * and the cap costs no extra shuffle. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsShared(s, d).orderBy("da", "db")
+    jaccardPairsShared(s, d)
+      .filter(col("jac") >= 0.2)
+      .select(col("da"), col("db"), col("common"), col("jac"))
+      .orderBy("da", "db")
 
-  /** The verified pair frame, cached per (session, sfDir): dedup_jaccard
-    * declares it sorted; dedup_clusters consumes it as the edge set. Both
-    * run in the same bench/verify JVM, so the inverted-index self-join —
-    * the expensive half of both queries — executes once and is served from
-    * cache the second time (same idiom as [[shingled]]). */
+  /** Asymmetric containment dedup — the near-SUBSET complement of Jaccard:
+    * doc A is contained in doc B when |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| >= 0.8 (either direction). Jaccard misses these pairs
+    * when the containing doc is much larger (common/na = 1 can coexist
+    * with jac = na/nb ~ 0), which is exactly the boilerplate-wrapper /
+    * quoted-reply shape a corpus dedup must catch. Same inverted-index
+    * candidates, re-scored per side — no new shuffle (served from the
+    * shared pair cache), and the identical division tree in the oracle. */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsShared(s, d)
+      .withColumn("c_a", col("common").cast(DoubleType) / col("na").cast(DoubleType))
+      .withColumn("c_b", col("common").cast(DoubleType) / col("nb").cast(DoubleType))
+      .filter(greatest(col("c_a"), col("c_b")) >= 0.8)
+      .select(col("da"), col("db"), col("common"), col("c_a"), col("c_b"))
+      .orderBy("da", "db")
+
+  /** The scored candidate-pair frame (da, db, na, nb, common, jac) — all
+    * pairs sharing >= 1 df-capped shingle, UNfiltered so every consumer
+    * applies its own threshold: dedup_jaccard keeps jac >= 0.2,
+    * dedup_clusters closes over the same set, dedup_containment re-scores
+    * asymmetrically. Cached per (session, sfDir): the inverted-index
+    * self-join — the expensive half of all three queries — executes once
+    * per JVM (same idiom as [[shingled]]). */
   private val pairsCache =
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
   private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
@@ -119,8 +140,6 @@ object Dedup {
             .agg(count(lit(1)).as("common"))
             .withColumn("jac", col("common").cast(DoubleType) /
               (col("na") + col("nb") - col("common")).cast(DoubleType))
-            .filter(col("jac") >= 0.2)
-            .select(col("da"), col("db"), col("common"), col("jac"))
             .persist()
           pairsCache(d) = (s, df)
           df
@@ -256,7 +275,8 @@ object Dedup {
   private[llm] val DsuEdgeCap = graft.operators.Components.DsuEdgeCap
 
   private def clusterAssignLoop(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairsShared(s, d).select(col("da"), col("db"))
+    val pairs = jaccardPairsShared(s, d)
+      .filter(col("jac") >= 0.2).select(col("da"), col("db"))
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("u", "v")
     // size-gated DSU-vs-propagation dispatch lives in Components.labels
     val lab = graft.operators.Components.labels(edges, DsuEdgeCap)
@@ -311,6 +331,7 @@ object Dedup {
     "dedup_editdistance" -> editDistancePairs _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard" -> jaccardPairs _,
+    "dedup_containment" -> containmentPairs _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_clusters" -> clusterAssign _)
@@ -350,6 +371,14 @@ object Dedup {
         "SELECT da, db, common, CAST(common AS DOUBLE) / " +
         "CAST(na + nb - common AS DOUBLE) AS jac FROM pairs " +
         "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2 " +
+        "ORDER BY da, db"),
+    "dedup_containment" ->
+      (s"WITH $jaccardCtes " +
+        "SELECT da, db, common, " +
+        "CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS c_a, " +
+        "CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS c_b FROM pairs " +
+        "WHERE greatest(CAST(common AS DOUBLE) / CAST(na AS DOUBLE), " +
+        "CAST(common AS DOUBLE) / CAST(nb AS DOUBLE)) >= 0.8 " +
         "ORDER BY da, db"),
     // Connected components as a recursive transitive closure over the same
     // verified pair set: every doc reaches every member of its component, so
