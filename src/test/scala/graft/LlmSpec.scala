@@ -53,6 +53,20 @@ class LlmSpec extends SparkTestBase {
       s"${gated.size} vs ${ann.size} pairs")
   }
 
+  test("containment dominates Jaccard: every jac>=0.8 pair is a containment pair") {
+    // jac = c/(na+nb-c) <= c/max(na,nb) <= max(c/na, c/nb), so the 0.8
+    // containment set must cover every 0.8-Jaccard pair — a cross-query
+    // consistency law over the shared candidate frame
+    val cont = graft.llm.Dedup.queries("dedup_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strongJac = graft.llm.Dedup.queries("dedup_jaccard")(spark, sfDir)
+      .collect().filter(_.getAs[Double]("jac") >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.nonEmpty, "fixtures should contain near-subset pairs")
+    assert(strongJac.subsetOf(cont),
+      s"missing containment pairs: ${strongJac.diff(cont)}")
+  }
+
   test("simhash pairs overlap the Jaccard near-dups") {
     val jac = graft.llm.Dedup.queries("dedup_jaccard")(spark, sfDir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
