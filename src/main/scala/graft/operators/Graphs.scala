@@ -92,18 +92,21 @@ object Graphs {
     * paths at sizes the fixtures don't reach. */
   private[graft] def pagerankOnEdges(edges: DataFrame,
       broadcastCap: Long): DataFrame = {
-    val deg = edges.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg"))
-    val joined = edges.join(deg, col("u") === col("du"))
-      .select(col("u"), col("v"), col("deg"))
-    // one cheap hash-agg action over the persisted pair cache picks the path
+    // deg is one row per source node — it is BOTH the per-edge divisor and
+    // the initial rank frame (no separate distinct shuffle over the edges),
+    // and its count is the gate's node count
+    val deg = U.track(
+      edges.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg")).persist())
     val nNodes = deg.count()
     val small = nNodes <= broadcastCap
+    val joined = edges.join(deg, col("u") === col("du"))
+      .select(col("u"), col("v"), col("deg"))
     // past the cap, pre-partition the persisted edge frame by the join key
     // so the per-iteration join re-uses its layout (no exchange on the edge
     // side, ever); below it the edge frame is only scanned map-side
     val e = U.track(
       (if (small) joined else joined.repartition(col("u"))).persist())
-    var ranks = e.select(col("u").as("node")).distinct()
+    var ranks = deg.select(col("du").as("node"))
       .withColumn("pr", lit(1000000L))
     for (_ <- 0 until 3) {
       // small graphs: broadcast the rank frame (|nodes| narrow rows) — the
