@@ -112,7 +112,11 @@ object Dedup {
     * dedup_clusters closes over the same set, dedup_containment re-scores
     * asymmetrically. Cached per (session, sfDir): the inverted-index
     * self-join — the expensive half of all three queries — executes once
-    * per JVM (same idiom as [[shingled]]). */
+    * per JVM (same idiom as [[shingled]]). Caching the unfiltered frame is
+    * a shared-corpus convenience (1.1M narrow rows at sf0.1): at 100 TB the
+    * candidate frame is the self-join's output either way; a deployment
+    * that can't cache it persists each consumer's filtered view instead —
+    * the thresholds commute with the cache, not with the join. */
   private val pairsCache =
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
   private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
