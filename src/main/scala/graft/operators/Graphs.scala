@@ -103,7 +103,12 @@ object Graphs {
       .select(col("u"), col("v"), col("deg"))
     // past the cap, pre-partition the persisted edge frame by the join key
     // so the per-iteration join re-uses its layout (no exchange on the edge
-    // side, ever); below it the edge frame is only scanned map-side
+    // side, ever); below it the edge frame is only scanned map-side.
+    // NOTE: the INITIAL plan string still shows ENSURE_REQUIREMENTS
+    // exchanges above the cached scans — AQE elides them at runtime once
+    // the TableCacheQueryStage exposes the cache's hash(u) partitioning
+    // (verified: final adaptive plan has the scans directly under their
+    // cache stages, zero edge-side exchanges).
     val e = U.track(
       (if (small) joined else joined.repartition(col("u"))).persist())
     var ranks = deg.select(col("du").as("node"))
