@@ -340,6 +340,36 @@ object Dedup {
     "dedup_simhash" -> simhashPairs _,
     "dedup_clusters" -> clusterAssign _)
 
+  /** Exact MinHash-LSH oracle (round 5): the permutations are fixed integer
+    * arithmetic (sig_k = min over shingle-hashes of (h·(2k+1)+k·12345+7)
+    * mod 1e9+7 — `plans.MinHashSigs`), so the banding, the candidate set
+    * AND the exact-Jaccard verification are all deterministic and the whole
+    * query hash-matches; band keys compare as 4-element list slices, which
+    * is equality-equivalent to Spark's concat_ws(":") key. This upgrades
+    * dedup_minhash from a rows-only gate to a full oracle — "probabilistic"
+    * describes its RECALL vs dedup_jaccard (still spec-gated in LlmSpec),
+    * not its output. */
+  private val minhashSql = {
+    val toks = sqlTokens("text")
+    val shingles = sqlShingles3(toks)
+    val ph = sqlPolyHash("t", 13L)
+    s"WITH sh AS (SELECT doc_id, $shingles AS ss FROM documents), " +
+      "sized AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0), " +
+      s"hs AS (SELECT doc_id, ss, list_transform(ss, t -> $ph) AS hl FROM sized), " +
+      "sig AS (SELECT doc_id, list_transform(range(0, 16), k -> " +
+      "list_min(list_transform(hl, h -> (h*(2*k+1) + k*12345 + 7) % 1000000007))) AS sigs FROM hs), " +
+      "bands AS (SELECT doc_id, b, list_slice(sigs, CAST(b*4+1 AS INTEGER), " +
+      "CAST(b*4+4 AS INTEGER)) AS bkey FROM sig CROSS JOIN range(0, 4) t(b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+      "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "scored AS (SELECT da, db, CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS common, " +
+      "CAST(len(a.ss) AS BIGINT) AS na, CAST(len(b.ss) AS BIGINT) AS nb " +
+      "FROM cand JOIN hs a ON cand.da = a.doc_id JOIN hs b ON cand.db = b.doc_id) " +
+      "SELECT da, db, common, CAST(common AS DOUBLE)/CAST(na + nb - common AS DOUBLE) AS jac " +
+      "FROM scored WHERE CAST(common AS DOUBLE)/CAST(na + nb - common AS DOUBLE) >= 0.2 " +
+      "ORDER BY da, db"
+  }
+
   private val simhashSql = {
     val sh = sqlShingles3(sqlTokens("text"))
     val ph = sqlPolyHash("t", 13L)
@@ -397,7 +427,8 @@ object Dedup {
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
         "SELECT u AS doc_id, MIN(v) AS cluster_id, (MIN(v) = u) AS is_keeper " +
         "FROM reach GROUP BY u ORDER BY doc_id"),
-    "dedup_simhash" -> simhashSql)
+    "dedup_simhash" -> simhashSql,
+    "dedup_minhash" -> minhashSql)
 
   /** Shared CTE chain producing the exact-Jaccard candidate `pairs` —
     * dedup_jaccard scores them; dedup_clusters closes over them. */

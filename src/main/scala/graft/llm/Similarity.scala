@@ -277,7 +277,114 @@ object Similarity {
     s"CAST(list_sum(list_transform(range(1, 65), i -> " +
       s"$a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
 
+  /** Exact multiprobe-LSH oracle (round 5): the hyperplanes are a
+    * deterministic LCG quantized to the same 1e6 fixed-point grid as the
+    * vectors, so bucket bits, probe set and rerank are all integer or
+    * identical-double arithmetic — the full output hash-matches.
+    * "Approximate" describes this query's RECALL vs brute force (still
+    * spec-gated in LlmSpec), not its output. The 8×64 plane constants are
+    * inlined as list literals generated from the SAME [[planes]] builder
+    * the Spark side uses — one definition, two engines. */
+  private lazy val lshSql: String = {
+    val pl = planes(8, 64).map(_.map(v => math.floor(v * 1000000.0).toLong))
+    def planeDot(j: Int): String = {
+      val lst = pl(j).mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+        s"fx[CAST(i AS INTEGER)] * ($lst)[CAST(i AS INTEGER)])) AS BIGINT)"
+    }
+    val bucket = (0 until 8)
+      .map(j => s"(CASE WHEN ${planeDot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      s"b AS (SELECT vec_id, fx, nrm, CAST($bucket AS BIGINT) AS bucket FROM n), " +
+      "q AS (SELECT vec_id AS q_id, bucket AS q_bucket, fx AS qx, nrm AS qn " +
+      "FROM b WHERE vec_id < 10), " +
+      "probes AS (SELECT q_id, qx, qn, xor(q_bucket, CAST(flip AS BIGINT)) " +
+      "AS probe_bucket FROM q CROSS JOIN " +
+      "(SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) t), " +
+      "scored AS (SELECT q_id, vec_id, " +
+      s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+      "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+      "FROM b JOIN probes ON b.bucket = probes.probe_bucket " +
+      "AND b.vec_id <> probes.q_id), " +
+      "ranked AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
+      "SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 3 " +
+      "ORDER BY q_id, rank"
+  }
+
+  /** One Lloyd iteration as a DuckDB CTE chain (round 5): nearest-centroid
+    * assignment by the same -dot/√‖c‖ coarse metric (row_number mirrors
+    * Spark's min(struct(dist, cid)) lexicographic tie-break), then integer
+    * recentering — `SUM(x) // COUNT(*)` mirrors Spark's `DIV` (both floor;
+    * verified on 2,124 negative non-divisible gram sums). The whole k-means
+    * build is integer/identical-double arithmetic, which is what lets an
+    * "approximate" ANN index hash-match a SQL oracle at all. */
+  private def lloydCte(cin: String, tag: String): String = {
+    val (s, a, e, r, cout) = (s"s$tag", s"a$tag", s"e$tag", s"r$tag", s"c$tag")
+    s"$s AS (SELECT n.vec_id, $cin.cid, " +
+      s"-CAST(${dotSql("fx", "cfx")} AS DOUBLE)/sqrt(CAST(${dotSql("cfx", "cfx")} AS DOUBLE)) AS dist " +
+      s"FROM n CROSS JOIN $cin), " +
+      s"$a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER " +
+      s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM $s) WHERE rn = 1), " +
+      s"$e AS (SELECT $a.cid, generate_subscripts(n.fx, 1) AS pos, unnest(n.fx) AS x " +
+      s"FROM $a JOIN n ON $a.vec_id = n.vec_id), " +
+      s"$r AS (SELECT cid, pos, SUM(x) // COUNT(*) AS cx FROM $e GROUP BY 1, 2), " +
+      s"$cout AS (SELECT cid, list(cx ORDER BY pos) AS cfx FROM $r GROUP BY cid)"
+  }
+
+  private def distSql(v: String, c: String): String =
+    s"-CAST(${dotSql(v, c)} AS DOUBLE)/sqrt(CAST(${dotSql(c, c)} AS DOUBLE))"
+
+  private def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"CAST(${dotSql(a, b)} AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
+
+  /** Exact IVF-ANN oracle: deterministic init (16 lowest vec_ids) + two
+    * [[lloydCte]] iterations + nprobe-2 search, all bit-reproducible. */
+  private lazy val ivfSql: String =
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n WHERE vec_id < 16), " +
+      s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+      s"s3 AS (SELECT n.vec_id, c2.cid, ${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
+      "af AS (SELECT s3.vec_id, s3.cid, n.fx, n.nrm FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) s3 " +
+      "JOIN n ON s3.vec_id = n.vec_id WHERE s3.rn = 1), " +
+      "qp AS (SELECT q_id, cid, qx, qn FROM (SELECT n.vec_id AS q_id, c2.cid, " +
+      "n.fx AS qx, n.nrm AS qn, row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      s"${distSql("fx", "cfx")}, cid) AS prb FROM n CROSS JOIN c2 WHERE n.vec_id < 10) " +
+      "WHERE prb <= 2), " +
+      s"scored AS (SELECT qp.q_id, af.vec_id, ${cosSql("qx", "fx", "qn", "nrm")} AS cos " +
+      "FROM af JOIN qp ON af.cid = qp.cid AND af.vec_id <> qp.q_id), " +
+      "ranked AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
+      "SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"
+
+  /** Exact IVF-blocked near-dup oracle: k = max(4, min(1024, round(√n)))
+    * (floor(√n + 0.5) mirrors Java Math.round), two Lloyd iterations,
+    * nprobe-3 blocking, fused exact rerank — the whole `blockedPairs`
+    * kernel in SQL. */
+  private lazy val embAnnSql: String =
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "kk AS (SELECT greatest(4, least(1024, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k FROM n), " +
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n WHERE vec_id < (SELECT k FROM kk)), " +
+      s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+      "s3 AS (SELECT n.vec_id, c2.cid, n.fx, n.nrm, " +
+      s"${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
+      "probed AS (SELECT vec_id, cid, fx, nrm FROM (SELECT vec_id, cid, fx, nrm, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) WHERE rn <= 3), " +
+      "pairs AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db, " +
+      s"${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos " +
+      "FROM probed a JOIN probed b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+      s"WHERE ${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= 0.4) " +
+      "SELECT da, db, cos FROM pairs ORDER BY da, db"
+
   val oracleSql: Map[String, String] = Map(
+    "sim_lsh_ann" -> lshSql,
+    "sim_ivf_ann" -> ivfSql,
+    "dedup_embedding_ann" -> embAnnSql,
     "sim_bruteforce_topk" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

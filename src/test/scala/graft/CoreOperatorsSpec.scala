@@ -19,10 +19,10 @@ class CoreOperatorsSpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query impl: ${o -- q}")
     val nonOracle = q -- o
-    // approx/probabilistic ops are the only exclusions (the append-mode
-    // watermark queries gained exact finalized-set oracles in round 4)
-    assert(nonOracle == Set("agg_approx_distinct", "agg_approx_quantile",
-      "dedup_minhash", "dedup_embedding_ann", "sim_lsh_ann", "sim_ivf_ann"),
+    // ONLY the Spark-internal sketch wrappers lack a SQL mirror (the
+    // MinHash/LSH/IVF ANN pipelines gained exact oracles in round 5 —
+    // their fixed permutations/planes/k-means are deterministic)
+    assert(nonOracle == Set("agg_approx_distinct", "agg_approx_quantile"),
       s"unexpected non-oracle queries: $nonOracle")
   }
 
