@@ -250,18 +250,22 @@ object Pipeline {
     * inside Long at every fixture SF); each iteration renormalizes by the
     * max-|component| with integer division. Same integers on any engine,
     * any aggregation order — the property float power iteration loses.
-    * Scale shape: the Gram build is one self-join shuffle keyed on vec_id
-    * (row-outer-product accumulation — at 100 TB this is the standard
-    * tree-aggregated gramian); iterations run on the tiny (dim², dim)
-    * frames. */
+    * Scale shape: the Gram build is SHUFFLE-FREE until the final 4096-cell
+    * exchange — each row's outer product v·vᵀ is generated narrowly by two
+    * nested posexplodes over its own array (no self-join; the old vec_id
+    * self-join shuffled the exploded frame twice and pushed the n·dim²
+    * pair stream through a join), and map-side partial aggregation
+    * collapses every partition to ≤dim² cells before the exchange — at
+    * 100 TB this is the standard tree-aggregated gramian; iterations run
+    * on the tiny (dim², dim) frames. */
   private def embTopEigvec(s: SparkSession, d: String): DataFrame = {
-    val flat = U.tbl(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
-        .as(Seq("i", "x")))
-    val b = flat.select(col("vec_id").as("vid2"), col("i").as("j"),
-      col("x").as("y"))
-    val gram = U.track(flat.join(b, col("vec_id") === col("vid2"))
+    val fixed = U.tbl(s, d, "embeddings")
+      .select(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType))
+        .as("f"))
+    val gram = U.track(fixed
+      .select(posexplode(col("f")).as(Seq("i", "x")), col("f"))
+      .select(col("i"), col("x"), posexplode(col("f")).as(Seq("j", "y")))
       .groupBy(col("i"), col("j"))
       .agg(expr("sum(x * y) DIV 1000000000").as("c")).persist())
     var v = gram.select(col("i").as("dim")).distinct()
