@@ -100,6 +100,37 @@ object Pipeline {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
+  /** Distance-to-own-centroid label outliers (the mislabel/anomaly screen
+    * one rung above [[embLabelCentroid]]'s class prototypes): squared L2
+    * distance from each vector to its label's centroid, top-5 farthest per
+    * label. Every step is exact-integer — component diffs and squares are
+    * Longs (64 dims × (2e6)² ≈ 2.6e14, well inside Long), the centroid is
+    * the same floored mean as emb_label_centroid — so the ranking
+    * hash-matches SQL. Scale shape: two linear explode-shuffles keyed
+    * (label, dim); the centroid frame is labels×64 rows, so Catalyst
+    * broadcasts the re-join and the per-label top-k is the GroupedTopK
+    * window shape. */
+  private def embLabelOutlier(s: SparkSession, d: String): DataFrame = {
+    val comp = U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1000000.0)))).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast(LongType).as("dim"), col("x"))
+    val cent = comp.groupBy(col("label"), col("dim"))
+      .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).as("cx"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    comp.join(cent, Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist2"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("label").cast(LongType).as("label"), col("vec_id"),
+        col("dist2"), col("rank"))
+      .orderBy("label", "rank")
+  }
+
   /** Benchmark decontamination: flag train-split docs sharing any word
     * 3-gram shingle with the test split (the leakage check every eval
     * pipeline runs before training). The benchmark shingle set is tiny
@@ -315,6 +346,7 @@ object Pipeline {
     "sample_reservoir" -> sampleReservoir _,
     "emb_quantize" -> embQuantize _,
     "emb_label_centroid" -> embLabelCentroid _,
+    "emb_label_outlier" -> embLabelOutlier _,
     "split_train_test" -> splitTrainTest _,
     "sample_stratified" -> sampleStratified _,
     "dedup_normalized" -> dedupNormalized _,
@@ -417,6 +449,22 @@ object Pipeline {
         "AS BIGINT) AS cx, COUNT(*) AS n_vecs " +
         "FROM f CROSS JOIN range(1, 65) t(i) " +
         "GROUP BY label, i ORDER BY label, dim"),
+    "emb_label_outlier" ->
+      ("WITH f AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
+        "FROM embeddings), " +
+        "comp AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim, " +
+        "fx[CAST(i AS INTEGER)] AS x FROM f CROSS JOIN range(1, 65) t(i)), " +
+        "cent AS (SELECT label, dim, CAST(floor(CAST(SUM(x) AS DOUBLE) " +
+        "/ COUNT(*)) AS BIGINT) AS cx FROM comp GROUP BY label, dim), " +
+        "d2 AS (SELECT c.label, c.vec_id, " +
+        "CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS dist2 " +
+        "FROM comp c JOIN cent ON c.label = cent.label AND c.dim = cent.dim " +
+        "GROUP BY c.label, c.vec_id), " +
+        "rk AS (SELECT label, vec_id, dist2, row_number() OVER " +
+        "(PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rank FROM d2) " +
+        "SELECT CAST(label AS BIGINT) AS label, vec_id, dist2, rank " +
+        "FROM rk WHERE rank <= 5 ORDER BY label, rank"),
     "split_train_test" ->
       (s"SELECT doc_id, ${sqlPolyHash("text", 7L)} % 100 AS bucket, " +
         s"CASE WHEN ${sqlPolyHash("text", 7L)} % 100 < 80 THEN 'train' " +

@@ -58,6 +58,40 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** kNN majority-vote label prediction (the label-quality rung above
+    * `sim_bruteforce_topk`): each of the 100 query vectors is classified by
+    * the modal label of its 10 exact-cosine nearest neighbors, with a
+    * deterministic (votes DESC, label ASC) tiebreak so the prediction is
+    * engine-independent. The corpus streams once against the broadcast
+    * query set — at 100 TB the query block is the small side by
+    * construction (holdout vs corpus), so the scan is map-side with two
+    * narrow per-query rollups after it; ranking and voting are exact
+    * (identical cosine operand trees, integer votes), hence the full
+    * prediction table hash-matches SQL. */
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val all = fixed(s, d)
+    val q = all.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("fx").as("qx"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("q_id"),
+        col("true_label").cast(LongType).as("true_label"),
+        col("label").cast(LongType).as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("is_correct"))
+      .orderBy("q_id")
+  }
+
   /** Vector-count bound for the exact all-pairs near-dup path: n(n-1)/2
     * codegen'd 64-dim dot products. 65536 vectors ≈ 2.1e9 pairs — core-
     * minutes on a cluster, the last scale where exact is sane; past it the
@@ -266,6 +300,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> bruteforceTopk _,
+    "emb_knn_classify" -> knnClassify _,
     "dedup_embedding" -> embeddingPairs _,
     "dedup_embedding_ann" -> embeddingPairsAnn _,
     "sim_lsh_ann" -> lshAnn _,
@@ -385,6 +420,25 @@ object Similarity {
     "sim_lsh_ann" -> lshSql,
     "sim_ivf_ann" -> ivfSql,
     "dedup_embedding_ann" -> embAnnSql,
+    "emb_knn_classify" ->
+      (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, label, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "q AS (SELECT vec_id AS q_id, label AS true_label, fx AS qx, nrm AS qn " +
+        "FROM n WHERE vec_id < 100), " +
+        "scored AS (SELECT q_id, true_label, vec_id, label, " +
+        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN q WHERE vec_id <> q_id), " +
+        "topk AS (SELECT * FROM (SELECT q_id, true_label, label, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank " +
+        "FROM scored) WHERE rank <= 10), " +
+        "votes AS (SELECT q_id, true_label, label, COUNT(*) AS votes FROM topk " +
+        "GROUP BY q_id, true_label, label), " +
+        "best AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY votes DESC, label) AS rn FROM votes) " +
+        "SELECT q_id, CAST(true_label AS BIGINT) AS true_label, " +
+        "CAST(label AS BIGINT) AS pred_label, votes, " +
+        "label = true_label AS is_correct FROM best WHERE rn = 1 ORDER BY q_id"),
     "sim_bruteforce_topk" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

@@ -144,6 +144,37 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Neighborhood Jaccard per association edge (edge embeddedness — the
+    * link-prediction/community-strength score): for each support-filtered
+    * edge (u,v), |N(u)∩N(v)| / |N(u)∪N(v)| over the same support≥2 graph
+    * as `graph_triangles`. Common-neighbor counts come from ONE wedge join
+    * through the mirrored adjacency (the triangle enumeration, kept per
+    * pair instead of summed), degrees from one hash agg on the cached pair
+    * frame; union size is deg(u)+deg(v)−common, so the only double op is
+    * the final division of two exact integers — hash-matchable. The
+    * support filter bounds the wedge work exactly as in graph_triangles;
+    * zero-common edges survive via the left join. */
+  private def graphJaccardNbrs(s: SparkSession, d: String): DataFrame = {
+    val adj = U.track(coPairs(s, d).filter(col("support") >= 2)
+      .select(col("u"), col("v")).persist()) // mirrored: both directions
+    val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("u").as("x"), col("v").as("w"))
+      .join(adj.select(col("u").as("y"), col("v").as("w")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    adj.filter(col("u") < col("v"))
+      .join(wedges, col("u") === col("x") && col("v") === col("y"), "left_outer")
+      .join(deg.select(col("n"), col("deg").as("deg_u")), col("u") === col("n"))
+      .drop("n")
+      .join(deg.select(col("n"), col("deg").as("deg_v")), col("v") === col("n"))
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (coalesce(col("common"), lit(0L)).cast(DoubleType) /
+          (col("deg_u") + col("deg_v") - coalesce(col("common"), lit(0L)))
+            .cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -179,6 +210,7 @@ object Graphs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
+    "graph_jaccard_nbrs" -> graphJaccardNbrs _,
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_cc" -> graphCc _,
     "graph_triangles" -> graphTriangles _)
@@ -217,6 +249,21 @@ object Graphs {
         "deg AS (SELECT u, COUNT(*) AS degree FROM edges GROUP BY u) " +
         "SELECT degree, COUNT(*) AS n_nodes FROM deg " +
         "GROUP BY degree ORDER BY degree"),
+    "graph_jaccard_nbrs" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "sup AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, a.pk AS u, " +
+        "b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+        "adj AS (SELECT u, v FROM sup UNION ALL SELECT v AS u, u AS v FROM sup), " +
+        "deg AS (SELECT u AS n, COUNT(*) AS deg FROM adj GROUP BY u), " +
+        "wed AS (SELECT a.u AS x, b.u AS y, COUNT(*) AS common FROM adj a " +
+        "JOIN adj b ON a.v = b.v AND a.u < b.u GROUP BY a.u, b.u) " +
+        "SELECT s.u, s.v, coalesce(common, 0) AS common, " +
+        "CAST(coalesce(common, 0) AS DOUBLE) / " +
+        "CAST(du.deg + dv.deg - coalesce(common, 0) AS DOUBLE) AS jaccard " +
+        "FROM sup s JOIN deg du ON s.u = du.n JOIN deg dv ON s.v = dv.n " +
+        "LEFT JOIN wed ON wed.x = s.u AND wed.y = s.v " +
+        "ORDER BY jaccard DESC, s.u, s.v"),
     "graph_triangles" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, " +

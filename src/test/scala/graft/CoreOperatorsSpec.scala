@@ -440,4 +440,20 @@ class CoreOperatorsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("edge common-neighbor mass equals three times the triangle count") {
+    // each triangle {u,v,w} contributes one common neighbor to each of its
+    // three edges, so sum(common) over graph_jaccard_nbrs must equal
+    // 3 * graph_triangles — a cross-query law over the shared pair frame
+    val tri = graft.operators.Graphs.queries("graph_triangles")(spark, sfDir)
+      .collect()(0).getAs[Long]("n_triangles")
+    val jn = graft.operators.Graphs.queries("graph_jaccard_nbrs")(spark, sfDir)
+    val mass = jn.agg(sum(col("common"))).collect()(0).getLong(0)
+    assert(mass == 3 * tri, s"sum(common)=$mass vs 3*triangles=${3 * tri}")
+    jn.collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $r")
+      assert(r.getAs[Long]("common") >= 0)
+    }
+  }
 }

@@ -175,6 +175,34 @@ class LlmSpec extends SparkTestBase {
     assert(m(1L) != m(3L))
   }
 
+  test("knn classifier: one maximal-vote prediction per query vector") {
+    val preds = graft.llm.Similarity.queries("emb_knn_classify")(spark, sfDir)
+      .collect()
+    assert(preds.length == 100, s"expected 100 predictions, got ${preds.length}")
+    assert(preds.map(_.getAs[Long]("q_id")).distinct.length == 100)
+    preds.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 10, s"votes outside [1, k]: $r")
+      val pred = r.getAs[Long]("pred_label")
+      assert(pred >= 0 && pred <= 9, s"prediction outside label domain: $r")
+      assert(r.getAs[Boolean]("is_correct") ==
+        (pred == r.getAs[Long]("true_label")))
+    }
+  }
+
+  test("label outliers: top-5 per label with non-increasing distance by rank") {
+    val byLabel = graft.llm.Pipeline.queries("emb_label_outlier")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("label"))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, g) =>
+      assert(g.length == 5, s"label $label: ${g.length} outliers")
+      val ds = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("dist2"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+        s"label $label: dist2 not non-increasing by rank")
+      assert(ds.forall(_ >= 0L))
+    }
+  }
+
   test("multimodal decode matches metadata byte counts") {
     val meta = graft.llm.Multimodal.queries("multimodal_schema")(spark, sfDir)
       .select("doc_id", "n_bytes").collect()
