@@ -467,6 +467,24 @@ class PlanSpec extends SparkTestBase {
       s"DSU fast path should run as one task over the small edge set:\n$p")
   }
 
+  test("graph_jaccard_nbrs wedge join is a hash/merge join, never a cross join") {
+    val p = plan("graph_jaccard_nbrs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration degenerated to a cross join:\n$p")
+  }
+
+  test("emb_knn_classify broadcasts the query block over one corpus stream") {
+    // the 100-query block must be the broadcast side; the corpus scan
+    // streams map-side (BroadcastNestedLoopJoin IS the right operator for
+    // an unconditioned crossJoin(broadcast(q)) — the filter/cosine land on
+    // top), so the assert is on the broadcast, not the join flavor
+    val p = plan("emb_knn_classify")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"query block not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x queries planned as a partitioned cartesian:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
