@@ -312,6 +312,30 @@ object Pipeline {
     v.select(col("dim").cast(LongType).as("dim"), col("v")).orderBy("dim")
   }
 
+  /** Projection of every embedding onto the top principal direction (the
+    * PCA rung above [[embTopEigvec]]): proj = Σ fxᵢ·vᵢ DIV 1e6, then a
+    * decile bucket — the 1-d spectral summary drift monitors and
+    * curriculum samplers key on. All integer: fx and v are exact
+    * micro-unit Longs (64 · 1e6 · 1e6 ≈ 6.4e13, inside Long) and both
+    * engines truncate integral division toward zero, so the projections
+    * hash-match. Scale shape: the eigvector is 64 rows (broadcast), the
+    * projection is one linear agg; the global ntile sorts only the narrow
+    * (vec_id, proj) frame — same documented per-shard posture as
+    * pack_sequences' corpus-order window. */
+  private def embProjectEigvec(s: SparkSession, d: String): DataFrame = {
+    val v = embTopEigvec(s, d)
+    val flat = U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("i", "x")))
+    val w = Window.orderBy(col("proj"), col("vec_id"))
+    flat.join(broadcast(v), col("i").cast(LongType) === col("dim"))
+      .groupBy(col("vec_id"))
+      .agg(expr("sum(x * v) DIV 1000000").as("proj"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .orderBy("vec_id")
+  }
+
   /** The operators COMPOSED as one pipeline — the thing a user actually
     * runs: language filter → length quality gate → exact-dedup keeper
     * pick → 200-char/150-stride chunking → per-chunk token count. Each
@@ -339,6 +363,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_end2end" -> pipelineEnd2End _,
     "emb_top_eigvec" -> embTopEigvec _,
+    "emb_project_eigvec" -> embProjectEigvec _,
     "sample_weighted" -> sampleWeighted _,
     "dataset_mix" -> datasetMix _,
     "doc_chunking" -> docChunking _,
@@ -351,6 +376,29 @@ object Pipeline {
     "sample_stratified" -> sampleStratified _,
     "dedup_normalized" -> dedupNormalized _,
     "pack_sequences" -> packSequences _)
+
+  /** The fixed-point power-iteration CTE chain, shared by the eigvector
+    * oracle and the projection oracle built on top of it — one definition
+    * so the two cannot drift. */
+  private val eigvecCtes =
+    "fx AS (SELECT vec_id, list_transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +
+      "FROM embeddings), " +
+      "flat AS (SELECT vec_id, u.i - 1 AS i, u.x AS x FROM fx, " +
+      "LATERAL (SELECT UNNEST(f) AS x, generate_subscripts(f, 1) AS i) u), " +
+      "gram AS (SELECT a.i AS i, b.i AS j, " +
+      "CAST(SUM(a.x * b.x) // 1000000000 AS BIGINT) AS c " +
+      "FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i), " +
+      "v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v " +
+      "FROM (SELECT DISTINCT i FROM gram)), " +
+      "q1 AS (SELECT g.i AS dim, CAST(SUM(g.c * v0.v) AS BIGINT) AS q " +
+      "FROM gram g JOIN v0 ON g.j = v0.dim GROUP BY g.i), " +
+      "v1 AS (SELECT dim, CAST((q * 1000000) // " +
+      "(SELECT MAX(abs(q)) FROM q1) AS BIGINT) AS v FROM q1), " +
+      "q2 AS (SELECT g.i AS dim, CAST(SUM(g.c * v1.v) AS BIGINT) AS q " +
+      "FROM gram g JOIN v1 ON g.j = v1.dim GROUP BY g.i), " +
+      "v2 AS (SELECT dim, CAST((q * 1000000) // " +
+      "(SELECT MAX(abs(q)) FROM q2) AS BIGINT) AS v FROM q2)"
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_end2end" ->
@@ -366,25 +414,14 @@ object Pipeline {
         "CAST(length(chunk) - length(replace(chunk, ' ', '')) + 1 AS BIGINT) " +
         "AS n_tokens FROM chunks ORDER BY doc_id, chunk_idx"),
     "emb_top_eigvec" ->
-      ("WITH fx AS (SELECT vec_id, list_transform(embedding, x -> " +
-        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +
-        "FROM embeddings), " +
-        "flat AS (SELECT vec_id, u.i - 1 AS i, u.x AS x FROM fx, " +
-        "LATERAL (SELECT UNNEST(f) AS x, generate_subscripts(f, 1) AS i) u), " +
-        "gram AS (SELECT a.i AS i, b.i AS j, " +
-        "CAST(SUM(a.x * b.x) // 1000000000 AS BIGINT) AS c " +
-        "FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i), " +
-        "v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v " +
-        "FROM (SELECT DISTINCT i FROM gram)), " +
-        "q1 AS (SELECT g.i AS dim, CAST(SUM(g.c * v0.v) AS BIGINT) AS q " +
-        "FROM gram g JOIN v0 ON g.j = v0.dim GROUP BY g.i), " +
-        "v1 AS (SELECT dim, CAST((q * 1000000) // " +
-        "(SELECT MAX(abs(q)) FROM q1) AS BIGINT) AS v FROM q1), " +
-        "q2 AS (SELECT g.i AS dim, CAST(SUM(g.c * v1.v) AS BIGINT) AS q " +
-        "FROM gram g JOIN v1 ON g.j = v1.dim GROUP BY g.i), " +
-        "v2 AS (SELECT dim, CAST((q * 1000000) // " +
-        "(SELECT MAX(abs(q)) FROM q2) AS BIGINT) AS v FROM q2) " +
-        "SELECT dim, v FROM v2 ORDER BY dim"),
+      s"WITH $eigvecCtes SELECT dim, v FROM v2 ORDER BY dim",
+    "emb_project_eigvec" ->
+      (s"WITH $eigvecCtes, " +
+        "proj AS (SELECT fl.vec_id, CAST(SUM(fl.x * v2.v) // 1000000 " +
+        "AS BIGINT) AS proj FROM flat fl JOIN v2 ON fl.i = v2.dim " +
+        "GROUP BY fl.vec_id) " +
+        "SELECT vec_id, proj, CAST(ntile(10) OVER (ORDER BY proj, vec_id) " +
+        "AS BIGINT) AS decile FROM proj ORDER BY vec_id"),
     "sample_weighted" ->
       ("WITH c AS (SELECT doc_id, n_chars, SUM(n_chars) OVER (" +
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +

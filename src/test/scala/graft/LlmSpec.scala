@@ -203,6 +203,26 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("eigvector projection: balanced deciles, ordered by projection value") {
+    val rows = graft.llm.Pipeline.queries("emb_project_eigvec")(spark, sfDir)
+      .collect()
+    val n = rows.length
+    assert(n > 0)
+    val byDec = rows.groupBy(_.getAs[Long]("decile"))
+    assert(byDec.keySet == (1L to 10L).toSet, s"deciles: ${byDec.keySet}")
+    byDec.values.foreach(g =>
+      assert(math.abs(g.length - n / 10) <= 1, "deciles not balanced"))
+    val bounds = byDec.toSeq.sortBy(_._1)
+      .map { case (_, g) =>
+        val ps = g.map(_.getAs[Long]("proj"))
+        (ps.min, ps.max)
+      }
+    bounds.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0)._2 <= w(1)._1, "deciles not ordered by projection")
+    }
+  }
+
   test("multimodal decode matches metadata byte counts") {
     val meta = graft.llm.Multimodal.queries("multimodal_schema")(spark, sfDir)
       .select("doc_id", "n_bytes").collect()
