@@ -38,6 +38,7 @@ object Bench {
     try {
       graft.operators.Graphs.warm(spark, sfDir)
       graft.llm.Dedup.warm(spark, sfDir)
+      graft.llm.Pipeline.warm(spark, sfDir)
       graft.operators.Scans.warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
