@@ -460,7 +460,31 @@ object Aggregations {
       .orderBy("column_name")
   }
 
+  /** Shannon entropy of the per-source language mix (the class-balance
+    * probe every corpus-curation pass runs before reweighting). Per-term
+    * −p·ln(p) is floored to INTEGER MICRO-NATS before the per-group sum —
+    * the unigramLp discipline: double addition is not associative, so the
+    * integer sum is what makes the result partial-aggregation-order-free
+    * and hash-matchable. Two hash aggs + one broadcast-sized re-join
+    * (groups × langs rows); linear at any corpus size. */
+  private def aggEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = U.tbl(s, d, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    counts.join(tot, "source")
+      .withColumn("term_micro",
+        floor(col("c").cast(DoubleType) / col("n") *
+          log(col("c").cast(DoubleType) / col("n")) * lit(-1000000.0))
+          .cast(LongType))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        (sum(col("term_micro")).cast(DoubleType) / lit(1000000.0))
+          .as("entropy_nats"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_entropy" -> aggEntropy _,
     "profile_table" -> profileTable _,
     "agg_bool" -> aggBool _,
     "agg_weighted_median" -> aggWeightedMedian _,
@@ -566,6 +590,18 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_entropy" ->
+      ("WITH counts AS (SELECT source, lang, COUNT(*) AS c FROM documents " +
+        "GROUP BY source, lang), " +
+        "tot AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source), " +
+        "terms AS (SELECT counts.source, n, " +
+        "CAST(floor(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n) " +
+        "* -1000000.0) AS BIGINT) AS term_micro " +
+        "FROM counts JOIN tot ON counts.source = tot.source) " +
+        "SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, " +
+        "COUNT(*) AS n_langs, " +
+        "CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS entropy_nats " +
+        "FROM terms GROUP BY source ORDER BY source"),
     "profile_table" ->
       (Seq(
         profileOracleCol("l_orderkey", "l_orderkey"),

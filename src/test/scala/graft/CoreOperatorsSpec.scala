@@ -441,6 +441,19 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("entropy is bounded by ln(n_langs) and zero for single-class groups") {
+    val rows = graft.operators.Aggregations.queries("agg_entropy")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val k = r.getAs[Long]("n_langs")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6,
+        s"entropy outside [0, ln(k)]: $r")
+      if (k == 1L) assert(h == 0.0, s"single-class group with entropy: $r")
+    }
+  }
+
   test("edge common-neighbor mass equals three times the triangle count") {
     // each triangle {u,v,w} contributes one common neighbor to each of its
     // three edges, so sum(common) over graph_jaccard_nbrs must equal
