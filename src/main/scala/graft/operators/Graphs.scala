@@ -175,6 +175,41 @@ object Graphs {
       .orderBy(col("jaccard").desc, col("u"), col("v"))
   }
 
+  /** Adamic–Adar link score per association edge (the degree-weighted
+    * sibling of [[graphJaccardNbrs]]): Σ over common neighbors w of
+    * 1/ln(deg(w)) — rare shared neighbors count more than hub neighbors,
+    * the standard link-prediction refinement. Per-neighbor weights are
+    * floored to integer MICRO-UNITS before the per-edge sum (the
+    * micro-nat discipline), so the score is partial-aggregation-order-free
+    * and hash-matches SQL; a common neighbor always has degree ≥ 2 (edges
+    * to both endpoints), so ln(deg) never hits zero. Same bounded wedge
+    * join as the Jaccard query, plus one broadcast-sized weight join. */
+  private def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val adj = U.track(coPairs(s, d).filter(col("support") >= 2)
+      .select(col("u"), col("v")).persist()) // mirrored: both directions
+    // a common neighbor always has degree >= 2, so dropping degree-1 nodes
+    // here is a semantic no-op — it exists to keep ln(deg) away from zero
+    // (ANSI mode evaluates the division for every node, reachable or not)
+    val degW = adj.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("w"),
+        floor(lit(1000000.0) / log(col("deg").cast(DoubleType)))
+          .cast(LongType).as("aa_micro"))
+    val scores = adj.select(col("u").as("x"), col("v").as("w"))
+      .join(adj.select(col("u").as("y"), col("v").as("w")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .join(degW, Seq("w"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common"), sum(col("aa_micro")).as("aa_sum"))
+    adj.filter(col("u") < col("v"))
+      .join(scores, col("u") === col("x") && col("v") === col("y"), "left_outer")
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (coalesce(col("aa_sum"), lit(0L)).cast(DoubleType) / lit(1000000.0))
+          .as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -211,6 +246,7 @@ object Graphs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
+    "graph_adamic_adar" -> graphAdamicAdar _,
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_cc" -> graphCc _,
     "graph_triangles" -> graphTriangles _)
@@ -264,6 +300,23 @@ object Graphs {
         "FROM sup s JOIN deg du ON s.u = du.n JOIN deg dv ON s.v = dv.n " +
         "LEFT JOIN wed ON wed.x = s.u AND wed.y = s.v " +
         "ORDER BY jaccard DESC, s.u, s.v"),
+    "graph_adamic_adar" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "sup AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, a.pk AS u, " +
+        "b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+        "adj AS (SELECT u, v FROM sup UNION ALL SELECT v AS u, u AS v FROM sup), " +
+        "degw AS (SELECT u AS w, CAST(floor(1000000.0 / " +
+        "ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS aa_micro " +
+        "FROM adj GROUP BY u HAVING COUNT(*) >= 2), " +
+        "sc AS (SELECT a.u AS x, b.u AS y, COUNT(*) AS common, " +
+        "SUM(aa_micro) AS aa_sum FROM adj a " +
+        "JOIN adj b ON a.v = b.v AND a.u < b.u " +
+        "JOIN degw ON degw.w = a.v GROUP BY a.u, b.u) " +
+        "SELECT s.u, s.v, CAST(coalesce(common, 0) AS BIGINT) AS common, " +
+        "CAST(coalesce(aa_sum, 0) AS DOUBLE) / 1000000.0 AS adamic_adar " +
+        "FROM sup s LEFT JOIN sc ON sc.x = s.u AND sc.y = s.v " +
+        "ORDER BY adamic_adar DESC, s.u, s.v"),
     "graph_triangles" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, " +

@@ -454,6 +454,16 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("adamic-adar and jaccard agree on per-edge common-neighbor counts") {
+    def commons(name: String) =
+      graft.operators.Graphs.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("common")).toMap
+    val aa = commons("graph_adamic_adar")
+    val jc = commons("graph_jaccard_nbrs")
+    assert(aa.nonEmpty && aa == jc,
+      "common-neighbor counts diverge between the two link scores")
+  }
+
   test("edge common-neighbor mass equals three times the triangle count") {
     // each triangle {u,v,w} contributes one common neighbor to each of its
     // three edges, so sum(common) over graph_jaccard_nbrs must equal
