@@ -31,7 +31,9 @@ object TextAnalysis {
     val tok = docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    // df from tf (distinct pairs already) — one tokenize pass, no distinct
+    // agg; same ReusedExchange collapse as keywordExtract
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
     tf.join(df, "token").crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
@@ -187,7 +189,11 @@ object TextAnalysis {
     val tok = docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from tf — its (doc_id, token) rows are distinct already,
+    // so this is a plain count (no distinct agg) and the second tokenize
+    // pass disappears: the identical tf aggregate subplan on both branches
+    // collapses to one ReusedExchange at runtime
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
