@@ -100,8 +100,11 @@ object TextAnalysis {
     * the integer sum is exact and engine-identical, with one final
     * division back to doubles. */
   private def unigramLp(s: SparkSession, d: String): DataFrame = {
-    val tok = docs(s, d)
+    // the exploded token frame feeds three consumers (tf, total, join-back)
+    // — persist it once instead of re-tokenizing the corpus per consumer
+    val tok = U.track(docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .persist())
     val tf = tok.groupBy(col("token")).agg(count(lit(1)).as("ctf"))
     val tot = tok.agg(count(lit(1)).as("n_total"))
     tok.join(tf, "token").crossJoin(broadcast(tot))
@@ -126,12 +129,15 @@ object TextAnalysis {
     val base = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2) // sequence(1,0) would count DOWN
-    val pairs = base
+    // three consumers (bigram counts, prefix counts, join-back) — persist
+    // the exploded pair frame once instead of re-tokenizing per consumer
+    val pairs = U.track(base
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(toks) - 1), " +
           "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist())
     val cBg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cPrefix = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
     pairs.join(cBg, Seq("w1", "w2")).join(cPrefix, Seq("w1"))
