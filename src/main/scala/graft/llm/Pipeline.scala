@@ -86,18 +86,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-(vec_id, label, dim) fixed-point components — the ONE definition
+    * of the exploded embedding frame that `emb_label_centroid` and
+    * `emb_label_outlier` both build on (the eigvecCtes discipline: a
+    * shared base so the two cannot drift). */
+  private def labelComp(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1000000.0)))).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast(LongType).as("dim"), col("x"))
+
+  /** Floored-mean centroid per (label, dim) over [[labelComp]]. */
+  private def labelCent(comp: DataFrame): DataFrame =
+    comp.groupBy(col("label"), col("dim"))
+      .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("cx"), count(lit(1)).as("n_vecs"))
+
   /** Per-label embedding centroids in the exact fixed-point domain
     * (posexplode → per-(label, dim) integer sums → floored mean): the
     * label-analytics rung of embedding curation (class prototypes, drift
     * checks). One explode shuffle keyed (label, dim) — linear, and the
     * same recenter shape as the IVF quantizer but fully oracle-able. */
   private def embLabelCentroid(s: SparkSession, d: String): DataFrame =
-    U.tbl(s, d, "embeddings")
-      .select(col("label"), posexplode(transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * lit(1000000.0)))).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
-      .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).cast(LongType).as("cx"),
-        count(lit(1)).as("n_vecs"))
+    labelCent(labelComp(s, d))
+      .select(col("label"), col("dim"), col("cx"), col("n_vecs"))
       .orderBy("label", "dim")
 
   /** Distance-to-own-centroid label outliers (the mislabel/anomaly screen
@@ -111,14 +125,8 @@ object Pipeline {
     * broadcasts the re-join and the per-label top-k is the GroupedTopK
     * window shape. */
   private def embLabelOutlier(s: SparkSession, d: String): DataFrame = {
-    val comp = U.tbl(s, d, "embeddings")
-      .select(col("vec_id"), col("label"),
-        posexplode(transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * lit(1000000.0)))).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("label"),
-        (col("pos") + 1).cast(LongType).as("dim"), col("x"))
-    val cent = comp.groupBy(col("label"), col("dim"))
-      .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).as("cx"))
+    val comp = labelComp(s, d)
+    val cent = labelCent(comp).select(col("label"), col("dim"), col("cx"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist2").desc, col("vec_id"))
     comp.join(cent, Seq("label", "dim"))
@@ -401,6 +409,19 @@ object Pipeline {
     "dedup_normalized" -> dedupNormalized _,
     "pack_sequences" -> packSequences _)
 
+  /** The exploded-component + floored-mean-centroid CTE chain, shared by
+    * the emb_label_centroid and emb_label_outlier oracles — one definition
+    * so the two cannot drift (mirrors [[labelComp]]/[[labelCent]]). */
+  private val labelCentCtes =
+    "f AS (SELECT vec_id, label, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
+      "FROM embeddings), " +
+      "comp AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim, " +
+      "fx[CAST(i AS INTEGER)] AS x FROM f CROSS JOIN range(1, 65) t(i)), " +
+      "cent AS (SELECT label, dim, CAST(floor(CAST(SUM(x) AS DOUBLE) " +
+      "/ COUNT(*)) AS BIGINT) AS cx, COUNT(*) AS n_vecs " +
+      "FROM comp GROUP BY label, dim)"
+
   /** The fixed-point power-iteration CTE chain, shared by the eigvector
     * oracle and the projection oracle built on top of it — one definition
     * so the two cannot drift. */
@@ -502,22 +523,10 @@ object Pipeline {
         "AS BIGINT)) AS BIGINT) AS sum_abs_err_nano " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
     "emb_label_centroid" ->
-      ("WITH f AS (SELECT label, list_transform(embedding, " +
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
-        "FROM embeddings) " +
-        "SELECT label, CAST(i AS BIGINT) AS dim, " +
-        "CAST(floor(CAST(SUM(fx[CAST(i AS INTEGER)]) AS DOUBLE) / COUNT(*)) " +
-        "AS BIGINT) AS cx, COUNT(*) AS n_vecs " +
-        "FROM f CROSS JOIN range(1, 65) t(i) " +
-        "GROUP BY label, i ORDER BY label, dim"),
+      (s"WITH $labelCentCtes SELECT label, dim, cx, n_vecs FROM cent " +
+        "ORDER BY label, dim"),
     "emb_label_outlier" ->
-      ("WITH f AS (SELECT vec_id, label, list_transform(embedding, " +
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
-        "FROM embeddings), " +
-        "comp AS (SELECT vec_id, label, CAST(i AS BIGINT) AS dim, " +
-        "fx[CAST(i AS INTEGER)] AS x FROM f CROSS JOIN range(1, 65) t(i)), " +
-        "cent AS (SELECT label, dim, CAST(floor(CAST(SUM(x) AS DOUBLE) " +
-        "/ COUNT(*)) AS BIGINT) AS cx FROM comp GROUP BY label, dim), " +
+      (s"WITH $labelCentCtes, " +
         "d2 AS (SELECT c.label, c.vec_id, " +
         "CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS dist2 " +
         "FROM comp c JOIN cent ON c.label = cent.label AND c.dim = cent.dim " +

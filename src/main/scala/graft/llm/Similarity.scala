@@ -44,19 +44,30 @@ object Similarity {
   private def cosCol(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
 
-  private def bruteforceTopk(s: SparkSession, d: String): DataFrame = {
+  /** Exact cosine-neighbor scaffold shared by `sim_bruteforce_topk` and
+    * `emb_knn_classify`: the nQueries lowest vec_ids broadcast against one
+    * corpus stream, each neighbor ranked per query by (cos DESC, vec_id)
+    * and kept to the top k. One definition of the scoring tree so the two
+    * queries cannot drift from their SQL mirrors independently. */
+  private def scoredNeighbors(s: SparkSession, d: String,
+      nQueries: Int, k: Int): DataFrame = {
     val all = fixed(s, d)
-    val q = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("fx").as("qx"), col("nrm").as("qn"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("fx").as("qx"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
-      .orderBy("q_id", "rank")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
+
+  private def bruteforceTopk(s: SparkSession, d: String): DataFrame =
+    scoredNeighbors(s, d, nQueries = 10, k = 5)
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
 
   /** kNN majority-vote label prediction (the label-quality rung above
     * `sim_bruteforce_topk`): each of the 100 query vectors is classified by
@@ -69,18 +80,9 @@ object Similarity {
     * (identical cosine operand trees, integer votes), hence the full
     * prediction table hash-matches SQL. */
   private def knnClassify(s: SparkSession, d: String): DataFrame = {
-    val all = fixed(s, d)
-    val q = all.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
-        col("fx").as("qx"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     val wv = Window.partitionBy(col("q_id"))
       .orderBy(col("votes").desc, col("label"))
-    all.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+    scoredNeighbors(s, d, nQueries = 100, k = 10)
       .groupBy(col("q_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("rn", row_number().over(wv))
