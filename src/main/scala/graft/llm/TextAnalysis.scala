@@ -130,7 +130,11 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2) // sequence(1,0) would count DOWN
     // three consumers (bigram counts, prefix counts, join-back) — persist
-    // the exploded pair frame once instead of re-tokenizing per consumer
+    // the exploded pair frame once instead of re-tokenizing per consumer.
+    // (Measured dead end: pre-aggregating per-(doc, bigram) multiplicities
+    // so the counts cascade from shrinking aggregates benched 2x SLOWER at
+    // sf0.1 — natural-text bigrams are near-unique within a doc, so the
+    // extra wide-string-key shuffle buys nothing.)
     val pairs = U.track(base
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(toks) - 1), " +
