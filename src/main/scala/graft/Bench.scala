@@ -45,7 +45,7 @@ object Bench {
       only.forall(names => prefixes.exists(p => names.exists(_.startsWith(p))))
     try {
       if (wants("graph_")) graft.operators.Graphs.warm(spark, sfDir)
-      if (wants("dedup_")) graft.llm.Dedup.warm(spark, sfDir)
+      if (wants("dedup_", "text_novelty")) graft.llm.Dedup.warm(spark, sfDir)
       if (wants("emb_top_eigvec", "emb_project_eigvec"))
         graft.llm.Pipeline.warm(spark, sfDir)
       if (wants("scan_", "join_dpp", "sink_"))

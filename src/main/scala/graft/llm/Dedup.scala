@@ -34,7 +34,7 @@ object Dedup {
     * per JVM (codegen'd Shingles3 + PolyHashArray) and served from cache. */
   private val shingleCache =
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
-  private def shingled(s: SparkSession, d: String): DataFrame = synchronized {
+  private[llm] def shingled(s: SparkSession, d: String): DataFrame = synchronized {
     shingleCache.get(d) match {
       // reference-compare the session: a cached frame bound to a stopped
       // session must be rebuilt, and stale entries must not accumulate

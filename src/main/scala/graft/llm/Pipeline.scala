@@ -392,7 +392,52 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Temperature-scaled source mixture (the multinomial-sampling weights of
+    * multilingual/multi-source training-data assembly, T = 2 i.e.
+    * weight ∝ count^(1/2)): per-source √count is floored to integer
+    * MICRO-UNITS immediately — sqrt is correctly rounded in IEEE 754 so
+    * both engines floor the same double, and the TOTAL is then a sum of
+    * exact integers (summing raw doubles would be order-dependent). The
+    * final share division and the integer budget allocation both run on
+    * exact operands. Two tiny hash aggs + one broadcast — trivially linear. */
+  private def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val perSrc = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_micro",
+        floor(sqrt(col("n_docs").cast(DoubleType)) * lit(1000000.0))
+          .cast(LongType))
+    val tot = perSrc.agg(sum(col("sqrt_micro")).as("tot"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sqrt_micro"),
+        (col("sqrt_micro").cast(DoubleType) / col("tot").cast(DoubleType))
+          .as("weight"),
+        expr("(1000 * sqrt_micro) DIV tot").as("n_target"))
+      .orderBy("source")
+  }
+
+  /** Sign product-quantization code histogram: each 64-dim embedding is
+    * split into 8 contiguous 8-dim blocks; a block's bit is the sign of its
+    * component sum (computed over exact fixed-point micro-units, so the
+    * sum — and therefore the bit — is aggregation-order-free), and the 8
+    * bits pack into one code byte. The histogram over codes is the
+    * collision profile a PQ/LSH index design starts from. Explode →
+    * two-level hash agg — linear, and the same fixed-point doctrine as
+    * [[labelComp]]. */
+  private def embPqCode(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), expr("pos DIV 8").as("blk"),
+        floor(col("x").cast(DoubleType) * lit(1000000.0)).cast(LongType).as("xm"))
+      .groupBy(col("vec_id"), col("blk")).agg(sum(col("xm")).as("bs"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr(
+        "CASE WHEN bs > 0 THEN shiftleft(1L, CAST(blk AS INT)) ELSE 0L END"))
+        .as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy("code")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> sampleTemperature _,
+    "emb_pq_code" -> embPqCode _,
     "pipeline_end2end" -> pipelineEnd2End _,
     "emb_top_eigvec" -> embTopEigvec _,
     "emb_project_eigvec" -> embProjectEigvec _,
@@ -446,6 +491,27 @@ object Pipeline {
       "(SELECT MAX(abs(q)) FROM q2) AS BIGINT) AS v FROM q2)"
 
   val oracleSql: Map[String, String] = Map(
+    "sample_temperature" ->
+      ("WITH p AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+        "AS sqrt_micro FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS tot FROM p) " +
+        "SELECT source, n_docs, sqrt_micro, " +
+        "CAST(sqrt_micro AS DOUBLE) / CAST(tot AS DOUBLE) AS weight, " +
+        "CAST((1000 * sqrt_micro) // tot AS BIGINT) AS n_target " +
+        "FROM p CROSS JOIN t ORDER BY source"),
+    "emb_pq_code" ->
+      ("WITH c AS (SELECT vec_id, (u.i - 1) // 8 AS blk, " +
+        "CAST(floor(CAST(u.x AS DOUBLE) * 1000000.0) AS BIGINT) AS xm " +
+        "FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS x, " +
+        "generate_subscripts(embedding, 1) AS i) u), " +
+        "b AS (SELECT vec_id, blk, CAST(SUM(xm) AS BIGINT) AS bs " +
+        "FROM c GROUP BY vec_id, blk), " +
+        "codes AS (SELECT vec_id, CAST(SUM(CASE WHEN bs > 0 THEN " +
+        "(CAST(1 AS BIGINT) << CAST(blk AS INTEGER)) ELSE 0 END) AS BIGINT) " +
+        "AS code FROM b GROUP BY vec_id) " +
+        "SELECT code, COUNT(*) AS n_vecs FROM codes " +
+        "GROUP BY code ORDER BY code"),
     "pipeline_end2end" ->
       ("WITH q AS (SELECT doc_id, text FROM documents WHERE lang = 'en' " +
         "AND n_chars BETWEEN 150 AND 450), " +

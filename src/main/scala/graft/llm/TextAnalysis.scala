@@ -191,6 +191,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition quality signals per doc: duplicate-token
+    * ratio (1 − distinct/total, in integer micro-units), the most frequent
+    * token's count, and the most frequent word-bigram's count — the
+    * repetition filters every corpus-quality pass runs (heavily repeated
+    * text is boilerplate or spam). Entirely per-row array arithmetic
+    * (quadratic in tokens-per-doc, which is bounded; linear in docs), so
+    * the whole query is a shuffle-free projection at any corpus size.
+    * Docs under 2 tokens are filtered BEFORE the ratio division — ANSI
+    * mode evaluates expressions on semantically-unreachable rows. */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
+      .withColumn("top_token", expr(
+        "array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t))))").cast(LongType))
+      .withColumn("bgs", expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws('_', element_at(toks, i), element_at(toks, i + 1)))"))
+      .withColumn("top_bigram", expr(
+        "array_max(transform(array_distinct(bgs), " +
+          "b -> size(filter(bgs, x -> x = b))))").cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("((n_tokens - n_distinct) * 1000000) DIV n_tokens").as("dup_micro"),
+        col("top_token"), col("top_bigram"))
+      .orderBy("doc_id")
+
+  /** First-occurrence shingle novelty per doc (the incremental-crawl
+    * curation signal: how much of this document's content is new to the
+    * corpus in doc_id order): each distinct 3-gram shingle is owned by the
+    * minimum doc_id containing it; a doc's novelty is the fraction of its
+    * shingles it owns. Explode → min-agg → join-back, all keyed on the
+    * shingle — two linear hash shuffles, the dedup family's shape, fed
+    * from [[Dedup.shingled]]'s per-(session, sfDir) cache so the corpus
+    * is shingled once per JVM across the whole dedup/novelty family. */
+  private def novelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingled(s, d)
+      .select(col("doc_id"), explode(col("ss")).as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) DIV n_shingles").as("novelty_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc keyword extraction: [[tfidf]]'s scoring reduced to each doc's
     * top-3 terms (rank by 6-dp-rounded tf-idf, token tiebreak => total
     * deterministic order both engines). At scale the per-doc top-k runs
@@ -218,6 +269,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition _,
+    "text_novelty" -> novelty _,
     "text_keyword_extract" -> keywordExtract _,
     "text_winnowing" -> winnowing _,
     "text_redact" -> redact _,
@@ -231,6 +284,32 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, toks, " +
+        "list_transform(range(1, len(toks)), " +
+        "i -> toks[CAST(i AS INTEGER)] || '_' || toks[CAST(i + 1 AS INTEGER)]) " +
+        "AS bgs FROM t WHERE len(toks) >= 2) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, " +
+        "CAST(((len(toks) - len(list_distinct(toks))) * 1000000) " +
+        "// len(toks) AS BIGINT) AS dup_micro, " +
+        "CAST(list_max(list_transform(list_distinct(toks), " +
+        "t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_token, " +
+        "CAST(list_max(list_transform(list_distinct(bgs), " +
+        "b -> len(list_filter(bgs, x -> x = b)))) AS BIGINT) AS top_bigram " +
+        "FROM f ORDER BY doc_id"),
+    "text_novelty" ->
+      (s"WITH sh AS (SELECT doc_id, " +
+        s"unnest(${sqlShingles3(sqlTokens("text"))}) AS sh FROM documents), " +
+        "fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh) " +
+        "SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_novel, " +
+        "CAST((SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000) " +
+        "// COUNT(*) AS BIGINT) AS novelty_micro " +
+        "FROM sh JOIN fst USING (sh) GROUP BY doc_id ORDER BY doc_id"),
     "text_keyword_extract" ->
       (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

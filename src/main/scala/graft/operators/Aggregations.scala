@@ -483,7 +483,36 @@ object Aggregations {
       .orderBy("source")
   }
 
+  /** Gini coefficient of account balance per market segment (the
+    * inequality/concentration probe of distribution profiling): the
+    * rank-weighted form G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) with x sorted
+    * ascending. Every sum runs over exact integer CENTS with a total
+    * deterministic rank order (cents, then custkey) — so the only double
+    * op is the final division of exact integers, and partial-agg order
+    * cannot move the result. One window + one hash agg per segment:
+    * sort-scale is per-segment, not global, at 100 TB. */
+  private def aggGini(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("cents"), col("c_custkey"))
+    U.tbl(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        U.cents(col("c_acctbal")).as("cents"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("rk") * col("cents")).as("rw"))
+      .select(col("c_mktsegment"), col("n_cust"), col("sum_cents"),
+        ((lit(2.0) * col("rw").cast(DoubleType) -
+          (col("n_cust") + lit(1L)).cast(DoubleType) *
+            col("sum_cents").cast(DoubleType)) /
+          (col("n_cust").cast(DoubleType) * col("sum_cents").cast(DoubleType)))
+          .as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini" -> aggGini _,
     "agg_entropy" -> aggEntropy _,
     "profile_table" -> profileTable _,
     "agg_bool" -> aggBool _,
@@ -590,6 +619,20 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_gini" ->
+      (s"WITH x AS (SELECT c_mktsegment, c_custkey, " +
+        s"${OSQL.cents("c_acctbal")} AS cents FROM customer), " +
+        "r AS (SELECT c_mktsegment, cents, " +
+        "CAST(row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY cents, c_custkey) AS BIGINT) AS rk FROM x), " +
+        "g AS (SELECT c_mktsegment, COUNT(*) AS n_cust, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(SUM(rk * cents) AS BIGINT) AS rw FROM r GROUP BY c_mktsegment) " +
+        "SELECT c_mktsegment, n_cust, sum_cents, " +
+        "(2.0 * CAST(rw AS DOUBLE) - CAST(n_cust + 1 AS DOUBLE) * " +
+        "CAST(sum_cents AS DOUBLE)) / " +
+        "(CAST(n_cust AS DOUBLE) * CAST(sum_cents AS DOUBLE)) AS gini " +
+        "FROM g ORDER BY c_mktsegment"),
     "agg_entropy" ->
       ("WITH counts AS (SELECT source, lang, COUNT(*) AS c FROM documents " +
         "GROUP BY source, lang), " +

@@ -229,6 +229,147 @@ object Graphs {
       .orderBy(col("adamic_adar").desc, col("u"), col("v"))
   }
 
+  /** 2-core of the support-filtered association graph (the density-peeling
+    * step community mining runs before anything else — strip every
+    * tree-like appendage, keep only nodes on cycles): iteratively discard
+    * nodes with fewer than 2 qualifying neighbors, report the surviving
+    * core's induced-degree histogram. The loop runs the monotone KEEP-SET
+    * form — k(i+1) = { u : |N(u) ∩ k(i)| >= 2 } — which references k(i)
+    * exactly once per round, so 8 unrolled rounds grow the plan linearly
+    * (the naive peel re-reads the shrinking EDGE frame three times per
+    * round: exponential lineage). k is monotone decreasing with the 2-core
+    * as its fixpoint, and both engines unroll the SAME 8 rounds, so the
+    * outputs agree whether or not the peel has converged by round 8. Per
+    * round: one semi-join against the cached adjacency + one hash agg on
+    * the (shrinking) node set — at 100 TB each round is a bounded shuffle
+    * over survivors only. */
+  private def graphKcore(s: SparkSession, d: String): DataFrame =
+    kcoreImpl(s, d, GraphIterEdgeCap)
+
+  private[graft] def kcoreImpl(s: SparkSession, d: String, cap: Long): DataFrame =
+    kcoreOnAdj(wedgeFrames(s, d)._1, cap)
+
+  /** Edge-count gate for the single-task graph-iteration kernels (k-core
+    * peel, bounded BFS). The support-filtered association graph is orders
+    * of magnitude smaller than the corpus, and 8 peel rounds as DataFrame
+    * stages are ~16 SEQUENTIAL shuffle stages of pure scheduling latency
+    * on a graph that fits one task (measured 5.8 s → sub-second at sf0.1,
+    * the DsuEdgeCap lesson replayed). Past the cap the declared queries
+    * run the distributed loops unchanged — same outputs, shuffle-scale
+    * plans. */
+  private[operators] val GraphIterEdgeCap = 5000000L
+
+  private[graft] def kcoreOnAdj(adj: DataFrame, cap: Long): DataFrame = {
+    val degs =
+      if (adj.count() <= cap) kcoreDegreesSingleTask(adj)
+      else kcoreDegreesLoop(adj)
+    degs.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** The distributed peel — one semi-join + one agg per round against the
+    * cached adjacency, keep-set referenced once per round (linear lineage). */
+  private def kcoreDegreesLoop(adj: DataFrame): DataFrame = {
+    var keep = adj.select(col("u")).distinct()
+    for (_ <- 0 until 8) {
+      keep = adj
+        .join(keep.select(col("u").as("kn")), col("v") === col("kn"), "left_semi")
+        .groupBy(col("u")).agg(count(lit(1)).as("kdeg"))
+        .filter(col("kdeg") >= 2)
+        .select(col("u"))
+    }
+    adj.join(keep.select(col("u").as("cu")), col("u") === col("cu"), "left_semi")
+      .join(keep.select(col("u").as("cv")), col("v") === col("cv"), "left_semi")
+      .groupBy(col("u")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** The below-the-cap kernel: the identical 8 keep-set rounds in one task
+    * (the [[Components.dsuLabels]] precedent — a support-filtered edge set
+    * is tiny, so one pass beats 16 scheduled stages). Mirrors the loop
+    * round-for-round so gate dispatch cannot change the answer. */
+  private def kcoreDegreesSingleTask(adj: DataFrame): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    adj.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        var keep: scala.collection.Set[Long] = edges.iterator.map(_._1).toSet
+        for (_ <- 0 until 8) {
+          val cnt = scala.collection.mutable.Map.empty[Long, Int]
+          for ((u, v) <- edges if keep(v))
+            cnt.update(u, cnt.getOrElse(u, 0) + 1)
+          keep = cnt.collect { case (u, c) if c >= 2 => u }.toSet
+        }
+        val deg = scala.collection.mutable.Map.empty[Long, Long]
+        for ((u, v) <- edges if keep(u) && keep(v))
+          deg.update(u, deg.getOrElse(u, 0L) + 1L)
+        deg.iterator
+      }
+      .toDF("u", "degree")
+  }
+
+  /** Bounded BFS hop distance from the minimum-id node of the association
+    * graph (the reachability probe behind "how far is everything from this
+    * hub"): frontier expansion for 3 rounds, then min-hop per reached node.
+    * Size-gated like [[kcoreOnAdj]]: below [[GraphIterEdgeCap]] the whole
+    * walk runs in one task; above it each (tiny) frontier broadcasts into
+    * the cached adjacency — map-side semi-join, the edge frame never
+    * re-shuffles. Unrolled identically both engines (and both paths), so
+    * hop assignments are exactly comparable. */
+  private def graphBfsHops(s: SparkSession, d: String): DataFrame =
+    bfsImpl(s, d, GraphIterEdgeCap)
+
+  private[graft] def bfsImpl(s: SparkSession, d: String, cap: Long): DataFrame =
+    bfsOnAdj(wedgeFrames(s, d)._1, cap)
+
+  private[graft] def bfsOnAdj(adj: DataFrame, cap: Long): DataFrame =
+    (if (adj.count() <= cap) bfsSingleTask(adj) else bfsLoop(adj))
+      .orderBy("hops", "node")
+
+  private def bfsLoop(adj: DataFrame): DataFrame = {
+    // HAVING-style guard: an empty graph yields zero rows (not a NULL
+    // source), matching the kernel and the oracle's HAVING COUNT(*) > 0
+    val src = adj.agg(min(col("u")).as("n"), count(lit(1)).as("ne"))
+      .filter(col("ne") > 0).select(col("n"))
+    def nbrs(fr: DataFrame): DataFrame =
+      adj.join(broadcast(fr.select(col("n").as("fn"))),
+          col("u") === col("fn"), "left_semi")
+        .select(col("v").as("n")).distinct()
+    val h1 = nbrs(src); val h2 = nbrs(h1); val h3 = nbrs(h2)
+    src.withColumn("hops", lit(0L))
+      .unionByName(h1.withColumn("hops", lit(1L)))
+      .unionByName(h2.withColumn("hops", lit(2L)))
+      .unionByName(h3.withColumn("hops", lit(3L)))
+      .groupBy(col("n").as("node")).agg(min(col("hops")).as("hops"))
+  }
+
+  /** One-task BFS kernel: identical 3 frontier rounds + min-hop labeling. */
+  private def bfsSingleTask(adj: DataFrame): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    adj.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val nbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+          val hops = scala.collection.mutable.Map.empty[Long, Long]
+          var frontier: Set[Long] = Set(edges.iterator.map(_._1).min)
+          hops(frontier.head) = 0L
+          for (h <- 1L to 3L) {
+            frontier = frontier.iterator
+              .flatMap(n => nbrs.getOrElse(n, Array.empty[Long])).toSet
+            // min-hop: only label nodes no earlier round reached
+            for (n <- frontier if !hops.contains(n)) hops(n) = h
+          }
+          hops.iterator
+        }
+      }
+      .toDF("node", "hops")
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -262,7 +403,23 @@ object Graphs {
     "SELECT v AS node, CAST(150000 + (85 * SUM(pr // deg)) // 100 " +
       "AS BIGINT) AS pr FROM e JOIN %s ON u = node GROUP BY v"
 
+  /** The support>=2 mirrored-adjacency CTE prefix shared by the k-core and
+    * BFS oracles — one definition so the oracle graphs cannot drift from
+    * each other (the eigvecCtes discipline). */
+  private val supAdjCtes =
+    "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "sup AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, a.pk AS u, " +
+      "b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+      "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+      "adj AS (SELECT u, v FROM sup UNION ALL SELECT v AS u, u AS v FROM sup)"
+
+  private val kcoreIter =
+    "SELECT a.u AS u FROM adj a JOIN %s k ON a.v = k.u " +
+      "GROUP BY a.u HAVING COUNT(*) >= 2"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> graphKcore _,
+    "graph_bfs_hops" -> graphBfsHops _,
     "graph_pagerank" -> graphPagerank _,
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
     "graph_adamic_adar" -> graphAdamicAdar _,
@@ -271,6 +428,27 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_kcore" ->
+      (supAdjCtes + ", " +
+        "k0 AS (SELECT DISTINCT u FROM adj), " +
+        (1 to 8).map(i => s"k$i AS (${kcoreIter.format(s"k${i - 1}")})")
+          .mkString(", ") + ", " +
+        "core AS (SELECT a.u AS u, COUNT(*) AS degree FROM adj a " +
+        "JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u GROUP BY a.u) " +
+        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM core " +
+        "GROUP BY degree ORDER BY degree"),
+    "graph_bfs_hops" ->
+      (supAdjCtes + ", " +
+        "src AS (SELECT MIN(u) AS n FROM adj HAVING COUNT(*) > 0), " +
+        "h1 AS (SELECT DISTINCT a.v AS n FROM adj a JOIN src s ON a.u = s.n), " +
+        "h2 AS (SELECT DISTINCT a.v AS n FROM adj a JOIN h1 f ON a.u = f.n), " +
+        "h3 AS (SELECT DISTINCT a.v AS n FROM adj a JOIN h2 f ON a.u = f.n), " +
+        "alls AS (SELECT n, CAST(0 AS BIGINT) AS hops FROM src " +
+        "UNION ALL SELECT n, CAST(1 AS BIGINT) FROM h1 " +
+        "UNION ALL SELECT n, CAST(2 AS BIGINT) FROM h2 " +
+        "UNION ALL SELECT n, CAST(3 AS BIGINT) FROM h3) " +
+        "SELECT n AS node, CAST(MIN(hops) AS BIGINT) AS hops FROM alls " +
+        "GROUP BY n ORDER BY hops, node"),
     "graph_cc" ->
       ("WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +

@@ -91,6 +91,34 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Rolling Bollinger-band breakout flags per user: an 8-row trailing
+    * window's mean and variance, with the |z| > 2 breakout test done as an
+    * exact INTEGER cross-multiplication — (n−1)·(n·x−Σx)² > 4·n·(n·Σx²−(Σx)²)
+    * is z² > 4 with every operand an exact cents sum, so there is no sqrt,
+    * no float division, and no engine drift anywhere in the predicate
+    * (value cents ≤ ~5e4 ⇒ every product ≤ ~5e12, comfortably Long). The
+    * window order is total (ts, then event_id), the [[tsRollingMedian]]
+    * determinism discipline. One window pass per user partition — linear. */
+  private def tsBollinger(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    U.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        U.cents(col("value")).as("vc"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_c", sum(col("vc")).over(w))
+      .withColumn("sumsq_c", sum(col("vc") * col("vc")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_win"),
+        expr("sum_c DIV n_win").as("mean_cents"),
+        ((col("n_win") - 1) *
+          (col("n_win") * col("vc") - col("sum_c")) *
+          (col("n_win") * col("vc") - col("sum_c")) >
+          lit(4L) * col("n_win") *
+            (col("n_win") * col("sumsq_c") - col("sum_c") * col("sum_c")))
+          .as("is_break"))
+      .orderBy("event_id")
+  }
+
   /** Per-event-type z-score normalization via exact power sums, joined back
     * to every event (broadcast: the stats side is tiny). */
   private def tsZscore(s: SparkSession, d: String): DataFrame = {
@@ -820,9 +848,23 @@ object TimeSeries {
     "ts_sessionize" -> tsSessionize _,
     "ts_resample_fill" -> tsResampleFill _,
     "ts_diff_rate" -> tsDiffRate _,
+    "ts_bollinger" -> tsBollinger _,
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_bollinger" ->
+      (s"WITH ev AS (SELECT event_id, user_id, ts, " +
+        s"${OSQL.cents("value")} AS vc FROM events), " +
+        "win AS (SELECT event_id, user_id, vc, " +
+        "COUNT(*) OVER w AS n_win, CAST(SUM(vc) OVER w AS BIGINT) AS sum_c, " +
+        "CAST(SUM(vc * vc) OVER w AS BIGINT) AS sumsq_c FROM ev " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, n_win, " +
+        "CAST(sum_c // n_win AS BIGINT) AS mean_cents, " +
+        "(n_win - 1) * (n_win * vc - sum_c) * (n_win * vc - sum_c) > " +
+        "4 * n_win * (n_win * sumsq_c - sum_c * sum_c) AS is_break " +
+        "FROM win ORDER BY event_id"),
     "ts_trend" ->
       ("WITH m AS (SELECT event_type, COUNT(*) AS n, " +
         "SUM(CAST(epoch_us(ts) // 1000000 AS DECIMAL(38,0))) AS sx, " +

@@ -485,6 +485,56 @@ class PlanSpec extends SparkTestBase {
       s"corpus x queries planned as a partitioned cartesian:\n$p")
   }
 
+  test("graph_kcore below the cap runs the one-task peel kernel (no joins)") {
+    val p = plan("graph_kcore")
+    assert(p.contains("MapPartitions"), s"kernel path not engaged:\n$p")
+    assert(!p.contains("Join"), s"below-cap peel should not plan joins:\n$p")
+  }
+
+  test("graph_kcore past the cap keeps semi-join peel rounds, never cross") {
+    val p = graft.operators.Graphs.kcoreImpl(spark, sfDir, 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"peel rounds lost the semi-join shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"peel degenerated to a cross join:\n$p")
+  }
+
+  test("graph_bfs_hops past the cap broadcasts each frontier") {
+    // every frontier is tiny relative to the edge frame — the expansion
+    // must be map-side (broadcast semi-join), never an edge-side shuffle
+    val p = graft.operators.Graphs.bfsImpl(spark, sfDir, 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"frontier not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian frontier join:\n$p")
+  }
+
+  test("graph_kcore and graph_bfs_hops gate paths agree (cap=0 parity)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(graft.operators.Graphs.kcoreImpl(spark, sfDir, Long.MaxValue)) ==
+      rows(graft.operators.Graphs.kcoreImpl(spark, sfDir, 0L)),
+      "k-core kernel and loop disagree")
+    assert(rows(graft.operators.Graphs.bfsImpl(spark, sfDir, Long.MaxValue)) ==
+      rows(graft.operators.Graphs.bfsImpl(spark, sfDir, 0L)),
+      "BFS kernel and loop disagree")
+  }
+
+  test("text_repetition is a shuffle-free projection (no join, no aggregate)") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Join"), s"per-row array op grew a join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"per-row array op grew an aggregate:\n$p")
+  }
+
+  test("ts_bollinger is one window pass, no join and no sqrt in the plan") {
+    val p = plan("ts_bollinger")
+    assert(p.contains("Window"), s"missing window:\n$p")
+    assert(!p.contains("Join"), s"rolling stats grew a join:\n$p")
+    // the breakout test is exact integer cross-multiplication by design
+    assert(!p.toLowerCase.contains("sqrt"), s"float sqrt leaked into the plan:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
