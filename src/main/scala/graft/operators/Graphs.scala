@@ -370,6 +370,64 @@ object Graphs {
       .toDF("node", "hops")
   }
 
+  /** Local clustering coefficient per node of the support-filtered
+    * association graph (how close each node's neighborhood is to a clique —
+    * the per-node refinement of `graph_triangles`): for node n with degree
+    * d ≥ 2, cc(n) = 2·tri(n) / (d·(d−1)), where tri(n) = number of edges
+    * between n's neighbors = number of CLOSED wedges centered at n. The
+    * closed-wedge count is one left-semi join of the cached (x, y, w) wedge
+    * frame against the u<v edge set — no new wedge build, and the only
+    * double op is the final division of two exact integers. Degree-1 nodes
+    * are filtered BEFORE the division (the ANSI-mode lesson from
+    * [[graphAdamicAdar]]). */
+  private def graphClustCoeff(s: SparkSession, d: String): DataFrame = {
+    val (adj, wedges) = wedgeFrames(s, d)
+    val edges = adj.filter(col("u") < col("v"))
+    val closed = wedges
+      .join(edges.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .groupBy(col("w").as("node")).agg(count(lit(1)).as("n_tri"))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(closed, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        ((coalesce(col("n_tri"), lit(0L)) * 2).cast(DoubleType) /
+          (col("degree") * (col("degree") - 1)).cast(DoubleType))
+          .as("clust_coeff"))
+      .orderBy(col("clust_coeff").desc, col("node"))
+  }
+
+  /** Association rules over the co-purchase baskets (the market-basket
+    * mining classic): for each support≥2 directed pair u→v,
+    * confidence = P(v | u) and lift = P(u,v) / (P(u)·P(v)), both floored to
+    * integer MICRO-UNITS so partial-aggregation order cannot perturb them.
+    * Antecedent/consequent counts are one hash agg over the distinct
+    * (order, part) frame; the order total rides in as a broadcast scalar
+    * frame (never a driver-side collect). At 100 TB the pair frame is the
+    * support-filtered association set — orders of magnitude smaller than
+    * the baskets — and the numerators stay within int64 for any support
+    * below ~9·10^12·(cnt_u·cnt_v)/N; past that the same query runs in
+    * DECIMAL(38,0). */
+  private def graphAssocRules(s: SparkSession, d: String): DataFrame = {
+    val ords = U.tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pc = ords.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val n = ords.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    coPairs(s, d).filter(col("support") >= 2)
+      .join(pc.select(col("pk").as("u"), col("cnt").as("cnt_u")), Seq("u"))
+      .join(pc.select(col("pk").as("v"), col("cnt").as("cnt_v")), Seq("v"))
+      .crossJoin(broadcast(n))
+      .select(col("u"), col("v"), col("support"), col("cnt_u"), col("cnt_v"),
+        expr("(1000000 * support) DIV cnt_u").as("conf_micro"),
+        expr("(1000000 * support * n_orders) DIV (cnt_u * cnt_v)")
+          .as("lift_micro"))
+      .orderBy(col("conf_micro").desc, col("lift_micro").desc,
+        col("u"), col("v"))
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -419,6 +477,8 @@ object Graphs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> graphKcore _,
+    "graph_clustcoeff" -> graphClustCoeff _,
+    "graph_assoc_rules" -> graphAssocRules _,
     "graph_bfs_hops" -> graphBfsHops _,
     "graph_pagerank" -> graphPagerank _,
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
@@ -437,6 +497,37 @@ object Graphs {
         "JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u GROUP BY a.u) " +
         "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM core " +
         "GROUP BY degree ORDER BY degree"),
+    "graph_clustcoeff" ->
+      (supAdjCtes + ", " +
+        "deg AS (SELECT u AS node, COUNT(*) AS degree FROM adj GROUP BY u), " +
+        "wed AS (SELECT a.u AS x, b.u AS y, a.v AS w FROM adj a " +
+        "JOIN adj b ON a.v = b.v AND a.u < b.u), " +
+        "closed AS (SELECT w AS node, COUNT(*) AS n_tri FROM wed " +
+        "JOIN sup ON wed.x = sup.u AND wed.y = sup.v GROUP BY w) " +
+        "SELECT d.node, d.degree, coalesce(n_tri, 0) AS n_tri, " +
+        "CAST(coalesce(n_tri, 0) * 2 AS DOUBLE) / " +
+        "CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clust_coeff " +
+        "FROM deg d LEFT JOIN closed c ON d.node = c.node " +
+        "WHERE d.degree >= 2 ORDER BY clust_coeff DESC, d.node"),
+    "graph_assoc_rules" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "sup AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM " +
+        "(SELECT DISTINCT a.ok AS ok, a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+        "r AS (SELECT u, v, support FROM sup " +
+        "UNION ALL SELECT v AS u, u AS v, support FROM sup), " +
+        "pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt FROM li " +
+        "GROUP BY pk), " +
+        "n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders " +
+        "FROM li) " +
+        "SELECT r.u, r.v, support, a.cnt AS cnt_u, b.cnt AS cnt_v, " +
+        "(1000000 * support) // a.cnt AS conf_micro, " +
+        "(1000000 * support * n_orders) // (a.cnt * b.cnt) AS lift_micro " +
+        "FROM r JOIN pc a ON r.u = a.pk JOIN pc b ON r.v = b.pk " +
+        "CROSS JOIN n " +
+        "ORDER BY conf_micro DESC, lift_micro DESC, u, v"),
     "graph_bfs_hops" ->
       (supAdjCtes + ", " +
         "src AS (SELECT MIN(u) AS n FROM adj HAVING COUNT(*) > 0), " +

@@ -816,7 +816,31 @@ object TimeSeries {
       .orderBy("user_id", "day")
   }
 
+  /** Event-type transition matrix (the first-order Markov profile of the
+    * event stream — what follows what): per user, each event pairs with its
+    * time-successor (lead over ts, event_id), transitions are counted
+    * globally, and the per-row transition probability is floored to integer
+    * MICRO-UNITS against the row total — a windowed integer division, so no
+    * float ever enters and partial-aggregation order is irrelevant. One
+    * window sort per user shard + one hash agg on a |types|² frame; at
+    * 100 TB the output is still |event_types|² rows. */
+  private def tsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val rowW = Window.partitionBy(col("from_type"))
+    U.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(rowW))
+      .withColumn("p_micro", expr("(1000000 * n) DIV row_total"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_markov" -> tsMarkov _,
     "ts_uptime" -> tsUptime _,
     "ts_trend" -> tsTrend _,
     "ts_peak_detect" -> tsPeakDetect _,
@@ -852,6 +876,18 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_markov" ->
+      ("WITH seq AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS next_type FROM events), " +
+        "c AS (SELECT event_type AS from_type, next_type AS to_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE next_type IS NOT NULL " +
+        "GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total, " +
+        "(1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) " +
+        "AS BIGINT) AS p_micro " +
+        "FROM c ORDER BY from_type, to_type"),
     "ts_bollinger" ->
       (s"WITH ev AS (SELECT event_id, user_id, ts, " +
         s"${OSQL.cents("value")} AS vc FROM events), " +
