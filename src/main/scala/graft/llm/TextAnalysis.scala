@@ -268,7 +268,72 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Pointwise mutual information of adjacent word pairs (the collocation
+    * detector — which bigrams are "phrases" rather than chance adjacency):
+    * pmi(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))), restricted to pairs seen
+    * ≥ 5 times. All counts are exact integers; the single ln argument is
+    * one rational built with an identical operand tree both engines, and
+    * the result floors to integer MICRO-NATS (the [[unigramLp]] doctrine),
+    * so ordering is total and engine-stable. The unigram/bigram count
+    * aggregations are the same explode→hash-agg shuffles as the LM scores;
+    * the two corpus totals ride in as broadcast scalar frames. */
+  private def pmi(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = base.select(explode(col("toks")).as("token"))
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val nu = tok.agg(count(lit(1)).as("n_uni"))
+    val pairs = base.filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val nb = pairs.agg(count(lit(1)).as("n_bg"))
+    val cBg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 5)
+    cBg.join(uni.select(col("token").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c1").as("cc")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("cb"),
+        expr("CAST(floor(ln((CAST(cb AS DOUBLE) * n_uni * n_uni) / " +
+          "(CAST(n_bg AS DOUBLE) * ca * cc)) * 1000000.0) AS BIGINT)")
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+  }
+
+  /** Zipf rank-frequency fit over the top-1000 vocabulary (the corpus
+    * health check — natural text slopes ≈ −1, templated/synthetic text
+    * drifts): least-squares of ln(tf) on ln(rank). Both logs floor to
+    * integer MICRO-NATS per term, the five power sums are exact int64
+    * (micro-nat cross products of 1000 points stay < 2^57), and only the
+    * final slope/intercept divisions re-enter doubles via the
+    * covPowerSums-style shared operand tree. Top-1000 selection is a
+    * TakeOrdered (no global sort), and the 1000-row ranking window is a
+    * deliberate single partition. */
+  private def zipf(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d).select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    val slope = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    tf.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(
+        expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("x"),
+        expr("CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT)")
+          .as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        expr(slope).as("zipf_slope"),
+        expr(s"(CAST(sy AS DOUBLE) - ($slope) * sx) / n").as("zipf_intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi" -> pmi _,
+    "text_zipf" -> zipf _,
     "text_repetition" -> repetition _,
     "text_novelty" -> novelty _,
     "text_keyword_extract" -> keywordExtract _,
@@ -284,6 +349,47 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_pmi" ->
+      (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "tok AS (SELECT unnest(toks) AS token FROM base), " +
+        "uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok " +
+        "GROUP BY token), " +
+        "nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM tok), " +
+        "pairs AS (SELECT toks[CAST(i AS INTEGER)] AS w1, " +
+        "toks[CAST(i + 1 AS INTEGER)] AS w2 " +
+        "FROM base, unnest(range(1, len(toks))) AS t(i) " +
+        "WHERE len(toks) >= 2), " +
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM pairs), " +
+        "cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs " +
+        "GROUP BY w1, w2 HAVING COUNT(*) >= 5) " +
+        "SELECT w1, w2, cb, " +
+        "CAST(floor(ln((CAST(cb AS DOUBLE) * n_uni * n_uni) / " +
+        "(CAST(n_bg AS DOUBLE) * ca * cc)) * 1000000.0) AS BIGINT) " +
+        "AS pmi_micro " +
+        "FROM cbg " +
+        "JOIN (SELECT token AS w1, c1 AS ca FROM uni) ua USING (w1) " +
+        "JOIN (SELECT token AS w2, c1 AS cc FROM uni) ub USING (w2) " +
+        "CROSS JOIN nu CROSS JOIN nb " +
+        "ORDER BY pmi_micro DESC, w1, w2"),
+    "text_zipf" -> {
+      val slope = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+      s"WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok " +
+        "GROUP BY token ORDER BY tf DESC, token LIMIT 1000), " +
+        "pts AS (SELECT CAST(floor(ln(CAST(row_number() OVER " +
+        "(ORDER BY tf DESC, token) AS DOUBLE)) * 1000000.0) AS BIGINT) AS x, " +
+        "CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT) AS y " +
+        "FROM tf), " +
+        "ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts) " +
+        s"SELECT n AS n_terms, $slope AS zipf_slope, " +
+        s"(CAST(sy AS DOUBLE) - ($slope) * sx) / n AS zipf_intercept FROM ps"
+    },
     "text_repetition" ->
       (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +
