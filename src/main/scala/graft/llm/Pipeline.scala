@@ -435,7 +435,29 @@ object Pipeline {
       .groupBy(col("code")).agg(count(lit(1)).as("n_vecs"))
       .orderBy("code")
 
+  /** Class-balanced downsample of the labeled embeddings (the classifier-
+    * training prep that equalizes class priors): every label keeps exactly
+    * k = min class size rows, chosen by the deterministic multiplicative
+    * id hash (the [[sampleReservoir]] recipe — stable under any row
+    * order). The min rides in as a broadcast scalar frame; the per-label
+    * selection is one window sort per label shard — no skew, since the
+    * output per label is uniform by construction. */
+  private def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val emb = U.tbl(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val kf = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val w = Window.partitionBy(col("label")).orderBy(col("hkey"), col("vec_id"))
+    emb.withColumn("hkey",
+        pmod(col("vec_id") * lit(2654435761L) + lit(40503L), lit(1000000007L)))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(kf))
+      .filter(col("rn") <= col("k"))
+      .select(col("label"), col("rn"), col("vec_id"))
+      .orderBy("label", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balanced" -> sampleBalanced _,
     "sample_temperature" -> sampleTemperature _,
     "emb_pq_code" -> embPqCode _,
     "pipeline_end2end" -> pipelineEnd2End _,
@@ -569,6 +591,15 @@ object Pipeline {
         "COALESCE(nh, 0) > 0 AS is_contaminated " +
         "FROM (SELECT doc_id FROM base WHERE bucket < 80) b " +
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"),
+    "sample_balanced" ->
+      ("WITH k AS (SELECT MIN(n) AS k FROM " +
+        "(SELECT COUNT(*) AS n FROM embeddings GROUP BY label)), " +
+        "r AS (SELECT label, vec_id, " +
+        "row_number() OVER (PARTITION BY label " +
+        "ORDER BY (vec_id * 2654435761 + 40503) % 1000000007, vec_id) AS rn " +
+        "FROM embeddings) " +
+        "SELECT label, rn, vec_id FROM r CROSS JOIN k WHERE rn <= k " +
+        "ORDER BY label, rn"),
     "sample_reservoir" ->
       ("SELECT event_type, rn, event_id, user_id, value FROM (" +
         "SELECT event_type, event_id, user_id, value, " +

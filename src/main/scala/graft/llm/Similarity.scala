@@ -300,7 +300,40 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Signs (±1) of the 8 deterministic LCG hyperplanes — the
+    * Johnson–Lindenstrauss ±1 projection matrix, derived from the SAME
+    * quantized [[planes]] the LSH bucketing uses (sign of the 1e6-grid
+    * value), so one builder feeds both engines and both operators. */
+  private[llm] def planeSigns(nPlanes: Int, dim: Int): Array[Array[Long]] =
+    planes(nPlanes, dim)
+      .map(_.map(v => if (math.floor(v * 1000000.0) >= 0) 1L else -1L))
+
+  /** Random projection of every embedding to 8 dimensions (the
+    * Johnson–Lindenstrauss sketch a 100 TB pipeline stores instead of the
+    * full vector for coarse filtering): proj_j = ⟨fx, s_j⟩ with s_j the ±1
+    * sign pattern of deterministic LCG hyperplanes — all-integer codegen'd
+    * FixedDot per plane, no shuffle at all (pure per-row projection). For
+    * ±1 signs E‖proj‖² = 8·‖x‖², so the distortion diagnostic
+    * ratio = ‖proj‖² / (8·‖x‖²) should concentrate near 1; it is the one
+    * double op, from two exact integers. */
+  private def embRandProj(s: SparkSession, d: String): DataFrame = {
+    val signs = planeSigns(8, 64)
+    val projCols = signs.zipWithIndex.map { case (sg, j) =>
+      fixed_dot(col("fx"), array(sg.map(v => lit(v)).toIndexedSeq: _*))
+        .as(s"p$j")
+    }
+    fixed(s, d)
+      .select(col("vec_id") +: col("nrm") +: projCols.toIndexedSeq: _*)
+      .withColumn("proj_nrm",
+        expr("p0*p0 + p1*p1 + p2*p2 + p3*p3 + p4*p4 + p5*p5 + p6*p6 + p7*p7"))
+      .select(col("vec_id"), col("p0"), col("p1"), col("proj_nrm"),
+        expr("CAST(proj_nrm AS DOUBLE) / (8.0 * CAST(nrm AS DOUBLE))")
+          .as("norm_ratio"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_rand_proj" -> embRandProj _,
     "sim_bruteforce_topk" -> bruteforceTopk _,
     "emb_knn_classify" -> knnClassify _,
     "dedup_embedding" -> embeddingPairs _,
@@ -419,6 +452,25 @@ object Similarity {
       "SELECT da, db, cos FROM pairs ORDER BY da, db"
 
   val oracleSql: Map[String, String] = Map(
+    "emb_rand_proj" -> {
+      val signs = planeSigns(8, 64)
+      def pd(j: Int): String = {
+        val lst = signs(j).mkString("[", ", ", "]")
+        s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+          s"fx[CAST(i AS INTEGER)] * ($lst)[CAST(i AS INTEGER)])) AS BIGINT)"
+      }
+      s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "p AS (SELECT vec_id, nrm, " +
+        (0 until 8).map(j => s"${pd(j)} AS p$j").mkString(", ") +
+        " FROM n), " +
+        "q AS (SELECT vec_id, nrm, p0, p1, " +
+        "p0*p0 + p1*p1 + p2*p2 + p3*p3 + p4*p4 + p5*p5 + p6*p6 + p7*p7 " +
+        "AS proj_nrm FROM p) " +
+        "SELECT vec_id, p0, p1, proj_nrm, " +
+        "CAST(proj_nrm AS DOUBLE) / (8.0 * CAST(nrm AS DOUBLE)) " +
+        "AS norm_ratio FROM q ORDER BY vec_id"
+    },
     "sim_lsh_ann" -> lshSql,
     "sim_ivf_ann" -> ivfSql,
     "dedup_embedding_ann" -> embAnnSql,

@@ -839,7 +839,41 @@ object TimeSeries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Cross-series correlation matrix (which event types move together —
+    * the multivariate sibling of [[tsAutocorr]]): hourly exact-cents sums
+    * per event type, then Pearson correlation for every type pair over
+    * their common hours, through the same [[U.covPowerSums]] exact
+    * power-sum tree. The hourly rollup is one hash agg; the pair join is
+    * |types|·|hours| rows — at 100 TB still a broadcast-sized frame
+    * because the type alphabet is fixed. */
+  private def tsCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(U.cents(col("value"))).as("sc"))
+    val a = hourly.select(col("event_type").as("type_a"), col("hour"),
+      col("sc").as("xa"))
+    val b = hourly.select(col("event_type").as("type_b"), col("hour"),
+      col("sc").as("xb"))
+    a.join(b, Seq("hour")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xa")).cast(DoubleType).as("sx"),
+        sum(col("xb")).cast(DoubleType).as("sy"),
+        sum(col("xa").cast(dec) * col("xa").cast(dec)).cast(DoubleType).as("sxx"),
+        sum(col("xb").cast(dec) * col("xb").cast(dec)).cast(DoubleType).as("syy"),
+        sum(col("xa").cast(dec) * col("xb").cast(dec)).cast(DoubleType).as("sxy"))
+      .select(col("type_a"), col("type_b"),
+        col("nd").cast(LongType).as("n_hours"),
+        (U.covPowerSums(col("sxy"), col("sx"), col("sy"), col("nd")) /
+          (sqrt(U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))) *
+            sqrt(U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd")))))
+          .as("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_corr_matrix" -> tsCorrMatrix _,
     "ts_markov" -> tsMarkov _,
     "ts_uptime" -> tsUptime _,
     "ts_trend" -> tsTrend _,
@@ -876,6 +910,25 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_corr_matrix" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+        s"CAST(SUM($c) AS BIGINT) AS sc FROM events GROUP BY 1, 2), " +
+        "j AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "a.sc AS xa, b.sc AS xb FROM hourly a JOIN hourly b " +
+        "ON a.hour = b.hour AND a.event_type < b.event_type), " +
+        "ps AS (SELECT type_a, type_b, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy, " +
+        "CAST(SUM(xa * xa) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(xb * xb) AS DOUBLE) AS syy, " +
+        "CAST(SUM(xa * xb) AS DOUBLE) AS sxy " +
+        "FROM j GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_hours, " +
+        s"(${OSQL.covPowerSums("sxy", "sx", "sy", "nd")}) / " +
+        s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
+        s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) AS corr " +
+        "FROM ps ORDER BY type_a, type_b"
+    },
     "ts_markov" ->
       ("WITH seq AS (SELECT user_id, event_type, " +
         "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
