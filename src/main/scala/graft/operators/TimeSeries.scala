@@ -872,7 +872,70 @@ object TimeSeries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Binary-segmentation changepoint per user (the offline sibling of
+    * [[tsCusum]]): the split index maximizing the cumulative mean-shift
+    * statistic |n·S_t − t·S_n| — the CUSUM deviation cross-multiplied into
+    * pure int64 so no division (and no float) enters the argmax; ties
+    * break to the earliest index via the ranking window. One prefix-sum
+    * window + one ranking window per user shard, both on the same
+    * partitioning — at 100 TB this is two sorts of each user's slice,
+    * no cross-user traffic. The segment means re-enter doubles only in
+    * the output projection. */
+  private def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pts = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("t", row_number().over(w).cast(LongType))
+      .withColumn("st", sum(col("vc")).over(w))
+    val tot = pts.groupBy(col("user_id"))
+      .agg(max(col("t")).as("n"), sum(col("vc")).as("sn"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("stat").desc, col("t"))
+    pts.join(tot, Seq("user_id"))
+      .filter(col("t") < col("n"))
+      .withColumn("stat", abs(col("n") * col("st") - col("t") * col("sn")))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("t").as("split_t"), col("n"), col("stat"),
+        (col("st").cast(DoubleType) / (lit(100.0) * col("t"))).as("mean_left"),
+        ((col("sn") - col("st")).cast(DoubleType) /
+          (lit(100.0) * (col("n") - col("t")))).as("mean_right"))
+      .orderBy("user_id")
+  }
+
+  /** SAX symbolization of each user's daily series (the symbolic
+    * aggregate approximation classic — series become strings, so motif
+    * search and indexing run on text machinery): global quartile
+    * breakpoints in doubled cents (the [[tsCusum]] dyadic-median trick,
+    * applied to quantile_cont's .5 interpolants), daily means compared by
+    * integer CROSS-MULTIPLICATION (2·S_day vs bp·n_day — no division, so
+    * the symbol decision is exact), then one ordered listagg per user.
+    * The breakpoint frame broadcasts; everything else is one hash agg +
+    * one per-user sort. */
+  private def tsSax(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val bp = U.events(s, d).agg(
+      floor(percentile(vc, lit(0.25)) * 2).cast(LongType).as("bp25"),
+      floor(percentile(vc, lit(0.5)) * 2).cast(LongType).as("bp50"),
+      floor(percentile(vc, lit(0.75)) * 2).cast(LongType).as("bp75"))
+    U.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(U.cents(col("value"))).as("sd"), count(lit(1)).as("nd"))
+      .crossJoin(broadcast(bp))
+      .withColumn("sym",
+        when(col("sd") * 2 < col("bp25") * col("nd"), lit("a"))
+          .when(col("sd") * 2 < col("bp50") * col("nd"), lit("b"))
+          .when(col("sd") * 2 < col("bp75") * col("nd"), lit("c"))
+          .otherwise(lit("d")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("listagg(sym, '') WITHIN GROUP (ORDER BY day)").as("sax"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> tsChangepoint _,
+    "ts_sax" -> tsSax _,
     "ts_corr_matrix" -> tsCorrMatrix _,
     "ts_markov" -> tsMarkov _,
     "ts_uptime" -> tsUptime _,
@@ -910,6 +973,43 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_changepoint" -> {
+      val c = OSQL.cents("value")
+      s"WITH pts AS (SELECT user_id, $c AS vc, " +
+        "CAST(row_number() OVER w AS BIGINT) AS t, " +
+        s"CAST(SUM($c) OVER w AS BIGINT) AS st FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "tot AS (SELECT user_id, MAX(t) AS n, CAST(SUM(vc) AS BIGINT) AS sn " +
+        "FROM pts GROUP BY user_id), " +
+        "sc AS (SELECT user_id, t, n, st, sn, " +
+        "abs(n * st - t * sn) AS stat FROM pts JOIN tot USING (user_id) " +
+        "WHERE t < n), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY stat DESC, t) AS rk FROM sc) " +
+        "SELECT user_id, t AS split_t, n, stat, " +
+        "CAST(st AS DOUBLE) / (100.0 * t) AS mean_left, " +
+        "CAST(sn - st AS DOUBLE) / (100.0 * (n - t)) AS mean_right " +
+        "FROM rk WHERE rk = 1 ORDER BY user_id"
+    },
+    "ts_sax" -> {
+      val c = OSQL.cents("value")
+      s"WITH bp AS (SELECT " +
+        s"CAST(floor(quantile_cont($c, 0.25) * 2) AS BIGINT) AS bp25, " +
+        s"CAST(floor(quantile_cont($c, 0.5) * 2) AS BIGINT) AS bp50, " +
+        s"CAST(floor(quantile_cont($c, 0.75) * 2) AS BIGINT) AS bp75 " +
+        "FROM events), " +
+        "daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        s"CAST(SUM($c) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd " +
+        "FROM events GROUP BY 1, 2), " +
+        "sym AS (SELECT user_id, day, " +
+        "CASE WHEN sd * 2 < bp25 * nd THEN 'a' " +
+        "WHEN sd * 2 < bp50 * nd THEN 'b' " +
+        "WHEN sd * 2 < bp75 * nd THEN 'c' ELSE 'd' END AS sym " +
+        "FROM daily CROSS JOIN bp) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "string_agg(sym, '' ORDER BY day) AS sax " +
+        "FROM sym GROUP BY user_id ORDER BY user_id"
+    },
     "ts_corr_matrix" -> {
       val c = OSQL.cents("value")
       s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
