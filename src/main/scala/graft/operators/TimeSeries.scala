@@ -933,7 +933,53 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Fixed reference pattern for [[tsDtw]] (cents): a rise-peak-decay
+    * shape. One definition feeds both the Spark DP and the oracle text. */
+  private val DtwPattern =
+    Array(1000L, 3000L, 6000L, 8000L, 7000L, 5000L, 3000L, 1500L)
+
+  /** Dynamic time warping distance of each user's series against a fixed
+    * 8-point reference pattern (THE classic industrial time-sequence
+    * similarity measure — alignment-tolerant, unlike Euclidean): each
+    * user's daily series is first PAA-compressed to 8 segments (ntile over
+    * day order, floored integer segment means — both engines put ntile's
+    * remainder in the leading buckets), then the full 8×8 DTW dynamic
+    * program is UNROLLED as 64 chained integer column expressions —
+    * D[i][j] = |s_i − p_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1]) — so
+    * the whole recurrence is exact int64 with no loop, no UDF, and no
+    * float. Per user the work is O(1); across users it is one hash agg +
+    * one per-user ntile sort — embarrassingly parallel at 100 TB. Users
+    * with fewer than 8 observed days have no full PAA vector and drop on
+    * both engines. */
+  private def tsDtw(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val seg = U.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(U.cents(col("value"))).as("sd"), count(lit(1)).as("nd"))
+      .withColumn("seg", ntile(8).over(w).cast(LongType))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(expr("sum(sd) DIV sum(nd)").as("m"))
+    val paa = seg.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        (1 to 8).map(j => max(when(col("seg") === j, col("m"))).as(s"s$j")): _*)
+      .filter(col("n_seg") === 8)
+    val cells = for { i <- 1 to 8; j <- 1 to 8 } yield (i, j)
+    cells.foldLeft(paa) { case (df, (i, j)) =>
+      val cost = abs(col(s"s$i") - lit(DtwPattern(j - 1)))
+      df.withColumn(s"d_${i}_$j",
+        if (i == 1 && j == 1) cost
+        else if (i == 1) cost + col(s"d_1_${j - 1}")
+        else if (j == 1) cost + col(s"d_${i - 1}_1")
+        else cost + least(col(s"d_${i - 1}_$j"), col(s"d_${i}_${j - 1}"),
+          col(s"d_${i - 1}_${j - 1}")))
+    }
+      .select(col("user_id") +: (1 to 8).map(i => col(s"s$i")) :+
+        col("d_8_8").as("dtw_dist"): _*)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_dtw" -> tsDtw _,
     "ts_changepoint" -> tsChangepoint _,
     "ts_sax" -> tsSax _,
     "ts_corr_matrix" -> tsCorrMatrix _,
@@ -973,6 +1019,35 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_dtw" -> {
+      val c = OSQL.cents("value")
+      val sCols = (1 to 8).map(j =>
+        s"CAST(MAX(CASE WHEN seg = $j THEN m END) AS BIGINT) AS s$j")
+        .mkString(", ")
+      val cells = (for { i <- 1 to 8; j <- 1 to 8 } yield {
+        val cost = s"abs(s$i - ${DtwPattern(j - 1)})"
+        val e =
+          if (i == 1 && j == 1) cost
+          else if (i == 1) s"$cost + d_1_${j - 1}"
+          else if (j == 1) s"$cost + d_${i - 1}_1"
+          else s"$cost + least(d_${i - 1}_$j, d_${i}_${j - 1}, " +
+            s"d_${i - 1}_${j - 1})"
+        s"$e AS d_${i}_$j"
+      }).mkString(", ")
+      s"WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        s"CAST(SUM($c) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd " +
+        "FROM events GROUP BY 1, 2), " +
+        "segd AS (SELECT user_id, sd, nd, CAST(ntile(8) OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS BIGINT) AS seg FROM daily), " +
+        "seg AS (SELECT user_id, seg, CAST(CAST(SUM(sd) AS BIGINT) // " +
+        "CAST(SUM(nd) AS BIGINT) AS BIGINT) AS m FROM segd GROUP BY 1, 2), " +
+        s"paa AS (SELECT user_id, COUNT(*) AS n_seg, $sCols FROM seg " +
+        "GROUP BY user_id), " +
+        s"dp AS (SELECT user_id, s1, s2, s3, s4, s5, s6, s7, s8, $cells " +
+        "FROM paa WHERE n_seg = 8) " +
+        "SELECT user_id, s1, s2, s3, s4, s5, s6, s7, s8, " +
+        "d_8_8 AS dtw_dist FROM dp ORDER BY user_id"
+    },
     "ts_changepoint" -> {
       val c = OSQL.cents("value")
       s"WITH pts AS (SELECT user_id, $c AS vc, " +
