@@ -331,7 +331,31 @@ object TextAnalysis {
         expr(s"(CAST(sy AS DOUBLE) - ($slope) * sx) / n").as("zipf_intercept"))
   }
 
+  /** Boilerplate-sentence detection (the C4/RefinedWeb cleaning step that
+    * drops lines repeated verbatim across many pages): split each doc on
+    * '. ', count each sentence's distinct-document frequency corpus-wide,
+    * and report per doc how many of its sentences are shared by ≥ 5
+    * documents, with the ratio floored to integer micro-units. Sentence
+    * strings shuffle once for the frequency agg and once for the join-back
+    * — at 100 TB the sentences would carry a poly-hash instead of the raw
+    * string through the exchange (the [[graft.llm.Dedup]] digest
+    * discipline), which changes bytes moved, not semantics. */
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val sent = docs(s, d).select(col("doc_id"),
+      explode(filter(split(col("text"), "\\. "), x => length(x) > 0))
+        .as("sent"))
+    val cnt = sent.groupBy(col("sent"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    sent.join(cnt, Seq("sent"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when(col("ndocs") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_micro", expr("(1000000 * n_boiler) DIV n_sent"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> boilerplate _,
     "text_pmi" -> pmi _,
     "text_zipf" -> zipf _,
     "text_repetition" -> repetition _,
@@ -349,6 +373,18 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_boilerplate" ->
+      ("WITH sent AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split(text, '. '), " +
+        "x -> length(x) > 0)) AS sent FROM documents), " +
+        "cnt AS (SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) " +
+        "AS ndocs FROM sent GROUP BY sent) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sent, " +
+        "CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_boiler, " +
+        "(1000000 * CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) " +
+        "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS boiler_micro " +
+        "FROM sent JOIN cnt USING (sent) GROUP BY doc_id ORDER BY doc_id"),
     "text_pmi" ->
       (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

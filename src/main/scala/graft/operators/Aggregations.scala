@@ -511,7 +511,39 @@ object Aggregations {
       .orderBy("c_mktsegment")
   }
 
+  /** Welch's two-sample t statistic between every pair of event types (the
+    * A/B-test primitive an experimentation platform computes per metric):
+    * per-type count / exact-cents sum / exact squared sum in one hash agg,
+    * then every pair's t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) from the shared
+    * [[U.covPowerSums]] variance tree. The pair frame is |types|² — a
+    * constant — so past the single aggregation scan this costs nothing at
+    * any scale. */
+  private def aggTtest(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val st = U.events(s, d).select(col("event_type"), U.cents(col("value")).as("xc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xc")).cast(DoubleType).as("sx"),
+        sum(col("xc").cast(dec) * col("xc").cast(dec)).cast(DoubleType).as("sxx"))
+    val a = st.select(col("event_type").as("type_a"), col("nd").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = st.select(col("event_type").as("type_b"), col("nd").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    val va = U.covPowerSums(col("sxxa"), col("sxa"), col("sxa"), col("na"))
+    val vb = U.covPowerSums(col("sxxb"), col("sxb"), col("sxb"), col("nb"))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("na").cast(LongType).as("n_a"), col("nb").cast(LongType).as("n_b"),
+        (col("sxa") / (lit(100.0) * col("na"))).as("mean_a"),
+        (col("sxb") / (lit(100.0) * col("nb"))).as("mean_b"),
+        ((col("sxa") / (lit(100.0) * col("na")) -
+          col("sxb") / (lit(100.0) * col("nb"))) /
+          sqrt(va / col("na") + vb / col("nb"))).as("t_stat"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ttest" -> aggTtest _,
     "agg_gini" -> aggGini _,
     "agg_entropy" -> aggEntropy _,
     "profile_table" -> profileTable _,
@@ -619,6 +651,22 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_ttest" -> {
+      val c = OSQL.cents("value")
+      val va = OSQL.covPowerSums("a.sxx", "a.sx", "a.sx", "a.nd")
+      val vb = OSQL.covPowerSums("b.sxx", "b.sx", "b.sx", "b.nd")
+      s"WITH st AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        s"CAST(SUM($c) AS DOUBLE) AS sx, " +
+        s"CAST(SUM($c * $c) AS DOUBLE) AS sxx FROM events " +
+        "GROUP BY event_type) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(a.nd AS BIGINT) AS n_a, CAST(b.nd AS BIGINT) AS n_b, " +
+        "a.sx / (100.0 * a.nd) AS mean_a, b.sx / (100.0 * b.nd) AS mean_b, " +
+        "(a.sx / (100.0 * a.nd) - b.sx / (100.0 * b.nd)) / " +
+        s"sqrt(($va) / a.nd + ($vb) / b.nd) AS t_stat " +
+        "FROM st a CROSS JOIN st b WHERE a.event_type < b.event_type " +
+        "ORDER BY type_a, type_b"
+    },
     "agg_gini" ->
       (s"WITH x AS (SELECT c_mktsegment, c_custkey, " +
         s"${OSQL.cents("c_acctbal")} AS cents FROM customer), " +
