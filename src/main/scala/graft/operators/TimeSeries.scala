@@ -935,7 +935,7 @@ object TimeSeries {
 
   /** Fixed reference pattern for [[tsDtw]] (cents): a rise-peak-decay
     * shape. One definition feeds both the Spark DP and the oracle text. */
-  private val DtwPattern =
+  private[graft] val DtwPattern =
     Array(1000L, 3000L, 6000L, 8000L, 7000L, 5000L, 3000L, 1500L)
 
   /** Dynamic time warping distance of each user's series against a fixed
