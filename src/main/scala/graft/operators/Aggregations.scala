@@ -542,7 +542,64 @@ object Aggregations {
       .orderBy("type_a", "type_b")
   }
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation (the market-concentration metric a marketplace team tracks):
+    * per-supplier discounted revenue in exact 1e-4-dollar integers, shares
+    * floored to integer micro-units against the nation total, HHI = Σshare²
+    * rescaled by one integral division — no float anywhere. The supplier
+    * and nation dims broadcast; the only wide shuffle is the per-supplier
+    * revenue rollup, which is the minimal one. */
+  private def aggHhi(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pc = U.cents(col("l_extendedprice"))
+    val dc = U.cents(col("l_discount"))
+    val li = U.tbl(s, d, "lineitem")
+      .select(col("l_suppkey"), (pc * (lit(100L) - dc)).as("r"))
+    val sup = U.tbl(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = U.tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    val rev = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("r").cast(dec)).as("rev"))
+    val tot = rev.groupBy(col("s_nationkey").as("tk"))
+      .agg(sum(col("rev")).as("tot"))
+    rev.join(broadcast(tot), col("s_nationkey") === col("tk"))
+      .withColumn("share", expr("(rev * 1000000) DIV tot"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("sum(CAST(share * share AS DECIMAL(38,0))) DIV 1000000")
+          .cast(LongType).as("hhi_micro"),
+        max(col("share")).as("top_share_micro"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("hhi_micro"),
+        col("top_share_micro"))
+      .orderBy("n_name")
+  }
+
+  /** Benford first-digit screen over order totals (the classic fraud /
+    * data-quality test): observed first-significant-digit shares in integer
+    * micro-units vs the Benford expectation floor(1e6·log10(1+1/d)). One
+    * scan + a 9-group agg — trivially scalable; the expectation is a
+    * per-digit constant expression evaluated identically in both engines. */
+  private def aggBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = U.tbl(s, d, "orders")
+      .select(U.cents(col("o_totalprice")).as("vc"))
+      .filter(col("vc") > 0)
+      .select(expr("CAST(substr(CAST(vc AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+    val tot = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) DIV n_total").as("obs_micro"),
+        expr("CAST(floor(1000000.0 * ln(1.0 + 1.0 / digit) / ln(10.0)) " +
+          "AS BIGINT)").as("exp_micro"))
+      .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hhi" -> aggHhi _,
+    "agg_benford" -> aggBenford _,
     "agg_ttest" -> aggTtest _,
     "agg_gini" -> aggGini _,
     "agg_entropy" -> aggEntropy _,
@@ -651,6 +708,38 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_hhi" -> {
+      val pc = OSQL.cents("l_extendedprice")
+      val dc = OSQL.cents("l_discount")
+      s"WITH rev AS (SELECT s_nationkey, l_suppkey, " +
+        s"CAST(SUM($pc * (100 - $dc)) AS BIGINT) AS rev FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey, l_suppkey), " +
+        "tot AS (SELECT s_nationkey, CAST(SUM(rev) AS BIGINT) AS tot " +
+        "FROM rev GROUP BY s_nationkey), " +
+        "sh AS (SELECT rev.s_nationkey, (rev * 1000000) // tot AS share " +
+        "FROM rev JOIN tot USING (s_nationkey)) " +
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, " +
+        "CAST(SUM(share * share) // 1000000 AS BIGINT) AS hhi_micro, " +
+        "CAST(MAX(share) AS BIGINT) AS top_share_micro " +
+        "FROM sh JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"
+    },
+    "agg_benford" -> {
+      val c = OSQL.cents("o_totalprice")
+      s"WITH d AS (SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT) " +
+        s"AS digit FROM (SELECT $c AS vc FROM orders) WHERE vc > 0), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d), " +
+        "g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d " +
+        "GROUP BY digit) " +
+        "SELECT digit, n, (1000000 * n) // n_total AS obs_micro, " +
+        "CAST(floor(1000000.0 * ln(1.0 + 1.0 / digit) / ln(10.0)) AS BIGINT) " +
+        "AS exp_micro, " +
+        "(1000000 * n) // n_total - " +
+        "CAST(floor(1000000.0 * ln(1.0 + 1.0 / digit) / ln(10.0)) AS BIGINT) " +
+        "AS dev_micro " +
+        "FROM g CROSS JOIN tot ORDER BY digit"
+    },
     "agg_ttest" -> {
       val c = OSQL.cents("value")
       val va = OSQL.covPowerSums("a.sxx", "a.sx", "a.sx", "a.nd")
