@@ -81,7 +81,12 @@ object Bench {
     // the ~10 KB per-query map gets truncated mid-JSON in the captured tail.
     // Contract fix: the FULL json goes only to stable files; stdout's final
     // line is a compact summary that cannot truncate.
-    for (p <- Seq("/tmp/graft_bench.json", "bench_latest.json") if only.isEmpty) {
+    // subset runs land in a separate scratch file so local iteration can
+    // read per-query times without touching the driver-facing artifacts
+    val outPaths =
+      if (only.isEmpty) Seq("/tmp/graft_bench.json", "bench_latest.json")
+      else Seq("/tmp/graft_bench_subset.json")
+    for (p <- outPaths) {
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
         try w.println(full) finally w.close()

@@ -883,15 +883,19 @@ object TimeSeries {
     * the output projection. */
   private def tsChangepoint(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // the per-user totals come from an unordered window over the SAME
+    // partitioning as the prefix sums — no groupBy + join-back shuffle,
+    // the user shard is sorted once and scanned twice in place
+    val wu = Window.partitionBy(col("user_id"))
     val pts = U.events(s, d)
       .withColumn("vc", U.cents(col("value")))
       .withColumn("t", row_number().over(w).cast(LongType))
       .withColumn("st", sum(col("vc")).over(w))
-    val tot = pts.groupBy(col("user_id"))
-      .agg(max(col("t")).as("n"), sum(col("vc")).as("sn"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("sn", sum(col("vc")).over(wu))
     val w2 = Window.partitionBy(col("user_id"))
       .orderBy(col("stat").desc, col("t"))
-    pts.join(tot, Seq("user_id"))
+    pts
       .filter(col("t") < col("n"))
       .withColumn("stat", abs(col("n") * col("st") - col("t") * col("sn")))
       .withColumn("rk", row_number().over(w2))
