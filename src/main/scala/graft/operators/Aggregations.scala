@@ -597,7 +597,45 @@ object Aggregations {
       .orderBy("digit")
   }
 
+  /** Audience overlap via bitmap set INTERSECTION (the second half of the
+    * roaring-bitmap story [[aggBitmapDistinct]] starts: precomputed
+    * per-segment bitmaps AND-ed together instead of re-scanning raw
+    * events): per event type, user-id bitmaps in 32-bit buckets; for every
+    * type pair, |A∩B| = Σ bit_count(mask_a & mask_b) over the bucket join
+    * and the Jaccard overlap in integer micro-units. The bucket frames are
+    * |users|/32 rows per type — the shuffle carries masks, never user
+    * lists. */
+  private def aggBitmapOverlap(s: SparkSession, d: String): DataFrame = {
+    val bm = U.events(s, d)
+      .select(col("event_type"), expr("user_id DIV 32").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))")
+          .as("mask"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bit_or(mask)").as("msk"))
+    val nd = bm.groupBy(col("event_type"))
+      .agg(sum(bit_count(col("msk"))).cast(LongType).as("nd"))
+    val a = bm.select(col("event_type").as("type_a"), col("bucket"),
+      col("msk").as("ma"))
+    val b = bm.select(col("event_type").as("type_b"), col("bucket"),
+      col("msk").as("mb"))
+    // the bucket join is INNER — a bucket absent on one side contributes 0
+    // to the intersection; union sizes come by inclusion-exclusion from the
+    // per-type totals, so one-sided buckets are still counted there
+    a.join(b, Seq("bucket")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(bit_count(expr("ma & mb"))).cast(LongType).as("n_both"))
+      .join(broadcast(nd.select(col("event_type").as("type_a"),
+        col("nd").as("nd_a"))), Seq("type_a"))
+      .join(broadcast(nd.select(col("event_type").as("type_b"),
+        col("nd").as("nd_b"))), Seq("type_b"))
+      .withColumn("n_either", expr("nd_a + nd_b - n_both"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_either"),
+        expr("(1000000 * n_both) DIV n_either").as("jaccard_micro"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_overlap" -> aggBitmapOverlap _,
     "agg_hhi" -> aggHhi _,
     "agg_benford" -> aggBenford _,
     "agg_ttest" -> aggTtest _,
@@ -708,6 +746,22 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bitmap_overlap" ->
+      ("WITH bm AS (SELECT event_type, user_id // 32 AS bucket, " +
+        "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS msk " +
+        "FROM events GROUP BY 1, 2), " +
+        "nd AS (SELECT event_type, CAST(SUM(bit_count(msk)) AS BIGINT) " +
+        "AS nd FROM bm GROUP BY event_type), " +
+        "ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(SUM(bit_count(a.msk & b.msk)) AS BIGINT) AS n_both " +
+        "FROM bm a JOIN bm b ON a.bucket = b.bucket " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT type_b, type_a, n_both, " +
+        "na.nd + nb.nd - n_both AS n_either, " +
+        "(1000000 * n_both) // (na.nd + nb.nd - n_both) AS jaccard_micro " +
+        "FROM ov JOIN nd na ON ov.type_a = na.event_type " +
+        "JOIN nd nb ON ov.type_b = nb.event_type " +
+        "ORDER BY type_a, type_b"),
     "agg_hhi" -> {
       val pc = OSQL.cents("l_extendedprice")
       val dc = OSQL.cents("l_discount")

@@ -982,7 +982,36 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Run-length profile of each user's above/below-median regime (the RLE
+    * compression view of a series — how persistent are high/low states):
+    * per-event regime bit decided by integer cross-comparison against the
+    * doubled global median (no division), runs identified by the
+    * gaps-islands anchor t − row_number-within-regime (both windows share
+    * the user partitioning: one exchange), then per (user, regime) run
+    * count / max / mean length. */
+  private def tsRunLength(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val med = U.events(s, d)
+      .agg(floor(percentile(vc, lit(0.5)) * 2).cast(LongType).as("med2"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = Window.partitionBy(col("user_id"), col("regime"))
+      .orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .withColumn("vc", vc)
+      .crossJoin(broadcast(med))
+      .withColumn("regime", when(col("vc") * 2 >= col("med2"), 1L).otherwise(0L))
+      .withColumn("t", row_number().over(w).cast(LongType))
+      .withColumn("grp", col("t") - row_number().over(wr))
+      .groupBy(col("user_id"), col("regime"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"), col("regime"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run"),
+        (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avg_run"))
+      .orderBy("user_id", "regime")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_run_length" -> tsRunLength _,
     "ts_dtw" -> tsDtw _,
     "ts_changepoint" -> tsChangepoint _,
     "ts_sax" -> tsSax _,
@@ -1023,6 +1052,26 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_run_length" -> {
+      val c = OSQL.cents("value")
+      s"WITH med AS (SELECT CAST(floor(quantile_cont($c, 0.5) * 2) " +
+        "AS BIGINT) AS med2 FROM events), " +
+        s"pts AS (SELECT user_id, ts, event_id, " +
+        s"CASE WHEN $c * 2 >= med2 THEN 1 ELSE 0 END AS regime " +
+        "FROM events CROSS JOIN med), " +
+        "anch AS (SELECT user_id, regime, " +
+        "CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS BIGINT) - " +
+        "CAST(row_number() OVER (PARTITION BY user_id, regime " +
+        "ORDER BY ts, event_id) AS BIGINT) AS grp FROM pts), " +
+        "runs AS (SELECT user_id, regime, grp, " +
+        "CAST(COUNT(*) AS BIGINT) AS len FROM anch GROUP BY 1, 2, 3) " +
+        "SELECT user_id, CAST(regime AS BIGINT) AS regime, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_runs, " +
+        "CAST(MAX(len) AS BIGINT) AS max_run, " +
+        "CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avg_run " +
+        "FROM runs GROUP BY user_id, regime ORDER BY user_id, regime"
+    },
     "ts_dtw" -> {
       val c = OSQL.cents("value")
       val sCols = (1 to 8).map(j =>
