@@ -428,6 +428,54 @@ object Graphs {
         col("u"), col("v"))
   }
 
+  /** Maximum-support spanning forest by two unrolled BORŮVKA rounds over
+    * the support≥2 association graph (the backbone-extraction step of
+    * association mining — keep the strongest tree of co-purchase links):
+    * round 1, every node picks its best incident edge by the total order
+    * (support DESC, a, b) — min(struct) keeps the pick one hash agg, no
+    * sort; the picked edge set is a forest, labeled through the shared
+    * size-gated [[Components.labels]] kernel; round 2, every COMPONENT
+    * picks its best outgoing edge the same way (the contraction step —
+    * label join + hash agg, edges never re-shuffle by anything wider than
+    * their endpoints). Two rounds of a deterministic Borůvka are
+    * themselves deterministic, so the whole forest carries an exact
+    * recursive-CTE oracle. At 100 TB each round is O(|E|) map-side struct
+    * comparisons + one |V|-group agg — the textbook distributed-MST
+    * decomposition. */
+  private def graphMst(s: SparkSession, d: String): DataFrame = {
+    val und = coPairs(s, d).filter(col("u") < col("v") && col("support") >= 2)
+      .select(col("u"), col("v"), col("support"))
+    // per-node candidates, edge normalized as (a, b); ws = -support makes
+    // min(struct) = (max support, then smallest endpoint pair)
+    val cand = und.select(col("u").as("x"), col("u").as("a"), col("v").as("b"),
+        col("support"))
+      .unionByName(und.select(col("v").as("x"), col("u").as("a"),
+        col("v").as("b"), col("support")))
+      .withColumn("k", struct((-col("support")).as("ws"), col("a"), col("b")))
+    val e1 = cand.groupBy(col("x")).agg(min(col("k")).as("k"))
+      .select(col("k.a").as("u"), col("k.b").as("v"),
+        (-col("k.ws")).as("support"))
+      .distinct()
+    val lbl = Components.labels(e1.select(col("u"), col("v")).unionByName(
+      e1.select(col("v").as("u"), col("u").as("v"))))
+    val withC = und
+      .join(lbl.select(col("node").as("u"), col("component").as("cu")), Seq("u"))
+      .join(lbl.select(col("node").as("v"), col("component").as("cv")), Seq("v"))
+      .filter(col("cu") =!= col("cv"))
+    val cand2 = withC.select(col("cu").as("c"), col("u").as("a"),
+        col("v").as("b"), col("support"))
+      .unionByName(withC.select(col("cv").as("c"), col("u").as("a"),
+        col("v").as("b"), col("support")))
+      .withColumn("k", struct((-col("support")).as("ws"), col("a"), col("b")))
+    val e2 = cand2.groupBy(col("c")).agg(min(col("k")).as("k"))
+      .select(col("k.a").as("u"), col("k.b").as("v"),
+        (-col("k.ws")).as("support"))
+      .distinct()
+    e1.withColumn("round", lit(1L))
+      .unionByName(e2.withColumn("round", lit(2L)))
+      .orderBy("u", "v")
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -476,6 +524,7 @@ object Graphs {
       "GROUP BY a.u HAVING COUNT(*) >= 2"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_mst" -> graphMst _,
     "graph_kcore" -> graphKcore _,
     "graph_clustcoeff" -> graphClustCoeff _,
     "graph_assoc_rules" -> graphAssocRules _,
@@ -497,6 +546,38 @@ object Graphs {
         "JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u GROUP BY a.u) " +
         "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM core " +
         "GROUP BY degree ORDER BY degree"),
+    "graph_mst" ->
+      ("WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "sup AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM " +
+        "(SELECT DISTINCT a.ok AS ok, a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+        "cand AS (SELECT u AS x, u AS a, v AS b, support FROM sup " +
+        "UNION ALL SELECT v AS x, u AS a, v AS b, support FROM sup), " +
+        "p1 AS (SELECT a, b, support, row_number() OVER (PARTITION BY x " +
+        "ORDER BY support DESC, a, b) AS rn FROM cand), " +
+        "e1 AS (SELECT DISTINCT a AS u, b AS v, support FROM p1 " +
+        "WHERE rn = 1), " +
+        "edges1 AS (SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v " +
+        "FROM e1), " +
+        "nodes AS (SELECT DISTINCT u AS n FROM edges1), " +
+        "reach(a, b) AS (SELECT n, n FROM nodes " +
+        "UNION SELECT r.a, e.v FROM reach r JOIN edges1 e ON r.b = e.u), " +
+        "lab AS (SELECT a AS node, MIN(b) AS component FROM reach " +
+        "GROUP BY a), " +
+        "wc AS (SELECT s.u, s.v, s.support, lu.component AS cu, " +
+        "lv.component AS cv FROM sup s JOIN lab lu ON s.u = lu.node " +
+        "JOIN lab lv ON s.v = lv.node WHERE lu.component <> lv.component), " +
+        "cand2 AS (SELECT cu AS c, u AS a, v AS b, support FROM wc " +
+        "UNION ALL SELECT cv AS c, u AS a, v AS b, support FROM wc), " +
+        "p2 AS (SELECT a, b, support, row_number() OVER (PARTITION BY c " +
+        "ORDER BY support DESC, a, b) AS rn FROM cand2), " +
+        "e2 AS (SELECT DISTINCT a AS u, b AS v, support FROM p2 " +
+        "WHERE rn = 1) " +
+        "SELECT u, v, support, CAST(1 AS BIGINT) AS round FROM e1 " +
+        "UNION ALL SELECT u, v, support, CAST(2 AS BIGINT) AS round FROM e2 " +
+        "ORDER BY u, v"),
     "graph_clustcoeff" ->
       (supAdjCtes + ", " +
         "deg AS (SELECT u AS node, COUNT(*) AS degree FROM adj GROUP BY u), " +

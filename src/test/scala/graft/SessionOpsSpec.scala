@@ -30,6 +30,32 @@ class SessionOpsSpec extends SparkTestBase {
     assert(asym == 0, "lift(u,v) must equal lift(v,u) exactly")
   }
 
+  test("boruvka output is an acyclic forest spanning every graph node") {
+    val f = graft.operators.Graphs.queries("graph_mst")(spark, sfDir)
+      .select(col("u"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(f.nonEmpty)
+    assert(f.distinct.length == f.length, "forest edges must be unique")
+    // acyclicity: union-find over the picked edges never closes a cycle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    f.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      assert(ru != rv, s"edge ($u,$v) closes a cycle — not a forest")
+      parent(ru) = rv
+    }
+    // spanning: every node of the support graph appears in the forest
+    val cc = graft.operators.Graphs.queries("graph_clustcoeff")(spark, sfDir)
+      .select(col("node")).collect().map(_.getLong(0)).toSet
+    val covered = f.flatMap { case (u, v) => Seq(u, v) }.toSet
+    assert(cc.subsetOf(covered),
+      "every support-graph node picks an edge in round 1")
+  }
+
   test("markov transition rows are complete probability distributions") {
     val m = graft.operators.TimeSeries.queries("ts_markov")(spark, sfDir)
     // within a row, counts sum to the row total and floored probabilities
