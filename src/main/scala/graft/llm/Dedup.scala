@@ -338,7 +338,24 @@ object Dedup {
     "dedup_containment" -> containmentPairs _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
+    "dedup_soft_weights" -> softWeights _,
     "dedup_clusters" -> clusterAssign _)
+
+  /** SoftDeDup: instead of dropping near-duplicates, weight every doc by
+    * 1/|cluster| (floored to integer micro-units) so a training pipeline
+    * keeps all text but stops over-counting repeated content — the
+    * soft-dedup reweighting refinement over [[clusterAssign]]'s hard
+    * keeper pick. One extra size agg + broadcast-scale join on top of the
+    * shared cluster labeling; singletons weigh exactly 1e6. */
+  private def softWeights(s: SparkSession, d: String): DataFrame = {
+    val lab = clusterAssign(s, d).select(col("doc_id"), col("cluster_id"))
+    val sz = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sz, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_micro"))
+      .orderBy("doc_id")
+  }
 
   /** Exact MinHash-LSH oracle (round 5): the permutations are fixed integer
     * arithmetic (sig_k = min over shingle-hashes of (h·(2k+1)+k·12345+7)
@@ -417,6 +434,21 @@ object Dedup {
     // Connected components as a recursive transitive closure over the same
     // verified pair set: every doc reaches every member of its component, so
     // MIN(reachable id) is the cluster label — exactly the Spark fixpoint.
+    "dedup_soft_weights" ->
+      (s"WITH RECURSIVE $jaccardCtes, " +
+        "pr AS (SELECT da, db FROM pairs " +
+        "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        "edges AS (SELECT da AS u, db AS v FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "reach(u, v) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach " +
+        "GROUP BY u), " +
+        "sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size " +
+        "FROM lab GROUP BY cluster_id) " +
+        "SELECT doc_id, cluster_id, cluster_size, " +
+        "1000000 // cluster_size AS weight_micro " +
+        "FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"),
     "dedup_clusters" ->
       (s"WITH RECURSIVE $jaccardCtes, " +
         "pr AS (SELECT da, db FROM pairs " +

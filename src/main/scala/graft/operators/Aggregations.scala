@@ -634,7 +634,38 @@ object Aggregations {
       .orderBy("type_a", "type_b")
   }
 
+  /** Chi-square independence cells for event type × day-of-week (is the
+    * traffic mix stable across the week — the categorical drift check):
+    * observed counts per cell, expected = row·col/total, and the χ²
+    * contribution (O·T − R·C)²/(R·C·T) — cross-multiplied so every product
+    * of exact integers stays below 2^53 before ONE deterministic double
+    * division, then floored to micro-units. Day-of-week comes from pure
+    * epoch integer arithmetic (the [[TimeSeries]] heatmap recipe — no
+    * engine calendar conventions). Marginals broadcast; the only wide agg
+    * is the cell count. */
+  private def aggChi2(s: SparkSession, d: String): DataFrame = {
+    val cells = U.events(s, d)
+      .select(col("event_type"),
+        expr("((unix_micros(ts) DIV 86400000000) + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("t"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("o"),
+        expr("CAST(floor(1000000.0 * (CAST(r AS DOUBLE) * c / t)) AS BIGINT)")
+          .as("e_micro"),
+        expr("CAST(floor(1000000.0 * " +
+          "((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) * " +
+          "(CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)) / " +
+          "(CAST(r AS DOUBLE) * c * t)) AS BIGINT)").as("term_micro"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chi2" -> aggChi2 _,
     "agg_bitmap_overlap" -> aggBitmapOverlap _,
     "agg_hhi" -> aggHhi _,
     "agg_benford" -> aggBenford _,
@@ -746,6 +777,24 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_chi2" ->
+      ("WITH cells AS (SELECT event_type, " +
+        "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2), " +
+        "rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells " +
+        "GROUP BY 1), " +
+        "ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells " +
+        "GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells) " +
+        "SELECT event_type, dow, o, " +
+        "CAST(floor(1000000.0 * (CAST(r AS DOUBLE) * c / t)) AS BIGINT) " +
+        "AS e_micro, " +
+        "CAST(floor(1000000.0 * " +
+        "((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) * " +
+        "(CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)) / " +
+        "(CAST(r AS DOUBLE) * c * t)) AS BIGINT) AS term_micro " +
+        "FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) " +
+        "CROSS JOIN tt ORDER BY event_type, dow"),
     "agg_bitmap_overlap" ->
       ("WITH bm AS (SELECT event_type, user_id // 32 AS bucket, " +
         "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS msk " +

@@ -1010,7 +1010,37 @@ object TimeSeries {
       .orderBy("user_id", "regime")
   }
 
+  /** Seasonal strength = lag-24h autocorrelation of each type's hourly
+    * series (the rational periodicity probe — no trig, so no libm
+    * divergence risk): the hourly exact-cents sums self-join shifted by
+    * exactly 24 hours, then the same [[U.covPowerSums]] correlation tree
+    * as [[tsAutocorr]]. A value near 1 = strong daily cycle. */
+  private def tsSeasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(U.cents(col("value"))).as("sc"))
+    val cur = hourly.select(col("event_type"), col("hour"), col("sc").as("xa"))
+    val lag24 = hourly.select(col("event_type"),
+      (col("hour") + expr("INTERVAL 24 HOURS")).as("hour"), col("sc").as("xb"))
+    cur.join(lag24, Seq("event_type", "hour"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xa")).cast(DoubleType).as("sx"),
+        sum(col("xb")).cast(DoubleType).as("sy"),
+        sum(col("xa").cast(dec) * col("xa").cast(dec)).cast(DoubleType).as("sxx"),
+        sum(col("xb").cast(dec) * col("xb").cast(dec)).cast(DoubleType).as("syy"),
+        sum(col("xa").cast(dec) * col("xb").cast(dec)).cast(DoubleType).as("sxy"))
+      .select(col("event_type"), col("nd").cast(LongType).as("n_pairs"),
+        (U.covPowerSums(col("sxy"), col("sx"), col("sy"), col("nd")) /
+          (sqrt(U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))) *
+            sqrt(U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd")))))
+          .as("seasonal_corr"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_strength" -> tsSeasonalStrength _,
     "ts_run_length" -> tsRunLength _,
     "ts_dtw" -> tsDtw _,
     "ts_changepoint" -> tsChangepoint _,
@@ -1052,6 +1082,24 @@ object TimeSeries {
     "ts_zscore" -> tsZscore _)
 
   val oracleSql: Map[String, String] = Map(
+    "ts_seasonal_strength" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+        s"CAST(SUM($c) AS BIGINT) AS sc FROM events GROUP BY 1, 2), " +
+        "j AS (SELECT a.event_type, a.sc AS xa, b.sc AS xb FROM hourly a " +
+        "JOIN hourly b ON a.event_type = b.event_type " +
+        "AND a.hour = b.hour + INTERVAL 24 HOURS), " +
+        "ps AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy, " +
+        "CAST(SUM(xa * xa) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(xb * xb) AS DOUBLE) AS syy, " +
+        "CAST(SUM(xa * xb) AS DOUBLE) AS sxy FROM j GROUP BY 1) " +
+        "SELECT event_type, CAST(nd AS BIGINT) AS n_pairs, " +
+        s"(${OSQL.covPowerSums("sxy", "sx", "sy", "nd")}) / " +
+        s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
+        s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) " +
+        "AS seasonal_corr FROM ps ORDER BY event_type"
+    },
     "ts_run_length" -> {
       val c = OSQL.cents("value")
       s"WITH med AS (SELECT CAST(floor(quantile_cont($c, 0.5) * 2) " +
