@@ -221,7 +221,26 @@ object ScalarFns {
       .filter(col("is_promo") || col("is_econ"))
       .orderBy("p_partkey")
 
+  /** Crypto surface: AES encrypt→decrypt roundtrip (GCM's random IV makes
+    * the ciphertext nondeterministic, so only the ROUNDTRIP IDENTITY is
+    * declared — the oracle states the law `decrypt(encrypt(x)) = x` by
+    * selecting the plaintext), plus sha2-256 digests which both engines
+    * compute identically. The per-row crypto is codegen'd scalar work —
+    * embarrassingly parallel, no shuffle at all. */
+  private def fnCrypto(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "documents").select(
+      col("doc_id"),
+      expr("CAST(aes_decrypt(aes_encrypt(encode(text, 'UTF-8'), " +
+        "'0123456789abcdef'), '0123456789abcdef') AS STRING)")
+        .as("aes_roundtrip"),
+      sha2(encode(col("text"), "UTF-8"), 256).as("digest256"),
+      expr("CAST(aes_decrypt(aes_encrypt(encode(text, 'UTF-8'), " +
+        "'0123456789abcdef'), '0123456789abcdef') AS STRING) = text")
+        .as("roundtrip_ok"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_crypto" -> fnCrypto _,
     "fn_collation" -> fnCollation _,
     "fn_try" -> fnTry _,
     "fn_variant" -> fnVariant _,
@@ -254,6 +273,9 @@ object ScalarFns {
       .orderBy("p_partkey")
 
   val oracleSql: Map[String, String] = Map(
+    "fn_crypto" ->
+      ("SELECT doc_id, text AS aes_roundtrip, sha256(text) AS digest256, " +
+        "TRUE AS roundtrip_ok FROM documents ORDER BY doc_id"),
     "fn_collation" ->
       ("WITH styledp AS (SELECT p_partkey, CASE WHEN p_partkey % 2 = 0 " +
         "THEN p_type ELSE upper(substring(p_type, 1, 1)) || " +

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
 case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
   o_totalprice: Double)
 case class CustOpen(o_custkey: Long, n_open: Long, open_value: Double)
+case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)
+case class BigOrder(o_orderkey: Long, c_name: String, c_mktsegment: String,
+  o_totalprice: Double)
 
 /** The TYPED half of the API surface: `Dataset[T]` with case-class
   * encoders, lambda filters, and `groupByKey`/`mapGroups` — the
@@ -41,10 +44,38 @@ object TypedApi {
       .orderBy("o_custkey")
   }
 
+  /** The second typed entry point: `Dataset.joinWith` — the join that
+    * returns TUPLES of whole typed rows instead of a flattened row, so
+    * downstream lambdas keep both sides' types. Kept to one broadcast-dim
+    * typed join + a tuple-consuming map; the tuple encoder round-trip is
+    * what this query exists to exercise (everything else in the library
+    * flattens through columns on purpose — Catalyst sees nothing inside
+    * `_._1`/`_._2` lambdas). */
+  private def typedJoinWith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = U.tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice")).as[OrderRow]
+    val cust = U.tbl(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .as[CustRow]
+    orders.filter((o: OrderRow) => o.o_totalprice > 400000.0)
+      .joinWith(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .map { case (o, c) =>
+        BigOrder(o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice) }
+      .toDF()
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_joinwith" -> typedJoinWith _,
     "typed_pipeline" -> typedPipeline _)
 
   val oracleSql: Map[String, String] = Map(
+    "typed_joinwith" ->
+      ("SELECT o_orderkey, c_name, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_totalprice > 400000.0 ORDER BY o_orderkey"),
     "typed_pipeline" ->
       ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_open, " +
         s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS DOUBLE) / 100.0 " +
