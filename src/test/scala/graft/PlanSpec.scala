@@ -535,6 +535,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("sqrt"), s"float sqrt leaked into the plan:\n$p")
   }
 
+  test("emb_rand_proj projects with no join and no aggregate before the sort") {
+    val p = plan("emb_rand_proj")
+    assert(!p.contains("Join"), s"pure projection grew a join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"pure projection grew an aggregate:\n$p")
+    assert(p.toLowerCase.contains("fixeddot"),
+      s"codegen'd kernel missing from the plan:\n$p")
+  }
+
+  test("ts_changepoint exchanges the events table exactly once") {
+    val p = plan("ts_changepoint")
+    // one hash exchange feeds all three window passes (prefix sums, totals,
+    // ranking share the user partitioning); the only other exchange is the
+    // final presentation orderBy (range partitioning)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"windowed totals grew a join:\n$p")
+  }
+
+  test("ts_dtw plans no join and a single aggregate chain per user") {
+    val p = plan("ts_dtw")
+    assert(!p.contains("Join"), s"unrolled DP grew a join:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
