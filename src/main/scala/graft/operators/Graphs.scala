@@ -476,6 +476,34 @@ object Graphs {
       .orderBy("u", "v")
   }
 
+  /** Community detection by synchronous LABEL PROPAGATION over the
+    * support≥2 association graph (the near-linear community baseline —
+    * what you run before anything spectral): every node starts as its own
+    * label; each of 3 unrolled rounds re-labels a node with its
+    * neighbors' MODAL label, ties to the smallest label — the
+    * deterministic variant, so the full community histogram carries an
+    * exact oracle (async/random LPA does not). Per round: one join of the
+    * cached adjacency against the (node, label) frame + a two-level hash
+    * agg with the pick as min(struct(-count, label)) — no sort, no
+    * window. At 100 TB each round exchanges the narrow label frame only;
+    * the adjacency is partitioned once (the PageRank co-partitioning
+    * posture). */
+  private def graphCommunityLp(s: SparkSession, d: String): DataFrame = {
+    val (adj, _) = wedgeFrames(s, d)
+    var lbl = adj.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 0 until 3) {
+      lbl = adj
+        .join(lbl.select(col("node").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("k", struct((-col("c")).as("nc"), col("lbl")))
+        .groupBy(col("u")).agg(min(col("k")).as("k"))
+        .select(col("u").as("node"), col("k.lbl").as("lbl"))
+    }
+    lbl.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -524,6 +552,7 @@ object Graphs {
       "GROUP BY a.u HAVING COUNT(*) >= 2"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_community_lp" -> graphCommunityLp _,
     "graph_mst" -> graphMst _,
     "graph_kcore" -> graphKcore _,
     "graph_clustcoeff" -> graphClustCoeff _,
@@ -546,6 +575,19 @@ object Graphs {
         "JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u GROUP BY a.u) " +
         "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM core " +
         "GROUP BY degree ORDER BY degree"),
+    "graph_community_lp" -> {
+      val round = "SELECT u AS node, lbl FROM (SELECT a.u, l.lbl, " +
+        "row_number() OVER (PARTITION BY a.u ORDER BY COUNT(*) DESC, l.lbl) " +
+        "AS rn FROM adj a JOIN %s l ON a.v = l.node GROUP BY a.u, l.lbl) " +
+        "WHERE rn = 1"
+      supAdjCtes + ", " +
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj), " +
+        s"l1 AS (${round.format("l0")}), " +
+        s"l2 AS (${round.format("l1")}), " +
+        s"l3 AS (${round.format("l2")}) " +
+        "SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+        "FROM l3 GROUP BY lbl ORDER BY n_nodes DESC, community"
+    },
     "graph_mst" ->
       ("WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +
