@@ -347,7 +347,7 @@ object Dedup {
     * soft-dedup reweighting refinement over [[clusterAssign]]'s hard
     * keeper pick. One extra size agg + broadcast-scale join on top of the
     * shared cluster labeling; singletons weigh exactly 1e6. */
-  private def softWeights(s: SparkSession, d: String): DataFrame = {
+  private[llm] def softWeights(s: SparkSession, d: String): DataFrame = {
     val lab = clusterAssign(s, d).select(col("doc_id"), col("cluster_id"))
     val sz = lab.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -464,7 +464,7 @@ object Dedup {
 
   /** Shared CTE chain producing the exact-Jaccard candidate `pairs` —
     * dedup_jaccard scores them; dedup_clusters closes over them. */
-  private lazy val jaccardCtes: String = {
+  private[llm] lazy val jaccardCtes: String = {
     val toks = sqlTokens("text")
     s"sh AS (SELECT doc_id, ${sqlShingles3(toks)} AS ss FROM documents), " +
       "sized AS (SELECT doc_id, ss, CAST(len(ss) AS BIGINT) AS n_sh FROM sh), " +

@@ -456,7 +456,42 @@ object Pipeline {
       .orderBy("label", "rn")
   }
 
+  /** The full curation funnel in ONE lineage (what a training-data run
+    * actually executes — filter → boilerplate screen → soft-dedup weight →
+    * per-source token budget): docs with ≥ 10 tokens, boilerplate ratio
+    * < 0.5 (corpus-frequency sentence screen), each surviving doc weighted
+    * by 1/|near-dup cluster|, rolled up to per-source kept-doc and
+    * weighted-token budgets in exact micro-units. Every stage reuses a
+    * shared cache or a linear shuffle the standalone operators already
+    * pay; the value of the composite is the DAG — Catalyst sees the whole
+    * funnel and schedules it without intermediate sinks. */
+  private def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .filter(col("n_tokens") >= 10)
+    val sent = docs(s, d).select(col("doc_id"),
+      explode(filter(split(col("text"), "\\. "), x => length(x) > 0))
+        .as("sent"))
+    val cnt = sent.groupBy(col("sent"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val boiler = sent.join(cnt, Seq("sent")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when(col("ndocs") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_micro", expr("(1000000 * n_boiler) DIV n_sent"))
+    val w = Dedup.softWeights(s, d).select(col("doc_id"), col("weight_micro"))
+    base.join(boiler.select(col("doc_id"), col("boiler_micro")), Seq("doc_id"))
+      .filter(col("boiler_micro") < 500000L)
+      .join(w, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("n_tokens") * col("weight_micro"))
+          .as("weighted_tokens_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate _,
     "sample_balanced" -> sampleBalanced _,
     "sample_temperature" -> sampleTemperature _,
     "emb_pq_code" -> embPqCode _,
@@ -591,6 +626,38 @@ object Pipeline {
         "COALESCE(nh, 0) > 0 AS is_contaminated " +
         "FROM (SELECT doc_id FROM base WHERE bucket < 80) b " +
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"),
+    "pipeline_curate" ->
+      (s"WITH RECURSIVE ${Dedup.jaccardCtes}, " +
+        "pr AS (SELECT da, db FROM pairs " +
+        "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        "edges AS (SELECT da AS u, db AS v FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "reach(u, v) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach " +
+        "GROUP BY u), " +
+        "sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size " +
+        "FROM lab GROUP BY cluster_id), " +
+        "wt AS (SELECT doc_id, 1000000 // cluster_size AS weight_micro " +
+        "FROM lab JOIN sz USING (cluster_id)), " +
+        "sent AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split(text, '. '), " +
+        "x -> length(x) > 0)) AS sent FROM documents), " +
+        "cnt AS (SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) " +
+        "AS ndocs FROM sent GROUP BY sent), " +
+        "boiler AS (SELECT doc_id, " +
+        "(1000000 * CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) " +
+        "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS boiler_micro " +
+        "FROM sent JOIN cnt USING (sent) GROUP BY doc_id), " +
+        s"base AS (SELECT doc_id, source, " +
+        s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens " +
+        s"FROM documents WHERE len(${sqlTokens("text")}) >= 10) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens, " +
+        "CAST(SUM(n_tokens * weight_micro) AS BIGINT) " +
+        "AS weighted_tokens_micro " +
+        "FROM base JOIN boiler USING (doc_id) JOIN wt USING (doc_id) " +
+        "WHERE boiler_micro < 500000 GROUP BY source ORDER BY source"),
     "sample_balanced" ->
       ("WITH k AS (SELECT MIN(n) AS k FROM " +
         "(SELECT COUNT(*) AS n FROM embeddings GROUP BY label)), " +
