@@ -119,7 +119,7 @@ object Dedup {
     * the thresholds commute with the cache, not with the join. */
   private val pairsCache =
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
-  private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
+  private[llm] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
     synchronized {
       pairsCache.get(d) match {
         case Some((sess, df)) if sess eq s => df

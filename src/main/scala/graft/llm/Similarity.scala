@@ -33,7 +33,7 @@ object Similarity {
     * Spark's interpreted HOF lambdas cost minutes inside the O(n^2) pair
     * joins at sf0.1; the tight generated loop is ~100x faster with byte-for-
     * byte identical Long results. */
-  private def fixed(s: SparkSession, d: String): DataFrame =
+  private[llm] def fixed(s: SparkSession, d: String): DataFrame =
     U.tbl(s, d, "embeddings").select(col("vec_id"), col("label"),
       transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1000000.0)))
         .as("fx"))
@@ -332,7 +332,31 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cross-modal consistency screen (are the embeddings faithful to the
+    * text?): every exact text near-dup pair (Jaccard ≥ 0.2, from the
+    * shared inverted-index cache) whose BOTH ids carry an embedding is
+    * scored with the exact fixed-point cosine; pairs flagged `divergent`
+    * (high text overlap, cosine < 0.5) are embedding-quality bugs a
+    * curation run wants surfaced. No new candidate generation — the pair
+    * frame is the dedup family's cache and the vector join is two id
+    * equijoins, so the query costs two narrow joins at any scale. */
+  private def textVsEmbedding(s: SparkSession, d: String): DataFrame = {
+    val p = graft.llm.Dedup.jaccardPairsShared(s, d)
+      .filter(col("jac") >= 0.2).select(col("da"), col("db"), col("jac"))
+    val f = fixed(s, d)
+    p.join(f.select(col("vec_id").as("da"), col("fx").as("xa"),
+        col("nrm").as("na2")), Seq("da"))
+      .join(f.select(col("vec_id").as("db"), col("fx").as("xb"),
+        col("nrm").as("nb2")), Seq("db"))
+      .withColumn("cos", cosCol(dotCol(col("xa"), col("xb")),
+        col("na2"), col("nb2")))
+      .select(col("da"), col("db"), col("jac"), col("cos"),
+        (col("cos") < 0.5).as("divergent"))
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_text_vs_embedding" -> textVsEmbedding _,
     "emb_rand_proj" -> embRandProj _,
     "sim_bruteforce_topk" -> bruteforceTopk _,
     "emb_knn_classify" -> knnClassify _,
@@ -452,6 +476,20 @@ object Similarity {
       "SELECT da, db, cos FROM pairs ORDER BY da, db"
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_text_vs_embedding" ->
+      (s"WITH ${graft.llm.Dedup.jaccardCtes}, " +
+        "pj AS (SELECT da, db, " +
+        "CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jac " +
+        "FROM pairs WHERE CAST(common AS DOUBLE) / " +
+        "CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        s"f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "sc AS (SELECT da, db, jac, " +
+        s"CAST(${dotSql("a.fx", "b.fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos " +
+        "FROM pj JOIN n a ON pj.da = a.vec_id JOIN n b ON pj.db = b.vec_id) " +
+        "SELECT da, db, jac, cos, cos < 0.5 AS divergent FROM sc " +
+        "ORDER BY da, db"),
     "emb_rand_proj" -> {
       val signs = planeSigns(8, 64)
       def pd(j: Int): String = {

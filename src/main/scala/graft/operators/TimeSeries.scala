@@ -916,7 +916,10 @@ object TimeSeries {
     * the symbol decision is exact), then one ordered listagg per user.
     * The breakpoint frame broadcasts; everything else is one hash agg +
     * one per-user sort. */
-  private def tsSax(s: SparkSession, d: String): DataFrame = {
+  /** Per-(user, day) SAX symbol frame — shared by [[tsSax]] (string
+    * assembly) and [[tsMotif]] (motif counting); one definition so the
+    * two symbolizations cannot drift. */
+  private def saxSymbols(s: SparkSession, d: String): DataFrame = {
     val vc = U.cents(col("value"))
     val bp = U.events(s, d).agg(
       floor(percentile(vc, lit(0.25)) * 2).cast(LongType).as("bp25"),
@@ -931,6 +934,11 @@ object TimeSeries {
           .when(col("sd") * 2 < col("bp50") * col("nd"), lit("b"))
           .when(col("sd") * 2 < col("bp75") * col("nd"), lit("c"))
           .otherwise(lit("d")))
+      .select(col("user_id"), col("day"), col("sym"))
+  }
+
+  private def tsSax(s: SparkSession, d: String): DataFrame = {
+    saxSymbols(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_days"),
         expr("listagg(sym, '') WITHIN GROUP (ORDER BY day)").as("sax"))
@@ -1039,7 +1047,26 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** SAX motif discovery (the payoff of symbolization — which 3-day shapes
+    * recur across the fleet): every consecutive 3-day symbol window per
+    * user becomes a motif string; motifs are counted globally with their
+    * distinct-user support. One lead window over the tiny per-day frame +
+    * one ≤64-group hash agg — at 100 TB the motif table is still at most
+    * |alphabet|³ rows. */
+  private def tsMotif(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    saxSymbols(s, d)
+      .withColumn("s2", lead(col("sym"), 1).over(w))
+      .withColumn("s3", lead(col("sym"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .select(col("user_id"), concat(col("sym"), col("s2"), col("s3")).as("motif"))
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("motif")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_motif_count" -> tsMotif _,
     "ts_seasonal_strength" -> tsSeasonalStrength _,
     "ts_run_length" -> tsRunLength _,
     "ts_dtw" -> tsDtw _,
@@ -1080,6 +1107,25 @@ object TimeSeries {
     "ts_diff_rate" -> tsDiffRate _,
     "ts_bollinger" -> tsBollinger _,
     "ts_zscore" -> tsZscore _)
+
+  /** The SAX symbol CTE chain (breakpoints → daily sums → symbols) shared
+    * by the ts_sax and ts_motif_count oracles — mirrors [[saxSymbols]]. */
+  private val saxCtes: String = {
+    val c = OSQL.cents("value")
+    s"bp AS (SELECT " +
+      s"CAST(floor(quantile_cont($c, 0.25) * 2) AS BIGINT) AS bp25, " +
+      s"CAST(floor(quantile_cont($c, 0.5) * 2) AS BIGINT) AS bp50, " +
+      s"CAST(floor(quantile_cont($c, 0.75) * 2) AS BIGINT) AS bp75 " +
+      "FROM events), " +
+      "daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+      s"CAST(SUM($c) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd " +
+      "FROM events GROUP BY 1, 2), " +
+      "sym AS (SELECT user_id, day, " +
+      "CASE WHEN sd * 2 < bp25 * nd THEN 'a' " +
+      "WHEN sd * 2 < bp50 * nd THEN 'b' " +
+      "WHEN sd * 2 < bp75 * nd THEN 'c' ELSE 'd' END AS sym " +
+      "FROM daily CROSS JOIN bp)"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "ts_seasonal_strength" -> {
@@ -1167,25 +1213,20 @@ object TimeSeries {
         "CAST(sn - st AS DOUBLE) / (100.0 * (n - t)) AS mean_right " +
         "FROM rk WHERE rk = 1 ORDER BY user_id"
     },
-    "ts_sax" -> {
-      val c = OSQL.cents("value")
-      s"WITH bp AS (SELECT " +
-        s"CAST(floor(quantile_cont($c, 0.25) * 2) AS BIGINT) AS bp25, " +
-        s"CAST(floor(quantile_cont($c, 0.5) * 2) AS BIGINT) AS bp50, " +
-        s"CAST(floor(quantile_cont($c, 0.75) * 2) AS BIGINT) AS bp75 " +
-        "FROM events), " +
-        "daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
-        s"CAST(SUM($c) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd " +
-        "FROM events GROUP BY 1, 2), " +
-        "sym AS (SELECT user_id, day, " +
-        "CASE WHEN sd * 2 < bp25 * nd THEN 'a' " +
-        "WHEN sd * 2 < bp50 * nd THEN 'b' " +
-        "WHEN sd * 2 < bp75 * nd THEN 'c' ELSE 'd' END AS sym " +
-        "FROM daily CROSS JOIN bp) " +
+    "ts_sax" ->
+      (s"WITH $saxCtes " +
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days, " +
         "string_agg(sym, '' ORDER BY day) AS sax " +
-        "FROM sym GROUP BY user_id ORDER BY user_id"
-    },
+        "FROM sym GROUP BY user_id ORDER BY user_id"),
+    "ts_motif_count" ->
+      (s"WITH $saxCtes, " +
+        "mot AS (SELECT user_id, sym || lead(sym, 1) OVER w || " +
+        "lead(sym, 2) OVER w AS motif FROM sym " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY day)) " +
+        "SELECT motif, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM mot WHERE motif IS NOT NULL " +
+        "GROUP BY motif ORDER BY motif"),
     "ts_corr_matrix" -> {
       val c = OSQL.cents("value")
       s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
