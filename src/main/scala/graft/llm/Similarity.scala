@@ -355,7 +355,33 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  /** Label separability of the embedding space (the one-number answer to
+    * "are these embeddings any good for this labeling"): mean cosine over
+    * all same-label pairs vs all cross-label pairs. Every pairwise cosine
+    * floors to integer MICRO-UNITS before the group sum (the micro-nat
+    * doctrine — raw double sums would be partial-aggregation-order
+    * dependent over n²/2 terms), so both group means are exact. The
+    * all-pairs scan is the [[EmbExactVecCap]]-scale anchor shape — at
+    * 100 TB this diagnostic runs on a sampled block, same code. */
+  private def labelSeparation(s: SparkSession, d: String): DataFrame = {
+    val f = fixed(s, d)
+    val a = f.select(col("vec_id").as("da"), col("label").as("la"),
+      col("fx").as("xa"), col("nrm").as("na2"))
+    val b = f.select(col("vec_id").as("db"), col("label").as("lb"),
+      col("fx").as("xb"), col("nrm").as("nb2"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("cos_micro",
+        floor(cosCol(dotCol(col("xa"), col("xb")), col("na2"), col("nb2")) *
+          lit(1000000.0)).cast(LongType))
+      .groupBy((col("la") === col("lb")).as("same_label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("cos_micro")).cast(DoubleType) /
+          (lit(1000000.0) * count(lit(1)))).as("mean_cos"))
+      .orderBy("same_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_label_separation" -> labelSeparation _,
     "dedup_text_vs_embedding" -> textVsEmbedding _,
     "emb_rand_proj" -> embRandProj _,
     "sim_bruteforce_topk" -> bruteforceTopk _,
@@ -476,6 +502,18 @@ object Similarity {
       "SELECT da, db, cos FROM pairs ORDER BY da, db"
 
   val oracleSql: Map[String, String] = Map(
+    "emb_label_separation" ->
+      (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, label, fx, ${dotSql("fx", "fx")} AS nrm " +
+        "FROM f), " +
+        "p AS (SELECT a.label = b.label AS same_label, " +
+        s"CAST(floor(CAST(${dotSql("a.fx", "b.fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) " +
+        "* 1000000.0) AS BIGINT) AS cos_micro " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+        "SELECT same_label, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(cos_micro) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
+        "AS mean_cos FROM p GROUP BY same_label ORDER BY same_label"),
     "dedup_text_vs_embedding" ->
       (s"WITH ${graft.llm.Dedup.jaccardCtes}, " +
         "pj AS (SELECT da, db, " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.U
+import graft.{OSQL, U}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -504,6 +504,32 @@ object Graphs {
       .orderBy(col("n_nodes").desc, col("community"))
   }
 
+  /** Degree assortativity of the support≥2 association graph (do hubs
+    * link to hubs? — the single scalar that separates social-style from
+    * technological-style topologies): Pearson correlation of the endpoint
+    * degrees over all mirrored edges, through the shared
+    * [[U.covPowerSums]] tree on exact integer degrees. One degree agg +
+    * two broadcast-scale joins + one power-sum rollup — O(|E|) at any
+    * scale. */
+  private def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (adj, _) = wedgeFrames(s, d)
+    val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    adj.join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("du")).cast(DoubleType).as("sx"),
+        sum(col("dv")).cast(DoubleType).as("sy"),
+        sum(col("du").cast(dec) * col("du").cast(dec)).cast(DoubleType).as("sxx"),
+        sum(col("dv").cast(dec) * col("dv").cast(dec)).cast(DoubleType).as("syy"),
+        sum(col("du").cast(dec) * col("dv").cast(dec)).cast(DoubleType).as("sxy"))
+      .select(col("nd").cast(LongType).as("n_edges"),
+        (U.covPowerSums(col("sxy"), col("sx"), col("sy"), col("nd")) /
+          (sqrt(U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))) *
+            sqrt(U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd")))))
+          .as("assortativity"))
+  }
+
   /** Degree distribution of the co-purchase graph — the first profile
     * anyone pulls on a new graph (is it scale-free? how dense?). One hash
     * agg over the cached pair frame, then a count-of-counts. */
@@ -552,6 +578,7 @@ object Graphs {
       "GROUP BY a.u HAVING COUNT(*) >= 2"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> graphAssortativity _,
     "graph_community_lp" -> graphCommunityLp _,
     "graph_mst" -> graphMst _,
     "graph_kcore" -> graphKcore _,
@@ -575,6 +602,22 @@ object Graphs {
         "JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u GROUP BY a.u) " +
         "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM core " +
         "GROUP BY degree ORDER BY degree"),
+    "graph_assortativity" ->
+      (supAdjCtes + ", " +
+        "deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj " +
+        "GROUP BY u), " +
+        "e AS (SELECT a.deg AS du, b.deg AS dv FROM adj " +
+        "JOIN deg a ON adj.u = a.n JOIN deg b ON adj.v = b.n), " +
+        "ps AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(du) AS DOUBLE) AS sx, CAST(SUM(dv) AS DOUBLE) AS sy, " +
+        "CAST(SUM(du * du) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(dv * dv) AS DOUBLE) AS syy, " +
+        "CAST(SUM(du * dv) AS DOUBLE) AS sxy FROM e) " +
+        "SELECT CAST(nd AS BIGINT) AS n_edges, " +
+        s"(${OSQL.covPowerSums("sxy", "sx", "sy", "nd")}) / " +
+        s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
+        s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) " +
+        "AS assortativity FROM ps"),
     "graph_community_lp" -> {
       val round = "SELECT u AS node, lbl FROM (SELECT a.u, l.lbl, " +
         "row_number() OVER (PARTITION BY a.u ORDER BY COUNT(*) DESC, l.lbl) " +
