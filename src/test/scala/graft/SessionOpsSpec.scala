@@ -131,6 +131,47 @@ class SessionOpsSpec extends SparkTestBase {
       "rank-frequency slope must be negative")
   }
 
+  test("label propagation conserves the node set; assortativity is bounded") {
+    val lp = graft.operators.Graphs.queries("graph_community_lp")(spark, sfDir)
+    val total = lp.agg(sum(col("n_nodes"))).head().getLong(0)
+    val nNodes = graft.operators.Graphs.queries("graph_clustcoeff")(spark, sfDir)
+      .count() // clustcoeff rows = nodes with degree >= 2
+    assert(total >= nNodes, s"every node keeps exactly one label: $total")
+    val r = graft.operators.Graphs.queries("graph_assortativity")(spark, sfDir)
+      .head().getDouble(1)
+    assert(r >= -1.0 && r <= 1.0, s"correlation out of range: $r")
+  }
+
+  test("motif totals equal the per-user window count") {
+    val m = graft.operators.TimeSeries.queries("ts_motif_count")(spark, sfDir)
+    val totalMotifs = m.agg(sum(col("n"))).head().getLong(0)
+    // each user with d days contributes max(d - 2, 0) windows
+    val days = graft.operators.TimeSeries.queries("ts_sax")(spark, sfDir)
+      .select(col("n_days")).collect().map(_.getLong(0))
+    val expected = days.map(d => math.max(d - 2, 0L)).sum
+    assert(totalMotifs == expected, s"$totalMotifs != $expected")
+  }
+
+  test("curation funnel budgets are consistent with soft weights") {
+    val cur = graft.llm.Pipeline.queries("pipeline_curate")(spark, sfDir)
+    cur.collect().foreach { r =>
+      val raw = r.getLong(r.fieldIndex("raw_tokens"))
+      val weighted = r.getLong(r.fieldIndex("weighted_tokens_micro"))
+      assert(weighted <= raw * 1000000L,
+        "weights cannot exceed 1.0: weighted budget above raw budget")
+      assert(weighted > 0, "kept sources must retain some weighted mass")
+    }
+  }
+
+  test("cross-modal screen scores only text-near-dup pairs, cos in range") {
+    val x = graft.llm.Similarity.queries("dedup_text_vs_embedding")(spark, sfDir)
+    x.collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("jac")) >= 0.2)
+      val c = r.getDouble(r.fieldIndex("cos"))
+      assert(c >= -1.0001 && c <= 1.0001, s"cosine out of range: $c")
+    }
+  }
+
   test("welch t is antisymmetric in the pair orientation") {
     // recompute with the pair order flipped by negating the statistic:
     // |t(a,b)| must be finite and mean difference consistent with sign
