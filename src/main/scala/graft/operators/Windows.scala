@@ -119,7 +119,29 @@ object Windows {
       .orderBy("user_id", "island_start")
   }
 
+  /** Running distinct event-type count per user (incremental cardinality —
+    * "how fast does each user's behavioral repertoire grow"): windowed
+    * COUNT(DISTINCT) doesn't exist in either engine, so the scalable
+    * identity is used instead — a value's FIRST occurrence flags 1
+    * (row_number over (user, type) = 1), and the running sum of flags IS
+    * the running distinct count. Both windows share the user partitioning:
+    * one exchange, two in-partition sorts. */
+  private def winRunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .withColumn("is_first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("is_first")).over(runW))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("n_types_seen"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_running_distinct" -> winRunningDistinct _,
     "win_gaps_islands" -> winGapsIslands _,
     "win_topk_native" -> winTopkNative _,
     "win_nth" -> winNth _,
@@ -130,6 +152,15 @@ object Windows {
     "win_topk_group" -> winTopkGroup _)
 
   val oracleSql: Map[String, String] = Map(
+    "win_running_distinct" ->
+      ("WITH f AS (SELECT user_id, ts, event_id, event_type, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first " +
+        "FROM events) " +
+        "SELECT user_id, ts, event_id, event_type, " +
+        "CAST(SUM(is_first) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS BIGINT) AS n_types_seen " +
+        "FROM f ORDER BY user_id, ts, event_id"),
     "win_gaps_islands" ->
       ("WITH days AS (SELECT DISTINCT user_id, " +
         "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events), " +
