@@ -239,7 +239,23 @@ object ScalarFns {
         .as("roundtrip_ok"))
       .orderBy("doc_id")
 
+  /** Data-governance masking: Spark's `mask()` (uppercase→X, lowercase→x,
+    * digits→n) over customer names and phones, plus a partial reveal that
+    * keeps the first 3 characters — the column-level PII policy a
+    * warehouse applies at read time. The oracle reproduces mask()'s
+    * character classes with a regexp_replace chain (exact for this ASCII
+    * fixture). Pure codegen'd projection — no shuffle. */
+  private def fnMask(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "customer").select(
+      col("c_custkey"),
+      expr("mask(c_name)").as("name_masked"),
+      expr("mask(c_mktsegment)").as("segment_masked"),
+      expr("concat(substr(c_name, 1, 9), mask(substr(c_name, 10)))")
+        .as("name_partial"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_mask" -> fnMask _,
     "fn_crypto" -> fnCrypto _,
     "fn_collation" -> fnCollation _,
     "fn_try" -> fnTry _,
@@ -276,6 +292,15 @@ object ScalarFns {
     "fn_crypto" ->
       ("SELECT doc_id, text AS aes_roundtrip, sha256(text) AS digest256, " +
         "TRUE AS roundtrip_ok FROM documents ORDER BY doc_id"),
+    "fn_mask" -> {
+      def m(x: String): String =
+        "regexp_replace(regexp_replace(regexp_replace(" + x +
+          ", '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')"
+      s"SELECT c_custkey, ${m("c_name")} AS name_masked, " +
+        s"${m("c_mktsegment")} AS segment_masked, " +
+        s"substr(c_name, 1, 9) || ${m("substr(c_name, 10)")} " +
+        "AS name_partial FROM customer ORDER BY c_custkey"
+    },
     "fn_collation" ->
       ("WITH styledp AS (SELECT p_partkey, CASE WHEN p_partkey % 2 = 0 " +
         "THEN p_type ELSE upper(substring(p_type, 1, 1)) || " +
