@@ -1065,7 +1065,55 @@ object TimeSeries {
       .orderBy("motif")
   }
 
+  /** Lead–lag discovery between event-type series (which metric MOVES
+    * FIRST — the cross-correlation scan behind every "A predicts B"
+    * dashboard): Pearson correlation of the two hourly exact-cents series
+    * at every shift in [−3h, +3h], then the argmax lag per ordered type
+    * pair (ties to the smallest lag). The lag dimension comes from ONE
+    * explode — the shifted join is still a single equijoin on (type,
+    * shifted hour); power sums and the correlation tree are the shared
+    * exact machinery of [[tsCorrMatrix]]. Output is |types|²·1 rows at
+    * any scale. */
+  private def tsCrossCorr(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // integer hour indexes (epoch µs DIV 3600000000) so the shifted join
+    // is pure integer arithmetic — no interval/calendar semantics at all
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hidx"))
+      .agg(sum(U.cents(col("value"))).as("sc"))
+    val a = hourly.select(col("event_type").as("type_a"), col("hidx"),
+      col("sc").as("xa"))
+      .withColumn("lag_h", explode(array((-3 to 3).map(l => lit(l.toLong)): _*)))
+    val b = hourly.select(col("event_type").as("type_b"),
+      col("hidx").as("bhidx"), col("sc").as("xb"))
+    val ps = a.join(b,
+        col("hidx") === col("bhidx") + col("lag_h") &&
+          col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag_h"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xa")).cast(DoubleType).as("sx"),
+        sum(col("xb")).cast(DoubleType).as("sy"),
+        sum(col("xa").cast(dec) * col("xa").cast(dec)).cast(DoubleType).as("sxx"),
+        sum(col("xb").cast(dec) * col("xb").cast(dec)).cast(DoubleType).as("syy"),
+        sum(col("xa").cast(dec) * col("xb").cast(dec)).cast(DoubleType).as("sxy"))
+    val w = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("corr").desc, col("lag_h"))
+    ps.select(col("type_a"), col("type_b"), col("lag_h"),
+        col("nd").cast(LongType).as("n_hours"),
+        (U.covPowerSums(col("sxy"), col("sx"), col("sy"), col("nd")) /
+          (sqrt(U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))) *
+            sqrt(U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd")))))
+          .as("corr"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("type_a"), col("type_b"), col("lag_h").as("best_lag_h"),
+        col("n_hours"), col("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cross_corr" -> tsCrossCorr _,
     "ts_motif_count" -> tsMotif _,
     "ts_seasonal_strength" -> tsSeasonalStrength _,
     "ts_run_length" -> tsRunLength _,
@@ -1128,6 +1176,33 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_cross_corr" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, " +
+        "(epoch_us(ts) // 3600000000) AS hidx, " +
+        s"CAST(SUM($c) AS BIGINT) AS sc FROM events GROUP BY 1, 2), " +
+        "lags AS (SELECT CAST(l AS BIGINT) AS lag_h FROM range(-3, 4) t(l)), " +
+        "j AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "lag_h, a.sc AS xa, b.sc AS xb FROM hourly a CROSS JOIN lags " +
+        "JOIN hourly b ON a.hidx = b.hidx + lag_h " +
+        "AND a.event_type < b.event_type), " +
+        "ps AS (SELECT type_a, type_b, lag_h, " +
+        "CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy, " +
+        "CAST(SUM(xa * xa) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(xb * xb) AS DOUBLE) AS syy, " +
+        "CAST(SUM(xa * xb) AS DOUBLE) AS sxy " +
+        "FROM j GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT type_a, type_b, lag_h, CAST(nd AS BIGINT) AS n_hours, " +
+        s"(${OSQL.covPowerSums("sxy", "sx", "sy", "nd")}) / " +
+        s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
+        s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) AS corr " +
+        "FROM ps), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b " +
+        "ORDER BY corr DESC, lag_h) AS rn FROM sc) " +
+        "SELECT type_a, type_b, lag_h AS best_lag_h, n_hours, corr " +
+        "FROM rk WHERE rn = 1 ORDER BY type_a, type_b"
+    },
     "ts_seasonal_strength" -> {
       val c = OSQL.cents("value")
       s"WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
