@@ -490,7 +490,29 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Shard-manifest assembly (the WebDataset/tar-archive step that turns a
+    * corpus into fixed-size training shards): per source, docs pack in
+    * doc_id order into ~64 KB shards — shard id = starting byte offset
+    * DIV 65536, from one windowed prefix sum, so assignment is exact
+    * integer arithmetic and every doc lands in exactly one shard. Per
+    * source the window is a single sorted pass; sources shard in parallel
+    * (the realistic layout — shards never span a subset). The manifest
+    * (doc ranges + byte totals per shard) is what a loader actually
+    * consumes. */
+  private def packShards(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(s, d).select(col("source"), col("doc_id"),
+        col("n_chars").cast(LongType).as("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .withColumn("shard", expr("(cum - n_bytes) DIV 65536"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_shards" -> packShards _,
     "pipeline_curate" -> pipelineCurate _,
     "sample_balanced" -> sampleBalanced _,
     "sample_temperature" -> sampleTemperature _,
@@ -626,6 +648,16 @@ object Pipeline {
         "COALESCE(nh, 0) > 0 AS is_contaminated " +
         "FROM (SELECT doc_id FROM base WHERE bucket < 80) b " +
         "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"),
+    "pack_shards" ->
+      ("WITH c AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_bytes, " +
+        "CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) " +
+        "AS BIGINT) AS cum FROM documents) " +
+        "SELECT source, (cum - n_bytes) // 65536 AS shard, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+        "FROM c GROUP BY source, (cum - n_bytes) // 65536 " +
+        "ORDER BY source, shard"),
     "pipeline_curate" ->
       (s"WITH RECURSIVE ${Dedup.jaccardCtes}, " +
         "pr AS (SELECT da, db FROM pairs " +
