@@ -380,7 +380,30 @@ object Similarity {
       .orderBy("same_label")
   }
 
+  /** Index BUILD/SERVE separation (the property that makes ANN a system,
+    * not a query): the IVF coarse quantizer is built once, PERSISTED as a
+    * parquet artifact, and the serving path assigns every vector by
+    * reading the index back FROM THE FILE — the deterministic
+    * integer-domain construction survives the storage round-trip
+    * bit-exactly, which is what the oracle (recomputing the same index in
+    * SQL) proves. At 100 TB the build is the expensive offline job and
+    * this read-assign-histogram is the cheap online one; splitting them
+    * is the operational shape. */
+  private def indexPersist(s: SparkSession, d: String): DataFrame = {
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    val cent = ivfCentroids(emb, 16)
+    val path = U.scratch(d, "ivf_index")
+    cent.select(col("cid"), col("cfx")).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val loaded = s.read.parquet(path)
+    assignN(emb, loaded, 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_index_persist" -> indexPersist _,
     "emb_label_separation" -> labelSeparation _,
     "dedup_text_vs_embedding" -> textVsEmbedding _,
     "emb_rand_proj" -> embRandProj _,
@@ -502,6 +525,19 @@ object Similarity {
       "SELECT da, db, cos FROM pairs ORDER BY da, db"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_index_persist" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n " +
+        "WHERE vec_id < 16), " +
+        s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+        "s3 AS (SELECT n.vec_id, c2.cid, " +
+        s"${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
+        "a3 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+        "FROM s3) WHERE rn = 1) " +
+        "SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM a3 " +
+        "GROUP BY cid ORDER BY cid"),
     "emb_label_separation" ->
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, label, fx, ${dotSql("fx", "fx")} AS nrm " +
