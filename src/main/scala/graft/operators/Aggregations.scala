@@ -664,7 +664,33 @@ object Aggregations {
       .orderBy("event_type", "dow")
   }
 
+  /** Theil T inequality index per market segment (the decomposable
+    * entropy-based sibling of `agg_gini`/`agg_hhi`): T = (1/n)·Σ
+    * (x/μ)·ln(x/μ) over positive balances, with x/μ expanded to the exact
+    * rational x·n/Σx so the only doubles are one ratio and one ln per row
+    * — floored to integer MICRO-UNITS before the group sum (the micro-nat
+    * doctrine). Two hash aggs + one broadcast join back; associative all
+    * the way. */
+  private def aggTheil(s: SparkSession, d: String): DataFrame = {
+    val pos = U.tbl(s, d, "customer")
+      .select(col("c_mktsegment"), U.cents(col("c_acctbal")).as("xc"))
+      .filter(col("xc") > 0)
+    val tot = pos.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"))
+    pos.join(broadcast(tot), Seq("c_mktsegment"))
+      .withColumn("term_micro",
+        expr("CAST(floor(1000000.0 * " +
+          "((CAST(xc AS DOUBLE) * n / sx) * ln(CAST(xc AS DOUBLE) * n / sx))" +
+          ") AS BIGINT)"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(col("term_micro")).cast(DoubleType) /
+          (lit(1000000.0) * count(lit(1)))).as("theil_t"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil" -> aggTheil _,
     "agg_chi2" -> aggChi2 _,
     "agg_bitmap_overlap" -> aggBitmapOverlap _,
     "agg_hhi" -> aggHhi _,
@@ -777,6 +803,21 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_theil" -> {
+      val c = OSQL.cents("c_acctbal")
+      s"WITH pos AS (SELECT c_mktsegment, $c AS xc FROM customer " +
+        s"WHERE $c > 0), " +
+        "tot AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(xc) AS BIGINT) AS sx FROM pos GROUP BY 1), " +
+        "terms AS (SELECT pos.c_mktsegment, " +
+        "CAST(floor(1000000.0 * " +
+        "((CAST(xc AS DOUBLE) * n / sx) * ln(CAST(xc AS DOUBLE) * n / sx))" +
+        ") AS BIGINT) AS term_micro " +
+        "FROM pos JOIN tot USING (c_mktsegment)) " +
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust, " +
+        "CAST(SUM(term_micro) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
+        "AS theil_t FROM terms GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    },
     "agg_chi2" ->
       ("WITH cells AS (SELECT event_type, " +
         "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
