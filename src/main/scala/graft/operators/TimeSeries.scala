@@ -1082,14 +1082,17 @@ object TimeSeries {
       .groupBy(col("event_type"),
         expr("unix_micros(ts) DIV 3600000000").as("hidx"))
       .agg(sum(U.cents(col("value"))).as("sc"))
+    // the shifted key is computed on the a-side BEFORE the join so Catalyst
+    // sees a plain equi-join (hidx − lag_h = bhidx); mixing sides in the
+    // condition would leave no extractable key → nested-loop join
     val a = hourly.select(col("event_type").as("type_a"), col("hidx"),
       col("sc").as("xa"))
       .withColumn("lag_h", explode(array((-3 to 3).map(l => lit(l.toLong)): _*)))
+      .withColumn("shifted", col("hidx") - col("lag_h"))
     val b = hourly.select(col("event_type").as("type_b"),
       col("hidx").as("bhidx"), col("sc").as("xb"))
     val ps = a.join(b,
-        col("hidx") === col("bhidx") + col("lag_h") &&
-          col("type_a") < col("type_b"))
+        col("shifted") === col("bhidx") && col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"), col("lag_h"))
       .agg(count(lit(1)).cast(DoubleType).as("nd"),
         sum(col("xa")).cast(DoubleType).as("sx"),

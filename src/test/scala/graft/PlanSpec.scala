@@ -559,6 +559,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"unrolled DP grew a join:\n$p")
   }
 
+  test("ts_cross_corr joins on an extractable equi key, not a nested loop") {
+    val p = plan("ts_cross_corr")
+    assert(!p.contains("NestedLoop"),
+      s"shifted-key join degenerated to a nested loop:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
