@@ -17,14 +17,21 @@ object U {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-    * legacy conf and floor-convert to microseconds — exactly what DuckDB's
-    * TIMESTAMP (µs) view of the same file yields, keeping oracle parity. */
+  /** The `events` table's `ts` column has shipped in two physical layouts:
+    * parquet TIMESTAMP(NANOS) — which Spark refuses by default
+    * (PARQUET_TYPE_ILLEGAL) and the legacy conf surfaces as a raw-nanos
+    * BIGINT — and plain TIMESTAMP(MICROS), which reads natively. Dispatch on
+    * the read schema: a long column gets the floor-conversion to µs (exactly
+    * DuckDB's TIMESTAMP view of the same nanos file), a timestamp column is
+    * already the oracle's type. Both paths end at identical µs instants, so
+    * every downstream query and oracle is layout-independent. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val df = tbl(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _        => df
+    }
   }
 
   /** Exact SUM of a <=2-decimal double column (decimal domain, then double). */

@@ -110,9 +110,10 @@ object StreamingQueries {
   private def stage(s: SparkSession, d: String, doubled: Boolean): String = synchronized {
     val tag = if (doubled) "stream_events_x2" else "stream_events"
     val dir = U.scratch(d, tag)
-    // v2: versioned so staging dirs written before the explicit-mtime fix
-    // are rebuilt rather than reused with nondeterministic file ordering
-    val marker = Paths.get(dir, "_GRAFT_STAGED_v2")
+    // v3: versioned so staging dirs written from a superseded fixture layout
+    // (nanos-era events, or pre-explicit-mtime ordering) rebuild rather than
+    // replay stale instants against the regenerated source table
+    val marker = Paths.get(dir, "_GRAFT_STAGED_v3")
     if (!prepared.contains(dir) && Files.exists(marker)) prepared += dir
     if (!prepared.contains(dir)) {
       val ev = U.events(s, d)
