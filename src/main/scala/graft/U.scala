@@ -17,20 +17,45 @@ object U {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table's `ts` column has shipped in two physical layouts:
-    * parquet TIMESTAMP(NANOS) — which Spark refuses by default
-    * (PARQUET_TYPE_ILLEGAL) and the legacy conf surfaces as a raw-nanos
-    * BIGINT — and plain TIMESTAMP(MICROS), which reads natively. Dispatch on
-    * the read schema: a long column gets the floor-conversion to µs (exactly
-    * DuckDB's TIMESTAMP view of the same nanos file), a timestamp column is
-    * already the oracle's type. Both paths end at identical µs instants, so
-    * every downstream query and oracle is layout-independent. */
+  /** The `events` table's `ts` column has shipped in three physical layouts
+    * across fixture regenerations, each with a distinct Spark read schema:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark refuses it by default
+    *     (PARQUET_TYPE_ILLEGAL); under `legacy.parquet.nanosAsLong` it reads
+    *     as a raw-nanos BIGINT → floor-divide to µs (exactly DuckDB's
+    *     TIMESTAMP view of the same nanos file);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true): reads natively as
+    *     `TimestampType` — already the oracle's type;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+    *     `TimestampNTZType` → cast to `TimestampType`. The session timezone
+    *     is pinned UTC (Bench/Verify/Explain), so the cast is
+    *     instant-preserving and value-identical to the UTC-micros layout.
+    *
+    * All paths end at identical µs `TimestampType` instants, so every
+    * downstream query and oracle is layout-independent. Any OTHER read type
+    * fails loudly here — a silent passthrough once broke 32 queries at a
+    * fixture regeneration (see EventsLayoutSpec). The nanos legacy conf is
+    * only flipped on when the native read actually refuses the file (the
+    * conf must then STAY set — parquet scans consult it again at execution,
+    * not just schema inference); micros-layout sessions are left untouched
+    * so other nanos-parquet reads keep their default (refusing) behavior. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = tbl(spark, sfDir, "events")
+    val df =
+      try tbl(spark, sfDir, "events")
+      catch {
+        case e: Exception if e.getMessage != null &&
+            (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+             e.getMessage.contains("ILLEGAL_PARQUET_TYPE") ||
+             e.getMessage.contains("nanosAsLong")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          tbl(spark, sfDir, "events")
+      }
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _        => df
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; extend U.events layout dispatch")
     }
   }
 
