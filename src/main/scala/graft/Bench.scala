@@ -50,6 +50,7 @@ object Bench {
         graft.llm.Pipeline.warm(spark, sfDir)
       if (wants("scan_", "join_dpp", "sink_"))
         graft.operators.Scans.warm(spark, sfDir)
+      if (wants("sim_i")) graft.llm.Similarity.warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
     }
