@@ -211,6 +211,40 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension embedding standardization (the whitening-lite transform
+    * a feature pipeline applies before distance-based models): each of the
+    * 64 dimensions gets corpus mean/sd from exact integer micro-unit power
+    * sums (the 64-row stats frame broadcasts), then every component is
+    * z-scored and each vector reduced to sample z's plus the exact
+    * micro-floored Σz² diagnostic (≈ n_dims for well-standardized data).
+    * Two linear passes — a 64-group rollup and a map-side broadcast join —
+    * at any corpus size; the only doubles are the shared (x−sx/n)/sd tree,
+    * identical operand-for-operand in the oracle. */
+  private def embStandardize(s: SparkSession, d: String): DataFrame = {
+    val comp = U.track(U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("pos", "x")))
+      .persist())
+    val stats = comp.groupBy(col("pos"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+      .withColumn("sd", sqrt((col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n")) /
+        col("n")))
+      .select(col("pos").as("sp"), col("mean"), col("sd"))
+    comp.join(broadcast(stats), col("pos") === col("sp"))
+      .withColumn("z", (col("x").cast(DoubleType) - col("mean")) / col("sd"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("pos") === 0, col("z"))).as("z0"),
+        max(when(col("pos") === 1, col("z"))).as("z1"),
+        sum(floor(col("z") * col("z") * lit(1000000.0)).cast(LongType))
+          .as("z2_total_micro"))
+      .orderBy("vec_id")
+  }
+
   /** Weighted dataset mixing (the "data recipe" step every pretraining run
     * starts with): per-source epoch factors — curated sources repeat
     * (oversample via explode of a copy sequence), bulk sources keep one
@@ -526,6 +560,7 @@ object Pipeline {
     "text_decontaminate" -> textDecontaminate _,
     "sample_reservoir" -> sampleReservoir _,
     "emb_quantize" -> embQuantize _,
+    "emb_standardize" -> embStandardize _,
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
     "split_train_test" -> splitTrainTest _,
@@ -718,6 +753,24 @@ object Pipeline {
         "CAST(SUM(CAST(floor(abs(xd - CAST(q AS DOUBLE) * scale) * 1000000000.0) " +
         "AS BIGINT)) AS BIGINT) AS sum_abs_err_nano " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "emb_standardize" ->
+      ("WITH fx AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +
+        "FROM embeddings), " +
+        "comp AS (SELECT vec_id, u.i - 1 AS pos, u.x AS x FROM fx, " +
+        "LATERAL (SELECT UNNEST(f) AS x, generate_subscripts(f, 1) AS i) u), " +
+        "st AS (SELECT pos, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM comp GROUP BY pos), " +
+        "zs AS (SELECT vec_id, pos, " +
+        "(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) / " +
+        "sqrt((CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) AS z " +
+        "FROM comp JOIN st USING (pos)) " +
+        "SELECT vec_id, MAX(CASE WHEN pos = 0 THEN z END) AS z0, " +
+        "MAX(CASE WHEN pos = 1 THEN z END) AS z1, " +
+        "CAST(SUM(CAST(floor(z * z * 1000000.0) AS BIGINT)) AS BIGINT) " +
+        "AS z2_total_micro FROM zs GROUP BY vec_id ORDER BY vec_id"),
     "emb_label_centroid" ->
       (s"WITH $labelCentCtes SELECT label, dim, cx, n_vecs FROM cent " +
         "ORDER BY label, dim"),

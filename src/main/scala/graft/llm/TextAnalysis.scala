@@ -354,7 +354,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021's filter family,
+    * re-expressed over this corpus's scale): per-doc token count, mean word
+    * length, alphabetic-token fraction and stopword count, each compared
+    * against a fixed band into a pass/fail flag, plus the conjunctive
+    * `keep`. The thresholds are tuned to the fixture's distribution
+    * (tokens 10–99, mean word length 3.7–5.3) so every flag has both
+    * outcomes in the data. Pure per-row projection — no shuffle at any
+    * corpus size; the ratios are single divisions of exact integers with
+    * identical operand trees in both engines. */
+  private def gopherRules(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("word_chars",
+        length(regexp_replace(col("text"), " ", "")).cast(LongType))
+      .withColumn("n_alpha",
+        size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).cast(LongType))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast(LongType))
+      .withColumn("mean_word_len",
+        col("word_chars").cast(DoubleType) / col("n_tokens"))
+      .withColumn("frac_alpha",
+        col("n_alpha").cast(DoubleType) / col("n_tokens"))
+      .withColumn("pass_len", col("n_tokens") >= 30)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= 4.0 && col("mean_word_len") <= 5.0)
+      .withColumn("pass_alpha", col("frac_alpha") >= 0.8)
+      .withColumn("pass_stop", col("n_stop") >= 2)
+      .withColumn("keep", col("pass_len") && col("pass_word_len") &&
+        col("pass_alpha") && col("pass_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("frac_alpha"), col("n_stop"), col("pass_len"),
+        col("pass_word_len"), col("pass_alpha"), col("pass_stop"), col("keep"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> gopherRules _,
     "text_boilerplate" -> boilerplate _,
     "text_pmi" -> pmi _,
     "text_zipf" -> zipf _,
@@ -373,6 +409,29 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _)
 
   val oracleSql: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      (s"WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, " +
+        "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars, " +
+        "CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) " +
+        "AS BIGINT) AS n_alpha, " +
+        "CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) " +
+        "AS n_stop FROM t) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(word_chars AS DOUBLE) / n_tokens AS mean_word_len, " +
+        "CAST(n_alpha AS DOUBLE) / n_tokens AS frac_alpha, n_stop, " +
+        "n_tokens >= 30 AS pass_len, " +
+        "(CAST(word_chars AS DOUBLE) / n_tokens >= 4.0 AND " +
+        "CAST(word_chars AS DOUBLE) / n_tokens <= 5.0) AS pass_word_len, " +
+        "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS pass_alpha, " +
+        "n_stop >= 2 AS pass_stop, " +
+        "(n_tokens >= 30 AND " +
+        "CAST(word_chars AS DOUBLE) / n_tokens >= 4.0 AND " +
+        "CAST(word_chars AS DOUBLE) / n_tokens <= 5.0 AND " +
+        "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2) AS keep " +
+        "FROM f ORDER BY doc_id"),
     "text_boilerplate" ->
       ("WITH sent AS (SELECT doc_id, " +
         "unnest(list_filter(string_split(text, '. '), " +

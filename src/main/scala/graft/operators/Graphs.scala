@@ -132,6 +132,39 @@ object Graphs {
     ranks.orderBy(col("pr").desc, col("node")).limit(50)
   }
 
+  /** HITS hubs/authorities over the co-purchase graph, 2 mutual-update
+    * iterations in exact integer micro-units: each authority score is the
+    * sum of incoming hub scores rescaled to max=1e6 by integer division
+    * (one 1-row max broadcast per half-step — never a driver-side value),
+    * then hubs symmetrically from authorities. Same narrow-rank-frame
+    * shape as [[pagerankOnEdges]]: the edge frame is scanned per
+    * half-iteration and only (node, score) rows ever shuffle, so the
+    * iteration cost is O(|E|) map-side + an O(|V|) rollup regardless of
+    * scale. Scores stay within Long: max_deg·1e12 per rescale. */
+  private def graphHits(s: SparkSession, d: String): DataFrame = {
+    val e = U.track(coPairs(s, d).select(col("u"), col("v")).persist())
+    var hub = e.select(col("u").as("node")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 0 until 2) {
+      val araw = e.join(hub.withColumnRenamed("node", "hn"),
+          col("u") === col("hn"))
+        .groupBy(col("v")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(max(col("ar")).as("am"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("v").as("node"), expr("(ar * 1000000) DIV am").as("a"))
+      val hraw = e.join(auth.withColumnRenamed("node", "an"),
+          col("v") === col("an"))
+        .groupBy(col("u")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hm"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("u").as("node"), expr("(hr * 1000000) DIV hm").as("h"))
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h"), col("a"))
+      .orderBy(col("a").desc, col("node")).limit(50)
+  }
+
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val und = U.track(coPairs(s, d)
       .filter(col("u") < col("v") && col("support") >= 2)
@@ -586,6 +619,7 @@ object Graphs {
     "graph_assoc_rules" -> graphAssocRules _,
     "graph_bfs_hops" -> graphBfsHops _,
     "graph_pagerank" -> graphPagerank _,
+    "graph_hits" -> graphHits _,
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
     "graph_adamic_adar" -> graphAdamicAdar _,
     "graph_degree_dist" -> graphDegreeDist _,
@@ -732,6 +766,30 @@ object Graphs {
         s"r2 AS (${prIter.format("r1")}), " +
         s"r3 AS (${prIter.format("r2")}) " +
         "SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 50"),
+    "graph_hits" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "h0 AS (SELECT DISTINCT u AS node, CAST(1000000 AS BIGINT) AS h " +
+        "FROM edges), " +
+        "a1r AS (SELECT v, SUM(h) AS ar FROM edges JOIN h0 ON u = node " +
+        "GROUP BY v), " +
+        "a1 AS (SELECT v AS node, CAST((ar * 1000000) // " +
+        "(SELECT MAX(ar) FROM a1r) AS BIGINT) AS a FROM a1r), " +
+        "h1r AS (SELECT u, SUM(a) AS hr FROM edges JOIN a1 ON v = node " +
+        "GROUP BY u), " +
+        "h1 AS (SELECT u AS node, CAST((hr * 1000000) // " +
+        "(SELECT MAX(hr) FROM h1r) AS BIGINT) AS h FROM h1r), " +
+        "a2r AS (SELECT v, SUM(h) AS ar FROM edges JOIN h1 ON u = node " +
+        "GROUP BY v), " +
+        "a2 AS (SELECT v AS node, CAST((ar * 1000000) // " +
+        "(SELECT MAX(ar) FROM a2r) AS BIGINT) AS a FROM a2r), " +
+        "h2r AS (SELECT u, SUM(a) AS hr FROM edges JOIN a2 ON v = node " +
+        "GROUP BY u), " +
+        "h2 AS (SELECT u AS node, CAST((hr * 1000000) // " +
+        "(SELECT MAX(hr) FROM h2r) AS BIGINT) AS h FROM h2r) " +
+        "SELECT h2.node, h2.h, a2.a FROM h2 JOIN a2 USING (node) " +
+        "ORDER BY a DESC, node LIMIT 50"),
     "graph_degree_dist" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +

@@ -653,6 +653,38 @@ object TimeSeries {
       .orderBy("user_id", "idx")
   }
 
+  /** Theta-method one-step forecast per user series (the SES+drift
+    * decomposition behind the M3-winning theta model): the level is a
+    * simple-exponential-smoothing recurrence folded over the time-ordered
+    * value list IN EXACT INTEGER CENTS (`aggregate` HOF — associativity
+    * doesn't matter for a fold, and the integer domain makes the result
+    * engine-identical), the drift is the exact endpoint slope
+    * (last−first) DIV (n−1), and the theta(2) forecast combines them as
+    * level + drift DIV 2. Unlike [[tsHolt]]'s per-row mapPartitions scan
+    * this shape is a single hash aggregate: collect_list is bounded by
+    * events-per-user (the same per-series-fits-in-memory assumption every
+    * sequential smoother carries), and the fold is codegen-free but
+    * per-group linear. One shuffle at any scale. */
+  private def tsTheta(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), U.cents(col("value")).as("y"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("tus"), col("event_id"), col("y")))).as("seq"))
+      .withColumn("ys", expr("transform(seq, x -> x.y)"))
+      .withColumn("n", size(col("ys")).cast(LongType))
+      .filter(col("n") >= 2)
+      .withColumn("lvl", expr("aggregate(slice(ys, 2, size(ys) - 1), " +
+        "element_at(ys, 1), (acc, y) -> (20 * y + 80 * acc) DIV 100)"))
+      .withColumn("drift",
+        expr("(element_at(ys, -1) - element_at(ys, 1)) DIV (n - 1)"))
+      .withColumn("forecast",
+        expr("CAST(lvl + drift DIV 2 AS DOUBLE) / 100.0"))
+      .select(col("user_id"), col("n"), col("lvl"), col("drift"),
+        col("forecast"))
+      .orderBy("user_id")
+
   /** Occupancy heatmap: events bucketed into (day-of-week, hour-of-day)
     * cells — the weekly-rhythm fingerprint behind load forecasting. Both
     * coordinates computed by pure integer epoch arithmetic (epoch day + 4
@@ -1130,6 +1162,7 @@ object TimeSeries {
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
     "ts_holt" -> tsHolt _,
+    "ts_theta" -> tsTheta _,
     "ts_drawdown" -> tsDrawdown _,
     "ts_heatmap_bins" -> tsHeatmapBins _,
     "ts_top_sessions" -> tsTopSessions _,
@@ -1400,6 +1433,20 @@ object TimeSeries {
         "AND q.idx = sm.idx + 1) " +
         "SELECT user_id, idx, event_id, lvl, tr FROM sm " +
         "ORDER BY user_id, idx"),
+    "ts_theta" ->
+      ("WITH seq AS (SELECT user_id, " +
+        s"list(${OSQL.cents("value")} ORDER BY ts, event_id) AS ys " +
+        "FROM events GROUP BY user_id), " +
+        "f AS (SELECT user_id, ys, CAST(len(ys) AS BIGINT) AS n FROM seq " +
+        "WHERE len(ys) >= 2), " +
+        // list_reduce seeds with the first element and folds the rest —
+        // exactly the Spark aggregate(slice(..2..), ys[1], fold) contract
+        "g AS (SELECT user_id, n, " +
+        "list_reduce(ys, (acc, y) -> (20 * y + 80 * acc) // 100) AS lvl, " +
+        "(ys[-1] - ys[1]) // (n - 1) AS drift FROM f) " +
+        "SELECT user_id, n, lvl, drift, " +
+        "CAST(lvl + drift // 2 AS DOUBLE) / 100.0 AS forecast " +
+        "FROM g ORDER BY user_id"),
     "ts_heatmap_bins" ->
       ("SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
         "(epoch_us(ts) // 3600000000) % 24 AS hod, COUNT(*) AS n, " +

@@ -479,4 +479,60 @@ class CoreOperatorsSpec extends SparkTestBase {
       assert(r.getAs[Long]("common") >= 0)
     }
   }
+
+  test("theta forecast combines its own level and drift columns") {
+    val rows = graft.operators.TimeSeries.queries("ts_theta")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lvl, drift) = (r.getAs[Long]("n"), r.getAs[Long]("lvl"),
+        r.getAs[Long]("drift"))
+      assert(n >= 2, s"series shorter than the filter: $r")
+      // theta(2) one-step: forecast must be exactly (lvl + drift DIV 2)/100
+      // (JVM long division truncates toward zero, same as Spark's DIV)
+      assert(r.getAs[Double]("forecast") == (lvl + drift / 2) / 100.0,
+        s"forecast does not recombine lvl/drift: $r")
+    }
+  }
+
+  test("HITS rescale pins the top authority at exactly 1e6") {
+    val rows = graft.operators.Graphs.queries("graph_hits")(spark, sfDir)
+      .collect()
+    assert(rows.length == 50)
+    val as = rows.map(_.getAs[Long]("a"))
+    val hs = rows.map(_.getAs[Long]("h"))
+    assert(as.max == 1000000L, s"max authority ${as.max} != 1e6")
+    assert(as.forall(a => a > 0 && a <= 1000000L), "authority out of range")
+    assert(hs.forall(h => h > 0 && h <= 1000000L), "hub out of range")
+    // output is sorted by authority desc
+    assert(as.sameElements(as.sortBy(-_)), "rows not sorted by authority")
+  }
+
+  test("gopher keep flag is the conjunction of its four rules") {
+    val rows = graft.llm.TextAnalysis.queries("text_gopher_rules")(spark, sfDir)
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("pass_len") &&
+        r.getAs[Boolean]("pass_word_len") &&
+        r.getAs[Boolean]("pass_alpha") && r.getAs[Boolean]("pass_stop")
+      assert(r.getAs[Boolean]("keep") == conj, s"keep != conjunction: $r")
+    }
+    // thresholds must be discriminating on the fixture, not vacuous
+    assert(rows.exists(_.getAs[Boolean]("keep")), "no doc passes all rules")
+    assert(rows.exists(r => !r.getAs[Boolean]("keep")), "every doc passes")
+  }
+
+  test("standardized embeddings average 64 squared-z units per vector") {
+    val rows = graft.llm.Pipeline.queries("emb_standardize")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // population z-scores: the corpus-wide mean of sum(z^2) per vector is
+    // exactly n_dims=64 (up to the per-term micro floor, < 64 micro each)
+    val meanZ2 = rows.map(_.getAs[Long]("z2_total_micro")).sum /
+      (1e6 * rows.length)
+    assert(math.abs(meanZ2 - 64.0) < 0.01, s"mean sum(z^2) = $meanZ2")
+    val meanZ0 = rows.map(_.getAs[Double]("z0")).sum / rows.length
+    assert(math.abs(meanZ0) < 1e-6, s"z0 not centered: $meanZ0")
+  }
 }
