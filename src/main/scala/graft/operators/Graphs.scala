@@ -143,19 +143,35 @@ object Graphs {
     * scale. Scores stay within Long: max_deg·1e12 per rescale. */
   private def graphHits(s: SparkSession, d: String): DataFrame = {
     val e = U.track(coPairs(s, d).select(col("u"), col("v")).persist())
-    var hub = e.select(col("u").as("node")).distinct()
-      .withColumn("h", lit(1000000L))
+    // Cost notes, measured at sf0.1: (1) each raw score frame is persisted
+    // BEFORE its max branches off — the max's broadcast materializes it
+    // into cache, so the rescale and the next half-step read one
+    // computation (without the persist the per-half-step consumer pair
+    // recomputes the whole upstream chain: 25.8 s); (2) the |V|-row score
+    // frames are broadcast explicitly — derived-frame size estimates
+    // otherwise push the planner to sort-merge over all |E| rows (the
+    // >1M-node variant is pagerankOnEdges' shuffle-hash gate, same trade
+    // as [[PrBroadcastNodeCap]]); (3) the first authority pass is
+    // algebraically 1e6·indegree — a plain count aggregate, no initial
+    // rank frame, no distinct over the edges. The remaining wall-clock is
+    // the 4 data-dependent max-normalization barriers, inherent to
+    // max-norm HITS (deferred normalization overflows Long at adversarial
+    // degree bounds).
+    var araw = U.track(e.groupBy(col("v"))
+      .agg((count(lit(1)) * lit(1000000L)).as("ar")).persist())
     var auth: DataFrame = null
-    for (_ <- 0 until 2) {
-      val araw = e.join(hub.withColumnRenamed("node", "hn"),
-          col("u") === col("hn"))
-        .groupBy(col("v")).agg(sum(col("h")).as("ar"))
+    var hub: DataFrame = null
+    for (i <- 0 until 2) {
+      if (i > 0)
+        araw = U.track(e.join(broadcast(hub.withColumnRenamed("node", "hn")),
+            col("u") === col("hn"))
+          .groupBy(col("v")).agg(sum(col("h")).as("ar")).persist())
       val amax = araw.agg(max(col("ar")).as("am"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("v").as("node"), expr("(ar * 1000000) DIV am").as("a"))
-      val hraw = e.join(auth.withColumnRenamed("node", "an"),
+      val hraw = U.track(e.join(broadcast(auth.withColumnRenamed("node", "an")),
           col("v") === col("an"))
-        .groupBy(col("u")).agg(sum(col("a")).as("hr"))
+        .groupBy(col("u")).agg(sum(col("a")).as("hr")).persist())
       val hmax = hraw.agg(max(col("hr")).as("hm"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("u").as("node"), expr("(hr * 1000000) DIV hm").as("h"))
@@ -770,9 +786,9 @@ object Graphs {
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
         "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
-        "h0 AS (SELECT DISTINCT u AS node, CAST(1000000 AS BIGINT) AS h " +
-        "FROM edges), " +
-        "a1r AS (SELECT v, SUM(h) AS ar FROM edges JOIN h0 ON u = node " +
+        // h0 = 1e6 uniformly, so the first authority pass is exactly
+        // 1e6 * indegree — no initial rank frame
+        "a1r AS (SELECT v, 1000000 * COUNT(*) AS ar FROM edges " +
         "GROUP BY v), " +
         "a1 AS (SELECT v AS node, CAST((ar * 1000000) // " +
         "(SELECT MAX(ar) FROM a1r) AS BIGINT) AS a FROM a1r), " +
