@@ -20,6 +20,8 @@ import org.apache.spark.sql.types._
 /** Encoder types for the decode pass — top-level so Catalyst's generated
   * deserializer can reach them (private nested classes break codegen). */
 case class Blob(doc_id: Long, payload: Array[Byte])
+case class PngDecoded(doc_id: Long, width: Long, height: Long,
+  png_magic_ok: Boolean, pix_checksum: Long)
 case class Decoded(doc_id: Long, n_bytes: Long, first_byte: Long, checksum: Long)
 case class Resized(doc_id: Long, n_in: Long, n_out: Long, resized_hex: String)
 case class Features(doc_id: Long, n_distinct: Long, modal_byte: Long,
@@ -124,6 +126,53 @@ object Multimodal {
     blobs.mapPartitions(it => it.map(featOne)).toDF().orderBy("doc_id")
   }
 
+  /** The one multimodal rung with a REAL codec, not a stand-in: a
+    * deterministic doc_id-keyed image (4–8 px per side, per-channel LCG
+    * pixels) is encoded to actual PNG bytes and decoded back through the
+    * JDK's ImageIO PNG codec (pure-Java, headless-safe — the single codec
+    * this container does ship), then reduced to decoded dimensions, a
+    * PNG-magic check on the encoded bytes, and a position-weighted pixel
+    * checksum. PNG is lossless, so the decoded pixels must equal the
+    * generator's — the oracle recomputes the checksum ARITHMETICALLY from
+    * doc_id (it never sees the bytes), which makes a binary codec
+    * round-trip exactly hash-checkable in SQL. Same Blob-shape
+    * partition-wise pass as [[decode]]: per-row codec work,
+    * embarrassingly parallel, no shuffle before the final sort. */
+  private def codecRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 7) % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val k = y * w + x
+          val r = ((id * 31 + k) % 256).toInt
+          val g = ((id * 17 + y * 3 + x * 5) % 256).toInt
+          val b = ((id * 13 + y * 7 + x * 11) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        val magicOk = png.length > 8 && (png(0) & 0xff) == 0x89 &&
+          png(1) == 'P' && png(2) == 'N' && png(3) == 'G'
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        var sum = 0L
+        for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
+          val p = back.getRGB(x, y)
+          sum += (y.toLong * back.getWidth + x + 1) *
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+        }
+        PngDecoded(id, back.getWidth.toLong, back.getHeight.toLong,
+          magicOk, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Exact binary dedup by content digest (the checksum rung of image/audio
     * dedup): hash the payload bytes, keep the min doc_id per digest. One
     * hash-agg over (digest) — the payload never shuffles, only its 32-byte
@@ -137,6 +186,7 @@ object Multimodal {
       .orderBy("keeper")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_codec_roundtrip" -> codecRoundtrip _,
     "multimodal_dedup" -> dedupBinary _,
     "multimodal_schema" -> schema _,
     "multimodal_decode" -> decode _,
@@ -145,6 +195,21 @@ object Multimodal {
     "multimodal_framesample" -> frameSample _)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle never decodes a byte: PNG is lossless and the image is a
+    // deterministic function of doc_id, so the decoded checksum must equal
+    // this arithmetic recomputation — that equality IS the codec test
+    "multimodal_codec_roundtrip" ->
+      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS w, " +
+        "4 + (doc_id * 7) % 5 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM b), " +
+        "c AS (SELECT doc_id, w, h, k, " +
+        "(doc_id * 31 + k) % 256 AS r, " +
+        "(doc_id * 17 + (k // w) * 3 + (k % w) * 5) % 256 AS g, " +
+        "(doc_id * 13 + (k // w) * 7 + (k % w) * 11) % 256 AS bb FROM px) " +
+        "SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width, " +
+        "CAST(MAX(h) AS BIGINT) AS height, true AS png_magic_ok, " +
+        "CAST(SUM((k + 1) * (r + g + bb)) AS BIGINT) AS pix_checksum " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_dedup" ->
       ("SELECT sha256(text) AS digest, MIN(doc_id) AS keeper, " +
         "COUNT(*) AS n_copies, " +

@@ -523,6 +523,19 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.getAs[Boolean]("keep")), "every doc passes")
   }
 
+  test("PNG codec roundtrip preserves every synthesized pixel") {
+    val rows = graft.llm.Multimodal.queries("multimodal_codec_roundtrip")(
+      spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("png_magic_ok"), s"not a PNG: $r")
+      assert(r.getAs[Long]("width") == 4 + id % 5, s"width mangled: $r")
+      assert(r.getAs[Long]("height") == 4 + (id * 7) % 5, s"height mangled: $r")
+      assert(r.getAs[Long]("pix_checksum") > 0)
+    }
+  }
+
   test("standardized embeddings average 64 squared-z units per vector") {
     val rows = graft.llm.Pipeline.queries("emb_standardize")(spark, sfDir)
       .collect()

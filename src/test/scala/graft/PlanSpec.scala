@@ -565,6 +565,30 @@ class PlanSpec extends SparkTestBase {
       s"shifted-key join degenerated to a nested loop:\n$p")
   }
 
+  test("ts_theta is one aggregate chain per user, no join") {
+    val p = plan("ts_theta")
+    assert(!p.contains("Join"), s"fold-over-list grew a join:\n$p")
+    // one hash exchange for the per-user collect; the other is the final
+    // presentation orderBy (range partitioning)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("text_gopher_rules stays a pure per-row projection") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Join"), s"per-row quality flags grew a join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"per-row quality flags grew an aggregate:\n$p")
+  }
+
+  test("emb_standardize joins the 64-row stats frame by broadcast") {
+    val p = plan("emb_standardize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"64-row stats frame sort-merged:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
