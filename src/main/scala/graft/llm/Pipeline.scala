@@ -211,6 +211,34 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** The dataset-card report (the summary table a corpus release ships
+    * with): per source — document and token counts, the exact-duplicate
+    * rate, the gopher-quality keep rate, and the source's share of the
+    * total token budget. Every ratio is an integer-micro DIV of exact
+    * counts (no doubles anywhere), the keep flag is THE
+    * `text_gopher_rules` query joined back by doc_id (one definition),
+    * and the global token total is a 1-row broadcast — one tokenize pass
+    * plus one per-source rollup at any corpus size. */
+  private def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val keep = graft.llm.TextAnalysis.gopherRules(s, d)
+      .select(col("doc_id"), col("keep"))
+    val base = U.tbl(s, d, "documents").select(col("doc_id"), col("source"),
+      size(graft.llm.TextUtil.tokens(col("text"))).cast(LongType).as("n_tok"),
+      sha2(col("text"), 256).as("h"))
+    val per = base.join(keep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val tot = per.agg(sum(col("n_tokens")).as("all_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * (n_docs - n_unique)) DIV n_docs").as("dup_micro"),
+        expr("(1000000 * n_keep) DIV n_docs").as("keep_micro"),
+        expr("(1000000 * n_tokens) DIV all_tokens").as("token_share_micro"))
+      .orderBy("source")
+  }
+
   /** Per-dimension embedding standardization (the whitening-lite transform
     * a feature pipeline applies before distance-based models): each of the
     * 64 dimensions gets corpus mean/sd from exact integer micro-unit power
@@ -561,6 +589,7 @@ object Pipeline {
     "sample_reservoir" -> sampleReservoir _,
     "emb_quantize" -> embQuantize _,
     "emb_standardize" -> embStandardize _,
+    "pipeline_dataset_card" -> datasetCard _,
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
     "split_train_test" -> splitTrainTest _,
@@ -753,6 +782,23 @@ object Pipeline {
         "CAST(SUM(CAST(floor(abs(xd - CAST(q AS DOUBLE) * scale) * 1000000000.0) " +
         "AS BIGINT)) AS BIGINT) AS sum_abs_err_nano " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "pipeline_dataset_card" ->
+      (s"WITH ${graft.llm.TextAnalysis.gopherCtes}, " +
+        "per AS (SELECT gf.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(gf.n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(DISTINCT sha256(gt.text)) AS BIGINT) AS n_unique, " +
+        s"CAST(SUM(CASE WHEN ${graft.llm.TextAnalysis.gopherKeepSql} " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_keep " +
+        "FROM gf JOIN gt USING (doc_id) GROUP BY gf.source), " +
+        "tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens " +
+        "FROM per) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "CAST((1000000 * (n_docs - n_unique)) // n_docs AS BIGINT) " +
+        "AS dup_micro, " +
+        "CAST((1000000 * n_keep) // n_docs AS BIGINT) AS keep_micro, " +
+        "CAST((1000000 * n_tokens) // all_tokens AS BIGINT) " +
+        "AS token_share_micro " +
+        "FROM per CROSS JOIN tt ORDER BY source"),
     "emb_standardize" ->
       ("WITH fx AS (SELECT vec_id, list_transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +

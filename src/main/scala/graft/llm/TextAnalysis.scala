@@ -363,7 +363,7 @@ object TextAnalysis {
     * outcomes in the data. Pure per-row projection — no shuffle at any
     * corpus size; the ratios are single divisions of exact integers with
     * identical operand trees in both engines. */
-  private def gopherRules(s: SparkSession, d: String): DataFrame =
+  private[llm] def gopherRules(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
@@ -408,17 +408,28 @@ object TextAnalysis {
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _)
 
+  /** Shared gopher-rule CTE chain + keep predicate — one SQL definition
+    * serving both the text_gopher_rules oracle and pipeline_dataset_card's
+    * keep-rate rollup (mirrors [[gopherRules]]). */
+  private[llm] val gopherCtes =
+    s"gt AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS toks " +
+      "FROM documents), " +
+      "gf AS (SELECT doc_id, source, " +
+      "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars, " +
+      "CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) " +
+      "AS BIGINT) AS n_alpha, " +
+      "CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) " +
+      "AS n_stop FROM gt)"
+  private[llm] val gopherKeepSql =
+    "(n_tokens >= 30 AND " +
+      "CAST(word_chars AS DOUBLE) / n_tokens >= 4.0 AND " +
+      "CAST(word_chars AS DOUBLE) / n_tokens <= 5.0 AND " +
+      "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
+
   val oracleSql: Map[String, String] = Map(
     "text_gopher_rules" ->
-      (s"WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks " +
-        "FROM documents), " +
-        "f AS (SELECT doc_id, " +
-        "CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars, " +
-        "CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) " +
-        "AS BIGINT) AS n_alpha, " +
-        "CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) " +
-        "AS n_stop FROM t) " +
+      (s"WITH $gopherCtes " +
         "SELECT doc_id, n_tokens, " +
         "CAST(word_chars AS DOUBLE) / n_tokens AS mean_word_len, " +
         "CAST(n_alpha AS DOUBLE) / n_tokens AS frac_alpha, n_stop, " +
@@ -427,11 +438,8 @@ object TextAnalysis {
         "CAST(word_chars AS DOUBLE) / n_tokens <= 5.0) AS pass_word_len, " +
         "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS pass_alpha, " +
         "n_stop >= 2 AS pass_stop, " +
-        "(n_tokens >= 30 AND " +
-        "CAST(word_chars AS DOUBLE) / n_tokens >= 4.0 AND " +
-        "CAST(word_chars AS DOUBLE) / n_tokens <= 5.0 AND " +
-        "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2) AS keep " +
-        "FROM f ORDER BY doc_id"),
+        s"$gopherKeepSql AS keep " +
+        "FROM gf ORDER BY doc_id"),
     "text_boilerplate" ->
       ("WITH sent AS (SELECT doc_id, " +
         "unnest(list_filter(string_split(text, '. '), " +

@@ -181,6 +181,38 @@ object Graphs {
       .orderBy(col("a").desc, col("node")).limit(50)
   }
 
+  /** Personalized PageRank from a deterministic sparse seed set (node id
+    * ≡ 0 mod 97 — the "related items for THESE products" query): same
+    * 3-iteration broadcast-rank kernel as [[pagerankOnEdges]], but the
+    * teleport mass lands only on seeds, so rank concentrates in their
+    * neighborhoods and unreached nodes stay at exactly 0 (every node has
+    * in-edges in the mirrored graph, so the rollup covers all of them —
+    * no outer join needed). Zero-rank nodes are filtered before the
+    * top-50, keeping the output the seeds' neighborhood ranking. Scale
+    * posture identical to pagerank: past [[PrBroadcastNodeCap]] the
+    * shuffle-hash variant is the same gate. */
+  private def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val e0 = coPairs(s, d).select(col("u"), col("v"))
+    val deg = U.track(
+      e0.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg")).persist())
+    val e = U.track(e0.join(deg, col("u") === col("du"))
+      .select(col("u"), col("v"), col("deg")).persist())
+    var ranks = deg.select(col("du").as("node"))
+      .withColumn("pr",
+        when(col("node") % 97 === 0, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 0 until 3) {
+      ranks = e.join(broadcast(ranks), col("u") === col("node"))
+        .select(col("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v"))
+        .agg(expr("(85 * sum(c)) DIV 100").as("flow"))
+        .select(col("v").as("node"),
+          (when(col("v") % 97 === 0, lit(150000L)).otherwise(lit(0L)) +
+            col("flow")).as("pr"))
+    }
+    ranks.filter(col("pr") > 0)
+      .orderBy(col("pr").desc, col("node")).limit(50)
+  }
+
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val und = U.track(coPairs(s, d)
       .filter(col("u") < col("v") && col("support") >= 2)
@@ -537,7 +569,11 @@ object Graphs {
     * window. At 100 TB each round exchanges the narrow label frame only;
     * the adjacency is partitioned once (the PageRank co-partitioning
     * posture). */
-  private def graphCommunityLp(s: SparkSession, d: String): DataFrame = {
+  /** The 3-round deterministic LPA labeling (node, lbl) — one definition
+    * shared by `graph_community_lp` (its size rollup) and
+    * `graph_modularity` (its partition-quality score), so the two cannot
+    * drift. */
+  private[operators] def lpaLabels(s: SparkSession, d: String): DataFrame = {
     val (adj, _) = wedgeFrames(s, d)
     var lbl = adj.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -549,8 +585,47 @@ object Graphs {
         .groupBy(col("u")).agg(min(col("k")).as("k"))
         .select(col("u").as("node"), col("k.lbl").as("lbl"))
     }
-    lbl.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+    lbl
+  }
+
+  private def graphCommunityLp(s: SparkSession, d: String): DataFrame =
+    lpaLabels(s, d)
+      .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community"))
+
+  /** Newman modularity Q of the LPA partition (the one scalar that says
+    * whether the detected communities are better than chance): over the
+    * mirrored support≥2 adjacency, Q = Σ_c (e_c/M − (d_c/M)²) with M the
+    * directed edge count, e_c the directed intra-community edge count and
+    * d_c the community degree sum — all exact integers off the shared
+    * label frame (broadcast-joined onto the edges; at 100 TB the labels
+    * are the narrow side by construction). Each community's term is
+    * floored to integer PICO-units before the final sum — a raw double Σ
+    * over hundreds of communities would be partial-aggregation-order
+    * dependent — so the headline Q is one exact integer divided once. */
+  private def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val (adj, _) = wedgeFrames(s, d)
+    val lab = U.track(lpaLabels(s, d).persist())
+    val mrow = adj.agg(count(lit(1)).as("m"))
+    val joined = adj
+      .join(broadcast(lab.select(col("node").as("u"), col("lbl").as("cu"))),
+        Seq("u"))
+      .join(broadcast(lab.select(col("node").as("v"), col("lbl").as("cv"))),
+        Seq("v"))
+    val comm = joined.groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("deg_sum"),
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("intra_dir"))
+    comm.crossJoin(broadcast(mrow))
+      .withColumn("term_pico",
+        floor(lit(1000000000000L) *
+          (col("intra_dir").cast(DoubleType) / col("m") -
+            (col("deg_sum").cast(DoubleType) / col("m")) *
+            (col("deg_sum").cast(DoubleType) / col("m")))).cast(LongType))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("n_edges_dir"),
+        sum(col("term_pico")).as("q_pico"))
+      .withColumn("modularity",
+        col("q_pico").cast(DoubleType) / lit(1000000000000.0))
   }
 
   /** Degree assortativity of the support≥2 association graph (do hubs
@@ -626,15 +701,30 @@ object Graphs {
     "SELECT a.u AS u FROM adj a JOIN %s k ON a.v = k.u " +
       "GROUP BY a.u HAVING COUNT(*) >= 2"
 
+  /** The 3-round LPA label CTE chain over `adj` — one definition shared by
+    * the community_lp and modularity oracles (mirrors [[lpaLabels]]). */
+  private val lpaCtes = {
+    val round = "SELECT u AS node, lbl FROM (SELECT a.u, l.lbl, " +
+      "row_number() OVER (PARTITION BY a.u ORDER BY COUNT(*) DESC, l.lbl) " +
+      "AS rn FROM adj a JOIN %s l ON a.v = l.node GROUP BY a.u, l.lbl) " +
+      "WHERE rn = 1"
+    "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj), " +
+      s"l1 AS (${round.format("l0")}), " +
+      s"l2 AS (${round.format("l1")}), " +
+      s"l3 AS (${round.format("l2")})"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_assortativity" -> graphAssortativity _,
     "graph_community_lp" -> graphCommunityLp _,
+    "graph_modularity" -> graphModularity _,
     "graph_mst" -> graphMst _,
     "graph_kcore" -> graphKcore _,
     "graph_clustcoeff" -> graphClustCoeff _,
     "graph_assoc_rules" -> graphAssocRules _,
     "graph_bfs_hops" -> graphBfsHops _,
     "graph_pagerank" -> graphPagerank _,
+    "graph_ppr" -> graphPpr _,
     "graph_hits" -> graphHits _,
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
     "graph_adamic_adar" -> graphAdamicAdar _,
@@ -668,19 +758,27 @@ object Graphs {
         s"(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}) * " +
         s"sqrt(${OSQL.covPowerSums("syy", "sy", "sy", "nd")})) " +
         "AS assortativity FROM ps"),
-    "graph_community_lp" -> {
-      val round = "SELECT u AS node, lbl FROM (SELECT a.u, l.lbl, " +
-        "row_number() OVER (PARTITION BY a.u ORDER BY COUNT(*) DESC, l.lbl) " +
-        "AS rn FROM adj a JOIN %s l ON a.v = l.node GROUP BY a.u, l.lbl) " +
-        "WHERE rn = 1"
-      supAdjCtes + ", " +
-        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj), " +
-        s"l1 AS (${round.format("l0")}), " +
-        s"l2 AS (${round.format("l1")}), " +
-        s"l3 AS (${round.format("l2")}) " +
+    "graph_community_lp" ->
+      (supAdjCtes + ", " + lpaCtes + " " +
         "SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
-        "FROM l3 GROUP BY lbl ORDER BY n_nodes DESC, community"
-    },
+        "FROM l3 GROUP BY lbl ORDER BY n_nodes DESC, community"),
+    "graph_modularity" ->
+      (supAdjCtes + ", " + lpaCtes + ", " +
+        "mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM adj), " +
+        "j AS (SELECT lu.lbl AS cu, lv.lbl AS cv FROM adj " +
+        "JOIN l3 lu ON adj.u = lu.node JOIN l3 lv ON adj.v = lv.node), " +
+        "comm AS (SELECT cu AS community, CAST(COUNT(*) AS BIGINT) " +
+        "AS deg_sum, CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS intra_dir FROM j GROUP BY cu), " +
+        "t AS (SELECT community, deg_sum, intra_dir, m, " +
+        "CAST(floor(1000000000000 * (CAST(intra_dir AS DOUBLE) / m - " +
+        "(CAST(deg_sum AS DOUBLE) / m) * (CAST(deg_sum AS DOUBLE) / m))) " +
+        "AS BIGINT) AS term_pico FROM comm CROSS JOIN mrow) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_communities, " +
+        "CAST(MAX(m) AS BIGINT) AS n_edges_dir, " +
+        "CAST(SUM(term_pico) AS BIGINT) AS q_pico, " +
+        "CAST(SUM(term_pico) AS DOUBLE) / 1000000000000.0 AS modularity " +
+        "FROM t"),
     "graph_mst" ->
       ("WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +
@@ -782,6 +880,25 @@ object Graphs {
         s"r2 AS (${prIter.format("r1")}), " +
         s"r3 AS (${prIter.format("r2")}) " +
         "SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 50"),
+    "graph_ppr" -> {
+      // %% : literal % survives the .format() that splices the rank CTE
+      val pprIter = "SELECT v AS node, " +
+        "CAST((CASE WHEN v %% 97 = 0 THEN 150000 ELSE 0 END) + " +
+        "(85 * SUM(pr // deg)) // 100 AS BIGINT) AS pr " +
+        "FROM e JOIN %s ON u = node GROUP BY v"
+      "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "deg AS (SELECT u AS du, COUNT(*) AS deg FROM edges GROUP BY u), " +
+        "e AS (SELECT u, v, deg FROM edges JOIN deg ON u = du), " +
+        "r0 AS (SELECT DISTINCT u AS node, CAST(CASE WHEN u % 97 = 0 " +
+        "THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM e), " +
+        s"r1 AS (${pprIter.format("r0")}), " +
+        s"r2 AS (${pprIter.format("r1")}), " +
+        s"r3 AS (${pprIter.format("r2")}) " +
+        "SELECT node, pr FROM r3 WHERE pr > 0 " +
+        "ORDER BY pr DESC, node LIMIT 50"
+    },
     "graph_hits" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +

@@ -523,6 +523,47 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.getAs[Boolean]("keep")), "every doc passes")
   }
 
+  test("modularity is a proper partition score over the LPA labels") {
+    val r = graft.operators.Graphs.queries("graph_modularity")(spark, sfDir)
+      .collect()(0)
+    val q = r.getAs[Double]("modularity")
+    // Q is bounded in [-0.5, 1] for any partition; a community structure
+    // the LPA actually found should score strictly above chance
+    assert(q > 0.0 && q <= 1.0, s"modularity out of range: $q")
+    assert(r.getAs[Long]("n_communities") ==
+      graft.operators.Graphs.queries("graph_community_lp")(spark, sfDir)
+        .count(),
+      "modularity and community_lp disagree on the community count")
+  }
+
+  test("dataset card ratios are consistent with their own counts") {
+    val rows = graft.llm.Pipeline.queries("pipeline_dataset_card")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Long]("token_share_micro")).sum
+    // integral DIV floors each share, so the total undershoots 1e6 by at
+    // most one micro per source
+    assert(shares <= 1000000L && shares > 1000000L - rows.length,
+      s"token shares sum to $shares")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_micro") >= 0 &&
+        r.getAs[Long]("dup_micro") <= 1000000L)
+      assert(r.getAs[Long]("keep_micro") >= 0 &&
+        r.getAs[Long]("keep_micro") <= 1000000L)
+    }
+  }
+
+  test("personalized pagerank concentrates rank on the seed neighborhoods") {
+    val rows = graft.operators.Graphs.queries("graph_ppr")(spark, sfDir)
+      .collect()
+    assert(rows.length == 50)
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.forall(_ > 0), "zero-rank node in the top-50")
+    assert(prs.sameElements(prs.sortBy(-_)), "not sorted by rank")
+    // seeds keep their teleport mass, so at least one seed node ranks
+    assert(rows.exists(_.getAs[Long]("node") % 97 == 0), "no seed in top-50")
+  }
+
   test("PNG codec roundtrip preserves every synthesized pixel") {
     val rows = graft.llm.Multimodal.queries("multimodal_codec_roundtrip")(
       spark, sfDir).collect()
