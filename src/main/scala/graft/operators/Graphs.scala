@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OSQL, U}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,9 +89,12 @@ object Graphs {
 
   /** The iteration kernel over an arbitrary directed (u, v) edge frame —
     * parameterized so tests can drive synthetic graphs through both gate
-    * paths at sizes the fixtures don't reach. */
+    * paths at sizes the fixtures don't reach. `seedMod` switches uniform
+    * teleport (global PageRank) to a deterministic sparse seed set
+    * (personalized PageRank: mass lands only on node ≡ 0 mod seedMod, and
+    * unreached nodes — exactly rank 0 — are filtered from the top-50). */
   private[graft] def pagerankOnEdges(edges: DataFrame,
-      broadcastCap: Long): DataFrame = {
+      broadcastCap: Long, seedMod: Option[Long] = None): DataFrame = {
     // deg is one row per source node — it is BOTH the per-edge divisor and
     // the initial rank frame (no separate distinct shuffle over the edges),
     // and its count is the gate's node count
@@ -111,8 +114,12 @@ object Graphs {
     // cache stages, zero edge-side exchanges).
     val e = U.track(
       (if (small) joined else joined.repartition(col("u"))).persist())
+    def teleport(node: Column, full: Long): Column = seedMod match {
+      case None    => lit(full)
+      case Some(m) => when(node % m === 0, lit(full)).otherwise(lit(0L))
+    }
     var ranks = deg.select(col("du").as("node"))
-      .withColumn("pr", lit(1000000L))
+      .withColumn("pr", teleport(col("node"), 1000000L))
     for (_ <- 0 until 3) {
       // small graphs: broadcast the rank frame (|nodes| narrow rows) — the
       // join is map-side and the only exchange is the partial-aggregated
@@ -126,10 +133,12 @@ object Graphs {
       ranks = e.join(r, col("u") === col("node"))
         .select(col("v"), expr("pr DIV deg").as("c"))
         .groupBy(col("v"))
-        .agg((lit(150000L) + expr("(85 * sum(c)) DIV 100")).as("pr"))
-        .select(col("v").as("node"), col("pr"))
+        .agg(expr("(85 * sum(c)) DIV 100").as("flow"))
+        .select(col("v").as("node"),
+          (teleport(col("v"), 150000L) + col("flow")).as("pr"))
     }
-    ranks.orderBy(col("pr").desc, col("node")).limit(50)
+    val base = if (seedMod.isEmpty) ranks else ranks.filter(col("pr") > 0)
+    base.orderBy(col("pr").desc, col("node")).limit(50)
   }
 
   /** HITS hubs/authorities over the co-purchase graph, 2 mutual-update
@@ -141,35 +150,46 @@ object Graphs {
     * half-iteration and only (node, score) rows ever shuffle, so the
     * iteration cost is O(|E|) map-side + an O(|V|) rollup regardless of
     * scale. Scores stay within Long: max_deg·1e12 per rescale. */
-  private def graphHits(s: SparkSession, d: String): DataFrame = {
-    val e = U.track(coPairs(s, d).select(col("u"), col("v")).persist())
+  private def graphHits(s: SparkSession, d: String): DataFrame =
+    hitsOnEdges(coPairs(s, d).select(col("u"), col("v")), PrBroadcastNodeCap)
+
+  /** The HITS kernel over an arbitrary directed (u, v) edge frame, gated
+    * like [[pagerankOnEdges]]: below `broadcastCap` nodes the score frames
+    * broadcast (map-side edge scan per half-step); above it they
+    * shuffle-hash-join into the once-repartitioned persisted edge frame. */
+  private[graft] def hitsOnEdges(e0: DataFrame,
+      broadcastCap: Long): DataFrame = {
+    val e = U.track(e0.persist())
     // Cost notes, measured at sf0.1: (1) each raw score frame is persisted
     // BEFORE its max branches off — the max's broadcast materializes it
     // into cache, so the rescale and the next half-step read one
     // computation (without the persist the per-half-step consumer pair
-    // recomputes the whole upstream chain: 25.8 s); (2) the |V|-row score
-    // frames are broadcast explicitly — derived-frame size estimates
-    // otherwise push the planner to sort-merge over all |E| rows (the
-    // >1M-node variant is pagerankOnEdges' shuffle-hash gate, same trade
-    // as [[PrBroadcastNodeCap]]); (3) the first authority pass is
-    // algebraically 1e6·indegree — a plain count aggregate, no initial
-    // rank frame, no distinct over the edges. The remaining wall-clock is
-    // the 4 data-dependent max-normalization barriers, inherent to
-    // max-norm HITS (deferred normalization overflows Long at adversarial
-    // degree bounds).
+    // recomputes the whole upstream chain: 25.8 s); (2) below the cap the
+    // |V|-row score frames are broadcast explicitly — derived-frame size
+    // estimates otherwise push the planner to sort-merge over all |E|
+    // rows; above it they shuffle-hash (HITS alternates join keys u/v, so
+    // the edge side legitimately exchanges per half-step at that scale);
+    // (3) the first authority pass is algebraically 1e6·indegree — a
+    // plain count aggregate, no initial rank frame, no distinct over the
+    // edges. The remaining wall-clock is the 4 data-dependent
+    // max-normalization barriers, inherent to max-norm HITS (deferred
+    // normalization overflows Long at adversarial degree bounds).
     var araw = U.track(e.groupBy(col("v"))
       .agg((count(lit(1)) * lit(1000000L)).as("ar")).persist())
+    val small = araw.count() <= broadcastCap
+    def side(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
     var auth: DataFrame = null
     var hub: DataFrame = null
     for (i <- 0 until 2) {
       if (i > 0)
-        araw = U.track(e.join(broadcast(hub.withColumnRenamed("node", "hn")),
+        araw = U.track(e.join(side(hub.withColumnRenamed("node", "hn")),
             col("u") === col("hn"))
           .groupBy(col("v")).agg(sum(col("h")).as("ar")).persist())
       val amax = araw.agg(max(col("ar")).as("am"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("v").as("node"), expr("(ar * 1000000) DIV am").as("a"))
-      val hraw = U.track(e.join(broadcast(auth.withColumnRenamed("node", "an")),
+      val hraw = U.track(e.join(side(auth.withColumnRenamed("node", "an")),
           col("v") === col("an"))
         .groupBy(col("u")).agg(sum(col("a")).as("hr")).persist())
       val hmax = hraw.agg(max(col("hr")).as("hm"))
@@ -182,36 +202,14 @@ object Graphs {
   }
 
   /** Personalized PageRank from a deterministic sparse seed set (node id
-    * ≡ 0 mod 97 — the "related items for THESE products" query): same
-    * 3-iteration broadcast-rank kernel as [[pagerankOnEdges]], but the
-    * teleport mass lands only on seeds, so rank concentrates in their
-    * neighborhoods and unreached nodes stay at exactly 0 (every node has
-    * in-edges in the mirrored graph, so the rollup covers all of them —
-    * no outer join needed). Zero-rank nodes are filtered before the
-    * top-50, keeping the output the seeds' neighborhood ranking. Scale
-    * posture identical to pagerank: past [[PrBroadcastNodeCap]] the
-    * shuffle-hash variant is the same gate. */
-  private def graphPpr(s: SparkSession, d: String): DataFrame = {
-    val e0 = coPairs(s, d).select(col("u"), col("v"))
-    val deg = U.track(
-      e0.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg")).persist())
-    val e = U.track(e0.join(deg, col("u") === col("du"))
-      .select(col("u"), col("v"), col("deg")).persist())
-    var ranks = deg.select(col("du").as("node"))
-      .withColumn("pr",
-        when(col("node") % 97 === 0, lit(1000000L)).otherwise(lit(0L)))
-    for (_ <- 0 until 3) {
-      ranks = e.join(broadcast(ranks), col("u") === col("node"))
-        .select(col("v"), expr("pr DIV deg").as("c"))
-        .groupBy(col("v"))
-        .agg(expr("(85 * sum(c)) DIV 100").as("flow"))
-        .select(col("v").as("node"),
-          (when(col("v") % 97 === 0, lit(150000L)).otherwise(lit(0L)) +
-            col("flow")).as("pr"))
-    }
-    ranks.filter(col("pr") > 0)
-      .orderBy(col("pr").desc, col("node")).limit(50)
-  }
+    * ≡ 0 mod 97 — the "related items for THESE products" query): the
+    * SAME gated kernel as `graph_pagerank` with seed-restricted teleport,
+    * so rank concentrates in the seeds' neighborhoods, unreached nodes
+    * stay at exactly 0 (and are filtered), and the >1M-node shuffle-hash
+    * posture comes for free from the shared gate. */
+  private def graphPpr(s: SparkSession, d: String): DataFrame =
+    pagerankOnEdges(coPairs(s, d).select(col("u"), col("v")),
+      PrBroadcastNodeCap, seedMod = Some(97L))
 
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val und = U.track(coPairs(s, d)

@@ -71,6 +71,36 @@ class StressSpec extends SparkTestBase {
       "gated pagerank paths diverge on the synthetic graph")
   }
 
+  test("gated personalized-pagerank paths agree on a 30k-node graph") {
+    val n = 30000L
+    val e = spark.range(0L, n)
+      .selectExpr("id AS u", s"(id * 31 + 7) % $n AS v")
+    val edges = e.unionByName(
+      spark.range(0L, n).selectExpr("id AS u", s"(id + 1) % $n AS v"))
+    val bcast = operators.Graphs
+      .pagerankOnEdges(edges, Long.MaxValue, Some(97L)).collect()
+    U.releaseTracked()
+    val shuffled = operators.Graphs
+      .pagerankOnEdges(edges, 0L, Some(97L)).collect()
+    U.releaseTracked()
+    assert(bcast.length == 50 && bcast.sameElements(shuffled),
+      "gated PPR paths diverge on the synthetic graph")
+  }
+
+  test("gated HITS paths agree on a 30k-node graph") {
+    val n = 30000L
+    val e = spark.range(0L, n)
+      .selectExpr("id AS u", s"(id * 31 + 7) % $n AS v")
+    val edges = e.unionByName(
+      spark.range(0L, n).selectExpr("id AS u", s"(id + 1) % $n AS v"))
+    val bcast = operators.Graphs.hitsOnEdges(edges, Long.MaxValue).collect()
+    U.releaseTracked()
+    val shuffled = operators.Graphs.hitsOnEdges(edges, 0L).collect()
+    U.releaseTracked()
+    assert(bcast.length == 50 && bcast.sameElements(shuffled),
+      "gated HITS paths diverge on the synthetic graph")
+  }
+
   test("imperative-path queries are value-deterministic run-over-run") {
     // the operators with hand-written sequential kernels (mapPartitions
     // LTTB, single-task union-find, power iteration, integer PageRank) —
