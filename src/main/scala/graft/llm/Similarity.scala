@@ -360,6 +360,47 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Matryoshka prefix-retention diagnostic (can the first 16 of 64 dims
+    * serve the cheap first-pass ranking?): for each of the 10 query
+    * vectors, the exact top-5 by full-64 cosine and the top-5 by
+    * 16-dim-prefix cosine, reduced to the per-query overlap count — the
+    * number a pipeline reads before deciding to store truncated vectors.
+    * Both rankings are the broadcast-queries × one-corpus-scan shape with
+    * deterministic (cos DESC, vec_id) order, all dots codegen'd FixedDot
+    * in the integer domain, so the overlap table is exactly oracle-able.
+    * Queries with zero prefix survivors keep their row via the left join
+    * back to the query ids. */
+  private def embMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val emb = U.track(fixed(s, d)
+      .withColumn("fx16", expr("slice(fx, 1, 16)"))
+      .withColumn("nrm16", fixed_dot(col("fx16"), col("fx16")))
+      .select(col("vec_id"), col("fx"), col("nrm"), col("fx16"),
+        col("nrm16"))
+      .persist())
+    def top5(q: DataFrame, xc: String, nc: String): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosCol(dotCol(col("qx"), col(xc)),
+          col("qn"), col(nc)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val queries10 = emb.filter(col("vec_id") < 10)
+    val full = top5(queries10.select(col("vec_id").as("q_id"),
+      col("fx").as("qx"), col("nrm").as("qn")), "fx", "nrm")
+    val pre = top5(queries10.select(col("vec_id").as("q_id"),
+      col("fx16").as("qx"), col("nrm16").as("qn")), "fx16", "nrm16")
+    val overlap = full.join(pre, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("ov"))
+    queries10.select(col("vec_id").as("q_id"))
+      .join(overlap, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("ov"), lit(0L)).as("n_overlap"))
+      .orderBy("q_id")
+  }
+
   /** Cross-modal consistency screen (are the embeddings faithful to the
     * text?): every exact text near-dup pair (Jaccard ≥ 0.2, from the
     * shared inverted-index cache) whose BOTH ids carry an embedding is
@@ -431,6 +472,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_matryoshka" -> embMatryoshka _,
     "sim_index_persist" -> indexPersist _,
     "emb_label_separation" -> labelSeparation _,
     "dedup_text_vs_embedding" -> textVsEmbedding _,
@@ -552,7 +594,36 @@ object Similarity {
       s"WHERE ${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= 0.4) " +
       "SELECT da, db, cos FROM pairs ORDER BY da, db"
 
+  private def dot16Sql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 17), i -> " +
+      s"$a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
+
   val oracleSql: Map[String, String] = Map(
+    "emb_matryoshka" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm, " +
+        s"${dot16Sql("fx", "fx")} AS nrm16 FROM f), " +
+        "q AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn, " +
+        "nrm16 AS qn16 FROM n WHERE vec_id < 10), " +
+        "fs AS (SELECT q_id, vec_id, " +
+        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN q WHERE vec_id <> q_id), " +
+        "f5 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) " +
+        "AS rank FROM fs) WHERE rank <= 5), " +
+        "ps AS (SELECT q_id, vec_id, " +
+        s"CAST(${dot16Sql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn16 AS DOUBLE)) * sqrt(CAST(nrm16 AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN q WHERE vec_id <> q_id), " +
+        "p5 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) " +
+        "AS rank FROM ps) WHERE rank <= 5), " +
+        "ov AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS ov " +
+        "FROM f5 JOIN p5 USING (q_id, vec_id) GROUP BY q_id) " +
+        "SELECT q.q_id, CAST(coalesce(ov, 0) AS BIGINT) AS n_overlap " +
+        "FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN ov USING (q_id) " +
+        "ORDER BY q_id"),
     "sim_index_persist" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

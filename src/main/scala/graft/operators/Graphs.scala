@@ -596,19 +596,23 @@ object Graphs {
     * mirrored support≥2 adjacency, Q = Σ_c (e_c/M − (d_c/M)²) with M the
     * directed edge count, e_c the directed intra-community edge count and
     * d_c the community degree sum — all exact integers off the shared
-    * label frame (broadcast-joined onto the edges; at 100 TB the labels
-    * are the narrow side by construction). Each community's term is
-    * floored to integer PICO-units before the final sum — a raw double Σ
-    * over hundreds of communities would be partial-aggregation-order
+    * label frame. The label joins carry the [[PrBroadcastNodeCap]] gate
+    * (labels are one row per NODE — broadcast below the cap, shuffle-hash
+    * above, like every rank frame here). Each community's term is floored
+    * to integer PICO-units before the final sum — a raw double Σ over
+    * hundreds of communities would be partial-aggregation-order
     * dependent — so the headline Q is one exact integer divided once. */
   private def graphModularity(s: SparkSession, d: String): DataFrame = {
     val (adj, _) = wedgeFrames(s, d)
     val lab = U.track(lpaLabels(s, d).persist())
+    val side: DataFrame => DataFrame =
+      if (lab.count() <= PrBroadcastNodeCap) broadcast
+      else _.hint("shuffle_hash")
     val mrow = adj.agg(count(lit(1)).as("m"))
     val joined = adj
-      .join(broadcast(lab.select(col("node").as("u"), col("lbl").as("cu"))),
+      .join(side(lab.select(col("node").as("u"), col("lbl").as("cu"))),
         Seq("u"))
-      .join(broadcast(lab.select(col("node").as("v"), col("lbl").as("cv"))),
+      .join(side(lab.select(col("node").as("v"), col("lbl").as("cv"))),
         Seq("v"))
     val comm = joined.groupBy(col("cu").as("community"))
       .agg(count(lit(1)).as("deg_sum"),

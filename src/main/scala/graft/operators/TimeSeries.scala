@@ -141,6 +141,36 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Hour-of-day seasonal anomaly screen (the "is 3am traffic weird FOR
+    * 3am" question [[tsZscore]]'s global per-type stats can't answer):
+    * each (event_type, hour-of-day) cell gets mean/σ from exact cents
+    * power sums (the 24×|types| profile broadcasts), then the cell's own
+    * events are counted against the |v−µ| > 2σ predicate. Two linear
+    * passes; constant-valued cells σ-null out identically in both engines
+    * (the [[tsZscore]] nullif discipline), and the outlier predicate's
+    * null falls to the CASE ELSE in both. */
+  private def tsSeasonalOutlier(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val ev = U.events(s, d).select(col("event_type"),
+      expr("(unix_micros(ts) DIV 3600000000) % 24").as("hod"),
+      vc.as("vc"), col("value"))
+    val stats = ev.groupBy(col("event_type").as("et"), col("hod").as("sh"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("vc")).cast(DoubleType).as("sx"),
+        sum(col("vc") * col("vc")).cast(DoubleType).as("sxx"))
+    val prof = stats.select(col("et"), col("sh"),
+      (col("sx") / (lit(100.0) * col("nd"))).as("cell_mean"),
+      nullif(sqrt(U.covPowerSums(col("sxx"), col("sx"), col("sx"),
+        col("nd"))), lit(0.0)).as("sd"))
+    ev.join(broadcast(prof),
+        col("event_type") === col("et") && col("hod") === col("sh"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), max(col("cell_mean")).as("cell_mean"),
+        sum(when(abs((col("value") - col("cell_mean")) / col("sd")) > 2.0,
+          1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type", "hod")
+  }
+
   /** As-of enrichment applied to the time-series domain (SURVEY §2.8's
     * `ts_asof_enrich`): every event carries the user's latest prior-or-equal
     * 'signup' value — same union-tag + running-last shape as join_asof. */
@@ -1190,6 +1220,7 @@ object TimeSeries {
     "ts_resample_fill" -> tsResampleFill _,
     "ts_diff_rate" -> tsDiffRate _,
     "ts_bollinger" -> tsBollinger _,
+    "ts_seasonal_outlier" -> tsSeasonalOutlier _,
     "ts_zscore" -> tsZscore _)
 
   /** The SAX symbol CTE chain (breakpoints → daily sums → symbols) shared
@@ -1731,5 +1762,21 @@ object TimeSeries {
         "FROM ps) " +
         "SELECT event_id, event_type, value, (value - mean_v) / nullif(std_v, 0) AS z, " +
         "abs((value - mean_v) / nullif(std_v, 0)) > 3.0 AS is_anomaly " +
-        "FROM events JOIN st ON event_type = et ORDER BY event_id"))
+        "FROM events JOIN st ON event_type = et ORDER BY event_id"),
+    "ts_seasonal_outlier" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hod, " +
+        s"${OSQL.cents("value")} AS vc, value FROM events), " +
+        "ps AS (SELECT event_type AS et, hod AS sh, " +
+        "CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(vc) AS DOUBLE) AS sx, " +
+        "CAST(SUM(vc * vc) AS DOUBLE) AS sxx FROM ev GROUP BY 1, 2), " +
+        "prof AS (SELECT et, sh, sx / (100.0 * nd) AS cell_mean, " +
+        s"nullif(sqrt(${OSQL.covPowerSums("sxx", "sx", "sx", "nd")}), 0) " +
+        "AS sd FROM ps) " +
+        "SELECT event_type, CAST(hod AS BIGINT) AS hod, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, MAX(cell_mean) AS cell_mean, " +
+        "CAST(SUM(CASE WHEN abs((value - cell_mean) / sd) > 2.0 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM ev JOIN prof ON event_type = et AND hod = sh " +
+        "GROUP BY event_type, hod ORDER BY event_type, hod"))
 }

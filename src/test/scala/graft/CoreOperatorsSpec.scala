@@ -564,6 +564,29 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("node") % 97 == 0), "no seed in top-50")
   }
 
+  test("seasonal outlier cells partition the event stream exactly") {
+    val rows = graft.operators.TimeSeries.queries("ts_seasonal_outlier")(
+      spark, sfDir).collect()
+    assert(rows.length == 120, s"expected 5 types x 24 hours, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"),
+        s"more outliers than events: $r")
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val events = graft.U.events(spark, sfDir).count()
+    assert(total == events, s"cells cover $total of $events events")
+  }
+
+  test("matryoshka overlap counts are valid top-5 intersections") {
+    val rows = graft.llm.Similarity.queries("emb_matryoshka")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= 5, s"overlap outside [0, 5]: $r")
+    }
+  }
+
   test("PNG codec roundtrip preserves every synthesized pixel") {
     val rows = graft.llm.Multimodal.queries("multimodal_codec_roundtrip")(
       spark, sfDir).collect()
