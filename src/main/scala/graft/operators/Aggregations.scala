@@ -321,6 +321,50 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Two-feature least squares (extendedprice ~ quantity + discount) per
+    * return flag — the regression rung above [[aggMoments]]'s univariate
+    * moments: one hash agg collects the 9 exact power sums (products in
+    * DECIMAL(38,0) cents), then the 2×2 centered normal equations solve in
+    * ONE shared double-op tree (explicit Cramer's rule — the (nd−1)
+    * sample-covariance factors cancel in every ratio, so the shared
+    * [[U.covPowerSums]] tree is reused verbatim). R² from the same
+    * covariances. No second pass, no matrix library, engine-identical. */
+  private def aggOlsMulti(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x1 = U.cents(col("l_quantity"))
+    val x2 = U.cents(col("l_discount"))
+    val yc = U.cents(col("l_extendedprice"))
+    val (d1, d2, dy) = (x1.cast(dec), x2.cast(dec), yc.cast(dec))
+    val ps = U.tbl(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(x1).cast(DoubleType).as("s1"),
+      sum(x2).cast(DoubleType).as("s2"),
+      sum(yc).cast(DoubleType).as("sy"),
+      sum(d1 * d1).cast(DoubleType).as("s11"),
+      sum(d2 * d2).cast(DoubleType).as("s22"),
+      sum(d1 * d2).cast(DoubleType).as("s12"),
+      sum(d1 * dy).cast(DoubleType).as("s1y"),
+      sum(d2 * dy).cast(DoubleType).as("s2y"),
+      sum(dy * dy).cast(DoubleType).as("syy"))
+    val nd = col("nd")
+    val c11 = U.covPowerSums(col("s11"), col("s1"), col("s1"), nd)
+    val c22 = U.covPowerSums(col("s22"), col("s2"), col("s2"), nd)
+    val c12 = U.covPowerSums(col("s12"), col("s1"), col("s2"), nd)
+    val c1y = U.covPowerSums(col("s1y"), col("s1"), col("sy"), nd)
+    val c2y = U.covPowerSums(col("s2y"), col("s2"), col("sy"), nd)
+    val cyy = U.covPowerSums(col("syy"), col("sy"), col("sy"), nd)
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    val b0 = col("sy") / (lit(100.0) * nd) -
+      b1 * (col("s1") / (lit(100.0) * nd)) -
+      b2 * (col("s2") / (lit(100.0) * nd))
+    ps.select(col("l_returnflag"), nd.cast(LongType).as("n"),
+      b1.as("b_qty"), b2.as("b_disc"), b0.as("intercept"),
+      ((b1 * c1y + b2 * c2y) / cyy).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** FILTER-clause aggregates (conditional aggregation without N scans):
     * several differently-filtered measures out of ONE pass over orders —
     * the SQL-standard FILTER syntax runs identically on both engines. */
@@ -707,6 +751,7 @@ object Aggregations {
     "agg_listagg" -> aggListagg _,
     "agg_filtered" -> aggFiltered _,
     "agg_moments" -> aggMoments _,
+    "agg_ols_multi" -> aggOlsMulti _,
     "agg_bitmap_distinct" -> aggBitmapDistinct _,
     "agg_topn_percent" -> aggTopnPercent _,
     "agg_approx_quantile" -> aggApproxQuantile _,
@@ -989,6 +1034,34 @@ object Aggregations {
         "FILTER (WHERE o_totalprice > 200000.0) AS DOUBLE) / 100.0 AS big_spend, " +
         "MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS first_open " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "agg_ols_multi" -> {
+      def cps(sxy: String, sx: String, sy: String): String =
+        "(" + OSQL.covPowerSums(sxy, sx, sy, "nd") + ")"
+      val c11 = cps("s11", "s1", "s1"); val c22 = cps("s22", "s2", "s2")
+      val c12 = cps("s12", "s1", "s2"); val c1y = cps("s1y", "s1", "sy")
+      val c2y = cps("s2y", "s2", "sy"); val cyy = cps("syy", "sy", "sy")
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      val b1 = s"(($c1y * $c22 - $c2y * $c12) / $det)"
+      val b2 = s"(($c2y * $c11 - $c1y * $c12) / $det)"
+      val (q, dc, ep) = (OSQL.cents("l_quantity"), OSQL.cents("l_discount"),
+        OSQL.cents("l_extendedprice"))
+      "WITH ps AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        s"CAST(SUM($q) AS DOUBLE) AS s1, CAST(SUM($dc) AS DOUBLE) AS s2, " +
+        s"CAST(SUM($ep) AS DOUBLE) AS sy, " +
+        s"CAST(SUM($q * $q) AS DOUBLE) AS s11, " +
+        s"CAST(SUM($dc * $dc) AS DOUBLE) AS s22, " +
+        s"CAST(SUM($q * $dc) AS DOUBLE) AS s12, " +
+        s"CAST(SUM($q * $ep) AS DOUBLE) AS s1y, " +
+        s"CAST(SUM($dc * $ep) AS DOUBLE) AS s2y, " +
+        s"CAST(SUM($ep * $ep) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, CAST(nd AS BIGINT) AS n, " +
+        s"$b1 AS b_qty, $b2 AS b_disc, " +
+        s"(sy / (100.0 * nd) - $b1 * (s1 / (100.0 * nd)) - " +
+        s"$b2 * (s2 / (100.0 * nd))) AS intercept, " +
+        s"(($b1 * $c1y + $b2 * $c2y) / $cyy) AS r2 " +
+        "FROM ps ORDER BY l_returnflag"
+    },
     "agg_moments" -> {
       val xc = OSQL.cents("l_quantity")
       s"WITH ps AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS nd, " +

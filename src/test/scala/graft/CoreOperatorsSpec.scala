@@ -564,6 +564,39 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("node") % 97 == 0), "no seed in top-50")
   }
 
+  test("two-feature OLS coefficients satisfy the normal equations") {
+    // the fixture's columns are synthetic and mutually independent, so no
+    // economic signs can be asserted — the law that MUST hold for any data
+    // is the normal-equation system itself: C·b = c_y with C the sample
+    // covariance matrix (recomputed here via covar_samp, an independent
+    // code path from the query's power sums)
+    val rows = graft.operators.Aggregations.queries("agg_ols_multi")(
+      spark, sfDir).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val flag = r.getAs[String]("l_returnflag")
+      val (b1, b2) = (r.getAs[Double]("b_qty"), r.getAs[Double]("b_disc"))
+      val li = graft.U.tbl(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === flag)
+      val c = li.select(
+        covar_samp(col("l_quantity"), col("l_quantity")).as("c11"),
+        covar_samp(col("l_discount"), col("l_discount")).as("c22"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("c12"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("c1y"),
+        covar_samp(col("l_discount"), col("l_extendedprice")).as("c2y"))
+        .collect()(0)
+      def g(n: String) = c.getAs[Double](n)
+      val r1 = g("c11") * b1 + g("c12") * b2
+      val r2eq = g("c12") * b1 + g("c22") * b2
+      assert(math.abs(r1 - g("c1y")) <= 1e-6 * math.abs(g("c1y")) + 1e-9,
+        s"first normal equation violated for $flag: $r1 vs ${g("c1y")}")
+      assert(math.abs(r2eq - g("c2y")) <= 1e-6 * math.abs(g("c2y")) + 1e-9,
+        s"second normal equation violated for $flag: $r2eq vs ${g("c2y")}")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of [0,1]: $r")
+    }
+  }
+
   test("seasonal outlier cells partition the event stream exactly") {
     val rows = graft.operators.TimeSeries.queries("ts_seasonal_outlier")(
       spark, sfDir).collect()
