@@ -114,6 +114,30 @@ class PropertySpec extends SparkTestBase {
     assert(missing == 0L, s"$missing LTTB picks not present in the input")
   }
 
+  test("SES fold stays inside the series envelope on generated series") {
+    // the theta-method level is a convex combination of observations at
+    // every step, so for any input sequence it must stay within ±1 of the
+    // [min, max] cents envelope (the slack is the integer DIV truncation
+    // of the 20/80 blend; JVM long division truncates like Spark's DIV)
+    val seriesGen = Gen.listOfN(30, Gen.chooseNum(-10000L, 10000L))
+    samples(seriesGen, 8).filter(_.length >= 2).foreach { ys =>
+      val lvl = ys.tail.foldLeft(ys.head)((acc, y) => (20 * y + 80 * acc) / 100)
+      assert(lvl >= ys.min - 1 && lvl <= ys.max + 1,
+        s"SES level $lvl escaped [${ys.min - 1}, ${ys.max + 1}]")
+    }
+  }
+
+  test("theta query's level column obeys the same envelope on the fixture") {
+    val out = operators.TimeSeries.queries("ts_theta")(spark, sfDir)
+    val env = U.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(U.cents(col("value"))).as("lo"), max(U.cents(col("value"))).as("hi"))
+    val bad = out.join(env, Seq("user_id"))
+      .filter(col("lvl") < col("lo") - 1 || col("lvl") > col("hi") + 1)
+      .count()
+    assert(bad == 0L, s"$bad users with SES level outside the envelope")
+  }
+
   test("minhash signatures: identical shingle sets agree on all permutations") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("id", "text")
