@@ -107,7 +107,8 @@ class StressSpec extends SparkTestBase {
     // exactly where nondeterminism would sneak in if ordering assumptions
     // broke; DataFrame-only queries are covered by the oracle gate
     for (name <- Seq("ts_lttb", "dedup_clusters", "emb_top_eigvec",
-        "graph_pagerank", "agg_weighted_median", "graph_cc")) {
+        "graph_pagerank", "agg_weighted_median", "graph_cc",
+        "multimodal_codec_roundtrip", "ts_theta", "graph_hits")) {
       val f = SparkEntry.queries(name)
       val r1 = f(spark, sfDir).collect().map(_.toString)
       val r2 = f(spark, sfDir).collect().map(_.toString)
