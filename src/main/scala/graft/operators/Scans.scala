@@ -227,6 +227,38 @@ object Scans {
       .orderBy("prio")
   }
 
+  /** Recursive file discovery (`recursiveFileLookup`): data landed by
+    * upstream jobs at UNEVEN directory depths — a top-level drop, a
+    * dated subfolder, a deeper vendor path — reads as one dataset without
+    * hive-style partition naming. The staged layout splits `customer`
+    * across depths 1, 2 and 3; the recursive read must reassemble exactly
+    * the full table (the oracle aggregates the source directly). Staged
+    * once per (JVM, sfDir) behind a marker, like the partitioned sink. */
+  private val recursiveWritten = scala.collection.mutable.Set[String]()
+  private def writeNestedCustomer(s: SparkSession, d: String): String =
+    synchronized {
+      val root = U.scratch(d, "scan_recursive")
+      if (!recursiveWritten.contains(root)) {
+        val c = U.tbl(s, d, "customer")
+        c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(s"$root/top")
+        c.filter(pmod(col("c_custkey"), lit(3)) === 1)
+          .write.mode("overwrite").parquet(s"$root/mid/leaf")
+        c.filter(pmod(col("c_custkey"), lit(3)) === 2)
+          .write.mode("overwrite").parquet(s"$root/mid/deep/leaf")
+        recursiveWritten += root
+      }
+      root
+    }
+
+  private def scanRecursiveDir(s: SparkSession, d: String): DataFrame = {
+    val root = writeNestedCustomer(s, d)
+    s.read.option("recursiveFileLookup", "true").parquet(root)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** PERMISSIVE malformed-row handling: a CSV shard with two injected bad
     * lines reads without failing — intact fields parse, broken rows land in
     * _corrupt_record — and the query quarantines them into counts + the
@@ -589,6 +621,7 @@ object Scans {
     "scan_custom_pushdown" -> scanCustomPushdown _,
     "scan_custom_agg_pushdown" -> scanCustomAggPushdown _,
     "scan_csv_permissive" -> scanCsvPermissive _,
+    "scan_recursive_dir" -> scanRecursiveDir _,
     "scan_custom_topn_pushdown" -> scanCustomTopn _,
     "scan_custom_limit_pushdown" -> scanCustomLimit _,
     "scan_binary_file" -> scanBinaryFile _,
@@ -683,6 +716,10 @@ object Scans {
       ("SELECT range AS id, range % 32 AS bucket, " +
         "(range * 2654435761) % 100000 AS value_cents " +
         "FROM range(0, 120) ORDER BY id"),
+    "scan_recursive_dir" ->
+      ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${graft.OSQL.dsum("c_acctbal")} AS sum_bal FROM customer " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "scan_csv_permissive" ->
       ("SELECT (SELECT COUNT(*) FROM nation) AS n_good, " +
         "CAST(2 AS BIGINT) AS n_bad, " +

@@ -564,6 +564,18 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("node") % 97 == 0), "no seed in top-50")
   }
 
+  test("recursive lookup reassembles the depth-split table exactly") {
+    val out = graft.operators.Scans.queries("scan_recursive_dir")(
+      spark, sfDir)
+    val n = out.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(n == graft.U.tbl(spark, sfDir, "customer").count(),
+      "recursive scan lost rows across the nested layout")
+    // the option is load-bearing: a plain read of the same root (no direct
+    // files, only nested dirs) cannot even infer a schema
+    val root = graft.U.scratch(sfDir, "scan_recursive")
+    intercept[Exception] { spark.read.parquet(root).count() }
+  }
+
   test("two-feature OLS coefficients satisfy the normal equations") {
     // the fixture's columns are synthetic and mutually independent, so no
     // economic signs can be asserted — the law that MUST hold for any data
