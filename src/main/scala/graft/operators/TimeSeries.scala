@@ -715,6 +715,56 @@ object TimeSeries {
         col("forecast"))
       .orderBy("user_id")
 
+  /** Holt–Winters additive triple smoothing (period 24) over each event
+    * type's hourly mean series — the seasonal rung completing the
+    * SES ([[tsTheta]]) / double ([[tsHolt]]) family. Everything runs in
+    * exact integer cents: hourly means by integral division, the first
+    * 24-hour cycle initializes level (cycle mean) and the seasonal array
+    * (deviations), then one `aggregate` HOF folds the rest of the series
+    * with a (level, trend, rolling-24 season list) STRUCT accumulator —
+    * the head of the list is always s_{t−24}, consumed and re-appended
+    * updated. Integer arithmetic is evaluation-order-free, so the DuckDB
+    * recursive-CTE mirror needs no operand-tree discipline, only the same
+    * values. Output is the final state + the one-step forecast
+    * level + trend + next season. One shuffle (the hourly rollup);
+    * the fold is per-group linear like every sequential smoother. */
+  private def tsHoltWinters(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("bucket"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "DIV count(1)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("y"))))
+        .as("seq"))
+      .withColumn("ys", expr("transform(seq, x -> x.y)"))
+      .withColumn("n", size(col("ys")).cast(LongType))
+      .filter(col("n") >= 25)
+      .withColumn("lvl0",
+        expr("aggregate(slice(ys, 1, 24), 0L, (a, x) -> a + x) DIV 24"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(ys, 25, size(ys) - 24),
+          |  named_struct(
+          |    'lvl', lvl0, 'tr', 0L,
+          |    'seas', transform(slice(ys, 1, 24), x -> x - lvl0)),
+          |  (st, y) -> named_struct(
+          |    'lvl', (30 * (y - element_at(st.seas, 1)) +
+          |            70 * (st.lvl + st.tr)) DIV 100,
+          |    'tr', (20 * ((30 * (y - element_at(st.seas, 1)) +
+          |                  70 * (st.lvl + st.tr)) DIV 100 - st.lvl) +
+          |           80 * st.tr) DIV 100,
+          |    'seas', concat(slice(st.seas, 2, 23), array(
+          |      (30 * (y - ((30 * (y - element_at(st.seas, 1)) +
+          |                   70 * (st.lvl + st.tr)) DIV 100)) +
+          |       70 * element_at(st.seas, 1)) DIV 100))))
+          |""".stripMargin))
+      .select(col("event_type"), col("n"),
+        col("st.lvl").as("lvl"), col("st.tr").as("tr"),
+        expr("element_at(st.seas, 1)").as("s_next"),
+        expr("CAST(st.lvl + st.tr + element_at(st.seas, 1) AS DOUBLE) / 100.0")
+          .as("forecast"))
+      .orderBy("event_type")
+
   /** Occupancy heatmap: events bucketed into (day-of-week, hour-of-day)
     * cells — the weekly-rhythm fingerprint behind load forecasting. Both
     * coordinates computed by pure integer epoch arithmetic (epoch day + 4
@@ -1192,6 +1242,7 @@ object TimeSeries {
     "ts_peak_detect" -> tsPeakDetect _,
     "ts_lttb" -> tsLttb _,
     "ts_holt" -> tsHolt _,
+    "ts_holt_winters" -> tsHoltWinters _,
     "ts_theta" -> tsTheta _,
     "ts_drawdown" -> tsDrawdown _,
     "ts_heatmap_bins" -> tsHeatmapBins _,
@@ -1464,6 +1515,36 @@ object TimeSeries {
         "AND q.idx = sm.idx + 1) " +
         "SELECT user_id, idx, event_id, lvl, tr FROM sm " +
         "ORDER BY user_id, idx"),
+    "ts_holt_winters" -> {
+      // integer arithmetic is evaluation-order-free, so nl/nt/ns recompute
+      // inline (the holt-oracle idiom) without tree-mirroring concerns
+      val su = "h.seas[1]"
+      val nl = s"(30 * (i.ys[CAST(h.t + 1 AS INTEGER)] - $su) + " +
+        "70 * (h.lvl + h.tr)) // 100"
+      s"WITH RECURSIVE hourly AS (SELECT event_type, " +
+        "date_trunc('hour', ts) AS bucket, " +
+        s"CAST(SUM(${OSQL.cents("value")}) // COUNT(*) AS BIGINT) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "base AS (SELECT event_type, list(y ORDER BY bucket) AS ys " +
+        "FROM hourly GROUP BY event_type), " +
+        "init AS (SELECT event_type, ys, CAST(len(ys) AS BIGINT) AS n, " +
+        "CAST(list_sum(ys[1:24]) // 24 AS BIGINT) AS lvl0 FROM base " +
+        "WHERE len(ys) >= 25), " +
+        "hw(event_type, t, lvl, tr, seas) AS (" +
+        "SELECT event_type, CAST(24 AS BIGINT), lvl0, CAST(0 AS BIGINT), " +
+        "list_transform(ys[1:24], x -> x - lvl0) FROM init " +
+        "UNION ALL SELECT h.event_type, h.t + 1, " +
+        s"$nl, " +
+        s"(20 * (($nl) - h.lvl) + 80 * h.tr) // 100, " +
+        "list_concat(h.seas[2:], [" +
+        s"(30 * (i.ys[CAST(h.t + 1 AS INTEGER)] - ($nl)) + 70 * $su) // 100" +
+        "]) " +
+        "FROM hw h JOIN init i USING (event_type) WHERE h.t < i.n) " +
+        "SELECT hw.event_type, n, lvl, tr, seas[1] AS s_next, " +
+        "CAST(lvl + tr + seas[1] AS DOUBLE) / 100.0 AS forecast " +
+        "FROM hw JOIN init USING (event_type) WHERE t = n " +
+        "ORDER BY event_type"
+    },
     "ts_theta" ->
       ("WITH seq AS (SELECT user_id, " +
         s"list(${OSQL.cents("value")} ORDER BY ts, event_id) AS ys " +

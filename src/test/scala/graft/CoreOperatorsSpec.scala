@@ -480,6 +480,19 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("holt-winters forecast recombines level, trend and next season") {
+    val rows = graft.operators.TimeSeries.queries("ts_holt_winters")(
+      spark, sfDir).collect()
+    assert(rows.length == 5, "one row per event type expected")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") >= 25, s"series shorter than one cycle+1: $r")
+      val expect = (r.getAs[Long]("lvl") + r.getAs[Long]("tr") +
+        r.getAs[Long]("s_next")) / 100.0
+      assert(r.getAs[Double]("forecast") == expect,
+        s"forecast does not recombine the state: $r")
+    }
+  }
+
   test("theta forecast combines its own level and drift columns") {
     val rows = graft.operators.TimeSeries.queries("ts_theta")(spark, sfDir)
       .collect()
