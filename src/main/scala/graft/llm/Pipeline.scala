@@ -211,6 +211,52 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** BPE tokenizer training, 3 merge rounds — the canonical
+    * corpus-to-tokenizer job, distributed: the word vocabulary (one
+    * shuffle) carries each word as a delimiter-anchored symbol string
+    * `|c|h|a|r|`; each round explodes adjacent symbol pairs weighted by
+    * word frequency, hash-aggregates pair counts, picks the
+    * deterministic top pair ((freq DESC, pair) — a 1-row broadcast), and
+    * applies the merge as TWO literal `replace` passes (the second pass
+    * catches matches whose shared delimiter the first consumed; both
+    * engines' literal replace scans left-to-right non-overlapping, so
+    * the vocab rewrite is engine-identical). Output is the learned merge
+    * table — the artifact a tokenizer ships. Per round: one pair
+    * aggregation over Σ|word| symbols + a broadcast scalar; no step
+    * grows with corpus size beyond the vocab rollup. */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.TextUtil.tokens
+    var vocab = U.tbl(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym",
+        concat(regexp_replace(col("w"), "(.)", "|$1"), lit("|")))
+      .select(col("freq"), col("sym"))
+    val tops = (1 to 3).map { r =>
+      val pairs = vocab
+        .withColumn("syms", filter(split(col("sym"), "\\|"),
+          x => length(x) > 0))
+        // sequence(1, 0) counts DOWN (the shingles3 pitfall) — single-
+        // symbol words contribute no pairs and must filter out first
+        .filter(size(col("syms")) >= 2)
+        .withColumn("i", explode(expr("sequence(1, size(syms) - 1)")))
+        .select(col("freq"), expr("element_at(syms, i)").as("a"),
+          expr("element_at(syms, CAST(i + 1 AS INT))").as("b"))
+      val top = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("a"), col("b")).limit(1)
+      vocab = vocab.crossJoin(broadcast(top))
+        .withColumn("pat", concat(lit("|"), col("a"), lit("|"), col("b"),
+          lit("|")))
+        .withColumn("rep", concat(lit("|"), col("a"), col("b"), lit("|")))
+        .select(col("freq"),
+          expr("replace(replace(sym, pat, rep), pat, rep)").as("sym"))
+      top.select(lit(r.toLong).as("round"), col("a").as("merge_left"),
+        col("b").as("merge_right"), col("pair_freq"))
+    }
+    tops.reduce(_.unionByName(_)).orderBy("round")
+  }
+
   /** The dataset-card report (the summary table a corpus release ships
     * with): per source — document and token counts, the exact-duplicate
     * rate, the gopher-quality keep rate, and the source's share of the
@@ -590,6 +636,7 @@ object Pipeline {
     "emb_quantize" -> embQuantize _,
     "emb_standardize" -> embStandardize _,
     "pipeline_dataset_card" -> datasetCard _,
+    "pipeline_bpe_train" -> bpeTrain _,
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
     "split_train_test" -> splitTrainTest _,
@@ -782,6 +829,43 @@ object Pipeline {
         "CAST(SUM(CAST(floor(abs(xd - CAST(q AS DOUBLE) * scale) * 1000000000.0) " +
         "AS BIGINT)) AS BIGINT) AS sum_abs_err_nano " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "pipeline_bpe_train" -> {
+      // one round: pair explosion from the delimited vocab, top pair by
+      // (freq DESC, a, b), then the double literal-replace merge applied
+      // through scalar subqueries — unrolled three times
+      def pairsCte(v: String, p: String): String =
+        s"$p AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (" +
+          "SELECT t.freq, u.a, t.syms[CAST(u.i + 1 AS INTEGER)] AS b " +
+          "FROM (SELECT freq, list_filter(string_split(sym, '|'), " +
+          s"x -> len(x) > 0) AS syms FROM $v) t, " +
+          "LATERAL (SELECT UNNEST(t.syms) AS a, " +
+          "generate_subscripts(t.syms, 1) AS i) u " +
+          "WHERE u.i < len(t.syms)) GROUP BY a, b)"
+      def topCte(p: String, t: String): String =
+        s"$t AS (SELECT a, b, pf FROM $p ORDER BY pf DESC, a, b LIMIT 1)"
+      def mergeCte(v: String, t: String, vout: String): String =
+        s"$vout AS (SELECT freq, replace(replace(sym, " +
+          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
+          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|'), " +
+          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
+          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|') " +
+          s"AS sym FROM $v)"
+      "WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, " +
+        "regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS sym FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> length(x) > 0)) AS w FROM documents) GROUP BY w), " +
+        s"${pairsCte("v0", "p1")}, ${topCte("p1", "t1")}, " +
+        s"${mergeCte("v0", "t1", "v1")}, " +
+        s"${pairsCte("v1", "p2")}, ${topCte("p2", "t2")}, " +
+        s"${mergeCte("v1", "t2", "v2")}, " +
+        s"${pairsCte("v2", "p3")}, ${topCte("p3", "t3")} " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS round, a AS merge_left, " +
+        "b AS merge_right, pf AS pair_freq FROM t1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), a, b, pf FROM t2 " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), a, b, pf FROM t3) " +
+        "ORDER BY round"
+    },
     "pipeline_dataset_card" ->
       (s"WITH ${graft.llm.TextAnalysis.gopherCtes}, " +
         "per AS (SELECT gf.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

@@ -138,6 +138,29 @@ class PropertySpec extends SparkTestBase {
     assert(bad == 0L, s"$bad users with SES level outside the envelope")
   }
 
+  test("double literal replace equals greedy left-to-right BPE merge") {
+    // the pipeline_bpe_train merge encoding: delimiter-anchored symbols,
+    // two non-overlapping literal replace passes. The claim that this
+    // equals a greedy left-to-right pair merge is load-bearing for the
+    // operator's semantics — prove it on generated symbol sequences
+    val symGen = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "c"))
+    val mergeGen = Gen.oneOf(("a", "b"), ("a", "a"), ("b", "c"), ("ab", "a"))
+    samples(Gen.zip(symGen, mergeGen), 60).foreach { case (syms, (a, b)) =>
+      def greedy(xs: List[String]): List[String] = xs match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: greedy(rest)
+        case x :: rest => x :: greedy(rest)
+        case Nil => Nil
+      }
+      val enc = "|" + syms.mkString("|") + "|"
+      val pat = s"|$a|$b|"
+      val rep = s"|$a$b|"
+      val out = enc.replace(pat, rep).replace(pat, rep)
+      val expect = "|" + greedy(syms).mkString("|") + "|"
+      assert(out == expect,
+        s"double-replace '$out' != greedy '$expect' for $syms merging ($a,$b)")
+    }
+  }
+
   test("minhash signatures: identical shingle sets agree on all permutations") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("id", "text")
