@@ -224,7 +224,10 @@ object Pipeline {
     * table — the artifact a tokenizer ships. Per round: one pair
     * aggregation over Σ|word| symbols + a broadcast scalar; no step
     * grows with corpus size beyond the vocab rollup. */
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The 3-round training loop, shared by `pipeline_bpe_train` (its merge
+    * table) and `pipeline_bpe_apply` (its final encoded vocabulary). */
+  private def bpeRounds(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
     import graft.llm.TextUtil.tokens
     var vocab = U.tbl(s, d, "documents")
       .select(explode(tokens(col("text"))).as("w"))
@@ -254,7 +257,26 @@ object Pipeline {
       top.select(lit(r.toLong).as("round"), col("a").as("merge_left"),
         col("b").as("merge_right"), col("pair_freq"))
     }
-    tops.reduce(_.unionByName(_)).orderBy("round")
+    (tops, vocab)
+  }
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeRounds(s, d)._1.reduce(_.unionByName(_)).orderBy("round")
+
+  /** Tokenizer APPLICATION: the corpus encoded with the 3 learned merges,
+    * reduced to the top-20 resulting tokens by corpus occurrence — the
+    * post-merge vocabulary view a tokenizer report shows (merged symbols
+    * like `er` outrank the letters they absorbed). Same shapes as
+    * training: one symbol explosion weighted by word frequency, one hash
+    * agg, one bounded top-k. */
+  private def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeRounds(s, d)
+    vocab
+      .withColumn("syms", filter(split(col("sym"), "\\|"),
+        x => length(x) > 0))
+      .select(col("freq"), explode(col("syms")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token")).limit(20)
   }
 
   /** The dataset-card report (the summary table a corpus release ships
@@ -637,6 +659,7 @@ object Pipeline {
     "emb_standardize" -> embStandardize _,
     "pipeline_dataset_card" -> datasetCard _,
     "pipeline_bpe_train" -> bpeTrain _,
+    "pipeline_bpe_apply" -> bpeApply _,
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
     "split_train_test" -> splitTrainTest _,
@@ -865,6 +888,39 @@ object Pipeline {
         "UNION ALL SELECT CAST(2 AS BIGINT), a, b, pf FROM t2 " +
         "UNION ALL SELECT CAST(3 AS BIGINT), a, b, pf FROM t3) " +
         "ORDER BY round"
+    },
+    "pipeline_bpe_apply" -> {
+      def pairsCte(v: String, p: String): String =
+        s"$p AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (" +
+          "SELECT t.freq, u.a, t.syms[CAST(u.i + 1 AS INTEGER)] AS b " +
+          "FROM (SELECT freq, list_filter(string_split(sym, '|'), " +
+          s"x -> len(x) > 0) AS syms FROM $v) t, " +
+          "LATERAL (SELECT UNNEST(t.syms) AS a, " +
+          "generate_subscripts(t.syms, 1) AS i) u " +
+          "WHERE u.i < len(t.syms)) GROUP BY a, b)"
+      def topCte(p: String, t: String): String =
+        s"$t AS (SELECT a, b, pf FROM $p ORDER BY pf DESC, a, b LIMIT 1)"
+      def mergeCte(v: String, t: String, vout: String): String =
+        s"$vout AS (SELECT freq, replace(replace(sym, " +
+          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
+          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|'), " +
+          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
+          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|') " +
+          s"AS sym FROM $v)"
+      "WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, " +
+        "regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS sym FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), " +
+        "x -> length(x) > 0)) AS w FROM documents) GROUP BY w), " +
+        s"${pairsCte("v0", "p1")}, ${topCte("p1", "t1")}, " +
+        s"${mergeCte("v0", "t1", "v1")}, " +
+        s"${pairsCte("v1", "p2")}, ${topCte("p2", "t2")}, " +
+        s"${mergeCte("v1", "t2", "v2")}, " +
+        s"${pairsCte("v2", "p3")}, ${topCte("p3", "t3")}, " +
+        s"${mergeCte("v2", "t3", "v3")} " +
+        "SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences FROM " +
+        "(SELECT freq, unnest(list_filter(string_split(sym, '|'), " +
+        "x -> len(x) > 0)) AS token FROM v3) " +
+        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"
     },
     "pipeline_dataset_card" ->
       (s"WITH ${graft.llm.TextAnalysis.gopherCtes}, " +

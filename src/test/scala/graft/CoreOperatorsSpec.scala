@@ -622,6 +622,22 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("applied BPE vocabulary contains the round-1 learned merge") {
+    val merges = graft.llm.Pipeline.queries("pipeline_bpe_train")(
+      spark, sfDir).collect()
+    assert(merges.length == 3)
+    val first = merges.find(_.getAs[Long]("round") == 1L).get
+    val mergedTok = first.getAs[String]("merge_left") +
+      first.getAs[String]("merge_right")
+    val applied = graft.llm.Pipeline.queries("pipeline_bpe_apply")(
+      spark, sfDir).collect()
+    assert(applied.length == 20)
+    val occ = applied.map(_.getAs[Long]("n_occurrences"))
+    assert(occ.sameElements(occ.sortBy(-_)), "not sorted by occurrences")
+    assert(applied.exists(_.getAs[String]("token") == mergedTok),
+      s"round-1 merge '$mergedTok' missing from the applied top-20 vocab")
+  }
+
   test("seasonal outlier cells partition the event stream exactly") {
     val rows = graft.operators.TimeSeries.queries("ts_seasonal_outlier")(
       spark, sfDir).collect()
