@@ -406,6 +406,46 @@ object Graphs {
     (if (adj.count() <= cap) bfsSingleTask(adj) else bfsLoop(adj))
       .orderBy("hops", "node")
 
+  /** Truncated harmonic centrality from the 5 lowest-id seed nodes (the
+    * "which products sit closest to THESE anchors" query): simultaneous
+    * 3-hop BFS for all seeds over the support≥2 adjacency — each round is
+    * one semi-join-shaped frontier expansion keyed (seed, node), with a
+    * left-anti against the reached set so every node keeps its FIRST
+    * (minimal) distance, each round persisted before reuse (the HITS
+    * lesson: two consumers of an unpersisted iterative frame recompute
+    * the whole chain). Scores are exact: 1e6 DIV dist per (seed, node)
+    * with dist ∈ {1,2,3}, summed as integers. Frontiers are |V|-bounded
+    * narrow rows — broadcast here; past ~1M nodes the shuffle-hash gate
+    * applies as everywhere else. */
+  private def graphClosenessK(s: SparkSession, d: String): DataFrame = {
+    val (adj, _) = wedgeFrames(s, d)
+    val seeds = adj.select(col("u").as("seed")).distinct()
+      .orderBy("seed").limit(5)
+    var reached = U.track(seeds
+      .select(col("seed"), col("seed").as("n"), lit(0L).as("dist"))
+      .persist())
+    var frontier = reached
+    for (h <- 1 to 3) {
+      val next = adj
+        .join(broadcast(frontier.select(col("seed"), col("n").as("u"))),
+          Seq("u"))
+        .select(col("seed"), col("v").as("n")).distinct()
+        .join(reached.select(col("seed"), col("n")), Seq("seed", "n"),
+          "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      val np = U.track(next.persist())
+      np.count() // materialize before the reached union reads it twice
+      reached = U.track(reached.unionByName(np).persist())
+      frontier = np
+    }
+    reached.filter(col("dist") > 0)
+      .withColumn("contrib_micro", expr("1000000 DIV dist"))
+      .groupBy(col("n").as("node"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(col("contrib_micro")).as("harmonic_micro"))
+      .orderBy(col("harmonic_micro").desc, col("node")).limit(50)
+  }
+
   private def bfsLoop(adj: DataFrame): DataFrame = {
     // HAVING-style guard: an empty graph yields zero rows (not a NULL
     // source), matching the kernel and the oracle's HAVING COUNT(*) > 0
@@ -725,6 +765,7 @@ object Graphs {
     "graph_clustcoeff" -> graphClustCoeff _,
     "graph_assoc_rules" -> graphAssocRules _,
     "graph_bfs_hops" -> graphBfsHops _,
+    "graph_closeness_k" -> graphClosenessK _,
     "graph_pagerank" -> graphPagerank _,
     "graph_ppr" -> graphPpr _,
     "graph_hits" -> graphHits _,
@@ -764,6 +805,28 @@ object Graphs {
       (supAdjCtes + ", " + lpaCtes + " " +
         "SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
         "FROM l3 GROUP BY lbl ORDER BY n_nodes DESC, community"),
+    "graph_closeness_k" -> {
+      // one BFS round: frontier expansion + first-discovery anti-join
+      def round(prevReach: String, prevFront: String, h: Int): String =
+        s"f$h AS (SELECT DISTINCT r.seed, a.v AS n FROM adj a " +
+          s"JOIN $prevFront r ON a.u = r.n), " +
+          s"n$h AS (SELECT f$h.seed, f$h.n, CAST($h AS BIGINT) AS dist " +
+          s"FROM f$h WHERE NOT EXISTS (SELECT 1 FROM $prevReach p " +
+          s"WHERE p.seed = f$h.seed AND p.n = f$h.n)), " +
+          s"r$h AS (SELECT * FROM $prevReach UNION ALL SELECT * FROM n$h)"
+      supAdjCtes + ", " +
+        "seeds AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM adj) " +
+        "ORDER BY seed LIMIT 5), " +
+        "r0 AS (SELECT seed, seed AS n, CAST(0 AS BIGINT) AS dist " +
+        "FROM seeds), " +
+        s"${round("r0", "r0", 1)}, " +
+        s"${round("r1", "n1", 2)}, " +
+        s"${round("r2", "n2", 3)} " +
+        "SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS n_seeds, " +
+        "CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro " +
+        "FROM r3 WHERE dist > 0 GROUP BY n " +
+        "ORDER BY harmonic_micro DESC, node LIMIT 50"
+    },
     "graph_modularity" ->
       (supAdjCtes + ", " + lpaCtes + ", " +
         "mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM adj), " +

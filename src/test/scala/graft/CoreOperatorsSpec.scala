@@ -536,6 +536,22 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.getAs[Boolean]("keep")), "every doc passes")
   }
 
+  test("harmonic centrality is bounded by its own seed count") {
+    val rows = graft.operators.Graphs.queries("graph_closeness_k")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_seeds")
+      val h = r.getAs[Long]("harmonic_micro")
+      assert(k >= 1 && k <= 5, s"seed count out of range: $r")
+      // each of the k seeds contributes 1e6/dist with dist in 1..3
+      assert(h >= k * 333333L && h <= k * 1000000L,
+        s"harmonic score outside [k/3, k] band: $r")
+    }
+    val hs = rows.map(_.getAs[Long]("harmonic_micro"))
+    assert(hs.sameElements(hs.sortBy(-_)), "not sorted by centrality")
+  }
+
   test("modularity is a proper partition score over the LPA labels") {
     val r = graft.operators.Graphs.queries("graph_modularity")(spark, sfDir)
       .collect()(0)
