@@ -440,6 +440,23 @@ object Aggregations {
       .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
+  /** ROLLUP over the date hierarchy (year → priority): the prefix-subtotal
+    * member of the grouping family — unlike [[aggCube]] it emits ONLY the
+    * hierarchy's subtotal levels (per (yr, prio), per yr, grand total),
+    * which is the report shape time rollups actually want. gid
+    * disambiguates subtotal NULLs exactly as in [[aggGroupingId]]. */
+  private def aggRollupTime(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "orders")
+      .select(year(col("o_orderdate")).cast(LongType).as("yr"),
+        col("o_orderpriority").as("prio"), col("o_totalprice"))
+      .rollup(col("yr"), col("prio"))
+      .agg(
+        (grouping(col("yr")).cast(LongType) * 2 +
+          grouping(col("prio")).cast(LongType)).as("gid"),
+        count(lit(1)).as("n"),
+        U.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), asc_nulls_first("yr"), asc_nulls_first("prio"))
+
   /** Weighted median (quantity-weighted price per return flag): cumulative
     * weight over the price-sorted group, first price where 2·cum ≥ total.
     * All weights/prices integer (cents), so the crossing row — and thus the
@@ -748,6 +765,7 @@ object Aggregations {
     "agg_cms_heavyhitters" -> aggCmsHeavyhitters _,
     "agg_kmv_setops" -> aggKmvSetops _,
     "agg_grouping_id" -> aggGroupingId _,
+    "agg_rollup_time" -> aggRollupTime _,
     "agg_listagg" -> aggListagg _,
     "agg_filtered" -> aggFiltered _,
     "agg_moments" -> aggMoments _,
@@ -1022,6 +1040,15 @@ object Aggregations {
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY gid, l_returnflag ASC NULLS FIRST, " +
         "l_linestatus ASC NULLS FIRST"),
+    "agg_rollup_time" ->
+      ("SELECT yr, prio, " +
+        "CAST(GROUPING(yr) * 2 + GROUPING(prio) AS BIGINT) AS gid, " +
+        "COUNT(*) AS n, " +
+        s"${OSQL.dsum("o_totalprice")} AS sum_price " +
+        "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+        "o_orderpriority AS prio, o_totalprice FROM orders) " +
+        "GROUP BY ROLLUP (yr, prio) " +
+        "ORDER BY gid, yr ASC NULLS FIRST, prio ASC NULLS FIRST"),
     "agg_listagg" ->
       ("SELECT c_nationkey, c_mktsegment, " +
         "string_agg(c_name, ',' ORDER BY c_name) AS customers, " +

@@ -536,6 +536,23 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.getAs[Boolean]("keep")), "every doc passes")
   }
 
+  test("rollup subtotal levels are additive up the hierarchy") {
+    val rows = graft.operators.Aggregations.queries("agg_rollup_time")(
+      spark, sfDir).collect()
+    val leaf = rows.filter(_.getAs[Long]("gid") == 0L)
+    val yearly = rows.filter(_.getAs[Long]("gid") == 1L)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1, "exactly one grand total expected")
+    val total = grand(0).getAs[Long]("n")
+    assert(leaf.map(_.getAs[Long]("n")).sum == total,
+      "leaf cells do not sum to the grand total")
+    assert(yearly.map(_.getAs[Long]("n")).sum == total,
+      "yearly subtotals do not sum to the grand total")
+    // ROLLUP must NOT emit the cube-only gid=2 level (prio totals)
+    assert(!rows.exists(_.getAs[Long]("gid") == 2L),
+      "rollup emitted a non-hierarchy grouping set")
+  }
+
   test("harmonic centrality is bounded by its own seed count") {
     val rows = graft.operators.Graphs.queries("graph_closeness_k")(
       spark, sfDir).collect()
