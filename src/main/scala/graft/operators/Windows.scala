@@ -140,7 +140,32 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Forward-fill over genuinely sparse data (IGNORE NULLS as a declared
+    * surface, not just an as-of-join internal): customers left-joined to
+    * their latest order date — the no-order customers carry NULL — then
+    * `last(..., ignoreNulls)` over the segment's custkey order drags the
+    * most recent non-null value forward, the classic sparse-column fill.
+    * The order summary is restricted to 1995 so a fifth of customers are
+    * genuinely NULL at every SF (spec-asserted — fully-covered input
+    * would make IGNORE NULLS vacuous). One shuffle + one sort per
+    * segment; the left join is a broadcast of the per-customer summary
+    * at this scale and a plain shuffle join past it. */
+  private def winFillForward(s: SparkSession, d: String): DataFrame = {
+    val lastOrder = U.tbl(s, d, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    U.tbl(s, d, "customer")
+      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("last_order"))
+      .withColumn("filled_last_order",
+        last(col("last_order"), ignoreNulls = true).over(w))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_fill_forward" -> winFillForward _,
     "win_running_distinct" -> winRunningDistinct _,
     "win_gaps_islands" -> winGapsIslands _,
     "win_topk_native" -> winTopkNative _,
@@ -152,6 +177,16 @@ object Windows {
     "win_topk_group" -> winTopkGroup _)
 
   val oracleSql: Map[String, String] = Map(
+    "win_fill_forward" ->
+      ("WITH lo AS (SELECT o_custkey, MAX(o_orderdate) AS last_order " +
+        "FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) " +
+        "SELECT c_mktsegment, c_custkey, last_order, " +
+        "last_value(last_order IGNORE NULLS) OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS filled_last_order " +
+        "FROM customer LEFT JOIN lo ON c_custkey = o_custkey " +
+        "ORDER BY c_mktsegment, c_custkey"),
     "win_running_distinct" ->
       ("WITH f AS (SELECT user_id, ts, event_id, event_type, " +
         "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +

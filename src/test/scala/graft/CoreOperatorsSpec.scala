@@ -536,6 +536,22 @@ class CoreOperatorsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.getAs[Boolean]("keep")), "every doc passes")
   }
 
+  test("forward fill carries the last non-null value and only that") {
+    val rows = graft.operators.Windows.queries("win_fill_forward")(
+      spark, sfDir).collect()
+    // the fixture must actually exercise sparsity (order-less customers)
+    assert(rows.exists(_.isNullAt(2)), "no null last_order in the fixture")
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.values.foreach { seg =>
+      var lastSeen: Any = null
+      seg.sortBy(_.getAs[Long]("c_custkey")).foreach { r =>
+        if (!r.isNullAt(2)) lastSeen = r.get(2)
+        val filled = if (r.isNullAt(3)) null else r.get(3)
+        assert(filled == lastSeen, s"fill diverged from reference scan: $r")
+      }
+    }
+  }
+
   test("rollup subtotal levels are additive up the hierarchy") {
     val rows = graft.operators.Aggregations.queries("agg_rollup_time")(
       spark, sfDir).collect()
