@@ -115,7 +115,13 @@ object Similarity {
       exactCap: Long): DataFrame = {
     val emb = U.track(
       fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
-    val n = emb.count() // one action on the persisted frame picks the path
+    // one action on the persisted frame picks the path (and doubles as
+    // the cache materializer both branches then reuse). The projection is
+    // 1:1 with the source table, so at 100 TB the gate VALUE is available
+    // metadata-only — parquet footer row counts / catalog rowCount stats
+    // on `embeddings` — without executing the transform; the count() here
+    // is the local-fixture form of that lookup.
+    val n = emb.count()
     if (n <= exactCap) {
       val a = emb.select(col("vec_id").as("da"), col("fx").as("xa"),
         col("nrm").as("na"))
@@ -426,26 +432,56 @@ object Similarity {
 
   /** Label separability of the embedding space (the one-number answer to
     * "are these embeddings any good for this labeling"): mean cosine over
-    * all same-label pairs vs all cross-label pairs. Every pairwise cosine
-    * floors to integer MICRO-UNITS before the group sum (the micro-nat
-    * doctrine — raw double sums would be partial-aggregation-order
-    * dependent over n²/2 terms), so both group means are exact. The
-    * all-pairs scan is the [[EmbExactVecCap]]-scale anchor shape — at
-    * 100 TB this diagnostic runs on a sampled block, same code. */
+    * all same-label pairs vs all cross-label pairs — computed WITHOUT pair
+    * enumeration. Each vector is first normalized to integer MICRO-UNITS
+    * (u_d = floor(fx_d·1e6 / √nrm), an identical operand tree in both
+    * engines), so every pairwise dot u_a·u_b is an exact integer and the
+    * group-pair sum decomposes over LINEAR per-group sums:
+    *
+    *   Σ_{i<j∈G} u_i·u_j = (‖Σ_{i∈G} u_i‖² − Σ_{i∈G} ‖u_i‖²) / 2
+    *
+    * The squares of component sums run in Decimal(38,0) (S_d ≈ n·1e6, so
+    * S_d² overflows Long past ~3k vectors/label). Cost is one posexplode
+    * (n·64 rows) plus label-cardinality aggregates — linear at any scale;
+    * the O(n²) crossJoin this replaces needed a size gate the linear form
+    * doesn't. The DuckDB oracle still enumerates all pairs, independently
+    * proving the decomposition identity on the fixture. mean_cos divides
+    * the doubled pair sum by 2e12·n_pairs — bit-identical to the oracle's
+    * sum/(1e12·n_pairs) because doubling is exact in binary floating
+    * point (rnd(2x) = 2·rnd(x)). */
   private def labelSeparation(s: SparkSession, d: String): DataFrame = {
-    val f = fixed(s, d)
-    val a = f.select(col("vec_id").as("da"), col("label").as("la"),
-      col("fx").as("xa"), col("nrm").as("na2"))
-    val b = f.select(col("vec_id").as("db"), col("label").as("lb"),
-      col("fx").as("xb"), col("nrm").as("nb2"))
-    a.crossJoin(b).filter(col("da") < col("db"))
-      .withColumn("cos_micro",
-        floor(cosCol(dotCol(col("xa"), col("xb")), col("na2"), col("nb2")) *
-          lit(1000000.0)).cast(LongType))
-      .groupBy((col("la") === col("lb")).as("same_label"))
-      .agg(count(lit(1)).as("n_pairs"),
-        (sum(col("cos_micro")).cast(DoubleType) /
-          (lit(1000000.0) * count(lit(1)))).as("mean_cos"))
+    val dec = DecimalType(38, 0)
+    val u = fixed(s, d).select(col("label"),
+        transform(col("fx"), e => floor(e.cast(DoubleType) * lit(1000000.0) /
+          sqrt(col("nrm").cast(DoubleType)))).as("ux"))
+      .withColumn("self", fixed_dot(col("ux"), col("ux")))
+    val comp = u.select(col("label"), posexplode(col("ux")).as(Seq("pos", "v")))
+    val sl = comp.groupBy(col("label"), col("pos")).agg(sum(col("v")).as("sv"))
+    val perLbl = sl.groupBy(col("label"))
+      .agg(sum(col("sv").cast(dec) * col("sv").cast(dec)).as("sq"))
+      .join(u.groupBy(col("label"))
+        .agg(sum(col("self").cast(dec)).as("selfsum"),
+          count(lit(1)).as("nl")), Seq("label"))
+    val same = perLbl.agg(
+      sum(col("sq") - col("selfsum")).as("same_sum2"),
+      sum((col("nl") * (col("nl") - lit(1L)) / lit(2L)).cast(LongType))
+        .as("same_pairs"))
+    val tot = sl.groupBy(col("pos")).agg(sum(col("sv")).as("tv"))
+      .agg(sum(col("tv").cast(dec) * col("tv").cast(dec)).as("tot_sq"))
+      .crossJoin(broadcast(u.agg(sum(col("self").cast(dec)).as("tot_self"),
+        count(lit(1)).as("n"))))
+    val crossPairs = ((col("n") * (col("n") - lit(1L)) / lit(2L))
+      .cast(LongType) - col("same_pairs"))
+    def mean(sum2: Column, np: Column): Column =
+      sum2.cast(DoubleType) / (lit(2.0e12) * np.cast(DoubleType))
+    same.crossJoin(broadcast(tot)).select(explode(array(
+        struct(lit(false).as("same_label"), crossPairs.as("n_pairs"),
+          mean(col("tot_sq") - col("tot_self") - col("same_sum2"),
+            crossPairs).as("mean_cos")),
+        struct(lit(true).as("same_label"), col("same_pairs").as("n_pairs"),
+          mean(col("same_sum2"), col("same_pairs")).as("mean_cos"))))
+        .as("r"))
+      .select(col("r.same_label"), col("r.n_pairs"), col("r.mean_cos"))
       .orderBy("same_label")
   }
 
@@ -641,13 +677,14 @@ object Similarity {
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, label, fx, ${dotSql("fx", "fx")} AS nrm " +
         "FROM f), " +
+        "u AS (SELECT vec_id, label, list_transform(fx, e -> " +
+        "CAST(floor(CAST(e AS DOUBLE) * 1000000.0 / " +
+        "sqrt(CAST(nrm AS DOUBLE))) AS BIGINT)) AS ux FROM n), " +
         "p AS (SELECT a.label = b.label AS same_label, " +
-        s"CAST(floor(CAST(${dotSql("a.fx", "b.fx")} AS DOUBLE) / " +
-        "(sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) " +
-        "* 1000000.0) AS BIGINT) AS cos_micro " +
-        "FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+        s"${dotSql("a.ux", "b.ux")} AS d " +
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id) " +
         "SELECT same_label, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
-        "CAST(SUM(cos_micro) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
+        "CAST(SUM(d) AS DOUBLE) / (1000000000000.0 * COUNT(*)) " +
         "AS mean_cos FROM p GROUP BY same_label ORDER BY same_label"),
     "dedup_text_vs_embedding" ->
       (s"WITH ${graft.llm.Dedup.jaccardCtes}, " +

@@ -32,7 +32,11 @@ private[graft] object Components {
     * frame is materialized and cache-tracked via [[graft.U.track]]. */
   def labels(edges: DataFrame, cap: Long = DsuEdgeCap): DataFrame = {
     val e = edges.select(col("u"), col("v")).persist()
-    val nEdges = e.count() // one action on the persisted frame
+    // one action on the persisted frame; at 100 TB prefer a metadata
+    // answer (file-level row counts of the edge source) when the edge
+    // frame is a plain scan — here it is usually a derived pair frame,
+    // so the count doubles as its cache materializer
+    val nEdges = e.count()
     val lab = graft.U.track(
       (if (nEdges <= cap) dsuLabels(e) else propagateMinLabel(e)).persist())
     lab.count() // materialize before releasing the edge cache

@@ -100,6 +100,9 @@ object Graphs {
     // and its count is the gate's node count
     val deg = U.track(
       edges.groupBy(col("u").as("du")).agg(count(lit(1)).as("deg")).persist())
+    // gate action doubles as deg's cache materializer; at 100 TB the node
+    // count would come from catalog/file statistics where the graph is a
+    // stored table rather than a derived pair frame
     val nNodes = deg.count()
     val small = nNodes <= broadcastCap
     val joined = edges.join(deg, col("u") === col("du"))
@@ -176,7 +179,13 @@ object Graphs {
     // normalization overflows Long at adversarial degree bounds).
     var araw = U.track(e.groupBy(col("v"))
       .agg((count(lit(1)) * lit(1000000L)).as("ar")).persist())
-    val small = araw.count() <= broadcastCap
+    // gate on BOTH node populations: `side` broadcasts hub frames keyed
+    // by u as well as authority frames keyed by v, so an asymmetric edge
+    // frame (few sinks, many sources) must not pass the gate on the
+    // authority count alone (r6 advisor). Two aggregate scans on the
+    // persisted edge frame, paid once.
+    val small = math.max(araw.count(),
+      e.select(col("u")).distinct().count()) <= broadcastCap
     def side(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
     var auth: DataFrame = null
@@ -414,11 +423,22 @@ object Graphs {
     * (minimal) distance, each round persisted before reuse (the HITS
     * lesson: two consumers of an unpersisted iterative frame recompute
     * the whole chain). Scores are exact: 1e6 DIV dist per (seed, node)
-    * with dist ∈ {1,2,3}, summed as integers. Frontiers are |V|-bounded
-    * narrow rows — broadcast here; past ~1M nodes the shuffle-hash gate
-    * applies as everywhere else. */
-  private def graphClosenessK(s: SparkSession, d: String): DataFrame = {
-    val (adj, _) = wedgeFrames(s, d)
+    * with dist ∈ {1,2,3}, summed as integers. Frontiers are up to
+    * 5·|V| narrow (seed, node) rows — the [[PrBroadcastNodeCap]] gate
+    * (measured once on the adjacency's source-node count) broadcasts
+    * them below the cap and pins a shuffle-hash join above it, exactly
+    * like [[pagerankOnEdges]]; StressSpec drives both paths. */
+  private def graphClosenessK(s: SparkSession, d: String): DataFrame =
+    closenessOnAdj(wedgeFrames(s, d)._1, PrBroadcastNodeCap)
+
+  private[graft] def closenessOnAdj(adj: DataFrame,
+      broadcastCap: Long): DataFrame = {
+    // one count on the (persisted, shared) adjacency picks the posture
+    // for every frontier/reached join below; the frontier is ≤ 5·|V|
+    // (seed, node) rows, so the gate compares against the node count
+    val small = adj.select(col("u")).distinct().count() <= broadcastCap
+    def gate(f: DataFrame): DataFrame =
+      if (small) broadcast(f) else f.hint("shuffle_hash")
     val seeds = adj.select(col("u").as("seed")).distinct()
       .orderBy("seed").limit(5)
     var reached = U.track(seeds
@@ -427,10 +447,10 @@ object Graphs {
     var frontier = reached
     for (h <- 1 to 3) {
       val next = adj
-        .join(broadcast(frontier.select(col("seed"), col("n").as("u"))),
+        .join(gate(frontier.select(col("seed"), col("n").as("u"))),
           Seq("u"))
         .select(col("seed"), col("v").as("n")).distinct()
-        .join(reached.select(col("seed"), col("n")), Seq("seed", "n"),
+        .join(gate(reached.select(col("seed"), col("n"))), Seq("seed", "n"),
           "left_anti")
         .withColumn("dist", lit(h.toLong))
       val np = U.track(next.persist())

@@ -280,6 +280,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("status"), s"unprojected leaf read:\n$p")
   }
 
+  test("emb_label_separation enumerates no pairs (linear-sum decomposition)") {
+    val p = plan("emb_label_separation")
+    // r6 verdict: this was the last ungated all-pairs crossJoin in a
+    // declared query. The linear-sum rewrite must never plan a cartesian
+    // product; the only joins allowed are the tiny 1-row combiners and
+    // the per-label equijoin.
+    assert(!p.contains("CartesianProduct"), s"all-pairs scan is back:\n$p")
+  }
+
   test("graph_pagerank iterates on narrow (node, rank) frames") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")

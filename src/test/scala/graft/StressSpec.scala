@@ -101,6 +101,41 @@ class StressSpec extends SparkTestBase {
       "gated HITS paths diverge on the synthetic graph")
   }
 
+  test("gated harmonic-closeness paths agree on a 30k-node graph") {
+    // r6 advisor: graph_closeness_k broadcast the frontier unconditionally;
+    // it now carries the PrBroadcastNodeCap gate — prove both postures
+    // compute the same truncated-harmonic top-50 on a synthetic digraph
+    val n = 30000L
+    val e = spark.range(0L, n)
+      .selectExpr("id AS u", s"(id * 31 + 7) % $n AS v")
+    val edges = e.unionByName(
+      spark.range(0L, n).selectExpr("id AS u", s"(id + 1) % $n AS v"))
+    val bcast = operators.Graphs.closenessOnAdj(edges, Long.MaxValue).collect()
+    U.releaseTracked()
+    val shuffled = operators.Graphs.closenessOnAdj(edges, 0L).collect()
+    U.releaseTracked()
+    // 45 nodes are 3-hop-reachable from the 5 seeds in this digraph —
+    // fewer than the query's top-50 cap, which is fine; parity is the claim
+    assert(bcast.nonEmpty && bcast.sameElements(shuffled),
+      "gated closeness paths diverge on the synthetic graph")
+  }
+
+  test("HITS gate measures both node populations on an asymmetric graph") {
+    // r6 advisor: the gate read araw.count() — distinct SINKS only — but
+    // `side` also broadcasts hub frames keyed by u. This graph has 3
+    // sinks and 30k sources; with a cap of 10 the old gate said "small"
+    // and would broadcast a 30k-row hub frame. The fixed gate must take
+    // the shuffle path, and the result must still equal the broadcast
+    // path's.
+    val e = spark.range(0L, 30000L).selectExpr("id AS u", "id % 3 AS v")
+    val gated = operators.Graphs.hitsOnEdges(e, 10L).collect()
+    U.releaseTracked()
+    val bcast = operators.Graphs.hitsOnEdges(e, Long.MaxValue).collect()
+    U.releaseTracked()
+    assert(gated.sameElements(bcast),
+      "asymmetric-graph HITS paths diverge")
+  }
+
   test("imperative-path queries are value-deterministic run-over-run") {
     // the operators with hand-written sequential kernels (mapPartitions
     // LTTB, single-task union-find, power iteration, integer PageRank) —
