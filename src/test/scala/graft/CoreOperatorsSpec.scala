@@ -37,6 +37,37 @@ class CoreOperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("sketch tolerances hold at all three fixture SFs (no-oracle gate)") {
+    // the ONLY two queries without a DuckDB oracle are the Spark-internal
+    // HLL/KLL sketch wrappers; this sweep is their standing correctness
+    // gate at every fixture scale, so suite growth cannot silently orphan
+    // them at one SF (r6 verdict, next-round item #5)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val apx = graft.operators.Aggregations.queries("agg_approx_distinct")(spark, d)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("apx_part")).toMap
+      val exact = graft.operators.Aggregations.queries("agg_count_distinct")(spark, d)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("nd_part")).toMap
+      exact.foreach { case (k, ex) =>
+        val er = math.abs(apx(k) - ex).toDouble / ex
+        assert(er < 0.1, s"$d flag $k: approx ${apx(k)} vs exact $ex (err $er)")
+      }
+      val ap = graft.operators.Aggregations.queries("agg_approx_quantile")(spark, d)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("ap50"), r.getAs[Double]("ap90"))).toMap
+      val ex = graft.operators.Aggregations.queries("agg_percentile")(spark, d)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
+      ex.foreach { case (k, (p25, p50, p75)) =>
+        val (a50, a90) = ap(k)
+        assert(a50 >= p25 && a50 <= p75, s"$d $k: ap50 $a50 outside [$p25,$p75]")
+        assert(math.abs(a50 - p50) / p50 < 0.05, s"$d $k: ap50 $a50 vs exact $p50")
+        assert(a90 >= p75, s"$d $k: ap90 $a90 below exact p75 $p75")
+      }
+      U.releaseTracked()
+    }
+  }
+
   test("as-of join matches latest-at-or-before per key across interleavings") {
     // users A/B interleave; probe at equal ts must match the build row at
     // the SAME ts (<= semantics); user C has no build row at all

@@ -437,14 +437,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("graph_pagerank past the broadcast cap shuffle-joins ranks (no broadcast build)") {
-    // force the past-the-cap path (cap=0): every iteration must join the
-    // rank frame as a shuffled hash join into the pre-partitioned edge
-    // frame — a broadcast of |nodes| rows per iteration is the flagged
-    // 100 TB scale-killer
+    // force the past-the-cap path (cap=0): every rank-joining iteration
+    // must be a shuffled hash join into the pre-partitioned edge frame —
+    // a broadcast of |nodes| rows per iteration is the flagged 100 TB
+    // scale-killer. Round 1 is FUSED (its rank is a constant expression
+    // of the source node, so it joins nothing), leaving 2 rank joins.
     val df = graft.operators.Graphs.pagerankImpl(spark, sfDir, 0L)
     val p = df.queryExecution.executedPlan.toString
-    assert("ShuffledHashJoin".r.findAllIn(p).size == 3,
-      s"expected the 3 rank iterations as shuffle-hash joins:\n$p")
+    assert("ShuffledHashJoin".r.findAllIn(p).size == 2,
+      s"expected the 2 unfused rank iterations as shuffle-hash joins:\n$p")
     // and the gated path computes the identical integer fixpoint
     val gated = df.collect()
     val bcast = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
