@@ -622,10 +622,13 @@ object Graphs {
       .unionByName(und.select(col("v").as("x"), col("u").as("a"),
         col("v").as("b"), col("support")))
       .withColumn("k", struct((-col("support")).as("ws"), col("a"), col("b")))
-    val e1 = cand.groupBy(col("x")).agg(min(col("k")).as("k"))
+    // e1 has THREE consumers (the mirrored components build reads it
+    // twice, the final union once) — persist, or the per-node groupBy
+    // over 2|E| candidate rows recomputes per consumer
+    val e1 = U.track(cand.groupBy(col("x")).agg(min(col("k")).as("k"))
       .select(col("k.a").as("u"), col("k.b").as("v"),
         (-col("k.ws")).as("support"))
-      .distinct()
+      .distinct().persist())
     val lbl = Components.labels(e1.select(col("u"), col("v")).unionByName(
       e1.select(col("v").as("u"), col("u").as("v"))))
     val withC = und
