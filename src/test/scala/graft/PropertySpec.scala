@@ -182,6 +182,26 @@ class PropertySpec extends SparkTestBase {
     assert(sparkOut == out, s"Spark replace '$sparkOut' != JVM '$out'")
   }
 
+  test("pair-sum decomposition: sum over pairs equals (norm² − selfsum)/2") {
+    // the identity emb_label_separation's linear rewrite stands on:
+    //   Σ_{i<j} u_i·u_j = (‖Σu‖² − Σ‖u‖²) / 2   over integer vectors.
+    // Proven here on generated Long vectors with plain JVM arithmetic
+    // (BigInt, so no overflow caveat hides a miss), independent of Spark.
+    val vecGen = Gen.listOfN(6, Gen.listOfN(8, Gen.chooseNum(-1000000L, 1000000L)))
+    samples(vecGen, 40).foreach { vs =>
+      def dot(a: List[Long], b: List[Long]): BigInt =
+        a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val pairSum = (for {
+        i <- vs.indices; j <- vs.indices if i < j
+      } yield dot(vs(i), vs(j))).sum
+      val colSums = vs.transpose.map(c => c.map(BigInt(_)).sum)
+      val normSq = colSums.map(s => s * s).sum
+      val selfSum = vs.map(v => dot(v, v)).sum
+      assert(pairSum * 2 == normSq - selfSum,
+        s"decomposition identity failed for $vs")
+    }
+  }
+
   test("minhash signatures: identical shingle sets agree on all permutations") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("id", "text")
