@@ -67,6 +67,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
 
+  /** Prefix dedup: group documents by their first-8-token prefix — the
+    * template/boilerplate-head screen exact-hash dedup misses (two docs
+    * sharing a generated opening but diverging later). Same one-shuffle
+    * hash-agg shape as [[dedupExact]], keyed on a bounded-length string
+    * instead of the full-text digest; at 100 TB the prefix (not the text)
+    * is all that shuffles. */
+  private def dedupPrefix(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("keeper")
+
   /** Hottest-allowed posting list for the Jaccard inverted index. A shingle
     * appearing in more docs than this is a stop-shingle: its posting list
     * contributes O(df^2) candidate pairs (the quadratic bomb at 100 TB) and
@@ -296,6 +311,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup-strategy comparison card: how many docs (and how much text)
+    * survive each keeper policy — exact content hash, first-8-token
+    * prefix, and near-dup cluster representative. The side-by-side a
+    * curation run consults before committing to a policy; each stage is
+    * the same formula as its standalone query, so the card can never
+    * drift from the operators it summarizes. Three keeper frames (each
+    * one hash-agg) semi-joined back and reduced to one row each. */
+  private def dedupCompare(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"), col("n_chars"), col("text"))
+    def stage(name: String, keepers: DataFrame): DataFrame =
+      dd.join(keepers, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .select(lit(name).as("strategy"), col("n_kept"), col("chars_kept"))
+    val exact = dd.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val prefix = dd.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("prefix"))
+      .groupBy(col("prefix")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val cluster = clusterAssign(s, d).filter(col("is_keeper")).select("doc_id")
+    stage("exact", exact)
+      .unionByName(stage("prefix", prefix))
+      .unionByName(stage("near_cluster", cluster))
+      .orderBy("strategy")
+  }
+
   /** Entity-resolution-style fuzzy dedup: a two-token blocking key plus
     * the EXACT length bound |len(a)−len(b)| ≤ 30 (edit distance ≥ length
     * difference, so the bound drops nothing against the dist ≤ 30
@@ -334,6 +375,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_editdistance" -> editDistancePairs _,
     "dedup_exact" -> dedupExact _,
+    "dedup_prefix" -> dedupPrefix _,
+    "dedup_compare" -> dedupCompare _,
     "dedup_jaccard" -> jaccardPairs _,
     "dedup_containment" -> containmentPairs _,
     "dedup_minhash" -> minhashPairs _,
@@ -417,6 +460,10 @@ object Dedup {
     "dedup_exact" ->
       ("SELECT sha256(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY sha256(text) ORDER BY keeper"),
+    "dedup_prefix" ->
+      ("SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') " +
+        "AS prefix, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keeper"),
     "dedup_jaccard" ->
       (s"WITH $jaccardCtes " +
         "SELECT da, db, common, CAST(common AS DOUBLE) / " +
@@ -459,6 +506,28 @@ object Dedup {
         "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
         "SELECT u AS doc_id, MIN(v) AS cluster_id, (MIN(v) = u) AS is_keeper " +
         "FROM reach GROUP BY u ORDER BY doc_id"),
+    "dedup_compare" ->
+      (s"WITH RECURSIVE $jaccardCtes, " +
+        "pr AS (SELECT da, db FROM pairs " +
+        "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        "edges AS (SELECT da AS u, db AS v FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "reach(u, v) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "ck AS (SELECT u AS doc_id FROM reach GROUP BY u " +
+        "HAVING MIN(v) = u), " +
+        "ek AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY sha256(text)), " +
+        "pk AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) " +
+        "SELECT 'exact' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_kept " +
+        "FROM documents JOIN ek USING (doc_id) " +
+        "UNION ALL SELECT 'near_cluster', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(n_chars) AS BIGINT) FROM documents JOIN ck USING (doc_id) " +
+        "UNION ALL SELECT 'prefix', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(n_chars) AS BIGINT) FROM documents JOIN pk USING (doc_id) " +
+        "ORDER BY strategy"),
     "dedup_simhash" -> simhashSql,
     "dedup_minhash" -> minhashSql)
 

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{OSQL, U}
 import graft.functions.{DecayAvgAggregator, WeightedIn}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -121,6 +122,33 @@ object Aggregations {
         (percentile(U.cents(col("o_totalprice")), lit(0.5)) / lit(100.0)).as("p50"),
         (percentile(U.cents(col("o_totalprice")), lit(0.75)) / lit(100.0)).as("p75"))
       .orderBy("o_orderstatus")
+
+  /** Five-number summary + Tukey-fence outlier census per event_type,
+    * fully exact: quartiles of the cents domain are dyadic (interpolation
+    * fractions are multiples of ¼), so quadrupling yields exact integer
+    * QUARTER-cents, and doubling once more puts the 1.5·IQR fences in
+    * exact EIGHTH-cents — the whole summary and the outlier predicate are
+    * integer arithmetic, no float comparison anywhere. The |types|-row
+    * stats frame broadcasts; the census is one more linear pass. */
+  private def aggBoxplot(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val stats = U.events(s, d).groupBy(col("event_type").as("et")).agg(
+      count(lit(1)).as("n"),
+      floor(percentile(vc, lit(0.25)) * 4).cast(LongType).as("q1_qc"),
+      floor(percentile(vc, lit(0.5)) * 4).cast(LongType).as("med_qc"),
+      floor(percentile(vc, lit(0.75)) * 4).cast(LongType).as("q3_qc"))
+    val enriched = stats
+      .withColumn("iqr_qc", col("q3_qc") - col("q1_qc"))
+      .withColumn("lo8", lit(2L) * col("q1_qc") - lit(3L) * col("iqr_qc"))
+      .withColumn("hi8", lit(2L) * col("q3_qc") + lit(3L) * col("iqr_qc"))
+    U.events(s, d)
+      .join(broadcast(enriched), col("event_type") === col("et"))
+      .groupBy(col("event_type"), col("n"), col("q1_qc"), col("med_qc"),
+        col("q3_qc"), col("iqr_qc"))
+      .agg(sum(when(vc * 8 < col("lo8") || vc * 8 > col("hi8"), lit(1L))
+        .otherwise(lit(0L))).as("n_outliers"))
+      .orderBy("event_type")
+  }
 
   private def aggGroupingSets(s: SparkSession, d: String): DataFrame =
     U.tbl(s, d, "lineitem")
@@ -725,6 +753,69 @@ object Aggregations {
       .orderBy("event_type", "dow")
   }
 
+  /** Cramér's V effect size on the same event-type × day-of-week table as
+    * [[aggChi2]] — the single-number "does the weekly mix actually drift"
+    * answer on top of the per-cell χ² screen. χ² is the exact integer sum
+    * of the cells' micro-floored terms; V = √(χ² / (T·min(r−1, c−1)))
+    * with every operand an exact integer before one division and one
+    * correctly-rounded sqrt. The terms frame is |types|·7 rows — a single
+    * tiny agg after the cell count's only wide shuffle. */
+  private def aggCramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = U.events(s, d)
+      .select(col("event_type"),
+        expr("((unix_micros(ts) DIV 86400000000) + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("t"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro",
+        expr("CAST(floor(1000000.0 * " +
+          "((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) * " +
+          "(CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)) / " +
+          "(CAST(r AS DOUBLE) * c * t)) AS BIGINT)"))
+      .agg(sum(col("term_micro")).as("chim"),
+        countDistinct(col("event_type")).as("rl"),
+        countDistinct(col("dow")).as("cl"),
+        sum(col("o")).as("t"))
+      .select(col("t").as("n_total"),
+        expr("(rl - 1) * (cl - 1)").as("df"),
+        expr("CAST(chim AS DOUBLE) / 1000000.0").as("chi2"),
+        expr("sqrt((CAST(chim AS DOUBLE) / 1000000.0) / " +
+          "(CAST(t AS DOUBLE) * least(rl - 1, cl - 1)))").as("cramers_v"))
+  }
+
+  /** 80/20 revenue-concentration (Pareto) per market segment: the share of
+    * segment revenue owned by its top-20% customers — the skew probe that
+    * decides whether a salted join is worth it on a real workload. Spend
+    * per customer in exact cents; "top 20%" = the ⌈n/5⌉ highest spenders
+    * under a TOTAL order (spend desc, custkey); the share itself is the
+    * exact integral division 10⁶·Σtop DIV Σall — no float anywhere. At
+    * fixture scales 10⁶·Σcents stays far below 2⁶³; a 100 TB deployment
+    * would swap the multiplication into DECIMAL(38,0) (the agg_hhi
+    * recipe) without touching the shape. One shuffle for the per-customer
+    * rollup, one for the per-segment window. */
+  private def aggPareto(s: SparkSession, d: String): DataFrame = {
+    val spend = U.tbl(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(U.cents(col("o_totalprice"))).as("spend_c"))
+    val seg = U.tbl(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend_c").desc, col("c_custkey"))
+    spend.join(seg, col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("top_n", expr("(n + 4) DIV 5"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), max(col("top_n")).as("top_n"),
+        expr("(1000000 * SUM(CASE WHEN rn <= (n + 4) DIV 5 THEN spend_c " +
+          "ELSE 0 END)) DIV SUM(spend_c)").as("top_share_micro"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Theil T inequality index per market segment (the decomposable
     * entropy-based sibling of `agg_gini`/`agg_hhi`): T = (1/n)·Σ
     * (x/μ)·ln(x/μ) over positive balances, with x/μ expanded to the exact
@@ -752,6 +843,8 @@ object Aggregations {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_theil" -> aggTheil _,
+    "agg_cramers_v" -> aggCramersV _,
+    "agg_pareto" -> aggPareto _,
     "agg_chi2" -> aggChi2 _,
     "agg_bitmap_overlap" -> aggBitmapOverlap _,
     "agg_hhi" -> aggHhi _,
@@ -785,6 +878,7 @@ object Aggregations {
     "agg_stats" -> aggStats _,
     "agg_collect" -> aggCollect _,
     "agg_percentile" -> aggPercentile _,
+    "agg_boxplot" -> aggBoxplot _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_custom_udaf" -> aggCustomUdaf _)
 
@@ -880,6 +974,46 @@ object Aggregations {
         "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust, " +
         "CAST(SUM(term_micro) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
         "AS theil_t FROM terms GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    },
+    "agg_cramers_v" ->
+      ("WITH cells AS (SELECT event_type, " +
+        "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2), " +
+        "rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells " +
+        "GROUP BY 1), " +
+        "ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells " +
+        "GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells), " +
+        "terms AS (SELECT o, " +
+        "CAST(floor(1000000.0 * " +
+        "((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) * " +
+        "(CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)) / " +
+        "(CAST(r AS DOUBLE) * c * t)) AS BIGINT) AS term_micro " +
+        "FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) " +
+        "CROSS JOIN tt), " +
+        "ag AS (SELECT CAST(SUM(term_micro) AS BIGINT) AS chim, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS rl, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS cl, " +
+        "CAST(SUM(o) AS BIGINT) AS t FROM terms) " +
+        "SELECT t AS n_total, (rl - 1) * (cl - 1) AS df, " +
+        "CAST(chim AS DOUBLE) / 1000000.0 AS chi2, " +
+        "sqrt((CAST(chim AS DOUBLE) / 1000000.0) / " +
+        "(CAST(t AS DOUBLE) * least(rl - 1, cl - 1))) AS cramers_v FROM ag"),
+    "agg_pareto" -> {
+      val c = OSQL.cents("o_totalprice")
+      s"WITH spend AS (SELECT o_custkey, CAST(SUM($c) AS BIGINT) AS spend_c " +
+        "FROM orders GROUP BY 1), " +
+        "j AS (SELECT c_mktsegment, c_custkey, spend_c FROM spend " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "r AS (SELECT c_mktsegment, spend_c, " +
+        "row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY spend_c DESC, c_custkey) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY c_mktsegment) AS n FROM j) " +
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust, " +
+        "CAST(MAX((n + 4) // 5) AS BIGINT) AS top_n, " +
+        "CAST((1000000 * SUM(CASE WHEN rn <= (n + 4) // 5 THEN spend_c " +
+        "ELSE 0 END)) // SUM(spend_c) AS BIGINT) AS top_share_micro " +
+        "FROM r GROUP BY 1 ORDER BY 1"
     },
     "agg_chi2" ->
       ("WITH cells AS (SELECT event_type, " +
@@ -1181,6 +1315,21 @@ object Aggregations {
         s"quantile_cont(${OSQL.cents("o_totalprice")}, 0.5) / 100.0 AS p50, " +
         s"quantile_cont(${OSQL.cents("o_totalprice")}, 0.75) / 100.0 AS p75 " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "agg_boxplot" -> {
+      val c = OSQL.cents("value")
+      s"WITH st AS (SELECT event_type AS et, COUNT(*) AS n, " +
+        s"CAST(floor(quantile_cont($c, 0.25) * 4) AS BIGINT) AS q1_qc, " +
+        s"CAST(floor(quantile_cont($c, 0.5) * 4) AS BIGINT) AS med_qc, " +
+        s"CAST(floor(quantile_cont($c, 0.75) * 4) AS BIGINT) AS q3_qc " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, n, q1_qc, med_qc, q3_qc, " +
+        "q3_qc - q1_qc AS iqr_qc, " +
+        s"CAST(SUM(CASE WHEN $c * 8 < 2 * q1_qc - 3 * (q3_qc - q1_qc) " +
+        s"OR $c * 8 > 2 * q3_qc + 3 * (q3_qc - q1_qc) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers " +
+        "FROM events JOIN st ON event_type = et " +
+        "GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY event_type"
+    },
     "agg_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
         s"${OSQL.dsum("l_quantity")} AS sum_qty FROM lineitem " +

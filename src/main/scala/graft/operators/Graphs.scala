@@ -348,6 +348,36 @@ object Graphs {
       .orderBy(col("adamic_adar").desc, col("u"), col("v"))
   }
 
+  /** The remaining classic link-prediction scores per association edge,
+    * completing the [[graphJaccardNbrs]]/[[graphAdamicAdar]] family in one
+    * pass over the same cached wedge frames: common-neighbor count,
+    * preferential attachment deg(u)·deg(v) (both pure integers), and
+    * resource allocation Σ_w 1/deg(w) — whose per-neighbor weight is the
+    * exact integer 1000000 DIV deg(w) (integer floor division needs no
+    * micro-nat float detour at all), so the per-edge sum is
+    * partial-aggregation-order-free. Same bounded wedge join + broadcast
+    * weight join as the siblings; scales identically. */
+  private def graphLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val (adj, wedges) = wedgeFrames(s, d)
+    val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val raW = deg.select(col("n").as("w"),
+      expr("CAST(1000000 AS BIGINT) DIV deg").as("ra_micro"))
+    val scores = wedges.join(raW, Seq("w"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common"), sum(col("ra_micro")).as("ra_sum"))
+    adj.filter(col("u") < col("v"))
+      .join(scores, col("u") === col("x") && col("v") === col("y"), "left_outer")
+      .join(deg.select(col("n"), col("deg").as("deg_u")), col("u") === col("n"))
+      .drop("n")
+      .join(deg.select(col("n"), col("deg").as("deg_v")), col("v") === col("n"))
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (col("deg_u") * col("deg_v")).as("pref_attach"),
+        (coalesce(col("ra_sum"), lit(0L)).cast(DoubleType) / lit(1000000.0))
+          .as("resource_alloc"))
+      .orderBy(col("resource_alloc").desc, col("u"), col("v"))
+  }
+
   /** 2-core of the support-filtered association graph (the density-peeling
     * step community mining runs before anything else — strip every
     * tree-like appendage, keep only nodes on cycles): iteratively discard
@@ -825,6 +855,7 @@ object Graphs {
     "graph_hits" -> graphHits _,
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
     "graph_adamic_adar" -> graphAdamicAdar _,
+    "graph_link_predict" -> graphLinkPredict _,
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_cc" -> graphCc _,
     "graph_triangles" -> graphTriangles _)
@@ -1081,6 +1112,25 @@ object Graphs {
         "CAST(coalesce(aa_sum, 0) AS DOUBLE) / 1000000.0 AS adamic_adar " +
         "FROM sup s LEFT JOIN sc ON sc.x = s.u AND sc.y = s.v " +
         "ORDER BY adamic_adar DESC, s.u, s.v"),
+    "graph_link_predict" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "sup AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, a.pk AS u, " +
+        "b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk) " +
+        "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+        "adj AS (SELECT u, v FROM sup UNION ALL SELECT v AS u, u AS v FROM sup), " +
+        "deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj " +
+        "GROUP BY u), " +
+        "raw AS (SELECT n AS w, 1000000 // deg AS ra_micro FROM deg), " +
+        "sc AS (SELECT a.u AS x, b.u AS y, COUNT(*) AS common, " +
+        "SUM(ra_micro) AS ra_sum FROM adj a " +
+        "JOIN adj b ON a.v = b.v AND a.u < b.u " +
+        "JOIN raw ON raw.w = a.v GROUP BY a.u, b.u) " +
+        "SELECT s.u, s.v, CAST(coalesce(common, 0) AS BIGINT) AS common, " +
+        "du.deg * dv.deg AS pref_attach, " +
+        "CAST(coalesce(ra_sum, 0) AS DOUBLE) / 1000000.0 AS resource_alloc " +
+        "FROM sup s JOIN deg du ON s.u = du.n JOIN deg dv ON s.v = dv.n " +
+        "LEFT JOIN sc ON sc.x = s.u AND sc.y = s.v " +
+        "ORDER BY resource_alloc DESC, s.u, s.v"),
     "graph_triangles" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, " +

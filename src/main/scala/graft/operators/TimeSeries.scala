@@ -1227,7 +1227,200 @@ object TimeSeries {
       .orderBy("type_a", "type_b")
   }
 
+  // ───── technical-indicator family (round-7 expansion) ─────
+
+  /** 14-period RSI (SMA gain/loss variant) per user: consecutive deltas in
+    * exact integer cents, gains/losses summed over a 14-row trailing
+    * window, RSI = 100·Σgain/(Σgain+Σloss) — ONE double division of two
+    * exact integers at the very end (the [[tsBollinger]] discipline). Rows
+    * emit only once the window holds 14 real deltas (rn ≥ 15); an all-flat
+    * window nulls out via nullif identically in both engines. One window
+    * pass per user partition — linear, same scale shape as every other
+    * rolling indicator here. */
+  private def tsRsi(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w14 = w.rowsBetween(-13, Window.currentRow)
+    val vc = U.cents(col("value"))
+    U.events(s, d)
+      .withColumn("diff_c", vc - lag(vc, 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum_gain",
+        sum(when(col("diff_c") > 0, col("diff_c")).otherwise(lit(0L))).over(w14))
+      .withColumn("sum_loss",
+        sum(when(col("diff_c") < 0, -col("diff_c")).otherwise(lit(0L))).over(w14))
+      .filter(col("rn") >= 15)
+      .select(col("event_id"), col("user_id"),
+        (lit(100.0) * col("sum_gain").cast(DoubleType) /
+          nullif((col("sum_gain") + col("sum_loss")).cast(DoubleType), lit(0.0)))
+          .as("rsi"))
+      .orderBy("event_id")
+  }
+
+  /** Stochastic oscillator per user: %K = 100·(v−min₁₄)/(max₁₄−min₁₄) over
+    * a 14-row trailing window in exact cents; %D is the 3-sample mean of
+    * %K written as an EXPLICIT lag chain (k + k₋₁ + k₋₂)/3 — a windowed
+    * AVG's accumulation order is engine-private, a lag chain's is fixed.
+    * Flat windows null out via nullif; emission starts at rn ≥ 16 so every
+    * %K feeding %D has a full window. */
+  private def tsStochastic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w14 = w.rowsBetween(-13, Window.currentRow)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("min14", min(col("vc")).over(w14))
+      .withColumn("max14", max(col("vc")).over(w14))
+      .withColumn("pct_k",
+        lit(100.0) * (col("vc") - col("min14")).cast(DoubleType) /
+          nullif((col("max14") - col("min14")).cast(DoubleType), lit(0.0)))
+      .withColumn("pct_d",
+        (col("pct_k") + lag(col("pct_k"), 1).over(w) +
+          lag(col("pct_k"), 2).over(w)) / lit(3.0))
+      .filter(col("rn") >= 16)
+      .select(col("event_id"), col("user_id"), col("pct_k"), col("pct_d"))
+      .orderBy("event_id")
+  }
+
+  /** SMA crossover detector (golden/death cross): compare the 10- and
+    * 30-row trailing means per user WITHOUT any division — avg₁₀ vs avg₃₀
+    * ⇔ 3·Σ₁₀ vs Σ₃₀ in exact cents — and report rows where that relation's
+    * sign flips from the previous row (both rows' windows full: rn ≥ 31).
+    * Pure integer predicate end to end, so the crossing set is
+    * deterministic at any scale; one window pass. */
+  private def tsSmaCross(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val vc = U.cents(col("value"))
+    val rel = lit(3L) * col("s10") - col("s30")
+    U.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s10", sum(vc).over(w.rowsBetween(-9, Window.currentRow)))
+      .withColumn("s30", sum(vc).over(w.rowsBetween(-29, Window.currentRow)))
+      .withColumn("state",
+        when(rel > 0, lit(1L)).when(rel < 0, lit(-1L)).otherwise(lit(0L)))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("rn") >= 31 && col("state") =!= 0L &&
+        col("state") =!= col("prev_state"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("state") === 1L, lit("golden")).otherwise(lit("death"))
+          .as("direction"))
+      .orderBy("event_id")
+  }
+
+  /** Hysteresis alarm detection — the SCADA two-threshold alarm an
+    * industrial monitor runs on every sensor: the alarm turns ON when the
+    * value rises above the per-type Q3 and turns OFF only when it falls
+    * back below the per-type median, so values oscillating between the
+    * two thresholds cannot flap the alarm. The latched state is
+    * last(edge IGNORE NULLS) over the per-(user, type) ordered stream —
+    * the [[win_fill_forward]] primitive carrying alarm state instead of a
+    * fill value. Thresholds in exact quarter-cents (the agg_boxplot
+    * domain), every comparison integer; the tiny per-type threshold frame
+    * broadcasts. One window pass. */
+  private def tsHysteresis(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val th = U.events(s, d).groupBy(col("event_type").as("et")).agg(
+      floor(percentile(vc, lit(0.75)) * 4).cast(LongType).as("hi_qc"),
+      floor(percentile(vc, lit(0.5)) * 4).cast(LongType).as("lo_qc"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    U.events(s, d).join(broadcast(th), col("event_type") === col("et"))
+      .withColumn("edge",
+        when(vc * 4 > col("hi_qc"), lit(1L))
+          .when(vc * 4 < col("lo_qc"), lit(0L)))
+      .withColumn("alarm", coalesce(
+        last(col("edge"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
+      .withColumn("prev_alarm", lag(col("alarm"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("alarm"),
+        (col("alarm") === 1L && coalesce(col("prev_alarm"), lit(0L)) === 0L)
+          .as("is_onset"))
+      .orderBy("event_id")
+  }
+
+  /** Shared struct-fold scaffold for [[tsMacd]]/[[tsKalman]]: sort each
+    * user's points once, lift them into a state-struct list, and left-fold
+    * the tail onto the first element — Spark's aggregate() and DuckDB's
+    * list_reduce execute the identical lambda text over the identical
+    * order, so every double in the recursion is bit-equal (the [[tsEwma]]
+    * discipline extended to multi-field state). `mk` builds the per-point
+    * initial struct from `p.value`; `step` is the (acc, x) body. */
+  private def structFold(s: SparkSession, d: String, mk: String,
+      step: String): DataFrame = structFoldOn(U.events(s, d), mk, step)
+
+  /** Kernel over an arbitrary (user_id, ts, event_id, value) frame so
+    * StressSpec can drive series far longer than the fixtures hold. Scale
+    * posture: the collect_list is bounded by the longest single series —
+    * fine for per-sensor industrial streams (≤ millions of points, one
+    * array per key); a series that outgrows one task's memory needs the
+    * affine-map segmented scan (EWMA/Kalman steps are affine in the state,
+    * so segment folds compose associatively) — that reformulation changes
+    * the double-op ORDER, so it cannot share these queries' exact oracle
+    * and stays a documented alternative, not the declared path. */
+  private[graft] def structFoldOn(ev: DataFrame, mk: String,
+      step: String): DataFrame = {
+    val lifted = s"transform(pts, p -> $mk)"
+    ev
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("pts"))
+      .select(col("user_id"), size(col("pts")).cast(LongType).as("n"),
+        expr(s"aggregate(slice($lifted, 2, size(pts) - 1), " +
+          s"element_at($lifted, 1), (acc, x) -> $step)").as("fin"))
+  }
+
+  /** MACD per user via one struct-accumulator left fold: the fast (α=.15),
+    * slow (α=.075) and signal (α=.2) EWMAs advance in lockstep through a
+    * single aggregate() pass. FIELD ORDER IS LOAD-BEARING: DuckDB 1.0's
+    * list_reduce writes the accumulator's fields IN PLACE left to right,
+    * so a later field referencing an earlier-updated acc field reads the
+    * NEW value, where Spark's lambda reads the old one (probed and pinned
+    * in IndicatorSpec's doc). With 'sig' FIRST, every field references
+    * only not-yet-overwritten acc values — identical semantics in both
+    * engines: the in-fold signal tracks the lag-1 MACD, and the final
+    * step's signal update is applied once OUTSIDE the fold. */
+  private def tsMacd(s: SparkSession, d: String): DataFrame = {
+    val macd = col("fin.e12") - col("fin.e26")
+    val sig = lit(0.2) * (col("fin.e12") - col("fin.e26")) +
+      lit(0.8) * col("fin.sig")
+    structFold(s, d,
+      "named_struct('sig', CAST(0.0 AS DOUBLE), 'e12', p.value, 'e26', p.value)",
+      "named_struct(" +
+        "'sig', 0.2 * (acc.e12 - acc.e26) + 0.8 * acc.sig, " +
+        "'e12', 0.15 * x.e12 + 0.85 * acc.e12, " +
+        "'e26', 0.075 * x.e26 + 0.925 * acc.e26)")
+      .select(col("user_id"), col("n"), macd.as("macd"),
+        sig.as("macd_signal"), (macd - sig).as("histogram"))
+      .orderBy("user_id")
+  }
+
+  /** 1-D random-walk Kalman filter per user (q=.01, r=1): the classic
+    * sensor-smoothing recursion x' = x + K·(z−x), p' = (1−K)·(p+q) with
+    * K = (p+q)/(p+q+r), folded through the same struct-fold scaffold as
+    * [[tsMacd]]. The gain expression is restated inline wherever it's
+    * consumed so both engines evaluate one identical double tree; field
+    * order ('x' then 'p') is safe under DuckDB's in-place sequential
+    * field writes because neither field reads the other's updated value
+    * (see [[tsMacd]]'s field-order note). Output:
+    * final filtered level and posterior variance per user (p converges to
+    * the steady-state Riccati value, asserted in IndicatorSpec). */
+  private def tsKalman(s: SparkSession, d: String): DataFrame =
+    structFold(s, d,
+      "named_struct('x', p.value, 'p', CAST(1.0 AS DOUBLE))",
+      "named_struct(" +
+        "'x', acc.x + ((acc.p + 0.01) / (acc.p + 0.01 + 1.0)) * (x.x - acc.x), " +
+        "'p', (1.0 - ((acc.p + 0.01) / (acc.p + 0.01 + 1.0))) * (acc.p + 0.01))")
+      .select(col("user_id"), col("n"), col("fin.x").as("level"),
+        col("fin.p").as("variance"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rsi" -> tsRsi _,
+    "ts_hysteresis" -> tsHysteresis _,
+    "ts_stochastic" -> tsStochastic _,
+    "ts_sma_cross" -> tsSmaCross _,
+    "ts_macd" -> tsMacd _,
+    "ts_kalman" -> tsKalman _,
     "ts_cross_corr" -> tsCrossCorr _,
     "ts_motif_count" -> tsMotif _,
     "ts_seasonal_strength" -> tsSeasonalStrength _,
@@ -1293,7 +1486,104 @@ object TimeSeries {
       "FROM daily CROSS JOIN bp)"
   }
 
+  /** The struct-list fold shared by the ts_macd / ts_kalman oracles —
+    * DuckDB's list_reduce seeds from the FIRST element, exactly Spark's
+    * aggregate(slice(…, 2, n−1), element_at(…, 1), …) in [[structFold]]. */
+  private def foldSql(mk: String, step: String, finals: String): String =
+    "SELECT user_id, CAST(len(st) AS BIGINT) AS n, " + finals +
+      s" FROM (SELECT user_id, st, list_reduce(st, (acc, x) -> $step) AS fin " +
+      "FROM (SELECT user_id, list_transform(list(value ORDER BY ts, event_id), " +
+      s"v -> $mk) AS st FROM events GROUP BY user_id)) ORDER BY user_id"
+
   val oracleSql: Map[String, String] = Map(
+    "ts_rsi" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT event_id, user_id, ts, " +
+        "row_number() OVER w AS rn, " +
+        s"$c - lag($c, 1) OVER w AS diff_c " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT event_id, user_id, rn, " +
+        "SUM(CASE WHEN diff_c > 0 THEN diff_c ELSE 0 END) OVER w14 AS sum_gain, " +
+        "SUM(CASE WHEN diff_c < 0 THEN -diff_c ELSE 0 END) OVER w14 AS sum_loss " +
+        "FROM b WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, 100.0 * CAST(sum_gain AS DOUBLE) / " +
+        "nullif(CAST(sum_gain + sum_loss AS DOUBLE), 0) AS rsi " +
+        "FROM g WHERE rn >= 15 ORDER BY event_id"
+    },
+    "ts_hysteresis" -> {
+      val c = OSQL.cents("value")
+      s"WITH th AS (SELECT event_type AS et, " +
+        s"CAST(floor(quantile_cont($c, 0.75) * 4) AS BIGINT) AS hi_qc, " +
+        s"CAST(floor(quantile_cont($c, 0.5) * 4) AS BIGINT) AS lo_qc " +
+        "FROM events GROUP BY 1), " +
+        s"b AS (SELECT event_id, user_id, event_type, ts, $c * 4 AS v4, " +
+        "hi_qc, lo_qc FROM events JOIN th ON event_type = et), " +
+        "e AS (SELECT *, CASE WHEN v4 > hi_qc THEN 1 " +
+        "WHEN v4 < lo_qc THEN 0 END AS edge FROM b), " +
+        "a AS (SELECT event_id, user_id, event_type, ts, " +
+        "coalesce(last_value(edge IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS alarm " +
+        "FROM e), " +
+        "p AS (SELECT *, lag(alarm, 1) OVER (PARTITION BY user_id, " +
+        "event_type ORDER BY ts, event_id) AS prev FROM a) " +
+        "SELECT event_id, user_id, event_type, " +
+        "CAST(alarm AS BIGINT) AS alarm, " +
+        "(alarm = 1 AND coalesce(prev, 0) = 0) AS is_onset " +
+        "FROM p ORDER BY event_id"
+    },
+    "ts_stochastic" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT event_id, user_id, ts, $c AS vc, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "k AS (SELECT event_id, user_id, ts, rn, " +
+        "100.0 * CAST(vc - MIN(vc) OVER w14 AS DOUBLE) / " +
+        "nullif(CAST(MAX(vc) OVER w14 - MIN(vc) OVER w14 AS DOUBLE), 0) AS pct_k " +
+        "FROM b WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)), " +
+        "dd AS (SELECT event_id, user_id, rn, pct_k, " +
+        "(pct_k + lag(pct_k, 1) OVER w + lag(pct_k, 2) OVER w) / 3.0 AS pct_d " +
+        "FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT event_id, user_id, pct_k, pct_d FROM dd WHERE rn >= 16 " +
+        "ORDER BY event_id"
+    },
+    "ts_sma_cross" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT event_id, user_id, ts, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+        s"SUM($c) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s10, " +
+        s"SUM($c) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS s30 FROM events), " +
+        "st AS (SELECT event_id, user_id, ts, rn, " +
+        "CASE WHEN 3 * s10 - s30 > 0 THEN 1 " +
+        "WHEN 3 * s10 - s30 < 0 THEN -1 ELSE 0 END AS state FROM b), " +
+        "pv AS (SELECT event_id, user_id, ts, rn, state, " +
+        "lag(state, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_state FROM st) " +
+        "SELECT event_id, user_id, ts, " +
+        "CASE WHEN state = 1 THEN 'golden' ELSE 'death' END AS direction " +
+        "FROM pv WHERE rn >= 31 AND state <> 0 AND state <> prev_state " +
+        "ORDER BY event_id"
+    },
+    "ts_macd" -> foldSql(
+      // field order mirrors [[tsMacd]] — 'sig' FIRST so DuckDB's in-place
+      // sequential field writes never expose a new value to a reference
+      "{'sig': CAST(0.0 AS DOUBLE), 'e12': v, 'e26': v}",
+      "{'sig': 0.2 * (acc.e12 - acc.e26) + 0.8 * acc.sig, " +
+        "'e12': 0.15 * x.e12 + 0.85 * acc.e12, " +
+        "'e26': 0.075 * x.e26 + 0.925 * acc.e26}",
+      "fin.e12 - fin.e26 AS macd, " +
+        "0.2 * (fin.e12 - fin.e26) + 0.8 * fin.sig AS macd_signal, " +
+        "(fin.e12 - fin.e26) - (0.2 * (fin.e12 - fin.e26) + 0.8 * fin.sig) " +
+        "AS histogram"),
+    "ts_kalman" -> foldSql(
+      "{'x': v, 'p': CAST(1.0 AS DOUBLE)}",
+      "{'x': acc.x + ((acc.p + 0.01) / (acc.p + 0.01 + 1.0)) * (x.x - acc.x), " +
+        "'p': (1.0 - ((acc.p + 0.01) / (acc.p + 0.01 + 1.0))) * (acc.p + 0.01)}",
+      "fin.x AS level, fin.p AS variance"),
     "ts_cross_corr" -> {
       val c = OSQL.cents("value")
       s"WITH hourly AS (SELECT event_type, " +

@@ -164,7 +164,30 @@ object Windows {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** 2-D Pareto frontier (skyline) per market segment: an order is on the
+    * frontier iff NO earlier order in its segment priced higher-or-equal —
+    * the record-breaking subsequence under (date asc, price max), the
+    * classic skyline specialization a running max solves without any pair
+    * enumeration. All comparisons in exact cents over a total order
+    * (orderdate, orderkey); one window pass per segment, output frontier
+    * size O(records), never O(n²) dominance pairs. */
+  private def winSkyline(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("o_totalprice"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    U.tbl(s, d, "orders")
+      .join(U.tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("prior_max", max(vc).over(w))
+      .filter(col("prior_max").isNull || vc > col("prior_max"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("c_mktsegment", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_skyline" -> winSkyline _,
     "win_fill_forward" -> winFillForward _,
     "win_running_distinct" -> winRunningDistinct _,
     "win_gaps_islands" -> winGapsIslands _,
@@ -177,6 +200,19 @@ object Windows {
     "win_topk_group" -> winTopkGroup _)
 
   val oracleSql: Map[String, String] = Map(
+    "win_skyline" -> {
+      val c = OSQL.cents("o_totalprice")
+      s"WITH j AS (SELECT c_mktsegment, o_orderkey, o_orderdate, " +
+        s"o_totalprice, $c AS vc FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "m AS (SELECT *, MAX(vc) OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max " +
+        "FROM j) " +
+        "SELECT c_mktsegment, o_orderkey, o_orderdate, o_totalprice FROM m " +
+        "WHERE prior_max IS NULL OR vc > prior_max " +
+        "ORDER BY c_mktsegment, o_orderkey"
+    },
     "win_fill_forward" ->
       ("WITH lo AS (SELECT o_custkey, MAX(o_orderdate) AS last_order " +
         "FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) " +

@@ -599,6 +599,54 @@ class PlanSpec extends SparkTestBase {
       s"64-row stats frame sort-merged:\n$p")
   }
 
+  test("ts_rsi / ts_stochastic / ts_sma_cross share ONE user exchange") {
+    // every rolling indicator is lag + windows over the same (user_id)
+    // partitioning — one hash exchange total; the only other exchange is
+    // the presentation orderBy (range partitioning), and nothing joins
+    for (q <- Seq("ts_rsi", "ts_stochastic", "ts_sma_cross")) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"$q: expected 1 hash exchange, got $hashEx:\n$p")
+      assert(!p.contains("Join"), s"$q: rolling indicator grew a join:\n$p")
+    }
+  }
+
+  test("ts_macd / ts_kalman fold in one per-user collect, no join") {
+    for (q <- Seq("ts_macd", "ts_kalman")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: struct fold grew a join:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"$q: expected 1 hash exchange, got $hashEx:\n$p")
+    }
+  }
+
+  test("graph_link_predict stays an equi-join plan (no cartesian product)") {
+    val p = plan("graph_link_predict")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"link predict degenerated to all-pairs:\n$p")
+  }
+
+  test("agg_boxplot / agg_pareto broadcast their tiny stats side") {
+    for (q <- Seq("agg_boxplot", "agg_cramers_v")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin") || // the 1-row total cross join
+        p.contains("BroadcastQueryStage"),
+        s"$q: stats side not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: stats side sort-merged:\n$p")
+    }
+  }
+
+  test("dedup_prefix shuffles only the bounded prefix projection") {
+    val p = plan("dedup_prefix")
+    assert(!p.contains("Join"), s"prefix dedup grew a join:\n$p")
+    // text must be pruned before the exchange: the scan projects it, the
+    // aggregate keys on the derived prefix — the full text column may not
+    // appear in any Exchange's output schema
+    val exLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exLines.contains("text#"), s"full text shuffled:\n$exLines")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper

@@ -136,6 +136,36 @@ class StressSpec extends SparkTestBase {
       "asymmetric-graph HITS paths diverge")
   }
 
+  test("struct-fold kernel handles a 200k-point single series exactly") {
+    // the ts_macd/ts_kalman scale shape: ONE collect_list per key, bounded
+    // by the longest series — drive it 20x past the fixture maximum and
+    // check the Kalman recursion against the scalar loop bit-for-bit
+    import spark.implicits._
+    val n = 200000
+    val ev = spark.range(0L, n)
+      .select(lit(7L).as("user_id"),
+        expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+        col("id").as("event_id"),
+        (lit(40.0) + (col("id") % 17).cast("double") * 0.25).as("value"))
+    val got = operators.TimeSeries.structFoldOn(ev,
+      "named_struct('x', p.value, 'p', CAST(1.0 AS DOUBLE))",
+      "named_struct(" +
+        "'x', acc.x + ((acc.p + 0.01) / (acc.p + 0.01 + 1.0)) * (x.x - acc.x), " +
+        "'p', (1.0 - ((acc.p + 0.01) / (acc.p + 0.01 + 1.0))) * (acc.p + 0.01))")
+      .select($"user_id", $"n", $"fin.x".as("level"), $"fin.p".as("variance"))
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("n") == n.toLong)
+    var (x, p) = (40.0, 1.0)
+    (1 until n).foreach { i =>
+      val z = 40.0 + (i % 17).toDouble * 0.25
+      val k = (p + 0.01) / (p + 0.01 + 1.0)
+      val nx = x + k * (z - x); val np = (1.0 - k) * (p + 0.01)
+      x = nx; p = np
+    }
+    assert(got.head.getAs[Double]("level") == x)
+    assert(got.head.getAs[Double]("variance") == p)
+  }
+
   test("imperative-path queries are value-deterministic run-over-run") {
     // the operators with hand-written sequential kernels (mapPartitions
     // LTTB, single-task union-find, power iteration, integer PageRank) —
