@@ -46,7 +46,7 @@ object Bench {
     try {
       if (wants("graph_")) graft.operators.Graphs.warm(spark, sfDir)
       if (wants("dedup_", "text_novelty")) graft.llm.Dedup.warm(spark, sfDir)
-      if (wants("emb_top_eigvec", "emb_project_eigvec"))
+      if (wants("emb_top_eigvec", "emb_project_eigvec", "emb_pca2"))
         graft.llm.Pipeline.warm(spark, sfDir)
       if (wants("scan_", "join_dpp", "sink_"))
         graft.operators.Scans.warm(spark, sfDir)

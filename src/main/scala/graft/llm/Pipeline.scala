@@ -442,6 +442,58 @@ object Pipeline {
     v.select(col("dim").cast(LongType).as("dim"), col("v")).orderBy("dim")
   }
 
+  /** Second principal direction by DEFLATED power iteration — the PCA-2
+    * completion of [[embTopEigvec]]: iterate u ← C·u but project v₁ back
+    * out after every renormalization (o = q̂ − (q̂·v₁ DIV v₁·v₁)·v₁), so
+    * the iteration converges inside v₁'s orthogonal complement. Every
+    * step is exact integer arithmetic; the one product that can exceed
+    * int64 (s·v₁ᵢ ≤ ~6.4e19) runs in DECIMAL(38,0) with integral DIV —
+    * DuckDB mirrors it in HUGEINT, both truncating toward zero (probed;
+    * DuckDB's `//` over DECIMAL returns DOUBLE and is NOT usable). The
+    * alternating ±1e6 start vector is deterministic and has large overlap
+    * with the complement. Iterations run on 64-row broadcast frames over
+    * the shared Gram cache — the corpus is touched zero extra times. */
+  private def embPca2(s: SparkSession, d: String): DataFrame = {
+    val g = gram(s, d)
+    // Two structural rules keep this fast AND keep the plan bounded:
+    // (1) the round is ONE LINEAR CHAIN — every scalar (max, s, t) is a
+    //     single-partition window over the 64-row frame instead of a
+    //     separate aggregate + crossJoin, so nothing in the round has two
+    //     consumers and nothing re-evaluates;
+    // (2) v₁ alone is multi-consumer (each round's projection + the final
+    //     join), so it alone is pinned with an EAGER localCheckpoint,
+    //     which — unlike persist() — also TRUNCATES LINEAGE. The naive
+    //     aggregate+crossJoin formulation re-evaluated v₁'s Gram passes
+    //     multiplicatively per round: measured 86 s at sf0.1 and a final
+    //     plan string big enough to OOM Explain; this shape runs ~1 s.
+    //     On a cluster the pin would be checkpoint() against the reliable
+    //     store; values are identical either way.
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val v1 = embTopEigvec(s, d).select(col("dim"), col("v")).localCheckpoint()
+    var u = v1.select(col("dim"),
+      expr("CAST(CASE WHEN dim % 2 = 0 THEN 1000000 ELSE -1000000 END " +
+        "AS BIGINT)").as("u"))
+    for (_ <- 0 until 2) {
+      u = g.join(broadcast(u), col("j").cast(LongType) === col("dim"))
+        .groupBy(col("i")).agg(sum(expr("c * u")).as("q"))
+        .withColumn("mx", max(abs(col("q"))).over(wAll))
+        .select(col("i").cast(LongType).as("dim"),
+          expr("(q * 1000000) DIV mx").as("qn"))
+        .join(broadcast(v1), Seq("dim"))
+        .withColumn("s", sum(expr("qn * v")).over(wAll))
+        .withColumn("t", sum(expr("v * v")).over(wAll))
+        .select(col("dim"),
+          expr("qn - CAST((CAST(s AS DECIMAL(38,0)) * v) DIV t AS BIGINT)")
+            .as("o"))
+        .withColumn("mo", max(abs(col("o"))).over(wAll))
+        .select(col("dim"), expr("(o * 1000000) DIV mo").as("u"))
+    }
+    v1.join(u, Seq("dim"))
+      .select(col("dim"), col("v").as("pc1"), col("u").as("pc2"))
+      .orderBy("dim")
+  }
+
   /** The dim²-cell Gram frame, cached per (session, sfDir) — shared by
     * `emb_top_eigvec` and `emb_project_eigvec` (the iterations run on tiny
     * (dim², dim) frames; only this corpus-sized build is worth sharing).
@@ -649,6 +701,7 @@ object Pipeline {
     "emb_pq_code" -> embPqCode _,
     "pipeline_end2end" -> pipelineEnd2End _,
     "emb_top_eigvec" -> embTopEigvec _,
+    "emb_pca2" -> embPca2 _,
     "emb_project_eigvec" -> embProjectEigvec _,
     "sample_weighted" -> sampleWeighted _,
     "dataset_mix" -> datasetMix _,
@@ -703,7 +756,33 @@ object Pipeline {
       "v2 AS (SELECT dim, CAST((q * 1000000) // " +
       "(SELECT MAX(abs(q)) FROM q2) AS BIGINT) AS v FROM q2)"
 
+  /** One deflated power-iteration round for the emb_pca2 oracle: q = C·u,
+    * renormalize, project the (converged, 2-iteration) first eigvector
+    * `v2` out in HUGEINT (truncating integral division — the probed match
+    * for Spark's DECIMAL(38,0) DIV), renormalize again. */
+  private def pca2Round(n: Int, prevU: String): String =
+    s"p$n AS (SELECT g.i AS dim, CAST(SUM(g.c * $prevU.u) AS BIGINT) AS q " +
+      s"FROM gram g JOIN $prevU ON g.j = $prevU.dim GROUP BY g.i), " +
+      s"pn$n AS (SELECT dim, CAST((q * 1000000) // " +
+      s"(SELECT MAX(abs(q)) FROM p$n) AS BIGINT) AS qn FROM p$n), " +
+      s"st$n AS (SELECT CAST(SUM(pn$n.qn * v2.v) AS BIGINT) AS s, " +
+      s"CAST(SUM(v2.v * v2.v) AS BIGINT) AS t FROM pn$n " +
+      s"JOIN v2 ON pn$n.dim = v2.dim), " +
+      s"o$n AS (SELECT pn$n.dim AS dim, CAST(pn$n.qn - " +
+      s"CAST((CAST(st$n.s AS HUGEINT) * v2.v) // st$n.t AS BIGINT) " +
+      s"AS BIGINT) AS o FROM pn$n JOIN v2 ON pn$n.dim = v2.dim " +
+      s"CROSS JOIN st$n), " +
+      s"u$n AS (SELECT dim, CAST((o * 1000000) // " +
+      s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
+
   val oracleSql: Map[String, String] = Map(
+    "emb_pca2" ->
+      (s"WITH $eigvecCtes, " +
+        "u0 AS (SELECT dim, CAST(CASE WHEN dim % 2 = 0 THEN 1000000 " +
+        "ELSE -1000000 END AS BIGINT) AS u FROM v0), " +
+        pca2Round(1, "u0") + ", " + pca2Round(2, "u1") + " " +
+        "SELECT a.dim AS dim, a.v AS pc1, b.u AS pc2 " +
+        "FROM v2 a JOIN u2 b ON a.dim = b.dim ORDER BY dim"),
     "sample_temperature" ->
       ("WITH p AS (SELECT source, COUNT(*) AS n_docs, " +
         "CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) " +

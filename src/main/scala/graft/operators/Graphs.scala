@@ -378,6 +378,30 @@ object Graphs {
       .orderBy(col("resource_alloc").desc, col("u"), col("v"))
   }
 
+  /** Friend-of-friend reach: the distinct 2-hop neighborhood size per node
+    * (excluding the node itself and its direct neighbors) and its
+    * expansion ratio over the 1-hop degree — the audience-expansion
+    * question recommenders ask before a 2-hop traversal is worth its
+    * cost. Uses the same support-filtered mirrored adjacency and bounded
+    * wedge join as the triangle family; the (x, w) distinct and the
+    * direct-edge anti-join both key on pairs already co-partitioned by
+    * the join. Expansion ratio as exact integral micro division. */
+  private def graphEgo2hop(s: SparkSession, d: String): DataFrame = {
+    val (adj, _) = wedgeFrames(s, d)
+    val deg = adj.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
+    val twoHop = adj.select(col("u").as("x"), col("v").as("m"))
+      .join(adj.select(col("u").as("m"), col("v").as("w")), Seq("m"))
+      .filter(col("w") =!= col("x"))
+      .select(col("x"), col("w")).distinct()
+      .join(adj.select(col("u").as("x"), col("v").as("w")),
+        Seq("x", "w"), "left_anti")
+    twoHop.groupBy(col("x").as("node")).agg(count(lit(1)).as("n_2hop"))
+      .join(deg, col("node") === col("n"))
+      .select(col("node"), col("deg").as("n_1hop"), col("n_2hop"),
+        expr("(1000000 * n_2hop) DIV deg").as("expansion_micro"))
+      .orderBy("node")
+  }
+
   /** 2-core of the support-filtered association graph (the density-peeling
     * step community mining runs before anything else — strip every
     * tree-like appendage, keep only nodes on cycles): iteratively discard
@@ -856,6 +880,7 @@ object Graphs {
     "graph_jaccard_nbrs" -> graphJaccardNbrs _,
     "graph_adamic_adar" -> graphAdamicAdar _,
     "graph_link_predict" -> graphLinkPredict _,
+    "graph_ego_2hop" -> graphEgo2hop _,
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_cc" -> graphCc _,
     "graph_triangles" -> graphTriangles _)
@@ -1112,6 +1137,19 @@ object Graphs {
         "CAST(coalesce(aa_sum, 0) AS DOUBLE) / 1000000.0 AS adamic_adar " +
         "FROM sup s LEFT JOIN sc ON sc.x = s.u AND sc.y = s.v " +
         "ORDER BY adamic_adar DESC, s.u, s.v"),
+    "graph_ego_2hop" ->
+      (supAdjCtes + ", " +
+        "deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj " +
+        "GROUP BY u), " +
+        "th AS (SELECT DISTINCT a.u AS x, b.v AS w FROM adj a " +
+        "JOIN adj b ON a.v = b.u WHERE b.v <> a.u), " +
+        "fo AS (SELECT x, w FROM th WHERE NOT EXISTS " +
+        "(SELECT 1 FROM adj WHERE adj.u = th.x AND adj.v = th.w)), " +
+        "cnt AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS n_2hop " +
+        "FROM fo GROUP BY x) " +
+        "SELECT node, deg AS n_1hop, n_2hop, " +
+        "CAST((1000000 * n_2hop) // deg AS BIGINT) AS expansion_micro " +
+        "FROM cnt JOIN deg ON node = n ORDER BY node"),
     "graph_link_predict" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "sup AS (SELECT u, v FROM (SELECT DISTINCT a.ok AS ok, a.pk AS u, " +

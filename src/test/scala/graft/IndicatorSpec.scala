@@ -224,6 +224,52 @@ class IndicatorSpec extends SparkTestBase {
     assert(card("near_cluster") == clusterKeepers)
   }
 
+  test("emb_pca2 second direction is near-orthogonal to the first") {
+    val rows = SparkEntry.queries("emb_pca2")(spark, sfDir).collect()
+    assert(rows.length == 64)
+    val v1 = rows.map(_.getAs[Long]("pc1").toDouble)
+    val v2 = rows.map(_.getAs[Long]("pc2").toDouble)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(v1.map(x => x * x).sum) * math.sqrt(v2.map(x => x * x).sum))
+    // integer truncation leaves a small residual; exact orthogonality
+    // is impossible in the micro-unit lattice
+    assert(cos < 0.02, s"|cos(pc1, pc2)| = $cos")
+    assert(v2.exists(_ != 0.0))
+  }
+
+  test("graph_ego_2hop equals a brute-force 2-hop recount") {
+    val adj = SparkEntry.queries("graph_degree_dist")(spark, sfDir) // warm cache
+    adj.collect()
+    val got = SparkEntry.queries("graph_ego_2hop")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_1hop"), r.getAs[Long]("n_2hop"))).toMap
+    // brute-force from the same support>=2 graph definition
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perOrder = li.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+    perOrder.foreach { s =>
+      for (a <- s; b <- s if a < b)
+        pairCount((a, b)) = pairCount.getOrElse((a, b), 0) + 1
+    }
+    val und = pairCount.filter(_._2 >= 2).keys.toSeq
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+    und.foreach { case (a, b) =>
+      nbrs(a) = nbrs.getOrElse(a, Set()) + b
+      nbrs(b) = nbrs.getOrElse(b, Set()) + a
+    }
+    nbrs.foreach { case (x, n1) =>
+      val twoHop = n1.flatMap(nbrs(_)) - x -- n1
+      if (twoHop.nonEmpty) {
+        val (d1, d2) = got(x)
+        assert(d1 == n1.size.toLong, s"node $x degree")
+        assert(d2 == twoHop.size.toLong, s"node $x 2-hop size")
+      } else assert(!got.contains(x), s"node $x should have no 2-hop row")
+    }
+  }
+
   test("ts_stochastic %K in range and %D is the 3-lag mean of %K") {
     val rows = SparkEntry.queries("ts_stochastic")(spark, sfDir)
       .filter(col("user_id") === 0L).orderBy("event_id").collect()
