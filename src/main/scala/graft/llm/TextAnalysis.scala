@@ -43,6 +43,41 @@ object TextAnalysis {
       .orderBy("doc_id", "token")
   }
 
+  /** BM25 relevance of every document against a fixed 3-term query — the
+    * standard retrieval scorer a curation pipeline uses to rank documents
+    * against a topic probe (k₁=1.2, b=0.75). Exactness: avgdl enters as
+    * the exact rational dl·N/Σdl (never a pre-divided float), every
+    * mixed-type op keeps a DOUBLE operand (DuckDB would otherwise slip
+    * bigint+0.5 into DECIMAL), and each (doc, term) score floors to
+    * integer micro-units BEFORE the per-doc sum — the micro-nat
+    * discipline, so partial-aggregation order cannot matter. Classic BM25
+    * goes negative for terms in more than half the corpus — kept as-is,
+    * deterministically, in both engines. Two token-pass hash aggs + one
+    * broadcast of the |terms| df frame; the tf⋈dl join keys on doc_id. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = docs(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = tok.filter(col("token").isin("spark", "query", "table"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micro", expr(
+        "CAST(floor(1000000.0 * (" +
+          "ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+          "(CAST(tf AS DOUBLE) * 2.2) / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+          "(CAST(dl AS DOUBLE) * n / sdl))))) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        (sum(col("term_micro")).cast(DoubleType) / lit(1000000.0)).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   private def qualityStats(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
@@ -403,6 +438,7 @@ object TextAnalysis {
     "text_unigram_lp" -> unigramLp _,
     "text_tokenize_tf" -> tokenizeTf _,
     "text_tfidf" -> tfidf _,
+    "text_bm25" -> bm25 _,
     "text_quality_stats" -> qualityStats _,
     "text_langid" -> langid _,
     "text_token_count" -> tokenCount _,
@@ -599,6 +635,27 @@ object TextAnalysis {
         "round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6), 6) AS tfidf " +
         "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n " +
         "ORDER BY doc_id, tf.token"),
+    "text_bm25" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        s"dl AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) " +
+        "AS dl FROM documents), " +
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(dl) AS BIGINT) AS sdl FROM dl), " +
+        "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM tok WHERE token IN ('spark', 'query', 'table') GROUP BY 1, 2), " +
+        "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf " +
+        "GROUP BY 1), " +
+        "terms AS (SELECT doc_id, CAST(floor(1000000.0 * (" +
+        "ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+        "(CAST(tf AS DOUBLE) * 2.2) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(dl AS DOUBLE) * n / sdl))))) AS BIGINT) AS term_micro " +
+        "FROM tf JOIN df USING (token) JOIN dl USING (doc_id) " +
+        "CROSS JOIN st) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit, " +
+        "CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS bm25 " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"),
     "text_quality_stats" ->
       (s"WITH x AS (SELECT lang, source, n_chars, " +
         s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens, " +

@@ -1306,6 +1306,41 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** Three-step conversion funnel within a 24-hour window (the
+    * windowFunnel shape): the user's FIRST click anchors the window, then
+    * the first view strictly after it, then the first purchase strictly
+    * after that view — all inside anchor+24 h; funnel_level = deepest
+    * step reached (0–3), earliest-completion semantics. Generalizes
+    * [[tsFunnel]]'s 2-step form to an ordered chain. Each step is one
+    * filtered hash-agg over events joined to the (|users|-sized,
+    * broadcast) anchor frame of the previous step — never a per-user
+    * event-sequence collect, so the shape survives any event volume. */
+  private def tsWindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val t1 = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("u1")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.join(broadcast(t1), col("user_id") === col("u1"))
+      .filter(col("event_type") === "view" && col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id").as("u2"), col("t1").as("t1b"))
+      .agg(min(col("ts")).as("t2"))
+    val t3 = ev.join(broadcast(t2), col("user_id") === col("u2"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
+        col("ts") <= col("t1b") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id").as("u3")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(broadcast(t1), col("user_id") === col("u1"), "left_outer")
+      .join(broadcast(t2.select(col("u2"), col("t2"))),
+        col("user_id") === col("u2"), "left_outer")
+      .join(broadcast(t3), col("user_id") === col("u3"), "left_outer")
+      .select(col("user_id"),
+        (when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L)).as("funnel_level"),
+        col("t1"), col("t2"), col("t3"))
+      .orderBy("user_id")
+  }
+
   /** Hysteresis alarm detection — the SCADA two-threshold alarm an
     * industrial monitor runs on every sensor: the alarm turns ON when the
     * value rises above the per-type Q3 and turns OFF only when it falls
@@ -1417,6 +1452,7 @@ object TimeSeries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_rsi" -> tsRsi _,
     "ts_hysteresis" -> tsHysteresis _,
+    "ts_window_funnel" -> tsWindowFunnel _,
     "ts_stochastic" -> tsStochastic _,
     "ts_sma_cross" -> tsSmaCross _,
     "ts_macd" -> tsMacd _,
@@ -1511,6 +1547,22 @@ object TimeSeries {
         "nullif(CAST(sum_gain + sum_loss AS DOUBLE), 0) AS rsi " +
         "FROM g WHERE rn >= 15 ORDER BY event_id"
     },
+    "ts_window_funnel" ->
+      ("WITH t1 AS (SELECT user_id AS u1, MIN(ts) AS t1 FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1), " +
+        "t2 AS (SELECT user_id AS u2, t1 AS t1b, MIN(ts) AS t2 FROM events " +
+        "JOIN t1 ON user_id = u1 WHERE event_type = 'view' AND ts > t1 " +
+        "AND ts <= t1 + INTERVAL 24 HOURS GROUP BY 1, 2), " +
+        "t3 AS (SELECT user_id AS u3, MIN(ts) AS t3 FROM events " +
+        "JOIN t2 ON user_id = u2 WHERE event_type = 'purchase' AND ts > t2 " +
+        "AND ts <= t1b + INTERVAL 24 HOURS GROUP BY 1), " +
+        "us AS (SELECT DISTINCT user_id FROM events) " +
+        "SELECT user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 " +
+        "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 " +
+        "ELSE 0 END AS BIGINT) AS funnel_level, t1, t2, t3 " +
+        "FROM us LEFT JOIN t1 ON user_id = u1 " +
+        "LEFT JOIN t2 ON user_id = u2 LEFT JOIN t3 ON user_id = u3 " +
+        "ORDER BY user_id"),
     "ts_hysteresis" -> {
       val c = OSQL.cents("value")
       s"WITH th AS (SELECT event_type AS et, " +

@@ -270,6 +270,58 @@ class IndicatorSpec extends SparkTestBase {
     }
   }
 
+  test("ts_window_funnel levels equal a scalar replay of each user") {
+    val got = SparkEntry.queries("ts_window_funnel")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("funnel_level")).toMap
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tus"),
+        r.getAs[String]("event_type")))
+    val dayUs = 24L * 3600 * 1000 * 1000
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val t1 = rows.filter(_._3 == "click").map(_._2).minOption
+      val t2 = t1.flatMap(a => rows.filter(r => r._3 == "view" &&
+        r._2 > a && r._2 <= a + dayUs).map(_._2).minOption)
+      val t3 = (t1, t2) match {
+        case (Some(a), Some(b)) => rows.filter(r => r._3 == "purchase" &&
+          r._2 > b && r._2 <= a + dayUs).map(_._2).minOption
+        case _ => None
+      }
+      val lvl = if (t3.isDefined) 3L else if (t2.isDefined) 2L
+        else if (t1.isDefined) 1L else 0L
+      assert(got(u) == lvl, s"user $u: got ${got(u)} expected $lvl")
+    }
+  }
+
+  test("text_bm25 equals a scalar recomputation per document") {
+    val got = SparkEntry.queries("text_bm25")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val docs = U.tbl(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty))
+    val q = Seq("spark", "query", "table")
+    val n = docs.length.toLong
+    val sdl = docs.map(_._2.length.toLong).sum
+    val dfm = q.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    docs.foreach { case (id, toks) =>
+      val dl = toks.length.toLong
+      val micros = q.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None else {
+          val df = dfm(t)
+          val idf = math.log((n.toDouble - df + 0.5) / (df.toDouble + 0.5))
+          val score = idf * (tf.toDouble * 2.2) /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble * n / sdl)))
+          Some(math.floor(1000000.0 * score).toLong)
+        }
+      }
+      if (micros.nonEmpty)
+        assert(got(id) == micros.sum.toDouble / 1000000.0, s"doc $id")
+      else assert(!got.contains(id), s"doc $id should have no bm25 row")
+    }
+  }
+
   test("ts_stochastic %K in range and %D is the 3-lag mean of %K") {
     val rows = SparkEntry.queries("ts_stochastic")(spark, sfDir)
       .filter(col("user_id") === 0L).orderBy("event_id").collect()
