@@ -1,0 +1,141 @@
+package graft.api
+
+import graft.operators.{Components, Graphs, TimeSeries}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The engine's reusable kernels as a PUBLIC, fixture-independent API.
+  *
+  * The declared queries in `graft.operators` / `graft.llm` demonstrate every
+  * operator against the test-data schema; the methods here are the same
+  * kernels lifted to caller-supplied frames and column names, so a user can
+  * run them on their own tables without touching the query registry. Each
+  * method keeps the scale shape its query twin is plan-guarded for (one
+  * union+window pass for as-of, bounded posting-list joins for near-dup,
+  * gated broadcast↔shuffle iteration for graphs — see SCALE.md).
+  */
+object GraftApi {
+
+  /** As-of join: enrich each `probe` row with the latest `build` row at
+    * `buildTs` <= `probeTs` (or the earliest at >= when `forward`), per
+    * join key. One union-tagged frame + ONE window pass — no join operator,
+    * no per-key range scan; build rows order before probes at equal ts, so
+    * ties resolve to "at-or-before" exactly like DuckDB's ASOF JOIN.
+    * `buildVals` columns come back as `asof_<name>` (null when no match). */
+  def asOfJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTs: String, buildTs: String, buildVals: Seq[String],
+      forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty && buildVals.nonEmpty)
+    val probeCols = probe.columns.toSeq
+    val bSide = build.select(
+      keys.map(col) ++ Seq(col(buildTs).as("__ts"), lit(0).as("__side")) ++
+        probeCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        buildVals.map(c => col(c).as(s"asof_$c")): _*)
+    val pSide = probe.select(
+      keys.map(col) ++ Seq(col(probeTs).as("__ts"), lit(1).as("__side")) ++
+        probeCols.filterNot(keys.contains).map(col) ++
+        buildVals.map(c =>
+          lit(null).cast(build.schema(c).dataType).as(s"asof_$c")): _*)
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = buildVals.foldLeft(bSide.unionByName(pSide)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Gap-based sessionization: appends a `session_id` column numbering each
+    * key's sessions (1-based) with a new session whenever the gap to the
+    * previous row exceeds `gapSeconds`. One shuffle+sort per key. */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev_us", lag(unix_micros(col(ts)), 1).over(w))
+      .withColumn("session_id", sum(
+        when(col("__prev_us").isNull ||
+          unix_micros(col(ts)) - col("__prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L)).over(run))
+      .drop("__prev_us")
+  }
+
+  /** Grouped top-k through the custom whole-operator plan (bounded per-group
+    * heaps — no global sort, no full window materialization). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      descending: Boolean, k: Int, rankCol: String = "rank"): DataFrame =
+    graft.plans.GroupedTopKApi(df, groupCols, Seq((orderCol, descending)), k,
+      rankCol)
+
+  /** Integer micro-unit PageRank over a directed (u, v) edge frame: 3
+    * damped iterations, broadcast rank frames below `broadcastNodeCap`
+    * nodes and co-partitioned shuffle-hash joins above (the documented
+    * 100 TB posture). Returns the TOP-50 (node, pr) rows by rank — the
+    * same contract as the `graph_pagerank` query; ranks are integer
+    * micro-units of the uniform 1e6 start mass. */
+  def pageRank(edges: DataFrame,
+      broadcastNodeCap: Long = 1000000L): DataFrame =
+    Graphs.pagerankOnEdges(edges.select(col("u"), col("v")), broadcastNodeCap)
+
+  /** Connected components over an undirected edge list (u, v): min-id
+    * labels via size-gated DSU (small edge sets, one task) or distributed
+    * min-label propagation (past `dsuEdgeCap`). Returns (node, component). */
+  def connectedComponents(edges: DataFrame,
+      dsuEdgeCap: Long = Components.DsuEdgeCap): DataFrame =
+    Components.labels(
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
+      dsuEdgeCap).toDF("node", "component")
+
+  /** 1-D random-walk Kalman filter over (key, ts, value): final filtered
+    * level + posterior variance per key, by the same bit-exact struct fold
+    * as the `ts_kalman` query. `q`/`r` must be decimal literals that
+    * promote exactly (e.g. 0.01, 1.0). Rows tying on (key, ts) fold in an
+    * unspecified order — supply unique timestamps for bit-determinism (the
+    * declared query tie-breaks on event_id). */
+  def kalmanFilter(df: DataFrame, key: String, ts: String, value: String,
+      q: Double = 0.01, r: Double = 1.0): DataFrame =
+    TimeSeries.structFoldOn(
+      df.select(col(key).as("user_id"), col(ts).as("ts"),
+        monotonically_increasing_id().as("event_id"), col(value).as("value")),
+      "named_struct('x', p.value, 'p', CAST(1.0 AS DOUBLE))",
+      s"named_struct(" +
+        s"'x', acc.x + ((acc.p + $q) / (acc.p + $q + $r)) * (x.x - acc.x), " +
+        s"'p', (1.0 - ((acc.p + $q) / (acc.p + $q + $r))) * (acc.p + $q))")
+      .select(col("user_id").as(key), col("n"), col("fin.x").as("level"),
+        col("fin.p").as("variance"))
+
+  /** Exact-Jaccard near-duplicate pairs over an (id, text) frame: word
+    * 3-gram shingles through a df-capped inverted index (posting lists
+    * longer than `shingleDfCap` are stop-shingles — the quadratic-bomb
+    * control), pairs scored exactly. Returns (id_a, id_b, common, jaccard)
+    * for pairs with jaccard >= `threshold`. */
+  def nearDupPairs(df: DataFrame, id: String, text: String,
+      threshold: Double = 0.2, shingleDfCap: Long = 1000L): DataFrame = {
+    val sized = df.select(col(id).as("__id"),
+      graft.llm.TextUtil.shingles3(graft.llm.TextUtil.tokens(col(text)))
+        .as("__ss"))
+      .select(col("__id"), col("__ss"), size(col("__ss")).cast(LongType).as("__n"))
+    val inv = sized.select(col("__id"), col("__n"),
+        explode(col("__ss")).as("__sg"))
+      .withColumn("__df", count(lit(1))
+        .over(Window.partitionBy(col("__sg"))))
+      .filter(col("__df") <= shingleDfCap)
+    val pairs = inv.select(col("__id").as("id_a"), col("__n").as("__na"),
+        col("__sg"))
+      .join(inv.select(col("__id").as("id_b"), col("__n").as("__nb"),
+        col("__sg")), Seq("__sg"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs.select(col("id_a"), col("id_b"), col("common"),
+        (col("common").cast("double") /
+          (col("__na") + col("__nb") - col("common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}
