@@ -1522,6 +1522,32 @@ object TimeSeries {
       "FROM daily CROSS JOIN bp)"
   }
 
+  /** ONE oracle pins the batch hysteresis query AND its streaming twin
+    * (`stream_hysteresis` — the transformWithState latch replays this
+    * exact last-IGNORE-NULLS scan), so the two can never drift. */
+  private[graft] lazy val hysteresisSql: String = {
+    val c = OSQL.cents("value")
+    s"WITH th AS (SELECT event_type AS et, " +
+      s"CAST(floor(quantile_cont($c, 0.75) * 4) AS BIGINT) AS hi_qc, " +
+      s"CAST(floor(quantile_cont($c, 0.5) * 4) AS BIGINT) AS lo_qc " +
+      "FROM events GROUP BY 1), " +
+      s"b AS (SELECT event_id, user_id, event_type, ts, $c * 4 AS v4, " +
+      "hi_qc, lo_qc FROM events JOIN th ON event_type = et), " +
+      "e AS (SELECT *, CASE WHEN v4 > hi_qc THEN 1 " +
+      "WHEN v4 < lo_qc THEN 0 END AS edge FROM b), " +
+      "a AS (SELECT event_id, user_id, event_type, ts, " +
+      "coalesce(last_value(edge IGNORE NULLS) OVER " +
+      "(PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS alarm " +
+      "FROM e), " +
+      "p AS (SELECT *, lag(alarm, 1) OVER (PARTITION BY user_id, " +
+      "event_type ORDER BY ts, event_id) AS prev FROM a) " +
+      "SELECT event_id, user_id, event_type, " +
+      "CAST(alarm AS BIGINT) AS alarm, " +
+      "(alarm = 1 AND coalesce(prev, 0) = 0) AS is_onset " +
+      "FROM p ORDER BY event_id"
+  }
+
   /** The struct-list fold shared by the ts_macd / ts_kalman oracles —
     * DuckDB's list_reduce seeds from the FIRST element, exactly Spark's
     * aggregate(slice(…, 2, n−1), element_at(…, 1), …) in [[structFold]]. */
@@ -1563,28 +1589,7 @@ object TimeSeries {
         "FROM us LEFT JOIN t1 ON user_id = u1 " +
         "LEFT JOIN t2 ON user_id = u2 LEFT JOIN t3 ON user_id = u3 " +
         "ORDER BY user_id"),
-    "ts_hysteresis" -> {
-      val c = OSQL.cents("value")
-      s"WITH th AS (SELECT event_type AS et, " +
-        s"CAST(floor(quantile_cont($c, 0.75) * 4) AS BIGINT) AS hi_qc, " +
-        s"CAST(floor(quantile_cont($c, 0.5) * 4) AS BIGINT) AS lo_qc " +
-        "FROM events GROUP BY 1), " +
-        s"b AS (SELECT event_id, user_id, event_type, ts, $c * 4 AS v4, " +
-        "hi_qc, lo_qc FROM events JOIN th ON event_type = et), " +
-        "e AS (SELECT *, CASE WHEN v4 > hi_qc THEN 1 " +
-        "WHEN v4 < lo_qc THEN 0 END AS edge FROM b), " +
-        "a AS (SELECT event_id, user_id, event_type, ts, " +
-        "coalesce(last_value(edge IGNORE NULLS) OVER " +
-        "(PARTITION BY user_id, event_type ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS alarm " +
-        "FROM e), " +
-        "p AS (SELECT *, lag(alarm, 1) OVER (PARTITION BY user_id, " +
-        "event_type ORDER BY ts, event_id) AS prev FROM a) " +
-        "SELECT event_id, user_id, event_type, " +
-        "CAST(alarm AS BIGINT) AS alarm, " +
-        "(alarm = 1 AND coalesce(prev, 0) = 0) AS is_onset " +
-        "FROM p ORDER BY event_id"
-    },
+    "ts_hysteresis" -> hysteresisSql,
     "ts_stochastic" -> {
       val c = OSQL.cents("value")
       s"WITH b AS (SELECT event_id, user_id, ts, $c AS vc, " +

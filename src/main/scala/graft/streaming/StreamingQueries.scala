@@ -79,6 +79,38 @@ class SessionizeProcessor extends StatefulProcessor[Long, SEvent, SessOut] {
   }
 }
 
+/** Per-(user, type) input/output rows for [[HysteresisProcessor]]; the
+  * quarter-cent thresholds ride on each row from the stream-static join. */
+case class HEvent(event_id: Long, user_id: Long, event_type: String,
+  ts: java.sql.Timestamp, v4: Long, hi_qc: Long, lo_qc: Long)
+case class HOut(event_id: Long, user_id: Long, event_type: String,
+  alarm: Long, is_onset: Boolean)
+
+/** Streaming twin of the batch `ts_hysteresis` SCADA alarm: the latched
+  * state is one Long ValueState per (user, type). Batches arrive in
+  * event-time order (staged replay) and rows sort within a batch, so the
+  * latch replays the batch last-IGNORE-NULLS scan exactly — both queries
+  * share ONE oracle ([[graft.operators.TimeSeries.hysteresisSql]]). */
+class HysteresisProcessor
+    extends StatefulProcessor[(Long, String), HEvent, HOut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("alarm", Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: (Long, String), rows: Iterator[HEvent],
+      tv: TimerValues): Iterator[HOut] = {
+    val sorted = rows.toIndexedSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var cur = if (st.exists()) st.get() else 0L
+    val out = sorted.map { e =>
+      val prev = cur
+      cur = if (e.v4 > e.hi_qc) 1L else if (e.v4 < e.lo_qc) 0L else cur
+      HOut(e.event_id, e.user_id, e.event_type, cur, cur == 1L && prev == 0L)
+    }
+    st.update(cur)
+    out.iterator
+  }
+}
+
 /** SURVEY.md §2.9 — Structured Streaming over a replay of the `events`
   * table.
   *
@@ -377,6 +409,38 @@ object StreamingQueries {
     }
   }
 
+  /** [[HysteresisProcessor]] end-to-end: the SCADA alarm as a LIVE
+    * monitor — per-type thresholds computed batch-side (the static
+    * profile a deployment refreshes offline), broadcast into the stream,
+    * the latch advanced per (user, type) in custom state. Emits every
+    * event's alarm state + onset flag; hash-matches the batch
+    * ts_hysteresis query via the SHARED oracle. */
+  private def hysteresisTws(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val th = U.events(s, d).groupBy(col("event_type").as("et")).agg(
+      floor(percentile(vc, lit(0.75)) * 4).cast(LongType).as("hi_qc"),
+      floor(percentile(vc, lit(0.5)) * 4).cast(LongType).as("lo_qc"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.join(broadcast(th), col("event_type") === col("et"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          (U.cents(col("value")) * 4).as("v4"), col("hi_qc"), col("lo_qc"))
+        .as[HEvent]
+        .groupByKey(e => (e.user_id, e.event_type))
+        .transformWithState(new HysteresisProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.orderBy("event_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[SessionizeProcessor]] end-to-end: custom-state session windows whose
     * kept emissions reproduce the batch lag-gap sessionization exactly. */
   private def sessionizeTws(s: SparkSession, d: String): DataFrame = {
@@ -588,6 +652,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_tws" -> sessionizeTws _,
+    "stream_hysteresis" -> hysteresisTws _,
     "stream_topk" -> streamTopk _,
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
@@ -606,6 +671,8 @@ object StreamingQueries {
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    // the batch ts_hysteresis oracle, verbatim — one definition pins both
+    "stream_hysteresis" -> graft.operators.TimeSeries.hysteresisSql,
     "stream_session_tws" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +

@@ -187,6 +187,17 @@ class StreamingSpec extends SparkTestBase {
       s"killed+resumed sink diverged: $resumed vs $expected")
   }
 
+  test("stream_hysteresis equals the batch alarm query row-for-row") {
+    // the two queries share ONE oracle; this pins the parity directly in
+    // the suite as well, without DuckDB in the loop
+    val batch = SparkEntry.queries("ts_hysteresis")(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val stream = SparkEntry.queries("stream_hysteresis")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"batch/stream alarm divergence: ${batch.length} vs ${stream.length}")
+  }
+
   test("custom sink totals survive a pre-existing checkpoint (full re-replay)") {
     // Regression: the first run leaves a checkpoint; a second run in the
     // same (or a later) JVM must still total the WHOLE replay — a reused
