@@ -109,6 +109,58 @@ object GraftApi {
       .select(col("user_id").as(key), col("n"), col("fin.x").as("level"),
         col("fin.p").as("variance"))
 
+  /** Multi-step windowed conversion funnel over (key, ts, type): the
+    * deepest PREFIX of `steps` completed in strict order inside
+    * `windowSeconds` of the first step's earliest occurrence per key —
+    * the windowFunnel shape, earliest-completion semantics. Each step is
+    * one filtered hash-agg joined to the broadcast anchor frame of the
+    * previous step; a key that misses step i can never match step i+1
+    * (its anchor is null), so `funnel_level` counts a true prefix.
+    * Returns every key with funnel_level (0..steps.length) and each
+    * step's completion time t1..tN. */
+  def windowFunnel(df: DataFrame, key: String, ts: String, typeCol: String,
+      steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty)
+    var anchors = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(key).as("__k")).agg(min(col(ts)).as("t1"))
+      .withColumn("__prev", col("t1"))
+    for ((st, idx) <- steps.tail.zipWithIndex) {
+      val cn = s"t${idx + 2}"
+      val next = df.join(broadcast(anchors), col(key) === col("__k"))
+        .filter(col(typeCol) === st && col(ts) > col("__prev") &&
+          unix_micros(col(ts)) <=
+            unix_micros(col("t1")) + windowSeconds * 1000000L)
+        .groupBy(col("__k").as("__k2")).agg(min(col(ts)).as(cn))
+      anchors = anchors.join(next, col("__k") === col("__k2"), "left_outer")
+        .drop("__k2").withColumn("__prev", col(cn))
+    }
+    val level = (1 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(key)).distinct()
+      .join(broadcast(anchors.drop("__prev")), col(key) === col("__k"),
+        "left_outer")
+      .drop("__k")
+      .withColumn("funnel_level", level)
+  }
+
+  /** Two-threshold hysteresis alarm over (key, ts, value): ON above `hi`,
+    * OFF only below `lo`, latched via last-IGNORE-NULLS over each key's
+    * ordered stream (oscillation between the thresholds cannot flap it).
+    * Appends `alarm` (0/1) and `is_onset` columns; one window pass. */
+  def hysteresisAlarm(df: DataFrame, key: String, ts: String, value: String,
+      hi: Double, lo: Double): DataFrame = {
+    require(lo <= hi)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val edge = when(col(value) > hi, 1L).when(col(value) < lo, 0L)
+    df.withColumn("alarm", coalesce(
+        last(edge, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
+      .withColumn("is_onset", col("alarm") === 1L &&
+        coalesce(lag(col("alarm"), 1).over(w), lit(0L)) === 0L)
+  }
+
   /** Exact-Jaccard near-duplicate pairs over an (id, text) frame: word
     * 3-gram shingles through a df-capped inverted index (posting lists
     * longer than `shingleDfCap` are stop-shingles — the quadratic-bomb

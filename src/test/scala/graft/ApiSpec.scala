@@ -74,6 +74,35 @@ class ApiSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("variance") - pStar) < 1e-3)
   }
 
+  test("windowFunnel counts strict-prefix completion inside the window") {
+    val df = Seq(
+      ("a", 0L, "s1"), ("a", 10L, "s2"), ("a", 20L, "s3"), // full funnel
+      ("b", 0L, "s1"), ("b", 10L, "s3"),                   // skips s2
+      ("c", 0L, "s1"), ("c", 5000L, "s2"),                 // s2 out of window
+      ("d", 0L, "s2")                                      // never anchors
+    ).toDF("who", "at", "what")
+      .select($"who", timestamp_micros($"at" * 1000000L).as("at"), $"what")
+    val got = GraftApi.windowFunnel(df, "who", "at", "what",
+      Seq("s1", "s2", "s3"), windowSeconds = 3600)
+      .collect().map(r => r.getAs[String]("who") ->
+        r.getAs[Long]("funnel_level")).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+  }
+
+  test("hysteresisAlarm latches between the thresholds") {
+    val df = Seq(("k", 1L, 5.0), ("k", 2L, 11.0), ("k", 3L, 7.0),
+      ("k", 4L, 11.0), ("k", 5L, 2.0), ("k", 6L, 7.0))
+      .toDF("g", "t", "v")
+      .select($"g", timestamp_micros($"t" * 1000000L).as("t"), $"v")
+    val got = GraftApi.hysteresisAlarm(df, "g", "t", "v", hi = 10.0, lo = 3.0)
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("alarm"), r.getAs[Boolean]("is_onset")))
+    // 5.0 below hi → off; 11 → ON(onset); 7 stays ON (latched);
+    // 11 stays ON (no onset); 2 → OFF; 7 stays OFF
+    assert(got.toSeq == Seq((0L, false), (1L, true), (1L, false),
+      (1L, false), (0L, false), (0L, false)))
+  }
+
   test("nearDupPairs finds the planted near-duplicate only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"w$i").mkString(" ") + " x y"
