@@ -1341,6 +1341,40 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Additive trend/seasonal/residual decomposition of each type's hourly
+    * series — the STL-shaped one-pass variant an industrial monitor runs
+    * before alarming on residuals: trend = ±12 h centered moving mean of
+    * the hourly cent sums, seasonal = hour-of-day mean of the DETRENDED
+    * series, residual = remainder. Everything lives in exact integer
+    * micro-cents via integral division (both engines truncate toward
+    * zero, including on negative detrended values — probed), so the
+    * decomposition reconstructs exactly: 10⁶·sc = trend + seasonal +
+    * resid + the two division remainders folded into resid. One hash agg
+    * + one window pass + one broadcast-size seasonal join. */
+  private def tsDecompose(s: SparkSession, d: String): DataFrame = {
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hidx"))
+      .agg(sum(U.cents(col("value"))).as("sc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+      .rowsBetween(-12, 12)
+    val detrended = hourly
+      .withColumn("tsum", sum(col("sc")).over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      .withColumn("trend_micro", expr("(1000000 * tsum) DIV tn"))
+      .withColumn("d_micro", expr("1000000 * sc - trend_micro"))
+      .withColumn("hod", pmod(col("hidx"), lit(24L)))
+    val seasonal = detrended.groupBy(col("event_type").as("et2"),
+        col("hod").as("hod2"))
+      .agg(expr("SUM(d_micro) DIV COUNT(*)").as("seasonal_micro"))
+    detrended.join(broadcast(seasonal),
+        col("event_type") === col("et2") && col("hod") === col("hod2"))
+      .select(col("event_type"), col("hidx"), col("sc"), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("d_micro") - col("seasonal_micro")).as("resid_micro"))
+      .orderBy("event_type", "hidx")
+  }
+
   /** Hysteresis alarm detection — the SCADA two-threshold alarm an
     * industrial monitor runs on every sensor: the alarm turns ON when the
     * value rises above the per-type Q3 and turns OFF only when it falls
@@ -1453,6 +1487,7 @@ object TimeSeries {
     "ts_rsi" -> tsRsi _,
     "ts_hysteresis" -> tsHysteresis _,
     "ts_window_funnel" -> tsWindowFunnel _,
+    "ts_decompose" -> tsDecompose _,
     "ts_stochastic" -> tsStochastic _,
     "ts_sma_cross" -> tsSmaCross _,
     "ts_macd" -> tsMacd _,
@@ -1572,6 +1607,26 @@ object TimeSeries {
         "SELECT event_id, user_id, 100.0 * CAST(sum_gain AS DOUBLE) / " +
         "nullif(CAST(sum_gain + sum_loss AS DOUBLE), 0) AS rsi " +
         "FROM g WHERE rn >= 15 ORDER BY event_id"
+    },
+    "ts_decompose" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, " +
+        "epoch_us(ts) // 3600000000 AS hidx, " +
+        s"CAST(SUM($c) AS BIGINT) AS sc FROM events GROUP BY 1, 2), " +
+        "tr AS (SELECT event_type, hidx, sc, " +
+        "(1000000 * SUM(sc) OVER w) // (COUNT(*) OVER w) AS trend_micro " +
+        "FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hidx " +
+        "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), " +
+        "dt AS (SELECT *, 1000000 * sc - trend_micro AS d_micro, " +
+        "hidx % 24 AS hod FROM tr), " +
+        "se AS (SELECT event_type AS et2, hod AS hod2, " +
+        "CAST(SUM(d_micro) // COUNT(*) AS BIGINT) AS seasonal_micro " +
+        "FROM dt GROUP BY 1, 2) " +
+        "SELECT event_type, hidx, sc, CAST(trend_micro AS BIGINT) " +
+        "AS trend_micro, seasonal_micro, " +
+        "CAST(d_micro - seasonal_micro AS BIGINT) AS resid_micro " +
+        "FROM dt JOIN se ON event_type = et2 AND hod = hod2 " +
+        "ORDER BY event_type, hidx"
     },
     "ts_window_funnel" ->
       ("WITH t1 AS (SELECT user_id AS u1, MIN(ts) AS t1 FROM events " +

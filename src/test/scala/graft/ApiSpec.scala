@@ -28,6 +28,24 @@ class ApiSpec extends SparkTestBase {
     assert(fwd.toSeq == Seq(Some(1.0), Some(2.0), None, Some(9.0)))
   }
 
+  test("asOfJoin on the fixtures equals the declared join_asof query") {
+    // the facade and the declared query must be the SAME kernel — drive
+    // the facade on the fixture frames and compare row-for-row
+    val ev = U.events(spark, sfDir)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val viaApi = GraftApi.asOfJoin(probe, build, Seq("user_id"), "ts", "ts",
+      Seq("ts", "value"))
+      .select($"event_id", $"user_id", $"asof_ts", $"asof_value")
+      .orderBy("event_id").collect().map(_.toString)
+    val declared = SparkEntry.queries("join_asof")(spark, sfDir)
+      .select($"event_id", $"user_id", $"asof_ts", $"asof_value")
+      .orderBy("event_id").collect().map(_.toString)
+    assert(viaApi.nonEmpty && viaApi.sameElements(declared))
+  }
+
   test("sessionize numbers gap-separated sessions per key") {
     val df = Seq(("u", 0L), ("u", 100L), ("u", 5000L), ("u", 5100L),
       ("v", 0L)).toDF("who", "at")

@@ -322,6 +322,17 @@ class IndicatorSpec extends SparkTestBase {
     }
   }
 
+  test("ts_decompose reconstructs exactly: 1e6*sc = trend+seasonal+resid") {
+    val rows = SparkEntry.queries("ts_decompose")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lhs = 1000000L * r.getAs[Long]("sc")
+      val rhs = r.getAs[Long]("trend_micro") +
+        r.getAs[Long]("seasonal_micro") + r.getAs[Long]("resid_micro")
+      assert(lhs == rhs, s"reconstruction broke at ${r.get(0)}/${r.get(1)}")
+    }
+  }
+
   test("ts_stochastic %K in range and %D is the 3-lag mean of %K") {
     val rows = SparkEntry.queries("ts_stochastic")(spark, sfDir)
       .filter(col("user_id") === 0L).orderBy("event_id").collect()
