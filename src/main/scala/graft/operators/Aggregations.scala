@@ -753,6 +753,48 @@ object Aggregations {
       .orderBy("event_type", "dow")
   }
 
+  /** Two-sample Kolmogorov–Smirnov D between every pair of event types'
+    * value distributions — the distribution-shift screen completing the
+    * `agg_ttest`(means)/`agg_chi2`(categories) family. The supremum gap is
+    * evaluated on the shared grid of DISTINCT cent values (ECDFs are step
+    * functions whose sup over jump points is exact and tie-order-free),
+    * and the gap itself is the integer cross-multiplication
+    * |c_a·n_b − c_b·n_a| — one double division at the very end. Scale:
+    * the grid is bounded by the VALUE DOMAIN (≤ ~50k distinct cents at
+    * any corpus size), so grid×types and the pair join stay fixed-size no
+    * matter how many events stream through the one counting hash-agg. */
+  private def aggKsTest(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val ev = U.events(s, d).select(col("event_type"), vc.as("vc"))
+    val counts = ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.select(col("vc")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val cum = grid.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "vc"), "left_outer")
+      .withColumn("c", sum(coalesce(col("cnt"), lit(0L)))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("vc"), col("c"))
+    val nd = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = cum.join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type").as("type_a"), col("vc"),
+        col("c").as("ca"), col("n").as("na"))
+    val b = cum.join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type").as("type_b"), col("vc"),
+        col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("vc"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("na"), col("nb"))
+      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("d_num"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("d_num"),
+        (col("d_num").cast(DoubleType) /
+          (col("na") * col("nb")).cast(DoubleType)).as("ks_d"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Cramér's V effect size on the same event-type × day-of-week table as
     * [[aggChi2]] — the single-number "does the weekly mix actually drift"
     * answer on top of the per-cell χ² screen. χ² is the exact integer sum
@@ -844,6 +886,7 @@ object Aggregations {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_theil" -> aggTheil _,
     "agg_cramers_v" -> aggCramersV _,
+    "agg_ks_test" -> aggKsTest _,
     "agg_pareto" -> aggPareto _,
     "agg_chi2" -> aggChi2 _,
     "agg_bitmap_overlap" -> aggBitmapOverlap _,
@@ -999,6 +1042,32 @@ object Aggregations {
         "CAST(chim AS DOUBLE) / 1000000.0 AS chi2, " +
         "sqrt((CAST(chim AS DOUBLE) / 1000000.0) / " +
         "(CAST(t AS DOUBLE) * least(rl - 1, cl - 1))) AS cramers_v FROM ag"),
+    "agg_ks_test" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, $c AS vc FROM events), " +
+        "counts AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM ev GROUP BY 1, 2), " +
+        "grid AS (SELECT DISTINCT vc FROM ev), " +
+        "types AS (SELECT DISTINCT event_type FROM ev), " +
+        "cum AS (SELECT event_type, vc, " +
+        "CAST(SUM(coalesce(cnt, 0)) OVER (PARTITION BY event_type " +
+        "ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS c " +
+        "FROM grid CROSS JOIN types " +
+        "LEFT JOIN counts USING (event_type, vc)), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev " +
+        "GROUP BY 1) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "na.n AS na, nb.n AS nb, " +
+        "CAST(MAX(abs(a.c * nb.n - b.c * na.n)) AS BIGINT) AS d_num, " +
+        "CAST(MAX(abs(a.c * nb.n - b.c * na.n)) AS DOUBLE) / " +
+        "CAST(na.n * nb.n AS DOUBLE) AS ks_d " +
+        "FROM cum a JOIN cum b ON a.vc = b.vc " +
+        "AND a.event_type < b.event_type " +
+        "JOIN nd na ON na.event_type = a.event_type " +
+        "JOIN nd nb ON nb.event_type = b.event_type " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY type_a, type_b"
+    },
     "agg_pareto" -> {
       val c = OSQL.cents("o_totalprice")
       s"WITH spend AS (SELECT o_custkey, CAST(SUM($c) AS BIGINT) AS spend_c " +

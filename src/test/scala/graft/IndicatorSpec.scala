@@ -322,6 +322,28 @@ class IndicatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_ks_test equals a brute-force ECDF sup for every pair") {
+    val rows = SparkEntry.queries("agg_ks_test")(spark, sfDir).collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    val ev = U.events(spark, sfDir).select(col("event_type"),
+      U.cents(col("value")).as("vc")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (sa, sb) = (byType(ta), byType(tb))
+      val dnum = (sa ++ sb).distinct.map { v =>
+        val ca = sa.count(_ <= v).toLong
+        val cb = sb.count(_ <= v).toLong
+        math.abs(ca * sb.length - cb * sa.length)
+      }.max
+      assert(r.getAs[Long]("d_num") == dnum, s"$ta/$tb sup gap")
+      val d = r.getAs[Double]("ks_d")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+
   test("ts_decompose reconstructs exactly: 1e6*sc = trend+seasonal+resid") {
     val rows = SparkEntry.queries("ts_decompose")(spark, sfDir).collect()
     assert(rows.nonEmpty)
