@@ -764,19 +764,8 @@ object Aggregations {
     * any corpus size), so grid×types and the pair join stay fixed-size no
     * matter how many events stream through the one counting hash-agg. */
   private def aggKsTest(s: SparkSession, d: String): DataFrame = {
-    val vc = U.cents(col("value"))
-    val ev = U.events(s, d).select(col("event_type"), vc.as("vc"))
-    val counts = ev.groupBy(col("event_type"), col("vc"))
-      .agg(count(lit(1)).as("cnt"))
-    val grid = ev.select(col("vc")).distinct()
-    val types = ev.select(col("event_type")).distinct()
-    val cum = grid.crossJoin(broadcast(types))
-      .join(counts, Seq("event_type", "vc"), "left_outer")
-      .withColumn("c", sum(coalesce(col("cnt"), lit(0L)))
-        .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("event_type"), col("vc"), col("c"))
-    val nd = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val (cum0, nd) = ecdfGrid(s, d)
+    val cum = cum0.select(col("event_type"), col("vc"), col("c"))
     val a = cum.join(broadcast(nd), Seq("event_type"))
       .select(col("event_type").as("type_a"), col("vc"),
         col("c").as("ca"), col("n").as("na"))
@@ -792,6 +781,55 @@ object Aggregations {
         col("d_num"),
         (col("d_num").cast(DoubleType) /
           (col("na") * col("nb")).cast(DoubleType)).as("ks_d"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Per-type ECDF over the shared grid of DISTINCT cent values — the base
+    * frame of the nonparametric pair tests ([[aggKsTest]],
+    * [[aggMannWhitney]]): (event_type, vc, cnt-at-v, cum-count-≤-v) for
+    * EVERY grid value (types absent at a value carry cnt 0), plus the
+    * per-type totals. The grid is bounded by the VALUE DOMAIN, not the
+    * corpus, so everything downstream is fixed-size at any scale. */
+  private def ecdfGrid(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val vc = U.cents(col("value"))
+    val ev = U.events(s, d).select(col("event_type"), vc.as("vc"))
+    val counts = ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.select(col("vc")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val cum = grid.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "vc"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("c", sum(col("cnt"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("vc"), col("cnt"), col("c"))
+    val nd = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    (cum, nd)
+  }
+
+  /** Mann–Whitney U / probability-of-superiority (AUC) between every pair
+    * of event types' value distributions — the effect-DIRECTION companion
+    * to [[aggKsTest]]'s shift magnitude. Computed exactly in the DOUBLED
+    * integer domain (ties contribute midranks, so 2·U is an integer):
+    * 2U_a = Σ over a's values of cnt_a·(2·cum_b − cnt_b), summed over the
+    * shared distinct-cents grid; AUC = 2U/(2·n_a·n_b) with one double
+    * division at the end. Same fixed-size grid shapes as the KS test. */
+  private def aggMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val (cum, nd) = ecdfGrid(s, d)
+    val a = cum.filter(col("cnt") > 0).join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type").as("type_a"), col("vc"),
+        col("cnt").as("ca_cnt"), col("n").as("na"))
+    val b = cum.join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type").as("type_b"), col("vc"),
+        col("cnt").as("cb_cnt"), col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("vc"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("na"), col("nb"))
+      .agg(sum(expr("ca_cnt * (2 * cb - cb_cnt)")).as("u2"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("u2"),
+        (col("u2").cast(DoubleType) /
+          (lit(2.0) * (col("na") * col("nb")).cast(DoubleType))).as("auc"))
       .orderBy("type_a", "type_b")
   }
 
@@ -887,6 +925,7 @@ object Aggregations {
     "agg_theil" -> aggTheil _,
     "agg_cramers_v" -> aggCramersV _,
     "agg_ks_test" -> aggKsTest _,
+    "agg_mannwhitney" -> aggMannWhitney _,
     "agg_pareto" -> aggPareto _,
     "agg_chi2" -> aggChi2 _,
     "agg_bitmap_overlap" -> aggBitmapOverlap _,
@@ -1066,6 +1105,33 @@ object Aggregations {
         "AND a.event_type < b.event_type " +
         "JOIN nd na ON na.event_type = a.event_type " +
         "JOIN nd nb ON nb.event_type = b.event_type " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY type_a, type_b"
+    },
+    "agg_mannwhitney" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, $c AS vc FROM events), " +
+        "counts AS (SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM ev GROUP BY 1, 2), " +
+        "grid AS (SELECT DISTINCT vc FROM ev), " +
+        "types AS (SELECT DISTINCT event_type FROM ev), " +
+        "cum AS (SELECT event_type, vc, coalesce(cnt, 0) AS cnt, " +
+        "CAST(SUM(coalesce(cnt, 0)) OVER (PARTITION BY event_type " +
+        "ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS c " +
+        "FROM grid CROSS JOIN types " +
+        "LEFT JOIN counts USING (event_type, vc)), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev " +
+        "GROUP BY 1) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "na.n AS na, nb.n AS nb, " +
+        "CAST(SUM(a.cnt * (2 * b.c - b.cnt)) AS BIGINT) AS u2, " +
+        "CAST(SUM(a.cnt * (2 * b.c - b.cnt)) AS DOUBLE) / " +
+        "(2.0 * CAST(na.n * nb.n AS DOUBLE)) AS auc " +
+        "FROM cum a JOIN cum b ON a.vc = b.vc " +
+        "AND a.event_type < b.event_type " +
+        "JOIN nd na ON na.event_type = a.event_type " +
+        "JOIN nd nb ON nb.event_type = b.event_type " +
+        "WHERE a.cnt > 0 " +
         "GROUP BY 1, 2, 3, 4 ORDER BY type_a, type_b"
     },
     "agg_pareto" -> {

@@ -344,6 +344,26 @@ class IndicatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_mannwhitney equals the brute-force doubled U for every pair") {
+    val rows = SparkEntry.queries("agg_mannwhitney")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val ev = U.events(spark, sfDir).select(col("event_type"),
+      U.cents(col("value")).as("vc")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (sa, sb) = (byType(ta), byType(tb))
+      // 2U = Σ over (x∈a, y∈b) of 2·[y<x] + [y==x]
+      val u2 = sa.map(x =>
+        2L * sb.count(_ < x) + sb.count(_ == x)).sum
+      assert(r.getAs[Long]("u2") == u2, s"$ta/$tb doubled U")
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0)
+      assert(auc == u2.toDouble / (2.0 * (sa.length.toLong * sb.length).toDouble))
+    }
+  }
+
   test("ts_decompose reconstructs exactly: 1e6*sc = trend+seasonal+resid") {
     val rows = SparkEntry.queries("ts_decompose")(spark, sfDir).collect()
     assert(rows.nonEmpty)
