@@ -15,6 +15,38 @@ import org.apache.spark.sql.types._
   */
 object TimeSeries {
 
+  /** Cap (rows) under which a per-user anchor frame (first-click / cohort /
+    * funnel-stage timestamps, one row per user) may broadcast into the event
+    * stream. |users| is data-derived — at the 100 TB target it is 10⁸–10⁹
+    * rows, far past any broadcast budget — so every anchor join dispatches
+    * through [[anchorGate]]: broadcast below the cap (map-side, no event
+    * shuffle), plain shuffle-hash equi-join above it. Same pattern and
+    * default as [[Graphs.PrBroadcastNodeCap]]; 1M narrow (user, ts) rows is
+    * ~16 MB serialized, comfortably inside Spark's 8 GB broadcast hard cap
+    * and the default driver memory budget. */
+  private[graft] val UserAnchorCap = 1000000L
+
+  /** Gate a per-user anchor frame: persist it (every caller consumes it at
+    * least twice — the gating count plus >=1 join), count it once, and
+    * return the persisted frame plus a join-side wrapper. Below `cap`
+    * the wrapper is an explicit `broadcast` (derived-frame size estimates
+    * otherwise push the planner to sort-merge over the full event stream);
+    * above it, `hint("shuffle_hash")` — the anchor side exchanges on
+    * user_id, the event side hash-joins without a sort, and AQE cannot
+    * re-broadcast what the gate declined. Both paths are the same equi-join
+    * on user_id, so results are identical by construction (StressSpec
+    * asserts cap=0 parity). In production the count on the persisted frame
+    * costs one narrow agg job; when the anchor is a raw table scan the
+    * decision could come from parquet footer row counts instead — see
+    * SCALE.md "posture gates". */
+  private[graft] def anchorGate(f: DataFrame,
+      cap: Long): (DataFrame, DataFrame => DataFrame) = {
+    val p = U.track(f.persist())
+    val wrap: DataFrame => DataFrame =
+      if (p.count() <= cap) broadcast else _.hint("shuffle_hash")
+    (p, wrap)
+  }
+
   /** 1-hour tumbling window aggregation via Spark's window() — start/end
     * flattened out of the struct for the oracle compare. */
   private def tsTumbling(s: SparkSession, d: String): DataFrame =
@@ -256,19 +288,26 @@ object TimeSeries {
 
   /** Conversion funnel (sequence match): each user's FIRST click, then the
     * first purchase within the following 7 days — the classic
-    * industry-time-sequence funnel stage. Two hash-aggs + one broadcast
-    * join back (the per-user anchor frame is |users|-sized, tiny relative
-    * to events at any scale); no window over the full event stream. */
-  private def tsFunnel(s: SparkSession, d: String): DataFrame = {
+    * industry-time-sequence funnel stage. Two hash-aggs + one anchor
+    * join back, dispatched through [[anchorGate]] (the per-user anchor
+    * frame is |users|-sized — broadcast below [[UserAnchorCap]],
+    * shuffle-hash above); no window over the full event stream. */
+  private def tsFunnel(s: SparkSession, d: String): DataFrame =
+    tsFunnelImpl(s, d, UserAnchorCap)
+
+  private[graft] def tsFunnelImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
     val ev = U.events(s, d)
-    val anchor = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t_click"))
-    val conv = ev.join(broadcast(anchor), col("user_id") === col("u"))
+    val (anchor, wa) = anchorGate(
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t_click")), cap)
+    val conv = ev.join(wa(anchor), col("user_id") === col("u"))
       .filter(col("event_type") === "purchase" &&
         col("ts") >= col("t_click") &&
         col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_conv"))
-    anchor.join(conv, col("u") === col("user_id"), "left")
+    // conv's users ⊆ anchor's users, so anchor's gate verdict covers it
+    anchor.join(wa(conv), col("u") === col("user_id"), "left")
       .select(col("u").as("user_id"), col("t_click"), col("t_conv"),
         col("t_conv").isNotNull.as("converted"))
       .orderBy("user_id")
@@ -276,14 +315,19 @@ object TimeSeries {
 
   /** Cohort retention matrix: users cohorted by first-active day; cell
     * (cohort_day, day_offset) counts users active offset days later. Same
-    * broadcast-anchor shape as the funnel; offsets in exact integer
+    * gated-anchor shape as the funnel; offsets in exact integer
     * micros-DIV-day arithmetic (identical both engines — engine datediff
     * semantics differ and are avoided). */
-  private def tsRetention(s: SparkSession, d: String): DataFrame = {
+  private def tsRetention(s: SparkSession, d: String): DataFrame =
+    tsRetentionImpl(s, d, UserAnchorCap)
+
+  private[graft] def tsRetentionImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
     val ev = U.events(s, d)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
-    val cohort = ev.groupBy(col("user_id").as("u")).agg(min(col("day")).as("cohort_day"))
-    ev.join(broadcast(cohort), col("user_id") === col("u"))
+    val (cohort, wc) = anchorGate(
+      ev.groupBy(col("user_id").as("u")).agg(min(col("day")).as("cohort_day")), cap)
+    ev.join(wc(cohort), col("user_id") === col("u"))
       .select(col("user_id"), col("cohort_day"),
         expr("(unix_micros(day) - unix_micros(cohort_day)) DIV 86400000000")
           .as("day_offset"))
@@ -295,24 +339,34 @@ object TimeSeries {
 
   /** Multi-stage funnel (windowFunnel shape): signup → click → purchase,
     * each stage within 7 days of the previous one, max stage per user.
-    * Chained broadcast-anchor joins — each stage frame is |users|-sized. */
-  private def tsFunnelSteps(s: SparkSession, d: String): DataFrame = {
+    * Chained [[anchorGate]]-dispatched anchor joins — each stage frame is
+    * |users|-sized, broadcast only below [[UserAnchorCap]]. */
+  private def tsFunnelSteps(s: SparkSession, d: String): DataFrame =
+    tsFunnelStepsImpl(s, d, UserAnchorCap)
+
+  private[graft] def tsFunnelStepsImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
     val ev = U.events(s, d)
-    def stageAfter(prev: DataFrame, prevTs: String, etype: String, out: String) =
-      ev.join(broadcast(prev), ev("user_id") === prev("u"))
+    def stageAfter(prev: DataFrame, wrap: DataFrame => DataFrame,
+        prevTs: String, etype: String, out: String) =
+      ev.join(wrap(prev), ev("user_id") === prev("u"))
         .filter(col("event_type") === etype &&
           col("ts") >= col(prevTs) &&
           col("ts") <= col(prevTs) + expr("INTERVAL 7 DAYS"))
         .groupBy(ev("user_id").as("u2")).agg(min(col("ts")).as(out))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t_signup"))
-    val s2 = stageAfter(s1, "t_signup", "click", "t_click")
-      .select(col("u2").as("u"), col("t_click"))
-    val s3 = stageAfter(s2, "t_click", "purchase", "t_purchase")
+    val (s1, w1) = anchorGate(
+      ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t_signup")), cap)
+    val (s2, w2) = anchorGate(
+      stageAfter(s1, w1, "t_signup", "click", "t_click")
+        .select(col("u2").as("u"), col("t_click")), cap)
+    val s3 = stageAfter(s2, w2, "t_click", "purchase", "t_purchase")
       .select(col("u2").as("u3"), col("t_purchase"))
-    s1.join(s2.select(col("u").as("u2x"), col("t_click")),
+    // each stage's users ⊆ the previous stage's, so s2's gate verdict
+    // covers both later frames in the assembly joins
+    s1.join(w2(s2.select(col("u").as("u2x"), col("t_click"))),
         col("u") === col("u2x"), "left")
-      .join(s3, col("u") === col("u3"), "left")
+      .join(w2(s3), col("u") === col("u3"), "left")
       .select(col("u").as("user_id"), col("t_signup"), col("t_click"),
         col("t_purchase"),
         (lit(1L) + col("t_click").isNotNull.cast(LongType) +
@@ -1312,27 +1366,36 @@ object TimeSeries {
     * after that view — all inside anchor+24 h; funnel_level = deepest
     * step reached (0–3), earliest-completion semantics. Generalizes
     * [[tsFunnel]]'s 2-step form to an ordered chain. Each step is one
-    * filtered hash-agg over events joined to the (|users|-sized,
-    * broadcast) anchor frame of the previous step — never a per-user
-    * event-sequence collect, so the shape survives any event volume. */
-  private def tsWindowFunnel(s: SparkSession, d: String): DataFrame = {
+    * filtered hash-agg over events joined to the |users|-sized anchor
+    * frame of the previous step, dispatched through [[anchorGate]]
+    * (broadcast below [[UserAnchorCap]], shuffle-hash above) — never a
+    * per-user event-sequence collect, so the shape survives any event
+    * volume. */
+  private def tsWindowFunnel(s: SparkSession, d: String): DataFrame =
+    tsWindowFunnelImpl(s, d, UserAnchorCap)
+
+  private[graft] def tsWindowFunnelImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
     val ev = U.events(s, d)
-    val t1 = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("u1")).agg(min(col("ts")).as("t1"))
-    val t2 = ev.join(broadcast(t1), col("user_id") === col("u1"))
-      .filter(col("event_type") === "view" && col("ts") > col("t1") &&
-        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
-      .groupBy(col("user_id").as("u2"), col("t1").as("t1b"))
-      .agg(min(col("ts")).as("t2"))
-    val t3 = ev.join(broadcast(t2), col("user_id") === col("u2"))
-      .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
-        col("ts") <= col("t1b") + expr("INTERVAL 24 HOURS"))
-      .groupBy(col("user_id").as("u3")).agg(min(col("ts")).as("t3"))
+    val (t1, w1) = anchorGate(
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("u1")).agg(min(col("ts")).as("t1")), cap)
+    val (t2, w2) = anchorGate(
+      ev.join(w1(t1), col("user_id") === col("u1"))
+        .filter(col("event_type") === "view" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id").as("u2"), col("t1").as("t1b"))
+        .agg(min(col("ts")).as("t2")), cap)
+    val (t3, w3) = anchorGate(
+      ev.join(w2(t2), col("user_id") === col("u2"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t1b") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id").as("u3")).agg(min(col("ts")).as("t3")), cap)
     ev.select(col("user_id")).distinct()
-      .join(broadcast(t1), col("user_id") === col("u1"), "left_outer")
-      .join(broadcast(t2.select(col("u2"), col("t2"))),
+      .join(w1(t1), col("user_id") === col("u1"), "left_outer")
+      .join(w2(t2.select(col("u2"), col("t2"))),
         col("user_id") === col("u2"), "left_outer")
-      .join(broadcast(t3), col("user_id") === col("u3"), "left_outer")
+      .join(w3(t3), col("user_id") === col("u3"), "left_outer")
       .select(col("user_id"),
         (when(col("t3").isNotNull, 3L)
           .when(col("t2").isNotNull, 2L)

@@ -626,7 +626,25 @@ class PlanSpec extends SparkTestBase {
       s"link predict degenerated to all-pairs:\n$p")
   }
 
-  test("agg_boxplot / agg_pareto broadcast their tiny stats side") {
+  test("funnel-family anchor joins are gated: broadcast only below the cap") {
+    // the declared queries run at fixture scale (|users| << UserAnchorCap),
+    // so their anchor joins must plan as broadcast hash joins with no sort
+    for (q <- Seq("ts_funnel", "ts_retention", "ts_funnel_steps",
+        "ts_window_funnel")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: anchor not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: anchor join sort-merged:\n$p")
+      graft.U.releaseTracked()
+    }
+    // past the cap the same query must plan shuffle-hash, never broadcast
+    val p0 = operators.TimeSeries.tsFunnelImpl(spark, sfDir, 0L)
+      .queryExecution.executedPlan.toString
+    graft.U.releaseTracked()
+    assert(p0.contains("ShuffledHashJoin") && !p0.contains("BroadcastHashJoin"),
+      s"past-the-cap funnel anchor not shuffle-hash:\n$p0")
+  }
+
+  test("agg_boxplot / agg_cramers_v broadcast their tiny stats side") {
     for (q <- Seq("agg_boxplot", "agg_cramers_v")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin") ||

@@ -136,6 +136,65 @@ class StressSpec extends SparkTestBase {
       "asymmetric-graph HITS paths diverge")
   }
 
+  test("gated funnel-family anchor paths agree with the broadcast posture") {
+    // r7 verdict #1: ts_funnel / ts_retention / ts_funnel_steps /
+    // ts_window_funnel broadcast their |users|-row anchor frames
+    // unconditionally; they now dispatch through TimeSeries.anchorGate.
+    // Parity claim: cap=0 (every anchor shuffle-hash-joined) must be
+    // row-identical to cap=MaxValue (every anchor broadcast) — it is the
+    // same equi-join on user_id either way.
+    val fams: Seq[(String, (org.apache.spark.sql.SparkSession, String, Long) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      ("ts_funnel", operators.TimeSeries.tsFunnelImpl _),
+      ("ts_retention", operators.TimeSeries.tsRetentionImpl _),
+      ("ts_funnel_steps", operators.TimeSeries.tsFunnelStepsImpl _),
+      ("ts_window_funnel", operators.TimeSeries.tsWindowFunnelImpl _))
+    fams.foreach { case (name, f) =>
+      val bcast = f(spark, sfDir, Long.MaxValue).collect()
+      U.releaseTracked()
+      val shuffled = f(spark, sfDir, 0L).collect()
+      U.releaseTracked()
+      assert(bcast.nonEmpty && bcast.sameElements(shuffled),
+        s"$name: gated anchor paths diverge")
+    }
+  }
+
+  test("window funnel survives a 120k-user anchor set on both gate paths") {
+    // synthetic high-cardinality user set, far past what sf0.1 fixtures
+    // carry: every user clicks at t0+u s, views +1h, purchases +2h — the
+    // closed-form answer is funnel_level=3 for all 120k users. Runs the
+    // real parquet-reading impl against a scratch events dir so the gate,
+    // the persisted anchors, and the final distinct all execute.
+    val n = 120000L
+    val ev = spark.range(0L, n).selectExpr(
+        "id AS user_id",
+        "timestamp_micros(1700000000000000 + id * 1000000) AS ts0")
+      .selectExpr("user_id",
+        "stack(3, 'click', ts0, 'view', ts0 + INTERVAL 1 HOUR, " +
+          "'purchase', ts0 + INTERVAL 2 HOURS) AS (event_type, ts)")
+      .selectExpr("user_id * 3 AS event_id", "ts", "user_id", "event_type",
+        "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+    val d = U.scratch(sfDir, "stress_funnel_sf")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    ev.write.parquet(s"$d/events.parquet")
+    // cap 1000 << 120k users: the anchors MUST take the shuffle-hash path
+    val gated = operators.TimeSeries.tsWindowFunnelImpl(spark, d, 1000L)
+    val gp = gated.queryExecution.executedPlan.toString
+    assert(!gp.contains("BroadcastHashJoin"),
+      s"120k-row anchor still broadcast under cap=1000:\n$gp")
+    val rows = gated.collect()
+    U.releaseTracked()
+    assert(rows.length == n.toInt)
+    assert(rows.forall(_.getAs[Long]("funnel_level") == 3L),
+      "closed-form funnel level violated on the synthetic set")
+    val bcast = operators.TimeSeries.tsWindowFunnelImpl(spark, d, Long.MaxValue)
+      .collect()
+    U.releaseTracked()
+    assert(bcast.sameElements(rows), "high-cardinality gate paths diverge")
+  }
+
   test("struct-fold kernel handles a 200k-point single series exactly") {
     // the ts_macd/ts_kalman scale shape: ONE collect_list per key, bounded
     // by the longest series — drive it 20x past the fixture maximum and
