@@ -80,6 +80,37 @@ object U {
   def scratch(sfDir: String, tag: String): String =
     s"/tmp/graft_scratch/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
 
+  /** Row cap under which a data-derived frame may enter a `broadcast()`
+    * join. 1M narrow rows is tens of MB serialized — inside Spark's 8 GB
+    * broadcast hard limit and any sane driver/executor memory budget —
+    * while the frames this guards (per-user anchors, SF-scaling TPC-H
+    * dims, tombstone sets) reach 10⁸–10⁹ rows at the 100 TB target.
+    * Shared by [[sizeGate]], [[graft.operators.TimeSeries.anchorGate]]
+    * and the graph kernels' PrBroadcastNodeCap (same value by design).
+    * Every broadcast site in the library is inventoried in SCALE.md's
+    * "broadcast audit" table; BroadcastAuditSpec fails when a new site
+    * appears without a table row. */
+  val BroadcastRowCap = 1000000L
+
+  /** Gate a data-derived frame: persist it (every caller consumes it at
+    * least twice — the gating count plus >=1 join), count it once, and
+    * return the persisted frame plus a join-side wrapper. Below `cap` the
+    * wrapper is an explicit `broadcast` (derived-frame size estimates
+    * otherwise push the planner to sort-merge); above it,
+    * `hint("shuffle_hash")` — the frame exchanges on the join key and AQE
+    * cannot re-broadcast what the gate declined. Both paths are the same
+    * equi-join, so results are identical by construction. The count on a
+    * freshly-read parquet frame is answered from footer row counts
+    * (metadata-only); on a derived frame it costs one narrow agg job —
+    * the production alternative is file statistics, see SCALE.md. */
+  def sizeGate(f: DataFrame,
+      cap: Long = BroadcastRowCap): (DataFrame, DataFrame => DataFrame) = {
+    val p = track(f.persist())
+    val wrap: DataFrame => DataFrame =
+      if (p.count() <= cap) broadcast else _.hint("shuffle_hash")
+    (p, wrap)
+  }
+
   /** Per-query persisted-frame registry. Queries that persist an internal
     * frame for the duration of one computation (the PageRank edge frame, the
     * IVF vector frame, a propagation label fixpoint) register it here; the

@@ -113,20 +113,28 @@ object GraftApi {
     * deepest PREFIX of `steps` completed in strict order inside
     * `windowSeconds` of the first step's earliest occurrence per key —
     * the windowFunnel shape, earliest-completion semantics. Each step is
-    * one filtered hash-agg joined to the broadcast anchor frame of the
-    * previous step; a key that misses step i can never match step i+1
-    * (its anchor is null), so `funnel_level` counts a true prefix.
-    * Returns every key with funnel_level (0..steps.length) and each
-    * step's completion time t1..tN. */
+    * one filtered hash-agg joined to the anchor frame of the previous
+    * step; a key that misses step i can never match step i+1 (its anchor
+    * is null), so `funnel_level` counts a true prefix. Returns every key
+    * with funnel_level (0..steps.length) and each step's completion time
+    * t1..tN. The anchor frames are |keys|-cardinality, so they dispatch
+    * through [[graft.U.sizeGate]]: broadcast below `broadcastCap` rows,
+    * shuffle-hash equi-join above it. The verdict is measured once on the
+    * first stage's anchors (one count on a persisted frame, released with
+    * `graft.U.releaseTracked()`); every later stage's key set is a subset,
+    * so the verdict covers the whole chain. */
   def windowFunnel(df: DataFrame, key: String, ts: String, typeCol: String,
-      steps: Seq[String], windowSeconds: Long): DataFrame = {
+      steps: Seq[String], windowSeconds: Long,
+      broadcastCap: Long = graft.U.BroadcastRowCap): DataFrame = {
     require(steps.nonEmpty)
-    var anchors = df.filter(col(typeCol) === steps.head)
-      .groupBy(col(key).as("__k")).agg(min(col(ts)).as("t1"))
-      .withColumn("__prev", col("t1"))
+    val (a0, wrap) = graft.U.sizeGate(
+      df.filter(col(typeCol) === steps.head)
+        .groupBy(col(key).as("__k")).agg(min(col(ts)).as("t1"))
+        .withColumn("__prev", col("t1")), broadcastCap)
+    var anchors = a0
     for ((st, idx) <- steps.tail.zipWithIndex) {
       val cn = s"t${idx + 2}"
-      val next = df.join(broadcast(anchors), col(key) === col("__k"))
+      val next = df.join(wrap(anchors), col(key) === col("__k"))
         .filter(col(typeCol) === st && col(ts) > col("__prev") &&
           unix_micros(col(ts)) <=
             unix_micros(col("t1")) + windowSeconds * 1000000L)
@@ -138,7 +146,7 @@ object GraftApi {
       .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
       .reduce(_ + _)
     df.select(col(key)).distinct()
-      .join(broadcast(anchors.drop("__prev")), col(key) === col("__k"),
+      .join(wrap(anchors.drop("__prev")), col(key) === col("__k"),
         "left_outer")
       .drop("__k")
       .withColumn("funnel_level", level)

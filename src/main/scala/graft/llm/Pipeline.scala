@@ -404,7 +404,10 @@ object Pipeline {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("rng").as("o_rng"), col("rng_off"))
     val w = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
-    base.join(broadcast(offs), col("rng") === col("o_rng"))
+    // |ranges| = |docs|/1024 — corpus-scaling, so the prefix-offset frame
+    // rides the size gate rather than an unconditional broadcast
+    val (offsG, wo) = graft.U.sizeGate(offs)
+    base.join(wo(offsG), col("rng") === col("o_rng"))
       .withColumn("cw", col("rng_off") + sum(col("n_chars")).over(w))
       .filter(expr(s"cw DIV $step") > expr(s"(cw - n_chars) DIV $step"))
       .select(col("doc_id"), col("n_chars"), col("cw"))

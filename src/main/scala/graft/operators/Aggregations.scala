@@ -644,9 +644,11 @@ object Aggregations {
     val dc = U.cents(col("l_discount"))
     val li = U.tbl(s, d, "lineitem")
       .select(col("l_suppkey"), (pc * (lit(100L) - dc)).as("r"))
-    val sup = U.tbl(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    // supplier is an SF-scaling dim (10k·SF rows) — size-gated broadcast
+    val (sup, ws) = U.sizeGate(
+      U.tbl(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")))
     val nat = U.tbl(s, d, "nation").select(col("n_nationkey"), col("n_name"))
-    val rev = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val rev = li.join(ws(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey"), col("s_suppkey"))
       .agg(sum(col("r").cast(dec)).as("rev"))
     val tot = rev.groupBy(col("s_nationkey").as("tk"))

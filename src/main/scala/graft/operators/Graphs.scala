@@ -496,8 +496,10 @@ object Graphs {
   private[graft] def bfsImpl(s: SparkSession, d: String, cap: Long): DataFrame =
     bfsOnAdj(wedgeFrames(s, d)._1, cap)
 
-  private[graft] def bfsOnAdj(adj: DataFrame, cap: Long): DataFrame =
-    (if (adj.count() <= cap) bfsSingleTask(adj) else bfsLoop(adj))
+  private[graft] def bfsOnAdj(adj: DataFrame, cap: Long,
+      frontierBcastCap: Long = PrBroadcastNodeCap): DataFrame =
+    (if (adj.count() <= cap) bfsSingleTask(adj)
+     else bfsLoop(adj, frontierBcastCap))
       .orderBy("hops", "node")
 
   /** Truncated harmonic centrality from the 5 lowest-id seed nodes (the
@@ -551,13 +553,20 @@ object Graphs {
       .orderBy(col("harmonic_micro").desc, col("node")).limit(50)
   }
 
-  private def bfsLoop(adj: DataFrame): DataFrame = {
+  private[graft] def bfsLoop(adj: DataFrame,
+      frontierBcastCap: Long = PrBroadcastNodeCap): DataFrame = {
     // HAVING-style guard: an empty graph yields zero rows (not a NULL
     // source), matching the kernel and the oracle's HAVING COUNT(*) > 0
     val src = adj.agg(min(col("u")).as("n"), count(lit(1)).as("ne"))
       .filter(col("ne") > 0).select(col("n"))
+    // the frontier is bounded by |V| (3-hop reachable set of one seed) —
+    // gate once on the node count, like [[closenessOnAdj]]: broadcast
+    // frontiers below the cap, shuffle-hash semi-joins above it
+    val small = adj.select(col("u")).distinct().count() <= frontierBcastCap
+    def gate(f: DataFrame): DataFrame =
+      if (small) broadcast(f) else f.hint("shuffle_hash")
     def nbrs(fr: DataFrame): DataFrame =
-      adj.join(broadcast(fr.select(col("n").as("fn"))),
+      adj.join(gate(fr.select(col("n").as("fn"))),
           col("u") === col("fn"), "left_semi")
         .select(col("v").as("n")).distinct()
     val h1 = nbrs(src); val h2 = nbrs(h1); val h3 = nbrs(h2)

@@ -233,15 +233,18 @@ object Joins {
     * only lever for skewed BROADCAST-side build or stateful keys): replicate
     * the dim row SALT ways, scatter the fact side with pmod(event_id, SALT),
     * join on (key, salt). Results are identical to the unsalted join, so the
-    * oracle is the plain SQL join. */
+    * oracle is the plain SQL join. The per-user dim is |users|·SALT rows —
+    * data-derived — so it rides [[U.sizeGate]]: broadcast below the cap
+    * (where salting fixes a skewed BUILD side), shuffle-hash above (where
+    * salting spreads a hot key across SALT reducers). */
   private def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
     val salt = 4
     val ev = U.events(s, d)
       .withColumn("salt", pmod(col("event_id"), lit(salt.toLong)))
-    val dim = U.events(s, d).groupBy(col("user_id").as("u"))
+    val (dim, wd) = U.sizeGate(U.events(s, d).groupBy(col("user_id").as("u"))
       .agg(count(lit(1)).as("user_total"))
-      .withColumn("salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
-    ev.join(broadcast(dim), col("user_id") === col("u") && ev("salt") === dim("salt"))
+      .withColumn("salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*))))
+    ev.join(wd(dim), col("user_id") === col("u") && ev("salt") === dim("salt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_totals"))
       .orderBy("event_type")

@@ -297,9 +297,12 @@ object Scans {
     U.events(s, d).filter(pmod(col("event_id"), lit(97L)) === 0)
       .select(col("event_id").as("del_id"))
       .write.mode("overwrite").parquet(delDir)
-    val tombstones = s.read.parquet(delDir)
+    // the tombstone set is ~|events|/97 — corpus-scaling, so it rides the
+    // size gate (the count is a parquet-footer metadata read): broadcast
+    // anti-join below the cap, shuffle-hash anti-join above it
+    val (tombstones, wt) = U.sizeGate(s.read.parquet(delDir))
     U.events(s, d)
-      .join(broadcast(tombstones), col("event_id") === col("del_id"),
+      .join(wt(tombstones), col("event_id") === col("del_id"),
         "left_anti")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))

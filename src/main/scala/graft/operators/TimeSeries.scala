@@ -24,7 +24,7 @@ object TimeSeries {
     * default as [[Graphs.PrBroadcastNodeCap]]; 1M narrow (user, ts) rows is
     * ~16 MB serialized, comfortably inside Spark's 8 GB broadcast hard cap
     * and the default driver memory budget. */
-  private[graft] val UserAnchorCap = 1000000L
+  private[graft] val UserAnchorCap = U.BroadcastRowCap
 
   /** Gate a per-user anchor frame: persist it (every caller consumes it at
     * least twice — the gating count plus >=1 join), count it once, and
@@ -38,14 +38,9 @@ object TimeSeries {
     * asserts cap=0 parity). In production the count on the persisted frame
     * costs one narrow agg job; when the anchor is a raw table scan the
     * decision could come from parquet footer row counts instead — see
-    * SCALE.md "posture gates". */
+    * SCALE.md "posture gates". Delegates to the generic [[U.sizeGate]]. */
   private[graft] def anchorGate(f: DataFrame,
-      cap: Long): (DataFrame, DataFrame => DataFrame) = {
-    val p = U.track(f.persist())
-    val wrap: DataFrame => DataFrame =
-      if (p.count() <= cap) broadcast else _.hint("shuffle_hash")
-    (p, wrap)
-  }
+      cap: Long): (DataFrame, DataFrame => DataFrame) = U.sizeGate(f, cap)
 
   /** 1-hour tumbling window aggregation via Spark's window() — start/end
     * flattened out of the struct for the oracle compare. */

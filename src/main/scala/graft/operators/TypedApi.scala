@@ -59,8 +59,13 @@ object TypedApi {
     val cust = U.tbl(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .as[CustRow]
+    // customer is an SF-scaling TPC-H dim (150k·SF rows) — broadcast only
+    // below the row cap; the count is answered from parquet footers
+    val custSide =
+      if (cust.count() <= U.BroadcastRowCap) broadcast(cust)
+      else cust.hint("shuffle_hash")
     orders.filter((o: OrderRow) => o.o_totalprice > 400000.0)
-      .joinWith(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .joinWith(custSide, col("o_custkey") === col("c_custkey"))
       .map { case (o, c) =>
         BigOrder(o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice) }
       .toDF()

@@ -509,14 +509,27 @@ class PlanSpec extends SparkTestBase {
       s"peel degenerated to a cross join:\n$p")
   }
 
-  test("graph_bfs_hops past the cap broadcasts each frontier") {
-    // every frontier is tiny relative to the edge frame — the expansion
-    // must be map-side (broadcast semi-join), never an edge-side shuffle
+  test("graph_bfs_hops past the cap gates each frontier broadcast") {
+    // below the node cap the frontier expansion must be map-side
+    // (broadcast semi-join), never an edge-side shuffle
     val p = graft.operators.Graphs.bfsImpl(spark, sfDir, 0L)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
       s"frontier not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian frontier join:\n$p")
+    // past the node cap the same loop must shuffle-hash, never broadcast —
+    // and both postures must produce identical hop sets
+    val edges = graft.U.tbl(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey AS u", "l_partkey AS v").distinct()
+    val gated = graft.operators.Graphs.bfsLoop(edges, 0L)
+    val p0 = gated.queryExecution.executedPlan.toString
+    assert(!p0.contains("BroadcastHashJoin") &&
+      p0.contains("ShuffledHashJoin"),
+      s"past-the-node-cap BFS frontier still broadcast:\n$p0")
+    assert(gated.collect().map(_.toSeq).toSet ==
+      graft.operators.Graphs.bfsLoop(edges, Long.MaxValue)
+        .collect().map(_.toSeq).toSet,
+      "BFS frontier gate paths diverge")
   }
 
   test("graph_kcore and graph_bfs_hops gate paths agree (cap=0 parity)") {
