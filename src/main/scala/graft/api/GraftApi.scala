@@ -29,24 +29,32 @@ object GraftApi {
       forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty && buildVals.nonEmpty)
     val probeCols = probe.columns.toSeq
+    // ONE row-marker struct carries every build value together: last(...,
+    // ignoreNulls) skips only probe rows (whose marker is a NULL struct),
+    // never a matched build row whose VALUE column is NULL — so a NULL
+    // build value comes back as the matched row's NULL (DuckDB ASOF
+    // semantics), and all asof_* columns come from the SAME build row
+    val mType = org.apache.spark.sql.types.StructType(
+      buildVals.map(c => build.schema(c)))
     val bSide = build.select(
       keys.map(col) ++ Seq(col(buildTs).as("__ts"), lit(0).as("__side")) ++
         probeCols.filterNot(keys.contains).map(c =>
           lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        buildVals.map(c => col(c).as(s"asof_$c")): _*)
+        Seq(struct(buildVals.map(col): _*).as("__m")): _*)
     val pSide = probe.select(
       keys.map(col) ++ Seq(col(probeTs).as("__ts"), lit(1).as("__side")) ++
         probeCols.filterNot(keys.contains).map(col) ++
-        buildVals.map(c =>
-          lit(null).cast(build.schema(c).dataType).as(s"asof_$c")): _*)
+        Seq(lit(null).cast(mType).as("__m")): _*)
     val ord = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = buildVals.foldLeft(bSide.unionByName(pSide)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    val carried = bSide.unionByName(pSide)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+    buildVals.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col(s"__m.$c"))
+      }
+      .filter(col("__side") === 1).drop("__ts", "__side", "__m")
   }
 
   /** Gap-based sessionization: appends a `session_id` column numbering each
@@ -71,25 +79,30 @@ object GraftApi {
     graft.plans.GroupedTopKApi(df, groupCols, Seq((orderCol, descending)), k,
       rankCol)
 
-  /** Integer micro-unit PageRank over a directed (u, v) edge frame: 3
-    * damped iterations, broadcast rank frames below `broadcastNodeCap`
-    * nodes and co-partitioned shuffle-hash joins above (the documented
-    * 100 TB posture). Returns the TOP-50 (node, pr) rows by rank — the
+  /** Integer micro-unit PageRank over a directed edge frame: 3 damped
+    * iterations, broadcast rank frames below `broadcastNodeCap` nodes and
+    * co-partitioned shuffle-hash joins above (the documented 100 TB
+    * posture). `uCol`/`vCol` name the source/target columns on the
+    * caller's frame. Returns the TOP-50 (node, pr) rows by rank — the
     * same contract as the `graph_pagerank` query; ranks are integer
     * micro-units of the uniform 1e6 start mass. */
-  def pageRank(edges: DataFrame,
+  def pageRank(edges: DataFrame, uCol: String = "u", vCol: String = "v",
       broadcastNodeCap: Long = 1000000L): DataFrame =
-    Graphs.pagerankOnEdges(edges.select(col("u"), col("v")), broadcastNodeCap)
+    Graphs.pagerankOnEdges(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")), broadcastNodeCap)
 
-  /** Connected components over an undirected edge list (u, v): min-id
-    * labels via size-gated DSU (small edge sets, one task) or distributed
-    * min-label propagation (past `dsuEdgeCap`). Returns (node, component). */
+  /** Connected components over an undirected edge list: min-id labels via
+    * size-gated DSU (small edge sets, one task) or distributed min-label
+    * propagation (past `dsuEdgeCap`). `uCol`/`vCol` name the endpoint
+    * columns on the caller's frame. Returns (node, component). */
   def connectedComponents(edges: DataFrame,
-      dsuEdgeCap: Long = Components.DsuEdgeCap): DataFrame =
+      uCol: String = "u", vCol: String = "v",
+      dsuEdgeCap: Long = Components.DsuEdgeCap): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
     Components.labels(
-      edges.select(col("u"), col("v"))
-        .unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))),
       dsuEdgeCap).toDF("node", "component")
+  }
 
   /** 1-D random-walk Kalman filter over (key, ts, value): final filtered
     * level + posterior variance per key, by the same bit-exact struct fold
@@ -155,11 +168,16 @@ object GraftApi {
   /** Two-threshold hysteresis alarm over (key, ts, value): ON above `hi`,
     * OFF only below `lo`, latched via last-IGNORE-NULLS over each key's
     * ordered stream (oscillation between the thresholds cannot flap it).
-    * Appends `alarm` (0/1) and `is_onset` columns; one window pass. */
+    * Appends `alarm` (0/1) and `is_onset` columns; one window pass.
+    * Rows tying on (key, ts) latch in an unspecified order — pass
+    * `tiebreak` (appended to the window ordering) or supply unique
+    * timestamps for determinism; the declared `ts_hysteresis` query
+    * tie-breaks on event_id this way. */
   def hysteresisAlarm(df: DataFrame, key: String, ts: String, value: String,
-      hi: Double, lo: Double): DataFrame = {
+      hi: Double, lo: Double, tiebreak: Option[String] = None): DataFrame = {
     require(lo <= hi)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val ordCols = col(ts) +: tiebreak.map(col).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(ordCols: _*)
     val edge = when(col(value) > hi, 1L).when(col(value) < lo, 0L)
     df.withColumn("alarm", coalesce(
         last(edge, ignoreNulls = true)
@@ -169,11 +187,17 @@ object GraftApi {
         coalesce(lag(col("alarm"), 1).over(w), lit(0L)) === 0L)
   }
 
-  /** Exact-Jaccard near-duplicate pairs over an (id, text) frame: word
-    * 3-gram shingles through a df-capped inverted index (posting lists
-    * longer than `shingleDfCap` are stop-shingles — the quadratic-bomb
-    * control), pairs scored exactly. Returns (id_a, id_b, common, jaccard)
-    * for pairs with jaccard >= `threshold`. */
+  /** Near-duplicate pairs over an (id, text) frame: word 3-gram shingles
+    * through a df-capped inverted index (posting lists longer than
+    * `shingleDfCap` are stop-shingles — the quadratic-bomb control).
+    * Returns (id_a, id_b, common, jaccard) for pairs with jaccard >=
+    * `threshold`. NOTE on exactness (same tradeoff as the declared
+    * `dedup_jaccard` query): shingles dropped by the df cap are excluded
+    * from `common` but still counted in each document's shingle total, so
+    * the reported jaccard is a LOWER BOUND for pairs that share
+    * stop-shingles — a pair can only be under-scored, never over-scored.
+    * Raise `shingleDfCap` (or Long.MaxValue) for exact scores at the cost
+    * of the hot posting lists' quadratic blowup. */
   def nearDupPairs(df: DataFrame, id: String, text: String,
       threshold: Double = 0.2, shingleDfCap: Long = 1000L): DataFrame = {
     val sized = df.select(col(id).as("__id"),

@@ -28,6 +28,26 @@ class ApiSpec extends SparkTestBase {
     assert(fwd.toSeq == Seq(Some(1.0), Some(2.0), None, Some(9.0)))
   }
 
+  test("asOfJoin returns the matched row's NULL and same-row values") {
+    // r7 advisor: per-column last(ignoreNulls) skipped a matched build row
+    // whose value was NULL (carrying an older row's value forward) and
+    // could mix asof_* columns from different build rows. The row-marker
+    // struct fixes both: the probe at t=12 matches the t=10 build row and
+    // must surface ITS NULL price together with ITS qty.
+    val build = Seq(("a", 5L, Some(1.0), 100L), ("a", 10L, None, 200L))
+      .toDF("k", "bt", "price", "qty")
+      .select($"k", timestamp_micros($"bt" * 1000000L).as("bt"),
+        $"price", $"qty")
+    val probe = Seq(("a", 12L)).toDF("k", "pt")
+      .select($"k", timestamp_micros($"pt" * 1000000L).as("pt"))
+    val r = GraftApi.asOfJoin(probe, build, Seq("k"), "pt", "bt",
+      Seq("price", "qty")).collect().head
+    assert(r.getAs[Any]("asof_price") == null,
+      "matched row's NULL value must come back as NULL, not an older value")
+    assert(r.getAs[Long]("asof_qty") == 200L,
+      "all asof_* columns must come from the SAME matched build row")
+  }
+
   test("asOfJoin on the fixtures equals the declared join_asof query") {
     // the facade and the declared query must be the SAME kernel — drive
     // the facade on the fixture frames and compare row-for-row
@@ -80,6 +100,33 @@ class ApiSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
     assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
+  test("graph facades accept caller-supplied edge column names") {
+    // r7 advisor: pageRank/connectedComponents hardcoded u/v despite the
+    // facade's caller-supplied-names contract
+    val edges = spark.range(0L, 1000L)
+      .selectExpr("id AS src", "(id + 1) % 1000 AS dst")
+    val pr = GraftApi.pageRank(edges, "src", "dst").collect()
+    assert(pr.length == 50 &&
+      pr.map(_.getAs[Long]("pr")).distinct.toSeq == Seq(1000000L))
+    val e = Seq((1L, 2L), (10L, 11L)).toDF("from", "to")
+    val cc = GraftApi.connectedComponents(e, "from", "to").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    U.releaseTracked()
+  }
+
+  test("hysteresisAlarm tie-breaks deterministically when asked") {
+    // two rows tie at t=2: with the tiebreak the later seq (value 2.0,
+    // below lo) must win the latch, deterministically run-over-run
+    val df = Seq(("k", 1L, 11.0, 1L), ("k", 2L, 11.0, 2L), ("k", 2L, 2.0, 3L),
+      ("k", 3L, 7.0, 4L)).toDF("g", "t", "v", "seq")
+      .select($"g", timestamp_micros($"t" * 1000000L).as("t"), $"v", $"seq")
+    val got = GraftApi.hysteresisAlarm(df, "g", "t", "v", hi = 10.0, lo = 3.0,
+      tiebreak = Some("seq"))
+      .orderBy("seq").collect().map(_.getAs[Long]("alarm"))
+    assert(got.toSeq == Seq(1L, 1L, 0L, 0L))
   }
 
   test("kalmanFilter on a constant series converges to the constant") {
