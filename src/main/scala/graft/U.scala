@@ -101,13 +101,27 @@ object U {
     * cannot re-broadcast what the gate declined. Both paths are the same
     * equi-join, so results are identical by construction. The count on a
     * freshly-read parquet frame is answered from footer row counts
-    * (metadata-only); on a derived frame it costs one narrow agg job —
-    * the production alternative is file statistics, see SCALE.md. */
+    * (metadata-only); on a derived frame it costs one narrow agg job.
+    *
+    * Production decision source: before counting, the gate consults the
+    * optimizer's size estimate — for a raw table scan that is the SUM OF
+    * FILE SIZES from the catalog/filesystem listing, zero jobs. A frame
+    * estimated past [[SizeGateStatsBytes]] cannot plausibly fit the row
+    * cap (1M narrow rows is tens of MB; 1 GiB is a 40× margin), so the
+    * count is skipped and the shuffle posture pinned. The fast path errs
+    * in ONE direction only: an inflated estimate on a derived frame can
+    * at worst pick shuffle-hash for a broadcastable frame (slower, never
+    * wrong, and only past 1 GiB estimates); it can never broadcast an
+    * over-cap frame, because small verdicts still require the count. */
+  val SizeGateStatsBytes: Long = 1L << 30
+
   def sizeGate(f: DataFrame,
       cap: Long = BroadcastRowCap): (DataFrame, DataFrame => DataFrame) = {
     val p = track(f.persist())
+    val estBytes = p.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = estBytes <= BigInt(SizeGateStatsBytes) && p.count() <= cap
     val wrap: DataFrame => DataFrame =
-      if (p.count() <= cap) broadcast else _.hint("shuffle_hash")
+      if (small) broadcast else _.hint("shuffle_hash")
     (p, wrap)
   }
 

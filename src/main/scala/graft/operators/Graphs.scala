@@ -215,6 +215,10 @@ object Graphs {
     // sink count alone exceeds the cap and the distinct-source job never
     // runs — the second count is only paid on graphs small enough for it
     // to be cheap.
+    // production decision source: distinct-key statistics from the
+    // catalog (NDV sketches) where the edge set is a stored table; on
+    // this derived frame the two counts below are the only option, and
+    // the first doubles as araw's cache materializer
     val small = araw.count() <= broadcastCap &&
       e.select(col("u")).distinct().count() <= broadcastCap
     def side(df: DataFrame): DataFrame =
@@ -433,6 +437,10 @@ object Graphs {
   private[operators] val GraphIterEdgeCap = 5000000L
 
   private[graft] def kcoreOnAdj(adj: DataFrame, cap: Long): DataFrame = {
+    // gate action on the cached adjacency; production decision source at
+    // 100 TB: catalog/file row statistics when the edge set is a stored
+    // table (here it is a derived pair frame, so the count doubles as the
+    // cache materializer)
     val degs =
       if (adj.count() <= cap) kcoreDegreesSingleTask(adj)
       else kcoreDegreesLoop(adj)
@@ -498,6 +506,8 @@ object Graphs {
 
   private[graft] def bfsOnAdj(adj: DataFrame, cap: Long,
       frontierBcastCap: Long = PrBroadcastNodeCap): DataFrame =
+    // gate action (production source: catalog/file row stats for stored
+    // edge tables; this adjacency is derived, so the count warms its cache)
     (if (adj.count() <= cap) bfsSingleTask(adj)
      else bfsLoop(adj, frontierBcastCap))
       .orderBy("hops", "node")
@@ -523,6 +533,8 @@ object Graphs {
     // one count on the (persisted, shared) adjacency picks the posture
     // for every frontier/reached join below; the frontier is ≤ 5·|V|
     // (seed, node) rows, so the gate compares against the node count
+    // production decision source: catalog NDV statistics for stored edge
+    // tables; one distinct-count job on the derived adjacency otherwise
     val small = adj.select(col("u")).distinct().count() <= broadcastCap
     def gate(f: DataFrame): DataFrame =
       if (small) broadcast(f) else f.hint("shuffle_hash")

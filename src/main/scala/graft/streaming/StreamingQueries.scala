@@ -217,6 +217,14 @@ object StreamingQueries {
     }
   }
 
+  /** Cost-attribution note for the LAST memory-sinked replay (read by
+    * [[graft.StreamProfile]], backs BASELINE.md's BENCH-NOTES): micro-batch
+    * count, stateful-operator count, and the summed state-store commit /
+    * update wall-clock across all batches. The replay's fixed cost is
+    * batches × stateOps × shufflePartitions state-store commit rounds —
+    * inherent micro-batch overhead, not a plan defect. */
+  private[graft] var lastReplayNote: String = ""
+
   /** Run a streaming transform of the staged events to completion, return
     * the memory-sink table. */
   private def runStream(s: SparkSession, d: String, mode: String,
@@ -228,6 +236,13 @@ object StreamingQueries {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val prog = q.recentProgress
+    val stateOps = prog.lastOption.map(_.stateOperators.length).getOrElse(0)
+    lastReplayNote = s"batches=${prog.length} stateOps=$stateOps " +
+      s"commitRounds=${prog.length * stateOps * 8} " +
+      s"stateCommitMs=${prog.flatMap(_.stateOperators.map(_.commitTimeMs)).sum} " +
+      s"stateUpdateMs=${prog.flatMap(_.stateOperators.map(_.allUpdatesTimeMs)).sum} " +
+      s"batchDurationMs=${prog.map(_.batchDuration).sum}"
     s.table(name)
   }
 
