@@ -187,6 +187,52 @@ object GraftApi {
         coalesce(lag(col("alarm"), 1).over(w), lit(0L)) === 0L)
   }
 
+  /** Multimodal ingestion: scan a directory of media files into the
+    * BinaryType + typed-metadata frame the `multimodal_*` kernels consume —
+    * `(path, mod_time, n_bytes, mime, payload, digest)` — optionally
+    * exact-deduplicated by content digest. This is the fixture-readiness
+    * path for a driver-shipped image/audio fixture (SURVEY §1): pointing
+    * it at a real media directory is a path change, not new code.
+    *
+    * Scale shape: Spark's `binaryFile` source lists files distributed and
+    * reads each file once; mime is derived from the extension (a real
+    * deployment would sniff magic bytes in the same projection). With
+    * `dedupByDigest`, keepers (min path per digest) are computed from a
+    * digest-only projection — the PAYLOAD never enters that shuffle, only
+    * 32-byte digests — and joined back `left_semi` through
+    * [[graft.U.sizeGate]]: below the cap the keeper set broadcasts and
+    * payloads never move; past it the semi-join shuffles (unavoidable
+    * when the keeper set itself is shuffle-scale). Release the gate's
+    * cached keeper frame with `graft.U.releaseTracked()` when done. */
+  def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      pathGlobFilter: Option[String] = None,
+      dedupByDigest: Boolean = true): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val withGlob = pathGlobFilter.fold(reader)(g =>
+      reader.option("pathGlobFilter", g))
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val framed = withGlob.load(dir).select(
+        col("path"), col("modificationTime").as("mod_time"),
+        col("length").cast(LongType).as("n_bytes"),
+        when(ext === "png", "image/png")
+          .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+          .when(ext === "gif", "image/gif")
+          .when(ext === "wav", "audio/wav")
+          .when(ext === "mp3", "audio/mpeg")
+          .when(ext === "mp4", "video/mp4")
+          .when(ext === "txt", "text/plain")
+          .otherwise("application/octet-stream").as("mime"),
+        col("content").as("payload"),
+        sha2(col("content"), 256).as("digest"))
+    if (!dedupByDigest) framed
+    else {
+      val (keep, wk) = graft.U.sizeGate(
+        framed.select(col("digest"), col("path"))
+          .groupBy(col("digest")).agg(min(col("path")).as("path")))
+      framed.join(wk(keep), Seq("digest", "path"), "left_semi")
+    }
+  }
+
   /** Near-duplicate pairs over an (id, text) frame: word 3-gram shingles
     * through a df-capped inverted index (posting lists longer than
     * `shingleDfCap` are stop-shingles — the quadratic-bomb control).

@@ -168,6 +168,50 @@ class ApiSpec extends SparkTestBase {
       (1L, false), (0L, false), (0L, false)))
   }
 
+  test("ingestBinaryDir frames and digest-dedups generated PNGs") {
+    // real JDK PNG bytes on disk (the one codec this container ships) —
+    // a driver-shipped media fixture would enter through this exact path
+    val dir = U.scratch(sfDir, "ingest_png")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, (seed * 31 + y * 4 + x) * 7919 % 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+      out.write(bytes); out.close()
+    }
+    put("a.png", png(1))
+    put("b.png", png(2))
+    put("dup_of_a.png", png(1)) // byte-identical content, different path
+    put("notes.txt", "not an image".getBytes("UTF-8"))
+    val all = api.GraftApi.ingestBinaryDir(spark, dir, dedupByDigest = false)
+    assert(all.count() == 4)
+    assert(all.filter($"mime" === "image/png").count() == 3)
+    assert(all.filter($"mime" === "text/plain").count() == 1)
+    val deduped = api.GraftApi.ingestBinaryDir(spark, dir,
+      pathGlobFilter = Some("*.png"))
+    val rows = deduped.collect()
+    U.releaseTracked()
+    assert(rows.length == 2, "byte-identical PNG must dedup to one keeper")
+    // min-path keeper wins and the payload survives the semi-join intact
+    assert(rows.exists(r => r.getAs[String]("path").endsWith("a.png")))
+    assert(!rows.exists(r => r.getAs[String]("path").endsWith("dup_of_a.png")))
+    val payload = rows.head.getAs[Array[Byte]]("payload")
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P',
+      "ingested payload lost its PNG magic")
+    assert(rows.forall(r => r.getAs[Long]("n_bytes") ==
+      r.getAs[Array[Byte]]("payload").length.toLong))
+  }
+
   test("nearDupPairs finds the planted near-duplicate only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"w$i").mkString(" ") + " x y"
