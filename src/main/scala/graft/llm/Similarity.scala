@@ -507,7 +507,39 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Binary (sign-bit) embedding search: each 64-dim vector collapses to a
+    * 64-bit sign signature carried as TWO 32-bit words (both engines bit-op
+    * BIGINTs; a 1<<63 sign-bit word would overflow DuckDB's checked shift),
+    * then the 8 lowest-id probes rank the corpus by exact Hamming distance
+    * — bit_count(xor) per word, pure integer, hash-exact. This is the
+    * memory-bound ANN rung below IVF/LSH: signatures are 8 bytes/vector
+    * (512× smaller than the float payload), the scan is one broadcast
+    * probe block over a single corpus stream (same shape as
+    * sim_bruteforce_topk), and Hamming ranks agree with cosine ranks in
+    * the high-similarity regime LlmSpec checks. */
+  private def hammingTopk(s: SparkSession, d: String): DataFrame = {
+    def word(lo: Int): String =
+      s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), " +
+        "(acc, i) -> acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), " +
+        "shiftleft(CAST(1 AS BIGINT), i - " + lo + "), CAST(0 AS BIGINT)))"
+    val sig = U.tbl(s, d, "embeddings").select(col("vec_id"),
+      expr(word(0)).as("w0"), expr(word(32)).as("w1"))
+    val q = sig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hamming_topk" -> hammingTopk _,
     "emb_matryoshka" -> embMatryoshka _,
     "sim_index_persist" -> indexPersist _,
     "emb_label_separation" -> labelSeparation _,
@@ -635,6 +667,25 @@ object Similarity {
       s"$a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_hamming_topk" ->
+      ("WITH sig AS (SELECT vec_id, " +
+        "list_reduce(list_transform(range(32), i -> CASE WHEN " +
+        "embedding[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS w0, " +
+        "list_reduce(list_transform(range(32, 64), i -> CASE WHEN " +
+        "embedding[i+1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32)) " +
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS w1 " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM sig " +
+        "WHERE vec_id < 8), " +
+        "scored AS (SELECT q_id, vec_id, " +
+        "CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) " +
+        "AS hamming FROM sig CROSS JOIN q WHERE vec_id <> q_id), " +
+        "ranked AS (SELECT q_id, vec_id, hamming, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY hamming, vec_id) AS BIGINT) AS rank FROM scored) " +
+        "SELECT q_id, rank, vec_id, hamming FROM ranked " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
     "emb_matryoshka" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm, " +

@@ -424,7 +424,30 @@ object TextAnalysis {
         col("pass_word_len"), col("pass_alpha"), col("pass_stop"), col("keep"))
       .orderBy("doc_id")
 
+  /** Flesch reading-ease per document — the classic readability score a
+    * curation pipeline thresholds on. Syllables use the standard
+    * vowel-group heuristic (maximal [aeiouy]+ runs over the lowercased
+    * text — deterministic, no dictionary), sentences count [.!?]+ runs
+    * clamped to >=1, words reuse the library tokenizer. The three counts
+    * are exact integers; the score's double tree
+    * (206.835 − 1.015·w/s − 84.6·syl/w) is mirrored token-for-token in
+    * the oracle. Pure per-row projection: no shuffle before the sort. */
+  private def readability(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast(LongType),
+          lit(1L)).as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast(LongType)
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words")))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> readability _,
     "text_gopher_rules" -> gopherRules _,
     "text_boilerplate" -> boilerplate _,
     "text_pmi" -> pmi _,
@@ -464,6 +487,17 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      (s"WITH c AS (SELECT doc_id, " +
+        s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_words, " +
+        "GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), " +
+        "CAST(1 AS BIGINT)) AS n_sentences, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) " +
+        "AS n_syllables FROM documents) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - " +
+        "84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch " +
+        "FROM c WHERE n_words > 0 ORDER BY doc_id"),
     "text_gopher_rules" ->
       (s"WITH $gopherCtes " +
         "SELECT doc_id, n_tokens, " +

@@ -923,7 +923,97 @@ object Aggregations {
       .orderBy("c_mktsegment")
   }
 
+  /** Spearman rank correlation between value and event time per event type
+    * (the monotone-trend probe Pearson misses). Average ranks for ties come
+    * WITHOUT a second sort per column: 2·avg_rank = rank() + peer-inclusive
+    * count over the RANGE frame (rank = below+1, range-count = at-or-below;
+    * their sum is exactly twice the midrank), an integer both engines agree
+    * on. Doubled ranks then flow through exact Decimal(38,0) power sums —
+    * safe to ~1e9 rows per group (n·Σxy ≤ 4e36 < 1e38) — and the only
+    * doubles are the closing ratio's casts, tree-mirrored in the oracle.
+    * Two window sorts (one per ranked column) + one hash-agg. */
+  private def aggSpearman(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("us"))
+    val pv = wv.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val pt = wt.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    U.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("rx", rank().over(wv).cast(LongType) + count(lit(1)).over(pv))
+      .withColumn("ry", rank().over(wt).cast(LongType) + count(lit(1)).over(pt))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+        sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+        sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+      .select(col("event_type"), col("n").cast(LongType).as("n"),
+        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+            sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("spearman"))
+      .orderBy("event_type")
+  }
+
+  /** Empirical CDF per event type at nine fixed probe points — the
+    * distribution fingerprint a drift monitor compares release-over-release.
+    * ONE pass: nine conditional counts in a single hash-agg (no per-probe
+    * scan, no event×probe blowup), unpivoted with stack(); ecdf is the
+    * exact-integer ratio cast once to double. */
+  private def aggEcdf(s: SparkSession, d: String): DataFrame = {
+    val probes = 50 to 450 by 50
+    val aggs = probes.map(p =>
+      sum((col("value") <= p).cast(LongType)).as(s"c$p"))
+    U.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("event_type"), col("n"),
+        expr("stack(" + probes.length + ", " +
+          probes.map(p => s"CAST($p AS BIGINT), c$p").mkString(", ") +
+          ") AS (probe, n_le)"))
+      .select(col("event_type"), col("probe"), col("n_le"),
+        (col("n_le").cast(DoubleType) / col("n")).as("ecdf"))
+      .orderBy("event_type", "probe")
+  }
+
+  /** Jensen–Shannon divergence terms between the click and purchase value
+    * distributions over 50-unit buckets (the symmetric, finite
+    * distribution-shift measure; KL is its one-sided term). Buckets are
+    * exact (cents DIV 5000); each side's term is (c/n)·ln(2·c·n' /
+    * (c·n' + c'·n)) with the log's argument an exact integer ratio (Long
+    * products — safe to ~1e9 events per side) and the term floored to
+    * integer MICRO-nats before any summation (the agg_entropy discipline).
+    * JSD itself = (Σ term_p + Σ term_q) / 2e6, recoverable by summation;
+    * the per-bucket table is the declared result so the compare pins every
+    * term. Two hash-aggs + one |buckets|-sized outer join. */
+  private def aggJsd(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, cn: String) = U.events(s, d)
+      .filter(col("event_type") === t)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(expr("vc DIV 5000").as("bucket"))
+      .agg(count(lit(1)).as(cn))
+    val p = side("click", "cp")
+    val q = side("purchase", "cq")
+    val joined = p.join(q, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val tot = joined.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cp"), col("cq"),
+        when(col("cp") > 0, floor(
+          col("cp").cast(DoubleType) / col("np") *
+            log(expr("CAST(2 * cp * nq AS DOUBLE) / CAST(cp * nq + cq * np AS DOUBLE)")) *
+            lit(1000000.0)).cast(LongType)).otherwise(lit(0L)).as("term_p_micro"),
+        when(col("cq") > 0, floor(
+          col("cq").cast(DoubleType) / col("nq") *
+            log(expr("CAST(2 * cq * np AS DOUBLE) / CAST(cq * np + cp * nq AS DOUBLE)")) *
+            lit(1000000.0)).cast(LongType)).otherwise(lit(0L)).as("term_q_micro"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_spearman" -> aggSpearman _,
+    "agg_ecdf" -> aggEcdf _,
+    "agg_jsd" -> aggJsd _,
     "agg_theil" -> aggTheil _,
     "agg_cramers_v" -> aggCramersV _,
     "agg_ks_test" -> aggKsTest _,
@@ -1044,6 +1134,57 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_spearman" ->
+      ("WITH r AS (SELECT event_type, " +
+        "CAST(rank() OVER wv AS BIGINT) + COUNT(*) OVER pv AS rx, " +
+        "CAST(rank() OVER wt AS BIGINT) + COUNT(*) OVER pt AS ry " +
+        "FROM (SELECT event_type, value, epoch_us(ts) AS us FROM events) " +
+        "WINDOW wv AS (PARTITION BY event_type ORDER BY value), " +
+        "pv AS (PARTITION BY event_type ORDER BY value " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wt AS (PARTITION BY event_type ORDER BY us), " +
+        "pt AS (PARTITION BY event_type ORDER BY us " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT event_type, COUNT(*) AS n, SUM(rx) AS sx, " +
+        "SUM(ry) AS sy, SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, " +
+        "SUM(ry * ry) AS syy FROM r GROUP BY event_type) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+        "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman " +
+        "FROM g ORDER BY event_type"),
+    "agg_ecdf" ->
+      ("WITH p AS (SELECT * FROM (VALUES " +
+        (50 to 450 by 50).map(v => s"($v)").mkString(", ") + ") t(probe)) " +
+        "SELECT event_type, CAST(probe AS BIGINT) AS probe, " +
+        "CAST(SUM(CASE WHEN value <= probe THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_le, " +
+        "CAST(CAST(SUM(CASE WHEN value <= probe THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS DOUBLE) / COUNT(*) AS ecdf " +
+        "FROM events CROSS JOIN p GROUP BY event_type, probe " +
+        "ORDER BY event_type, probe"),
+    "agg_jsd" -> {
+      val c = OSQL.cents("value")
+      s"WITH p AS (SELECT $c // 5000 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS cp FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1), " +
+        s"q AS (SELECT $c // 5000 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS cq FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1), " +
+        "j AS (SELECT COALESCE(p.bucket, q.bucket) AS bucket, " +
+        "COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq " +
+        "FROM p FULL OUTER JOIN q ON p.bucket = q.bucket), " +
+        "tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, " +
+        "CAST(SUM(cq) AS BIGINT) AS nq FROM j) " +
+        "SELECT bucket, cp, cq, " +
+        "CASE WHEN cp > 0 THEN CAST(floor(CAST(cp AS DOUBLE) / np * " +
+        "ln(CAST(2 * cp * nq AS DOUBLE) / CAST(cp * nq + cq * np AS DOUBLE))" +
+        " * 1000000.0) AS BIGINT) ELSE 0 END AS term_p_micro, " +
+        "CASE WHEN cq > 0 THEN CAST(floor(CAST(cq AS DOUBLE) / nq * " +
+        "ln(CAST(2 * cq * np AS DOUBLE) / CAST(cq * np + cp * nq AS DOUBLE))" +
+        " * 1000000.0) AS BIGINT) ELSE 0 END AS term_q_micro " +
+        "FROM j CROSS JOIN tot ORDER BY bucket"
+    },
     "agg_theil" -> {
       val c = OSQL.cents("c_acctbal")
       s"WITH pos AS (SELECT c_mktsegment, $c AS xc FROM customer " +

@@ -885,7 +885,33 @@ object Graphs {
       s"l3 AS (${round.format("l2")})"
   }
 
+  /** Katz centrality truncated at path length 2 over the co-purchase
+    * digraph, attenuation α=1/8 in exact integer micro-units:
+    * katz = 1 + α·(paths of length 1 in) + α²·(paths of length 2 in),
+    * i.e. 1e6 + (1e6·indeg) DIV 8 + (1e6·Σ_{u→v} indeg(u)) DIV 64 — the
+    * closed non-iterative form, so unlike PageRank there is NO fixpoint
+    * loop: one |V| in-degree rollup, one edge⋈degree join (the degree
+    * frame rides [[graft.U.sizeGate]] — broadcast below the cap,
+    * shuffle-hash above), one rollup, top-50. Length-2 truncation keeps
+    * every sum exact in Long (indeg ≤ |V|, Σ ≤ |E|·max_indeg). */
+  private def graphKatz(s: SparkSession, d: String): DataFrame = {
+    val e = coPairs(s, d).select(col("u"), col("v"))
+    val (ind, wi) = graft.U.sizeGate(
+      e.groupBy(col("v").as("n")).agg(count(lit(1)).as("ind")))
+    val p2 = e.join(
+        wi(ind.select(col("n").as("un"), col("ind").as("u_ind"))),
+        col("u") === col("un"))
+      .groupBy(col("v").as("n2")).agg(sum(col("u_ind")).as("p2"))
+    ind.join(p2, col("n") === col("n2"), "left")
+      .select(col("n").as("node"),
+        (lit(1000000L) + expr("(1000000 * ind) DIV 8") +
+          expr("(1000000 * COALESCE(p2, CAST(0 AS BIGINT))) DIV 64"))
+          .as("katz_micro"))
+      .orderBy(col("katz_micro").desc, col("node")).limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_katz" -> graphKatz _,
     "graph_assortativity" -> graphAssortativity _,
     "graph_community_lp" -> graphCommunityLp _,
     "graph_modularity" -> graphModularity _,
@@ -1064,6 +1090,18 @@ object Graphs {
         "GROUP BY a) " +
         "SELECT component, COUNT(*) AS n_nodes FROM lab " +
         "GROUP BY component ORDER BY n_nodes DESC, component"),
+    "graph_katz" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "ind AS (SELECT v AS n, CAST(COUNT(*) AS BIGINT) AS ind " +
+        "FROM edges GROUP BY v), " +
+        "p2 AS (SELECT e.v AS n2, CAST(SUM(i.ind) AS BIGINT) AS p2 " +
+        "FROM edges e JOIN ind i ON e.u = i.n GROUP BY e.v) " +
+        "SELECT n AS node, CAST(1000000 + (1000000 * ind) // 8 + " +
+        "(1000000 * COALESCE(p2, 0)) // 64 AS BIGINT) AS katz_micro " +
+        "FROM ind LEFT JOIN p2 ON n = n2 " +
+        "ORDER BY katz_micro DESC, node LIMIT 50"),
     "graph_pagerank" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +

@@ -1541,7 +1541,177 @@ object TimeSeries {
         col("fin.p").as("variance"))
       .orderBy("user_id")
 
+  /** Rolling OLS trend per user: slope and intercept of value-vs-index over
+    * the trailing 10 points, emitted once the frame is full. All four power
+    * sums (Σx, Σy, Σxy, Σx²) are exact Longs over one ROWS frame — the only
+    * doubles are the two closing divisions, with the oracle mirroring the
+    * operation tree token-for-token. One shuffle (the per-user sort); the
+    * window never materializes more than the 10-row frame per position, so
+    * the shape is the same at 100 TB. x is the per-user row index, so slope
+    * is value-units per step; products stay far inside Long (idx ≤ rows per
+    * user, cents ≤ 5e4 → idx·cents·10 ≤ 1e12 even at 1e6 rows/user). */
+  private def tsRollingOls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val f = w.rowsBetween(-9, Window.currentRow)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("sx", sum(col("rn")).over(f))
+      .withColumn("sy", sum(col("vc")).over(f))
+      .withColumn("sxy", sum(col("rn") * col("vc")).over(f))
+      .withColumn("sxx", sum(col("rn") * col("rn")).over(f))
+      .filter(col("rn") >= 10)
+      .withColumn("slope",
+        (lit(10.0) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
+          (lit(100.0) * (lit(10.0) * col("sxx") -
+            col("sx").cast(DoubleType) * col("sx"))))
+      .select(col("event_id"), col("user_id"), col("ts"), col("slope"),
+        ((col("sy").cast(DoubleType) / lit(100.0) -
+          col("slope") * col("sx")) / lit(10.0)).as("intercept"))
+      .orderBy("event_id")
+  }
+
+  /** Full-series rescaled-range (R/S) statistic per user — the building
+    * block of a Hurst-exponent estimate (the exponent itself is the log-log
+    * slope of this statistic across window scales; one scale is declared
+    * here, the multi-scale sweep is its composition). The cumulative
+    * deviation is kept EXACT by scaling out the mean's division:
+    * D_k = n·cumsum_k − k·total (integer cents·n), so R_scaled = max−min is
+    * exact and S² comes from the standard covPowerSums tree. One shuffle
+    * (per-user sort) + one hash-agg; D_k products stay inside Long up to
+    * ~1e6 rows/user at 5e4 cents (5e16 < 2⁶³). */
+  private def tsHurstRs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s2 = U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd"))
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("dev",
+        col("n") * sum(col("vc")).over(run) - col("k") * sum(col("vc")).over(full))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"),
+        (max(col("dev")) - min(col("dev"))).as("r_scaled"),
+        count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("vc")).cast(DoubleType).as("sy"),
+        sum(col("vc") * col("vc")).cast(DoubleType).as("syy"))
+      .select(col("user_id"), col("n"), col("r_scaled"),
+        s2.as("s2"),
+        ((col("r_scaled").cast(DoubleType) / col("n") / lit(100.0)) /
+          sqrt(nullif(s2, lit(0.0)))).as("rs"))
+      .orderBy("user_id")
+  }
+
+  /** Order-3 permutation entropy per user (complexity/randomness probe of
+    * an industrial signal): each consecutive value triple maps to one of 8
+    * comparison patterns (a<b, b<c, a<c bits — ties fold deterministically
+    * into the ≥ branches, identical both engines on exact cents), pattern
+    * frequencies roll up per user, entropy sums the per-pattern terms in
+    * floored integer MICRO-nats (the agg_entropy discipline: float-order
+    * and libm drift cannot reach the hash). One shuffle + two hash-aggs. */
+  private def tsPermEntropy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = U.events(s, d)
+      .withColumn("c", U.cents(col("value")))
+      .withColumn("a", lag(col("c"), 2).over(w))
+      .withColumn("b", lag(col("c"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .withColumn("pat",
+        (col("a") < col("b")).cast(LongType) * 4 +
+          (col("b") < col("c")).cast(LongType) * 2 +
+          (col("a") < col("c")).cast(LongType))
+      .groupBy(col("user_id"), col("pat")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("user_id").as("u")).agg(sum(col("cnt")).as("n"))
+    counts.join(tot, col("user_id") === col("u"))
+      .withColumn("term_micro",
+        floor(col("cnt").cast(DoubleType) / col("n") *
+          log(col("cnt").cast(DoubleType) / col("n")) * lit(-1000000.0))
+          .cast(LongType))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_patterns"), max(col("n")).as("n_triples"),
+        (sum(col("term_micro")).cast(DoubleType) / lit(1000000.0))
+          .as("perm_entropy_nats"))
+      .orderBy("user_id")
+  }
+
+  /** Burst detection per event type: maximal runs of >=3 CONSECUTIVE hours
+    * each at least 4/3× the type's mean hourly rate. The threshold compare
+    * is exact-integer (3·n_b·n_hours >= 4·total ⟺ n_b >= (4/3)·mean — no
+    * division), runs come from the gaps-islands trick on the hour index.
+    * Two hash-aggs + one per-type window over HOURLY buckets (≤ |hours|
+    * rows — the event stream itself is never windowed), then one rollup
+    * per island: the whole query is bucket-cardinality after the first
+    * aggregation regardless of event volume. */
+  private def tsBurst(s: SparkSession, d: String): DataFrame = {
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("nb"))
+    val tot = hourly.groupBy(col("event_type").as("et"))
+      .agg(sum(col("nb")).as("s"), count(lit(1)).as("c"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+    hourly.join(broadcast(tot), col("event_type") === col("et"))
+      .filter(lit(3L) * col("nb") * col("c") >= lit(4L) * col("s"))
+      .withColumn("hidx", expr("unix_micros(h) DIV 3600000000"))
+      .withColumn("grp", col("hidx") - row_number().over(wr))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("h")).as("burst_start"), max(col("h")).as("burst_end"),
+        count(lit(1)).as("n_hours"), sum(col("nb")).as("n_events"))
+      .filter(col("n_hours") >= 3)
+      .select(col("event_type"), col("burst_start"), col("burst_end"),
+        col("n_hours"), col("n_events"))
+      .orderBy("event_type", "burst_start")
+  }
+
+  /** Peak concurrency per day: sweep-line over the 30-min-gap user
+    * sessions — each session contributes (+1 at start, −1 at end), starts
+    * order before ends at equal instants (inclusive intervals), and the
+    * daily maximum of the running count is the answer. The running sum is
+    * NOT one global sort: points are blocked by day (per-day window), day
+    * baselines come from a prefix over the ~|days| per-day delta totals —
+    * the sample_weighted two-level scan-prefix shape, so the only
+    * single-partition pass touches |days| rows. Day entry level counts
+    * sessions spanning midnight (GREATEST with the baseline). Ties on
+    * (t, delta) cannot disturb the max: each tied row adds the same delta,
+    * so the prefix SET is order-independent. */
+  private def tsMaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = U.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val pts = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+      .withColumn("day", date_trunc("DAY", col("t")))
+    val offs = pts.groupBy(col("day").as("od")).agg(sum(col("delta")).as("dsum"))
+      .withColumn("off", coalesce(
+        sum(col("dsum")).over(Window.orderBy(col("od"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("od"), col("off"))
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("rsum", sum(col("delta")).over(wd))
+      .groupBy(col("day")).agg(max(col("rsum")).as("peak_in_day"))
+      .join(offs, col("day") === col("od"))
+      .select(col("day"),
+        greatest(col("off") + col("peak_in_day"), col("off"))
+          .as("max_concurrent"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_ols" -> tsRollingOls _,
+    "ts_hurst_rs" -> tsHurstRs _,
+    "ts_perm_entropy" -> tsPermEntropy _,
+    "ts_burst" -> tsBurst _,
+    "ts_max_concurrency" -> tsMaxConcurrency _,
     "ts_rsi" -> tsRsi _,
     "ts_hysteresis" -> tsHysteresis _,
     "ts_window_funnel" -> tsWindowFunnel _,
@@ -1651,6 +1821,106 @@ object TimeSeries {
       s"v -> $mk) AS st FROM events GROUP BY user_id)) ORDER BY user_id"
 
   val oracleSql: Map[String, String] = Map(
+    "ts_rolling_ols" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT event_id, user_id, ts, $c AS vc, " +
+        "CAST(row_number() OVER w AS BIGINT) AS rn " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT event_id, user_id, ts, rn, " +
+        "SUM(rn) OVER f AS sx, SUM(vc) OVER f AS sy, " +
+        "SUM(rn * vc) OVER f AS sxy, SUM(rn * rn) OVER f AS sxx " +
+        "FROM b WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)), " +
+        "sl AS (SELECT event_id, user_id, ts, sx, sy, " +
+        "(10.0 * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "(100.0 * (10.0 * sxx - CAST(sx AS DOUBLE) * sx)) AS slope " +
+        "FROM p WHERE rn >= 10) " +
+        "SELECT event_id, user_id, ts, slope, " +
+        "(CAST(sy AS DOUBLE) / 100.0 - slope * sx) / 10.0 AS intercept " +
+        "FROM sl ORDER BY event_id"
+    },
+    "ts_hurst_rs" -> {
+      val c = OSQL.cents("value")
+      val s2 = OSQL.covPowerSums("syy", "sy", "sy", "nd")
+      s"WITH b AS (SELECT user_id, $c AS vc, " +
+        "CAST(row_number() OVER w AS BIGINT) AS k, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n, " +
+        s"SUM($c) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        s"SUM($c) OVER (PARTITION BY user_id) AS tot " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, MAX(n) AS n, " +
+        "MAX(n * cum - k * tot) - MIN(n * cum - k * tot) AS r_scaled, " +
+        "CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(vc) AS DOUBLE) AS sy, " +
+        "CAST(SUM(vc * vc) AS DOUBLE) AS syy FROM b GROUP BY user_id) " +
+        s"SELECT user_id, n, r_scaled, $s2 AS s2, " +
+        "(CAST(r_scaled AS DOUBLE) / n / 100.0) / " +
+        s"sqrt(nullif($s2, 0.0)) AS rs " +
+        "FROM g ORDER BY user_id"
+    },
+    "ts_perm_entropy" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT user_id, $c AS c, " +
+        s"lag($c, 2) OVER w AS a, lag($c, 1) OVER w AS b2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "pats AS (SELECT user_id, " +
+        "(CASE WHEN a < b2 THEN 1 ELSE 0 END) * 4 + " +
+        "(CASE WHEN b2 < c THEN 1 ELSE 0 END) * 2 + " +
+        "(CASE WHEN a < c THEN 1 ELSE 0 END) AS pat " +
+        "FROM b WHERE a IS NOT NULL), " +
+        "counts AS (SELECT user_id, pat, COUNT(*) AS cnt FROM pats " +
+        "GROUP BY 1, 2), " +
+        "tot AS (SELECT user_id AS u, SUM(cnt) AS n FROM counts GROUP BY 1), " +
+        "terms AS (SELECT user_id, n, CAST(floor(CAST(cnt AS DOUBLE) / n * " +
+        "ln(CAST(cnt AS DOUBLE) / n) * -1000000.0) AS BIGINT) AS term_micro " +
+        "FROM counts JOIN tot ON user_id = u) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_patterns, " +
+        "MAX(n) AS n_triples, " +
+        "CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS perm_entropy_nats " +
+        "FROM terms GROUP BY user_id ORDER BY user_id"
+    },
+    "ts_burst" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "CAST(COUNT(*) AS BIGINT) AS nb FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type AS et, SUM(nb) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM hourly GROUP BY 1), " +
+        "hot AS (SELECT event_type, h, nb, " +
+        "epoch_us(h) // 3600000000 AS hidx " +
+        "FROM hourly JOIN tot ON event_type = et " +
+        "WHERE 3 * nb * c >= 4 * s), " +
+        "isl AS (SELECT event_type, h, nb, " +
+        "hidx - row_number() OVER (PARTITION BY event_type ORDER BY hidx) " +
+        "AS grp FROM hot) " +
+        "SELECT event_type, MIN(h) AS burst_start, MAX(h) AS burst_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_hours, SUM(nb) AS n_events " +
+        "FROM isl GROUP BY event_type, grp HAVING COUNT(*) >= 3 " +
+        "ORDER BY event_type, burst_start"),
+    "ts_max_concurrency" ->
+      ("WITH b AS (SELECT user_id, ts, event_id, " +
+        "lag(epoch_us(ts), 1) OVER w AS prev_us, " +
+        "epoch_us(ts) AS us FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "marked AS (SELECT user_id, ts, " +
+        "SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+        "FROM b), " +
+        "sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en " +
+        "FROM marked GROUP BY 1, 2), " +
+        "pts AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta, " +
+        "CAST(date_trunc('day', st) AS TIMESTAMP) AS day FROM sess " +
+        "UNION ALL SELECT en, CAST(-1 AS BIGINT), " +
+        "CAST(date_trunc('day', en) AS TIMESTAMP) FROM sess), " +
+        "offs AS (SELECT od, COALESCE(SUM(dsum) OVER (ORDER BY od " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM (SELECT day AS od, SUM(delta) AS dsum FROM pts GROUP BY 1)), " +
+        "peaks AS (SELECT day, MAX(rsum) AS peak_in_day FROM " +
+        "(SELECT day, SUM(delta) OVER (PARTITION BY day " +
+        "ORDER BY t, delta DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum " +
+        "FROM pts) GROUP BY day) " +
+        "SELECT day, CAST(GREATEST(off + peak_in_day, off) AS BIGINT) " +
+        "AS max_concurrent FROM peaks JOIN offs ON day = od ORDER BY day"),
     "ts_rsi" -> {
       val c = OSQL.cents("value")
       s"WITH b AS (SELECT event_id, user_id, ts, " +

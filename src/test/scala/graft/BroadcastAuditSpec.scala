@@ -20,14 +20,14 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // U.scala's sizeGate references the bare `broadcast` function value
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
-    "operators/TimeSeries.scala" -> 9,
-    "operators/Aggregations.scala" -> 18,
+    "operators/TimeSeries.scala" -> 10,
+    "operators/Aggregations.scala" -> 19,
     "operators/Graphs.scala" -> 8,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
     "llm/Pipeline.scala" -> 11,
-    "llm/Similarity.scala" -> 8,
+    "llm/Similarity.scala" -> 9,
     "llm/TextAnalysis.scala" -> 7,
     "streaming/StreamingQueries.scala" -> 3)
 

@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-8 operators, each checked against an
+  * independent scalar-loop recomputation (the IndicatorSpec discipline:
+  * the DataFrame kernel and a hand-rolled reference must agree bit-for-bit
+  * on the fixture, so a Catalyst rewrite or window-frame regression cannot
+  * pass silently even when the DuckDB oracle is also wrong the same way). */
+class Round8Spec extends SparkTestBase {
+
+  private def cents(v: Double): Long =
+    new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  private def userSeries(uid: Long): Seq[Long] =
+    U.events(spark, sfDir).filter(col("user_id") === uid)
+      .orderBy("ts", "event_id").select("value").collect()
+      .map(r => cents(r.getDouble(0))).toSeq
+
+  private def someUser(): Long =
+    U.events(spark, sfDir).groupBy("user_id").count()
+      .filter(col("count") >= 20).orderBy("user_id")
+      .first().getLong(0)
+
+  test("ts_rolling_ols matches a scalar-loop OLS on one user's series") {
+    val uid = someUser()
+    val ys = userSeries(uid)
+    val got = operators.TimeSeries.queries("ts_rolling_ols")(spark, sfDir)
+      .filter(col("user_id") === uid).orderBy("ts", "event_id")
+      .select("slope", "intercept").collect()
+    assert(got.length == ys.length - 9)
+    for ((row, i) <- got.zipWithIndex) {
+      val win = (i until i + 10).map(j => ((j + 1).toLong, ys(j)))
+      val sx = win.map(_._1).sum; val sy = win.map(_._2).sum
+      val sxy = win.map(p => p._1 * p._2).sum
+      val sxx = win.map(p => p._1 * p._1).sum
+      val slope = (10.0 * sxy - sx.toDouble * sy) /
+        (100.0 * (10.0 * sxx - sx.toDouble * sx))
+      val icpt = (sy.toDouble / 100.0 - slope * sx) / 10.0
+      assert(row.getDouble(0) == slope && row.getDouble(1) == icpt,
+        s"window $i diverges for user $uid")
+    }
+  }
+
+  test("ts_hurst_rs matches a scalar recomputation and its R>=0 law") {
+    val rows = operators.TimeSeries.queries("ts_hurst_rs")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("r_scaled") >= 0L))
+    val uid = someUser()
+    val ys = userSeries(uid)
+    val n = ys.length.toLong
+    val tot = ys.sum
+    val devs = ys.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+      .map { case (cum, i) => n * cum - (i + 1).toLong * tot }
+    val r = rows.find(_.getAs[Long]("user_id") == uid).get
+    assert(r.getAs[Long]("r_scaled") == devs.max - devs.min)
+  }
+
+  test("ts_perm_entropy is bounded by ln(8) with <=8 patterns") {
+    val rows = operators.TimeSeries.queries("ts_perm_entropy")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_patterns") <= 8L)
+      val e = r.getAs[Double]("perm_entropy_nats")
+      assert(e >= -1e-6 && e <= math.log(8.0) + 1e-6)
+    }
+  }
+
+  test("ts_burst runs are consecutive hours, each >= 3 long") {
+    val rows = operators.TimeSeries.queries("ts_burst")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val nh = r.getAs[Long]("n_hours")
+      assert(nh >= 3L)
+      val span = r.getAs[java.sql.Timestamp]("burst_end").getTime -
+        r.getAs[java.sql.Timestamp]("burst_start").getTime
+      assert(span == (nh - 1) * 3600000L,
+        "burst hours are not consecutive")
+    }
+  }
+
+  test("ts_max_concurrency equals a driver-side sweep line") {
+    // independent reference: collect the 30-min-gap sessions, sweep in
+    // plain Scala (starts before ends at equal instants), max per day
+    val ev = U.events(spark, sfDir)
+      .select("user_id", "ts", "event_id")
+      .orderBy("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000))
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.map(_._2).sorted
+      val b = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      var st = ts.head; var last = ts.head
+      for (t <- ts.tail) {
+        if (t - last > 1800000000L) { b += ((st, last)); st = t }
+        last = t
+      }
+      b += ((st, last)); b
+    }.toSeq
+    val pts = sessions.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var cur = 0L
+    val dayMax = scala.collection.mutable.Map[Long, Long]()
+    def day(us: Long): Long = us / 86400000000L
+    // entry level of each day = running count before its first point
+    val seenDays = scala.collection.mutable.Set[Long]()
+    for ((t, d) <- pts) {
+      val dy = day(t)
+      if (!seenDays(dy)) { seenDays += dy; dayMax(dy) = cur }
+      cur += d
+      dayMax(dy) = math.max(dayMax(dy), cur)
+    }
+    val got = operators.TimeSeries.queries("ts_max_concurrency")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0).getTime * 1000 / 86400000000L,
+        r.getLong(1))).toMap
+    assert(got.nonEmpty && got == dayMax.toMap,
+      s"sweep-line mismatch: got=$got expected=$dayMax")
+  }
+
+  test("agg_spearman is exactly 1 for a column against itself") {
+    // drive the same midrank construction on value-vs-value: every pair of
+    // doubled ranks is identical, so the ratio must be exactly 1.0
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val pv = wv.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = rank().over(wv).cast("long") + count(lit(1)).over(pv)
+    val g = U.events(spark, sfDir)
+      .withColumn("rx", r2).withColumn("ry", r2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"))
+      .select((expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+        (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+          sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("rho"))
+      .collect()
+    // x / (sqrt(x)*sqrt(x)) reconstructs 1 only to ULP precision — the
+    // sqrt pair rounds; both ENGINES round identically (hash gate), but
+    // the mathematical law carries a tolerance
+    assert(g.nonEmpty && g.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    // and the declared query stays inside [-1, 1]
+    val sp = operators.Aggregations.queries("agg_spearman")(spark, sfDir)
+      .collect().map(_.getAs[Double]("spearman"))
+    assert(sp.nonEmpty && sp.forall(v => v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12))
+  }
+
+  test("agg_ecdf is monotone in the probe and bounded by 1") {
+    val rows = operators.Aggregations.queries("agg_ecdf")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("probe"),
+        r.getAs[Double]("ecdf")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val byProbe = g.sortBy(_._2).map(_._3)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b })
+      assert(byProbe.forall(v => v >= 0.0 && v <= 1.0))
+    }
+  }
+
+  test("agg_jsd total is non-negative and bounded by ln 2") {
+    val rows = operators.Aggregations.queries("agg_jsd")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val jsd = rows.map(r => r.getAs[Long]("term_p_micro") +
+      r.getAs[Long]("term_q_micro")).sum / 2.0e6
+    // micro-flooring can dip a zero-divergence bucket epsilon-negative
+    assert(jsd >= -1e-4 && jsd <= math.log(2.0) + 1e-4, s"jsd=$jsd")
+  }
+
+  test("sim_hamming_topk matches a driver-side popcount rerank") {
+    val emb = U.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sigOf(v: Array[Float]): Long =
+      v.zipWithIndex.filter(_._1 > 0).map(p => 1L << p._2).foldLeft(0L)(_ | _)
+    val sigs = emb.map { case (id, v) => id -> sigOf(v) }
+    val got = llm.Similarity.queries("sim_hamming_topk")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("hamming")))
+    assert(got.nonEmpty)
+    for (q <- got.map(_._1).distinct) {
+      val expected = sigs.toSeq.filter(_._1 != q)
+        .map { case (id, s) =>
+          (id, java.lang.Long.bitCount(s ^ sigs(q)).toLong) }
+        .sortBy { case (id, h) => (h, id) }.take(3)
+      val mine = got.filter(_._1 == q).sortBy(_._2)
+        .map(t => (t._3, t._4)).toSeq
+      assert(mine == expected, s"probe $q rerank diverges")
+    }
+  }
+
+  test("text_readability matches the hand formula on one document") {
+    val row = llm.TextAnalysis.queries("text_readability")(spark, sfDir)
+      .first()
+    val w = row.getAs[Long]("n_words").toDouble
+    val s2 = row.getAs[Long]("n_sentences").toDouble
+    val sy = row.getAs[Long]("n_syllables").toDouble
+    assert(row.getAs[Double]("flesch") ==
+      206.835 - 1.015 * (w / s2) - 84.6 * (sy / w))
+  }
+
+  test("graph_katz matches a driver-side two-hop recomputation") {
+    val edges = operators.Graphs.pagerankEdgeFrame(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ind = edges.groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
+    val p2 = edges.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(e => ind.getOrElse(e._1, 0L)).sum }
+    val expected = ind.map { case (v, d) =>
+      v -> (1000000L + 1000000L * d / 8 + 1000000L * p2(v) / 64) }
+      .toSeq.sortBy { case (v, k) => (-k, v) }.take(50)
+    val got = operators.Graphs.queries("graph_katz")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("katz_micro")))
+    U.releaseTracked()
+    assert(got.toSeq == expected, "katz top-50 diverges from the reference")
+  }
+}
