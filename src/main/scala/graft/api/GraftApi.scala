@@ -187,6 +187,103 @@ object GraftApi {
         coalesce(lag(col("alarm"), 1).over(w), lit(0L)) === 0L)
   }
 
+  /** Rolling OLS trend over (key, ts, value): slope and intercept of
+    * value-vs-row-index over the trailing `window` points per key, emitted
+    * once the frame is full — the `ts_rolling_ols` kernel on caller
+    * columns. Four exact Long power sums over ONE ROWS frame; doubles only
+    * in the closing divisions. Rows tying on (key, ts) index in an
+    * unspecified order — supply unique timestamps (or pre-disambiguate)
+    * for bit-determinism, like the declared query's event_id tiebreak. */
+  def rollingOls(df: DataFrame, key: String, ts: String, value: String,
+      window: Int = 10): DataFrame = {
+    require(window >= 2)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val f = w.rowsBetween(-(window - 1), Window.currentRow)
+    val n = window.toDouble
+    df.withColumn("__vc",
+        (col(value).cast("decimal(12,2)") * 100).cast(LongType))
+      .withColumn("__rn", row_number().over(w).cast(LongType))
+      .withColumn("__sx", sum(col("__rn")).over(f))
+      .withColumn("__sy", sum(col("__vc")).over(f))
+      .withColumn("__sxy", sum(col("__rn") * col("__vc")).over(f))
+      .withColumn("__sxx", sum(col("__rn") * col("__rn")).over(f))
+      .filter(col("__rn") >= window)
+      .withColumn("slope",
+        (lit(n) * col("__sxy") - col("__sx").cast("double") * col("__sy")) /
+          (lit(100.0) * (lit(n) * col("__sxx") -
+            col("__sx").cast("double") * col("__sx"))))
+      .withColumn("intercept",
+        (col("__sy").cast("double") / lit(100.0) -
+          col("slope") * col("__sx")) / lit(n))
+      .drop("__vc", "__rn", "__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  /** Spearman rank correlation between two numeric columns per group — the
+    * `agg_spearman` kernel on caller columns. Tie-averaged (midrank)
+    * semantics with ONE sort per column: 2·midrank = rank() + RANGE-frame
+    * peer count; power sums in Decimal(38,0), exact to ~1e9 rows/group.
+    * Returns (group, n, spearman). */
+  def spearmanCorr(df: DataFrame, group: String, xCol: String,
+      yCol: String): DataFrame = {
+    val wx = Window.partitionBy(col(group)).orderBy(col(xCol))
+    val wy = Window.partitionBy(col(group)).orderBy(col(yCol))
+    val px = wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val py = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rx",
+        rank().over(wx).cast(LongType) + count(lit(1)).over(px))
+      .withColumn("__ry",
+        rank().over(wy).cast(LongType) + count(lit(1)).over(py))
+      .groupBy(col(group))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__rx") * col("__ry")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__rx") * col("__rx")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast("decimal(38,0)")).as("__syy"))
+      .select(col(group), col("__n").cast(LongType).as("n"),
+        (expr("CAST(__n * __sxy - __sx * __sy AS DOUBLE)") /
+          (sqrt(expr("CAST(__n * __sxx - __sx * __sx AS DOUBLE)")) *
+            sqrt(expr("CAST(__n * __syy - __sy * __sy AS DOUBLE)"))))
+          .as("spearman"))
+  }
+
+  /** Binary (sign-bit) embedding search over an (id, Array[Float] emb)
+    * frame — the `sim_hamming_topk` kernel on caller columns, generalized
+    * to any dimension: signatures pack into ceil(dims/32) 32-bit words
+    * (8 bytes per 64 dims — the memory-bound rung below IVF/LSH), probes
+    * are the given id set, and each probe ranks the corpus by exact
+    * Hamming distance (bit_count per word). The probe block must be small
+    * (it broadcasts); the corpus streams once. Returns
+    * (q_id, rank, id, hamming). */
+  def hammingTopK(df: DataFrame, id: String, embCol: String, dims: Int,
+      probeIds: Seq[Long], k: Int = 3): DataFrame = {
+    require(dims >= 1 && probeIds.nonEmpty && k >= 1)
+    val nWords = (dims + 31) / 32
+    def word(wi: Int): String = {
+      val lo = wi * 32
+      val hi = math.min(lo + 31, dims - 1)
+      s"aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, i) -> " +
+        s"acc + IF(element_at($embCol, i + 1) > CAST(0 AS FLOAT), " +
+        s"shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT)))"
+    }
+    val sigCols = (0 until nWords).map(i => expr(word(i)).as(s"__w$i"))
+    val sig = df.select(col(id).cast(LongType).as("__id") +: sigCols: _*)
+    val q = sig.filter(col("__id").isin(probeIds: _*))
+      .select(col("__id").as("q_id") +:
+        (0 until nWords).map(i => col(s"__w$i").as(s"__q$i")): _*)
+    val ham = (0 until nWords)
+      .map(i => expr(s"CAST(bit_count(__w$i ^ __q$i) AS BIGINT)"))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("__id"))
+    sig.crossJoin(broadcast(q))
+      .filter(col("__id") =!= col("q_id"))
+      .withColumn("hamming", ham)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("__id").as(id), col("hamming"))
+  }
+
   /** Multimodal ingestion: scan a directory of media files into the
     * BinaryType + typed-metadata frame the `multimodal_*` kernels consume —
     * `(path, mod_time, n_bytes, mime, payload, digest)` — optionally

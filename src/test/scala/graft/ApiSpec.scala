@@ -168,6 +168,43 @@ class ApiSpec extends SparkTestBase {
       (1L, false), (0L, false), (0L, false)))
   }
 
+  test("rollingOls / spearmanCorr / hammingTopK equal their declared twins") {
+    // the facade kernels on fixture frames must reproduce the declared
+    // queries row-for-row (same exact trees, caller-named columns)
+    val ev = U.events(spark, sfDir)
+      // unique ts per user in the fixture? not guaranteed — disambiguate
+      // exactly like the declared queries do (event_id tiebreak) by
+      // folding the id into a unique synthetic timestamp order column
+      .withColumn("ord", unix_micros(col("ts")) * 1000 +
+        pmod(col("event_id"), lit(1000L)))
+    val viaApi = GraftApi.rollingOls(ev, "user_id", "ord", "value")
+      .select(col("event_id"), col("slope"), col("intercept"))
+      .orderBy("event_id").collect().map(_.toString)
+    val declared = operators.TimeSeries.queries("ts_rolling_ols")(spark, sfDir)
+      .select(col("event_id"), col("slope"), col("intercept"))
+      .orderBy("event_id").collect().map(_.toString)
+    assert(viaApi.nonEmpty && viaApi.sameElements(declared))
+
+    val sp = GraftApi.spearmanCorr(
+        U.events(spark, sfDir).withColumn("us", unix_micros(col("ts"))),
+        "event_type", "value", "us")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("spearman")))
+    val spDecl = operators.Aggregations.queries("agg_spearman")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("spearman")))
+    assert(sp.nonEmpty && sp.sameElements(spDecl))
+
+    val hk = GraftApi.hammingTopK(U.tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", dims = 64, probeIds = 0L until 8L, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hkDecl = llm.Similarity.queries("sim_hamming_topk")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hk.nonEmpty && hk.sameElements(hkDecl))
+  }
+
   test("ingestBinaryDir frames and digest-dedups generated PNGs") {
     // real JDK PNG bytes on disk (the one codec this container ships) —
     // a driver-shipped media fixture would enter through this exact path

@@ -20,6 +20,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // U.scala's sizeGate references the bare `broadcast` function value
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
+    "api/GraftApi.scala" -> 1,
     "operators/TimeSeries.scala" -> 10,
     "operators/Aggregations.scala" -> 19,
     "operators/Graphs.scala" -> 8,
