@@ -668,6 +668,47 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("ts_rolling_ols windows share ONE user exchange, no join") {
+    val p = plan("ts_rolling_ols")
+    assert(!p.contains("Join"), s"rolling OLS grew a join:\n$p")
+    // one exchange for the per-user sort + one for the output orderBy
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex <= 2, s"rolling OLS exchanges the events table $ex times:\n$p")
+  }
+
+  test("agg_ecdf is one aggregation pass, no events-times-probes blowup") {
+    val p = plan("agg_ecdf")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"ecdf multiplied the event stream:\n$p")
+    assert(p.contains("Generate"), s"stack() unpivot missing:\n$p")
+  }
+
+  test("sim_hamming_topk broadcasts the probe block and group-limits ranks") {
+    val p = plan("sim_hamming_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"probe block not broadcast:\n$p")
+    // the rank()<=k idiom must plan bounded: either the repo's GroupedTopK
+    // whole-operator (TopKRewriteRule engages under GraftExtensions) or
+    // Spark 4's WindowGroupLimit partial top-k — never a full window sort
+    assert(p.contains("GroupedTopK") || p.contains("WindowGroupLimit"),
+      s"rank limit not bounded:\n$p")
+  }
+
+  test("text_readability plans as a pure projection — no shuffle before sort") {
+    val p = plan("text_readability")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window "), s"readability grew a wide op:\n$p")
+  }
+
+  test("graph_katz reuses one edge scan with no fixpoint iteration joins") {
+    val p = plan("graph_katz")
+    assert(!p.contains("CartesianProduct"), s"katz cross join:\n$p")
+    // closed form: at most the degree join + the final left join
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins <= 8, s"katz join count exploded ($joins):\n$p")
+    graft.U.releaseTracked()
+  }
+
   test("dedup_prefix shuffles only the bounded prefix projection") {
     val p = plan("dedup_prefix")
     assert(!p.contains("Join"), s"prefix dedup grew a join:\n$p")
