@@ -1010,7 +1010,32 @@ object Aggregations {
       .orderBy("bucket")
   }
 
+  /** 10% two-sided trimmed mean of value per event type — the robust
+    * location estimate that survives the fat tails plain AVG is wrecked
+    * by. k = n DIV 10 rows drop from EACH end of the (cents, event_id)
+    * total order (the tiebreak makes the trimmed SET deterministic, not
+    * just its sum), and the surviving rows flow through the exact davg
+    * tree. One window sort + one hash-agg. */
+  private def aggTrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vc"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(full))
+      .filter(col("rn") > expr("n DIV 10") &&
+        col("rn") <= col("n") - expr("n DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("vc")).cast(DoubleType) / (lit(100.0) * count(lit(1))))
+          .as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean" -> aggTrimmedMean _,
     "agg_spearman" -> aggSpearman _,
     "agg_ecdf" -> aggEcdf _,
     "agg_jsd" -> aggJsd _,
@@ -1134,6 +1159,18 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_trimmed_mean" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT event_type, event_id, $c AS vc FROM events), " +
+        "r AS (SELECT event_type, vc, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY vc, event_id) AS BIGINT) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM b) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(vc) AS DOUBLE) / (100.0 * COUNT(*)) AS trimmed_mean " +
+        "FROM r WHERE rn > n // 10 AND rn <= n - n // 10 " +
+        "GROUP BY event_type ORDER BY event_type"
+    },
     "agg_spearman" ->
       ("WITH r AS (SELECT event_type, " +
         "CAST(rank() OVER wv AS BIGINT) + COUNT(*) OVER pv AS rx, " +

@@ -1706,7 +1706,87 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Autocorrelation function of each type's hourly-total series at lags
+    * 1..12 — the seasonality scan behind decompose/holt-winters period
+    * choices ([[tsAutocorr]] is the per-user lag-1 spot check; this is the
+    * full correlogram on the type-level grid). The hourly grid is
+    * DENSIFIED (sequence+explode, zero-filled) so a lag means "one hour
+    * later", not "next bucket with data"; deviations are scaled by n
+    * (n·x − S — no mean division), so every product is exact in
+    * Decimal(38,0) and ONE double division closes each lag. Everything
+    * after the first hash-agg is bucket-cardinality: the lag pairing is a
+    * 12-way explode + equi-join on (type, hidx+lag) over ≤ |hours| rows,
+    * never the event stream. */
+  private def tsAcfLags(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000").as("hidx"))
+      .agg(sum(col("vc")).as("xc"))
+    val grid = hourly.groupBy(col("event_type").as("et"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("et"), explode(sequence(col("h0"), col("h1"))).as("ghidx"))
+    val dense = grid.join(hourly,
+        col("et") === col("event_type") && col("ghidx") === col("hidx"), "left")
+      .select(col("et").as("t"), col("ghidx").as("hx"),
+        coalesce(col("xc"), lit(0L)).as("x"))
+    val stats = dense.groupBy(col("t").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("ssum"))
+    val dn = dense.join(broadcast(stats), col("t") === col("st"))
+      .select(col("t"), col("hx"),
+        (col("n") * col("x") - col("ssum")).cast(dec).as("dev"),
+        col("n"))
+    val den = dn.groupBy(col("t").as("dt"))
+      .agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = (1 to 12).map(l => lit(l.toLong))
+    val pairs = dn.withColumn("lag", explode(array(lags: _*)))
+      .select(col("t"), (col("hx") + col("lag")).as("phx"), col("lag"),
+        col("dev").as("dev_a"))
+      .join(dn.select(col("t").as("t2"), col("hx").as("hx2"),
+        col("dev").as("dev_b")),
+        col("t") === col("t2") && col("phx") === col("hx2"))
+      .groupBy(col("t").as("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev_a") * col("dev_b")).as("num"))
+    pairs.join(broadcast(den), col("event_type") === col("dt"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        (expr("CAST(num AS DOUBLE)") / expr("CAST(den AS DOUBLE)")).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Inter-arrival statistics per user in exact integer microseconds: gap
+    * count, min, DOUBLED median (the two middle gaps summed — stays
+    * integral under even counts, both engines), discrete p90 (element at
+    * ceil(0.9·n)), max. The ops-health fingerprint of a sensor feed. One
+    * shuffle+sort per user; ranks and picks are all integer. */
+  private def tsInterarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wg = Window.partitionBy(col("user_id")).orderBy(col("g"))
+    val full = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    U.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - col("prev_us")).as("g"))
+      .withColumn("rn", row_number().over(wg).cast(LongType))
+      .withColumn("n", count(lit(1)).over(full))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_gaps"), min(col("g")).as("min_us"),
+        sum(when(col("rn") === expr("(n + 1) DIV 2") ||
+            col("rn") === expr("n DIV 2 + 1"),
+          when(expr("n % 2 = 1"), col("g") * 2).otherwise(col("g")))
+          .otherwise(lit(0L))).as("med_us_x2"),
+        // discrete p90 WITHOUT floats: rank ceil(0.9n) = (9n + 9) DIV 10
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("g")))
+          .as("p90_us"),
+        max(col("g")).as("max_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_acf_lags" -> tsAcfLags _,
+    "ts_interarrival" -> tsInterarrival _,
     "ts_rolling_ols" -> tsRollingOls _,
     "ts_hurst_rs" -> tsHurstRs _,
     "ts_perm_entropy" -> tsPermEntropy _,
@@ -1821,6 +1901,46 @@ object TimeSeries {
       s"v -> $mk) AS st FROM events GROUP BY user_id)) ORDER BY user_id"
 
   val oracleSql: Map[String, String] = Map(
+    "ts_acf_lags" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, " +
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx, " +
+        s"CAST(SUM($c) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT et, unnest(range(h0, h1 + 1)) AS ghidx FROM " +
+        "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
+        "FROM hourly GROUP BY 1)), " +
+        "dense AS (SELECT et AS t, ghidx AS hx, COALESCE(xc, 0) AS x " +
+        "FROM grid LEFT JOIN hourly ON et = event_type AND ghidx = hidx), " +
+        "stats AS (SELECT t AS st, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS ssum FROM dense GROUP BY 1), " +
+        "dn AS (SELECT t, hx, CAST(n * x - ssum AS HUGEINT) AS dev " +
+        "FROM dense JOIN stats ON t = st), " +
+        "den AS (SELECT t AS dt, SUM(dev * dev) AS den FROM dn GROUP BY 1), " +
+        "lags AS (SELECT unnest(range(1, 13)) AS lag), " +
+        "pairs AS (SELECT a.t AS event_type, CAST(l.lag AS BIGINT) AS lag, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(a.dev * b.dev) AS num " +
+        "FROM dn a CROSS JOIN lags l " +
+        "JOIN dn b ON b.t = a.t AND b.hx = a.hx + l.lag GROUP BY 1, 2) " +
+        "SELECT event_type, lag, n_pairs, " +
+        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf " +
+        "FROM pairs JOIN den ON event_type = dt ORDER BY event_type, lag"
+    },
+    "ts_interarrival" ->
+      ("WITH g0 AS (SELECT user_id, " +
+        "epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS g FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, g FROM g0 WHERE g IS NOT NULL), " +
+        "r AS (SELECT user_id, g, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY g) " +
+        "AS BIGINT) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM g) " +
+        "SELECT user_id, MAX(n) AS n_gaps, MIN(g) AS min_us, " +
+        "CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN " +
+        "CASE WHEN n % 2 = 1 THEN g * 2 ELSE g END ELSE 0 END) AS BIGINT) " +
+        "AS med_us_x2, " +
+        "MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN g END) AS p90_us, " +
+        "MAX(g) AS max_us " +
+        "FROM r GROUP BY user_id ORDER BY user_id"),
     "ts_rolling_ols" -> {
       val c = OSQL.cents("value")
       s"WITH b AS (SELECT event_id, user_id, ts, $c AS vc, " +

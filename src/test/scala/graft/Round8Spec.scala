@@ -119,6 +119,53 @@ class Round8Spec extends SparkTestBase {
       s"sweep-line mismatch: got=$got expected=$dayMax")
   }
 
+  test("ts_interarrival matches a driver-side gap recomputation") {
+    val uid = someUser()
+    val ts = U.events(spark, sfDir).filter(col("user_id") === uid)
+      .orderBy("ts", "event_id").select("ts").collect()
+      .map(r => r.getTimestamp(0).getTime * 1000 +
+        r.getTimestamp(0).getNanos / 1000 % 1000)
+    val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }.sorted
+    val n = gaps.length
+    val med2 =
+      if (n % 2 == 1) gaps(n / 2) * 2
+      else gaps(n / 2 - 1) + gaps(n / 2)
+    val p90 = gaps((9 * n + 9) / 10 - 1)
+    val r = operators.TimeSeries.queries("ts_interarrival")(spark, sfDir)
+      .filter(col("user_id") === uid).collect().head
+    assert(r.getAs[Long]("n_gaps") == n.toLong)
+    assert(r.getAs[Long]("min_us") == gaps.head)
+    assert(r.getAs[Long]("med_us_x2") == med2)
+    assert(r.getAs[Long]("p90_us") == p90)
+    assert(r.getAs[Long]("max_us") == gaps.last)
+  }
+
+  test("ts_acf_lags: lag-0 normalization means every acf is in [-1, 1]") {
+    val rows = operators.TimeSeries.queries("ts_acf_lags")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5 * 12) // |types| x 12 lags
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $r")
+    }
+  }
+
+  test("agg_trimmed_mean is bracketed by min/mean/max and trims 2k rows") {
+    val stats = U.events(spark, sfDir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rows = operators.Aggregations.queries("agg_trimmed_mean")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = stats(r.getString(0))
+      assert(r.getAs[Long]("n_kept") == n - 2 * (n / 10))
+      val tm = r.getAs[Double]("trimmed_mean")
+      assert(tm >= lo && tm <= hi)
+    }
+  }
+
   test("agg_spearman is exactly 1 for a column against itself") {
     // drive the same midrank construction on value-vs-value: every pair of
     // doubled ranks is identical, so the ratio must be exactly 1.0
