@@ -187,6 +187,76 @@ object GraftApi {
         coalesce(lag(col("alarm"), 1).over(w), lit(0L)) === 0L)
   }
 
+  /** Burst detection over (typeCol, ts): maximal runs of >= `minRun`
+    * consecutive buckets each at least num/den × the type's mean bucket
+    * rate — the `ts_burst` kernel on caller columns. The threshold compare
+    * is the exact integer cross-multiplication den·n_b·buckets >= num·total
+    * (no division), runs come from gaps-islands on the bucket index.
+    * Everything after the first aggregation is bucket-cardinality. */
+  def burstRuns(df: DataFrame, typeCol: String, ts: String,
+      bucketSeconds: Long = 3600L, num: Long = 4L, den: Long = 3L,
+      minRun: Int = 3): DataFrame = {
+    require(bucketSeconds > 0 && num > 0 && den > 0 && minRun >= 1)
+    val usPerBucket = bucketSeconds * 1000000L
+    val hourly = df
+      .withColumn("__bidx", expr(s"unix_micros($ts) DIV $usPerBucket"))
+      .groupBy(col(typeCol), col("__bidx"))
+      .agg(count(lit(1)).as("__nb"))
+    val tot = hourly.groupBy(col(typeCol).as("__t"))
+      .agg(sum(col("__nb")).as("__s"), count(lit(1)).as("__c"))
+    val wr = Window.partitionBy(col(typeCol)).orderBy(col("__bidx"))
+    hourly.join(tot, col(typeCol) === col("__t"))
+      .filter(lit(den) * col("__nb") * col("__c") >= lit(num) * col("__s"))
+      .withColumn("__grp", col("__bidx") - row_number().over(wr))
+      .groupBy(col(typeCol), col("__grp"))
+      .agg(timestamp_micros(min(col("__bidx")) * usPerBucket)
+          .as("burst_start"),
+        timestamp_micros((max(col("__bidx")) + 1) * usPerBucket)
+          .as("burst_end"),
+        count(lit(1)).as("n_buckets"), sum(col("__nb")).as("n_events"))
+      .filter(col("n_buckets") >= minRun)
+      .drop("__grp")
+  }
+
+  /** Peak concurrency per day over gap-sessionized (key, ts) activity —
+    * the `ts_max_concurrency` sweep line on caller columns. Sessions close
+    * after `gapSeconds` idle; each contributes ±1 at its endpoints (starts
+    * order before ends at equal instants, inclusive intervals). No global
+    * sort: endpoints block by day, day baselines prefix over the |days|
+    * frame, and GREATEST with the day-entry level counts
+    * midnight-spanning sessions. */
+  def maxConcurrency(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = df
+      .withColumn("__prev", lag(unix_micros(col(ts)), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col(ts)) - col("__prev") > gapSeconds * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .groupBy(col(key), col("__sid"))
+      .agg(min(col(ts)).as("__st"), max(col(ts)).as("__en"))
+    val pts = sess.select(col("__st").as("__t"), lit(1L).as("__d"))
+      .unionByName(sess.select(col("__en").as("__t"), lit(-1L).as("__d")))
+      .withColumn("__day", date_trunc("DAY", col("__t")))
+    val offs = pts.groupBy(col("__day").as("__od"))
+      .agg(sum(col("__d")).as("__ds"))
+      .withColumn("__off", coalesce(
+        sum(col("__ds")).over(Window.orderBy(col("__od"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__od"), col("__off"))
+    val wd = Window.partitionBy(col("__day"))
+      .orderBy(col("__t"), col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("__rs", sum(col("__d")).over(wd))
+      .groupBy(col("__day")).agg(max(col("__rs")).as("__peak"))
+      .join(offs, col("__day") === col("__od"))
+      .select(col("__day").as("day"),
+        greatest(col("__off") + col("__peak"), col("__off"))
+          .as("max_concurrent"))
+  }
+
   /** Rolling OLS trend over (key, ts, value): slope and intercept of
     * value-vs-row-index over the trailing `window` points per key, emitted
     * once the frame is full — the `ts_rolling_ols` kernel on caller

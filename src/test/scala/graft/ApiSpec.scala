@@ -168,6 +168,40 @@ class ApiSpec extends SparkTestBase {
       (1L, false), (0L, false), (0L, false)))
   }
 
+  test("burstRuns / maxConcurrency equal their declared twins on fixtures") {
+    val ev = U.events(spark, sfDir)
+    val br = GraftApi.burstRuns(ev, "event_type", "ts")
+      .select(col("event_type"), col("burst_start"), col("n_buckets"),
+        col("n_events"))
+      .orderBy("event_type", "burst_start").collect().map(_.toString)
+    val brDecl = operators.TimeSeries.queries("ts_burst")(spark, sfDir)
+      .select(col("event_type"), col("burst_start"),
+        col("n_hours").as("n_buckets"), col("n_events"))
+      .orderBy("event_type", "burst_start").collect().map(_.toString)
+    assert(br.sameElements(brDecl)) // may be empty at sf0.001 — parity is the claim
+    val mc = GraftApi.maxConcurrency(ev.withColumnRenamed("user_id", "who"),
+        "who", "ts")
+      .orderBy("day").collect().map(_.toString)
+    val mcDecl = operators.TimeSeries
+      .queries("ts_max_concurrency")(spark, sfDir)
+      .orderBy("day").collect().map(_.toString)
+    assert(mc.nonEmpty && mc.sameElements(mcDecl))
+  }
+
+  test("burstRuns flags a planted burst on a synthetic stream") {
+    import spark.implicits._
+    // 20 quiet buckets of 1 event + 4 hot buckets of 10 — one clear run
+    val rows = (0 until 20).map(b => ("m", b.toLong * 3600L)) ++
+      (20 until 24).flatMap(b => (0 until 10).map(i =>
+        ("m", b.toLong * 3600L + i)))
+    val df = rows.toDF("metric", "sec")
+      .select($"metric", timestamp_micros($"sec" * 1000000L).as("at"))
+    val got = GraftApi.burstRuns(df, "metric", "at").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_buckets") == 4L)
+    assert(got.head.getAs[Long]("n_events") == 40L)
+  }
+
   test("rollingOls / spearmanCorr / hammingTopK equal their declared twins") {
     // the facade kernels on fixture frames must reproduce the declared
     // queries row-for-row (same exact trees, caller-named columns)
