@@ -299,22 +299,25 @@ object GraftApi {
     val wy = Window.partitionBy(col(group)).orderBy(col(yCol))
     val px = wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val py = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__rx",
-        rank().over(wx).cast(LongType) + count(lit(1)).over(px))
-      .withColumn("__ry",
-        rank().over(wy).cast(LongType) + count(lit(1)).over(py))
+    val full = Window.partitionBy(col(group))
+    // centered doubled ranks (mean is exactly n+1): sums bounded by n³ so
+    // the closing DOUBLE casts stay exact — see the declared agg_spearman
+    df.withColumn("__nn", count(lit(1)).over(full))
+      .withColumn("__dx",
+        rank().over(wx).cast(LongType) + count(lit(1)).over(px) -
+          (col("__nn") + 1L))
+      .withColumn("__dy",
+        rank().over(wy).cast(LongType) + count(lit(1)).over(py) -
+          (col("__nn") + 1L))
       .groupBy(col(group))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
-        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
-        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
-        sum((col("__rx") * col("__ry")).cast("decimal(38,0)")).as("__sxy"),
-        sum((col("__rx") * col("__rx")).cast("decimal(38,0)")).as("__sxx"),
-        sum((col("__ry") * col("__ry")).cast("decimal(38,0)")).as("__syy"))
-      .select(col(group), col("__n").cast(LongType).as("n"),
-        (expr("CAST(__n * __sxy - __sx * __sy AS DOUBLE)") /
-          (sqrt(expr("CAST(__n * __sxx - __sx * __sx AS DOUBLE)")) *
-            sqrt(expr("CAST(__n * __syy - __sy * __sy AS DOUBLE)"))))
-          .as("spearman"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__dx") * col("__dy")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__dx") * col("__dx")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__dy") * col("__dy")).cast("decimal(38,0)")).as("__syy"))
+      .select(col(group), col("n"),
+        (expr("CAST(__sxy AS DOUBLE)") /
+          (sqrt(expr("CAST(__sxx AS DOUBLE)")) *
+            sqrt(expr("CAST(__syy AS DOUBLE)")))).as("spearman"))
   }
 
   /** Binary (sign-bit) embedding search over an (id, Array[Float] emb)

@@ -928,9 +928,13 @@ object Aggregations {
     * WITHOUT a second sort per column: 2·avg_rank = rank() + peer-inclusive
     * count over the RANGE frame (rank = below+1, range-count = at-or-below;
     * their sum is exactly twice the midrank), an integer both engines agree
-    * on. Doubled ranks then flow through exact Decimal(38,0) power sums —
-    * safe to ~1e9 rows per group (n·Σxy ≤ 4e36 < 1e38) — and the only
-    * doubles are the closing ratio's casts, tree-mirrored in the oracle.
+    * on. The doubled ranks are then CENTERED by their exact mean (Σ2r =
+    * n(n+1), so the mean is the integer n+1) before the power sums — the
+    * centered sums are bounded by n³, which keeps every DOUBLE cast exact
+    * (< 2⁵³) through sf-scale groups of ~200k rows; the uncentered
+    * n·Σxy−ΣxΣy formulation reached 6e17 at sf0.1 and survived only
+    * because both engines' past-2⁵³ casts happened to round alike
+    * (DuckDB's HUGEINT→DOUBLE double-rounds — the ts_acf_lags lesson).
     * Two window sorts (one per ranked column) + one hash-agg. */
   private def aggSpearman(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -938,20 +942,25 @@ object Aggregations {
     val wt = Window.partitionBy(col("event_type")).orderBy(col("us"))
     val pv = wv.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val pt = wt.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col("event_type"))
     U.events(s, d)
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("rx", rank().over(wv).cast(LongType) + count(lit(1)).over(pv))
-      .withColumn("ry", rank().over(wt).cast(LongType) + count(lit(1)).over(pt))
+      .withColumn("nn", count(lit(1)).over(full))
+      .withColumn("dx",
+        rank().over(wv).cast(LongType) + count(lit(1)).over(pv) -
+          (col("nn") + 1L))
+      .withColumn("dy",
+        rank().over(wt).cast(LongType) + count(lit(1)).over(pt) -
+          (col("nn") + 1L))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).cast(dec).as("n"),
-        sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
-        sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
-        sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
-        sum((col("ry") * col("ry")).cast(dec)).as("syy"))
-      .select(col("event_type"), col("n").cast(LongType).as("n"),
-        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
-          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
-            sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("spearman"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+      .select(col("event_type"), col("n"),
+        (expr("CAST(sxy AS DOUBLE)") /
+          (sqrt(expr("CAST(sxx AS DOUBLE)")) *
+            sqrt(expr("CAST(syy AS DOUBLE)")))).as("spearman"))
       .orderBy("event_type")
   }
 
@@ -1173,22 +1182,24 @@ object Aggregations {
     },
     "agg_spearman" ->
       ("WITH r AS (SELECT event_type, " +
-        "CAST(rank() OVER wv AS BIGINT) + COUNT(*) OVER pv AS rx, " +
-        "CAST(rank() OVER wt AS BIGINT) + COUNT(*) OVER pt AS ry " +
+        "CAST(rank() OVER wv AS BIGINT) + COUNT(*) OVER pv - " +
+        "(COUNT(*) OVER f + 1) AS dx, " +
+        "CAST(rank() OVER wt AS BIGINT) + COUNT(*) OVER pt - " +
+        "(COUNT(*) OVER f + 1) AS dy " +
         "FROM (SELECT event_type, value, epoch_us(ts) AS us FROM events) " +
         "WINDOW wv AS (PARTITION BY event_type ORDER BY value), " +
         "pv AS (PARTITION BY event_type ORDER BY value " +
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
         "wt AS (PARTITION BY event_type ORDER BY us), " +
         "pt AS (PARTITION BY event_type ORDER BY us " +
-        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
-        "g AS (SELECT event_type, COUNT(*) AS n, SUM(rx) AS sx, " +
-        "SUM(ry) AS sy, SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, " +
-        "SUM(ry * ry) AS syy FROM r GROUP BY event_type) " +
-        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
-        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
-        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
-        "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "f AS (PARTITION BY event_type)), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy " +
+        "FROM r GROUP BY event_type) " +
+        "SELECT event_type, n, " +
+        "CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) * " +
+        "sqrt(CAST(syy AS DOUBLE))) AS spearman " +
         "FROM g ORDER BY event_type"),
     "agg_ecdf" ->
       ("WITH p AS (SELECT * FROM (VALUES " +

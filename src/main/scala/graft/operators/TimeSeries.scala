@@ -1713,7 +1713,11 @@ object TimeSeries {
     * DENSIFIED (sequence+explode, zero-filled) so a lag means "one hour
     * later", not "next bucket with data"; deviations are scaled by n
     * (n·x − S — no mean division), so every product is exact in
-    * Decimal(38,0) and ONE double division closes each lag. Everything
+    * Decimal(38,0), and the correlation is emitted in exact integer
+    * MICRO-units via truncating integral division (1e6·num DIV den —
+    * the probed DECIMAL DIV ↔ HUGEINT `//` bridge from emb_pca2; a
+    * double ratio diverged 1 ULP at sf0.1 because DuckDB's
+    * HUGEINT→DOUBLE cast double-rounds past 2^53). Everything
     * after the first hash-agg is bucket-cardinality: the lag pairing is a
     * 12-way explode + equi-join on (type, hidx+lag) over ≤ |hours| rows,
     * never the event stream. */
@@ -1751,7 +1755,7 @@ object TimeSeries {
         sum(col("dev_a") * col("dev_b")).as("num"))
     pairs.join(broadcast(den), col("event_type") === col("dt"))
       .select(col("event_type"), col("lag"), col("n_pairs"),
-        (expr("CAST(num AS DOUBLE)") / expr("CAST(den AS DOUBLE)")).as("acf"))
+        expr("CAST((1000000 * num) DIV den AS BIGINT)").as("acf_micro"))
       .orderBy("event_type", "lag")
   }
 
@@ -1922,7 +1926,7 @@ object TimeSeries {
         "FROM dn a CROSS JOIN lags l " +
         "JOIN dn b ON b.t = a.t AND b.hx = a.hx + l.lag GROUP BY 1, 2) " +
         "SELECT event_type, lag, n_pairs, " +
-        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf " +
+        "CAST((1000000 * num) // den AS BIGINT) AS acf_micro " +
         "FROM pairs JOIN den ON event_type = dt ORDER BY event_type, lag"
     },
     "ts_interarrival" ->

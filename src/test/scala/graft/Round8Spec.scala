@@ -145,8 +145,8 @@ class Round8Spec extends SparkTestBase {
       .collect()
     assert(rows.length == 5 * 12) // |types| x 12 lags
     rows.foreach { r =>
-      val a = r.getAs[Double]("acf")
-      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $r")
+      val a = r.getAs[Long]("acf_micro")
+      assert(a >= -1000000L && a <= 1000000L, s"acf out of range: $r")
     }
   }
 
