@@ -696,7 +696,46 @@ object Pipeline {
       .orderBy("source", "shard")
   }
 
+  /** Token-budget curation cut: rank documents by a quality proxy
+    * (type-token ratio in exact integer micro-units, doc_id tiebreak) and
+    * keep the best until the cumulative token count exceeds 20% of the
+    * corpus — the "best N tokens under a budget" selection every
+    * curated-pretraining mix runs. The cut threshold compares exact
+    * integers (5·cum <= total ⟺ cum <= 20% — no division); the cumulative
+    * sum is NOT a global sort: docs block by score decile (scores are
+    * micro-ints in [0, 1e6], so `score_micro DIV 100000` is a bounded,
+    * order-aligned block key), per-block prefixes run partitioned, and
+    * block baselines prefix over the ≤11-row block frame — the
+    * sample_weighted two-level scan-prefix shape. */
+  private def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score_micro", expr("(1000000 * n_distinct) DIV n_tokens"))
+      // block key DESCENDING in score so block order == keep order
+      .withColumn("blk", expr("10 - score_micro DIV 100000"))
+    val offs = base.groupBy(col("blk").as("ob"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(
+        sum(col("bsum")).over(Window.orderBy(col("ob"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ob"), col("boff"))
+    val wb = Window.partitionBy(col("blk"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(sum(col("n_tokens")).as("total"))
+    base.join(offs, col("blk") === col("ob"))
+      .withColumn("cum", col("boff") + sum(col("n_tokens")).over(wb))
+      .crossJoin(broadcast(tot))
+      .filter(lit(5L) * col("cum") <= col("total"))
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"), col("cum"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_token_budget" -> tokenBudget _,
     "pack_shards" -> packShards _,
     "pipeline_curate" -> pipelineCurate _,
     "sample_balanced" -> sampleBalanced _,
@@ -779,6 +818,26 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_token_budget" ->
+      (s"WITH base AS (SELECT doc_id, " +
+        s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_distinct(${sqlTokens("text")})) AS BIGINT) " +
+        "AS n_distinct FROM documents), " +
+        "b2 AS (SELECT doc_id, n_tokens, " +
+        "(1000000 * n_distinct) // n_tokens AS score_micro, " +
+        "10 - ((1000000 * n_distinct) // n_tokens) // 100000 AS blk " +
+        "FROM base WHERE n_tokens > 0), " +
+        "offs AS (SELECT ob, COALESCE(SUM(bsum) OVER (ORDER BY ob " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff " +
+        "FROM (SELECT blk AS ob, SUM(n_tokens) AS bsum FROM b2 GROUP BY 1)), " +
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM b2), " +
+        "cums AS (SELECT doc_id, n_tokens, score_micro, " +
+        "boff + SUM(n_tokens) OVER (PARTITION BY blk " +
+        "ORDER BY score_micro DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM b2 JOIN offs ON blk = ob) " +
+        "SELECT doc_id, n_tokens, score_micro, CAST(cum AS BIGINT) AS cum " +
+        "FROM cums CROSS JOIN tot WHERE 5 * cum <= total ORDER BY doc_id"),
     "emb_pca2" ->
       (s"WITH $eigvecCtes, " +
         "u0 AS (SELECT dim, CAST(CASE WHEN dim % 2 = 0 THEN 1000000 " +

@@ -27,7 +27,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 11,
+    "llm/Pipeline.scala" -> 12,
     "llm/Similarity.scala" -> 9,
     "llm/TextAnalysis.scala" -> 7,
     "streaming/StreamingQueries.scala" -> 3)

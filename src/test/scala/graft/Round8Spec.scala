@@ -166,6 +166,27 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("pipeline_token_budget keeps exactly the greedy best-score prefix") {
+    // independent reference: collect (doc, tokens, score), sort by
+    // (score desc, doc_id), accumulate until 5*cum > total
+    val docs = U.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), toks.length.toLong, toks.distinct.length.toLong)
+      }.filter(_._2 > 0)
+    val total = docs.map(_._2).sum
+    val ordered = docs.map { case (id, nt, nd) =>
+      (id, nt, 1000000L * nd / nt) }.sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    val expected = ordered.takeWhile { case (_, nt, _) =>
+      cum += nt; 5L * cum <= total }.map(_._1).toSet
+    val got = llm.Pipeline.queries("pipeline_token_budget")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got.nonEmpty && got == expected,
+      s"budget cut diverges: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("agg_spearman is exactly 1 for a column against itself") {
     // drive the same midrank construction on value-vs-value: every pair of
     // doubled ranks is identical, so the ratio must be exactly 1.0
