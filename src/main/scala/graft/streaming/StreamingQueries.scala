@@ -111,6 +111,67 @@ class HysteresisProcessor
   }
 }
 
+case class IdleEvent(user_id: Long, ts: java.sql.Timestamp)
+case class IdleAlert(user_id: Long, idle_since_us: Long)
+
+/** Event-time TIMER processor (the one transformWithState feature the rest
+  * of §2.9 doesn't exercise): alert when a user goes idle for >30 min of
+  * EVENT time. Two emission paths produce ONE deterministic set:
+  *
+  *  - data path: a gap >30 min between consecutive arrivals emits the
+  *    alert immediately (event time has provably passed — no watermark
+  *    wait needed);
+  *  - timer path: each arrival re-registers an event-time timer at
+  *    last_ts+30 min; when the WATERMARK passes it (including the extra
+  *    no-data batch Spark runs for pending timers after AvailableNow
+  *    drains — TransformWithStateExec.shouldRunAnotherBatch), the trailing
+  *    idle fires. A timer that races a same-batch arrival at worst
+  *    duplicates the data-path alert VALUE-identically (the alert is a
+  *    pure function of last_ts), so a final distinct() makes the union
+  *    independent of batch boundaries — that invariance is what makes the
+  *    query exactly oracle-able: gaps come from lag(), trailing idles from
+  *    last_ts+30min <= final watermark (= max ts − 10 min).
+  *
+  * The alert value is computed from the µs STATE, not the ms timer expiry,
+  * so timer granularity cannot truncate it. */
+class IdleTimeoutProcessor extends StatefulProcessor[Long, IdleEvent, IdleAlert] {
+  private val IdleUs = 1800000000L
+  @transient private var last: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[Long]("last_us", Encoders.scalaLong,
+      TTLConfig.NONE)
+  private def us(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+  override def handleInputRows(key: Long, rows: Iterator[IdleEvent],
+      tv: TimerValues): Iterator[IdleAlert] = {
+    val sorted = rows.map(e => us(e.ts)).toIndexedSeq.sorted
+    var out = List.empty[IdleAlert]
+    var cur = if (last.exists()) Some(last.get()) else None
+    // only the PREVIOUS batch's last event ever registered a timer —
+    // intra-batch predecessors never did, so delete exactly that one
+    cur.foreach(p => getHandle.deleteTimer(p / 1000 + IdleUs / 1000))
+    for (t <- sorted) {
+      cur.foreach(p => if (t - p > IdleUs) out ::= IdleAlert(key, p))
+      cur = Some(t)
+    }
+    cur.foreach { p =>
+      last.update(p)
+      getHandle.registerTimer(p / 1000 + IdleUs / 1000)
+    }
+    out.reverseIterator
+  }
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleAlert] = {
+    // fire only for the CURRENT last event — stale timers are deleted on
+    // arrival, but a same-batch race is still value-identical by
+    // construction (distinct() downstream)
+    if (last.exists() &&
+        last.get() / 1000 + IdleUs / 1000 == info.getExpiryTimeInMs)
+      Iterator.single(IdleAlert(key, last.get()))
+    else Iterator.empty
+  }
+}
+
 /** SURVEY.md §2.9 — Structured Streaming over a replay of the `events`
   * table.
   *
@@ -456,6 +517,41 @@ object StreamingQueries {
     }
   }
 
+  /** [[IdleTimeoutProcessor]] end-to-end: >30-min idle alerts via
+    * EVENT-TIME TIMERS under a 10-minute watermark — gaps alert on the
+    * next arrival, trailing idles alert when the (ms-granular) watermark
+    * passes last+30min, including Spark's extra pending-timer batch after
+    * AvailableNow drains. Relies on the staged replay's event-time file
+    * order (the [[SessionizeProcessor]] assumption): a timer can never
+    * fire before the gap it guards is decidable, because every event in a
+    * later file is later than every event before it. Exactly oracle-able:
+    * gaps from lag(), trailing idles from the ms-floored watermark
+    * arithmetic Spark actually uses (watermark = floor-ms(max ts) −
+    * 600000 ms). */
+  private def idleTimeoutTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append") { in =>
+      import in.sparkSession.implicits._
+      in.withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("ts")).as[IdleEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new IdleTimeoutProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+    }.distinct() // timer/data race duplicates are value-identical
+      .select(col("user_id"),
+        timestamp_micros(col("idle_since_us")).as("idle_since"),
+        timestamp_micros(col("idle_since_us") + 1800000000L).as("alert_ts"))
+      .orderBy("user_id", "idle_since")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[SessionizeProcessor]] end-to-end: custom-state session windows whose
     * kept emissions reproduce the batch lag-gap sessionization exactly. */
   private def sessionizeTws(s: SparkSession, d: String): DataFrame = {
@@ -679,6 +775,7 @@ object StreamingQueries {
     "stream_dedup" -> dedupStream _,
     "stream_stateful" -> statefulRunning _,
     "stream_stateful_tws" -> statefulRunningTws _,
+    "stream_idle_timeout" -> idleTimeoutTws _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_stream_left_join" -> streamStreamLeftJoin _,
     "stream_custom_source" -> customSourceStream _,
@@ -727,6 +824,25 @@ object StreamingQueries {
         s"CAST(SUM(${OSQL.cents("value")}) OVER w AS DOUBLE) / 100.0 AS running_sum " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "stream_idle_timeout" ->
+      ("WITH g AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts), 1) OVER w AS prev FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "gaps AS (SELECT user_id, prev AS isu FROM g " +
+        "WHERE prev IS NOT NULL AND us - prev > 1800000000), " +
+        // Spark's watermark is millisecond-granular: floor-ms(max ts) -
+        // 600000 ms; the trailing-timer fire condition mirrors that
+        "fw AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms " +
+        "FROM events), " +
+        "trail AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us " +
+        "FROM events GROUP BY 1), " +
+        "t2 AS (SELECT user_id, last_us AS isu FROM trail CROSS JOIN fw " +
+        "WHERE last_us // 1000 + 1800000 <= wm_ms), " +
+        "a AS (SELECT user_id, isu FROM gaps " +
+        "UNION SELECT user_id, isu FROM t2) " +
+        "SELECT user_id, make_timestamp(isu) AS idle_since, " +
+        "make_timestamp(isu + 1800000000) AS alert_ts " +
+        "FROM a ORDER BY user_id, idle_since"),
     "stream_stateful_tws" ->
       ("SELECT event_id, user_id, " +
         "CAST(row_number() OVER w AS BIGINT) AS running_n, " +

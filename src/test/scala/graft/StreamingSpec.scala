@@ -198,6 +198,31 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream alarm divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_idle_timeout fires trailing alerts through event-time timers") {
+    // trailing idles (a user's LAST event, no successor to reveal the gap)
+    // can ONLY come from handleExpiredTimer — their presence proves the
+    // event-time timer path (registerTimer → watermark → expiry) engaged,
+    // including the extra pending-timer batch after AvailableNow drains
+    val got = graft.streaming.StreamingQueries
+      .queries("stream_idle_timeout")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("idle_since").getTime))
+      .toSet
+    val lastEv = U.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .collect()
+    val wmMs = lastEv.map(_.getAs[Long]("last_us")).max / 1000 - 600000
+    val trailing = lastEv
+      .filter(r => r.getAs[Long]("last_us") / 1000 + 1800000 <= wmMs)
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("last_ts").getTime))
+    assert(trailing.nonEmpty, "fixture has no trailing-idle user to test with")
+    val missing = trailing.filterNot(got.contains)
+    assert(missing.isEmpty,
+      s"timer-path alerts missing for ${missing.take(5).mkString(", ")}")
+  }
+
   test("custom sink totals survive a pre-existing checkpoint (full re-replay)") {
     // Regression: the first run leaves a checkpoint; a second run in the
     // same (or a later) JVM must still total the WHOLE replay — a reused
