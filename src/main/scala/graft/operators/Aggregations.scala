@@ -1043,7 +1043,80 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Median absolute deviation of value per event type — the robust SCALE
+    * companion to [[aggTrimmedMean]]'s location. Fully integer: the median
+    * ships DOUBLED (two middle cents summed — integral under even counts,
+    * the ts_interarrival trick), deviations are |2·x − med2| (integers, no
+    * halving), and the MAD ships QUADRUPLED (doubled median of doubled
+    * deviations). The closing doubles are exact halvings
+    * (med2/200, mad4/400), identical in both engines by construction.
+    * Two window sorts + two hash-aggs; the med2 frame is \|types\|-sized
+    * (broadcast — taxonomy-bounded). */
+  private def aggMad(s: SparkSession, d: String): DataFrame = {
+    def med2Of(df: DataFrame, vcol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(vcol))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      df.withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(full))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("rn") === expr("(n + 1) DIV 2") ||
+              col("rn") === expr("n DIV 2 + 1"),
+            when(expr("n % 2 = 1"), col(vcol) * 2).otherwise(col(vcol)))
+            .otherwise(lit(0L))).as(out))
+    }
+    val base = U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+    val med = med2Of(base, "vc", "med2")
+      .select(col("event_type").as("et"), col("n").as("n_med"), col("med2"))
+    val devs = base.join(broadcast(med), col("event_type") === col("et"))
+      .select(col("event_type"),
+        abs(col("vc") * 2 - col("med2")).as("dev"))
+    med2Of(devs, "dev", "mad4")
+      .join(broadcast(med), col("event_type") === col("et"))
+      .select(col("event_type"), col("n"),
+        (col("med2").cast(DoubleType) / lit(200.0)).as("median"),
+        (col("mad4").cast(DoubleType) / lit(400.0)).as("mad"))
+      .orderBy("event_type")
+  }
+
+  /** Cohen's d between the click and purchase value distributions — the
+    * standardized effect-size companion to agg_ttest's significance.
+    * Exact cents power sums per side; pooled variance and d close in one
+    * mirrored double tree (operand magnitudes ≤ n·(5e4)² stay far under
+    * 2⁵³ through sf-scale groups). One hash-agg over one scan. */
+  private def aggCohensD(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val sides = U.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(vc).cast(DoubleType).as("sx"),
+        sum(vc * vc).cast(DoubleType).as("sxx"))
+      .withColumn("mean", col("sx") / (lit(100.0) * col("nd")))
+      .withColumn("s2",
+        U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd")))
+    val a = sides.filter(col("event_type") === "click")
+      .select(col("nd").as("na"), col("mean").as("ma"), col("s2").as("va"))
+    val b = sides.filter(col("event_type") === "purchase")
+      .select(col("nd").as("nb"), col("mean").as("mb"), col("s2").as("vb"))
+    a.crossJoin(broadcast(b))
+      .select(col("na").cast(LongType).as("n_click"),
+        col("nb").cast(LongType).as("n_purchase"),
+        col("ma").as("mean_click"), col("mb").as("mean_purchase"),
+        (((col("na") - lit(1.0)) * col("va") +
+          (col("nb") - lit(1.0)) * col("vb")) /
+          (col("na") + col("nb") - lit(2.0))).as("pooled_var"),
+        ((col("ma") - col("mb")) /
+          sqrt(((col("na") - lit(1.0)) * col("va") +
+            (col("nb") - lit(1.0)) * col("vb")) /
+            (col("na") + col("nb") - lit(2.0)))).as("cohens_d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad" -> aggMad _,
+    "agg_cohens_d" -> aggCohensD _,
     "agg_trimmed_mean" -> aggTrimmedMean _,
     "agg_spearman" -> aggSpearman _,
     "agg_ecdf" -> aggEcdf _,
@@ -1168,6 +1241,47 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mad" -> {
+      val c = OSQL.cents("value")
+      def med2(src: String, vcol: String, out: String) =
+        s"(SELECT event_type AS et_$out, MAX(n) AS n_$out, " +
+          s"CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN " +
+          s"CASE WHEN n % 2 = 1 THEN $vcol * 2 ELSE $vcol END ELSE 0 END) " +
+          s"AS BIGINT) AS $out FROM (SELECT event_type, $vcol, " +
+          s"CAST(row_number() OVER (PARTITION BY event_type ORDER BY $vcol) " +
+          "AS BIGINT) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n " +
+          s"FROM $src) GROUP BY 1)"
+      s"WITH base AS (SELECT event_type, $c AS vc FROM events), " +
+        s"med AS ${med2("base", "vc", "med2")}, " +
+        "devs AS (SELECT event_type, abs(vc * 2 - med2) AS dev " +
+        "FROM base JOIN med ON event_type = et_med2), " +
+        s"mad AS ${med2("devs", "dev", "mad4")} " +
+        "SELECT et_mad4 AS event_type, n_mad4 AS n, " +
+        "CAST(med2 AS DOUBLE) / 200.0 AS median, " +
+        "CAST(mad4 AS DOUBLE) / 400.0 AS mad " +
+        "FROM mad JOIN med ON et_mad4 = et_med2 ORDER BY event_type"
+    },
+    "agg_cohens_d" -> {
+      val c = OSQL.cents("value")
+      val s2 = OSQL.covPowerSums("sxx", "sx", "sx", "nd")
+      s"WITH sides AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(cc) AS DOUBLE) AS sx, CAST(SUM(cc * cc) AS DOUBLE) AS sxx " +
+        s"FROM (SELECT event_type, $c AS cc FROM events " +
+        "WHERE event_type IN ('click', 'purchase')) GROUP BY 1), " +
+        "e AS (SELECT event_type, nd, sx / (100.0 * nd) AS mean, " +
+        s"$s2 AS s2 FROM sides), " +
+        "a AS (SELECT nd AS na, mean AS ma, s2 AS va FROM e " +
+        "WHERE event_type = 'click'), " +
+        "b AS (SELECT nd AS nb, mean AS mb, s2 AS vb FROM e " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT CAST(na AS BIGINT) AS n_click, " +
+        "CAST(nb AS BIGINT) AS n_purchase, ma AS mean_click, " +
+        "mb AS mean_purchase, " +
+        "((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0) " +
+        "AS pooled_var, " +
+        "(ma - mb) / sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / " +
+        "(na + nb - 2.0)) AS cohens_d FROM a CROSS JOIN b"
+    },
     "agg_trimmed_mean" -> {
       val c = OSQL.cents("value")
       s"WITH b AS (SELECT event_type, event_id, $c AS vc FROM events), " +

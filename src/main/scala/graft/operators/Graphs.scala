@@ -910,7 +910,39 @@ object Graphs {
       .orderBy(col("katz_micro").desc, col("node")).limit(50)
   }
 
+  /** Gini coefficient of the co-purchase out-degree distribution — the
+    * one-number answer to "is this graph scale-free-ish or uniform" that
+    * decides skew-mitigation postures. The rank-weighted form
+    * G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over degrees sorted ascending
+    * with a (degree, node) total order, emitted in exact integer
+    * micro-units via integral division — no float anywhere (the agg_gini
+    * discipline applied to graph topology). The global rank i is NOT one
+    * \|V\|-row sort: nodes block by their DEGREE VALUE (per-degree local
+    * row numbers, ordered by node id) and degree-block offsets prefix
+    * over the \|distinct degrees\|-row count frame, which rides
+    * [[graft.U.sizeGate]] — the two-level scan-prefix again. */
+  private def graphDegreeGini(s: SparkSession, d: String): DataFrame = {
+    val deg = coPairs(s, d).select(col("u"), col("v"))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    import org.apache.spark.sql.expressions.Window
+    val (offs, wo) = graft.U.sizeGate(
+      deg.groupBy(col("deg").as("dg")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum(col("c")).over(Window.orderBy(col("dg"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("dg"), col("off")))
+    val wl = Window.partitionBy(col("deg")).orderBy(col("u"))
+    deg.join(wo(offs), col("deg") === col("dg"))
+      .withColumn("i", col("off") + row_number().over(wl).cast(LongType))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
+        sum(col("i") * col("deg")).as("iwx"))
+      .select(col("n_nodes"), col("sum_deg"),
+        expr("CAST((1000000 * (2 * iwx - (n_nodes + 1) * sum_deg)) DIV " +
+          "(n_nodes * sum_deg) AS BIGINT)").as("gini_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_gini" -> graphDegreeGini _,
     "graph_katz" -> graphKatz _,
     "graph_assortativity" -> graphAssortativity _,
     "graph_community_lp" -> graphCommunityLp _,
@@ -1090,6 +1122,18 @@ object Graphs {
         "GROUP BY a) " +
         "SELECT component, COUNT(*) AS n_nodes FROM lab " +
         "GROUP BY component ORDER BY n_nodes DESC, component"),
+    "graph_degree_gini" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk <> b.pk), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges " +
+        "GROUP BY u), " +
+        "r AS (SELECT u, deg, CAST(row_number() OVER (ORDER BY deg, u) " +
+        "AS BIGINT) AS i FROM deg) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(deg) AS BIGINT) AS sum_deg, " +
+        "CAST((1000000 * (2 * SUM(i * deg) - (COUNT(*) + 1) * SUM(deg))) " +
+        "// (COUNT(*) * SUM(deg)) AS BIGINT) AS gini_micro FROM r"),
     "graph_katz" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +

@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 1,
     "operators/TimeSeries.scala" -> 12,
-    "operators/Aggregations.scala" -> 19,
+    "operators/Aggregations.scala" -> 22,
     "operators/Graphs.scala" -> 8,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

@@ -166,6 +166,58 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("agg_mad matches a driver-side median/MAD recomputation") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) * 2 else s(n / 2 - 1) + s(n / 2)
+    }
+    val byType = U.events(spark, sfDir).select("event_type", "value")
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    val got = operators.Aggregations.queries("agg_mad")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("median"), r.getAs[Double]("mad")))
+      .toMap
+    byType.foreach { case (t, xs) =>
+      val m2 = med2(xs)
+      val mad4 = med2(xs.map(x => math.abs(2 * x - m2)))
+      val (n, median, mad) = got(t)
+      assert(n == xs.length.toLong)
+      assert(median == m2.toDouble / 200.0 && mad == mad4.toDouble / 400.0,
+        s"$t MAD diverges")
+    }
+  }
+
+  test("agg_cohens_d is consistent with per-side means and variances") {
+    val r = operators.Aggregations.queries("agg_cohens_d")(spark, sfDir)
+      .collect().head
+    val d = r.getAs[Double]("cohens_d")
+    val pv = r.getAs[Double]("pooled_var")
+    assert(pv > 0.0)
+    assert(d == (r.getAs[Double]("mean_click") -
+      r.getAs[Double]("mean_purchase")) / math.sqrt(pv) ||
+      math.abs(d - (r.getAs[Double]("mean_click") -
+        r.getAs[Double]("mean_purchase")) / math.sqrt(pv)) < 1e-12)
+  }
+
+  test("graph_degree_gini equals the single-sort reference formula") {
+    val degs = operators.Graphs.pagerankEdgeFrame(spark, sfDir)
+      .collect().map(_.getLong(0)).groupBy(identity)
+      .map { case (u, es) => u -> es.length.toLong }
+    val sorted = degs.toSeq.sortBy { case (u, dg) => (dg, u) }.map(_._2)
+    val n = sorted.length.toLong
+    val sx = sorted.sum
+    val iwx = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expect = BigInt(1000000) * (2 * BigInt(iwx) - BigInt(n + 1) * sx) /
+      (BigInt(n) * sx)
+    val r = operators.Graphs.queries("graph_degree_gini")(spark, sfDir)
+      .collect().head
+    U.releaseTracked()
+    assert(r.getAs[Long]("n_nodes") == n && r.getAs[Long]("sum_deg") == sx)
+    assert(BigInt(r.getAs[Long]("gini_micro")) == expect,
+      "blocked-prefix gini diverges from the single-sort reference")
+  }
+
   test("pipeline_token_budget keeps exactly the greedy best-score prefix") {
     // independent reference: collect (doc, tokens, score), sort by
     // (score desc, doc_id), accumulate until 5*cum > total
