@@ -357,6 +357,41 @@ object GraftApi {
       .select(col("q_id"), col("rank"), col("__id").as(id), col("hamming"))
   }
 
+  /** Robust location + scale per group: exact doubled-median and
+    * quadrupled-MAD of a <=2-decimal value column, emitted as the exact
+    * halvings (median, mad) — the `agg_mad` kernel on caller columns.
+    * Fully integer until the closing halvings; two window sorts + two
+    * hash-aggs; the per-group median frame broadcasts through
+    * [[graft.U.sizeGate]] (group cardinality is data-derived). Release
+    * the gate's cached frame with `graft.U.releaseTracked()`. */
+  def medianMad(df: DataFrame, group: String, value: String): DataFrame = {
+    def med2Of(src: DataFrame, vcol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(group)).orderBy(col(vcol))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      src.withColumn("__rn", row_number().over(w).cast(LongType))
+        .withColumn("__n", count(lit(1)).over(full))
+        .groupBy(col(group))
+        .agg(max(col("__n")).as("n"),
+          sum(when(col("__rn") === expr("(__n + 1) DIV 2") ||
+              col("__rn") === expr("__n DIV 2 + 1"),
+            when(expr("__n % 2 = 1"), col(vcol) * 2).otherwise(col(vcol)))
+            .otherwise(lit(0L))).as(out))
+    }
+    val base = df.select(col(group),
+      (col(value).cast("decimal(12,2)") * 100).cast(LongType).as("__vc"))
+    val (med, wm) = graft.U.sizeGate(
+      med2Of(base, "__vc", "med2")
+        .select(col(group).as("__g"), col("med2")))
+    val devs = base.join(wm(med), col(group) === col("__g"))
+      .select(col(group), abs(col("__vc") * 2 - col("med2")).as("__dev"))
+    med2Of(devs, "__dev", "mad4")
+      .join(wm(med), col(group) === col("__g"))
+      .select(col(group), col("n"),
+        (col("med2").cast("double") / lit(200.0)).as("median"),
+        (col("mad4").cast("double") / lit(400.0)).as("mad"))
+  }
+
   /** Multimodal ingestion: scan a directory of media files into the
     * BinaryType + typed-metadata frame the `multimodal_*` kernels consume —
     * `(path, mod_time, n_bytes, mime, payload, digest)` — optionally

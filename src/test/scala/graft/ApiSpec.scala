@@ -239,6 +239,17 @@ class ApiSpec extends SparkTestBase {
     assert(hk.nonEmpty && hk.sameElements(hkDecl))
   }
 
+  test("medianMad equals the declared agg_mad on the fixtures") {
+    val viaApi = GraftApi.medianMad(
+        U.events(spark, sfDir).withColumnRenamed("event_type", "kind"),
+        "kind", "value")
+      .orderBy("kind").collect().map(_.toString)
+    U.releaseTracked()
+    val declared = operators.Aggregations.queries("agg_mad")(spark, sfDir)
+      .orderBy("event_type").collect().map(_.toString)
+    assert(viaApi.nonEmpty && viaApi.sameElements(declared))
+  }
+
   test("ingestBinaryDir frames and digest-dedups generated PNGs") {
     // real JDK PNG bytes on disk (the one codec this container ships) —
     // a driver-shipped media fixture would enter through this exact path
