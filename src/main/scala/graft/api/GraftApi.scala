@@ -104,6 +104,43 @@ object GraftApi {
       dsuEdgeCap).toDF("node", "component")
   }
 
+  /** Strongly connected components over a DIRECTED edge frame: the
+    * analytic subgraph is capped to the top-`nodeCap` nodes by total
+    * directed degree (deterministic id tiebreak — closure frames stay
+    * ≤ nodeCap² BY CONSTRUCTION at any corpus size), then mutual
+    * reachability labels each node with its SCC's minimum id. Same gated
+    * closure as the `graph_scc` query: one task below `iterEdgeCap`,
+    * path-doubling DataFrame rounds above. Returns
+    * (node, scc_id, scc_size) for the capped subgraph. */
+  def stronglyConnectedComponents(edges: DataFrame,
+      uCol: String = "u", vCol: String = "v", nodeCap: Int = 60,
+      iterEdgeCap: Long = 5000000L): DataFrame =
+    Graphs.sccOnEdges(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")), nodeCap,
+      iterEdgeCap)
+
+  /** 3-truss peel over an UNDIRECTED edge list (u < v per row expected;
+    * rows are canonicalized with least/greatest first): 8 rounds deleting
+    * triangle-free edges, survivors returned with their closing triangle
+    * support — the `graph_ktruss` kernel on caller columns. */
+  def trussPeel(edges: DataFrame, uCol: String = "u", vCol: String = "v",
+      iterEdgeCap: Long = 5000000L): DataFrame =
+    Graphs.ktrussOnEdges(
+      edges.select(least(col(uCol), col(vCol)).as("u"),
+          greatest(col(uCol), col(vCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      iterEdgeCap)
+
+  /** CCNet-style paragraph-duplication profile per document: split
+    * `textCol` into non-overlapping `windowTokens`-token windows, hash
+    * each with the engine's polynomial fingerprint, count windows whose
+    * hash appears in MORE THAN ONE distinct `idCol` document. Only
+    * (id, hash) pairs ever shuffle — never text. Returns
+    * (id, n_paras, n_dup, dup_micro). */
+  def paragraphDupStats(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 10): DataFrame =
+    graft.llm.Dedup.paragraphDupStats(df, idCol, textCol, windowTokens)
+
   /** 1-D random-walk Kalman filter over (key, ts, value): final filtered
     * level + posterior variance per key, by the same bit-exact struct fold
     * as the `ts_kalman` query. `q`/`r` must be decimal literals that

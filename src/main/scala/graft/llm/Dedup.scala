@@ -372,7 +372,47 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Paragraph-level dedup fraction per document (the CCNet recipe:
+    * near-dup WEB docs share boilerplate paragraphs long before whole-doc
+    * hashes collide): documents split into non-overlapping 10-token
+    * windows, each window fingerprinted with the shared polynomial hash,
+    * a window counted duplicated when its hash appears in >1 DISTINCT
+    * document. The 100 TB shape is the point: after the map-side split,
+    * only (doc_id, hash) PAIRS shuffle — 16 bytes/paragraph, never text —
+    * through one hash-count and one re-join keyed on the hash. Output is
+    * per-doc paragraph counts plus the duplicated share in exact
+    * micro-units. */
+  private def dedupParagraph(s: SparkSession, d: String): DataFrame =
+    paragraphDupStats(docs(s, d), "doc_id", "text", 10).orderBy("doc_id")
+
+  /** The generic kernel behind `dedup_paragraph` (and the
+    * [[graft.api.GraftApi.paragraphDupStats]] facade): windows of
+    * `windowTokens` tokens per `idCol` document, duplication measured
+    * across DISTINCT documents. */
+  private[graft] def paragraphDupStats(df: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
+    val wt = windowTokens
+    val paras = df
+      .select(col(idCol), TextUtil.tokens(col(textCol)).as("__tk"))
+      .withColumn("__np", expr(s"(size(__tk) + ${wt - 1}) DIV $wt"))
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0L), col("__np") - 1)).as("__p"))
+      .select(col(idCol), TextUtil.polyHash(
+          concat_ws("_", slice(col("__tk"),
+            (col("__p") * wt + 1).cast(IntegerType), lit(wt))), 11L)
+        .as("__ph"))
+    val cnt = paras.groupBy(col("__ph").as("__ch"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    paras.join(cnt, col("__ph") === col("__ch"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__nd") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(col(idCol), col("n_paras"), col("n_dup"),
+        expr("(1000000 * n_dup) DIV n_paras").as("dup_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> dedupParagraph _,
     "dedup_editdistance" -> editDistancePairs _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
@@ -447,6 +487,22 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph" -> {
+      val ph = sqlPolyHash("pt", 11L)
+      s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents), " +
+        "w AS (SELECT doc_id, tk, (len(tk) + 9) // 10 AS np FROM t), " +
+        "px AS (SELECT doc_id, array_to_string(list_slice(tk, " +
+        "CAST(pi * 10 + 1 AS INTEGER), CAST(pi * 10 + 10 AS INTEGER)), '_') " +
+        "AS pt FROM w, LATERAL unnest(generate_series(0, np - 1)) u(pi)), " +
+        s"p AS (SELECT doc_id, $ph AS ph FROM px), " +
+        "cnt AS (SELECT ph AS ch, COUNT(DISTINCT doc_id) AS nd " +
+        "FROM p GROUP BY 1) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras, " +
+        "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "(1000000 * CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)) " +
+        "// COUNT(*) AS dup_micro " +
+        "FROM p JOIN cnt ON ph = ch GROUP BY doc_id ORDER BY doc_id"
+    },
     "dedup_editdistance" ->
       ("WITH keyed AS (SELECT doc_id, text, n_chars, " +
         "split_part(text, ' ', 1) AS tok0, split_part(text, ' ', 2) " +

@@ -538,7 +538,37 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the SimCLR/DPR
+    * curation step): for each of the 50 lowest-id anchor vectors, the 3
+    * most-cosine-similar vectors carrying a DIFFERENT label — the
+    * near-misses a contrastive loss learns most from. The
+    * [[scoredNeighbors]] shape with the cross-label filter pushed BELOW
+    * the ranking window: anchors broadcast, the corpus streams once
+    * map-side, and per-anchor ranking runs over the label-filtered
+    * candidates only. Exact fixed-point cosine (identical operand tree to
+    * the SQL mirror), deterministic (cos DESC, vec_id) tiebreak. */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val all = fixed(s, d)
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("anchor_label"),
+        col("fx").as("qx"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    all.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("anchor_label"))
+      .withColumn("cos",
+        cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"),
+        col("anchor_label").cast(LongType).as("anchor_label"),
+        col("vec_id").as("neg_id"), col("label").cast(LongType).as("neg_label"),
+        col("cos"), col("rank").cast(LongType).as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hard_negatives" -> hardNegatives _,
     "sim_hamming_topk" -> hammingTopk _,
     "emb_matryoshka" -> embMatryoshka _,
     "sim_index_persist" -> indexPersist _,
@@ -773,6 +803,21 @@ object Similarity {
     "sim_lsh_ann" -> lshSql,
     "sim_ivf_ann" -> ivfSql,
     "dedup_embedding_ann" -> embAnnSql,
+    "emb_hard_negatives" ->
+      (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, label, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "q AS (SELECT vec_id AS q_id, label AS anchor_label, fx AS qx, " +
+        "nrm AS qn FROM n WHERE vec_id < 50), " +
+        "scored AS (SELECT q_id, anchor_label, vec_id, label, " +
+        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN q WHERE label <> anchor_label), " +
+        "ranked AS (SELECT q_id, anchor_label, vec_id, label, cos, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
+        "SELECT q_id, CAST(anchor_label AS BIGINT) AS anchor_label, " +
+        "vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label, cos, rank " +
+        "FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"),
     "emb_knn_classify" ->
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, label, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

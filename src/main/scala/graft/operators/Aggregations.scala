@@ -1114,7 +1114,112 @@ object Aggregations {
             (col("na") + col("nb") - lit(2.0)))).as("cohens_d"))
   }
 
+  /** One-way ANOVA across the five event types — the k-group
+    * generalization of [[aggCohensD]]'s two-group contrast: does value's
+    * mean differ by type at all? Fully exact: per-group cents power sums
+    * (one hash-agg), then the between/within sums of squares emitted in
+    * whole CENTS² via per-group truncating division under common integer
+    * denominators — SSB term = (n·S_g − n_g·S)² DIV (n_g·n²), SSW term =
+    * (n_g·Q_g − S_g²) DIV n_g — so both engines perform the IDENTICAL
+    * integer operation sequence (the ts_acf_lags DECIMAL DIV ↔ HUGEINT
+    * `//` bridge; a double tree here would 1-ULP diverge past 2^53, and a
+    * micro-scaled SSB would wrap Spark DIV's BIGINT result near sf0.1).
+    * The F statistic closes in micro-units from the two cents² sums under
+    * a Decimal(38,0) cast. Squared deviations reach ~2.5e29 at sf0.1 →
+    * Decimal(38,0) mandatory on the way in.
+    * One scan, one |types|-row agg, one broadcast of a 1-row total. */
+  private def aggAnova(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("vc")).as("sg"),
+        sum((col("vc") * col("vc")).cast(dec)).as("qg"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("stot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sg - CAST(ng AS DECIMAL(38,0)) * stot AS DECIMAL(38,0)) * " +
+          "CAST(CAST(n AS DECIMAL(38,0)) * sg - CAST(ng AS DECIMAL(38,0)) * stot AS DECIMAL(38,0)) DIV " +
+          "(CAST(ng AS DECIMAL(38,0)) * n * n)").as("ssb_t"),
+        expr("(CAST(ng AS DECIMAL(38,0)) * qg - CAST(sg AS DECIMAL(38,0)) * sg) DIV " +
+          "CAST(ng AS DECIMAL(38,0))").as("ssw_t"))
+      .groupBy(col("k"), col("n"))
+      .agg(sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"))
+      .select(col("k").as("n_groups"), col("n"),
+        col("ssb").as("ssb_c2"), col("ssw").as("ssw_c2"),
+        expr("CAST((CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000) DIV " +
+          "(CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)").as("f_micro"))
+  }
+
+  /** Cohen's kappa between two five-level ratings of each event — the
+    * value band (fixed 100-unit widths, top-coded at band 4) vs the
+    * props.k metadata band (k DIV 20) — chance-corrected agreement over
+    * the 5×5 confusion matrix. Everything is integer: with diag = matched
+    * count and pe_num = Σᵢ rowᵢ·colᵢ, kappa = (n·diag − pe_num)/(n² −
+    * pe_num) ships in exact micro-units (Decimal-guarded: n² wraps BIGINT
+    * past ~3e9 rows). One scan feeding one 25-cell hash-agg; the marginals
+    * are |bands|-row frames joined broadcast. */
+  private def aggCohenKappa(s: SparkSession, d: String): DataFrame = {
+    val cells = U.events(s, d)
+      .select(least(U.cents(col("value")).cast(LongType), lit(49999L)).as("vc"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("kk"))
+      .select(expr("vc DIV 10000").as("qa"), expr("kk DIV 20").as("qb"))
+      .groupBy(col("qa"), col("qb")).agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy(col("qa").as("ra")).agg(sum(col("c")).as("r"))
+    val cols = cells.groupBy(col("qb").as("cb")).agg(sum(col("c")).as("cc"))
+    val pe = rows.join(cols, col("ra") === col("cb"))
+      .agg(sum(col("r") * col("cc")).as("pe_num"))
+    val agree = cells.agg(sum(col("c")).as("n"),
+      sum(when(col("qa") === col("qb"), col("c")).otherwise(lit(0L)))
+        .as("diag"))
+    agree.crossJoin(broadcast(pe))
+      .select(col("n"), col("diag"),
+        expr("CAST((1000000 * CAST(diag AS DECIMAL(38,0))) DIV n AS BIGINT)")
+          .as("po_micro"),
+        expr("CAST((1000000 * CAST(pe_num AS DECIMAL(38,0))) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_micro"),
+        expr("CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * diag - pe_num)) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n - pe_num) AS BIGINT)")
+          .as("kappa_micro"))
+  }
+
+  /** 10% two-sided WINSORIZED mean of value per event type — the robust
+    * companion that CLAMPS the tails to the boundary order statistics
+    * instead of dropping them ([[aggTrimmedMean]] drops). k = n DIV 10
+    * rows at each end of the (cents, event_id) total order are replaced by
+    * the cents at ranks k+1 / n−k; the clamped sum stays integral, so the
+    * only double is the closing exact division (mirrored tree). One window
+    * sort + one conditional hash-agg — the boundary values ride the SAME
+    * agg as conditional MAXes, no second pass. */
+  private def aggWinsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vc"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(full))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("n DIV 10 + 1"), col("vc"))).as("lo"),
+        max(when(col("rn") === col("n") - expr("n DIV 10"), col("vc")))
+          .as("hi"),
+        sum(when(col("rn") <= expr("n DIV 10"), lit(0L))
+          .when(col("rn") > col("n") - expr("n DIV 10"), lit(0L))
+          .otherwise(col("vc"))).as("mid_sum"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        ((col("mid_sum") + expr("n DIV 10") * (col("lo") + col("hi")))
+          .cast(DoubleType) / (lit(100.0) * col("n")))
+          .as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized_mean" -> aggWinsorizedMean _,
+    "agg_anova" -> aggAnova _,
+    "agg_cohen_kappa" -> aggCohenKappa _,
     "agg_mad" -> aggMad _,
     "agg_cohens_d" -> aggCohensD _,
     "agg_trimmed_mean" -> aggTrimmedMean _,
@@ -1241,6 +1346,65 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_winsorized_mean" -> {
+      val c = OSQL.cents("value")
+      s"WITH r AS (SELECT event_type, $c AS vc, " +
+        s"CAST(row_number() OVER (PARTITION BY event_type ORDER BY $c, " +
+        "event_id) AS BIGINT) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events), " +
+        "a AS (SELECT event_type, MAX(n) AS n, " +
+        "MAX(CASE WHEN rn = n // 10 + 1 THEN vc END) AS lo, " +
+        "MAX(CASE WHEN rn = n - n // 10 THEN vc END) AS hi, " +
+        "CAST(SUM(CASE WHEN rn <= n // 10 THEN 0 " +
+        "WHEN rn > n - n // 10 THEN 0 ELSE vc END) AS BIGINT) AS mid_sum " +
+        "FROM r GROUP BY event_type) " +
+        "SELECT event_type, n, lo, hi, " +
+        "CAST(mid_sum + (n // 10) * (lo + hi) AS DOUBLE) / (100.0 * n) " +
+        "AS winsorized_mean FROM a ORDER BY event_type"
+    },
+    "agg_anova" -> {
+      val c = OSQL.cents("value")
+      s"WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng, " +
+        s"CAST(SUM($c) AS BIGINT) AS sg, " +
+        s"SUM(CAST($c AS HUGEINT) * $c) AS qg FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, " +
+        "CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS stot " +
+        "FROM g), " +
+        "t AS (SELECT k, n, " +
+        "((CAST(n AS HUGEINT) * sg - CAST(ng AS HUGEINT) * stot) * " +
+        "(CAST(n AS HUGEINT) * sg - CAST(ng AS HUGEINT) * stot)) // " +
+        "(CAST(ng AS HUGEINT) * n * n) AS ssb_t, " +
+        "(CAST(ng AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg) // " +
+        "CAST(ng AS HUGEINT) AS ssw_t FROM g CROSS JOIN tot), " +
+        "s AS (SELECT k, n, SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw FROM t " +
+        "GROUP BY k, n) " +
+        "SELECT k AS n_groups, n, CAST(ssb AS BIGINT) AS ssb_c2, " +
+        "CAST(ssw AS BIGINT) AS ssw_c2, " +
+        "CAST((ssb * (n - k) * 1000000) // (ssw * (k - 1)) AS BIGINT) " +
+        "AS f_micro FROM s"
+    },
+    "agg_cohen_kappa" -> {
+      val c = OSQL.cents("value")
+      s"WITH b AS (SELECT least($c, 49999) // 10000 AS qa, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) // 20 AS qb " +
+        "FROM events), " +
+        "cells AS (SELECT qa, qb, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM b GROUP BY 1, 2), " +
+        "pe AS (SELECT CAST(SUM(r.r * col.cc) AS BIGINT) AS pe_num FROM " +
+        "(SELECT qa, SUM(c) AS r FROM cells GROUP BY 1) r JOIN " +
+        "(SELECT qb, SUM(c) AS cc FROM cells GROUP BY 1) col " +
+        "ON r.qa = col.qb), " +
+        "a AS (SELECT CAST(SUM(c) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN qa = qb THEN c ELSE 0 END) AS BIGINT) AS diag " +
+        "FROM cells) " +
+        "SELECT n, diag, " +
+        "CAST((1000000 * CAST(diag AS HUGEINT)) // n AS BIGINT) AS po_micro, " +
+        "CAST((1000000 * CAST(pe_num AS HUGEINT)) // " +
+        "(CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro, " +
+        "CAST((1000000 * (CAST(n AS HUGEINT) * diag - pe_num)) // " +
+        "(CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) AS kappa_micro " +
+        "FROM a CROSS JOIN pe"
+    },
     "agg_mad" -> {
       val c = OSQL.cents("value")
       def med2(src: String, vcol: String, out: String) =

@@ -941,7 +941,236 @@ object Graphs {
           "(n_nodes * sum_deg) AS BIGINT)").as("gini_micro"))
   }
 
+  /** Node cap for the strongly-connected-component closure subgraph:
+    * transitive closure is quadratic in reachable pairs, so the declared
+    * query analyzes the top-[[SccNodeCap]] nodes by directed degree
+    * (deterministic tiebreak on id) — the closeness_k seed-cap discipline.
+    * At 100 TB the cap is the scale knob: closure frames are ≤ cap² rows
+    * BY CONSTRUCTION regardless of corpus size. */
+  private[operators] val SccNodeCap = 60
+
+  /** Strongly connected components of the ORDER-SEQUENCE digraph — u→v iff
+    * part u ships on an earlier line than part v within some order
+    * (direction carries basket sequence; cycles appear when orders disagree
+    * on the sequence, so an SCC is a mutually-reorderable part set —
+    * [[graphCc]] is the undirected/weak variant). Directed pairs are
+    * generated MAP-SIDE from per-order line lists (the coPairs discipline:
+    * one narrow shuffle, the explode feeds partial agg). The analytic
+    * subgraph is the top-[[SccNodeCap]] nodes by total directed degree; its
+    * transitive closure is gated like [[kcoreOnAdj]]: one task below
+    * [[GraphIterEdgeCap]], 6 path-doubling DataFrame rounds above (2⁶ ≥
+    * cap, and closure is a unique fixpoint, so gate dispatch cannot change
+    * the answer). SCC id = min node id over the mutual-reachability set
+    * (self-pairs seed the closure, so singletons label themselves). */
+  private def graphScc(s: SparkSession, d: String): DataFrame =
+    sccImpl(s, d, GraphIterEdgeCap)
+
+  /** Directed order-sequence pairs — u ships on an earlier line than v in
+    * some order — distinct with order-count weight, generated MAP-SIDE
+    * from per-order line lists (the coPairs discipline). Shared by
+    * [[graphScc]] and [[graphReciprocity]]. */
+  private def orderSeqEdges(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_linenumber").as("ln"))
+      .groupBy(col("ok"))
+      .agg(collect_list(struct(col("ln"), col("pk"))).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.ln") < col("b.ln") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+
+  private[graft] def sccImpl(s: SparkSession, d: String, cap: Long): DataFrame =
+    sccOnEdges(orderSeqEdges(s, d).select(col("u"), col("v")), SccNodeCap, cap)
+
+  /** Reciprocity of the order-sequence digraph — the share of directed
+    * edges whose reverse also exists ("how often do orders disagree on
+    * basket sequence"; reciprocity 1 would collapse [[graphScc]] to
+    * [[graphCc]]). One left-semi self-join on the distinct edge frame +
+    * two counts, ratio in exact micro-units; the edge frame persists
+    * because three plans consume it. */
+  private def graphReciprocity(s: SparkSession, d: String): DataFrame = {
+    val e = U.track(orderSeqEdges(s, d).select(col("u"), col("v")).persist())
+    val rec = e.join(e.select(col("v").as("ru"), col("u").as("rv")),
+      col("u") === col("ru") && col("v") === col("rv"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("(1000000 * n_reciprocal) DIV n_edges").as("recip_micro"))
+  }
+
+  /** The generic SCC kernel over an arbitrary directed (u, v) edge frame —
+    * the [[graft.api.GraftApi.stronglyConnectedComponents]] entry point.
+    * Caps the analytic subgraph to the top-`nodeCap` nodes by directed
+    * degree, then runs the gated closure. */
+  private[graft] def sccOnEdges(dirE: DataFrame, nodeCap: Int,
+      cap: Long): DataFrame = {
+    val top = dirE.select(col("u").as("n"))
+      .unionByName(dirE.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("n")).limit(nodeCap)
+      .select(col("n"))
+    // top is ≤ SccNodeCap rows by construction — broadcast is bounded
+    val sub = U.track(dirE
+      .join(broadcast(top.select(col("n").as("tu"))),
+        col("u") === col("tu"), "left_semi")
+      .join(broadcast(top.select(col("n").as("tv"))),
+        col("v") === col("tv"), "left_semi")
+      .select(col("u"), col("v"))
+      .unionByName(top.select(col("n").as("u"), col("n").as("v")))
+      .persist())
+    // gate action (production source: catalog/file row stats for stored
+    // edge tables; this subgraph is derived, so the count materializes it)
+    val closure =
+      if (sub.count() <= cap) sccClosureSingleTask(sub)
+      else sccClosureLoop(sub)
+    val swapped = closure.select(col("b").as("sa"), col("a").as("sb"))
+    val mut = closure.join(swapped,
+      col("a") === col("sa") && col("b") === col("sb"), "left_semi")
+    val scc = mut.groupBy(col("a").as("node")).agg(min(col("b")).as("scc_id"))
+    val sz = scc.groupBy(col("scc_id").as("sid"))
+      .agg(count(lit(1)).as("scc_size"))
+    // sz is ≤ SccNodeCap rows by construction — broadcast is bounded
+    scc.join(broadcast(sz), col("scc_id") === col("sid"))
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy("node")
+  }
+
+  /** One-task closure kernel (BFS from each of the ≤[[SccNodeCap]] nodes):
+    * the transitive closure is a unique fixpoint, so any sound algorithm
+    * matches the doubling loop exactly. */
+  private def sccClosureSingleTask(seed: DataFrame): DataFrame = {
+    val s = seed.sparkSession
+    import s.implicits._
+    seed.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val adj = edges.groupBy(_._1).map { case (k, es) => (k, es.map(_._2)) }
+        val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+          .toArray.distinct
+        nodes.iterator.flatMap { n =>
+          val seen = scala.collection.mutable.Set(n)
+          var frontier = List(n)
+          while (frontier.nonEmpty)
+            frontier = frontier.flatMap(x => adj.getOrElse(x, Array.empty[Long]))
+              .filter(seen.add)
+          seen.iterator.map(m => (n, m))
+        }
+      }
+      .toDF("a", "b")
+  }
+
+  /** Distributed twin: 6 path-doubling rounds (R ← R ∪ R∘R, distinct) over
+    * the capped subgraph, each round persisted and materialized before it
+    * feeds the next (linear lineage, the closeness frontier discipline). */
+  private def sccClosureLoop(seed: DataFrame): DataFrame = {
+    var r = U.track(seed.select(col("u").as("a"), col("v").as("b"))
+      .distinct().persist())
+    for (_ <- 0 until 6) {
+      val rr = r.select(col("a").as("m"), col("b").as("b2"))
+      val nxt = U.track(r.unionByName(
+          r.join(rr, col("b") === col("m"))
+            .select(col("a"), col("b2").as("b")))
+        .distinct().persist())
+      nxt.count()
+      r.unpersist()
+      r = nxt
+    }
+    r
+  }
+
+  /** 3-truss of the support-filtered association graph — the edge-level
+    * analogue of [[graphKcore]]'s node peel: iteratively delete edges that
+    * sit in NO triangle, then emit the survivors with their closing
+    * triangle support (k=3 is the right truss here: the support>=2 filter
+    * already thins the graph so far that a 4-truss is empty past sf0.001
+    * — the truss level is the semantic knob, the peel is the operator). Both engines unroll the SAME 8 peel rounds
+    * + one closing support count, so outputs agree whether or not the peel
+    * has converged (the kcore discipline). Gated like [[kcoreOnAdj]]: one
+    * task below [[GraphIterEdgeCap]] (8 peels of a support-filtered edge
+    * set are pure scheduling latency as stages), the wedge-join loop above
+    * it — each round is one mirrored-adjacency join pair + hash agg over
+    * the SHRINKING survivor set, so at 100 TB the peel cost decays with
+    * the truss. */
+  private def graphKtruss(s: SparkSession, d: String): DataFrame =
+    ktrussImpl(s, d, GraphIterEdgeCap)
+
+  private[graft] def ktrussImpl(s: SparkSession, d: String, cap: Long): DataFrame =
+    ktrussOnEdges(
+      coPairs(s, d).filter(col("u") < col("v") && col("support") >= 2)
+        .select(col("u"), col("v")), cap)
+
+  private[graft] def ktrussOnEdges(e0: DataFrame, cap: Long): DataFrame = {
+    val e = U.track(e0.persist())
+    // gate action (production source: catalog/file row stats for stored
+    // edge tables; this edge set is derived, so the count materializes it)
+    val out =
+      if (e.count() <= cap) ktrussSingleTask(e)
+      else ktrussLoop(e)
+    out.orderBy("u", "v")
+  }
+
+  /** Per-edge triangle support within the CURRENT edge set — the wedge
+    * join through the mirrored adjacency, grouped per edge. */
+  private def edgeSupport(cur: DataFrame): DataFrame = {
+    val adj = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+    cur.join(adj.select(col("u").as("au"), col("v").as("w")),
+        col("u") === col("au"))
+      .join(adj.select(col("u").as("bu"), col("v").as("w2")),
+        col("v") === col("bu") && col("w") === col("w2"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+  }
+
+  private def ktrussLoop(e: DataFrame): DataFrame = {
+    var cur = e
+    for (_ <- 0 until 8) {
+      val nxt = U.track(edgeSupport(cur)
+        .filter(col("support") >= 1).select(col("u"), col("v")).persist())
+      nxt.count()
+      cur = nxt
+    }
+    edgeSupport(cur)
+  }
+
+  /** The below-the-cap kernel: identical 8 rounds + closing count in one
+    * task — mirrors [[ktrussLoop]] round-for-round so gate dispatch cannot
+    * change the answer. */
+  private def ktrussSingleTask(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var edges = it.toArray
+        def support(es: Array[(Long, Long)]): scala.collection.Map[(Long, Long), Long] = {
+          val nbr = scala.collection.mutable
+            .Map.empty[Long, scala.collection.mutable.Set[Long]]
+          for ((u, v) <- es) {
+            nbr.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+            nbr.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+          }
+          val m = scala.collection.mutable.Map.empty[(Long, Long), Long]
+          for ((u, v) <- es) m((u, v)) = (nbr(u) & nbr(v)).size.toLong
+          m
+        }
+        for (_ <- 0 until 8) {
+          val sup = support(edges)
+          edges = edges.filter(ed => sup(ed) >= 1L)
+        }
+        val fin = support(edges)
+        edges.iterator.collect {
+          case (u, v) if fin((u, v)) > 0L => (u, v, fin((u, v)))
+        }
+      }
+      .toDF("u", "v", "support")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc" -> graphScc _,
+    "graph_ktruss" -> graphKtruss _,
+    "graph_reciprocity" -> graphReciprocity _,
     "graph_degree_gini" -> graphDegreeGini _,
     "graph_katz" -> graphKatz _,
     "graph_assortativity" -> graphAssortativity _,
@@ -965,6 +1194,53 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_reciprocity" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, " +
+        "l_linenumber AS ln FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk) " +
+        "SELECT n_edges, n_reciprocal, " +
+        "(1000000 * n_reciprocal) // n_edges AS recip_micro FROM " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) CROSS JOIN " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM e x " +
+        "JOIN e y ON x.u = y.v AND x.v = y.u)"),
+    "graph_scc" ->
+      ("WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk, " +
+        "l_linenumber AS ln FROM lineitem), " +
+        "e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk), " +
+        "top AS (SELECT n FROM (SELECT n, COUNT(*) AS dg FROM " +
+        "(SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) " +
+        s"GROUP BY n) ORDER BY dg DESC, n LIMIT $SccNodeCap), " +
+        "e AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM top) " +
+        "AND v IN (SELECT n FROM top)), " +
+        "reach(a, b) AS (SELECT n, n FROM top " +
+        "UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u), " +
+        "mut AS (SELECT r1.a, r1.b FROM reach r1 " +
+        "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a), " +
+        "scc AS (SELECT a AS node, MIN(b) AS scc_id FROM mut GROUP BY a), " +
+        "sz AS (SELECT scc_id AS sid, CAST(COUNT(*) AS BIGINT) AS scc_size " +
+        "FROM scc GROUP BY 1) " +
+        "SELECT node, scc_id, scc_size FROM scc JOIN sz ON scc_id = sid " +
+        "ORDER BY node"),
+    "graph_ktruss" -> {
+      // MATERIALIZED is load-bearing: each round references its
+      // predecessor 3×, so inlined CTEs would re-expand 3^8 scans of the
+      // base table (DuckDB then dies on open file handles)
+      def round(i: Int) =
+        s"a$i AS MATERIALIZED (SELECT u, v FROM t${i - 1} UNION ALL " +
+          s"SELECT v AS u, u AS v FROM t${i - 1}), " +
+          s"t$i AS MATERIALIZED (SELECT e.u, e.v FROM t${i - 1} e " +
+          s"JOIN a$i x ON x.u = e.u JOIN a$i y ON y.u = e.v AND y.v = x.v " +
+          "GROUP BY e.u, e.v HAVING COUNT(*) >= 1)"
+      supAdjCtes + ", " +
+        "t0 AS MATERIALIZED (SELECT u, v FROM sup), " +
+        (1 to 8).map(round).mkString(", ") + ", " +
+        "a9 AS (SELECT u, v FROM t8 UNION ALL SELECT v AS u, u AS v FROM t8) " +
+        "SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support FROM t8 e " +
+        "JOIN a9 x ON x.u = e.u JOIN a9 y ON y.u = e.v AND y.v = x.v " +
+        "GROUP BY e.u, e.v ORDER BY e.u, e.v"
+    },
     "graph_kcore" ->
       (supAdjCtes + ", " +
         "k0 AS (SELECT DISTINCT u FROM adj), " +

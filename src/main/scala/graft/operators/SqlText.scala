@@ -244,7 +244,28 @@ object SqlText {
       Map("status" -> "O", "floor" -> 150000.0))
   }
 
+  /** SQL-text PIVOT clause (Spark's native `PIVOT (agg FOR col IN …)`
+    * syntax — the parser/analyzer path of what `agg_pivot` does through
+    * the DataFrame API). Quantity sums pivot by linestatus in exact cents;
+    * a status a flag never shipped under stays NULL in BOTH engines
+    * (SUM over the empty set). DuckDB's PIVOT dialect differs, so the
+    * oracle mirrors with conditional aggregation — the VALUES are the
+    * contract, not the surface syntax. */
+  private val pivotSpark = {
+    val qc = OSQL.cents("l_quantity")
+    "SELECT * FROM (SELECT l_returnflag, l_linestatus, " +
+      s"$qc AS qc FROM lineitem) " +
+      "PIVOT (SUM(qc) FOR l_linestatus IN ('O' AS o, 'F' AS f, 'P' AS p)) " +
+      "ORDER BY l_returnflag"
+  }
+
+  private def sqlPivotSyntax(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(pivotSpark)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot_syntax" -> sqlPivotSyntax _,
     "sql_lateral_alias" -> sqlLateralAlias _,
     "sql_parameterized" -> sqlParameterized _,
     "sql_udf" -> sqlUdf _,
@@ -260,6 +281,14 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_pivot_syntax" -> {
+      val qc = OSQL.cents("l_quantity")
+      "SELECT l_returnflag, " +
+        s"CAST(SUM(CASE WHEN l_linestatus = 'O' THEN $qc END) AS BIGINT) AS o, " +
+        s"CAST(SUM(CASE WHEN l_linestatus = 'F' THEN $qc END) AS BIGINT) AS f, " +
+        s"CAST(SUM(CASE WHEN l_linestatus = 'P' THEN $qc END) AS BIGINT) AS p " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    },
     "sql_lateral_alias" -> lateralAlias,
     "sql_parameterized" ->
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders " +

@@ -1721,7 +1721,112 @@ object TimeSeries {
     * after the first hash-agg is bucket-cardinality: the lag pairing is a
     * 12-way explode + equi-join on (type, hidx+lag) over ≤ |hours| rows,
     * never the event stream. */
-  private def tsAcfLags(s: SparkSession, d: String): DataFrame = {
+  private def tsAcfLags(s: SparkSession, d: String): DataFrame =
+    acfMicroFrame(s, d)
+      .select(col("event_type"), col("lag"), col("n_pairs"), col("acf_micro"))
+      .orderBy("event_type", "lag")
+
+  /** Ljung–Box portmanteau Q over the same 12-lag correlogram as
+    * [[tsAcfLags]] — "is this hourly series white noise at all?" in one
+    * number per type. Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k) closes from the exact
+    * integer acf_micro values: each lag's term is the truncating division
+    * (n·(n+2)·acf_micro²) DIV ((n−k)·1e6) — identical integer ops in both
+    * engines (n(n+2)·acf² overflows BIGINT past ~3000 grid hours, so the
+    * product rides Decimal(38,0)) — and Q_micro is their exact sum. Adds
+    * one |types|×12-row agg on top of the ACF plan: free at any scale. */
+  private def tsLjungBox(s: SparkSession, d: String): DataFrame =
+    acfMicroFrame(s, d)
+      .select(col("event_type"), col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * (n + 2) * acf_micro * " +
+          "acf_micro) DIV ((n - lag) * 1000000) AS BIGINT)").as("term"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_lags"),
+        sum(col("term")).as("q_micro"))
+      .orderBy("event_type")
+
+  /** Time-weighted average value per user — each reading holds until the
+    * NEXT one, so its weight is the exact integer-µs gap ([[tsVwap]] is
+    * the volume-weighted sibling; this is the sensor/price convention
+    * where sparse readings must not under-count their holding period).
+    * The last reading per user carries no interval and drops, identically
+    * in both engines. Products vc·Δµs reach ~1e17 per row → the weighted
+    * sum rides Decimal(38,0)↔HUGEINT, and the TWAP ships in exact
+    * micro-dollars via truncating division. One window pass + one
+    * hash-agg. */
+  private def tsTwap(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("nxt", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt")).as("dur_us"),
+        sum((col("vc") * col("dt")).cast(dec)).as("num"))
+      .select(col("user_id"), col("n_segments"), col("dur_us"),
+        expr("CAST((1000000 * num) DIV " +
+          "(100 * CAST(dur_us AS DECIMAL(38,0))) AS BIGINT)")
+          .as("twap_micro"))
+      .orderBy("user_id")
+  }
+
+  /** Unnormalized Haar wavelet energies at three dyadic levels over each
+    * type's DENSIFIED hourly-total grid — the multi-resolution variance
+    * fingerprint ("is the volatility hourly, 2-hourly or 4-hourly?") that
+    * a Fourier periodogram would answer with transcendental doubles and
+    * therefore without an exact oracle. Haar needs only pairwise sums and
+    * differences anchored to the grid start (i = hidx − h0, so pairing is
+    * alignment-independent): level ℓ's detail d = Σ±(level ℓ−1 sums),
+    * energy = Σd² — every value an exact integer, squares under
+    * Decimal(38,0)↔HUGEINT. Odd tails fold as lone elements (x − 0),
+    * identically in both engines. Three chained hash-aggs, each a HALVING
+    * of the previous level's bucket frame — at 100 TB the cost after the
+    * first hourly agg is bucket-cardinality, not event-cardinality. */
+  private def tsHaarEnergy(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000").as("hidx"))
+      .agg(sum(col("vc")).as("xc"))
+    val grid = hourly.groupBy(col("event_type").as("et"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("et"), col("h0"),
+        explode(sequence(col("h0"), col("h1"))).as("ghidx"))
+    val dense = grid.join(hourly,
+        col("et") === col("event_type") && col("ghidx") === col("hidx"),
+        "left")
+      .select(col("et").as("t"), (col("ghidx") - col("h0")).as("i"),
+        coalesce(col("xc"), lit(0L)).as("x"))
+    def level(src: DataFrame): (DataFrame, DataFrame) = {
+      val g = src.groupBy(col("t"), expr("i DIV 2").as("q"))
+        .agg(sum(when(expr("i % 2 = 0"), col("x")).otherwise(-col("x")))
+          .as("dd"),
+          sum(col("x")).as("aa"))
+      (g.select(col("t"), col("q").as("i"), col("aa").as("x")),
+        g.groupBy(col("t"))
+          .agg(sum((col("dd") * col("dd")).cast(dec)).as("e")))
+    }
+    val (a1, e1) = level(dense)
+    val (a2, e2) = level(a1)
+    val (_, e3) = level(a2)
+    dense.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .join(e1.select(col("t").as("t1"), col("e").cast(LongType).as("e1")),
+        col("t") === col("t1"))
+      .join(e2.select(col("t").as("t2"), col("e").cast(LongType).as("e2")),
+        col("t") === col("t2"))
+      .join(e3.select(col("t").as("t3"), col("e").cast(LongType).as("e3")),
+        col("t") === col("t3"))
+      .select(col("t").as("event_type"), col("n"),
+        col("e1"), col("e2"), col("e3"))
+      .orderBy("event_type")
+  }
+
+  /** The shared correlogram kernel behind [[tsAcfLags]] / [[tsLjungBox]]:
+    * (event_type, lag 1..12, n_pairs, acf_micro, grid length n). */
+  private def acfMicroFrame(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val hourly = U.events(s, d)
       .withColumn("vc", U.cents(col("value")))
@@ -1742,7 +1847,7 @@ object TimeSeries {
         (col("n") * col("x") - col("ssum")).cast(dec).as("dev"),
         col("n"))
     val den = dn.groupBy(col("t").as("dt"))
-      .agg(sum(col("dev") * col("dev")).as("den"))
+      .agg(sum(col("dev") * col("dev")).as("den"), max(col("n")).as("n"))
     val lags = (1 to 12).map(l => lit(l.toLong))
     val pairs = dn.withColumn("lag", explode(array(lags: _*)))
       .select(col("t"), (col("hx") + col("lag")).as("phx"), col("lag"),
@@ -1755,8 +1860,8 @@ object TimeSeries {
         sum(col("dev_a") * col("dev_b")).as("num"))
     pairs.join(broadcast(den), col("event_type") === col("dt"))
       .select(col("event_type"), col("lag"), col("n_pairs"),
-        expr("CAST((1000000 * num) DIV den AS BIGINT)").as("acf_micro"))
-      .orderBy("event_type", "lag")
+        expr("CAST((1000000 * num) DIV den AS BIGINT)").as("acf_micro"),
+        col("n"))
   }
 
   /** Inter-arrival statistics per user in exact integer microseconds: gap
@@ -1790,6 +1895,9 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_acf_lags" -> tsAcfLags _,
+    "ts_ljung_box" -> tsLjungBox _,
+    "ts_haar_energy" -> tsHaarEnergy _,
+    "ts_twap" -> tsTwap _,
     "ts_interarrival" -> tsInterarrival _,
     "ts_rolling_ols" -> tsRollingOls _,
     "ts_hurst_rs" -> tsHurstRs _,
@@ -1904,31 +2012,88 @@ object TimeSeries {
       "FROM (SELECT user_id, list_transform(list(value ORDER BY ts, event_id), " +
       s"v -> $mk) AS st FROM events GROUP BY user_id)) ORDER BY user_id"
 
+  /** The correlogram CTE chain shared by the ts_acf_lags / ts_ljung_box
+    * oracles — ends in an `acf` relation carrying the grid length n. */
+  private lazy val acfSqlCore: String = {
+    val c = OSQL.cents("value")
+    s"WITH hourly AS (SELECT event_type, " +
+      "epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx, " +
+      s"CAST(SUM($c) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
+      "grid AS (SELECT et, unnest(range(h0, h1 + 1)) AS ghidx FROM " +
+      "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
+      "FROM hourly GROUP BY 1)), " +
+      "dense AS (SELECT et AS t, ghidx AS hx, COALESCE(xc, 0) AS x " +
+      "FROM grid LEFT JOIN hourly ON et = event_type AND ghidx = hidx), " +
+      "stats AS (SELECT t AS st, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(x) AS BIGINT) AS ssum FROM dense GROUP BY 1), " +
+      "dn AS (SELECT t, hx, CAST(n * x - ssum AS HUGEINT) AS dev, n " +
+      "FROM dense JOIN stats ON t = st), " +
+      "den AS (SELECT t AS dt, SUM(dev * dev) AS den, MAX(n) AS n " +
+      "FROM dn GROUP BY 1), " +
+      "lags AS (SELECT unnest(range(1, 13)) AS lag), " +
+      "pairs AS (SELECT a.t AS event_type, CAST(l.lag AS BIGINT) AS lag, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(a.dev * b.dev) AS num " +
+      "FROM dn a CROSS JOIN lags l " +
+      "JOIN dn b ON b.t = a.t AND b.hx = a.hx + l.lag GROUP BY 1, 2), " +
+      "acf AS (SELECT event_type, lag, n_pairs, " +
+      "CAST((1000000 * num) // den AS BIGINT) AS acf_micro, n " +
+      "FROM pairs JOIN den ON event_type = dt)"
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "ts_acf_lags" -> {
+    "ts_acf_lags" -> (acfSqlCore +
+      " SELECT event_type, lag, n_pairs, acf_micro FROM acf " +
+      "ORDER BY event_type, lag"),
+    "ts_twap" -> {
+      val c = OSQL.cents("value")
+      s"WITH g AS (SELECT user_id, $c AS vc, epoch_us(ts) AS us, " +
+        "lead(epoch_us(ts), 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS nxt FROM events), " +
+        "seg AS (SELECT user_id, vc, nxt - us AS dt FROM g " +
+        "WHERE nxt IS NOT NULL) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+        "CAST(SUM(dt) AS BIGINT) AS dur_us, " +
+        "CAST((1000000 * SUM(CAST(vc AS HUGEINT) * dt)) // " +
+        "(100 * CAST(SUM(dt) AS HUGEINT)) AS BIGINT) AS twap_micro " +
+        "FROM seg GROUP BY user_id ORDER BY user_id"
+    },
+    "ts_haar_energy" -> {
       val c = OSQL.cents("value")
       s"WITH hourly AS (SELECT event_type, " +
         "epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx, " +
         s"CAST(SUM($c) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
-        "grid AS (SELECT et, unnest(range(h0, h1 + 1)) AS ghidx FROM " +
+        "grid AS (SELECT et, h0, unnest(range(h0, h1 + 1)) AS ghidx FROM " +
         "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
         "FROM hourly GROUP BY 1)), " +
-        "dense AS (SELECT et AS t, ghidx AS hx, COALESCE(xc, 0) AS x " +
+        "dense AS (SELECT et AS t, ghidx - h0 AS i, COALESCE(xc, 0) AS x " +
         "FROM grid LEFT JOIN hourly ON et = event_type AND ghidx = hidx), " +
-        "stats AS (SELECT t AS st, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(SUM(x) AS BIGINT) AS ssum FROM dense GROUP BY 1), " +
-        "dn AS (SELECT t, hx, CAST(n * x - ssum AS HUGEINT) AS dev " +
-        "FROM dense JOIN stats ON t = st), " +
-        "den AS (SELECT t AS dt, SUM(dev * dev) AS den FROM dn GROUP BY 1), " +
-        "lags AS (SELECT unnest(range(1, 13)) AS lag), " +
-        "pairs AS (SELECT a.t AS event_type, CAST(l.lag AS BIGINT) AS lag, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(a.dev * b.dev) AS num " +
-        "FROM dn a CROSS JOIN lags l " +
-        "JOIN dn b ON b.t = a.t AND b.hx = a.hx + l.lag GROUP BY 1, 2) " +
-        "SELECT event_type, lag, n_pairs, " +
-        "CAST((1000000 * num) // den AS BIGINT) AS acf_micro " +
-        "FROM pairs JOIN den ON event_type = dt ORDER BY event_type, lag"
+        "l1 AS (SELECT t, i // 2 AS i2, " +
+        "CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS dd, " +
+        "CAST(SUM(x) AS BIGINT) AS aa FROM dense GROUP BY 1, 2), " +
+        "e1 AS (SELECT t, SUM(CAST(dd AS HUGEINT) * dd) AS e FROM l1 " +
+        "GROUP BY 1), " +
+        "l2 AS (SELECT t, i2 // 2 AS i3, " +
+        "CAST(SUM(CASE WHEN i2 % 2 = 0 THEN aa ELSE -aa END) AS BIGINT) " +
+        "AS dd, CAST(SUM(aa) AS BIGINT) AS aa FROM l1 GROUP BY 1, 2), " +
+        "e2 AS (SELECT t, SUM(CAST(dd AS HUGEINT) * dd) AS e FROM l2 " +
+        "GROUP BY 1), " +
+        "l3 AS (SELECT t, " +
+        "CAST(SUM(CASE WHEN i3 % 2 = 0 THEN aa ELSE -aa END) AS BIGINT) " +
+        "AS dd FROM l2 GROUP BY t, i3 // 2), " +
+        "e3 AS (SELECT t, SUM(CAST(dd AS HUGEINT) * dd) AS e FROM l3 " +
+        "GROUP BY 1), " +
+        "n AS (SELECT t AS tn, CAST(COUNT(*) AS BIGINT) AS n FROM dense " +
+        "GROUP BY 1) " +
+        "SELECT tn AS event_type, n, CAST(e1.e AS BIGINT) AS e1, " +
+        "CAST(e2.e AS BIGINT) AS e2, CAST(e3.e AS BIGINT) AS e3 " +
+        "FROM n JOIN e1 ON tn = e1.t JOIN e2 ON tn = e2.t " +
+        "JOIN e3 ON tn = e3.t ORDER BY event_type"
     },
+    "ts_ljung_box" -> (acfSqlCore +
+      " SELECT event_type, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_lags, " +
+      "CAST(SUM((CAST(n AS HUGEINT) * (n + 2) * acf_micro * acf_micro) // " +
+      "((n - lag) * 1000000)) AS BIGINT) AS q_micro " +
+      "FROM acf GROUP BY event_type ORDER BY event_type"),
     "ts_interarrival" ->
       ("WITH g0 AS (SELECT user_id, " +
         "epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS g FROM events " +

@@ -318,6 +318,30 @@ object StreamingQueries {
       col("sum_value"))
       .orderBy("wstart", "event_type")
 
+  /** UNION of two independently filtered branches of the replay feeding
+    * ONE windowed stateful aggregation — the multi-source merge every
+    * ingestion topology runs (two topics, one rollup). Spark unions the
+    * branches INSIDE the micro-batch plan, the watermark advances on the
+    * MERGED event time (max ts observed across the union, not the raw
+    * stream), and a window finalizes once that merged watermark passes its
+    * end. 4 files/batch: the staged replay is event-time-ordered, so
+    * finalization depends only on the FINAL watermark and batch boundaries
+    * cannot perturb the result. Oracle: the batch union aggregate filtered
+    * to watermark-closed windows over the UNION's own max ts. */
+  private def streamUnion(s: SparkSession, d: String): DataFrame =
+    runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      val clicks = in.filter(col("event_type") === "click")
+        .select(col("ts"), lit("clicks").as("branch"), col("value"))
+      val purchases = in.filter(col("event_type") === "purchase")
+        .select(col("ts"), lit("purchases").as("branch"), col("value"))
+      clicks.unionByName(purchases)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("branch"))
+        .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+    }.select(col("window.start").as("wstart"), col("branch"), col("n"),
+      col("sum_value"))
+      .orderBy("wstart", "branch")
+
   /** Chained stateful operators (Spark 4 multi-stateful append support):
     * 15-minute tumbling counts re-aggregated into hourly rollups — the
     * two-tier streaming aggregation every metrics pipeline runs. The inner
@@ -767,6 +791,7 @@ object StreamingQueries {
     "stream_topk" -> streamTopk _,
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
+    "stream_union" -> streamUnion _,
     "stream_chained_agg" -> chainedAgg _,
     "stream_pipeline" -> streamPipeline _,
     "stream_custom_sink" -> customSinkStream _,
@@ -870,6 +895,18 @@ object StreamingQueries {
         "WHERE wstart + INTERVAL 1 HOUR <= " +
         "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events) " +
         "ORDER BY wstart, event_type"),
+    "stream_union" ->
+      ("WITH u AS (SELECT ts, CASE WHEN event_type = 'click' THEN 'clicks' " +
+        "ELSE 'purchases' END AS branch, value FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "agg AS (SELECT make_timestamp(CAST((epoch_us(ts) // " +
+        "3600000000) * 3600000000 AS BIGINT)) AS wstart, branch, " +
+        s"COUNT(*) AS n, ${OSQL.dsum("value")} AS sum_value " +
+        "FROM u GROUP BY 1, 2) " +
+        "SELECT wstart, branch, n, sum_value FROM agg " +
+        "WHERE wstart + INTERVAL 1 HOUR <= " +
+        "(SELECT MAX(ts) - INTERVAL 10 MINUTE FROM u) " +
+        "ORDER BY wstart, branch"),
     // Chained stateful: the batch double aggregate filtered to
     // watermark-closed hours (the outer tier finalizes every hour whose
     // end the final global watermark passed; its four quarter-hours are

@@ -294,6 +294,72 @@ class ApiSpec extends SparkTestBase {
       r.getAs[Array[Byte]]("payload").length.toLong))
   }
 
+  test("stronglyConnectedComponents labels a planted 3-cycle as one SCC") {
+    // 1→2→3→1 is a cycle; 3→4→5 is a tail (each its own singleton SCC)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraftApi.stronglyConnectedComponents(edges, "src", "dst")
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("scc_id"),
+        r.getAs[Long]("scc_size"))).toSeq
+    U.releaseTracked()
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 1L)))
+  }
+
+  test("stronglyConnectedComponents equals the declared graph_scc query") {
+    import org.apache.spark.sql.functions.{col, collect_list, struct, explode}
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_linenumber").as("ln"))
+    val dirE = li.groupBy(col("ok"))
+      .agg(collect_list(struct(col("ln"), col("pk"))).as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.ln") < col("b.ln") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("from"), col("b.pk").as("to")).distinct()
+    val viaApi = GraftApi
+      .stronglyConnectedComponents(dirE, "from", "to", nodeCap = 60)
+      .orderBy("node").collect().toSeq
+    val declared = operators.Graphs.queries("graph_scc")(spark, sfDir)
+      .collect().toSeq
+    U.releaseTracked()
+    assert(viaApi == declared)
+  }
+
+  test("trussPeel keeps the two glued triangles, drops the pendant edge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L) /* pendant, reversed on purpose */).toDF("x", "y")
+    val got = GraftApi.trussPeel(edges, "x", "y")
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("support"))).toSeq
+    U.releaseTracked()
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
+  test("paragraphDupStats flags the shared boilerplate window") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, boiler + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 10).map(i => s"v$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("pk", "body")
+    val got = GraftApi.paragraphDupStats(df, "pk", "body")
+      .orderBy("pk").collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("dup_micro"))).toSeq
+    assert(got == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (3L, 2L, 0L, 0L)))
+  }
+
+  test("paragraphDupStats equals the declared dedup_paragraph on fixtures") {
+    val viaApi = GraftApi.paragraphDupStats(
+        U.tbl(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val declared = llm.Dedup.queries("dedup_paragraph")(spark, sfDir)
+      .collect().toSeq
+    assert(viaApi == declared)
+  }
+
   test("nearDupPairs finds the planted near-duplicate only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"w$i").mkString(" ") + " x y"

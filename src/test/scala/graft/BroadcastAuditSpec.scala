@@ -22,13 +22,13 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 1,
     "operators/TimeSeries.scala" -> 12,
-    "operators/Aggregations.scala" -> 22,
-    "operators/Graphs.scala" -> 8,
+    "operators/Aggregations.scala" -> 24,
+    "operators/Graphs.scala" -> 11,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
     "llm/Pipeline.scala" -> 12,
-    "llm/Similarity.scala" -> 9,
+    "llm/Similarity.scala" -> 10,
     "llm/TextAnalysis.scala" -> 7,
     "streaming/StreamingQueries.scala" -> 3)
 

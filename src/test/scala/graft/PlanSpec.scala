@@ -719,6 +719,38 @@ class PlanSpec extends SparkTestBase {
     assert(!exLines.contains("text#"), s"full text shuffled:\n$exLines")
   }
 
+  test("dedup_paragraph shuffles only (doc_id, hash) pairs, never text") {
+    val p = plan("dedup_paragraph")
+    val exLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exLines.contains("text#"), s"full text shuffled:\n$exLines")
+    assert(!exLines.contains("tk#"), s"token array shuffled:\n$exLines")
+  }
+
+  test("emb_hard_negatives broadcasts the anchor block, corpus streams once") {
+    val p = plan("emb_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"anchor block not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"hard negatives degenerated to a shuffled cross product:\n$p")
+  }
+
+  test("graph_scc and graph_ktruss never plan a cartesian product") {
+    for (q <- Seq("graph_scc", "graph_ktruss")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q grew an all-pairs product:\n$p")
+      graft.U.releaseTracked()
+    }
+  }
+
+  test("ts_ljung_box reuses the ACF plan: one extra agg, no extra scan") {
+    val pa = plan("ts_acf_lags")
+    val pl = plan("ts_ljung_box")
+    def scans(p: String) = "Scan parquet".r.findAllIn(p).length
+    assert(scans(pl) == scans(pa),
+      s"ljung-box scans diverge from the shared ACF kernel:\n$pl")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper

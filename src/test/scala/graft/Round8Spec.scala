@@ -337,4 +337,307 @@ class Round8Spec extends SparkTestBase {
     U.releaseTracked()
     assert(got.toSeq == expected, "katz top-50 diverges from the reference")
   }
+
+  test("agg_anova matches a BigInt recomputation of the identical op tree") {
+    val raw = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = raw.groupBy(_._1).map { case (_, xs) =>
+      val vs = xs.map(_._2)
+      (BigInt(vs.length), vs.map(BigInt(_)).sum,
+        vs.map(v => BigInt(v) * v).sum)
+    }.toSeq
+    val k = BigInt(groups.length)
+    val n = groups.map(_._1).sum
+    val stot = groups.map(_._2).sum
+    val ssb = groups.map { case (ng, sg, _) =>
+      val dev = n * sg - ng * stot; (dev * dev) / (ng * n * n) }.sum
+    val ssw = groups.map { case (ng, sg, qg) => (ng * qg - sg * sg) / ng }.sum
+    val f = (ssb * (n - k) * 1000000) / (ssw * (k - 1))
+    val row = operators.Aggregations.queries("agg_anova")(spark, sfDir).first()
+    assert(row.getAs[Long]("n_groups") == k.toLong &&
+      row.getAs[Long]("n") == n.toLong &&
+      row.getAs[Long]("ssb_c2") == ssb.toLong &&
+      row.getAs[Long]("ssw_c2") == ssw.toLong &&
+      row.getAs[Long]("f_micro") == f.toLong,
+      s"anova diverges: got $row want ($k, $n, $ssb, $ssw, $f)")
+  }
+
+  test("agg_cohen_kappa matches an exact confusion-matrix recomputation") {
+    val raw = U.events(spark, sfDir)
+      .select(U.cents(col("value")).as("vc"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("kk"))
+      .collect().map(r => (math.min(r.getLong(0), 49999L) / 10000,
+        r.getLong(1) / 20))
+    val n = raw.length.toLong
+    val diag = raw.count { case (a, b) => a == b }.toLong
+    val rows = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cols = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pe = rows.map { case (i, r) => r * cols.getOrElse(i, 0L) }.sum
+    val kap = (BigInt(1000000) * (BigInt(n) * diag - pe)) /
+      (BigInt(n) * n - pe)
+    val row = operators.Aggregations
+      .queries("agg_cohen_kappa")(spark, sfDir).first()
+    assert(row.getAs[Long]("n") == n && row.getAs[Long]("diag") == diag &&
+      row.getAs[Long]("kappa_micro") == kap.toLong &&
+      math.abs(row.getAs[Long]("kappa_micro")) <= 1000000L,
+      s"kappa diverges: got $row want (n=$n diag=$diag kappa=$kap)")
+  }
+
+  test("ts_ljung_box: Q >= 0, 12 lags, and one type matches a scalar ACF") {
+    val rows = operators.TimeSeries.queries("ts_ljung_box")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getAs[Long]("q_micro") >= 0L &&
+      r.getAs[Long]("n_lags") == 12L))
+    // scalar recomputation for one type: densified hourly grid -> n-scaled
+    // deviations -> acf_micro -> Ljung-Box terms, all in BigInt
+    val et = rows.head.getString(0)
+    val hourly = U.events(spark, sfDir).filter(col("event_type") === et)
+      .groupBy(expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000")
+        .as("h"))
+      .agg(sum(U.cents(col("value"))).as("xc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (h0, h1) = (hourly.keys.min, hourly.keys.max)
+    val xs = (h0 to h1).map(h => BigInt(hourly.getOrElse(h, 0L)))
+    val n = BigInt(xs.length)
+    val ssum = xs.sum
+    val dev = xs.map(x => n * x - ssum)
+    val den = dev.map(d => d * d).sum
+    val q = (1 to 12).map { lag =>
+      val num = (0 until xs.length - lag)
+        .map(i => dev(i) * dev(i + lag)).sum
+      val acf = (BigInt(1000000) * num) / den
+      (n * (n + 2) * acf * acf) / ((n - lag) * 1000000)
+    }.sum
+    val got = rows.find(_.getString(0) == et).get
+    assert(got.getAs[Long]("n") == n.toLong &&
+      got.getAs[Long]("q_micro") == q.toLong,
+      s"ljung-box for $et diverges: got $got want (n=$n q=$q)")
+  }
+
+  test("graph_scc matches a driver-side BFS SCC on the capped subgraph") {
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dirE = li.groupBy(_._1).values.flatMap { lines0 =>
+      val lines = lines0.toSeq
+      for {
+        a <- lines; b <- lines
+        if a._3 < b._3 && a._2 != b._2
+      } yield (a._2, b._2)
+    }.toSet
+    val deg = dirE.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+    val top = deg.sortBy { case (nd, dg) => (-dg, nd) }.take(60).map(_._1).toSet
+    val sub = dirE.filter(e => top(e._1) && top(e._2))
+    val adj = sub.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def reach(s0: Long): Set[Long] = {
+      var seen = Set(s0); var frontier = List(s0)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Nil))
+          .filterNot(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    val reachOf = top.map(v => v -> reach(v)).toMap
+    val sccId = top.map(v =>
+      v -> reachOf(v).filter(u => top(u) && reachOf(u)(v)).min).toMap
+    val sizes = sccId.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val expected = sccId.toSeq.sortBy(_._1)
+      .map { case (v, s2) => (v, s2, sizes(s2)) }
+    val got = operators.Graphs.queries("graph_scc")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("scc_id"),
+        r.getAs[Long]("scc_size"))).toSeq
+    U.releaseTracked()
+    assert(got == expected, "SCC labeling diverges from the driver BFS")
+  }
+
+  test("graph_ktruss matches a driver-side 8-round peel") {
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq.groupBy(identity[(Long, Long)])
+      // .iterator first: collect on a Map with a tuple-valued function
+      // would rebuild a MAP and collapse edges by their first node
+      .iterator.collect { case (e, os) if os.size >= 2 => e }
+      .toArray.sorted
+    def support(es: Array[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nbr = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      es.map(e => e -> (nbr(e._1) & nbr(e._2)).size.toLong).toMap
+    }
+    for (_ <- 0 until 8) {
+      val sup = support(edges)
+      edges = edges.filter(sup(_) >= 1L)
+    }
+    val fin = support(edges)
+    val expected = edges.toSeq.filter(fin(_) > 0L)
+      .map(e => (e._1, e._2, fin(e)))
+    val got = operators.Graphs.queries("graph_ktruss")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("support"))).toSeq
+    U.releaseTracked()
+    assert(got == expected, "3-truss peel diverges from the driver peel")
+  }
+
+  test("dedup_paragraph matches a driver-side hash recomputation") {
+    val M = 1000000007L
+    def poly(t: String): Long =
+      t.foldLeft(11L)((acc, c) => ((acc * 31 + c.toInt) % M + M) % M)
+    val texts = U.tbl(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val paras = texts.flatMap { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      tk.grouped(10).map(w => (id, poly(w.mkString("_"))))
+    }
+    val nd = paras.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+    val expected = paras.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (id, ps) =>
+        val dup = ps.count(p => nd(p._2) > 1).toLong
+        (id, ps.length.toLong, dup, 1000000L * dup / ps.length)
+    }
+    val got = llm.Dedup.queries("dedup_paragraph")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("dup_micro"))).toSeq
+    assert(got == expected, "paragraph dedup diverges from the driver hash")
+  }
+
+  test("agg_winsorized_mean matches a scalar clamp and brackets the mean") {
+    val raw = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")).as("vc"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = operators.Aggregations
+      .queries("agg_winsorized_mean")(spark, sfDir).collect()
+    for (row <- rows) {
+      val et = row.getString(0)
+      val vs = raw.filter(_._1 == et).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = vs.length
+      val k = n / 10
+      val clamped = vs.zipWithIndex.map { case (v, i) =>
+        if (i < k) vs(k) else if (i >= n - k) vs(n - k - 1) else v }
+      assert(row.getAs[Long]("n") == n.toLong &&
+        row.getAs[Long]("lo") == vs(k) &&
+        row.getAs[Long]("hi") == vs(n - k - 1) &&
+        row.getAs[Double]("winsorized_mean") ==
+          clamped.sum.toDouble / (100.0 * n),
+        s"winsorized mean for $et diverges")
+    }
+  }
+
+  test("ts_haar_energy matches a scalar wavelet cascade for one type") {
+    val rows = operators.TimeSeries.queries("ts_haar_energy")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val et = rows.head.getString(0)
+    val hourly = U.events(spark, sfDir).filter(col("event_type") === et)
+      .groupBy(expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000")
+        .as("h"))
+      .agg(sum(U.cents(col("value"))).as("xc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (h0, h1) = (hourly.keys.min, hourly.keys.max)
+    var xs = (h0 to h1).map(h => BigInt(hourly.getOrElse(h, 0L))).toVector
+    val got = rows.find(_.getString(0) == et).get
+    assert(got.getAs[Long]("n") == xs.length.toLong)
+    for (lvl <- 1 to 3) {
+      val pairs = xs.grouped(2).toVector
+      val e = pairs.map(p =>
+        if (p.length == 2) (p(0) - p(1)) * (p(0) - p(1)) else p(0) * p(0)).sum
+      assert(got.getAs[Long](s"e$lvl") == e.toLong,
+        s"level-$lvl Haar energy for $et diverges")
+      xs = pairs.map(_.sum)
+    }
+  }
+
+  test("ts_twap matches a BigInt time-weighted recomputation per user") {
+    val raw = U.events(spark, sfDir)
+      .select(col("user_id"), U.cents(col("value")).as("vc"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = operators.TimeSeries.queries("ts_twap")(spark, sfDir)
+      .collect()
+    for (row <- rows) {
+      val uid = row.getAs[Long]("user_id")
+      val seq2 = raw.filter(_._1 == uid).sortBy(t => (t._3, t._4))
+      val segs = seq2.sliding(2).collect {
+        case Array(a, b) => (BigInt(a._2), BigInt(b._3 - a._3))
+      }.toSeq
+      val dur = segs.map(_._2).sum
+      val num = segs.map(s2 => s2._1 * s2._2).sum
+      assert(row.getAs[Long]("n_segments") == segs.length.toLong &&
+        row.getAs[Long]("dur_us") == dur.toLong &&
+        row.getAs[Long]("twap_micro") ==
+          ((BigInt(1000000) * num) / (100 * dur)).toLong,
+        s"TWAP for user $uid diverges")
+    }
+  }
+
+  test("graph_reciprocity matches a driver-side mutual-edge count") {
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dirE = li.groupBy(_._1).values.flatMap { lines0 =>
+      val lines = lines0.toSeq
+      for (a <- lines; b <- lines if a._3 < b._3 && a._2 != b._2)
+        yield (a._2, b._2)
+    }.toSet
+    val recip = dirE.count(e => dirE((e._2, e._1))).toLong
+    val row = operators.Graphs.queries("graph_reciprocity")(spark, sfDir)
+      .first()
+    U.releaseTracked()
+    assert(row.getAs[Long]("n_edges") == dirE.size.toLong &&
+      row.getAs[Long]("n_reciprocal") == recip &&
+      row.getAs[Long]("recip_micro") == 1000000L * recip / dirE.size)
+  }
+
+  test("sql_pivot_syntax cells sum back to the un-pivoted total") {
+    val rows = operators.SqlText.queries("sql_pivot_syntax")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    val cells = rows.flatMap(r => Seq("o", "f", "p").map(c =>
+      Option(r.getAs[java.lang.Long](c)).map(_.toLong).getOrElse(0L))).sum
+    val total = U.tbl(spark, sfDir, "lineitem")
+      .agg(sum(U.cents(col("l_quantity")))).first().getLong(0)
+    assert(cells == total, s"pivot cells $cells != total $total")
+  }
+
+  test("emb_hard_negatives: cross-label, ranked, and rank-1 is the argmax") {
+    val rows = llm.Similarity.queries("emb_hard_negatives")(spark, sfDir)
+      .collect()
+    assert(rows.length == 150)
+    assert(rows.forall(r =>
+      r.getAs[Long]("neg_label") != r.getAs[Long]("anchor_label")))
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.map(_.getAs[Long]("rank")).sameElements(Array(1L, 2L, 3L)) &&
+        sorted.sliding(2).forall(p =>
+          p(0).getAs[Double]("cos") >= p(1).getAs[Double]("cos"))
+    })
+    // rank-1 for anchor 0 equals the driver-side fixed-point argmax
+    val emb = U.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong)
+          .toArray))
+    val a0 = emb.find(_._1 == 0L).get
+    val best = emb.filter(_._2 != a0._2).map { case (id, _, fx) =>
+      val dot = a0._3.zip(fx).map(p => p._1 * p._2).sum
+      val cos = dot.toDouble /
+        (math.sqrt(a0._3.map(x => x * x).sum.toDouble) *
+          math.sqrt(fx.map(x => x * x).sum.toDouble))
+      (id, cos)
+    }.maxBy { case (id, c) => (c, -id) }
+    val got1 = rows.find(r => r.getAs[Long]("q_id") == 0L &&
+      r.getAs[Long]("rank") == 1L).get
+    assert(got1.getAs[Long]("neg_id") == best._1 &&
+      got1.getAs[Double]("cos") == best._2,
+      "anchor-0 hard negative diverges from the driver argmax")
+  }
 }

@@ -198,6 +198,31 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream alarm divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_union merges both branches and equals the batch rollup") {
+    val got = SparkEntry.queries("stream_union")(spark, sfDir).collect()
+    assert(got.map(_.getAs[String]("branch")).toSet ==
+      Set("clicks", "purchases"))
+    // batch recomputation: union aggregate over watermark-closed windows
+    val u = U.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val wmRow = u.agg(max(col("ts"))).first().getTimestamp(0)
+    val expected = u
+      .select(col("ts"),
+        when(col("event_type") === "click", "clicks").otherwise("purchases")
+          .as("branch"),
+        col("value"))
+      .groupBy(window(col("ts"), "1 hour"), col("branch"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("branch"), col("n"),
+        col("sum_value"))
+      .filter(col("wstart") + expr("INTERVAL 1 HOUR") <=
+        lit(wmRow) - expr("INTERVAL 10 MINUTES"))
+      .collect().map(_.toString).sorted
+    assert(expected.nonEmpty &&
+      got.map(_.toString).sorted.sameElements(expected),
+      s"stream/batch union divergence: ${got.length} vs ${expected.length}")
+  }
+
   test("stream_idle_timeout fires trailing alerts through event-time timers") {
     // trailing idles (a user's LAST event, no successor to reveal the gap)
     // can ONLY come from handleExpiredTimer — their presence proves the
