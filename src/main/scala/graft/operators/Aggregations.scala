@@ -1216,7 +1216,57 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Brown–Forsythe test for variance homogeneity across event types —
+    * the robust Levene variant (deviations from the MEDIAN, not the
+    * mean), i.e. exactly [[aggAnova]]'s F statistic applied to
+    * [[aggMad]]'s deviation column: z = |2x − med2| (DOUBLED deviations
+    * stay integral), then per-group power sums of z feed the identical
+    * cents²-truncated SSB/SSW tree. ANOVA asks "do the LEVELS differ";
+    * this asks "do the SPREADS differ" — the pair is how a 100 TB
+    * profiler decides whether per-type models are even comparable. Two
+    * window sorts (median) + two hash-aggs. */
+  private def aggLevene(s: SparkSession, d: String): DataFrame = {
+    def med2Of(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      df.withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(full))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("rn") === expr("(n + 1) DIV 2") ||
+            col("rn") === expr("n DIV 2 + 1"),
+          when(expr("n % 2 = 1"), col("vc") * 2).otherwise(col("vc")))
+          .otherwise(lit(0L))).as("med2"))
+    }
+    val dec = DecimalType(38, 0)
+    val base = U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+    val med = med2Of(base)
+      .select(col("event_type").as("et"), col("med2"))
+    val z = base.join(broadcast(med), col("event_type") === col("et"))
+      .select(col("event_type"), abs(col("vc") * 2 - col("med2")).as("z"))
+    val g = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+        sum((col("z") * col("z")).cast(dec)).as("qg"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("stot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sg - CAST(ng AS DECIMAL(38,0)) * stot AS DECIMAL(38,0)) * " +
+          "CAST(CAST(n AS DECIMAL(38,0)) * sg - CAST(ng AS DECIMAL(38,0)) * stot AS DECIMAL(38,0)) DIV " +
+          "(CAST(ng AS DECIMAL(38,0)) * n * n)").as("ssb_t"),
+        expr("(CAST(ng AS DECIMAL(38,0)) * qg - CAST(sg AS DECIMAL(38,0)) * sg) DIV " +
+          "CAST(ng AS DECIMAL(38,0))").as("ssw_t"))
+      .groupBy(col("k"), col("n"))
+      .agg(sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"))
+      .select(col("k").as("n_groups"), col("n"),
+        col("ssb").as("ssb_z2"), col("ssw").as("ssw_z2"),
+        expr("CAST((CAST(ssb AS DECIMAL(38,0)) * (n - k) * 1000000) DIV " +
+          "(CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)").as("w_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_levene" -> aggLevene _,
     "agg_winsorized_mean" -> aggWinsorizedMean _,
     "agg_anova" -> aggAnova _,
     "agg_cohen_kappa" -> aggCohenKappa _,
@@ -1346,6 +1396,37 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_levene" -> {
+      val c = OSQL.cents("value")
+      s"WITH r AS (SELECT event_type, $c AS vc, " +
+        s"CAST(row_number() OVER (PARTITION BY event_type ORDER BY $c) " +
+        "AS BIGINT) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events), " +
+        "med AS (SELECT event_type AS et, " +
+        "CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN " +
+        "CASE WHEN n % 2 = 1 THEN vc * 2 ELSE vc END ELSE 0 END) " +
+        "AS BIGINT) AS med2 FROM r GROUP BY 1), " +
+        s"z AS (SELECT event_type, abs($c * 2 - med2) AS z FROM events " +
+        "JOIN med ON event_type = et), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng, " +
+        "CAST(SUM(z) AS BIGINT) AS sg, " +
+        "SUM(CAST(z AS HUGEINT) * z) AS qg FROM z GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, " +
+        "CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS stot " +
+        "FROM g), " +
+        "t AS (SELECT k, n, " +
+        "((CAST(n AS HUGEINT) * sg - CAST(ng AS HUGEINT) * stot) * " +
+        "(CAST(n AS HUGEINT) * sg - CAST(ng AS HUGEINT) * stot)) // " +
+        "(CAST(ng AS HUGEINT) * n * n) AS ssb_t, " +
+        "(CAST(ng AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg) // " +
+        "CAST(ng AS HUGEINT) AS ssw_t FROM g CROSS JOIN tot), " +
+        "s AS (SELECT k, n, SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw FROM t " +
+        "GROUP BY k, n) " +
+        "SELECT k AS n_groups, n, CAST(ssb AS BIGINT) AS ssb_z2, " +
+        "CAST(ssw AS BIGINT) AS ssw_z2, " +
+        "CAST((ssb * (n - k) * 1000000) // (ssw * (k - 1)) AS BIGINT) " +
+        "AS w_micro FROM s"
+    },
     "agg_winsorized_mean" -> {
       val c = OSQL.cents("value")
       s"WITH r AS (SELECT event_type, $c AS vc, " +

@@ -1744,6 +1744,80 @@ object TimeSeries {
         sum(col("term")).as("q_micro"))
       .orderBy("event_type")
 
+  /** Two-level binary segmentation per event type over the densified
+    * hourly grid — the hierarchical changepoint sweep ([[tsChangepoint]]
+    * is the single-split per-user probe; this is the segment-then-recurse
+    * step real changepoint detection iterates, run at type level where
+    * the grid is bucket-cardinality). Scores stay UNNORMALIZED CUSUM
+    * deviations |n·S₁(k) − k·S| — no division anywhere, every comparison
+    * an exact Decimal(38,0) order, argmax tie-breaking on the earliest
+    * split. Level 2 re-runs the same scan on each side with LOCAL prefix
+    * sums (re-partitioned windows; the only join is the \|types\|-row
+    * level-1 split broadcast). Sides too short to split (≤1 bucket) emit
+    * NULL cuts identically in both engines. */
+  private def tsBinseg(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000").as("hidx"))
+      .agg(sum(col("vc")).as("xc"))
+    val grid = hourly.groupBy(col("event_type").as("et"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("et"), col("h0"),
+        explode(sequence(col("h0"), col("h1"))).as("ghidx"))
+    val dense = grid.join(hourly,
+        col("et") === col("event_type") && col("ghidx") === col("hidx"),
+        "left")
+      .select(col("et").as("t"), (col("ghidx") - col("h0")).as("i"),
+        coalesce(col("xc"), lit(0L)).as("x"))
+    val wt = Window.partitionBy(col("t")).orderBy(col("i"))
+    val wtu = Window.partitionBy(col("t"))
+    val w2 = Window.partitionBy(col("t"))
+      .orderBy(col("stat").desc, col("i"))
+    val cp1 = dense
+      .withColumn("st", sum(col("x")).over(wt))
+      .withColumn("n", count(lit(1)).over(wtu))
+      .withColumn("sn", sum(col("x")).over(wtu))
+      .filter(col("i") < col("n") - 1)
+      .withColumn("stat",
+        abs((col("n") * col("st") - (col("i") + 1) * col("sn")).cast(dec)))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .select(col("t").as("ct"), col("n").as("cn"),
+        (col("i") + 1).as("k1"), col("stat").as("stat1"))
+    // cp1 is one row per event type — taxonomy-bounded broadcast
+    val tagged = dense.join(broadcast(cp1), col("t") === col("ct"))
+      .withColumn("seg", when(col("i") < col("k1"), lit("L")).otherwise(lit("R")))
+    val ws = Window.partitionBy(col("t"), col("seg")).orderBy(col("i"))
+    val wsu = Window.partitionBy(col("t"), col("seg"))
+    val w3 = Window.partitionBy(col("t"), col("seg"))
+      .orderBy(col("stat").desc, col("j"))
+    val cp2 = tagged
+      .withColumn("j", row_number().over(ws).cast(LongType))
+      .withColumn("st2", sum(col("x")).over(ws))
+      .withColumn("n2", count(lit(1)).over(wsu))
+      .withColumn("s2", sum(col("x")).over(wsu))
+      .filter(col("j") < col("n2"))
+      .withColumn("stat",
+        abs((col("n2") * col("st2") - col("j") * col("s2")).cast(dec)))
+      .withColumn("rk", row_number().over(w3))
+      .filter(col("rk") === 1)
+      .select(col("t"), col("seg"), col("i").as("cut_i"),
+        col("stat").cast(LongType).as("stat2"))
+    cp1
+      .join(cp2.filter(col("seg") === "L")
+        .select(col("t").as("tl"), col("cut_i").as("cut_l"),
+          col("stat2").as("stat_l")), col("ct") === col("tl"), "left")
+      .join(cp2.filter(col("seg") === "R")
+        .select(col("t").as("tr"), col("cut_i").as("cut_r"),
+          col("stat2").as("stat_r")), col("ct") === col("tr"), "left")
+      .select(col("ct").as("event_type"), col("cn").as("n"), col("k1"),
+        col("stat1").cast(LongType).as("stat1"),
+        col("cut_l"), col("stat_l"), col("cut_r"), col("stat_r"))
+      .orderBy("event_type")
+  }
+
   /** Time-weighted average value per user — each reading holds until the
     * NEXT one, so its weight is the exact integer-µs gap ([[tsVwap]] is
     * the volume-weighted sibling; this is the sensor/price convention
@@ -1898,6 +1972,7 @@ object TimeSeries {
     "ts_ljung_box" -> tsLjungBox _,
     "ts_haar_energy" -> tsHaarEnergy _,
     "ts_twap" -> tsTwap _,
+    "ts_binseg" -> tsBinseg _,
     "ts_interarrival" -> tsInterarrival _,
     "ts_rolling_ols" -> tsRollingOls _,
     "ts_hurst_rs" -> tsHurstRs _,
@@ -2044,6 +2119,53 @@ object TimeSeries {
     "ts_acf_lags" -> (acfSqlCore +
       " SELECT event_type, lag, n_pairs, acf_micro FROM acf " +
       "ORDER BY event_type, lag"),
+    "ts_binseg" -> {
+      val c = OSQL.cents("value")
+      s"WITH hourly AS (SELECT event_type, " +
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx, " +
+        s"CAST(SUM($c) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT et, h0, unnest(range(h0, h1 + 1)) AS ghidx FROM " +
+        "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
+        "FROM hourly GROUP BY 1)), " +
+        "dense AS MATERIALIZED (SELECT et AS t, ghidx - h0 AS i, " +
+        "COALESCE(xc, 0) AS x " +
+        "FROM grid LEFT JOIN hourly ON et = event_type AND ghidx = hidx), " +
+        "pre AS (SELECT t, i, x, " +
+        "SUM(x) OVER (PARTITION BY t ORDER BY i) AS st, " +
+        "COUNT(*) OVER (PARTITION BY t) AS n, " +
+        "SUM(x) OVER (PARTITION BY t) AS sn FROM dense), " +
+        "sc1 AS (SELECT t, i, n, " +
+        "abs(CAST(n AS HUGEINT) * st - (i + 1) * sn) AS stat FROM pre " +
+        "WHERE i < n - 1), " +
+        "cp1 AS MATERIALIZED (SELECT t AS ct, CAST(n AS BIGINT) AS cn, " +
+        "i + 1 AS k1, stat AS stat1 FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY t " +
+        "ORDER BY stat DESC, i) AS rk FROM sc1) WHERE rk = 1), " +
+        "tagged AS (SELECT t, i, x, k1, " +
+        "CASE WHEN i < k1 THEN 'L' ELSE 'R' END AS seg " +
+        "FROM dense JOIN cp1 ON t = ct), " +
+        "pre2 AS (SELECT t, seg, i, x, " +
+        "CAST(row_number() OVER (PARTITION BY t, seg ORDER BY i) " +
+        "AS BIGINT) AS j, " +
+        "SUM(x) OVER (PARTITION BY t, seg ORDER BY i) AS st2, " +
+        "COUNT(*) OVER (PARTITION BY t, seg) AS n2, " +
+        "SUM(x) OVER (PARTITION BY t, seg) AS s2 FROM tagged), " +
+        "sc2 AS (SELECT t, seg, i, " +
+        "abs(CAST(n2 AS HUGEINT) * st2 - j * s2) AS stat, j FROM pre2 " +
+        "WHERE j < n2), " +
+        "cp2 AS MATERIALIZED (SELECT t, seg, i AS cut_i, " +
+        "CAST(stat AS BIGINT) AS stat2 FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY t, seg " +
+        "ORDER BY stat DESC, j) AS rk FROM sc2) WHERE rk = 1) " +
+        "SELECT ct AS event_type, cn AS n, k1, " +
+        "CAST(stat1 AS BIGINT) AS stat1, " +
+        "l.cut_i AS cut_l, l.stat2 AS stat_l, " +
+        "r.cut_i AS cut_r, r.stat2 AS stat_r " +
+        "FROM cp1 " +
+        "LEFT JOIN cp2 l ON ct = l.t AND l.seg = 'L' " +
+        "LEFT JOIN cp2 r ON ct = r.t AND r.seg = 'R' " +
+        "ORDER BY event_type"
+    },
     "ts_twap" -> {
       val c = OSQL.cents("value")
       s"WITH g AS (SELECT user_id, $c AS vc, epoch_us(ts) AS us, " +

@@ -11,6 +11,27 @@ case class CustOpen(o_custkey: Long, n_open: Long, open_value: Double)
 case class CustRow(c_custkey: Long, c_name: String, c_mktsegment: String)
 case class BigOrder(o_orderkey: Long, c_name: String, c_mktsegment: String,
   o_totalprice: Double)
+case class StatusAgg(n_orders: Long, total_value: Double)
+
+/** Associative (count, cents) buffer — round(x·100) equals the
+  * DECIMAL(12,2)-cast cents for any 2-decimal double (the fixture
+  * guarantee), so partial-agg order cannot perturb the total. */
+object OrderCentsAgg
+    extends org.apache.spark.sql.expressions.Aggregator[OrderRow, (Long, Long), StatusAgg] {
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), o: OrderRow): (Long, Long) =
+    (b._1 + 1, b._2 + math.round(o.o_totalprice * 100.0))
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Long, Long)): StatusAgg =
+    StatusAgg(b._1, b._2.toDouble / 100.0)
+  def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+  def outputEncoder: org.apache.spark.sql.Encoder[StatusAgg] =
+    org.apache.spark.sql.Encoders.product[StatusAgg]
+}
 
 /** The TYPED half of the API surface: `Dataset[T]` with case-class
   * encoders, lambda filters, and `groupByKey`/`mapGroups` — the
@@ -72,11 +93,38 @@ object TypedApi {
       .orderBy("o_orderkey")
   }
 
+  /** The third typed entry point: a typed `Aggregator` through
+    * `groupByKey(...).agg(aggregator.toColumn)` — the typed path that
+    * SCALES, unlike [[typedPipeline]]'s mapGroups: an Aggregator's
+    * reduce/merge pair gives Catalyst map-side partial aggregation, so
+    * the shuffle carries one (n, cents) buffer per (partition, status)
+    * instead of every row. Money stays in associative integer cents
+    * through the buffer; the exact division happens once in finish. */
+  private def typedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    U.tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .as[OrderRow]
+      .groupByKey(_.o_orderstatus)
+      .agg(OrderCentsAgg.toColumn.name("agg"))
+      .select(col("key").as("o_orderstatus"),
+        col("agg.n_orders").as("n_orders"),
+        col("agg.total_value").as("total_value"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_agg" -> typedAgg _,
     "typed_joinwith" -> typedJoinWith _,
     "typed_pipeline" -> typedPipeline _)
 
   val oracleSql: Map[String, String] = Map(
+    "typed_agg" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS DOUBLE) / 100.0 " +
+        "AS total_value FROM orders GROUP BY o_orderstatus " +
+        "ORDER BY o_orderstatus"),
     "typed_joinwith" ->
       ("SELECT o_orderkey, c_name, c_mktsegment, o_totalprice " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +

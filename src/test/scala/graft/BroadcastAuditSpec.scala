@@ -21,8 +21,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 1,
-    "operators/TimeSeries.scala" -> 12,
-    "operators/Aggregations.scala" -> 24,
+    "operators/TimeSeries.scala" -> 13,
+    "operators/Aggregations.scala" -> 26,
     "operators/Graphs.scala" -> 11,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

@@ -607,6 +607,91 @@ class Round8Spec extends SparkTestBase {
     assert(cells == total, s"pivot cells $cells != total $total")
   }
 
+  test("ts_binseg matches a scalar two-level CUSUM segmentation") {
+    val rows = operators.TimeSeries.queries("ts_binseg")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    for (row <- rows) {
+      val et = row.getString(0)
+      val hourly = U.events(spark, sfDir).filter(col("event_type") === et)
+        .groupBy(expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000")
+          .as("h"))
+        .agg(sum(U.cents(col("value"))).as("xc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val (h0, h1) = (hourly.keys.min, hourly.keys.max)
+      val xs = (h0 to h1).map(h => BigInt(hourly.getOrElse(h, 0L))).toVector
+      // best split of xs[from until to) by |n·S1(k) − k·S|, earliest wins;
+      // returns (absolute index of last-left element, stat)
+      def best(from: Int, to: Int): Option[(Long, BigInt)] = {
+        val seg = xs.slice(from, to)
+        if (seg.length < 2) return None
+        val n = BigInt(seg.length)
+        val s2 = seg.sum
+        var st = BigInt(0)
+        var bi = -1; var bs = BigInt(-1)
+        for (k <- 1 until seg.length) {
+          st += seg(k - 1)
+          val stat = (n * st - k * s2).abs
+          if (stat > bs) { bs = stat; bi = k }
+        }
+        Some(((from + bi - 1).toLong, bs))
+      }
+      val n = xs.length
+      val Some((cut1, stat1)) = best(0, n)
+      val k1 = (cut1 + 1).toInt
+      val l = best(0, k1)
+      val r = best(k1, n)
+      def cell(c: String): Option[Long] =
+        Option(row.getAs[java.lang.Long](c)).map(_.toLong)
+      assert(row.getAs[Long]("n") == n.toLong &&
+        row.getAs[Long]("k1") == k1.toLong &&
+        row.getAs[Long]("stat1") == stat1.toLong &&
+        cell("cut_l") == l.map(_._1) &&
+        cell("stat_l") == l.map(_._2.toLong) &&
+        cell("cut_r") == r.map(_._1) &&
+        cell("stat_r") == r.map(_._2.toLong),
+        s"binseg for $et diverges: $row vs ($n, $k1, $stat1, $l, $r)")
+    }
+  }
+
+  test("typed_agg equals the untyped cents aggregate") {
+    val typed = operators.TypedApi.queries("typed_agg")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val untyped = U.tbl(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(U.cents(col("o_totalprice"))).cast("double") / 100.0).as("tv"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(typed.sameElements(untyped))
+  }
+
+  test("agg_levene matches a BigInt recomputation on median deviations") {
+    val raw = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = raw.groupBy(_._1).map { case (_, xs) =>
+      val vs = xs.map(_._2).sorted
+      val n = vs.length
+      val med2 = if (n % 2 == 1) vs(n / 2) * 2 else vs(n / 2 - 1) + vs(n / 2)
+      val zs = xs.map(t => BigInt((t._2 * 2 - med2).abs))
+      (BigInt(zs.length), zs.sum, zs.map(z => z * z).sum)
+    }.toSeq
+    val k = BigInt(groups.length)
+    val n = groups.map(_._1).sum
+    val stot = groups.map(_._2).sum
+    val ssb = groups.map { case (ng, sg, _) =>
+      val dev = n * sg - ng * stot; (dev * dev) / (ng * n * n) }.sum
+    val ssw = groups.map { case (ng, sg, qg) => (ng * qg - sg * sg) / ng }.sum
+    val wStat = (ssb * (n - k) * 1000000) / (ssw * (k - 1))
+    val row = operators.Aggregations.queries("agg_levene")(spark, sfDir)
+      .first()
+    assert(row.getAs[Long]("ssb_z2") == ssb.toLong &&
+      row.getAs[Long]("ssw_z2") == ssw.toLong &&
+      row.getAs[Long]("w_micro") == wStat.toLong,
+      s"levene diverges: $row vs ($ssb, $ssw, $wStat)")
+  }
+
   test("emb_hard_negatives: cross-label, ranked, and rank-1 is the argmax") {
     val rows = llm.Similarity.queries("emb_hard_negatives")(spark, sfDir)
       .collect()
