@@ -968,18 +968,33 @@ object Graphs {
   /** Directed order-sequence pairs — u ships on an earlier line than v in
     * some order — distinct with order-count weight, generated MAP-SIDE
     * from per-order line lists (the coPairs discipline). Shared by
-    * [[graphScc]] and [[graphReciprocity]]. */
+    * [[graphScc]] and [[graphReciprocity]], so it is cached per
+    * (session, sfDir) and persisted exactly like [[coPairs]] — each
+    * consumer also reads it more than once within its own plan. */
+  private val seqCache =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
   private def orderSeqEdges(s: SparkSession, d: String): DataFrame =
-    U.tbl(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
-        col("l_linenumber").as("ln"))
-      .groupBy(col("ok"))
-      .agg(collect_list(struct(col("ln"), col("pk"))).as("ps"))
-      .select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .filter(col("a.ln") < col("b.ln") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    synchronized {
+      seqCache.get(d) match {
+        case Some((sess, df)) if sess eq s => df
+        case stale =>
+          stale.foreach { case (_, old) =>
+            try old.unpersist() catch { case _: Throwable => () } }
+          val df = U.tbl(s, d, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+              col("l_linenumber").as("ln"))
+            .groupBy(col("ok"))
+            .agg(collect_list(struct(col("ln"), col("pk"))).as("ps"))
+            .select(explode(col("ps")).as("a"), col("ps"))
+            .select(col("a"), explode(col("ps")).as("b"))
+            .filter(col("a.ln") < col("b.ln") && col("a.pk") =!= col("b.pk"))
+            .select(col("a.pk").as("u"), col("b.pk").as("v"))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+            .persist()
+          seqCache(d) = (s, df)
+          df
+      }
+    }
 
   private[graft] def sccImpl(s: SparkSession, d: String, cap: Long): DataFrame =
     sccOnEdges(orderSeqEdges(s, d).select(col("u"), col("v")), SccNodeCap, cap)
@@ -988,10 +1003,11 @@ object Graphs {
     * edges whose reverse also exists ("how often do orders disagree on
     * basket sequence"; reciprocity 1 would collapse [[graphScc]] to
     * [[graphCc]]). One left-semi self-join on the distinct edge frame +
-    * two counts, ratio in exact micro-units; the edge frame persists
-    * because three plans consume it. */
+    * two counts, ratio in exact micro-units; the three consumers read
+    * through the persisted [[orderSeqEdges]] cache. */
   private def graphReciprocity(s: SparkSession, d: String): DataFrame = {
-    val e = U.track(orderSeqEdges(s, d).select(col("u"), col("v")).persist())
+    // three consumers, but the cached seqCache parent absorbs the re-reads
+    val e = orderSeqEdges(s, d).select(col("u"), col("v"))
     val rec = e.join(e.select(col("v").as("ru"), col("u").as("rv")),
       col("u") === col("ru") && col("v") === col("rv"), "left_semi")
     e.agg(count(lit(1)).as("n_edges"))
