@@ -414,7 +414,45 @@ object Dedup {
         expr("(1000000 * n_dup) DIV n_paras").as("dup_micro"))
   }
 
+  /** Bloom-filter dedup prefilter: a 2¹⁴-bit / 2-hash Bloom bitmap built
+    * from every non-src0 document's content hash, probed by the src0
+    * shard — the streaming-ingest pattern where a compact filter decides
+    * "possibly seen before?" WITHOUT shipping the corpus (the bitmap is
+    * 2 KB regardless of build-side size; false positives go to the exact
+    * path, the output pins both verdicts side by side). Everything is
+    * exact integer bit math: the shared polynomial hash (engine-portable,
+    * unlike murmur3), positions mod 2¹⁴, 32-bit words via bit_or (the
+    * agg_bitmap_distinct idiom — a 64-bit word would need a checked
+    * 1<<63 in DuckDB). The words frame is CONSTANT 512 rows (broadcast
+    * documented in SCALE.md); the exact-verify join is a plain equi-join
+    * the planner sizes itself. */
+  private def dedupBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val base = U.tbl(s, d, "documents")
+      .withColumn("h", polyHash(col("text"), 11L))
+      .withColumn("p1", col("h") % 16384)
+      .withColumn("p2", (col("h") * 31 + 7) % lit(M) % 16384)
+    val words = base.filter(col("source") =!= "src0")
+      .select(explode(array(col("p1"), col("p2"))).as("p"))
+      .groupBy(expr("p DIV 32").as("w"))
+      .agg(expr("bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT))").as("msk"))
+    val bt = base.filter(col("source") =!= "src0")
+      .select(col("text").as("btext")).distinct()
+    base.filter(col("source") === "src0")
+      .join(broadcast(words.select(col("w").as("w1"), col("msk").as("m1"))),
+        expr("p1 DIV 32") === col("w1"), "left")
+      .join(broadcast(words.select(col("w").as("w2"), col("msk").as("m2"))),
+        expr("p2 DIV 32") === col("w2"), "left")
+      .join(bt, col("text") === col("btext"), "left")
+      .select(col("doc_id"), col("p1"), col("p2"),
+        (coalesce(expr("(m1 >> CAST(p1 % 32 AS INT)) & 1"), lit(0L)) === 1 &&
+          coalesce(expr("(m2 >> CAST(p2 % 32 AS INT)) & 1"), lit(0L)) === 1)
+          .as("bloom_hit"),
+        col("btext").isNotNull.as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom_prefilter" -> dedupBloomPrefilter _,
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_editdistance" -> editDistancePairs _,
     "dedup_exact" -> dedupExact _,
@@ -490,6 +528,24 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_bloom_prefilter" -> {
+      val h = sqlPolyHash("text", 11L)
+      s"WITH k AS (SELECT doc_id, text, source, $h % 16384 AS p1, " +
+        s"(($h * 31 + 7) % $M) % 16384 AS p2 FROM documents), " +
+        "words AS (SELECT p // 32 AS w, " +
+        "bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS msk " +
+        "FROM (SELECT unnest([p1, p2]) AS p FROM k WHERE source <> 'src0') " +
+        "GROUP BY 1), " +
+        "bt AS (SELECT DISTINCT text AS btext FROM k WHERE source <> 'src0') " +
+        "SELECT doc_id, p1, p2, " +
+        "(COALESCE((w1.msk >> CAST(p1 % 32 AS INTEGER)) & 1, 0) = 1 AND " +
+        "COALESCE((w2.msk >> CAST(p2 % 32 AS INTEGER)) & 1, 0) = 1) " +
+        "AS bloom_hit, (btext IS NOT NULL) AS exact_dup " +
+        "FROM k LEFT JOIN words w1 ON p1 // 32 = w1.w " +
+        "LEFT JOIN words w2 ON p2 // 32 = w2.w " +
+        "LEFT JOIN bt ON text = btext " +
+        "WHERE source = 'src0' ORDER BY doc_id"
+    },
     "dedup_paragraph" -> {
       val ph = sqlPolyHash("pt", 11L)
       s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents), " +

@@ -139,6 +139,41 @@ object Pipeline {
       .orderBy("label", "rank")
   }
 
+  /** Simplified silhouette per label (centroid form — a = distance to own
+    * centroid, b = distance to the nearest other centroid): the cluster-
+    * quality score that tells a curation pipeline whether its labels are
+    * separable before training on them. Distances stay exact integer
+    * through the squared-L2 sums; the only per-row doubles are two sqrt's
+    * and one division — deterministic scalar ops — and each vector's s is
+    * MICRO-FLOORED before the label rollup so the sum is an exact integer
+    * (the order-independence discipline: never aggregate raw doubles).
+    * Shape: one explode shuffle + a constant 640-row centroid broadcast
+    * fanning each (vec, dim) row over the 10-label taxonomy. */
+  private def embSilhouette(s: SparkSession, d: String): DataFrame = {
+    val comp = labelComp(s, d)
+    val cent = labelCent(comp)
+      .select(col("label").as("clabel"), col("dim"), col("cx"))
+    val d2 = comp.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+    val sa = sqrt(col("a2").cast(DoubleType))
+    val sb = sqrt(col("b2").cast(DoubleType))
+    ab.select(col("label"),
+        when(greatest(sa, sb) === 0.0, lit(0L))
+          .otherwise(floor(lit(1000000.0) * ((sb - sa) / greatest(sa, sb)))
+            .cast(LongType)).as("s_micro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_micro")).as("sum_s_micro"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        col("sum_s_micro"),
+        (col("sum_s_micro").cast(DoubleType) /
+          (lit(1000000.0) * col("n_vecs"))).as("mean_s"))
+      .orderBy("label")
+  }
+
   /** Benchmark decontamination: flag train-split docs sharing any word
     * 3-gram shingle with the test split (the leakage check every eval
     * pipeline runs before training). The benchmark shingle set is tiny
@@ -757,6 +792,7 @@ object Pipeline {
     "pipeline_bpe_apply" -> bpeApply _,
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
+    "emb_silhouette" -> embSilhouette _,
     "split_train_test" -> splitTrainTest _,
     "sample_stratified" -> sampleStratified _,
     "dedup_normalized" -> dedupNormalized _,
@@ -1101,6 +1137,28 @@ object Pipeline {
     "emb_label_centroid" ->
       (s"WITH $labelCentCtes SELECT label, dim, cx, n_vecs FROM cent " +
         "ORDER BY label, dim"),
+    "emb_silhouette" ->
+      (s"WITH $labelCentCtes, " +
+        "sd2 AS (SELECT c.vec_id, c.label, ct.label AS clabel, " +
+        "CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS d2 " +
+        "FROM comp c JOIN cent ct ON c.dim = ct.dim " +
+        "GROUP BY 1, 2, 3), " +
+        "ab AS (SELECT vec_id, label, " +
+        "MAX(CASE WHEN clabel = label THEN d2 END) AS a2, " +
+        "MIN(CASE WHEN clabel <> label THEN d2 END) AS b2 " +
+        "FROM sd2 GROUP BY 1, 2), " +
+        "sm AS (SELECT label, CASE WHEN " +
+        "GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) = 0 " +
+        "THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(floor(1000000.0 * ((sqrt(CAST(b2 AS DOUBLE)) - " +
+        "sqrt(CAST(a2 AS DOUBLE))) / " +
+        "GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))))) " +
+        "AS BIGINT) END AS s_micro FROM ab) " +
+        "SELECT CAST(label AS BIGINT) AS label, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(s_micro) AS BIGINT) AS sum_s_micro, " +
+        "CAST(SUM(s_micro) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mean_s " +
+        "FROM sm GROUP BY 1 ORDER BY label"),
     "emb_label_outlier" ->
       (s"WITH $labelCentCtes, " +
         "d2 AS (SELECT c.label, c.vec_id, " +

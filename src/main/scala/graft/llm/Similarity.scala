@@ -63,6 +63,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@3 of the IVF index against brute-force ground truth per query
+    * — ANN quality MEASURED, not assumed: the acceptance gate every
+    * approximate index needs before it replaces the exact path at scale.
+    * Both sides are the library's own declared queries (deterministic
+    * fixed-point cosine, deterministic tiebreaks), so the overlap count is
+    * exactly oracle-able; the join is 30 rows against 30. */
+  private def simRecallAtK(s: SparkSession, d: String): DataFrame =
+    ivfAnn(s, d).select(col("q_id"), col("vec_id"))
+      .join(bruteforceTopk(s, d).filter(col("rank") <= 3)
+          .select(col("q_id").as("bq"), col("vec_id").as("bv")),
+        col("q_id") === col("bq") && col("vec_id") === col("bv"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("bv")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(3.0)).as("recall"))
+      .orderBy("q_id")
+
   private def bruteforceTopk(s: SparkSession, d: String): DataFrame =
     scoredNeighbors(s, d, nQueries = 10, k = 5)
       .select(col("q_id"), col("vec_id"), col("cos"),
@@ -576,6 +593,7 @@ object Similarity {
     "dedup_text_vs_embedding" -> textVsEmbedding _,
     "emb_rand_proj" -> embRandProj _,
     "sim_bruteforce_topk" -> bruteforceTopk _,
+    "sim_recall_at_k" -> simRecallAtK _,
     "emb_knn_classify" -> knnClassify _,
     "dedup_embedding" -> embeddingPairs _,
     "dedup_embedding_ann" -> embeddingPairsAnn _,
@@ -691,6 +709,21 @@ object Similarity {
       "FROM probed a JOIN probed b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
       s"WHERE ${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= 0.4) " +
       "SELECT da, db, cos FROM pairs ORDER BY da, db"
+
+  /** Exact brute-force cosine top-5 oracle — a named val so the recall
+    * oracle can nest it as ground truth. */
+  private lazy val bruteSql: String =
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "q AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n WHERE vec_id < 10), " +
+      "scored AS (SELECT q_id, vec_id, " +
+      s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+      "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+      "FROM n CROSS JOIN q WHERE vec_id <> q_id), " +
+      "ranked AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
+      "SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5 " +
+      "ORDER BY q_id, rank"
 
   private def dot16Sql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, 17), i -> " +
@@ -837,18 +870,14 @@ object Similarity {
         "SELECT q_id, CAST(true_label AS BIGINT) AS true_label, " +
         "CAST(label AS BIGINT) AS pred_label, votes, " +
         "label = true_label AS is_correct FROM best WHERE rn = 1 ORDER BY q_id"),
-    "sim_bruteforce_topk" ->
-      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
-        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
-        "q AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n WHERE vec_id < 10), " +
-        "scored AS (SELECT q_id, vec_id, " +
-        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
-        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
-        "FROM n CROSS JOIN q WHERE vec_id <> q_id), " +
-        "ranked AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
-        "SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5 " +
-        "ORDER BY q_id, rank"),
+    "sim_bruteforce_topk" -> bruteSql,
+    "sim_recall_at_k" ->
+      (s"SELECT iv.q_id, CAST(COUNT(bf.bv) AS BIGINT) AS n_hits, " +
+        "CAST(COUNT(bf.bv) AS DOUBLE) / 3.0 AS recall " +
+        s"FROM ($ivfSql) iv LEFT JOIN " +
+        s"(SELECT q_id AS bq, vec_id AS bv FROM ($bruteSql) WHERE rank <= 3) bf " +
+        "ON iv.q_id = bf.bq AND iv.vec_id = bf.bv " +
+        "GROUP BY iv.q_id ORDER BY iv.q_id"),
     "dedup_embedding" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f) " +

@@ -446,7 +446,28 @@ object TextAnalysis {
           lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words")))
       .orderBy("doc_id")
 
+  /** Lexical diversity per document: type count, type-token ratio and the
+    * hapax-legomenon fraction (types used exactly once) — the vocabulary-
+    * richness signal that separates word-soup spam from organic text.
+    * Shape: explode → ONE shuffle on (doc_id, token) with map-side
+    * combine, then a second doc_id-keyed agg that is shuffle-free (the
+    * (doc_id, token) partitioning already co-locates each document). All
+    * counts exact integers; the two ratios are single divisions. */
+  private def ttr(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast(DoubleType) / col("n_types")).as("hapax_frac"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr" -> ttr _,
     "text_readability" -> readability _,
     "text_gopher_rules" -> gopherRules _,
     "text_boilerplate" -> boilerplate _,
@@ -487,6 +508,18 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_ttr" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2), " +
+        "ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
+        "FROM tc GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, n_types, n_hapax, " +
+        "CAST(n_types AS DOUBLE) / n_tokens AS ttr, " +
+        "CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac " +
+        "FROM ag ORDER BY doc_id"),
     "text_readability" ->
       (s"WITH c AS (SELECT doc_id, " +
         s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_words, " +

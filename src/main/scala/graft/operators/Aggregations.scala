@@ -1265,7 +1265,126 @@ object Aggregations {
           "(CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)").as("w_micro"))
   }
 
+  /** Exact 1-Wasserstein (earth mover's) distance between each event
+    * type's value distribution and the POOLED distribution — the drift
+    * metric a data-quality monitor thresholds on, and unlike KS it weighs
+    * HOW FAR mass moved. W₁ = Σᵢ |F_t(xᵢ) − F_all(xᵢ)|·(xᵢ₊₁ − xᵢ) over
+    * the merged support; the ECDF difference stays rational as the cross-
+    * multiplied integer |cum_t·n_all − cum_all·n_t| (Decimal(38,0) — at
+    * 100 TB the product reaches ~1e24), divided out once at the end.
+    * Scale shape: the FIRST hash-agg collapses event cardinality to the
+    * (type, cent-value) domain — support is bounded by the VALUE DOMAIN
+    * (~56k distinct cents here), not the data volume, so the windows and
+    * the types×support grid are constant-size at any SF. */
+  private def aggWasserstein(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val wAll = Window.orderBy(col("sv"))
+    val pooled = counts.groupBy(col("vc").as("sv"))
+      .agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(wAll))
+      .withColumn("nxt", lead(col("sv"), 1).over(wAll))
+    val types = counts.select(col("event_type").as("et")).distinct()
+    val nt = counts.groupBy(col("event_type").as("et2"))
+      .agg(sum(col("c")).as("n_t"))
+    val tot = counts.groupBy().agg(sum(col("c")).as("n_all"))
+    val wT = Window.partitionBy(col("et")).orderBy(col("sv"))
+    types.crossJoin(pooled)
+      .join(counts,
+        col("et") === col("event_type") && col("sv") === col("vc"), "left")
+      .withColumn("ct", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_t", sum(col("ct")).over(wT))
+      .filter(col("nxt").isNotNull)
+      .join(broadcast(nt), col("et") === col("et2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("et"), col("n_t"), col("n_all"))
+      .agg(sum((abs(col("cum_t").cast(dec) * col("n_all").cast(dec) -
+          col("cum_all").cast(dec) * col("n_t").cast(dec)) *
+        (col("nxt") - col("sv")).cast(dec))).as("num"))
+      .select(col("et").as("event_type"), col("n_t"), col("n_all"),
+        (col("num").cast(DoubleType) /
+          (col("n_t").cast(DoubleType) * col("n_all").cast(DoubleType) *
+            lit(100.0))).as("w1"))
+      .orderBy("event_type")
+  }
+
+  /** Cramér–von Mises two-sample distance between the click and view
+    * value distributions — the whole-curve companion to agg_ks_test (max
+    * gap) and agg_wasserstein (transport cost): T = nm/N²·Σ(F_n−G_m)²
+    * over the combined sample. The ECDF gap at each support point is the
+    * exact cross-multiplied integer |cum_n·m − cum_m·n|, MICRO-FLOORED by
+    * one truncating division before squaring (the agg_jsd discipline —
+    * squaring the raw cross product would overflow Decimal(38,0) at
+    * 100 TB; abs() first keeps DIV↔`//` on nonnegative ground). Support
+    * is value-domain-bounded after the first hash-agg, so the window and
+    * the 1-row total broadcast are constant-size at any SF. */
+  private def aggCvm(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = U.track(U.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("vc"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cm"))
+      .persist())
+    val tot = counts.groupBy().agg(sum(col("cn")).as("n"), sum(col("cm")).as("m"))
+    val w = Window.orderBy(col("vc"))
+    val nD = col("n").cast(DoubleType)
+    val mD = col("m").cast(DoubleType)
+    counts
+      .withColumn("cum_n", sum(col("cn")).over(w))
+      .withColumn("cum_m", sum(col("cm")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dmu", expr("CAST((1000000 * " +
+        "abs(CAST(cum_n AS DECIMAL(38,0)) * m - CAST(cum_m AS DECIMAL(38,0)) * n)) " +
+        "DIV (CAST(n AS DECIMAL(38,0)) * m) AS BIGINT)"))
+      .groupBy(col("n"), col("m"))
+      .agg(count(lit(1)).as("n_support"),
+        sum((col("cn") + col("cm")).cast(dec) *
+          (col("dmu") * col("dmu")).cast(dec)).as("num"))
+      .select(col("n"), col("m"), col("n_support"),
+        (nD * mD / (nD + mD) / (nD + mD) *
+          (col("num").cast(DoubleType) / lit(1000000000000.0))).as("cvm_t"))
+  }
+
+  /** Jarque–Bera normality statistic per return flag from the SAME exact
+    * power sums as [[aggMoments]] (one hash-agg, Decimal(38,0) products):
+    * JB = n/6·(S² + K²/4) with S, K the sample skewness and excess
+    * kurtosis. The moment trees are shared verbatim with the moments
+    * query (and its oracle), so both engines walk one double-op tree. */
+  private def aggJarqueBera(s: SparkSession, d: String): DataFrame = {
+    val xc = U.cents(col("l_quantity"))
+    val dec = DecimalType(38, 0)
+    val x = xc.cast(dec)
+    val ps = U.tbl(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(xc).cast(DoubleType).as("sx"),
+      sum(x * x).cast(DoubleType).as("sxx"),
+      sum(x * x * x).cast(DoubleType).as("sxxx"),
+      sum(x * x * x * x).cast(DoubleType).as("sxxxx"))
+    val nd = col("nd")
+    val mu = col("sx") / nd
+    val m2 = col("sxx") / nd - mu * mu
+    val m3 = col("sxxx") / nd - lit(3.0) * mu * (col("sxx") / nd) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("sxxxx") / nd - lit(4.0) * mu * (col("sxxx") / nd) +
+      lit(6.0) * mu * mu * (col("sxx") / nd) - lit(3.0) * mu * mu * mu * mu
+    val sk = m3 / (m2 * sqrt(m2))
+    val ek = m4 / (m2 * m2) - lit(3.0)
+    ps.select(col("l_returnflag"), nd.cast(LongType).as("n"),
+        sk.as("skewness"), ek.as("excess_kurtosis"),
+        (nd / lit(6.0) * (sk * sk + ek * ek / lit(4.0))).as("jb"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_wasserstein" -> aggWasserstein _,
+    "agg_jarque_bera" -> aggJarqueBera _,
+    "agg_cvm" -> aggCvm _,
     "agg_levene" -> aggLevene _,
     "agg_winsorized_mean" -> aggWinsorizedMean _,
     "agg_anova" -> aggAnova _,
@@ -1396,6 +1515,71 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_wasserstein" -> {
+      val vc = OSQL.cents("value")
+      s"WITH cnt AS (SELECT event_type, $vc AS vc, COUNT(*) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "pooled AS (SELECT sv, SUM(c_all) OVER (ORDER BY sv) AS cum_all, " +
+        "lead(sv) OVER (ORDER BY sv) AS nxt FROM " +
+        "(SELECT vc AS sv, SUM(c) AS c_all FROM cnt GROUP BY 1)), " +
+        "ty AS (SELECT DISTINCT event_type AS et FROM cnt), " +
+        "nt AS (SELECT event_type AS et2, CAST(SUM(c) AS BIGINT) AS n_t " +
+        "FROM cnt GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cnt), " +
+        "cum AS (SELECT t.et, p.sv, p.cum_all, p.nxt, " +
+        "SUM(COALESCE(c.c, 0)) OVER (PARTITION BY t.et ORDER BY p.sv) " +
+        "AS cum_t FROM ty t CROSS JOIN pooled p " +
+        "LEFT JOIN cnt c ON c.event_type = t.et AND c.vc = p.sv) " +
+        "SELECT et AS event_type, n_t, n_all, " +
+        "CAST(SUM(abs(cum_t * n_all - cum_all * n_t) * (nxt - sv)) " +
+        "AS DOUBLE) / (CAST(n_t AS DOUBLE) * CAST(n_all AS DOUBLE) * 100.0) " +
+        "AS w1 FROM cum JOIN nt ON et = et2 CROSS JOIN tot " +
+        "WHERE nxt IS NOT NULL GROUP BY et, n_t, n_all ORDER BY event_type"
+    },
+    "agg_cvm" -> {
+      val vc = OSQL.cents("value")
+      s"WITH tw AS (SELECT $vc AS vc, event_type FROM events " +
+        "WHERE event_type IN ('click', 'view')), " +
+        "cnt AS (SELECT vc, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cn, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cm " +
+        "FROM tw GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS n, " +
+        "CAST(SUM(cm) AS BIGINT) AS m FROM cnt), " +
+        "cum AS (SELECT cn, cm, SUM(cn) OVER (ORDER BY vc) AS cum_n, " +
+        "SUM(cm) OVER (ORDER BY vc) AS cum_m FROM cnt), " +
+        "dm AS (SELECT cn, cm, n, m, " +
+        "(1000000 * abs(cum_n * m - cum_m * n)) // " +
+        "(CAST(n AS HUGEINT) * m) AS dmu FROM cum CROSS JOIN tot) " +
+        "SELECT n, m, CAST(COUNT(*) AS BIGINT) AS n_support, " +
+        "CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) + CAST(m AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) + CAST(m AS DOUBLE)) * " +
+        "(CAST(SUM((cn + cm) * dmu * dmu) AS DOUBLE) / 1000000000000.0) " +
+        "AS cvm_t FROM dm GROUP BY n, m"
+    },
+    "agg_jarque_bera" -> {
+      val xc = OSQL.cents("l_quantity")
+      s"WITH ps AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        s"CAST(SUM($xc) AS DOUBLE) AS sx, " +
+        s"CAST(SUM($xc * $xc) AS DOUBLE) AS sxx, " +
+        s"CAST(SUM($xc * $xc * $xc) AS DOUBLE) AS sxxx, " +
+        s"CAST(SUM($xc * $xc * $xc * $xc) AS DOUBLE) AS sxxxx " +
+        "FROM lineitem GROUP BY l_returnflag), " +
+        "m AS (SELECT l_returnflag, nd, " +
+        "(sxxx / nd - 3.0 * (sx / nd) * (sxx / nd) + " +
+        "2.0 * (sx / nd) * (sx / nd) * (sx / nd)) / " +
+        "((sxx / nd - (sx / nd) * (sx / nd)) * " +
+        "sqrt(sxx / nd - (sx / nd) * (sx / nd))) AS sk, " +
+        "(sxxxx / nd - 4.0 * (sx / nd) * (sxxx / nd) + " +
+        "6.0 * (sx / nd) * (sx / nd) * (sxx / nd) - " +
+        "3.0 * (sx / nd) * (sx / nd) * (sx / nd) * (sx / nd)) / " +
+        "((sxx / nd - (sx / nd) * (sx / nd)) * " +
+        "(sxx / nd - (sx / nd) * (sx / nd))) - 3.0 AS ek FROM ps) " +
+        "SELECT l_returnflag, CAST(nd AS BIGINT) AS n, sk AS skewness, " +
+        "ek AS excess_kurtosis, nd / 6.0 * (sk * sk + ek * ek / 4.0) AS jb " +
+        "FROM m ORDER BY l_returnflag"
+    },
     "agg_levene" -> {
       val c = OSQL.cents("value")
       s"WITH r AS (SELECT event_type, $c AS vc, " +

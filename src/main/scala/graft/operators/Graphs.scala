@@ -1183,7 +1183,71 @@ object Graphs {
       .toDF("u", "v", "support")
   }
 
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) of the
+    * co-purchase graph at degree thresholds k ∈ {2,4,8,16,32} — "do the
+    * hubs trade with each other?", the one-number core-structure probe
+    * behind assortativity. Degrees come from one hash-agg over the shared
+    * symmetric pair cache; the node-cardinality degree frame rides
+    * [[graft.U.sizeGate]] onto the edge list (broadcast below the cap,
+    * shuffle-hash above — the same equi-join either way). Each surviving
+    * edge then fans out over the FIVE constant thresholds map-side
+    * (partial aggregation collapses the fan-out before the one k-keyed
+    * exchange), so nothing downstream of the degree join scales past
+    * 5·|E|. φ's single division is the only double op, mirrored verbatim. */
+  private def graphRichClub(s: SparkSession, d: String): DataFrame = {
+    val e = coPairs(s, d).filter(col("u") < col("v")).select(col("u"), col("v"))
+    val (deg, wd) = graft.U.sizeGate(
+      coPairs(s, d).groupBy(col("u").as("n")).agg(count(lit(1)).as("deg")))
+    val kArr = array(Seq(2L, 4L, 8L, 16L, 32L).map(lit): _*)
+    val nk = deg.select(col("deg"), explode(kArr).as("k"))
+      .filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val ek = e
+      .join(wd(deg.select(col("n").as("un"), col("deg").as("du"))),
+        col("u") === col("un"))
+      .join(wd(deg.select(col("n").as("vn"), col("deg").as("dv"))),
+        col("v") === col("vn"))
+      .select(explode(kArr).as("k"), col("du"), col("dv"))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"),
+        when(col("n_k") > 1,
+          (lit(2L) * coalesce(col("e_k"), lit(0L))).cast(DoubleType) /
+            (col("n_k").cast(DoubleType) * (col("n_k") - 1).cast(DoubleType)))
+          .as("phi"))
+      .orderBy("k")
+  }
+
+  /** Average-neighbor-degree curve knn(k) of the co-purchase graph — the
+    * functional form behind [[graphAssortativity]]'s single correlation
+    * number (rising knn(k) = assortative, falling = hubs attach to
+    * leaves). Per degree class k: knn(k) = Σ_{deg(u)=k} Σ_{v∈N(u)} deg(v)
+    * / (k·N_k), kept exact as one Decimal(38,0) edge-sum (Σdeg over
+    * edges reaches ~2|E|·maxdeg ≈ 1e15+ at scale) over one size-gated
+    * degree⋈edge join; the class rollup is degree-cardinality. One
+    * closing division, mirrored. */
+  private def graphKnnDegree(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (deg, wd) = graft.U.sizeGate(
+      coPairs(s, d).groupBy(col("u").as("n")).agg(count(lit(1)).as("deg")))
+    val nbr = coPairs(s, d).select(col("u"), col("v"))
+      .join(wd(deg.select(col("n").as("vn"), col("deg").as("dv"))),
+        col("v") === col("vn"))
+      .groupBy(col("u").as("nu")).agg(sum(col("dv").cast(dec)).as("sum_nbr"))
+    deg.join(nbr, col("n") === col("nu"))
+      .groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("sum_nbr")).as("tot_nbr"))
+      .select(col("k"), col("n_nodes"),
+        (col("tot_nbr").cast(DoubleType) /
+          (col("k").cast(DoubleType) * col("n_nodes"))).as("knn"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_rich_club" -> graphRichClub _,
+    "graph_knn_degree" -> graphKnnDegree _,
     "graph_scc" -> graphScc _,
     "graph_ktruss" -> graphKtruss _,
     "graph_reciprocity" -> graphReciprocity _,
@@ -1210,6 +1274,36 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_knn_degree" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym " +
+        "GROUP BY 1), " +
+        "nbr AS (SELECT s.u AS nu, SUM(dv.deg) AS sum_nbr FROM sym s " +
+        "JOIN deg dv ON s.v = dv.u GROUP BY 1) " +
+        "SELECT d.deg AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(n.sum_nbr) AS DOUBLE) / " +
+        "(CAST(d.deg AS DOUBLE) * COUNT(*)) AS knn " +
+        "FROM deg d JOIN nbr n ON d.u = n.nu GROUP BY 1 ORDER BY k"),
+    "graph_rich_club" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) " +
+        "GROUP BY 1), " +
+        "ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k), " +
+        "nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM deg " +
+        "CROSS JOIN ks WHERE deg > k GROUP BY 1), " +
+        "ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k FROM e " +
+        "JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node " +
+        "CROSS JOIN ks WHERE du.deg > k AND dv.deg > k GROUP BY 1) " +
+        "SELECT k, n_k, COALESCE(e_k, CAST(0 AS BIGINT)) AS e_k, " +
+        "CASE WHEN n_k > 1 THEN CAST(2 * COALESCE(e_k, 0) AS DOUBLE) / " +
+        "(CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)) ELSE NULL END " +
+        "AS phi FROM nk LEFT JOIN ek USING (k) ORDER BY k"),
     "graph_reciprocity" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, " +
         "l_linenumber AS ln FROM lineitem), " +

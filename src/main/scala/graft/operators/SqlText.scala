@@ -264,7 +264,27 @@ object SqlText {
     s.sql(pivotSpark)
   }
 
+  /** Spark's native SQL-text `UNPIVOT (val FOR metric IN …)` clause — the
+    * parser path of set_unpivot, exactly as sql_pivot_syntax is the parser
+    * path of agg_pivot. The oracle mirrors with a UNION ALL stack since
+    * DuckDB's UNPIVOT dialect differs — values are the contract, not
+    * surface syntax. */
+  private val unpivotSpark =
+    "SELECT o_orderstatus, metric, val FROM (" +
+      "SELECT o_orderstatus, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+      "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price " +
+      "FROM orders GROUP BY o_orderstatus) " +
+      "UNPIVOT (val FOR metric IN (sum_price, min_price, max_price)) " +
+      "ORDER BY o_orderstatus, metric"
+
+  private def sqlUnpivotSyntax(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(unpivotSpark)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_unpivot_syntax" -> sqlUnpivotSyntax _,
     "sql_pivot_syntax" -> sqlPivotSyntax _,
     "sql_lateral_alias" -> sqlLateralAlias _,
     "sql_parameterized" -> sqlParameterized _,
@@ -281,6 +301,15 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_unpivot_syntax" ->
+      ("WITH a AS (SELECT o_orderstatus, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price " +
+        "FROM orders GROUP BY o_orderstatus) " +
+        "SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS val FROM a " +
+        "UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM a " +
+        "UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM a " +
+        "ORDER BY o_orderstatus, metric"),
     "sql_pivot_syntax" -> {
       val qc = OSQL.cents("l_quantity")
       "SELECT l_returnflag, " +

@@ -1967,7 +1967,196 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Average True Range per event type over DAILY OHLC bars — the
+    * volatility gauge position-sizing rules threshold on. Each day's true
+    * range max(high−low, |high−prevClose|, |low−prevClose|) is exact in
+    * integer cents (first bar falls back to high−low, both engines), and
+    * the 7-bar ATR is the one fragile double op: CAST(SUM) / COUNT over a
+    * ROWS frame, mirrored verbatim in the oracle. Shape: one hash-agg
+    * events→daily bars (day-cardinality, bounded by the time domain at any
+    * SF), then a per-type window over ≤|days| rows — nothing downstream of
+    * the first agg scales with event count. */
+  private def tsAtr(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(max(col("vc")).as("high_c"), min(col("vc")).as("low_c"),
+        max_by(col("vc"), struct(col("ts"), col("event_id"))).as("close_c"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val atrW = w.rowsBetween(-6, 0)
+    daily
+      .withColumn("prev_close", lag(col("close_c"), 1).over(w))
+      .withColumn("tr_c",
+        when(col("prev_close").isNull, col("high_c") - col("low_c"))
+          .otherwise(greatest(col("high_c") - col("low_c"),
+            abs(col("high_c") - col("prev_close")),
+            abs(col("low_c") - col("prev_close")))))
+      .select(col("event_type"), col("day"), col("n"), col("tr_c"),
+        (sum(col("tr_c")).over(atrW).cast(DoubleType) /
+          (lit(100.0) * count(lit(1)).over(atrW))).as("atr"))
+      .orderBy("event_type", "day")
+  }
+
+  /** On-balance volume per event type: daily volume (event count) added
+    * when the daily close rises, subtracted when it falls, flat on equal —
+    * the classic accumulation/distribution proxy. Close and its lag are
+    * exact cents, the signed cumulative sum is pure integers; same
+    * day-bar shape as [[tsAtr]] (hash-agg to day cardinality, then a
+    * bounded per-type window). */
+  private def tsObv(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("vc"), struct(col("ts"), col("event_id"))).as("close_c"),
+        count(lit(1)).as("vol"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_close", lag(col("close_c"), 1).over(w))
+      .withColumn("signed_vol",
+        when(col("prev_close").isNull || col("close_c") === col("prev_close"), lit(0L))
+          .when(col("close_c") > col("prev_close"), col("vol"))
+          .otherwise(-col("vol")))
+      .select(col("event_type"), col("day"), col("close_c"), col("vol"),
+        sum(col("signed_vol")).over(w).as("obv"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Market beta per event type: each type's daily cents total regressed
+    * on the pooled all-type daily total ("the market"). Power sums are
+    * exact integers riding Decimal(38,0) (daily totals reach ~1e13 cents
+    * at 100 TB, so their products clear Long), and beta/alpha/r² come from
+    * one double tree mirrored in the oracle. The market frame is
+    * day-cardinality — joined per-day after both sides have already been
+    * hash-agged down from event cardinality, so the join is bounded by the
+    * time domain, not the data volume. */
+  private def tsBeta(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("vc")).as("xc"))
+    val market = daily.groupBy(col("day").as("mday"))
+      .agg(sum(col("xc")).as("mc"))
+    val ps = daily.join(broadcast(market), col("day") === col("mday"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xc")).cast(DoubleType).as("sx"),
+        sum(col("mc")).cast(DoubleType).as("sm"),
+        sum((col("xc").cast(dec) * col("mc").cast(dec))).cast(DoubleType).as("sxm"),
+        sum((col("mc").cast(dec) * col("mc").cast(dec))).cast(DoubleType).as("smm"),
+        sum((col("xc").cast(dec) * col("xc").cast(dec))).cast(DoubleType).as("sxx"))
+    val covXm = col("sxm") / col("nd") - (col("sx") / col("nd")) * (col("sm") / col("nd"))
+    val varM = col("smm") / col("nd") - (col("sm") / col("nd")) * (col("sm") / col("nd"))
+    val varX = col("sxx") / col("nd") - (col("sx") / col("nd")) * (col("sx") / col("nd"))
+    ps.select(col("event_type"), col("nd").cast(LongType).as("n_days"),
+        (covXm / varM).as("beta"),
+        (col("sx") / col("nd") - (covXm / varM) * (col("sm") / col("nd"))).as("alpha_c"),
+        (covXm * covXm / (varX * varM)).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Mann–Kendall trend test per event type over daily cents totals: the
+    * S statistic Σ_{i<j} sgn(x_j − x_i), its tie-corrected variance kept
+    * as the INTEGER 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z. Pairs come from a self-join of the daily
+    * frame (day-cardinality² — bounded by the time domain, never by event
+    * count; 3650 days is 6.7M pairs, trivially distributed). The only
+    * doubles are the final z = (S∓1)/sqrt(var18/18), identical trees both
+    * engines. */
+  private def tsMannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("vc")).as("xc"))
+      .persist())
+    val a = daily.select(col("event_type").as("et"), col("day").as("d1"),
+      col("xc").as("x1"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("xc").as("x2"))
+    val sStat = a.join(b, col("et") === col("et2") && col("d1") < col("d2"))
+      .groupBy(col("et"))
+      .agg(sum(signum(col("x2") - col("x1")).cast(LongType)).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("xc"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    ties.join(sStat, col("event_type") === col("et"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        col("var18"),
+        when(col("s_stat") > 0,
+            (col("s_stat") - lit(1)).cast(DoubleType) /
+              sqrt(col("var18").cast(DoubleType) / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + lit(1)).cast(DoubleType) /
+              sqrt(col("var18").cast(DoubleType) / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Partial autocorrelation at lags 1–3 per event type via the CLOSED
+    * Durbin–Levinson forms over [[acfMicroFrame]]'s exact integer
+    * micro-ACF — "is the hourly series AR(1) or does lag 2 carry its own
+    * signal?", the model-order probe next to the correlogram. The r's are
+    * exact micro integers divided once by 1e6 (value-identical doubles
+    * both engines), and each φ tree is mirrored token-for-token. One
+    * ≤|types|×12 pivot over the shared ACF plan — no extra scan. */
+  private def tsPacf(s: SparkSession, d: String): DataFrame = {
+    val piv = acfMicroFrame(s, d)
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("lag") === 1, col("acf_micro"))).as("a1"),
+        max(when(col("lag") === 2, col("acf_micro"))).as("a2"),
+        max(when(col("lag") === 3, col("acf_micro"))).as("a3"))
+    val r1 = col("a1") / lit(1000000.0)
+    val r2 = col("a2") / lit(1000000.0)
+    val r3 = col("a3") / lit(1000000.0)
+    val p2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val phi21 = r1 - p2 * r1
+    piv.select(col("event_type"), col("n"), col("a1"), col("a2"), col("a3"),
+        r1.as("pacf1"), p2.as("pacf2"),
+        ((r3 - phi21 * r2 - p2 * r1) /
+          (lit(1.0) - phi21 * r1 - p2 * r2)).as("pacf3"))
+      .orderBy("event_type")
+  }
+
+  /** Event study around error days: for relative day offsets −3…+3 from
+    * each (user, error-day) anchor, the pooled event count and exact mean
+    * value — "does activity dip before failures and recover after?".
+    * Both sides are hash-agged to DAY cardinality before the only join
+    * (anchors × 7 constant offsets ⋈ daily totals on (user, day index)),
+    * so nothing scales with raw event count. Day index is the integer
+    * µs-epoch DIV — no date arithmetic to diverge between engines. */
+  private def tsEventStudy(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+      .withColumn("dayi", expr("unix_micros(ts) DIV 86400000000"))
+    val daily = ev.withColumn("vc", U.cents(col("value")))
+      .groupBy(col("user_id"), col("dayi"))
+      .agg(sum(col("vc")).as("sd"), count(lit(1)).as("nd"))
+    val offs = array((-3 to 3).map(o => lit(o.toLong)): _*)
+    val anchors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("au"), col("dayi").as("aday")).distinct()
+      .select(col("au"), col("aday"), explode(offs).as("off"))
+      .withColumn("tday", col("aday") + col("off"))
+    anchors.join(daily,
+        col("au") === col("user_id") && col("tday") === col("dayi"))
+      .groupBy(col("off"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("nd")).as("n_events"),
+        (sum(col("sd")).cast(DoubleType) /
+          (lit(100.0) * sum(col("nd")))).as("mean_value"))
+      .orderBy("off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_pacf" -> tsPacf _,
+    "ts_event_study" -> tsEventStudy _,
+    "ts_atr" -> tsAtr _,
+    "ts_obv" -> tsObv _,
+    "ts_beta" -> tsBeta _,
+    "ts_mann_kendall" -> tsMannKendall _,
     "ts_acf_lags" -> tsAcfLags _,
     "ts_ljung_box" -> tsLjungBox _,
     "ts_haar_energy" -> tsHaarEnergy _,
@@ -2115,7 +2304,118 @@ object TimeSeries {
       "FROM pairs JOIN den ON event_type = dt)"
   }
 
+  /** Shared daily-bar CTE chain for the ATR/OBV oracles: per (type, day)
+    * the cents high/low/volume plus the (ts, event_id)-tie-broken close —
+    * the SQL mirror of max_by(vc, struct(ts, event_id)). */
+  private val dailyBarCtes = {
+    val vc = OSQL.cents("value")
+    s"ev AS (SELECT event_type, CAST(ts AS DATE) AS day, $vc AS vc, " +
+      "ts, event_id FROM events), " +
+      "cl AS (SELECT event_type, day, vc AS close_c FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY event_type, day " +
+      "ORDER BY ts DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1), " +
+      "ba AS (SELECT event_type, day, MAX(vc) AS high_c, MIN(vc) AS low_c, " +
+      "COUNT(*) AS n FROM ev GROUP BY 1, 2), " +
+      "bars AS (SELECT a.event_type, a.day, a.n, a.high_c, a.low_c, " +
+      "c.close_c FROM ba a JOIN cl c USING (event_type, day))"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ts_pacf" -> (acfSqlCore +
+      ", piv AS (SELECT event_type, MAX(n) AS n, " +
+      "MAX(CASE WHEN lag = 1 THEN acf_micro END) AS a1, " +
+      "MAX(CASE WHEN lag = 2 THEN acf_micro END) AS a2, " +
+      "MAX(CASE WHEN lag = 3 THEN acf_micro END) AS a3 " +
+      "FROM acf GROUP BY 1), " +
+      "r AS (SELECT event_type, n, a1, a2, a3, a1 / 1000000.0 AS r1, " +
+      "a2 / 1000000.0 AS r2, a3 / 1000000.0 AS r3 FROM piv), " +
+      "p AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2 FROM r), " +
+      "q AS (SELECT *, r1 - p2 * r1 AS phi21 FROM p) " +
+      "SELECT event_type, n, a1, a2, a3, r1 AS pacf1, p2 AS pacf2, " +
+      "(r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2) AS pacf3 " +
+      "FROM q ORDER BY event_type"),
+    "ts_event_study" -> {
+      val vc = OSQL.cents("value")
+      s"WITH ev AS (SELECT user_id, event_type, $vc AS vc, " +
+        "epoch_us(ts) // 86400000000 AS dayi FROM events), " +
+        "daily AS (SELECT user_id, dayi, CAST(SUM(vc) AS BIGINT) AS sd, " +
+        "CAST(COUNT(*) AS BIGINT) AS nd FROM ev GROUP BY 1, 2), " +
+        "anch AS (SELECT DISTINCT user_id AS au, dayi AS aday FROM ev " +
+        "WHERE event_type = 'error'), " +
+        "offs AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) " +
+        "AS off), " +
+        "cells AS (SELECT off, sd, nd FROM anch CROSS JOIN offs " +
+        "JOIN daily ON au = user_id AND aday + off = dayi) " +
+        "SELECT off, CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "CAST(SUM(nd) AS BIGINT) AS n_events, " +
+        "CAST(SUM(sd) AS DOUBLE) / (100.0 * SUM(nd)) AS mean_value " +
+        "FROM cells GROUP BY off ORDER BY off"
+    },
+    "ts_atr" ->
+      (s"WITH $dailyBarCtes, " +
+        "tr AS (SELECT event_type, day, n, CASE WHEN prev_close IS NULL " +
+        "THEN high_c - low_c ELSE greatest(high_c - low_c, " +
+        "abs(high_c - prev_close), abs(low_c - prev_close)) END AS tr_c " +
+        "FROM (SELECT *, lag(close_c) OVER (PARTITION BY event_type " +
+        "ORDER BY day) AS prev_close FROM bars)) " +
+        "SELECT event_type, day, n, tr_c, " +
+        "CAST(SUM(tr_c) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w) AS atr " +
+        "FROM tr WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_type, day"),
+    "ts_obv" ->
+      (s"WITH $dailyBarCtes, " +
+        "sv AS (SELECT event_type, day, close_c, n AS vol, " +
+        "CASE WHEN prev_close IS NULL OR close_c = prev_close THEN 0 " +
+        "WHEN close_c > prev_close THEN n ELSE -n END AS signed_vol " +
+        "FROM (SELECT *, lag(close_c) OVER (PARTITION BY event_type " +
+        "ORDER BY day) AS prev_close FROM bars)) " +
+        "SELECT event_type, day, close_c, CAST(vol AS BIGINT) AS vol, " +
+        "CAST(SUM(signed_vol) OVER (PARTITION BY event_type ORDER BY day) " +
+        "AS BIGINT) AS obv FROM sv ORDER BY event_type, day"),
+    "ts_beta" -> {
+      val vc = OSQL.cents("value")
+      val cov = "(sxm / nd - (sx / nd) * (sm / nd))"
+      val varM = "(smm / nd - (sm / nd) * (sm / nd))"
+      val varX = "(sxx / nd - (sx / nd) * (sx / nd))"
+      s"WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        s"CAST(SUM($vc) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
+        "market AS (SELECT day AS mday, CAST(SUM(xc) AS BIGINT) AS mc " +
+        "FROM daily GROUP BY 1), " +
+        "ps AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(mc) AS DOUBLE) AS sm, " +
+        "CAST(SUM(CAST(xc AS HUGEINT) * CAST(mc AS HUGEINT)) AS DOUBLE) AS sxm, " +
+        "CAST(SUM(CAST(mc AS HUGEINT) * CAST(mc AS HUGEINT)) AS DOUBLE) AS smm, " +
+        "CAST(SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS DOUBLE) AS sxx " +
+        "FROM daily JOIN market ON day = mday GROUP BY 1) " +
+        "SELECT event_type, CAST(nd AS BIGINT) AS n_days, " +
+        s"$cov / $varM AS beta, " +
+        s"sx / nd - ($cov / $varM) * (sm / nd) AS alpha_c, " +
+        s"$cov * $cov / ($varX * $varM) AS r2 " +
+        "FROM ps ORDER BY event_type"
+    },
+    "ts_mann_kendall" -> {
+      val vc = OSQL.cents("value")
+      val sd = "sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+      s"WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        s"CAST(SUM($vc) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT a.event_type AS et, " +
+        "CAST(SUM(CAST(sign(b.xc - a.xc) AS BIGINT)) AS BIGINT) AS s_stat " +
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type " +
+        "AND a.day < b.day GROUP BY 1), " +
+        "ti AS (SELECT event_type, xc, COUNT(*) AS t FROM daily " +
+        "GROUP BY 1, 2), " +
+        "ties AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n, " +
+        "CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term " +
+        "FROM ti GROUP BY 1), " +
+        "v AS (SELECT event_type, n, s_stat, " +
+        "n * (n - 1) * (2 * n + 5) - tie_term AS var18 " +
+        "FROM ties JOIN st ON event_type = et) " +
+        "SELECT event_type, n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var18, " +
+        "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / " +
+        s"$sd WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / $sd " +
+        "ELSE 0.0 END AS z FROM v ORDER BY event_type"
+    },
     "ts_acf_lags" -> (acfSqlCore +
       " SELECT event_type, lag, n_pairs, acf_micro FROM acf " +
       "ORDER BY event_type, lag"),

@@ -21,14 +21,15 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 1,
-    "operators/TimeSeries.scala" -> 13,
-    "operators/Aggregations.scala" -> 26,
+    "operators/TimeSeries.scala" -> 14,
+    "operators/Aggregations.scala" -> 29,
     "operators/Graphs.scala" -> 11,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 12,
+    "llm/Pipeline.scala" -> 13,
     "llm/Similarity.scala" -> 10,
+    "llm/Dedup.scala" -> 2,
     "llm/TextAnalysis.scala" -> 7,
     "streaming/StreamingQueries.scala" -> 3)
 

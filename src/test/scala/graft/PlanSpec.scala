@@ -751,6 +751,52 @@ class PlanSpec extends SparkTestBase {
       s"ljung-box scans diverge from the shared ACF kernel:\n$pl")
   }
 
+  test("round-8 sweep: new graph/distribution queries plan no cartesian product") {
+    for (name <- Seq("graph_rich_club", "graph_knn_degree", "ts_beta",
+        "ts_mann_kendall", "ts_event_study", "agg_cvm")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
+
+  test("ts_atr and ts_obv share one exchange: daily bars agg then per-type window") {
+    for (name <- Seq("ts_atr", "ts_obv")) {
+      val p = plan(name)
+      // the daily-bar aggregation runs BEFORE the window (struct-keyed
+      // max_by plans as SortAggregate — still partial+final around one
+      // exchange, which is the posture that matters)
+      assert(p.contains("SortAggregate") || p.contains("HashAggregate"),
+        s"$name lost the daily-bar agg:\n$p")
+      assert(p.contains("Window"), s"$name lost the window:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name planned a join it does not need:\n$p")
+    }
+  }
+
+  test("agg_wasserstein's support windows run over the domain-bounded frame") {
+    val p = plan("agg_wasserstein")
+    // the event scan feeds ONE hash-agg keyed (event_type, vc) before any
+    // window — the event-cardinality → value-domain collapse
+    assert(p.contains("HashAggregate"), s"first-agg collapse missing:\n$p")
+    assert(p.contains("Window"), s"cumulative window missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"support grid should broadcast, not sort-merge:\n$p")
+  }
+
+  test("dedup_bloom_prefilter broadcasts only the constant word frames") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"), s"word probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe degenerated:\n$p")
+  }
+
+  test("emb_silhouette fans the centroid taxonomy out as a broadcast") {
+    val p = plan("emb_silhouette")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in silhouette:\n$p")
+  }
+
   test("GroupedTopKApi rejects ambiguous column names instead of first-match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper

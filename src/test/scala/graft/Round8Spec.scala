@@ -725,4 +725,373 @@ class Round8Spec extends SparkTestBase {
       got1.getAs[Double]("cos") == best._2,
       "anchor-0 hard negative diverges from the driver argmax")
   }
+
+  // (day-millis, high, low, close, vol) daily cents bars for one type,
+  // close tie-broken by (ts, event_id) — the scalar mirror of the
+  // ts_atr/ts_obv daily-bar hash-agg
+  private def dailyBars(et: String): Seq[(Long, Long, Long, Long, Long)] = {
+    val rows = U.events(spark, sfDir).filter(col("event_type") === et)
+      .select(to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+    rows.groupBy(_.getDate(0).getTime).toSeq.sortBy(_._1).map {
+      case (day, rs) =>
+        val vcs = rs.map(r => (r.getLong(1), r.getLong(2), cents(r.getDouble(3))))
+        val close = vcs.maxBy(t => (t._1, t._2))._3
+        (day, vcs.map(_._3).max, vcs.map(_._3).min, close, vcs.length.toLong)
+    }
+  }
+
+  test("ts_atr matches a scalar true-range loop on one type's daily bars") {
+    val bars = dailyBars("click")
+    val trs = bars.zipWithIndex.map { case ((_, hi, lo, _, _), i) =>
+      if (i == 0) hi - lo
+      else {
+        val pc = bars(i - 1)._4
+        Seq(hi - lo, math.abs(hi - pc), math.abs(lo - pc)).max
+      }
+    }
+    val got = operators.TimeSeries.queries("ts_atr")(spark, sfDir)
+      .filter(col("event_type") === "click").orderBy("day").collect()
+    assert(got.length == bars.length && got.nonEmpty)
+    for ((row, i) <- got.zipWithIndex) {
+      assert(row.getAs[Long]("tr_c") == trs(i), s"TR diverges at bar $i")
+      val win = trs.slice(math.max(0, i - 6), i + 1)
+      assert(row.getAs[Double]("atr") == win.sum.toDouble / (100.0 * win.length),
+        s"ATR diverges at bar $i")
+    }
+  }
+
+  test("ts_obv matches the scalar signed-volume accumulation") {
+    val bars = dailyBars("purchase")
+    var obv = 0L
+    val expected = bars.zipWithIndex.map { case ((_, _, _, close, vol), i) =>
+      if (i > 0) {
+        val pc = bars(i - 1)._4
+        if (close > pc) obv += vol else if (close < pc) obv -= vol
+      }
+      obv
+    }
+    val got = operators.TimeSeries.queries("ts_obv")(spark, sfDir)
+      .filter(col("event_type") === "purchase").orderBy("day").collect()
+    assert(got.length == bars.length && got.nonEmpty)
+    for ((row, i) <- got.zipWithIndex)
+      assert(row.getAs[Long]("obv") == expected(i) &&
+        row.getAs[Long]("close_c") == bars(i)._4, s"OBV diverges at bar $i")
+  }
+
+  // daily cents totals per type — shared by the Mann–Kendall and beta tests
+  private def dailyTotals(): Map[String, Seq[(Long, Long)]] =
+    U.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rs) =>
+        et -> rs.groupBy(_.getDate(1).getTime).toSeq.sortBy(_._1)
+          .map { case (d, xs) => (d, xs.map(r => cents(r.getDouble(2))).sum) }
+      }
+
+  test("ts_mann_kendall matches the scalar pairwise S and tie formula") {
+    val daily = dailyTotals()
+    val got = operators.TimeSeries.queries("ts_mann_kendall")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == daily.size)
+    for ((et, series) <- daily) {
+      val xs = series.map(_._2)
+      val n = xs.length.toLong
+      val sStat = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tieTerm = xs.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+      val z =
+        if (sStat > 0) (sStat - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else 0.0
+      val r = got(et)
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("s_stat") == sStat &&
+        r.getAs[Long]("var18") == var18 && r.getAs[Double]("z") == z,
+        s"Mann–Kendall diverges for $et")
+    }
+  }
+
+  test("ts_beta matches the scalar power-sum regression per type") {
+    val daily = dailyTotals()
+    val market = daily.values.flatten
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    val got = operators.TimeSeries.queries("ts_beta")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, series) <- daily) {
+      val pts = series.map { case (d, x) => (BigInt(x), BigInt(market(d))) }
+      val nd = pts.length.toDouble
+      val sx = pts.map(_._1).sum.toDouble; val sm = pts.map(_._2).sum.toDouble
+      val sxm = pts.map(p => p._1 * p._2).sum.toDouble
+      val smm = pts.map(p => p._2 * p._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val cov = sxm / nd - (sx / nd) * (sm / nd)
+      val varM = smm / nd - (sm / nd) * (sm / nd)
+      val varX = sxx / nd - (sx / nd) * (sx / nd)
+      val r = got(et)
+      assert(r.getAs[Double]("beta") == cov / varM &&
+        r.getAs[Double]("alpha_c") == sx / nd - (cov / varM) * (sm / nd) &&
+        r.getAs[Double]("r2") == cov * cov / (varX * varM),
+        s"beta diverges for $et")
+      assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0 + 1e-12)
+    }
+  }
+
+  test("agg_wasserstein matches a scalar ECDF-area recomputation and its mean-gap lower bound") {
+    val ev = U.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    val support = ev.map(_._2).distinct.sorted
+    val nAll = ev.length.toLong
+    val got = SparkEntry.queries("agg_wasserstein")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (et <- ev.map(_._1).distinct) {
+      val mine = ev.filter(_._1 == et).map(_._2)
+      val nT = mine.length.toLong
+      val cntT = mine.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+      val cntAll = ev.map(_._2).groupBy(identity)
+        .map { case (v, xs) => v -> xs.length.toLong }
+      var cumT = BigInt(0)
+      var cumAll = BigInt(0)
+      var num = BigInt(0)
+      for (i <- support.indices.dropRight(1)) {
+        cumT += BigInt(cntT.getOrElse(support(i), 0L))
+        cumAll += BigInt(cntAll(support(i)))
+        num += (cumT * nAll - cumAll * nT).abs * (support(i + 1) - support(i))
+      }
+      val w1 = num.toDouble / (nT.toDouble * nAll.toDouble * 100.0)
+      val r = got(et)
+      assert(r.getAs[Long]("n_t") == nT && r.getAs[Double]("w1") == w1,
+        s"W1 diverges for $et")
+      // W1(P, Q) >= |E_P X - E_Q X| — the transport cost of moving the mean
+      val meanGap = math.abs(
+        mine.sum.toDouble / (100.0 * nT) -
+          ev.map(_._2).sum.toDouble / (100.0 * nAll))
+      assert(w1 >= meanGap - 1e-9, s"mean-gap bound violated for $et")
+    }
+  }
+
+  test("agg_jarque_bera shares agg_moments' S and K and closes n/6*(S^2+K^2/4)") {
+    val moments = SparkEntry.queries("agg_moments")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val got = SparkEntry.queries("agg_jarque_bera")(spark, sfDir).collect()
+    assert(got.length == moments.size)
+    for (r <- got) {
+      val m = moments(r.getString(0))
+      val sk = m.getAs[Double]("skewness")
+      val ek = m.getAs[Double]("excess_kurtosis")
+      assert(r.getAs[Double]("skewness") == sk &&
+        r.getAs[Double]("excess_kurtosis") == ek,
+        s"moment trees diverge for ${r.getString(0)}")
+      assert(r.getAs[Double]("jb") ==
+        r.getAs[Long]("n").toDouble / 6.0 * (sk * sk + ek * ek / 4.0))
+      assert(r.getAs[Double]("jb") >= 0.0)
+    }
+  }
+
+  test("graph_rich_club matches a scalar recomputation of phi at every k") {
+    val li = U.tbl(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { rs =>
+      val pks = rs.map(_._2).distinct.toSeq
+      for (u <- pks; v <- pks if u < v) yield (u, v)
+    }.toSet
+    val deg: Map[Long, Long] = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(x => x).map { case (n, xs) => n -> xs.length.toLong }
+    val got = SparkEntry.queries("graph_rich_club")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L, 16L, 32L))
+    for (r <- got) {
+      val k = r.getAs[Long]("k")
+      val nK = deg.values.count(_ > k).toLong
+      val eK = edges.count(e => deg(e._1) > k && deg(e._2) > k).toLong
+      assert(r.getAs[Long]("n_k") == nK && r.getAs[Long]("e_k") == eK,
+        s"rich-club counts diverge at k=$k")
+      if (nK > 1)
+        assert(r.getAs[Double]("phi") ==
+          (2L * eK).toDouble / (nK.toDouble * (nK - 1).toDouble))
+      val phi = if (r.isNullAt(r.fieldIndex("phi"))) 0.0
+        else r.getAs[Double]("phi")
+      assert(phi >= 0.0 && phi <= 1.0)
+    }
+    // hub sets shrink as the threshold rises
+    val ns = got.map(_.getAs[Long]("n_k"))
+    assert(ns.zip(ns.tail).forall(p => p._1 >= p._2))
+  }
+
+  test("ts_pacf closes the Durbin–Levinson recursion over ts_acf_lags' output") {
+    val acf = operators.TimeSeries.queries("ts_acf_lags")(spark, sfDir)
+      .filter(col("lag") <= 3).collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rs) =>
+        et -> rs.map(r => r.getAs[Long]("lag") -> r.getAs[Long]("acf_micro")).toMap
+      }
+    val got = operators.TimeSeries.queries("ts_pacf")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == acf.size)
+    for (r <- got) {
+      val a = acf(r.getString(0))
+      val r1 = a(1L) / 1000000.0; val r2 = a(2L) / 1000000.0
+      val r3 = a(3L) / 1000000.0
+      val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val phi21 = r1 - p2 * r1
+      val p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+      assert(r.getAs[Double]("pacf1") == r1 && r.getAs[Double]("pacf2") == p2 &&
+        r.getAs[Double]("pacf3") == p3,
+        s"PACF diverges for ${r.getString(0)}")
+      assert(math.abs(r.getAs[Double]("pacf1")) <= 1.0)
+    }
+  }
+
+  test("ts_event_study pools exactly the daily cells inside the offset window") {
+    val rows = U.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"), col("value"))
+      .collect()
+    val daily = rows.groupBy(r => (r.getLong(0), r.getLong(2)))
+      .map { case (k, rs) =>
+        k -> (rs.map(r => cents(r.getDouble(3))).sum, rs.length.toLong)
+      }
+    val anchors = rows.filter(_.getString(1) == "error")
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    val got = operators.TimeSeries.queries("ts_event_study")(spark, sfDir)
+      .collect()
+    assert(got.map(_.getAs[Long]("off")).toSeq == (-3L to 3L))
+    for (r <- got) {
+      val off = r.getAs[Long]("off")
+      val cells = anchors.flatMap { case (u, d) => daily.get((u, d + off)) }
+      assert(r.getAs[Long]("n_cells") == cells.length &&
+        r.getAs[Long]("n_events") == cells.map(_._2).sum &&
+        r.getAs[Double]("mean_value") ==
+          cells.map(_._1).sum.toDouble / (100.0 * cells.map(_._2).sum),
+        s"event study diverges at offset $off")
+    }
+  }
+
+  test("agg_cvm matches a scalar micro-floored ECDF recomputation") {
+    val vals = U.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r2 => (r2.getString(0), cents(r2.getDouble(1))))
+    val n = vals.count(_._1 == "click").toLong
+    val m = vals.count(_._1 == "view").toLong
+    var cumN = BigInt(0); var cumM = BigInt(0); var num = BigInt(0)
+    val bySupport = vals.groupBy(_._2).toSeq.sortBy(_._1)
+    for ((_, xs) <- bySupport) {
+      val cn = xs.count(_._1 == "click").toLong
+      val cm = xs.length - cn
+      cumN += BigInt(cn); cumM += BigInt(cm)
+      val dmu = (BigInt(1000000) * (cumN * m - cumM * n).abs) /
+        (BigInt(n) * m)
+      num += BigInt(cn + cm) * dmu * dmu
+    }
+    val nD = n.toDouble; val mD = m.toDouble
+    val expT = nD * mD / (nD + mD) / (nD + mD) * (num.toDouble / 1.0e12)
+    val r = SparkEntry.queries("agg_cvm")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("m") == m &&
+      r.getAs[Long]("n_support") == bySupport.length.toLong &&
+      r.getAs[Double]("cvm_t") == expT)
+    assert(expT >= 0.0)
+  }
+
+  test("graph_knn_degree agrees with the scalar neighbor-degree average") {
+    val li = U.tbl(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { rs =>
+      val pks = rs.map(_._2).distinct.toSeq
+      for (u <- pks; v <- pks if u < v) yield (u, v)
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    val deg = adj.map { case (u, ns) => u -> ns.length.toLong }
+    val got = SparkEntry.queries("graph_knn_degree")(spark, sfDir).collect()
+    val byK = got.map(r => r.getAs[Long]("k") -> r).toMap
+    assert(byK.keySet == deg.values.toSet)
+    for ((k, r) <- byK) {
+      val nodes = deg.filter(_._2 == k).keys.toSeq
+      val tot = nodes.map(u => adj(u).map(deg).sum).map(BigInt(_)).sum
+      assert(r.getAs[Long]("n_nodes") == nodes.length &&
+        r.getAs[Double]("knn") ==
+          tot.toDouble / (k.toDouble * nodes.length),
+        s"knn diverges at degree $k")
+    }
+  }
+
+  test("emb_silhouette terms are bounded in [-1, 1] micro-units and count every vector") {
+    val got = SparkEntry.queries("emb_silhouette")(spark, sfDir).collect()
+    val nVec = U.tbl(spark, sfDir, "embeddings").count()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == nVec)
+    for (r <- got) {
+      val n = r.getAs[Long]("n_vecs")
+      val sum = r.getAs[Long]("sum_s_micro")
+      // each micro-floored term lies in [-1e6, 1e6]
+      assert(sum >= -1000000L * n && sum <= 1000000L * n)
+      assert(r.getAs[Double]("mean_s") == sum.toDouble / (1000000.0 * n))
+    }
+  }
+
+  test("dedup_bloom_prefilter never misses: every exact dup is a bloom hit") {
+    val rows = SparkEntry.queries("dedup_bloom_prefilter")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // no false negatives — the Bloom guarantee
+    assert(rows.forall(r => !r.getAs[Boolean]("exact_dup") ||
+      r.getAs[Boolean]("bloom_hit")))
+    // positions land inside the 2^14-bit filter
+    assert(rows.forall { r =>
+      val (p1, p2) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"))
+      p1 >= 0 && p1 < 16384 && p2 >= 0 && p2 < 16384
+    })
+    // probe side is exactly the src0 shard
+    val n0 = U.tbl(spark, sfDir, "documents")
+      .filter(col("source") === "src0").count()
+    assert(rows.length.toLong == n0)
+  }
+
+  test("sim_recall_at_k equals the driver-side overlap of its two inputs") {
+    val ivf = llm.Similarity.queries("sim_ivf_ann")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val bf = llm.Similarity.queries("sim_bruteforce_topk")(spark, sfDir)
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val got = llm.Similarity.queries("sim_recall_at_k")(spark, sfDir).collect()
+    assert(got.length == 10)
+    for (r <- got) {
+      val q = r.getAs[Long]("q_id")
+      val hits = (ivf & bf).count(_._1 == q).toLong
+      assert(r.getAs[Long]("n_hits") == hits &&
+        r.getAs[Double]("recall") == hits.toDouble / 3.0,
+        s"recall diverges for query $q")
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
+  }
+
+  test("sql_unpivot_syntax stacks three consistent metrics per status") {
+    val rows = SparkEntry.queries("sql_unpivot_syntax")(spark, sfDir).collect()
+    val byStatus = rows.groupBy(_.getString(0))
+    assert(rows.length == 3 * byStatus.size)
+    for ((st, rs) <- byStatus) {
+      val m = rs.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      assert(m.keySet == Set("sum_price", "min_price", "max_price"))
+      assert(m("min_price") <= m("max_price") &&
+        m("max_price") <= m("sum_price"), s"metric order broken for $st")
+    }
+  }
+
+  test("text_ttr laws hold and one document matches the scalar count") {
+    val rows = SparkEntry.queries("text_ttr")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (tok, ty, ha) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_hapax"))
+      ha <= ty && ty <= tok &&
+        r.getAs[Double]("ttr") == ty.toDouble / tok &&
+        r.getAs[Double]("hapax_frac") == ha.toDouble / ty
+    })
+    val doc = U.tbl(spark, sfDir, "documents").filter(col("doc_id") === 0L)
+      .select("text").first().getString(0)
+    val counts = doc.split(" ").filter(_.nonEmpty).groupBy(identity)
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_types") == counts.size &&
+      r0.getAs[Long]("n_hapax") == counts.values.count(_.length == 1))
+  }
 }
