@@ -2150,7 +2150,112 @@ object TimeSeries {
       .orderBy("off")
   }
 
+  /** Theil–Sen robust slope per event type over daily totals — the
+    * outlier-immune trend estimate next to [[tsMannKendall]]'s
+    * significance (same pairwise frame: day²-bounded, never
+    * event-cardinality). Each pair's slope is the exact truncating
+    * integer (1e6·Δy) DIV Δday in micro-cents/day, and the median is the
+    * DOUBLED middle pick under a (slope, d1, d2) total order — the
+    * agg_mad discipline, zero floats until one closing halving. */
+  private def tsTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(col("vc")).as("xc"))
+      .persist())
+    val a = daily.select(col("event_type").as("et"), col("dayi").as("d1"),
+      col("xc").as("x1"))
+    val b = daily.select(col("event_type").as("et2"), col("dayi").as("d2"),
+      col("xc").as("x2"))
+    val wg = Window.partitionBy(col("et"))
+      .orderBy(col("sm"), col("d1"), col("d2"))
+    val wn = Window.partitionBy(col("et"))
+    a.join(b, col("et") === col("et2") && col("d1") < col("d2"))
+      .withColumn("sm",
+        // Δy rides Decimal(38,0): 1e6·Δy would wrap Long once daily
+        // totals pass ~9e12 cents (well inside 100 TB territory)
+        expr("CAST((1000000 * CAST(x2 - x1 AS DECIMAL(38,0))) " +
+          "DIV (d2 - d1) AS BIGINT)"))
+      .withColumn("rn", row_number().over(wg).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("et").as("event_type"))
+      .agg(max(col("n")).as("n_pairs"),
+        sum(when(col("rn") === expr("(n + 1) DIV 2") ||
+            col("rn") === expr("n DIV 2 + 1"),
+          when(expr("n % 2 = 1"), col("sm") * 2).otherwise(col("sm")))
+          .otherwise(lit(0L))).as("med2_slope_micro"))
+      .withColumn("slope_cents_per_day",
+        col("med2_slope_micro").cast(DoubleType) / lit(2000000.0))
+      .orderBy("event_type")
+  }
+
+  /** Granger-style lagged-predictor test between the click and purchase
+    * hourly series, BOTH directions: does yesterday's x improve the
+    * prediction of today's y beyond y's own lag? F = (RSS_r − RSS_f)·
+    * (n−3)/RSS_f from the restricted (y~lag y) and full (y~lag y + lag x)
+    * OLS fits — both closed-form Cramer solves over ONE set of exact
+    * Decimal(38,0) power sums (the agg_ols_multi tree, reused verbatim;
+    * the (n−1) covariance factors cancel in F). The densified hourly grid
+    * is time-domain-bounded, so the single-partition lag window and the
+    * two-direction union are constant-size at any SF. */
+  private def tsGranger(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000")
+        .as("hidx"))
+      .agg(sum(when(col("event_type") === "click", col("vc")).otherwise(0L))
+        .as("xc"),
+        sum(when(col("event_type") === "purchase", col("vc")).otherwise(0L))
+          .as("yc"))
+    val grid = hourly.groupBy().agg(min(col("hidx")).as("h0"),
+        max(col("hidx")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("gh"))
+    val w = Window.orderBy(col("gh"))
+    val lagged = grid.join(hourly, col("gh") === col("hidx"), "left")
+      .select(col("gh"), coalesce(col("xc"), lit(0L)).as("xv"),
+        coalesce(col("yc"), lit(0L)).as("yv"))
+      .withColumn("xl", lag(col("xv"), 1).over(w))
+      .withColumn("yl", lag(col("yv"), 1).over(w))
+      .filter(col("xl").isNotNull)
+    val both = lagged.select(lit("click->purchase").as("direction"),
+        col("yv").as("y"), col("yl").as("l"), col("xl").as("x"))
+      .unionByName(lagged.select(lit("purchase->click").as("direction"),
+        col("xv").as("y"), col("xl").as("l"), col("yl").as("x")))
+    val ps = both.groupBy(col("direction")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(col("l")).cast(DoubleType).as("s1"),
+      sum(col("x")).cast(DoubleType).as("s2"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("l").cast(dec) * col("l").cast(dec)).cast(DoubleType).as("s11"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(DoubleType).as("s22"),
+      sum(col("l").cast(dec) * col("x").cast(dec)).cast(DoubleType).as("s12"),
+      sum(col("l").cast(dec) * col("y").cast(dec)).cast(DoubleType).as("s1y"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).cast(DoubleType).as("s2y"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).cast(DoubleType).as("syy"))
+    val nd = col("nd")
+    val c11 = U.covPowerSums(col("s11"), col("s1"), col("s1"), nd)
+    val c22 = U.covPowerSums(col("s22"), col("s2"), col("s2"), nd)
+    val c12 = U.covPowerSums(col("s12"), col("s1"), col("s2"), nd)
+    val c1y = U.covPowerSums(col("s1y"), col("s1"), col("sy"), nd)
+    val c2y = U.covPowerSums(col("s2y"), col("s2"), col("sy"), nd)
+    val cyy = U.covPowerSums(col("syy"), col("sy"), col("sy"), nd)
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    val rssf = cyy - (b1 * c1y + b2 * c2y)
+    val rssr = cyy - c1y * c1y / c11
+    ps.select(col("direction"), nd.cast(LongType).as("n"),
+        b1.as("b_lag_y"), b2.as("b_lag_x"),
+        ((rssr - rssf) * (nd - lit(3.0)) / rssf).as("f_stat"))
+      .orderBy("direction")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theil_sen" -> tsTheilSen _,
+    "ts_granger" -> tsGranger _,
     "ts_pacf" -> tsPacf _,
     "ts_event_study" -> tsEventStudy _,
     "ts_atr" -> tsAtr _,
@@ -2321,6 +2426,73 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_theil_sen" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($vc) AS BIGINT) AS xc FROM events " +
+        "GROUP BY 1, 2), " +
+        "sl AS (SELECT a.event_type AS et, " +
+        "CAST((1000000 * CAST(b.xc - a.xc AS HUGEINT)) // " +
+        "(b.dayi - a.dayi) AS BIGINT) AS sm, " +
+        "a.dayi AS d1, b.dayi AS d2 FROM daily a JOIN daily b " +
+        "ON a.event_type = b.event_type AND a.dayi < b.dayi), " +
+        "rk AS (SELECT et, sm, CAST(row_number() OVER (PARTITION BY et " +
+        "ORDER BY sm, d1, d2) AS BIGINT) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n FROM sl), " +
+        "med AS (SELECT et AS event_type, MAX(n) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1 THEN " +
+        "CASE WHEN n % 2 = 1 THEN sm * 2 ELSE sm END ELSE 0 END) " +
+        "AS BIGINT) AS med2_slope_micro FROM rk GROUP BY 1) " +
+        "SELECT event_type, n_pairs, med2_slope_micro, " +
+        "CAST(med2_slope_micro AS DOUBLE) / 2000000.0 " +
+        "AS slope_cents_per_day FROM med ORDER BY event_type"
+    },
+    "ts_granger" -> {
+      val vc = OSQL.cents("value")
+      val c11 = OSQL.covPowerSums("s11", "s1", "s1", "nd")
+      val c22 = OSQL.covPowerSums("s22", "s2", "s2", "nd")
+      val c12 = OSQL.covPowerSums("s12", "s1", "s2", "nd")
+      val c1y = OSQL.covPowerSums("s1y", "s1", "sy", "nd")
+      val c2y = OSQL.covPowerSums("s2y", "s2", "sy", "nd")
+      val cyy = OSQL.covPowerSums("syy", "sy", "sy", "nd")
+      s"WITH hourly AS (SELECT epoch_us(date_trunc('hour', ts)) // " +
+        "3600000000 AS hidx, " +
+        s"CAST(SUM(CASE WHEN event_type = 'click' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS xc, " +
+        s"CAST(SUM(CASE WHEN event_type = 'purchase' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS yc FROM events " +
+        "WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "grid AS (SELECT unnest(range((SELECT MIN(hidx) FROM hourly), " +
+        "(SELECT MAX(hidx) FROM hourly) + 1)) AS gh), " +
+        "dense AS (SELECT gh, COALESCE(xc, 0) AS xv, COALESCE(yc, 0) AS yv " +
+        "FROM grid LEFT JOIN hourly ON gh = hidx), " +
+        "lagged AS (SELECT * FROM (SELECT gh, xv, yv, " +
+        "lag(xv) OVER (ORDER BY gh) AS xl, " +
+        "lag(yv) OVER (ORDER BY gh) AS yl FROM dense) WHERE xl IS NOT NULL), " +
+        "bth AS (SELECT 'click->purchase' AS direction, yv AS y, yl AS l, " +
+        "xl AS x FROM lagged UNION ALL " +
+        "SELECT 'purchase->click', xv, xl, yl FROM lagged), " +
+        "ps AS (SELECT direction, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(l) AS DOUBLE) AS s1, CAST(SUM(x) AS DOUBLE) AS s2, " +
+        "CAST(SUM(y) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l AS HUGEINT) * l) AS DOUBLE) AS s11, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s22, " +
+        "CAST(SUM(CAST(l AS HUGEINT) * x) AS DOUBLE) AS s12, " +
+        "CAST(SUM(CAST(l AS HUGEINT) * y) AS DOUBLE) AS s1y, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS s2y, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy " +
+        "FROM bth GROUP BY 1), " +
+        s"co AS (SELECT direction, nd, $c11 AS c11, $c22 AS c22, " +
+        s"$c12 AS c12, $c1y AS c1y, $c2y AS c2y, $cyy AS cyy FROM ps), " +
+        "bb AS (SELECT *, (c1y * c22 - c2y * c12) / " +
+        "(c11 * c22 - c12 * c12) AS b1, (c2y * c11 - c1y * c12) / " +
+        "(c11 * c22 - c12 * c12) AS b2 FROM co), " +
+        "rs AS (SELECT *, cyy - (b1 * c1y + b2 * c2y) AS rssf, " +
+        "cyy - c1y * c1y / c11 AS rssr FROM bb) " +
+        "SELECT direction, CAST(nd AS BIGINT) AS n, b1 AS b_lag_y, " +
+        "b2 AS b_lag_x, (rssr - rssf) * (nd - 3.0) / rssf AS f_stat " +
+        "FROM rs ORDER BY direction"
+    },
     "ts_pacf" -> (acfSqlCore +
       ", piv AS (SELECT event_type, MAX(n) AS n, " +
       "MAX(CASE WHEN lag = 1 THEN acf_micro END) AS a1, " +

@@ -1047,6 +1047,89 @@ class Round8Spec extends SparkTestBase {
     assert(rows.length.toLong == n0)
   }
 
+  test("ts_theil_sen matches the scalar pairwise-slope median") {
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rs) =>
+        et -> rs.groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+          .map { case (d, xs) => (d, xs.map(r => cents(r.getDouble(2))).sum) }
+      }
+    val got = operators.TimeSeries.queries("ts_theil_sen")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, series) <- daily) {
+      val slopes = (for {
+        i <- series.indices; j <- i + 1 until series.length
+      } yield {
+        val (d1, x1) = series(i); val (d2, x2) = series(j)
+        val sm = (BigInt(1000000) * BigInt(x2 - x1) / BigInt(d2 - d1)).toLong
+        (sm, d1, d2)
+      }).sortBy(t => (t._1, t._2, t._3)).map(_._1)
+      val n = slopes.length
+      val med2 =
+        if (n % 2 == 1) slopes(n / 2) * 2
+        else slopes(n / 2 - 1) + slopes(n / 2)
+      val r = got(et)
+      assert(r.getAs[Long]("n_pairs") == n.toLong &&
+        r.getAs[Long]("med2_slope_micro") == med2 &&
+        r.getAs[Double]("slope_cents_per_day") == med2.toDouble / 2000000.0,
+        s"Theil–Sen diverges for $et")
+    }
+  }
+
+  test("ts_granger matches the scalar two-regression F computation") {
+    val hourly = U.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000").as("h"),
+        col("value")).collect()
+    val byHour = hourly.groupBy(_.getLong(1))
+    val h0 = byHour.keys.min; val h1 = byHour.keys.max
+    val series = (h0 to h1).map { h =>
+      val rs = byHour.getOrElse(h, Array.empty)
+      (rs.filter(_.getString(0) == "click").map(r => cents(r.getDouble(2))).sum,
+        rs.filter(_.getString(0) == "purchase").map(r => cents(r.getDouble(2))).sum)
+    }
+    def fit(pts: Seq[(Long, Long, Long)]): (Double, Double, Double) = {
+      // pts = (y, l, x); returns (b1, b2, f) via the query's exact trees
+      val nd = pts.length.toDouble
+      def bsum(f: ((Long, Long, Long)) => BigInt) = pts.map(f).sum.toDouble
+      val s1 = bsum(p => BigInt(p._2)); val s2 = bsum(p => BigInt(p._3))
+      val sy = bsum(p => BigInt(p._1))
+      val s11 = bsum(p => BigInt(p._2) * BigInt(p._2))
+      val s22 = bsum(p => BigInt(p._3) * BigInt(p._3))
+      val s12 = bsum(p => BigInt(p._2) * BigInt(p._3))
+      val s1y = bsum(p => BigInt(p._2) * BigInt(p._1))
+      val s2y = bsum(p => BigInt(p._3) * BigInt(p._1))
+      val syy = bsum(p => BigInt(p._1) * BigInt(p._1))
+      def cov(sxy: Double, sx: Double, sYY: Double) =
+        (sxy / 10000.0 - (sx / 100.0) * (sYY / 100.0) / nd) / (nd - 1.0)
+      val c11 = cov(s11, s1, s1); val c22 = cov(s22, s2, s2)
+      val c12 = cov(s12, s1, s2); val c1y = cov(s1y, s1, sy)
+      val c2y = cov(s2y, s2, sy); val cyy = cov(syy, sy, sy)
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val rssf = cyy - (b1 * c1y + b2 * c2y)
+      val rssr = cyy - c1y * c1y / c11
+      (b1, b2, (rssr - rssf) * (nd - 3.0) / rssf)
+    }
+    val lagged = series.sliding(2).toSeq.map { case Seq((xp, yp), (xc, yc)) =>
+      (xc, yc, xp, yp)
+    }
+    val got = operators.TimeSeries.queries("ts_granger")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val fwd = fit(lagged.map { case (_, yc, xp, yp) => (yc, yp, xp) })
+    val bwd = fit(lagged.map { case (xc, _, xp, yp) => (xc, xp, yp) })
+    for ((dir, exp) <- Seq("click->purchase" -> fwd, "purchase->click" -> bwd)) {
+      val r = got(dir)
+      assert(r.getAs[Double]("b_lag_y") == exp._1 &&
+        r.getAs[Double]("b_lag_x") == exp._2 &&
+        r.getAs[Double]("f_stat") == exp._3, s"Granger diverges for $dir")
+    }
+  }
+
   test("sim_recall_at_k equals the driver-side overlap of its two inputs") {
     val ivf = llm.Similarity.queries("sim_ivf_ann")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
