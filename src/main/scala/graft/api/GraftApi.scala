@@ -510,4 +510,121 @@ object GraftApi {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** 1-Wasserstein drift per group: how far each group's distribution of
+    * `value` (a <=2-decimal numeric) sits from the POOLED distribution —
+    * the generic form of the declared `agg_wasserstein`. Exact: the ECDF
+    * gap is the cross-multiplied integer |cum_g·n_all − cum_all·n_g| in
+    * Decimal(38,0), divided out once. The first hash-agg collapses row
+    * cardinality to (group, cent-value); everything after is bounded by
+    * the VALUE DOMAIN times |groups|, so the support windows are safe at
+    * any input size (a 1e9-distinct-value column would need bucketing
+    * first — that is a property of the column, not the input row count). */
+  def wassersteinDrift(df: DataFrame, group: String, value: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = graft.U.track(df.select(col(group).as("__g"),
+        (col(value).cast("decimal(12,2)") * 100).cast(LongType).as("__vc"))
+      .groupBy(col("__g"), col("__vc")).agg(count(lit(1)).as("__c"))
+      .persist())
+    val wAll = Window.orderBy(col("__sv"))
+    val pooled = counts.groupBy(col("__vc").as("__sv"))
+      .agg(sum(col("__c")).as("__call"))
+      .withColumn("__cumall", sum(col("__call")).over(wAll))
+      .withColumn("__nxt", lead(col("__sv"), 1).over(wAll))
+    val (nt, wn) = graft.U.sizeGate(counts.groupBy(col("__g").as("__g2"))
+      .agg(sum(col("__c")).as("n_group")))
+    val tot = counts.groupBy().agg(sum(col("__c")).as("n_all"))
+    val wT = Window.partitionBy(col("__gt")).orderBy(col("__sv"))
+    counts.select(col("__g").as("__gt")).distinct()
+      .crossJoin(pooled)
+      .join(counts, col("__sv") === col("__vc") &&
+        col("__gt") === col("__g"), "left")
+      .withColumn("__ct", coalesce(col("__c"), lit(0L)))
+      .withColumn("__cumt", sum(col("__ct")).over(wT))
+      .filter(col("__nxt").isNotNull)
+      .join(wn(nt), col("__gt") === col("__g2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__gt"), col("n_group"), col("n_all"))
+      .agg(sum((abs(col("__cumt").cast(dec) * col("n_all").cast(dec) -
+          col("__cumall").cast(dec) * col("n_group").cast(dec)) *
+        (col("__nxt") - col("__sv")).cast(dec))).as("__num"))
+      .select(col("__gt").as(group), col("n_group"), col("n_all"),
+        (col("__num").cast("double") /
+          (col("n_group").cast("double") * col("n_all").cast("double") *
+            lit(100.0))).as("w1"))
+  }
+
+  /** Bloom prefilter membership: build a `bits`-bit, 2-hash Bloom bitmap
+    * from `build`'s text column and flag each `probe` row that MIGHT be
+    * present (no false negatives; false-positive rate set by bits vs
+    * build size). The bitmap is bits/32 rows — constant, independent of
+    * build cardinality, which is the point: at 100 TB the filter ships as
+    * a few KB broadcast while the corpus never moves. Uses the library's
+    * engine-portable polynomial hash. `bits` must be a positive multiple
+    * of 32. Returns `probe` plus a `bloom_hit` column. */
+  def bloomPrefilter(build: DataFrame, probe: DataFrame, textCol: String,
+      bits: Int = 16384, seed: Long = 11L): DataFrame = {
+    require(bits > 0 && bits % 32 == 0, s"bits must be a multiple of 32: $bits")
+    val m = graft.llm.TextUtil.M
+    def positions(f: DataFrame): DataFrame = f
+      .withColumn("__h", graft.llm.TextUtil.polyHash(col(textCol), seed))
+      .withColumn("__p1", col("__h") % bits)
+      .withColumn("__p2", (col("__h") * 31 + 7) % lit(m) % bits)
+    val words = positions(build)
+      .select(explode(array(col("__p1"), col("__p2"))).as("__p"))
+      .groupBy(expr("__p DIV 32").as("__w"))
+      .agg(expr("bit_or(CAST(1 AS BIGINT) << CAST(__p % 32 AS INT))")
+        .as("__msk"))
+    positions(probe)
+      .join(broadcast(words.select(col("__w").as("__w1"),
+        col("__msk").as("__m1"))), expr("__p1 DIV 32") === col("__w1"), "left")
+      .join(broadcast(words.select(col("__w").as("__w2"),
+        col("__msk").as("__m2"))), expr("__p2 DIV 32") === col("__w2"), "left")
+      .withColumn("bloom_hit",
+        coalesce(expr("(__m1 >> CAST(__p1 % 32 AS INT)) & 1"), lit(0L)) === 1 &&
+          coalesce(expr("(__m2 >> CAST(__p2 % 32 AS INT)) & 1"), lit(0L)) === 1)
+      .drop("__h", "__p1", "__p2", "__w1", "__m1", "__w2", "__m2")
+  }
+
+  /** Simplified silhouette per label over an Array[Float] embedding
+    * column (a = distance to own centroid, b = to the nearest other):
+    * the label-separability score from the declared `emb_silhouette`,
+    * lifted. Distances are exact integers in the library's 1e-6
+    * fixed-point domain; each vector's s is micro-floored before the
+    * rollup so the per-label sum is order-independent. The centroid frame
+    * is |labels|×dims rows and data-derived, so it rides
+    * [[graft.U.sizeGate]] (taxonomy labels broadcast; a runaway
+    * label column degrades to a shuffle join instead of an OOM). */
+  def silhouette(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    // ids must bind BEFORE the explode: a non-deterministic expression in
+    // the generator projection would mint one id per (vec, dim) row
+    val withId = df.select(col(labelCol).as("__l"),
+      monotonically_increasing_id().as("__vid"), col(vecCol).as("__vec"))
+    val comp = withId.select(col("__l"), col("__vid"),
+      posexplode(transform(col("__vec"),
+        x => floor(x.cast("double") * lit(1000000.0)))).as(Seq("__pos", "__x")))
+    val (cent, wc) = graft.U.sizeGate(
+      comp.groupBy(col("__l").as("__cl"), col("__pos").as("__cpos"))
+        .agg(floor(sum(col("__x")).cast("double") / count(lit(1)))
+          .cast(LongType).as("__cx")))
+    val d2 = comp
+      .join(wc(cent), col("__pos") === col("__cpos"))
+      .groupBy(col("__vid"), col("__l"), col("__cl"))
+      .agg(sum((col("__x") - col("__cx")) * (col("__x") - col("__cx")))
+        .as("__d2"))
+    val ab = d2.groupBy(col("__vid"), col("__l"))
+      .agg(max(when(col("__cl") === col("__l"), col("__d2"))).as("__a2"),
+        min(when(col("__cl") =!= col("__l"), col("__d2"))).as("__b2"))
+    val sa = sqrt(col("__a2").cast("double"))
+    val sb = sqrt(col("__b2").cast("double"))
+    ab.select(col("__l"),
+        when(greatest(sa, sb) === 0.0, lit(0L))
+          .otherwise(floor(lit(1000000.0) * ((sb - sa) / greatest(sa, sb)))
+            .cast(LongType)).as("__sm"))
+      .groupBy(col("__l"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__sm")).as("sum_s_micro"))
+      .select(col("__l").as(labelCol), col("n_vecs"), col("sum_s_micro"),
+        (col("sum_s_micro").cast("double") /
+          (lit(1000000.0) * col("n_vecs"))).as("mean_s"))
+  }
 }

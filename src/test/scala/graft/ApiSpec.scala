@@ -371,4 +371,72 @@ class ApiSpec extends SparkTestBase {
       got.head.getAs[Long]("id_b") == 2L)
     assert(got.head.getAs[Double]("jaccard") > 0.8)
   }
+
+  test("wassersteinDrift equals the declared agg_wasserstein on the fixtures") {
+    val viaApi = GraftApi.wassersteinDrift(
+        U.events(spark, sfDir).withColumnRenamed("event_type", "kind"),
+        "kind", "value")
+      .select(col("kind"), col("n_group").as("n_t"), col("n_all"), col("w1"))
+      .orderBy("kind").collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("agg_wasserstein")(spark, sfDir)
+      .orderBy("event_type").collect().map(_.toString)
+    assert(viaApi.nonEmpty && viaApi.sameElements(declared))
+  }
+
+  test("wassersteinDrift of a shifted synthetic group equals the exact transport") {
+    // group A = {1.00}, group B = {3.00}: pooled is half/half, so each
+    // group's ECDF differs from the pooled by 1/2 across the 200-cent gap
+    // => W1 = 1.00 for both groups
+    val df = Seq(("A", 1.00), ("B", 3.00), ("A", 1.00), ("B", 3.00))
+      .toDF("g", "v")
+    val got = GraftApi.wassersteinDrift(df, "g", "v")
+      .orderBy("g").collect()
+    U.releaseTracked()
+    assert(got.map(_.getAs[Double]("w1")).toSeq == Seq(1.0, 1.0))
+  }
+
+  test("bloomPrefilter has no false negatives and carries probe columns") {
+    val build = (1 to 200).map(i => (i.toLong, s"document number $i"))
+      .toDF("bid", "body")
+    val probe = Seq((900L, "document number 17"), (901L, "unseen text a"),
+      (902L, "document number 180"), (903L, "unseen text b"))
+      .toDF("pid", "body")
+    val got = GraftApi.bloomPrefilter(build, probe, "body")
+      .orderBy("pid").collect()
+    assert(got.length == 4)
+    val hits = got.map(r => r.getAs[Long]("pid") -> r.getAs[Boolean]("bloom_hit"))
+      .toMap
+    // members MUST hit (Bloom guarantee); non-members usually miss at this
+    // load factor but are not guaranteed to
+    assert(hits(900L) && hits(902L))
+    assert(got.forall(_.schema.fieldNames.contains("body")))
+  }
+
+  test("silhouette equals the declared emb_silhouette on the fixtures") {
+    val viaApi = GraftApi.silhouette(
+        U.tbl(spark, sfDir, "embeddings")
+          .select(col("label").cast("long").as("label"), col("embedding")),
+        "label", "embedding")
+      .orderBy("label").collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("emb_silhouette")(spark, sfDir)
+      .orderBy("label").collect().map(_.toString)
+    assert(viaApi.nonEmpty && viaApi.sameElements(declared))
+  }
+
+  test("silhouette separates two planted orthogonal clusters perfectly") {
+    val vecs = (0 until 8).map { i =>
+      val lbl = (i % 2).toLong
+      val v = Array.fill(4)(0.0f)
+      v(lbl.toInt) = 1.0f + 0.001f * (i / 2) // tight cluster per label
+      (lbl, v.toSeq)
+    }.toDF("lbl", "emb")
+      .select(col("lbl"), col("emb").cast("array<float>"))
+    val got = GraftApi.silhouette(vecs, "lbl", "emb").orderBy("lbl").collect()
+    U.releaseTracked()
+    assert(got.length == 2)
+    // b (other centroid) is far, a (own) is tiny => mean_s near 1
+    assert(got.forall(_.getAs[Double]("mean_s") > 0.9))
+  }
 }

@@ -20,7 +20,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // U.scala's sizeGate references the bare `broadcast` function value
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
-    "api/GraftApi.scala" -> 1,
+    "api/GraftApi.scala" -> 4,
     "operators/TimeSeries.scala" -> 14,
     "operators/Aggregations.scala" -> 29,
     "operators/Graphs.scala" -> 11,
