@@ -466,7 +466,35 @@ object TextAnalysis {
         (col("n_hapax").cast(DoubleType) / col("n_types")).as("hapax_frac"))
       .orderBy("doc_id")
 
+  /** Source-level corpus overlap: Jaccard of each source pair's distinct
+    * word-3-gram shingle sets — the contamination/mirror-site report run
+    * before mixing corpora ("are src3 and src11 the same crawl?"). One
+    * distinct (source, shingle) projection feeds both the sizes and the
+    * shingle-keyed pair join; posting lists are bounded by \|sources\|,
+    * so the join fan-out per shingle is a constant, never corpus-scale.
+    * The \|sources\|-row size frames broadcast (taxonomy bound). */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ss = U.track(docs(s, d)
+      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sg"))
+      .distinct()
+      .persist())
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.select(col("source").as("src_a"), col("sg"))
+      .join(ss.select(col("source").as("src_b"), col("sg")), Seq("sg"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("sa"),
+        col("n_sh").as("na"))), col("src_a") === col("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"),
+        col("n_sh").as("nb"))), col("src_b") === col("sb"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("common"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_overlap" -> sourceOverlap _,
     "text_ttr" -> ttr _,
     "text_readability" -> readability _,
     "text_gopher_rules" -> gopherRules _,
@@ -508,6 +536,20 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_source_overlap" ->
+      (s"WITH t AS (SELECT source, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        s"sh AS (SELECT DISTINCT source, unnest(${sqlShingles3("toks")}) " +
+        "AS sg FROM t), " +
+        "sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh " +
+        "FROM sh GROUP BY 1), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b " +
+        "ON a.sg = b.sg AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, sa.n_sh AS na, sb.n_sh AS nb, common, " +
+        "CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard " +
+        "FROM p JOIN sizes sa ON src_a = sa.source " +
+        "JOIN sizes sb ON src_b = sb.source ORDER BY src_a, src_b"),
     "text_ttr" ->
       (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

@@ -508,6 +508,24 @@ object Scans {
     s.read.parquet(path).orderBy("p_partkey")
   }
 
+  /** JSON-Lines export — THE interchange format LLM training pipelines
+    * ship curated corpora in. Documents round-trip through a gzip'd JSONL
+    * directory (one JSON object per line, schema carried per record) and
+    * come back value-identical: the oracle reads the ORIGINAL table, so
+    * any serialization loss (encoding, number formatting, column drop)
+    * hash-fails. Write and read are both distributed line-parallel scans
+    * — JSONL's whole point at 100 TB is that any byte-range worker can
+    * find a record boundary. */
+  private def sinkJsonl(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_jsonl")
+    U.tbl(s, d, "documents")
+      .write.mode("overwrite").option("compression", "gzip").json(path)
+    s.read.json(path)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   private def sinkParquet(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_orders")
     U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
@@ -634,6 +652,7 @@ object Scans {
     "scan_merge_on_read" -> scanMergeOnRead _,
     "sink_merge_upsert" -> sinkMergeUpsert _,
     "sink_parquet" -> sinkParquet _,
+    "sink_jsonl" -> sinkJsonl _,
     "sink_custom_stats" -> sinkCustomStats _,
     "sink_zstd" -> sinkZstd _,
     "sql_ddl_roundtrip" -> sqlDdlRoundtrip _,
@@ -747,6 +766,9 @@ object Scans {
         "FROM range(0, 20000) GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "sink_jsonl" ->
+      ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id"),
     "sink_custom_stats" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS sum_cents " +

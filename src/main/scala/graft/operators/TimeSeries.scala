@@ -2253,7 +2253,94 @@ object TimeSeries {
       .orderBy("direction")
   }
 
+  /** Dickey–Fuller stationarity probe per event type on the densified
+    * hourly grid: Δy_t regressed on y_{t−1} — a unit root (β≈0, t≈0)
+    * means shocks persist and the series needs differencing before any
+    * AR modeling ([[tsGranger]]'s implicit assumption, tested). β, its
+    * standard error and t all close from ONE set of exact Decimal(38,0)
+    * power sums through the shared covariance tree; grid and lag window
+    * are time-domain-bounded. */
+  private def tsAdf(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hourly = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000").as("hidx"))
+      .agg(sum(col("vc")).as("xc"))
+    val grid = hourly.groupBy(col("event_type").as("et"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("et"), explode(sequence(col("h0"), col("h1"))).as("gh"))
+    val w = Window.partitionBy(col("et")).orderBy(col("gh"))
+    val lagged = grid.join(hourly,
+        col("et") === col("event_type") && col("gh") === col("hidx"), "left")
+      .select(col("et"), col("gh"), coalesce(col("xc"), lit(0L)).as("y"))
+      .withColumn("l", lag(col("y"), 1).over(w))
+      .filter(col("l").isNotNull)
+      .withColumn("dy", col("y") - col("l"))
+    val ps = lagged.groupBy(col("et")).agg(
+      count(lit(1)).cast(DoubleType).as("nd"),
+      sum(col("l")).cast(DoubleType).as("sl"),
+      sum(col("dy")).cast(DoubleType).as("sd"),
+      sum(col("l").cast(dec) * col("l").cast(dec)).cast(DoubleType).as("sll"),
+      sum(col("l").cast(dec) * col("dy").cast(dec)).cast(DoubleType).as("sld"),
+      sum(col("dy").cast(dec) * col("dy").cast(dec)).cast(DoubleType).as("sdd"))
+    val nd = col("nd")
+    val cll = U.covPowerSums(col("sll"), col("sl"), col("sl"), nd)
+    val cld = U.covPowerSums(col("sld"), col("sl"), col("sd"), nd)
+    val cdd = U.covPowerSums(col("sdd"), col("sd"), col("sd"), nd)
+    val beta = cld / cll
+    val se2 = (cdd - cld * cld / cll) / ((nd - lit(2.0)) * cll)
+    ps.select(col("et").as("event_type"), nd.cast(LongType).as("n"),
+        beta.as("beta"), sqrt(se2).as("se"),
+        (beta / sqrt(se2)).as("t_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Seasonal Mann–Kendall per event type: the [[tsMannKendall]] S
+    * statistic computed WITHIN each hour-of-day season over (day, hod)
+    * cell totals, then summed — trend detection that a daily cycle cannot
+    * fake. Pair generation is (days² × 24)-bounded; everything integer
+    * except the closing z, whose tree is the MK mirror. */
+  private def tsSeasonalMk(s: SparkSession, d: String): DataFrame = {
+    val cells = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hod"))
+      .agg(sum(col("vc")).as("xc"))
+      .persist())
+    val a = cells.select(col("event_type").as("et"), col("hod").as("h1"),
+      col("dayi").as("d1"), col("xc").as("x1"))
+    val b = cells.select(col("event_type").as("et2"), col("hod").as("h2"),
+      col("dayi").as("d2"), col("xc").as("x2"))
+    val sStat = a.join(b, col("et") === col("et2") && col("h1") === col("h2") &&
+        col("d1") < col("d2"))
+      .groupBy(col("et"))
+      .agg(sum(signum(col("x2") - col("x1")).cast(LongType)).as("s_stat"))
+    val ties = cells.groupBy(col("event_type"), col("hod"), col("xc"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_cells"),
+        sum(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt"))
+          .as("var18"))
+    ties.join(sStat, col("event_type") === col("et"))
+      .select(col("event_type"), col("n_cells"), col("s_stat"), col("var18"),
+        when(col("s_stat") > 0,
+            (col("s_stat") - lit(1)).cast(DoubleType) /
+              sqrt(col("var18").cast(DoubleType) / lit(18.0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + lit(1)).cast(DoubleType) /
+              sqrt(col("var18").cast(DoubleType) / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_adf" -> tsAdf _,
+    "ts_seasonal_mk" -> tsSeasonalMk _,
     "ts_theil_sen" -> tsTheilSen _,
     "ts_granger" -> tsGranger _,
     "ts_pacf" -> tsPacf _,
@@ -2426,6 +2513,60 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_adf" -> {
+      val vc = OSQL.cents("value")
+      val cll = OSQL.covPowerSums("sll", "sl", "sl", "nd")
+      val cld = OSQL.covPowerSums("sld", "sl", "sd", "nd")
+      val cdd = OSQL.covPowerSums("sdd", "sd", "sd", "nd")
+      s"WITH hourly AS (SELECT event_type, " +
+        "epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx, " +
+        s"CAST(SUM($vc) AS BIGINT) AS xc FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT et, unnest(range(h0, h1 + 1)) AS gh FROM " +
+        "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
+        "FROM hourly GROUP BY 1)), " +
+        "dense AS (SELECT et, gh, COALESCE(xc, 0) AS y FROM grid " +
+        "LEFT JOIN hourly ON et = event_type AND gh = hidx), " +
+        "lagged AS (SELECT et, y, l, y - l AS dy FROM (SELECT et, y, " +
+        "lag(y) OVER (PARTITION BY et ORDER BY gh) AS l FROM dense) " +
+        "WHERE l IS NOT NULL), " +
+        "ps AS (SELECT et, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(l) AS DOUBLE) AS sl, CAST(SUM(dy) AS DOUBLE) AS sd, " +
+        "CAST(SUM(CAST(l AS HUGEINT) * l) AS DOUBLE) AS sll, " +
+        "CAST(SUM(CAST(l AS HUGEINT) * dy) AS DOUBLE) AS sld, " +
+        "CAST(SUM(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS sdd " +
+        "FROM lagged GROUP BY 1), " +
+        s"co AS (SELECT et, nd, $cll AS cll, $cld AS cld, $cdd AS cdd " +
+        "FROM ps), " +
+        "fin AS (SELECT et, nd, cld / cll AS beta, " +
+        "(cdd - cld * cld / cll) / ((nd - 2.0) * cll) AS se2 FROM co) " +
+        "SELECT et AS event_type, CAST(nd AS BIGINT) AS n, beta, " +
+        "sqrt(se2) AS se, beta / sqrt(se2) AS t_stat " +
+        "FROM fin ORDER BY event_type"
+    },
+    "ts_seasonal_mk" -> {
+      val vc = OSQL.cents("value")
+      val sd = "sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+      s"WITH cells AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        "AS dayi, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
+        s"CAST(SUM($vc) AS BIGINT) AS xc FROM events GROUP BY 1, 2, 3), " +
+        "st AS (SELECT a.event_type AS et, " +
+        "CAST(SUM(CAST(sign(b.xc - a.xc) AS BIGINT)) AS BIGINT) AS s_stat " +
+        "FROM cells a JOIN cells b ON a.event_type = b.event_type " +
+        "AND a.hod = b.hod AND a.dayi < b.dayi GROUP BY 1), " +
+        "ti AS (SELECT event_type, hod, xc, COUNT(*) AS t FROM cells " +
+        "GROUP BY 1, 2, 3), " +
+        "hs AS (SELECT event_type, hod, CAST(SUM(t) AS BIGINT) AS n, " +
+        "CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt " +
+        "FROM ti GROUP BY 1, 2), " +
+        "ties AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_cells, " +
+        "CAST(SUM(n * (n - 1) * (2 * n + 5) - tt) AS BIGINT) AS var18 " +
+        "FROM hs GROUP BY 1) " +
+        "SELECT event_type, n_cells, s_stat, var18, " +
+        "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / " +
+        s"$sd WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / $sd " +
+        "ELSE 0.0 END AS z FROM ties JOIN st ON event_type = et " +
+        "ORDER BY event_type"
+    },
     "ts_theil_sen" -> {
       val vc = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +

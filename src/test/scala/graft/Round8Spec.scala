@@ -1130,6 +1130,106 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ts_adf matches the scalar lag-regression computation per type") {
+    val hourly = U.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) DIV 3600000000").as("h"),
+        col("value")).collect().groupBy(_.getString(0))
+    val got = operators.TimeSeries.queries("ts_adf")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, rs) <- hourly) {
+      val byH = rs.groupBy(_.getLong(1))
+      val h0 = byH.keys.min; val h1 = byH.keys.max
+      val ys = (h0 to h1).map(h =>
+        byH.getOrElse(h, Array.empty).map(r => cents(r.getDouble(2))).sum)
+      val pts = ys.sliding(2).toSeq.map { case Seq(l, y) => (l, y - l) }
+      val nd = pts.length.toDouble
+      def bs(f: ((Long, Long)) => BigInt) = pts.map(f).sum.toDouble
+      val sl = bs(p => BigInt(p._1)); val sd0 = bs(p => BigInt(p._2))
+      val sll = bs(p => BigInt(p._1) * BigInt(p._1))
+      val sld = bs(p => BigInt(p._1) * BigInt(p._2))
+      val sdd = bs(p => BigInt(p._2) * BigInt(p._2))
+      def cov(sxy: Double, sx: Double, sy: Double) =
+        (sxy / 10000.0 - (sx / 100.0) * (sy / 100.0) / nd) / (nd - 1.0)
+      val cll = cov(sll, sl, sl); val cld = cov(sld, sl, sd0)
+      val cdd = cov(sdd, sd0, sd0)
+      val beta = cld / cll
+      val se2 = (cdd - cld * cld / cll) / ((nd - 2.0) * cll)
+      val r = got(et)
+      assert(r.getAs[Double]("beta") == beta &&
+        r.getAs[Double]("se") == math.sqrt(se2) &&
+        r.getAs[Double]("t_stat") == beta / math.sqrt(se2),
+        s"ADF diverges for $et")
+    }
+  }
+
+  test("ts_seasonal_mk sums the per-season scalar S and tie variance") {
+    val cells = U.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hod"),
+        col("value")).collect()
+      .groupBy(r => (r.getString(0), r.getLong(2)))
+      .map { case (k, rs) =>
+        k -> rs.groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+          .map { case (_, xs) => xs.map(r => cents(r.getDouble(3))).sum }
+      }
+    val got = operators.TimeSeries.queries("ts_seasonal_mk")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (et <- cells.keys.map(_._1).toSet[String]) {
+      var sStat = 0L; var var18 = 0L; var nCells = 0L
+      for (((_, _), xs) <- cells.filter(_._1._1 == et)) {
+        sStat += (for (i <- xs.indices; j <- i + 1 until xs.length)
+          yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+        val n = xs.length.toLong
+        val tie = xs.groupBy(identity(_)).values
+          .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+        var18 += n * (n - 1) * (2 * n + 5) - tie
+        nCells += n
+      }
+      val r = got(et)
+      assert(r.getAs[Long]("s_stat") == sStat &&
+        r.getAs[Long]("var18") == var18 &&
+        r.getAs[Long]("n_cells") == nCells,
+        s"seasonal MK diverges for $et")
+    }
+  }
+
+  test("text_source_overlap matches a scalar shingle-set Jaccard for one pair") {
+    val rows = SparkEntry.queries("text_source_overlap")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard")
+      j > 0.0 && j <= 1.0 && r.getAs[Long]("common") <=
+        math.min(r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    })
+    def shingleSet(src: String): Set[String] =
+      U.tbl(spark, sfDir, "documents").filter(col("source") === src)
+        .select("text").collect().flatMap { r =>
+          val toks = r.getString(0).split(" ").filter(_.nonEmpty)
+          toks.sliding(3).filter(_.length == 3).map(_.mkString("_"))
+        }.toSet
+    val (a, b) = (shingleSet("src1"), shingleSet("src2"))
+    val common = (a & b).size.toLong
+    rows.find(r => r.getString(0) == "src1" && r.getString(1) == "src2") match {
+      case Some(r) =>
+        assert(r.getAs[Long]("na") == a.size.toLong &&
+          r.getAs[Long]("nb") == b.size.toLong &&
+          r.getAs[Long]("common") == common)
+      case None => assert(common == 0L, "query dropped an overlapping pair")
+    }
+  }
+
+  test("sink_jsonl round-trips the documents table value-identically") {
+    val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
+      .collect().map(_.toString)
+    val orig = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.nonEmpty && got.sameElements(orig))
+  }
+
   test("sim_recall_at_k equals the driver-side overlap of its two inputs") {
     val ivf = llm.Similarity.queries("sim_ivf_ann")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
