@@ -1194,10 +1194,14 @@ object Graphs {
     * (partial aggregation collapses the fan-out before the one k-keyed
     * exchange), so nothing downstream of the degree join scales past
     * 5·|E|. φ's single division is the only double op, mirrored verbatim. */
-  private def graphRichClub(s: SparkSession, d: String): DataFrame = {
+  private def graphRichClub(s: SparkSession, d: String): DataFrame =
+    richClubImpl(s, d, graft.U.BroadcastRowCap)
+
+  private[graft] def richClubImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
     val e = coPairs(s, d).filter(col("u") < col("v")).select(col("u"), col("v"))
     val (deg, wd) = graft.U.sizeGate(
-      coPairs(s, d).groupBy(col("u").as("n")).agg(count(lit(1)).as("deg")))
+      coPairs(s, d).groupBy(col("u").as("n")).agg(count(lit(1)).as("deg")), cap)
     val kArr = array(Seq(2L, 4L, 8L, 16L, 32L).map(lit): _*)
     val nk = deg.select(col("deg"), explode(kArr).as("k"))
       .filter(col("deg") > col("k"))
@@ -1228,10 +1232,14 @@ object Graphs {
     * edges reaches ~2|E|·maxdeg ≈ 1e15+ at scale) over one size-gated
     * degree⋈edge join; the class rollup is degree-cardinality. One
     * closing division, mirrored. */
-  private def graphKnnDegree(s: SparkSession, d: String): DataFrame = {
+  private def graphKnnDegree(s: SparkSession, d: String): DataFrame =
+    knnDegreeImpl(s, d, graft.U.BroadcastRowCap)
+
+  private[graft] def knnDegreeImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
     val dec = DecimalType(38, 0)
     val (deg, wd) = graft.U.sizeGate(
-      coPairs(s, d).groupBy(col("u").as("n")).agg(count(lit(1)).as("deg")))
+      coPairs(s, d).groupBy(col("u").as("n")).agg(count(lit(1)).as("deg")), cap)
     val nbr = coPairs(s, d).select(col("u"), col("v"))
       .join(wd(deg.select(col("n").as("vn"), col("deg").as("dv"))),
         col("v") === col("vn"))

@@ -159,6 +159,23 @@ class StressSpec extends SparkTestBase {
     }
   }
 
+  test("gated rich-club and knn-degree paths agree with the broadcast posture") {
+    // the round-8 degree⋈edge joins dispatch through U.sizeGate; cap=0
+    // (degree frame shuffle-hash-joined) must be row-identical to
+    // cap=MaxValue (degree frame broadcast) — same equi-join either way
+    for ((name, f) <- Seq[(String, (org.apache.spark.sql.SparkSession,
+        String, Long) => org.apache.spark.sql.DataFrame)](
+      ("graph_rich_club", operators.Graphs.richClubImpl _),
+      ("graph_knn_degree", operators.Graphs.knnDegreeImpl _))) {
+      val bcast = f(spark, sfDir, Long.MaxValue).collect()
+      U.releaseTracked()
+      val shuffled = f(spark, sfDir, 0L).collect()
+      U.releaseTracked()
+      assert(bcast.nonEmpty && bcast.sameElements(shuffled),
+        s"$name: gated degree paths diverge")
+    }
+  }
+
   test("window funnel survives a 120k-user anchor set on both gate paths") {
     // synthetic high-cardinality user set, far past what sf0.1 fixtures
     // carry: every user clicks at t0+u s, views +1h, purchases +2h — the
