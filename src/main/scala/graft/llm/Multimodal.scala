@@ -26,6 +26,7 @@ case class Decoded(doc_id: Long, n_bytes: Long, first_byte: Long, checksum: Long
 case class Resized(doc_id: Long, n_in: Long, n_out: Long, resized_hex: String)
 case class Features(doc_id: Long, n_distinct: Long, modal_byte: Long,
   modal_count: Long, n_spaces: Long)
+case class PHash(doc_id: Long, w0: Long, w1: Long, n_ones: Long)
 
 object Multimodal {
 
@@ -173,6 +174,54 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Perceptual average-hash (aHash) per image, THROUGH the real codec:
+    * each deterministic synthetic image round-trips the JDK PNG
+    * encoder+decoder (the same path as multimodal_codec_roundtrip), then
+    * every pixel's luma-sum is compared against the image mean by integer
+    * cross-multiplication (gray·npx > Σgray — no division, no float) and
+    * the ≤64 bits pack into TWO 32-bit words (the sim_hamming convention;
+    * a 1<<63 word would need a checked shift in DuckDB). The oracle
+    * recomputes the hash from the closed-form pixel formula, so a codec
+    * that altered even one pixel would hash-fail. This is the image rung
+    * of near-dup detection: downstream, Hamming distance on these words
+    * is the multimodal sibling of sim_hamming_topk. */
+  private def phash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 7) % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val k = y * w + x
+          val r = ((id * 31 + k) % 256).toInt
+          val g = ((id * 17 + y * 3 + x * 5) % 256).toInt
+          val b = ((id * 13 + y * 7 + x * 11) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val grays = for (y <- 0 until back.getHeight; x <- 0 until back.getWidth)
+          yield {
+            val p = back.getRGB(x, y)
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+          }
+        val npx = grays.length.toLong
+        val sg = grays.sum
+        var (w0, w1, ones) = (0L, 0L, 0L)
+        for ((g, k) <- grays.zipWithIndex if g * npx > sg) {
+          if (k < 32) w0 |= 1L << k else w1 |= 1L << (k - 32)
+          ones += 1
+        }
+        PHash(id, w0, w1, ones)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Exact binary dedup by content digest (the checksum rung of image/audio
     * dedup): hash the payload bytes, keep the min doc_id per digest. One
     * hash-agg over (digest) — the payload never shuffles, only its 32-byte
@@ -187,6 +236,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_codec_roundtrip" -> codecRoundtrip _,
+    "multimodal_phash" -> phash _,
     "multimodal_dedup" -> dedupBinary _,
     "multimodal_schema" -> schema _,
     "multimodal_decode" -> decode _,
@@ -210,6 +260,25 @@ object Multimodal {
         "CAST(MAX(h) AS BIGINT) AS height, true AS png_magic_ok, " +
         "CAST(SUM((k + 1) * (r + g + bb)) AS BIGINT) AS pix_checksum " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    "multimodal_phash" ->
+      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS w, " +
+        "4 + (doc_id * 7) % 5 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM b), " +
+        "g AS (SELECT doc_id, k, " +
+        "(doc_id * 31 + k) % 256 + " +
+        "(doc_id * 17 + (k // w) * 3 + (k % w) * 5) % 256 + " +
+        "(doc_id * 13 + (k // w) * 7 + (k % w) * 11) % 256 AS gray FROM px), " +
+        "t AS (SELECT doc_id AS td, CAST(COUNT(*) AS BIGINT) AS npx, " +
+        "CAST(SUM(gray) AS BIGINT) AS sg FROM g GROUP BY 1), " +
+        "bits AS (SELECT doc_id, k, CASE WHEN gray * npx > sg THEN 1 " +
+        "ELSE 0 END AS bit FROM g JOIN t ON doc_id = td) " +
+        "SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN k < 32 AND bit = 1 THEN " +
+        "CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS w0, " +
+        "CAST(SUM(CASE WHEN k >= 32 AND bit = 1 THEN " +
+        "CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS w1, " +
+        "CAST(SUM(bit) AS BIGINT) AS n_ones " +
+        "FROM bits GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_dedup" ->
       ("SELECT sha256(text) AS digest, MIN(doc_id) AS keeper, " +
         "COUNT(*) AS n_copies, " +

@@ -1221,6 +1221,24 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("multimodal_phash words carry exactly n_ones bits inside the image area") {
+    val rows = SparkEntry.queries("multimodal_phash")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val npx = (4 + id % 5) * (4 + (id * 7) % 5)
+      val ones = java.lang.Long.bitCount(r.getAs[Long]("w0")) +
+        java.lang.Long.bitCount(r.getAs[Long]("w1"))
+      assert(ones.toLong == r.getAs[Long]("n_ones"), s"popcount mismatch at $id")
+      // a bit above the mean can never be set for every pixel, nor can the
+      // words carry bits outside the w*h area
+      assert(r.getAs[Long]("n_ones") < npx)
+      val hi = math.max(0, npx - 32).toInt
+      if (hi < 32)
+        assert((r.getAs[Long]("w1") >>> hi) == 0L, s"stray bit past area at $id")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
