@@ -2338,7 +2338,62 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Western Electric control-chart (SPC) rule violations per event type —
+    * the four classic SCADA alarm patterns: (1) one point beyond 3σ,
+    * (2) 2-of-3 consecutive beyond 2σ on the same side, (3) 4-of-5 beyond
+    * 1σ same side, (4) 8 consecutive on one side of the mean. Every σ
+    * comparison is the integer cross-multiplication
+    * D² ⋛ k²·(n·Σx² − (Σx)²) with D = n·x − Σx (Decimal(38,0): D² reaches
+    * ~1e33 at 100 TB) — no division, no sqrt, no float anywhere; the
+    * run-length rules are ROWS-frame sums of those exact flags. One
+    * per-type stats broadcast + one window pass + one rollup. */
+  private def tsSpcRules(s: SparkSession, d: String): DataFrame = {
+    val stats = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sx"),
+        sum(col("vc").cast(DecimalType(38, 0)) *
+          col("vc").cast(DecimalType(38, 0))).as("sxx"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .join(broadcast(stats), col("event_type") === col("st"))
+      .withColumn("dd", expr(
+        "CAST(n AS DECIMAL(38,0)) * vc - CAST(sx AS DECIMAL(38,0))"))
+      .withColumn("vr", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"))
+      .withColumn("above", (col("dd") > 0).cast(LongType))
+      .withColumn("below", (col("dd") < 0).cast(LongType))
+      .withColumn("b1", (col("dd") * col("dd") > col("vr")).cast(LongType))
+      .withColumn("b2", (col("dd") * col("dd") > lit(4) * col("vr")).cast(LongType))
+      .withColumn("b3", (col("dd") * col("dd") > lit(9) * col("vr")).cast(LongType))
+    val w3 = w.rowsBetween(-2, 0)
+    val w5 = w.rowsBetween(-4, 0)
+    val w8 = w.rowsBetween(-7, 0)
+    base
+      .withColumn("r1", col("b3"))
+      .withColumn("r2",
+        (sum(col("b2") * col("above")).over(w3) >= 2 ||
+          sum(col("b2") * col("below")).over(w3) >= 2).cast(LongType))
+      .withColumn("r3",
+        (sum(col("b1") * col("above")).over(w5) >= 4 ||
+          sum(col("b1") * col("below")).over(w5) >= 4).cast(LongType))
+      .withColumn("r4",
+        (sum(col("above")).over(w8) === 8 ||
+          sum(col("below")).over(w8) === 8).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("r1")).as("rule1_beyond3s"),
+        sum(col("r2")).as("rule2_2of3_beyond2s"),
+        sum(col("r3")).as("rule3_4of5_beyond1s"),
+        sum(col("r4")).as("rule4_8_same_side"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_spc_rules" -> tsSpcRules _,
     "ts_adf" -> tsAdf _,
     "ts_seasonal_mk" -> tsSeasonalMk _,
     "ts_theil_sen" -> tsTheilSen _,
@@ -2513,6 +2568,43 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_spc_rules" -> {
+      val vc = OSQL.cents("value")
+      s"WITH st AS (SELECT event_type AS t2, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM($vc) AS BIGINT) AS sx, " +
+        s"CAST(SUM(CAST($vc AS HUGEINT) * $vc) AS HUGEINT) AS sxx " +
+        "FROM events GROUP BY 1), " +
+        s"base AS (SELECT event_type, ts, event_id, $vc AS vc, n, sx, sxx " +
+        "FROM events JOIN st ON event_type = t2), " +
+        "fl AS (SELECT event_type, ts, event_id, " +
+        "CAST(n AS HUGEINT) * vc - sx AS dd, " +
+        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vr " +
+        "FROM base), " +
+        "fb AS (SELECT event_type, ts, event_id, " +
+        "CAST(dd > 0 AS BIGINT) AS above, CAST(dd < 0 AS BIGINT) AS below, " +
+        "CAST(dd * dd > vr AS BIGINT) AS b1, " +
+        "CAST(dd * dd > 4 * vr AS BIGINT) AS b2, " +
+        "CAST(dd * dd > 9 * vr AS BIGINT) AS b3 FROM fl), " +
+        "rl AS (SELECT event_type, b3 AS r1, " +
+        "CAST(SUM(b2 * above) OVER w3 >= 2 OR SUM(b2 * below) OVER w3 >= 2 " +
+        "AS BIGINT) AS r2, " +
+        "CAST(SUM(b1 * above) OVER w5 >= 4 OR SUM(b1 * below) OVER w5 >= 4 " +
+        "AS BIGINT) AS r3, " +
+        "CAST(SUM(above) OVER w8 = 8 OR SUM(below) OVER w8 = 8 " +
+        "AS BIGINT) AS r4 FROM fb WINDOW " +
+        "w3 AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), " +
+        "w5 AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), " +
+        "w8 AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points, " +
+        "CAST(SUM(r1) AS BIGINT) AS rule1_beyond3s, " +
+        "CAST(SUM(r2) AS BIGINT) AS rule2_2of3_beyond2s, " +
+        "CAST(SUM(r3) AS BIGINT) AS rule3_4of5_beyond1s, " +
+        "CAST(SUM(r4) AS BIGINT) AS rule4_8_same_side " +
+        "FROM rl GROUP BY 1 ORDER BY event_type"
+    },
     "ts_adf" -> {
       val vc = OSQL.cents("value")
       val cll = OSQL.covPowerSums("sll", "sl", "sl", "nd")

@@ -21,7 +21,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
-    "operators/TimeSeries.scala" -> 14,
+    "operators/TimeSeries.scala" -> 15,
     "operators/Aggregations.scala" -> 29,
     "operators/Graphs.scala" -> 11,
     "operators/Joins.scala" -> 2,

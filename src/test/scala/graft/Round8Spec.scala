@@ -1239,6 +1239,36 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ts_spc_rules matches a scalar Western-Electric evaluation for one type") {
+    val xs = U.events(spark, sfDir).filter(col("event_type") === "view")
+      .orderBy("ts", "event_id").select("value").collect()
+      .map(r => BigInt(cents(r.getDouble(0))))
+    val n = BigInt(xs.length); val sx = xs.sum
+    val sxx = xs.map(x => x * x).sum
+    val vr = n * sxx - sx * sx
+    val dd = xs.map(x => n * x - sx)
+    def cnt(rule: Int => Boolean) = xs.indices.count(rule).toLong
+    val above = dd.map(_ > 0); val below = dd.map(_ < 0)
+    def beyond(k: Int)(i: Int) = dd(i) * dd(i) > k * k * vr
+    val r1 = cnt(beyond(3))
+    def windowCount(i: Int, len: Int, p: Int => Boolean) =
+      (math.max(0, i - len + 1) to i).count(p)
+    val r2 = cnt(i => windowCount(i, 3, j => beyond(2)(j) && above(j)) >= 2 ||
+      windowCount(i, 3, j => beyond(2)(j) && below(j)) >= 2)
+    val r3 = cnt(i => windowCount(i, 5, j => beyond(1)(j) && above(j)) >= 4 ||
+      windowCount(i, 5, j => beyond(1)(j) && below(j)) >= 4)
+    val r4 = cnt(i => windowCount(i, 8, above) == 8 ||
+      windowCount(i, 8, below) == 8)
+    val got = operators.TimeSeries.queries("ts_spc_rules")(spark, sfDir)
+      .filter(col("event_type") === "view").collect().head
+    assert(got.getAs[Long]("n_points") == xs.length.toLong &&
+      got.getAs[Long]("rule1_beyond3s") == r1 &&
+      got.getAs[Long]("rule2_2of3_beyond2s") == r2 &&
+      got.getAs[Long]("rule3_4of5_beyond1s") == r3 &&
+      got.getAs[Long]("rule4_8_same_side") == r4,
+      s"SPC diverges: got $got expected ($r1, $r2, $r3, $r4)")
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
