@@ -174,6 +174,30 @@ object Pipeline {
       .orderBy("label")
   }
 
+  /** Deterministic round-robin source interleave — the epoch-order
+    * shuffle-free mixing a trainer streams ("one doc from each source in
+    * turn, sources in name order, until each runs dry"). The global
+    * position is computed in CLOSED FORM — pos = Σ_s min(cnt_s, rn−1) +
+    * #{s' < s alive at rn} + 1 — from one per-source round rank and the
+    * |sources|-row count frame fanned out map-side, so there is NO global
+    * sort at any scale; the DuckDB oracle computes the same order with an
+    * actual global row_number, independently proving the closed form. */
+  private def interleave(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docs(s, d).select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+    val cnts = docs(s, d).groupBy(col("source").as("s2"))
+      .agg(count(lit(1)).as("cnt"))
+    ranked.crossJoin(broadcast(cnts))
+      .groupBy(col("doc_id"), col("source"), col("rn"))
+      .agg(sum(least(col("cnt"), col("rn") - 1) +
+        when(col("s2") < col("source") && col("cnt") >= col("rn"), 1L)
+          .otherwise(0L)).as("pos0"))
+      .select(col("doc_id"), col("source"), col("rn"),
+        (col("pos0") + 1).as("global_pos"))
+      .orderBy("global_pos")
+  }
+
   /** Benchmark decontamination: flag train-split docs sharing any word
     * 3-gram shingle with the test split (the leakage check every eval
     * pipeline runs before training). The benchmark shingle set is tiny
@@ -793,6 +817,7 @@ object Pipeline {
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
     "emb_silhouette" -> embSilhouette _,
+    "pipeline_interleave" -> interleave _,
     "split_train_test" -> splitTrainTest _,
     "sample_stratified" -> sampleStratified _,
     "dedup_normalized" -> dedupNormalized _,
@@ -1137,6 +1162,13 @@ object Pipeline {
     "emb_label_centroid" ->
       (s"WITH $labelCentCtes SELECT label, dim, cx, n_vecs FROM cent " +
         "ORDER BY label, dim"),
+    "pipeline_interleave" ->
+      ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn " +
+        "FROM documents) " +
+        "SELECT doc_id, source, rn, CAST(row_number() OVER " +
+        "(ORDER BY rn, source, doc_id) AS BIGINT) AS global_pos " +
+        "FROM r ORDER BY global_pos"),
     "emb_silhouette" ->
       (s"WITH $labelCentCtes, " +
         "sd2 AS (SELECT c.vec_id, c.label, ct.label AS clabel, " +

@@ -1312,6 +1312,32 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Two-proportion z-test: does the even user cohort convert (purchase
+    * share of events) differently from the odd cohort? — the A/B-test
+    * primitive. All four counts are exact integers from ONE conditional
+    * hash-agg; p̂₁, p̂₂, the pooled p̂ and z close in a single mirrored
+    * double tree. */
+  private def aggPropZtest(s: SparkSession, d: String): DataFrame = {
+    val ps = U.events(s, d)
+      .groupBy((col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+    val a = ps.filter(col("cohort") === 0)
+      .select(col("n").as("n1"), col("k").as("k1"))
+    val b = ps.filter(col("cohort") === 1)
+      .select(col("n").as("n2"), col("k").as("k2"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val k1 = col("k1").cast(DoubleType); val k2 = col("k2").cast(DoubleType)
+    val p1 = k1 / n1
+    val p2 = k2 / n2
+    val pp = (k1 + k2) / (n1 + n2)
+    a.crossJoin(b).select(col("n1"), col("k1"), col("n2"), col("k2"),
+      p1.as("p1"), p2.as("p2"),
+      ((p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)))
+        .as("z"))
+  }
+
   /** Cramér–von Mises two-sample distance between the click and view
     * value distributions — the whole-curve companion to agg_ks_test (max
     * gap) and agg_wasserstein (transport cost): T = nm/N²·Σ(F_n−G_m)²
@@ -1385,6 +1411,7 @@ object Aggregations {
     "agg_wasserstein" -> aggWasserstein _,
     "agg_jarque_bera" -> aggJarqueBera _,
     "agg_cvm" -> aggCvm _,
+    "agg_prop_ztest" -> aggPropZtest _,
     "agg_levene" -> aggLevene _,
     "agg_winsorized_mean" -> aggWinsorizedMean _,
     "agg_anova" -> aggAnova _,
@@ -1536,6 +1563,22 @@ object Aggregations {
         "AS w1 FROM cum JOIN nt ON et = et2 CROSS JOIN tot " +
         "WHERE nxt IS NOT NULL GROUP BY et, n_t, n_all ORDER BY event_type"
     },
+    "agg_prop_ztest" ->
+      ("WITH ps AS (SELECT user_id % 2 AS cohort, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS k FROM events GROUP BY 1), " +
+        "a AS (SELECT n AS n1, k AS k1 FROM ps WHERE cohort = 0), " +
+        "b AS (SELECT n AS n2, k AS k2 FROM ps WHERE cohort = 1), " +
+        "j AS (SELECT n1, k1, n2, k2, " +
+        "CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1, " +
+        "CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2, " +
+        "(CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp " +
+        "FROM a CROSS JOIN b) " +
+        "SELECT n1, k1, n2, k2, p1, p2, " +
+        "(p1 - p2) / sqrt(pp * (1.0 - pp) * " +
+        "(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z FROM j"),
     "agg_cvm" -> {
       val vc = OSQL.cents("value")
       s"WITH tw AS (SELECT $vc AS vc, event_type FROM events " +

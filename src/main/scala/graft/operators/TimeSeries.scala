@@ -2392,7 +2392,41 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Load-range counting per user series (the turning-point half of
+    * rainflow fatigue analysis, the wind-turbine classic): keep the
+    * strict direction-change extrema plus each series' endpoints, then
+    * histogram the |Δ| between consecutive kept points into decade bins —
+    * "how many small oscillations vs full swings did this sensor see?".
+    * All integer: the turning-point test is the sign product
+    * (x−prev)·(next−x) < 0 (≤3e9, Long-safe at the value domain), bins
+    * are fixed CASE thresholds. Two window passes over the same per-user
+    * sort + one small rollup. */
+  private def tsRainflowRanges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val kept = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("prev", lag(col("vc"), 1).over(w))
+      .withColumn("nxt", lead(col("vc"), 1).over(w))
+      .filter(col("prev").isNull || col("nxt").isNull ||
+        (col("vc") - col("prev")) * (col("nxt") - col("vc")) < 0)
+    val rng = kept
+      .withColumn("pv", lag(col("vc"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("range_c", abs(col("vc") - col("pv")))
+    rng.withColumn("bin",
+        when(col("range_c") === 0, 0L)
+          .when(col("range_c") < 100, 1L)
+          .when(col("range_c") < 1000, 2L)
+          .when(col("range_c") < 10000, 3L)
+          .otherwise(4L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_ranges"), min(col("range_c")).as("min_c"),
+        max(col("range_c")).as("max_c"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rainflow_ranges" -> tsRainflowRanges _,
     "ts_spc_rules" -> tsSpcRules _,
     "ts_adf" -> tsAdf _,
     "ts_seasonal_mk" -> tsSeasonalMk _,
@@ -2568,6 +2602,23 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_rainflow_ranges" -> {
+      val vc = OSQL.cents("value")
+      s"WITH base AS (SELECT user_id, ts, event_id, $vc AS vc FROM events), " +
+        "tp AS (SELECT user_id, ts, event_id, vc FROM (SELECT *, " +
+        "lag(vc) OVER w AS prev, lead(vc) OVER w AS nxt FROM base " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "WHERE prev IS NULL OR nxt IS NULL " +
+        "OR (vc - prev) * (nxt - vc) < 0), " +
+        "rg AS (SELECT abs(vc - pv) AS range_c FROM (SELECT vc, " +
+        "lag(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv " +
+        "FROM tp) WHERE pv IS NOT NULL) " +
+        "SELECT CAST(CASE WHEN range_c = 0 THEN 0 WHEN range_c < 100 THEN 1 " +
+        "WHEN range_c < 1000 THEN 2 WHEN range_c < 10000 THEN 3 " +
+        "ELSE 4 END AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_ranges, " +
+        "MIN(range_c) AS min_c, MAX(range_c) AS max_c " +
+        "FROM rg GROUP BY 1 ORDER BY bin"
+    },
     "ts_spc_rules" -> {
       val vc = OSQL.cents("value")
       s"WITH st AS (SELECT event_type AS t2, CAST(COUNT(*) AS BIGINT) AS n, " +

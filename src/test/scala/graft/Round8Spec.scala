@@ -1269,6 +1269,63 @@ class Round8Spec extends SparkTestBase {
       s"SPC diverges: got $got expected ($r1, $r2, $r3, $r4)")
   }
 
+  test("agg_prop_ztest matches the scalar two-proportion computation") {
+    val rows = U.events(spark, sfDir).select("user_id", "event_type").collect()
+    def stat(c: Long) = {
+      val mine = rows.filter(_.getLong(0) % 2 == c)
+      (mine.length.toLong, mine.count(_.getString(1) == "purchase").toLong)
+    }
+    val (n1, k1) = stat(0); val (n2, k2) = stat(1)
+    val p1 = k1.toDouble / n1.toDouble
+    val p2 = k2.toDouble / n2.toDouble
+    val pp = (k1.toDouble + k2.toDouble) / (n1.toDouble + n2.toDouble)
+    val z = (p1 - p2) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / n1.toDouble + 1.0 / n2.toDouble))
+    val r = SparkEntry.queries("agg_prop_ztest")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("k1") == k1 &&
+      r.getAs[Long]("n2") == n2 && r.getAs[Long]("k2") == k2 &&
+      r.getAs[Double]("z") == z)
+  }
+
+  test("ts_rainflow_ranges matches the scalar turning-point histogram") {
+    val byUser = U.events(spark, sfDir)
+      .select("user_id", "value").orderBy("user_id", "ts", "event_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    val ranges = byUser.values.flatMap { xs =>
+      val kept = xs.indices.filter { i =>
+        i == 0 || i == xs.length - 1 ||
+          (xs(i) - xs(i - 1)) * (xs(i + 1) - xs(i)) < 0
+      }.map(xs)
+      kept.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }
+    }.toSeq
+    def bin(r: Long) = if (r == 0) 0L else if (r < 100) 1L
+      else if (r < 1000) 2L else if (r < 10000) 3L else 4L
+    val expected = ranges.groupBy(bin).view.mapValues(_.length.toLong).toMap
+    val got = operators.TimeSeries.queries("ts_rainflow_ranges")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_ranges"))
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("pipeline_interleave emits a permutation that round-robins the sources") {
+    val rows = SparkEntry.queries("pipeline_interleave")(spark, sfDir)
+      .collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("global_pos")).sorted.toSeq ==
+      (1L to n.toLong))
+    // within one source the round rank rides the global order
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("source"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("global_pos")).map(_.getAs[Long]("rn"))
+      assert(sorted.toSeq == (1L to sorted.length.toLong))
+    }
+    // the first |sources| positions hold round 1, one per source
+    val srcCount = rows.map(_.getAs[String]("source")).distinct.length
+    val firstBlock = rows.filter(_.getAs[Long]("global_pos") <= srcCount)
+    assert(firstBlock.forall(_.getAs[Long]("rn") == 1L) &&
+      firstBlock.map(_.getAs[String]("source")).distinct.length == srcCount)
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
