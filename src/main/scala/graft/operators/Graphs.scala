@@ -1253,7 +1253,40 @@ object Graphs {
       .orderBy("k")
   }
 
+  /** Deterministic random-walk corpus over the co-purchase graph — the
+    * node2vec/DeepWalk preprocessing step that turns a graph into
+    * "sentences" for embedding training. 20 top-degree seeds each walk 6
+    * steps; the next hop is the neighbor at rank (node·31 + step·17) mod
+    * degree under the sorted-neighbor order — a hash-indexed pick both
+    * engines compute identically, standing in for the RNG draw (which
+    * could never be oracle-matched). Each step is one equi-join of the
+    * ranked adjacency against a ≤|seeds|-row broadcast frontier; the walk
+    * length bounds the join count, never the data. */
+  private def graphWalkCorpus(s: SparkSession, d: String): DataFrame = {
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val radj = U.track(coPairs(s, d).select(col("u"), col("v"))
+      .withColumn("rk", (row_number().over(wAdj) - 1).cast(LongType))
+      .withColumn("deg", count(lit(1)).over(wCnt))
+      .persist())
+    val seeds = radj.groupBy(col("u")).agg(max(col("deg")).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(20)
+      .select(col("u").as("wid"), col("u").as("node"), lit(0L).as("step"))
+    var acc = seeds
+    var cur = seeds
+    for (k <- 1 to 6) {
+      cur = radj.join(broadcast(cur.select(col("wid"), col("node").as("cu"))),
+          col("u") === col("cu") &&
+            col("rk") === (col("cu") * 31 + k * 17) % col("deg"))
+        .select(col("wid"), col("v").as("node"), lit(k.toLong).as("step"))
+      acc = acc.unionByName(cur)
+    }
+    acc.orderBy("wid", "step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walk_corpus" -> graphWalkCorpus _,
     "graph_rich_club" -> graphRichClub _,
     "graph_knn_degree" -> graphKnnDegree _,
     "graph_scc" -> graphScc _,
@@ -1282,6 +1315,27 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_walk_corpus" -> {
+      def hop(k: Int): String =
+        s"s$k AS (SELECT wid, CAST($k AS BIGINT) AS step, r.v AS node " +
+          s"FROM s${k - 1} p JOIN radj r ON r.u = p.node " +
+          s"AND r.rk = (p.node * 31 + $k * 17) % r.deg)"
+      "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), " +
+        "radj AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u " +
+        "ORDER BY v) - 1 AS BIGINT) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg FROM sym), " +
+        "seeds AS (SELECT u FROM (SELECT u, COUNT(*) AS dg FROM sym " +
+        "GROUP BY 1 ORDER BY dg DESC, u LIMIT 20)), " +
+        "s0 AS (SELECT u AS wid, CAST(0 AS BIGINT) AS step, u AS node " +
+        "FROM seeds), " +
+        (1 to 6).map(hop).mkString(", ") + " " +
+        (0 to 6).map(k => s"SELECT wid, step, node FROM s$k")
+          .mkString("", " UNION ALL ", " ") +
+        "ORDER BY wid, step"
+    },
     "graph_knn_degree" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +

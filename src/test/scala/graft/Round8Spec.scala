@@ -1326,6 +1326,31 @@ class Round8Spec extends SparkTestBase {
       firstBlock.map(_.getAs[String]("source")).distinct.length == srcCount)
   }
 
+  test("graph_walk_corpus walks stay on real edges with the hash-indexed hop") {
+    val li = U.tbl(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { rs =>
+      val pks = rs.map(_._2).distinct.toSeq
+      for (u <- pks; v <- pks if u < v) yield (u, v)
+    }.toSet
+    val adj: Map[Long, Seq[Long]] = edges.toSeq
+      .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    val got = SparkEntry.queries("graph_walk_corpus")(spark, sfDir).collect()
+    val walks = got.groupBy(_.getAs[Long]("wid"))
+    assert(walks.size == math.min(20, adj.size))
+    for ((wid, rows) <- walks) {
+      val path = rows.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("node"))
+      assert(path.length == 7 && path.head == wid)
+      for (k <- 1 until path.length) {
+        val cur = path(k - 1)
+        val nbrs = adj(cur)
+        val expect = nbrs(((cur * 31 + k * 17) % nbrs.length).toInt)
+        assert(path(k) == expect, s"walk $wid hop $k diverges")
+      }
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
