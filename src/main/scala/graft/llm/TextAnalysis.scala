@@ -468,14 +468,16 @@ object TextAnalysis {
 
   /** Source-level corpus overlap: Jaccard of each source pair's distinct
     * word-3-gram shingle sets — the contamination/mirror-site report run
-    * before mixing corpora ("are src3 and src11 the same crawl?"). One
-    * distinct (source, shingle) projection feeds both the sizes and the
+    * before mixing corpora ("are src3 and src11 the same crawl?"). Rides
+    * the SHARED codegen'd shingle cache (Dedup.shingled) — one distinct
+    * (source, shingle) projection then feeds both the sizes and the
     * shingle-keyed pair join; posting lists are bounded by \|sources\|,
     * so the join fan-out per shingle is a constant, never corpus-scale.
     * The \|sources\|-row size frames broadcast (taxonomy bound). */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val ss = U.track(docs(s, d)
-      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sg"))
+    val ss = U.track(Dedup.shingled(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("ss")).as("sg"))
       .distinct()
       .persist())
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))

@@ -1266,20 +1266,30 @@ object Graphs {
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("v"))
     val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-    val radj = U.track(coPairs(s, d).select(col("u"), col("v"))
-      .withColumn("rk", (row_number().over(wAdj) - 1).cast(LongType))
-      .withColumn("deg", count(lit(1)).over(wCnt))
-      .persist())
-    val seeds = radj.groupBy(col("u")).agg(max(col("deg")).as("dg"))
+    val sym = coPairs(s, d).select(col("u"), col("v"))
+    val seeds = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
       .orderBy(col("dg").desc, col("u")).limit(20)
       .select(col("u").as("wid"), col("u").as("node"), lit(0L).as("step"))
     var acc = seeds
     var cur = seeds
     for (k <- 1 to 6) {
-      cur = radj.join(broadcast(cur.select(col("wid"), col("node").as("cu"))),
+      // rank ONLY the frontier's adjacency: one broadcast-semi filter of
+      // the cached symmetric pair frame, then a window over the ≤20
+      // surviving neighbor lists — never a full-graph neighbor ranking
+      val sub = sym.join(
+        broadcast(cur.select(col("node").as("fn")).distinct()),
+        col("u") === col("fn"), "left_semi")
+      val ranked = sub
+        .withColumn("rk", (row_number().over(wAdj) - 1).cast(LongType))
+        .withColumn("deg", count(lit(1)).over(wCnt))
+      // localCheckpoint pins the ≤20-row frontier: without it every
+      // broadcast(cur) re-walks the whole k-step lineage (the emb_pca2
+      // deflation lesson), turning 6 hops into O(k²) window passes
+      cur = ranked.join(broadcast(cur.select(col("wid"), col("node").as("cu"))),
           col("u") === col("cu") &&
             col("rk") === (col("cu") * 31 + k * 17) % col("deg"))
         .select(col("wid"), col("v").as("node"), lit(k.toLong).as("step"))
+        .localCheckpoint()
       acc = acc.unionByName(cur)
     }
     acc.orderBy("wid", "step")

@@ -23,7 +23,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "api/GraftApi.scala" -> 4,
     "operators/TimeSeries.scala" -> 15,
     "operators/Aggregations.scala" -> 29,
-    "operators/Graphs.scala" -> 12,
+    "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
