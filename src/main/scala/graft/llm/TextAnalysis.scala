@@ -495,7 +495,41 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** KL divergence of each source's unigram distribution from the corpus
+    * — the outlier-source detector ("which crawl writes differently?").
+    * Counts are exact integers from one (source, token) hash-agg; each
+    * token's p·ln(p/q) term is MICRO-FLOORED before the per-source sum
+    * (the agg_jsd discipline — never aggregate raw doubles), with the
+    * log argument's cross products in Decimal(38,0)↔HUGEINT so the one
+    * double cast rounds identically at any corpus size. Sources with
+    * token mass absent from other sources cannot occur (q includes the
+    * source itself), so every term is finite. */
+  private def klSource(s: SparkSession, d: String): DataFrame = {
+    val tok = U.track(docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cs"))
+      .persist())
+    val corpus = tok.groupBy(col("token").as("t2"))
+      .agg(sum(col("cs")).as("ca"))
+    val ns = tok.groupBy(col("source").as("s2")).agg(sum(col("cs")).as("nsrc"))
+    val nAll = tok.groupBy().agg(sum(col("cs")).as("nall"))
+    tok.join(corpus, col("token") === col("t2"))
+      .join(broadcast(ns), col("source") === col("s2"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("term_micro", floor(
+        col("cs").cast(DoubleType) / col("nsrc") *
+          log(expr("CAST(CAST(cs AS DECIMAL(38,0)) * nall AS DOUBLE) / " +
+            "CAST(CAST(ca AS DECIMAL(38,0)) * nsrc AS DOUBLE)")) *
+          lit(1000000.0)).cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), max(col("nsrc")).as("n_tokens"),
+        sum(col("term_micro")).as("kl_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kl_source" -> klSource _,
     "text_source_overlap" -> sourceOverlap _,
     "text_ttr" -> ttr _,
     "text_readability" -> readability _,
@@ -538,6 +572,27 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_kl_source" ->
+      (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cs " +
+        "FROM tok GROUP BY 1, 2), " +
+        "corpus AS (SELECT token AS t2, CAST(SUM(cs) AS BIGINT) AS ca " +
+        "FROM tc GROUP BY 1), " +
+        "ns AS (SELECT source AS s2, CAST(SUM(cs) AS BIGINT) AS nsrc " +
+        "FROM tc GROUP BY 1), " +
+        "na AS (SELECT CAST(SUM(cs) AS BIGINT) AS nall FROM tc), " +
+        "tm AS (SELECT source, nsrc, " +
+        "CAST(floor(CAST(cs AS DOUBLE) / nsrc * " +
+        "ln(CAST(CAST(cs AS HUGEINT) * nall AS DOUBLE) / " +
+        "CAST(CAST(ca AS HUGEINT) * nsrc AS DOUBLE)) * 1000000.0) " +
+        "AS BIGINT) AS term_micro " +
+        "FROM tc JOIN corpus ON token = t2 JOIN ns ON source = s2 " +
+        "CROSS JOIN na) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(MAX(nsrc) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(term_micro) AS BIGINT) AS kl_micro " +
+        "FROM tm GROUP BY 1 ORDER BY source"),
     "text_source_overlap" ->
       (s"WITH t AS (SELECT source, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

@@ -2425,7 +2425,50 @@ object TimeSeries {
       .orderBy("bin")
   }
 
+  /** Wald–Wolfowitz runs test per event type: is the sequence of
+    * above/below-median readings RANDOM, or does it cluster (sticky
+    * sensor) / alternate (oscillation)? Sides come from the DOUBLED
+    * median (2x ⋛ med2 — integral under even counts, the agg_mad
+    * discipline; exact-median ties drop, standard for the test), the run
+    * count is one lag pass, and only the closing (R−μ)/σ is a mirrored
+    * double tree. One per-type median window + one ordered pass. */
+  private def tsRunsTest(s: SparkSession, d: String): DataFrame = {
+    val wm = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+    val fullm = wm.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val med2 = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("rn", row_number().over(wm).cast(LongType))
+      .withColumn("nn", count(lit(1)).over(fullm))
+      .groupBy(col("event_type").as("mt"))
+      .agg(sum(when(col("rn") === expr("(nn + 1) DIV 2") ||
+          col("rn") === expr("nn DIV 2 + 1"),
+        when(expr("nn % 2 = 1"), col("vc") * 2).otherwise(col("vc")))
+        .otherwise(lit(0L))).as("med2"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val ps = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .join(broadcast(med2), col("event_type") === col("mt"))
+      .filter(col("vc") * 2 =!= col("med2"))
+      .withColumn("side", (col("vc") * 2 > col("med2")).cast(LongType))
+      .withColumn("chg",
+        when(lag(col("side"), 1).over(w).isNull ||
+          lag(col("side"), 1).over(w) =!= col("side"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("chg")).as("runs"), sum(col("side")).as("n1"),
+        sum(lit(1L) - col("side")).as("n2"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+    val va = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+    ps.select(col("event_type"), col("runs"), col("n1"), col("n2"),
+        ((col("runs").cast(DoubleType) - mu) / sqrt(va)).as("z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_runs_test" -> tsRunsTest _,
     "ts_rainflow_ranges" -> tsRainflowRanges _,
     "ts_spc_rules" -> tsSpcRules _,
     "ts_adf" -> tsAdf _,
@@ -2602,6 +2645,35 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_runs_test" -> {
+      val vc = OSQL.cents("value")
+      val n1d = "CAST(n1 AS DOUBLE)"; val n2d = "CAST(n2 AS DOUBLE)"
+      val mu = s"2.0 * $n1d * $n2d / ($n1d + $n2d) + 1.0"
+      val va = s"2.0 * $n1d * $n2d * (2.0 * $n1d * $n2d - $n1d - $n2d) / " +
+        s"(($n1d + $n2d) * ($n1d + $n2d) * ($n1d + $n2d - 1.0))"
+      s"WITH r AS (SELECT event_type, $vc AS vc, " +
+        s"CAST(row_number() OVER (PARTITION BY event_type ORDER BY $vc) " +
+        "AS BIGINT) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn, " +
+        "ts, event_id FROM events), " +
+        "md AS (SELECT event_type AS mt, CAST(SUM(CASE WHEN " +
+        "rn = (nn + 1) // 2 OR rn = nn // 2 + 1 THEN " +
+        "CASE WHEN nn % 2 = 1 THEN vc * 2 ELSE vc END ELSE 0 END) " +
+        "AS BIGINT) AS med2 FROM r GROUP BY 1), " +
+        "sd AS (SELECT event_type, ts, event_id, " +
+        "CAST(vc * 2 > med2 AS BIGINT) AS side FROM r " +
+        "JOIN md ON event_type = mt WHERE vc * 2 <> med2), " +
+        "ch AS (SELECT event_type, side, CASE WHEN lag(side) OVER " +
+        "(PARTITION BY event_type ORDER BY ts, event_id) IS NULL " +
+        "OR lag(side) OVER (PARTITION BY event_type ORDER BY ts, event_id) " +
+        "<> side THEN 1 ELSE 0 END AS chg FROM sd), " +
+        "ps AS (SELECT event_type, CAST(SUM(chg) AS BIGINT) AS runs, " +
+        "CAST(SUM(side) AS BIGINT) AS n1, " +
+        "CAST(SUM(1 - side) AS BIGINT) AS n2 FROM ch GROUP BY 1) " +
+        "SELECT event_type, runs, n1, n2, " +
+        s"(CAST(runs AS DOUBLE) - ($mu)) / sqrt($va) AS z " +
+        "FROM ps ORDER BY event_type"
+    },
     "ts_rainflow_ranges" -> {
       val vc = OSQL.cents("value")
       s"WITH base AS (SELECT user_id, ts, event_id, $vc AS vc FROM events), " +

@@ -1351,6 +1351,48 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ts_runs_test matches the scalar run count and z per type") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "value").orderBy("event_type", "ts", "event_id")
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    val got = operators.TimeSeries.queries("ts_runs_test")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, xs) <- byType) {
+      val sorted = xs.sorted
+      val n = sorted.length
+      val med2 = if (n % 2 == 1) sorted(n / 2) * 2
+        else sorted(n / 2 - 1) + sorted(n / 2)
+      val sides = xs.filter(_ * 2 != med2).map(_ * 2 > med2)
+      val runs = (1 +
+        sides.sliding(2).count { case Seq(a, b) => a != b; case _ => false })
+        .toLong
+      val n1 = sides.count(identity(_)).toLong
+      val n2 = sides.length - n1
+      val n1d = n1.toDouble; val n2d = n2.toDouble
+      val mu = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
+      val va = 2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d) /
+        ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - 1.0))
+      val r = got(et)
+      assert(r.getAs[Long]("runs") == runs && r.getAs[Long]("n1") == n1 &&
+        r.getAs[Long]("n2") == n2 &&
+        r.getAs[Double]("z") == (runs.toDouble - mu) / math.sqrt(va),
+        s"runs test diverges for $et")
+    }
+  }
+
+  test("text_kl_source is nonnegative-ish by Gibbs and counts every source") {
+    val rows = SparkEntry.queries("text_kl_source")(spark, sfDir).collect()
+    val nSrc = U.tbl(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSrc)
+    // Gibbs: true KL >= 0; micro-FLOORING can shave at most 1 micro-unit
+    // per type term below it
+    assert(rows.forall(r =>
+      r.getAs[Long]("kl_micro") >= -r.getAs[Long]("n_types")))
+    assert(rows.forall(r => r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens")))
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
