@@ -1407,7 +1407,132 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Kruskal–Wallis H across event types — the rank-based ANOVA (does
+    * value's DISTRIBUTION LOCATION differ by type when normality can't be
+    * assumed; [[aggAnova]] is its parametric twin). Fully integer: pooled
+    * midranks come from the value DOMAIN, not a row sort — collapse to
+    * (type, cent) counts, then the doubled midrank of cent v is the exact
+    * 2·cum(v) − c(v) + 1 over the ≤|domain|-row pooled frame. Doubled
+    * rank sums are centered by their exact mean n+1 (Σ2r = n(n+1)), the
+    * per-type quadratic rides the [[aggAnova]] DECIMAL DIV ↔ HUGEINT `//`
+    * bridge, and H / its tie-corrected form close in exact micro-units —
+    * no float anywhere (3e6·S·(n−1) ≤ ~1e31 at 1e6 rows; the Decimal(38,0)
+    * headroom runs out near 1e8 rows/group, where H is decided anyway).
+    * One counting hash-agg + one domain-bounded window + one |types| agg. */
+  private def aggKruskal(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ctv = U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("vc2"))
+    val pooled = ctv.groupBy(col("vc").as("vc2")).agg(sum(col("c")).as("cv"))
+    val mid = pooled
+      .withColumn("mid2", lit(2L) * sum(col("cv")).over(wv) - col("cv") + 1L)
+    val perType = ctv.join(broadcast(mid), col("vc") === col("vc2"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("nt"),
+        sum(col("c").cast(dec) * col("mid2")).as("r2"))
+    val tot = pooled.groupBy().agg(sum(col("cv")).as("n"),
+      sum(col("cv").cast(dec) * col("cv") * col("cv") - col("cv"))
+        .as("ties"))
+    perType.crossJoin(broadcast(tot))
+      .select(col("n"), col("ties"),
+        expr("(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) * " +
+          "(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) DIV " +
+          "CAST(nt AS DECIMAL(38,0))").as("qt"))
+      .groupBy(col("n"), col("ties"))
+      .agg(count(lit(1)).as("k"), sum(col("qt")).as("ss"))
+      .select(col("n"), col("k"),
+        col("ties").cast(LongType).as("tie_mass"),
+        // Spark DIV returns BIGINT (DuckDB // stays HUGEINT) — ss must
+        // re-enter the decimal domain before the 3e6·ss·(n−1) products
+        expr("CAST((3000000 * CAST(ss AS DECIMAL(38,0))) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * (n + 1)) AS BIGINT)").as("h_micro"),
+        expr("CAST((3000000 * CAST(ss AS DECIMAL(38,0)) * (n - 1)) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n * n - n - ties) AS BIGINT)")
+          .as("hc_micro"))
+  }
+
+  /** Kendall tau-b between the click and purchase daily cent totals over
+    * the dense day grid — the concordance companion to [[aggSpearman]]
+    * (tau weighs PAIR ORDER agreement; Spearman weighs rank distance).
+    * Day-cardinality before anything quadratic: the pair frame is
+    * days²-bounded (time domain, not data volume — the [[tsMannKendall]]
+    * shape). Concordant/discordant/tied counts are exact integers from
+    * one agg over the sign products; the closing tau-b is one mirrored
+    * double tree. Missing days fill as exact (0, 0) ties. */
+  private def aggKendallTau(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(when(col("event_type") === "click", col("vc")).otherwise(0L))
+          .as("xc"),
+        sum(when(col("event_type") === "purchase", col("vc")).otherwise(0L))
+          .as("yc"))
+    val grid = daily.groupBy()
+      .agg(min(col("dayi")).as("d0"), max(col("dayi")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("gd"))
+    val filled = U.track(grid.join(daily, col("gd") === col("dayi"), "left")
+      .select(col("gd"), coalesce(col("xc"), lit(0L)).as("x"),
+        coalesce(col("yc"), lit(0L)).as("y")).persist())
+    val nd = filled.groupBy().agg(count(lit(1)).as("n_days"))
+    val a = filled.select(col("gd").as("g1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = filled.select(col("gd").as("g2"), col("x").as("x2"),
+      col("y").as("y2"))
+    a.crossJoin(b).filter(col("g1") < col("g2"))
+      .select(signum(col("x2") - col("x1")).cast(LongType).as("sx"),
+        signum(col("y2") - col("y1")).cast(LongType).as("sy"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ties_y"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        ((col("concordant") - col("discordant")).cast(DoubleType) /
+          sqrt((col("n_pairs") - col("ties_x")).cast(DoubleType) *
+            (col("n_pairs") - col("ties_y")).cast(DoubleType))).as("tau_b"))
+  }
+
+  /** G-test (log-likelihood ratio) cells for event type × 50-unit value
+    * band — the information-theoretic twin of [[aggChi2]] (its total is
+    * also 2n·MI(type; band), so this doubles as the mutual-information
+    * probe). Each cell's term 2·O·ln(O·T/(R·C)) has an exact integer
+    * log argument (cross products in Decimal(38,0)↔HUGEINT so the one
+    * double cast rounds identically at any scale) and is MICRO-FLOORED
+    * before any use (the agg_entropy discipline). Empty cells contribute
+    * zero by the usual convention and never materialize. Marginals
+    * broadcast (|types| and |bands| are domain-bounded); the only wide
+    * agg is the cell count. */
+  private def aggGtest(s: SparkSession, d: String): DataFrame = {
+    val cells = U.events(s, d)
+      .select(col("event_type"),
+        (U.cents(col("value"))).as("vc"))
+      .select(col("event_type"), expr("vc DIV 5000").as("band"))
+      .groupBy(col("event_type"), col("band")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("band")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("t"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("band"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("band"), col("o"),
+        expr("CAST(floor(2000000.0 * o * ln(" +
+          "CAST(CAST(o AS DECIMAL(38,0)) * t AS DOUBLE) / " +
+          "CAST(CAST(r AS DECIMAL(38,0)) * c AS DOUBLE))) AS BIGINT)")
+          .as("g_term_micro"))
+      .orderBy("event_type", "band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kruskal" -> aggKruskal _,
+    "agg_kendall_tau" -> aggKendallTau _,
+    "agg_gtest" -> aggGtest _,
     "agg_wasserstein" -> aggWasserstein _,
     "agg_jarque_bera" -> aggJarqueBera _,
     "agg_cvm" -> aggCvm _,
@@ -1542,6 +1667,79 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_kruskal" -> {
+      val vc = OSQL.cents("value")
+      s"WITH ctv AS (SELECT event_type, $vc AS vc, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "pooled AS (SELECT vc AS vc2, CAST(SUM(c) AS BIGINT) AS cv " +
+        "FROM ctv GROUP BY 1), " +
+        "mid AS (SELECT vc2, cv, " +
+        "2 * SUM(cv) OVER (ORDER BY vc2) - cv + 1 AS mid2 FROM pooled), " +
+        "pt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS nt, " +
+        "SUM(CAST(c AS HUGEINT) * mid2) AS r2 " +
+        "FROM ctv JOIN mid ON vc = vc2 GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n, " +
+        "SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS ties FROM pooled), " +
+        "q AS (SELECT n, ties, " +
+        "((r2 - CAST(nt AS HUGEINT) * (n + 1)) * " +
+        "(r2 - CAST(nt AS HUGEINT) * (n + 1))) // CAST(nt AS HUGEINT) " +
+        "AS qt FROM pt CROSS JOIN tot) " +
+        "SELECT n, CAST(COUNT(*) AS BIGINT) AS k, " +
+        "CAST(ties AS BIGINT) AS tie_mass, " +
+        "CAST((3000000 * SUM(qt)) // (CAST(n AS HUGEINT) * (n + 1)) " +
+        "AS BIGINT) AS h_micro, " +
+        "CAST((3000000 * SUM(qt) * (n - 1)) // " +
+        "(CAST(n AS HUGEINT) * n * n - n - ties) AS BIGINT) AS hc_micro " +
+        "FROM q GROUP BY n, ties"
+    },
+    "agg_kendall_tau" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(SUM(CASE WHEN event_type = 'click' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS xc, " +
+        s"CAST(SUM(CASE WHEN event_type = 'purchase' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS yc FROM events " +
+        "WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "grid AS (SELECT unnest(range(" +
+        "(SELECT MIN(dayi) FROM daily), " +
+        "(SELECT MAX(dayi) FROM daily) + 1)) AS gd), " +
+        "filled AS (SELECT gd, COALESCE(xc, 0) AS x, COALESCE(yc, 0) AS y " +
+        "FROM grid LEFT JOIN daily ON gd = dayi), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM filled), " +
+        "pr AS (SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sx, " +
+        "CAST(sign(b.y - a.y) AS BIGINT) AS sy " +
+        "FROM filled a CROSS JOIN filled b WHERE a.gd < b.gd), " +
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS concordant, " +
+        "CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS discordant, " +
+        "CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x, " +
+        "CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y " +
+        "FROM pr) " +
+        "SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y, " +
+        "CAST(concordant - discordant AS DOUBLE) / " +
+        "sqrt(CAST(n_pairs - ties_x AS DOUBLE) * " +
+        "CAST(n_pairs - ties_y AS DOUBLE)) AS tau_b " +
+        "FROM agg CROSS JOIN nd"
+    },
+    "agg_gtest" -> {
+      val vc = OSQL.cents("value")
+      s"WITH cells AS (SELECT event_type, $vc // 5000 AS band, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2), " +
+        "rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r " +
+        "FROM cells GROUP BY 1), " +
+        "ct AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c " +
+        "FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells) " +
+        "SELECT cells.event_type, cells.band, o, " +
+        "CAST(floor(2000000.0 * o * ln(" +
+        "CAST(CAST(o AS HUGEINT) * t AS DOUBLE) / " +
+        "CAST(CAST(r AS HUGEINT) * c AS DOUBLE))) AS BIGINT) " +
+        "AS g_term_micro " +
+        "FROM cells JOIN rt USING (event_type) JOIN ct USING (band) " +
+        "CROSS JOIN tot ORDER BY event_type, band"
+    },
     "agg_wasserstein" -> {
       val vc = OSQL.cents("value")
       s"WITH cnt AS (SELECT event_type, $vc AS vc, COUNT(*) AS c " +

@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
     "operators/TimeSeries.scala" -> 16,
-    "operators/Aggregations.scala" -> 29,
+    "operators/Aggregations.scala" -> 35,
     "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

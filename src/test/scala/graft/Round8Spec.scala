@@ -1393,6 +1393,87 @@ class Round8Spec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens")))
   }
 
+  test("agg_kruskal matches a scalar midrank recomputation of H") {
+    val xs = U.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> cents(r.getDouble(1)))
+    val n = xs.length.toLong
+    // pooled doubled midranks per distinct cent value
+    val byV = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val mid2 = {
+      var cum = 0L
+      sortedV.map { v => cum += byV(v); v -> (2 * cum - byV(v) + 1) }.toMap
+    }
+    val ties = sortedV.map(v => byV(v) * byV(v) * byV(v) - byV(v)).sum
+    val ss = xs.groupBy(_._1).values.map { rows =>
+      val nt = rows.length.toLong
+      val r2c = BigInt(rows.map(r => mid2(r._2)).sum) - BigInt(nt) * (n + 1)
+      r2c * r2c / nt
+    }.sum
+    val h = (BigInt(3000000) * ss) / (BigInt(n) * (n + 1))
+    val hc = (BigInt(3000000) * ss * (n - 1)) /
+      (BigInt(n) * n * n - n - ties)
+    val r = operators.Aggregations.queries("agg_kruskal")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("tie_mass") == ties &&
+      r.getAs[Long]("h_micro") == h.toLong &&
+      r.getAs[Long]("hc_micro") == hc.toLong)
+  }
+
+  test("agg_kendall_tau matches a scalar pair loop over the day grid") {
+    val daily = U.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000L / 86400000000L,
+        r.getString(1), cents(r.getDouble(2))))
+    val byDay = daily.groupBy(_._1)
+    val d0 = byDay.keys.min; val d1 = byDay.keys.max
+    val grid = (d0 to d1).map { dy =>
+      val rs = byDay.getOrElse(dy, Array.empty)
+      (rs.filter(_._2 == "click").map(_._3).sum,
+        rs.filter(_._2 == "purchase").map(_._3).sum)
+    }
+    var c = 0L; var dd = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- grid.indices; j <- (i + 1) until grid.length) {
+      np += 1
+      val sx = java.lang.Long.signum(grid(j)._1 - grid(i)._1)
+      val sy = java.lang.Long.signum(grid(j)._2 - grid(i)._2)
+      if (sx * sy == 1) c += 1 else if (sx * sy == -1) dd += 1
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+    }
+    val r = operators.Aggregations.queries("agg_kendall_tau")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == grid.length.toLong &&
+      r.getAs[Long]("concordant") == c && r.getAs[Long]("discordant") == dd &&
+      r.getAs[Long]("ties_x") == tx && r.getAs[Long]("ties_y") == ty &&
+      r.getAs[Double]("tau_b") ==
+        (c - dd).toDouble / math.sqrt((np - tx).toDouble * (np - ty).toDouble))
+  }
+
+  test("agg_gtest totals to a nonnegative G and to 2n·MI exactly") {
+    val rows = operators.Aggregations.queries("agg_gtest")(spark, sfDir)
+      .collect()
+    val g = rows.map(_.getAs[Long]("g_term_micro")).sum
+    // Gibbs: true G >= 0; each micro-floored term shaves < 1 micro-unit
+    assert(g >= -rows.length.toLong)
+    // scalar recomputation of every cell term
+    val cells = rows.map(r => (r.getString(0), r.getAs[Long]("band")) ->
+      r.getAs[Long]("o")).toMap
+    val rT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    rows.foreach { r =>
+      val o = r.getAs[Long]("o")
+      val expect = math.floor(2000000.0 * o *
+        math.log((BigInt(o) * n).toDouble /
+          (BigInt(rT(r.getString(0))) * cT(r.getAs[Long]("band"))).toDouble))
+        .toLong
+      assert(r.getAs[Long]("g_term_micro") == expect)
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
