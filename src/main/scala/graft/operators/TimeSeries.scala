@@ -2467,7 +2467,129 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Lo–MacKinlay variance ratio VR(5) per event type over the densified
+    * daily-total series — a random walk has VR ≈ 1; VR < 1 means
+    * mean-reversion, VR > 1 momentum (the market-efficiency probe next to
+    * [[tsAdf]]'s unit root). Both horizons' differences come from ONE
+    * window pass (lag 1 and lag 5 over the same per-type day grid);
+    * power sums ride Decimal(38,0) like [[tsGranger]]'s, and the two
+    * population variances + their ratio close in one mirrored double
+    * tree. Grid is time-domain-bounded. */
+  private def tsVarianceRatio(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = 5
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(col("vc")).as("xc"))
+    val grid = daily.groupBy(col("event_type").as("et"))
+      .agg(min(col("dayi")).as("d0"), max(col("dayi")).as("d1"))
+      .select(col("et"), explode(sequence(col("d0"), col("d1"))).as("gd"))
+    val w = Window.partitionBy(col("et")).orderBy(col("gd"))
+    val lagged = grid.join(daily,
+        col("et") === col("event_type") && col("gd") === col("dayi"), "left")
+      .select(col("et"), col("gd"), coalesce(col("xc"), lit(0L)).as("x"))
+      .withColumn("d1v", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("dqv", col("x") - lag(col("x"), q).over(w))
+    val ps = lagged.groupBy(col("et")).agg(
+      count(lit(1)).as("n_days"),
+      count(col("d1v")).cast(DoubleType).as("n1"),
+      sum(col("d1v")).cast(DoubleType).as("s1"),
+      sum(col("d1v").cast(dec) * col("d1v").cast(dec)).cast(DoubleType)
+        .as("q1"),
+      count(col("dqv")).cast(DoubleType).as("nq"),
+      sum(col("dqv")).cast(DoubleType).as("sq"),
+      sum(col("dqv").cast(dec) * col("dqv").cast(dec)).cast(DoubleType)
+        .as("qq"))
+    val var1 = (col("q1") - col("s1") * col("s1") / col("n1")) / col("n1")
+    val varq = (col("qq") - col("sq") * col("sq") / col("nq")) / col("nq")
+    ps.select(col("et").as("event_type"), col("n_days"),
+        col("n1").cast(LongType).as("n_diff1"),
+        col("nq").cast(LongType).as("n_diffq"),
+        var1.as("var1"), varq.as("varq"),
+        (varq / (lit(q.toDouble) * var1)).as("vr"))
+      .orderBy("event_type")
+  }
+
+  /** Pettitt changepoint test per event type over the observed daily
+    * totals: the day k maximizing |U_k|, U_k = Σ_{i≤k, j>k} sgn(x_i−x_j)
+    * — the nonparametric "when did the level shift" beside
+    * [[tsBinseg]]'s CUSUM split. Day³ avoided by the exact recurrence
+    * U_k = Σ_{m≤k} V_m with V_m = Σ_j sgn(x_m − x_j): one days²-bounded
+    * pair frame, one per-day agg, one cumulative window. Everything is
+    * integer until the closing significance, shipped in the LOG domain
+    * (−6K²/(n³+n²), i.e. ln(p/2) of the classic approximation — exp()
+    * 1-ULP-diverges between JVM and libm); the argmax tie-breaks to the
+    * EARLIEST day via the max_by-struct idiom (lexicographic (|U|, −day)
+    * max). */
+  private def tsPettitt(s: SparkSession, d: String): DataFrame = {
+    val daily = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(col("vc")).as("xc"))
+      .persist())
+    val b = daily.select(col("event_type").as("et2"), col("dayi").as("d2"),
+      col("xc").as("x2"))
+    val vk = daily.join(b, col("event_type") === col("et2") &&
+        col("dayi") =!= col("d2"))
+      .groupBy(col("event_type"), col("dayi"))
+      .agg(sum(signum(col("xc") - col("x2")).cast(LongType)).as("vk"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    vk.withColumn("u", sum(col("vk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("nn", count(lit(1)).over(full))
+      .filter(col("rn") < col("nn")) // U_n = 0 by construction; k < n
+      .groupBy(col("event_type"))
+      .agg(max(col("nn")).as("n_days"),
+        max(struct(abs(col("u")).as("k"), (-col("dayi")).as("ng"))).as("m"))
+      .select(col("event_type"), col("n_days"),
+        (-col("m.ng")).as("cp_day"), col("m.k").as("k_stat"),
+        // significance in LOG domain: p ≈ 2·exp(log_p_half). exp() itself
+        // 1-ULP-diverges between the JVM and DuckDB's libm, so the
+        // declared result stops at the exactly-mirrorable argument
+        (lit(-6.0) * col("m.k").cast(DoubleType) * col("m.k") /
+          (col("n_days").cast(DoubleType) * col("n_days") * col("n_days") +
+            col("n_days").cast(DoubleType) * col("n_days")))
+          .as("log_p_half"))
+      .orderBy("event_type")
+  }
+
+  /** Hampel filter per user: each reading flagged when it sits more than
+    * 3 scaled MADs from the trailing-7 rolling median — the robust spike
+    * detector that a single outlier cannot drag (unlike a z-score whose
+    * mean and σ it would inflate). The window's median and MAD are EXACT
+    * order statistics of the sorted 7-element frame array (both odd picks
+    * — no halving), and the verdict is the integer cross-multiplication
+    * |x−med|·10⁴ > 44478·mad (3·1.4826 scaled — no float anywhere). One
+    * window sort per user; the frame array is constant-size 7. */
+  private def tsHampel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val f = w.rowsBetween(-6, Window.currentRow)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("win", sort_array(collect_list(col("vc")).over(f)))
+      .filter(col("rn") >= 7)
+      .withColumn("med7", element_at(col("win"), 4))
+      .withColumn("mad7", element_at(
+        sort_array(transform(col("win"), x => abs(x - col("med7")))), 4))
+      .select(col("user_id"), col("ts"), col("event_id"), col("vc"),
+        col("med7"), col("mad7"),
+        (abs(col("vc") - col("med7")) * 10000L >
+          lit(44478L) * col("mad7")).as("is_outlier"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_variance_ratio" -> tsVarianceRatio _,
+    "ts_pettitt" -> tsPettitt _,
+    "ts_hampel" -> tsHampel _,
     "ts_runs_test" -> tsRunsTest _,
     "ts_rainflow_ranges" -> tsRainflowRanges _,
     "ts_spc_rules" -> tsSpcRules _,
@@ -2645,6 +2767,78 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_variance_ratio" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($vc) AS BIGINT) AS xc FROM events " +
+        "GROUP BY 1, 2), " +
+        "grid AS (SELECT et, unnest(range(d0, d1 + 1)) AS gd FROM " +
+        "(SELECT event_type AS et, MIN(dayi) AS d0, MAX(dayi) AS d1 " +
+        "FROM daily GROUP BY 1)), " +
+        "dense AS (SELECT et, gd, COALESCE(xc, 0) AS x FROM grid " +
+        "LEFT JOIN daily ON et = event_type AND gd = dayi), " +
+        "lagged AS (SELECT et, " +
+        "x - lag(x, 1) OVER (PARTITION BY et ORDER BY gd) AS d1v, " +
+        "x - lag(x, 5) OVER (PARTITION BY et ORDER BY gd) AS dqv " +
+        "FROM dense), " +
+        "ps AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(COUNT(d1v) AS DOUBLE) AS n1, " +
+        "CAST(SUM(d1v) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(d1v AS HUGEINT) * d1v) AS DOUBLE) AS q1, " +
+        "CAST(COUNT(dqv) AS DOUBLE) AS nq, " +
+        "CAST(SUM(dqv) AS DOUBLE) AS sq, " +
+        "CAST(SUM(CAST(dqv AS HUGEINT) * dqv) AS DOUBLE) AS qq " +
+        "FROM lagged GROUP BY 1), " +
+        "v AS (SELECT et, n_days, n1, nq, " +
+        "(q1 - s1 * s1 / n1) / n1 AS var1, " +
+        "(qq - sq * sq / nq) / nq AS varq FROM ps) " +
+        "SELECT et AS event_type, n_days, CAST(n1 AS BIGINT) AS n_diff1, " +
+        "CAST(nq AS BIGINT) AS n_diffq, var1, varq, " +
+        "varq / (5.0 * var1) AS vr FROM v ORDER BY event_type"
+    },
+    "ts_pettitt" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($vc) AS BIGINT) AS xc FROM events " +
+        "GROUP BY 1, 2), " +
+        "vk AS (SELECT a.event_type, a.dayi, " +
+        "CAST(SUM(sign(a.xc - b.xc)) AS BIGINT) AS vk " +
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type " +
+        "AND a.dayi <> b.dayi GROUP BY 1, 2), " +
+        "u AS (SELECT event_type, dayi, " +
+        "SUM(vk) OVER (PARTITION BY event_type ORDER BY dayi) AS u, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY dayi) " +
+        "AS BIGINT) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn " +
+        "FROM vk), " +
+        "rk AS (SELECT event_type, dayi, nn, CAST(abs(u) AS BIGINT) AS k, " +
+        "row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY abs(u) DESC, dayi ASC) AS pick " +
+        "FROM u WHERE rn < nn) " +
+        "SELECT event_type, nn AS n_days, dayi AS cp_day, k AS k_stat, " +
+        "-6.0 * CAST(k AS DOUBLE) * k / " +
+        "(CAST(nn AS DOUBLE) * nn * nn + CAST(nn AS DOUBLE) * nn) " +
+        "AS log_p_half FROM rk WHERE pick = 1 ORDER BY event_type"
+    },
+    "ts_hampel" -> {
+      val vc = OSQL.cents("value")
+      s"WITH base AS (SELECT user_id, ts, event_id, $vc AS vc " +
+        "FROM events), " +
+        "wn AS (SELECT user_id, ts, event_id, vc, " +
+        "CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, " +
+        "list_sort(list(vc) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "AS win FROM base), " +
+        "md AS (SELECT user_id, ts, event_id, vc, win, win[4] AS med7 " +
+        "FROM wn WHERE rn >= 7), " +
+        "dv AS (SELECT user_id, ts, event_id, vc, med7, " +
+        "list_sort(list_transform(win, x -> abs(x - med7)))[4] AS mad7 " +
+        "FROM md) " +
+        "SELECT user_id, ts, event_id, vc, med7, mad7, " +
+        "abs(vc - med7) * 10000 > 44478 * mad7 AS is_outlier " +
+        "FROM dv ORDER BY user_id, ts, event_id"
+    },
     "ts_runs_test" -> {
       val vc = OSQL.cents("value")
       val n1d = "CAST(n1 AS DOUBLE)"; val n2d = "CAST(n2 AS DOUBLE)"

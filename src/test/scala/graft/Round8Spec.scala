@@ -1474,6 +1474,71 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // like dailyTotals but keyed by the queries' integer epoch-day index
+  private def dayIdxTotals(): Map[String, Seq[(Long, Long)]] =
+    U.events(spark, sfDir)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L / 86400000000L,
+        cents(r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(rs =>
+        rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)).toMap
+
+  test("ts_variance_ratio matches a scalar VR(5) on the dense day grid") {
+    val got = operators.TimeSeries.queries("ts_variance_ratio")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, obs) <- dayIdxTotals()) {
+      val m = obs.toMap
+      val xs = (obs.head._1 to obs.last._1).map(dy => m.getOrElse(dy, 0L))
+      def stats(q: Int) = {
+        val ds = (q until xs.length).map(i => xs(i) - xs(i - q))
+        (ds.length.toDouble, ds.sum.toDouble,
+          ds.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+      }
+      val (n1, s1, q1) = stats(1); val (nq, sq, qq) = stats(5)
+      val var1 = (q1 - s1 * s1 / n1) / n1
+      val varq = (qq - sq * sq / nq) / nq
+      val r = got(et)
+      assert(r.getAs[Long]("n_days") == xs.length.toLong &&
+        r.getAs[Double]("var1") == var1 && r.getAs[Double]("varq") == varq &&
+        r.getAs[Double]("vr") == varq / (5.0 * var1), s"VR diverges for $et")
+    }
+  }
+
+  test("ts_pettitt matches a scalar U_k sweep with earliest argmax") {
+    val got = operators.TimeSeries.queries("ts_pettitt")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, obs) <- dayIdxTotals()) {
+      val n = obs.length
+      val us = (0 until n - 1).map { k =>
+        (for (i <- 0 to k; j <- (k + 1) until n)
+          yield java.lang.Long.signum(obs(i)._2 - obs(j)._2).toLong).sum
+      }
+      val kStat = us.map(math.abs).max
+      val cpDay = obs(us.indexWhere(u => math.abs(u) == kStat))._1
+      val r = got(et)
+      assert(r.getAs[Long]("n_days") == n.toLong &&
+        r.getAs[Long]("k_stat") == kStat &&
+        r.getAs[Long]("cp_day") == cpDay, s"Pettitt diverges for $et")
+    }
+  }
+
+  test("ts_hampel matches a scalar rolling median/MAD on one user") {
+    val uid = someUser()
+    val ys = userSeries(uid)
+    val got = operators.TimeSeries.queries("ts_hampel")(spark, sfDir)
+      .filter(col("user_id") === uid).orderBy("ts", "event_id").collect()
+    assert(got.length == ys.length - 6)
+    for ((r, i) <- got.zipWithIndex) {
+      val win = ys.slice(i, i + 7).sorted
+      val med = win(3)
+      val mad = win.map(v => math.abs(v - med)).sorted.apply(3)
+      assert(r.getAs[Long]("med7") == med && r.getAs[Long]("mad7") == mad &&
+        r.getAs[Boolean]("is_outlier") ==
+          (math.abs(ys(i + 6) - med) * 10000L > 44478L * mad))
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
