@@ -793,7 +793,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Source-pair centroid drift over the documents-aligned embeddings
+    * (vec_id = doc_id): exact fixed-point squared L2 between every pair
+    * of per-source embedding centroids — "did crawl B's representation
+    * distribution move away from crawl A's?", the embedding-space
+    * companion of text_source_overlap/text_kl_source. Components and
+    * floored-mean centroids follow the [[labelComp]] discipline; the
+    * centroid frame is |sources|×64 rows (taxonomy-bounded broadcast)
+    * and the distance is an exact integer in the 1e-12 fixed-point
+    * domain (≤ 64·(2e6)² ≈ 2.6e14 — inside Long). The id join itself is
+    * corpus-scale and shuffles on the key — no broadcast there. */
+  private def embSourceDrift(s: SparkSession, d: String): DataFrame = {
+    val comp = U.tbl(s, d, "embeddings")
+      .join(docs(s, d).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1000000.0))))
+          .as(Seq("pos", "x")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("dim"),
+        col("x"))
+    val cent = comp.groupBy(col("source"), col("dim"))
+      .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("cx"), count(lit(1)).as("nv"))
+    val b = cent.select(col("source").as("src_b"), col("dim").as("dim2"),
+      col("cx").as("cb"), col("nv").as("nb"))
+    cent.join(broadcast(b), col("dim") === col("dim2") &&
+        col("source") < col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(max(col("nv")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("cx") - col("cb")) * (col("cx") - col("cb")))
+          .as("dist2_fp"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_source_drift" -> embSourceDrift _,
     "pipeline_token_budget" -> tokenBudget _,
     "pack_shards" -> packShards _,
     "pipeline_curate" -> pipelineCurate _,
@@ -879,6 +914,22 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "emb_source_drift" ->
+      ("WITH j AS (SELECT d2.source, e.embedding FROM embeddings e " +
+        "JOIN documents d2 ON e.vec_id = d2.doc_id), " +
+        "f AS (SELECT source, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
+        "FROM j), " +
+        "comp AS (SELECT source, CAST(i AS BIGINT) AS dim, " +
+        "fx[CAST(i AS INTEGER)] AS x FROM f CROSS JOIN range(1, 65) t(i)), " +
+        "cent AS (SELECT source, dim, CAST(floor(CAST(SUM(x) AS DOUBLE) " +
+        "/ COUNT(*)) AS BIGINT) AS cx, CAST(COUNT(*) AS BIGINT) AS nv " +
+        "FROM comp GROUP BY 1, 2) " +
+        "SELECT a.source AS src_a, b.source AS src_b, " +
+        "CAST(MAX(a.nv) AS BIGINT) AS n_a, CAST(MAX(b.nv) AS BIGINT) " +
+        "AS n_b, CAST(SUM((a.cx - b.cx) * (a.cx - b.cx)) AS BIGINT) " +
+        "AS dist2_fp FROM cent a JOIN cent b ON a.dim = b.dim " +
+        "AND a.source < b.source GROUP BY 1, 2 ORDER BY src_a, src_b"),
     "pipeline_token_budget" ->
       (s"WITH base AS (SELECT doc_id, " +
         s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens, " +

@@ -1529,7 +1529,39 @@ object Aggregations {
       .orderBy("event_type", "band")
   }
 
+  /** Hellinger / Bhattacharyya affinity terms between the click and view
+    * value distributions over 50-unit buckets — the bounded geometric
+    * distance completing the divergence family ([[aggJsd]] is the
+    * information one, [[aggCvm]]/[[aggKsTest]] the ECDF ones). Each
+    * bucket's BC term √(p·q) = √((c_p·c_q)/(n_p·n_q)) has its cross
+    * products exact in Decimal(38,0)↔HUGEINT before the ONE double
+    * division; sqrt is IEEE-correctly-rounded in both engines, and the
+    * term is MICRO-FLOORED before any summation. H = √(1 − ΣBC) is
+    * recoverable by summation; the per-bucket table is the declared
+    * result so the compare pins every term. One conditional hash-agg +
+    * a 1-row totals broadcast. */
+  private def aggHellinger(s: SparkSession, d: String): DataFrame = {
+    val cnt = U.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("b", expr("vc DIV 5000"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("cp"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cq"))
+    val tot = cnt.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("b").as("bucket"), col("cp").as("c_click"),
+        col("cq").as("c_view"),
+        expr("CAST(floor(1000000.0 * sqrt(" +
+          "CAST(CAST(cp AS DECIMAL(38,0)) * cq AS DOUBLE) / " +
+          "CAST(CAST(np AS DECIMAL(38,0)) * nq AS DOUBLE))) AS BIGINT)")
+          .as("bc_term_micro"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hellinger" -> aggHellinger _,
     "agg_kruskal" -> aggKruskal _,
     "agg_kendall_tau" -> aggKendallTau _,
     "agg_gtest" -> aggGtest _,
@@ -1667,6 +1699,23 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_hellinger" -> {
+      val vc = OSQL.cents("value")
+      s"WITH cnt AS (SELECT $vc // 5000 AS b, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cp, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cq FROM events " +
+        "WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, " +
+        "CAST(SUM(cq) AS BIGINT) AS nq FROM cnt) " +
+        "SELECT b AS bucket, cp AS c_click, cq AS c_view, " +
+        "CAST(floor(1000000.0 * sqrt(" +
+        "CAST(CAST(cp AS HUGEINT) * cq AS DOUBLE) / " +
+        "CAST(CAST(np AS HUGEINT) * nq AS DOUBLE))) AS BIGINT) " +
+        "AS bc_term_micro " +
+        "FROM cnt CROSS JOIN tot ORDER BY bucket"
+    },
     "agg_kruskal" -> {
       val vc = OSQL.cents("value")
       s"WITH ctv AS (SELECT event_type, $vc AS vc, " +

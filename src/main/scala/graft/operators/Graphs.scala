@@ -1295,7 +1295,35 @@ object Graphs {
     acc.orderBy("wid", "step")
   }
 
+  /** Directed transitivity of the order-sequence digraph: of all directed
+    * wedges u→v→w (u≠w), how many are closed by the shortcut u→w? High
+    * closure means basket sequence is near-transitive (a consistent
+    * global order exists); low closure means sequence is order-local —
+    * the triad-level companion of [[graphReciprocity]]'s dyad test. One
+    * wedge self-join on the shared persisted [[orderSeqEdges]] frame
+    * (wedge-bounded — the standard distributed triangle shape, no node
+    * materializes its neighborhood) + one left-semi closure probe; counts
+    * exact, ratio in integer micro-units. */
+  private def graphTransitivityDir(s: SparkSession, d: String): DataFrame = {
+    val e = orderSeqEdges(s, d).select(col("u"), col("v"))
+    val wedges = U.track(e.join(
+        e.select(col("u").as("v2"), col("v").as("w")),
+        col("v") === col("v2"))
+      .filter(col("u") =!= col("w"))
+      .select(col("u"), col("w"))
+      .persist())
+    val closed = wedges.join(
+      e.select(col("u").as("cu"), col("v").as("cw")),
+      col("u") === col("cu") && col("w") === col("cw"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        expr("(1000000 * n_closed) DIV n_wedges").as("transitivity_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_transitivity_dir" -> graphTransitivityDir _,
     "graph_walk_corpus" -> graphWalkCorpus _,
     "graph_rich_club" -> graphRichClub _,
     "graph_knn_degree" -> graphKnnDegree _,
@@ -1325,6 +1353,21 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_transitivity_dir" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, " +
+        "l_linenumber AS ln FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk), " +
+        "w AS (SELECT a.u, b.v AS w FROM e a JOIN e b ON a.v = b.u " +
+        "WHERE a.u <> b.v) " +
+        "SELECT n_edges, n_wedges, n_closed, " +
+        "(1000000 * n_closed) // n_wedges AS transitivity_micro FROM " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) CROSS JOIN " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM w) CROSS JOIN " +
+        // e is DISTINCT, so this equi-join matches each wedge at most
+        // once — a semi-join expressed as a plain join
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_closed FROM w " +
+        "JOIN e ON w.u = e.u AND w.w = e.v)"),
     "graph_walk_corpus" -> {
       def hop(k: Int): String =
         s"s$k AS (SELECT wid, CAST($k AS BIGINT) AS step, r.v AS node " +

@@ -22,12 +22,12 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
     "operators/TimeSeries.scala" -> 16,
-    "operators/Aggregations.scala" -> 35,
+    "operators/Aggregations.scala" -> 36,
     "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 14,
+    "llm/Pipeline.scala" -> 15,
     "llm/Similarity.scala" -> 10,
     "llm/Dedup.scala" -> 2,
     "llm/TextAnalysis.scala" -> 11,

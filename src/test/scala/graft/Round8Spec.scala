@@ -1539,6 +1539,68 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("emb_source_drift matches a scalar centroid-distance recompute") {
+    val docsSrc = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = U.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => docsSrc(r.getLong(0)) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong))
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.length
+      (0 until 64).map(i =>
+        math.floor(vs.map(_._2(i)).sum.toDouble / n).toLong) -> n.toLong
+    }.toMap
+    val got = SparkEntry.queries("emb_source_drift")(spark, sfDir).collect()
+    assert(got.length == cents.size * (cents.size - 1) / 2)
+    got.foreach { r =>
+      val (ca, na) = cents(r.getString(0)); val (cb, nb) = cents(r.getString(1))
+      val d2 = (0 until 64).map(i => (ca(i) - cb(i)) * (ca(i) - cb(i))).sum
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb &&
+        r.getAs[Long]("dist2_fp") == d2)
+    }
+  }
+
+  test("agg_hellinger BC terms recompute and sum to at most 1 + slack") {
+    val rows = operators.Aggregations.queries("agg_hellinger")(spark, sfDir)
+      .collect()
+    val np = rows.map(_.getAs[Long]("c_click")).sum
+    val nq = rows.map(_.getAs[Long]("c_view")).sum
+    rows.foreach { r =>
+      val expect = math.floor(1000000.0 * math.sqrt(
+        (BigInt(r.getAs[Long]("c_click")) * r.getAs[Long]("c_view")).toDouble /
+          (BigInt(np) * nq).toDouble)).toLong
+      assert(r.getAs[Long]("bc_term_micro") == expect)
+    }
+    // Cauchy–Schwarz: ΣBC <= 1 exactly; micro-floors only shave downward
+    assert(rows.map(_.getAs[Long]("bc_term_micro")).sum <= 1000000L)
+  }
+
+  test("graph_transitivity_dir matches a scalar wedge-closure count") {
+    val li: Seq[(Long, Long, Long)] = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber").cast("long")).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap {
+      rs: Seq[(Long, Long, Long)] =>
+        for (a <- rs; b <- rs if a._3 < b._3 && a._2 != b._2)
+          yield (a._2, b._2)
+    }.toSet
+    val out = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var wedges = 0L; var closed = 0L
+    for ((u, vs) <- out; v <- vs; w <- out.getOrElse(v, Set.empty) if w != u) {
+      wedges += 1
+      if (e((u, w))) closed += 1
+    }
+    val r = operators.Graphs.queries("graph_transitivity_dir")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_edges") == e.size.toLong &&
+      r.getAs[Long]("n_wedges") == wedges &&
+      r.getAs[Long]("n_closed") == closed &&
+      r.getAs[Long]("transitivity_micro") == 1000000L * closed / wedges)
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
