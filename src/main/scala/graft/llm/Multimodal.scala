@@ -27,6 +27,8 @@ case class Resized(doc_id: Long, n_in: Long, n_out: Long, resized_hex: String)
 case class Features(doc_id: Long, n_distinct: Long, modal_byte: Long,
   modal_count: Long, n_spaces: Long)
 case class PHash(doc_id: Long, w0: Long, w1: Long, n_ones: Long)
+case class WavStats(doc_id: Long, n_samples: Long, sample_rate: Long,
+  riff_ok: Boolean, peak: Long, sum_sq: Long)
 
 object Multimodal {
 
@@ -234,7 +236,58 @@ object Multimodal {
         max(octet_length(col("payload"))).cast(LongType).as("n_bytes"))
       .orderBy("keeper")
 
+  /** Audio-rung roundtrip THROUGH the real JDK WAV codec
+    * (javax.sound.sampled — pure-Java, headless-safe, the audio sibling
+    * of [[codecRoundtrip]]'s ImageIO path): deterministic PCM16 mono
+    * samples per doc_id are encoded to a RIFF/WAVE container by
+    * AudioSystem.write, the bytes' RIFF/WAVE magic is checked, the
+    * container is decoded back by AudioSystem.getAudioInputStream, and
+    * the stats (n, peak, Σs²) are computed from the DECODED samples — so
+    * a codec that altered one sample or mis-declared the format
+    * hash-fails against the oracle, which recomputes the stats from the
+    * closed-form sample formula without touching a byte. Partition-wise,
+    * embarrassingly parallel; Σs² ≤ 128·32768² ≈ 1.4e14 inside Long. */
+  private def wavStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val pcm = new Array[Byte](n * 2)
+        for (k <- 0 until n) {
+          val v = (((id * 31 + k.toLong * 17) % 65536) - 32768).toInt
+          pcm(2 * k) = (v & 0xff).toByte        // little-endian PCM16
+          pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val wav = bos.toByteArray
+        val riffOk = wav.length > 44 &&
+          wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F' &&
+          wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E'
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val rate = back.getFormat.getSampleRate.toLong
+        val out = back.readAllBytes()
+        var peak = 0L; var sumSq = 0L; var m = 0L
+        var i = 0
+        while (i + 1 < out.length) {
+          val v = ((out(i) & 0xff) | (out(i + 1) << 8)).toShort.toLong
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v * v; m += 1; i += 2
+        }
+        WavStats(id, m, rate, riffOk, peak, sumSq)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_wav_stats" -> wavStats _,
     "multimodal_codec_roundtrip" -> codecRoundtrip _,
     "multimodal_phash" -> phash _,
     "multimodal_dedup" -> dedupBinary _,
@@ -245,6 +298,20 @@ object Multimodal {
     "multimodal_framesample" -> frameSample _)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle never touches the WAV container: PCM16 is lossless and
+    // the samples are a deterministic function of doc_id, so the stats of
+    // the DECODED samples must equal the closed-form recomputation —
+    // any codec-side corruption or format drift hash-fails
+    "multimodal_wav_stats" ->
+      ("WITH ks AS (SELECT doc_id, k, " +
+        "((doc_id * 31 + k * 17) % 65536) - 32768 AS s " +
+        "FROM documents CROSS JOIN range(0, 128) t(k) " +
+        "WHERE k < 64 + doc_id % 64) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, true AS riff_ok, " +
+        "CAST(MAX(abs(s)) AS BIGINT) AS peak, " +
+        "CAST(SUM(s * s) AS BIGINT) AS sum_sq " +
+        "FROM ks GROUP BY doc_id ORDER BY doc_id"),
     // the oracle never decodes a byte: PNG is lossless and the image is a
     // deterministic function of doc_id, so the decoded checksum must equal
     // this arithmetic recomputation — that equality IS the codec test

@@ -1601,6 +1601,24 @@ class Round8Spec extends SparkTestBase {
       r.getAs[Long]("transitivity_micro") == 1000000L * closed / wedges)
   }
 
+  test("multimodal_wav_stats decodes through the real WAV codec losslessly") {
+    val rows = SparkEntry.queries("multimodal_wav_stats")(spark, sfDir)
+      .collect()
+    val nDocs = U.tbl(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 64 + id % 64
+      val samples = (0L until n).map(k => ((id * 31 + k * 17) % 65536) - 32768)
+      assert(r.getAs[Long]("n_samples") == n &&
+        r.getAs[Long]("sample_rate") == 8000L &&
+        r.getAs[Boolean]("riff_ok") &&
+        r.getAs[Long]("peak") == samples.map(math.abs).max &&
+        r.getAs[Long]("sum_sq") == samples.map(s => s * s).sum,
+        s"WAV roundtrip diverges for doc $id")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
