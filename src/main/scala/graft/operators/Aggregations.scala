@@ -1560,7 +1560,58 @@ object Aggregations {
       .orderBy("bucket")
   }
 
+  /** Friedman test across event types with days as repeated-measure
+    * blocks: do the types rank consistently day after day? — the blocked
+    * companion of [[aggKruskal]] (which pools all rows and loses the
+    * day pairing). Within each day of the DENSE day×type grid (absent
+    * cells are exact 0 totals) the doubled midranks come from the
+    * [[aggSpearman]] trick (rank() + RANGE-frame peer count, no second
+    * sort); the tie-corrected statistic
+    * (k−1)·Σ(R_j − n(k+1)/2)² / (ΣΣr² − nk(k+1)²/4) is computed entirely
+    * in the DOUBLED-rank integer domain (the /2s cancel) and closes in
+    * exact micro-units through the DECIMAL DIV bridge. Day×type-bounded
+    * everywhere after the first hash-agg. */
+  private def aggFriedman(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 86400000000")
+        .as("dayi"))
+      .agg(sum(col("vc")).as("xc"))
+    val grid = daily.groupBy().agg(min(col("dayi")).as("d0"),
+        max(col("dayi")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("gd"))
+      .crossJoin(daily.select(col("event_type").as("et")).distinct())
+    val filled = grid.join(daily,
+        col("gd") === col("dayi") && col("et") === col("event_type"), "left")
+      .select(col("et"), col("gd"), coalesce(col("xc"), lit(0L)).as("x"))
+    val wd = Window.partitionBy(col("gd")).orderBy(col("x"))
+    val pd = wd.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = filled
+      .withColumn("r2", rank().over(wd).cast(LongType) +
+        count(lit(1)).over(pd))
+    val perType = ranked.groupBy(col("et"))
+      .agg(sum(col("r2")).as("r2sum"))
+    val tot = ranked.groupBy().agg(
+      (countDistinct(col("gd"))).as("n"), countDistinct(col("et")).as("k"),
+      sum((col("r2") * col("r2")).cast(dec)).as("a2"))
+    perType.crossJoin(broadcast(tot))
+      .select(col("n"), col("k"), col("a2"),
+        ((col("r2sum") - col("n") * (col("k") + 1)) *
+          (col("r2sum") - col("n") * (col("k") + 1))).cast(dec).as("qc"))
+      .groupBy(col("n"), col("k"), col("a2"))
+      .agg(sum(col("qc")).as("sq"))
+      .select(col("n").as("n_days"), col("k"),
+        col("a2").cast(LongType).as("a2"),
+        (col("n") * col("k") * (col("k") + 1) * (col("k") + 1))
+          .as("c2"),
+        expr("CAST((1000000 * (k - 1) * sq) DIV " +
+          "(a2 - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)) " +
+          "AS BIGINT)").as("stat_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_friedman" -> aggFriedman _,
     "agg_hellinger" -> aggHellinger _,
     "agg_kruskal" -> aggKruskal _,
     "agg_kendall_tau" -> aggKendallTau _,
@@ -1699,6 +1750,37 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_friedman" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($vc) AS BIGINT) AS xc FROM events " +
+        "GROUP BY 1, 2), " +
+        "grid AS (SELECT gd, et FROM (SELECT unnest(range(" +
+        "(SELECT MIN(dayi) FROM daily), " +
+        "(SELECT MAX(dayi) FROM daily) + 1)) AS gd) CROSS JOIN " +
+        "(SELECT DISTINCT event_type AS et FROM daily)), " +
+        "filled AS (SELECT et, gd, COALESCE(xc, 0) AS x FROM grid " +
+        "LEFT JOIN daily ON gd = dayi AND et = event_type), " +
+        "ranked AS (SELECT et, gd, " +
+        "CAST(rank() OVER wd AS BIGINT) + COUNT(*) OVER pd AS r2 " +
+        "FROM filled " +
+        "WINDOW wd AS (PARTITION BY gd ORDER BY x), " +
+        "pd AS (PARTITION BY gd ORDER BY x " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "pt AS (SELECT et, CAST(SUM(r2) AS BIGINT) AS r2sum " +
+        "FROM ranked GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(DISTINCT gd) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT et) AS BIGINT) AS k, " +
+        "SUM(CAST(r2 AS HUGEINT) * r2) AS a2 FROM ranked), " +
+        "q AS (SELECT n, k, a2, " +
+        "CAST(r2sum - n * (k + 1) AS HUGEINT) * " +
+        "(r2sum - n * (k + 1)) AS qc FROM pt CROSS JOIN tot) " +
+        "SELECT n AS n_days, k, CAST(a2 AS BIGINT) AS a2, " +
+        "n * k * (k + 1) * (k + 1) AS c2, " +
+        "CAST((1000000 * (k - 1) * SUM(qc)) // " +
+        "(a2 - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1)) AS BIGINT) " +
+        "AS stat_micro FROM q GROUP BY n, k, a2"
+    },
     "agg_hellinger" -> {
       val vc = OSQL.cents("value")
       s"WITH cnt AS (SELECT $vc // 5000 AS b, " +

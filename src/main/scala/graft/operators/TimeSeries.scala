@@ -2586,7 +2586,47 @@ object TimeSeries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Tabular (decision-interval) CUSUM alarm per event type: the page-one
+    * SPC recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + x − μ − K) fired when S⁺ > H
+    * (and the mirrored S⁻ for downward drifts) — catches small sustained
+    * shifts the per-point [[tsSpcRules]] σ-bands miss. The recursion is
+    * NOT window-expressible directly, but its closed form is: S⁺ᵢ =
+    * cumᵢ − min(0, min_{j≤i} cumⱼ) over the deviation prefix sum — two
+    * running windows, no recursion. μ never divides: everything runs
+    * n-SCALED (d = n·(x−K) − Σx, threshold n·H) in Decimal(38,0), so the
+    * alarm verdicts are exact integers at any scale. K = 5.00, H = 50.00
+    * (cents). One |types|-row stats broadcast + one ordered pass. */
+  private def tsCusumAlarm(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = U.events(s, d).withColumn("vc", U.cents(col("value")))
+    val st = base.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sx"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hiN = col("n").cast(dec) * lit(5000L)
+    val j = base.join(broadcast(st), col("event_type") === col("et"))
+      .withColumn("dp",
+        col("n").cast(dec) * (col("vc") - lit(500L)) - col("sx"))
+      .withColumn("dm",
+        col("sx").cast(dec) - col("n").cast(dec) * (col("vc") + lit(500L)))
+      .withColumn("cp", sum(col("dp")).over(run))
+      .withColumn("cm", sum(col("dm")).over(run))
+      .withColumn("sp",
+        col("cp") - least(lit(0L).cast(dec), min(col("cp")).over(run)))
+      .withColumn("sm",
+        col("cm") - least(lit(0L).cast(dec), min(col("cm")).over(run)))
+    j.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("sp") > hiN, 1L).otherwise(0L)).as("n_alarms_high"),
+        sum(when(col("sm") > hiN, 1L).otherwise(0L)).as("n_alarms_low"),
+        min(when(col("sp") > hiN, unix_micros(col("ts")))).as("first_high_us"),
+        min(when(col("sm") > hiN, unix_micros(col("ts")))).as("first_low_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum_alarm" -> tsCusumAlarm _,
     "ts_variance_ratio" -> tsVarianceRatio _,
     "ts_pettitt" -> tsPettitt _,
     "ts_hampel" -> tsHampel _,
@@ -2767,6 +2807,36 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_cusum_alarm" -> {
+      val vc = OSQL.cents("value")
+      s"WITH base AS (SELECT event_type, ts, event_id, $vc AS vc " +
+        "FROM events), " +
+        "st AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sx FROM base GROUP BY 1), " +
+        "dev AS (SELECT event_type, ts, event_id, n, " +
+        "CAST(n AS HUGEINT) * (vc - 500) - sx AS dp, " +
+        "CAST(sx AS HUGEINT) - CAST(n AS HUGEINT) * (vc + 500) AS dm " +
+        "FROM base JOIN st ON event_type = et), " +
+        "cum AS (SELECT event_type, ts, event_id, n, " +
+        "SUM(dp) OVER w AS cp, SUM(dm) OVER w AS cm FROM dev " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "sc AS (SELECT event_type, ts, n, " +
+        "cp - least(CAST(0 AS HUGEINT), MIN(cp) OVER w) AS sp, " +
+        "cm - least(CAST(0 AS HUGEINT), MIN(cm) OVER w) AS sm FROM cum " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN sp > CAST(n AS HUGEINT) * 5000 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_alarms_high, " +
+        "CAST(SUM(CASE WHEN sm > CAST(n AS HUGEINT) * 5000 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_alarms_low, " +
+        "CAST(MIN(CASE WHEN sp > CAST(n AS HUGEINT) * 5000 " +
+        "THEN epoch_us(ts) END) AS BIGINT) AS first_high_us, " +
+        "CAST(MIN(CASE WHEN sm > CAST(n AS HUGEINT) * 5000 " +
+        "THEN epoch_us(ts) END) AS BIGINT) AS first_low_us " +
+        "FROM sc GROUP BY event_type ORDER BY event_type"
+    },
     "ts_variance_ratio" -> {
       val vc = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +

@@ -1619,6 +1619,58 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("agg_friedman matches a scalar blocked-midrank recompute") {
+    val daily = dayIdxTotals()
+    val types = daily.keys.toSeq.sorted
+    val d0 = daily.values.flatMap(_.map(_._1)).min
+    val d1 = daily.values.flatMap(_.map(_._1)).max
+    val k = types.length
+    val n = (d1 - d0 + 1).toInt
+    // doubled midranks within each day block over the k type totals
+    val r2 = Array.ofDim[Long](n, k)
+    for (di <- 0 until n) {
+      val xs = types.map(t => daily(t).toMap.getOrElse(d0 + di, 0L))
+      for (j <- 0 until k)
+        r2(di)(j) = xs.count(_ < xs(j)).toLong + 1 + xs.count(_ <= xs(j))
+    }
+    val r2sum = (0 until k).map(j => (0 until n).map(r2(_)(j)).sum)
+    val a2 = r2.flatten.map(v => BigInt(v) * v).sum
+    val c2 = BigInt(n) * k * (k + 1) * (k + 1)
+    val sq = r2sum.map(r => BigInt(r - n.toLong * (k + 1)).pow(2)).sum
+    val stat = (BigInt(1000000) * (k - 1) * sq) / (a2 - c2)
+    val r = operators.Aggregations.queries("agg_friedman")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_days") == n.toLong && r.getAs[Long]("k") == k.toLong &&
+      r.getAs[Long]("a2") == a2.toLong &&
+      r.getAs[Long]("stat_micro") == stat.toLong)
+  }
+
+  test("ts_cusum_alarm matches the scalar max(0, ...) recursion") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "value").orderBy("event_type", "ts", "event_id")
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    val got = operators.TimeSeries.queries("ts_cusum_alarm")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, xs) <- byType) {
+      val n = xs.length.toLong
+      val sx = xs.sum
+      var sp = BigInt(0); var sm = BigInt(0)
+      var hi = 0L; var lo = 0L
+      val hThr = BigInt(n) * 5000L
+      xs.foreach { x =>
+        sp = (sp + BigInt(n) * (x - 500L) - sx).max(0)
+        sm = (sm + BigInt(sx) - BigInt(n) * (x + 500L)).max(0)
+        if (sp > hThr) hi += 1
+        if (sm > hThr) lo += 1
+      }
+      val r = got(et)
+      assert(r.getAs[Long]("n") == n &&
+        r.getAs[Long]("n_alarms_high") == hi &&
+        r.getAs[Long]("n_alarms_low") == lo, s"CUSUM diverges for $et")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
