@@ -2625,7 +2625,82 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Engle–Granger cointegration probe, click → purchase daily totals:
+    * step 1 regresses y on x (closed OLS over exact power sums); step 2
+    * runs the no-constant Dickey–Fuller on the RESIDUAL series — but the
+    * residuals never materialize: every residual sum (Σeₜe₋, Σe₋², Σe²)
+    * expands algebraically into the exact lag-paired integer sums
+    * (Σyyl, Σyxl, Σxyl, Σxxl, …) with a/b coefficients, so the only
+    * doubles are one mirrored closing tree. β < 0 with a large |t| means
+    * the spread mean-reverts — the pairs-trading/equilibrium test that
+    * [[tsGranger]] (prediction) and [[tsAdf]] (single series) cannot
+    * answer. One window pass + two 1-row aggs; grid time-domain-bounded.
+    * Double casts of the Decimal sums stay < 2⁵³ through sf-scale daily
+    * totals (~7e14 at sf0.1); the [[tsAdf]] headroom note applies. */
+  private def tsCointegration(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = U.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(when(col("event_type") === "click", col("vc")).otherwise(0L))
+          .as("xc"),
+        sum(when(col("event_type") === "purchase", col("vc")).otherwise(0L))
+          .as("yc"))
+    val grid = daily.groupBy()
+      .agg(min(col("dayi")).as("d0"), max(col("dayi")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("gd"))
+    val w = Window.orderBy(col("gd"))
+    val filled = U.track(grid.join(daily, col("gd") === col("dayi"), "left")
+      .select(col("gd"), coalesce(col("xc"), lit(0L)).as("x"),
+        coalesce(col("yc"), lit(0L)).as("y")).persist())
+    val ps1 = filled.groupBy().agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(DoubleType).as("sxx"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).cast(DoubleType).as("sxy"))
+    val lagged = filled
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .filter(col("xl").isNotNull)
+    def p(a: String, b: String) =
+      sum(col(a).cast(dec) * col(b).cast(dec)).cast(DoubleType)
+    val ps2 = lagged.groupBy().agg(
+      count(lit(1)).cast(DoubleType).as("m"),
+      sum(col("x")).cast(DoubleType).as("sx1"),
+      sum(col("y")).cast(DoubleType).as("sy1"),
+      sum(col("xl")).cast(DoubleType).as("sxl"),
+      sum(col("yl")).cast(DoubleType).as("syl"),
+      p("x", "x").as("sxx1"), p("y", "y").as("syy1"),
+      p("xl", "xl").as("sxlxl"), p("yl", "yl").as("sylyl"),
+      p("x", "y").as("sxy1"), p("xl", "yl").as("sxlyl"),
+      p("y", "yl").as("syyl"), p("y", "xl").as("syxl"),
+      p("x", "yl").as("sxyl"), p("x", "xl").as("sxxl"))
+    val b = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val a = (col("sy") - b * col("sx")) / col("n")
+    val m = col("m")
+    val seeL = col("syyl") - a * (col("sy1") + col("syl")) + a * a * m -
+      b * (col("syxl") + col("sxyl")) + a * b * (col("sx1") + col("sxl")) +
+      b * b * col("sxxl")
+    val sll = col("sylyl") - lit(2.0) * a * col("syl") + a * a * m -
+      lit(2.0) * b * col("sxlyl") + lit(2.0) * a * b * col("sxl") +
+      b * b * col("sxlxl")
+    val scc = col("syy1") - lit(2.0) * a * col("sy1") + a * a * m -
+      lit(2.0) * b * col("sxy1") + lit(2.0) * a * b * col("sx1") +
+      b * b * col("sxx1")
+    val beta = (seeL - sll) / sll
+    val rss = (scc - lit(2.0) * seeL + sll) - beta * (seeL - sll)
+    val se = sqrt(rss / (m - lit(1.0)) / sll)
+    ps1.crossJoin(broadcast(ps2))
+      .select(col("n").cast(LongType).as("n_days"),
+        m.cast(LongType).as("n_pairs"), b.as("b_coint"), a.as("a_coint"),
+        beta.as("beta_adf"), (beta / se).as("t_adf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cointegration" -> tsCointegration _,
     "ts_cusum_alarm" -> tsCusumAlarm _,
     "ts_variance_ratio" -> tsVarianceRatio _,
     "ts_pettitt" -> tsPettitt _,
@@ -2807,6 +2882,57 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_cointegration" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(SUM(CASE WHEN event_type = 'click' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS xc, " +
+        s"CAST(SUM(CASE WHEN event_type = 'purchase' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS yc FROM events " +
+        "WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "grid AS (SELECT unnest(range((SELECT MIN(dayi) FROM daily), " +
+        "(SELECT MAX(dayi) FROM daily) + 1)) AS gd), " +
+        "filled AS (SELECT gd, COALESCE(xc, 0) AS x, COALESCE(yc, 0) AS y " +
+        "FROM grid LEFT JOIN daily ON gd = dayi), " +
+        "ps1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy FROM filled), " +
+        "lg AS (SELECT x, y, lag(x) OVER (ORDER BY gd) AS xl, " +
+        "lag(y) OVER (ORDER BY gd) AS yl FROM filled), " +
+        "lagged AS (SELECT * FROM lg WHERE xl IS NOT NULL), " +
+        "ps2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, " +
+        "CAST(SUM(x) AS DOUBLE) AS sx1, CAST(SUM(y) AS DOUBLE) AS sy1, " +
+        "CAST(SUM(xl) AS DOUBLE) AS sxl, CAST(SUM(yl) AS DOUBLE) AS syl, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx1, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy1, " +
+        "CAST(SUM(CAST(xl AS HUGEINT) * xl) AS DOUBLE) AS sxlxl, " +
+        "CAST(SUM(CAST(yl AS HUGEINT) * yl) AS DOUBLE) AS sylyl, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy1, " +
+        "CAST(SUM(CAST(xl AS HUGEINT) * yl) AS DOUBLE) AS sxlyl, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * yl) AS DOUBLE) AS syyl, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * xl) AS DOUBLE) AS syxl, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * yl) AS DOUBLE) AS sxyl, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * xl) AS DOUBLE) AS sxxl " +
+        "FROM lagged), " +
+        "c1 AS (SELECT *, " +
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS b " +
+        "FROM ps1 CROSS JOIN ps2), " +
+        "c2 AS (SELECT *, (sy - b * sx) / n AS a FROM c1), " +
+        "c3 AS (SELECT *, " +
+        "syyl - a * (sy1 + syl) + a * a * m - b * (syxl + sxyl) + " +
+        "a * b * (sx1 + sxl) + b * b * sxxl AS see_l, " +
+        "sylyl - 2.0 * a * syl + a * a * m - 2.0 * b * sxlyl + " +
+        "2.0 * a * b * sxl + b * b * sxlxl AS sll, " +
+        "syy1 - 2.0 * a * sy1 + a * a * m - 2.0 * b * sxy1 + " +
+        "2.0 * a * b * sx1 + b * b * sxx1 AS scc FROM c2), " +
+        "c4 AS (SELECT *, (see_l - sll) / sll AS beta FROM c3), " +
+        "c5 AS (SELECT *, (scc - 2.0 * see_l + sll) - " +
+        "beta * (see_l - sll) AS rss FROM c4) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, CAST(m AS BIGINT) AS n_pairs, " +
+        "b AS b_coint, a AS a_coint, beta AS beta_adf, " +
+        "beta / sqrt(rss / (m - 1.0) / sll) AS t_adf FROM c5"
+    },
     "ts_cusum_alarm" -> {
       val vc = OSQL.cents("value")
       s"WITH base AS (SELECT event_type, ts, event_id, $vc AS vc " +

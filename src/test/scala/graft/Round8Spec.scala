@@ -1671,6 +1671,37 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ts_cointegration agrees with a direct residual-series ADF") {
+    // the query never materializes residuals (algebraic expansion); this
+    // recomputes them DIRECTLY, so the expansion itself is under test —
+    // tolerance-based because the float op order intentionally differs
+    val daily = dayIdxTotals()
+    val clicks = daily("click").toMap; val purch = daily("purchase").toMap
+    val ds = (daily.values.flatMap(_.map(_._1)).min to
+      daily.values.flatMap(_.map(_._1)).max)
+    val xs = ds.map(dy => clicks.getOrElse(dy, 0L).toDouble)
+    val ys = ds.map(dy => purch.getOrElse(dy, 0L).toDouble)
+    val n = xs.length.toDouble
+    val b = (n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    val a = (ys.sum - b * xs.sum) / n
+    val e = xs.zip(ys).map { case (x, y) => y - a - b * x }
+    val pairs = e.sliding(2).toSeq.map { case Seq(p0, p1) => (p0, p1) }
+    val sll = pairs.map(p => p._1 * p._1).sum
+    val beta = pairs.map(p => (p._2 - p._1) * p._1).sum / sll
+    val rss = pairs.map(p => math.pow(p._2 - p._1 - beta * p._1, 2)).sum
+    val t = beta / math.sqrt(rss / (pairs.length - 1.0) / sll)
+    val r = operators.TimeSeries.queries("ts_cointegration")(spark, sfDir)
+      .collect().head
+    def close(u: Double, v: Double) = math.abs(u - v) <=
+      1e-6 * math.max(math.abs(u), math.abs(v))
+    assert(r.getAs[Long]("n_days") == xs.length.toLong &&
+      close(r.getAs[Double]("b_coint"), b) &&
+      close(r.getAs[Double]("a_coint"), a) &&
+      close(r.getAs[Double]("beta_adf"), beta) &&
+      close(r.getAs[Double]("t_adf"), t))
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
