@@ -528,7 +528,34 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Token burstiness: the Fano factor (variance-to-mean ratio) of
+    * per-document counts for the 20 highest-df tokens — a token that
+    * appears uniformly (function word) scores ≈ its Bernoulli baseline;
+    * a topical/boilerplate token CLUMPS and scores high. Zero-count docs
+    * enter through the closed form (N·Σc² − (Σc)²)/(N·Σc) — no dense
+    * doc×token frame ever exists. One (doc, token) hash-agg, one
+    * per-token rollup, one TakeOrdered top-20 under a (df DESC, token)
+    * total order; vmr ships in exact micro-units via the DECIMAL DIV
+    * bridge. */
+  private def burstiness(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val perTok = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s1"),
+        sum((col("c") * col("c")).cast(dec)).as("s2"))
+    val nd = docs(s, d).groupBy().agg(count(lit(1)).as("nn"))
+    perTok.crossJoin(broadcast(nd))
+      .select(col("token"), col("df"), col("s1").as("total"),
+        expr("CAST((1000000 * (CAST(nn AS DECIMAL(38,0)) * s2 - " +
+          "CAST(s1 AS DECIMAL(38,0)) * s1)) DIV " +
+          "(CAST(nn AS DECIMAL(38,0)) * s1) AS BIGINT)").as("vmr_micro"))
+      .orderBy(col("df").desc, col("token")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_burstiness" -> burstiness _,
     "text_kl_source" -> klSource _,
     "text_source_overlap" -> sourceOverlap _,
     "text_ttr" -> ttr _,
@@ -572,6 +599,20 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_burstiness" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM tok GROUP BY 1, 2), " +
+        "pt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "CAST(SUM(c) AS BIGINT) AS s1, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS s2 FROM tc GROUP BY 1), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents) " +
+        "SELECT token, df, s1 AS total, " +
+        "CAST((1000000 * (CAST(nn AS HUGEINT) * s2 - " +
+        "CAST(s1 AS HUGEINT) * s1)) // " +
+        "(CAST(nn AS HUGEINT) * s1) AS BIGINT) AS vmr_micro " +
+        "FROM pt CROSS JOIN nd ORDER BY df DESC, token LIMIT 20"),
     "text_kl_source" ->
       (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

@@ -30,7 +30,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "llm/Pipeline.scala" -> 15,
     "llm/Similarity.scala" -> 10,
     "llm/Dedup.scala" -> 2,
-    "llm/TextAnalysis.scala" -> 11,
+    "llm/TextAnalysis.scala" -> 12,
     "streaming/StreamingQueries.scala" -> 3)
 
   test("every broadcast() site in src/main is inventoried in SCALE.md") {

@@ -1702,6 +1702,33 @@ class Round8Spec extends SparkTestBase {
       close(r.getAs[Double]("t_adf"), t))
   }
 
+  test("text_burstiness matches a scalar Fano-factor recompute") {
+    val docs = U.tbl(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val nn = docs.length.toLong
+    val counts = docs.flatMap { case (id, t) =>
+      // TextUtil.tokens = split on single spaces, empties dropped
+      t.split(" ", -1).filter(_.nonEmpty).map(w => (id, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((_, w), c) => w -> c }
+    val perTok = counts.groupBy(_._1).view.mapValues { cs =>
+      (cs.length.toLong, cs.map(_._2).sum, cs.map(c => BigInt(c._2) * c._2).sum)
+    }.toMap
+    val got = SparkEntry.queries("text_burstiness")(spark, sfDir).collect()
+    assert(got.length == 20)
+    // the query's (df DESC, token) order is a total order — check it and
+    // every row's exact closed form
+    val expTop = perTok.toSeq.sortBy { case (w, (df, _, _)) => (-df, w) }
+      .take(20)
+    got.zip(expTop).foreach { case (r, (w, (df, s1, s2))) =>
+      val vmr = (BigInt(1000000) * (BigInt(nn) * s2 - BigInt(s1) * s1)) /
+        (BigInt(nn) * s1)
+      assert(r.getString(0) == w && r.getAs[Long]("df") == df &&
+        r.getAs[Long]("total") == s1 &&
+        r.getAs[Long]("vmr_micro") == vmr.toLong, s"burstiness for $w")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
