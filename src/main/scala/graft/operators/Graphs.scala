@@ -1306,20 +1306,33 @@ object Graphs {
     * exact, ratio in integer micro-units. */
   private def graphTransitivityDir(s: SparkSession, d: String): DataFrame = {
     val e = orderSeqEdges(s, d).select(col("u"), col("v"))
-    val wedges = U.track(e.join(
-        e.select(col("u").as("v2"), col("v").as("w")),
+    // wedge COUNT needs no wedge frame: paths of length 2 = Σ_v in·out,
+    // and the u = w ones are exactly the reciprocal edge pairs — two
+    // degree rollups + one semi count instead of a 54M-row enumeration
+    // (the enumerate-then-count first cut spent 38 s at sf0.1 sorting the
+    // wedge frame through a merge join; this shape is ~1 s)
+    val ind = e.groupBy(col("v").as("nd")).agg(count(lit(1)).as("ind"))
+    val outd = e.groupBy(col("u").as("nd")).agg(count(lit(1)).as("outd"))
+    val paths2 = ind.join(outd, Seq("nd"))
+      .agg(sum(col("ind") * col("outd")).as("paths2"))
+    val recip = e.join(e.select(col("v").as("ru"), col("u").as("rv")),
+        col("u") === col("ru") && col("v") === col("rv"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    // closure count streams the wedges through BUILD-SIDE HASH joins —
+    // never persisted, never sorted (u = w wedges cannot close: no self
+    // edges exist, so the semi probe drops them for free)
+    val closed = e.join(e.select(col("u").as("v2"), col("v").as("w")),
         col("v") === col("v2"))
-      .filter(col("u") =!= col("w"))
-      .select(col("u"), col("w"))
-      .persist())
-    val closed = wedges.join(
-      e.select(col("u").as("cu"), col("v").as("cw")),
-      col("u") === col("cu") && col("w") === col("cw"), "left_semi")
+      .join(e.select(col("u").as("cu"), col("v").as("cw"))
+          .hint("shuffle_hash"),
+        col("u") === col("cu") && col("w") === col("cw"), "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
     e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
-      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
-        expr("(1000000 * n_closed) DIV n_wedges").as("transitivity_micro"))
+      .crossJoin(paths2).crossJoin(recip).crossJoin(closed)
+      .select(col("n_edges"),
+        (col("paths2") - col("n_recip")).as("n_wedges"), col("n_closed"),
+        expr("(1000000 * n_closed) DIV (paths2 - n_recip)")
+          .as("transitivity_micro"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
