@@ -170,21 +170,49 @@ object Dedup {
     * the shingle hashes instead of nPerm interpreted scans); candidate
     * pairs are deduped as bare (da, db) BEFORE the shingle arrays join back
     * in, so the banding shuffle never carries arrays. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The LSH band-candidate pairs (pre-verification) — the ONE definition
+    * [[minhashPairs]] verifies and [[lshRecall]] measures. */
+  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
     val nPerm = 16
-    val base = shingled(s, d)
-    val signed = base.select(col("doc_id"),
+    val signed = shingled(s, d).select(col("doc_id"),
       graft.plans.CustomExprs.minhash_sigs(col("hs"), nPerm).as("sigs"))
     val bands = (0 until 4).map { bIdx =>
       signed.select(col("doc_id"), lit(bIdx).as("band"),
         concat_ws(":", (0 until 4).map(r => element_at(col("sigs"), bIdx * 4 + r + 1)): _*)
           .as("bkey"))
     }.reduce(_ unionByName _)
-    val cand = bands.alias("x").join(bands.alias("y"),
+    bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
+  }
+
+  /** LSH candidate recall MEASURED: of the pairs the df-capped exact
+    * index scores at jaccard >= 0.2 (the dedup_jaccard truth set), what
+    * share did MinHash banding surface as candidates? — the quality gate
+    * a deployment checks before the bands replace the exact index (the
+    * text sibling of sim_recall_at_k). Both sides are the library's own
+    * declared kernels (one definition each); the measurement is one
+    * semi join + three counts, and the oracle nests both queries'
+    * oracles so the three cannot drift. */
+  private def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = jaccardPairsShared(s, d).filter(col("jac") >= 0.2)
+      .select(col("da"), col("db"))
+    val cand = U.track(bandCandidates(s, d).persist())
+    val hit = truth.join(
+      cand.select(col("da").as("ca"), col("db").as("cb")),
+      col("da") === col("ca") && col("db") === col("cb"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("(1000000 * n_hit) DIV n_truth").as("recall_micro"))
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+    val cand = bandCandidates(s, d)
     cand
       .join(base.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
       .join(base.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
@@ -458,6 +486,7 @@ object Dedup {
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
     "dedup_compare" -> dedupCompare _,
+    "dedup_lsh_recall" -> lshRecall _,
     "dedup_jaccard" -> jaccardPairs _,
     "dedup_containment" -> containmentPairs _,
     "dedup_minhash" -> minhashPairs _,
@@ -579,6 +608,33 @@ object Dedup {
       ("SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') " +
         "AS prefix, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_docs " +
         "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keeper"),
+    "dedup_lsh_recall" -> {
+      val ph = sqlPolyHash("t", 13L)
+      s"WITH $jaccardCtes, " +
+        "truth AS (SELECT da, db FROM pairs WHERE " +
+        "CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) " +
+        ">= 0.2), " +
+        s"hs2 AS (SELECT doc_id, list_transform(ss, t -> $ph) AS hl " +
+        "FROM sized WHERE len(ss) > 0), " +
+        "sig AS (SELECT doc_id, list_transform(range(0, 16), k -> " +
+        "list_min(list_transform(hl, h -> " +
+        "(h*(2*k+1) + k*12345 + 7) % 1000000007))) AS sigs FROM hs2), " +
+        "bands AS (SELECT doc_id, b, list_slice(sigs, " +
+        "CAST(b*4+1 AS INTEGER), CAST(b*4+4 AS INTEGER)) AS bkey " +
+        "FROM sig CROSS JOIN range(0, 4) t(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db " +
+        "FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey " +
+        "AND x.doc_id < y.doc_id), " +
+        "hit AS (SELECT t.da FROM truth t JOIN cand c " +
+        "ON t.da = c.da AND t.db = c.db) " +
+        "SELECT n_truth, n_cand, n_hit, " +
+        "(1000000 * n_hit) // n_truth AS recall_micro FROM " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth) " +
+        "CROSS JOIN " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand) " +
+        "CROSS JOIN " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM hit)"
+    },
     "dedup_jaccard" ->
       (s"WITH $jaccardCtes " +
         "SELECT da, db, common, CAST(common AS DOUBLE) / " +

@@ -501,6 +501,30 @@ object Scans {
     * dictionary encoding — the storage-footprint knob that matters at
     * 100 TB (codec choice is per-write, verified by reading the file
     * footer's codec back). Values round-trip losslessly. */
+  /** Parquet BLOOM FILTER write posture: part is rewritten with a bloom
+    * filter on p_partkey (`parquet.bloom.filter.enabled#<col>` — the
+    * column-specific writer option) plus dictionary off for that column
+    * so the filter actually carries the skipping load, then probed with a
+    * 3-key IN scan. At 100 TB this is the point-lookup layout: a bloom
+    * filter answers "row group definitely lacks this key" where min/max
+    * stats are useless on a high-cardinality unsorted column. The oracle
+    * probes the ORIGINAL table — a filter that dropped or hallucinated
+    * rows hash-fails. */
+  private def sinkParquetBloom(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_parquet_bloom")
+    U.tbl(s, d, "part")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#p_partkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#p_partkey", "200000")
+      .option("parquet.enable.dictionary#p_partkey", "false")
+      .parquet(path)
+    s.read.parquet(path)
+      .filter(col("p_partkey").isin(1L, 77L, 1009L))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   private def sinkZstd(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_zstd")
     U.tbl(s, d, "part")
@@ -654,6 +678,7 @@ object Scans {
     "sink_parquet" -> sinkParquet _,
     "sink_jsonl" -> sinkJsonl _,
     "sink_custom_stats" -> sinkCustomStats _,
+    "sink_parquet_bloom" -> sinkParquetBloom _,
     "sink_zstd" -> sinkZstd _,
     "sql_ddl_roundtrip" -> sqlDdlRoundtrip _,
     "scan_nested_pruning" -> scanNestedPruning _,
@@ -773,6 +798,9 @@ object Scans {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         s"CAST(SUM(${OSQL.cents("value")}) AS BIGINT) AS sum_cents " +
         "FROM events"),
+    "sink_parquet_bloom" ->
+      ("SELECT p_partkey, p_name, p_brand, p_retailprice FROM part " +
+        "WHERE p_partkey IN (1, 77, 1009) ORDER BY p_partkey"),
     "sink_zstd" -> "SELECT * FROM part ORDER BY p_partkey",
     "scan_nested_pruning" ->
       ("SELECT o_orderkey, o_totalprice AS price FROM orders " +

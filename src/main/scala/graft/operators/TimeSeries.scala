@@ -2699,7 +2699,36 @@ object TimeSeries {
         beta.as("beta_adf"), (beta / se).as("t_adf"))
   }
 
+  /** Durbin–Watson statistic per event type on the time-ordered value
+    * series: DW = ΣΔ²/Σ(x−x̄)² ≈ 2(1−ρ₁) — the classic one-number
+    * autocorrelation screen (≈2 independent, →0 positively sticky, →4
+    * alternating; the single-lag decision companion of [[tsAcfLags]]'
+    * full correlogram). FULLY integer: ΣΔ² from one lag pass, the
+    * centered denominator as n·Σx² − (Σx)², DW in exact micro-units via
+    * the DECIMAL DIV bridge. One window sort + one hash-agg. */
+  private def tsDurbinWatson(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val lagged = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("xl", lag(col("vc"), 1).over(w))
+    lagged.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("vc")).as("sx"),
+        sum((col("vc") * col("vc")).cast(dec)).as("sxx"),
+        sum(when(col("xl").isNotNull,
+          ((col("vc") - col("xl")) * (col("vc") - col("xl"))).cast(dec)))
+          .as("sd2"))
+      .select(col("event_type"), col("n"),
+        expr("CAST((1000000 * CAST(n AS DECIMAL(38,0)) * sd2) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)").as("dw_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_durbin_watson" -> tsDurbinWatson _,
     "ts_cointegration" -> tsCointegration _,
     "ts_cusum_alarm" -> tsCusumAlarm _,
     "ts_variance_ratio" -> tsVarianceRatio _,
@@ -2882,6 +2911,22 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_durbin_watson" -> {
+      val vc = OSQL.cents("value")
+      s"WITH lg AS (SELECT event_type, $vc AS vc, " +
+        s"lag($vc) OVER (PARTITION BY event_type ORDER BY ts, event_id) " +
+        "AS xl FROM events), " +
+        "ps AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sx, " +
+        "SUM(CAST(vc AS HUGEINT) * vc) AS sxx, " +
+        "SUM(CASE WHEN xl IS NOT NULL THEN " +
+        "CAST((vc - xl) AS HUGEINT) * (vc - xl) END) AS sd2 " +
+        "FROM lg GROUP BY 1) " +
+        "SELECT event_type, n, " +
+        "CAST((1000000 * CAST(n AS HUGEINT) * sd2) // " +
+        "(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) " +
+        "AS dw_micro FROM ps ORDER BY event_type"
+    },
     "ts_cointegration" -> {
       val vc = OSQL.cents("value")
       s"WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +

@@ -1729,6 +1729,66 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("sink_parquet_bloom writes a REAL bloom filter into the footer") {
+    import scala.jdk.CollectionConverters._
+    SparkEntry.queries("sink_parquet_bloom")(spark, sfDir).collect()
+    val dir = new java.io.File(U.scratch(sfDir, "sink_parquet_bloom"))
+    val pf = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val pk = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "p_partkey").get
+      assert(pk.getBloomFilterOffset >= 0,
+        "no bloom filter offset on p_partkey — the write option regressed")
+      val bf = reader.readBloomFilter(pk)
+      assert(bf != null, "bloom filter unreadable")
+      // a written key must test positive (no false negatives — the
+      // bloom contract the scan-skipping relies on)
+      val hash = bf.hash(1L)
+      assert(bf.findHash(hash), "present key tests negative")
+    } finally reader.close()
+  }
+
+  test("ts_durbin_watson equals 2(1 - acf1)-style scalar recompute") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "value").orderBy("event_type", "ts", "event_id")
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    val got = operators.TimeSeries.queries("ts_durbin_watson")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("dw_micro")).toMap
+    for ((et, xs) <- byType) {
+      val n = xs.length.toLong
+      val sd2 = xs.sliding(2).collect { case Seq(a, b) =>
+        BigInt(b - a) * (b - a) }.sum
+      val den = BigInt(n) * xs.map(x => BigInt(x) * x).sum -
+        BigInt(xs.sum) * xs.sum
+      assert(got(et) == (BigInt(1000000) * n * sd2 / den).toLong,
+        s"DW diverges for $et")
+    }
+  }
+
+  test("dedup_lsh_recall counts agree with the two declared frames") {
+    val r = SparkEntry.queries("dedup_lsh_recall")(spark, sfDir)
+      .collect().head
+    val truth = SparkEntry.queries("dedup_jaccard")(spark, sfDir)
+      .select("da", "db").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val cand = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      .select("da", "db").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(r.getAs[Long]("n_truth") == truth.size.toLong)
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth") &&
+      r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+    // every VERIFIED minhash pair is by construction a surfaced candidate,
+    // so hits must cover at least the truth ∩ verified-minhash overlap
+    assert(r.getAs[Long]("n_hit") >= (truth & cand).size.toLong)
+    assert(r.getAs[Long]("recall_micro") ==
+      1000000L * r.getAs[Long]("n_hit") / r.getAs[Long]("n_truth"))
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
