@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.U
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -187,7 +188,12 @@ object Multimodal {
     * that altered even one pixel would hash-fail. This is the image rung
     * of near-dup detection: downstream, Hamming distance on these words
     * is the multimodal sibling of sim_hamming_topk. */
-  private def phash(s: SparkSession, d: String): DataFrame = {
+  private def phash(s: SparkSession, d: String): DataFrame =
+    phashFrame(s, d).orderBy("doc_id")
+
+  /** The (doc_id, w0, w1, n_ones) aHash frame — the ONE codec-backed
+    * definition [[phash]] declares and [[phashTopk]] ranks over. */
+  private def phashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
     ids.mapPartitions { it =>
@@ -221,7 +227,32 @@ object Multimodal {
         }
         PHash(id, w0, w1, ones)
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF()
+  }
+
+  /** Image similarity search on the perceptual hash, THROUGH the codec:
+    * top-3 nearest images by 64-bit aHash Hamming distance for the 8
+    * lowest-id probe images — the multimodal rung of sim_hamming_topk
+    * (8 bytes/image; the probe block broadcasts, the corpus streams
+    * once, no pair materialization). Deterministic (hamming, doc_id)
+    * tiebreak; the oracle recomputes every hash from the closed-form
+    * pixels, so one codec-altered pixel reorders a neighbor list and
+    * hash-fails. */
+  private def phashTopk(s: SparkSession, d: String): DataFrame = {
+    val ph = phashFrame(s, d)
+    val q = ph.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"), col("w0").as("q0"),
+        col("w1").as("q1"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("doc_id"))
+    ph.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("hamming"))
+      .orderBy("q_id", "rank")
   }
 
   /** Exact binary dedup by content digest (the checksum rung of image/audio
@@ -290,12 +321,36 @@ object Multimodal {
     "multimodal_wav_stats" -> wavStats _,
     "multimodal_codec_roundtrip" -> codecRoundtrip _,
     "multimodal_phash" -> phash _,
+    "multimodal_phash_topk" -> phashTopk _,
     "multimodal_dedup" -> dedupBinary _,
     "multimodal_schema" -> schema _,
     "multimodal_decode" -> decode _,
     "multimodal_resize" -> resize _,
     "multimodal_features" -> features _,
     "multimodal_framesample" -> frameSample _)
+
+  /** Closed-form pixel → aHash CTE chain ending at `ph(doc_id, w0, w1,
+    * n_ones)` — shared by the phash and phash_topk oracles so the two
+    * cannot drift (and neither ever touches a PNG byte). */
+  private val phashCtes: String =
+    "b AS (SELECT doc_id, 4 + doc_id % 5 AS w, " +
+      "4 + (doc_id * 7) % 5 AS h FROM documents), " +
+      "px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM b), " +
+      "g AS (SELECT doc_id, k, " +
+      "(doc_id * 31 + k) % 256 + " +
+      "(doc_id * 17 + (k // w) * 3 + (k % w) * 5) % 256 + " +
+      "(doc_id * 13 + (k // w) * 7 + (k % w) * 11) % 256 AS gray FROM px), " +
+      "t AS (SELECT doc_id AS td, CAST(COUNT(*) AS BIGINT) AS npx, " +
+      "CAST(SUM(gray) AS BIGINT) AS sg FROM g GROUP BY 1), " +
+      "bits AS (SELECT doc_id, k, CASE WHEN gray * npx > sg THEN 1 " +
+      "ELSE 0 END AS bit FROM g JOIN t ON doc_id = td), " +
+      "ph AS (SELECT doc_id, " +
+      "CAST(SUM(CASE WHEN k < 32 AND bit = 1 THEN " +
+      "CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS w0, " +
+      "CAST(SUM(CASE WHEN k >= 32 AND bit = 1 THEN " +
+      "CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS w1, " +
+      "CAST(SUM(bit) AS BIGINT) AS n_ones " +
+      "FROM bits GROUP BY doc_id)"
 
   val oracleSql: Map[String, String] = Map(
     // the oracle never touches the WAV container: PCM16 is lossless and
@@ -328,24 +383,20 @@ object Multimodal {
         "CAST(SUM((k + 1) * (r + g + bb)) AS BIGINT) AS pix_checksum " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_phash" ->
-      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS w, " +
-        "4 + (doc_id * 7) % 5 AS h FROM documents), " +
-        "px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM b), " +
-        "g AS (SELECT doc_id, k, " +
-        "(doc_id * 31 + k) % 256 + " +
-        "(doc_id * 17 + (k // w) * 3 + (k % w) * 5) % 256 + " +
-        "(doc_id * 13 + (k // w) * 7 + (k % w) * 11) % 256 AS gray FROM px), " +
-        "t AS (SELECT doc_id AS td, CAST(COUNT(*) AS BIGINT) AS npx, " +
-        "CAST(SUM(gray) AS BIGINT) AS sg FROM g GROUP BY 1), " +
-        "bits AS (SELECT doc_id, k, CASE WHEN gray * npx > sg THEN 1 " +
-        "ELSE 0 END AS bit FROM g JOIN t ON doc_id = td) " +
-        "SELECT doc_id, " +
-        "CAST(SUM(CASE WHEN k < 32 AND bit = 1 THEN " +
-        "CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END) AS BIGINT) AS w0, " +
-        "CAST(SUM(CASE WHEN k >= 32 AND bit = 1 THEN " +
-        "CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS w1, " +
-        "CAST(SUM(bit) AS BIGINT) AS n_ones " +
-        "FROM bits GROUP BY doc_id ORDER BY doc_id"),
+      (s"WITH $phashCtes " +
+        "SELECT doc_id, w0, w1, n_ones FROM ph ORDER BY doc_id"),
+    "multimodal_phash_topk" ->
+      (s"WITH $phashCtes, " +
+        "q AS (SELECT doc_id AS q_id, w0 AS q0, w1 AS q1 FROM ph " +
+        "WHERE doc_id < 8), " +
+        "sc AS (SELECT q_id, doc_id, " +
+        "CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) " +
+        "AS hamming FROM ph CROSS JOIN q WHERE doc_id <> q_id), " +
+        "rk AS (SELECT q_id, doc_id, hamming, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY hamming, doc_id) AS BIGINT) AS rank FROM sc) " +
+        "SELECT q_id, rank, doc_id, hamming FROM rk WHERE rank <= 3 " +
+        "ORDER BY q_id, rank"),
     "multimodal_dedup" ->
       ("SELECT sha256(text) AS digest, MIN(doc_id) AS keeper, " +
         "COUNT(*) AS n_copies, " +

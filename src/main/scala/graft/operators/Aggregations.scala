@@ -1610,7 +1610,65 @@ object Aggregations {
           "AS BIGINT)").as("stat_micro"))
   }
 
+  /** Hill tail-index terms per event type: (1/k)Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    * top-k = 50 order statistics — the heavy-tail estimator (1/α̂) that
+    * tells a capacity planner whether extremes are power-law or benign
+    * ([[aggMoments]]' kurtosis saturates long before this distinguishes
+    * tails). The top-(k+1) cut rides one window rank under the exact
+    * (cents DESC, event_id) total order; each term's log argument is an
+    * exact integer ratio and the term MICRO-FLOORS before the sum. The
+    * boundary frame is |types| rows — broadcast. */
+  private def aggHillTail(s: SparkSession, d: String): DataFrame = {
+    val k = 50
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vc").desc, col("event_id"))
+    val ranked = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .filter(col("vc") > 0)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k + 1)
+    val xk = ranked.filter(col("rn") === k + 1)
+      .select(col("event_type").as("et"), col("vc").as("xk"))
+    ranked.filter(col("rn") <= k)
+      .join(broadcast(xk), col("event_type") === col("et"))
+      .withColumn("term_micro", floor(lit(1000000.0) *
+        log(col("vc").cast(DoubleType) / col("xk"))).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), max(col("xk")).as("x_k1"),
+        sum(col("term_micro")).as("sum_ln_micro"))
+      .withColumn("hill_inv_alpha",
+        col("sum_ln_micro").cast(DoubleType) / (lit(1000000.0) * col("k")))
+      .orderBy("event_type")
+  }
+
+  /** Odds ratio of purchase conversion, even vs odd user cohorts — the
+    * effect-size companion of [[aggPropZtest]]'s significance (an OR the
+    * z-test cannot express when baselines differ). Fully integer until
+    * the closing logs: OR in exact micro-units via cross-multiplied
+    * Decimal DIV; ln(OR)'s argument is the same exact integer ratio
+    * (Decimal(38,0)↔HUGEINT cross products); the standard error of
+    * ln(OR) is one mirrored double tree. One conditional hash-agg. */
+  private def aggOddsRatio(s: SparkSession, d: String): DataFrame = {
+    val ps = U.events(s, d).groupBy().agg(
+      sum(when(col("user_id") % 2 === 0 && col("event_type") === "purchase",
+        1L).otherwise(0L)).as("a"),
+      sum(when(col("user_id") % 2 === 0 && col("event_type") =!= "purchase",
+        1L).otherwise(0L)).as("b"),
+      sum(when(col("user_id") % 2 === 1 && col("event_type") === "purchase",
+        1L).otherwise(0L)).as("c"),
+      sum(when(col("user_id") % 2 === 1 && col("event_type") =!= "purchase",
+        1L).otherwise(0L)).as("d"))
+    ps.select(col("a"), col("b"), col("c"), col("d"),
+      expr("CAST((1000000 * CAST(a AS DECIMAL(38,0)) * d) DIV " +
+        "(CAST(b AS DECIMAL(38,0)) * c) AS BIGINT)").as("or_micro"),
+      expr("ln(CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE) / " +
+        "CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE))").as("log_or"),
+      expr("sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)").as("se_log_or"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hill_tail" -> aggHillTail _,
+    "agg_odds_ratio" -> aggOddsRatio _,
     "agg_friedman" -> aggFriedman _,
     "agg_hellinger" -> aggHellinger _,
     "agg_kruskal" -> aggKruskal _,
@@ -1750,6 +1808,42 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_hill_tail" -> {
+      val vc = OSQL.cents("value")
+      s"WITH r AS (SELECT event_type, $vc AS vc, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        s"ORDER BY $vc DESC, event_id) AS BIGINT) AS rn FROM events " +
+        s"WHERE $vc > 0), " +
+        "topk AS (SELECT * FROM r WHERE rn <= 51), " +
+        "bd AS (SELECT event_type AS et, vc AS xk FROM topk " +
+        "WHERE rn = 51), " +
+        "tm AS (SELECT event_type, xk, " +
+        "CAST(floor(1000000.0 * ln(CAST(vc AS DOUBLE) / xk)) AS BIGINT) " +
+        "AS term_micro FROM topk JOIN bd ON event_type = et " +
+        "WHERE rn <= 50) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k, " +
+        "CAST(MAX(xk) AS BIGINT) AS x_k1, " +
+        "CAST(SUM(term_micro) AS BIGINT) AS sum_ln_micro, " +
+        "CAST(SUM(term_micro) AS DOUBLE) / (1000000.0 * COUNT(*)) " +
+        "AS hill_inv_alpha FROM tm GROUP BY 1 ORDER BY event_type"
+    },
+    "agg_odds_ratio" ->
+      ("WITH ps AS (SELECT " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type <> 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS d FROM events) " +
+        "SELECT a, b, c, d, " +
+        "CAST((1000000 * CAST(a AS HUGEINT) * d) // " +
+        "(CAST(b AS HUGEINT) * c) AS BIGINT) AS or_micro, " +
+        "ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE) / " +
+        "CAST(CAST(b AS HUGEINT) * c AS DOUBLE)) AS log_or, " +
+        "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se_log_or " +
+        "FROM ps"),
     "agg_friedman" -> {
       val vc = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +

@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
     "operators/TimeSeries.scala" -> 18,
-    "operators/Aggregations.scala" -> 37,
+    "operators/Aggregations.scala" -> 38,
     "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
@@ -30,6 +30,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "llm/Pipeline.scala" -> 15,
     "llm/Similarity.scala" -> 10,
     "llm/Dedup.scala" -> 2,
+    "llm/Multimodal.scala" -> 1,
     "llm/TextAnalysis.scala" -> 12,
     "streaming/StreamingQueries.scala" -> 3)
 

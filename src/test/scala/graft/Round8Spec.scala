@@ -1789,6 +1789,61 @@ class Round8Spec extends SparkTestBase {
       1000000L * r.getAs[Long]("n_hit") / r.getAs[Long]("n_truth"))
   }
 
+  test("agg_hill_tail matches a scalar top-k order-statistic recompute") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1)), r.getLong(2)))
+      .filter(_._2 > 0)
+      .groupBy(_._1)
+    val got = operators.Aggregations.queries("agg_hill_tail")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, rows) <- byType if rows.length > 51) {
+      val top = rows.sortBy(t => (-t._2, t._3)).take(51).map(_._2)
+      val xk = top(50)
+      val sum = top.take(50)
+        .map(x => math.floor(1e6 * math.log(x.toDouble / xk)).toLong).sum
+      val r = got(et)
+      assert(r.getAs[Long]("k") == 50L && r.getAs[Long]("x_k1") == xk &&
+        r.getAs[Long]("sum_ln_micro") == sum, s"Hill diverges for $et")
+    }
+  }
+
+  test("agg_odds_ratio is consistent with the prop_ztest cell counts") {
+    val r = operators.Aggregations.queries("agg_odds_ratio")(spark, sfDir)
+      .collect().head
+    val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d"))
+    val total = U.events(spark, sfDir).count()
+    assert(a + b + c + d == total)
+    assert(r.getAs[Long]("or_micro") ==
+      (BigInt(1000000) * a * d / (BigInt(b) * c)).toLong)
+    assert(r.getAs[Double]("log_or") ==
+      math.log((BigInt(a) * d).toDouble / (BigInt(b) * c).toDouble))
+  }
+
+  test("multimodal_phash_topk neighbors agree with the declared hashes") {
+    val hashes = SparkEntry.queries("multimodal_phash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = SparkEntry.queries("multimodal_phash_topk")(spark, sfDir)
+      .collect()
+    val probes = hashes.keys.filter(_ < 8)
+    assert(got.length == probes.size * 3)
+    got.foreach { r =>
+      val (q0, q1) = hashes(r.getAs[Long]("q_id"))
+      val (w0, w1) = hashes(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("hamming") ==
+        java.lang.Long.bitCount(w0 ^ q0) + java.lang.Long.bitCount(w1 ^ q1))
+    }
+    // rank-1 really is the minimum over the whole corpus
+    got.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val q = r.getAs[Long]("q_id"); val (q0, q1) = hashes(q)
+      val best = hashes.collect { case (id, (w0, w1)) if id != q =>
+        java.lang.Long.bitCount(w0 ^ q0) + java.lang.Long.bitCount(w1 ^ q1)
+      }.min
+      assert(r.getAs[Long]("hamming") == best.toLong)
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
