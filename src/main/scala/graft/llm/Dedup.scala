@@ -210,6 +210,28 @@ object Dedup {
         expr("(1000000 * n_hit) DIV n_truth").as("recall_micro"))
   }
 
+  /** Near-duplication rate BY SOURCE: the share of each source's docs
+    * that sit in at least one cross-doc near-dup pair (jac >= 0.2) —
+    * "which crawl is the most redundant", the per-source report a corpus
+    * curator reads before setting mixing weights (dedup_compare ranks
+    * strategies; this ranks SOURCES). Served from the shared pair cache
+    * — no new self-join; one doc-keyed left join + one |sources| agg,
+    * rate in exact micro-units. */
+  private def dedupSourceRate(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairsShared(s, d).filter(col("jac") >= 0.2)
+    val dup = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id")))
+      .distinct().withColumn("isdup", lit(1L))
+    docs(s, d).select(col("doc_id"), col("source"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("(1000000 * n_dup) DIV n_docs").as("dup_rate_micro"))
+      .orderBy("source")
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val base = shingled(s, d)
     val cand = bandCandidates(s, d)
@@ -486,6 +508,7 @@ object Dedup {
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
     "dedup_compare" -> dedupCompare _,
+    "dedup_source_rate" -> dedupSourceRate _,
     "dedup_lsh_recall" -> lshRecall _,
     "dedup_jaccard" -> jaccardPairs _,
     "dedup_containment" -> containmentPairs _,
@@ -608,6 +631,20 @@ object Dedup {
       ("SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') " +
         "AS prefix, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_docs " +
         "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keeper"),
+    "dedup_source_rate" ->
+      (s"WITH $jaccardCtes, " +
+        "dup AS (SELECT DISTINCT doc_id FROM (" +
+        "SELECT da AS doc_id FROM pairs WHERE CAST(common AS DOUBLE) / " +
+        "CAST(na + nb - common AS DOUBLE) >= 0.2 UNION ALL " +
+        "SELECT db AS doc_id FROM pairs WHERE CAST(common AS DOUBLE) / " +
+        "CAST(na + nb - common AS DOUBLE) >= 0.2)) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dup, " +
+        "(1000000 * SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END)) // COUNT(*) AS dup_rate_micro " +
+        "FROM documents LEFT JOIN dup ON documents.doc_id = dup.doc_id " +
+        "GROUP BY source ORDER BY source"),
     "dedup_lsh_recall" -> {
       val ph = sqlPolyHash("t", 13L)
       s"WITH $jaccardCtes, " +

@@ -1666,7 +1666,29 @@ object Aggregations {
       expr("sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)").as("se_log_or"))
   }
 
+  /** Chapman capture–recapture estimate of the total user population
+    * from two incomplete observation channels (users seen clicking vs
+    * users seen purchasing): N̂ = (a+1)(b+1)/(m+1) − 1 with m the overlap
+    * — the data-quality classic for "how many users do the logs MISS",
+    * checkable here because the fixture knows the true count. Fully
+    * integer (Decimal DIV); one per-user flag agg + one count rollup. */
+  private def aggChapman(s: SparkSession, d: String): DataFrame = {
+    val perUser = U.events(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2"))
+    perUser.groupBy().agg(
+        count(lit(1)).as("n_true"),
+        sum(col("c1")).as("a"), sum(col("c2")).as("b"),
+        sum(col("c1") * col("c2")).as("m"))
+      .select(col("n_true"), col("a"), col("b"), col("m"),
+        expr("CAST((CAST(a + 1 AS DECIMAL(38,0)) * (b + 1)) DIV (m + 1) " +
+          "- 1 AS BIGINT)").as("chapman_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chapman" -> aggChapman _,
     "agg_hill_tail" -> aggHillTail _,
     "agg_odds_ratio" -> aggOddsRatio _,
     "agg_friedman" -> aggFriedman _,
@@ -1808,6 +1830,17 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_chapman" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS c1, " +
+        "CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS c2 FROM events GROUP BY 1) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_true, " +
+        "CAST(SUM(c1) AS BIGINT) AS a, CAST(SUM(c2) AS BIGINT) AS b, " +
+        "CAST(SUM(c1 * c2) AS BIGINT) AS m, " +
+        "CAST((CAST(SUM(c1) + 1 AS HUGEINT) * (SUM(c2) + 1)) // " +
+        "(SUM(c1 * c2) + 1) - 1 AS BIGINT) AS chapman_n FROM pu"),
     "agg_hill_tail" -> {
       val vc = OSQL.cents("value")
       s"WITH r AS (SELECT event_type, $vc AS vc, " +

@@ -1844,6 +1844,38 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("dedup_source_rate counts agree with the declared jaccard pairs") {
+    val pairs = SparkEntry.queries("dedup_jaccard")(spark, sfDir)
+      .select("da", "db").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val srcOf = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = SparkEntry.queries("dedup_source_rate")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((src, rows) <- srcOf.groupBy(_._2)) {
+      val nDup = rows.count(r => pairs(r._1)).toLong
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong &&
+        r.getAs[Long]("n_dup") == nDup &&
+        r.getAs[Long]("dup_rate_micro") == 1000000L * nDup / rows.length,
+        s"dup rate diverges for $src")
+    }
+  }
+
+  test("agg_chapman cells partition the user base and estimate sanely") {
+    val r = operators.Aggregations.queries("agg_chapman")(spark, sfDir)
+      .collect().head
+    val (nTrue, a, b, m) = (r.getAs[Long]("n_true"), r.getAs[Long]("a"),
+      r.getAs[Long]("b"), r.getAs[Long]("m"))
+    assert(m <= math.min(a, b) && math.max(a, b) <= nTrue)
+    val chap = (BigInt(a + 1) * (b + 1) / (m + 1) - 1).toLong
+    assert(r.getAs[Long]("chapman_n") == chap)
+    // Chapman never exceeds what independence would allow by much; at
+    // minimum it must be at least the larger marginal
+    assert(chap >= math.max(a, b))
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
