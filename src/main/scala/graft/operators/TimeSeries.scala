@@ -2910,6 +2910,40 @@ object TimeSeries {
       "c.close_c FROM ba a JOIN cl c USING (event_type, day))"
   }
 
+  /** DuckDB mirror of [[tsCusumAlarm]]'s per-type rollup — shared with the
+    * streaming twin `stream_cusum`, which replays the SAME recursion
+    * through transformWithState, so the two queries cannot drift. */
+  private[graft] val cusumAlarmSql: String = {
+    val vc = OSQL.cents("value")
+    s"WITH base AS (SELECT event_type, ts, event_id, $vc AS vc " +
+      "FROM events), " +
+      "st AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(vc) AS BIGINT) AS sx FROM base GROUP BY 1), " +
+      "dev AS (SELECT event_type, ts, event_id, n, " +
+      "CAST(n AS HUGEINT) * (vc - 500) - sx AS dp, " +
+      "CAST(sx AS HUGEINT) - CAST(n AS HUGEINT) * (vc + 500) AS dm " +
+      "FROM base JOIN st ON event_type = et), " +
+      "cum AS (SELECT event_type, ts, event_id, n, " +
+      "SUM(dp) OVER w AS cp, SUM(dm) OVER w AS cm FROM dev " +
+      "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "sc AS (SELECT event_type, ts, n, " +
+      "cp - least(CAST(0 AS HUGEINT), MIN(cp) OVER w) AS sp, " +
+      "cm - least(CAST(0 AS HUGEINT), MIN(cm) OVER w) AS sm FROM cum " +
+      "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN sp > CAST(n AS HUGEINT) * 5000 THEN 1 " +
+      "ELSE 0 END) AS BIGINT) AS n_alarms_high, " +
+      "CAST(SUM(CASE WHEN sm > CAST(n AS HUGEINT) * 5000 THEN 1 " +
+      "ELSE 0 END) AS BIGINT) AS n_alarms_low, " +
+      "CAST(MIN(CASE WHEN sp > CAST(n AS HUGEINT) * 5000 " +
+      "THEN epoch_us(ts) END) AS BIGINT) AS first_high_us, " +
+      "CAST(MIN(CASE WHEN sm > CAST(n AS HUGEINT) * 5000 " +
+      "THEN epoch_us(ts) END) AS BIGINT) AS first_low_us " +
+      "FROM sc GROUP BY event_type ORDER BY event_type"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ts_durbin_watson" -> {
       val vc = OSQL.cents("value")
@@ -2978,36 +3012,7 @@ object TimeSeries {
         "b AS b_coint, a AS a_coint, beta AS beta_adf, " +
         "beta / sqrt(rss / (m - 1.0) / sll) AS t_adf FROM c5"
     },
-    "ts_cusum_alarm" -> {
-      val vc = OSQL.cents("value")
-      s"WITH base AS (SELECT event_type, ts, event_id, $vc AS vc " +
-        "FROM events), " +
-        "st AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(SUM(vc) AS BIGINT) AS sx FROM base GROUP BY 1), " +
-        "dev AS (SELECT event_type, ts, event_id, n, " +
-        "CAST(n AS HUGEINT) * (vc - 500) - sx AS dp, " +
-        "CAST(sx AS HUGEINT) - CAST(n AS HUGEINT) * (vc + 500) AS dm " +
-        "FROM base JOIN st ON event_type = et), " +
-        "cum AS (SELECT event_type, ts, event_id, n, " +
-        "SUM(dp) OVER w AS cp, SUM(dm) OVER w AS cm FROM dev " +
-        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
-        "sc AS (SELECT event_type, ts, n, " +
-        "cp - least(CAST(0 AS HUGEINT), MIN(cp) OVER w) AS sp, " +
-        "cm - least(CAST(0 AS HUGEINT), MIN(cm) OVER w) AS sm FROM cum " +
-        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
-        "CAST(SUM(CASE WHEN sp > CAST(n AS HUGEINT) * 5000 THEN 1 " +
-        "ELSE 0 END) AS BIGINT) AS n_alarms_high, " +
-        "CAST(SUM(CASE WHEN sm > CAST(n AS HUGEINT) * 5000 THEN 1 " +
-        "ELSE 0 END) AS BIGINT) AS n_alarms_low, " +
-        "CAST(MIN(CASE WHEN sp > CAST(n AS HUGEINT) * 5000 " +
-        "THEN epoch_us(ts) END) AS BIGINT) AS first_high_us, " +
-        "CAST(MIN(CASE WHEN sm > CAST(n AS HUGEINT) * 5000 " +
-        "THEN epoch_us(ts) END) AS BIGINT) AS first_low_us " +
-        "FROM sc GROUP BY event_type ORDER BY event_type"
-    },
+    "ts_cusum_alarm" -> cusumAlarmSql,
     "ts_variance_ratio" -> {
       val vc = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +

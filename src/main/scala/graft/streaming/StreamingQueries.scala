@@ -111,6 +111,49 @@ class HysteresisProcessor
   }
 }
 
+/** Per-type rows for [[CusumProcessor]]; the batch-computed (n, Σx) stats
+  * ride on each row from the stream-static join (the HEvent discipline). */
+case class CEvent(event_id: Long, event_type: String,
+  ts: java.sql.Timestamp, vc: Long, n: Long, sx: Long)
+case class CuState(cp: Long, minp: Long, cm: Long, minm: Long)
+case class COut(event_type: String, us: Long, n: Long,
+  hi: Boolean, lo: Boolean)
+
+/** Streaming twin of the batch `ts_cusum_alarm` tabular CUSUM: the S⁺/S⁻
+  * recursion runs NATIVELY here (max(0, prev + d) per event — the state
+  * is exactly (cum, running-min) per side, 4 Longs per type), where the
+  * batch query needed the closed-form window identity. Batches arrive in
+  * event-time order (staged replay) and rows sort within a batch, so the
+  * replay equals the batch ordered scan and both queries share ONE oracle
+  * ([[graft.operators.TimeSeries.cusumAlarmSql]]). n-scaled Long domain:
+  * |cum| ≤ n·max|x|·rows — fine to ~1e6 rows/type; the batch twin's
+  * Decimal(38,0) is the 100 TB path. */
+class CusumProcessor
+    extends StatefulProcessor[String, CEvent, COut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[CuState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CuState]("cusum",
+      Encoders.product[CuState], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[CEvent],
+      tv: TimerValues): Iterator[COut] = {
+    val sorted = rows.toIndexedSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var cur = if (st.exists()) st.get() else CuState(0L, 0L, 0L, 0L)
+    val out = sorted.map { e =>
+      val dp = e.n * (e.vc - 500L) - e.sx
+      val dm = e.sx - e.n * (e.vc + 500L)
+      val cp = cur.cp + dp; val cm = cur.cm + dm
+      cur = CuState(cp, math.min(cur.minp, cp), cm, math.min(cur.minm, cm))
+      val sp = cp - math.min(0L, cur.minp)
+      val sm = cm - math.min(0L, cur.minm)
+      val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+      COut(key, us, e.n, sp > e.n * 5000L, sm > e.n * 5000L)
+    }
+    st.update(cur)
+    out.iterator
+  }
+}
+
 case class IdleEvent(user_id: Long, ts: java.sql.Timestamp)
 case class IdleAlert(user_id: Long, idle_since_us: Long)
 
@@ -552,6 +595,41 @@ object StreamingQueries {
     * gaps from lag(), trailing idles from the ms-floored watermark
     * arithmetic Spark actually uses (watermark = floor-ms(max ts) −
     * 600000 ms). */
+  /** [[CusumProcessor]] end-to-end: the tabular CUSUM recursion as a
+    * stateful stream, per-type stats from a batch-side broadcast (the
+    * stream-static join every threshold alarm runs), then the SAME
+    * per-type rollup as the batch twin — one shared oracle. */
+  private def cusumTws(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val stats = U.events(s, d).groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(vc).as("sx"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.join(broadcast(stats), col("event_type") === col("et"))
+        .select(col("event_id"), col("event_type"), col("ts"),
+          U.cents(col("value")).as("vc"), col("n"), col("sx"))
+        .as[CEvent]
+        .groupByKey(_.event_type)
+        .transformWithState(new CusumProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_alarms_high"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_alarms_low"),
+        min(when(col("hi"), col("us"))).as("first_high_us"),
+        min(when(col("lo"), col("us"))).as("first_low_us"))
+      .orderBy("event_type")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def idleTimeoutTws(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
@@ -788,6 +866,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_tws" -> sessionizeTws _,
     "stream_hysteresis" -> hysteresisTws _,
+    "stream_cusum" -> cusumTws _,
     "stream_topk" -> streamTopk _,
     "stream_parquet_sink" -> parquetSink _,
     "stream_tumbling_watermark" -> tumblingWatermark _,
@@ -810,6 +889,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     // the batch ts_hysteresis oracle, verbatim — one definition pins both
     "stream_hysteresis" -> graft.operators.TimeSeries.hysteresisSql,
+    "stream_cusum" -> graft.operators.TimeSeries.cusumAlarmSql,
     "stream_session_tws" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +

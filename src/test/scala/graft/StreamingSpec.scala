@@ -198,6 +198,17 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream alarm divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_cusum equals the batch tabular-CUSUM rollup row-for-row") {
+    // the native max(0, ...) recursion in the processor vs the batch
+    // closed-form window identity — same oracle, pinned directly too
+    val batch = SparkEntry.queries("ts_cusum_alarm")(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val stream = SparkEntry.queries("stream_cusum")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"batch/stream CUSUM divergence: ${batch.length} vs ${stream.length}")
+  }
+
   test("stream_union merges both branches and equals the batch rollup") {
     val got = SparkEntry.queries("stream_union")(spark, sfDir).collect()
     assert(got.map(_.getAs[String]("branch")).toSet ==
