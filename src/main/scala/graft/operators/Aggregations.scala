@@ -1687,7 +1687,31 @@ object Aggregations {
           "- 1 AS BIGINT)").as("chapman_n"))
   }
 
+  /** Matthews correlation coefficient over the cohort × purchase 2×2
+    * table — the balanced-accuracy single number completing the 2×2
+    * family ([[aggPropZtest]] significance, [[aggOddsRatio]] effect
+    * size). Numerator a·d − b·c exact in Decimal(38,0); the four
+    * marginal products enter one mirrored sqrt tree. */
+  private def aggMcc(s: SparkSession, d: String): DataFrame = {
+    val ps = U.events(s, d).groupBy().agg(
+      sum(when(col("user_id") % 2 === 0 && col("event_type") === "purchase",
+        1L).otherwise(0L)).as("a"),
+      sum(when(col("user_id") % 2 === 0 && col("event_type") =!= "purchase",
+        1L).otherwise(0L)).as("b"),
+      sum(when(col("user_id") % 2 === 1 && col("event_type") === "purchase",
+        1L).otherwise(0L)).as("c"),
+      sum(when(col("user_id") % 2 === 1 && col("event_type") =!= "purchase",
+        1L).otherwise(0L)).as("d"))
+    ps.select(col("a"), col("b"), col("c"), col("d"),
+      expr("CAST(CAST(a AS DECIMAL(38,0)) * d - " +
+        "CAST(b AS DECIMAL(38,0)) * c AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST(b + d AS DECIMAL(38,0)) * (c + d) AS DOUBLE)))")
+        .as("mcc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mcc" -> aggMcc _,
     "agg_chapman" -> aggChapman _,
     "agg_hill_tail" -> aggHillTail _,
     "agg_odds_ratio" -> aggOddsRatio _,
@@ -1830,6 +1854,21 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mcc" ->
+      ("WITH ps AS (SELECT " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type <> 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS d FROM events) " +
+        "SELECT a, b, c, d, " +
+        "CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(a + b AS HUGEINT) * (a + c) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST(b + d AS HUGEINT) * (c + d) AS DOUBLE))) AS mcc " +
+        "FROM ps"),
     "agg_chapman" ->
       ("WITH pu AS (SELECT user_id, " +
         "CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +

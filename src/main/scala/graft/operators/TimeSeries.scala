@@ -2727,7 +2727,73 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Per-user FEATURE BUNDLE — the tsfresh-style "turn every series into
+    * one ML feature row" extractor that downstream model training joins
+    * against labels: n, exact cent extremes/total, mean, variance, the
+    * Durbin–Watson autocorrelation screen, mean-crossing count and the
+    * longest above-mean run, all in ONE user-keyed exchange (every
+    * window shares the same partitioning, so Catalyst reuses the sort;
+    * the run-length rollup re-keys (user, grp) but its input is already
+    * user-clustered). Exactness: crossings and runs compare in the
+    * n-SCALED integer domain (n·x ⋛ Σx — the mean never divides; the
+    * sign product rides Decimal(38,0) since (n·x−S)² passes 2⁶³);
+    * variance and DW guard their n < 2 / zero-variance degenerate cases
+    * to NULL identically in both engines. */
+  private def tsFeatures(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val base = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("nn", count(lit(1)).over(full))
+      .withColumn("ss", sum(col("vc")).over(full))
+      .withColumn("xl", lag(col("vc"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("above", col("nn") * col("vc") > col("ss"))
+    val feats = base.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("vc")).as("sum_c"),
+      min(col("vc")).as("min_c"), max(col("vc")).as("max_c"),
+      (sum(col("vc")).cast(DoubleType) / (lit(100.0) * count(lit(1))))
+        .as("mean"),
+      sum((col("vc") * col("vc")).cast(dec)).as("sxx"),
+      sum(when(col("xl").isNotNull,
+        ((col("vc") - col("xl")) * (col("vc") - col("xl"))).cast(dec)))
+        .as("sd2"),
+      sum(when(col("xl").isNotNull &&
+          (col("nn") * col("vc") - col("ss")).cast(dec) *
+            (col("nn") * col("xl") - col("ss")) < 0, 1L).otherwise(0L))
+        .as("n_mean_crossings"))
+    val wa = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = base.filter(col("above"))
+      .withColumn("rn2", row_number().over(wa).cast(LongType))
+      .groupBy(col("user_id").as("ru"), (col("rn") - col("rn2")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("ru")).agg(max(col("len")).as("longest_above_run"))
+    feats.join(runs, col("user_id") === col("ru"), "left")
+      .select(col("user_id"), col("n"), col("sum_c"), col("min_c"),
+        col("max_c"), col("mean"),
+        expr("CASE WHEN n >= 2 THEN " +
+          "(CAST(sxx AS DOUBLE) / 10000.0 - (CAST(sum_c AS DOUBLE) / " +
+          "100.0) * (CAST(sum_c AS DOUBLE) / 100.0) / n) / (n - 1.0) " +
+          "END").as("variance"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sum_c AS DECIMAL(38,0)) * sum_c <> 0 THEN " +
+          "CAST((1000000 * CAST(n AS DECIMAL(38,0)) * sd2) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sum_c AS DECIMAL(38,0)) * sum_c) AS BIGINT) END")
+          .as("dw_micro"),
+        col("n_mean_crossings"),
+        coalesce(col("longest_above_run"), lit(0L))
+          .as("longest_above_run"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_features" -> tsFeatures _,
     "ts_durbin_watson" -> tsDurbinWatson _,
     "ts_cointegration" -> tsCointegration _,
     "ts_cusum_alarm" -> tsCusumAlarm _,
@@ -2945,6 +3011,48 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_features" -> {
+      val vc = OSQL.cents("value")
+      s"WITH base AS (SELECT user_id, ts, event_id, $vc AS vc, " +
+        "CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS nn, " +
+        s"CAST(SUM($vc) OVER (PARTITION BY user_id) AS BIGINT) AS ss, " +
+        s"lag($vc) OVER w AS xl, " +
+        "CAST(row_number() OVER w AS BIGINT) AS rn " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "feats AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sum_c, " +
+        "CAST(MIN(vc) AS BIGINT) AS min_c, " +
+        "CAST(MAX(vc) AS BIGINT) AS max_c, " +
+        "CAST(SUM(vc) AS DOUBLE) / (100.0 * COUNT(*)) AS mean, " +
+        "SUM(CAST(vc AS HUGEINT) * vc) AS sxx, " +
+        "SUM(CASE WHEN xl IS NOT NULL THEN " +
+        "CAST(vc - xl AS HUGEINT) * (vc - xl) END) AS sd2, " +
+        "CAST(SUM(CASE WHEN xl IS NOT NULL AND " +
+        "CAST(nn * vc - ss AS HUGEINT) * (nn * xl - ss) < 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_crossings " +
+        "FROM base GROUP BY 1), " +
+        "ab AS (SELECT user_id, rn, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn2 " +
+        "FROM base WHERE nn * vc > ss), " +
+        "runs AS (SELECT user_id AS ru, " +
+        "CAST(MAX(len) AS BIGINT) AS longest_above_run FROM " +
+        "(SELECT user_id, rn - rn2 AS grp, COUNT(*) AS len FROM ab " +
+        "GROUP BY 1, 2) GROUP BY 1) " +
+        "SELECT user_id, n, sum_c, min_c, max_c, mean, " +
+        "CASE WHEN n >= 2 THEN " +
+        "(CAST(sxx AS DOUBLE) / 10000.0 - (CAST(sum_c AS DOUBLE) / " +
+        "100.0) * (CAST(sum_c AS DOUBLE) / 100.0) / n) / (n - 1.0) " +
+        "END AS variance, " +
+        "CASE WHEN CAST(n AS HUGEINT) * sxx - " +
+        "CAST(sum_c AS HUGEINT) * sum_c <> 0 THEN " +
+        "CAST((1000000 * CAST(n AS HUGEINT) * sd2) // " +
+        "(CAST(n AS HUGEINT) * sxx - CAST(sum_c AS HUGEINT) * sum_c) " +
+        "AS BIGINT) END AS dw_micro, " +
+        "n_mean_crossings, " +
+        "COALESCE(longest_above_run, 0) AS longest_above_run " +
+        "FROM feats LEFT JOIN runs ON user_id = ru ORDER BY user_id"
+    },
     "ts_durbin_watson" -> {
       val vc = OSQL.cents("value")
       s"WITH lg AS (SELECT event_type, $vc AS vc, " +

@@ -1876,6 +1876,32 @@ class Round8Spec extends SparkTestBase {
     assert(chap >= math.max(a, b))
   }
 
+  test("ts_features matches a scalar per-user feature recompute") {
+    val uid = someUser()
+    val ys = userSeries(uid)
+    val n = ys.length.toLong
+    val ss = ys.sum
+    val crossings = ys.sliding(2).count { case Seq(a, b) =>
+      BigInt(n * b - ss) * (n * a - ss) < 0
+    }.toLong
+    val above = ys.map(v => n * v > ss)
+    var best = 0L; var cur = 0L
+    above.foreach(a => { if (a) { cur += 1; best = math.max(best, cur) }
+      else cur = 0 })
+    val sd2 = ys.sliding(2).collect { case Seq(a, b) =>
+      BigInt(b - a) * (b - a) }.sum
+    val sxx = ys.map(v => BigInt(v) * v).sum
+    val den = BigInt(n) * sxx - BigInt(ss) * ss
+    val r = operators.TimeSeries.queries("ts_features")(spark, sfDir)
+      .filter(col("user_id") === uid).collect().head
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_c") == ss &&
+      r.getAs[Long]("min_c") == ys.min && r.getAs[Long]("max_c") == ys.max &&
+      r.getAs[Long]("n_mean_crossings") == crossings &&
+      r.getAs[Long]("longest_above_run") == best &&
+      r.getAs[Long]("dw_micro") ==
+        (BigInt(1000000) * n * sd2 / den).toLong)
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
