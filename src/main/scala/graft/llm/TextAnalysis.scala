@@ -3,6 +3,7 @@ package graft.llm
 import graft.U
 import graft.llm.TextUtil._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -554,7 +555,40 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token")).limit(20)
   }
 
+  /** Heaps-law vocabulary growth curve: cumulative docs, tokens and
+    * DISTINCT types after each tenth of the corpus (by doc_id range) —
+    * the "will more data keep adding new vocabulary" scaling probe a
+    * tokenizer budget is planned against. No global row sort: buckets
+    * come from the integer doc_id range split; each type contributes
+    * once at its FIRST bucket (min-bucket hash-agg), and the cumulative
+    * close runs over a constant 10-row grid. */
+  private def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val mx = docs(s, d).groupBy().agg(max(col("doc_id")).as("mid"))
+    val db = docs(s, d).crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("text"),
+        expr("least(9, (doc_id * 10) DIV (mid + 1))").as("bucket"))
+    val tok = U.track(db
+      .select(col("bucket"), explode(tokens(col("text"))).as("token"))
+      .persist())
+    val docsB = db.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val toksB = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_toks"))
+    val newTypes = tok.groupBy(col("token")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+    val wq = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.range(10).select(col("id").as("bucket"))
+      .join(docsB, Seq("bucket"), "left")
+      .join(toksB, Seq("bucket"), "left")
+      .join(newTypes.withColumnRenamed("fb", "bucket"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(coalesce(col("n_docs"), lit(0L))).over(wq).as("docs_cum"),
+        sum(coalesce(col("n_toks"), lit(0L))).over(wq).as("tokens_cum"),
+        sum(coalesce(col("n_new"), lit(0L))).over(wq).as("vocab_cum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heaps_law" -> heapsLaw _,
     "text_burstiness" -> burstiness _,
     "text_kl_source" -> klSource _,
     "text_source_overlap" -> sourceOverlap _,
@@ -599,6 +633,31 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_heaps_law" ->
+      (s"WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents), " +
+        "db AS (SELECT doc_id, text, " +
+        "least(9, (doc_id * 10) // (mid + 1)) AS bucket " +
+        "FROM documents CROSS JOIN mx), " +
+        s"tok AS (SELECT bucket, unnest(${sqlTokens("text")}) AS token " +
+        "FROM db), " +
+        "docs_b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM db GROUP BY 1), " +
+        "toks_b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_toks " +
+        "FROM tok GROUP BY 1), " +
+        "new_t AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new " +
+        "FROM (SELECT token, MIN(bucket) AS fb FROM tok GROUP BY 1) " +
+        "GROUP BY 1), " +
+        "grid AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bucket) " +
+        "SELECT grid.bucket, " +
+        "CAST(SUM(COALESCE(n_docs, 0)) OVER w AS BIGINT) AS docs_cum, " +
+        "CAST(SUM(COALESCE(n_toks, 0)) OVER w AS BIGINT) AS tokens_cum, " +
+        "CAST(SUM(COALESCE(n_new, 0)) OVER w AS BIGINT) AS vocab_cum " +
+        "FROM grid LEFT JOIN docs_b ON grid.bucket = docs_b.bucket " +
+        "LEFT JOIN toks_b ON grid.bucket = toks_b.bucket " +
+        "LEFT JOIN new_t ON grid.bucket = new_t.bucket " +
+        "WINDOW w AS (ORDER BY grid.bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY grid.bucket"),
     "text_burstiness" ->
       (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

@@ -1710,7 +1710,68 @@ object Aggregations {
         .as("mcc"))
   }
 
+  /** QQ probe: the nine decile values of click vs view — the
+    * quantile-vs-quantile table behind a QQ plot, localizing WHERE two
+    * distributions diverge ([[aggKsTest]] reports only the worst gap).
+    * Deciles are exact ceil-rank order statistics picked from the VALUE
+    * DOMAIN: decile q = min cent with 10·cum ≥ q·n (integer
+    * cross-multiplication — no division, no row sort; the support
+    * window is domain-bounded like [[aggWasserstein]]'s). */
+  private def aggQqDeciles(s: SparkSession, d: String): DataFrame = {
+    def sideQ(t: String, xname: String): DataFrame = {
+      val cnt = U.events(s, d).filter(col("event_type") === t)
+        .withColumn("vc", U.cents(col("value")))
+        .groupBy(col("vc")).agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy(col("vc"))
+      cnt.withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(cnt.agg(sum(col("c")).as("n"))))
+        .select(col("vc"), col("cum"), col("n"),
+          explode(array((1 to 9).map(q => lit(q.toLong)): _*)).as("q"))
+        .filter(col("cum") * 10 >= col("q") * col("n"))
+        .groupBy(col("q")).agg(min(col("vc")).as(xname))
+    }
+    sideQ("click", "x_click").join(sideQ("view", "x_view"), Seq("q"))
+      .select(col("q"), col("x_click"), col("x_view"),
+        (col("x_click") - col("x_view")).as("gap_c"))
+      .orderBy("q")
+  }
+
+  /** Lorenz curve at deciles over positive customer balances — the
+    * cumulative-share table [[aggGini]] integrates into one number
+    * ("the bottom 50% hold X% of the balance"). Boundary ranks falling
+    * INSIDE a tie group interpolate exactly in integers: L(r) =
+    * cum_s − (cum_n − r)·x at the crossing group; shares close in exact
+    * micro-units via DECIMAL DIV. Domain-collapsed before any window —
+    * no row sort at any scale. */
+  private def aggLorenz(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cnt = U.tbl(s, d, "customer")
+      .select(U.cents(col("c_acctbal")).as("xc"))
+      .filter(col("xc") > 0)
+      .groupBy(col("xc")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("xc"))
+    val tot = cnt.agg(sum(col("c")).as("n"),
+      sum((col("c") * col("xc")).cast(dec)).as("st"))
+    cnt.withColumn("cum_n", sum(col("c")).over(wv))
+      .withColumn("cum_s", sum((col("c") * col("xc")).cast(dec)).over(wv))
+      .crossJoin(broadcast(tot))
+      .select(col("xc"), col("c"), col("cum_n"), col("cum_s"), col("n"),
+        col("st"),
+        explode(array((1 to 10).map(q => lit(q.toLong)): _*)).as("decile"))
+      .withColumn("r", expr("(decile * n) DIV 10"))
+      .filter(col("cum_n") >= col("r") && col("cum_n") - col("c") < col("r"))
+      .select(col("decile"), col("r").as("rank"),
+        expr("cum_s - CAST(cum_n - r AS DECIMAL(38,0)) * xc").as("lv"),
+        col("st"))
+      .select(col("decile"), col("rank"),
+        expr("CAST(lv AS BIGINT)").as("cum_value_c"),
+        expr("CAST((1000000 * lv) DIV st AS BIGINT)").as("share_micro"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_qq_deciles" -> aggQqDeciles _,
+    "agg_lorenz" -> aggLorenz _,
     "agg_mcc" -> aggMcc _,
     "agg_chapman" -> aggChapman _,
     "agg_hill_tail" -> aggHillTail _,
@@ -1854,6 +1915,44 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_qq_deciles" -> {
+      val vc = OSQL.cents("value")
+      def sideQ(t: String, xname: String, pfx: String) =
+        s"${pfx}cnt AS (SELECT $vc AS vc, CAST(COUNT(*) AS BIGINT) AS c " +
+          s"FROM events WHERE event_type = '$t' GROUP BY 1), " +
+          s"${pfx}cum AS (SELECT vc, SUM(c) OVER (ORDER BY vc) AS cum " +
+          s"FROM ${pfx}cnt), " +
+          s"${pfx}n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ${pfx}cnt), " +
+          s"${pfx}q AS (SELECT q, CAST(MIN(vc) AS BIGINT) AS $xname " +
+          s"FROM ${pfx}cum CROSS JOIN ${pfx}n " +
+          "CROSS JOIN range(1, 10) t(q) WHERE cum * 10 >= q * n " +
+          "GROUP BY q)"
+      s"WITH ${sideQ("click", "x_click", "a")}, " +
+        s"${sideQ("view", "x_view", "b")} " +
+        "SELECT CAST(aq.q AS BIGINT) AS q, x_click, x_view, " +
+        "x_click - x_view AS gap_c " +
+        "FROM aq JOIN bq ON aq.q = bq.q ORDER BY q"
+    },
+    "agg_lorenz" -> {
+      val xc = OSQL.cents("c_acctbal")
+      s"WITH cnt AS (SELECT $xc AS xc, CAST(COUNT(*) AS BIGINT) AS c " +
+        s"FROM customer WHERE $xc > 0 GROUP BY 1), " +
+        "cum AS (SELECT xc, c, SUM(c) OVER (ORDER BY xc) AS cum_n, " +
+        "SUM(CAST(c AS HUGEINT) * xc) OVER (ORDER BY xc) AS cum_s " +
+        "FROM cnt), " +
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, " +
+        "SUM(CAST(c AS HUGEINT) * xc) AS st FROM cnt), " +
+        "pick AS (SELECT CAST(decile AS BIGINT) AS decile, " +
+        "(decile * n) // 10 AS r, " +
+        "cum_s - CAST(cum_n - (decile * n) // 10 AS HUGEINT) * xc AS lv, " +
+        "st FROM cum CROSS JOIN tot CROSS JOIN range(1, 11) t(decile) " +
+        "WHERE cum_n >= (decile * n) // 10 " +
+        "AND cum_n - c < (decile * n) // 10) " +
+        "SELECT decile, CAST(r AS BIGINT) AS rank, " +
+        "CAST(lv AS BIGINT) AS cum_value_c, " +
+        "CAST((1000000 * lv) // st AS BIGINT) AS share_micro " +
+        "FROM pick ORDER BY decile"
+    },
     "agg_mcc" ->
       ("WITH ps AS (SELECT " +
         "CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' " +

@@ -283,7 +283,30 @@ object SqlText {
     s.sql(unpivotSpark)
   }
 
+  /** Named-WINDOW-clause SQL text (`... OVER w ... WINDOW w AS (...)`) —
+    * the parser path that lets analysts share one window spec across
+    * functions; DuckDB accepts the IDENTICAL text, so the oracle is the
+    * same string (the sql_* discipline). SUM's default frame with ORDER
+    * BY is peer-inclusive RANGE in both engines, and the (ts, event_id)
+    * order is a total order, so peers are singletons and the running
+    * sum is deterministic. */
+  private val windowClauseSql = {
+    val vc = OSQL.cents("value")
+    "SELECT event_id, user_id, " +
+      "CAST(row_number() OVER w AS BIGINT) AS rn, " +
+      s"CAST(SUM($vc) OVER w AS BIGINT) AS run_cents " +
+      "FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+      "ORDER BY user_id, rn"
+  }
+
+  private def sqlWindowClause(s: SparkSession, d: String): DataFrame = {
+    U.events(s, d).createOrReplaceTempView("events")
+    s.sql(windowClauseSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_window_clause" -> sqlWindowClause _,
     "sql_unpivot_syntax" -> sqlUnpivotSyntax _,
     "sql_pivot_syntax" -> sqlPivotSyntax _,
     "sql_lateral_alias" -> sqlLateralAlias _,
@@ -301,6 +324,7 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_window_clause" -> windowClauseSql,
     "sql_unpivot_syntax" ->
       ("WITH a AS (SELECT o_orderstatus, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +

@@ -2792,7 +2792,33 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Record statistics per event type: how many running-record highs does
+    * the value sequence set, and when was the last one? Under
+    * exchangeability E[records] ≈ ln n + γ, so a record count far above
+    * that is direct evidence of upward drift — a one-number probe that
+    * needs no distributional assumptions at all (the classic flood-peak /
+    * record-temperature analysis). A record = strictly above the running
+    * max of all PREDECESSORS (ties don't count, standard); one window
+    * pass, exact integers throughout. */
+  private def tsRecordHighs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("pmax", max(col("vc")).over(prior))
+      .withColumn("is_rec",
+        (col("pmax").isNull || col("vc") > col("pmax")).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("is_rec")).as("n_records"),
+        max(when(col("is_rec") === 1L, unix_micros(col("ts"))))
+          .as("last_record_us"),
+        max(col("vc")).as("record_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_record_highs" -> tsRecordHighs _,
     "ts_features" -> tsFeatures _,
     "ts_durbin_watson" -> tsDurbinWatson _,
     "ts_cointegration" -> tsCointegration _,
@@ -3011,6 +3037,20 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_record_highs" -> {
+      val vc = OSQL.cents("value")
+      s"WITH r AS (SELECT event_type, ts, $vc AS vc, " +
+        s"MAX($vc) OVER (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax " +
+        "FROM events), " +
+        "f AS (SELECT event_type, ts, vc, " +
+        "CAST(pmax IS NULL OR vc > pmax AS BIGINT) AS is_rec FROM r) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(is_rec) AS BIGINT) AS n_records, " +
+        "CAST(MAX(CASE WHEN is_rec = 1 THEN epoch_us(ts) END) AS BIGINT) " +
+        "AS last_record_us, CAST(MAX(vc) AS BIGINT) AS record_value " +
+        "FROM f GROUP BY 1 ORDER BY event_type"
+    },
     "ts_features" -> {
       val vc = OSQL.cents("value")
       s"WITH base AS (SELECT user_id, ts, event_id, $vc AS vc, " +

@@ -1902,6 +1902,70 @@ class Round8Spec extends SparkTestBase {
         (BigInt(1000000) * n * sd2 / den).toLong)
   }
 
+  test("ts_record_highs matches a scalar running-max scan") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "value").orderBy("event_type", "ts", "event_id")
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    val got = operators.TimeSeries.queries("ts_record_highs")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, xs) <- byType) {
+      var mx = Long.MinValue; var rec = 0L
+      xs.foreach(x => if (x > mx) { mx = x; rec += 1 })
+      val r = got(et)
+      assert(r.getAs[Long]("n") == xs.length.toLong &&
+        r.getAs[Long]("n_records") == rec &&
+        r.getAs[Long]("record_value") == xs.max, s"records diverge for $et")
+    }
+  }
+
+  test("agg_qq_deciles picks the exact ceil-rank order statistics") {
+    def side(t: String): Seq[Long] = U.events(spark, sfDir)
+      .filter(col("event_type") === t).select("value").collect()
+      .map(r => cents(r.getDouble(0))).toSeq.sorted
+    val clicks = side("click"); val views = side("view")
+    val got = operators.Aggregations.queries("agg_qq_deciles")(spark, sfDir)
+      .collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      val q = r.getAs[Long]("q").toInt
+      def pick(xs: Seq[Long]) = xs((q * xs.length + 9) / 10 - 1)
+      assert(r.getAs[Long]("x_click") == pick(clicks) &&
+        r.getAs[Long]("x_view") == pick(views), s"decile $q diverges")
+    }
+  }
+
+  test("agg_lorenz shares are monotone and end at exactly 100%") {
+    val rows = operators.Aggregations.queries("agg_lorenz")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    val shares = rows.map(_.getAs[Long]("share_micro"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 1000000L)
+    // convexity of the Lorenz curve: increments weakly increase
+    val incs = (0L +: shares.toSeq).sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    assert(incs.zip(incs.tail).forall { case (a, b) => a <= b + 1 },
+      "Lorenz increments must be non-decreasing (1 micro slack for floors)")
+  }
+
+  test("text_heaps_law cumulative counts recompute from raw tokens") {
+    val docsR = U.tbl(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val mid = docsR.map(_._1).max
+    def bucket(id: Long) = math.min(9L, id * 10 / (mid + 1))
+    val got = SparkEntry.queries("text_heaps_law")(spark, sfDir).collect()
+    assert(got.length == 10)
+    for (b <- 0L to 9L) {
+      val in = docsR.filter(d => bucket(d._1) <= b)
+      val toks = in.flatMap(_._2.split(" ", -1).filter(_.nonEmpty))
+      val r = got(b.toInt)
+      assert(r.getAs[Long]("docs_cum") == in.length.toLong &&
+        r.getAs[Long]("tokens_cum") == toks.length.toLong &&
+        r.getAs[Long]("vocab_cum") == toks.distinct.length.toLong,
+        s"heaps bucket $b diverges")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
