@@ -2817,7 +2817,91 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Walk-forward SMA-crossover backtest per event type over the daily
+    * closes: hold when yesterday's SMA5 > SMA20 (signal LAGS one day —
+    * no lookahead), score as summed daily log returns against
+    * buy-and-hold over the same evaluation window — the "did the signal
+    * beat doing nothing" loop every quant strategy starts from
+    * ([[tsSmaCross]] finds the cross points; this prices them). Exact:
+    * the SMA compare is the integer cross-multiplication 4·Σ₅ ⋛ Σ₂₀,
+    * each day's ln(cₜ/cₜ₋₁) has an exact integer argument and is
+    * MICRO-FLOORED before either sum. One daily hash-agg + one ordered
+    * window pass; day-cardinality everywhere after the first agg. */
+  private def tsBacktestSma(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("vc"), struct(col("ts"), col("event_id")))
+        .as("close_c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val f5 = w.rowsBetween(-4, 0)
+    val f20 = w.rowsBetween(-19, 0)
+    daily
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("s5", sum(col("close_c")).over(f5))
+      .withColumn("s20", sum(col("close_c")).over(f20))
+      .withColumn("sig",
+        (col("rn") >= 20 && lit(4L) * col("s5") > col("s20"))
+          .cast(LongType))
+      .withColumn("held", lag(col("sig"), 1).over(w))
+      .withColumn("prev_c", lag(col("close_c"), 1).over(w))
+      .filter(col("rn") > 20)
+      .withColumn("lr_micro", floor(lit(1000000.0) *
+        log(col("close_c").cast(DoubleType) / col("prev_c")))
+        .cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("held")).as("n_held"),
+        sum(when(col("held") === 1L, col("lr_micro")).otherwise(0L))
+          .as("strat_logret_micro"),
+        sum(col("lr_micro")).as("bh_logret_micro"))
+      .orderBy("event_type")
+  }
+
+  /** OEE — overall equipment effectiveness per user/machine, the
+    * industrial KPI: availability (30-min-gap sessionized active time
+    * over the observation span) × performance (event rate vs the fleet
+    * rate, capped at 1) × quality (non-error share). Every factor is an
+    * exact integer cross-multiplication in micro-units (the fleet-rate
+    * compare rides Decimal(38,0)); the composite truncates once per
+    * factor, identically in both engines. One ordered pass for
+    * sessions, one |users| rollup, one 1-row fleet broadcast. Users
+    * with n < 2 (no measurable span) are excluded. */
+  private def tsOee(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = U.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("gap",
+        when(col("prev").isNotNull && col("us") - col("prev") <= 1800000000L,
+          col("us") - col("prev")).otherwise(lit(0L)))
+    val perUser = base.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        sum(col("gap")).as("active_us"))
+      .filter(col("n") >= 2 && col("span_us") > 0 && col("active_us") > 0)
+    val fleet = perUser.groupBy()
+      .agg(sum(col("n")).as("fn"), sum(col("active_us")).as("fa"))
+    perUser.crossJoin(broadcast(fleet))
+      .withColumn("avail_micro",
+        expr("(1000000 * active_us) DIV span_us"))
+      .withColumn("perf_micro", least(lit(1000000L),
+        expr("CAST((1000000 * CAST(n AS DECIMAL(38,0)) * fa) DIV " +
+          "(CAST(active_us AS DECIMAL(38,0)) * fn) AS BIGINT)")))
+      .withColumn("qual_micro", expr("(1000000 * (n - n_err)) DIV n"))
+      .select(col("user_id"), col("n"), col("avail_micro"),
+        col("perf_micro"), col("qual_micro"),
+        expr("(((avail_micro * perf_micro) DIV 1000000) * qual_micro) " +
+          "DIV 1000000").as("oee_micro"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_backtest_sma" -> tsBacktestSma _,
+    "ts_oee" -> tsOee _,
     "ts_record_highs" -> tsRecordHighs _,
     "ts_features" -> tsFeatures _,
     "ts_durbin_watson" -> tsDurbinWatson _,
@@ -3037,6 +3121,55 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_backtest_sma" ->
+      (s"WITH $dailyBarCtes, " +
+        "sm AS (SELECT event_type, day, close_c, " +
+        "CAST(row_number() OVER w0 AS BIGINT) AS rn, " +
+        "CAST(SUM(close_c) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5, " +
+        "CAST(SUM(close_c) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s20 " +
+        "FROM bars " +
+        "WINDOW w0 AS (PARTITION BY event_type ORDER BY day)), " +
+        "sg AS (SELECT event_type, day, close_c, rn, " +
+        "CAST(rn >= 20 AND 4 * s5 > s20 AS BIGINT) AS sig FROM sm), " +
+        "hl AS (SELECT event_type, day, close_c, rn, " +
+        "lag(sig) OVER w1 AS held, lag(close_c) OVER w1 AS prev_c " +
+        "FROM sg WINDOW w1 AS (PARTITION BY event_type ORDER BY day)), " +
+        "lr AS (SELECT event_type, held, " +
+        "CAST(floor(1000000.0 * ln(CAST(close_c AS DOUBLE) / prev_c)) " +
+        "AS BIGINT) AS lr_micro FROM hl WHERE rn > 20) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(held) AS BIGINT) AS n_held, " +
+        "CAST(SUM(CASE WHEN held = 1 THEN lr_micro ELSE 0 END) AS BIGINT) " +
+        "AS strat_logret_micro, " +
+        "CAST(SUM(lr_micro) AS BIGINT) AS bh_logret_micro " +
+        "FROM lr GROUP BY 1 ORDER BY event_type"),
+    "ts_oee" ->
+      ("WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) AS prev FROM events), " +
+        "g AS (SELECT user_id, event_type, us, " +
+        "CASE WHEN prev IS NOT NULL AND us - prev <= 1800000000 " +
+        "THEN us - prev ELSE 0 END AS gap FROM b), " +
+        "pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_err, " +
+        "CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us, " +
+        "CAST(SUM(gap) AS BIGINT) AS active_us FROM g GROUP BY 1), " +
+        "pf AS (SELECT * FROM pu WHERE n >= 2 AND span_us > 0 " +
+        "AND active_us > 0), " +
+        "fl AS (SELECT CAST(SUM(n) AS BIGINT) AS fn, " +
+        "CAST(SUM(active_us) AS BIGINT) AS fa FROM pf), " +
+        "sc AS (SELECT user_id, n, " +
+        "(1000000 * active_us) // span_us AS avail_micro, " +
+        "least(1000000, CAST((1000000 * CAST(n AS HUGEINT) * fa) // " +
+        "(CAST(active_us AS HUGEINT) * fn) AS BIGINT)) AS perf_micro, " +
+        "(1000000 * (n - n_err)) // n AS qual_micro " +
+        "FROM pf CROSS JOIN fl) " +
+        "SELECT user_id, n, avail_micro, perf_micro, qual_micro, " +
+        "(((avail_micro * perf_micro) // 1000000) * qual_micro) " +
+        "// 1000000 AS oee_micro FROM sc ORDER BY user_id"),
     "ts_record_highs" -> {
       val vc = OSQL.cents("value")
       s"WITH r AS (SELECT event_type, ts, $vc AS vc, " +

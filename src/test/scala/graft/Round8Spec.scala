@@ -1966,6 +1966,49 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ts_backtest_sma matches a scalar walk-forward replay") {
+    val daily = U.events(spark, sfDir)
+      .select("event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "ts", "event_id").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        cents(r.getDouble(2))))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).toSeq.sortBy(_._1.toString)
+        .map { case (_, rs) => rs.last._3 })
+      .toMap
+    val got = operators.TimeSeries.queries("ts_backtest_sma")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, closes) <- daily if closes.length > 21) {
+      var strat = 0L; var bh = 0L; var held = 0L; var nd = 0L
+      for (i <- closes.indices.drop(20)) {
+        val rnPrev = i // 0-based: row i has rn = i+1; signal from day i-1
+        val sigPrev = rnPrev >= 20 &&
+          4L * closes.slice(i - 5, i).sum > closes.slice(i - 20, i).sum
+        val lr = math.floor(1e6 *
+          math.log(closes(i).toDouble / closes(i - 1))).toLong
+        nd += 1; bh += lr
+        if (sigPrev) { held += 1; strat += lr }
+      }
+      val r = got(et)
+      assert(r.getAs[Long]("n_days") == nd && r.getAs[Long]("n_held") == held &&
+        r.getAs[Long]("strat_logret_micro") == strat &&
+        r.getAs[Long]("bh_logret_micro") == bh, s"backtest diverges for $et")
+    }
+  }
+
+  test("ts_oee factors multiply and bound each other correctly") {
+    val rows = operators.TimeSeries.queries("ts_oee")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, p, q) = (r.getAs[Long]("avail_micro"),
+        r.getAs[Long]("perf_micro"), r.getAs[Long]("qual_micro"))
+      assert(a >= 0 && a <= 1000000L && p >= 0 && p <= 1000000L &&
+        q >= 0 && q <= 1000000L)
+      assert(r.getAs[Long]("oee_micro") == (a * p / 1000000L) * q / 1000000L)
+      assert(r.getAs[Long]("oee_micro") <= Seq(a, p, q).min)
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
