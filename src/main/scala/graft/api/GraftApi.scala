@@ -224,6 +224,74 @@ object GraftApi {
         coalesce(lag(col("alarm"), 1).over(w), lit(0L)) === 0L)
   }
 
+  /** Tabular (decision-interval) CUSUM alarm over (key, ts, value): flags
+    * rows where the one-sided cumulative drift S⁺/S⁻ exceeds `h`, with
+    * slack `k`, against each key's own mean — the small-sustained-shift
+    * detector a per-point σ-band misses. The recursion S⁺ᵢ = max(0,
+    * S⁺ᵢ₋₁ + x − μ − k) runs as its closed form cumᵢ − min(0, min_{j≤i}
+    * cumⱼ) over two running windows; μ never divides (everything is
+    * n-scaled in Decimal(38,0)), so the verdicts are exact at any scale.
+    * `k`/`h` are in the value's own units as decimal literals that
+    * promote exactly (e.g. 5.0, 50.0). Appends `cusum_high` /
+    * `cusum_low` boolean columns. Rows tying on (key, ts) fold in an
+    * unspecified order — pass `tiebreak` for determinism (the declared
+    * `ts_cusum_alarm` query tie-breaks on event_id). */
+  def cusumAlarm(df: DataFrame, key: String, ts: String, value: String,
+      k: Double = 5.0, h: Double = 50.0,
+      tiebreak: Option[String] = None): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ordCols = col(ts) +: tiebreak.map(col).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(ordCols: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col(key))
+    val kc = (lit(k).cast("decimal(12,2)") * 100).cast(LongType)
+    val hc = (lit(h).cast("decimal(12,2)") * 100).cast(LongType)
+    val hiN = col("__n").cast(dec) * hc
+    df.withColumn("__vc", (col(value).cast("decimal(12,2)") * 100)
+        .cast(LongType))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__sx", sum(col("__vc")).over(full))
+      .withColumn("__dp",
+        col("__n").cast(dec) * (col("__vc") - kc) - col("__sx"))
+      .withColumn("__dm",
+        col("__sx").cast(dec) - col("__n").cast(dec) * (col("__vc") + kc))
+      .withColumn("__cp", sum(col("__dp")).over(run))
+      .withColumn("__cm", sum(col("__dm")).over(run))
+      .withColumn("cusum_high", col("__cp") -
+        least(lit(0L).cast(dec), min(col("__cp")).over(run)) > hiN)
+      .withColumn("cusum_low", col("__cm") -
+        least(lit(0L).cast(dec), min(col("__cm")).over(run)) > hiN)
+      .drop("__vc", "__n", "__sx", "__dp", "__dm", "__cp", "__cm")
+  }
+
+  /** Hampel filter over (key, ts, value): flags readings more than
+    * `nMads` scaled MADs from the trailing-`window` rolling median — the
+    * robust spike detector a single outlier cannot drag (a z-score's
+    * mean and σ it WOULD inflate). `window` must be odd so both order
+    * statistics are exact single picks; the verdict is the integer
+    * cross-multiplication |x−med|·10⁴ > round(nMads·1.4826·10⁴)·mad.
+    * Emitted only once the frame is full. Appends `med`, `mad` (cents)
+    * and `is_outlier`. */
+  def hampelFilter(df: DataFrame, key: String, ts: String, value: String,
+      window: Int = 7, nMads: Double = 3.0): DataFrame = {
+    require(window >= 3 && window % 2 == 1, s"window must be odd >= 3")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val f = w.rowsBetween(-(window - 1), Window.currentRow)
+    val mid = (window + 1) / 2
+    val scale = math.round(nMads * 1.4826 * 10000).toInt
+    df.withColumn("__vc", (col(value).cast("decimal(12,2)") * 100)
+        .cast(LongType))
+      .withColumn("__rn", row_number().over(w).cast(LongType))
+      .withColumn("__win", sort_array(collect_list(col("__vc")).over(f)))
+      .filter(col("__rn") >= window)
+      .withColumn("med", element_at(col("__win"), mid))
+      .withColumn("mad", element_at(
+        sort_array(transform(col("__win"), x => abs(x - col("med")))), mid))
+      .withColumn("is_outlier",
+        abs(col("__vc") - col("med")) * 10000L > lit(scale.toLong) * col("mad"))
+      .drop("__vc", "__rn", "__win")
+  }
+
   /** Burst detection over (typeCol, ts): maximal runs of >= `minRun`
     * consecutive buckets each at least num/den × the type's mean bucket
     * rate — the `ts_burst` kernel on caller columns. The threshold compare

@@ -425,6 +425,68 @@ class ApiSpec extends SparkTestBase {
     assert(viaApi.nonEmpty && viaApi.sameElements(declared))
   }
 
+  test("cusumAlarm fires on a planted sustained level shift only") {
+    // 20 readings at 10.00, then 20 at 13.00 (mean 11.50): with k=1 the
+    // post-shift drift is +0.50/step, so S⁺ crosses h=5 on the 11th
+    // shifted reading — the alarm must fire in the second half only
+    val rows = (0 until 40).map(i =>
+      (1L, i.toLong, if (i < 20) 10.0 else 13.0)).toDF("m", "t", "x")
+    val got = GraftApi.cusumAlarm(rows, "m", "t", "x", k = 1.0, h = 5.0)
+      .orderBy("t").collect()
+    val firstHigh = got.indexWhere(_.getAs[Boolean]("cusum_high"))
+    assert(firstHigh >= 20, s"false high alarm at $firstHigh")
+    assert(got.drop(30).forall(_.getAs[Boolean]("cusum_high")),
+      "high alarm must latch once the drift accumulates")
+    // symmetric: against the 11.50 global mean the FIRST half is a
+    // sustained low regime — S⁻ must fire there and nowhere after the
+    // shift resets it
+    assert(got.take(20).exists(_.getAs[Boolean]("cusum_low")))
+    assert(got.drop(25).forall(!_.getAs[Boolean]("cusum_low")))
+  }
+
+  test("cusumAlarm on the fixtures equals the declared ts_cusum_alarm") {
+    val api = GraftApi.cusumAlarm(
+      U.events(spark, sfDir).withColumnRenamed("event_type", "ty"),
+      "ty", "ts", "value", tiebreak = Some("event_id"))
+    val rolled = api.groupBy(col("ty"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cusum_high"), 1L).otherwise(0L)).as("n_alarms_high"),
+        sum(when(col("cusum_low"), 1L).otherwise(0L)).as("n_alarms_low"),
+        min(when(col("cusum_high"), unix_micros(col("ts"))))
+          .as("first_high_us"),
+        min(when(col("cusum_low"), unix_micros(col("ts"))))
+          .as("first_low_us"))
+      .orderBy("ty").collect().map(_.toString)
+    val declared = SparkEntry.queries("ts_cusum_alarm")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(rolled.nonEmpty && rolled.sameElements(declared))
+  }
+
+  test("hampelFilter flags a planted spike and nothing else") {
+    val xs = (0 until 30).map(i => if (i == 17) 99.0 else 10.0 + (i % 3))
+    val rows = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("m", "t", "x")
+    val got = GraftApi.hampelFilter(rows, "m", "t", "x").orderBy("t").collect()
+    val flagged = got.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("t")).toSet
+    assert(flagged == Set(17L), s"flagged $flagged")
+  }
+
+  test("hampelFilter equals the declared ts_hampel on the fixtures") {
+    val api = GraftApi.hampelFilter(
+      U.events(spark, sfDir)
+        .withColumn("tb", struct(col("ts"), col("event_id"))),
+      "user_id", "tb", "value")
+      .select(col("user_id"), col("tb.ts").as("ts"),
+        col("tb.event_id").as("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("vc"),
+        col("med").as("med7"), col("mad").as("mad7"), col("is_outlier"))
+      .orderBy("user_id", "ts", "event_id").collect().map(_.toString)
+    val declared = SparkEntry.queries("ts_hampel")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(api.nonEmpty && api.sameElements(declared))
+  }
+
   test("silhouette separates two planted orthogonal clusters perfectly") {
     val vecs = (0 until 8).map { i =>
       val lbl = (i % 2).toLong
