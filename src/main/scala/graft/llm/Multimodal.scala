@@ -317,7 +317,53 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** REAL image downscale through the codec: the deterministic synthetic
+    * PNG decodes via ImageIO, 2× nearest-neighbor resampling runs as
+    * explicit index math (out(x,y) = in(2x,2y) — no AffineTransformOp,
+    * whose inverse-transform rounding is implementation-defined), and
+    * the resized pixels reduce to a position-weighted checksum. PNG is
+    * lossless and the source pixels are a closed-form function of
+    * doc_id, so the oracle recomputes the checksum arithmetically —
+    * [[resize]] is the byte stand-in; THIS is the image rung with the
+    * codec in the loop. */
+  private def resizeNn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 7) % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val k = y * w + x
+          val r = ((id * 31 + k) % 256).toInt
+          val g = ((id * 17 + y * 3 + x * 5) % 256).toInt
+          val b = ((id * 13 + y * 7 + x * 11) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+        var sum = 0L
+        for (y <- 0 until h2; x <- 0 until w2) {
+          val p = back.getRGB(2 * x, 2 * y)
+          sum += (y.toLong * w2 + x + 1) *
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+        }
+        Resized(id, w.toLong * h, w2.toLong * h2,
+          f"${w2}%02x${h2}%02x" + f"$sum%08x")
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_in"), col("n_out"),
+        col("resized_hex").as("resized_sig"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_resize_nn" -> resizeNn _,
     "multimodal_wav_stats" -> wavStats _,
     "multimodal_codec_roundtrip" -> codecRoundtrip _,
     "multimodal_phash" -> phash _,
@@ -357,6 +403,29 @@ object Multimodal {
     // the samples are a deterministic function of doc_id, so the stats of
     // the DECODED samples must equal the closed-form recomputation —
     // any codec-side corruption or format drift hash-fails
+    // closed-form NN-resize checksum — the codec only decodes losslessly,
+    // so resized pixel (x,y) IS source pixel (2x,2y) of the generator
+    "multimodal_resize_nn" ->
+      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS w, " +
+        "4 + (doc_id * 7) % 5 AS h, " +
+        "(4 + doc_id % 5 + 1) // 2 AS w2, " +
+        "(4 + (doc_id * 7) % 5 + 1) // 2 AS h2 FROM documents), " +
+        "px AS (SELECT doc_id, w, h, w2, h2, x, y, " +
+        "(2 * y) * w + 2 * x AS k FROM b " +
+        "CROSS JOIN range(0, 4) tx(x) CROSS JOIN range(0, 4) ty(y) " +
+        "WHERE x < w2 AND y < h2), " +
+        "g AS (SELECT doc_id, w, h, w2, h2, " +
+        "CAST((y * w2 + x + 1) * (" +
+        "(doc_id * 31 + k) % 256 + " +
+        "(doc_id * 17 + (2 * y) * 3 + (2 * x) * 5) % 256 + " +
+        "(doc_id * 13 + (2 * y) * 7 + (2 * x) * 11) % 256) AS BIGINT) " +
+        "AS term FROM px) " +
+        "SELECT doc_id, CAST(MAX(w) * MAX(h) AS BIGINT) AS n_in, " +
+        "CAST(MAX(w2) * MAX(h2) AS BIGINT) AS n_out, " +
+        "printf('%02x%02x%08x', CAST(MAX(w2) AS INTEGER), " +
+        "CAST(MAX(h2) AS INTEGER), CAST(SUM(term) AS BIGINT)) " +
+        "AS resized_sig " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_wav_stats" ->
       ("WITH ks AS (SELECT doc_id, k, " +
         "((doc_id * 31 + k * 17) % 65536) - 32768 AS s " +

@@ -2899,7 +2899,34 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Calendar (day-of-week) effects on value: per-dow exact mean against
+    * the grand mean — the retail/ops seasonal screen behind "are Mondays
+    * really different" ([[tsHeatmapBins]] shows the raw grid; this
+    * quantifies each day's lift). Dow from pure epoch integer arithmetic
+    * (no engine calendar conventions); both means ride the exact davg
+    * tree and the effect is their mirrored difference. One conditional
+    * hash-agg + a 1-row grand total. */
+  private def tsCalendarEffects(s: SparkSession, d: String): DataFrame = {
+    val byDow = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("dow", expr("((unix_micros(ts) DIV 86400000000) + 4) % 7"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sx"))
+    val tot = byDow.groupBy()
+      .agg(sum(col("n")).as("nt"), sum(col("sx")).as("st"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n"),
+        (col("sx").cast(DoubleType) / (lit(100.0) * col("n"))).as("mean"),
+        (col("st").cast(DoubleType) / (lit(100.0) * col("nt")))
+          .as("grand_mean"),
+        (col("sx").cast(DoubleType) / (lit(100.0) * col("n")) -
+          col("st").cast(DoubleType) / (lit(100.0) * col("nt")))
+          .as("effect"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_calendar_effects" -> tsCalendarEffects _,
     "ts_backtest_sma" -> tsBacktestSma _,
     "ts_oee" -> tsOee _,
     "ts_record_highs" -> tsRecordHighs _,
@@ -3121,6 +3148,19 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_calendar_effects" -> {
+      val vc = OSQL.cents("value")
+      s"WITH bd AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
+        s"CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM($vc) AS BIGINT) AS sx " +
+        "FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, " +
+        "CAST(SUM(sx) AS BIGINT) AS st FROM bd) " +
+        "SELECT dow, n, CAST(sx AS DOUBLE) / (100.0 * n) AS mean, " +
+        "CAST(st AS DOUBLE) / (100.0 * nt) AS grand_mean, " +
+        "CAST(sx AS DOUBLE) / (100.0 * n) - " +
+        "CAST(st AS DOUBLE) / (100.0 * nt) AS effect " +
+        "FROM bd CROSS JOIN tot ORDER BY dow"
+    },
     "ts_backtest_sma" ->
       (s"WITH $dailyBarCtes, " +
         "sm AS (SELECT event_type, day, close_c, " +

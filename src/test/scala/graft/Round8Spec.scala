@@ -2009,6 +2009,39 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ts_calendar_effects effects sum to zero when event-weighted") {
+    val rows = operators.TimeSeries.queries("ts_calendar_effects")(
+      spark, sfDir).collect()
+    assert(rows.length == 7)
+    // Σ n_d · effect_d = Σ n_d·mean_d − N·grand = 0 up to float noise
+    val weighted = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("effect")).sum
+    val total = rows.map(r =>
+      r.getAs[Long]("n") * math.abs(r.getAs[Double]("mean"))).sum
+    assert(math.abs(weighted) <= 1e-9 * total)
+  }
+
+  test("multimodal_resize_nn signature recomputes from closed-form pixels") {
+    val got = SparkEntry.queries("multimodal_resize_nn")(spark, sfDir)
+      .collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = (4 + id % 5).toInt; val h = (4 + (id * 7) % 5).toInt
+      val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+      var sum = 0L
+      for (y <- 0 until h2; x <- 0 until w2) {
+        val k = (2 * y) * w + 2 * x
+        sum += (y.toLong * w2 + x + 1) * ((id * 31 + k) % 256 +
+          (id * 17 + (2 * y) * 3 + (2 * x) * 5) % 256 +
+          (id * 13 + (2 * y) * 7 + (2 * x) * 11) % 256)
+      }
+      assert(r.getAs[Long]("n_in") == w.toLong * h &&
+        r.getAs[Long]("n_out") == w2.toLong * h2 &&
+        r.getAs[String]("resized_sig") == f"$w2%02x$h2%02x" + f"$sum%08x",
+        s"resize diverges for doc $id")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
