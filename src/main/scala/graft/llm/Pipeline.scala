@@ -827,7 +827,37 @@ object Pipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** Embedding-norm hygiene: per label, the exact fixed-point squared-L2
+    * norm distribution (min/max/sum) plus the top-3 most extreme vectors
+    * by |norm² − label mean·n| — the degenerate-vector screen (zeroed,
+    * clipped or exploded embeddings) run before any similarity search
+    * trusts the corpus. Norms are exact integers in the 1e-12 domain
+    * (≤ 64·(2e6)² per vector); the deviation compare is the n-scaled
+    * integer |n·norm² − Σ| so the mean never divides. One explode-agg +
+    * one |labels| broadcast + one GroupedTopK-shaped window. */
+  private def embNormOutliers(s: SparkSession, d: String): DataFrame = {
+    val norms = U.tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        expr("aggregate(transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("norm2"))
+    val st = norms.groupBy(col("label").as("lb"))
+      .agg(count(lit(1)).as("n"), sum(col("norm2")).as("sn"),
+        min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dev").desc, col("vec_id"))
+    norms.join(broadcast(st), col("label") === col("lb"))
+      .withColumn("dev",
+        abs(col("n").cast(DecimalType(38, 0)) * col("norm2") - col("sn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"), col("norm2"),
+        col("n"), col("min_norm2"), col("max_norm2"))
+      .orderBy("label", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_norm_outliers" -> embNormOutliers _,
     "emb_source_drift" -> embSourceDrift _,
     "pipeline_token_budget" -> tokenBudget _,
     "pack_shards" -> packShards _,
@@ -914,6 +944,22 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "emb_norm_outliers" ->
+      ("WITH nm AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "CAST(list_sum(list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) * " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS BIGINT) " +
+        "AS norm2 FROM embeddings), " +
+        "st AS (SELECT label AS lb, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(norm2) AS BIGINT) AS sn, " +
+        "CAST(MIN(norm2) AS BIGINT) AS min_norm2, " +
+        "CAST(MAX(norm2) AS BIGINT) AS max_norm2 FROM nm GROUP BY 1), " +
+        "rk AS (SELECT label, vec_id, norm2, n, min_norm2, max_norm2, " +
+        "CAST(row_number() OVER (PARTITION BY label ORDER BY " +
+        "abs(CAST(n AS HUGEINT) * norm2 - sn) DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM nm JOIN st ON label = lb) " +
+        "SELECT label, rank, vec_id, norm2, n, min_norm2, max_norm2 " +
+        "FROM rk WHERE rank <= 3 ORDER BY label, rank"),
     "emb_source_drift" ->
       ("WITH j AS (SELECT d2.source, e.embedding FROM embeddings e " +
         "JOIN documents d2 ON e.vec_id = d2.doc_id), " +

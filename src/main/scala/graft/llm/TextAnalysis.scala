@@ -587,7 +587,32 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Token-length profile per source: decade-bucket histogram of
+    * per-document token counts with each bucket's share — the
+    * length-distribution report behind packing efficiency and truncation
+    * budgets ("crawl B is all snippets, crawl A is all books"). Decade
+    * buckets are integer CASE thresholds (the ts_rainflow discipline —
+    * no log10 float); shares close in exact micro-units against a
+    * window total over the ≤|sources|×5-row agg frame. */
+  private def lengthProfile(s: SparkSession, d: String): DataFrame = {
+    val ws = Window.partitionBy(col("source"))
+    docs(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast(LongType)
+        .as("nt"))
+      .withColumn("bucket",
+        when(col("nt") === 0L, 0L).when(col("nt") < 10L, 1L)
+          .when(col("nt") < 100L, 2L).when(col("nt") < 1000L, 3L)
+          .otherwise(4L))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("__tot", sum(col("n_docs")).over(ws))
+      .withColumn("share_micro", expr("(1000000 * n_docs) DIV __tot"))
+      .drop("__tot")
+      .orderBy("source", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_profile" -> lengthProfile _,
     "text_heaps_law" -> heapsLaw _,
     "text_burstiness" -> burstiness _,
     "text_kl_source" -> klSource _,
@@ -633,6 +658,18 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_length_profile" ->
+      (s"WITH lp AS (SELECT source, " +
+        s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS nt FROM documents), " +
+        "bk AS (SELECT source, CASE WHEN nt = 0 THEN 0 WHEN nt < 10 " +
+        "THEN 1 WHEN nt < 100 THEN 2 WHEN nt < 1000 THEN 3 ELSE 4 END " +
+        "AS bucket, nt FROM lp), " +
+        "ag AS (SELECT source, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens FROM bk GROUP BY 1, 2) " +
+        "SELECT source, bucket, n_docs, n_tokens, " +
+        "(1000000 * n_docs) // SUM(n_docs) OVER (PARTITION BY source) " +
+        "AS share_micro FROM ag ORDER BY source, bucket"),
     "text_heaps_law" ->
       (s"WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents), " +
         "db AS (SELECT doc_id, text, " +

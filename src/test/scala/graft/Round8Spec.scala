@@ -2042,6 +2042,40 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("emb_norm_outliers ranks true n-scaled deviations per label") {
+    val norms = U.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val n2 = r.getSeq[Float](2)
+          .map(x => { val v = math.floor(x.toDouble * 1e6).toLong; v * v })
+          .sum
+        (r.getInt(1).toLong, r.getLong(0), n2)
+      }
+    val got = SparkEntry.queries("emb_norm_outliers")(spark, sfDir).collect()
+    for ((lbl, rows) <- norms.groupBy(_._1)) {
+      val n = rows.length.toLong
+      val sn = rows.map(r => BigInt(r._3)).sum
+      val expect = rows.map(r => (r._2, (BigInt(n) * r._3 - sn).abs))
+        .sortBy { case (id, dev) => (-dev, id) }.take(3).map(_._1)
+      val gotIds = got.filter(_.getAs[Long]("label") == lbl)
+        .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(gotIds == expect.toSeq,
+        s"outlier ranking diverges for label $lbl")
+    }
+  }
+
+  test("text_length_profile shares sum to ~1e6 per source") {
+    val rows = SparkEntry.queries("text_length_profile")(spark, sfDir)
+      .collect()
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val tot = rs.map(_.getAs[Long]("share_micro")).sum
+      // each bucket floors — at most |buckets| micro-units short
+      assert(tot <= 1000000L && tot >= 1000000L - rs.length)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      U.tbl(spark, sfDir, "documents").count())
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
