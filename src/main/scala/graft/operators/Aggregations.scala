@@ -1769,7 +1769,55 @@ object Aggregations {
       .orderBy("decile")
   }
 
+  /** RFM segmentation of purchasing users — recency (days since last
+    * purchase), frequency, monetary quintile scores and the classic
+    * 3-digit segment code, the marketing-analytics workhorse. Quintiles
+    * come from each metric's VALUE DOMAIN (peer-inclusive cumulative →
+    * score = least(5, 1 + (5·(cum−1)) DIV n) — ties share one score, no
+    * row sort); recency counts DOWN (smaller = better = 5) by scoring
+    * the negated day index. Domain frames are broadcast (days /
+    * frequency / cent domains). One per-user agg + three domain joins. */
+  private def aggRfm(s: SparkSession, d: String): DataFrame = {
+    val ref = U.events(s, d).groupBy()
+      .agg(max(expr("unix_micros(ts) DIV 86400000000")).as("ref_day"))
+    val perUser = U.track(U.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("dayi", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(max(col("dayi")).as("last_day"), count(lit(1)).as("f_n"),
+        sum(col("vc")).as("m_cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("r_days", col("ref_day") - col("last_day"))
+      .persist())
+    def quintile(metric: String, asc: Boolean): DataFrame = {
+      val m = if (asc) col(metric) else -col(metric)
+      val cnt = perUser.select(m.as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy(col("v"))
+      cnt.withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(cnt.agg(sum(col("c")).as("n"))))
+        .select(col("v").as(s"__v_$metric"),
+          least(lit(5L), lit(1L) +
+            expr("(5 * (cum - c)) DIV n")).as(s"${metric.take(1)}_score"))
+    }
+    // recency: FEWER days = better = 5 → score the negated value
+    perUser
+      .join(broadcast(quintile("r_days", asc = false)),
+        -col("r_days") === col("__v_r_days"))
+      .join(broadcast(quintile("f_n", asc = true)),
+        col("f_n") === col("__v_f_n"))
+      .join(broadcast(quintile("m_cents", asc = true)),
+        col("m_cents") === col("__v_m_cents"))
+      .select(col("user_id"), col("r_days"), col("f_n"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rfm" -> aggRfm _,
     "agg_qq_deciles" -> aggQqDeciles _,
     "agg_lorenz" -> aggLorenz _,
     "agg_mcc" -> aggMcc _,
@@ -1915,6 +1963,34 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_rfm" -> {
+      val vc = OSQL.cents("value")
+      def q(metric: String, neg: Boolean, pfx: String, out: String) = {
+        val v = if (neg) s"-$metric" else metric
+        s"${pfx}c AS (SELECT $v AS v, CAST(COUNT(*) AS BIGINT) AS c " +
+          "FROM pr GROUP BY 1), " +
+          s"${pfx}q AS (SELECT v AS ${pfx}v, CAST(least(5, 1 + " +
+          s"(5 * (cum - c)) // n) AS BIGINT) AS $out FROM " +
+          s"(SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM ${pfx}c) " +
+          "CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr))"
+      }
+      "WITH ref AS (SELECT MAX(epoch_us(ts) // 86400000000) AS ref_day " +
+        "FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "MAX(epoch_us(ts) // 86400000000) AS last_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS f_n, " +
+        s"CAST(SUM($vc) AS BIGINT) AS m_cents FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1), " +
+        "pr AS (SELECT user_id, CAST(ref_day - last_day AS BIGINT) " +
+        "AS r_days, f_n, m_cents FROM pu CROSS JOIN ref), " +
+        s"${q("r_days", neg = true, "r", "r_score")}, " +
+        s"${q("f_n", neg = false, "f", "f_score")}, " +
+        s"${q("m_cents", neg = false, "m", "m_score")} " +
+        "SELECT user_id, r_days, f_n, m_cents, r_score, f_score, m_score, " +
+        "r_score * 100 + f_score * 10 + m_score AS rfm " +
+        "FROM pr JOIN rq ON -r_days = rv JOIN fq ON f_n = fv " +
+        "JOIN mq ON m_cents = mv ORDER BY user_id"
+    },
     "agg_qq_deciles" -> {
       val vc = OSQL.cents("value")
       def sideQ(t: String, xname: String, pfx: String) =

@@ -2925,7 +2925,53 @@ object TimeSeries {
       .orderBy("dow")
   }
 
+  /** Peaks-over-threshold per event type: exceedances over the exact
+    * per-type P95 (ceil-rank order statistic from the VALUE DOMAIN),
+    * declustered by the standard 1-hour-gap rule — cluster count, mean
+    * excess (the GPD-scale proxy) and the biggest cluster, i.e. the
+    * extreme-value workup one rung past [[aggHillTail]]'s tail index.
+    * The threshold pick is the integer cross-multiplication 20·cum ≥
+    * 19·n; exceedance clusters are gaps-islands on the filtered stream;
+    * mean excess closes in exact micro-cents via DECIMAL DIV. */
+  private def tsPotExceedance(s: SparkSession, d: String): DataFrame = {
+    val cnt = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type").as("et2"), col("vc"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("et2")).orderBy(col("vc"))
+    val thr = cnt.withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("et2"))))
+      .filter(col("cum") * 20 >= col("n") * 19)
+      .groupBy(col("et2")).agg(min(col("vc")).as("u_c"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val exc = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .join(broadcast(thr), col("event_type") === col("et2"))
+      .filter(col("vc") > col("u_c"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("newc", when(col("prev").isNull ||
+        col("us") - col("prev") > 3600000000L, 1L).otherwise(0L))
+      .withColumn("cid", sum(col("newc"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val clusters = exc.groupBy(col("event_type"), col("cid"))
+      .agg(count(lit(1)).as("csize"))
+    exc.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exceed"), max(col("u_c")).as("u_c"),
+        sum(col("vc") - col("u_c")).as("sum_excess_c"))
+      .join(clusters.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_clusters"), max(col("csize"))
+          .as("max_cluster")), Seq("event_type"))
+      .select(col("event_type"), col("u_c"), col("n_exceed"),
+        col("n_clusters"), col("max_cluster"),
+        expr("CAST((1000000 * CAST(sum_excess_c AS DECIMAL(38,0))) DIV " +
+          "n_exceed AS BIGINT)").as("mean_excess_microcents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_pot_exceedance" -> tsPotExceedance _,
     "ts_calendar_effects" -> tsCalendarEffects _,
     "ts_backtest_sma" -> tsBacktestSma _,
     "ts_oee" -> tsOee _,
@@ -3148,6 +3194,39 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_pot_exceedance" -> {
+      val vc = OSQL.cents("value")
+      s"WITH cnt AS (SELECT event_type AS et2, $vc AS vc, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "cc AS (SELECT et2, vc, " +
+        "SUM(c) OVER (PARTITION BY et2 ORDER BY vc) AS cum, " +
+        "SUM(c) OVER (PARTITION BY et2) AS n FROM cnt), " +
+        "thr AS (SELECT et2, CAST(MIN(vc) AS BIGINT) AS u_c FROM cc " +
+        "WHERE cum * 20 >= n * 19 GROUP BY 1), " +
+        s"ex AS (SELECT event_type, $vc AS vc, u_c, epoch_us(ts) AS us, " +
+        "ts, event_id FROM events JOIN thr ON event_type = et2 " +
+        s"WHERE $vc > u_c), " +
+        "dc AS (SELECT event_type, vc, u_c, " +
+        "SUM(newc) OVER (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid " +
+        "FROM (SELECT *, CASE WHEN lag(us) OVER " +
+        "(PARTITION BY event_type ORDER BY ts, event_id) IS NULL OR " +
+        "us - lag(us) OVER (PARTITION BY event_type " +
+        "ORDER BY ts, event_id) > 3600000000 THEN 1 ELSE 0 END AS newc " +
+        "FROM ex)), " +
+        "cl AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+        "CAST(MAX(csize) AS BIGINT) AS max_cluster FROM " +
+        "(SELECT event_type, cid, CAST(COUNT(*) AS BIGINT) AS csize " +
+        "FROM dc GROUP BY 1, 2) GROUP BY 1), " +
+        "ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exceed, " +
+        "CAST(MAX(u_c) AS BIGINT) AS u_c, " +
+        "CAST(SUM(vc - u_c) AS BIGINT) AS sum_excess_c FROM dc GROUP BY 1) " +
+        "SELECT ag.event_type, u_c, n_exceed, n_clusters, max_cluster, " +
+        "CAST((1000000 * CAST(sum_excess_c AS HUGEINT)) // n_exceed " +
+        "AS BIGINT) AS mean_excess_microcents " +
+        "FROM ag JOIN cl ON ag.event_type = cl.event_type " +
+        "ORDER BY ag.event_type"
+    },
     "ts_calendar_effects" -> {
       val vc = OSQL.cents("value")
       s"WITH bd AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +

@@ -21,8 +21,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
-    "operators/TimeSeries.scala" -> 20,
-    "operators/Aggregations.scala" -> 40,
+    "operators/TimeSeries.scala" -> 21,
+    "operators/Aggregations.scala" -> 45,
     "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

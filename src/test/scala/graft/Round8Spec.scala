@@ -2076,6 +2076,53 @@ class Round8Spec extends SparkTestBase {
       U.tbl(spark, sfDir, "documents").count())
   }
 
+  test("ts_pot_exceedance matches a scalar threshold-and-decluster scan") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "ts", "value")
+      .orderBy("event_type", "ts", "event_id").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r =>
+        (r.getTimestamp(1).getTime * 1000L, cents(r.getDouble(2)))).toSeq }
+    val got = operators.TimeSeries.queries("ts_pot_exceedance")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, xs) <- byType) {
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      // min value with 20·cum >= 19·n (ceil-rank P95 from the domain)
+      val u = sorted((19 * n + 19) / 20 - 1)
+      val exc = xs.filter(_._2 > u)
+      var clusters = 0L; var prev = Long.MinValue
+      exc.foreach { case (us, _) =>
+        if (prev == Long.MinValue || us - prev > 3600000000L) clusters += 1
+        prev = us
+      }
+      val r = got(et)
+      assert(r.getAs[Long]("u_c") == u &&
+        r.getAs[Long]("n_exceed") == exc.length.toLong &&
+        r.getAs[Long]("n_clusters") == clusters, s"POT diverges for $et")
+    }
+  }
+
+  test("agg_rfm scores are quintile-consistent and monotone in the metric") {
+    val rows = operators.Aggregations.queries("agg_rfm")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Long]("rfm") == rs * 100 + fs * 10 + ms)
+    }
+    // monotone: a strictly larger monetary total never scores lower
+    val byM = rows.sortBy(_.getAs[Long]("m_cents"))
+      .map(_.getAs[Long]("m_score"))
+    assert(byM.zip(byM.tail).forall { case (a, b) => a <= b })
+    // recency: strictly fewer days since purchase never scores lower
+    val byR = rows.sortBy(-_.getAs[Long]("r_days"))
+      .map(_.getAs[Long]("r_score"))
+    assert(byR.zip(byR.tail).forall { case (a, b) => a <= b })
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
