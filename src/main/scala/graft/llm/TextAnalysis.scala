@@ -611,7 +611,30 @@ object TextAnalysis {
       .orderBy("source", "bucket")
   }
 
+  /** Simpson diversity per source: the probability two tokens drawn
+    * without replacement are the SAME type, D = Σc(c−1)/(N(N−1)) — the
+    * concentration-weighted diversity that (unlike entropy's log scale)
+    * is dominated by the head, so boilerplate-heavy crawls stand out
+    * immediately. FULLY integer: both products exact, one DECIMAL DIV
+    * close to micro-units; one (source, token) hash-agg + one
+    * \|sources\| rollup. */
+  private def simpson(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum((col("c") * (col("c") - 1L)).cast(dec)).as("match2"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr("CAST((1000000 * match2) DIV " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)")
+          .as("simpson_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_simpson" -> simpson _,
     "text_length_profile" -> lengthProfile _,
     "text_heaps_law" -> heapsLaw _,
     "text_burstiness" -> burstiness _,
@@ -658,6 +681,18 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_simpson" ->
+      (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM tok GROUP BY 1, 2), " +
+        "ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "SUM(CAST(c AS HUGEINT) * (c - 1)) AS match2 FROM tc GROUP BY 1) " +
+        "SELECT source, n_types, n_tokens, " +
+        "CAST((1000000 * match2) // " +
+        "(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) " +
+        "AS simpson_micro FROM ps ORDER BY source"),
     "text_length_profile" ->
       (s"WITH lp AS (SELECT source, " +
         s"CAST(len(${sqlTokens("text")}) AS BIGINT) AS nt FROM documents), " +

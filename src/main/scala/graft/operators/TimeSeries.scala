@@ -2970,7 +2970,73 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Data-completeness report per event type on the densified hourly
+    * grid: covered-hour share and the LONGEST OUTAGE (consecutive empty
+    * hours) — the ingestion-SLA summary an ops review reads before
+    * trusting any downstream aggregate ([[tsGapDetect]] lists per-user
+    * gaps; this scores the feed). Coverage in exact micro-units; the
+    * outage run comes from gaps-islands on the empty-hour index. */
+  private def tsCompleteness(s: SparkSession, d: String): DataFrame = {
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hidx"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.groupBy(col("event_type").as("et"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("et"), explode(sequence(col("h0"), col("h1"))).as("gh"))
+    val dense = grid.join(hourly,
+        col("et") === col("event_type") && col("gh") === col("hidx"), "left")
+      .select(col("et"), col("gh"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("et")).orderBy(col("gh"))
+    val outage = dense.filter(col("c") === 0L)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .groupBy(col("et").as("et2"), (col("gh") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("et2")).agg(max(col("len")).as("longest_outage_h"))
+    dense.groupBy(col("et"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("c") > 0L, 1L).otherwise(0L)).as("covered_hours"))
+      .join(outage, col("et") === col("et2"), "left")
+      .select(col("et").as("event_type"), col("n_hours"),
+        col("covered_hours"),
+        expr("(1000000 * covered_hours) DIV n_hours")
+          .as("completeness_micro"),
+        coalesce(col("longest_outage_h"), lit(0L)).as("longest_outage_h"))
+      .orderBy("event_type")
+  }
+
+  /** Poisson overdispersion check per event type: the dispersion χ² =
+    * Σ(c−c̄)²/c̄ over densified hourly counts — ≈ df for a Poisson
+    * process, far above it for bursty/clumped streams (the one-number
+    * "is this stream actually Poisson" gate before any rate-based
+    * alert assumes it; [[tsBurst]] then finds WHERE the clumps are).
+    * FULLY integer: χ² = (n·Σc² − (Σc)²)/Σc closes in exact
+    * micro-units via the DECIMAL DIV bridge. */
+  private def tsDispersion(s: SparkSession, d: String): DataFrame = {
+    val hourly = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hidx"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.groupBy(col("event_type").as("et"))
+      .agg(min(col("hidx")).as("h0"), max(col("hidx")).as("h1"))
+      .select(col("et"), explode(sequence(col("h0"), col("h1"))).as("gh"))
+    grid.join(hourly,
+        col("et") === col("event_type") && col("gh") === col("hidx"), "left")
+      .select(col("et"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("total"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("scc"))
+      .select(col("et").as("event_type"), col("n_hours"), col("total"),
+        (col("n_hours") - 1L).as("df"),
+        expr("CAST((1000000 * (CAST(n_hours AS DECIMAL(38,0)) * scc - " +
+          "CAST(total AS DECIMAL(38,0)) * total)) DIV " +
+          "CAST(total AS DECIMAL(38,0)) AS BIGINT)").as("chi2_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_completeness" -> tsCompleteness _,
+    "ts_dispersion" -> tsDispersion _,
     "ts_pot_exceedance" -> tsPotExceedance _,
     "ts_calendar_effects" -> tsCalendarEffects _,
     "ts_backtest_sma" -> tsBacktestSma _,
@@ -3194,6 +3260,44 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_completeness" ->
+      ("WITH hourly AS (SELECT event_type, " +
+        "epoch_us(ts) // 3600000000 AS hidx, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT et, unnest(range(h0, h1 + 1)) AS gh FROM " +
+        "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
+        "FROM hourly GROUP BY 1)), " +
+        "dense AS (SELECT et, gh, COALESCE(c, 0) AS c FROM grid " +
+        "LEFT JOIN hourly ON et = event_type AND gh = hidx), " +
+        "outg AS (SELECT et AS et2, CAST(MAX(len) AS BIGINT) " +
+        "AS longest_outage_h FROM (SELECT et, grp, COUNT(*) AS len FROM " +
+        "(SELECT et, gh - row_number() OVER " +
+        "(PARTITION BY et ORDER BY gh) AS grp FROM dense WHERE c = 0) " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "ag AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_hours, " +
+        "CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS covered_hours FROM dense GROUP BY 1) " +
+        "SELECT et AS event_type, n_hours, covered_hours, " +
+        "(1000000 * covered_hours) // n_hours AS completeness_micro, " +
+        "COALESCE(longest_outage_h, 0) AS longest_outage_h " +
+        "FROM ag LEFT JOIN outg ON et = et2 ORDER BY event_type"),
+    "ts_dispersion" ->
+      ("WITH hourly AS (SELECT event_type, " +
+        "epoch_us(ts) // 3600000000 AS hidx, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT et, unnest(range(h0, h1 + 1)) AS gh FROM " +
+        "(SELECT event_type AS et, MIN(hidx) AS h0, MAX(hidx) AS h1 " +
+        "FROM hourly GROUP BY 1)), " +
+        "dense AS (SELECT et, COALESCE(c, 0) AS c FROM grid " +
+        "LEFT JOIN hourly ON et = event_type AND gh = hidx), " +
+        "ps AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_hours, " +
+        "CAST(SUM(c) AS BIGINT) AS total, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS scc FROM dense GROUP BY 1) " +
+        "SELECT et AS event_type, n_hours, total, " +
+        "CAST(n_hours - 1 AS BIGINT) AS df, " +
+        "CAST((1000000 * (CAST(n_hours AS HUGEINT) * scc - " +
+        "CAST(total AS HUGEINT) * total)) // CAST(total AS HUGEINT) " +
+        "AS BIGINT) AS chi2_micro FROM ps ORDER BY event_type"),
     "ts_pot_exceedance" -> {
       val vc = OSQL.cents("value")
       s"WITH cnt AS (SELECT event_type AS et2, $vc AS vc, " +

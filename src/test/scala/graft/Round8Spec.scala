@@ -2123,6 +2123,56 @@ class Round8Spec extends SparkTestBase {
     assert(byR.zip(byR.tail).forall { case (a, b) => a <= b })
   }
 
+  test("ts_completeness and ts_dispersion recompute from hourly counts") {
+    val byType = U.events(spark, sfDir)
+      .select("event_type", "ts").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).getTime * 1000L /
+        3600000000L)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gotC = operators.TimeSeries.queries("ts_completeness")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val gotD = operators.TimeSeries.queries("ts_dispersion")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((et, hs) <- byType) {
+      val cnt = hs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val grid = (hs.min to hs.max).map(h => cnt.getOrElse(h, 0L))
+      val covered = grid.count(_ > 0).toLong
+      var best = 0L; var cur = 0L
+      grid.foreach(c => { if (c == 0) { cur += 1; best = math.max(best, cur) }
+        else cur = 0 })
+      val rc = gotC(et)
+      assert(rc.getAs[Long]("n_hours") == grid.length.toLong &&
+        rc.getAs[Long]("covered_hours") == covered &&
+        rc.getAs[Long]("longest_outage_h") == best,
+        s"completeness diverges for $et")
+      val n = grid.length.toLong; val tot = grid.sum
+      val scc = grid.map(c => BigInt(c) * c).sum
+      val chi2 = (BigInt(1000000) * (BigInt(n) * scc - BigInt(tot) * tot)) /
+        BigInt(tot)
+      assert(gotD(et).getAs[Long]("chi2_micro") == chi2.toLong,
+        s"dispersion diverges for $et")
+    }
+  }
+
+  test("text_simpson matches a scalar token-concentration recompute") {
+    val docsR = U.tbl(spark, sfDir, "documents").select("source", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val got = SparkEntry.queries("text_simpson")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((src, rs) <- docsR.groupBy(_._1)) {
+      val toks = rs.flatMap(_._2.split(" ", -1).filter(_.nonEmpty))
+      val cnt = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = toks.length.toLong
+      val m2 = cnt.values.map(c => BigInt(c) * (c - 1)).sum
+      val r = got(src)
+      assert(r.getAs[Long]("n_types") == cnt.size.toLong &&
+        r.getAs[Long]("n_tokens") == n &&
+        r.getAs[Long]("simpson_micro") ==
+          (BigInt(1000000) * m2 / (BigInt(n) * (n - 1))).toLong,
+        s"simpson diverges for $src")
+    }
+  }
+
   test("sink_jsonl round-trips the documents table value-identically") {
     val got = SparkEntry.queries("sink_jsonl")(spark, sfDir)
       .collect().map(_.toString)
