@@ -271,11 +271,16 @@ object GraftApi {
     * statistics are exact single picks; the verdict is the integer
     * cross-multiplication |x−med|·10⁴ > round(nMads·1.4826·10⁴)·mad.
     * Emitted only once the frame is full. Appends `med`, `mad` (cents)
-    * and `is_outlier`. */
+    * and `is_outlier`. Rows tying on (key, ts) make the rolling window
+    * contents nondeterministic — pass `tiebreak` (a unique column, e.g.
+    * an event id) to pin the order, exactly as [[cusumAlarm]] does; with
+    * no tiebreak the tie order is unspecified. */
   def hampelFilter(df: DataFrame, key: String, ts: String, value: String,
-      window: Int = 7, nMads: Double = 3.0): DataFrame = {
+      window: Int = 7, nMads: Double = 3.0,
+      tiebreak: Option[String] = None): DataFrame = {
     require(window >= 3 && window % 2 == 1, s"window must be odd >= 3")
-    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val ordCols = col(ts) +: tiebreak.map(col).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(ordCols: _*)
     val f = w.rowsBetween(-(window - 1), Window.currentRow)
     val mid = (window + 1) / 2
     val scale = math.round(nMads * 1.4826 * 10000).toInt

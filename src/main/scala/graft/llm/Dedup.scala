@@ -641,8 +641,8 @@ object Dedup {
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_dup, " +
-        "(1000000 * SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 " +
-        "END)) // COUNT(*) AS dup_rate_micro " +
+        "CAST((1000000 * SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 " +
+        "END)) // COUNT(*) AS BIGINT) AS dup_rate_micro " +
         "FROM documents LEFT JOIN dup ON documents.doc_id = dup.doc_id " +
         "GROUP BY source ORDER BY source"),
     "dedup_lsh_recall" -> {

@@ -703,8 +703,8 @@ object TextAnalysis {
         "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(nt) AS BIGINT) AS n_tokens FROM bk GROUP BY 1, 2) " +
         "SELECT source, bucket, n_docs, n_tokens, " +
-        "(1000000 * n_docs) // SUM(n_docs) OVER (PARTITION BY source) " +
-        "AS share_micro FROM ag ORDER BY source, bucket"),
+        "CAST((1000000 * n_docs) // SUM(n_docs) OVER (PARTITION BY source) " +
+        "AS BIGINT) AS share_micro FROM ag ORDER BY source, bucket"),
     "text_heaps_law" ->
       (s"WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents), " +
         "db AS (SELECT doc_id, text, " +

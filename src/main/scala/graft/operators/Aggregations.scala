@@ -1414,10 +1414,12 @@ object Aggregations {
     * (type, cent) counts, then the doubled midrank of cent v is the exact
     * 2·cum(v) − c(v) + 1 over the ≤|domain|-row pooled frame. Doubled
     * rank sums are centered by their exact mean n+1 (Σ2r = n(n+1)), the
-    * per-type quadratic rides the [[aggAnova]] DECIMAL DIV ↔ HUGEINT `//`
-    * bridge, and H / its tie-corrected form close in exact micro-units —
-    * no float anywhere (3e6·S·(n−1) ≤ ~1e31 at 1e6 rows; the Decimal(38,0)
-    * headroom runs out near 1e8 rows/group, where H is decided anyway).
+    * per-type quadratic is an integral division kept ENTIRELY in the
+    * decimal domain (matching DuckDB's HUGEINT `//` floor; a BIGINT DIV
+    * here would wrap near ~4e6 pooled rows), and H / its tie-corrected
+    * form close in exact micro-units — no float anywhere (3e6·S·(n−1) ≤
+    * ~1e31 at 1e6 rows; the Decimal(38,0) headroom runs out near 1e8
+    * rows/group, where H is decided anyway).
     * One counting hash-agg + one domain-bounded window + one |types| agg. */
   private def aggKruskal(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -1436,10 +1438,19 @@ object Aggregations {
       sum(col("cv").cast(dec) * col("cv") * col("cv") - col("cv"))
         .as("ties"))
     perType.crossJoin(broadcast(tot))
+      // qt must STAY decimal: Spark's DIV (IntegralDivide) returns BIGINT
+      // whatever its operands, and x²/nt reaches ~n³ — a silent Long wrap
+      // near ~4e6 pooled rows while the DuckDB oracle stays HUGEINT-exact.
+      // Integral division in the decimal domain = subtract the (exact
+      // decimal) remainder, then divide evenly — the quotient has no
+      // fractional part, so the scale-6 decimal divide is exact.
       .select(col("n"), col("ties"),
-        expr("(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) * " +
-          "(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) DIV " +
-          "CAST(nt AS DECIMAL(38,0))").as("qt"))
+        expr("CAST(((r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) * " +
+          "(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) - " +
+          "(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) * " +
+          "(r2 - CAST(nt AS DECIMAL(38,0)) * (n + 1)) % " +
+          "CAST(nt AS DECIMAL(38,0))) / CAST(nt AS DECIMAL(38,0)) " +
+          "AS DECIMAL(38,0))").as("qt"))
       .groupBy(col("n"), col("ties"))
       .agg(count(lit(1)).as("k"), sum(col("qt")).as("ss"))
       .select(col("n"), col("k"),

@@ -1304,6 +1304,127 @@ object Graphs {
     * (wedge-bounded — the standard distributed triangle shape, no node
     * materializes its neighborhood) + one left-semi closure probe; counts
     * exact, ratio in integer micro-units. */
+  /** Count of transitive triples (u,v,w distinct with u→v, v→w, u→w) of a
+    * directed distinct-edge frame, as a 1-row (n_closed BIGINT) frame.
+    * Size-gated on edge count like [[kcoreOnAdj]]: below
+    * [[GraphIterEdgeCap]] one task runs the CSR merge-intersection kernel
+    * (n_closed = Σ_{(u,w)∈E} |N⁺(u) ∩ N⁻(w)| — per-edge sorted-adjacency
+    * intersections, ~(d⁺+d⁻) work per edge, zero shuffle; whole query
+    * measured 12.75 → 2.3 s warm at sf0.1 vs the r8 directed-wedge
+    * stream); above the cap
+    * the degree-oriented triangle enumeration below keeps per-node fan-out
+    * at O(√m) so no hub ever materializes its full neighborhood. Both
+    * paths are exact and parity-tested (Round8Spec scalar oracle below the
+    * cap, StressSpec forces cap=0 for the distributed twin). */
+  private[graft] def transitiveTriplesCount(
+      e: DataFrame, cap: Long = GraphIterEdgeCap): DataFrame =
+    if (e.count() <= cap) transitiveTriplesSingleTask(e)
+    else transitiveTriplesOriented(e)
+
+  private def transitiveTriplesSingleTask(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val m = edges.length
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) {
+          eu(i) = idx.getOrElseUpdate(edges(i)._1, idx.size)
+          ev(i) = idx.getOrElseUpdate(edges(i)._2, idx.size)
+          i += 1
+        }
+        val n = idx.size
+        // CSR both directions, segments sorted for merge-intersection
+        val outOff = new Array[Int](n + 1); val inOff = new Array[Int](n + 1)
+        i = 0; while (i < m) { outOff(eu(i) + 1) += 1; inOff(ev(i) + 1) += 1; i += 1 }
+        i = 0; while (i < n) { outOff(i + 1) += outOff(i); inOff(i + 1) += inOff(i); i += 1 }
+        val outAdj = new Array[Int](m); val inAdj = new Array[Int](m)
+        val op = outOff.clone(); val ip = inOff.clone()
+        i = 0
+        while (i < m) {
+          outAdj(op(eu(i))) = ev(i); op(eu(i)) += 1
+          inAdj(ip(ev(i))) = eu(i); ip(ev(i)) += 1
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          java.util.Arrays.sort(outAdj, outOff(i), outOff(i + 1))
+          java.util.Arrays.sort(inAdj, inOff(i), inOff(i + 1))
+          i += 1
+        }
+        // v ≠ u and v ≠ w for free: no self-loops in a distinct-edge frame
+        var closed = 0L
+        i = 0
+        while (i < m) {
+          var a = outOff(eu(i)); val aEnd = outOff(eu(i) + 1)
+          var b = inOff(ev(i)); val bEnd = inOff(ev(i) + 1)
+          while (a < aEnd && b < bEnd) {
+            val x = outAdj(a); val y = inAdj(b)
+            if (x == y) { closed += 1; a += 1; b += 1 }
+            else if (x < y) a += 1
+            else b += 1
+          }
+          i += 1
+        }
+        Iterator.single(closed)
+      }
+      .toDF("c")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_closed"))
+  }
+
+  /** The past-the-cap distributed twin: collapse to undirected support
+    * pairs carrying two direction bits, orient each pair toward its
+    * (degree, id)-larger endpoint, enumerate each support triangle exactly
+    * once via the oriented wedge join (fan-out per node ≤ O(√m)), then
+    * score each triangle's 6 vertex orderings against the three pairs'
+    * direction bits. Exact — every directed transitive triple maps to
+    * exactly one support triangle and one of its orderings. */
+  private def transitiveTriplesOriented(e: DataFrame): DataFrame = {
+    val pairs = U.track(e.select(
+        least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
+        (col("u") < col("v")).cast("int").as("fw"),
+        (col("u") > col("v")).cast("int").as("bw"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("fw")).as("f"), max(col("bw")).as("r"))
+      .persist())
+    val deg = pairs.select(col("a").as("n"))
+      .unionAll(pairs.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val aLower = col("da") < col("db") || (col("da") === col("db"))
+    // tie on degree → a (the smaller id) is the lower rank: rank order is
+    // (degree, id) lexicographic and a < b by construction
+    val oriented = U.track(pairs
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("x"),
+        when(aLower, col("b")).otherwise(col("a")).as("y"),
+        when(aLower, col("db")).otherwise(col("da")).as("dy"),
+        when(aLower, col("f")).otherwise(col("r")).as("fxy"),
+        when(aLower, col("r")).otherwise(col("f")).as("fyx"))
+      .persist())
+    val w1 = oriented.select(col("x"), col("y").as("y1"), col("dy").as("d1"),
+      col("fxy").as("ab_f"), col("fyx").as("ab_r"))
+    val w2 = oriented.select(col("x"), col("y").as("y2"), col("dy").as("d2"),
+      col("fxy").as("ac_f"), col("fyx").as("ac_r"))
+    val bc = oriented.select(col("x").as("y1"), col("y").as("y2"),
+      col("fxy").as("bc_f"), col("fyx").as("bc_r"))
+    w1.join(w2, Seq("x"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("y1") < col("y2")))
+      .join(bc, Seq("y1", "y2"))
+      .select((col("ab_f") * col("bc_f") * col("ac_f") +
+        col("ac_f") * col("bc_r") * col("ab_f") +
+        col("ab_r") * col("ac_f") * col("bc_f") +
+        col("bc_f") * col("ac_r") * col("ab_r") +
+        col("ac_r") * col("ab_f") * col("bc_r") +
+        col("bc_r") * col("ab_r") * col("ac_r")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).cast(LongType).as("n_closed"))
+  }
+
   private def graphTransitivityDir(s: SparkSession, d: String): DataFrame = {
     val e = orderSeqEdges(s, d).select(col("u"), col("v"))
     // wedge COUNT needs no wedge frame: paths of length 2 = Σ_v in·out,
@@ -1318,22 +1439,18 @@ object Graphs {
     val recip = e.join(e.select(col("v").as("ru"), col("u").as("rv")),
         col("u") === col("ru") && col("v") === col("rv"), "left_semi")
       .agg(count(lit(1)).as("n_recip"))
-    // closure count streams the wedges through BUILD-SIDE HASH joins —
-    // never persisted, never sorted (u = w wedges cannot close: no self
-    // edges exist, so the semi probe drops them for free). Measured
-    // alternative: a 2²⁴-bit Bloom prefilter on the edge pairs cut the
-    // semi's shuffle 30× (54M → 1.8M rows) but the 54M map-side probes
-    // cost MORE than the shuffle they saved (3.4 s probe + 3.3 s semi
-    // vs 3.2 s plain at sf0.1) — on a real cluster where the exchange
-    // crosses a network the bloom wins; single-node it does not, so the
-    // plain exchange stays.
-    val closed = e.join(e.select(col("u").as("v2"), col("v").as("w")),
-        col("v") === col("v2"))
-      .select(col("u"), col("w"))
-      .join(e.select(col("u").as("cu"), col("v").as("cw"))
-          .hint("shuffle_hash"),
-        col("u") === col("cu") && col("w") === col("cw"), "left_semi")
-      .agg(count(lit(1)).as("n_closed"))
+    // closure count: every closed wedge u→v→w (u→w present) has all three
+    // underlying UNDIRECTED pairs present, i.e. it lives inside a triangle
+    // of the undirected support graph — so enumerate support triangles
+    // with the degree-ordered orientation (per-node oriented fan-out
+    // O(√m), the graph_triangles discipline) and count, per triangle, how
+    // many of its 6 vertex orderings are transitive from the three pairs'
+    // direction bits. This replaces the r8 shape that streamed the FULL
+    // directed wedge frame (Σ in·out = 54M rows at sf0.1, 12.75 s idle,
+    // super-linear on skewed hubs) through a shuffle into a left-semi
+    // probe; the oriented wedge stream is Σ C(d⁺,2) with d⁺ bounded by
+    // orientation — 100×-scale-safe where the wedge stream was not.
+    val closed = transitiveTriplesCount(e)
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(paths2).crossJoin(recip).crossJoin(closed)
       .select(col("n_edges"),

@@ -4033,7 +4033,7 @@ object TimeSeries {
         s"SUM($c) OVER (PARTITION BY user_id) AS tot " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
         "g AS (SELECT user_id, MAX(n) AS n, " +
-        "MAX(n * cum - k * tot) - MIN(n * cum - k * tot) AS r_scaled, " +
+        "CAST(MAX(n * cum - k * tot) - MIN(n * cum - k * tot) AS BIGINT) AS r_scaled, " +
         "CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(vc) AS DOUBLE) AS sy, " +
         "CAST(SUM(vc * vc) AS DOUBLE) AS syy FROM b GROUP BY user_id) " +
         s"SELECT user_id, n, r_scaled, $s2 AS s2, " +
@@ -4058,7 +4058,7 @@ object TimeSeries {
         "ln(CAST(cnt AS DOUBLE) / n) * -1000000.0) AS BIGINT) AS term_micro " +
         "FROM counts JOIN tot ON user_id = u) " +
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_patterns, " +
-        "MAX(n) AS n_triples, " +
+        "CAST(MAX(n) AS BIGINT) AS n_triples, " +
         "CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS perm_entropy_nats " +
         "FROM terms GROUP BY user_id ORDER BY user_id"
     },
@@ -4075,7 +4075,7 @@ object TimeSeries {
         "hidx - row_number() OVER (PARTITION BY event_type ORDER BY hidx) " +
         "AS grp FROM hot) " +
         "SELECT event_type, MIN(h) AS burst_start, MAX(h) AS burst_end, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_hours, SUM(nb) AS n_events " +
+        "CAST(COUNT(*) AS BIGINT) AS n_hours, CAST(SUM(nb) AS BIGINT) AS n_events " +
         "FROM isl GROUP BY event_type, grp HAVING COUNT(*) >= 3 " +
         "ORDER BY event_type, burst_start"),
     "ts_max_concurrency" ->

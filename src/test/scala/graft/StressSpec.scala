@@ -256,4 +256,33 @@ class StressSpec extends SparkTestBase {
       assert(r1.sameElements(r2), s"$name differs run-over-run")
     }
   }
+
+  test("transitive-triples gate parity: oriented twin equals single-task kernel") {
+    // force the past-the-cap degree-oriented triangle path (cap = 0) and
+    // the below-the-cap CSR kernel (default cap) over the same edge frame;
+    // gate dispatch must not change the answer. Includes reciprocal pairs
+    // and 3-cycles (a 3-cycle closes ZERO wedges — the orderings test).
+    val e = U.tbl(spark, sfDir, "lineitem")
+      .selectExpr("l_partkey % 97 AS u", "(l_partkey * 31 + l_orderkey) % 97 AS v")
+      .filter(col("u") =!= col("v")).distinct()
+      .unionByName( // seed explicit 3-cycle + bidirectional triangle
+        spark.range(1).selectExpr("CAST(1001 AS BIGINT) u", "CAST(1002 AS BIGINT) v")
+          .unionAll(spark.range(1).selectExpr("1002L u", "1003L v"))
+          .unionAll(spark.range(1).selectExpr("1003L u", "1001L v"))
+          .unionAll(spark.range(1).selectExpr("2001L u", "2002L v"))
+          .unionAll(spark.range(1).selectExpr("2002L u", "2001L v"))
+          .unionAll(spark.range(1).selectExpr("2002L u", "2003L v"))
+          .unionAll(spark.range(1).selectExpr("2003L u", "2002L v"))
+          .unionAll(spark.range(1).selectExpr("2001L u", "2003L v"))
+          .unionAll(spark.range(1).selectExpr("2003L u", "2001L v")))
+      .persist()
+    val fast = operators.Graphs.transitiveTriplesCount(e)
+      .collect().head.getAs[Long]("n_closed")
+    val dist = operators.Graphs.transitiveTriplesCount(e, cap = 0L)
+      .collect().head.getAs[Long]("n_closed")
+    // bidirectional triangle alone contributes exactly 6 transitive triples
+    assert(fast >= 6L, s"expected >= 6 closed triples, got $fast")
+    assert(fast == dist, s"gate parity broke: single-task=$fast oriented=$dist")
+    e.unpersist()
+  }
 }

@@ -48,11 +48,19 @@ def main():
             print(f"FAIL {name}: rows oracle={exp.num_rows} spark={got.num_rows}")
             n_fail += 1
             continue
-        # dtype report (warning only — driver hashes values)
+        # dtype mismatch is a FAIL: the driver hash is type-sensitive, so a
+        # DECIMAL(38,0)-vs-BIGINT column hash-fails even when values match
+        # (round-8 lesson: five queries slipped through a WARN-only gate).
+        dtype_bad = []
         for c in ecols:
             et, gt = str(exp.schema.field(c).type), str(got.schema.field(c).type)
             if et != gt:
-                print(f"  WARN {name}.{c}: dtype oracle={et} spark={gt}")
+                dtype_bad.append((c, et, gt))
+        if dtype_bad:
+            for c, et, gt in dtype_bad:
+                print(f"FAIL {name}.{c}: dtype oracle={et} spark={gt}")
+            n_fail += 1
+            continue
         ed = exp.to_pylist()
         gd = got.to_pylist()
         bad = None
