@@ -584,6 +584,56 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Maximal-marginal-relevance selection: greedily pick k = 5 vectors
+    * maximizing 0.7·cos(query, x) − 0.3·max_{s∈selected} cos(x, s) —
+    * the retrieval-diversity operator (a plain top-k returns five
+    * near-duplicates of the best hit; MMR trades relevance for coverage).
+    * Query = vec_id 0, broadcast; each of the 5 rounds streams the corpus
+    * ONCE against the ≤4-row selected set (broadcast), so the work is
+    * k × corpus, never corpus² — and the selected frame is
+    * localCheckpoint-pinned per round (the graph_walk_corpus lesson:
+    * without it round r re-executes rounds 1..r−1's plans). Scores are
+    * the same fixed-point cosine tree as [[bruteforceTopk]] with a
+    * deterministic vec_id tiebreak, so the whole greedy trajectory
+    * hash-matches the SQL oracle's 5 chained CTEs. */
+  private def embMmr(s: SparkSession, d: String): DataFrame = {
+    val all = fixed(s, d)
+    val q = all.filter(col("vec_id") === 0L)
+      .select(col("fx").as("qx"), col("nrm").as("qn"))
+    val cand = U.track(all.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("fx"), col("nrm"),
+        cosCol(dotCol(col("fx"), col("qx")), col("nrm"), col("qn")).as("rel"))
+      .persist())
+    var sel: DataFrame = null
+    for (step <- 1 to 5) {
+      val remaining =
+        if (sel == null) cand
+        else cand.join(sel.select(col("vec_id").as("sv")),
+          col("vec_id") === col("sv"), "left_anti")
+      val scored =
+        if (sel == null) remaining.withColumn("pen", lit(0.0))
+        else {
+          val pens = remaining.select(col("vec_id"), col("fx"), col("nrm"))
+            .crossJoin(broadcast(sel.select(col("fx").as("sx"),
+              col("nrm").as("sn"))))
+            .withColumn("pc",
+              cosCol(dotCol(col("fx"), col("sx")), col("nrm"), col("sn")))
+            .groupBy(col("vec_id")).agg(max(col("pc")).as("pen"))
+          remaining.join(pens, Seq("vec_id"))
+        }
+      val pick = scored
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("pen"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(lit(step.toLong).as("step"), col("vec_id"), col("fx"),
+          col("nrm"), col("rel"), col("score"))
+        .localCheckpoint()
+      sel = if (sel == null) pick else sel.unionAll(pick).localCheckpoint()
+    }
+    sel.select(col("step"), col("vec_id"), col("rel"), col("score"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_hard_negatives" -> hardNegatives _,
     "sim_hamming_topk" -> hammingTopk _,
@@ -592,6 +642,7 @@ object Similarity {
     "emb_label_separation" -> labelSeparation _,
     "dedup_text_vs_embedding" -> textVsEmbedding _,
     "emb_rand_proj" -> embRandProj _,
+    "emb_mmr" -> embMmr _,
     "sim_bruteforce_topk" -> bruteforceTopk _,
     "sim_recall_at_k" -> simRecallAtK _,
     "emb_knn_classify" -> knnClassify _,
@@ -729,7 +780,41 @@ object Similarity {
     s"CAST(list_sum(list_transform(range(1, 17), i -> " +
       s"$a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
 
+  /** The MMR oracle: 5 chained greedy steps as CTEs — sel_i = sel_{i-1}
+    * plus the argmax of 0.7·rel − 0.3·max-cos-to-selected over the
+    * not-yet-selected corpus, every cosine the same fixed-point tree the
+    * Spark side runs. */
+  private lazy val mmrSql: String = {
+    val cos = s"CAST(${dotSql("c.fx", "s.fx")} AS DOUBLE) / " +
+      "(sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(s.nrm AS DOUBLE)))"
+    val steps = (2 to 5).map { i =>
+      s"pen$i AS (SELECT c.vec_id AS pv, MAX($cos) AS pen " +
+        s"FROM c CROSS JOIN sel${i - 1} s GROUP BY 1), " +
+        s"sc$i AS (SELECT c.vec_id, c.fx, c.nrm, c.rel, " +
+        s"0.7 * c.rel - 0.3 * p.pen AS score " +
+        s"FROM c JOIN pen$i p ON p.pv = c.vec_id WHERE c.vec_id NOT IN " +
+        s"(SELECT vec_id FROM sel${i - 1})), " +
+        s"pk$i AS (SELECT CAST($i AS BIGINT) AS step, vec_id, fx, nrm, " +
+        s"rel, score FROM sc$i ORDER BY score DESC, vec_id LIMIT 1), " +
+        s"sel$i AS (SELECT * FROM sel${i - 1} UNION ALL " +
+        s"SELECT * FROM pk$i)"
+    }.mkString(", ")
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "q AS (SELECT fx AS qx, nrm AS qn FROM n WHERE vec_id = 0), " +
+      "c AS (SELECT vec_id, fx, nrm, " +
+      s"CAST(${dotSql("fx", "qx")} AS DOUBLE) / " +
+      "(sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))) AS rel " +
+      "FROM n CROSS JOIN q WHERE vec_id <> 0), " +
+      "sel1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, fx, nrm, rel, " +
+      "0.7 * rel - 0.3 * 0.0 AS score FROM c " +
+      "ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, vec_id LIMIT 1), " +
+      steps +
+      " SELECT step, vec_id, rel, score FROM sel5 ORDER BY step"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "emb_mmr" -> mmrSql,
     "sim_hamming_topk" ->
       ("WITH sig AS (SELECT vec_id, " +
         "list_reduce(list_transform(range(32), i -> CASE WHEN " +

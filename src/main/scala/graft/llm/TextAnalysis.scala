@@ -633,7 +633,27 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Corpus-level hapax legomena per source: tokens whose TOTAL count
+    * within the source is exactly 1 (vs [[textTtr]]'s per-DOC hapax — a
+    * corpus hapax is a vocabulary one-off across the whole crawl slice:
+    * OCR noise, mangled encodings, and genuinely rare forms, the
+    * token-level quality screen Heaps/Zipf summarize in aggregate). One
+    * tokenize pass + two hash aggs; all counts exact, share in integer
+    * micro-units. */
+  private def hapaxCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        expr("(1000000 * n_hapax) DIV n_types").as("hapax_share_micro"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax" -> hapaxCorpus _,
     "text_simpson" -> simpson _,
     "text_length_profile" -> lengthProfile _,
     "text_heaps_law" -> heapsLaw _,
@@ -681,6 +701,17 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_hapax" ->
+      (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2), " +
+        "ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
+        "FROM tc GROUP BY 1) " +
+        "SELECT source, n_types, n_tokens, n_hapax, " +
+        "CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_share_micro " +
+        "FROM ag ORDER BY source"),
     "text_simpson" ->
       (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

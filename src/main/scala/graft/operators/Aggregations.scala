@@ -1827,7 +1827,70 @@ object Aggregations {
       .orderBy("user_id")
   }
 
+  /** Wilcoxon signed-rank test on the paired daily click-vs-view cent
+    * totals (the paired-location companion of [[aggMannwhitney]]'s
+    * two-sample rank sum: do clicks and views move the SAME days
+    * differently?). Zero differences drop per the standard test; |d|
+    * ranks are DOUBLED midranks (2·min_rank + ties − 1, the
+    * [[aggKruskal]] discipline), so W2⁺ = Σ r2 over positive d is an
+    * exact Long with E[W2⁺] = n(n+1)/2 and Var[W2⁺] = n(n+1)(2n+1)/6
+    * both integral; only the closing z is a mirrored double tree. The
+    * ranking window is day-cardinality — time-domain bounded, exactly
+    * like [[aggKendallTau]]'s pair frame. */
+  private def aggWilcoxonSigned(s: SparkSession, d: String): DataFrame = {
+    val diffs = U.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(when(col("event_type") === "click", col("vc")).otherwise(0L))
+          .as("xc"),
+        sum(when(col("event_type") === "view", col("vc")).otherwise(0L))
+          .as("yc"))
+      .withColumn("dd", col("xc") - col("yc"))
+      .filter(col("dd") =!= 0L)
+      .withColumn("ad", abs(col("dd")))
+    val wr = Window.orderBy(col("ad"))
+    val wt = Window.partitionBy(col("ad"))
+    val ps = diffs
+      .withColumn("r2", lit(2L) * rank().over(wr).cast(LongType) +
+        count(lit(1)).over(wt) - 1L)
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dd") > 0, col("r2")).otherwise(0L)).as("w2_plus"))
+    val nd = col("n").cast(DoubleType)
+    ps.select(col("n"), col("w2_plus"),
+      ((col("w2_plus").cast(DoubleType) -
+        nd * (nd + lit(1.0)) / lit(2.0)) /
+        sqrt(nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(6.0)))
+        .as("z"))
+  }
+
+  /** Per-type Poisson rate over the fixture's observed hour span, with
+    * the Wald 95% interval — the capacity-planning number ("how many
+    * errors per hour, and how sure are we") next to [[tsDispersion]]'s
+    * overdispersion check. The span and counts are exact integers
+    * (epoch-hour buckets, inclusive); rate_micro is an exact integral
+    * division; only the ±1.96·√n/H interval is a mirrored double tree. */
+  private def aggPoissonCi(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d)
+    val span = ev.agg(
+      (max(expr("unix_micros(ts) DIV 3600000000")) -
+        min(expr("unix_micros(ts) DIV 3600000000")) + 1L).as("hours"))
+    val hd = col("hours").cast(DoubleType)
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n"), col("hours"),
+        expr("(1000000 * n) DIV hours").as("rate_micro"),
+        ((col("n").cast(DoubleType) -
+          lit(1.96) * sqrt(col("n").cast(DoubleType))) / hd).as("rate_lo"),
+        ((col("n").cast(DoubleType) +
+          lit(1.96) * sqrt(col("n").cast(DoubleType))) / hd).as("rate_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_wilcoxon_signed" -> aggWilcoxonSigned _,
+    "agg_poisson_ci" -> aggPoissonCi _,
     "agg_rfm" -> aggRfm _,
     "agg_qq_deciles" -> aggQqDeciles _,
     "agg_lorenz" -> aggLorenz _,
@@ -1974,6 +2037,40 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_wilcoxon_signed" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(SUM(CASE WHEN event_type = 'click' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS xc, " +
+        s"CAST(SUM(CASE WHEN event_type = 'view' THEN $vc ELSE 0 END) " +
+        "AS BIGINT) AS yc FROM events " +
+        "WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+        "df AS (SELECT xc - yc AS dd, abs(xc - yc) AS ad FROM daily " +
+        "WHERE xc - yc <> 0), " +
+        "rk AS (SELECT dd, 2 * CAST(rank() OVER (ORDER BY ad) AS BIGINT) " +
+        "+ CAST(COUNT(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS r2 " +
+        "FROM df), " +
+        "ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS BIGINT) " +
+        "AS w2_plus FROM rk) " +
+        "SELECT n, w2_plus, " +
+        "(CAST(w2_plus AS DOUBLE) - CAST(n AS DOUBLE) * " +
+        "(CAST(n AS DOUBLE) + 1.0) / 2.0) / " +
+        "sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * " +
+        "(2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0) AS z FROM ps"
+    },
+    "agg_poisson_ci" ->
+      ("WITH span AS (SELECT MAX(epoch_us(ts) // 3600000000) - " +
+        "MIN(epoch_us(ts) // 3600000000) + 1 AS hours FROM events), " +
+        "cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, n, CAST(hours AS BIGINT) AS hours, " +
+        "CAST((1000000 * n) // hours AS BIGINT) AS rate_micro, " +
+        "(CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / " +
+        "CAST(hours AS DOUBLE) AS rate_lo, " +
+        "(CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE))) / " +
+        "CAST(hours AS DOUBLE) AS rate_hi " +
+        "FROM cnt CROSS JOIN span ORDER BY event_type"),
     "agg_rfm" -> {
       val vc = OSQL.cents("value")
       def q(metric: String, neg: Boolean, pfx: String, out: String) = {

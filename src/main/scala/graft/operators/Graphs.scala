@@ -1375,14 +1375,17 @@ object Graphs {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_closed"))
   }
 
-  /** The past-the-cap distributed twin: collapse to undirected support
-    * pairs carrying two direction bits, orient each pair toward its
-    * (degree, id)-larger endpoint, enumerate each support triangle exactly
-    * once via the oriented wedge join (fan-out per node ≤ O(√m)), then
-    * score each triangle's 6 vertex orderings against the three pairs'
-    * direction bits. Exact — every directed transitive triple maps to
-    * exactly one support triangle and one of its orderings. */
-  private def transitiveTriplesOriented(e: DataFrame): DataFrame = {
+  /** Distributed support-triangle enumeration with per-pair direction
+    * bits: collapse the directed edge frame to undirected support pairs
+    * carrying two direction bits, orient each pair toward its (degree,
+    * id)-larger endpoint, and enumerate each support triangle exactly once
+    * via the oriented wedge join (fan-out per node ≤ O(√m) — no hub ever
+    * materializes its full neighborhood). Returns one row per triangle
+    * with the six bits of its three pairs relative to roles (a, b, c) =
+    * (wedge center, lower-rank leaf, higher-rank leaf): ab_f = a→b exists,
+    * ab_r = b→a, etc. Shared by [[transitiveTriplesOriented]] and the
+    * [[graphTriadCensus]] distributed twin. */
+  private def orientedTriangleBits(e: DataFrame): DataFrame = {
     val pairs = U.track(e.select(
         least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
         (col("u") < col("v")).cast("int").as("fw"),
@@ -1416,6 +1419,14 @@ object Graphs {
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("y1") < col("y2")))
       .join(bc, Seq("y1", "y2"))
+  }
+
+  /** The past-the-cap distributed twin of the transitive-triples kernel:
+    * score each support triangle's 6 vertex orderings against its three
+    * pairs' direction bits. Exact — every directed transitive triple maps
+    * to exactly one support triangle and one of its orderings. */
+  private def transitiveTriplesOriented(e: DataFrame): DataFrame =
+    orientedTriangleBits(e)
       .select((col("ab_f") * col("bc_f") * col("ac_f") +
         col("ac_f") * col("bc_r") * col("ab_f") +
         col("ab_r") * col("ac_f") * col("bc_f") +
@@ -1423,6 +1434,137 @@ object Graphs {
         col("ac_r") * col("ab_f") * col("bc_r") +
         col("bc_r") * col("ab_r") * col("ac_r")).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).cast(LongType).as("n_closed"))
+
+  /** The triad-type label of one support triangle from its six direction
+    * bits — shared verbatim by the census's single-task kernel (as the
+    * same arithmetic over packed bits) and the distributed CASE tree.
+    * Classes are the 7 connected-triad isomorphism types of directed-graph
+    * triad census: m = #mutual pairs picks {300, 210, m=1, m=0}; m=0
+    * splits transitive (030T) vs cyclic (030C) by whether any ordering is
+    * transitive; m=1 splits {120D, 120U, 120C} by how many of the two
+    * single edges point INTO the mutual dyad (2, 0, 1 respectively). */
+  private def triadLabel: Column = {
+    val m = col("ab_f") * col("ab_r") + col("ac_f") * col("ac_r") +
+      col("bc_f") * col("bc_r")
+    val t = col("ab_f") * col("bc_f") * col("ac_f") +
+      col("ac_f") * col("bc_r") * col("ab_f") +
+      col("ab_r") * col("ac_f") * col("bc_f") +
+      col("bc_f") * col("ac_r") * col("ab_r") +
+      col("ac_r") * col("ab_f") * col("bc_r") +
+      col("bc_r") * col("ab_r") * col("ac_r")
+    val sIn = when(col("ab_f") * col("ab_r") === 1,
+        col("ac_r") + col("bc_r"))       // mutual {a,b}: singles into a or b
+      .when(col("ac_f") * col("ac_r") === 1,
+        col("ab_r") + col("bc_f"))       // mutual {a,c}: b→a or b→c
+      .otherwise(col("ab_f") + col("ac_f")) // mutual {b,c}: a→b or a→c
+    when(m === 3, "300")
+      .when(m === 2, "210")
+      .when(m === 0, when(t >= 1, "030T").otherwise("030C"))
+      .otherwise(when(sIn === 2, "120D")
+        .when(sIn === 0, "120U").otherwise("120C"))
+  }
+
+  /** Directed triad census over the order-sequence digraph, restricted to
+    * CONNECTED triads (support triangles) — the structural fingerprint
+    * behind [[graphTransitivityDir]]'s single ratio: how many closed
+    * triads are transitive (030T), cyclic (030C), or carry 1–3 mutual
+    * dyads (120U/C/D, 210, 300). Size-gated exactly like the transitive
+    * count: one task classifies via the CSR kernel below
+    * [[GraphIterEdgeCap]], the oriented triangle enumeration + one CASE
+    * tree above it; gate parity pinned in StressSpec. */
+  private def graphTriadCensus(s: SparkSession, d: String): DataFrame =
+    triadCensusOnEdges(orderSeqEdges(s, d).select(col("u"), col("v")),
+      GraphIterEdgeCap)
+
+  private[graft] def triadCensusOnEdges(e: DataFrame, cap: Long): DataFrame = {
+    val tri =
+      if (e.count() <= cap) triadBitsSingleTask(e)
+      else orientedTriangleBits(e)
+        .select(col("ab_f"), col("ab_r"), col("ac_f"), col("ac_r"),
+          col("bc_f"), col("bc_r"), lit(1L).as("n"))
+    tri.groupBy(triadLabel.as("triad_type"))
+      .agg(sum(col("n")).as("n_triads"))
+      .orderBy("triad_type")
+  }
+
+  /** Below-the-cap kernel: enumerate support triangles in one task over
+    * id-sorted CSR adjacency (the [[transitiveTriplesSingleTask]]
+    * discipline) and emit one (six-bit, count) row per DISTINCT bit
+    * pattern with node roles a < b < c by id — at most 64 rows leave the
+    * task, and [[triadLabel]] classifies them exactly as it does the
+    * distributed frame (the label is role-consistent for any fixed role
+    * assignment). */
+  private def triadBitsSingleTask(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        // pair bits keyed by (lo, hi) id pair; node ids dense-indexed
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val m = edges.length
+        var i = 0
+        while (i < m) {
+          idx.getOrElseUpdate(edges(i)._1, idx.size)
+          idx.getOrElseUpdate(edges(i)._2, idx.size)
+          i += 1
+        }
+        val n = idx.size
+        val bits = scala.collection.mutable.LongMap.empty[Int]
+        i = 0
+        while (i < m) {
+          val ui = idx(edges(i)._1); val vi = idx(edges(i)._2)
+          val (lo, hi) = if (ui < vi) (ui, vi) else (vi, ui)
+          val bit = if (ui < vi) 1 else 2 // 1 = lo→hi, 2 = hi→lo
+          val k = lo.toLong * n + hi
+          bits.update(k, bits.getOrElse(k, 0) | bit)
+          i += 1
+        }
+        // CSR of id-ascending support neighbors hi > lo
+        val off = new Array[Int](n + 1)
+        bits.foreachKey { k => off((k / n).toInt + 1) += 1 }
+        i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+        val adj = new Array[Int](bits.size)
+        val pos = off.clone()
+        bits.foreachKey { k =>
+          val lo = (k / n).toInt; adj(pos(lo)) = (k % n).toInt; pos(lo) += 1
+        }
+        i = 0
+        while (i < n) {
+          java.util.Arrays.sort(adj, off(i), off(i + 1))
+          i += 1
+        }
+        def pb(x: Int, y: Int): Int = bits.getOrElse(x.toLong * n + y, 0)
+        // accumulate counts per 6-bit pattern (ab_f ab_r ac_f ac_r bc_f bc_r)
+        val acc = new Array[Long](64)
+        var a = 0
+        while (a < n) {
+          var p = off(a)
+          while (p < off(a + 1)) {
+            val b = adj(p)
+            var q = p + 1
+            while (q < off(a + 1)) {
+              val c = adj(q)
+              val bcb = pb(b, c)
+              if (bcb != 0) {
+                val ab = pb(a, b); val ac = pb(a, c)
+                val pat = ((ab & 1) << 5) | ((ab >> 1) << 4) |
+                  ((ac & 1) << 3) | ((ac >> 1) << 2) |
+                  ((bcb & 1) << 1) | (bcb >> 1)
+                acc(pat) += 1L
+              }
+              q += 1
+            }
+            p += 1
+          }
+          a += 1
+        }
+        (0 until 64).iterator.filter(acc(_) > 0L).map { pat =>
+          (((pat >> 5) & 1), ((pat >> 4) & 1), ((pat >> 3) & 1),
+            ((pat >> 2) & 1), ((pat >> 1) & 1), (pat & 1), acc(pat))
+        }
+      }
+      .toDF("ab_f", "ab_r", "ac_f", "ac_r", "bc_f", "bc_r", "n")
   }
 
   private def graphTransitivityDir(s: SparkSession, d: String): DataFrame = {
@@ -1460,6 +1602,7 @@ object Graphs {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triad_census" -> graphTriadCensus _,
     "graph_transitivity_dir" -> graphTransitivityDir _,
     "graph_walk_corpus" -> graphWalkCorpus _,
     "graph_rich_club" -> graphRichClub _,
@@ -1490,6 +1633,31 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_triad_census" -> {
+      val m = "ab_f*ab_r + ac_f*ac_r + bc_f*bc_r"
+      val t = "ab_f*bc_f*ac_f + ac_f*bc_r*ab_f + ab_r*ac_f*bc_f + " +
+        "bc_f*ac_r*ab_r + ac_r*ab_f*bc_r + bc_r*ab_r*ac_r"
+      val sIn = "CASE WHEN ab_f*ab_r = 1 THEN ac_r + bc_r " +
+        "WHEN ac_f*ac_r = 1 THEN ab_r + bc_f ELSE ab_f + ac_f END"
+      "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, " +
+        "l_linenumber AS ln FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk), " +
+        "p AS (SELECT least(u, v) AS a, greatest(u, v) AS b, " +
+        "CAST(MAX(CASE WHEN u < v THEN 1 ELSE 0 END) AS BIGINT) AS f, " +
+        "CAST(MAX(CASE WHEN u > v THEN 1 ELSE 0 END) AS BIGINT) AS r " +
+        "FROM e GROUP BY 1, 2), " +
+        "tri AS (SELECT p1.f AS ab_f, p1.r AS ab_r, p2.f AS ac_f, " +
+        "p2.r AS ac_r, p3.f AS bc_f, p3.r AS bc_r " +
+        "FROM p p1 JOIN p p2 ON p2.a = p1.a AND p2.b > p1.b " +
+        "JOIN p p3 ON p3.a = p1.b AND p3.b = p2.b) " +
+        s"SELECT CASE WHEN $m = 3 THEN '300' WHEN $m = 2 THEN '210' " +
+        s"WHEN $m = 0 THEN (CASE WHEN $t >= 1 THEN '030T' ELSE '030C' END) " +
+        s"ELSE (CASE WHEN $sIn = 2 THEN '120D' WHEN $sIn = 0 THEN '120U' " +
+        "ELSE '120C' END) END AS triad_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_triads " +
+        "FROM tri GROUP BY 1 ORDER BY 1"
+    },
     "graph_transitivity_dir" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, " +
         "l_linenumber AS ln FROM lineitem), " +

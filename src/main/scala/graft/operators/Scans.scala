@@ -550,6 +550,20 @@ object Scans {
       .orderBy("doc_id")
   }
 
+  /** CSV sink roundtrip with quoting in play (c_comment carries commas):
+    * write gzip CSV with header, read back under the SOURCE schema (CSV
+    * carries no types — reading with inference would degrade dtypes and
+    * hash-fail), byte-exact against the table oracle. The export-to-
+    * spreadsheet/legacy-feed sibling of [[sinkJsonl]]. */
+  private def sinkCsv(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "sink_csv")
+    val src = U.tbl(s, d, "customer")
+    src.write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip").csv(path)
+    s.read.schema(src.schema).option("header", "true").csv(path)
+      .orderBy("c_custkey")
+  }
+
   private def sinkParquet(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_orders")
     U.tbl(s, d, "orders").filter(col("o_orderstatus") === "O")
@@ -676,6 +690,7 @@ object Scans {
     "scan_merge_on_read" -> scanMergeOnRead _,
     "sink_merge_upsert" -> sinkMergeUpsert _,
     "sink_parquet" -> sinkParquet _,
+    "sink_csv" -> sinkCsv _,
     "sink_jsonl" -> sinkJsonl _,
     "sink_custom_stats" -> sinkCustomStats _,
     "sink_parquet_bloom" -> sinkParquetBloom _,
@@ -791,6 +806,7 @@ object Scans {
         "FROM range(0, 20000) GROUP BY bucket ORDER BY bucket"),
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey",
     "sink_jsonl" ->
       ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id"),

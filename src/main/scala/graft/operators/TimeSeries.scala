@@ -3034,7 +3034,95 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Turning-point randomness test per user: count interior points that
+    * are strict local maxima or minima of the (ts, event_id)-ordered value
+    * series. For an i.i.d. series E[T] = 2(n−2)/3 and Var[T] =
+    * (16n−29)/90 — too few turns means trend/stickiness, too many means
+    * oscillation (the cheap cousin of [[tsRunsTest]], sensitive to local
+    * shape where runs are sensitive to level). Counts and the expected
+    * value in micro-units are exact integers (strict inequalities make
+    * plateaus contribute nothing, deterministically); only the closing z
+    * is a mirrored double tree. One window pass + one rollup. */
+  private def tsTurningPoints(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ps = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("prev", lag(col("vc"), 1).over(w))
+      .withColumn("nxt", lead(col("vc"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prev").isNotNull && col("nxt").isNotNull &&
+          (col("vc") - col("prev")) * (col("nxt") - col("vc")) < 0, 1L)
+          .otherwise(0L)).as("n_turning"))
+    val nd = col("n").cast(DoubleType)
+    ps.select(col("user_id"), col("n"), col("n_turning"),
+        expr("(2000000 * (n - 2)) DIV 3").as("expected_micro"),
+        ((col("n_turning").cast(DoubleType) -
+          lit(2.0) * (nd - lit(2.0)) / lit(3.0)) /
+          sqrt((lit(16.0) * nd - lit(29.0)) / lit(90.0))).as("z"))
+      .orderBy("user_id")
+  }
+
+  /** Bartels rank version of von Neumann's ratio per user — the
+    * nonparametric successive-difference randomness test ([[tsRunsTest]]
+    * dichotomizes at the median and loses magnitude; this keeps full rank
+    * information). Ranks are DOUBLED midranks (2·min_rank + ties − 1, so
+    * ties stay integral), hence NM = Σ(r2ᵢ₊₁ − r2ᵢ)² and the centering
+    * D = Σr2ᵢ² − n(n+1)² (mean of r2 is exactly n+1) are exact Longs
+    * (≤16n³ — Long-safe to ~8e5 rows/user), and the ratio closes in
+    * integer micro-units. RVN ≈ 2 is random; → 0 trending; → 4
+    * oscillating. Two window passes, one rollup. */
+  private def tsVnRank(s: SparkSession, d: String): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("vc"))
+    val wt = Window.partitionBy(col("user_id"), col("vc"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("r2", lit(2L) * rank().over(wr).cast(LongType) +
+        count(lit(1)).over(wt) - 1L)
+      .withColumn("dr", col("r2") - lag(col("r2"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dr") * col("dr")).as("nm2"),
+        sum(col("r2") * col("r2")).as("ss2"))
+      .select(col("user_id"), col("n"), col("nm2"),
+        (col("ss2") - col("n") * (col("n") + 1L) * (col("n") + 1L)).as("d2"),
+        expr("(1000000 * nm2) DIV nullif(ss2 - n * (n + 1) * (n + 1), 0)")
+          .as("rvn_micro"))
+      .orderBy("user_id")
+  }
+
+  /** Process capability Cpk per event type against fixed spec limits
+    * (LSL = 0.00, USL = 300.00 — the SPC acceptance number next to
+    * [[tsSpcRules]]' violation runs): min(USL−μ, μ−LSL)/3σ with
+    * population σ from the same exact cent power sums every *_rs/Granger
+    * query rides; the out-of-spec count is a plain exact integer. A
+    * process can be in control (SPC rules quiet) and still incapable
+    * (Cpk < 1) — the two queries answer different questions. */
+  private def tsCpk(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (lslC, uslC) = (0L, 30000L)
+    val ps = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast(dec)).as("sx"),
+        sum(col("vc").cast(dec) * col("vc")).as("sxx"),
+        sum(when(col("vc") < lslC || col("vc") > uslC, 1L).otherwise(0L))
+          .as("n_out"))
+    val nd = col("n").cast(DoubleType)
+    val mu = col("sx").cast(DoubleType) / nd
+    val sd = sqrt(col("sxx").cast(DoubleType) / nd - mu * mu)
+    ps.select(col("event_type"), col("n"), col("n_out"),
+        (least(lit(uslC.toDouble) - mu, mu - lit(lslC.toDouble)) /
+          (lit(3.0) * sd)).as("cpk"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_turning_points" -> tsTurningPoints _,
+    "ts_vn_rank" -> tsVnRank _,
+    "ts_cpk" -> tsCpk _,
     "ts_completeness" -> tsCompleteness _,
     "ts_dispersion" -> tsDispersion _,
     "ts_pot_exceedance" -> tsPotExceedance _,
@@ -3260,6 +3348,51 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_turning_points" -> {
+      val vc = OSQL.cents("value")
+      s"WITH b AS (SELECT user_id, $vc AS vc, " +
+        "lag(" + vc + ") OVER w AS prev, lead(" + vc + ") OVER w AS nxt " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "ps AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL AND " +
+        "(vc - prev) * (nxt - vc) < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_turning FROM b GROUP BY 1) " +
+        "SELECT user_id, n, n_turning, " +
+        "CAST((2000000 * (n - 2)) // 3 AS BIGINT) AS expected_micro, " +
+        "(CAST(n_turning AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) " +
+        "/ sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) AS z " +
+        "FROM ps ORDER BY user_id"
+    },
+    "ts_vn_rank" -> {
+      val vc = OSQL.cents("value")
+      s"WITH b AS (SELECT user_id, ts, event_id, $vc AS vc FROM events), " +
+        "r AS (SELECT user_id, ts, event_id, " +
+        "2 * CAST(rank() OVER (PARTITION BY user_id ORDER BY vc) AS BIGINT) " +
+        "+ CAST(COUNT(*) OVER (PARTITION BY user_id, vc) AS BIGINT) - 1 " +
+        "AS r2 FROM b), " +
+        "dr AS (SELECT user_id, r2, r2 - lag(r2) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS d FROM r), " +
+        "ps AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(d * d) AS BIGINT) AS nm2, " +
+        "CAST(SUM(r2 * r2) AS BIGINT) AS ss2 FROM dr GROUP BY 1) " +
+        "SELECT user_id, n, nm2, " +
+        "CAST(ss2 - n * (n + 1) * (n + 1) AS BIGINT) AS d2, " +
+        "CAST((1000000 * nm2) // nullif(ss2 - n * (n + 1) * (n + 1), 0) " +
+        "AS BIGINT) AS rvn_micro FROM ps ORDER BY user_id"
+    },
+    "ts_cpk" -> {
+      val vc = OSQL.cents("value")
+      s"WITH ps AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM($vc) AS DOUBLE) AS sx, " +
+        s"CAST(SUM(CAST($vc AS DECIMAL(38,0)) * $vc) AS DOUBLE) AS sxx, " +
+        s"CAST(SUM(CASE WHEN $vc < 0 OR $vc > 30000 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_out FROM events GROUP BY 1) " +
+        "SELECT event_type, n, n_out, " +
+        "least(30000.0 - sx / CAST(n AS DOUBLE), sx / CAST(n AS DOUBLE) - 0.0) " +
+        "/ (3.0 * sqrt(sxx / CAST(n AS DOUBLE) - " +
+        "(sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))) AS cpk " +
+        "FROM ps ORDER BY event_type"
+    },
     "ts_completeness" ->
       ("WITH hourly AS (SELECT event_type, " +
         "epoch_us(ts) // 3600000000 AS hidx, " +

@@ -22,13 +22,13 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
     "operators/TimeSeries.scala" -> 21,
-    "operators/Aggregations.scala" -> 45,
+    "operators/Aggregations.scala" -> 46,
     "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
     "llm/Pipeline.scala" -> 16,
-    "llm/Similarity.scala" -> 10,
+    "llm/Similarity.scala" -> 12,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
     "llm/TextAnalysis.scala" -> 13,

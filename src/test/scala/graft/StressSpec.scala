@@ -283,6 +283,17 @@ class StressSpec extends SparkTestBase {
     // bidirectional triangle alone contributes exactly 6 transitive triples
     assert(fast >= 6L, s"expected >= 6 closed triples, got $fast")
     assert(fast == dist, s"gate parity broke: single-task=$fast oriented=$dist")
+
+    // triad census over the same adversarial frame: both gate paths must
+    // produce the identical 7-class histogram, and the seeded 3-cycle
+    // (030C) and fully-mutual triangle (300) must be counted
+    def census(cap: Long) =
+      operators.Graphs.triadCensusOnEdges(e, cap).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_triads")).toMap
+    val cFast = census(Long.MaxValue)
+    val cDist = census(0L)
+    assert(cFast == cDist, s"census gate parity broke: $cFast vs $cDist")
+    assert(cFast.getOrElse("030C", 0L) >= 1L && cFast.getOrElse("300", 0L) >= 1L)
     e.unpersist()
   }
 }
