@@ -634,7 +634,61 @@ object Similarity {
       .orderBy("step")
   }
 
+  /** Explicit distributed k-means (k = 4, 3 assignment rounds, seeds =
+    * vec_ids 0–3): the TRAINING loop the IVF quantizer runs behind its
+    * cache, surfaced as an exactly-oracled query. Everything stays in the
+    * fixed-point integer domain — dist² = ‖x‖² − 2x·c + ‖c‖² is an exact
+    * Long via the codegen'd FixedDot, centroid updates are the
+    * [[graft.llm.Pipeline]] floored-mean discipline (floor of an exact
+    * double division, identical both engines), and ties break on cid —
+    * so the full 3-round trajectory (assignments, inertia, centroid
+    * checksums) hash-matches 3 chained CTE rounds in SQL. Scale shape:
+    * per round ONE corpus stream against a ≤4-row broadcast centroid
+    * frame (localCheckpoint-pinned, the MMR lesson) + one explode-agg
+    * keyed (cid, dim) for the update — linear in corpus × k, never
+    * corpus². */
+  private def embKmeans(s: SparkSession, d: String): DataFrame = {
+    val v = U.track(fixed(s, d)
+      .select(col("vec_id"), col("fx"), col("nrm")).persist())
+    var cent = v.filter(col("vec_id") < 4L)
+      .select(col("vec_id").as("cid"), col("fx").as("cx"),
+        col("nrm").as("cn")).localCheckpoint()
+    var asg: DataFrame = null
+    for (round <- 1 to 3) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+      asg = v.crossJoin(broadcast(cent))
+        .withColumn("dist2",
+          col("nrm") - lit(2L) * dotCol(col("fx"), col("cx")) + col("cn"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("dist2"), col("fx"))
+      if (round < 3) {
+        cent = asg
+          .select(col("cid"), posexplode(col("fx")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1)))
+            .cast(LongType).as("c"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            t => t.getField("c")).as("cx"))
+          .withColumn("cn", fixed_dot(col("cx"), col("cx")))
+          .localCheckpoint()
+      }
+    }
+    val checks = cent
+      .select(col("cid").as("ccid"), posexplode(col("cx")).as(Seq("pos", "c")))
+      .groupBy(col("ccid"))
+      .agg(sum((col("pos") + 1).cast(LongType) * col("c")).as("checksum"))
+    asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist2")).as("inertia"))
+      .join(checks, col("cid") === col("ccid"))
+      .select(col("cid"), col("n_members"), col("inertia"), col("checksum"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> embKmeans _,
     "emb_hard_negatives" -> hardNegatives _,
     "sim_hamming_topk" -> hammingTopk _,
     "emb_matryoshka" -> embMatryoshka _,
@@ -813,7 +867,39 @@ object Similarity {
       " SELECT step, vec_id, rel, score FROM sel5 ORDER BY step"
   }
 
+  /** The k-means oracle: 3 chained assignment/update rounds in component
+    * space — Σ(x−cx)² is the same exact Long as the Spark side's
+    * ‖x‖²−2x·c+‖c‖², and the floored-mean update is the identical
+    * double-division tree. */
+  private lazy val kmeansSql: String = {
+    def round(i: Int): String =
+      s"d$i AS (SELECT comp.vec_id, c${i - 1}.cid, " +
+        "CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS dist2 " +
+        s"FROM comp JOIN c${i - 1} USING (dim) GROUP BY 1, 2), " +
+        s"a$i AS (SELECT vec_id, cid, dist2, row_number() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist2, cid) AS rk FROM d$i), " +
+        s"asg$i AS (SELECT vec_id, cid, dist2 FROM a$i WHERE rk = 1)" +
+        (if (i < 3)
+          s", c$i AS (SELECT cid, dim, CAST(floor(CAST(SUM(x) AS DOUBLE) " +
+            s"/ COUNT(*)) AS BIGINT) AS cx FROM comp JOIN asg$i " +
+            "USING (vec_id) GROUP BY 1, 2)"
+        else "")
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      "comp AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, " +
+      "fx[CAST(i AS INTEGER)] AS x FROM f CROSS JOIN range(1, 65) t(i)), " +
+      "c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM comp " +
+      "WHERE vec_id < 4), " +
+      round(1) + ", " + round(2) + ", " + round(3) + ", " +
+      "chk AS (SELECT cid, CAST(SUM(dim * cx) AS BIGINT) AS checksum " +
+      "FROM c2 GROUP BY 1) " +
+      "SELECT asg3.cid, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+      "CAST(SUM(dist2) AS BIGINT) AS inertia, MAX(checksum) AS checksum " +
+      "FROM asg3 JOIN chk ON asg3.cid = chk.cid " +
+      "GROUP BY 1 ORDER BY 1"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "emb_kmeans" -> kmeansSql,
     "emb_mmr" -> mmrSql,
     "sim_hamming_topk" ->
       ("WITH sig AS (SELECT vec_id, " +

@@ -128,6 +128,16 @@ class Round9Spec extends SparkTestBase {
       s"census-weighted closure $fromCensus != transitive count $nClosed")
   }
 
+  test("emb_kmeans partitions the corpus with non-negative inertia") {
+    val rows = SparkEntry.queries("emb_kmeans")(spark, sfDir)
+      .collect()
+    assert(rows.length <= 4 && rows.map(_.getLong(0)).distinct.length == rows.length)
+    val total = U.tbl(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "every vector must be assigned to exactly one cluster")
+    rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
+  }
+
   test("emb_mmr trajectory: distinct picks, argmax start, non-increasing scores") {
     val rows = SparkEntry.queries("emb_mmr")(spark, sfDir)
       .orderBy("step").collect()
