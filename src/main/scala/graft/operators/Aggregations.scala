@@ -1888,7 +1888,32 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Leave-one-type-out (jackknife) means: for each event type, the
+    * grand mean recomputed WITHOUT that type, and its shift from the full
+    * mean — the influence diagnostic ("which segment is dragging the
+    * KPI") that generalizes to any plug-in estimator. Fully integer: the
+    * LOO mean is an exact DECIMAL sum difference under integral division,
+    * and the shift is a difference of two already-floored micro values.
+    * One hash agg + a 1-row broadcast total. */
+  private def aggJackknife(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(col("vc").cast(dec)).as("s_t"))
+    val tot = per.agg(sum(col("n_t")).as("n_all"),
+      sum(col("s_t")).as("s_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_t"),
+        expr("CAST((1000000 * (s_all - s_t)) DIV nullif(n_all - n_t, 0) AS BIGINT)")
+          .as("loo_mean_micro"),
+        expr("CAST((1000000 * (s_all - s_t)) DIV nullif(n_all - n_t, 0) - " +
+          "(1000000 * s_all) DIV n_all AS BIGINT)").as("shift_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_jackknife" -> aggJackknife _,
     "agg_wilcoxon_signed" -> aggWilcoxonSigned _,
     "agg_poisson_ci" -> aggPoissonCi _,
     "agg_rfm" -> aggRfm _,
@@ -2037,6 +2062,18 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_jackknife" -> {
+      val vc = OSQL.cents("value")
+      s"WITH per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t, " +
+        s"SUM($vc) AS s_t FROM events GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_t) AS n_all, SUM(s_t) AS s_all FROM per) " +
+        "SELECT event_type, n_t, " +
+        "CAST((1000000 * (s_all - s_t)) // nullif(n_all - n_t, 0) AS BIGINT) " +
+        "AS loo_mean_micro, " +
+        "CAST((1000000 * (s_all - s_t)) // nullif(n_all - n_t, 0) - " +
+        "(1000000 * s_all) // n_all AS BIGINT) AS shift_micro " +
+        "FROM per CROSS JOIN tot ORDER BY event_type"
+    },
     "agg_wilcoxon_signed" -> {
       val vc = OSQL.cents("value")
       s"WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +

@@ -3119,7 +3119,77 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Foster–Stuart records test per user: strict upper and lower records
+    * of the (ts, event_id)-ordered series — D = (#up − #lo) detects trend
+    * in LEVEL, S = (#up + #lo) detects trend in VARIABILITY (a stationary
+    * series grows records only logarithmically; [[tsRecordHighs]] lists
+    * the upper records, this scores both tails). Fully integer — records
+    * are strict prefix-extremum comparisons, no distributional closing
+    * stat (its variance is a float harmonic sum whose accumulation order
+    * is engine-specific; the exact counts ARE the test surface). One
+    * window pass + one rollup. */
+  private def tsFosterStuart(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("pmax", max(col("vc")).over(prior))
+      .withColumn("pmin", min(col("vc")).over(prior))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pmax").isNotNull && col("vc") > col("pmax"), 1L)
+          .otherwise(0L)).as("n_up_records"),
+        sum(when(col("pmin").isNotNull && col("vc") < col("pmin"), 1L)
+          .otherwise(0L)).as("n_lo_records"))
+      .select(col("user_id"), col("n"), col("n_up_records"),
+        col("n_lo_records"),
+        (col("n_up_records") - col("n_lo_records")).as("d_stat"),
+        (col("n_up_records") + col("n_lo_records")).as("s_stat"))
+      .orderBy("user_id")
+  }
+
+  /** Pre/post level comparison per event type, split at the exact
+    * midpoint of the observed epoch-microsecond span — the deploy-impact
+    * question ("did the level move after the change?") asked of every
+    * type at once. Counts and micro-unit means are exact integers off
+    * cent power sums; only the closing Welch t is a mirrored double tree
+    * (the [[aggCohensD]] epilogue shape). The 1-row global midpoint
+    * broadcasts; one pass, one rollup. */
+  private def tsPrepost(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = U.events(s, d).withColumn("vc", U.cents(col("value")))
+    val mid = ev.agg(((min(unix_micros(col("ts"))) +
+      max(unix_micros(col("ts")))) / lit(2L)).cast(LongType).as("mid_us"))
+    val ps = ev.crossJoin(broadcast(mid))
+      .withColumn("post", (unix_micros(col("ts")) > col("mid_us")).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("post") === 0, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("post") === 1, 1L).otherwise(0L)).as("n_post"),
+        sum(when(col("post") === 0, col("vc")).otherwise(0L).cast(dec))
+          .as("s_pre"),
+        sum(when(col("post") === 1, col("vc")).otherwise(0L).cast(dec))
+          .as("s_post"),
+        sum(when(col("post") === 0, col("vc").cast(dec) * col("vc"))
+          .otherwise(lit(0L).cast(dec))).as("ss_pre"),
+        sum(when(col("post") === 1, col("vc").cast(dec) * col("vc"))
+          .otherwise(lit(0L).cast(dec))).as("ss_post"))
+    val (np, nq) = (col("n_pre").cast(DoubleType), col("n_post").cast(DoubleType))
+    val mp = col("s_pre").cast(DoubleType) / np
+    val mq = col("s_post").cast(DoubleType) / nq
+    val vp = (col("ss_pre").cast(DoubleType) / np - mp * mp) * np / (np - lit(1.0))
+    val vq = (col("ss_post").cast(DoubleType) / nq - mq * mq) * nq / (nq - lit(1.0))
+    ps.select(col("event_type"), col("n_pre"), col("n_post"),
+        expr("CAST((1000000 * s_pre) DIV nullif(n_pre, 0) AS BIGINT)")
+          .as("mean_pre_micro"),
+        expr("CAST((1000000 * s_post) DIV nullif(n_post, 0) AS BIGINT)")
+          .as("mean_post_micro"),
+        ((mq - mp) / sqrt(vp / np + vq / nq)).as("welch_t"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_foster_stuart" -> tsFosterStuart _,
+    "ts_prepost" -> tsPrepost _,
     "ts_turning_points" -> tsTurningPoints _,
     "ts_vn_rank" -> tsVnRank _,
     "ts_cpk" -> tsCpk _,
@@ -3348,6 +3418,50 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_foster_stuart" -> {
+      val vc = OSQL.cents("value")
+      s"WITH b AS (SELECT user_id, $vc AS vc, " +
+        s"MAX($vc) OVER wp AS pmax, MIN($vc) OVER wp AS pmin " +
+        "FROM events WINDOW wp AS (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND 1 PRECEDING)), " +
+        "ps AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN pmax IS NOT NULL AND vc > pmax THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_up_records, " +
+        "CAST(SUM(CASE WHEN pmin IS NOT NULL AND vc < pmin THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_lo_records FROM b GROUP BY 1) " +
+        "SELECT user_id, n, n_up_records, n_lo_records, " +
+        "n_up_records - n_lo_records AS d_stat, " +
+        "n_up_records + n_lo_records AS s_stat FROM ps ORDER BY user_id"
+    },
+    "ts_prepost" -> {
+      val vc = OSQL.cents("value")
+      val np = "CAST(n_pre AS DOUBLE)"; val nq = "CAST(n_post AS DOUBLE)"
+      val mp = s"CAST(s_pre AS DOUBLE) / $np"
+      val mq = s"CAST(s_post AS DOUBLE) / $nq"
+      val vp = s"(CAST(ss_pre AS DOUBLE) / $np - ($mp) * ($mp)) * $np / ($np - 1.0)"
+      val vq = s"(CAST(ss_post AS DOUBLE) / $nq - ($mq) * ($mq)) * $nq / ($nq - 1.0)"
+      "WITH mid AS (SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) " +
+        "/ 2 AS BIGINT) AS mid_us FROM events), " +
+        s"b AS (SELECT event_type, $vc AS vc, " +
+        "CASE WHEN epoch_us(ts) > mid_us THEN 1 ELSE 0 END AS post " +
+        "FROM events CROSS JOIN mid), " +
+        "ps AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre, " +
+        "CAST(SUM(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post, " +
+        "SUM(CASE WHEN post = 0 THEN vc ELSE 0 END) AS s_pre, " +
+        "SUM(CASE WHEN post = 1 THEN vc ELSE 0 END) AS s_post, " +
+        "SUM(CASE WHEN post = 0 THEN vc * vc ELSE 0 END) AS ss_pre, " +
+        "SUM(CASE WHEN post = 1 THEN vc * vc ELSE 0 END) AS ss_post " +
+        "FROM b GROUP BY 1) " +
+        "SELECT event_type, n_pre, n_post, " +
+        "CAST((1000000 * s_pre) // nullif(n_pre, 0) AS BIGINT) " +
+        "AS mean_pre_micro, " +
+        "CAST((1000000 * s_post) // nullif(n_post, 0) AS BIGINT) " +
+        "AS mean_post_micro, " +
+        s"(($mq) - ($mp)) / sqrt(($vp) / $np + ($vq) / $nq) AS welch_t " +
+        "FROM ps ORDER BY event_type"
+    },
     "ts_turning_points" -> {
       val vc = OSQL.cents("value")
       s"WITH b AS (SELECT user_id, $vc AS vc, " +

@@ -21,8 +21,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 4,
-    "operators/TimeSeries.scala" -> 21,
-    "operators/Aggregations.scala" -> 46,
+    "operators/TimeSeries.scala" -> 22,
+    "operators/Aggregations.scala" -> 47,
     "operators/Graphs.scala" -> 13,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

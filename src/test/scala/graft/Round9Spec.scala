@@ -128,6 +128,55 @@ class Round9Spec extends SparkTestBase {
       s"census-weighted closure $fromCensus != transitive count $nClosed")
   }
 
+  test("ts_foster_stuart matches a scalar record recount") {
+    val rows = SparkEntry.queries("ts_foster_stuart")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = U.events(spark, sfDir)
+      .orderBy("ts", "event_id").select("user_id", "value").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(r => cents(r.getDouble(1))).toSeq }
+    rows.foreach { r =>
+      val s = byUser(r.getLong(0))
+      var (up, lo) = (0L, 0L)
+      var (mx, mn) = (s.head, s.head)
+      s.tail.foreach { v =>
+        if (v > mx) { up += 1; mx = v }
+        if (v < mn) { lo += 1; mn = v }
+      }
+      assert(r.getAs[Long]("n_up_records") == up && r.getAs[Long]("n_lo_records") == lo)
+      assert(r.getAs[Long]("d_stat") == up - lo && r.getAs[Long]("s_stat") == up + lo)
+    }
+  }
+
+  test("ts_prepost halves partition each type's events exactly") {
+    val rows = SparkEntry.queries("ts_prepost")(spark, sfDir).collect()
+    val totals = U.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == totals.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pre") + r.getAs[Long]("n_post") ==
+        totals(r.getString(0)))
+      assert(r.getAs[Long]("n_pre") > 0L && r.getAs[Long]("n_post") > 0L)
+    }
+  }
+
+  test("agg_jackknife matches a direct leave-one-out recomputation") {
+    val per = U.events(spark, sfDir)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nAll, sAll) = (per.values.map(_._1).sum, per.values.map(_._2).sum)
+    val rows = SparkEntry.queries("agg_jackknife")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (nT, sT) = per(r.getString(0))
+      val loo = BigInt(1000000) * BigInt(sAll - sT) / BigInt(nAll - nT)
+      assert(BigInt(r.getAs[Long]("loo_mean_micro")) == loo)
+      assert(r.getAs[Long]("shift_micro") ==
+        loo.toLong - (BigInt(1000000) * BigInt(sAll) / BigInt(nAll)).toLong)
+    }
+  }
+
   test("emb_kmeans partitions the corpus with non-negative inertia") {
     val rows = SparkEntry.queries("emb_kmeans")(spark, sfDir)
       .collect()
