@@ -700,4 +700,128 @@ object GraftApi {
         (col("sum_s_micro").cast("double") /
           (lit(1000000.0) * col("n_vecs"))).as("mean_s"))
   }
+
+  /** Directed triad census over caller (u, v) edges, restricted to
+    * connected triads — the `graph_triad_census` kernel on any edge frame.
+    * Same size gate: one-task CSR classification below `edgeCap`, the
+    * degree-oriented triangle enumeration above. Returns (triad_type,
+    * n_triads) over the 7 connected-triad classes. */
+  def triadCensus(edges: DataFrame, uCol: String = "u", vCol: String = "v",
+      edgeCap: Long = 5000000L): DataFrame =
+    Graphs.triadCensusOnEdges(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")), edgeCap)
+
+  /** Fixed-point micro-int vector + its squared norm for the embedding
+    * kernels below — the Similarity discipline on caller columns. */
+  private def fixedVec(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("__fx", transform(col(vec),
+        x => floor(x.cast("double") * lit(1000000.0))))
+      .withColumn("__nrm",
+        graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__fx")))
+
+  private def cosOf(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Maximal-marginal-relevance selection on a caller frame: greedily pick
+    * `k` rows maximizing λ·cos(query, x) − (1−λ)·max cos(x, selected),
+    * query = the row with `id` = `queryId`. The `emb_mmr` kernel lifted:
+    * deterministic fixed-point cosines, id tiebreak, one corpus stream per
+    * round against the broadcast selected set. Returns (step, <id>, rel,
+    * score). */
+  def mmrSelect(df: DataFrame, id: String, vec: String, queryId: Long,
+      k: Int = 5, relWeight: Double = 0.7,
+      divWeight: Double = 0.3): DataFrame = {
+    // explicit pair, NOT a derived 1−λ: computing the complement in
+    // floating point lands 1 ULP off the 0.3 literal the declared query
+    // uses, which silently forks the greedy trajectory
+    require(k >= 1 && relWeight >= 0.0 && divWeight >= 0.0)
+    val all = fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
+    val q = all.filter(col("__id") === queryId)
+      .select(col("__fx").as("__qx"), col("__nrm").as("__qn"))
+    val cand = all.filter(col("__id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("__id"), col("__fx"), col("__nrm"),
+        cosOf(graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__qx")),
+          col("__nrm"), col("__qn")).as("__rel"))
+    var sel: DataFrame = null
+    for (step <- 1 to k) {
+      val remaining =
+        if (sel == null) cand
+        else cand.join(sel.select(col("__id").as("__sv")),
+          col("__id") === col("__sv"), "left_anti")
+      val scored =
+        if (sel == null) remaining.withColumn("__pen", lit(0.0))
+        else {
+          val pens = remaining.select(col("__id"), col("__fx"), col("__nrm"))
+            .crossJoin(broadcast(sel.select(col("__fx").as("__sx"),
+              col("__nrm").as("__sn"))))
+            .withColumn("__pc",
+              cosOf(graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__sx")),
+                col("__nrm"), col("__sn")))
+            .groupBy(col("__id")).agg(max(col("__pc")).as("__pen"))
+          remaining.join(pens, Seq("__id"))
+        }
+      val pick = scored
+        .withColumn("__score",
+          lit(relWeight) * col("__rel") - lit(divWeight) * col("__pen"))
+        .orderBy(col("__score").desc, col("__id")).limit(1)
+        .select(lit(step.toLong).as("step"), col("__id"), col("__fx"),
+          col("__nrm"), col("__rel"), col("__score"))
+        .localCheckpoint()
+      sel = if (sel == null) pick else sel.unionAll(pick).localCheckpoint()
+    }
+    sel.select(col("step"), col("__id").as(id), col("__rel").as("rel"),
+      col("__score").as("score")).orderBy("step")
+  }
+
+  /** Explicit k-means training on a caller frame — the `emb_kmeans`
+    * kernel lifted: seeds = the `k` smallest ids, `iters` assignment
+    * rounds with floored-mean centroid updates, everything in the exact
+    * fixed-point domain. Returns (cid, n_members, inertia, checksum). */
+  def kmeansTrain(df: DataFrame, id: String, vec: String, k: Int = 4,
+      iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val v = fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
+      .select(col("__id"), col("__fx"), col("__nrm"))
+    val seeds = v.orderBy(col("__id")).limit(k)
+    var cent = seeds.select(col("__id").as("__cid"), col("__fx").as("__cx"),
+      col("__nrm").as("__cn")).localCheckpoint()
+    var asg: DataFrame = null
+    for (round <- 1 to iters) {
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__d2"), col("__cid"))
+      asg = v.crossJoin(broadcast(cent))
+        .withColumn("__d2", col("__nrm") -
+          lit(2L) * graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__cx")) +
+          col("__cn"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("__id"), col("__cid"), col("__d2"), col("__fx"))
+      if (round < iters) {
+        cent = asg
+          .select(col("__cid"), posexplode(col("__fx")).as(Seq("__pos", "__x")))
+          .groupBy(col("__cid"), col("__pos"))
+          .agg(floor(sum(col("__x")).cast("double") / count(lit(1)))
+            .cast(LongType).as("__c"))
+          .groupBy(col("__cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__c")))),
+            t => t.getField("__c")).as("__cx"))
+          .withColumn("__cn",
+            graft.plans.CustomExprs.fixed_dot(col("__cx"), col("__cx")))
+          .localCheckpoint()
+      }
+    }
+    val checks = cent
+      .select(col("__cid").as("__ccid"),
+        posexplode(col("__cx")).as(Seq("__pos", "__c")))
+      .groupBy(col("__ccid"))
+      .agg(sum((col("__pos") + 1).cast(LongType) * col("__c")).as("checksum"))
+    asg.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
+      .join(checks, col("__cid") === col("__ccid"))
+      .select(col("__cid").as("cid"), col("n_members"), col("inertia"),
+        col("checksum"))
+      .orderBy("cid")
+  }
 }

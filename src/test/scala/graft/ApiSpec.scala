@@ -501,4 +501,59 @@ class ApiSpec extends SparkTestBase {
     // b (other centroid) is far, a (own) is tiny => mean_s near 1
     assert(got.forall(_.getAs[Double]("mean_s") > 0.9))
   }
+
+  test("triadCensus equals the declared graph_triad_census on the fixtures") {
+    // rebuild the same order-sequence edges the declared query derives
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_linenumber").as("ln"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.ln") < col("b.ln") &&
+          col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    val viaApi = GraftApi.triadCensus(e, "src", "dst")
+      .collect().map(_.toString)
+    val declared = SparkEntry.queries("graph_triad_census")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(viaApi.nonEmpty && viaApi.sameElements(declared))
+  }
+
+  test("mmrSelect equals the declared emb_mmr on the fixtures") {
+    val viaApi = GraftApi.mmrSelect(U.tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(_.toString)
+    val declared = SparkEntry.queries("emb_mmr")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(viaApi.sameElements(declared))
+  }
+
+  test("kmeansTrain equals the declared emb_kmeans on the fixtures") {
+    val viaApi = GraftApi.kmeansTrain(U.tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 3)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("emb_kmeans")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(viaApi.sameElements(declared))
+  }
+
+  test("mmrSelect prefers diversity over redundancy on a planted corpus") {
+    import spark.implicits._
+    // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal
+    // relevance ~0.91), id 4 is their mirror across e1 — same relevance,
+    // but far from whichever twin is picked first. A relevance-only top-2
+    // takes both twins (tiebreak); MMR must take one twin then the mirror
+    def vec(a: Double, b: Double): Seq[Float] =
+      (Seq(a, b) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val df = Seq(
+      (0L, vec(1.0, 0.0)), (1L, vec(0.9, 0.4)), (2L, vec(0.9, 0.4)),
+      (4L, vec(0.9, -0.4)))
+      .toDF("vid", "emb")
+    val got = GraftApi.mmrSelect(df, "vid", "emb", queryId = 0L, k = 2,
+      relWeight = 0.5, divWeight = 0.5).orderBy("step").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("vid") == 1L, "step 1 = first twin by tiebreak")
+    assert(got(1).getAs[Long]("vid") == 4L,
+      "step 2 must jump to the mirror vector, not the identical twin")
+  }
 }

@@ -20,7 +20,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // U.scala's sizeGate references the bare `broadcast` function value
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
-    "api/GraftApi.scala" -> 4,
+    "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 22,
     "operators/Aggregations.scala" -> 47,
     "operators/Graphs.scala" -> 13,
