@@ -127,6 +127,29 @@ object SqlText {
     s.sql(groupByAll)
   }
 
+  /** ORDER BY ALL (the GROUP BY ALL companion): sorts by every select
+    * item left-to-right — same text both engines. */
+  private val orderByAll =
+    "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n " +
+      "FROM customer GROUP BY ALL ORDER BY ALL"
+
+  private def sqlOrderByAll(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql(orderByAll)
+  }
+
+  /** SELECT * EXCEPT — star expansion minus named columns (Spark 4
+    * spelling; DuckDB spells it EXCLUDE, so this is the one declared
+    * query whose oracle text differs lexically while the RESULT contract
+    * is identical). The wide-table ergonomic that keeps projection
+    * pruning declarative when a table has hundreds of columns and a
+    * query wants "everything but the blobs". */
+  private def sqlStarExcept(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql("SELECT * EXCEPT (c_name, c_acctbal) FROM customer " +
+      "ORDER BY c_custkey")
+  }
+
   /** WITH RECURSIVE (Spark 4's recursive CTE): generates the month calendar
     * between the first and last order date by recursion, then LEFT JOINs
     * order counts/revenue onto it — the canonical "don't drop empty
@@ -317,6 +340,8 @@ object SqlText {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_order_by_all" -> sqlOrderByAll _,
+    "sql_star_except" -> sqlStarExcept _,
     "sql_window_clause" -> sqlWindowClause _,
     "sql_unpivot_syntax" -> sqlUnpivotSyntax _,
     "sql_pivot_syntax" -> sqlPivotSyntax _,
@@ -335,6 +360,10 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_order_by_all" -> orderByAll,
+    "sql_star_except" ->
+      ("SELECT * EXCLUDE (c_name, c_acctbal) FROM customer " +
+        "ORDER BY c_custkey"),
     "sql_window_clause" -> windowClauseSql,
     "sql_unpivot_syntax" ->
       ("WITH a AS (SELECT o_orderstatus, " +
