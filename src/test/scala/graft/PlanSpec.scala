@@ -808,4 +808,24 @@ class PlanSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("ambiguous"), e.getMessage)
   }
+
+  test("sql_star_except prunes the excluded columns from the scan") {
+    val p = plan("sql_star_except")
+    assert(p.contains("ReadSchema"), s"no read schema:\n$p")
+    assert(!p.contains("c_acctbal"), s"excluded column still read:\n$p")
+  }
+
+  test("emb_kmeans assigns via a broadcast of the centroid frame") {
+    val p = plan("emb_kmeans")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    U.releaseTracked()
+  }
+
+  test("emb_mmr streams the corpus against broadcast selections, no cartesian") {
+    val p = plan("emb_mmr")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    U.releaseTracked()
+  }
 }
