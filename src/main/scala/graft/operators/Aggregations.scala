@@ -1912,7 +1912,51 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** TOST equivalence test (click vs view values, margin ±5.00): the two
+    * one-sided Welch t's against the ±δ bounds — the question
+    * [[aggTtest]] CANNOT answer (failing to reject difference ≠ proving
+    * equivalence; TOST is the A/A-validation / parity-check standard).
+    * Power sums exact; the verdict compares both t's to the one-sided
+    * 5% normal critical value through identical double trees, so even
+    * the boolean hash-matches. One hash agg, 1-row output. */
+  private def aggTost(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val deltaC = 500L // ±5.00 equivalence margin, in cents
+    val ps = U.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("isx", (col("event_type") === "click").cast("int"))
+      .groupBy()
+      .agg(sum(col("isx").cast(LongType)).as("n_x"),
+        sum(lit(1L) - col("isx")).as("n_y"),
+        sum(when(col("isx") === 1, col("vc")).otherwise(0L).cast(dec))
+          .as("sx"),
+        sum(when(col("isx") === 0, col("vc")).otherwise(0L).cast(dec))
+          .as("sy"),
+        sum(when(col("isx") === 1, col("vc").cast(dec) * col("vc"))
+          .otherwise(lit(0L).cast(dec))).as("sxx"),
+        sum(when(col("isx") === 0, col("vc").cast(dec) * col("vc"))
+          .otherwise(lit(0L).cast(dec))).as("syy"))
+    val (nx, ny) = (col("n_x").cast(DoubleType), col("n_y").cast(DoubleType))
+    val mx = col("sx").cast(DoubleType) / nx
+    val my = col("sy").cast(DoubleType) / ny
+    val vx = (col("sxx").cast(DoubleType) / nx - mx * mx) * nx / (nx - lit(1.0))
+    val vy = (col("syy").cast(DoubleType) / ny - my * my) * ny / (ny - lit(1.0))
+    val se = sqrt(vx / nx + vy / ny)
+    val tLo = ((mx - my) + lit(deltaC.toDouble)) / se
+    val tHi = ((mx - my) - lit(deltaC.toDouble)) / se
+    // difference of two POSITIVE floored means: a single integral
+    // division of the cross-multiplied numerator could go negative, where
+    // Spark DIV truncates toward zero but DuckDB // floors
+    ps.select(col("n_x"), col("n_y"),
+      expr("CAST((1000000 * sx) DIV n_x - (1000000 * sy) DIV n_y " +
+        "AS BIGINT)").as("diff_micro"),
+      tLo.as("t_lower"), tHi.as("t_upper"),
+      (tLo > lit(1.645) && tHi < lit(-1.645)).as("equivalent"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_tost" -> aggTost _,
     "agg_jackknife" -> aggJackknife _,
     "agg_wilcoxon_signed" -> aggWilcoxonSigned _,
     "agg_poisson_ci" -> aggPoissonCi _,
@@ -2062,6 +2106,33 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_tost" -> {
+      val vc = OSQL.cents("value")
+      val nx = "CAST(n_x AS DOUBLE)"; val ny = "CAST(n_y AS DOUBLE)"
+      val mx = s"CAST(sx AS DOUBLE) / $nx"
+      val my = s"CAST(sy AS DOUBLE) / $ny"
+      val vx = s"(CAST(sxx AS DOUBLE) / $nx - ($mx) * ($mx)) * $nx / ($nx - 1.0)"
+      val vy = s"(CAST(syy AS DOUBLE) / $ny - ($my) * ($my)) * $ny / ($ny - 1.0)"
+      val se = s"sqrt(($vx) / $nx + ($vy) / $ny)"
+      val tLo = s"((($mx) - ($my)) + 500.0) / ($se)"
+      val tHi = s"((($mx) - ($my)) - 500.0) / ($se)"
+      s"WITH ps AS (SELECT " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_x, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_y, " +
+        s"SUM(CASE WHEN event_type = 'click' THEN $vc ELSE 0 END) AS sx, " +
+        s"SUM(CASE WHEN event_type = 'view' THEN $vc ELSE 0 END) AS sy, " +
+        s"SUM(CASE WHEN event_type = 'click' THEN $vc * $vc ELSE 0 END) " +
+        "AS sxx, " +
+        s"SUM(CASE WHEN event_type = 'view' THEN $vc * $vc ELSE 0 END) " +
+        "AS syy FROM events WHERE event_type IN ('click', 'view')) " +
+        "SELECT n_x, n_y, " +
+        "CAST((1000000 * sx) // n_x - (1000000 * sy) // n_y AS BIGINT) " +
+        "AS diff_micro, " +
+        s"$tLo AS t_lower, $tHi AS t_upper, " +
+        s"($tLo > 1.645 AND $tHi < -1.645) AS equivalent FROM ps"
+    },
     "agg_jackknife" -> {
       val vc = OSQL.cents("value")
       s"WITH per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t, " +

@@ -3187,7 +3187,38 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Per-state entropy rate of the behavioral Markov chain: for each
+    * from-type, H_i = −Σ_j p_ij·ln p_ij over [[tsMarkov]]'s transition
+    * counts — how PREDICTABLE the next action is from each state (0 =
+    * deterministic funnel step, ln|types| = uniform wandering). Counts
+    * and row totals are exact integers; each entropy term floors to
+    * micro-nats through the identical double tree both engines
+    * (the ts_perm_entropy discipline), so the sum of floored terms
+    * hash-matches. One lead pass + two hash aggs. */
+  private def tsEntropyRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    U.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("term_micro",
+        expr("CAST(floor(CAST(n AS DOUBLE) / row_total * " +
+          "ln(CAST(n AS DOUBLE) / row_total) * -1000000.0) AS BIGINT)"))
+      .groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_successors"),
+        max(col("row_total")).as("n_transitions"),
+        (sum(col("term_micro")).cast(DoubleType) / lit(1000000.0))
+          .as("entropy_rate_nats"))
+      .orderBy("from_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_entropy_rate" -> tsEntropyRate _,
     "ts_foster_stuart" -> tsFosterStuart _,
     "ts_prepost" -> tsPrepost _,
     "ts_turning_points" -> tsTurningPoints _,
@@ -3418,6 +3449,22 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_entropy_rate" ->
+      ("WITH b AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events), " +
+        "tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM b WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "rt AS (SELECT from_type, to_type, n, " +
+        "SUM(n) OVER (PARTITION BY from_type) AS row_total FROM tc), " +
+        "tm AS (SELECT from_type, row_total, " +
+        "CAST(floor(CAST(n AS DOUBLE) / row_total * " +
+        "ln(CAST(n AS DOUBLE) / row_total) * -1000000.0) AS BIGINT) " +
+        "AS term_micro FROM rt) " +
+        "SELECT from_type, CAST(COUNT(*) AS BIGINT) AS n_successors, " +
+        "CAST(MAX(row_total) AS BIGINT) AS n_transitions, " +
+        "CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS entropy_rate_nats " +
+        "FROM tm GROUP BY 1 ORDER BY from_type"),
     "ts_foster_stuart" -> {
       val vc = OSQL.cents("value")
       s"WITH b AS (SELECT user_id, $vc AS vc, " +

@@ -177,6 +177,25 @@ class Round9Spec extends SparkTestBase {
     }
   }
 
+  test("ts_entropy_rate is bounded by ln(successor count)") {
+    val rows = SparkEntry.queries("ts_entropy_rate")(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_rate_nats")
+      val k = r.getAs[Long]("n_successors")
+      // floored micro terms only shave downward; uniform is the max
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-9,
+        s"${r.getString(0)}: H=$h outside [0, ln($k)]")
+    }
+  }
+
+  test("agg_tost verdict is consistent with its own t statistics") {
+    val r = SparkEntry.queries("agg_tost")(spark, sfDir).collect().head
+    val (lo, hi) = (r.getAs[Double]("t_lower"), r.getAs[Double]("t_upper"))
+    assert(lo > hi, "t_lower must exceed t_upper (they differ by 2δ/se)")
+    assert(r.getAs[Boolean]("equivalent") == (lo > 1.645 && hi < -1.645))
+  }
+
   test("emb_kmeans partitions the corpus with non-negative inertia") {
     val rows = SparkEntry.queries("emb_kmeans")(spark, sfDir)
       .collect()
