@@ -1912,6 +1912,38 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Declarative data-quality expectations report (the
+    * Great-Expectations / dbt-test shape): one row per rule with checked
+    * and violation counts and a pass verdict — referential integrity
+    * (lineitem→orders orphans via LEFT ANTI), domain ranges, positivity,
+    * key uniqueness, and null-freedom. Each rule is one exact-integer
+    * aggregate; the orphan probe is the only join (anti, fact-side
+    * streamed). At 100 TB each rule stays a single pass over its table —
+    * rules UNION, they never multiply. */
+  private def aggDqExpectations(s: SparkSession, d: String): DataFrame = {
+    val li = U.tbl(s, d, "lineitem")
+    val ord = U.tbl(s, d, "orders")
+    val cust = U.tbl(s, d, "customer")
+    def rule(name: String, checked: DataFrame, violations: DataFrame) =
+      checked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    rule("lineitem_orderkey_references_orders", li,
+        li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      .unionAll(rule("lineitem_quantity_in_1_50", li,
+        li.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)))
+      .unionAll(rule("orders_totalprice_positive", ord,
+        ord.filter(col("o_totalprice") <= 0.0)))
+      .unionAll(rule("customer_custkey_unique", cust,
+        cust.groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1L)))
+      .unionAll(rule("orders_orderdate_not_null", ord,
+        ord.filter(col("o_orderdate").isNull)))
+      .orderBy("rule")
+  }
+
   /** TOST equivalence test (click vs view values, margin ±5.00): the two
     * one-sided Welch t's against the ±δ bounds — the question
     * [[aggTtest]] CANNOT answer (failing to reject difference ≠ proving
@@ -1956,6 +1988,7 @@ object Aggregations {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dq_expectations" -> aggDqExpectations _,
     "agg_tost" -> aggTost _,
     "agg_jackknife" -> aggJackknife _,
     "agg_wilcoxon_signed" -> aggWilcoxonSigned _,
@@ -2106,6 +2139,32 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_dq_expectations" -> {
+      def rule(name: String, checked: String, violations: String) =
+        s"SELECT '$name' AS rule, " +
+          s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $checked) AS n_checked, " +
+          s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $violations) " +
+          "AS n_violations, " +
+          s"(SELECT COUNT(*) FROM $violations) = 0 AS pass"
+      rule("lineitem_orderkey_references_orders", "lineitem",
+        "(SELECT 1 FROM lineitem WHERE l_orderkey NOT IN " +
+          "(SELECT o_orderkey FROM orders)) v") +
+        " UNION ALL " +
+        rule("lineitem_quantity_in_1_50", "lineitem",
+          "(SELECT 1 FROM lineitem WHERE l_quantity < 1.0 " +
+            "OR l_quantity > 50.0) v") +
+        " UNION ALL " +
+        rule("orders_totalprice_positive", "orders",
+          "(SELECT 1 FROM orders WHERE o_totalprice <= 0.0) v") +
+        " UNION ALL " +
+        rule("customer_custkey_unique", "customer",
+          "(SELECT 1 FROM customer GROUP BY c_custkey " +
+            "HAVING COUNT(*) > 1) v") +
+        " UNION ALL " +
+        rule("orders_orderdate_not_null", "orders",
+          "(SELECT 1 FROM orders WHERE o_orderdate IS NULL) v") +
+        " ORDER BY rule"
+    },
     "agg_tost" -> {
       val vc = OSQL.cents("value")
       val nx = "CAST(n_x AS DOUBLE)"; val ny = "CAST(n_y AS DOUBLE)"

@@ -3217,7 +3217,34 @@ object TimeSeries {
       .orderBy("from_type")
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent NON-purchase event within the preceding hour ("direct" when
+    * none) — the marketing-analytics workhorse sitting one rung above
+    * [[tsFunnel]]'s ordered-steps count. ONE window pass: the candidate
+    * touch rides a last(ignoreNulls) struct over the user's ordered
+    * stream, the 1-hour cutoff is exact epoch-microsecond arithmetic, and
+    * the per-channel rollup is exact counts + cents. */
+  private def tsAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    U.events(s, d)
+      .withColumn("prev_touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(unix_micros(col("ts")).as("tus"),
+            col("event_type").as("tt"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("prev_touch").isNotNull &&
+          unix_micros(col("ts")) - col("prev_touch.tus") <= 3600000000L,
+          col("prev_touch.tt")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(U.cents(col("value"))).as("attributed_cents"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_attribution" -> tsAttribution _,
     "ts_entropy_rate" -> tsEntropyRate _,
     "ts_foster_stuart" -> tsFosterStuart _,
     "ts_prepost" -> tsPrepost _,
@@ -3449,6 +3476,22 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_attribution" -> {
+      val vc = OSQL.cents("value")
+      s"WITH b AS (SELECT user_id, ts, event_id, event_type, $vc AS vcent, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN " +
+        "struct_pack(tus := epoch_us(ts), tt := event_type) END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_touch " +
+        "FROM events), " +
+        "p AS (SELECT CASE WHEN prev_touch IS NOT NULL AND " +
+        "epoch_us(ts) - prev_touch.tus <= 3600000000 " +
+        "THEN prev_touch.tt ELSE 'direct' END AS channel, vcent " +
+        "FROM b WHERE event_type = 'purchase') " +
+        "SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+        "CAST(SUM(vcent) AS BIGINT) AS attributed_cents " +
+        "FROM p GROUP BY 1 ORDER BY channel"
+    },
     "ts_entropy_rate" ->
       ("WITH b AS (SELECT event_type AS from_type, lead(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
