@@ -856,7 +856,52 @@ object Pipeline {
       .orderBy("label", "rank")
   }
 
+  /** T5-style span corruption on a deterministic grid: token positions
+    * p with (p−1) mod 37 ∈ {5,6,7} are masked, each 3-token span replaced
+    * by one `<extra_id_k>` sentinel in the input and emitted after its
+    * sentinel in the target — the denoising-objective transform a T5/UL2
+    * data pipeline runs over every document. The fixed grid (not a RNG)
+    * keeps the whole transform exactly oracle-able: BOTH full strings
+    * (masked input, target) hash-match, not just the counts. One
+    * tokenize + two position-indexed transforms per doc; linear,
+    * embarrassingly parallel. */
+  private def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def spanIdx(i: Column): Column =
+      ((i - lit(1)) / lit(37)).cast("int").cast("string")
+    def posMod(i: Column): Column = pmod(i - lit(1), lit(37))
+    U.tbl(s, d, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"),
+        array_join(filter(transform(sequence(lit(1), greatest(size(col("tk")), lit(1))),
+          i => when(i > size(col("tk")), lit(null).cast("string"))
+            .when(posMod(i) === 5,
+              concat(lit("<extra_id_"), spanIdx(i), lit(">")))
+            .when(posMod(i) === 6 || posMod(i) === 7,
+              lit(null).cast("string"))
+            .otherwise(element_at(col("tk"), i))),
+          x => x.isNotNull), " ").as("masked_text"),
+        array_join(filter(transform(sequence(lit(1), greatest(size(col("tk")), lit(1))),
+          i => when(i > size(col("tk")), lit(null).cast("string"))
+            .when(posMod(i) === 5,
+              concat(lit("<extra_id_"), spanIdx(i), lit("> "),
+                element_at(col("tk"), i)))
+            .when(posMod(i) === 6 || posMod(i) === 7,
+              element_at(col("tk"), i))
+            .otherwise(lit(null).cast("string"))),
+          x => x.isNotNull), " ").as("target_text"),
+        sum_spans(col("tk")).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** Number of span-start positions on the (p−1) mod 37 = 5 grid for an
+    * n-token document: positions 6, 43, 80, … — exact closed form. */
+  private def sum_spans(tk: Column): Column =
+    when(size(tk) < 6, lit(0L))
+      .otherwise(((size(tk).cast(LongType) - 6L) / lit(37L)).cast(LongType) + 1L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_span_corruption" -> spanCorruption _,
     "emb_norm_outliers" -> embNormOutliers _,
     "emb_source_drift" -> embSourceDrift _,
     "pipeline_token_budget" -> tokenBudget _,
@@ -944,6 +989,28 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_span_corruption" -> {
+      val sentinel = "'<extra_id_' || CAST((i-1)//37 AS VARCHAR) || '>'"
+      s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "array_to_string(list_filter(list_transform(" +
+        "range(1, greatest(len(tk), 1) + 1), i -> " +
+        "CASE WHEN i > len(tk) THEN NULL " +
+        s"WHEN (i-1)%37 = 5 THEN $sentinel " +
+        "WHEN (i-1)%37 IN (6, 7) THEN NULL " +
+        "ELSE tk[CAST(i AS INTEGER)] END), x -> x IS NOT NULL), ' ') " +
+        "AS masked_text, " +
+        "array_to_string(list_filter(list_transform(" +
+        "range(1, greatest(len(tk), 1) + 1), i -> " +
+        "CASE WHEN i > len(tk) THEN NULL " +
+        s"WHEN (i-1)%37 = 5 THEN $sentinel || ' ' || tk[CAST(i AS INTEGER)] " +
+        "WHEN (i-1)%37 IN (6, 7) THEN tk[CAST(i AS INTEGER)] " +
+        "ELSE NULL END), x -> x IS NOT NULL), ' ') AS target_text, " +
+        "CAST(CASE WHEN len(tk) < 6 THEN 0 " +
+        "ELSE (len(tk) - 6)//37 + 1 END AS BIGINT) AS n_spans " +
+        "FROM t ORDER BY doc_id"
+    },
     "emb_norm_outliers" ->
       ("WITH nm AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
         "CAST(list_sum(list_transform(embedding, x -> " +

@@ -196,6 +196,33 @@ class Round9Spec extends SparkTestBase {
     assert(r.getAs[Boolean]("equivalent") == (lo > 1.645 && hi < -1.645))
   }
 
+  test("span corruption is lossless: masked + target reconstructs the doc") {
+    val rows = SparkEntry.queries("pipeline_span_corruption")(spark, sfDir)
+      .collect()
+    val texts = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = texts(r.getLong(0)).split(" ").filter(_.nonEmpty).toSeq
+      assert(r.getAs[Long]("n_tokens") == orig.length.toLong)
+      // parse the target into sentinel -> span tokens
+      val tgt = r.getAs[String]("target_text").split(" ").filter(_.nonEmpty)
+      val spans = scala.collection.mutable.Map.empty[String, Vector[String]]
+      var cur: String = null
+      tgt.foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector.empty }
+        else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size.toLong == r.getAs[Long]("n_spans"))
+      // substitute each sentinel back into the masked text
+      val rebuilt = r.getAs[String]("masked_text").split(" ")
+        .filter(_.nonEmpty).toSeq
+        .flatMap(t => if (t.startsWith("<extra_id_")) spans(t) else Seq(t))
+      assert(rebuilt == orig, s"doc ${r.getLong(0)} not reconstructable")
+    }
+  }
+
   test("emb_kmeans partitions the corpus with non-negative inertia") {
     val rows = SparkEntry.queries("emb_kmeans")(spark, sfDir)
       .collect()
