@@ -900,7 +900,42 @@ object Pipeline {
     when(size(tk) < 6, lit(0L))
       .otherwise(((size(tk).cast(LongType) - 6L) / lit(37L)).cast(LongType) + 1L)
 
+  /** Fill-in-the-middle transform (PSM order): split each document's
+    * tokens at the exact 1/3 and 2/3 positions and emit
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the infilling
+    * objective code-LLM pipelines apply to a deterministic share of
+    * documents (the [[spanCorruption]] sibling for autoregressive
+    * models). Deterministic integer cuts (floor thirds) keep the full
+    * transformed string hash-matchable; documents shorter than 3 tokens
+    * pass through untransformed with fim_applied = false. One tokenize +
+    * three slices per doc, linear. */
+  private def pipelineFim(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    U.tbl(s, d, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"),
+        (size(col("tk")) / lit(3)).cast("int").as("c1"),
+        (size(col("tk")) * lit(2) / lit(3)).cast("int").as("c2"),
+        col("tk"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("c1").cast(LongType).as("cut1"),
+        col("c2").cast(LongType).as("cut2"),
+        (col("n_tokens") >= 3L).as("fim_applied"),
+        when(col("n_tokens") < 3L, array_join(col("tk"), " "))
+          .otherwise(concat(
+            lit("<fim_prefix> "),
+            array_join(slice(col("tk"), lit(1), col("c1")), " "),
+            lit(" <fim_suffix> "),
+            array_join(slice(col("tk"), col("c2") + 1,
+              size(col("tk")) - col("c2")), " "),
+            lit(" <fim_middle> "),
+            array_join(slice(col("tk"), col("c1") + 1,
+              col("c2") - col("c1")), " "))).as("fim_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_fim" -> pipelineFim _,
     "pipeline_span_corruption" -> spanCorruption _,
     "emb_norm_outliers" -> embNormOutliers _,
     "emb_source_drift" -> embSourceDrift _,
@@ -989,6 +1024,24 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_fim" ->
+      (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "CAST(len(tk) // 3 AS BIGINT) AS cut1, " +
+        "CAST(len(tk) * 2 // 3 AS BIGINT) AS cut2, tk FROM t) " +
+        "SELECT doc_id, n_tokens, cut1, cut2, " +
+        "n_tokens >= 3 AS fim_applied, " +
+        "CASE WHEN n_tokens < 3 THEN array_to_string(tk, ' ') " +
+        "ELSE '<fim_prefix> ' || " +
+        "array_to_string(tk[1:CAST(cut1 AS INTEGER)], ' ') || " +
+        "' <fim_suffix> ' || " +
+        "array_to_string(tk[CAST(cut2 + 1 AS INTEGER):" +
+        "CAST(n_tokens AS INTEGER)], ' ') || " +
+        "' <fim_middle> ' || " +
+        "array_to_string(tk[CAST(cut1 + 1 AS INTEGER):" +
+        "CAST(cut2 AS INTEGER)], ' ') END AS fim_text " +
+        "FROM b ORDER BY doc_id"),
     "pipeline_span_corruption" -> {
       val sentinel = "'<extra_id_' || CAST((i-1)//37 AS VARCHAR) || '>'"
       s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +

@@ -223,6 +223,29 @@ class Round9Spec extends SparkTestBase {
     }
   }
 
+  test("FIM transform is lossless: P+M+S reorders back to the doc") {
+    val rows = SparkEntry.queries("pipeline_fim")(spark, sfDir).collect()
+    val texts = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Boolean]("fim_applied")).foreach { r =>
+      val orig = texts(r.getLong(0)).split(" ").filter(_.nonEmpty).toSeq
+      val t = r.getAs[String]("fim_text")
+      val pre = t.indexOf("<fim_prefix> ") + "<fim_prefix> ".length
+      val sufAt = t.indexOf(" <fim_suffix> ")
+      val midAt = t.indexOf(" <fim_middle> ")
+      val p = t.substring(pre, sufAt).split(" ").filter(_.nonEmpty).toSeq
+      val sfx = t.substring(sufAt + " <fim_suffix> ".length, midAt)
+        .split(" ").filter(_.nonEmpty).toSeq
+      val m = t.substring(midAt + " <fim_middle> ".length)
+        .split(" ").filter(_.nonEmpty).toSeq
+      assert(p ++ m ++ sfx == orig, s"doc ${r.getLong(0)} not reconstructable")
+      assert(p.length.toLong == r.getAs[Long]("cut1") &&
+        (p.length + m.length).toLong == r.getAs[Long]("cut2"))
+    }
+  }
+
   test("emb_kmeans partitions the corpus with non-negative inertia") {
     val rows = SparkEntry.queries("emb_kmeans")(spark, sfDir)
       .collect()
