@@ -647,7 +647,10 @@ object Similarity {
     * frame (localCheckpoint-pinned, the MMR lesson) + one explode-agg
     * keyed (cid, dim) for the update — linear in corpus × k, never
     * corpus². */
-  private def embKmeans(s: SparkSession, d: String): DataFrame = {
+  /** The k-means training loop itself: (final assignments, final
+    * centroids) — shared by [[embKmeans]]'s report and
+    * [[embKmeansAri]]'s label-agreement gate so the two cannot drift. */
+  private def kmeansAssignments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val v = U.track(fixed(s, d)
       .select(col("vec_id"), col("fx"), col("nrm")).persist())
     var cent = v.filter(col("vec_id") < 4L)
@@ -676,6 +679,43 @@ object Similarity {
           .localCheckpoint()
       }
     }
+    (asg, cent)
+  }
+
+  /** Adjusted Rand index of the k-means assignment against the corpus's
+    * ground-truth labels — the clustering QUALITY gate, measured not
+    * assumed (the [[simRecallAtK]] discipline applied to [[embKmeans]]):
+    * contingency pair counts are exact integers (C(n,2) = n(n−1) DIV 2 —
+    * always even, so the integral division is exact), and the closing ARI
+    * casts each exact count to double INDIVIDUALLY before any arithmetic
+    * (a decimal-product route would re-open the HUGEINT→DOUBLE
+    * double-rounding class past 2⁵³). ARI ≈ 0 for random assignment,
+    * 1 for perfect label recovery. */
+  private def embKmeansAri(s: SparkSession, d: String): DataFrame = {
+    val (asg, _) = kmeansAssignments(s, d)
+    val lab = U.tbl(s, d, "embeddings")
+      .select(col("vec_id").as("lv"), col("label").cast(LongType).as("label"))
+    val ct = asg.join(lab, col("vec_id") === col("lv"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("nij"))
+    val parts = ct.groupBy().agg(
+      sum(col("nij")).as("n"),
+      sum(expr("(nij * (nij - 1)) DIV 2")).as("idx"))
+    val a2 = ct.groupBy(col("cid")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("(ai * (ai - 1)) DIV 2")).as("a2"))
+    val b2 = ct.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) DIV 2")).as("b2"))
+    val nd = col("n").cast(DoubleType)
+    val cn2 = nd * (nd - lit(1.0)) / lit(2.0)
+    val exp = col("a2").cast(DoubleType) * col("b2").cast(DoubleType) / cn2
+    parts.crossJoin(broadcast(a2)).crossJoin(broadcast(b2))
+      .select(col("n"), col("idx"), col("a2"), col("b2"),
+        ((col("idx").cast(DoubleType) - exp) /
+          ((col("a2").cast(DoubleType) + col("b2").cast(DoubleType)) /
+            lit(2.0) - exp)).as("ari"))
+  }
+
+  private def embKmeans(s: SparkSession, d: String): DataFrame = {
+    val (asg, cent) = kmeansAssignments(s, d)
     val checks = cent
       .select(col("cid").as("ccid"), posexplode(col("cx")).as(Seq("pos", "c")))
       .groupBy(col("ccid"))
@@ -689,6 +729,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> embKmeans _,
+    "emb_kmeans_ari" -> embKmeansAri _,
     "emb_hard_negatives" -> hardNegatives _,
     "sim_hamming_topk" -> hammingTopk _,
     "emb_matryoshka" -> embMatryoshka _,
@@ -871,7 +912,7 @@ object Similarity {
     * space — Σ(x−cx)² is the same exact Long as the Spark side's
     * ‖x‖²−2x·c+‖c‖², and the floored-mean update is the identical
     * double-division tree. */
-  private lazy val kmeansSql: String = {
+  private lazy val kmeansCtes: String = {
     def round(i: Int): String =
       s"d$i AS (SELECT comp.vec_id, c${i - 1}.cid, " +
         "CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS dist2 " +
@@ -884,22 +925,47 @@ object Similarity {
             s"/ COUNT(*)) AS BIGINT) AS cx FROM comp JOIN asg$i " +
             "USING (vec_id) GROUP BY 1, 2)"
         else "")
-    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+    s"f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
       "comp AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, " +
       "fx[CAST(i AS INTEGER)] AS x FROM f CROSS JOIN range(1, 65) t(i)), " +
       "c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM comp " +
       "WHERE vec_id < 4), " +
-      round(1) + ", " + round(2) + ", " + round(3) + ", " +
+      round(1) + ", " + round(2) + ", " + round(3)
+  }
+
+  private lazy val kmeansSql: String =
+    s"WITH $kmeansCtes, " +
       "chk AS (SELECT cid, CAST(SUM(dim * cx) AS BIGINT) AS checksum " +
       "FROM c2 GROUP BY 1) " +
       "SELECT asg3.cid, CAST(COUNT(*) AS BIGINT) AS n_members, " +
       "CAST(SUM(dist2) AS BIGINT) AS inertia, MAX(checksum) AS checksum " +
       "FROM asg3 JOIN chk ON asg3.cid = chk.cid " +
       "GROUP BY 1 ORDER BY 1"
-  }
+
+  /** The ARI oracle nests the k-means rounds so the assignment and the
+    * quality gate cannot drift (the dedup_lsh_recall nesting pattern). */
+  private lazy val kmeansAriSql: String =
+    s"WITH $kmeansCtes, " +
+      "ct AS (SELECT cid, CAST(label AS BIGINT) AS label, " +
+      "CAST(COUNT(*) AS BIGINT) AS nij FROM asg3 " +
+      "JOIN embeddings ON asg3.vec_id = embeddings.vec_id GROUP BY 1, 2), " +
+      "parts AS (SELECT CAST(SUM(nij) AS BIGINT) AS n, " +
+      "CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS idx FROM ct), " +
+      "aa AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS a2 FROM " +
+      "(SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY cid)), " +
+      "bb AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS b2 FROM " +
+      "(SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY label)) " +
+      "SELECT n, idx, a2, b2, " +
+      "(CAST(idx AS DOUBLE) - CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)) / " +
+      "((CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE)) / 2.0 - " +
+      "CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)) AS ari " +
+      "FROM parts CROSS JOIN aa CROSS JOIN bb"
 
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans" -> kmeansSql,
+    "emb_kmeans_ari" -> kmeansAriSql,
     "emb_mmr" -> mmrSql,
     "sim_hamming_topk" ->
       ("WITH sig AS (SELECT vec_id, " +

@@ -256,6 +256,17 @@ class Round9Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
   }
 
+  test("emb_kmeans_ari pair counts are a valid contingency decomposition") {
+    val r = SparkEntry.queries("emb_kmeans_ari")(spark, sfDir).collect().head
+    val (n, idx) = (r.getAs[Long]("n"), r.getAs[Long]("idx"))
+    val (a2, b2) = (r.getAs[Long]("a2"), r.getAs[Long]("b2"))
+    assert(n == U.tbl(spark, sfDir, "embeddings").count())
+    // within-cell pairs can never exceed either marginal's pair count
+    assert(idx <= a2 && idx <= b2 && a2 <= n * (n - 1) / 2 && b2 <= n * (n - 1) / 2)
+    val ari = r.getAs[Double]("ari")
+    assert(ari >= -1.0 && ari <= 1.0 && !ari.isNaN)
+  }
+
   test("emb_mmr trajectory: distinct picks, argmax start, non-increasing scores") {
     val rows = SparkEntry.queries("emb_mmr")(spark, sfDir)
       .orderBy("step").collect()
