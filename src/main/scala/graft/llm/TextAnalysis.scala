@@ -98,7 +98,10 @@ object TextAnalysis {
   /** Stopword-list language scoring: count hits per language word-list,
     * argmax with a fixed tie order. (The fixture vocab is shared across
     * langs, so this exercises the machinery, not linguistics.) */
-  private def langid(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc language guess frame (doc_id, lang, marker scores, guess) —
+    * shared by [[langid]]'s listing and [[langidConfusion]]'s evaluation
+    * so the classifier and its gate cannot drift. */
+  private def langidGuess(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
     val sEn = size(filter(t, x => x.isin("scan", "filter", "join"))).cast(LongType)
     val sFr = size(filter(t, x => x.isin("table", "row", "value"))).cast(LongType)
@@ -108,7 +111,26 @@ object TextAnalysis {
       .withColumn("guess",
         when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
           .when(col("s_fr") >= col("s_de"), "fr").otherwise("de"))
-      .orderBy("doc_id")
+  }
+
+  private def langid(s: SparkSession, d: String): DataFrame =
+    langidGuess(s, d).orderBy("doc_id")
+
+  /** Confusion matrix of the n-gram language guesser against the corpus's
+    * ground-truth lang column — the classifier QUALITY gate, measured not
+    * assumed: per (actual, guessed) cell counts plus each cell's share of
+    * its actual-language row in exact micro-units. The heuristic's error
+    * structure (which languages it confuses) is the decision surface for
+    * whether it can gate a crawl at 100 TB. */
+  private def langidConfusion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    langidGuess(s, d)
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("guess"), col("n_docs"),
+        expr("(1000000 * n_docs) DIV row_total").as("row_share_micro"),
+        (col("lang") === col("guess")).as("correct"))
+      .orderBy("lang", "guess")
   }
 
   private def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -678,6 +700,7 @@ object TextAnalysis {
     "text_bm25" -> bm25 _,
     "text_quality_stats" -> qualityStats _,
     "text_langid" -> langid _,
+    "text_langid_confusion" -> langidConfusion _,
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _)
 
@@ -1037,6 +1060,22 @@ object TextAnalysis {
         "CAST(SUM(n_alpha) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS avg_token_len, " +
         "CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS short_ratio " +
         "FROM x GROUP BY lang, source ORDER BY lang, source"),
+    "text_langid_confusion" ->
+      (s"WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents), " +
+        "sc AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['scan','filter','join'], x))) AS BIGINT) AS s_en, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['table','row','value'], x))) AS BIGINT) AS s_fr, " +
+        "CAST(len(list_filter(toks, x -> list_contains(['hash','merge','batch'], x))) AS BIGINT) AS s_de " +
+        "FROM t), " +
+        "g AS (SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en' " +
+        "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS guess FROM sc), " +
+        "ct AS (SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM g GROUP BY 1, 2), " +
+        "rt AS (SELECT lang, guess, n_docs, " +
+        "SUM(n_docs) OVER (PARTITION BY lang) AS row_total FROM ct) " +
+        "SELECT lang, guess, n_docs, " +
+        "CAST((1000000 * n_docs) // row_total AS BIGINT) AS row_share_micro, " +
+        "lang = guess AS correct FROM rt ORDER BY lang, guess"),
     "text_langid" ->
       (s"WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents), " +
         "sc AS (SELECT doc_id, lang, " +

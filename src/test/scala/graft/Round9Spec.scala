@@ -256,6 +256,19 @@ class Round9Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
   }
 
+  test("langid confusion cells tally the per-doc guesses exactly") {
+    val cells = SparkEntry.queries("text_langid_confusion")(spark, sfDir)
+      .collect()
+    val perDoc = SparkEntry.queries("text_langid")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("guess")))
+    val direct = perDoc.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(cells.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs"))
+      .toMap == direct)
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == perDoc.length.toLong)
+    cells.foreach(r =>
+      assert(r.getAs[Boolean]("correct") == (r.getString(0) == r.getString(1))))
+  }
+
   test("emb_kmeans_ari pair counts are a valid contingency decomposition") {
     val r = SparkEntry.queries("emb_kmeans_ari")(spark, sfDir).collect().head
     val (n, idx) = (r.getAs[Long]("n"), r.getAs[Long]("idx"))
