@@ -29,7 +29,10 @@ object Pipeline {
     * land in the same split even across corpus versions with re-assigned
     * ids — the property that prevents train/test leakage after a re-crawl.
     * Pure projection: no shuffle at any scale. */
-  private def splitTrainTest(s: SparkSession, d: String): DataFrame =
+  /** The (doc_id, bucket, split) assignment frame — shared by
+    * [[splitTrainTest]]'s listing and [[splitLeakage]]'s gate so the
+    * split rule has ONE definition. */
+  private def splitAssign(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
         pmod(graft.plans.CustomExprs.poly_hash(col("text"), 7L), lit(100L)).as("bucket"))
@@ -37,7 +40,31 @@ object Pipeline {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
-      .orderBy("doc_id")
+
+  private def splitTrainTest(s: SparkSession, d: String): DataFrame =
+    splitAssign(s, d).orderBy("doc_id")
+
+  /** Near-duplicate leakage census across the train/val/test boundary —
+    * the SPLIT-INTEGRITY gate every eval pipeline needs before it trusts
+    * a held-out number: a hash split is uniform over documents, so
+    * near-duplicate PAIRS routinely straddle splits and leak training
+    * text into test. Counts the shared Jaccard-candidate pairs (≥ 0.2)
+    * per ordered split pair; `crosses_split` rows are the leak. Rides the
+    * SAME shared pair cache and split rule as dedup_jaccard and
+    * split_train_test — the census cannot drift from either. */
+  private def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsShared(s, d).filter(col("jac") >= 0.2)
+    val sp = splitAssign(s, d).select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("da"), col("split").as("spa")), Seq("da"))
+      .join(sp.select(col("doc_id").as("db"), col("split").as("spb")), Seq("db"))
+      .select(least(col("spa"), col("spb")).as("split_a"),
+        greatest(col("spa"), col("spb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crosses_split", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
 
   /** Deterministic stratified sample over events: per-stratum rates
     * (purchase 50%, click 20%, rest 10%) decided by an LCG hash of the
@@ -964,6 +991,7 @@ object Pipeline {
     "emb_silhouette" -> embSilhouette _,
     "pipeline_interleave" -> interleave _,
     "split_train_test" -> splitTrainTest _,
+    "pipeline_split_leakage" -> splitLeakage _,
     "sample_stratified" -> sampleStratified _,
     "dedup_normalized" -> dedupNormalized _,
     "pack_sequences" -> packSequences _)
@@ -1418,6 +1446,19 @@ object Pipeline {
         "(PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rank FROM d2) " +
         "SELECT CAST(label AS BIGINT) AS label, vec_id, dist2, rank " +
         "FROM rk WHERE rank <= 5 ORDER BY label, rank"),
+    "pipeline_split_leakage" ->
+      (s"WITH ${graft.llm.Dedup.jaccardCtes}, " +
+        "pr AS (SELECT da, db FROM pairs WHERE CAST(common AS DOUBLE) / " +
+        "CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        s"sp AS (SELECT doc_id, CASE WHEN ${sqlPolyHash("text", 7L)} % 100 < 80 " +
+        s"THEN 'train' WHEN ${sqlPolyHash("text", 7L)} % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents), " +
+        "lab AS (SELECT least(a.split, b.split) AS split_a, " +
+        "greatest(a.split, b.split) AS split_b FROM pr " +
+        "JOIN sp a ON pr.da = a.doc_id JOIN sp b ON pr.db = b.doc_id) " +
+        "SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "split_a <> split_b AS crosses_split " +
+        "FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b"),
     "split_train_test" ->
       (s"SELECT doc_id, ${sqlPolyHash("text", 7L)} % 100 AS bucket, " +
         s"CASE WHEN ${sqlPolyHash("text", 7L)} % 100 < 80 THEN 'train' " +

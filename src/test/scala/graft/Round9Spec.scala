@@ -256,6 +256,19 @@ class Round9Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
   }
 
+  test("split leakage census accounts for every near-dup pair") {
+    val cells = SparkEntry.queries("pipeline_split_leakage")(spark, sfDir)
+      .collect()
+    val total = SparkEntry.queries("dedup_jaccard")(spark, sfDir).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == total,
+      "census cells must partition the full near-dup pair set")
+    cells.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "split pair must be ordered")
+      assert(r.getAs[Boolean]("crosses_split") ==
+        (r.getString(0) != r.getString(1)))
+    }
+  }
+
   test("langid confusion cells tally the per-doc guesses exactly") {
     val cells = SparkEntry.queries("text_langid_confusion")(spark, sfDir)
       .collect()
