@@ -98,15 +98,29 @@ object Pipeline {
   /** Concat-and-chunk sequence packing: docs in doc_id order fill
     * fixed-capacity 2048-token batches; a doc's batch is its exclusive
     * cumulative token count DIV 2048 (the streaming packing every LLM data
-    * loader uses). The prefix sum is one window over the corpus order —
-    * at 100 TB you'd run it per shard (the window key) rather than
-    * globally; the fixture corpus is one shard. */
+    * loader uses). The corpus-order prefix sum runs as the distributed
+    * TWO-LEVEL scan-prefix (the [[sampleWeighted]] shape): per-1024-id
+    * range partials cumulated with a window over the tiny range frame,
+    * joined back (size-gated broadcast), then an intra-range running sum
+    * partitioned by range — no stage windows the full corpus in one
+    * partition, and prefix sums are exact so the output is identical to
+    * the single-window form at any partition count. */
   private def packSequences(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("rng", expr("doc_id DIV 1024"))
+    val offs = base.groupBy(col("rng"))
+      .agg(sum(col("n_tokens")).as("rng_sum"))
+      .withColumn("rng_off", coalesce(
+        sum(col("rng_sum")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng").as("o_rng"), col("rng_off"))
+    val w = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (offsG, wo) = graft.U.sizeGate(offs)
+    base.join(wo(offsG), col("rng") === col("o_rng"))
+      .withColumn("tok_start",
+        col("rng_off") + sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         expr("tok_start DIV 2048").as("batch_id"),
         pmod(col("tok_start"), lit(2048L)).as("batch_offset"))
@@ -622,20 +636,44 @@ object Pipeline {
     * micro-unit Longs (64 · 1e6 · 1e6 ≈ 6.4e13, inside Long) and both
     * engines truncate integral division toward zero, so the projections
     * hash-match. Scale shape: the eigvector is 64 rows (broadcast), the
-    * projection is one linear agg; the global ntile sorts only the narrow
-    * (vec_id, proj) frame — same documented per-shard posture as
-    * pack_sequences' corpus-order window. */
+    * projection is one linear agg; the decile comes from a TWO-LEVEL rank
+    * — proj-range blocks (truncating division is monotone, so blocks are
+    * contiguous intervals of the order) give per-block counts cumulated
+    * over the tiny block frame, joined back size-gated, then an
+    * intra-block row_number; ntile(10) is re-derived from the global
+    * 0-based index by its closed form (first n%10 buckets hold
+    * ⌈n/10⌉ rows, the rest ⌊n/10⌋), so no stage sorts the corpus in a
+    * single partition and the output is bit-identical to the global
+    * ntile. */
   private def embProjectEigvec(s: SparkSession, d: String): DataFrame = {
     val v = embTopEigvec(s, d)
     val flat = U.tbl(s, d, "embeddings")
       .select(col("vec_id"), posexplode(transform(col("embedding"),
         x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
         .as(Seq("i", "x")))
-    val w = Window.orderBy(col("proj"), col("vec_id"))
-    flat.join(broadcast(v), col("i").cast(LongType) === col("dim"))
+    val projF = flat.join(broadcast(v), col("i").cast(LongType) === col("dim"))
       .groupBy(col("vec_id"))
       .agg(expr("sum(x * v) DIV 1000000").as("proj"))
-      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .withColumn("rng", expr("proj DIV 1048576"))
+    val offs = projF.groupBy(col("rng"))
+      .agg(count(lit(1)).as("rng_n"))
+      .withColumn("rng_off", coalesce(
+        sum(col("rng_n")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng").as("o_rng"), col("rng_off"))
+    val tot = projF.agg(count(lit(1)).as("n_tot"))
+    val wi = Window.partitionBy(col("rng")).orderBy(col("proj"), col("vec_id"))
+    val (offsG, wo) = graft.U.sizeGate(offs)
+    projF.join(wo(offsG), col("rng") === col("o_rng"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gi",
+        col("rng_off") + row_number().over(wi).cast(LongType) - 1L)
+      .withColumn("decile", expr(
+        "CASE WHEN gi < (n_tot % 10) * (n_tot DIV 10 + 1) " +
+          "THEN gi DIV (n_tot DIV 10 + 1) + 1 " +
+          "ELSE n_tot % 10 + (gi - (n_tot % 10) * (n_tot DIV 10 + 1)) " +
+          "DIV nullif(n_tot DIV 10, 0) + 1 END"))
+      .select(col("vec_id"), col("proj"), col("decile"))
       .orderBy("vec_id")
   }
 

@@ -553,14 +553,21 @@ object Scans {
   /** CSV sink roundtrip with quoting in play (c_comment carries commas):
     * write gzip CSV with header, read back under the SOURCE schema (CSV
     * carries no types — reading with inference would degrade dtypes and
-    * hash-fail), byte-exact against the table oracle. The export-to-
+    * hash-fail), byte-exact against the table oracle. Both writer and
+    * reader pin ignore{Leading,Trailing}WhiteSpace=false (Spark's CSV
+    * defaults trim unquoted whitespace on write, silently mutating any
+    * string column with edge spaces). The export-to-
     * spreadsheet/legacy-feed sibling of [[sinkJsonl]]. */
   private def sinkCsv(s: SparkSession, d: String): DataFrame = {
     val path = U.scratch(d, "sink_csv")
     val src = U.tbl(s, d, "customer")
     src.write.mode("overwrite")
-      .option("header", "true").option("compression", "gzip").csv(path)
-    s.read.schema(src.schema).option("header", "true").csv(path)
+      .option("header", "true").option("compression", "gzip")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(path)
+    s.read.schema(src.schema).option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(path)
       .orderBy("c_custkey")
   }
 

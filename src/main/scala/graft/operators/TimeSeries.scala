@@ -3069,8 +3069,10 @@ object TimeSeries {
     * information). Ranks are DOUBLED midranks (2·min_rank + ties − 1, so
     * ties stay integral), hence NM = Σ(r2ᵢ₊₁ − r2ᵢ)² and the centering
     * D = Σr2ᵢ² − n(n+1)² (mean of r2 is exactly n+1) are exact Longs
-    * (≤16n³ — Long-safe to ~8e5 rows/user), and the ratio closes in
-    * integer micro-units. RVN ≈ 2 is random; → 0 trending; → 4
+    * (≤16n³ — Long-safe to ~8e5 rows/user); the ×1e6 micro numerator
+    * would wrap Long at only ~13k rows/user, so it routes through
+    * DECIMAL(38,0) (the [[aggKruskal]] discipline) before the integral
+    * division. RVN ≈ 2 is random; → 0 trending; → 4
     * oscillating. Two window passes, one rollup. */
   private def tsVnRank(s: SparkSession, d: String): DataFrame = {
     val wr = Window.partitionBy(col("user_id")).orderBy(col("vc"))
@@ -3087,8 +3089,8 @@ object TimeSeries {
         sum(col("r2") * col("r2")).as("ss2"))
       .select(col("user_id"), col("n"), col("nm2"),
         (col("ss2") - col("n") * (col("n") + 1L) * (col("n") + 1L)).as("d2"),
-        expr("(1000000 * nm2) DIV nullif(ss2 - n * (n + 1) * (n + 1), 0)")
-          .as("rvn_micro"))
+        expr("(1000000 * CAST(nm2 AS DECIMAL(38,0))) DIV " +
+          "nullif(ss2 - n * (n + 1) * (n + 1), 0)").as("rvn_micro"))
       .orderBy("user_id")
   }
 
@@ -3149,7 +3151,9 @@ object TimeSeries {
   }
 
   /** Pre/post level comparison per event type, split at the exact
-    * midpoint of the observed epoch-microsecond span — the deploy-impact
+    * midpoint of the observed epoch-microsecond span (integer FLOOR
+    * division on both engines — a rounded double midpoint differs by
+    * 1 µs when mn+mx is odd and flips boundary events) — the deploy-impact
     * question ("did the level move after the change?") asked of every
     * type at once. Counts and micro-unit means are exact integers off
     * cent power sums; only the closing Welch t is a mirrored double tree
@@ -3158,8 +3162,9 @@ object TimeSeries {
   private def tsPrepost(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val ev = U.events(s, d).withColumn("vc", U.cents(col("value")))
-    val mid = ev.agg(((min(unix_micros(col("ts"))) +
-      max(unix_micros(col("ts")))) / lit(2L)).cast(LongType).as("mid_us"))
+    val mid = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid_us"))
     val ps = ev.crossJoin(broadcast(mid))
       .withColumn("post", (unix_micros(col("ts")) > col("mid_us")).cast("int"))
       .groupBy(col("event_type"))
@@ -3532,7 +3537,7 @@ object TimeSeries {
       val vp = s"(CAST(ss_pre AS DOUBLE) / $np - ($mp) * ($mp)) * $np / ($np - 1.0)"
       val vq = s"(CAST(ss_post AS DOUBLE) / $nq - ($mq) * ($mq)) * $nq / ($nq - 1.0)"
       "WITH mid AS (SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) " +
-        "/ 2 AS BIGINT) AS mid_us FROM events), " +
+        "// 2 AS BIGINT) AS mid_us FROM events), " +
         s"b AS (SELECT event_type, $vc AS vc, " +
         "CASE WHEN epoch_us(ts) > mid_us THEN 1 ELSE 0 END AS post " +
         "FROM events CROSS JOIN mid), " +
@@ -3581,7 +3586,8 @@ object TimeSeries {
         "CAST(SUM(r2 * r2) AS BIGINT) AS ss2 FROM dr GROUP BY 1) " +
         "SELECT user_id, n, nm2, " +
         "CAST(ss2 - n * (n + 1) * (n + 1) AS BIGINT) AS d2, " +
-        "CAST((1000000 * nm2) // nullif(ss2 - n * (n + 1) * (n + 1), 0) " +
+        "CAST((1000000 * CAST(nm2 AS HUGEINT)) // " +
+        "nullif(ss2 - n * (n + 1) * (n + 1), 0) " +
         "AS BIGINT) AS rvn_micro FROM ps ORDER BY user_id"
     },
     "ts_cpk" -> {

@@ -27,7 +27,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 16,
+    "llm/Pipeline.scala" -> 17,
     "llm/Similarity.scala" -> 15,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
