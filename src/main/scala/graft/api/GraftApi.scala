@@ -824,4 +824,22 @@ object GraftApi {
         col("checksum"))
       .orderBy("cid")
   }
+
+  /** IVF recall/cost tuning curve on a caller frame — the
+    * `sim_ivf_curve` kernel lifted: a deterministic `k`-centroid Lloyd
+    * quantizer over the vector column, then one row per probe width in
+    * `probes` with the candidate-set size (cost of the exact rerank) and
+    * recall@3 against brute-force ground truth for the `nQueries`
+    * smallest ids. Returns (nprobe, n_candidates, n_hits, recall). */
+  def ivfRecallCurve(df: DataFrame, id: String, vec: String, k: Int = 16,
+      nQueries: Int = 10, probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(k >= 1 && nQueries >= 1 && probes.nonEmpty && probes.forall(_ >= 1))
+    val emb = graft.U.track(
+      fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
+        .select(col("__id").as("vec_id"), col("__fx").as("fx"),
+          col("__nrm").as("nrm"))
+        .persist())
+    val cent = graft.U.track(graft.llm.Similarity.ivfCentroids(emb, k))
+    graft.llm.Similarity.ivfCurveOnEmb(emb, cent, nQueries, probes)
+  }
 }

@@ -277,7 +277,7 @@ object Similarity {
     * vec_ids), 2 Lloyd iterations as pure DataFrame ops, all in the integer
     * domain (exact Long sums + integer division) so centroids are
     * bit-reproducible regardless of partial-aggregation order. */
-  private def ivfCentroids(emb: DataFrame, k: Int): DataFrame = {
+  private[graft] def ivfCentroids(emb: DataFrame, k: Int): DataFrame = {
     def recenter(assigned: DataFrame): DataFrame =
       assigned.select(col("cid"), posexplode(col("fx")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -349,6 +349,63 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Recall/cost curve of the IVF index across probe widths — the tuning
+    * table an ANN deployment actually reads before picking nprobe: one
+    * row per setting with the candidate-set size (the COST — how many
+    * exact cosines the rerank pays) and recall@3 against brute-force
+    * ground truth (the QUALITY). Candidates are scored ONCE at the widest
+    * probe and each narrower setting filters by probe rank, so the curve
+    * costs one corpus join, not |settings|. Everything is deterministic
+    * (fixed-point Lloyd quantizer, integer cosine trees, id tiebreaks),
+    * so the whole curve hash-matches its SQL mirror — an exactly-oracled
+    * measurement of an approximate index. */
+  private[graft] def ivfCurveOnEmb(emb: DataFrame, cent: DataFrame,
+      nQueries: Int, probes: Seq[Int]): DataFrame = {
+    val assigned = U.track(assignN(emb, cent, 1).persist())
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("fx").as("qx"), col("nrm").as("qn"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("qdist", -dotCol(col("qx"), col("cfx")).cast(DoubleType) /
+        sqrt(dotCol(col("cfx"), col("cfx")).cast(DoubleType)))
+      .withColumn("prb", row_number().over(wq))
+      .filter(col("prb") <= probes.max)
+      .select(col("q_id"), col("cid"), col("prb"), col("qx"), col("qn"))
+    val cand = U.track(assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .select(col("q_id"), col("prb"), col("vec_id"), col("cos"))
+      .persist())
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val bf = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 3)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    val denom = nQueries * 3.0
+    probes.map { np =>
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val c = cand.filter(col("prb") <= np)
+      val top = c.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+      val hits = top.join(bf,
+          top("q_id") === col("bq") && top("vec_id") === col("bv"), "left")
+        .agg(count(col("bv")).as("n_hits"))
+      val nc = c.agg(count(lit(1)).as("n_candidates"))
+      nc.crossJoin(hits).select(lit(np.toLong).as("nprobe"),
+        col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(denom)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  private def ivfCurve(s: SparkSession, d: String): DataFrame = {
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    ivfCurveOnEmb(emb, centroids16(s, d), nQueries = 10, probes = Seq(1, 2, 4))
   }
 
   /** Signs (±1) of the 8 deterministic LCG hyperplanes — the
@@ -744,7 +801,8 @@ object Similarity {
     "dedup_embedding" -> embeddingPairs _,
     "dedup_embedding_ann" -> embeddingPairsAnn _,
     "sim_lsh_ann" -> lshAnn _,
-    "sim_ivf_ann" -> ivfAnn _)
+    "sim_ivf_ann" -> ivfAnn _,
+    "sim_ivf_curve" -> ivfCurve _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -835,6 +893,39 @@ object Similarity {
       "ranked AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER " +
       "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
       "SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"
+
+  /** Exact recall/cost-curve oracle: the ivfSql quantizer + nprobe-4
+    * candidate scoring, each narrower setting a probe-rank filter, recall
+    * against the nested [[bruteSql]] ground truth — the sim_recall_at_k
+    * nesting discipline extended across three probe widths. */
+  private lazy val ivfCurveSql: String =
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n WHERE vec_id < 16), " +
+      s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+      s"s3 AS (SELECT n.vec_id, c2.cid, ${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
+      "af AS (SELECT s3.vec_id, s3.cid, n.fx, n.nrm FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) s3 " +
+      "JOIN n ON s3.vec_id = n.vec_id WHERE s3.rn = 1), " +
+      "qp AS (SELECT q_id, cid, prb, qx, qn FROM (SELECT n.vec_id AS q_id, c2.cid, " +
+      "n.fx AS qx, n.nrm AS qn, row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      s"${distSql("fx", "cfx")}, cid) AS prb FROM n CROSS JOIN c2 WHERE n.vec_id < 10) " +
+      "WHERE prb <= 4), " +
+      s"cand AS (SELECT qp.q_id, qp.prb, af.vec_id, ${cosSql("qx", "fx", "qn", "nrm")} AS cos " +
+      "FROM af JOIN qp ON af.cid = qp.cid AND af.vec_id <> qp.q_id), " +
+      s"bf AS (SELECT q_id AS bq, vec_id AS bv FROM ($bruteSql) WHERE rank <= 3), " +
+      "np(nprobe) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))), " +
+      "cnp AS (SELECT np.nprobe, c.q_id, c.vec_id, c.cos FROM cand c " +
+      "JOIN np ON c.prb <= np.nprobe), " +
+      "top3 AS (SELECT nprobe, q_id, vec_id FROM (SELECT nprobe, q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY nprobe, q_id ORDER BY cos DESC, vec_id) AS rk " +
+      "FROM cnp) WHERE rk <= 3), " +
+      "hits AS (SELECT nprobe, CAST(COUNT(bv) AS BIGINT) AS n_hits FROM top3 " +
+      "LEFT JOIN bf ON top3.q_id = bf.bq AND top3.vec_id = bf.bv GROUP BY 1), " +
+      "nc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cnp GROUP BY 1) " +
+      "SELECT nc.nprobe, nc.n_candidates, hits.n_hits, " +
+      "CAST(hits.n_hits AS DOUBLE) / 30.0 AS recall " +
+      "FROM nc JOIN hits USING (nprobe) ORDER BY nprobe"
 
   /** Exact IVF-blocked near-dup oracle: k = max(4, min(1024, round(√n)))
     * (floor(√n + 0.5) mirrors Java Math.round), two Lloyd iterations,
@@ -1072,6 +1163,7 @@ object Similarity {
     },
     "sim_lsh_ann" -> lshSql,
     "sim_ivf_ann" -> ivfSql,
+    "sim_ivf_curve" -> ivfCurveSql,
     "dedup_embedding_ann" -> embAnnSql,
     "emb_hard_negatives" ->
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +

@@ -154,6 +154,44 @@ class CusumProcessor
   }
 }
 
+/** One exploded (doc, LSH band) row on the stream; `bkey` is the
+  * concat_ws(":") band signature — the batch dedup_minhash key. */
+case class NDEvent(doc_id: Long, band: Long, bkey: String)
+case class NDOut(doc_id: Long, band: Long, prior: Long)
+
+/** Streaming MinHash near-dup detector — the crawl-ingest shape: band
+  * signatures flow through `transformWithState` keyed by (band, bkey);
+  * each bucket's ValueState holds the MINIMUM doc_id seen, and every
+  * arrival emits the bucket occupant it collided with (−1 if it opened
+  * the bucket). Batches arrive in doc_id order (the staged replay's
+  * mtime contract, same assumption as [[SessionizeProcessor]]) and rows
+  * sort within a batch, so "occupant" = min smaller-id doc in the bucket
+  * — exactly the batch banding's candidate predicate, which is what
+  * makes the replay exactly oracle-able. State is one Long per occupied
+  * bucket; a production deployment bounds the dedup horizon with a
+  * TTLConfig on this state (drop-vs-keep then depends only on docs
+  * inside the horizon), which changes retention, not the per-arrival
+  * logic. */
+class NearDupProcessor
+    extends StatefulProcessor[(Long, String), NDEvent, NDOut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("minDoc",
+      Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: (Long, String), rows: Iterator[NDEvent],
+      tv: TimerValues): Iterator[NDOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(_.doc_id)
+    var cur = if (st.exists()) st.get() else -1L
+    val out = sorted.map { e =>
+      val prior = if (cur >= 0L && cur < e.doc_id) cur else -1L
+      cur = if (cur < 0L) e.doc_id else math.min(cur, e.doc_id)
+      NDOut(e.doc_id, e.band, prior)
+    }
+    st.update(cur)
+    out.iterator
+  }
+}
+
 case class IdleEvent(user_id: Long, ts: java.sql.Timestamp)
 case class IdleAlert(user_id: Long, idle_since_us: Long)
 
@@ -283,6 +321,46 @@ object StreamingQueries {
       }
       // marker makes the staging reusable across JVMs (Verify, Bench, tests
       // all replay the same deterministic files with their original mtimes)
+      Files.createFile(marker)
+      prepared += dir
+    }
+    dir
+  }
+
+  /** Split documents into 8 sequentially-written doc_id-range files (once
+    * per JVM per sfDir) with strictly increasing mtimes — the
+    * doc_id-ordered replay whose "first bucket occupant = min id"
+    * contract the near-dup stream rides (the events staging's mtime
+    * discipline applied to the corpus). */
+  private def stageDocs(s: SparkSession, d: String): String = synchronized {
+    val dir = U.scratch(d, "stream_docs")
+    val marker = Paths.get(dir, "_GRAFT_STAGED_v1")
+    if (!prepared.contains(dir) && Files.exists(marker)) prepared += dir
+    if (!prepared.contains(dir)) {
+      val docs = U.tbl(s, d, "documents")
+      val bounds = docs.selectExpr("CAST(min(doc_id) AS BIGINT) AS lo",
+        "CAST(max(doc_id) AS BIGINT) AS hi").head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+      val step = math.max((hi - lo) / 8, 1L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      var seq = 0
+      val stamped = scala.collection.mutable.Set[String]()
+      for (i <- 0 until 8) {
+        val loB = lo + i * step
+        val hiB = if (i == 7) hi else lo + (i + 1) * step
+        docs.filter(col("doc_id") >= loB && col("doc_id") < hiB)
+          .coalesce(1).write.mode("append").parquet(dir)
+        val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(f => f.getPath.getName.startsWith("part-") &&
+            !stamped.contains(f.getPath.getName))
+          .sortBy(_.getPath.getName)
+        for (f <- fresh) {
+          fs.setTimes(f.getPath, 1600000000000L + seq * 1000L, -1L)
+          stamped += f.getPath.getName
+          seq += 1
+        }
+      }
       Files.createFile(marker)
       prepared += dir
     }
@@ -594,6 +672,65 @@ object StreamingQueries {
     }
   }
 
+  /** [[NearDupProcessor]] end-to-end — near-dup dedup ON THE STREAM, the
+    * shape a crawl-ingest pipeline needs: each arriving doc shingles,
+    * MinHash-signs and explodes into its 4 LSH band keys per row (all
+    * codegen'd expressions, zero pre-shuffle), the stateful operator
+    * tracks each bucket's minimum doc_id on RocksDB, and a post-replay
+    * rollup folds the 4 band verdicts into one (is_dup, dup_of) row per
+    * doc. The result equals the batch dedup_minhash banding predicate
+    * applied per doc (min smaller-id bucket-mate), so the stream carries
+    * a full DuckDB oracle — the stream_cusum shared-semantics discipline
+    * on the documents corpus. */
+  private def neardupStream(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = stageDocs(s, d)
+      val schema = s.read.parquet(dir).schema
+      val sinkT = withReplayShuffle(s) {
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "4").parquet(dir)
+        import s.implicits._
+        val sigs = in
+          .select(col("doc_id"), graft.plans.CustomExprs.shingles3_fast(
+            graft.llm.TextUtil.tokens(col("text"))).as("ss"))
+          .filter(size(col("ss")) > 0)
+          .select(col("doc_id"), graft.plans.CustomExprs.minhash_sigs(
+            graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L), 16)
+            .as("sigs"))
+        val bands = sigs.select(col("doc_id"), explode(array(
+            (0 until 4).map(b => struct(lit(b.toLong).as("band"),
+              concat_ws(":", (0 until 4).map(r =>
+                element_at(col("sigs"), b * 4 + r + 1)): _*).as("bkey"))): _*))
+            .as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bkey").as("bkey"))
+        val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+        val q = bands.as[NDEvent]
+          .groupByKey(e => (e.band, e.bkey))
+          .transformWithState(new NearDupProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+      }
+      sinkT.groupBy(col("doc_id"))
+        .agg(sum(when(col("prior") >= 0, 1L).otherwise(0L)).as("n_bands_hit"),
+          min(when(col("prior") >= 0, col("prior"))).as("dup_of"))
+        .select(col("doc_id"), col("n_bands_hit"),
+          (col("n_bands_hit") > 0).as("is_dup"), col("dup_of"))
+        .orderBy("doc_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[IdleTimeoutProcessor]] end-to-end: >30-min idle alerts via
     * EVENT-TIME TIMERS under a 10-minute watermark — gaps alert on the
     * next arrival, trailing idles alert when the (ms-granular) watermark
@@ -874,6 +1011,7 @@ object StreamingQueries {
     }.orderBy(col("spend_cents").desc, col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_neardup" -> neardupStream _,
     "stream_session_tws" -> sessionizeTws _,
     "stream_hysteresis" -> hysteresisTws _,
     "stream_cusum" -> cusumTws _,
@@ -897,6 +1035,30 @@ object StreamingQueries {
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    // the batch MinHash banding re-stated per doc: prior = min smaller-id
+    // bucket-mate over the doc's 4 bands — the replay's final state is
+    // exactly this batch predicate (doc_id-ordered staged files)
+    "stream_neardup" -> {
+      import graft.llm.TextUtil.{sqlTokens, sqlShingles3, sqlPolyHash}
+      val ph = sqlPolyHash("t", 13L)
+      s"WITH sh AS (SELECT doc_id, ${sqlShingles3(sqlTokens("text"))} AS ss " +
+        "FROM documents), " +
+        "sized AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0), " +
+        s"hs AS (SELECT doc_id, list_transform(ss, t -> $ph) AS hl FROM sized), " +
+        "sig AS (SELECT doc_id, list_transform(range(0, 16), k -> " +
+        "list_min(list_transform(hl, h -> (h*(2*k+1) + k*12345 + 7) % 1000000007))) " +
+        "AS sigs FROM hs), " +
+        "bands AS (SELECT doc_id, b, list_slice(sigs, CAST(b*4+1 AS INTEGER), " +
+        "CAST(b*4+4 AS INTEGER)) AS bkey FROM sig CROSS JOIN range(0, 4) t(b)), " +
+        "pr AS (SELECT x.doc_id, x.b, MIN(y.doc_id) AS prior FROM bands x " +
+        "LEFT JOIN bands y ON x.b = y.b AND x.bkey = y.bkey " +
+        "AND y.doc_id < x.doc_id GROUP BY 1, 2), " +
+        "roll AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN prior IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_bands_hit, MIN(prior) AS dup_of FROM pr GROUP BY 1) " +
+        "SELECT doc_id, n_bands_hit, n_bands_hit > 0 AS is_dup, dup_of " +
+        "FROM roll ORDER BY doc_id"
+    },
     // the batch ts_hysteresis oracle, verbatim — one definition pins both
     "stream_hysteresis" -> graft.operators.TimeSeries.hysteresisSql,
     "stream_cusum" -> graft.operators.TimeSeries.cusumAlarmSql,

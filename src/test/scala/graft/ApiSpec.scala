@@ -537,6 +537,17 @@ class ApiSpec extends SparkTestBase {
     assert(viaApi.sameElements(declared))
   }
 
+  test("ivfRecallCurve equals the declared sim_ivf_curve on the fixtures") {
+    val viaApi = GraftApi.ivfRecallCurve(U.tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", k = 16, nQueries = 10, probes = Seq(1, 2, 4))
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("sim_ivf_curve")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(viaApi.sameElements(declared))
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal

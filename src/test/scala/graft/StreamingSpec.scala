@@ -209,6 +209,27 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream CUSUM divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_neardup detects dups ACROSS micro-batches (state-path proof)") {
+    // the staged docs replay runs 8 doc_id-range files at 4/trigger = 2
+    // micro-batches with the range midpoint as the batch boundary; a dup
+    // whose keeper (dup_of) is below the midpoint while the dup itself is
+    // at-or-above it can only be caught if the band bucket's ValueState
+    // SURVIVED the batch boundary — the state path, evidenced not assumed
+    val docs = U.tbl(spark, sfDir, "documents")
+    val b = docs.selectExpr("CAST(min(doc_id) AS BIGINT) lo",
+      "CAST(max(doc_id) AS BIGINT) hi").head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1) + 1)
+    val mid = lo + 4 * math.max((hi - lo) / 8, 1L)
+    val got = SparkEntry.queries("stream_neardup")(spark, sfDir).collect()
+    assert(got.length > 0 && got.exists(_.getAs[Boolean]("is_dup")),
+      "expected at least one near-dup in the fixture corpus")
+    val crossBatch = got.filter(r => r.getAs[Boolean]("is_dup") &&
+      !r.isNullAt(r.fieldIndex("dup_of")) &&
+      r.getAs[Long]("dup_of") < mid && r.getAs[Long]("doc_id") >= mid)
+    assert(crossBatch.nonEmpty,
+      s"no cross-batch dup found (boundary $mid) — state did not carry")
+  }
+
   test("stream_union merges both branches and equals the batch rollup") {
     val got = SparkEntry.queries("stream_union")(spark, sfDir).collect()
     assert(got.map(_.getAs[String]("branch")).toSet ==

@@ -296,4 +296,44 @@ class StressSpec extends SparkTestBase {
     assert(cFast.getOrElse("030C", 0L) >= 1L && cFast.getOrElse("300", 0L) >= 1L)
     e.unpersist()
   }
+
+  test("triangle kernels agree at 220k edges: oriented twins vs single task") {
+    // the gate-parity test above proves dispatch correctness on a small
+    // adversarial frame; this one proves the SIZE claim — both the
+    // degree-oriented triangle enumeration and the census CASE tree run
+    // at past-fixture scale (100k nodes / 220k directed edges, beyond the
+    // 200k-edge bar) and still equal the single-task CSR kernel on the
+    // same graph. Ring chords give 100k support triangles {i, i+1, i+2}
+    // whose edges i→i+1, i+1→i+2, i→i+2 are transitive triples; every
+    // fifth node adds a reverse edge (i+1)→i, seeding mutual dyads so the
+    // census populates the 120-classes, not just 030T.
+    val n = 100000L
+    val ring1 = spark.range(0L, n).selectExpr("id AS u", s"(id + 1) % $n AS v")
+    val ring2 = spark.range(0L, n).selectExpr("id AS u", s"(id + 2) % $n AS v")
+    val rev = spark.range(0L, n).filter(col("id") % 5 === 0)
+      .selectExpr(s"(id + 1) % $n AS u", "id AS v")
+    val e = ring1.unionByName(ring2).unionByName(rev).persist()
+    assert(e.count() == 220000L)
+    val fast = operators.Graphs.transitiveTriplesCount(e, cap = Long.MaxValue)
+      .collect().head.getAs[Long]("n_closed")
+    val dist = operators.Graphs.transitiveTriplesCount(e, cap = 0L)
+      .collect().head.getAs[Long]("n_closed")
+    // each of the n ring triangles closes exactly one wedge; reverse
+    // edges add more — the closed-form floor pins the magnitude
+    assert(fast >= n, s"expected >= $n transitive triples, got $fast")
+    assert(fast == dist,
+      s"size parity broke at 220k edges: single-task=$fast oriented=$dist")
+    def census(cap: Long) =
+      operators.Graphs.triadCensusOnEdges(e, cap).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n_triads")).toMap
+    val cFast = census(Long.MaxValue)
+    val cDist = census(0L)
+    assert(cFast == cDist,
+      s"census size parity broke at 220k edges: $cFast vs $cDist")
+    assert(cFast.values.sum >= n, "every ring triangle must be classified")
+    assert(cFast.getOrElse("030T", 0L) >= 1L && cFast.keySet.size >= 2,
+      s"expected a populated multi-class census, got $cFast")
+    e.unpersist()
+    U.releaseTracked()
+  }
 }
