@@ -999,7 +999,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic token-dropout augmentation (the masking-noise rung
+    * beside [[pipelineSpanCorruption]]): the token at 0-based position p
+    * of doc d drops when the TENS digit of the LCG hash
+    * ((d mod 1e9+7)·1103515245 + p·12345 + 7) is 0 — i.e. hash mod 100
+    * < 10, an exactly-10% pure per-row predicate (the UNITS digit would
+    * be the classic low-bit LCG trap: multiplier ≡ 5 mod 10 makes it
+    * land only on {2, 7}, a 0% mask — caught by Round10Spec's rate
+    * band):
+    * no rand(), no shuffle, reproducible across runs, engines and
+    * partitionings (the [[sampleStratified]] discipline; the doc_id
+    * pre-mod keeps the product inside Long at any id scale). Emits the
+    * kept text and exact counts; Round10Spec pins the partition law
+    * n_tokens = n_kept + n_dropped and run-over-run mask identity. */
+  private def pipelineDropoutMask(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("kept", filter(col("toks"), (t, p) =>
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(1103515245L) +
+          p.cast(LongType) * lit(12345L) + lit(7L), lit(100L)) >= 10L))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast(LongType)).as("n_dropped"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
     "pipeline_span_corruption" -> spanCorruption _,
     "emb_norm_outliers" -> embNormOutliers _,
@@ -1090,6 +1116,16 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_dropout_mask" ->
+      (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +
+        "FROM documents), " +
+        // DuckDB lambda indexes are 1-based; (i-1) mirrors Spark's 0-based p
+        "k AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, " +
+        "list_filter(tk, (x, i) -> ((doc_id % 1000000007) * 1103515245 " +
+        "+ (i - 1) * 12345 + 7) % 100 >= 10) AS kept FROM t) " +
+        "SELECT doc_id, n_tokens, " +
+        "n_tokens - CAST(len(kept) AS BIGINT) AS n_dropped, " +
+        "array_to_string(kept, ' ') AS kept_text FROM k ORDER BY doc_id"),
     "pipeline_fim" ->
       (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +
         "FROM documents), " +

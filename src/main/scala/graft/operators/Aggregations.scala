@@ -1987,7 +1987,49 @@ object Aggregations {
       (tLo > lit(1.645) && tHi < lit(-1.645)).as("equivalent"))
   }
 
+  /** Two-group log-rank test over the shared survival frame
+    * ([[TimeSeries.survivalLife]] — time-to-first-error, right-censored):
+    * does error onset differ between the two id-parity experiment arms?
+    * Per pooled death day the O−E term
+    * 1e6·d₁ − (1e6·d·n₁) DIV n and the hypergeometric variance
+    * (1e6·d·n₁·n₀·(n−d)) DIV (n²·(n−1)) close in exact micro-units
+    * (DECIMAL(38,0) integral divisions; n=1 days null out of V exactly
+    * like SQL's SUM-skips-NULL), so U and V are exact integer sums over
+    * the calendar-bounded day frame; only the closing
+    * z = (U/1e6)/√(V/1e6) is a double, from two exact operands. One
+    * per-user agg + the sweep-line risk pass + a 1-row broadcast. */
+  private def aggLogRank(s: SparkSession, d: String): DataFrame = {
+    val life = U.track(TimeSeries.survivalLife(s, d).persist())
+    val byDay = TimeSeries.survivalRisk(life)
+      .groupBy(col("day"))
+      .agg(sum(when(col("grp") === 1, col("n_deaths")).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0, col("n_deaths")).otherwise(0L)).as("d0"),
+        sum(when(col("grp") === 1, col("n_at_risk")).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 0, col("n_at_risk")).otherwise(0L)).as("n0"))
+      .withColumn("dj", col("d1") + col("d0"))
+      .withColumn("nj", col("n1") + col("n0"))
+      .withColumn("term", expr("1000000 * d1 - CAST((1000000 * " +
+        "CAST(dj AS DECIMAL(38,0)) * n1) DIV nj AS BIGINT)"))
+      .withColumn("v", expr("CAST((1000000 * CAST(dj AS DECIMAL(38,0)) " +
+        "* n1 * n0 * (nj - dj)) DIV " +
+        "nullif(CAST(nj AS DECIMAL(38,0)) * nj * (nj - 1), 0) AS BIGINT)"))
+    val cnt = life.agg(
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_grp1"),
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_grp0"))
+    byDay.agg(count(lit(1)).as("n_death_days"),
+        sum(col("term")).as("u_micro"), sum(col("v")).as("v_micro"))
+      .crossJoin(broadcast(cnt))
+      .select(col("n_grp1"), col("n_grp0"), col("n_death_days"),
+        col("u_micro"), col("v_micro"),
+        // V = 0 (degenerate risk sets, e.g. a one-cohort corpus) has no
+        // finite z — NULL, not a 0/0 ANSI error
+        when(col("v_micro") > 0,
+          (col("u_micro").cast(DoubleType) / lit(1000000.0)) /
+            sqrt(col("v_micro").cast(DoubleType) / lit(1000000.0))).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_log_rank" -> aggLogRank _,
     "agg_dq_expectations" -> aggDqExpectations _,
     "agg_tost" -> aggTost _,
     "agg_jackknife" -> aggJackknife _,
@@ -2139,6 +2181,33 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_log_rank" ->
+      (s"WITH ${TimeSeries.survivalCtes}, " +
+        "byday AS (SELECT day, " +
+        "CAST(SUM(CASE WHEN grp = 1 THEN n_deaths ELSE 0 END) AS BIGINT) AS d1, " +
+        "CAST(SUM(CASE WHEN grp = 0 THEN n_deaths ELSE 0 END) AS BIGINT) AS d0, " +
+        "CAST(SUM(CASE WHEN grp = 1 THEN n_at_risk ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN grp = 0 THEN n_at_risk ELSE 0 END) AS BIGINT) AS n0 " +
+        "FROM risk0 GROUP BY 1), " +
+        "tt AS (SELECT day, d1, d0, n1, n0, d1 + d0 AS dj, n1 + n0 AS nj " +
+        "FROM byday), " +
+        "terms AS (SELECT *, " +
+        "1000000 * d1 - CAST((1000000 * CAST(dj AS HUGEINT) * n1) // nj " +
+        "AS BIGINT) AS term, " +
+        "CAST((1000000 * CAST(dj AS HUGEINT) * n1 * n0 * (nj - dj)) // " +
+        "nullif(CAST(nj AS HUGEINT) * nj * (nj - 1), 0) AS BIGINT) AS v " +
+        "FROM tt), " +
+        "cnt AS (SELECT " +
+        "CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_grp1, " +
+        "CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_grp0 " +
+        "FROM life), " +
+        "ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_death_days, " +
+        "CAST(SUM(term) AS BIGINT) AS u_micro, " +
+        "CAST(SUM(v) AS BIGINT) AS v_micro FROM terms) " +
+        "SELECT n_grp1, n_grp0, n_death_days, u_micro, v_micro, " +
+        "CASE WHEN v_micro > 0 THEN (CAST(u_micro AS DOUBLE) / 1000000.0) / " +
+        "sqrt(CAST(v_micro AS DOUBLE) / 1000000.0) END AS z " +
+        "FROM ag CROSS JOIN cnt"),
     "agg_dq_expectations" -> {
       def rule(name: String, checked: String, violations: String) =
         s"SELECT '$name' AS rule, " +

@@ -3150,6 +3150,152 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Per-user survival frame — time-to-first-ERROR with right censoring:
+    * entry day fd (first event), death day = first 'error' day (NULL if
+    * never errored — censored at the last observed day instead), exit =
+    * whichever applies, cohort grp = the id-parity experiment arm (the
+    * hash-based treatment assignment an A/B rollout actually uses —
+    * deterministic, balanced, outcome-independent by construction).
+    * The ONE lifetime definition [[tsKaplanMeier]] and
+    * [[graft.operators.Aggregations]]' agg_log_rank both build on, so
+    * the curve and the test that compares it cannot drift. One per-user
+    * hash agg; left truncation (mid-span entry) rides fd, censoring
+    * rides died=0 — both handled, not discarded. */
+  private[operators] def survivalLife(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .withColumn("dayi", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(min(col("dayi")).as("fd"),
+        min(when(col("event_type") === "error", col("dayi"))).as("dd"),
+        max(col("dayi")).as("ld"))
+      .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      .select(col("user_id"), col("fd"), col("grp"),
+        coalesce(col("dd"), col("ld")).as("exit"),
+        when(col("dd").isNotNull, 1L).otherwise(0L).as("died"),
+        col("dd"))
+
+  /** Sweep-line risk/death table per (grp, pooled death day): at-risk
+    * counts come from ±1 entry/exit deltas prefix-summed in day order
+    * with zero-weight probe rows sorting AFTER same-day deltas — the
+    * interval count #(fd ≤ t ≤ ld) without joining users to days
+    * (|days| delta rows + |death days|×2 probes, all calendar-bounded;
+    * the per-group prefix window is the [[tsMaxConcurrency]] shape).
+    * Returns (grp, day, n_at_risk, n_deaths) for BOTH groups at every
+    * pooled death day. */
+  private[operators] def survivalRisk(life: DataFrame): DataFrame = {
+    val deltas = life.select(col("grp"), col("fd").as("day"), lit(1L).as("dl"))
+      .unionByName(life.select(col("grp"), (col("exit") + 1L).as("day"),
+        lit(-1L).as("dl")))
+      .groupBy(col("grp"), col("day")).agg(sum(col("dl")).as("dl"))
+      .withColumn("probe", lit(0L))
+    val dayGrid = life.filter(col("died") === 1L)
+      .select(col("dd").as("day")).distinct()
+    val probes = dayGrid.withColumn("grp", lit(0L))
+      .unionByName(dayGrid.withColumn("grp", lit(1L)))
+      .withColumn("dl", lit(0L)).withColumn("probe", lit(1L))
+      .select(col("grp"), col("day"), col("dl"), col("probe"))
+    val deaths = life.filter(col("died") === 1L)
+      .groupBy(col("grp"), col("dd").as("day"))
+      .agg(count(lit(1)).as("n_deaths"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("day"), col("probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.unionByName(probes)
+      .withColumn("atrisk", sum(col("dl")).over(wg))
+      .filter(col("probe") === 1L)
+      .join(deaths, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"), col("atrisk").as("n_at_risk"),
+        coalesce(col("n_deaths"), lit(0L)).as("n_deaths"))
+  }
+
+  /** Kaplan–Meier product-limit survival curve per cohort over user
+    * lifetimes ([[survivalLife]]): S(t) = Π_{t_j ≤ t}(1 − d_j/n_j) at
+    * that cohort's death days, carried as the CUMULATIVE SUM of
+    * micro-nat-floored log factors — a prefix sum is windowable where a
+    * prefix product is not, and each ln/floor runs through the identical
+    * double tree on both engines (the ts_perm_entropy discipline). The
+    * curve SHIPS in exact log micro-nats — closing it with exp() is the
+    * consumer's one client-side call, because exp is not correctly
+    * rounded in IEEE 754 and measurably differs by 1 ULP across engines
+    * (ln happens to agree; exp does not — found the hard way). A day
+    * where the whole risk set dies has no finite log factor:
+    * log_s_micro nulls and survival_zero latches from there on.
+    * |death days| rows per cohort — calendar-bounded output, one
+    * per-user agg + one sweep + one window. */
+  private def tsKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val risk = survivalRisk(survivalLife(s, d)).filter(col("n_deaths") > 0)
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("term", when(col("n_at_risk") > col("n_deaths"),
+        floor(lit(1000000.0) * log(
+          (col("n_at_risk") - col("n_deaths")).cast(DoubleType) /
+            col("n_at_risk").cast(DoubleType))).cast(LongType)))
+      .withColumn("dead", max(when(col("term").isNull, 1L).otherwise(0L)).over(w))
+      .withColumn("ls", sum(col("term")).over(w))
+      .select(col("grp"), col("day"), col("n_at_risk"), col("n_deaths"),
+        when(col("dead") === 1L, lit(null)).otherwise(col("ls"))
+          .as("log_s_micro"),
+        (col("dead") === 1L).as("survival_zero"))
+      .orderBy("grp", "day")
+  }
+
+  /** Page–Hinkley sequential drift detector per event type: m_t =
+    * Σ_{i≤t}(x_i − x̄_i − δ) with the RUNNING mean x̄_i = S_i/i (the
+    * classic training-window-free PH recursion), alarm when the
+    * excursion m_t − min_{s≤t} m_s exceeds λ. Each mean term floors to
+    * exact micro-cents through DECIMAL(38,0) integral division (1e6·S_i
+    * wraps Long past ~1e8 rows/type), so the cumulants, the running min
+    * and the alarm set are engine-exact integers; δ = 0 and
+    * λ = 3e11 micro-cents (300,000.00 cumulative) are spec constants in the
+    * [[tsCusumAlarm]] style. Three chained running windows on ONE
+    * per-type partitioning — a single exchange of the events table. */
+  private def tsPageHinkley(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lambda = 300000000000L
+    U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("sx", sum(col("vc")).over(run))
+      .withColumn("term", expr("1000000 * vc - CAST((1000000 * " +
+        "CAST(sx AS DECIMAL(38,0))) DIV i AS BIGINT)"))
+      .withColumn("m", sum(col("term")).over(run))
+      .withColumn("exc", col("m") - min(col("m")).over(run))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("exc") > lambda, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("exc") > lambda, unix_micros(col("ts"))))
+          .as("first_alarm_us"),
+        max(col("exc")).as("max_excursion_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Day-level activity inequality per event type — the Gini coefficient
+    * of the type's DAILY event counts (is the volume spread evenly
+    * across the observation span or concentrated in bursts? — the
+    * temporal-concentration screen next to [[tsBurst]]'s hour spikes).
+    * The rank-weighted exact formula of [[graft.operators.Aggregations]]'
+    * agg_gini applied to the calendar-bounded daily frame: counts and
+    * ranks are exact integers, the coefficient is ONE integral division
+    * of exact operands — hash-matchable at any partition count, and the
+    * sort is over |days| rows per type, never over events. */
+  private def tsLorenzInterday(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("dayi"))
+    daily.withColumn("r", row_number().over(w).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total_events"),
+        sum(col("r") * col("c")).as("rc"))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        expr("(1000000 * (2 * rc - (n_days + 1) * total_events)) " +
+          "DIV (n_days * total_events)").as("gini_micro"))
+      .orderBy("event_type")
+  }
+
   /** Pre/post level comparison per event type, split at the exact
     * midpoint of the observed epoch-microsecond span (integer FLOOR
     * division on both engines — a rounded double midpoint differs by
@@ -3253,6 +3399,9 @@ object TimeSeries {
     "ts_entropy_rate" -> tsEntropyRate _,
     "ts_foster_stuart" -> tsFosterStuart _,
     "ts_prepost" -> tsPrepost _,
+    "ts_page_hinkley" -> tsPageHinkley _,
+    "ts_kaplan_meier" -> tsKaplanMeier _,
+    "ts_lorenz_interday" -> tsLorenzInterday _,
     "ts_turning_points" -> tsTurningPoints _,
     "ts_vn_rank" -> tsVnRank _,
     "ts_cpk" -> tsCpk _,
@@ -3370,6 +3519,35 @@ object TimeSeries {
   /** ONE oracle pins the batch hysteresis query AND its streaming twin
     * (`stream_hysteresis` — the transformWithState latch replays this
     * exact last-IGNORE-NULLS scan), so the two can never drift. */
+  /** Shared survival CTE chain ending at `risk0` = (grp, day, n_at_risk,
+    * n_deaths) for BOTH cohorts at every pooled death day — the SQL
+    * mirror of [[survivalLife]]+[[survivalRisk]], nested by the
+    * ts_kaplan_meier AND agg_log_rank oracles so the curve and the test
+    * share one lifetime definition on both engines. The oracle counts
+    * at-risk sets by brute interval predicate (|death days| ≈ dozens);
+    * the Spark side is the sweep-line shape. */
+  private[operators] lazy val survivalCtes: String =
+    "life0 AS (SELECT user_id, " +
+      "MIN(epoch_us(ts) // 86400000000) AS fd, " +
+      "MIN(CASE WHEN event_type = 'error' " +
+      "THEN epoch_us(ts) // 86400000000 END) AS dd, " +
+      "MAX(epoch_us(ts) // 86400000000) AS ld, " +
+      "CAST(user_id % 2 AS BIGINT) AS grp FROM events GROUP BY 1, user_id % 2), " +
+      "life AS (SELECT user_id, fd, grp, COALESCE(dd, ld) AS ex, " +
+      "CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END AS died, dd " +
+      "FROM life0), " +
+      "sdays AS (SELECT DISTINCT dd AS day FROM life WHERE died = 1), " +
+      "sprobes AS (SELECT grp, day FROM sdays CROSS JOIN " +
+      "(VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) g(grp)), " +
+      "satr AS (SELECT p.grp, p.day, CAST((SELECT COUNT(*) FROM life l " +
+      "WHERE l.grp = p.grp AND l.fd <= p.day AND l.ex >= p.day) " +
+      "AS BIGINT) AS n_at_risk FROM sprobes p), " +
+      "sdth AS (SELECT grp, dd AS day, CAST(COUNT(*) AS BIGINT) " +
+      "AS n_deaths FROM life WHERE died = 1 GROUP BY 1, 2), " +
+      "risk0 AS (SELECT satr.grp, satr.day, satr.n_at_risk, " +
+      "COALESCE(sdth.n_deaths, 0) AS n_deaths FROM satr LEFT JOIN sdth " +
+      "ON satr.grp = sdth.grp AND satr.day = sdth.day)"
+
   private[graft] lazy val hysteresisSql: String = {
     val c = OSQL.cents("value")
     s"WITH th AS (SELECT event_type AS et, " +
@@ -3529,6 +3707,62 @@ object TimeSeries {
         "n_up_records - n_lo_records AS d_stat, " +
         "n_up_records + n_lo_records AS s_stat FROM ps ORDER BY user_id"
     },
+    "ts_page_hinkley" -> {
+      val vc = OSQL.cents("value")
+      s"WITH b AS (SELECT event_type, ts, event_id, $vc AS vc FROM events), " +
+        "o1 AS (SELECT event_type, ts, event_id, vc, " +
+        "CAST(row_number() OVER w AS BIGINT) AS i, " +
+        "CAST(SUM(vc) OVER w AS BIGINT) AS sx FROM b " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "o2 AS (SELECT event_type, ts, event_id, 1000000 * vc - " +
+        "CAST((1000000 * CAST(sx AS HUGEINT)) // i AS BIGINT) AS term " +
+        "FROM o1), " +
+        "o3 AS (SELECT event_type, ts, event_id, " +
+        "CAST(SUM(term) OVER w AS BIGINT) AS m FROM o2 " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "o4 AS (SELECT event_type, ts, m - MIN(m) OVER w AS exc FROM o3 " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN exc > 300000000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_alarms, " +
+        "MIN(CASE WHEN exc > 300000000000 THEN epoch_us(ts) END) " +
+        "AS first_alarm_us, " +
+        "MAX(exc) AS max_excursion_micro " +
+        "FROM o4 GROUP BY 1 ORDER BY event_type"
+    },
+    "ts_kaplan_meier" ->
+      (s"WITH $survivalCtes, " +
+        "t AS (SELECT grp, day, n_at_risk, n_deaths, " +
+        "CASE WHEN n_at_risk > n_deaths THEN CAST(floor(1000000.0 * " +
+        "ln(CAST(n_at_risk - n_deaths AS DOUBLE) / " +
+        "CAST(n_at_risk AS DOUBLE))) AS BIGINT) END AS term " +
+        "FROM risk0 WHERE n_deaths > 0), " +
+        "c AS (SELECT grp, day, n_at_risk, n_deaths, " +
+        "CAST(SUM(term) OVER w AS BIGINT) AS ls, " +
+        "MAX(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER w AS dead " +
+        "FROM t WINDOW w AS (PARTITION BY grp ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT grp, day, n_at_risk, n_deaths, " +
+        "CASE WHEN dead = 1 THEN NULL ELSE ls END AS log_s_micro, " +
+        "dead = 1 AS survival_zero " +
+        "FROM c ORDER BY grp, day"),
+    "ts_lorenz_interday" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, c, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY c, dayi) AS BIGINT) AS r " +
+        "FROM daily), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(c) AS BIGINT) AS total_events, " +
+        "CAST(SUM(r * c) AS BIGINT) AS rc FROM r GROUP BY 1) " +
+        "SELECT event_type, n_days, total_events, " +
+        "CAST((1000000 * (2 * rc - (n_days + 1) * total_events)) " +
+        "// (n_days * total_events) AS BIGINT) AS gini_micro " +
+        "FROM g ORDER BY event_type"),
     "ts_prepost" -> {
       val vc = OSQL.cents("value")
       val np = "CAST(n_pre AS DOUBLE)"; val nq = "CAST(n_post AS DOUBLE)"

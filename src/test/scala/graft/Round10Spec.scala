@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-10 operators (the Round8/9Spec
+  * discipline: independent scalar recomputation or cross-operator
+  * identities, so a kernel regression cannot pass even if the DuckDB
+  * oracle regressed the same way). */
+class Round10Spec extends SparkTestBase {
+
+  test("pipeline_dropout_mask: partition law + independent mask recount") {
+    val rows = SparkEntry.queries("pipeline_dropout_mask")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = texts(id).split(" ").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      // independent scalar mask: position p drops when the LCG hits 0
+      val kept = toks.zipWithIndex.filterNot { case (_, p) =>
+        ((id % 1000000007L) * 1103515245L + p.toLong * 12345L + 7L) % 100L < 10L
+      }.map(_._1)
+      assert(r.getAs[Long]("n_dropped") == (toks.length - kept.length).toLong,
+        s"doc $id dropped-count")
+      assert(r.getAs[String]("kept_text") == kept.mkString(" "),
+        s"doc $id kept text (order must be preserved)")
+    }
+    // ~10% dropout corpus-wide (LCG uniformity, loose band)
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val drop = rows.map(_.getAs[Long]("n_dropped")).sum.toDouble
+    assert(drop / tot > 0.05 && drop / tot < 0.15,
+      s"dropout rate ${drop / tot} outside the 10% band")
+  }
+
+  test("ts_kaplan_meier: risk sets shrink, curve is monotone, arms balance") {
+    val rows = SparkEntry.queries("ts_kaplan_meier")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("grp"))
+    assert(rows.keySet == Set(0L, 1L), "both parity arms must have curves")
+    rows.foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day"))
+      // at-risk strictly decreases across death days (deaths + censors
+      // only leave); the log-survival prefix is non-increasing
+      if (sorted.length >= 2) sorted.sliding(2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a.getAs[Long]("n_at_risk") > b.getAs[Long]("n_at_risk"),
+          s"arm $g at-risk must shrink")
+        if (!a.isNullAt(a.fieldIndex("log_s_micro")) &&
+            !b.isNullAt(b.fieldIndex("log_s_micro")))
+          assert(a.getAs[Long]("log_s_micro") >= b.getAs[Long]("log_s_micro"),
+            s"arm $g survival must not increase")
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_deaths") >= 1L)
+        assert(r.getAs[Long]("n_at_risk") >= r.getAs[Long]("n_deaths"))
+        assert(r.isNullAt(r.fieldIndex("log_s_micro")) ==
+          r.getAs[Boolean]("survival_zero"))
+      }
+    }
+  }
+
+  test("agg_log_rank: arm totals equal the distinct-user count, V >= 0") {
+    val r = SparkEntry.queries("agg_log_rank")(spark, sfDir).collect().head
+    val users = U.events(spark, sfDir).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_grp1") + r.getAs[Long]("n_grp0") == users)
+    // parity split is balanced to within one user
+    assert(math.abs(r.getAs[Long]("n_grp1") - r.getAs[Long]("n_grp0")) <= 1L)
+    assert(r.getAs[Long]("v_micro") >= 0L)
+    if (r.getAs[Long]("v_micro") > 0)
+      assert(!r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("ts_page_hinkley: alarm bookkeeping is internally consistent") {
+    val rows = SparkEntry.queries("ts_page_hinkley")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val alarms = r.getAs[Long]("n_alarms")
+      assert(alarms >= 0L && alarms <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("max_excursion_micro") >= 0L,
+        "excursion vs a running min cannot be negative")
+      assert(r.isNullAt(r.fieldIndex("first_alarm_us")) == (alarms == 0L),
+        s"${r.getString(0)}: first alarm iff any alarm")
+      if (alarms > 0L)
+        assert(r.getAs[Long]("max_excursion_micro") > 300000000000L)
+    }
+  }
+
+  test("ts_lorenz_interday: gini bounded, recount of one type's days") {
+    val rows = SparkEntry.queries("ts_lorenz_interday")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gini_micro") >= 0L &&
+        r.getAs[Long]("gini_micro") < 1000000L)
+    }
+    // independent recount for one type: days and totals off the raw table
+    val et = rows.head.getString(0)
+    val daily = U.events(spark, sfDir).filter(col("event_type") === et)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+    assert(rows.head.getAs[Long]("n_days") == daily.length.toLong)
+    assert(rows.head.getAs[Long]("total_events") ==
+      daily.map(_.getAs[Long]("c")).sum)
+    // scalar gini recount
+    val cs = daily.map(_.getAs[Long]("c")).sorted
+    val n = cs.length.toLong; val tot = cs.sum
+    val rc = cs.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val g = (1000000L * (2L * rc - (n + 1L) * tot)) / (n * tot)
+    assert(rows.head.getAs[Long]("gini_micro") == g)
+  }
+
+  test("sim_ivf_curve: recall weakly increases with probe width") {
+    val rows = SparkEntry.queries("sim_ivf_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    rows.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"),
+        "wider probes cannot score fewer candidates")
+      assert(a.getAs[Long]("n_hits") <= b.getAs[Long]("n_hits"),
+        "candidate sets are nested, so hits cannot drop")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("recall") >= 0.0 &&
+      r.getAs[Double]("recall") <= 1.0))
+  }
+}
