@@ -1024,7 +1024,26 @@ object Pipeline {
         concat_ws(" ", col("kept")).as("kept_text"))
       .orderBy("doc_id")
 
+  /** The packing quality gate a data loader reads before training — per
+    * 2048-token batch off [[packSequences]]' OWN output (the r9 gate
+    * discipline: one definition shared with the operator it gates): how
+    * many docs start in the batch, how many straddle its boundary (the
+    * fragmentation that forces splitting or padding downstream), the
+    * token mass started, and the doc-id span. One hash agg over the
+    * packing frame. */
+  private def pipelinePackEfficiency(s: SparkSession, d: String): DataFrame =
+    packSequences(s, d)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("batch_offset") + col("n_tokens") > 2048L, 1L)
+          .otherwise(0L)).as("n_straddlers"),
+        sum(col("n_tokens")).as("tokens_started"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("batch_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
     "pipeline_span_corruption" -> spanCorruption _,
@@ -1548,13 +1567,27 @@ object Pipeline {
         "MIN(doc_id) AS keeper, COUNT(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY keeper"),
     "pack_sequences" ->
-      (s"WITH t AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) " +
-        "AS n_tokens FROM documents), " +
-        "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
-        "AS tok_start FROM t) " +
-        "SELECT doc_id, n_tokens, " +
-        "CAST(tok_start // 2048 AS BIGINT) AS batch_id, " +
-        "CAST(tok_start % 2048 AS BIGINT) AS batch_offset " +
-        "FROM c ORDER BY doc_id"))
+      (s"WITH $packCtes SELECT doc_id, n_tokens, batch_id, batch_offset " +
+        "FROM packed ORDER BY doc_id"),
+    "pipeline_pack_efficiency" ->
+      (s"WITH $packCtes SELECT batch_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN batch_offset + n_tokens > 2048 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_straddlers, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS tokens_started, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+        "FROM packed GROUP BY 1 ORDER BY batch_id"))
+
+  /** Shared packing CTE chain ending at `packed` — nested by BOTH the
+    * pack_sequences oracle and its pipeline_pack_efficiency gate so the
+    * two cannot drift. */
+  private lazy val packCtes: String =
+    s"t AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) " +
+      "AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
+      "AS tok_start FROM t), " +
+      "packed AS (SELECT doc_id, n_tokens, " +
+      "CAST(tok_start // 2048 AS BIGINT) AS batch_id, " +
+      "CAST(tok_start % 2048 AS BIGINT) AS batch_offset FROM c)"
 }

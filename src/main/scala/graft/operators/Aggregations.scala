@@ -2028,7 +2028,38 @@ object Aggregations {
             sqrt(col("v_micro").cast(DoubleType) / lit(1000000.0))).as("z"))
   }
 
+  /** Two-proportion z-test between the id-parity experiment arms — the
+    * conversion-rate member of the A/B family next to [[aggLogRank]]'s
+    * time-to-event member, on the SAME arm assignment: success = the
+    * user ever purchased. All four cells are exact per-user counts; the
+    * per-arm rates floor to micro-units (positive integral divisions);
+    * only the closing pooled-variance z is a double, from six exact
+    * integer operands through one identical tree. Two hash aggs. */
+  private def aggTwoPropZ(s: SparkSession, d: String): DataFrame = {
+    val perUser = U.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val cells = perUser.groupBy()
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x0"))
+    val (n1, x1) = (col("n1").cast(DoubleType), col("x1").cast(DoubleType))
+    val (n0, x0) = (col("n0").cast(DoubleType), col("x0").cast(DoubleType))
+    val pPool = (x1 + x0) / (n1 + n0)
+    val z = (x1 / n1 - x0 / n0) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / n1 + lit(1.0) / n0))
+    cells.select(col("n1"), col("x1"), col("n0"), col("x0"),
+      expr("(1000000 * x1) DIV nullif(n1, 0)").as("rate1_micro"),
+      expr("(1000000 * x0) DIV nullif(n0, 0)").as("rate0_micro"),
+      when(col("x1") + col("x0") > 0 &&
+        col("x1") + col("x0") < col("n1") + col("n0"), z).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_two_prop_z" -> aggTwoPropZ _,
     "agg_log_rank" -> aggLogRank _,
     "agg_dq_expectations" -> aggDqExpectations _,
     "agg_tost" -> aggTost _,
@@ -2181,6 +2212,29 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_two_prop_z" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS conv, CAST(user_id % 2 AS BIGINT) AS arm " +
+        "FROM events GROUP BY user_id), " +
+        "c AS (SELECT " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0 " +
+        "FROM pu) " +
+        "SELECT n1, x1, n0, x0, " +
+        "CAST((1000000 * x1) // nullif(n1, 0) AS BIGINT) AS rate1_micro, " +
+        "CAST((1000000 * x0) // nullif(n0, 0) AS BIGINT) AS rate0_micro, " +
+        "CASE WHEN x1 + x0 > 0 AND x1 + x0 < n1 + n0 THEN " +
+        "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        "CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / " +
+        "sqrt(((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))) * " +
+        "(1.0 - (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))) * " +
+        "(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))) END AS z " +
+        "FROM c"),
     "agg_log_rank" ->
       (s"WITH ${TimeSeries.survivalCtes}, " +
         "byday AS (SELECT day, " +

@@ -3271,6 +3271,50 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Isotonic (monotone non-decreasing) regression of the per-type DAILY
+    * mean value against time — the calibration-curve/trend-floor fit ML
+    * pipelines run, computed by the exact minimax identity
+    * fitted(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) instead of PAVA's
+    * sequential pooling (a prefix-sum pair frame DISTRIBUTES; the O(n)
+    * pool loop does not). Daily means and every contiguous-segment mean
+    * floor to micro-units through one DECIMAL-routed integral division,
+    * the suffix-min is a per-(type, j) descending window, the closing
+    * max a hash agg — |days|² pairs per type, calendar²-bounded like
+    * ts_theil_sen's slope pairs (pre-aggregate to weeks past multi-year
+    * spans). */
+  private def tsIsotonic(s: SparkSession, d: String): DataFrame = {
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val run = wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(count(lit(1)).as("c"), sum(col("vc")).as("sv"))
+      .withColumn("y",
+        expr("CAST((1000000 * CAST(sv AS DECIMAL(38,0))) DIV c AS BIGINT)"))
+      .withColumn("i", row_number().over(wIdx).cast(LongType))
+      .withColumn("ps", sum(col("y")).over(run))
+    val pj = daily.select(col("event_type"), col("i").as("j"),
+      (col("ps") - col("y")).as("ps0"))
+    val pk = daily.select(col("event_type").as("et2"), col("i").as("k"),
+      col("ps").as("psk"))
+    val wsuf = Window.partitionBy(col("event_type"), col("j"))
+      .orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pj.join(pk,
+        pj("event_type") === pk("et2") && col("j") <= col("k"))
+      .select(col("event_type"), col("j"), col("k"),
+        expr("(psk - ps0) DIV (k - j + 1)").as("m"))
+      .withColumn("sm", min(col("m")).over(wsuf))
+      .groupBy(col("event_type").as("fet"), col("k").as("fi"))
+      .agg(max(col("sm")).as("fitted_micro"))
+    daily.join(fit, col("event_type") === col("fet") &&
+        col("i") === col("fi"))
+      .select(col("event_type"), col("dayi").as("day"),
+        col("y").as("y_micro"), col("fitted_micro"))
+      .orderBy("event_type", "day")
+  }
+
   /** Day-level activity inequality per event type — the Gini coefficient
     * of the type's DAILY event counts (is the volume spread evenly
     * across the observation span or concentrated in bursts? — the
@@ -3401,6 +3445,7 @@ object TimeSeries {
     "ts_prepost" -> tsPrepost _,
     "ts_page_hinkley" -> tsPageHinkley _,
     "ts_kaplan_meier" -> tsKaplanMeier _,
+    "ts_isotonic" -> tsIsotonic _,
     "ts_lorenz_interday" -> tsLorenzInterday _,
     "ts_turning_points" -> tsTurningPoints _,
     "ts_vn_rank" -> tsVnRank _,
@@ -3749,6 +3794,35 @@ object TimeSeries {
         "CASE WHEN dead = 1 THEN NULL ELSE ls END AS log_s_micro, " +
         "dead = 1 AS survival_zero " +
         "FROM c ORDER BY grp, day"),
+    "ts_isotonic" -> {
+      val vc = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(COUNT(*) AS BIGINT) AS c, " +
+        s"CAST(SUM($vc) AS BIGINT) AS sv FROM events GROUP BY 1, 2), " +
+        "y0 AS (SELECT event_type, dayi, " +
+        "CAST((1000000 * CAST(sv AS HUGEINT)) // c AS BIGINT) AS y " +
+        "FROM daily), " +
+        "ix AS (SELECT event_type, dayi, y, " +
+        "CAST(row_number() OVER w AS BIGINT) AS i, " +
+        "CAST(SUM(y) OVER w AS BIGINT) AS ps FROM y0 " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY dayi " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "p AS (SELECT a.event_type, a.i AS j, b.i AS k, " +
+        "CAST((b.ps - (a.ps - a.y)) // (b.i - a.i + 1) AS BIGINT) AS m " +
+        "FROM ix a JOIN ix b ON a.event_type = b.event_type " +
+        "AND a.i <= b.i), " +
+        "sm AS (SELECT event_type, j, k, CAST(MIN(m) OVER " +
+        "(PARTITION BY event_type, j ORDER BY k DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS sm FROM p), " +
+        "fit AS (SELECT event_type, k AS i, CAST(MAX(sm) AS BIGINT) " +
+        "AS fitted_micro FROM sm GROUP BY 1, 2) " +
+        "SELECT ix.event_type, ix.dayi AS day, ix.y AS y_micro, " +
+        "fit.fitted_micro FROM ix JOIN fit ON " +
+        "ix.event_type = fit.event_type AND ix.i = fit.i " +
+        "ORDER BY 1, 2"
+    },
     "ts_lorenz_interday" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS dayi, " +

@@ -111,6 +111,67 @@ class Round10Spec extends SparkTestBase {
     assert(rows.head.getAs[Long]("gini_micro") == g)
   }
 
+  test("ts_isotonic: fitted curve is monotone and brackets the data") {
+    val rows = SparkEntry.queries("ts_isotonic")(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day"))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getAs[Long]("fitted_micro") <=
+            w(1).getAs[Long]("fitted_micro"),
+            s"$et: isotonic fit must be non-decreasing")
+      }
+      val ys = sorted.map(_.getAs[Long]("y_micro"))
+      val fs = sorted.map(_.getAs[Long]("fitted_micro"))
+      // the fit lives inside the data envelope
+      assert(fs.min >= ys.min - 1 && fs.max <= ys.max + 1,
+        s"$et: fit escaped the data range")
+      // a constant-fit lower bound: first fitted value is the running
+      // minimax at i=1 = min over k of prefix means, <= overall mean
+      assert(fs.head <= ys.sum / ys.length + 1, s"$et: left end too high")
+    }
+  }
+
+  test("agg_two_prop_z: cells recount from raw users; arms consistent " +
+      "with agg_log_rank") {
+    val r = SparkEntry.queries("agg_two_prop_z")(spark, sfDir).collect().head
+    val perUser = U.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv")).collect()
+    val n1 = perUser.count(_.getLong(0) % 2 == 1).toLong
+    val x1 = perUser.filter(_.getLong(0) % 2 == 1)
+      .map(_.getAs[Long]("conv")).sum
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("x1") == x1)
+    // same arm assignment as the survival pair — the two A/B tests agree
+    // on cohort sizes
+    val lr = SparkEntry.queries("agg_log_rank")(spark, sfDir).collect().head
+    assert(lr.getAs[Long]("n_grp1") == r.getAs[Long]("n1") &&
+      lr.getAs[Long]("n_grp0") == r.getAs[Long]("n0"))
+  }
+
+  test("pipeline_pack_efficiency: gate rows re-derive from pack_sequences") {
+    val pack = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
+    val gate = SparkEntry.queries("pipeline_pack_efficiency")(spark, sfDir)
+      .collect()
+    val byBatch = pack.groupBy(_.getAs[Long]("batch_id"))
+    assert(gate.length == byBatch.size, "one gate row per occupied batch")
+    gate.foreach { g =>
+      val rs = byBatch(g.getAs[Long]("batch_id"))
+      assert(g.getAs[Long]("n_docs") == rs.length.toLong)
+      assert(g.getAs[Long]("n_straddlers") == rs.count(r =>
+        r.getAs[Long]("batch_offset") + r.getAs[Long]("n_tokens") > 2048L)
+        .toLong)
+      assert(g.getAs[Long]("tokens_started") ==
+        rs.map(_.getAs[Long]("n_tokens")).sum)
+    }
+    // at most one doc can straddle a batch's END boundary
+    gate.foreach(g => assert(g.getAs[Long]("n_straddlers") <= 1L,
+      "a continuous stream has at most one straddler per batch"))
+  }
+
   test("sim_ivf_curve: recall weakly increases with probe width") {
     val rows = SparkEntry.queries("sim_ivf_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("nprobe"))
