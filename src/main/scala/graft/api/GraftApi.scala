@@ -842,4 +842,45 @@ object GraftApi {
     val cent = graft.U.track(graft.llm.Similarity.ivfCentroids(emb, k))
     graft.llm.Similarity.ivfCurveOnEmb(emb, cent, nQueries, probes)
   }
+
+  /** Per-subject lifetime frame from caller columns — shared input
+    * builder for [[kaplanMeier]] and [[logRank]] (one row per subject;
+    * `deathDay` NULL means censored at `lastDay`; `arm` must be 0/1). */
+  private def lifeFrame(df: DataFrame, entryDay: String, deathDay: String,
+      lastDay: String, arm: String): DataFrame =
+    df.select(col(entryDay).cast(LongType).as("fd"),
+        col(deathDay).cast(LongType).as("dd"),
+        col(lastDay).cast(LongType).as("ld"),
+        col(arm).cast(LongType).as("grp"))
+      .select(col("fd"), col("grp"),
+        coalesce(col("dd"), col("ld")).as("exit"),
+        when(col("dd").isNotNull, 1L).otherwise(0L).as("died"), col("dd"))
+
+  /** Kaplan–Meier product-limit curves on a caller lifetime frame — the
+    * `ts_kaplan_meier` kernel lifted: per (arm, death day) at-risk and
+    * death counts with the survival curve in exact log micro-nats
+    * (close it with exp() client-side — exp is not correctly rounded,
+    * so the engine ships the exact form). */
+  def kaplanMeier(df: DataFrame, entryDay: String, deathDay: String,
+      lastDay: String, arm: String): DataFrame =
+    TimeSeries.kmOnLife(lifeFrame(df, entryDay, deathDay, lastDay, arm))
+
+  /** Two-arm log-rank test on a caller lifetime frame — the
+    * `agg_log_rank` kernel lifted: exact micro-unit U and V over pooled
+    * death days, z from the two exact operands. */
+  def logRank(df: DataFrame, entryDay: String, deathDay: String,
+      lastDay: String, arm: String): DataFrame =
+    graft.operators.Aggregations.logRankOnLife(
+      lifeFrame(df, entryDay, deathDay, lastDay, arm))
+
+  /** Isotonic (monotone non-decreasing) fit of `y` against `x` per
+    * `group` — the `ts_isotonic` minimax kernel lifted. `y` must already
+    * be an exact integer domain (e.g. micro-units); returns one row per
+    * input point with the fitted level. */
+  def isotonicFit(df: DataFrame, group: String, x: String, y: String)
+      : DataFrame =
+    TimeSeries.isotonicOnSeries(df.select(col(group).as("g"),
+        col(x).cast(LongType).as("x"), col(y).cast(LongType).as("y")))
+      .select(col("g").as(group), col("x").as(x), col("y_micro"),
+        col("fitted_micro"))
 }

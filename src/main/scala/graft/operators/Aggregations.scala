@@ -1998,8 +1998,14 @@ object Aggregations {
     * the calendar-bounded day frame; only the closing
     * z = (U/1e6)/√(V/1e6) is a double, from two exact operands. One
     * per-user agg + the sweep-line risk pass + a 1-row broadcast. */
-  private def aggLogRank(s: SparkSession, d: String): DataFrame = {
-    val life = U.track(TimeSeries.survivalLife(s, d).persist())
+  private def aggLogRank(s: SparkSession, d: String): DataFrame =
+    logRankOnLife(TimeSeries.survivalLife(s, d))
+
+  /** The test kernel over any two-arm life frame (fd, exit, died, dd,
+    * grp ∈ {0,1}) — shared by the declared query and
+    * [[graft.api.GraftApi.logRank]]. */
+  private[graft] def logRankOnLife(life0: DataFrame): DataFrame = {
+    val life = U.track(life0.persist())
     val byDay = TimeSeries.survivalRisk(life)
       .groupBy(col("day"))
       .agg(sum(when(col("grp") === 1, col("n_deaths")).otherwise(0L)).as("d1"),
@@ -2028,7 +2034,11 @@ object Aggregations {
             sqrt(col("v_micro").cast(DoubleType) / lit(1000000.0))).as("z"))
   }
 
-  /** Two-proportion z-test between the id-parity experiment arms — the
+  /** PER-USER conversion z-test between the id-parity experiment arms —
+    * the unit-of-randomization-correct counterpart of [[aggPropZtest]]
+    * (which tests per-EVENT purchase share and so under-counts variance
+    * when heavy users correlate their own events; randomization is by
+    * user, so the user is the only valid analysis unit), and the
     * conversion-rate member of the A/B family next to [[aggLogRank]]'s
     * time-to-event member, on the SAME arm assignment: success = the
     * user ever purchased. All four cells are exact per-user counts; the

@@ -3221,8 +3221,14 @@ object TimeSeries {
     * log_s_micro nulls and survival_zero latches from there on.
     * |death days| rows per cohort — calendar-bounded output, one
     * per-user agg + one sweep + one window. */
-  private def tsKaplanMeier(s: SparkSession, d: String): DataFrame = {
-    val risk = survivalRisk(survivalLife(s, d)).filter(col("n_deaths") > 0)
+  private def tsKaplanMeier(s: SparkSession, d: String): DataFrame =
+    kmOnLife(survivalLife(s, d))
+
+  /** The curve kernel over any two-arm life frame (fd, exit, died, dd,
+    * grp ∈ {0,1}) — shared by the declared query and
+    * [[graft.api.GraftApi.kaplanMeier]]. */
+  private[graft] def kmOnLife(life: DataFrame): DataFrame = {
+    val risk = survivalRisk(life).filter(col("n_deaths") > 0)
     val w = Window.partitionBy(col("grp")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     risk
@@ -3283,8 +3289,6 @@ object TimeSeries {
     * ts_theil_sen's slope pairs (pre-aggregate to weeks past multi-year
     * spans). */
   private def tsIsotonic(s: SparkSession, d: String): DataFrame = {
-    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
-    val run = wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val daily = U.events(s, d)
       .withColumn("vc", U.cents(col("value")))
       .groupBy(col("event_type"),
@@ -3292,27 +3296,38 @@ object TimeSeries {
       .agg(count(lit(1)).as("c"), sum(col("vc")).as("sv"))
       .withColumn("y",
         expr("CAST((1000000 * CAST(sv AS DECIMAL(38,0))) DIV c AS BIGINT)"))
+    isotonicOnSeries(daily.select(col("event_type").as("g"),
+        col("dayi").as("x"), col("y")))
+      .select(col("g").as("event_type"), col("x").as("day"),
+        col("y_micro"), col("fitted_micro"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The minimax kernel over any (g, x, y) series frame — shared by the
+    * declared query and [[graft.api.GraftApi.isotonicFit]]. */
+  private[graft] def isotonicOnSeries(ser: DataFrame): DataFrame = {
+    val wIdx = Window.partitionBy(col("g")).orderBy(col("x"))
+    val run = wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = ser
       .withColumn("i", row_number().over(wIdx).cast(LongType))
       .withColumn("ps", sum(col("y")).over(run))
-    val pj = daily.select(col("event_type"), col("i").as("j"),
+    val pj = base.select(col("g"), col("i").as("j"),
       (col("ps") - col("y")).as("ps0"))
-    val pk = daily.select(col("event_type").as("et2"), col("i").as("k"),
+    val pk = base.select(col("g").as("g2"), col("i").as("k"),
       col("ps").as("psk"))
-    val wsuf = Window.partitionBy(col("event_type"), col("j"))
+    val wsuf = Window.partitionBy(col("g"), col("j"))
       .orderBy(col("k").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fit = pj.join(pk,
-        pj("event_type") === pk("et2") && col("j") <= col("k"))
-      .select(col("event_type"), col("j"), col("k"),
+    val fit = pj.join(pk, pj("g") === pk("g2") && col("j") <= col("k"))
+      .select(col("g"), col("j"), col("k"),
         expr("(psk - ps0) DIV (k - j + 1)").as("m"))
       .withColumn("sm", min(col("m")).over(wsuf))
-      .groupBy(col("event_type").as("fet"), col("k").as("fi"))
+      .groupBy(col("g").as("fg"), col("k").as("fi"))
       .agg(max(col("sm")).as("fitted_micro"))
-    daily.join(fit, col("event_type") === col("fet") &&
-        col("i") === col("fi"))
-      .select(col("event_type"), col("dayi").as("day"),
-        col("y").as("y_micro"), col("fitted_micro"))
-      .orderBy("event_type", "day")
+    base.join(fit, col("g") === col("fg") && col("i") === col("fi"))
+      .select(col("g"), col("x"), col("y").as("y_micro"),
+        col("fitted_micro"))
+      .orderBy("g", "x")
   }
 
   /** Day-level activity inequality per event type — the Gini coefficient

@@ -548,6 +548,46 @@ class ApiSpec extends SparkTestBase {
     assert(viaApi.sameElements(declared))
   }
 
+  test("kaplanMeier / logRank / isotonicFit equal their declared twins") {
+    import org.apache.spark.sql.functions._
+    // caller-shaped lifetime frame = the survival queries' own lifetime
+    // definition rebuilt from raw events
+    val life = U.events(spark, sfDir)
+      .withColumn("dayi", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(min(col("dayi")).as("entry"),
+        min(when(col("event_type") === "error", col("dayi"))).as("death"),
+        max(col("dayi")).as("last"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val km = GraftApi.kaplanMeier(life, "entry", "death", "last", "arm")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val kmQ = SparkEntry.queries("ts_kaplan_meier")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(km.sameElements(kmQ))
+    val lr = GraftApi.logRank(life, "entry", "death", "last", "arm")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val lrQ = SparkEntry.queries("agg_log_rank")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(lr.sameElements(lrQ))
+    val daily = U.events(spark, sfDir)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(expr("CAST((1000000 * CAST(SUM(vc) AS DECIMAL(38,0))) " +
+        "DIV COUNT(*) AS BIGINT)").as("y"))
+    val iso = GraftApi.isotonicFit(daily, "event_type", "dayi", "y")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val isoQ = SparkEntry.queries("ts_isotonic")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(iso.sameElements(isoQ))
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal
