@@ -1072,7 +1072,47 @@ object Pipeline {
         max(col("doc_id")).as("last_doc"))
       .orderBy("batch_id")
 
+  /** Deterministic epoch shuffle — the data-loader permutation every
+    * training run needs reproducible: epoch e orders the corpus by the
+    * LCG key ((doc_id mod 1e9+7)·(1103515245 + e·777767777) + 7) mod 1e9+7
+    * (doc_id tie-break), so any worker can recompute any epoch's order
+    * with no stored permutation and no rand(). The global rank runs as
+    * the blocked two-level scan-prefix over 2²⁰-wide HASH-RANGE blocks —
+    * the block frame is ≤ ⌈1e9+7 / 2²⁰⌉ = 954 rows, a CONSTANT bound
+    * (tighter than the doc-range blocks: the hash domain is fixed), so
+    * no stage sorts the corpus in one partition at any size. Emits the
+    * positions of epochs 0 and 1 side by side; Round10Spec pins that
+    * both are permutations and that they genuinely differ. */
+  private def pipelineEpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val base = U.track(docs(s, d).select(col("doc_id")).persist())
+    def ranked(e: Int): DataFrame = {
+      // the multiplier, not an additive term, must carry the epoch: a
+      // constant shift mod M preserves the order except at the wrap,
+      // i.e. epochs would be near-identical permutations (caught by the
+      // Round10Spec moved-fraction law)
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) *
+        lit(1103515245L + e.toLong * 777767777L) + lit(7L),
+        lit(1000000007L))
+      val b = base.withColumn("h", h)
+        .withColumn("rng", expr("h DIV 1048576"))
+      val offs = b.groupBy(col("rng")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum(col("c")).over(Window.orderBy(col("rng"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("rng").as("o_rng"), col("off"))
+      val w = Window.partitionBy(col("rng")).orderBy(col("h"), col("doc_id"))
+      val (offsG, wo) = graft.U.sizeGate(offs)
+      b.join(wo(offsG), col("rng") === col("o_rng"))
+        .select(col("doc_id"),
+          (col("off") + row_number().over(w)).as(s"pos$e"))
+    }
+    ranked(0).join(ranked(1), "doc_id")
+      .select(col("doc_id"), col("pos0"), col("pos1"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
@@ -1165,6 +1205,18 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_epoch_shuffle" -> {
+      def h(e: Int): String =
+        s"((doc_id % 1000000007) * ${1103515245L + e * 777767777L} + 7) " +
+          "% 1000000007"
+      "WITH ids AS (SELECT doc_id FROM documents), " +
+        s"e0 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ${h(0)}, " +
+        "doc_id) AS BIGINT) AS pos0 FROM ids), " +
+        s"e1 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ${h(1)}, " +
+        "doc_id) AS BIGINT) AS pos1 FROM ids) " +
+        "SELECT e0.doc_id, pos0, pos1 FROM e0 JOIN e1 " +
+        "ON e0.doc_id = e1.doc_id ORDER BY e0.doc_id"
+    },
     "pipeline_dropout_mask" ->
       (s"WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +
         "FROM documents), " +

@@ -2068,7 +2068,45 @@ object Aggregations {
         col("x1") + col("x0") < col("n1") + col("n0"), z).as("z"))
   }
 
+  /** Count-data overdispersion per event type — is daily volume Poisson
+    * (dispersion ≈ 1) or bursty (≫ 1)? — with the method-of-moments
+    * negative-binomial size r when overdispersed: the model-selection
+    * step before anyone fits rates to event counts ([[aggPoissonCi]]
+    * assumes the Poisson this query tests). All moments are exact
+    * integers off the calendar-bounded daily frame: dispersion
+    * D = s²/x̄ = var_num / ((n−1)·tot) and r = x̄²/(s²−x̄) =
+    * tot²·(n−1) / (n·(var_num − (n−1)·tot)) both close as single
+    * DECIMAL-routed integral divisions of cross-multiplied operands —
+    * no float anywhere. One hash agg + one |types|-row epilogue. */
+  private def aggDispersion(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+        sum((col("c") * col("c")).cast(dec)).as("sc2"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        expr("(1000000 * total) DIV n_days").as("mean_micro"),
+        expr("CAST((1000000 * (CAST(n_days AS DECIMAL(38,0)) * sc2 " +
+          "- CAST(total AS DECIMAL(38,0)) * total)) DIV " +
+          "nullif(CAST(n_days - 1 AS DECIMAL(38,0)) * total, 0) " +
+          "AS BIGINT)").as("dispersion_micro"),
+        expr("CASE WHEN CAST(n_days AS DECIMAL(38,0)) * sc2 " +
+          "- CAST(total AS DECIMAL(38,0)) * total > " +
+          "CAST(n_days - 1 AS DECIMAL(38,0)) * total THEN " +
+          "CAST((1000000 * CAST(total AS DECIMAL(38,0)) * total * " +
+          "(n_days - 1)) DIV (CAST(n_days AS DECIMAL(38,0)) * " +
+          "(CAST(n_days AS DECIMAL(38,0)) * sc2 " +
+          "- CAST(total AS DECIMAL(38,0)) * total " +
+          "- CAST(n_days - 1 AS DECIMAL(38,0)) * total)) " +
+          "AS BIGINT) END").as("nb_r_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dispersion" -> aggDispersion _,
     "agg_two_prop_z" -> aggTwoPropZ _,
     "agg_log_rank" -> aggLogRank _,
     "agg_dq_expectations" -> aggDqExpectations _,
@@ -2222,6 +2260,28 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_dispersion" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(c) AS BIGINT) AS total, " +
+        "CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2 " +
+        "FROM daily GROUP BY 1) " +
+        "SELECT event_type, n_days, total, " +
+        "CAST((1000000 * total) // n_days AS BIGINT) AS mean_micro, " +
+        "CAST((1000000 * (CAST(n_days AS HUGEINT) * sc2 " +
+        "- CAST(total AS HUGEINT) * total)) // " +
+        "nullif(CAST(n_days - 1 AS HUGEINT) * total, 0) AS BIGINT) " +
+        "AS dispersion_micro, " +
+        "CASE WHEN CAST(n_days AS HUGEINT) * sc2 " +
+        "- CAST(total AS HUGEINT) * total > " +
+        "CAST(n_days - 1 AS HUGEINT) * total THEN " +
+        "CAST((1000000 * CAST(total AS HUGEINT) * total * (n_days - 1)) " +
+        "// (CAST(n_days AS HUGEINT) * (CAST(n_days AS HUGEINT) * sc2 " +
+        "- CAST(total AS HUGEINT) * total " +
+        "- CAST(n_days - 1 AS HUGEINT) * total)) AS BIGINT) " +
+        "END AS nb_r_micro FROM m ORDER BY event_type"),
     "agg_two_prop_z" ->
       ("WITH pu AS (SELECT user_id, " +
         "CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +

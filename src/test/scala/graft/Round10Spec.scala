@@ -172,6 +172,57 @@ class Round10Spec extends SparkTestBase {
       "a continuous stream has at most one straddler per batch"))
   }
 
+  test("pipeline_epoch_shuffle: both epochs are true permutations that differ") {
+    val rows = SparkEntry.queries("pipeline_epoch_shuffle")(spark, sfDir)
+      .collect()
+    val n = rows.length.toLong
+    assert(n > 0)
+    val p0 = rows.map(_.getAs[Long]("pos0")).sorted
+    val p1 = rows.map(_.getAs[Long]("pos1")).sorted
+    assert(p0.head == 1L && p0.last == n && p0.distinct.length == n.toInt,
+      "epoch 0 must be a permutation of 1..n")
+    assert(p1.head == 1L && p1.last == n && p1.distinct.length == n.toInt,
+      "epoch 1 must be a permutation of 1..n")
+    val moved = rows.count(r =>
+      r.getAs[Long]("pos0") != r.getAs[Long]("pos1"))
+    assert(moved > n / 2, s"epochs must genuinely reshuffle (moved=$moved)")
+    // independent recount: pos0 = rank by the epoch-0 LCG key
+    val byKey = rows.map { r =>
+      val id = r.getLong(0)
+      (((id % 1000000007L) * 1103515245L + 7L) % 1000000007L, id)
+    }.sorted.map(_._2)
+    val posOf = rows.map(r => r.getLong(0) -> r.getAs[Long]("pos0")).toMap
+    byKey.zipWithIndex.foreach { case (id, i) =>
+      assert(posOf(id) == i + 1L, s"doc $id epoch-0 rank")
+    }
+  }
+
+  test("agg_dispersion: exact moments recount for every type") {
+    val rows = SparkEntry.queries("agg_dispersion")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = U.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val cs = daily(r.getString(0)).map(_.getAs[Long]("c"))
+      val n = cs.length.toLong; val tot = cs.sum
+      assert(r.getAs[Long]("n_days") == n &&
+        r.getAs[Long]("total") == tot)
+      val vn = BigInt(n) * cs.map(c => BigInt(c) * c).sum - BigInt(tot) * tot
+      val disp = (BigInt(1000000) * vn) / (BigInt(n - 1) * tot)
+      assert(BigInt(r.getAs[Long]("dispersion_micro")) == disp)
+      val over = vn > BigInt(n - 1) * tot
+      assert(r.isNullAt(r.fieldIndex("nb_r_micro")) == !over)
+      if (over) {
+        val rr = (BigInt(1000000) * tot * tot * (n - 1)) /
+          (BigInt(n) * (vn - BigInt(n - 1) * tot))
+        assert(BigInt(r.getAs[Long]("nb_r_micro")) == rr)
+      }
+    }
+  }
+
   test("sim_ivf_curve: recall weakly increases with probe width") {
     val rows = SparkEntry.queries("sim_ivf_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("nprobe"))
