@@ -408,6 +408,105 @@ object Similarity {
     ivfCurveOnEmb(emb, centroids16(s, d), nQueries = 10, probes = Seq(1, 2, 4))
   }
 
+  /** Product-quantization ADC search — the memory-bound ANN shape (IVF
+    * probes fewer vectors; PQ shrinks each vector to a few CODE BYTES and
+    * scores against a per-query lookup table, the form a 100 TB index
+    * actually stores): 4 contiguous 16-dim subspaces, k=16 centroids each
+    * from a deterministic 1-step Lloyd in the exact integer domain, each
+    * vector encoded as 4 sub-codes, and the asymmetric distance
+    * Σ_s ‖q_s − c_{code_s}‖² summed from the 160-row broadcast LUT. All
+    * distances are exact Longs (‖a−b‖² = ‖a‖² − 2a·b + ‖b‖² over
+    * fixed-point components), so the codebook, the codes AND the ranked
+    * search hash-match SQL. Shared chain: [[pqAdc]] ranks, [[pqRecall]]
+    * gates it against the exact-L2 top-3. */
+  private def pqCoded(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = U.track(fixed(s, d).select(col("vec_id"), col("fx")).persist())
+    val subsP = U.track((0 until 4).map { ss =>
+        emb.select(col("vec_id"),
+            expr(s"slice(fx, ${ss * 16 + 1}, 16)").as("sx"))
+          .withColumn("sub", lit(ss.toLong))
+      }.reduce(_ unionByName _)
+      .withColumn("snrm", fixed_dot(col("sx"), col("sx"))).persist())
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("sub"), col("vec_id"))
+        .orderBy(col("d2"), col("cid"))
+      subsP.join(broadcast(cent), Seq("sub"))
+        .withColumn("d2", col("snrm") -
+          lit(2L) * fixed_dot(col("sx"), col("cx")) +
+          fixed_dot(col("cx"), col("cx")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("sub"), col("vec_id"), col("cid"), col("sx"))
+    }
+    val c0 = subsP.filter(col("vec_id") < 16)
+      .select(col("sub"), col("vec_id").cast(IntegerType).as("cid"),
+        col("sx").as("cx"))
+    val cent1 = assign(c0)
+      .select(col("sub"), col("cid"), posexplode(col("sx")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(expr("sum(x) DIV count(1)").as("cxx"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cxx")))),
+        t => t.getField("cxx")).as("cx"))
+    val coded = U.track(assign(cent1)
+      .select(col("sub"), col("vec_id"), col("cid")).persist())
+    (subsP, cent1, coded)
+  }
+
+  private def pqAdcTop(s: SparkSession, d: String): DataFrame = {
+    val (subsP, cent1, coded) = pqCoded(s, d)
+    val q = subsP.filter(col("vec_id") < 10)
+      .select(col("sub"), col("vec_id").as("q_id"), col("sx").as("qx"),
+        col("snrm").as("qn"))
+    val lut = q.join(broadcast(cent1), Seq("sub"))
+      .select(col("sub"), col("q_id"), col("cid"),
+        (col("qn") - lit(2L) * fixed_dot(col("qx"), col("cx")) +
+          fixed_dot(col("cx"), col("cx"))).as("d2"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    coded.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("adc_d2"), col("rank"))
+  }
+
+  private def pqAdc(s: SparkSession, d: String): DataFrame =
+    pqAdcTop(s, d).orderBy("q_id", "rank")
+
+  /** Recall@3 of PQ-ADC against exact-L2 ground truth per query — the
+    * quality gate the 4-byte code must pass before it replaces the
+    * 256-byte vector (the sim_recall_at_k discipline on the PQ index;
+    * same metric on both sides, L2). Measured ≈ 0.2 on this corpus:
+    * the synthetic embeddings are near-uniform, which is exactly the
+    * regime a 4-sub-code PQ cannot compress — the gate EXPOSES that
+    * (real embedding corpora cluster, where PQ earns its keep); an
+    * index this coarse must not silently replace the exact path, and
+    * this query is the number that says so. */
+  private def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val all = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("bq_id"), col("fx").as("qx"), col("nrm").as("qn"))
+    val wb = Window.partitionBy(col("bq_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("bq_id"))
+      .withColumn("d2", col("qn") - lit(2L) * fixed_dot(col("qx"), col("fx")) +
+        col("nrm"))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 3)
+      .select(col("bq_id"), col("vec_id").as("bv"))
+    pqAdcTop(s, d).select(col("q_id"), col("vec_id"))
+      .join(exact, col("q_id") === col("bq_id") && col("vec_id") === col("bv"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("bv")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(3.0)).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Signs (±1) of the 8 deterministic LCG hyperplanes — the
     * Johnson–Lindenstrauss ±1 projection matrix, derived from the SAME
     * quantized [[planes]] the LSH bucketing uses (sign of the 1e6-grid
@@ -802,7 +901,9 @@ object Similarity {
     "dedup_embedding_ann" -> embeddingPairsAnn _,
     "sim_lsh_ann" -> lshAnn _,
     "sim_ivf_ann" -> ivfAnn _,
-    "sim_ivf_curve" -> ivfCurve _)
+    "sim_ivf_curve" -> ivfCurve _,
+    "sim_pq_adc" -> pqAdc _,
+    "sim_pq_recall" -> pqRecall _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -926,6 +1027,64 @@ object Similarity {
       "SELECT nc.nprobe, nc.n_candidates, hits.n_hits, " +
       "CAST(hits.n_hits AS DOUBLE) / 30.0 AS recall " +
       "FROM nc JOIN hits USING (nprobe) ORDER BY nprobe"
+
+  /** Shared PQ CTE chain ending at `ranked` (ADC top-ranked neighbors)
+    * — nested by BOTH sim_pq_adc and sim_pq_recall so the index and its
+    * gate cannot drift. Mirrors [[pqCoded]]/[[pqAdcTop]] 1:1. */
+  private lazy val pqCtes: String = {
+    def a1(cin: String, cout: String): String =
+      s"$cout AS (SELECT sub, vec_id, cid, sx FROM (SELECT sn.sub, " +
+        "sn.vec_id, c.cid, sn.sx, row_number() OVER (PARTITION BY sn.sub, " +
+        s"sn.vec_id ORDER BY sn.snrm - 2*${dot16Sql("sn.sx", "c.cx")} + " +
+        s"${dot16Sql("c.cx", "c.cx")}, c.cid) AS rn " +
+        s"FROM sn JOIN $cin c ON sn.sub = c.sub) WHERE rn = 1)"
+    s"f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      "sv AS (SELECT vec_id, CAST(ss AS BIGINT) AS sub, " +
+      "list_slice(fx, CAST(ss*16+1 AS INTEGER), CAST(ss*16+16 AS INTEGER)) " +
+      "AS sx FROM f CROSS JOIN range(0, 4) t(ss)), " +
+      s"sn AS (SELECT vec_id, sub, sx, ${dot16Sql("sx", "sx")} AS snrm " +
+      "FROM sv), " +
+      "pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cid, sx AS cx " +
+      "FROM sn WHERE vec_id < 16), " +
+      a1("pc0", "pa1") + ", " +
+      "pe AS (SELECT sub, cid, generate_subscripts(sx, 1) AS pos, " +
+      "unnest(sx) AS x FROM pa1), " +
+      "pr AS (SELECT sub, cid, pos, SUM(x) // COUNT(*) AS cxx " +
+      "FROM pe GROUP BY 1, 2, 3), " +
+      "pc1 AS (SELECT sub, cid, list(cxx ORDER BY pos) AS cx " +
+      "FROM pr GROUP BY 1, 2), " +
+      a1("pc1", "pcode") + ", " +
+      "qq AS (SELECT sub, vec_id AS q_id, sx AS qx, snrm AS qn FROM sn " +
+      "WHERE vec_id < 10), " +
+      "lut AS (SELECT q.sub, q.q_id, c.cid, " +
+      s"q.qn - 2*${dot16Sql("q.qx", "c.cx")} + ${dot16Sql("c.cx", "c.cx")} " +
+      "AS d2 FROM qq q JOIN pc1 c ON q.sub = c.sub), " +
+      "adc AS (SELECT l.q_id, pcode.vec_id, CAST(SUM(l.d2) AS BIGINT) " +
+      "AS adc_d2 FROM pcode JOIN lut l ON pcode.sub = l.sub " +
+      "AND pcode.cid = l.cid WHERE pcode.vec_id <> l.q_id GROUP BY 1, 2), " +
+      "ranked AS (SELECT q_id, vec_id, adc_d2, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY adc_d2, vec_id) AS BIGINT) AS rank " +
+      "FROM adc)"
+  }
+
+  private lazy val pqAdcSql: String =
+    s"WITH $pqCtes SELECT q_id, vec_id, adc_d2, rank FROM ranked " +
+      "WHERE rank <= 3 ORDER BY q_id, rank"
+
+  private lazy val pqRecallSql: String =
+    s"WITH $pqCtes, " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "bq AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n " +
+      "WHERE vec_id < 10), " +
+      "ex AS (SELECT q_id, vec_id FROM (SELECT b.q_id, n.vec_id, " +
+      s"row_number() OVER (PARTITION BY b.q_id ORDER BY b.qn - " +
+      s"2*${dotSql("b.qx", "n.fx")} + n.nrm, n.vec_id) AS rk " +
+      "FROM n CROSS JOIN bq b WHERE n.vec_id <> b.q_id) WHERE rk <= 3) " +
+      "SELECT t.q_id, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(COUNT(e.vec_id) AS DOUBLE) / 3.0 AS recall " +
+      "FROM (SELECT q_id, vec_id FROM ranked WHERE rank <= 3) t " +
+      "LEFT JOIN ex e ON t.q_id = e.q_id AND t.vec_id = e.vec_id " +
+      "GROUP BY t.q_id ORDER BY t.q_id"
 
   /** Exact IVF-blocked near-dup oracle: k = max(4, min(1024, round(√n)))
     * (floor(√n + 0.5) mirrors Java Math.round), two Lloyd iterations,
@@ -1164,6 +1323,8 @@ object Similarity {
     "sim_lsh_ann" -> lshSql,
     "sim_ivf_ann" -> ivfSql,
     "sim_ivf_curve" -> ivfCurveSql,
+    "sim_pq_adc" -> pqAdcSql,
+    "sim_pq_recall" -> pqRecallSql,
     "dedup_embedding_ann" -> embAnnSql,
     "emb_hard_negatives" ->
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +

@@ -223,6 +223,36 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("sim_pq_adc / sim_pq_recall: ranks coherent, hits recount vs exact L2") {
+    val adc = SparkEntry.queries("sim_pq_adc")(spark, sfDir).collect()
+    val byQ = adc.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.sliding(2).forall(w => w.length < 2 ||
+        w(0).getAs[Long]("adc_d2") <= w(1).getAs[Long]("adc_d2")),
+        s"query $q: ADC distance must be non-decreasing in rank")
+    }
+    // exact-L2 top-3 recomputed scalar-side; recall rows must match
+    val vecs = U.tbl(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1000000.0).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val rec = SparkEntry.queries("sim_pq_recall")(spark, sfDir).collect()
+    rec.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (d2(vecs(q), v), id) }
+        .sorted.take(3).map(_._2).toSet
+      val got = byQ(q).map(_.getAs[Long]("vec_id")).toSet
+      assert(r.getAs[Long]("n_hits") == got.intersect(exact).size.toLong,
+        s"query $q recall recount")
+    }
+  }
+
   test("sim_ivf_curve: recall weakly increases with probe width") {
     val rows = SparkEntry.queries("sim_ivf_curve")(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("nprobe"))
