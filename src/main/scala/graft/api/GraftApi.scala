@@ -843,6 +843,24 @@ object GraftApi {
     graft.llm.Similarity.ivfCurveOnEmb(emb, cent, nQueries, probes)
   }
 
+  /** Product-quantization ADC top-3 search on a caller frame — the
+    * `sim_pq_adc` kernel lifted: `nSub` contiguous subspaces with `k`
+    * deterministic exact-integer Lloyd centroids each, vectors encoded
+    * as sub-codes, queries (the `nQueries` smallest ids) scored through
+    * the broadcast asymmetric-distance LUT. Returns (q_id, vec_id,
+    * adc_d2, rank). Pair with [[ivfRecallCurve]]'s discipline: measure
+    * recall before trusting the codes. */
+  def pqSearch(df: DataFrame, id: String, vec: String, nQueries: Int = 10,
+      nSub: Int = 4, k: Int = 16): DataFrame = {
+    require(nSub >= 1 && 64 % nSub == 0 && k >= 1 && nQueries >= 1)
+    val emb = graft.U.track(
+      fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
+        .select(col("__id").as("vec_id"), col("__fx").as("fx"))
+        .persist())
+    graft.llm.Similarity.pqAdcOnEmb(emb, nQueries, nSub, k)
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-subject lifetime frame from caller columns — shared input
     * builder for [[kaplanMeier]] and [[logRank]] (one row per subject;
     * `deathDay` NULL means censored at `lastDay`; `arm` must be 0/1). */

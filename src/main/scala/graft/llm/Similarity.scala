@@ -419,12 +419,12 @@ object Similarity {
     * fixed-point components), so the codebook, the codes AND the ranked
     * search hash-match SQL. Shared chain: [[pqAdc]] ranks, [[pqRecall]]
     * gates it against the exact-L2 top-3. */
-  private def pqCoded(s: SparkSession, d: String)
+  private[graft] def pqCoded(emb: DataFrame, nSub: Int = 4, k: Int = 16)
       : (DataFrame, DataFrame, DataFrame) = {
-    val emb = U.track(fixed(s, d).select(col("vec_id"), col("fx")).persist())
-    val subsP = U.track((0 until 4).map { ss =>
+    val dim = 64 / nSub
+    val subsP = U.track((0 until nSub).map { ss =>
         emb.select(col("vec_id"),
-            expr(s"slice(fx, ${ss * 16 + 1}, 16)").as("sx"))
+            expr(s"slice(fx, ${ss * dim + 1}, $dim)").as("sx"))
           .withColumn("sub", lit(ss.toLong))
       }.reduce(_ unionByName _)
       .withColumn("snrm", fixed_dot(col("sx"), col("sx"))).persist())
@@ -438,7 +438,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("sub"), col("vec_id"), col("cid"), col("sx"))
     }
-    val c0 = subsP.filter(col("vec_id") < 16)
+    val c0 = subsP.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast(IntegerType).as("cid"),
         col("sx").as("cx"))
     val cent1 = assign(c0)
@@ -453,9 +453,10 @@ object Similarity {
     (subsP, cent1, coded)
   }
 
-  private def pqAdcTop(s: SparkSession, d: String): DataFrame = {
-    val (subsP, cent1, coded) = pqCoded(s, d)
-    val q = subsP.filter(col("vec_id") < 10)
+  private[graft] def pqAdcOnEmb(emb: DataFrame, nQueries: Int,
+      nSub: Int = 4, k: Int = 16): DataFrame = {
+    val (subsP, cent1, coded) = pqCoded(emb, nSub, k)
+    val q = subsP.filter(col("vec_id") < nQueries)
       .select(col("sub"), col("vec_id").as("q_id"), col("sx").as("qx"),
         col("snrm").as("qn"))
     val lut = q.join(broadcast(cent1), Seq("sub"))
@@ -471,6 +472,11 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"), col("adc_d2"), col("rank"))
   }
+
+  private def pqAdcTop(s: SparkSession, d: String): DataFrame =
+    pqAdcOnEmb(
+      U.track(fixed(s, d).select(col("vec_id"), col("fx")).persist()),
+      nQueries = 10)
 
   private def pqAdc(s: SparkSession, d: String): DataFrame =
     pqAdcTop(s, d).orderBy("q_id", "rank")

@@ -588,6 +588,17 @@ class ApiSpec extends SparkTestBase {
     assert(iso.sameElements(isoQ))
   }
 
+  test("pqSearch equals the declared sim_pq_adc on the fixtures") {
+    val viaApi = GraftApi.pqSearch(U.tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", nQueries = 10, nSub = 4, k = 16)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("sim_pq_adc")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(viaApi.sameElements(declared))
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal
