@@ -759,6 +759,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-10 sweep: new pair/sweep queries plan no cartesian product") {
+    for (name <- Seq("ts_isotonic", "agg_log_rank", "ts_kaplan_meier",
+        "sim_pq_adc", "agg_dispersion", "ts_lorenz_interday")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name planned a cartesian:\n$p")
+      graft.U.releaseTracked()
+    }
+  }
+
+  test("pipeline_epoch_shuffle ranks inside hash-range partitions") {
+    // the two-level rank: per-epoch row_number must be PARTITIONED by the
+    // hash-range block key — a global (single-partition) corpus sort
+    // would mean the conversion regressed
+    val p = plan("pipeline_epoch_shuffle")
+    assert("hashpartitioning\\(rng".r.findAllIn(p).nonEmpty,
+      s"epoch shuffle lost its block partitioning:\n$p")
+    graft.U.releaseTracked()
+  }
+
   test("ts_atr and ts_obv share one exchange: daily bars agg then per-type window") {
     for (name <- Seq("ts_atr", "ts_obv")) {
       val p = plan(name)
