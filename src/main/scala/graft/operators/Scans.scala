@@ -671,7 +671,32 @@ object Scans {
       .orderBy("dt", "l_returnflag")
   }
 
+  /** CSV roundtrip with EMBEDDED NEWLINES in a quoted field — the parser
+    * case that breaks line-splitting readers: every row's text gets
+    * its spaces turned into real newlines before the write, and the read
+    * back runs under multiLine=true with the source schema. The query
+    * also DOCUMENTS the scale trade it makes: multiLine CSV is
+    * NON-SPLITTABLE (a record boundary is no longer a line boundary), so
+    * the 100 TB posture is many medium files — the write keeps Spark's
+    * multi-file layout and each file parses as one unit. Whitespace
+    * options pinned like [[sinkCsv]]. */
+  private def scanCsvMultiline(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "scan_csv_multiline")
+    val src = U.tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        regexp_replace(col("text"), " ", "\n").as("text"))
+    src.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(path)
+    s.read.schema(src.schema).option("header", "true")
+      .option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(path)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv_multiline" -> scanCsvMultiline _,
     "join_dpp" -> joinDpp _,
     "scan_custom_runtime_filter" -> scanCustomRuntimeFilter _,
     "scan_partition_pruned" -> scanPartitionPruned _,
@@ -814,6 +839,9 @@ object Scans {
     "sink_parquet" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
     "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "scan_csv_multiline" ->
+      ("SELECT doc_id, lang, source, replace(text, ' ', chr(10)) AS text " +
+        "FROM documents ORDER BY doc_id"),
     "sink_jsonl" ->
       ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id"),
