@@ -154,6 +154,45 @@ class CusumProcessor
   }
 }
 
+case class PHEvent(event_id: Long, event_type: String,
+  ts: java.sql.Timestamp, vc: Long)
+case class PHOut(event_type: String, us: Long, exc: Long)
+
+/** Page–Hinkley drift detection as a LIVE monitor — the streaming twin
+  * of the batch ts_page_hinkley windows (SAME oracle): per event type
+  * the processor carries (n, Σx, m, min m) and replays the identical
+  * running-mean recursion, each mean term computed through BigInt so
+  * the ×1e6 product can never wrap where the batch twin's
+  * DECIMAL(38,0) doesn't (BigInt and Spark's DIV both truncate toward
+  * zero). Batches arrive in event-time order (staged replay) and rows
+  * sort within a batch — the [[CusumProcessor]] assumptions, so the
+  * stream equals the batch ordered scan exactly. */
+class PageHinkleyProcessor
+    extends StatefulProcessor[String, PHEvent, PHOut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long)]("ph",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[PHEvent],
+      tv: TimerValues): Iterator[PHOut] = {
+    val sorted = rows.toIndexedSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var (i, sx, m, mn) =
+      if (st.exists()) st.get() else (0L, 0L, 0L, Long.MaxValue)
+    val out = sorted.map { e =>
+      i += 1; sx += e.vc
+      val term = (BigInt(1000000) * e.vc - (BigInt(1000000) * sx) / i).toLong
+      m += term
+      mn = math.min(mn, m)
+      val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+      PHOut(key, us, m - mn)
+    }
+    st.update((i, sx, m, mn))
+    out.iterator
+  }
+}
+
 /** One exploded (doc, LSH band) row on the stream; `bkey` is the
   * concat_ws(":") band signature — the batch dedup_minhash key. */
 case class NDEvent(doc_id: Long, band: Long, bkey: String)
@@ -672,6 +711,36 @@ object StreamingQueries {
     }
   }
 
+  /** [[PageHinkleyProcessor]] end-to-end: the drift monitor as a live
+    * stream, then the SAME per-type rollup as the batch twin — one
+    * shared oracle (the stream_cusum discipline). */
+  private def pageHinkleyTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.select(col("event_id"), col("event_type"), col("ts"),
+          U.cents(col("value")).as("vc")).as[PHEvent]
+        .groupByKey(_.event_type)
+        .transformWithState(new PageHinkleyProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("exc") > 300000000000L, 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("exc") > 300000000000L, col("us")))
+          .as("first_alarm_us"),
+        max(col("exc")).as("max_excursion_micro"))
+      .orderBy("event_type")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[NearDupProcessor]] end-to-end — near-dup dedup ON THE STREAM, the
     * shape a crawl-ingest pipeline needs: each arriving doc shingles,
     * MinHash-signs and explodes into its 4 LSH band keys per row (all
@@ -1012,6 +1081,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup" -> neardupStream _,
+    "stream_page_hinkley" -> pageHinkleyTws _,
     "stream_session_tws" -> sessionizeTws _,
     "stream_hysteresis" -> hysteresisTws _,
     "stream_cusum" -> cusumTws _,
@@ -1061,6 +1131,9 @@ object StreamingQueries {
     },
     // the batch ts_hysteresis oracle, verbatim — one definition pins both
     "stream_hysteresis" -> graft.operators.TimeSeries.hysteresisSql,
+    // the batch ts_page_hinkley oracle, verbatim — same discipline
+    "stream_page_hinkley" ->
+      graft.operators.TimeSeries.oracleSql("ts_page_hinkley"),
     "stream_cusum" -> graft.operators.TimeSeries.cusumAlarmSql,
     "stream_session_tws" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +

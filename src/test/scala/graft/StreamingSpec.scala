@@ -209,6 +209,16 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream CUSUM divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_page_hinkley equals the batch drift rollup row-for-row") {
+    val batch = SparkEntry.queries("ts_page_hinkley")(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val stream = SparkEntry.queries("stream_page_hinkley")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"batch/stream Page-Hinkley divergence: " +
+        s"${batch.length} vs ${stream.length}")
+  }
+
   test("stream_neardup detects dups ACROSS micro-batches (state-path proof)") {
     // the staged docs replay runs 8 doc_id-range files at 4/trigger = 2
     // micro-batches with the range midpoint as the batch boundary; a dup
