@@ -861,6 +861,32 @@ object GraftApi {
       .orderBy("q_id", "rank")
   }
 
+  /** Deterministic ~10% token dropout on a caller frame — the
+    * `pipeline_dropout_mask` kernel lifted: the token at position p of
+    * row `id` drops when the LCG hash's tens digit is 0 (no rand(),
+    * reproducible on any partitioning). Returns (id, n_tokens,
+    * n_dropped, kept_text). */
+  def dropoutMask(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).cast(LongType).as("doc_id"),
+        graft.llm.TextUtil.tokens(col(text)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast(LongType))
+      .withColumn("__kept",
+        graft.llm.Pipeline.dropoutKeptCol(col("doc_id"), col("__toks")))
+      .select(col("doc_id").as(id), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept")).cast(LongType))
+          .as("n_dropped"),
+        concat_ws(" ", col("__kept")).as("kept_text"))
+      .orderBy(id)
+
+  /** Reproducible two-epoch loader permutation on a caller id frame —
+    * the `pipeline_epoch_shuffle` kernel lifted (hash-range blocked
+    * two-level rank; the epoch keys the LCG multiplier). Returns
+    * (id, pos0, pos1). */
+  def epochShuffle(df: DataFrame, id: String): DataFrame =
+    graft.llm.Pipeline.epochShuffleOn(
+        df.select(col(id).cast(LongType).as("doc_id")))
+      .select(col("doc_id").as(id), col("pos0"), col("pos1"))
+
   /** Per-subject lifetime frame from caller columns — shared input
     * builder for [[kaplanMeier]] and [[logRank]] (one row per subject;
     * `deathDay` NULL means censored at `lastDay`; `arm` must be 0/1). */

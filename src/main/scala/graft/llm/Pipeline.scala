@@ -1042,13 +1042,18 @@ object Pipeline {
     * pre-mod keeps the product inside Long at any id scale). Emits the
     * kept text and exact counts; Round10Spec pins the partition law
     * n_tokens = n_kept + n_dropped and run-over-run mask identity. */
+  /** The mask column builder — ONE definition shared by the declared
+    * query and [[graft.api.GraftApi.dropoutMask]]. */
+  private[graft] def dropoutKeptCol(id: Column, toks: Column): Column =
+    filter(toks, (t, p) =>
+      pmod(pmod(id, lit(1000000007L)) * lit(1103515245L) +
+        p.cast(LongType) * lit(12345L) + lit(7L), lit(100L)) >= 10L)
+
   private def pipelineDropoutMask(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .withColumn("kept", filter(col("toks"), (t, p) =>
-        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(1103515245L) +
-          p.cast(LongType) * lit(12345L) + lit(7L), lit(100L)) >= 10L))
+      .withColumn("kept", dropoutKeptCol(col("doc_id"), col("toks")))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept")).cast(LongType)).as("n_dropped"),
         concat_ws(" ", col("kept")).as("kept_text"))
@@ -1083,8 +1088,13 @@ object Pipeline {
     * no stage sorts the corpus in one partition at any size. Emits the
     * positions of epochs 0 and 1 side by side; Round10Spec pins that
     * both are permutations and that they genuinely differ. */
-  private def pipelineEpochShuffle(s: SparkSession, d: String): DataFrame = {
-    val base = U.track(docs(s, d).select(col("doc_id")).persist())
+  private def pipelineEpochShuffle(s: SparkSession, d: String): DataFrame =
+    epochShuffleOn(docs(s, d).select(col("doc_id")))
+
+  /** The shuffle kernel over any single-column id frame — shared by the
+    * declared query and [[graft.api.GraftApi.epochShuffle]]. */
+  private[graft] def epochShuffleOn(ids: DataFrame): DataFrame = {
+    val base = U.track(ids.persist())
     def ranked(e: Int): DataFrame = {
       // the multiplier, not an additive term, must carry the epoch: a
       // constant shift mod M preserves the order except at the wrap,

@@ -588,6 +588,22 @@ class ApiSpec extends SparkTestBase {
     assert(iso.sameElements(isoQ))
   }
 
+  test("dropoutMask / epochShuffle equal their declared twins") {
+    val docs = U.tbl(spark, sfDir, "documents")
+    val dm = GraftApi.dropoutMask(docs, "doc_id", "text")
+      .collect().map(_.toString)
+    val dmQ = SparkEntry.queries("pipeline_dropout_mask")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(dm.sameElements(dmQ))
+    val es = GraftApi.epochShuffle(docs, "doc_id")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val esQ = SparkEntry.queries("pipeline_epoch_shuffle")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(es.sameElements(esQ))
+  }
+
   test("pqSearch equals the declared sim_pq_adc on the fixtures") {
     val viaApi = GraftApi.pqSearch(U.tbl(spark, sfDir, "embeddings"),
         "vec_id", "embedding", nQueries = 10, nSub = 4, k = 16)

@@ -297,6 +297,41 @@ class StressSpec extends SparkTestBase {
     e.unpersist()
   }
 
+  test("survival curves are invariant under 8x user replication") {
+    // replicate users with parity-preserving id offsets: every cohort's
+    // composition replicates exactly, so at-risk and death counts scale
+    // x8 while every (n-d)/n log factor — hence the entire curve in
+    // micro-nats — must be IDENTICAL. The associativity claim for
+    // survival analysis, tested at 8x the fixture population.
+    val ev = U.events(spark, sfDir)
+    val off = 1000000L // even offset => the id-parity arm is preserved
+    val ev8 = (0 until 8).map(k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * off)))
+      .reduce(_ unionAll _)
+    val d8 = U.scratch(sfDir, "stress_surv")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d8), true)
+    ev8.write.mode("overwrite").parquet(s"$d8/events.parquet")
+    val base = SparkEntry.queries("ts_kaplan_meier")(spark, sfDir).collect()
+    U.releaseTracked()
+    val big = SparkEntry.queries("ts_kaplan_meier")(spark, d8).collect()
+    U.releaseTracked()
+    assert(base.nonEmpty && big.length == base.length,
+      s"curve shape changed under replication: ${base.length} vs ${big.length}")
+    val bm = base.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    big.foreach { r =>
+      val b = bm((r.getLong(0), r.getLong(1)))
+      assert(r.getAs[Long]("n_at_risk") == 8L * b.getAs[Long]("n_at_risk"))
+      assert(r.getAs[Long]("n_deaths") == 8L * b.getAs[Long]("n_deaths"))
+      assert(r.isNullAt(r.fieldIndex("log_s_micro")) ==
+        b.isNullAt(b.fieldIndex("log_s_micro")))
+      if (!r.isNullAt(r.fieldIndex("log_s_micro")))
+        assert(r.getAs[Long]("log_s_micro") == b.getAs[Long]("log_s_micro"),
+          "the survival curve must be population-size-free")
+    }
+  }
+
   test("triangle kernels agree at 220k edges: oriented twins vs single task") {
     // the gate-parity test above proves dispatch correctness on a small
     // adversarial frame; this one proves the SIZE claim — both the
