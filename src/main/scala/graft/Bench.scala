@@ -51,6 +51,7 @@ object Bench {
       if (wants("scan_", "join_dpp", "sink_"))
         graft.operators.Scans.warm(spark, sfDir)
       if (wants("sim_i")) graft.llm.Similarity.warm(spark, sfDir)
+      if (wants("sim_pq")) graft.llm.Similarity.warmPq(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
     }
