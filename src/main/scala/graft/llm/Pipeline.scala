@@ -1121,7 +1121,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Weighted stride-scheduled source mixing — the deterministic order a
+    * multilingual/multi-source trainer actually streams when sources
+    * carry UNEQUAL target weights (the [[interleave]] round-robin is the
+    * equal-weight special case): each source's docs get virtual times
+    * vt = rn·1e12 DIV w_micro with w the SAME √count temperature weight
+    * [[sampleTemperature]] emits (one definition — the mix cannot drift
+    * from the declared weights), and the mix order is the global
+    * (vt, source, rn) rank — classic stride scheduling, whose prefix
+    * proportions provably track the weights to ±1 stride per source
+    * (the Round10Spec law). The global rank runs as the blocked
+    * two-level scan-prefix over 2²⁰-wide vt ranges; vt_max = √n_s·1e6,
+    * so the block frame grows with √corpus, far below the corpus-scaling
+    * the audit forbids. */
+  private def pipelineMixSchedule(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_docs").cast(DoubleType)) * lit(1000000.0))
+          .cast(LongType))
+    val wr = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val base = U.track(docs(s, d).select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(wr).cast(LongType))
+      .join(broadcast(w.select(col("source").as("ws"), col("w_micro"))),
+        col("source") === col("ws"))
+      .withColumn("vt", expr("CAST((CAST(rn AS DECIMAL(38,0)) * " +
+        "1000000000000) DIV w_micro AS BIGINT)"))
+      .withColumn("rng", expr("vt DIV 1048576"))
+      .persist())
+    val offs = base.groupBy(col("rng")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng").as("o_rng"), col("off"))
+    val wb = Window.partitionBy(col("rng"))
+      .orderBy(col("vt"), col("source"), col("rn"))
+    val (offsG, wo) = graft.U.sizeGate(offs)
+    base.join(wo(offsG), col("rng") === col("o_rng"))
+      .select(col("doc_id"), col("source"), col("rn"), col("vt"),
+        (col("off") + row_number().over(wb)).as("mix_pos"))
+      .orderBy("mix_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix_schedule" -> pipelineMixSchedule _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
@@ -1215,6 +1257,20 @@ object Pipeline {
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_mix_schedule" ->
+      ("WITH w AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+        "AS w_micro FROM documents GROUP BY 1), " +
+        "b AS (SELECT doc_id, d.source, " +
+        "CAST(row_number() OVER (PARTITION BY d.source ORDER BY doc_id) " +
+        "AS BIGINT) AS rn, w_micro FROM documents d " +
+        "JOIN w ON d.source = w.source), " +
+        "v AS (SELECT doc_id, source, rn, " +
+        "CAST((CAST(rn AS HUGEINT) * 1000000000000) // w_micro AS BIGINT) " +
+        "AS vt FROM b) " +
+        "SELECT doc_id, source, rn, vt, " +
+        "CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT) " +
+        "AS mix_pos FROM v ORDER BY mix_pos"),
     "pipeline_epoch_shuffle" -> {
       def h(e: Int): String =
         s"((doc_id % 1000000007) * ${1103515245L + e * 777767777L} + 7) " +

@@ -223,6 +223,33 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("pipeline_mix_schedule: stride law — prefixes track weights, " +
+      "order preserved") {
+    val rows = SparkEntry.queries("pipeline_mix_schedule")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("mix_pos"))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_.getAs[Long]("mix_pos")).toSeq == (1L to n).toSeq,
+      "mix positions must be a permutation")
+    // per-source rank order is preserved along the mix
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val rns = rs.sortBy(_.getAs[Long]("mix_pos")).map(_.getAs[Long]("rn"))
+      assert(rns.sameElements(rns.sorted), s"$src: source order broken")
+    }
+    // stride-scheduling deficit bound: within any prefix ending at
+    // virtual time V, source s has emitted floor(V·w_s/1e12) ± 1 docs
+    val w = rows.groupBy(_.getString(1)).map { case (s2, rs) =>
+      s2 -> math.floor(math.sqrt(rs.length.toDouble) * 1000000.0).toLong
+    }
+    val half = rows.take(n / 2)
+    val vHalf = half.last.getAs[Long]("vt")
+    half.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val expect = vHalf * w(src) / 1000000000000L
+      assert(math.abs(rs.length - expect) <= 2L,
+        s"$src: prefix count ${rs.length} vs stride expectation $expect")
+    }
+  }
+
   test("sim_pq_adc / sim_pq_recall: ranks coherent, hits recount vs exact L2") {
     val adc = SparkEntry.queries("sim_pq_adc")(spark, sfDir).collect()
     val byQ = adc.groupBy(_.getAs[Long]("q_id"))
