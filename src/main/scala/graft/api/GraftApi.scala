@@ -825,39 +825,71 @@ object GraftApi {
       .orderBy("cid")
   }
 
+  /** The `nCut` smallest ids of a persisted (vec_id, ...) frame, sorted
+    * ascending — one TakeOrderedAndProject action (the kmeansTrain
+    * ranked-id idiom). Seeds/queries on caller frames select by RANK,
+    * never by a raw `id < n` threshold: a frame whose ids start at 1000
+    * would otherwise silently return empty or degenerate results. */
+  private def smallestIds(emb: DataFrame, nCut: Int): Array[Long] = {
+    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(nCut)
+      .collect().map(_.getLong(0))
+    require(ids.nonEmpty, "embedding frame is empty")
+    ids
+  }
+
   /** IVF recall/cost tuning curve on a caller frame — the
     * `sim_ivf_curve` kernel lifted: a deterministic `k`-centroid Lloyd
-    * quantizer over the vector column, then one row per probe width in
-    * `probes` with the candidate-set size (cost of the exact rerank) and
-    * recall@3 against brute-force ground truth for the `nQueries`
-    * smallest ids. Returns (nprobe, n_candidates, n_hits, recall). */
+    * quantizer over the vector column (seeds = the k SMALLEST ids), then
+    * one row per probe width in `probes` with the candidate-set size
+    * (cost of the exact rerank) and recall@3 against brute-force ground
+    * truth for the `nQueries` smallest ids; the recall denominator is
+    * the ACTUAL query count when the frame holds fewer ids. Returns
+    * (nprobe, n_candidates, n_hits, recall). */
   def ivfRecallCurve(df: DataFrame, id: String, vec: String, k: Int = 16,
       nQueries: Int = 10, probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(k >= 1 && nQueries >= 1 && probes.nonEmpty && probes.forall(_ >= 1))
     val emb = graft.U.track(
-      fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
+      fixedVec(df.select(col(id).cast(LongType).as("__id"), col(vec)), vec)
         .select(col("__id").as("vec_id"), col("__fx").as("fx"),
           col("__nrm").as("nrm"))
         .persist())
-    val cent = graft.U.track(graft.llm.Similarity.ivfCentroids(emb, k))
-    graft.llm.Similarity.ivfCurveOnEmb(emb, cent, nQueries, probes)
+    val ids = smallestIds(emb, math.max(k, nQueries))
+    val seedCut = ids(math.min(k, ids.length) - 1)
+    val qn = math.min(nQueries, ids.length)
+    val cent = graft.U.track(
+      graft.llm.Similarity.ivfCentroids(emb, k, seedCut))
+    graft.llm.Similarity.ivfCurveOnEmb(emb, cent, nQueries, probes,
+      queryCut = ids(qn - 1), nQueryActual = qn.toLong)
   }
 
   /** Product-quantization ADC top-3 search on a caller frame — the
-    * `sim_pq_adc` kernel lifted: `nSub` contiguous subspaces with `k`
-    * deterministic exact-integer Lloyd centroids each, vectors encoded
+    * `sim_pq_adc` kernel lifted: `nSub` contiguous subspaces (the width
+    * is MEASURED off the vector column — any dimensionality divisible by
+    * `nSub`, all rows equal-length) with `k` deterministic exact-integer
+    * Lloyd centroids each (seeds = the k smallest ids), vectors encoded
     * as sub-codes, queries (the `nQueries` smallest ids) scored through
     * the broadcast asymmetric-distance LUT. Returns (q_id, vec_id,
     * adc_d2, rank). Pair with [[ivfRecallCurve]]'s discipline: measure
     * recall before trusting the codes. */
   def pqSearch(df: DataFrame, id: String, vec: String, nQueries: Int = 10,
       nSub: Int = 4, k: Int = 16): DataFrame = {
-    require(nSub >= 1 && 64 % nSub == 0 && k >= 1 && nQueries >= 1)
+    require(nSub >= 1 && k >= 1 && nQueries >= 1)
+    val dims = df.agg(min(size(col(vec))).as("lo"),
+      max(size(col(vec))).as("hi")).collect().head
+    require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
+      "pqSearch: all vectors must share one dimension")
+    val vecDim = dims.getInt(0)
+    require(vecDim % nSub == 0,
+      s"pqSearch: vector dimension $vecDim must split into nSub=$nSub " +
+        "equal subspaces")
     val emb = graft.U.track(
-      fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
+      fixedVec(df.select(col(id).cast(LongType).as("__id"), col(vec)), vec)
         .select(col("__id").as("vec_id"), col("__fx").as("fx"))
         .persist())
-    graft.llm.Similarity.pqAdcOnEmb(emb, nQueries, nSub, k)
+    val ids = smallestIds(emb, math.max(k, nQueries))
+    graft.llm.Similarity.pqAdcOnEmb(emb, nQueries, nSub, k, vecDim,
+        seedCut = ids(math.min(k, ids.length) - 1),
+        queryCut = ids(math.min(nQueries, ids.length) - 1))
       .orderBy("q_id", "rank")
   }
 

@@ -276,8 +276,16 @@ object Similarity {
   /** k-means-lite coarse quantizer: deterministic init (the k lowest
     * vec_ids), 2 Lloyd iterations as pure DataFrame ops, all in the integer
     * domain (exact Long sums + integer division) so centroids are
-    * bit-reproducible regardless of partial-aggregation order. */
-  private[graft] def ivfCentroids(emb: DataFrame, k: Int): DataFrame = {
+    * bit-reproducible regardless of partial-aggregation order.
+    *
+    * `seedCut` >= 0 switches seed selection to `vec_id <= seedCut` with
+    * DENSE 0-based centroid ids (rank within the <=k-row seed frame) —
+    * the facade path for caller frames whose ids are not dense from 0
+    * (`vec_id < k` there silently selects too few/no seeds, and a raw
+    * Int cast of a >2^31 id could collide two centroid labels). The
+    * default path keeps the declared queries' exact plan and cids. */
+  private[graft] def ivfCentroids(emb: DataFrame, k: Int,
+      seedCut: Long = -1L): DataFrame = {
     def recenter(assigned: DataFrame): DataFrame =
       assigned.select(col("cid"), posexplode(col("fx")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -286,8 +294,15 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("cx")).as("cfx"))
-    var cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("fx").as("cfx"))
+    var cent =
+      if (seedCut >= 0L)
+        // <=k-row frame by construction — the unpartitioned rank window
+        // is constant-bounded (caller-bounded k; see SCALE.md audit)
+        emb.filter(col("vec_id") <= seedCut)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .as("cid"), col("fx").as("cfx"))
+      else emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast(IntegerType).as("cid"), col("fx").as("cfx"))
     for (_ <- 0 until 2) {
       val next = recenter(assignN(emb, cent, 1)).persist()
       next.count() // materialize before releasing the superseded centroids
@@ -367,10 +382,17 @@ object Similarity {
     * so the whole curve hash-matches its SQL mirror — an exactly-oracled
     * measurement of an approximate index. */
   private[graft] def ivfCurveOnEmb(emb: DataFrame, cent: DataFrame,
-      nQueries: Int, probes: Seq[Int]): DataFrame = {
+      nQueries: Int, probes: Seq[Int], queryCut: Long = -1L,
+      nQueryActual: Long = -1L): DataFrame = {
     val assigned = U.track(assignN(emb, cent, 1).persist())
     val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
-    val q = emb.filter(col("vec_id") < nQueries)
+    // queryCut >= 0: the facade's ranked-id selection (queries = the
+    // nQueries SMALLEST ids, not ids below nQueries — on a caller frame
+    // with ids starting at 1000 the raw threshold selects nothing);
+    // the default keeps the declared query's exact plan.
+    val qFilter = if (queryCut >= 0L) col("vec_id") <= queryCut
+      else col("vec_id") < nQueries
+    val q = emb.filter(qFilter)
       .select(col("vec_id").as("q_id"), col("fx").as("qx"), col("nrm").as("qn"))
     val probed = q.crossJoin(broadcast(cent))
       .withColumn("qdist", -dotCol(col("qx"), col("cfx")).cast(DoubleType) /
@@ -390,7 +412,10 @@ object Similarity {
       .withColumn("rank", row_number().over(wb))
       .filter(col("rank") <= 3)
       .select(col("q_id").as("bq"), col("vec_id").as("bv"))
-    val denom = nQueries * 3.0
+    // the recall denominator is the ACTUAL query count (3 truth rows per
+    // query): with fewer matching ids than nQueries a fixed nQueries*3
+    // denominator would understate recall
+    val denom = (if (nQueryActual >= 0L) nQueryActual else nQueries.toLong) * 3.0
     probes.map { np =>
       val wr = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
@@ -424,9 +449,15 @@ object Similarity {
     * fixed-point components), so the codebook, the codes AND the ranked
     * search hash-match SQL. Shared chain: [[pqAdc]] ranks, [[pqRecall]]
     * gates it against the exact-L2 top-3. */
-  private[graft] def pqCoded(emb: DataFrame, nSub: Int = 4, k: Int = 16)
+  private[graft] def pqCoded(emb: DataFrame, nSub: Int = 4, k: Int = 16,
+      vecDim: Int = 64, seedCut: Long = -1L)
       : (DataFrame, DataFrame, DataFrame) = {
-    val dim = 64 / nSub
+    // subspace width derives from the DECLARED vector dimension (the
+    // facade measures it off the caller frame; the fixture embeddings
+    // are 64-dim) — a hard-coded 64 would slice past/short of any other
+    // dimensionality and produce wrong codes with no error
+    require(vecDim % nSub == 0, s"pqCoded: dim $vecDim not divisible by $nSub")
+    val dim = vecDim / nSub
     // persisted but NOT U.track'd: the caller decides the lifetime
     // (the declared queries cache the triple per JVM; the facade tracks
     // and releases per call)
@@ -446,9 +477,17 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("sub"), col("vec_id"), col("cid"), col("sx"))
     }
-    val c0 = subsP.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").cast(IntegerType).as("cid"),
-        col("sx").as("cx"))
+    // seedCut >= 0: facade ranked-id seeds (dense 0-based codes via the
+    // per-sub rank — partitioned window, <=k rows per sub); default path
+    // keeps the declared queries' exact plan and code ids
+    val c0 =
+      if (seedCut >= 0L)
+        subsP.filter(col("vec_id") <= seedCut)
+          .select(col("sub"), (row_number().over(Window.partitionBy(col("sub"))
+            .orderBy(col("vec_id"))) - 1).as("cid"), col("sx").as("cx"))
+      else subsP.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").cast(IntegerType).as("cid"),
+          col("sx").as("cx"))
     val cent1 = assign(c0)
       .select(col("sub"), col("cid"), posexplode(col("sx")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("cid"), col("pos"))
@@ -462,16 +501,20 @@ object Similarity {
   }
 
   private[graft] def pqAdcOnEmb(emb: DataFrame, nQueries: Int,
-      nSub: Int = 4, k: Int = 16): DataFrame = {
-    val t = pqCoded(emb, nSub, k)
+      nSub: Int = 4, k: Int = 16, vecDim: Int = 64, seedCut: Long = -1L,
+      queryCut: Long = -1L): DataFrame = {
+    val t = pqCoded(emb, nSub, k, vecDim, seedCut)
     U.track(t._1); U.track(t._3)
-    pqAdcOnEmbCached(t, nQueries)
+    pqAdcOnEmbCached(t, nQueries, queryCut)
   }
 
   private def pqAdcOnEmbCached(t: (DataFrame, DataFrame, DataFrame),
-      nQueries: Int): DataFrame = {
+      nQueries: Int, queryCut: Long = -1L): DataFrame = {
     val (subsP, cent1, coded) = t
-    val q = subsP.filter(col("vec_id") < nQueries)
+    // queryCut >= 0: facade ranked-id queries (the ivfCurveOnEmb rule)
+    val qFilter = if (queryCut >= 0L) col("vec_id") <= queryCut
+      else col("vec_id") < nQueries
+    val q = subsP.filter(qFilter)
       .select(col("sub"), col("vec_id").as("q_id"), col("sx").as("qx"),
         col("snrm").as("qn"))
     val lut = q.join(broadcast(cent1), Seq("sub"))

@@ -615,6 +615,60 @@ class ApiSpec extends SparkTestBase {
     assert(viaApi.sameElements(declared))
   }
 
+  test("ivfRecallCurve / pqSearch select seeds+queries by RANKED ids") {
+    // r10 advisor: the facade used raw `vec_id < n` thresholds, so a
+    // caller frame whose ids are not dense from 0 (here: every id shifted
+    // by +1000) silently returned empty/degenerate results. Seeds and
+    // queries are now the n SMALLEST ids — a uniform shift must leave the
+    // curve IDENTICAL and the search output identical up to the id shift.
+    val shifted = U.tbl(spark, sfDir, "embeddings")
+      .select((col("vec_id") + 1000L).as("vid"), col("embedding"))
+    val curve = GraftApi.ivfRecallCurve(shifted, "vid", "embedding",
+      k = 16, nQueries = 10, probes = Seq(1, 2, 4))
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val curveQ = SparkEntry.queries("sim_ivf_curve")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(curve.sameElements(curveQ),
+      "a uniform id shift must not change the recall curve")
+    val pq = GraftApi.pqSearch(shifted, "vid", "embedding",
+        nQueries = 10, nSub = 4, k = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id") - 1000L, r.getAs[Long]("vec_id") - 1000L,
+        r.getAs[Long]("adc_d2"), r.getAs[Long]("rank")).toString())
+    U.releaseTracked()
+    val pqQ = SparkEntry.queries("sim_pq_adc")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("adc_d2"), r.getAs[Long]("rank")).toString())
+    U.releaseTracked()
+    assert(pq.sameElements(pqQ),
+      "pqSearch on shifted ids must equal the declared search shifted back")
+  }
+
+  test("pqSearch derives the subspace width from the actual vector length") {
+    // r10 advisor: pqCoded hard-coded 64/nSub, so any non-64-dim frame
+    // sliced past/short of the array with no error. The width now comes
+    // from the measured dimension: a 32-dim corpus must code 8-wide
+    // subspaces and rank correctly; a mixed-dim frame must throw.
+    def vec32(seed: Long): Seq[Float] =
+      (0 until 32).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val df32 = (0L until 40L).map(i => (i, vec32(i))).toDF("vid", "emb")
+    val got = GraftApi.pqSearch(df32, "vid", "emb",
+      nQueries = 3, nSub = 4, k = 8).collect()
+    U.releaseTracked()
+    assert(got.length == 9, s"3 queries x top-3, got ${got.length}")
+    assert(got.map(_.getAs[Long]("q_id")).toSet == Set(0L, 1L, 2L))
+    val mixed = df32.unionByName(
+      Seq((99L, vec32(99L).take(16))).toDF("vid", "emb"))
+    val err = intercept[IllegalArgumentException] {
+      GraftApi.pqSearch(mixed, "vid", "emb", nQueries = 3, nSub = 4, k = 8)
+    }
+    U.releaseTracked()
+    assert(err.getMessage.contains("share one dimension"))
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal

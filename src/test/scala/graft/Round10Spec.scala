@@ -41,12 +41,12 @@ class Round10Spec extends SparkTestBase {
     assert(rows.keySet == Set(0L, 1L), "both parity arms must have curves")
     rows.foreach { case (g, rs) =>
       val sorted = rs.sortBy(_.getAs[Long]("day"))
-      // at-risk strictly decreases across death days (deaths + censors
-      // only leave); the log-survival prefix is non-increasing
+      // the log-survival prefix is non-increasing; n_at_risk is NOT
+      // required to shrink between death days — survivalLife supports
+      // left truncation, so a subject entering between two death days
+      // legitimately grows the later risk set
       if (sorted.length >= 2) sorted.sliding(2).foreach { w =>
         val (a, b) = (w(0), w(1))
-        assert(a.getAs[Long]("n_at_risk") > b.getAs[Long]("n_at_risk"),
-          s"arm $g at-risk must shrink")
         if (!a.isNullAt(a.fieldIndex("log_s_micro")) &&
             !b.isNullAt(b.fieldIndex("log_s_micro")))
           assert(a.getAs[Long]("log_s_micro") >= b.getAs[Long]("log_s_micro"),

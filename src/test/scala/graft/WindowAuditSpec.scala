@@ -25,6 +25,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "operators/Aggregations.scala" -> 7,
     "operators/Graphs.scala" -> 1,
     "llm/Pipeline.scala" -> 6,
+    "llm/Similarity.scala" -> 1,
     "llm/TextAnalysis.scala" -> 1,
     "api/GraftApi.scala" -> 2)
 
