@@ -1130,10 +1130,13 @@ object Pipeline {
     * from the declared weights), and the mix order is the global
     * (vt, source, rn) rank — classic stride scheduling, whose prefix
     * proportions provably track the weights to ±1 stride per source
-    * (the Round10Spec law). The global rank runs as the blocked
-    * two-level scan-prefix over 2²⁰-wide vt ranges; vt_max = √n_s·1e6,
-    * so the block frame grows with √corpus, far below the corpus-scaling
-    * the audit forbids. */
+    * (the Round10Spec law). The global rank runs as a blocked
+    * THREE-level scan-prefix: 2²⁰-wide vt ranges for the within-block
+    * rank, and the range offsets themselves computed through 2²⁰-wide
+    * SUPER-ranges — the top (unpartitioned) frame is ≤⌈vt_max/2⁴⁰⌉ rows
+    * with vt_max = √n_s·1e6, i.e. ONE row up to ~10¹² docs per source
+    * (constant-bounded like [[pipelineEpochShuffle]]'s ≤954-row frame;
+    * the r10 √corpus mid-level no longer passes through one partition). */
   private def pipelineMixSchedule(s: SparkSession, d: String): DataFrame = {
     val w = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("w_micro",
@@ -1148,10 +1151,19 @@ object Pipeline {
         "1000000000000) DIV w_micro AS BIGINT)"))
       .withColumn("rng", expr("vt DIV 1048576"))
       .persist())
-    val offs = base.groupBy(col("rng")).agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(
-        sum(col("c")).over(Window.orderBy(col("rng"))
+    val cnt = base.groupBy(col("rng")).agg(count(lit(1)).as("c"))
+      .withColumn("srng", expr("rng DIV 1048576"))
+    val sOffs = cnt.groupBy(col("srng")).agg(sum(col("c")).as("sc"))
+      .withColumn("soff", coalesce(
+        sum(col("sc")).over(Window.orderBy(col("srng"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("srng").as("s_srng"), col("soff"))
+    val wIn = Window.partitionBy(col("srng")).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val (sOffsG, swo) = graft.U.sizeGate(sOffs)
+    val offs = cnt.join(swo(sOffsG), col("srng") === col("s_srng"))
+      .withColumn("off", col("soff") + coalesce(sum(col("c")).over(wIn),
+        lit(0L)))
       .select(col("rng").as("o_rng"), col("off"))
     val wb = Window.partitionBy(col("rng"))
       .orderBy(col("vt"), col("source"), col("rn"))
