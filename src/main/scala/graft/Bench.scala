@@ -58,27 +58,41 @@ object Bench {
     // a failed query must NOT pass as a fast timing: record it and surface
     // the failure list in the JSON (a plan-time crash is milliseconds and
     // would otherwise make a broken suite look faster than a working one)
-    val failed = scala.collection.mutable.ListBuffer[String]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // median-of-N protocol (default 3): single-run numbers spiked up to
+    // 5x on unchanged code under driver-machine load round after round;
+    // the per-query MEDIAN of three back-to-back runs is the reported
+    // figure and the raw runs ship alongside so any spike stays visible.
+    // Local subset iteration can set SPARK_GRAFT_BENCH_RUNS=1.
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: $e")
+      val runs = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persisted frames so a long bench JVM does not
+        // accumulate dead cached blocks (shared caches are not tracked)
+        U.releaseTracked()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persisted frames so a long bench JVM does not
-      // accumulate dead cached blocks (shared caches are not tracked)
-      U.releaseTracked()
-      name -> dt
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = results.map { case (k, rs) =>
+      k -> rs.sorted.apply((rs.length - 1) / 2) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val runsJson = results.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nRuns","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver's stdout parse failed four rounds running ("parsed": null):
     // the ~10 KB per-query map gets truncated mid-JSON in the captured tail.
     // Contract fix: the FULL json goes only to stable files; stdout's final
