@@ -52,6 +52,7 @@ object Bench {
         graft.operators.Scans.warm(spark, sfDir)
       if (wants("sim_i")) graft.llm.Similarity.warm(spark, sfDir)
       if (wants("sim_pq")) graft.llm.Similarity.warmPq(spark, sfDir)
+      if (wants("sim_ivfpq")) graft.llm.Similarity.warmIvfPq(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
     }

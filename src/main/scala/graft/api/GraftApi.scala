@@ -893,6 +893,45 @@ object GraftApi {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ residual ADC search on a caller frame — the `sim_ivfpq_adc`
+    * kernel lifted: a deterministic `k`-cell coarse quantizer (seeds =
+    * the k smallest ids), per-cell residuals coded over `nSub` measured-
+    * width subspaces, the query's `nprobe` nearest cells scored through
+    * the broadcast asymmetric-distance LUT, and ONLY the `nShort`-row
+    * ADC shortlist exact-refined (the production serving shape: codes
+    * prune corpus→shortlist, the refine pays nShort full-vector reads
+    * per query). Returns (q_id, vec_id, d2, rank) with exact-L2 `d2`.
+    * Pair with [[ivfRecallCurve]]'s discipline: measure recall before
+    * trusting the index — this residual configuration is the one that
+    * PASSES the gate the raw [[pqSearch]] codes fail on near-uniform
+    * corpora. */
+  def ivfPqSearch(df: DataFrame, id: String, vec: String, k: Int = 16,
+      nQueries: Int = 10, nSub: Int = 4, nprobe: Int = 4,
+      nShort: Int = 192): DataFrame = {
+    require(k >= 1 && nQueries >= 1 && nSub >= 1 && nprobe >= 1 && nShort >= 1)
+    val dims = df.agg(min(size(col(vec))).as("lo"),
+      max(size(col(vec))).as("hi")).collect().head
+    require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
+      "ivfPqSearch: all vectors must share one dimension")
+    val vecDim = dims.getInt(0)
+    require(vecDim % nSub == 0,
+      s"ivfPqSearch: vector dimension $vecDim must split into nSub=$nSub " +
+        "equal subspaces")
+    val emb = graft.U.track(
+      fixedVec(df.select(col(id).cast(LongType).as("__id"), col(vec)), vec)
+        .select(col("__id").as("vec_id"), col("__fx").as("fx"),
+          col("__nrm").as("nrm"))
+        .persist())
+    val ids = smallestIds(emb, math.max(k, nQueries))
+    val seedCut = ids(math.min(k, ids.length) - 1)
+    val cent = graft.U.track(
+      graft.llm.Similarity.ivfCentroids(emb, k, seedCut))
+    graft.llm.Similarity.ivfPqOnEmb(emb, cent, nQueries, nprobe, nShort,
+        nSub, k, vecDim, seedCut,
+        queryCut = ids(math.min(nQueries, ids.length) - 1))
+      .orderBy("q_id", "rank")
+  }
+
   /** Deterministic ~10% token dropout on a caller frame — the
     * `pipeline_dropout_mask` kernel lifted: the token at position p of
     * row `id` drops when the LCG hash's tens digit is 0 (no rand(),

@@ -567,6 +567,214 @@ object Similarity {
   private def pqAdc(s: SparkSession, d: String): DataFrame =
     pqAdcTop(s, d).orderBy("q_id", "rank")
 
+  /** IVF-PQ residual ADC search — the configuration that PASSES the
+    * recall gate the raw PQ failed (sim_pq_recall ≈ 0.2 on this
+    * near-uniform corpus): quantize each vector's RESIDUAL against its
+    * coarse IVF cell (residual magnitudes are bounded by cell size, so
+    * the same 4×16 codebook spends its 16 levels on a far smaller
+    * domain), probe the query's `nprobe` nearest cells, rank the probed
+    * candidates by the asymmetric residual distance ‖(q−c_cell)−r̂‖²
+    * from a broadcast LUT, keep an `nShort` shortlist, and EXACT-refine
+    * only those (the production IVF-PQ serving shape: codes prune
+    * corpus→shortlist; the refine pays `nShort` full-vector reads per
+    * query, not |cell|). Everything stays in the exact integer domain —
+    * residuals are Long differences, codebooks the same 1-step Lloyd
+    * discipline as [[pqCoded]], ADC sums exact Longs — so codes, the
+    * shortlist AND the refined ranking hash-match SQL. Quality is
+    * MEASURED, not assumed: [[ivfPqRecall]] nests the exact-L2 truth
+    * (nprobe=4, nShort=192: recall@3 = 0.9 / 1.0 / 1.0 at
+    * sf0.001/0.01/0.1 — above the sim_ivf_curve nprobe=1 row at every
+    * SF; the sf0.001 0.9 is the nprobe=4 coverage ceiling itself).
+    *
+    * Scale shape: the build is one coarse assign + two codebook assigns
+    * (broadcast joins over one corpus stream each); serving is
+    * broadcast-LUT joins over the probed cells only. Shared per-JVM
+    * cache (the pqCache idiom) since the ADC query and its recall gate
+    * need the identical index. */
+  private[graft] def ivfPqOnEmb(emb: DataFrame, cent: DataFrame,
+      nQueries: Int, nprobe: Int = 4, nShort: Int = 32, nSub: Int = 4,
+      k: Int = 16, vecDim: Int = 64, seedCut: Long = -1L,
+      queryCut: Long = -1L): DataFrame = {
+    val t = ivfPqCoded(emb, cent, nSub, k, vecDim, seedCut)
+    U.track(t._1); U.track(t._2)
+    ivfPqOnCoded(emb, cent, t, nQueries, nprobe, nShort, queryCut, nSub,
+      vecDim)
+  }
+
+  /** The residual-PQ index build: (coded, cent1) where `coded` is
+    * (sub, vec_id, cid, pcid) — each vector's coarse cell and its
+    * per-subspace residual code — and `cent1` the 1-step-Lloyd residual
+    * codebook (sub, pcid, cx). Both persisted; caller owns lifetime. */
+  private[graft] def ivfPqCoded(emb: DataFrame, cent: DataFrame,
+      nSub: Int, k: Int, vecDim: Int, seedCut: Long)
+      : (DataFrame, DataFrame) = {
+    require(vecDim % nSub == 0, s"ivfPqCoded: dim $vecDim not /$nSub")
+    val dim = vecDim / nSub
+    val resid = assignN(emb, cent, 1)
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("fx"), col("cfx"), (a, b) => a - b).as("rx"))
+    val subsR = (0 until nSub).map { ss =>
+        resid.select(col("vec_id"), col("cid"),
+            expr(s"slice(rx, ${ss * dim + 1}, $dim)").as("sx"))
+          .withColumn("sub", lit(ss.toLong))
+      }.reduce(_ unionByName _)
+      .withColumn("snrm", fixed_dot(col("sx"), col("sx"))).persist()
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("sub"), col("vec_id"))
+        .orderBy(col("d2"), col("pcid"))
+      subsR.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", col("snrm") -
+          lit(2L) * fixed_dot(col("sx"), col("cx")) +
+          fixed_dot(col("cx"), col("cx")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("sub"), col("vec_id"), col("cid"), col("pcid"),
+          col("sx"))
+    }
+    val c0 =
+      if (seedCut >= 0L)
+        subsR.filter(col("vec_id") <= seedCut)
+          .select(col("sub"), (row_number().over(Window
+            .partitionBy(col("sub")).orderBy(col("vec_id"))) - 1)
+            .as("pcid"), col("sx").as("cx"))
+      else subsR.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").cast(IntegerType).as("pcid"),
+          col("sx").as("cx"))
+    val cent1 = assign(c0)
+      .select(col("sub"), col("pcid"),
+        posexplode(col("sx")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("pcid"), col("pos"))
+      .agg(expr("sum(x) DIV count(1)").as("cxx"))
+      .groupBy(col("sub"), col("pcid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cxx")))),
+        t => t.getField("cxx")).as("cx")).persist()
+    cent1.count()
+    val coded = assign(cent1)
+      .select(col("sub"), col("vec_id"), col("cid"), col("pcid")).persist()
+    coded.count()
+    subsR.unpersist()
+    (coded, cent1)
+  }
+
+  /** The IVF-PQ serving path over a built (coded, cent1) index. */
+  private def ivfPqOnCoded(emb: DataFrame, cent: DataFrame,
+      t: (DataFrame, DataFrame), nQueries: Int, nprobe: Int, nShort: Int,
+      queryCut: Long = -1L, nSub: Int = 4, vecDim: Int = 64): DataFrame = {
+    val (coded, cent1) = t
+    val qFilter = if (queryCut >= 0L) col("vec_id") <= queryCut
+      else col("vec_id") < nQueries
+    val q = emb.filter(qFilter)
+      .select(col("vec_id").as("q_id"), col("fx").as("qx"),
+        col("nrm").as("qn"))
+    // probe the nprobe nearest coarse cells by the SAME cosine metric
+    // the index was built with (assignN), carrying the cell vector for
+    // the query-residual computation
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qdist"), col("cid"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("qdist", -dotCol(col("qx"), col("cfx")).cast(DoubleType) /
+        sqrt(dotCol(col("cfx"), col("cfx")).cast(DoubleType)))
+      .withColumn("prb", row_number().over(wq))
+      .filter(col("prb") <= nprobe)
+      .select(col("q_id"), col("cid"),
+        zip_with(col("qx"), col("cfx"), (a, b) => a - b).as("qrx"))
+    // per-(query, cell, sub, code) asymmetric distance LUT:
+    // nQueries * nprobe * nSub * k rows — broadcast by construction
+    val dim = vecDim / nSub
+    val qsub = (0 until nSub).map { ss =>
+        probed.select(col("q_id"), col("cid"),
+            expr(s"slice(qrx, ${ss * dim + 1}, $dim)").as("qsx"))
+          .withColumn("sub", lit(ss.toLong))
+      }.reduce(_ unionByName _)
+      .withColumn("qsn", fixed_dot(col("qsx"), col("qsx")))
+    val lut = qsub.join(cent1, Seq("sub"))
+      .select(col("sub"), col("q_id"), col("cid"), col("pcid"),
+        (col("qsn") - lit(2L) * fixed_dot(col("qsx"), col("cx")) +
+          fixed_dot(col("cx"), col("cx"))).as("d2"))
+    // ADC over the probed cells' codes only, then the nShort shortlist
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    val short = coded.join(broadcast(lut), Seq("sub", "cid", "pcid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= nShort)
+      .select(col("q_id"), col("vec_id"))
+    // exact-L2 refine of the shortlist: nShort full-vector reads/query
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    short.join(emb.select(col("vec_id"), col("fx"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("d2", col("qn") - lit(2L) * dotCol(col("qx"), col("fx")) +
+        col("nrm"))
+      .withColumn("rank", row_number().over(wr).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("d2"), col("rank"))
+  }
+
+  /** Shared per-(session, sfDir) IVF-PQ index (the pqCache idiom):
+    * sim_ivfpq_adc and sim_ivfpq_recall need the identical codes. */
+  private val ivfPqCache = scala.collection.mutable.Map[
+    String, (SparkSession, (DataFrame, DataFrame))]()
+  private def ivfPqCodedCached(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = synchronized {
+    ivfPqCache.get(d) match {
+      case Some((sess, t)) if sess eq s => t
+      case stale =>
+        stale.foreach { case (_, (a, b)) =>
+          try { a.unpersist(); b.unpersist() } catch { case _: Throwable => () } }
+        val emb = fixed(s, d).select(col("vec_id"), col("fx"), col("nrm"))
+          .persist()
+        val t = ivfPqCoded(emb, centroids16(s, d), nSub = 4, k = 16,
+          vecDim = 64, seedCut = -1L)
+        emb.unpersist()
+        ivfPqCache(d) = (s, t)
+        t
+    }
+  }
+
+  /** Bench warm-up for the IVF-PQ pair (builds atop the shared k=16
+    * coarse quantizer). */
+  private[graft] def warmIvfPq(s: SparkSession, d: String): Unit =
+    { ivfPqCodedCached(s, d); () }
+
+  private def ivfPqTop(s: SparkSession, d: String): DataFrame = {
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    ivfPqOnCoded(emb, centroids16(s, d), ivfPqCodedCached(s, d),
+      nQueries = 10, nprobe = 4, nShort = 192)
+  }
+
+  private def ivfPqAdc(s: SparkSession, d: String): DataFrame =
+    ivfPqTop(s, d).orderBy("q_id", "rank")
+
+  /** Recall@3 of IVF-PQ against exact-L2 ground truth per query — the
+    * [[pqRecall]] gate on the residual index. This is the configuration
+    * that passes: measured 1.0 at sf0.01 (and 0.9/1.0 at sf0.001/sf0.1)
+    * vs raw-PQ's ≈0.2 and the IVF curve's nprobe=1 row at every SF (the
+    * shortlist's exact refine removes ADC ranking error; coverage comes
+    * from the nprobe=4 cells). */
+  private def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val all = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("bq_id"), col("fx").as("qx"), col("nrm").as("qn"))
+    val wb = Window.partitionBy(col("bq_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("bq_id"))
+      .withColumn("d2", col("qn") - lit(2L) * fixed_dot(col("qx"), col("fx")) +
+        col("nrm"))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 3)
+      .select(col("bq_id"), col("vec_id").as("bv"))
+    ivfPqTop(s, d).select(col("q_id"), col("vec_id"))
+      .join(exact, col("q_id") === col("bq_id") && col("vec_id") === col("bv"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("bv")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(3.0)).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Recall@3 of PQ-ADC against exact-L2 ground truth per query — the
     * quality gate the 4-byte code must pass before it replaces the
     * 256-byte vector (the sim_recall_at_k discipline on the PQ index;
@@ -575,7 +783,8 @@ object Similarity {
     * regime a 4-sub-code PQ cannot compress — the gate EXPOSES that
     * (real embedding corpora cluster, where PQ earns its keep); an
     * index this coarse must not silently replace the exact path, and
-    * this query is the number that says so. */
+    * this query is the number that says so. The configuration that
+    * passes is the residual variant: [[ivfPqRecall]]. */
   private def pqRecall(s: SparkSession, d: String): DataFrame = {
     val all = U.track(
       fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
@@ -995,7 +1204,9 @@ object Similarity {
     "sim_ivf_ann" -> ivfAnn _,
     "sim_ivf_curve" -> ivfCurve _,
     "sim_pq_adc" -> pqAdc _,
-    "sim_pq_recall" -> pqRecall _)
+    "sim_pq_recall" -> pqRecall _,
+    "sim_ivfpq_adc" -> ivfPqAdc _,
+    "sim_ivfpq_recall" -> ivfPqRecall _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -1162,6 +1373,95 @@ object Similarity {
   private lazy val pqAdcSql: String =
     s"WITH $pqCtes SELECT q_id, vec_id, adc_d2, rank FROM ranked " +
       "WHERE rank <= 3 ORDER BY q_id, rank"
+
+  /** Shared IVF-PQ CTE chain ending at `ranked` (exact-refined top
+    * neighbors off the residual-ADC shortlist) — nested by BOTH
+    * sim_ivfpq_adc and sim_ivfpq_recall. Mirrors [[ivfPqCoded]] +
+    * [[ivfPqOnCoded]] 1:1: the ivfSql coarse quantizer (c2/af), Long
+    * residuals, the pqCtes 1-step-Lloyd discipline on residual
+    * subspaces, nprobe-4 query cells, broadcast-LUT ADC, a 192-row
+    * shortlist (192 rows) and the exact-L2 refine. */
+  private lazy val ivfPqCtes: String = {
+    def rAssign(cin: String, cout: String): String =
+      s"$cout AS (SELECT sub, vec_id, cid, pcid, sx FROM (SELECT rs.sub, " +
+        "rs.vec_id, rs.cid, c.pcid, rs.sx, row_number() OVER (PARTITION BY " +
+        s"rs.sub, rs.vec_id ORDER BY rs.snrm - 2*${dot16Sql("rs.sx", "c.cx")} + " +
+        s"${dot16Sql("c.cx", "c.cx")}, c.pcid) AS rn " +
+        s"FROM rsn rs JOIN $cin c ON rs.sub = c.sub) WHERE rn = 1)"
+    s"f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n " +
+      "WHERE vec_id < 16), " +
+      s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+      s"s3 AS (SELECT n.vec_id, c2.cid, ${distSql("fx", "cfx")} AS dist " +
+      "FROM n CROSS JOIN c2), " +
+      "af AS (SELECT s3.vec_id, s3.cid, n.fx, n.nrm FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) s3 " +
+      "JOIN n ON s3.vec_id = n.vec_id WHERE s3.rn = 1), " +
+      "rx AS (SELECT af.vec_id, af.cid, list_transform(range(1, 65), i -> " +
+      "af.fx[CAST(i AS INTEGER)] - c2.cfx[CAST(i AS INTEGER)]) AS rx " +
+      "FROM af JOIN c2 ON af.cid = c2.cid), " +
+      "rsv AS (SELECT vec_id, cid, CAST(ss AS BIGINT) AS sub, " +
+      "list_slice(rx, CAST(ss*16+1 AS INTEGER), CAST(ss*16+16 AS INTEGER)) " +
+      "AS sx FROM rx CROSS JOIN range(0, 4) t(ss)), " +
+      s"rsn AS (SELECT vec_id, cid, sub, sx, ${dot16Sql("sx", "sx")} " +
+      "AS snrm FROM rsv), " +
+      "rc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS pcid, sx AS cx " +
+      "FROM rsn WHERE vec_id < 16), " +
+      rAssign("rc0", "ra1") + ", " +
+      "re AS (SELECT sub, pcid, generate_subscripts(sx, 1) AS pos, " +
+      "unnest(sx) AS x FROM ra1), " +
+      "rr AS (SELECT sub, pcid, pos, SUM(x) // COUNT(*) AS cxx " +
+      "FROM re GROUP BY 1, 2, 3), " +
+      "rc1 AS (SELECT sub, pcid, list(cxx ORDER BY pos) AS cx " +
+      "FROM rr GROUP BY 1, 2), " +
+      rAssign("rc1", "rcode") + ", " +
+      "qp AS (SELECT q_id, cid, qx, qn, cfx FROM (SELECT n.vec_id AS q_id, " +
+      "c2.cid, n.fx AS qx, n.nrm AS qn, c2.cfx, row_number() OVER " +
+      s"(PARTITION BY n.vec_id ORDER BY ${distSql("fx", "cfx")}, cid) AS prb " +
+      "FROM n CROSS JOIN c2 WHERE n.vec_id < 10) WHERE prb <= 4), " +
+      "qrx AS (SELECT q_id, cid, list_transform(range(1, 65), i -> " +
+      "qx[CAST(i AS INTEGER)] - cfx[CAST(i AS INTEGER)]) AS qr FROM qp), " +
+      "qsv AS (SELECT q_id, cid, CAST(ss AS BIGINT) AS sub, " +
+      "list_slice(qr, CAST(ss*16+1 AS INTEGER), CAST(ss*16+16 AS INTEGER)) " +
+      "AS qsx FROM qrx CROSS JOIN range(0, 4) t(ss)), " +
+      s"qsn AS (SELECT q_id, cid, sub, qsx, ${dot16Sql("qsx", "qsx")} " +
+      "AS qn2 FROM qsv), " +
+      "lut AS (SELECT q.sub, q.q_id, q.cid, c.pcid, " +
+      s"q.qn2 - 2*${dot16Sql("q.qsx", "c.cx")} + ${dot16Sql("c.cx", "c.cx")} " +
+      "AS d2 FROM qsn q JOIN rc1 c ON q.sub = c.sub), " +
+      "adc AS (SELECT l.q_id, rcode.vec_id, CAST(SUM(l.d2) AS BIGINT) " +
+      "AS adc_d2 FROM rcode JOIN lut l ON rcode.sub = l.sub " +
+      "AND rcode.cid = l.cid AND rcode.pcid = l.pcid " +
+      "WHERE rcode.vec_id <> l.q_id GROUP BY 1, 2), " +
+      "short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS srn " +
+      "FROM adc) WHERE srn <= 192), " +
+      "qv AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n " +
+      "WHERE vec_id < 10), " +
+      "ref AS (SELECT s.q_id, s.vec_id, " +
+      s"CAST(qv.qn - 2*${dotSql("qv.qx", "n.fx")} + n.nrm AS BIGINT) AS d2 " +
+      "FROM short s JOIN n ON s.vec_id = n.vec_id " +
+      "JOIN qv ON s.q_id = qv.q_id), " +
+      "ranked AS (SELECT q_id, vec_id, d2, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY d2, vec_id) AS BIGINT) AS rank FROM ref)"
+  }
+
+  private lazy val ivfPqAdcSql: String =
+    s"WITH $ivfPqCtes SELECT q_id, vec_id, d2, rank FROM ranked " +
+      "WHERE rank <= 3 ORDER BY q_id, rank"
+
+  private lazy val ivfPqRecallSql: String =
+    s"WITH $ivfPqCtes, " +
+      "ex AS (SELECT q_id, vec_id FROM (SELECT b.q_id, n.vec_id, " +
+      s"row_number() OVER (PARTITION BY b.q_id ORDER BY b.qn - " +
+      s"2*${dotSql("b.qx", "n.fx")} + n.nrm, n.vec_id) AS rk " +
+      "FROM n CROSS JOIN qv b WHERE n.vec_id <> b.q_id) WHERE rk <= 3) " +
+      "SELECT t.q_id, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits, " +
+      "CAST(COUNT(e.vec_id) AS DOUBLE) / 3.0 AS recall " +
+      "FROM (SELECT q_id, vec_id FROM ranked WHERE rank <= 3) t " +
+      "LEFT JOIN ex e ON t.q_id = e.q_id AND t.vec_id = e.vec_id " +
+      "GROUP BY t.q_id ORDER BY t.q_id"
 
   private lazy val pqRecallSql: String =
     s"WITH $pqCtes, " +
@@ -1417,6 +1717,8 @@ object Similarity {
     "sim_ivf_curve" -> ivfCurveSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_pq_recall" -> pqRecallSql,
+    "sim_ivfpq_adc" -> ivfPqAdcSql,
+    "sim_ivfpq_recall" -> ivfPqRecallSql,
     "dedup_embedding_ann" -> embAnnSql,
     "emb_hard_negatives" ->
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +

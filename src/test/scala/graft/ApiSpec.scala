@@ -647,6 +647,32 @@ class ApiSpec extends SparkTestBase {
       "pqSearch on shifted ids must equal the declared search shifted back")
   }
 
+  test("ivfPqSearch equals the declared sim_ivfpq_adc on the fixtures") {
+    val viaApi = GraftApi.ivfPqSearch(U.tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("sim_ivfpq_adc")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(viaApi.sameElements(declared))
+    // and the ranked-id rule: a uniform +1000 id shift shifts the output
+    // ids and nothing else
+    val shifted = GraftApi.ivfPqSearch(U.tbl(spark, sfDir, "embeddings")
+        .select((col("vec_id") + 1000L).as("vid"), col("embedding")),
+        "vid", "embedding")
+      .collect()
+      .map(r => (r.getAs[Long]("q_id") - 1000L, r.getAs[Long]("vec_id") - 1000L,
+        r.getAs[Long]("d2"), r.getAs[Long]("rank")).toString())
+    U.releaseTracked()
+    val base = SparkEntry.queries("sim_ivfpq_adc")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2"), r.getAs[Long]("rank")).toString())
+    U.releaseTracked()
+    assert(shifted.sameElements(base))
+  }
+
   test("pqSearch derives the subspace width from the actual vector length") {
     // r10 advisor: pqCoded hard-coded 64/nSub, so any non-64-dim frame
     // sliced past/short of the array with no error. The width now comes
