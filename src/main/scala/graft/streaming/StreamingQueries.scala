@@ -751,13 +751,19 @@ object StreamingQueries {
     * applied per doc (min smaller-id bucket-mate), so the stream carries
     * a full DuckDB oracle — the stream_cusum shared-semantics discipline
     * on the documents corpus. */
-  private def neardupStream(s: SparkSession, d: String): DataFrame = {
+  private def neardupStream(s: SparkSession, d: String): DataFrame =
+    neardupStreamOnDir(s, stageDocs(s, d))
+
+  /** The near-dup replay over ANY doc_id-ordered staged directory — the
+    * declared query runs it on the fixture staging; StressSpec drives it
+    * at 100k docs with planted dups to prove the state path at size. */
+  private[graft] def neardupStreamOnDir(s: SparkSession, dir: String)
+      : DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val dir = stageDocs(s, d)
       val schema = s.read.parquet(dir).schema
       val sinkT = withReplayShuffle(s) {
         val in = s.readStream.schema(schema)

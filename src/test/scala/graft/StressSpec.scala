@@ -371,4 +371,116 @@ class StressSpec extends SparkTestBase {
     e.unpersist()
     U.releaseTracked()
   }
+
+  test("stream_neardup state path at 100k docs: batch parity + bounded state") {
+    // the 220k-edge StressSpec recipe applied to streaming (r10 verdict
+    // #2): a synthetic 100k-doc corpus with planted dups replays through
+    // NearDupProcessor on RocksDB, and the stream's rollup must equal the
+    // batch banding verdict ROW FOR ROW at that size. Planted structure:
+    //   - every i % 20 == 19 is an EXACT copy of doc i-1 (all 4 bands
+    //     collide — guaranteed detections),
+    //   - every i % 20 == 9 is a NEAR copy of doc i-1 (last token swapped
+    //     — probabilistic band hits; parity must hold either way),
+    //   - docs 50000, 60000, ..., 90000 are exact copies of doc i-50000 —
+    //     keeper in micro-batch 1 (files 0-3), dup in batch 2: caught
+    //     ONLY if the band ValueState survived the batch boundary.
+    val n = 100000L
+    val d0 = spark.range(0L, n).toDF("doc_id")
+      .withColumn("seed",
+        when(col("doc_id") % 20 === 9 || col("doc_id") % 20 === 19,
+          col("doc_id") - 1)
+        .when(col("doc_id") >= 50000L && col("doc_id") % 10000L === 0,
+          col("doc_id") - 50000L)
+        .otherwise(col("doc_id")))
+      .withColumn("tid",
+        when(col("doc_id") % 20 === 19, col("doc_id") - 1)
+        .when(col("doc_id") >= 50000L && col("doc_id") % 10000L === 0,
+          col("doc_id") - 50000L)
+        .otherwise(col("doc_id")))
+      .withColumn("text", concat_ws(" ",
+        (0 until 23).map(j => concat(lit("w"),
+          (col("seed") * 131L + lit(j.toLong * 17L)) % 1000003L)) :+
+          concat(lit("t"), col("tid")): _*))
+      .select(col("doc_id"), col("text"))
+    // stage 8 doc_id-range files with increasing mtimes (the stageDocs
+    // replay contract: batches arrive in doc_id order)
+    val dir = U.scratch(sfDir, "stress_neardup")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val stamped = scala.collection.mutable.Set[String]()
+    var seq = 0
+    for (i <- 0 until 8) {
+      d0.filter(col("doc_id") >= i * 12500L && col("doc_id") < (i + 1) * 12500L)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(f => f.getPath.getName.startsWith("part-") &&
+          !stamped.contains(f.getPath.getName))
+        .sortBy(_.getPath.getName)
+      for (f <- fresh) {
+        fs.setTimes(f.getPath, 1600000000000L + seq * 1000L, -1L)
+        stamped += f.getPath.getName
+        seq += 1
+      }
+    }
+    val got = streaming.StreamingQueries.neardupStreamOnDir(spark, dir)
+      .collect()
+    // batch banding twin: same shingle/minhash/band expressions, per-band
+    // prior = the bucket's min doc_id when smaller, folded per doc
+    val bands = d0
+      .select(col("doc_id"), graft.plans.CustomExprs.shingles3_fast(
+        graft.llm.TextUtil.tokens(col("text"))).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("doc_id"), graft.plans.CustomExprs.minhash_sigs(
+        graft.plans.CustomExprs.poly_hash_array(col("ss"), 13L), 16)
+        .as("sigs"))
+      .select(col("doc_id"), explode(array(
+          (0 until 4).map(b => struct(lit(b.toLong).as("band"),
+            concat_ws(":", (0 until 4).map(r =>
+              element_at(col("sigs"), b * 4 + r + 1)): _*).as("bkey"))): _*))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    val bmin = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("bmin"))
+    val expected = bands.join(bmin, Seq("band", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bmin") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_bands_hit"),
+        min(when(col("bmin") < col("doc_id"), col("bmin"))).as("dup_of"))
+      .select(col("doc_id"), col("n_bands_hit"),
+        (col("n_bands_hit") > 0).as("is_dup"), col("dup_of"))
+      .collect()
+    assert(got.length == expected.length && got.length == n,
+      s"row counts: stream ${got.length} vs batch ${expected.length}")
+    assert(got.map(_.toString).sorted
+        .sameElements(expected.map(_.toString).sorted),
+      "stream/batch near-dup verdicts diverged at 100k docs")
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every exact copy is a guaranteed detection of an earlier keeper
+    (19L until n by 20L).foreach { i =>
+      val r = byId(i)
+      assert(r.getAs[Boolean]("is_dup") && r.getAs[Long]("dup_of") <= i - 1,
+        s"exact copy $i not flagged against an earlier keeper")
+    }
+    // cross-batch: keeper in batch 1 (< 50000), dup in batch 2
+    (50000L to 90000L by 10000L).foreach { i =>
+      val r = byId(i)
+      assert(r.getAs[Boolean]("is_dup") &&
+          r.getAs[Long]("dup_of") <= i - 50000L,
+        s"cross-batch dup $i missed — band state did not survive the boundary")
+    }
+    // state-size bound: RocksDB holds ONE Long per occupied bucket, and
+    // occupied buckets = band rows that opened (prior = -1) = 4n minus the
+    // hits — which must equal the DISTINCT band-key count, NOT corpus^2;
+    // the planted dups make it strictly smaller than the 4n ceiling
+    val stateKeys = bands.select(col("band"), col("bkey")).distinct().count()
+    val hits = got.map(_.getAs[Long]("n_bands_hit")).sum
+    assert(stateKeys == 4L * n - hits,
+      s"state entries $stateKeys != opens ${4L * n - hits}")
+    assert(stateKeys < 4L * n,
+      "planted dups must collapse at least one band bucket")
+    bands.unpersist()
+    U.releaseTracked()
+  }
 }
