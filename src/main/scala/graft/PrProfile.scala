@@ -61,6 +61,26 @@ object PrProfile {
       ranks = rr
     }
     t("final top50")(ranks.orderBy(col("pr").desc, col("node")).limit(50).collect())
+    // SCC attribution (r11): the r10 driver's 5.99 s was the shared
+    // order-sequence edge-cache build landing on whichever of
+    // scc/reciprocity ran first — measured here as the build line; the
+    // cache-warm kernel is the run 1-3 lines (single-task closure on the
+    // 60-node capped subgraph), and the forced distributed loop (cap=0)
+    // times the 6 localCheckpoint-pinned path-doubling rounds end to end.
+    // Measured at sf0.1 (idle, 2026-08-15): build 2.0 s inside this
+    // already-JITed JVM (6+ s when it lands on a cold first consumer —
+    // the r10 driver shape), scc warm runs 3.1/2.2/1.9 s, forced
+    // distributed loop 3.0 s end to end.
+    t("scc seq-edge cache build")(
+      graft.operators.Graphs.queries("graph_reciprocity")(spark, sfDir).count())
+    for (i <- 1 to 3) {
+      t(s"scc run $i (cache-warm)")(
+        graft.operators.Graphs.queries("graph_scc")(spark, sfDir).count())
+      U.releaseTracked()
+    }
+    t("scc forced distributed loop")(
+      graft.operators.Graphs.sccImpl(spark, sfDir, 0L).count())
+    U.releaseTracked()
     spark.stop()
   }
 }

@@ -85,6 +85,11 @@ object Graphs {
     * attribution fix as the collation and DSv2-write warms in Bench). */
   private[graft] def warm(s: SparkSession, d: String): Unit = {
     coPairs(s, d).count(); wedgeFrames(s, d)._2.count()
+    // the order-sequence edge cache too (shared by graph_scc and
+    // graph_reciprocity): whichever consumer ran first absorbed the ~6 s
+    // lineitem pair-explosion build into ITS bench number (r10 driver:
+    // graph_scc 5.99 s vs 1.8-3.3 s cache-warm — attribution, not kernel)
+    orderSeqEdges(s, d).count()
     val synth = s.range(0L, 2000L)
       .selectExpr("id AS u", "(id * 31 + 7) % 2000 AS v")
     pagerankOnEdges(synth, Long.MaxValue).count()
@@ -1078,21 +1083,27 @@ object Graphs {
       .toDF("a", "b")
   }
 
-  /** Distributed twin: 6 path-doubling rounds (R ← R ∪ R∘R, distinct) over
-    * the capped subgraph, each round persisted and materialized before it
-    * feeds the next (linear lineage, the closeness frontier discipline). */
+  /** Distributed twin: 6 path-doubling rounds over the capped subgraph,
+    * each round persisted and materialized before it feeds the next
+    * (linear lineage, the closeness frontier discipline). Each round is
+    * R ← R∘R ALONE — the textbook R ∪ R∘R union is redundant here
+    * because [[sccOnEdges]] seeds every node with a self-pair, and
+    * self-pairs both survive composition ((a,a)∘(a,a) = (a,a)) and make
+    * it reflexive ((a,a)∘(a,b) = (a,b), so R ⊆ R∘R); dropping the union
+    * removes one full scan + union of the growing closure frame per
+    * round (r11: the first-iteration fuse generalized to every round).
+    * Rounds are localCheckpoint-pinned (the MMR/kmeans discipline):
+    * persist alone leaves the PLAN's lineage intact, and six self-join
+    * rounds of un-truncated lineage blow up plan compilation itself.
+    * Round11Spec pins loop-vs-single-task parity on the fixture. */
   private def sccClosureLoop(seed: DataFrame): DataFrame = {
-    var r = U.track(seed.select(col("u").as("a"), col("v").as("b"))
-      .distinct().persist())
+    var r = seed.select(col("u").as("a"), col("v").as("b"))
+      .distinct().localCheckpoint()
     for (_ <- 0 until 6) {
       val rr = r.select(col("a").as("m"), col("b").as("b2"))
-      val nxt = U.track(r.unionByName(
-          r.join(rr, col("b") === col("m"))
-            .select(col("a"), col("b2").as("b")))
-        .distinct().persist())
-      nxt.count()
-      r.unpersist()
-      r = nxt
+      r = r.join(rr, col("b") === col("m"))
+        .select(col("a"), col("b2").as("b"))
+        .distinct().localCheckpoint()
     }
     r
   }
