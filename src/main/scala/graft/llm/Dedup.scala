@@ -501,7 +501,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup threshold tuning curve — the sim_ivf_curve discipline applied
+    * to near-dup removal: one row per Jaccard threshold with the pair
+    * count and the number of documents a larger-id-drops policy would
+    * remove. The table a curation run reads before committing to a
+    * threshold (too low eats unique text, too high ships duplicates).
+    * One pass over the shared scored-pair cache with the thresholds
+    * exploded alongside — no new candidate generation, and the
+    * threshold compare is the identical double-division tree in both
+    * engines, so the whole curve hash-matches. */
+  private def thresholdCurve(s: SparkSession, d: String): DataFrame =
+    jaccardPairsShared(s, d).select(col("db"), col("jac"))
+      .select(col("db"), col("jac"), explode(array(
+        Seq(200000L, 400000L, 600000L, 800000L).map(lit): _*))
+        .as("threshold_micro"))
+      .withColumn("pass",
+        col("jac") >= col("threshold_micro").cast(DoubleType) / lit(1000000.0))
+      .groupBy(col("threshold_micro"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(col("pass"), col("db"))).as("n_docs_dropped"))
+      .orderBy("threshold_micro")
+
+  /** Duplicated 13-token-span coverage per document — the substring-level
+    * dedup signal (the "train-data dedup at span granularity" shape:
+    * boilerplate and templated text repeat SPANS across documents that
+    * whole-doc or shingle-set similarity underweights): every 13-token
+    * window is a span key, a span is `dup` when it occurs >= 2 times
+    * corpus-wide, and each document reports its span count, dup-span
+    * count, coverage fraction and a majority-coverage flag. Shape: one
+    * explode + one groupBy(span) + one equi-join back — all plain
+    * shuffles on the span key. The fixture keys are the exact span
+    * STRINGS (the jaccardCtes inverted-index discipline — zero collision
+    * risk, trivially oracle-able); at 100 TB the key is poly_hash(span)
+    * (the codegen'd [[graft.plans.PolyHash]]), which changes bytes
+    * shuffled, not the plan. */
+  private def substringSpans(s: SparkSession, d: String): DataFrame = {
+    val sp = U.track(U.tbl(s, d, "documents")
+      .select(col("doc_id"), TextUtil.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 13)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 12), " +
+          "i -> concat_ws(' ', slice(tk, i, 13)))")).as("span"))
+      .persist())
+    val occ = sp.groupBy(col("span")).agg(count(lit(1)).as("occ"))
+    sp.join(occ, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= 2L, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+          .as("dup_frac"),
+        (col("n_dup_spans") * 2 >= col("n_spans")).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_curve" -> thresholdCurve _,
+    "dedup_substring_spans" -> substringSpans _,
     "dedup_bloom_prefilter" -> dedupBloomPrefilter _,
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_editdistance" -> editDistancePairs _,
@@ -580,6 +636,35 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_threshold_curve" ->
+      (s"WITH $jaccardCtes, " +
+        "pj AS (SELECT db, CAST(common AS DOUBLE) / " +
+        "CAST(na + nb - common AS DOUBLE) AS jac FROM pairs), " +
+        "th(threshold_micro) AS (VALUES (CAST(200000 AS BIGINT)), " +
+        "(CAST(400000 AS BIGINT)), (CAST(600000 AS BIGINT)), " +
+        "(CAST(800000 AS BIGINT))) " +
+        "SELECT threshold_micro, " +
+        "CAST(SUM(CASE WHEN jac >= CAST(threshold_micro AS DOUBLE) / " +
+        "1000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs, " +
+        "CAST(COUNT(DISTINCT CASE WHEN jac >= " +
+        "CAST(threshold_micro AS DOUBLE) / 1000000.0 THEN db END) " +
+        "AS BIGINT) AS n_docs_dropped " +
+        "FROM pj CROSS JOIN th GROUP BY 1 ORDER BY 1"),
+    "dedup_substring_spans" ->
+      (s"WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk " +
+        "FROM documents), " +
+        "big AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 13), " +
+        "sp AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, CAST(len(tk) - 11 AS BIGINT)), " +
+        "i -> array_to_string(list_slice(tk, CAST(i AS INTEGER), " +
+        "CAST(i + 12 AS INTEGER)), ' '))) AS span FROM big), " +
+        "occ AS (SELECT span, COUNT(*) AS occ FROM sp GROUP BY 1), " +
+        "ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_spans FROM sp JOIN occ USING (span) GROUP BY 1) " +
+        "SELECT doc_id, n_spans, n_dup_spans, " +
+        "CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac, " +
+        "n_dup_spans * 2 >= n_spans AS flagged FROM ag ORDER BY doc_id"),
     "dedup_bloom_prefilter" -> {
       val h = sqlPolyHash("text", 11L)
       s"WITH k AS (SELECT doc_id, text, source, $h % 16384 AS p1, " +

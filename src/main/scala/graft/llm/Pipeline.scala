@@ -1059,6 +1059,36 @@ object Pipeline {
         concat_ws(" ", col("kept")).as("kept_text"))
       .orderBy("doc_id")
 
+  /** Curriculum ordering — the shortest-first schedule a curriculum
+    * trainer streams (short documents early, long ones late, the classic
+    * length-as-difficulty proxy): every doc gets its global position in
+    * (n_tokens, doc_id) order plus the 4-way phase it lands in. The rank
+    * runs as the blocked two-level scan-prefix with the TOKEN COUNT as
+    * the block key — a value-domain frame (rows ≤ |distinct counts|,
+    * bounded by max doc length, independent of corpus size), so no stage
+    * sorts the corpus in one partition; the phase is exact integer
+    * arithmetic off the position and the total. */
+  private def pipelineCurriculum(s: SparkSession, d: String): DataFrame = {
+    val base = U.track(docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"))
+      .persist())
+    val offs = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("n_tokens"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens").as("o_nt"), col("off"))
+    val w = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    val (offsG, wo) = graft.U.sizeGate(offs)
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    base.join(wo(offsG), col("n_tokens") === col("o_nt"))
+      .withColumn("curriculum_pos", col("off") + row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("curriculum_pos"),
+        expr("((curriculum_pos - 1) * 4) DIV n_total").as("phase"))
+      .orderBy("doc_id")
+  }
+
   /** The packing quality gate a data loader reads before training — per
     * 2048-token batch off [[packSequences]]' OWN output (the r9 gate
     * discipline: one definition shared with the operator it gates): how
@@ -1177,6 +1207,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mix_schedule" -> pipelineMixSchedule _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
+    "pipeline_curriculum" -> pipelineCurriculum _,
     "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
@@ -1283,6 +1314,15 @@ object Pipeline {
         "SELECT doc_id, source, rn, vt, " +
         "CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT) " +
         "AS mix_pos FROM v ORDER BY mix_pos"),
+    "pipeline_curriculum" ->
+      (s"WITH t AS (SELECT doc_id, CAST(len(${TextUtil.sqlTokens("text")}) " +
+        "AS BIGINT) AS n_tokens FROM documents), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER " +
+        "(ORDER BY n_tokens, doc_id) AS BIGINT) AS curriculum_pos FROM t) " +
+        "SELECT doc_id, n_tokens, curriculum_pos, " +
+        "CAST(((curriculum_pos - 1) * 4) // n_total AS BIGINT) AS phase " +
+        "FROM r CROSS JOIN tot ORDER BY doc_id"),
     "pipeline_epoch_shuffle" -> {
       def h(e: Int): String =
         s"((doc_id % 1000000007) * ${1103515245L + e * 777767777L} + 7) " +

@@ -808,6 +808,58 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Corpus-wide k-NN graph — top-3 cosine neighbors for EVERY vector,
+    * blocked by a √n-cell IVF quantizer (the [[blockedPairs]] sizing: the
+    * within-cell self-join costs n^1.5, never n²): the graph a diversity
+    * sampler, label propagator or hard-negative miner builds ONCE and
+    * reuses, as opposed to the 10-query search shapes. nprobe=1 per side
+    * (each vector ranks only its own cell's mates) — the deliberate
+    * cheapest rung; boundary recall is the measured trade the ANN family
+    * quantifies elsewhere. Deterministic quantizer + exact fixed-point
+    * cosine + (cos DESC, id) tiebreaks = the full 3n-row graph
+    * hash-matches the nested-Lloyd SQL mirror. */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    val n = emb.count()
+    val k = math.max(4, math.min(1024, math.round(math.sqrt(n.toDouble)).toInt))
+    val cent = U.track(ivfCentroids(emb, k))
+    val assigned = U.track(assignN(emb, cent, 1).persist())
+    val b = assigned.select(col("cid").as("cidb"), col("vec_id").as("nbr_id"),
+      col("fx").as("xb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    assigned.join(b, col("cid") === col("cidb") &&
+        col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", cosCol(dotCol(col("fx"), col("xb")), col("nrm"), col("nb")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Per-subspace PQ quantization distortion — the diagnostic that says
+    * WHERE the codebook loses (the number behind sim_pq_recall's ≈0.2:
+    * near-uniform data gives every subspace a large, flat SSE): for each
+    * of the 4 subspaces, the count, total and max of ‖sx − c_code‖² over
+    * the corpus, plus the floored mean — all exact Longs off the shared
+    * per-JVM PQ index, so the whole table hash-matches the nested
+    * pqCtes mirror. One broadcast join + one hash agg over the coded
+    * frame; at 100 TB this is the index-build acceptance report. */
+  private def pqDistortion(s: SparkSession, d: String): DataFrame = {
+    val (subsP, cent1, coded) = pqCodedCached(s, d)
+    subsP.join(coded, Seq("sub", "vec_id"))
+      .join(broadcast(cent1), Seq("sub", "cid"))
+      .withColumn("d2", col("snrm") -
+        lit(2L) * fixed_dot(col("sx"), col("cx")) +
+        fixed_dot(col("cx"), col("cx")))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sse"),
+        max(col("d2")).as("max_d2"))
+      .select(col("sub"), col("n_vecs"), col("sse"), col("max_d2"),
+        expr("sse DIV n_vecs").as("mean_d2"))
+      .orderBy("sub")
+  }
+
   /** Signs (±1) of the 8 deterministic LCG hyperplanes — the
     * Johnson–Lindenstrauss ±1 projection matrix, derived from the SAME
     * quantized [[planes]] the LSH bucketing uses (sign of the 1e6-grid
@@ -1206,7 +1258,9 @@ object Similarity {
     "sim_pq_adc" -> pqAdc _,
     "sim_pq_recall" -> pqRecall _,
     "sim_ivfpq_adc" -> ivfPqAdc _,
-    "sim_ivfpq_recall" -> ivfPqRecall _)
+    "sim_ivfpq_recall" -> ivfPqRecall _,
+    "sim_pq_distortion" -> pqDistortion _,
+    "sim_knn_graph" -> knnGraph _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -1719,6 +1773,33 @@ object Similarity {
     "sim_pq_recall" -> pqRecallSql,
     "sim_ivfpq_adc" -> ivfPqAdcSql,
     "sim_ivfpq_recall" -> ivfPqRecallSql,
+    "sim_knn_graph" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "kk AS (SELECT greatest(4, least(1024, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k FROM n), " +
+        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n WHERE vec_id < (SELECT k FROM kk)), " +
+        s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+        "s3 AS (SELECT n.vec_id, c2.cid, n.fx, n.nrm, " +
+        s"${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
+        "asg AS (SELECT vec_id, cid, fx, nrm FROM (SELECT vec_id, cid, fx, nrm, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) WHERE rn = 1), " +
+        "p AS (SELECT a.vec_id, b.vec_id AS nbr_id, " +
+        s"${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos " +
+        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT vec_id, nbr_id, cos, CAST(row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank FROM p) " +
+        "SELECT vec_id, rank, nbr_id, cos FROM r WHERE rank <= 3 " +
+        "ORDER BY vec_id, rank"),
+    "sim_pq_distortion" ->
+      (s"WITH $pqCtes, " +
+        "dist AS (SELECT p.sub, " +
+        s"CAST(${dot16Sql("p.sx", "p.sx")} - 2*${dot16Sql("p.sx", "c.cx")} + " +
+        s"${dot16Sql("c.cx", "c.cx")} AS BIGINT) AS d2 " +
+        "FROM pcode p JOIN pc1 c ON p.sub = c.sub AND p.cid = c.cid) " +
+        "SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(d2) AS BIGINT) AS sse, CAST(MAX(d2) AS BIGINT) AS max_d2, " +
+        "CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2 " +
+        "FROM dist GROUP BY sub ORDER BY sub"),
     "dedup_embedding_ann" -> embAnnSql,
     "emb_hard_negatives" ->
       (s"WITH f AS (SELECT vec_id, label, $fxSql AS fx FROM embeddings), " +

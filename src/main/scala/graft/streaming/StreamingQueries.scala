@@ -231,6 +231,39 @@ class NearDupProcessor
   }
 }
 
+case class QuotaEvent(doc_id: Long, source: String, n_tokens: Long)
+case class QuotaOut(doc_id: Long, source: String, n_tokens: Long,
+  cum_tokens: Long, admitted: Boolean)
+
+/** Streaming per-source token-quota admission — the crawl-ingest budget
+  * enforcer: each source's ValueState carries its running arrived-token
+  * total, and a document is admitted while the running total (including
+  * itself) stays within the fixed budget — the prefix-quota rule, whose
+  * verdict depends only on arrival ORDER (the staged replay's doc_id
+  * contract), not on batch boundaries, which is what makes the stream
+  * exactly oracle-able as a per-source window cumsum. State is one Long
+  * per source regardless of corpus size. */
+object TokenQuotaProcessor { val BudgetTokens = 2000L }
+class TokenQuotaProcessor
+    extends StatefulProcessor[String, QuotaEvent, QuotaOut] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("cumTokens",
+      Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[QuotaEvent],
+      tv: TimerValues): Iterator[QuotaOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(_.doc_id)
+    var cum = if (st.exists()) st.get() else 0L
+    val out = sorted.map { e =>
+      cum += e.n_tokens
+      QuotaOut(e.doc_id, e.source, e.n_tokens, cum,
+        cum <= TokenQuotaProcessor.BudgetTokens)
+    }
+    st.update(cum)
+    out.iterator
+  }
+}
+
 case class IdleEvent(user_id: Long, ts: java.sql.Timestamp)
 case class IdleAlert(user_id: Long, idle_since_us: Long)
 
@@ -806,6 +839,43 @@ object StreamingQueries {
     }
   }
 
+  /** [[TokenQuotaProcessor]] end-to-end: the per-source token budget
+    * enforced ON THE STREAM over the staged documents replay (the
+    * stream_neardup staging), token counts from the shared whitespace
+    * tokenizer, output one admission verdict per document. */
+  private def tokenQuotaStream(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = stageDocs(s, d)
+      val schema = s.read.parquet(dir).schema
+      val sinkT = withReplayShuffle(s) {
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "4").parquet(dir)
+        import s.implicits._
+        val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+        val q = in.select(col("doc_id"), col("source"),
+            size(graft.llm.TextUtil.tokens(col("text"))).cast("long")
+              .as("n_tokens"))
+          .as[QuotaEvent]
+          .groupByKey(_.source)
+          .transformWithState(new TokenQuotaProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+      }
+      sinkT.orderBy("doc_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[IdleTimeoutProcessor]] end-to-end: >30-min idle alerts via
     * EVENT-TIME TIMERS under a 10-minute watermark — gaps alert on the
     * next arrival, trailing idles alert when the (ms-granular) watermark
@@ -1087,6 +1157,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup" -> neardupStream _,
+    "stream_token_quota" -> tokenQuotaStream _,
     "stream_page_hinkley" -> pageHinkleyTws _,
     "stream_session_tws" -> sessionizeTws _,
     "stream_hysteresis" -> hysteresisTws _,
@@ -1111,6 +1182,18 @@ object StreamingQueries {
     "stream_static_join" -> staticJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    // the prefix-quota rule re-stated as a per-source window cumsum in
+    // doc_id order (= the replay's arrival order)
+    "stream_token_quota" ->
+      (s"WITH t AS (SELECT doc_id, source, " +
+        s"CAST(len(${graft.llm.TextUtil.sqlTokens("text")}) AS BIGINT) " +
+        "AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) " +
+        "SELECT doc_id, source, n_tokens, cum_tokens, " +
+        s"cum_tokens <= ${TokenQuotaProcessor.BudgetTokens} AS admitted " +
+        "FROM c ORDER BY doc_id"),
     // the batch MinHash banding re-stated per doc: prior = min smaller-id
     // bucket-mate over the doc's 4 bands — the replay's final state is
     // exactly this batch predicate (doc_id-ordered staged files)

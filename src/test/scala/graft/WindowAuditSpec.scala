@@ -24,7 +24,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "operators/TimeSeries.scala" -> 3,
     "operators/Aggregations.scala" -> 7,
     "operators/Graphs.scala" -> 1,
-    "llm/Pipeline.scala" -> 6,
+    "llm/Pipeline.scala" -> 7,
     "llm/Similarity.scala" -> 1,
     "llm/TextAnalysis.scala" -> 1,
     "api/GraftApi.scala" -> 2)
