@@ -614,11 +614,15 @@ object Similarity {
       .join(broadcast(cent), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         zip_with(col("fx"), col("cfx"), (a, b) => a - b).as("rx"))
-    val subsR = (0 until nSub).map { ss =>
-        resid.select(col("vec_id"), col("cid"),
-            expr(s"slice(rx, ${ss * dim + 1}, $dim)").as("sx"))
-          .withColumn("sub", lit(ss.toLong))
-      }.reduce(_ unionByName _)
+    // ONE posexplode projection, not an nSub-way union: union branches
+    // re-execute the unpersisted assign+join parent per branch (a
+    // measured 4x on the build input)
+    val subsR = resid
+      .select(col("vec_id"), col("cid"), posexplode(array(
+          (0 until nSub).map(ss =>
+            expr(s"slice(rx, ${ss * dim + 1}, $dim)")): _*))
+        .as(Seq("sub", "sx")))
+      .withColumn("sub", col("sub").cast(LongType))
       .withColumn("snrm", fixed_dot(col("sx"), col("sx"))).persist()
     def assign(cb: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("sub"), col("vec_id"))
@@ -678,13 +682,16 @@ object Similarity {
       .select(col("q_id"), col("cid"),
         zip_with(col("qx"), col("cfx"), (a, b) => a - b).as("qrx"))
     // per-(query, cell, sub, code) asymmetric distance LUT:
-    // nQueries * nprobe * nSub * k rows — broadcast by construction
+    // nQueries * nprobe * nSub * k rows — broadcast by construction.
+    // One posexplode projection (the subsR rule): a union would
+    // re-execute the probe window per branch.
     val dim = vecDim / nSub
-    val qsub = (0 until nSub).map { ss =>
-        probed.select(col("q_id"), col("cid"),
-            expr(s"slice(qrx, ${ss * dim + 1}, $dim)").as("qsx"))
-          .withColumn("sub", lit(ss.toLong))
-      }.reduce(_ unionByName _)
+    val qsub = probed
+      .select(col("q_id"), col("cid"), posexplode(array(
+          (0 until nSub).map(ss =>
+            expr(s"slice(qrx, ${ss * dim + 1}, $dim)")): _*))
+        .as(Seq("sub", "qsx")))
+      .withColumn("sub", col("sub").cast(LongType))
       .withColumn("qsn", fixed_dot(col("qsx"), col("qsx")))
     val lut = qsub.join(cent1, Seq("sub"))
       .select(col("sub"), col("q_id"), col("cid"), col("pcid"),
