@@ -932,6 +932,62 @@ object GraftApi {
       .orderBy("q_id", "rank")
   }
 
+  /** Corpus-wide k-NN graph on a caller frame — the `sim_knn_graph`
+    * kernel lifted: top-3 cosine neighbors per vector, blocked by a
+    * √n-cell deterministic IVF quantizer (n^1.5 work, never n²; seeds =
+    * the k smallest ids). Returns (<id>, rank, nbr_id, cos). */
+  def knnGraph(df: DataFrame, id: String, vec: String): DataFrame = {
+    val emb = graft.U.track(
+      fixedVec(df.select(col(id).cast(LongType).as("__id"), col(vec)), vec)
+        .select(col("__id").as("vec_id"), col("__fx").as("fx"),
+          col("__nrm").as("nrm"))
+        .persist())
+    graft.llm.Similarity.knnGraphOnEmb(emb,
+        seedCutFor = k => smallestIds(emb, k).last)
+      .withColumnRenamed("vec_id", id)
+  }
+
+  /** Duplicated-span coverage on a caller frame — the
+    * `dedup_substring_spans` kernel lifted with a caller-chosen span
+    * width. Returns (<id>, n_spans, n_dup_spans, dup_frac, flagged). */
+  def spanDupStats(df: DataFrame, id: String, text: String,
+      spanTokens: Int = 13): DataFrame = {
+    require(spanTokens >= 1)
+    graft.llm.Dedup.spanDupOn(
+        df.select(col(id).cast(LongType).as("doc_id"), col(text).as("text")),
+        spanTokens)
+      .withColumnRenamed("doc_id", id)
+  }
+
+  /** Shortest-first curriculum schedule on a caller frame — the
+    * `pipeline_curriculum` kernel lifted (value-domain blocked rank on
+    * the token count). Returns (<id>, n_tokens, curriculum_pos, phase). */
+  def curriculum(df: DataFrame, id: String, text: String): DataFrame =
+    graft.llm.Pipeline.curriculumOn(
+        df.select(col(id).cast(LongType).as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** Per-source token-budget admission on a caller frame — the BATCH
+    * twin of `stream_token_quota`'s prefix-quota rule (the stream
+    * enforces it live with one Long of state per source; this form
+    * audits or backfills the same verdicts): a document is admitted
+    * while its source's running token total in <id> order, including
+    * itself, stays within `budgetTokens`. Returns (<id>, <source>,
+    * n_tokens, cum_tokens, admitted). */
+  def tokenQuota(df: DataFrame, id: String, source: String, text: String,
+      budgetTokens: Long = 2000L): DataFrame = {
+    require(budgetTokens >= 0L)
+    val w = Window.partitionBy(col("__src")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(id).cast(LongType).as("__id"), col(source).as("__src"),
+        graft.llm.TextUtil.tokens(col(text)).as("__tk"))
+      .withColumn("n_tokens", size(col("__tk")).cast(LongType))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("__id").as(id), col("__src").as(source), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= budgetTokens).as("admitted"))
+      .orderBy(id)
+  }
+
   /** Deterministic ~10% token dropout on a caller frame — the
     * `pipeline_dropout_mask` kernel lifted: the token at position p of
     * row `id` drops when the LCG hash's tens digit is 0 (no rand(),

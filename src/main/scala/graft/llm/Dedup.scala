@@ -535,13 +535,20 @@ object Dedup {
     * risk, trivially oracle-able); at 100 TB the key is poly_hash(span)
     * (the codegen'd [[graft.plans.PolyHash]]), which changes bytes
     * shuffled, not the plan. */
-  private def substringSpans(s: SparkSession, d: String): DataFrame = {
-    val sp = U.track(U.tbl(s, d, "documents")
+  private def substringSpans(s: SparkSession, d: String): DataFrame =
+    spanDupOn(U.tbl(s, d, "documents").select(col("doc_id"), col("text")),
+      spanTokens = 13)
+
+  /** The span-coverage kernel over any (doc_id, text) frame — shared by
+    * the declared query and [[graft.api.GraftApi.spanDupStats]]. */
+  private[graft] def spanDupOn(docs: DataFrame, spanTokens: Int): DataFrame = {
+    val w = spanTokens
+    val sp = U.track(docs
       .select(col("doc_id"), TextUtil.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 13)
+      .filter(size(col("tk")) >= w)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tk) - 12), " +
-          "i -> concat_ws(' ', slice(tk, i, 13)))")).as("span"))
+        s"transform(sequence(1, size(tk) - ${w - 1}), " +
+          s"i -> concat_ws(' ', slice(tk, i, $w)))")).as("span"))
       .persist())
     val occ = sp.groupBy(col("span")).agg(count(lit(1)).as("occ"))
     sp.join(occ, Seq("span"))

@@ -1068,8 +1068,13 @@ object Pipeline {
     * bounded by max doc length, independent of corpus size), so no stage
     * sorts the corpus in one partition; the phase is exact integer
     * arithmetic off the position and the total. */
-  private def pipelineCurriculum(s: SparkSession, d: String): DataFrame = {
-    val base = U.track(docs(s, d)
+  private def pipelineCurriculum(s: SparkSession, d: String): DataFrame =
+    curriculumOn(docs(s, d).select(col("doc_id"), col("text")))
+
+  /** The curriculum kernel over any (doc_id, text) frame — shared with
+    * [[graft.api.GraftApi.curriculum]]. */
+  private[graft] def curriculumOn(docsDf: DataFrame): DataFrame = {
+    val base = U.track(docsDf
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"))
       .persist())

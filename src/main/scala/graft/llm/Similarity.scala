@@ -825,12 +825,18 @@ object Similarity {
     * quantifies elsewhere. Deterministic quantizer + exact fixed-point
     * cosine + (cos DESC, id) tiebreaks = the full 3n-row graph
     * hash-matches the nested-Lloyd SQL mirror. */
-  private def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val emb = U.track(
-      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+  private def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphOnEmb(U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist()))
+
+  /** The kNN-graph kernel over a persisted fixed-point (vec_id, fx, nrm)
+    * frame — shared with [[graft.api.GraftApi.knnGraph]]. `seedCut` >= 0
+    * is the facade's ranked-id quantizer seeding. */
+  private[graft] def knnGraphOnEmb(emb: DataFrame,
+      seedCutFor: Int => Long = _ => -1L): DataFrame = {
     val n = emb.count()
     val k = math.max(4, math.min(1024, math.round(math.sqrt(n.toDouble)).toInt))
-    val cent = U.track(ivfCentroids(emb, k))
+    val cent = U.track(ivfCentroids(emb, k, seedCutFor(k)))
     val assigned = U.track(assignN(emb, cent, 1).persist())
     val b = assigned.select(col("cid").as("cidb"), col("vec_id").as("nbr_id"),
       col("fx").as("xb"), col("nrm").as("nb"))

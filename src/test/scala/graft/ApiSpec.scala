@@ -695,6 +695,38 @@ class ApiSpec extends SparkTestBase {
     assert(err.getMessage.contains("share one dimension"))
   }
 
+  test("knnGraph / spanDupStats / curriculum / tokenQuota equal their twins") {
+    val docs = U.tbl(spark, sfDir, "documents")
+    val kg = GraftApi.knnGraph(U.tbl(spark, sfDir, "embeddings"),
+      "vec_id", "embedding").collect().map(_.toString)
+    U.releaseTracked()
+    val kgQ = SparkEntry.queries("sim_knn_graph")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(kg.sameElements(kgQ))
+    val sd = GraftApi.spanDupStats(docs, "doc_id", "text")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val sdQ = SparkEntry.queries("dedup_substring_spans")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(sd.sameElements(sdQ))
+    val cu = GraftApi.curriculum(docs, "doc_id", "text")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val cuQ = SparkEntry.queries("pipeline_curriculum")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(cu.sameElements(cuQ))
+    // the batch quota facade must equal the STREAM's stateful verdicts
+    val tq = GraftApi.tokenQuota(docs, "doc_id", "source", "text")
+      .collect().map(_.toString)
+    val tqQ = SparkEntry.queries("stream_token_quota")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(tq.sameElements(tqQ),
+      "batch prefix-quota must equal the streaming enforcement")
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal
