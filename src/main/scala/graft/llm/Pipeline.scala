@@ -1094,6 +1094,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Chat-template rendering for SFT data prep — the conversation
+    * formatter a fine-tuning pipeline runs over every record: documents
+    * split into alternating user/assistant turns of 24 tokens, rendered
+    * with role tags, with the LOSS-MASK accounting (assistant-turn
+    * tokens are the ones trained on) emitted beside the render. Pure
+    * per-row expressions — no shuffle at all — and every piece (turn
+    * count, render, mask counts) is exact integer/string arithmetic, so
+    * the output hash-matches. */
+  private def pipelineChatTemplate(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      .filter(col("n_tokens") >= 1L)
+      .withColumn("n_turns", expr("(n_tokens + 23) DIV 24"))
+      .withColumn("rendered", expr(
+        "array_join(transform(sequence(0, CAST(n_turns - 1 AS INT)), " +
+          "i -> concat(IF(i % 2 = 0, '<|user|>', '<|assistant|>'), ' ', " +
+          "concat_ws(' ', slice(tk, i * 24 + 1, 24)))), ' ')"))
+      .withColumn("n_assistant_tokens", expr(
+        "aggregate(sequence(0, CAST(n_turns - 1 AS INT)), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + IF(i % 2 = 1, " +
+          "CAST(size(slice(tk, i * 24 + 1, 24)) AS BIGINT), CAST(0 AS BIGINT)))"))
+      .select(col("doc_id"), col("n_turns"), col("n_tokens"),
+        col("n_assistant_tokens"),
+        length(col("rendered")).cast(LongType).as("rendered_len"),
+        substring(col("rendered"), 1, 64).as("rendered_head"))
+      .orderBy("doc_id")
+
+  /** Tokenizer-fertility profile per source — the diagnostic a corpus
+    * owner reads before/after switching tokenizers (chars per token,
+    * tokens per doc): per-source exact totals with floored micro-unit
+    * ratios. One hash agg over one scan. */
+  private def pipelineFertility(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), length(col("text")).cast(LongType).as("nc"),
+        size(tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(1000000 * n_chars) DIV n_tokens").as("chars_per_token_micro"),
+        expr("(1000000 * n_tokens) DIV n_docs").as("tokens_per_doc_micro"))
+      .orderBy("source")
+
   /** The packing quality gate a data loader reads before training — per
     * 2048-token batch off [[packSequences]]' OWN output (the r9 gate
     * discipline: one definition shared with the operator it gates): how
@@ -1213,6 +1256,8 @@ object Pipeline {
     "pipeline_mix_schedule" -> pipelineMixSchedule _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_curriculum" -> pipelineCurriculum _,
+    "pipeline_chat_template" -> pipelineChatTemplate _,
+    "pipeline_fertility" -> pipelineFertility _,
     "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
@@ -1319,6 +1364,38 @@ object Pipeline {
         "SELECT doc_id, source, rn, vt, " +
         "CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT) " +
         "AS mix_pos FROM v ORDER BY mix_pos"),
+    "pipeline_chat_template" ->
+      (s"WITH t AS (SELECT doc_id, ${TextUtil.sqlTokens("text")} AS tk " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens " +
+        "FROM t WHERE len(tk) >= 1), " +
+        "r AS (SELECT doc_id, n_tokens, (n_tokens + 23) // 24 AS n_turns, " +
+        "tk FROM b), " +
+        "z AS (SELECT doc_id, n_turns, n_tokens, " +
+        "array_to_string(list_transform(range(0, n_turns), i -> " +
+        "(CASE WHEN i % 2 = 0 THEN '<|user|>' ELSE '<|assistant|>' END) " +
+        "|| ' ' || array_to_string(list_slice(tk, CAST(i*24+1 AS INTEGER), " +
+        "CAST(i*24+24 AS INTEGER)), ' ')), ' ') AS rendered, " +
+        "CAST(list_sum(list_transform(range(0, n_turns), i -> " +
+        "CASE WHEN i % 2 = 1 THEN len(list_slice(tk, " +
+        "CAST(i*24+1 AS INTEGER), CAST(i*24+24 AS INTEGER))) ELSE 0 END)) " +
+        "AS BIGINT) AS n_assistant_tokens FROM r) " +
+        "SELECT doc_id, n_turns, n_tokens, n_assistant_tokens, " +
+        "CAST(length(rendered) AS BIGINT) AS rendered_len, " +
+        "substring(rendered, 1, 64) AS rendered_head " +
+        "FROM z ORDER BY doc_id"),
+    "pipeline_fertility" ->
+      (s"WITH t AS (SELECT source, CAST(length(text) AS BIGINT) AS nc, " +
+        s"CAST(len(${TextUtil.sqlTokens("text")}) AS BIGINT) AS nt " +
+        "FROM documents) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(nc) AS BIGINT) AS n_chars, " +
+        "CAST((1000000 * SUM(nc)) // SUM(nt) AS BIGINT) " +
+        "AS chars_per_token_micro, " +
+        "CAST((1000000 * SUM(nt)) // COUNT(*) AS BIGINT) " +
+        "AS tokens_per_doc_micro " +
+        "FROM t GROUP BY source ORDER BY source"),
     "pipeline_curriculum" ->
       (s"WITH t AS (SELECT doc_id, CAST(len(${TextUtil.sqlTokens("text")}) " +
         "AS BIGINT) AS n_tokens FROM documents), " +

@@ -674,7 +674,40 @@ object TextAnalysis {
         expr("(1000000 * n_hapax) DIV n_types").as("hapax_share_micro"))
       .orderBy("source")
 
+  /** Code-vs-prose detection — the routing signal a mixed crawl needs
+    * before language-specific filters run (code wants different quality
+    * rules than prose): per doc the structural-symbol count (braces,
+    * semicolons, operators), digit count and
+    * camelCase token count, folded into exact micro-ratios and an
+    * is_code vote (≥2 of the 3 signals firing). Pure per-row regex
+    * counting — no shuffle; each counter is regexp_replace length
+    * arithmetic with identical semantics in both engines. */
+  private def codeDetect(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .filter(col("n_chars") >= 1L)
+      .withColumn("n_symbols", (col("n_chars") -
+        length(regexp_replace(col("text"), "[{}();=\\[\\]<>+*/\\\\|&]", "")))
+        .cast(LongType))
+      .withColumn("n_digits", (col("n_chars") -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast(LongType))
+      .withColumn("n_camel",
+        size(filter(TextUtil.tokens(col("text")),
+          t => t.rlike("^[a-z]+[A-Z]"))).cast(LongType))
+      .select(col("doc_id"), col("n_chars"), col("n_symbols"),
+        col("n_digits"), col("n_camel"),
+        expr("(1000000 * n_symbols) DIV n_chars").as("symbol_micro"),
+        expr("(1000000 * n_digits) DIV n_chars").as("digit_micro"),
+        ((when(expr("(1000000 * n_symbols) DIV n_chars >= 20000"), 1)
+          .otherwise(0) +
+          when(expr("(1000000 * n_digits) DIV n_chars >= 50000"), 1)
+            .otherwise(0) +
+          when(col("n_camel") >= 3L, 1).otherwise(0)) >= 2).as("is_code"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> codeDetect _,
     "text_hapax" -> hapaxCorpus _,
     "text_simpson" -> simpson _,
     "text_length_profile" -> lengthProfile _,
@@ -724,6 +757,24 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_code_detect" ->
+      ("WITH c AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) " +
+        "AS n_chars FROM documents WHERE length(text) >= 1), " +
+        "m AS (SELECT doc_id, n_chars, " +
+        "n_chars - CAST(length(regexp_replace(text, " +
+        "'[{}();=\\[\\]<>+*/\\\\|&]', '', 'g')) AS BIGINT) AS n_symbols, " +
+        "n_chars - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) " +
+        "AS BIGINT) AS n_digits, " +
+        s"CAST(len(list_filter(${sqlTokens("text")}, " +
+        "t -> regexp_matches(t, '^[a-z]+[A-Z]'))) AS BIGINT) AS n_camel " +
+        "FROM c) " +
+        "SELECT doc_id, n_chars, n_symbols, n_digits, n_camel, " +
+        "CAST((1000000 * n_symbols) // n_chars AS BIGINT) AS symbol_micro, " +
+        "CAST((1000000 * n_digits) // n_chars AS BIGINT) AS digit_micro, " +
+        "((CASE WHEN (1000000 * n_symbols) // n_chars >= 20000 THEN 1 " +
+        "ELSE 0 END) + (CASE WHEN (1000000 * n_digits) // n_chars >= 50000 " +
+        "THEN 1 ELSE 0 END) + (CASE WHEN n_camel >= 3 THEN 1 ELSE 0 END)) " +
+        ">= 2 AS is_code FROM m ORDER BY doc_id"),
     "text_hapax" ->
       (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

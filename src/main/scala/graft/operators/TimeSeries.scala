@@ -3453,7 +3453,43 @@ object TimeSeries {
       .orderBy("channel")
   }
 
+  /** Seasonal-naive forecast evaluation (MASE over a weekly season) —
+    * the accuracy gate a forecasting pipeline reads before shipping any
+    * fancier model (if it can't beat snaive-7, don't deploy it): per
+    * type, the dense daily grid (zero-filled gaps), forecast(t) =
+    * y(t−7), scaled against the in-window naive-1 baseline. All error
+    * sums are exact cents; the MASE ships as floored micro-units of the
+    * two exact sums (snaive beats naive-1 when mase_micro < 1e6). One
+    * grid explode + one window pass per type. */
+  private def tsSnaiveMase(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val daily = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(vc).as("y"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("dayi")).as("lo"), max(col("dayi")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("dayi"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    grid.join(daily, Seq("event_type", "dayi"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .withColumn("l7", lag(col("y"), 7).over(w))
+      .filter(col("l7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("l7"))).as("sae_snaive"),
+        sum(abs(col("y") - col("l1"))).as("sae_naive1"))
+      .select(col("event_type"), col("n_eval"), col("sae_snaive"),
+        col("sae_naive1"),
+        when(col("sae_naive1") > 0,
+          expr("(1000000 * sae_snaive) DIV sae_naive1")).as("mase_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_snaive_mase" -> tsSnaiveMase _,
     "ts_attribution" -> tsAttribution _,
     "ts_entropy_rate" -> tsEntropyRate _,
     "ts_foster_stuart" -> tsFosterStuart _,
@@ -3719,6 +3755,29 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_snaive_mase" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($c) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, MIN(dayi) AS lo, MAX(dayi) AS hi " +
+        "FROM daily GROUP BY 1), " +
+        "grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS dayi " +
+        "FROM b), " +
+        "f AS (SELECT g.event_type, g.dayi, COALESCE(daily.y, 0) AS y " +
+        "FROM grid g LEFT JOIN daily ON g.event_type = daily.event_type " +
+        "AND g.dayi = daily.dayi), " +
+        "l AS (SELECT event_type, dayi, y, " +
+        "lag(y, 1) OVER (PARTITION BY event_type ORDER BY dayi) AS l1, " +
+        "lag(y, 7) OVER (PARTITION BY event_type ORDER BY dayi) AS l7 " +
+        "FROM f) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval, " +
+        "CAST(SUM(abs(y - l7)) AS BIGINT) AS sae_snaive, " +
+        "CAST(SUM(abs(y - l1)) AS BIGINT) AS sae_naive1, " +
+        "CASE WHEN SUM(abs(y - l1)) > 0 THEN " +
+        "CAST((1000000 * SUM(abs(y - l7))) // SUM(abs(y - l1)) AS BIGINT) " +
+        "END AS mase_micro " +
+        "FROM l WHERE l7 IS NOT NULL GROUP BY 1 ORDER BY 1"
+    },
     "ts_attribution" -> {
       val vc = OSQL.cents("value")
       s"WITH b AS (SELECT user_id, ts, event_id, event_type, $vc AS vcent, " +
