@@ -850,6 +850,31 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Per-vector OOD/novelty score — the distribution screen an embedding
+    * ingest runs against its OWN index: distance of each vector to its
+    * nearest coarse IVF centroid (1 − cos, floored micro-units), with
+    * the nearest cell id and an is_ood flag at 0.3. Vectors far from
+    * every cell are the novel/dirty tail a curation run inspects first,
+    * and the same number says when the quantizer needs retraining. One
+    * corpus stream against the broadcast cached k=16 quantizer — the
+    * assignN shape with the score kept instead of dropped. */
+  private def embOod(s: SparkSession, d: String): DataFrame = {
+    val emb = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    emb.crossJoin(broadcast(centroids16(s, d)))
+      .withColumn("dist",
+        -(dotCol(col("fx"), col("cfx")).cast(DoubleType) /
+          (sqrt(col("nrm").cast(DoubleType)) *
+            sqrt(dotCol(col("cfx"), col("cfx")).cast(DoubleType)))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("nearest_cid"),
+        floor((lit(1.0) + col("m.dist")) * lit(1000000.0)).cast(LongType)
+          .as("ood_micro"))
+      .withColumn("is_ood", col("ood_micro") >= 300000L)
+      .orderBy("vec_id")
+  }
+
   /** Per-subspace PQ quantization distortion — the diagnostic that says
     * WHERE the codebook loses (the number behind sim_pq_recall's ≈0.2:
     * near-uniform data gives every subspace a large, flat SSE): for each
@@ -1273,7 +1298,8 @@ object Similarity {
     "sim_ivfpq_adc" -> ivfPqAdc _,
     "sim_ivfpq_recall" -> ivfPqRecall _,
     "sim_pq_distortion" -> pqDistortion _,
-    "sim_knn_graph" -> knnGraph _)
+    "sim_knn_graph" -> knnGraph _,
+    "emb_ood_score" -> embOod _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -1786,6 +1812,22 @@ object Similarity {
     "sim_pq_recall" -> pqRecallSql,
     "sim_ivfpq_adc" -> ivfPqAdcSql,
     "sim_ivfpq_recall" -> ivfPqRecallSql,
+    "emb_ood_score" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n " +
+        "WHERE vec_id < 16), " +
+        s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+        "s3 AS (SELECT n.vec_id, c2.cid, " +
+        s"-(${cosSql("fx", "cfx", "nrm", dotSql("cfx", "cfx"))}) AS dist " +
+        "FROM n CROSS JOIN c2), " +
+        "a AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+        "FROM s3) WHERE rn = 1) " +
+        "SELECT vec_id, cid AS nearest_cid, " +
+        "CAST(floor((1.0 + dist) * 1000000.0) AS BIGINT) AS ood_micro, " +
+        "CAST(floor((1.0 + dist) * 1000000.0) AS BIGINT) >= 300000 " +
+        "AS is_ood FROM a ORDER BY vec_id"),
     "sim_knn_graph" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

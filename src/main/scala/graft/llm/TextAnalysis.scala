@@ -706,7 +706,53 @@ object TextAnalysis {
           when(col("n_camel") >= 3L, 1).otherwise(0)) >= 2).as("is_code"))
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity bucketing — the head/middle/tail split the
+    * CCNet curation pipeline cuts a crawl into before deciding what to
+    * keep: per-doc average unigram log-prob (the [[unigramLp]] micro-nat
+    * doctrine — ln() agrees cross-engine, exp() does not, so the score
+    * stays in log space), then the corpus ranks by (score, doc_id) and
+    * splits into thirds — 'tail' = least-probable (highest perplexity).
+    * The global rank runs as the blocked two-level scan-prefix over
+    * 2²⁰-wide SCORE ranges: avg log-prob per token is bounded by the
+    * vocabulary (ln 1/N_total ≈ −20 nats), so the block frame is ≤ ~20
+    * rows at ANY corpus size — value-domain, not corpus-domain.
+    * Truncating division is order-preserving, so blocks stay contiguous
+    * on the negative score axis. */
+  private def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val tok = U.track(docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .persist())
+    val tf = tok.groupBy(col("token")).agg(count(lit(1)).as("ctf"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    val scored = U.track(tok.join(tf, "token").crossJoin(broadcast(tot))
+      .withColumn("lp_micro",
+        floor(log(col("ctf").cast(DoubleType) / col("n_total").cast(DoubleType)) *
+          lit(1000000.0)).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("slp"))
+      .withColumn("score_micro", expr("slp DIV n_tokens"))
+      .withColumn("rng", expr("score_micro DIV 1048576"))
+      .persist())
+    val offs = scored.groupBy(col("rng")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng").as("o_rng"), col("off"))
+    val w = Window.partitionBy(col("rng"))
+      .orderBy(col("score_micro"), col("doc_id"))
+    val (offsG, wo) = graft.U.sizeGate(offs)
+    val nd = scored.agg(count(lit(1)).as("n_docs"))
+    scored.join(wo(offsG), col("rng") === col("o_rng"))
+      .withColumn("rank", col("off") + row_number().over(w))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"), col("rank"),
+        expr("CASE ((rank - 1) * 3) DIV n_docs WHEN 0 THEN 'tail' " +
+          "WHEN 1 THEN 'middle' ELSE 'head' END").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ccnet_buckets" -> ccnetBuckets _,
     "text_code_detect" -> codeDetect _,
     "text_hapax" -> hapaxCorpus _,
     "text_simpson" -> simpson _,
@@ -757,6 +803,23 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_ccnet_buckets" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT token, COUNT(*) AS ctf FROM tok GROUP BY token), " +
+        "tot AS (SELECT COUNT(*) AS n_total FROM tok), " +
+        "sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CAST(floor(ln(CAST(ctf AS DOUBLE) / " +
+        "CAST(n_total AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS slp " +
+        "FROM tok JOIN tf USING (token) CROSS JOIN tot GROUP BY doc_id), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sc), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(slp // n_tokens AS BIGINT) " +
+        "AS score_micro, CAST(row_number() OVER (ORDER BY slp // n_tokens, " +
+        "doc_id) AS BIGINT) AS rank FROM sc) " +
+        "SELECT doc_id, n_tokens, score_micro, rank, " +
+        "CASE ((rank - 1) * 3) // n_docs WHEN 0 THEN 'tail' " +
+        "WHEN 1 THEN 'middle' ELSE 'head' END AS bucket " +
+        "FROM r CROSS JOIN nd ORDER BY doc_id"),
     "text_code_detect" ->
       ("WITH c AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) " +
         "AS n_chars FROM documents WHERE length(text) >= 1), " +

@@ -2105,7 +2105,56 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Split-conformal prediction interval per type — the
+    * distribution-free uncertainty quantification a model-eval pipeline
+    * wraps around ANY point predictor: train (even user ids) fixes the
+    * per-type mean predictor in exact micro-cents, calibration (odd ids)
+    * supplies absolute residuals, and the interval half-width is the
+    * k-th smallest residual with k = ⌈0.9·(n_cal+1)⌉ — guaranteed ≥90%
+    * coverage on exchangeable data with NO distributional assumption.
+    * All arithmetic is exact (mean and k by integral division; residual
+    * selection is an order statistic, so tie order cannot change the
+    * selected VALUE), and the empirical coverage is re-measured beside
+    * the interval — quality measured, not assumed. One scan + one
+    * window per type. */
+  private def aggConformal(s: SparkSession, d: String): DataFrame = {
+    val vc = U.cents(col("value"))
+    val ev = U.events(s, d)
+      .select(col("event_type"), col("user_id"), vc.as("vc"))
+    val mu = ev.filter(pmod(col("user_id"), lit(2L)) === 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"), sum(col("vc")).as("sx"))
+      .withColumn("mean_micro", expr("(1000000 * sx) DIV n_train"))
+      .select(col("event_type").as("et"), col("n_train"), col("mean_micro"))
+    val resid = U.track(ev.filter(pmod(col("user_id"), lit(2L)) === 1L)
+      .join(broadcast(mu), col("event_type") === col("et"))
+      .withColumn("r", abs(col("vc") * lit(1000000L) - col("mean_micro")))
+      .persist())
+    val nc = resid.groupBy(col("event_type")).agg(count(lit(1)).as("n_cal"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("r"))
+    val q = resid.withColumn("rn", row_number().over(w))
+      .join(broadcast(nc.select(col("event_type").as("nt"), col("n_cal"))),
+        col("event_type") === col("nt"))
+      .withColumn("k", least(col("n_cal"),
+        expr("(9 * (n_cal + 1) + 9) DIV 10")))
+      .filter(col("rn") === col("k"))
+      .select(col("event_type").as("qt"), col("n_cal"), col("k"),
+        col("r").as("q90_micro"))
+    resid.join(broadcast(q), col("event_type") === col("qt"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
+        max(col("mean_micro")).as("mean_micro"),
+        max(col("q90_micro")).as("q90_micro"),
+        sum(when(col("r") <= col("q90_micro"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("event_type"), col("n_train"), col("n_cal"),
+        col("mean_micro"), col("q90_micro"),
+        expr("(1000000 * n_covered) DIV n_cal").as("coverage_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_conformal_interval" -> aggConformal _,
     "agg_dispersion" -> aggDispersion _,
     "agg_two_prop_z" -> aggTwoPropZ _,
     "agg_log_rank" -> aggLogRank _,
@@ -2260,6 +2309,32 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_conformal_interval" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, user_id, $c AS vc FROM events), " +
+        "mu AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train, " +
+        "CAST((1000000 * SUM(vc)) // COUNT(*) AS BIGINT) AS mean_micro " +
+        "FROM ev WHERE user_id % 2 = 0 GROUP BY 1), " +
+        "resid AS (SELECT ev.event_type, " +
+        "abs(ev.vc * 1000000 - mu.mean_micro) AS r, " +
+        "mu.n_train, mu.mean_micro FROM ev JOIN mu USING (event_type) " +
+        "WHERE ev.user_id % 2 = 1), " +
+        "nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal " +
+        "FROM resid GROUP BY 1), " +
+        "rk AS (SELECT event_type, r, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY r) AS rn FROM resid), " +
+        "q AS (SELECT rk.event_type, nc.n_cal, " +
+        "CAST(rk.r AS BIGINT) AS q90_micro FROM rk JOIN nc USING (event_type) " +
+        "WHERE rk.rn = least(nc.n_cal, (9 * (nc.n_cal + 1) + 9) // 10)) " +
+        "SELECT resid.event_type, CAST(MAX(resid.n_train) AS BIGINT) " +
+        "AS n_train, MAX(q.n_cal) AS n_cal, " +
+        "CAST(MAX(resid.mean_micro) AS BIGINT) AS mean_micro, " +
+        "MAX(q.q90_micro) AS q90_micro, " +
+        "CAST((1000000 * SUM(CASE WHEN resid.r <= q.q90_micro THEN 1 " +
+        "ELSE 0 END)) // COUNT(*) AS BIGINT) AS coverage_micro " +
+        "FROM resid JOIN q USING (event_type) " +
+        "GROUP BY 1 ORDER BY 1"
+    },
     "agg_dispersion" ->
       ("WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS dayi, " +

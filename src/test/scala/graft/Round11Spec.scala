@@ -43,6 +43,108 @@ class Round11Spec extends SparkTestBase {
       s"the residual index ($ivfpq) must beat the raw PQ codes ($pq)")
   }
 
+  test("pipeline_chat_template: mask accounting partitions the tokens") {
+    val rows = SparkEntry.queries("pipeline_chat_template")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTurns, nAsst) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_turns"), r.getAs[Long]("n_assistant_tokens"))
+      // turn count is the 24-token ceiling division
+      assert(nTurns == (nTok + 23) / 24)
+      // assistant turns are the odd ones: their token mass is exactly
+      // total minus the even (user) turns' mass
+      val nUser = (0L until nTurns).filter(_ % 2 == 0)
+        .map(i => math.min(24L, nTok - i * 24L)).sum
+      assert(nAsst == nTok - nUser,
+        s"doc ${r.getAs[Long]("doc_id")}: mask partition broke")
+      // the render carries every token plus one role tag per turn
+      assert(r.getAs[Long]("rendered_len") > nTok,
+        "render cannot be shorter than its token payload")
+    }
+  }
+
+  test("pipeline_curriculum: positions are a permutation ordered by length") {
+    val rows = SparkEntry.queries("pipeline_curriculum")(spark, sfDir)
+      .collect()
+    val pos = rows.map(_.getAs[Long]("curriculum_pos")).sorted
+    assert(pos.toSeq == (1L to rows.length.toLong).toSeq,
+      "curriculum positions must be a permutation of 1..n")
+    val byPos = rows.sortBy(_.getAs[Long]("curriculum_pos"))
+    byPos.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("n_tokens") <= w(1).getAs[Long]("n_tokens"),
+        "token counts must be non-decreasing along the curriculum")
+    }
+    assert(byPos.map(_.getAs[Long]("phase")).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("stream_token_quota: admissions are a per-source prefix") {
+    val rows = SparkEntry.queries("stream_token_quota")(spark, sfDir)
+      .collect().groupBy(_.getAs[String]("source"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      // cum recounts from n_tokens in doc order
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum, s"$src cum drifted")
+        assert(r.getAs[Boolean]("admitted") == (cum <= 2000L))
+      }
+      // once over budget, never admitted again (prefix property)
+      val adm = sorted.map(_.getAs[Boolean]("admitted"))
+      assert(!adm.dropWhile(identity).contains(true),
+        s"$src re-admitted after the budget was exhausted")
+    }
+  }
+
+  test("ts_snaive_mase: error sums recount from the daily grid") {
+    val rows = SparkEntry.queries("ts_snaive_mase")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eval") >= 1L)
+      assert(r.getAs[Long]("sae_snaive") >= 0L)
+      if (r.getAs[Long]("sae_naive1") > 0L) {
+        val m = r.getAs[Long]("mase_micro")
+        assert(m == 1000000L * r.getAs[Long]("sae_snaive") /
+          r.getAs[Long]("sae_naive1"))
+      } else assert(r.isNullAt(r.fieldIndex("mase_micro")))
+    }
+  }
+
+  test("dedup_threshold_curve is monotone non-increasing in the threshold") {
+    val rows = SparkEntry.queries("dedup_threshold_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("threshold_micro"))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("n_pairs") >= w(1).getAs[Long]("n_pairs"))
+      assert(w(0).getAs[Long]("n_docs_dropped") >=
+        w(1).getAs[Long]("n_docs_dropped"))
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_docs_dropped") <=
+      r.getAs[Long]("n_pairs")))
+  }
+
+  test("dedup_substring_spans flags a planted templated pair") {
+    import spark.implicits._
+    // two docs share a verbatim 20-token boilerplate block; the third is
+    // unique — span coverage must separate them
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, boiler + " unique tail one two three four five six"),
+      (2L, boiler + " other ending seven eight nine ten eleven twelve"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.api.GraftApi.spanDupStats(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Boolean]("flagged"))).toMap
+    U.releaseTracked()
+    // the shared 20-token block contributes 8 shared 13-token spans
+    assert(got(1L)._1 == 8 && got(2L)._1 == 8,
+      s"expected 8 dup spans per templated doc, got $got")
+    assert(got(3L) == ((0L, false)), "the unique doc must stay clean")
+  }
+
   test("sim_ivfpq_adc ranks are exact-L2-coherent and per-query complete") {
     val rows = SparkEntry.queries("sim_ivfpq_adc")(spark, sfDir).collect()
     U.releaseTracked()
