@@ -1137,6 +1137,54 @@ object Pipeline {
         expr("(1000000 * n_tokens) DIV n_docs").as("tokens_per_doc_micro"))
       .orderBy("source")
 
+  /** Context-window fit report — the sizing table read before choosing a
+    * training context length: for each candidate window (512/2048/8192),
+    * how many docs fit whole, how many tokens truncation would lose, and
+    * the one-doc-per-sequence utilization in floored micro-units (the
+    * padding waste the packer must then recover). One scan with the
+    * candidate windows exploded alongside — exact integer arithmetic
+    * throughout. */
+  private def pipelineContextFit(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(size(tokens(col("text"))).cast(LongType).as("nt"))
+      .select(col("nt"), explode(array(lit(512L), lit(2048L), lit(8192L)))
+        .as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") <= col("context_len"), 1L).otherwise(0L))
+          .as("n_fit"),
+        sum(col("nt")).as("tokens_total"),
+        sum(greatest(col("nt") - col("context_len"), lit(0L)))
+          .as("tokens_truncated"),
+        sum(least(col("nt"), col("context_len"))).as("tokens_kept"))
+      .select(col("context_len"), col("n_docs"), col("n_fit"),
+        col("tokens_total"), col("tokens_truncated"),
+        expr("(1000000 * tokens_kept) DIV (context_len * n_docs)")
+          .as("util_micro"))
+      .orderBy("context_len")
+
+  /** Per-dimension variance profile of the embedding space — the
+    * pre-PCA screen ("which dims carry signal, which are dead"): exact
+    * integer power sums per dimension with the variance in micro²
+    * units by one integral DECIMAL division (n·Σx² − (Σx)² can pass
+    * 2⁶³ at corpus scale, so the cross terms run in DECIMAL(38,0) —
+    * the emb_label_separation discipline). One posexplode + one
+    * 64-group hash agg. */
+  private def embDimVariance(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "embeddings")
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(LongType)))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) *
+          col("x").cast(DecimalType(38, 0))).as("sxx"))
+      .select(col("pos").cast(LongType).as("pos"), col("n"),
+        expr("sx DIV n").as("mean_micro"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_micro2"))
+      .orderBy("pos")
+
   /** The packing quality gate a data loader reads before training — per
     * 2048-token batch off [[packSequences]]' OWN output (the r9 gate
     * discipline: one definition shared with the operator it gates): how
@@ -1258,6 +1306,8 @@ object Pipeline {
     "pipeline_curriculum" -> pipelineCurriculum _,
     "pipeline_chat_template" -> pipelineChatTemplate _,
     "pipeline_fertility" -> pipelineFertility _,
+    "pipeline_context_fit" -> pipelineContextFit _,
+    "emb_dim_variance" -> embDimVariance _,
     "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
@@ -1364,6 +1414,33 @@ object Pipeline {
         "SELECT doc_id, source, rn, vt, " +
         "CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT) " +
         "AS mix_pos FROM v ORDER BY mix_pos"),
+    "pipeline_context_fit" ->
+      (s"WITH t AS (SELECT CAST(len(${TextUtil.sqlTokens("text")}) " +
+        "AS BIGINT) AS nt FROM documents), " +
+        "cl(context_len) AS (VALUES (CAST(512 AS BIGINT)), " +
+        "(CAST(2048 AS BIGINT)), (CAST(8192 AS BIGINT))) " +
+        "SELECT context_len, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN nt <= context_len THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_fit, CAST(SUM(nt) AS BIGINT) AS tokens_total, " +
+        "CAST(SUM(greatest(nt - context_len, 0)) AS BIGINT) " +
+        "AS tokens_truncated, " +
+        "CAST((1000000 * SUM(least(nt, context_len))) // " +
+        "(context_len * COUNT(*)) AS BIGINT) AS util_micro " +
+        "FROM t CROSS JOIN cl GROUP BY 1 ORDER BY 1"),
+    "emb_dim_variance" ->
+      ("WITH comp AS (SELECT generate_subscripts(fx, 1) - 1 AS pos, " +
+        "unnest(fx) AS x FROM (SELECT list_transform(embedding, " +
+        "e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS fx " +
+        "FROM embeddings)), " +
+        "st AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx " +
+        "FROM comp GROUP BY 1) " +
+        "SELECT CAST(pos AS BIGINT) AS pos, n, " +
+        "CAST(sx // n AS BIGINT) AS mean_micro, " +
+        "CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) // " +
+        "(CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2 " +
+        "FROM st ORDER BY pos"),
     "pipeline_chat_template" ->
       (s"WITH t AS (SELECT doc_id, ${TextUtil.sqlTokens("text")} AS tk " +
         "FROM documents), " +

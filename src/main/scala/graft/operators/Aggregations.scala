@@ -2153,7 +2153,38 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Minimum detectable effect of the id-parity A/B design per type —
+    * the pre-experiment power question ("how small a lift could this
+    * split even see at 80% power?") answered from the same exact power
+    * sums the t-test family uses: MDE = (z₀.₉₇₅+z₀.₈)·√(σ²·(1/n₀+1/n₁))
+    * with the z-sum as one shared literal and σ² the covPowerSums tree
+    * the driver's hash gate already pins. One hash agg per scan; the
+    * epilogue is per-type constant work. */
+  private def aggMde(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val st = U.events(s, d)
+      .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"),
+        U.cents(col("value")).as("xc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xc")).cast(DoubleType).as("sx"),
+        sum(col("xc").cast(dec) * col("xc").cast(dec)).cast(DoubleType)
+          .as("sxx"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+    val v = U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))
+    st.select(col("event_type"), col("n0"), col("n1"),
+        (col("sx") / (lit(100.0) * col("nd"))).as("mean"),
+        v.as("variance"),
+        when(col("n0") > 0L && col("n1") > 0L,
+          lit(2.8015852181129683) * sqrt(v *
+            (lit(1.0) / col("n0").cast(DoubleType) +
+              lit(1.0) / col("n1").cast(DoubleType)))).as("mde_abs"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mde" -> aggMde _,
     "agg_conformal_interval" -> aggConformal _,
     "agg_dispersion" -> aggDispersion _,
     "agg_two_prop_z" -> aggTwoPropZ _,
@@ -2309,6 +2340,23 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mde" -> {
+      val c = OSQL.cents("value")
+      val v = OSQL.covPowerSums("sxx", "sx", "sx", "nd")
+      s"WITH ev AS (SELECT event_type, user_id % 2 AS arm, $c AS xc " +
+        "FROM events), " +
+        "st AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(xc) AS DOUBLE) AS sx, " +
+        "CAST(SUM(xc * xc) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 " +
+        "FROM ev GROUP BY 1) " +
+        "SELECT event_type, n0, n1, sx / (100.0 * nd) AS mean, " +
+        s"($v) AS variance, " +
+        "CASE WHEN n0 > 0 AND n1 > 0 THEN 2.8015852181129683 * " +
+        s"sqrt(($v) * (1.0 / n0 + 1.0 / n1)) END AS mde_abs " +
+        "FROM st ORDER BY 1"
+    },
     "agg_conformal_interval" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type, user_id, $c AS vc FROM events), " +
