@@ -848,4 +848,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     U.releaseTracked()
   }
+
+  test("round-11 sweep: new operators plan no cartesian product") {
+    // sim_knn_graph's self-join must ride the cid equijoin, the span/pair
+    // joins their key equijoins, conformal its broadcast stats — a
+    // CartesianProduct in any of them is the n^2 shape the kernels exist
+    // to avoid
+    for (name <- Seq("sim_knn_graph", "sim_ivfpq_adc",
+        "dedup_substring_spans", "dedup_threshold_curve",
+        "agg_conformal_interval", "text_ccnet_buckets",
+        "pipeline_curriculum", "agg_mde", "emb_dim_variance")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      U.releaseTracked()
+    }
+  }
+
+  test("emb_ood_score broadcasts the 16-row quantizer against one stream") {
+    val p = plan("emb_ood_score")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"quantizer not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"OOD scan degenerated to a shuffled cross product:\n$p")
+    U.releaseTracked()
+  }
 }
