@@ -562,7 +562,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Label purity of the text near-dup clusters — the cross-modal sanity
+    * check between the TEXT dedup verdicts and the EMBEDDING labels: a
+    * multi-doc cluster whose members carry different labels is either a
+    * labeling bug or an over-merge, and this is the table that surfaces
+    * both. Per ≥2-doc cluster: size, the modal label (votes DESC, label
+    * tiebreak) and the purity in floored micro-units. Rides the shared
+    * cluster labeling + one id equijoin against the embeddings table —
+    * no new candidate generation. */
+  private def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    val lab = clusterAssign(s, d).select(col("doc_id"), col("cluster_id"))
+    val emb = U.tbl(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        col("label").cast(LongType).as("label"))
+    val ct = lab.join(emb, Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("label")).agg(count(lit(1)).as("nl"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("nl").desc, col("label"))
+    ct.withColumn("size",
+        sum(col("nl")).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("size") >= 2L)
+      .select(col("cluster_id"), col("size"), col("label").as("top_label"),
+        col("nl").as("n_top"),
+        expr("(1000000 * nl) DIV size").as("purity_micro"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_purity" -> clusterPurity _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_substring_spans" -> substringSpans _,
     "dedup_bloom_prefilter" -> dedupBloomPrefilter _,
@@ -643,6 +671,26 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_cluster_purity" ->
+      (s"WITH RECURSIVE $jaccardCtes, " +
+        "pr AS (SELECT da, db FROM pairs " +
+        "WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2), " +
+        "edges AS (SELECT da AS u, db AS v FROM pr " +
+        "UNION ALL SELECT db, da FROM pr), " +
+        "reach(u, v) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach " +
+        "GROUP BY u), " +
+        "ct AS (SELECT lab.cluster_id, CAST(e.label AS BIGINT) AS label, " +
+        "CAST(COUNT(*) AS BIGINT) AS nl FROM lab " +
+        "JOIN embeddings e ON lab.doc_id = e.vec_id GROUP BY 1, 2), " +
+        "sz AS (SELECT cluster_id, label, nl, " +
+        "CAST(SUM(nl) OVER (PARTITION BY cluster_id) AS BIGINT) AS size, " +
+        "row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY nl DESC, label) AS rn FROM ct) " +
+        "SELECT cluster_id, size, label AS top_label, nl AS n_top, " +
+        "CAST((1000000 * nl) // size AS BIGINT) AS purity_micro " +
+        "FROM sz WHERE rn = 1 AND size >= 2 ORDER BY cluster_id"),
     "dedup_threshold_curve" ->
       (s"WITH $jaccardCtes, " +
         "pj AS (SELECT db, CAST(common AS DOUBLE) / " +

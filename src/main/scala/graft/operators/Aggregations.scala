@@ -2183,7 +2183,86 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** CUPED variance reduction for the id-parity A/B design — the
+    * covariate-adjustment step every experimentation stack runs before
+    * reading a lift: each user's PRE-period spend (days before the
+    * observed midpoint) is the covariate X, post-period spend the
+    * outcome Y, θ = cov(X,Y)/var(X) from the shared exact power sums,
+    * and the adjusted arm difference is diff − θ·(x̄₁−x̄₀). ρ² (the
+    * variance-reduction fraction) ships beside it — CUPED helps exactly
+    * as much as the pre-period correlates. One per-user rollup + two
+    * 1-row aggregates; every double derives from exact cents sums with
+    * the covPowerSums tree. */
+  private def aggCuped(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = U.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+      U.cents(col("value")).as("vc"))
+    val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    val per = U.track(ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("dayi") < col("sd"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(col("dayi") >= col("sd"), col("vc")).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      .persist())
+    val g = per.agg(count(lit(1)).cast(DoubleType).as("nd"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(DoubleType).as("sxx"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).cast(DoubleType).as("sxy"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).cast(DoubleType).as("syy"))
+    def armRow(a: Int) = per.filter(col("arm") === a.toLong)
+      .agg(count(lit(1)).cast(DoubleType).as(s"n$a"),
+        sum(col("x")).cast(DoubleType).as(s"sx$a"),
+        sum(col("y")).cast(DoubleType).as(s"sy$a"))
+    val cov = U.covPowerSums(col("sxy"), col("sx"), col("sy"), col("nd"))
+    val vx = U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))
+    val vy = U.covPowerSums(col("syy"), col("sy"), col("sy"), col("nd"))
+    val theta = cov / vx
+    val dRaw = col("sy1") / (lit(100.0) * col("n1")) -
+      col("sy0") / (lit(100.0) * col("n0"))
+    val dX = col("sx1") / (lit(100.0) * col("n1")) -
+      col("sx0") / (lit(100.0) * col("n0"))
+    g.crossJoin(broadcast(armRow(0))).crossJoin(broadcast(armRow(1)))
+      .select(col("nd").cast(LongType).as("n_users"),
+        theta.as("theta"), (cov * cov / (vx * vy)).as("rho2"),
+        dRaw.as("diff_raw"), (dRaw - theta * dX).as("diff_cuped"))
+  }
+
+  /** Sequential probability ratio test over the daily event stream — the
+    * always-valid sequential monitor (Wald's SPRT) a live quality gate
+    * runs instead of a fixed-horizon test: per type, the cumulative
+    * high-value rate (≥ $50) tested as H0: p = 0.4 vs H1: p = 0.5, the
+    * log-likelihood ratio k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) updated
+    * per day, and the day's verdict (accept_h1 / accept_h0 / continue)
+    * at the ±ln 19 boundaries (α = β = 0.05). Counts are exact windows;
+    * the LLR is two exact integers times two shared ln literals — ln()
+    * agrees cross-engine, so the whole trajectory hash-matches. */
+  private def aggSprt(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("succ"))
+      .groupBy(col("event_type"), col("dayi"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("k"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val la = log(lit(0.5) / lit(0.4))
+    val lb = log(lit(0.5) / lit(0.6))
+    val thr = log(lit(19.0))
+    daily.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_k", sum(col("k")).over(w))
+      .withColumn("llr", col("cum_k").cast(DoubleType) * la +
+        (col("cum_n") - col("cum_k")).cast(DoubleType) * lb)
+      .select(col("event_type"), col("dayi"), col("cum_n"), col("cum_k"),
+        col("llr"),
+        when(col("llr") >= thr, "accept_h1")
+          .when(col("llr") <= -thr, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("event_type", "dayi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cuped" -> aggCuped _,
+    "agg_sprt" -> aggSprt _,
     "agg_mde" -> aggMde _,
     "agg_conformal_interval" -> aggConformal _,
     "agg_dispersion" -> aggDispersion _,
@@ -2340,6 +2419,59 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_cuped" -> {
+      val c = OSQL.cents("value")
+      val cov = OSQL.covPowerSums("sxy", "sx", "sy", "nd")
+      val vx = OSQL.covPowerSums("sxx", "sx", "sx", "nd")
+      val vy = OSQL.covPowerSums("syy", "sy", "sy", "nd")
+      val dRaw = "sy1 / (100.0 * n1) - sy0 / (100.0 * n0)"
+      val dX = "sx1 / (100.0 * n1) - sx0 / (100.0 * n0)"
+      s"WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dayi, " +
+        s"$c AS vc FROM events), " +
+        "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd FROM ev), " +
+        "per AS (SELECT user_id, user_id % 2 AS arm, " +
+        "CAST(SUM(CASE WHEN dayi < sd THEN vc ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(SUM(CASE WHEN dayi >= sd THEN vc ELSE 0 END) AS BIGINT) AS y " +
+        "FROM ev CROSS JOIN sp GROUP BY 1, 2), " +
+        "g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy FROM per), " +
+        "a0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0, " +
+        "CAST(SUM(x) AS DOUBLE) AS sx0, CAST(SUM(y) AS DOUBLE) AS sy0 " +
+        "FROM per WHERE arm = 0), " +
+        "a1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1, " +
+        "CAST(SUM(x) AS DOUBLE) AS sx1, CAST(SUM(y) AS DOUBLE) AS sy1 " +
+        "FROM per WHERE arm = 1) " +
+        "SELECT CAST(nd AS BIGINT) AS n_users, " +
+        s"($cov) / ($vx) AS theta, " +
+        s"($cov) * ($cov) / (($vx) * ($vy)) AS rho2, " +
+        s"$dRaw AS diff_raw, " +
+        s"($dRaw) - (($cov) / ($vx)) * ($dX) AS diff_cuped " +
+        "FROM g CROSS JOIN a0 CROSS JOIN a1"
+    },
+    "agg_sprt" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(CASE WHEN $c >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS k " +
+        "FROM events GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, dayi, " +
+        "CAST(SUM(n) OVER w AS BIGINT) AS cum_n, " +
+        "CAST(SUM(k) OVER w AS BIGINT) AS cum_k FROM daily " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY dayi)) " +
+        "SELECT event_type, dayi, cum_n, cum_k, " +
+        "CAST(cum_k AS DOUBLE) * ln(0.5 / 0.4) + " +
+        "CAST(cum_n - cum_k AS DOUBLE) * ln(0.5 / 0.6) AS llr, " +
+        "CASE WHEN CAST(cum_k AS DOUBLE) * ln(0.5 / 0.4) + " +
+        "CAST(cum_n - cum_k AS DOUBLE) * ln(0.5 / 0.6) >= ln(19.0) " +
+        "THEN 'accept_h1' WHEN CAST(cum_k AS DOUBLE) * ln(0.5 / 0.4) + " +
+        "CAST(cum_n - cum_k AS DOUBLE) * ln(0.5 / 0.6) <= -ln(19.0) " +
+        "THEN 'accept_h0' ELSE 'continue' END AS decision " +
+        "FROM cum ORDER BY event_type, dayi"
+    },
     "agg_mde" -> {
       val c = OSQL.cents("value")
       val v = OSQL.covPowerSums("sxx", "sx", "sx", "nd")
