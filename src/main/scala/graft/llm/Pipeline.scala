@@ -1137,6 +1137,35 @@ object Pipeline {
         expr("(1000000 * n_tokens) DIV n_docs").as("tokens_per_doc_micro"))
       .orderBy("source")
 
+  /** Sampling-seed overlap audit — the reproducibility/independence check
+    * a data-governance pass runs on its deterministic samplers: the same
+    * ~10% LCG tens-digit rule under three seeds (the multiplier carries
+    * the seed — an additive term would preserve order, the epoch-shuffle
+    * trap), with the pairwise overlap and Jaccard of the sampled sets.
+    * Near-independent samplers overlap at ~1% of the corpus; a sampler
+    * whose seeds collide (or alias through the LCG) shows up as inflated
+    * Jaccard. Pure per-row predicates + one 3-group agg. */
+  private def sampleSeedOverlap(s: SparkSession, d: String): DataFrame = {
+    def sel(seed: Long): Column =
+      pmod(pmod(col("doc_id"), lit(1000000007L)) *
+        lit(1103515245L + seed * 777767777L) + lit(7L), lit(100L)) < 10L
+    docs(s, d).select(col("doc_id"),
+        sel(1L).as("s1"), sel(2L).as("s2"), sel(3L).as("s3"))
+      .select(explode(array(
+          struct(lit("1:2").as("pair"), col("s1").as("a"), col("s2").as("b")),
+          struct(lit("1:3").as("pair"), col("s1").as("a"), col("s3").as("b")),
+          struct(lit("2:3").as("pair"), col("s2").as("a"), col("s3").as("b"))))
+        .as("p"))
+      .groupBy(col("p.pair").as("pair"))
+      .agg(sum(when(col("p.a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("p.b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("p.a") && col("p.b"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("pair"), col("n_a"), col("n_b"), col("n_both"),
+        expr("(1000000 * n_both) DIV (n_a + n_b - n_both)")
+          .as("jaccard_micro"))
+      .orderBy("pair")
+  }
+
   /** Context-window fit report — the sizing table read before choosing a
     * training context length: for each candidate window (512/2048/8192),
     * how many docs fit whole, how many tokens truncation would lose, and
@@ -1308,6 +1337,7 @@ object Pipeline {
     "pipeline_fertility" -> pipelineFertility _,
     "pipeline_context_fit" -> pipelineContextFit _,
     "emb_dim_variance" -> embDimVariance _,
+    "sample_seed_overlap" -> sampleSeedOverlap _,
     "pipeline_pack_efficiency" -> pipelinePackEfficiency _,
     "pipeline_dropout_mask" -> pipelineDropoutMask _,
     "pipeline_fim" -> pipelineFim _,
@@ -1414,6 +1444,25 @@ object Pipeline {
         "SELECT doc_id, source, rn, vt, " +
         "CAST(row_number() OVER (ORDER BY vt, source, rn) AS BIGINT) " +
         "AS mix_pos FROM v ORDER BY mix_pos"),
+    "sample_seed_overlap" -> {
+      def selSql(seed: Long): String =
+        s"((doc_id % 1000000007) * ${1103515245L + seed * 777767777L} + 7) " +
+          "% 100 < 10"
+      s"WITH b AS (SELECT doc_id, ${selSql(1L)} AS s1, ${selSql(2L)} AS s2, " +
+        s"${selSql(3L)} AS s3 FROM documents), " +
+        "p AS (SELECT '1:2' AS pair, s1 AS a, s2 AS b FROM b " +
+        "UNION ALL SELECT '1:3', s1, s3 FROM b " +
+        "UNION ALL SELECT '2:3', s2, s3 FROM b) " +
+        "SELECT pair, " +
+        "CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +
+        "CAST((1000000 * SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)) // " +
+        "(SUM(CASE WHEN a THEN 1 ELSE 0 END) + " +
+        "SUM(CASE WHEN b THEN 1 ELSE 0 END) - " +
+        "SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)) AS BIGINT) " +
+        "AS jaccard_micro FROM p GROUP BY pair ORDER BY pair"
+    },
     "pipeline_context_fit" ->
       (s"WITH t AS (SELECT CAST(len(${TextUtil.sqlTokens("text")}) " +
         "AS BIGINT) AS nt FROM documents), " +

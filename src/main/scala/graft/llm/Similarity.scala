@@ -850,6 +850,26 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** LSH bucket-balance histogram — the index-health diagnostic behind
+    * [[lshAnn]]: occupancy of every occupied 8-plane bucket. A healthy
+    * random-hyperplane index spreads the corpus across its 256 buckets;
+    * a skewed histogram means hot buckets (rerank cost blows up there)
+    * or dead planes — the number an operator reads before trusting the
+    * probe cost model. Pure per-row bucket id + one 256-group agg. */
+  private def lshBalance(s: SparkSession, d: String): DataFrame = {
+    val pl = planes(8, 64).map(_.map(v => math.floor(v * 1000000.0).toLong))
+    val planeCols = pl.zipWithIndex.map { case (p, j) =>
+      val dot = fixed_dot(col("fx"), array(p.map(v => lit(v)).toIndexedSeq: _*))
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    U.tbl(s, d, "embeddings")
+      .withColumn("fx", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000000.0))))
+      .withColumn("bucket", planeCols.reduce(_ + _))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+  }
+
   /** Per-vector OOD/novelty score — the distribution screen an embedding
     * ingest runs against its OWN index: distance of each vector to its
     * nearest coarse IVF centroid (1 − cos, floored micro-units), with
@@ -1299,7 +1319,8 @@ object Similarity {
     "sim_ivfpq_recall" -> ivfPqRecall _,
     "sim_pq_distortion" -> pqDistortion _,
     "sim_knn_graph" -> knnGraph _,
-    "emb_ood_score" -> embOod _)
+    "emb_ood_score" -> embOod _,
+    "sim_lsh_balance" -> lshBalance _)
 
   private val fxSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
@@ -1812,6 +1833,21 @@ object Similarity {
     "sim_pq_recall" -> pqRecallSql,
     "sim_ivfpq_adc" -> ivfPqAdcSql,
     "sim_ivfpq_recall" -> ivfPqRecallSql,
+    "sim_lsh_balance" -> {
+      val pl = planes(8, 64).map(_.map(v => math.floor(v * 1000000.0).toLong))
+      def planeDot(j: Int): String = {
+        val lst = pl(j).mkString("[", ", ", "]")
+        s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+          s"fx[CAST(i AS INTEGER)] * ($lst)[CAST(i AS INTEGER)])) AS BIGINT)"
+      }
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN ${planeDot(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"b AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM f) " +
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM b " +
+        "GROUP BY bucket ORDER BY bucket"
+    },
     "emb_ood_score" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

@@ -36,6 +36,22 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** Gzip-compressed CSV round-trip — the compressed-text-ingest rung
+    * beside [[scanCsv]]: the landing format half the world's exports
+    * actually arrive in. gzip is NOT splittable (one file = one task on
+    * read, unlike the parquet/zstd-frame paths), so a 100 TB ingest
+    * keeps individual .csv.gz files small and parallelizes ACROSS files
+    * — the codec choice is a partitioning decision, which is why it is
+    * an operator here and not an ops footnote. */
+  private def scanCsvGzip(s: SparkSession, d: String): DataFrame = {
+    val path = U.scratch(d, "csv_gz_nation")
+    U.tbl(s, d, "nation").coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(path)
+    s.read.schema(nationSchema).option("header", "true").csv(path)
+      .orderBy("n_nationkey")
+  }
+
   private val regionSchema = StructType(Seq(
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
@@ -703,6 +719,7 @@ object Scans {
     "scan_parquet" -> scanParquet _,
     "scan_events" -> scanEvents _,
     "scan_csv" -> scanCsv _,
+    "scan_csv_gzip" -> scanCsvGzip _,
     "scan_json" -> scanJson _,
     "scan_orc" -> scanOrc _,
     "scan_text" -> scanText _,
@@ -785,6 +802,7 @@ object Scans {
         "FROM zt GROUP BY 1 ORDER BY zbucket"),
     "scan_events" -> "SELECT * FROM events ORDER BY event_id",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_csv_gzip" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
     "scan_text" -> "SELECT text FROM documents ORDER BY text",

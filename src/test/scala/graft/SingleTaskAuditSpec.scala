@@ -20,7 +20,7 @@ class SingleTaskAuditSpec extends AnyFunSuite {
     "Verify.scala" -> 1,
     "streaming/StreamingQueries.scala" -> 2,
     "operators/Components.scala" -> 1,
-    "operators/Scans.scala" -> 6,
+    "operators/Scans.scala" -> 7,
     "operators/Graphs.scala" -> 6,
     "llm/Similarity.scala" -> 1)
 
