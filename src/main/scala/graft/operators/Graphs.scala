@@ -890,6 +890,41 @@ object Graphs {
       s"l3 AS (${round.format("l2")})"
   }
 
+  /** Conductance of every LPA community — the partition-quality sibling
+    * of [[graphModularity]] at EDGE granularity: φ(C) = cut(C) /
+    * min(vol(C), M − vol(C)) over the mirrored support≥2 adjacency, all
+    * counts exact integers off the shared label frame (one floored
+    * integral division per community). Low-conductance communities are
+    * real clusters; φ near 1 means the label only captured noise — the
+    * per-community drill-down behind the single modularity scalar. Same
+    * join gate as modularity ([[PrBroadcastNodeCap]] on the label
+    * frame). */
+  private def graphConductance(s: SparkSession, d: String): DataFrame = {
+    val (adj, _) = wedgeFrames(s, d)
+    val lab = U.track(lpaLabels(s, d).persist())
+    val side: DataFrame => DataFrame =
+      if (lab.count() <= PrBroadcastNodeCap) broadcast
+      else _.hint("shuffle_hash")
+    val mrow = adj.agg(count(lit(1)).as("m"))
+    val comm = adj
+      .join(side(lab.select(col("node").as("u"), col("lbl").as("cu"))),
+        Seq("u"))
+      .join(side(lab.select(col("node").as("v"), col("lbl").as("cv"))),
+        Seq("v"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("cu") =!= col("cv"), 1L).otherwise(0L)).as("cut"))
+    val nn = lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    comm.join(nn, Seq("community"))
+      .crossJoin(broadcast(mrow))
+      .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+        when(least(col("vol"), col("m") - col("vol")) > 0L,
+          expr("(1000000 * cut) DIV least(vol, m - vol)"))
+          .as("conductance_micro"))
+      .orderBy("community")
+  }
+
   /** Katz centrality truncated at path length 2 over the co-purchase
     * digraph, attenuation α=1/8 in exact integer micro-units:
     * katz = 1 + α·(paths of length 1 in) + α²·(paths of length 2 in),
@@ -1625,6 +1660,7 @@ object Graphs {
     "graph_katz" -> graphKatz _,
     "graph_assortativity" -> graphAssortativity _,
     "graph_community_lp" -> graphCommunityLp _,
+    "graph_conductance" -> graphConductance _,
     "graph_modularity" -> graphModularity _,
     "graph_mst" -> graphMst _,
     "graph_kcore" -> graphKcore _,
@@ -1833,6 +1869,22 @@ object Graphs {
         "FROM r3 WHERE dist > 0 GROUP BY n " +
         "ORDER BY harmonic_micro DESC, node LIMIT 50"
     },
+    "graph_conductance" ->
+      (supAdjCtes + ", " + lpaCtes + ", " +
+        "mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM adj), " +
+        "j AS (SELECT lu.lbl AS cu, lv.lbl AS cv FROM adj " +
+        "JOIN l3 lu ON adj.u = lu.node JOIN l3 lv ON adj.v = lv.node), " +
+        "comm AS (SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS vol, " +
+        "CAST(SUM(CASE WHEN cu <> cv THEN 1 ELSE 0 END) AS BIGINT) AS cut " +
+        "FROM j GROUP BY cu), " +
+        "nn AS (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) " +
+        "AS n_nodes FROM l3 GROUP BY lbl) " +
+        "SELECT community, n_nodes, vol, cut, " +
+        "CASE WHEN least(vol, m - vol) > 0 THEN " +
+        "CAST((1000000 * cut) // least(vol, m - vol) AS BIGINT) END " +
+        "AS conductance_micro " +
+        "FROM comm JOIN nn USING (community) CROSS JOIN mrow " +
+        "ORDER BY community"),
     "graph_modularity" ->
       (supAdjCtes + ", " + lpaCtes + ", " +
         "mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM adj), " +

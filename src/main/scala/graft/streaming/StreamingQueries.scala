@@ -231,6 +231,39 @@ class NearDupProcessor
   }
 }
 
+case class SprtEvent(event_type: String, us: Long, dayi: Long, succ: Long)
+case class SprtOut(event_type: String, dayi: Long, cum_n: Long, cum_k: Long)
+
+/** Wald's SPRT live on the stream — the always-valid sequential monitor
+  * enforced where it belongs, on arrival: per type the running
+  * (trials, successes) pair rides one ValueState, each event emits the
+  * post-update cumulants tagged with its day, and the post-replay
+  * rollup takes each day's LAST cumulants (max — the running counts
+  * are monotone) before computing the LLR verdicts. Rows sort by event
+  * time within a batch and the staged replay is event-time-ordered
+  * across batches, so the per-day finals are batch-boundary-invariant
+  * — which is why the stream shares the batch agg_sprt oracle
+  * VERBATIM (the stream_page_hinkley discipline). */
+class SprtProcessor
+    extends StatefulProcessor[String, SprtEvent, SprtOut] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("cums",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[SprtEvent],
+      tv: TimerValues): Iterator[SprtOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.dayi))
+    var (n, k) = if (st.exists()) st.get() else (0L, 0L)
+    val out = sorted.map { e =>
+      n += 1L; k += e.succ
+      SprtOut(e.event_type, e.dayi, n, k)
+    }
+    st.update((n, k))
+    out.iterator
+  }
+}
+
 case class QuotaEvent(doc_id: Long, source: String, n_tokens: Long)
 case class QuotaOut(doc_id: Long, source: String, n_tokens: Long,
   cum_tokens: Long, admitted: Boolean)
@@ -839,6 +872,40 @@ object StreamingQueries {
     }
   }
 
+  /** [[SprtProcessor]] end-to-end: the sequential test as a live stream,
+    * then the SAME daily rollup as the batch twin — one shared oracle. */
+  private def sprtTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.select(col("event_type"), expr("unix_micros(ts)").as("us"),
+          expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+          when(graft.U.cents(col("value")) >= 5000L, 1L).otherwise(0L)
+            .as("succ"))
+        .as[SprtEvent]
+        .groupByKey(_.event_type)
+        .transformWithState(new SprtProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.groupBy(col("event_type"), col("dayi"))
+      .agg(max(col("cum_n")).as("cum_n"), max(col("cum_k")).as("cum_k"))
+      .withColumn("llr", col("cum_k").cast("double") * log(lit(0.5) / lit(0.4)) +
+        (col("cum_n") - col("cum_k")).cast("double") * log(lit(0.5) / lit(0.6)))
+      .select(col("event_type"), col("dayi"), col("cum_n"), col("cum_k"),
+        col("llr"),
+        when(col("llr") >= log(lit(19.0)), "accept_h1")
+          .when(col("llr") <= -log(lit(19.0)), "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("event_type", "dayi")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[TokenQuotaProcessor]] end-to-end: the per-source token budget
     * enforced ON THE STREAM over the staged documents replay (the
     * stream_neardup staging), token counts from the shared whitespace
@@ -1158,6 +1225,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup" -> neardupStream _,
     "stream_token_quota" -> tokenQuotaStream _,
+    "stream_sprt" -> sprtTws _,
     "stream_page_hinkley" -> pageHinkleyTws _,
     "stream_session_tws" -> sessionizeTws _,
     "stream_hysteresis" -> hysteresisTws _,
@@ -1223,6 +1291,7 @@ object StreamingQueries {
     // the batch ts_page_hinkley oracle, verbatim — same discipline
     "stream_page_hinkley" ->
       graft.operators.TimeSeries.oracleSql("ts_page_hinkley"),
+    "stream_sprt" -> graft.operators.Aggregations.oracleSql("agg_sprt"),
     "stream_cusum" -> graft.operators.TimeSeries.cusumAlarmSql,
     "stream_session_tws" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +

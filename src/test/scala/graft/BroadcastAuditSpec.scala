@@ -23,7 +23,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 22,
     "operators/Aggregations.scala" -> 54,
-    "operators/Graphs.scala" -> 13,
+    "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,

@@ -219,6 +219,15 @@ class StreamingSpec extends SparkTestBase {
         s"${batch.length} vs ${stream.length}")
   }
 
+  test("stream_sprt equals the batch sequential-test rollup row-for-row") {
+    val batch = SparkEntry.queries("agg_sprt")(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val stream = SparkEntry.queries("stream_sprt")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"batch/stream SPRT divergence: ${batch.length} vs ${stream.length}")
+  }
+
   test("stream_neardup detects dups ACROSS micro-batches (state-path proof)") {
     // the staged docs replay runs 8 doc_id-range files at 4/trigger = 2
     // micro-batches with the range midpoint as the batch boundary; a dup
