@@ -2260,7 +2260,39 @@ object Aggregations {
       .orderBy("event_type", "dayi")
   }
 
+  /** Hodges–Lehmann location estimate of the per-type daily spend — the
+    * robust center a reporting pipeline quotes when means are
+    * outlier-poisoned and medians discard too much: the median of all
+    * pairwise day-mean averages (i ≤ j, Walsh averages). Days are the
+    * pair domain, so the self-join is calendar²-bounded per type (≤ ~500
+    * pairs on a month of days) — never row-count-bounded; the median is
+    * an order statistic over exact values: Walsh sums stay integer
+    * (yi + yj in cents) and ship in exact half-cent milli-units
+    * (×500), so the selection hash-matches. */
+  private def aggHodgesLehmann(s: SparkSession, d: String): DataFrame = {
+    val daily = U.track(U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(U.cents(col("value"))).as("y"))
+      .persist())
+    val b = daily.select(col("event_type").as("et2"), col("dayi").as("dj"),
+      col("y").as("yj"))
+    val pairs = daily.join(b, col("event_type") === col("et2") &&
+        col("dayi") <= col("dj"))
+      .select(col("event_type"), (col("y") + col("yj")).as("ws"))
+    val nc = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+    pairs.withColumn("rn", row_number().over(w))
+      .join(broadcast(nc.select(col("event_type").as("nt"), col("n_pairs"))),
+        col("event_type") === col("nt"))
+      .filter(col("rn").cast(LongType) === expr("(n_pairs + 1) DIV 2"))
+      .select(col("event_type"), col("n_pairs"),
+        (col("ws") * lit(500L)).as("hl_milli"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hodges_lehmann" -> aggHodgesLehmann _,
     "agg_cuped" -> aggCuped _,
     "agg_sprt" -> aggSprt _,
     "agg_mde" -> aggMde _,
@@ -2419,6 +2451,23 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_hodges_lehmann" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(SUM($c) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "pairs AS (SELECT a.event_type, CAST(a.y + b.y AS BIGINT) AS ws " +
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type " +
+        "AND a.dayi <= b.dayi), " +
+        "nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM pairs GROUP BY 1), " +
+        "rk AS (SELECT event_type, ws, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY ws) AS rn FROM pairs) " +
+        "SELECT rk.event_type, nc.n_pairs, " +
+        "CAST(rk.ws * 500 AS BIGINT) AS hl_milli " +
+        "FROM rk JOIN nc USING (event_type) " +
+        "WHERE rk.rn = (nc.n_pairs + 1) // 2 ORDER BY rk.event_type"
+    },
     "agg_cuped" -> {
       val c = OSQL.cents("value")
       val cov = OSQL.covPowerSums("sxy", "sx", "sy", "nd")

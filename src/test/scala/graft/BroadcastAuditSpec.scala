@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 22,
-    "operators/Aggregations.scala" -> 54,
+    "operators/Aggregations.scala" -> 55,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
