@@ -145,6 +145,118 @@ class Round11Spec extends SparkTestBase {
     assert(got(3L) == ((0L, false)), "the unique doc must stay clean")
   }
 
+  test("agg_cuped: rho2 is a squared correlation, adjustment is coherent") {
+    val r = SparkEntry.queries("agg_cuped")(spark, sfDir).collect().head
+    U.releaseTracked()
+    assert(r.getAs[Long]("n_users") >= 2L)
+    val rho2 = r.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 <= 1.0, s"rho2 $rho2 outside [0, 1]")
+    // theta ties the two reported differences together by definition:
+    // diff_cuped = diff_raw - theta * (xbar1 - xbar0) — nonzero theta
+    // with equal diffs would mean the covariate did nothing while
+    // claiming correlation
+    if (rho2 > 0.01)
+      assert(r.getAs[Double]("diff_raw") != r.getAs[Double]("diff_cuped"),
+        "a correlated covariate must move the adjusted difference")
+  }
+
+  test("agg_sprt: LLR recounts from the cumulative cells, verdicts match") {
+    val rows = SparkEntry.queries("agg_sprt")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val la = math.log(0.5 / 0.4); val lb = math.log(0.5 / 0.6)
+    val thr = math.log(19.0)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("dayi"))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          assert(w(0).getAs[Long]("cum_n") < w(1).getAs[Long]("cum_n"))
+          assert(w(0).getAs[Long]("cum_k") <= w(1).getAs[Long]("cum_k"))
+        }
+      }
+      sorted.foreach { r =>
+        val (n, k) = (r.getAs[Long]("cum_n"), r.getAs[Long]("cum_k"))
+        val llr = k.toDouble * la + (n - k).toDouble * lb
+        assert(math.abs(llr - r.getAs[Double]("llr")) < 1e-9)
+        val want = if (llr >= thr) "accept_h1"
+          else if (llr <= -thr) "accept_h0" else "continue"
+        assert(r.getAs[String]("decision") == want)
+      }
+    }
+  }
+
+  test("graph_conductance: volumes partition the edge count, phi bounded") {
+    val rows = SparkEntry.queries("graph_conductance")(spark, sfDir).collect()
+    U.releaseTracked()
+    assert(rows.nonEmpty)
+    // mirrored adjacency: community volumes partition the directed edge
+    // count, and the cross edges are counted once from EACH side
+    val vol = rows.map(_.getAs[Long]("vol")).sum
+    val cut = rows.map(_.getAs[Long]("cut")).sum
+    assert(cut % 2 == 0, s"total cut $cut must be even on a mirrored graph")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cut") <= r.getAs[Long]("vol"))
+      if (!r.isNullAt(r.fieldIndex("conductance_micro"))) {
+        val p = r.getAs[Long]("conductance_micro")
+        assert(p >= 0L && p <= 1000000L, s"phi $p outside [0, 1e6]")
+      }
+    }
+    assert(vol > 0L)
+  }
+
+  test("agg_hodges_lehmann: the selected Walsh median recounts exactly") {
+    val got = SparkEntry.queries("agg_hodges_lehmann")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("hl_milli"))).toMap
+    U.releaseTracked()
+    // independent recount: daily cents totals -> all Walsh sums -> the
+    // lower-median selection, in plain Scala
+    val daily = U.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(U.cents(col("value"))).as("y"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    daily.foreach { case (t, rs) =>
+      val ys = rs.map(_.getAs[Long]("y")).sorted
+      val walsh = (for (i <- ys.indices; j <- i until ys.length)
+        yield ys(i) + ys(j)).sorted
+      val k = ((walsh.length + 1) / 2) - 1
+      assert(got(t) == ((walsh.length.toLong, walsh(k) * 500L)),
+        s"type $t: HL recount mismatch")
+    }
+  }
+
+  test("sample_seed_overlap: samplers are ~10% each and near-independent") {
+    val rows = SparkEntry.queries("sample_seed_overlap")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    val n = U.tbl(spark, sfDir, "documents").count().toDouble
+    rows.foreach { r =>
+      for (c <- Seq("n_a", "n_b")) {
+        val rate = r.getAs[Long](c) / n
+        assert(rate > 0.05 && rate < 0.15,
+          s"${r.getAs[String]("pair")} $c rate $rate outside the 10% band")
+      }
+      // independent 10% samplers overlap near 1%; aliasing seeds would
+      // push Jaccard toward 1e6
+      assert(r.getAs[Long]("jaccard_micro") < 200000L,
+        s"${r.getAs[String]("pair")} overlap too high — seeds alias")
+    }
+  }
+
+  test("emb_ood_score: scores bounded, cells valid, index is corpus-wide") {
+    val rows = SparkEntry.queries("emb_ood_score")(spark, sfDir).collect()
+    U.releaseTracked()
+    val n = U.tbl(spark, sfDir, "embeddings").count()
+    assert(rows.length == n, "every vector gets a score")
+    rows.foreach { r =>
+      val o = r.getAs[Long]("ood_micro")
+      assert(o >= 0L && o <= 2000000L, s"ood $o outside [0, 2e6]")
+      val c = r.getAs[Int]("nearest_cid")
+      assert(c >= 0 && c < 16)
+      assert(r.getAs[Boolean]("is_ood") == (o >= 300000L))
+    }
+  }
+
   test("sim_ivfpq_adc ranks are exact-L2-coherent and per-query complete") {
     val rows = SparkEntry.queries("sim_ivfpq_adc")(spark, sfDir).collect()
     U.releaseTracked()
