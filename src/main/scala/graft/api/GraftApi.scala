@@ -988,6 +988,22 @@ object GraftApi {
       .orderBy(id)
   }
 
+  /** Split-conformal prediction interval on a caller frame — the
+    * `agg_conformal_interval` kernel lifted: per `group`, the even
+    * `unitId`s train the mean predictor in exact micro-cents, the odd
+    * ones calibrate, and the interval half-width is the
+    * k = ⌈0.9·(n_cal+1)⌉-th smallest absolute residual (guaranteed
+    * ≥90% coverage on exchangeable data, no distributional assumption);
+    * the empirical coverage is re-measured beside it. Returns (<group>,
+    * n_train, n_cal, mean_micro, q90_micro, coverage_micro). */
+  def conformalInterval(df: DataFrame, group: String, unitId: String,
+      value: String): DataFrame =
+    graft.operators.Aggregations.conformalOn(
+        df.select(col(group).as("event_type"),
+          col(unitId).cast(LongType).as("user_id"),
+          graft.U.cents(col(value)).as("vc")))
+      .withColumnRenamed("event_type", group)
+
   /** Deterministic ~10% token dropout on a caller frame — the
     * `pipeline_dropout_mask` kernel lifted: the token at position p of
     * row `id` drops when the LCG hash's tens digit is 0 (no rand(),

@@ -2117,10 +2117,15 @@ object Aggregations {
     * selected VALUE), and the empirical coverage is re-measured beside
     * the interval — quality measured, not assumed. One scan + one
     * window per type. */
-  private def aggConformal(s: SparkSession, d: String): DataFrame = {
-    val vc = U.cents(col("value"))
-    val ev = U.events(s, d)
-      .select(col("event_type"), col("user_id"), vc.as("vc"))
+  private def aggConformal(s: SparkSession, d: String): DataFrame =
+    conformalOn(U.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        U.cents(col("value")).as("vc")))
+
+  /** The split-conformal kernel over any (event_type, user_id, vc) frame
+    * — shared by the declared query and
+    * [[graft.api.GraftApi.conformalInterval]]. */
+  private[graft] def conformalOn(ev: DataFrame): DataFrame = {
     val mu = ev.filter(pmod(col("user_id"), lit(2L)) === 0L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_train"), sum(col("vc")).as("sx"))

@@ -727,6 +727,20 @@ class ApiSpec extends SparkTestBase {
       "batch prefix-quota must equal the streaming enforcement")
   }
 
+  test("conformalInterval equals the declared agg_conformal_interval") {
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type").as("grp"), col("user_id").as("uid"),
+        col("value").as("amount"))
+    val viaApi = GraftApi.conformalInterval(ev, "grp", "uid", "amount")
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val declared = SparkEntry.queries("agg_conformal_interval")(spark, sfDir)
+      .collect()
+      .map(r => r.toString)
+    U.releaseTracked()
+    assert(viaApi.sameElements(declared))
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal
