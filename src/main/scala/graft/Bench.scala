@@ -71,27 +71,38 @@ object Bench {
       .map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: $e")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: $e")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query persisted frames so a long bench JVM does not
         // accumulate dead cached blocks (shared caches are not tracked)
         U.releaseTracked()
-        dt
+        (dt, ok)
       }
       name -> runs
     }
+    // failed runs are excluded from the median: a plan-time crash takes
+    // milliseconds, so letting it vote would make a query failing 2 of 3
+    // runs look CHEAPER than a working one. All-runs-failed reports null
+    // (the name is in `failed` either way); raw triples stay complete.
     val medians = results.map { case (k, rs) =>
-      k -> rs.sorted.apply((rs.length - 1) / 2) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = rs.collect { case (dt, true) => dt }
+      k -> (if (ok.nonEmpty) Some(ok.sorted.apply((ok.length - 1) / 2))
+            else None)
+    }
+    val qs = medians.map { case (k, v) =>
+        s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs) =>
-      s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      s"\"" + k + "\":" + rs.map(_._1).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val total =
+      if (medians.nonEmpty) medians.values.flatten.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nRuns","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver's stdout parse failed four rounds running ("parsed": null):

@@ -831,10 +831,22 @@ object GraftApi {
     * never by a raw `id < n` threshold: a frame whose ids start at 1000
     * would otherwise silently return empty or degenerate results. */
   private def smallestIds(emb: DataFrame, nCut: Int): Array[Long] = {
-    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(nCut)
+    // the ranked-id seed/query rule assumes unique non-null ids: a null id
+    // sorts first and NPEs, a duplicate makes `vec_id <= seedCut` admit
+    // more than k seeds (recall denominators silently exceed 1) — validate
+    // up front with a clear message, like the dimension-uniformity check
+    val chk = emb.agg(count(lit(1)).as("n"), count(col("vec_id")).as("nn"),
+      countDistinct(col("vec_id")).as("ndist")).collect().head
+    require(chk.getLong(0) > 0L, "embedding frame is empty")
+    require(chk.getLong(0) == chk.getLong(1),
+      s"id column has ${chk.getLong(0) - chk.getLong(1)} null(s) — " +
+        "ranked-id seed selection requires non-null ids")
+    require(chk.getLong(1) == chk.getLong(2),
+      s"id column has duplicates (${chk.getLong(1)} rows, " +
+        s"${chk.getLong(2)} distinct) — ranked-id seed selection " +
+        "requires unique ids")
+    emb.select(col("vec_id")).orderBy("vec_id").limit(nCut)
       .collect().map(_.getLong(0))
-    require(ids.nonEmpty, "embedding frame is empty")
-    ids
   }
 
   /** IVF recall/cost tuning curve on a caller frame — the

@@ -2129,7 +2129,12 @@ object Aggregations {
     val mu = ev.filter(pmod(col("user_id"), lit(2L)) === 0L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_train"), sum(col("vc")).as("sx"))
-      .withColumn("mean_micro", expr("(1000000 * sx) DIV n_train"))
+      // DECIMAL(38,0) cross term (the aggMde/embDimVariance discipline):
+      // 1e6 * a cents sum overflows Long above ~$92B per type — plausible
+      // at large SF — while the DuckDB mirror already runs in HUGEINT
+      .withColumn("mean_micro",
+        expr("CAST((CAST(sx AS DECIMAL(38,0)) * 1000000) DIV n_train " +
+          "AS BIGINT)"))
       .select(col("event_type").as("et"), col("n_train"), col("mean_micro"))
     val resid = U.track(ev.filter(pmod(col("user_id"), lit(2L)) === 1L)
       .join(broadcast(mu), col("event_type") === col("et"))
@@ -2228,10 +2233,18 @@ object Aggregations {
       col("sy0") / (lit(100.0) * col("n0"))
     val dX = col("sx1") / (lit(100.0) * col("n1")) -
       col("sx0") / (lit(100.0) * col("n0"))
+    // degenerate-input guards (ANSI doubles throw DIVIDE_BY_ZERO): zero
+    // pre-period variance (all events one day) nulls theta/rho2, an empty
+    // parity arm nulls the arm differences — mirrored as CASE WHEN in the
+    // oracle so both engines return NULL instead of crashing
+    val okVx = col("nd") > 1.0 && vx =!= 0.0
+    val okArms = col("n0") > 0.0 && col("n1") > 0.0
     g.crossJoin(broadcast(armRow(0))).crossJoin(broadcast(armRow(1)))
       .select(col("nd").cast(LongType).as("n_users"),
-        theta.as("theta"), (cov * cov / (vx * vy)).as("rho2"),
-        dRaw.as("diff_raw"), (dRaw - theta * dX).as("diff_cuped"))
+        when(okVx, theta).as("theta"),
+        when(okVx && vy =!= 0.0, cov * cov / (vx * vy)).as("rho2"),
+        when(okArms, dRaw).as("diff_raw"),
+        when(okVx && okArms, dRaw - theta * dX).as("diff_cuped"))
   }
 
   /** Sequential probability ratio test over the daily event stream — the
@@ -2296,7 +2309,112 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Poisson-bootstrap 90% CI of the mean value per type — THE bootstrap
+    * that survives 100 TB: instead of resampling rows (impossible
+    * distributed), every row carries B=32 deterministic integer weights
+    * drawn from a 1%-resolution Poisson(1) pmf ({0,1,2,3,4} at
+    * 37/37/18/6/2%, mean 0.99) via the per-replicate-MULTIPLIER LCG (an
+    * additive term would preserve the row order mod M — found the hard
+    * way), so the whole procedure is ONE widened hash aggregate: no
+    * second pass, no sampling shuffle, replicate means are exact
+    * integral micro via DECIMAL(38,0) cross terms, and the CI bounds are
+    * order statistics of the 32 replicate means (tie order cannot change
+    * the selected value). */
+  private def aggBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d).select(col("event_type"),
+      U.cents(col("value")).as("vc"), col("event_id"))
+    val means = ev
+      .withColumn("b", explode(sequence(lit(0L), lit(31L))))
+      .withColumn("h", expr("((event_id % 1000000007) * " +
+        "(1103515245 + b * 12820163) + b * 12345 + 7) % 100"))
+      .withColumn("w", when(col("h") < 37L, 0L).when(col("h") < 74L, 1L)
+        .when(col("h") < 92L, 2L).when(col("h") < 98L, 3L).otherwise(4L))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("vc")).as("swv"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .withColumn("mean_b",
+        expr("CAST((CAST(swv AS DECIMAL(38,0)) * 10000) DIV sw AS BIGINT)"))
+    val nb = means.groupBy(col("event_type").as("nt"))
+      .agg(count(lit(1)).as("n_rep"))
+    val pt = ev.groupBy(col("event_type").as("ptt"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST((CAST(SUM(vc) AS DECIMAL(38,0)) * 10000) DIV COUNT(*) " +
+          "AS BIGINT)").as("mean_micro"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("mean_b"))
+    means.withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(nb), col("event_type") === col("nt"))
+      .filter(col("rn") === expr("(5 * n_rep + 99) DIV 100") ||
+        col("rn") === col("n_rep") + 1L - expr("(5 * n_rep + 99) DIV 100"))
+      .join(broadcast(pt), col("event_type") === col("ptt"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("mean_micro")).as("mean_micro"),
+        max(col("n_rep")).as("n_rep"), min(col("mean_b")).as("lo_micro"),
+        max(col("mean_b")).as("hi_micro"))
+      .orderBy("event_type")
+  }
+
+  /** McNemar's test per type on the paired pre/post design: each user is
+    * their own control (did the type before the observed day midpoint vs
+    * on/after it), only the DISCORDANT pairs b (pre-only) and c
+    * (post-only) carry signal, and the statistic (b−c)²/(b+c) ships in
+    * exact micro with the DECIMAL(38,0) cross term ((b−c)² alone can
+    * pass 10¹⁸ at 10⁹ users). One per-user hash agg + one per-type agg —
+    * the within-subject A/B answer the two_prop_z between-subject test
+    * cannot give. */
+  private def aggMcnemar(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+    val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(when(col("dayi") < col("sd"), 1L).otherwise(0L)).as("pre"),
+        max(when(col("dayi") >= col("sd"), 1L).otherwise(0L)).as("post"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("pre") === 1L && col("post") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("pre") === 0L && col("post") === 1L, 1L).otherwise(0L))
+          .as("c"))
+      .select(col("event_type"), col("n_users"), col("b"), col("c"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (b - c) * (b - c)) " +
+          "DIV nullif(b + c, 0) AS BIGINT)").as("mcnemar_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Cochran's Q over the three funnel conditions (click/view/purchase)
+    * as matched per-user binary outcomes — the k-treatment extension of
+    * McNemar a funnel-health check runs before pairwise drilling: Q =
+    * (k−1)(kΣCⱼ²−N²)/(kN−ΣRᵢ²) with k=3 is ENTIRELY integer arithmetic
+    * off one per-user hash agg + one 1-row reduce (the column sums Cⱼ,
+    * the total N, and the row-sum squares ΣRᵢ² are the whole sufficient
+    * statistic), so the statistic ships exact in micro through
+    * DECIMAL(38,0) cross terms. */
+  private def aggCochranQ(s: SparkSession, d: String): DataFrame = {
+    val per = U.events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x1"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x3"))
+      .withColumn("r", col("x1") + col("x2") + col("x3"))
+    per.agg(count(lit(1)).as("n_users"), sum(col("x1")).as("c1"),
+        sum(col("x2")).as("c2"), sum(col("x3")).as("c3"),
+        sum(col("r")).as("nn"), sum(col("r") * col("r")).as("sr2"))
+      .select(col("n_users"), col("c1"), col("c2"), col("c3"),
+        expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * " +
+          "(3 * (CAST(c1 AS DECIMAL(38,0)) * c1 + " +
+          "CAST(c2 AS DECIMAL(38,0)) * c2 + " +
+          "CAST(c3 AS DECIMAL(38,0)) * c3) - " +
+          "CAST(nn AS DECIMAL(38,0)) * nn)) " +
+          "DIV nullif(3 * nn - sr2, 0) AS BIGINT)").as("q_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap_ci" -> aggBootstrapCi _,
+    "agg_mcnemar" -> aggMcnemar _,
+    "agg_cochran_q" -> aggCochranQ _,
     "agg_hodges_lehmann" -> aggHodgesLehmann _,
     "agg_cuped" -> aggCuped _,
     "agg_sprt" -> aggSprt _,
@@ -2456,6 +2574,70 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bootstrap_ci" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, $c AS vc, event_id FROM events), " +
+        "reps AS (SELECT event_type, vc, b, " +
+        "((event_id % 1000000007) * (1103515245 + b * 12820163) " +
+        "+ b * 12345 + 7) % 100 AS h FROM ev CROSS JOIN " +
+        "(SELECT unnest(generate_series(0, 31)) AS b)), " +
+        "wts AS (SELECT event_type, b, vc, CASE WHEN h < 37 THEN 0 " +
+        "WHEN h < 74 THEN 1 WHEN h < 92 THEN 2 WHEN h < 98 THEN 3 " +
+        "ELSE 4 END AS w FROM reps), " +
+        "means AS (SELECT event_type, b, " +
+        "CAST((10000 * SUM(w * vc)) // SUM(w) AS BIGINT) AS mean_b " +
+        "FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0), " +
+        "nb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rep " +
+        "FROM means GROUP BY 1), " +
+        "rk AS (SELECT event_type, mean_b, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY mean_b) AS rn FROM means), " +
+        "pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST((10000 * SUM(vc)) // COUNT(*) AS BIGINT) AS mean_micro " +
+        "FROM ev GROUP BY 1) " +
+        "SELECT pt.event_type, MAX(pt.n) AS n, " +
+        "MAX(pt.mean_micro) AS mean_micro, MAX(nb.n_rep) AS n_rep, " +
+        "CAST(MIN(rk.mean_b) AS BIGINT) AS lo_micro, " +
+        "CAST(MAX(rk.mean_b) AS BIGINT) AS hi_micro " +
+        "FROM rk JOIN nb USING (event_type) JOIN pt USING (event_type) " +
+        "WHERE rk.rn = (5 * nb.n_rep + 99) // 100 " +
+        "OR rk.rn = nb.n_rep + 1 - (5 * nb.n_rep + 99) // 100 " +
+        "GROUP BY 1 ORDER BY 1"
+    },
+    "agg_mcnemar" ->
+      ("WITH ev AS (SELECT user_id, event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi FROM events), " +
+        "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd FROM ev), " +
+        "per AS (SELECT user_id, event_type, " +
+        "MAX(CASE WHEN dayi < sd THEN 1 ELSE 0 END) AS pre, " +
+        "MAX(CASE WHEN dayi >= sd THEN 1 ELSE 0 END) AS post " +
+        "FROM ev CROSS JOIN sp GROUP BY 1, 2), " +
+        "ct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS b, " +
+        "CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS c FROM per GROUP BY 1) " +
+        "SELECT event_type, n_users, b, c, " +
+        "CAST((1000000 * CAST(b - c AS HUGEINT) * (b - c)) " +
+        "// nullif(b + c, 0) AS BIGINT) AS mcnemar_micro " +
+        "FROM ct ORDER BY 1"),
+    "agg_cochran_q" ->
+      ("WITH per AS (SELECT user_id, " +
+        "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1, " +
+        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3 " +
+        "FROM events WHERE event_type IN ('click', 'view', 'purchase') " +
+        "GROUP BY 1), " +
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(x1) AS BIGINT) AS c1, CAST(SUM(x2) AS BIGINT) AS c2, " +
+        "CAST(SUM(x3) AS BIGINT) AS c3, " +
+        "CAST(SUM(x1 + x2 + x3) AS BIGINT) AS nn, " +
+        "CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2 " +
+        "FROM per) " +
+        "SELECT n_users, c1, c2, c3, " +
+        "CAST((2000000 * (3 * (CAST(c1 AS HUGEINT) * c1 " +
+        "+ CAST(c2 AS HUGEINT) * c2 + CAST(c3 AS HUGEINT) * c3) " +
+        "- CAST(nn AS HUGEINT) * nn)) " +
+        "// nullif(3 * nn - sr2, 0) AS BIGINT) AS q_micro FROM st"),
     "agg_hodges_lehmann" -> {
       val c = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, " +
@@ -2499,10 +2681,13 @@ object Aggregations {
         "CAST(SUM(x) AS DOUBLE) AS sx1, CAST(SUM(y) AS DOUBLE) AS sy1 " +
         "FROM per WHERE arm = 1) " +
         "SELECT CAST(nd AS BIGINT) AS n_users, " +
-        s"($cov) / ($vx) AS theta, " +
-        s"($cov) * ($cov) / (($vx) * ($vy)) AS rho2, " +
-        s"$dRaw AS diff_raw, " +
-        s"($dRaw) - (($cov) / ($vx)) * ($dX) AS diff_cuped " +
+        s"CASE WHEN nd > 1.0 AND ($vx) <> 0 THEN ($cov) / ($vx) END " +
+        "AS theta, " +
+        s"CASE WHEN nd > 1.0 AND ($vx) <> 0 AND ($vy) <> 0 THEN " +
+        s"($cov) * ($cov) / (($vx) * ($vy)) END AS rho2, " +
+        s"CASE WHEN n0 > 0 AND n1 > 0 THEN $dRaw END AS diff_raw, " +
+        s"CASE WHEN nd > 1.0 AND ($vx) <> 0 AND n0 > 0 AND n1 > 0 THEN " +
+        s"($dRaw) - (($cov) / ($vx)) * ($dX) END AS diff_cuped " +
         "FROM g CROSS JOIN a0 CROSS JOIN a1"
     },
     "agg_sprt" -> {

@@ -3488,7 +3488,55 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Weibull reliability fit per experiment arm via median-rank
+    * regression — the closed-form (no iterative MLE) estimate a
+    * reliability engineer reads off a Weibull probability plot: the
+    * uncensored time-to-first-error lifetimes from [[survivalLife]] get
+    * median-rank plotting positions Fᵢ=(i−0.3)/(n+0.4), both plot axes
+    * xᵢ=ln tᵢ and yᵢ=ln(−ln(1−Fᵢ)) are FLOORED TO MICRO-NATS so every
+    * downstream sum is exact integer (ln agrees cross-engine; summing
+    * raw doubles would be addition-order-dependent), and the slope
+    * β (the shape: <1 infant mortality, ≈1 random, >1 wear-out) comes
+    * from the integer normal equations through DECIMAL(38,0) cross
+    * terms. Ties in t permute only equal x's across ranks, so every sum
+    * is tie-order invariant. ln η ships as the integer recombination
+    * x̄−ȳ/β of the three shipped statistics. One per-user agg + one
+    * |failures| rank window per arm. */
+  private def tsWeibullFit(s: SparkSession, d: String): DataFrame = {
+    val life = survivalLife(s, d).filter(col("died") === 1L)
+      .select(col("grp"), (col("dd") - col("fd") + 1L).as("t"))
+    val n = life.groupBy(col("grp").as("ng")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("t"))
+    val dec = DecimalType(38, 0)
+    life.withColumn("i", row_number().over(w).cast(LongType))
+      .join(broadcast(n), col("grp") === col("ng"))
+      .withColumn("x",
+        floor(lit(1000000.0) * log(col("t").cast(DoubleType)))
+          .cast(LongType))
+      .withColumn("y",
+        floor(lit(1000000.0) * log(-log(lit(1.0) -
+          (col("i").cast(DoubleType) - lit(0.3)) /
+            (col("n").cast(DoubleType) + lit(0.4))))).cast(LongType))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_failures"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .select(col("grp"), col("n_failures"),
+        expr("CAST(sx DIV n_failures AS BIGINT)").as("xbar_micro"),
+        expr("CAST(sy DIV n_failures AS BIGINT)").as("ybar_micro"),
+        expr("CAST((1000000 * (n_failures * sxy - " +
+          "CAST(sx AS DECIMAL(38,0)) * sy)) DIV " +
+          "nullif(n_failures * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0) " +
+          "AS BIGINT)").as("beta_micro"))
+      .withColumn("ln_eta_micro",
+        expr("xbar_micro - (1000000 * ybar_micro) DIV " +
+          "nullif(beta_micro, 0)"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_weibull_fit" -> tsWeibullFit _,
     "ts_snaive_mase" -> tsSnaiveMase _,
     "ts_attribution" -> tsAttribution _,
     "ts_entropy_rate" -> tsEntropyRate _,
@@ -3755,6 +3803,32 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_weibull_fit" ->
+      (s"WITH $survivalCtes, " +
+        "lt AS (SELECT grp, dd - fd + 1 AS t FROM life WHERE died = 1), " +
+        "wn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM lt " +
+        "GROUP BY 1), " +
+        "rk AS (SELECT grp, t, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY t) AS i FROM lt), " +
+        "xy AS (SELECT rk.grp, " +
+        "CAST(floor(1000000.0 * ln(CAST(t AS DOUBLE))) AS BIGINT) AS x, " +
+        "CAST(floor(1000000.0 * ln(-ln(1.0 - " +
+        "(CAST(i AS DOUBLE) - 0.3) / (CAST(wn.n AS DOUBLE) + 0.4)))) " +
+        "AS BIGINT) AS y FROM rk JOIN wn USING (grp)), " +
+        "st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_failures, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx, " +
+        "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM xy GROUP BY 1), " +
+        "fin AS (SELECT grp, n_failures, " +
+        "CAST(sx // n_failures AS BIGINT) AS xbar_micro, " +
+        "CAST(sy // n_failures AS BIGINT) AS ybar_micro, " +
+        "CAST((1000000 * (n_failures * sxy - CAST(sx AS HUGEINT) * sy)) " +
+        "// nullif(n_failures * sxx - CAST(sx AS HUGEINT) * sx, 0) " +
+        "AS BIGINT) AS beta_micro FROM st) " +
+        "SELECT grp, n_failures, xbar_micro, ybar_micro, beta_micro, " +
+        "CAST(xbar_micro - (1000000 * ybar_micro) " +
+        "// nullif(beta_micro, 0) AS BIGINT) AS ln_eta_micro " +
+        "FROM fin ORDER BY grp"),
     "ts_snaive_mase" -> {
       val c = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 " +

@@ -695,6 +695,29 @@ class ApiSpec extends SparkTestBase {
     assert(err.getMessage.contains("share one dimension"))
   }
 
+  test("ranked-id facades reject duplicate and null ids with clear errors") {
+    // r11 advisor: smallestIds assumed unique non-null ids — a duplicate
+    // id makes `vec_id <= seedCut` admit extra seeds/queries (recall can
+    // exceed 1) and a null id NPEs at getLong. Both now fail fast at the
+    // same validation layer as the dimension-uniformity check.
+    def vec(seed: Long): Seq[Float] =
+      (0 until 32).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val base = (0L until 30L).map(i => (i, vec(i))).toDF("vid", "emb")
+    val dup = base.unionByName(Seq((5L, vec(99L))).toDF("vid", "emb"))
+    val eDup = intercept[IllegalArgumentException] {
+      GraftApi.pqSearch(dup, "vid", "emb", nQueries = 3, nSub = 4, k = 8)
+    }
+    U.releaseTracked()
+    assert(eDup.getMessage.contains("duplicates"))
+    val withNull = base.unionByName(
+      Seq((Option.empty[Long], vec(7L))).toDF("vid", "emb"))
+    val eNull = intercept[IllegalArgumentException] {
+      GraftApi.ivfRecallCurve(withNull, "vid", "emb", k = 8, nQueries = 3)
+    }
+    U.releaseTracked()
+    assert(eNull.getMessage.contains("null"))
+  }
+
   test("knnGraph / spanDupStats / curriculum / tokenQuota equal their twins") {
     val docs = U.tbl(spark, sfDir, "documents")
     val kg = GraftApi.knnGraph(U.tbl(spark, sfDir, "embeddings"),

@@ -21,8 +21,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
-    "operators/TimeSeries.scala" -> 22,
-    "operators/Aggregations.scala" -> 55,
+    "operators/TimeSeries.scala" -> 23,
+    "operators/Aggregations.scala" -> 58,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

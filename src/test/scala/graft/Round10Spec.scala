@@ -61,6 +61,58 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("ts_kaplan_meier: n_at_risk equals an independent interval recount") {
+    // the weaker-but-exact invariant that replaced the (wrong under left
+    // truncation) strict-decrease assertion: at every curve row, the
+    // sweep-line at-risk count must equal the brute-force interval count
+    // #(fd <= day <= exit) over an independently aggregated life frame
+    val km = SparkEntry.queries("ts_kaplan_meier")(spark, sfDir).collect()
+    assert(km.nonEmpty)
+    val life = U.events(spark, sfDir)
+      .withColumn("dayi", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(min(col("dayi")).as("fd"),
+        min(when(col("event_type") === "error", col("dayi"))).as("dd"),
+        max(col("dayi")).as("ld"))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"), col("fd"),
+        coalesce(col("dd"), col("ld")).as("exit"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    km.foreach { r =>
+      val (g, day) = (r.getAs[Long]("grp"), r.getAs[Long]("day"))
+      val expected = life.count { case (lg, fd, exit) =>
+        lg == g && fd <= day && day <= exit }
+      assert(r.getAs[Long]("n_at_risk") == expected.toLong,
+        s"arm $g day $day: sweep-line at-risk vs interval recount")
+    }
+  }
+
+  test("ts_kaplan_meier: left-truncation fixture GROWS the risk set") {
+    // the concrete fixture the old strict-decrease assertion rejected:
+    // two arm-0 subjects enter BETWEEN the death days 5 and 10, so the
+    // later risk set is larger — survival still never increases
+    import spark.implicits._
+    val life = Seq(
+      // (user_id, fd, grp, exit, died, dd)
+      (0L, 0L, 0L, 5L, 1L, Some(5L)),
+      (2L, 0L, 0L, 10L, 1L, Some(10L)),
+      (4L, 7L, 0L, 12L, 0L, None: Option[Long]),
+      (6L, 6L, 0L, 11L, 0L, None: Option[Long]),
+      (1L, 0L, 1L, 3L, 1L, Some(3L)))
+      .toDF("user_id", "fd", "grp", "exit", "died", "dd")
+    val rows = graft.operators.TimeSeries.kmOnLife(life)
+      .filter(col("grp") === 0L).collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.map(_.getAs[Long]("day")).toSeq == Seq(5L, 10L))
+    assert(rows(0).getAs[Long]("n_at_risk") == 2L)
+    assert(rows(1).getAs[Long]("n_at_risk") == 3L,
+      "mid-span entrants must grow the later risk set")
+    // survival still non-increasing: ln(1/2) then + ln(2/3)
+    val l1 = math.floor(1e6 * math.log(1.0 / 2.0)).toLong
+    val l2 = l1 + math.floor(1e6 * math.log(2.0 / 3.0)).toLong
+    assert(rows(0).getAs[Long]("log_s_micro") == l1)
+    assert(rows(1).getAs[Long]("log_s_micro") == l2)
+  }
+
   test("agg_log_rank: arm totals equal the distinct-user count, V >= 0") {
     val r = SparkEntry.queries("agg_log_rank")(spark, sfDir).collect().head
     val users = U.events(spark, sfDir).select("user_id").distinct().count()

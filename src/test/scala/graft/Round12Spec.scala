@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the round-12 operators (the Round8-11Spec
+  * discipline: independent scalar recomputation in plain Scala, so a
+  * kernel regression cannot pass even if the DuckDB oracle regressed
+  * the same way). */
+class Round12Spec extends SparkTestBase {
+
+  private def dayi(us: Long): Long = {
+    val d = us / 86400000000L
+    if (us < 0 && us % 86400000000L != 0) d - 1 else d
+  }
+
+  test("agg_bootstrap_ci: replicate means recount + CI ordering") {
+    val rows = SparkEntry.queries("agg_bootstrap_ci")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")).as("vc"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def weight(eid: Long, b: Long): Long = {
+      val h = ((eid % 1000000007L) * (1103515245L + b * 12820163L) +
+        b * 12345L + 7L) % 100L
+      if (h < 37) 0L else if (h < 74) 1L else if (h < 92) 2L
+      else if (h < 98) 3L else 4L
+    }
+    rows.foreach { case (et, r) =>
+      val grp = ev.filter(_._1 == et)
+      // exact replicate means with the identical LCG, then the identical
+      // order-statistic rank selection
+      val means = (0L until 32L).flatMap { b =>
+        var swv = BigInt(0); var sw = 0L
+        grp.foreach { case (_, vc, eid) =>
+          val w = weight(eid, b); swv += BigInt(w) * vc; sw += w
+        }
+        if (sw > 0) Some(((swv * 10000) / sw).toLong) else None
+      }.sorted
+      val nRep = means.length
+      assert(r.getAs[Long]("n_rep") == nRep.toLong)
+      val loRn = (5 * nRep + 99) / 100
+      assert(r.getAs[Long]("lo_micro") == means(loRn - 1), s"$et lo")
+      assert(r.getAs[Long]("hi_micro") == means(nRep - loRn), s"$et hi")
+      assert(r.getAs[Long]("lo_micro") <= r.getAs[Long]("hi_micro"))
+      val exactMean =
+        (grp.map(g => BigInt(g._2)).sum * 10000 / grp.length).toLong
+      assert(r.getAs[Long]("mean_micro") == exactMean, s"$et point mean")
+      assert(r.getAs[Long]("n") == grp.length.toLong)
+    }
+  }
+
+  test("agg_mcnemar: discordant-pair recount from raw events") {
+    val rows = SparkEntry.queries("agg_mcnemar")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), dayi(r.getLong(2))))
+    val days = ev.map(_._3)
+    val sd = {
+      val (lo, hi) = (days.min, days.max)
+      (lo + hi + 1) / 2
+    }
+    rows.foreach { case (et, r) =>
+      val byUser = ev.filter(_._2 == et).groupBy(_._1)
+      val pp = byUser.map { case (_, es) =>
+        (es.exists(_._3 < sd), es.exists(_._3 >= sd)) }
+      val b = pp.count { case (pre, post) => pre && !post }.toLong
+      val c = pp.count { case (pre, post) => !pre && post }.toLong
+      assert(r.getAs[Long]("n_users") == byUser.size.toLong, s"$et n")
+      assert(r.getAs[Long]("b") == b, s"$et b")
+      assert(r.getAs[Long]("c") == c, s"$et c")
+      val expect =
+        if (b + c == 0) null
+        else java.lang.Long.valueOf(
+          (BigInt(1000000) * (b - c) * (b - c) / (b + c)).toLong)
+      assert(r.getAs[java.lang.Long]("mcnemar_micro") == expect, s"$et q")
+    }
+  }
+
+  test("agg_cochran_q: exact sufficient-statistic recount") {
+    val r = SparkEntry.queries("agg_cochran_q")(spark, sfDir).collect().head
+    val types = Seq("click", "view", "purchase")
+    val ev = U.events(spark, sfDir)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val byUser = ev.groupBy(_._1).map { case (_, es) =>
+      types.map(t => if (es.exists(_._2 == t)) 1L else 0L) }
+    val cs = types.indices.map(j => byUser.map(_(j)).sum)
+    val nn = cs.sum
+    val sr2 = byUser.map(x => { val s = x.sum; s * s }).sum
+    assert(r.getAs[Long]("n_users") == byUser.size.toLong)
+    assert((r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Long]("c3"))
+      == ((cs(0), cs(1), cs(2))))
+    val den = 3 * nn - sr2
+    val expect =
+      if (den == 0) null
+      else java.lang.Long.valueOf((BigInt(2000000) *
+        (3 * (BigInt(cs(0)) * cs(0) + BigInt(cs(1)) * cs(1) +
+          BigInt(cs(2)) * cs(2)) - BigInt(nn) * nn) / den).toLong)
+    assert(r.getAs[java.lang.Long]("q_micro") == expect)
+  }
+
+  test("ts_weibull_fit: median-rank regression recount from lifetimes") {
+    val rows = SparkEntry.queries("ts_weibull_fit")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("grp")).toSet == Set(0L, 1L))
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), dayi(r.getLong(2))))
+    rows.foreach { r =>
+      val g = r.getAs[Long]("grp")
+      // uncensored lifetimes: first error day - first event day + 1
+      val ts = ev.filter(e => e._1 % 2 == g).groupBy(_._1).flatMap {
+        case (_, es) =>
+          val errs = es.filter(_._2 == "error")
+          if (errs.isEmpty) None
+          else Some(errs.map(_._3).min - es.map(_._3).min + 1)
+      }.toSeq.sorted
+      val n = ts.length
+      assert(r.getAs[Long]("n_failures") == n.toLong, s"arm $g n")
+      val xs = ts.map(t => math.floor(1e6 * math.log(t.toDouble)).toLong)
+      val ys = (1 to n).map(i => math.floor(1e6 * math.log(-math.log(
+        1.0 - (i.toDouble - 0.3) / (n.toDouble + 0.4)))).toLong)
+      val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val beta = (BigInt(1000000) * num / den).toLong
+      assert(r.getAs[Long]("beta_micro") == beta, s"arm $g beta")
+      // wear-out direction on this fixture: shape must be positive
+      assert(beta > 0L, s"arm $g beta sign")
+      val xbar = (sx / n).toLong
+      val ybar = (sy / n).toLong
+      assert(r.getAs[Long]("xbar_micro") == xbar)
+      assert(r.getAs[Long]("ybar_micro") == ybar)
+      assert(r.getAs[Long]("ln_eta_micro") == xbar - 1000000L * ybar / beta)
+    }
+  }
+}
