@@ -1329,7 +1329,97 @@ object Pipeline {
       .orderBy("mix_pos")
   }
 
+  /** Per-doc alpha-density quality score in exact milli — the one score
+    * definition shared by [[pipelineDpoPairs]] and [[pipelineBestOfK]]
+    * so the two preference-mining shapes cannot drift. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("source"),
+        expr("(1000 * length(regexp_replace(text, ' ', ''))) DIV n_chars")
+          .as("score"))
+
+  /** DPO preference-pair mining per source — the max-margin pairing a
+    * preference-data pipeline runs over scored generations: docs ranked
+    * by the deterministic quality score (alpha density, exact milli),
+    * rank i paired with rank n+1−i (best-vs-worst maximizes the reward
+    * margin the DPO loss trains on), per-source pair counts and exact
+    * margin stats shipped. The rank is the VALUE-DOMAIN blocked rank
+    * (the curriculum idiom): offsets over the ≤1001-row per-source score
+    * domain, then row_number only within (source, score) blocks — no
+    * corpus-wide sort at any scale. */
+  private def pipelineDpoPairs(s: SparkSession, d: String): DataFrame = {
+    val base = U.track(scoredDocs(s, d).persist())
+    val offs = base.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("source"))
+          .orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source").as("os"), col("score").as("osc"), col("off"))
+    val wb = Window.partitionBy(col("source"), col("score"))
+      .orderBy(col("doc_id"))
+    val (offsG, wo) = U.sizeGate(offs)
+    val cnt = base.groupBy(col("source").as("cs"))
+      .agg(count(lit(1)).as("nd"))
+    val ranked = base.join(wo(offsG),
+        col("source") === col("os") && col("score") === col("osc"))
+      .withColumn("rn", col("off") + row_number().over(wb))
+      .join(broadcast(cnt), col("source") === col("cs"))
+    val top = ranked.filter(col("rn") <= expr("nd DIV 2"))
+      .select(col("source"), col("rn"), col("score").as("chosen_score"))
+    val bot = ranked.filter(col("rn") > col("nd") - expr("nd DIV 2"))
+      .select(col("source").as("bs"), (col("nd") + 1L - col("rn")).as("brn"),
+        col("score").as("rejected_score"))
+    top.join(bot, col("source") === col("bs") && col("rn") === col("brn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("chosen_score") - col("rejected_score")).as("sm"),
+        min(col("chosen_score") - col("rejected_score"))
+          .as("min_margin_milli"),
+        max(col("chosen_score") - col("rejected_score"))
+          .as("max_margin_milli"))
+      .select(col("source"), col("n_pairs"),
+        expr("sm DIV n_pairs").as("mean_margin_milli"),
+        col("min_margin_milli"), col("max_margin_milli"))
+      .orderBy("source")
+  }
+
+  /** Best-of-k rejection sampling over fixed groups of 4 consecutive doc
+    * ids — the distillation/RFT keep-argmax step: each group keeps its
+    * highest-scoring doc (ties to the smallest id, via one lexicographic
+    * struct max — no window over the corpus), and the per-source table
+    * reports how many groups each source wins, its keep ratio, and the
+    * exact milli score gain of selection over the group mean. One hash
+    * agg on the group key + one id-key join back for the winner's
+    * source. */
+  private def pipelineBestOfK(s: SparkSession, d: String): DataFrame = {
+    val scored = scoredDocs(s, d)
+    val grp = scored.withColumn("g", expr("doc_id DIV 4"))
+      .groupBy(col("g"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"),
+        sum(col("score")).as("ssum"), count(lit(1)).as("kn"))
+      .select((-col("m.nid")).as("best_id"),
+        col("m.score").as("best_score"),
+        expr("ssum DIV kn").as("avg_milli"))
+    val src = scored.select(col("doc_id").as("sid"), col("source"))
+    val tot = scored.groupBy(col("source").as("ts"))
+      .agg(count(lit(1)).as("n_docs"))
+    grp.join(src, col("best_id") === col("sid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_groups_won"),
+        sum(col("best_score") - col("avg_milli")).as("sg"),
+        max(col("best_score") - col("avg_milli")).as("max_gain_milli"))
+      .join(broadcast(tot), col("source") === col("ts"))
+      .select(col("source"), col("n_docs"), col("n_groups_won"),
+        expr("(1000000 * n_groups_won) DIV n_docs").as("keep_ratio_micro"),
+        expr("sg DIV n_groups_won").as("mean_gain_milli"),
+        col("max_gain_milli"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dpo_pairs" -> pipelineDpoPairs _,
+    "pipeline_best_of_k" -> pipelineBestOfK _,
     "pipeline_mix_schedule" -> pipelineMixSchedule _,
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_curriculum" -> pipelineCurriculum _,
@@ -1429,7 +1519,54 @@ object Pipeline {
       s"u$n AS (SELECT dim, CAST((o * 1000000) // " +
       s"(SELECT MAX(abs(o)) FROM o$n) AS BIGINT) AS u FROM o$n)"
 
+  /** The scoredDocs SQL mirror — DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's replace-all. */
+  private val scoredSql: String =
+    "SELECT doc_id, source, " +
+      "(1000 * length(regexp_replace(text, ' ', '', 'g'))) // n_chars " +
+      "AS score FROM documents WHERE n_chars > 0"
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_dpo_pairs" ->
+      (s"WITH b AS ($scoredSql), " +
+        "rk AS (SELECT source, doc_id, score, row_number() OVER " +
+        "(PARTITION BY source ORDER BY score DESC, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY source) AS nd FROM b), " +
+        "top AS (SELECT source, rn, score AS chosen_score FROM rk " +
+        "WHERE rn <= nd // 2), " +
+        "bot AS (SELECT source, nd + 1 - rn AS rn, " +
+        "score AS rejected_score FROM rk WHERE rn > nd - nd // 2) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(chosen_score - rejected_score) // COUNT(*) AS BIGINT) " +
+        "AS mean_margin_milli, " +
+        "CAST(MIN(chosen_score - rejected_score) AS BIGINT) " +
+        "AS min_margin_milli, " +
+        "CAST(MAX(chosen_score - rejected_score) AS BIGINT) " +
+        "AS max_margin_milli " +
+        "FROM top JOIN bot USING (source, rn) GROUP BY 1 ORDER BY 1"),
+    "pipeline_best_of_k" ->
+      (s"WITH b AS ($scoredSql), " +
+        "g AS (SELECT doc_id, score, row_number() OVER " +
+        "(PARTITION BY doc_id // 4 ORDER BY score DESC, doc_id) AS rn, " +
+        "CAST(SUM(score) OVER (PARTITION BY doc_id // 4) AS BIGINT) " +
+        "AS ssum, " +
+        "CAST(COUNT(*) OVER (PARTITION BY doc_id // 4) AS BIGINT) AS kn " +
+        "FROM b), " +
+        "best AS (SELECT doc_id AS best_id, score AS best_score, " +
+        "CAST(ssum // kn AS BIGINT) AS avg_milli FROM g WHERE rn = 1), " +
+        "j AS (SELECT d.source, best_score, avg_milli FROM best " +
+        "JOIN b d ON best.best_id = d.doc_id), " +
+        "tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM b GROUP BY 1) " +
+        "SELECT j.source, tot.n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_groups_won, " +
+        "CAST((1000000 * COUNT(*)) // tot.n_docs AS BIGINT) " +
+        "AS keep_ratio_micro, " +
+        "CAST(SUM(best_score - avg_milli) // COUNT(*) AS BIGINT) " +
+        "AS mean_gain_milli, " +
+        "CAST(MAX(best_score - avg_milli) AS BIGINT) AS max_gain_milli " +
+        "FROM j JOIN tot ON j.source = tot.source " +
+        "GROUP BY 1, 2 ORDER BY 1"),
     "pipeline_mix_schedule" ->
       ("WITH w AS (SELECT source, COUNT(*) AS n_docs, " +
         "CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) " +

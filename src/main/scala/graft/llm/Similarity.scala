@@ -1294,7 +1294,64 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Per-label embedding isotropy — the anisotropy screen run before
+    * trusting cosine retrieval at all: contextual embedding spaces
+    * collapse into a narrow cone (the known anisotropy failure), and the
+    * mean-resultant ratio ‖Σv‖²/(n·Σ‖v‖²) measures exactly that — 1e6 =
+    * every vector identical direction, →0 = isotropic spread. Entirely
+    * exact integers: fixed-point component sums per (label, dim) (64
+    * dims × |labels| rows after the first combine — partial aggregation
+    * does all the work map-side), squared through DECIMAL(38,0), over
+    * the exact norm total. No pairwise join — the n² "average pairwise
+    * cosine" definition collapses to this one-pass identity. */
+  private def embIsotropy(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val emb = U.track(fixed(s, d)
+      .select(col("label").cast(LongType).as("label"), col("fx"),
+        col("nrm"))
+      .persist())
+    val comp = emb
+      .select(col("label"), posexplode(col("fx")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("v")).as("sv"))
+      .groupBy(col("label"))
+      .agg(sum(col("sv").cast(dec) * col("sv")).as("s2"))
+      .select(col("label").as("cl"), col("s2"))
+    emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("nrm").cast(dec)).as("snrm"))
+      .join(broadcast(comp), col("label") === col("cl"))
+      .select(col("label"), col("n_vecs"),
+        expr("CAST((1000000 * s2) DIV nullif(n_vecs * snrm, 0) AS BIGINT)")
+          .as("isotropy_micro"))
+      .orderBy("label")
+  }
+
+  /** Label purity of the corpus-wide kNN graph — the cross-modal
+    * label-quality screen an embedding pipeline runs after building its
+    * neighbor graph ([[knnGraph]], same kernel, zero drift): per anchor
+    * label, the fraction of its 3n graph edges whose neighbor shares the
+    * label. Low purity on one label = that class is scattered through
+    * the space (bad labels or bad embeddings — either way, inspect
+    * before training). Two id-key shuffle joins onto the graph — labels
+    * are corpus-sized, so they are NOT broadcast. */
+  private def embKnnLabelPurity(s: SparkSession, d: String): DataFrame = {
+    val lbl = U.tbl(s, d, "embeddings")
+      .select(col("vec_id").as("aid"), col("label").cast(LongType).as("label"))
+    val nbl = lbl.select(col("aid").as("bid"), col("label").as("nbr_label"))
+    knnGraph(s, d)
+      .join(lbl, col("vec_id") === col("aid"))
+      .join(nbl, col("nbr_id") === col("bid"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("nbr_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("label"), col("n_edges"), col("n_same"),
+        expr("(1000000 * n_same) DIV n_edges").as("purity_micro"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_isotropy" -> embIsotropy _,
+    "emb_knn_label_purity" -> embKnnLabelPurity _,
     "emb_kmeans" -> embKmeans _,
     "emb_kmeans_ari" -> embKmeansAri _,
     "emb_hard_negatives" -> hardNegatives _,
@@ -1448,6 +1505,27 @@ object Similarity {
   /** Shared PQ CTE chain ending at `ranked` (ADC top-ranked neighbors)
     * — nested by BOTH sim_pq_adc and sim_pq_recall so the index and its
     * gate cannot drift. Mirrors [[pqCoded]]/[[pqAdcTop]] 1:1. */
+  /** The full sim_knn_graph mirror, extracted so emb_knn_label_purity can
+    * nest it as a subquery — one SQL definition of the graph on the
+    * oracle side, matching the one kernel on the Spark side. */
+  private lazy val knnGraphSql: String =
+    s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+      s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+      "kk AS (SELECT greatest(4, least(1024, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k FROM n), " +
+      "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n WHERE vec_id < (SELECT k FROM kk)), " +
+      s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
+      "s3 AS (SELECT n.vec_id, c2.cid, n.fx, n.nrm, " +
+      s"${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
+      "asg AS (SELECT vec_id, cid, fx, nrm FROM (SELECT vec_id, cid, fx, nrm, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) WHERE rn = 1), " +
+      "p AS (SELECT a.vec_id, b.vec_id AS nbr_id, " +
+      s"${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos " +
+      "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
+      "r AS (SELECT vec_id, nbr_id, cos, CAST(row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank FROM p) " +
+      "SELECT vec_id, rank, nbr_id, cos FROM r WHERE rank <= 3 " +
+      "ORDER BY vec_id, rank"
+
   private lazy val pqCtes: String = {
     def a1(cin: String, cout: String): String =
       s"$cout AS (SELECT sub, vec_id, cid, sx FROM (SELECT sn.sub, " +
@@ -1864,23 +1942,34 @@ object Similarity {
         "CAST(floor((1.0 + dist) * 1000000.0) AS BIGINT) AS ood_micro, " +
         "CAST(floor((1.0 + dist) * 1000000.0) AS BIGINT) >= 300000 " +
         "AS is_ood FROM a ORDER BY vec_id"),
-    "sim_knn_graph" ->
-      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
-        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
-        "kk AS (SELECT greatest(4, least(1024, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k FROM n), " +
-        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, fx AS cfx FROM n WHERE vec_id < (SELECT k FROM kk)), " +
-        s"${lloydCte("c0", "1")}, ${lloydCte("c1", "2")}, " +
-        "s3 AS (SELECT n.vec_id, c2.cid, n.fx, n.nrm, " +
-        s"${distSql("fx", "cfx")} AS dist FROM n CROSS JOIN c2), " +
-        "asg AS (SELECT vec_id, cid, fx, nrm FROM (SELECT vec_id, cid, fx, nrm, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM s3) WHERE rn = 1), " +
-        "p AS (SELECT a.vec_id, b.vec_id AS nbr_id, " +
-        s"${cosSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos " +
-        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id), " +
-        "r AS (SELECT vec_id, nbr_id, cos, CAST(row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank FROM p) " +
-        "SELECT vec_id, rank, nbr_id, cos FROM r WHERE rank <= 3 " +
-        "ORDER BY vec_id, rank"),
+    "sim_knn_graph" -> knnGraphSql,
+    "emb_isotropy" ->
+      (s"WITH f AS (SELECT CAST(label AS BIGINT) AS label, $fxSql AS fx " +
+        "FROM embeddings), " +
+        s"n AS (SELECT label, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "dims AS (SELECT label, i AS pos, fx[CAST(i AS INTEGER)] AS v " +
+        "FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)), " +
+        "comp AS (SELECT label, pos, SUM(v) AS sv FROM dims GROUP BY 1, 2), " +
+        "s2 AS (SELECT label, SUM(CAST(sv AS HUGEINT) * sv) AS s2 " +
+        "FROM comp GROUP BY 1), " +
+        "base AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "SUM(CAST(nrm AS HUGEINT)) AS snrm FROM n GROUP BY 1) " +
+        "SELECT base.label, base.n_vecs, " +
+        "CAST((1000000 * s2.s2) // nullif(base.n_vecs * base.snrm, 0) " +
+        "AS BIGINT) AS isotropy_micro " +
+        "FROM base JOIN s2 USING (label) ORDER BY label"),
+    "emb_knn_label_purity" ->
+      (s"WITH kg AS (SELECT vec_id, nbr_id FROM ($knnGraphSql)), " +
+        "lb AS (SELECT vec_id AS lid, CAST(label AS BIGINT) AS label " +
+        "FROM embeddings), " +
+        "e AS (SELECT a.label, " +
+        "CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same " +
+        "FROM kg JOIN lb a ON kg.vec_id = a.lid " +
+        "JOIN lb b ON kg.nbr_id = b.lid) " +
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges, " +
+        "CAST(SUM(same) AS BIGINT) AS n_same, " +
+        "CAST((1000000 * SUM(same)) // COUNT(*) AS BIGINT) " +
+        "AS purity_micro FROM e GROUP BY 1 ORDER BY 1"),
     "sim_pq_distortion" ->
       (s"WITH $pqCtes, " +
         "dist AS (SELECT p.sub, " +

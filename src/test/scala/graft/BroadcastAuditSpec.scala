@@ -27,8 +27,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 19,
-    "llm/Similarity.scala" -> 30,
+    "llm/Pipeline.scala" -> 21,
+    "llm/Similarity.scala" -> 31,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
     "llm/TextAnalysis.scala" -> 15,

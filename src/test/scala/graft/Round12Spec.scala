@@ -103,6 +103,101 @@ class Round12Spec extends SparkTestBase {
     assert(r.getAs[java.lang.Long]("q_micro") == expect)
   }
 
+  test("emb_isotropy: exact mean-resultant recount, bounded in [0, 1e6]") {
+    val rows = SparkEntry.queries("emb_isotropy")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val vecs = U.tbl(spark, sfDir, "embeddings")
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong)))
+    vecs.groupBy(_._1).foreach { case (lb, vs) =>
+      val dims = vs.head._2.length
+      val compSums = (0 until dims).map(p => vs.map(_._2(p)).sum)
+      val s2 = compSums.map(s => BigInt(s) * s).sum
+      val snrm = vs.map(v => v._2.map(x => BigInt(x) * x).sum).sum
+      val expect = (BigInt(1000000) * s2 / (vs.length * snrm)).toLong
+      val got = rows(lb).getAs[Long]("isotropy_micro")
+      assert(got == expect, s"label $lb isotropy")
+      assert(got >= 0L && got <= 1000000L, s"label $lb Cauchy-Schwarz bound")
+      assert(rows(lb).getAs[Long]("n_vecs") == vs.length.toLong)
+    }
+  }
+
+  test("emb_knn_label_purity: recount from the declared kNN graph") {
+    val purity = SparkEntry.queries("emb_knn_label_purity")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    U.releaseTracked()
+    val lbl = U.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SparkEntry.queries("sim_knn_graph")(spark, sfDir)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (lbl(r.getLong(0)), lbl(r.getLong(1))))
+    U.releaseTracked()
+    edges.groupBy(_._1).foreach { case (lb, es) =>
+      val same = es.count { case (a, b) => a == b }.toLong
+      val r = purity(lb)
+      assert(r.getAs[Long]("n_edges") == es.length.toLong, s"label $lb edges")
+      assert(r.getAs[Long]("n_same") == same, s"label $lb same")
+      assert(r.getAs[Long]("purity_micro") == 1000000L * same / es.length)
+    }
+  }
+
+  test("pipeline_dpo_pairs: max-margin pairing recount per source") {
+    val rows = SparkEntry.queries("pipeline_dpo_pairs")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    U.releaseTracked()
+    val docsRaw = U.tbl(spark, sfDir, "documents")
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        1000L * r.getString(2).count(_ != ' ') / r.getLong(3)))
+    docsRaw.groupBy(_._2).foreach { case (src, ds) =>
+      val ranked = ds.sortBy { case (id, _, sc) => (-sc, id) }.map(_._3)
+      val n = ranked.length
+      val margins = (0 until n / 2).map(i => ranked(i) - ranked(n - 1 - i))
+      if (margins.isEmpty) assert(!rows.contains(src))
+      else {
+        val r = rows(src)
+        assert(r.getAs[Long]("n_pairs") == margins.length.toLong, s"$src n")
+        assert(r.getAs[Long]("mean_margin_milli") ==
+          margins.sum / margins.length, s"$src mean")
+        assert(r.getAs[Long]("min_margin_milli") == margins.min, s"$src min")
+        assert(r.getAs[Long]("max_margin_milli") == margins.max, s"$src max")
+        assert(margins.min >= 0L, s"$src margins must be non-negative")
+      }
+    }
+  }
+
+  test("pipeline_best_of_k: keep-argmax recount per source") {
+    val rows = SparkEntry.queries("pipeline_best_of_k")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    U.releaseTracked()
+    val ds = U.tbl(spark, sfDir, "documents")
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        1000L * r.getString(2).count(_ != ' ') / r.getLong(3)))
+    val winners = ds.groupBy(_._1 / 4).toSeq.map { case (_, g) =>
+      val best = g.minBy { case (id, _, sc) => (-sc, id) }
+      val avg = g.map(_._3).sum / g.length
+      (best._2, best._3 - avg)
+    }
+    val perSrcDocs = ds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    winners.groupBy(_._1).foreach { case (src, ws) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_groups_won") == ws.length.toLong, s"$src won")
+      assert(r.getAs[Long]("n_docs") == perSrcDocs(src))
+      assert(r.getAs[Long]("keep_ratio_micro") ==
+        1000000L * ws.length / perSrcDocs(src))
+      assert(r.getAs[Long]("mean_gain_milli") ==
+        ws.map(_._2).sum / ws.length, s"$src gain")
+      assert(r.getAs[Long]("max_gain_milli") == ws.map(_._2).max)
+    }
+  }
+
   test("ts_weibull_fit: median-rank regression recount from lifetimes") {
     val rows = SparkEntry.queries("ts_weibull_fit")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("grp")).toSet == Set(0L, 1L))
