@@ -2411,7 +2411,44 @@ object Aggregations {
           "DIV nullif(3 * nn - sr2, 0) AS BIGINT)").as("q_micro"))
   }
 
+  /** Sign-flip permutation test of the arm difference per type — the
+    * assumption-free significance check behind the t-test family: the
+    * observed statistic is |Σ_d (arm1−arm0) daily cents diff|, each of
+    * the 19 pseudo-permutations flips every DAY's sign by the
+    * per-permutation-multiplier LCG (flipping days, not rows, respects
+    * the within-day dependence — the block-permutation rule), and the
+    * Monte-Carlo p-value (1+#{T_p ≥ T_obs})/(1+19) ships in exact micro.
+    * The permutation "resamples" are a 19-way widening of the
+    * CALENDAR-bounded daily frame — never of the raw events — so the
+    * whole test costs one events scan + a dozens×19-row shuffle. */
+  private def aggPermTest(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        U.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("dayi"))
+      .agg((sum(when(col("arm") === 1L, col("vc")).otherwise(0L)) -
+        sum(when(col("arm") === 0L, col("vc")).otherwise(0L))).as("diff"))
+    val tobs = daily.groupBy(col("event_type").as("ot"))
+      .agg(count(lit(1)).as("n_days"), abs(sum(col("diff"))).as("t_obs"))
+    daily.withColumn("p", explode(sequence(lit(1L), lit(19L))))
+      .withColumn("h", expr("((dayi % 1000000007) * " +
+        "(1103515245 + p * 12820163) + p * 12345 + 7) % 100"))
+      .withColumn("sgn", when(col("h") < 50L, 1L).otherwise(-1L))
+      .groupBy(col("event_type"), col("p"))
+      .agg(abs(sum(col("sgn") * col("diff"))).as("tp"))
+      .join(broadcast(tobs), col("event_type") === col("ot"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("t_obs")).as("t_obs"),
+        sum(when(col("tp") >= col("t_obs"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("event_type"), col("n_days"), col("t_obs"), col("n_ge"),
+        expr("(1000000 * (1 + n_ge)) DIV 20").as("p_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_perm_test" -> aggPermTest _,
     "agg_bootstrap_ci" -> aggBootstrapCi _,
     "agg_mcnemar" -> aggMcnemar _,
     "agg_cochran_q" -> aggCochranQ _,
@@ -2574,6 +2611,28 @@ object Aggregations {
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_perm_test" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(SUM(CASE WHEN user_id % 2 = 1 THEN $c ELSE 0 END) - " +
+        s"SUM(CASE WHEN user_id % 2 = 0 THEN $c ELSE 0 END) AS BIGINT) " +
+        "AS diff FROM events GROUP BY 1, 2), " +
+        "t0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(abs(SUM(diff)) AS BIGINT) AS t_obs FROM daily GROUP BY 1), " +
+        "pm AS (SELECT event_type, p, CAST(abs(SUM(" +
+        "CASE WHEN ((dayi % 1000000007) * (1103515245 + p * 12820163) " +
+        "+ p * 12345 + 7) % 100 < 50 THEN diff ELSE -diff END)) " +
+        "AS BIGINT) AS tp FROM daily CROSS JOIN " +
+        "(SELECT unnest(generate_series(1, 19)) AS p) GROUP BY 1, 2) " +
+        "SELECT pm.event_type, MAX(t0.n_days) AS n_days, " +
+        "MAX(t0.t_obs) AS t_obs, " +
+        "CAST(SUM(CASE WHEN pm.tp >= t0.t_obs THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_ge, " +
+        "CAST((1000000 * (1 + SUM(CASE WHEN pm.tp >= t0.t_obs THEN 1 " +
+        "ELSE 0 END))) // 20 AS BIGINT) AS p_micro " +
+        "FROM pm JOIN t0 USING (event_type) GROUP BY 1 ORDER BY 1"
+    },
     "agg_bootstrap_ci" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type, $c AS vc, event_id FROM events), " +

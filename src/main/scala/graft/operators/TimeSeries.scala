@@ -3535,7 +3535,52 @@ object TimeSeries {
       .orderBy("grp")
   }
 
+  /** Croston's method per type over the INTERMITTENT daily series of
+    * high-value (≥ $90) events — the forecaster built for exactly the
+    * demand shape SES/Holt mishandle (many zero days): on each demand
+    * day, separate EWMAs (α=0.2) of the demand SIZE q and the
+    * inter-demand INTERVAL a update in exact integer milli-units (the
+    * tsHolt mapPartitions recursion — per-type state, integer division
+    * at every step, mirrored by the oracle's recursive CTE), and the
+    * demand-rate forecast is q/a in milli. Zero days never materialize:
+    * the interval arithmetic reads them off day gaps, so the scan is
+    * |demand days| not |calendar|. */
+  private def tsCroston(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = U.events(s, d)
+      .filter(U.cents(col("value")) >= 9000L)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(count(lit(1)).as("z"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("dayi"))
+      .select(col("event_type"), col("dayi"), col("z"))
+      .as[(String, Long, Long)]
+    daily.mapPartitions { it =>
+      var et = ""
+      var started = false
+      var q = 0L
+      var a = -1L
+      var prev = 0L
+      it.map { case (t, day, z) =>
+        if (!started || t != et) {
+          et = t; started = true; q = 1000L * z; a = -1L; prev = day
+          (t, day, z, q, None: Option[Long], None: Option[Long])
+        } else {
+          val iv = day - prev
+          prev = day
+          a = if (a < 0L) 1000L * iv else (20L * 1000L * iv + 80L * a) / 100L
+          q = (20L * 1000L * z + 80L * q) / 100L
+          (t, day, z, q, Some(a), Some((1000L * q) / a))
+        }
+      }
+    }.toDF("event_type", "dayi", "z", "q_milli", "a_milli",
+        "forecast_milli")
+      .orderBy("event_type", "dayi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_croston" -> tsCroston _,
     "ts_weibull_fit" -> tsWeibullFit _,
     "ts_snaive_mase" -> tsSnaiveMase _,
     "ts_attribution" -> tsAttribution _,
@@ -3803,6 +3848,29 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_croston" -> {
+      val c = OSQL.cents("value")
+      "WITH RECURSIVE daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(COUNT(*) AS BIGINT) AS z FROM events WHERE $c >= 9000 " +
+        "GROUP BY 1, 2), " +
+        "seq AS (SELECT event_type, dayi, z, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dayi) - 1 AS idx FROM daily), " +
+        "cr(event_type, idx, dayi, z, q, a) AS (" +
+        "SELECT event_type, idx, dayi, z, 1000 * z, " +
+        "CAST(NULL AS BIGINT) FROM seq WHERE idx = 0 " +
+        "UNION ALL SELECT s.event_type, s.idx, s.dayi, s.z, " +
+        "(20 * 1000 * s.z + 80 * cr.q) // 100, " +
+        "CASE WHEN cr.a IS NULL THEN 1000 * (s.dayi - cr.dayi) " +
+        "ELSE (20 * 1000 * (s.dayi - cr.dayi) + 80 * cr.a) // 100 END " +
+        "FROM cr JOIN seq s ON s.event_type = cr.event_type " +
+        "AND s.idx = cr.idx + 1) " +
+        "SELECT event_type, dayi, z, CAST(q AS BIGINT) AS q_milli, " +
+        "CAST(a AS BIGINT) AS a_milli, " +
+        "CASE WHEN a IS NOT NULL THEN CAST((1000 * q) // a AS BIGINT) " +
+        "END AS forecast_milli " +
+        "FROM cr ORDER BY event_type, dayi"
+    },
     "ts_weibull_fit" ->
       (s"WITH $survivalCtes, " +
         "lt AS (SELECT grp, dd - fd + 1 AS t FROM life WHERE died = 1), " +

@@ -264,6 +264,37 @@ class SprtProcessor
   }
 }
 
+case class EwmaEvent(user_id: Long, us: Long, event_id: Long, value: Double)
+case class EwmaOut(user_id: Long, n: Long, ewma: Double)
+
+/** Per-user EWMA (α=0.2) live on the stream — one (count, accumulator)
+  * ValueState per user, seeded with the user's first value exactly like
+  * the batch fold, each batch emitting the running final so the rollup
+  * keeps the row with the highest monotone count. The double chain is
+  * order-sensitive, so rows sort by (event time, event_id) within the
+  * batch and ride the staged replay's event-time file order across
+  * batches — the two assumptions that make the stream hash-match the
+  * batch ts_ewma oracle verbatim. */
+class EwmaProcessor
+    extends StatefulProcessor[Long, EwmaEvent, EwmaOut] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("acc",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[EwmaEvent],
+      tv: TimerValues): Iterator[EwmaOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+    var (n, acc) = if (st.exists()) st.get() else (0L, 0.0)
+    sorted.foreach { e =>
+      acc = if (n == 0L) e.value else 0.2 * e.value + 0.8 * acc
+      n += 1L
+    }
+    st.update((n, acc))
+    Iterator.single(EwmaOut(key, n, acc))
+  }
+}
+
 case class QuotaEvent(doc_id: Long, source: String, n_tokens: Long)
 case class QuotaOut(doc_id: Long, source: String, n_tokens: Long,
   cum_tokens: Long, admitted: Boolean)
@@ -1222,7 +1253,41 @@ object StreamingQueries {
         .limit(3)
     }.orderBy(col("spend_cents").desc, col("event_type"))
 
+  /** [[EwmaProcessor]] end-to-end: the per-user EWMA maintained LIVE on
+    * the stream, finals matching the batch ts_ewma fold bit-for-bit.
+    * Each trigger's rows sort by (event time, event_id) and the staged
+    * replay is event-time-ordered across batches, so the stream applies
+    * the IDENTICAL double-op chain in the identical order as the batch
+    * list fold — which is why it shares the ts_ewma oracle VERBATIM
+    * (the stream_sprt discipline). State is one (count, Double) per
+    * user; the running emission per batch rolls up by the monotone
+    * count. */
+  private def ewmaTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("value"))
+        .as[EwmaEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new EwmaProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("ewma"))).as("m"))
+      .select(col("user_id"), col("m.n").as("n"), col("m.ewma").as("ewma"))
+      .orderBy("user_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ewma" -> ewmaTws _,
     "stream_neardup" -> neardupStream _,
     "stream_token_quota" -> tokenQuotaStream _,
     "stream_sprt" -> sprtTws _,
@@ -1292,6 +1357,9 @@ object StreamingQueries {
     "stream_page_hinkley" ->
       graft.operators.TimeSeries.oracleSql("ts_page_hinkley"),
     "stream_sprt" -> graft.operators.Aggregations.oracleSql("agg_sprt"),
+    // the batch ts_ewma oracle, verbatim — the stream's per-user fold is
+    // the same double chain in the same (ts, event_id) order
+    "stream_ewma" -> graft.operators.TimeSeries.oracleSql("ts_ewma"),
     "stream_cusum" -> graft.operators.TimeSeries.cusumAlarmSql,
     "stream_session_tws" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +

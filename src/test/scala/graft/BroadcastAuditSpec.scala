@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 23,
-    "operators/Aggregations.scala" -> 58,
+    "operators/Aggregations.scala" -> 59,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

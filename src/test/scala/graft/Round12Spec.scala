@@ -198,6 +198,73 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("ts_croston: exact integer recursion recount from demand days") {
+    val rows = SparkEntry.queries("ts_croston")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = U.events(spark, sfDir)
+      .filter(U.cents(col("value")) >= 9000L)
+      .select(col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), dayi(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, day), z) => (day, z) }.sortBy(_._1))
+      .toMap
+    val got = rows.groupBy(_.getAs[String]("event_type"))
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (et, series) =>
+      var q = 0L; var a = -1L; var prev = 0L
+      val expect = series.zipWithIndex.map { case ((day, z), i) =>
+        if (i == 0) { q = 1000L * z; prev = day; (day, z, q, None, None) }
+        else {
+          val iv = day - prev; prev = day
+          a = if (a < 0) 1000L * iv else (20L * 1000L * iv + 80L * a) / 100L
+          q = (20L * 1000L * z + 80L * q) / 100L
+          (day, z, q, Some(a), Some(1000L * q / a))
+        }
+      }
+      val g = got(et).sortBy(_.getAs[Long]("dayi")).map { r =>
+        (r.getAs[Long]("dayi"), r.getAs[Long]("z"), r.getAs[Long]("q_milli"),
+          Option(r.getAs[java.lang.Long]("a_milli")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("forecast_milli"))
+            .map(_.longValue))
+      }
+      assert(g.toSeq == expect.toSeq, s"$et croston trajectory")
+    }
+  }
+
+  test("agg_perm_test: sign-flip recount and p-value bounds") {
+    val rows = SparkEntry.queries("agg_perm_test")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")), col("user_id"),
+        U.cents(col("value")))
+      .collect()
+      .map(r => ((r.getString(0), dayi(r.getLong(1))),
+        if (r.getLong(2) % 2 == 1) r.getLong(3) else -r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, day), diff) => (day, diff) })
+      .toMap
+    daily.foreach { case (et, ds) =>
+      val r = rows(et)
+      val tObs = math.abs(ds.map(_._2).sum)
+      assert(r.getAs[Long]("n_days") == ds.length.toLong)
+      assert(r.getAs[Long]("t_obs") == tObs, s"$et t_obs")
+      val nGe = (1L to 19L).count { p =>
+        val tp = math.abs(ds.map { case (day, diff) =>
+          val h = ((day % 1000000007L) * (1103515245L + p * 12820163L) +
+            p * 12345L + 7L) % 100L
+          if (h < 50) diff else -diff
+        }.sum)
+        tp >= tObs
+      }.toLong
+      assert(r.getAs[Long]("n_ge") == nGe, s"$et n_ge")
+      val pMicro = r.getAs[Long]("p_micro")
+      assert(pMicro == 1000000L * (1 + nGe) / 20, s"$et p")
+      assert(pMicro >= 50000L && pMicro <= 1000000L, s"$et p bounds")
+    }
+  }
+
   test("ts_weibull_fit: median-rank regression recount from lifetimes") {
     val rows = SparkEntry.queries("ts_weibull_fit")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("grp")).toSet == Set(0L, 1L))

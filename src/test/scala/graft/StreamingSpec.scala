@@ -228,6 +228,18 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream SPRT divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_ewma equals the batch fold row-for-row (bit-exact doubles)") {
+    // the EWMA double chain is order-sensitive: identical results prove
+    // the stream applied the same op sequence in the same (ts, event_id)
+    // order across micro-batch boundaries as the batch list fold
+    val batch = SparkEntry.queries("ts_ewma")(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val stream = SparkEntry.queries("stream_ewma")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"batch/stream EWMA divergence: ${batch.length} vs ${stream.length}")
+  }
+
   test("stream_neardup detects dups ACROSS micro-batches (state-path proof)") {
     // the staged docs replay runs 8 doc_id-range files at 4/trigger = 2
     // micro-batches with the range midpoint as the batch boundary; a dup
