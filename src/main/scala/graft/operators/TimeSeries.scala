@@ -3579,7 +3579,107 @@ object TimeSeries {
       .orderBy("event_type", "dayi")
   }
 
+  /** SES smoothing-constant grid search per type — the hyperparameter
+    * sweep a forecasting pipeline runs before trusting ANY α: for each
+    * α ∈ {0.1…0.9}, the simple-exponential level recursion runs in exact
+    * integer milli over the per-type daily event counts, accumulating
+    * the one-step-ahead squared error (forecast BEFORE update — the
+    * honest SSE), and the per-type argmin row is flagged beside the full
+    * tuning table. The 9 α-replicas widen the CALENDAR-bounded daily
+    * frame, never the raw events; the recursion is the tsHolt
+    * mapPartitions shape keyed by (type, α). SSE in milli² holds to
+    * ~3·10⁹ events/day/type in a Long — beyond that, shard the day. */
+  private def tsSesGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(count(lit(1)).as("z"))
+      .withColumn("al", explode(sequence(lit(1L), lit(9L))))
+      .repartition(col("event_type"), col("al"))
+      .sortWithinPartitions(col("event_type"), col("al"), col("dayi"))
+      .select(col("event_type"), col("al"), col("dayi"), col("z"))
+      .as[(String, Long, Long, Long)]
+    val fin = daily.mapPartitions { it =>
+      // a partition holds whole (type, α) groups of CALENDAR-bounded
+      // daily rows — safe to materialize, sort, and fold in memory
+      it.toIndexedSeq.groupBy { case (t, a, _, _) => (t, a) }.iterator
+        .map { case ((t, a), rows) =>
+          val days = rows.sortBy(_._3)
+          var q = 1000L * days.head._4
+          var sse = 0L
+          days.tail.foreach { case (_, _, _, z) =>
+            val err = 1000L * z - q
+            sse += err * err
+            q = (a * 1000L * z + (10L - a) * q) / 10L
+          }
+          (t, a, days.length.toLong, q, sse)
+        }
+    }.toDF("event_type", "alpha_decile", "n_days", "level_milli", "sse")
+    val best = fin.groupBy(col("event_type").as("bt"))
+      .agg(min(col("sse")).as("best_sse"))
+    fin.join(broadcast(best), col("event_type") === col("bt"))
+      .select(col("event_type"), col("alpha_decile"), col("n_days"),
+        col("level_milli"), col("sse"),
+        (col("sse") === col("best_sse")).as("is_best"))
+      .orderBy("event_type", "alpha_decile")
+  }
+
+  /** Interrupted time-series (segmented regression) per type at the
+    * observed day midpoint — the causal-impact read a release manager
+    * wants from a deploy: per segment (pre/post), the OLS slope of the
+    * daily cents total against the day index from exact integer power
+    * sums (DECIMAL(38,0) cross terms), both segments' predictions
+    * EVALUATED AT THE CUT to give the level jump, and the slope change
+    * beside it. slope = (nΣxy−ΣxΣy)/(nΣxx−(Σx)²) and pred(sd) =
+    * (Σy·den + num·(n·sd−Σx))/(n·den), both shipped in exact micro by
+    * integral division — no doubles anywhere. One daily rollup + one
+    * 2-segment aggregate per type. */
+  private def tsIts(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = U.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        U.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("dayi"))
+      .agg(sum(col("vc")).as("y"))
+    val split = daily.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    val seg = daily.crossJoin(broadcast(split))
+      .withColumn("post", when(col("dayi") >= col("sd"), 1L).otherwise(0L))
+      .groupBy(col("event_type"), col("post"), col("sd"))
+      .agg(count(lit(1)).as("n"), sum(col("dayi")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("dayi").cast(dec) * col("dayi")).as("sxx"),
+        sum(col("dayi").cast(dec) * col("y")).as("sxy"))
+      .withColumn("num",
+        expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den",
+        expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_micro",
+        expr("CAST((1000000 * num) DIV nullif(den, 0) AS BIGINT)"))
+      .withColumn("pred_micro",
+        expr("CAST((1000000 * (CAST(sy AS DECIMAL(38,0)) * den + " +
+          "num * (n * sd - sx))) DIV nullif(n * den, 0) AS BIGINT)"))
+    val pre = seg.filter(col("post") === 0L)
+      .select(col("event_type"), col("n").as("n_pre"),
+        col("slope_micro").as("slope_pre_micro"),
+        col("pred_micro").as("pred_pre_micro"))
+    val post = seg.filter(col("post") === 1L)
+      .select(col("event_type").as("pt"), col("n").as("n_post"),
+        col("slope_micro").as("slope_post_micro"),
+        col("pred_micro").as("pred_post_micro"))
+    pre.join(post, col("event_type") === col("pt"))
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        col("slope_pre_micro"), col("slope_post_micro"),
+        (col("slope_post_micro") - col("slope_pre_micro"))
+          .as("delta_slope_micro"),
+        (col("pred_post_micro") - col("pred_pre_micro")).as("jump_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ses_grid" -> tsSesGrid _,
+    "ts_its" -> tsIts _,
     "ts_croston" -> tsCroston _,
     "ts_weibull_fit" -> tsWeibullFit _,
     "ts_snaive_mase" -> tsSnaiveMase _,
@@ -3848,6 +3948,63 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_ses_grid" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(COUNT(*) AS BIGINT) AS z FROM events GROUP BY 1, 2), " +
+        "seq AS (SELECT event_type, dayi, z, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dayi) - 1 AS idx FROM daily), " +
+        "al AS (SELECT unnest(generate_series(1, 9)) AS al), " +
+        "sm(event_type, al, idx, q, sse) AS (" +
+        "SELECT event_type, al, idx, 1000 * z, CAST(0 AS BIGINT) " +
+        "FROM seq CROSS JOIN al WHERE idx = 0 " +
+        "UNION ALL SELECT s.event_type, sm.al, s.idx, " +
+        "(sm.al * 1000 * s.z + (10 - sm.al) * sm.q) // 10, " +
+        "sm.sse + (1000 * s.z - sm.q) * (1000 * s.z - sm.q) " +
+        "FROM sm JOIN seq s ON s.event_type = sm.event_type " +
+        "AND s.idx = sm.idx + 1), " +
+        "mx AS (SELECT event_type, MAX(idx) AS mi FROM seq GROUP BY 1), " +
+        "fin AS (SELECT sm.event_type, CAST(sm.al AS BIGINT) " +
+        "AS alpha_decile, CAST(mx.mi + 1 AS BIGINT) AS n_days, " +
+        "CAST(sm.q AS BIGINT) AS level_milli, CAST(sm.sse AS BIGINT) " +
+        "AS sse FROM sm JOIN mx ON sm.event_type = mx.event_type " +
+        "AND sm.idx = mx.mi), " +
+        "best AS (SELECT event_type, MIN(sse) AS best_sse FROM fin " +
+        "GROUP BY 1) " +
+        "SELECT fin.event_type, fin.alpha_decile, fin.n_days, " +
+        "fin.level_milli, fin.sse, fin.sse = best.best_sse AS is_best " +
+        "FROM fin JOIN best USING (event_type) ORDER BY 1, 2"),
+    "ts_its" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(SUM($c) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd " +
+        "FROM daily), " +
+        "seg AS (SELECT event_type, " +
+        "CASE WHEN dayi >= sd THEN 1 ELSE 0 END AS post, sd, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dayi) AS BIGINT) AS sx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, " +
+        "SUM(CAST(dayi AS HUGEINT) * dayi) AS sxx, " +
+        "SUM(CAST(dayi AS HUGEINT) * y) AS sxy " +
+        "FROM daily CROSS JOIN sp GROUP BY 1, 2, 3), " +
+        "c0 AS (SELECT event_type, post, n, sx, sy, sd, " +
+        "n * sxy - CAST(sx AS HUGEINT) * sy AS num, " +
+        "n * sxx - CAST(sx AS HUGEINT) * sx AS den FROM seg), " +
+        "f AS (SELECT event_type, post, n, " +
+        "CAST((1000000 * num) // nullif(den, 0) AS BIGINT) " +
+        "AS slope_micro, " +
+        "CAST((1000000 * (CAST(sy AS HUGEINT) * den + " +
+        "num * (n * sd - sx))) // nullif(n * den, 0) AS BIGINT) " +
+        "AS pred_micro FROM c0) " +
+        "SELECT p.event_type, p.n AS n_pre, q.n AS n_post, " +
+        "p.slope_micro AS slope_pre_micro, " +
+        "q.slope_micro AS slope_post_micro, " +
+        "q.slope_micro - p.slope_micro AS delta_slope_micro, " +
+        "q.pred_micro - p.pred_micro AS jump_micro " +
+        "FROM f p JOIN f q ON p.event_type = q.event_type " +
+        "AND p.post = 0 AND q.post = 1 ORDER BY 1"
+    },
     "ts_croston" -> {
       val c = OSQL.cents("value")
       "WITH RECURSIVE daily AS (SELECT event_type, " +

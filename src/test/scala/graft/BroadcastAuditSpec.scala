@@ -21,7 +21,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
-    "operators/TimeSeries.scala" -> 23,
+    "operators/TimeSeries.scala" -> 25,
     "operators/Aggregations.scala" -> 59,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,

@@ -232,6 +232,80 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("ts_ses_grid: exact fold recount per (type, alpha), argmin flagged") {
+    val rows = SparkEntry.queries("ts_ses_grid")(spark, sfDir).collect()
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), dayi(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, day), z) => (day, z) }.sortBy(_._1))
+      .toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("alpha_decile")).sorted.toSeq ==
+        (1L to 9L))
+      val series = daily(et).map(_._2)
+      rs.foreach { r =>
+        val a = r.getAs[Long]("alpha_decile")
+        var q = 1000L * series.head
+        var sse = 0L
+        series.tail.foreach { z =>
+          val err = 1000L * z - q
+          sse += err * err
+          q = (a * 1000L * z + (10L - a) * q) / 10L
+        }
+        assert(r.getAs[Long]("n_days") == series.length.toLong)
+        assert(r.getAs[Long]("level_milli") == q, s"$et a=$a level")
+        assert(r.getAs[Long]("sse") == sse, s"$et a=$a sse")
+      }
+      val minSse = rs.map(_.getAs[Long]("sse")).min
+      val flagged = rs.filter(_.getAs[Boolean]("is_best"))
+      assert(flagged.nonEmpty &&
+        flagged.forall(_.getAs[Long]("sse") == minSse), s"$et argmin flag")
+    }
+  }
+
+  test("ts_its: segmented-regression recount and identity checks") {
+    val rows = SparkEntry.queries("ts_its")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect()
+      .map(r => ((r.getString(0), dayi(r.getLong(1))), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .toSeq.map { case ((et, day), y) => (et, day, y) }
+    val sd = {
+      val ds = daily.map(_._2)
+      (ds.min + ds.max + 1) / 2
+    }
+    def fit(seg: Seq[(Long, Long)]): (Long, Long) = {
+      val n = BigInt(seg.length)
+      val sx = seg.map(s => BigInt(s._1)).sum
+      val sy = seg.map(s => BigInt(s._2)).sum
+      val sxx = seg.map(s => BigInt(s._1) * s._1).sum
+      val sxy = seg.map(s => BigInt(s._1) * s._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      ((BigInt(1000000) * num / den).toLong,
+        (BigInt(1000000) * (sy * den + num * (n * sd - sx)) /
+          (n * den)).toLong)
+    }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val pts = daily.filter(_._1 == et).map(t => (t._2, t._3))
+      val (pre, post) = pts.partition(_._1 < sd)
+      val (sPre, pPre) = fit(pre)
+      val (sPost, pPost) = fit(post)
+      assert(r.getAs[Long]("n_pre") == pre.length.toLong)
+      assert(r.getAs[Long]("n_post") == post.length.toLong)
+      assert(r.getAs[Long]("slope_pre_micro") == sPre, s"$et pre slope")
+      assert(r.getAs[Long]("slope_post_micro") == sPost, s"$et post slope")
+      assert(r.getAs[Long]("delta_slope_micro") == sPost - sPre)
+      assert(r.getAs[Long]("jump_micro") == pPost - pPre, s"$et jump")
+    }
+  }
+
   test("agg_perm_test: sign-flip recount and p-value bounds") {
     val rows = SparkEntry.queries("agg_perm_test")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
