@@ -1417,7 +1417,39 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Importance-sampling diagnostics for reweighting the corpus toward a
+    * UNIFORM source mix — the question behind every mixture change "can I
+    * reweight instead of recollect?": each source's weight is the exact
+    * integral target/actual ratio in micro, and the corpus-level
+    * effective sample size fraction ESS = (Σw)²/(n·Σw²) (Kish) ships
+    * beside the table — a low ESS says the reweighted corpus behaves
+    * like far fewer documents and the mix needs real data, not weights.
+    * All integer: two taxonomy-sized aggregates, DECIMAL(38,0) cross
+    * terms, nothing touches the documents twice. */
+  private def sampleEss(s: SparkSession, d: String): DataFrame = {
+    val per = docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val w = U.track(per.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_total) DIV " +
+          "(n_docs * n_sources) AS BIGINT)"))
+      .persist())
+    val g = w.agg(
+      expr("SUM(CAST(n_docs AS DECIMAL(38,0)) * w_micro)").as("sw"),
+      expr("SUM(CAST(n_docs AS DECIMAL(38,0)) * w_micro * w_micro)")
+        .as("sw2"),
+      sum(col("n_docs")).as("nt"))
+    w.crossJoin(broadcast(g))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        expr("CAST((1000000 * sw * sw) DIV nullif(nt * sw2, 0) AS BIGINT)")
+          .as("ess_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_ess" -> sampleEss _,
     "pipeline_dpo_pairs" -> pipelineDpoPairs _,
     "pipeline_best_of_k" -> pipelineBestOfK _,
     "pipeline_mix_schedule" -> pipelineMixSchedule _,
@@ -1527,6 +1559,21 @@ object Pipeline {
       "AS score FROM documents WHERE n_chars > 0"
 
   val oracleSql: Map[String, String] = Map(
+    "sample_ess" ->
+      ("WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sources FROM per), " +
+        "w AS (SELECT source, n_docs, " +
+        "CAST((1000000 * CAST(n_total AS HUGEINT)) // " +
+        "(n_docs * n_sources) AS BIGINT) AS w_micro " +
+        "FROM per CROSS JOIN tot), " +
+        "g AS (SELECT SUM(CAST(n_docs AS HUGEINT) * w_micro) AS sw, " +
+        "SUM(CAST(n_docs AS HUGEINT) * w_micro * w_micro) AS sw2, " +
+        "CAST(SUM(n_docs) AS BIGINT) AS nt FROM w) " +
+        "SELECT source, n_docs, w_micro, " +
+        "CAST((1000000 * sw * sw) // nullif(nt * sw2, 0) AS BIGINT) " +
+        "AS ess_micro FROM w CROSS JOIN g ORDER BY source"),
     "pipeline_dpo_pairs" ->
       (s"WITH b AS ($scoredSql), " +
         "rk AS (SELECT source, doc_id, score, row_number() OVER " +

@@ -2421,7 +2421,13 @@ object Aggregations {
     * The permutation "resamples" are a 19-way widening of the
     * CALENDAR-bounded daily frame — never of the raw events — so the
     * whole test costs one events scan + a dozens×19-row shuffle. */
-  private def aggPermTest(s: SparkSession, d: String): DataFrame = {
+  private def aggPermTest(s: SparkSession, d: String): DataFrame =
+    permPvals(s, d).orderBy("event_type")
+
+  /** The permutation-test kernel — shared by agg_perm_test and
+    * [[aggBhFdr]] so the p-values being corrected are EXACTLY the ones
+    * the test ships. */
+  private def permPvals(s: SparkSession, d: String): DataFrame = {
     val daily = U.events(s, d)
       .select(col("event_type"),
         expr("unix_micros(ts) DIV 86400000000").as("dayi"),
@@ -2444,10 +2450,39 @@ object Aggregations {
         sum(when(col("tp") >= col("t_obs"), 1L).otherwise(0L)).as("n_ge"))
       .select(col("event_type"), col("n_days"), col("t_obs"), col("n_ge"),
         expr("(1000000 * (1 + n_ge)) DIV 20").as("p_micro"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction at q = 0.2 over the
+    * per-type permutation p-values ([[permPvals]] — the SAME kernel the
+    * test ships, so correction and test cannot drift): p-values ranked
+    * ascending, the step-up cut k = max{i : pᵢ·m ≤ i·q} found by one
+    * 1-row aggregate (no global window), every rank ≤ k rejected. The
+    * comparison runs entirely in exact integers (p is already micro).
+    * The frame under correction is |types| rows — taxonomy-bounded, the
+    * m-way multiplicity this guards is structural, not data-scaled. */
+  private def aggBhFdr(s: SparkSession, d: String): DataFrame = {
+    val base = U.track(permPvals(s, d)
+      .select(col("event_type"), col("p_micro")).persist())
+    val m = base.agg(count(lit(1)).as("m"))
+    val rk = base.select(col("event_type").as("re"), col("p_micro").as("rp"))
+    val ranked = base.crossJoin(broadcast(m))
+      .join(broadcast(rk), col("rp") < col("p_micro") ||
+        (col("rp") === col("p_micro") && col("re") <= col("event_type")),
+        "left")
+      .groupBy(col("event_type"), col("p_micro"), col("m"))
+      .agg(count(col("re")).as("p_rank"))
+      .withColumn("ok",
+        col("p_micro") * col("m") <= col("p_rank") * lit(200000L))
+    val k = ranked.agg(max(when(col("ok"), col("p_rank"))).as("k"))
+    ranked.crossJoin(broadcast(k))
+      .select(col("event_type"), col("p_micro"), col("p_rank"),
+        expr("(p_rank * 200000) DIV m").as("threshold_micro"),
+        (col("p_rank") <= coalesce(col("k"), lit(0L))).as("rejected"))
       .orderBy("event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bh_fdr" -> aggBhFdr _,
     "agg_perm_test" -> aggPermTest _,
     "agg_bootstrap_ci" -> aggBootstrapCi _,
     "agg_mcnemar" -> aggMcnemar _,
@@ -2610,8 +2645,9 @@ object Aggregations {
       s"CAST(MIN($src) AS VARCHAR) AS min_s, " +
       s"CAST(MAX($src) AS VARCHAR) AS max_s FROM lineitem"
 
-  val oracleSql: Map[String, String] = Map(
-    "agg_perm_test" -> {
+  /** The full agg_perm_test mirror, extracted so agg_bh_fdr can nest it —
+    * one SQL definition of the p-values on the oracle side. */
+  private val permTestSql: String = {
       val c = OSQL.cents("value")
       s"WITH daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS dayi, " +
@@ -2632,7 +2668,23 @@ object Aggregations {
         "CAST((1000000 * (1 + SUM(CASE WHEN pm.tp >= t0.t_obs THEN 1 " +
         "ELSE 0 END))) // 20 AS BIGINT) AS p_micro " +
         "FROM pm JOIN t0 USING (event_type) GROUP BY 1 ORDER BY 1"
-    },
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_perm_test" -> permTestSql,
+    "agg_bh_fdr" ->
+      (s"WITH pv AS (SELECT event_type, p_micro FROM ($permTestSql)), " +
+        "m0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv), " +
+        "ranked AS (SELECT a.event_type, a.p_micro, m0.m, " +
+        "CAST((SELECT COUNT(*) FROM pv b WHERE b.p_micro < a.p_micro " +
+        "OR (b.p_micro = a.p_micro AND b.event_type <= a.event_type)) " +
+        "AS BIGINT) AS p_rank FROM pv a CROSS JOIN m0), " +
+        "kk AS (SELECT MAX(CASE WHEN p_micro * m <= p_rank * 200000 " +
+        "THEN p_rank END) AS k FROM ranked) " +
+        "SELECT event_type, p_micro, p_rank, " +
+        "CAST((p_rank * 200000) // m AS BIGINT) AS threshold_micro, " +
+        "p_rank <= coalesce(kk.k, 0) AS rejected " +
+        "FROM ranked CROSS JOIN kk ORDER BY event_type"),
     "agg_bootstrap_ci" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type, $c AS vc, event_id FROM events), " +

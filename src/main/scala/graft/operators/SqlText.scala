@@ -339,7 +339,25 @@ object SqlText {
     s.sql(windowClauseSql)
   }
 
+  /** SQL pipe syntax (Spark 4's `|>` operators) — the linear query form
+    * that reads in dataflow order: FROM → WHERE → AGGREGATE … GROUP BY →
+    * ORDER BY, each stage a `|>` step through the same parser surface a
+    * migration from pipeline DSLs lands on. Semantically identical to
+    * the nested-SELECT plan (Catalyst sees one Aggregate), which is why
+    * the oracle is the plain-SQL spelling; sums ride exact integer
+    * cents. */
+  private def sqlPipeSyntax(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("FROM lineitem " +
+      "|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+      "|> AGGREGATE SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 " +
+      "AS BIGINT)) AS sum_qty_c, COUNT(*) AS n_rows " +
+      "GROUP BY l_returnflag, l_linestatus " +
+      "|> ORDER BY l_returnflag, l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pipe_syntax" -> sqlPipeSyntax _,
     "sql_order_by_all" -> sqlOrderByAll _,
     "sql_star_except" -> sqlStarExcept _,
     "sql_window_clause" -> sqlWindowClause _,
@@ -360,6 +378,12 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_pipe_syntax" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        s"CAST(SUM(${OSQL.cents("l_quantity")}) AS BIGINT) AS sum_qty_c, " +
+        "COUNT(*) AS n_rows FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "sql_order_by_all" -> orderByAll,
     "sql_star_except" ->
       ("SELECT * EXCLUDE (c_name, c_acctbal) FROM customer " +

@@ -22,12 +22,12 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 25,
-    "operators/Aggregations.scala" -> 59,
+    "operators/Aggregations.scala" -> 62,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 21,
+    "llm/Pipeline.scala" -> 23,
     "llm/Similarity.scala" -> 31,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,

@@ -339,6 +339,52 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("agg_bh_fdr: step-up law against the shipped permutation p-values") {
+    val pv = SparkEntry.queries("agg_perm_test")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("p_micro")).toMap
+    val rows = SparkEntry.queries("agg_bh_fdr")(spark, sfDir).collect()
+    U.releaseTracked()
+    assert(rows.map(_.getString(0)).toSet == pv.keySet)
+    val m = pv.size.toLong
+    val ranked = pv.toSeq.sortBy { case (et, p) => (p, et) }.zipWithIndex
+      .map { case ((et, p), i) => (et, p, i + 1L) }
+    val k = ranked.filter { case (_, p, i) => p * m <= i * 200000L }
+      .map(_._3).maxOption.getOrElse(0L)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val (_, p, i) = ranked.find(_._1 == et).get
+      assert(r.getAs[Long]("p_micro") == p, s"$et p must match the test's")
+      assert(r.getAs[Long]("p_rank") == i, s"$et rank")
+      assert(r.getAs[Long]("threshold_micro") == i * 200000L / m)
+      assert(r.getAs[Boolean]("rejected") == (i <= k), s"$et step-up")
+    }
+    // step-up coherence: the rejected set is a rank prefix
+    val rej = rows.filter(_.getAs[Boolean]("rejected"))
+      .map(_.getAs[Long]("p_rank")).sorted
+    assert(rej.toSeq == (1L to rej.length))
+  }
+
+  test("sample_ess: Kish effective-sample-size recount") {
+    val rows = SparkEntry.queries("sample_ess")(spark, sfDir).collect()
+    U.releaseTracked()
+    val per = U.tbl(spark, sfDir, "documents").groupBy(col("source"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nTotal, nSources) = (per.values.sum, per.size.toLong)
+    val w = per.view.mapValues(n =>
+      (BigInt(1000000) * nTotal / (n * nSources)).toLong).toMap
+    val sw = per.map { case (s, n) => BigInt(n) * w(s) }.sum
+    val sw2 = per.map { case (s, n) => BigInt(n) * w(s) * w(s) }.sum
+    val ess = (BigInt(1000000) * sw * sw / (nTotal * sw2)).toLong
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_docs") == per(src))
+      assert(r.getAs[Long]("w_micro") == w(src), s"$src weight")
+      assert(r.getAs[Long]("ess_micro") == ess)
+      assert(ess > 0L && ess <= 1000000L, "Kish ESS fraction bounds")
+    }
+  }
+
   test("ts_weibull_fit: median-rank regression recount from lifetimes") {
     val rows = SparkEntry.queries("ts_weibull_fit")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("grp")).toSet == Set(0L, 1L))
