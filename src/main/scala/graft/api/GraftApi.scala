@@ -1016,6 +1016,36 @@ object GraftApi {
           graft.U.cents(col(value)).as("vc")))
       .withColumnRenamed("event_type", group)
 
+  /** Poisson-bootstrap 90% CI of the per-group mean on a caller frame —
+    * the `agg_bootstrap_ci` kernel lifted: B=32 deterministic integer
+    * weights per row keyed by `id` (no rand(), reproducible on any
+    * partitioning), one widened hash aggregate, CI bounds as order
+    * statistics of exact integral replicate means. Returns (group, n,
+    * mean_micro, n_rep, lo_micro, hi_micro). */
+  def bootstrapCi(df: DataFrame, group: String, id: String,
+      value: String): DataFrame =
+    graft.operators.Aggregations.bootstrapOn(
+        df.select(col(group).as("event_type"),
+          graft.U.cents(col(value)).as("vc"),
+          col(id).cast(LongType).as("event_id")))
+      .withColumnRenamed("event_type", group)
+
+  /** Croston intermittent-demand forecast on a caller (key, day, size)
+    * demand frame — the `ts_croston` kernel lifted: per key, separate
+    * α=0.2 EWMAs of demand size and inter-demand interval in exact
+    * integer milli, forecast = size/interval. Rows with demand only;
+    * zero days are read off the day gaps. Returns (key, day, size,
+    * q_milli, a_milli, forecast_milli). */
+  def crostonForecast(df: DataFrame, key: String, day: String,
+      size: String): DataFrame =
+    graft.operators.TimeSeries.crostonOn(
+        df.select(col(key).as("event_type"),
+          col(day).cast(LongType).as("dayi"),
+          col(size).cast(LongType).as("z")))
+      .withColumnRenamed("event_type", key)
+      .withColumnRenamed("dayi", day)
+      .withColumnRenamed("z", size)
+
   /** Deterministic ~10% token dropout on a caller frame — the
     * `pipeline_dropout_mask` kernel lifted: the token at position p of
     * row `id` drops when the LCG hash's tens digit is 0 (no rand(),

@@ -2320,9 +2320,14 @@ object Aggregations {
     * integral micro via DECIMAL(38,0) cross terms, and the CI bounds are
     * order statistics of the 32 replicate means (tie order cannot change
     * the selected value). */
-  private def aggBootstrapCi(s: SparkSession, d: String): DataFrame = {
-    val ev = U.events(s, d).select(col("event_type"),
-      U.cents(col("value")).as("vc"), col("event_id"))
+  private def aggBootstrapCi(s: SparkSession, d: String): DataFrame =
+    bootstrapOn(U.events(s, d).select(col("event_type"),
+      U.cents(col("value")).as("vc"), col("event_id")))
+
+  /** The Poisson-bootstrap kernel over any (event_type, vc, event_id)
+    * frame — shared by the declared query and
+    * [[graft.api.GraftApi.bootstrapCi]]. */
+  private[graft] def bootstrapOn(ev: DataFrame): DataFrame = {
     val means = ev
       .withColumn("b", explode(sequence(lit(0L), lit(31L))))
       .withColumn("h", expr("((event_id % 1000000007) * " +
@@ -2481,7 +2486,78 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Sample-ratio-mismatch guardrail per type — the FIRST check any
+    * experiment readout runs (a skewed split invalidates every
+    * downstream stat): distinct USERS per parity arm (the randomization
+    * unit, never events), the one-df chi-square (n₀−n₁)²/(n₀+n₁) in
+    * exact micro via a DECIMAL(38,0) cross term, flagged at the 5%
+    * critical value 3.841459. One distinct + one hash agg. */
+  private def aggSrm(s: SparkSession, d: String): DataFrame =
+    U.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        pmod(col("user_id"), lit(2L)).as("arm"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n0 - n1) * " +
+          "(n0 - n1)) DIV nullif(n0 + n1, 0) AS BIGINT)").as("srm_micro"))
+      .withColumn("flagged", col("srm_micro") > 3841459L)
+      .orderBy("event_type")
+
+  /** Population Stability Index per type between the pre/post halves at
+    * the observed day midpoint — THE industry drift score a model
+    * monitor reads before trusting yesterday's model on today's data:
+    * values bucketed into ten fixed $10 bands (a CONSTANT taxonomy — no
+    * quantile pass), Laplace-smoothed shares p,q so empty bands stay
+    * finite, and PSI = Σ(p−q)·ln(p/q) summed from per-band terms floored
+    * to micro-nats (each term ≥ 0, ln agrees cross-engine, the double
+    * tree is mirrored operand-for-operand). Flagged at the standard 0.2
+    * rule. One events scan + a |types|×2×10-row epilogue. */
+  private def aggPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+      least(lit(9L), expr(
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 1000"))
+        .as("band"))
+    val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    val cnt = U.track(ev.crossJoin(broadcast(split))
+      .withColumn("seg", when(col("dayi") < col("sd"), 0L).otherwise(1L))
+      .groupBy(col("event_type"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val tot = cnt.groupBy(col("event_type").as("tt"))
+      .agg(sum(when(col("seg") === 0L, col("c")).otherwise(0L)).as("n0"),
+        sum(when(col("seg") === 1L, col("c")).otherwise(0L)).as("n1"))
+    val grid = cnt.select(col("event_type")).distinct()
+      .withColumn("band", explode(sequence(lit(0L), lit(9L))))
+    val c0 = cnt.filter(col("seg") === 0L).select(
+      col("event_type").as("e0"), col("band").as("b0"), col("c").as("c0"))
+    val c1 = cnt.filter(col("seg") === 1L).select(
+      col("event_type").as("e1"), col("band").as("b1"), col("c").as("c1"))
+    grid
+      .join(broadcast(c0),
+        col("event_type") === col("e0") && col("band") === col("b0"), "left")
+      .join(broadcast(c1),
+        col("event_type") === col("e1") && col("band") === col("b1"), "left")
+      .join(broadcast(tot), col("event_type") === col("tt"))
+      .withColumn("p", (coalesce(col("c0"), lit(0L)) + lit(1L))
+        .cast(DoubleType) / (col("n0") + lit(10L)).cast(DoubleType))
+      .withColumn("q", (coalesce(col("c1"), lit(0L)) + lit(1L))
+        .cast(DoubleType) / (col("n1") + lit(10L)).cast(DoubleType))
+      .withColumn("term", floor(lit(1000000.0) * (col("p") - col("q")) *
+        log(col("p") / col("q"))).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n_pre"), max(col("n1")).as("n_post"),
+        sum(col("term")).as("psi_micro"))
+      .withColumn("flagged", col("psi_micro") > 200000L)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_srm" -> aggSrm _,
+    "agg_psi" -> aggPsi _,
     "agg_bh_fdr" -> aggBhFdr _,
     "agg_perm_test" -> aggPermTest _,
     "agg_bootstrap_ci" -> aggBootstrapCi _,
@@ -2671,6 +2747,52 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_srm" ->
+      ("WITH pu AS (SELECT DISTINCT event_type, user_id, " +
+        "CAST(user_id % 2 AS BIGINT) AS arm FROM events), " +
+        "ct AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 " +
+        "FROM pu GROUP BY 1), " +
+        "f AS (SELECT event_type, n0, n1, " +
+        "CAST((1000000 * CAST(n0 - n1 AS HUGEINT) * (n0 - n1)) " +
+        "// nullif(n0 + n1, 0) AS BIGINT) AS srm_micro FROM ct) " +
+        "SELECT event_type, n0, n1, srm_micro, " +
+        "srm_micro > 3841459 AS flagged FROM f ORDER BY 1"),
+    "agg_psi" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        "least(9, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+        "// 1000) AS band FROM events), " +
+        "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd FROM ev), " +
+        "cnt AS (SELECT event_type, " +
+        "CASE WHEN dayi < sd THEN 0 ELSE 1 END AS seg, band, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM ev CROSS JOIN sp " +
+        "GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN seg = 0 THEN c ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN seg = 1 THEN c ELSE 0 END) AS BIGINT) AS n1 " +
+        "FROM cnt GROUP BY 1), " +
+        "gb AS (SELECT event_type, b AS band FROM " +
+        "(SELECT DISTINCT event_type FROM cnt) CROSS JOIN " +
+        "(SELECT unnest(generate_series(0, 9)) AS b)), " +
+        "j AS (SELECT gb.event_type, gb.band, " +
+        "coalesce(z.c, 0) AS c0, coalesce(o.c, 0) AS c1, tot.n0, tot.n1 " +
+        "FROM gb LEFT JOIN cnt z ON z.event_type = gb.event_type " +
+        "AND z.band = gb.band AND z.seg = 0 " +
+        "LEFT JOIN cnt o ON o.event_type = gb.event_type " +
+        "AND o.band = gb.band AND o.seg = 1 " +
+        "JOIN tot ON tot.event_type = gb.event_type), " +
+        "t AS (SELECT event_type, n0, n1, CAST(floor(1000000.0 * " +
+        "((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)) - " +
+        "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))) * " +
+        "ln((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)) / " +
+        "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE)))) " +
+        "AS BIGINT) AS term FROM j) " +
+        "SELECT event_type, MAX(n0) AS n_pre, MAX(n1) AS n_post, " +
+        "CAST(SUM(term) AS BIGINT) AS psi_micro, " +
+        "CAST(SUM(term) AS BIGINT) > 200000 AS flagged " +
+        "FROM t GROUP BY 1 ORDER BY 1"),
     "agg_perm_test" -> permTestSql,
     "agg_bh_fdr" ->
       (s"WITH pv AS (SELECT event_type, p_micro FROM ($permTestSql)), " +

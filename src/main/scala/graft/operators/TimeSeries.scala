@@ -3545,13 +3545,20 @@ object TimeSeries {
     * demand-rate forecast is q/a in milli. Zero days never materialize:
     * the interval arithmetic reads them off day gaps, so the scan is
     * |demand days| not |calendar|. */
-  private def tsCroston(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val daily = U.events(s, d)
+  private def tsCroston(s: SparkSession, d: String): DataFrame =
+    crostonOn(U.events(s, d)
       .filter(U.cents(col("value")) >= 9000L)
       .groupBy(col("event_type"),
         expr("unix_micros(ts) DIV 86400000000").as("dayi"))
-      .agg(count(lit(1)).as("z"))
+      .agg(count(lit(1)).as("z")))
+
+  /** The Croston kernel over any (event_type, dayi, z) demand frame —
+    * shared by the declared query and
+    * [[graft.api.GraftApi.crostonForecast]]. */
+  private[graft] def crostonOn(demand: DataFrame): DataFrame = {
+    val s = demand.sparkSession
+    import s.implicits._
+    val daily = demand
       .repartition(col("event_type"))
       .sortWithinPartitions(col("event_type"), col("dayi"))
       .select(col("event_type"), col("dayi"), col("z"))

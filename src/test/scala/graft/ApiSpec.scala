@@ -695,6 +695,28 @@ class ApiSpec extends SparkTestBase {
     assert(err.getMessage.contains("share one dimension"))
   }
 
+  test("bootstrapCi / crostonForecast equal their declared twins") {
+    val ev = U.events(spark, sfDir)
+    val bc = GraftApi.bootstrapCi(ev, "event_type", "event_id", "value")
+      .collect().map(_.toString)
+    val bcQ = SparkEntry.queries("agg_bootstrap_ci")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(bc.nonEmpty && bc.sameElements(bcQ))
+    val demand = ev.filter(U.cents(col("value")) >= 9000L)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val cf = GraftApi.crostonForecast(demand, "event_type", "d", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[java.lang.Long]("a_milli"),
+        r.getAs[java.lang.Long]("forecast_milli")).toString())
+    val cfQ = SparkEntry.queries("ts_croston")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[java.lang.Long]("a_milli"),
+        r.getAs[java.lang.Long]("forecast_milli")).toString())
+    assert(cf.nonEmpty && cf.sameElements(cfQ))
+  }
+
   test("ranked-id facades reject duplicate and null ids with clear errors") {
     // r11 advisor: smallestIds assumed unique non-null ids — a duplicate
     // id makes `vec_id <= seedCut` admit extra seeds/queries (recall can

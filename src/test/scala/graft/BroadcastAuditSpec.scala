@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 25,
-    "operators/Aggregations.scala" -> 62,
+    "operators/Aggregations.scala" -> 66,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

@@ -339,6 +339,53 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("agg_srm: distinct-user arm recount, chi-square identity") {
+    val rows = SparkEntry.queries("agg_srm")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val pu = U.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    pu.groupBy(_._1).foreach { case (et, us) =>
+      val n0 = us.count(_._2 % 2 == 0).toLong
+      val n1 = us.count(_._2 % 2 == 1).toLong
+      val r = rows(et)
+      assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1)
+      val srm = BigInt(1000000) * (n0 - n1) * (n0 - n1) / (n0 + n1)
+      assert(r.getAs[Long]("srm_micro") == srm.toLong, s"$et srm")
+      assert(r.getAs[Boolean]("flagged") == (srm > 3841459L))
+    }
+  }
+
+  test("agg_psi: per-band recount, PSI non-negative") {
+    val rows = SparkEntry.queries("agg_psi")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    U.releaseTracked()
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect().map(r => (r.getString(0), dayi(r.getLong(1)),
+        math.min(9L, r.getLong(2) / 1000L)))
+    val days = ev.map(_._2)
+    val sd = (days.min + days.max + 1) / 2
+    ev.groupBy(_._1).foreach { case (et, es) =>
+      val pre = es.filter(_._2 < sd)
+      val post = es.filter(_._2 >= sd)
+      val (n0, n1) = (pre.length.toLong, post.length.toLong)
+      val psi = (0L to 9L).map { b =>
+        val c0 = pre.count(_._3 == b).toLong
+        val c1 = post.count(_._3 == b).toLong
+        val p = (c0 + 1).toDouble / (n0 + 10).toDouble
+        val q = (c1 + 1).toDouble / (n1 + 10).toDouble
+        math.floor(1000000.0 * (p - q) * math.log(p / q)).toLong
+      }.sum
+      val r = rows(et)
+      assert(r.getAs[Long]("n_pre") == n0 && r.getAs[Long]("n_post") == n1)
+      assert(r.getAs[Long]("psi_micro") == psi, s"$et psi")
+      assert(psi >= -10L, s"$et PSI is a sum of >= -1 floored terms")
+      assert(r.getAs[Boolean]("flagged") == (psi > 200000L))
+    }
+  }
+
   test("agg_bh_fdr: step-up law against the shipped permutation p-values") {
     val pv = SparkEntry.queries("agg_perm_test")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("p_micro")).toMap
