@@ -356,7 +356,21 @@ object SqlText {
       "|> ORDER BY l_returnflag, l_linestatus")
   }
 
+  /** IDENTIFIER() dynamic name resolution (Spark 4) — templated ETL's
+    * injection-safe table/column parameterization: the table AND a
+    * grouping column arrive as string literals through IDENTIFIER, the
+    * plan is identical to the static spelling, which is what the plain
+    * oracle checks. */
+  private def sqlIdentifier(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("SELECT IDENTIFIER('o_orderpriority') AS pri, " +
+      "COUNT(*) AS n, " +
+      s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS BIGINT) AS total_c " +
+      "FROM IDENTIFIER('orders') GROUP BY 1 ORDER BY 1")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_identifier" -> sqlIdentifier _,
     "sql_pipe_syntax" -> sqlPipeSyntax _,
     "sql_order_by_all" -> sqlOrderByAll _,
     "sql_star_except" -> sqlStarExcept _,
@@ -378,6 +392,10 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_identifier" ->
+      ("SELECT o_orderpriority AS pri, COUNT(*) AS n, " +
+        s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS BIGINT) AS total_c " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "sql_pipe_syntax" ->
       ("SELECT l_returnflag, l_linestatus, " +
         s"CAST(SUM(${OSQL.cents("l_quantity")}) AS BIGINT) AS sum_qty_c, " +

@@ -6,6 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.{OSQL, U}
 import graft.sources.StatsSink
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
@@ -261,6 +262,33 @@ class SprtProcessor
     }
     st.update((n, k))
     out.iterator
+  }
+}
+
+case class SrmEvent(event_type: String, user_id: Long, us: Long, dayi: Long)
+case class SrmOut(event_type: String, dayi: Long, arm: Long)
+
+/** First-sight detector behind the streaming SRM guardrail — one Boolean
+  * of RocksDB state per (type, user) (the stream_dedup state
+  * discipline): a key emits exactly one row, tagged with the day of its
+  * first arrival. Batches ride the staged replay's event-time order and
+  * the batch minimum is taken explicitly, so first-sight day == the
+  * batch MIN(day) — what makes the running rollup exactly oracle-able. */
+class SrmFirstSeen
+    extends StatefulProcessor[(String, Long), SrmEvent, SrmOut] {
+  @transient private var seen:
+    org.apache.spark.sql.streaming.ValueState[Boolean] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+  override def handleInputRows(key: (String, Long),
+      rows: Iterator[SrmEvent], tv: TimerValues): Iterator[SrmOut] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      val first = rows.minBy(_.us)
+      seen.update(true)
+      Iterator.single(SrmOut(key._1, first.dayi, key._2 % 2))
+    }
   }
 }
 
@@ -1286,7 +1314,50 @@ object StreamingQueries {
     }
   }
 
+  /** [[SrmFirstSeen]] end-to-end: the sample-ratio-mismatch guardrail
+    * LIVE per day — each (type, user) admits once with its first-arrival
+    * day, the post-replay rollup cumulates per-arm user counts over
+    * days, and the running one-df chi-square (exact micro, the agg_srm
+    * expression) is the trajectory an experiment dashboard watches to
+    * catch a broken randomizer the day it breaks, not at readout. */
+  private def srmTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val firsts = runStream(s, d, "append", filesPerTrigger = 4) { in =>
+        import in.sparkSession.implicits._
+        in.select(col("event_type"), col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+          .as[SrmEvent]
+          .groupByKey(e => (e.event_type, e.user_id))
+          .transformWithState(new SrmFirstSeen,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firsts.groupBy(col("event_type"), col("dayi"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("a0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("a1"))
+        .withColumn("n0", sum(col("a0")).over(w))
+        .withColumn("n1", sum(col("a1")).over(w))
+        .select(col("event_type"), col("dayi"), col("n0"), col("n1"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n0 - n1) * " +
+            "(n0 - n1)) DIV nullif(n0 + n1, 0) AS BIGINT)")
+            .as("srm_micro"))
+        .withColumn("flagged", col("srm_micro") > 3841459L)
+        .orderBy("event_type", "dayi")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_srm" -> srmTws _,
     "stream_ewma" -> ewmaTws _,
     "stream_neardup" -> neardupStream _,
     "stream_token_quota" -> tokenQuotaStream _,
@@ -1360,6 +1431,28 @@ object StreamingQueries {
     // the batch ts_ewma oracle, verbatim — the stream's per-user fold is
     // the same double chain in the same (ts, event_id) order
     "stream_ewma" -> graft.operators.TimeSeries.oracleSql("ts_ewma"),
+    // first-sight day == MIN(day) per (type, user) because the staged
+    // replay is event-time ordered; the trajectory is a window cumsum
+    "stream_srm" ->
+      ("WITH fs AS (SELECT event_type, user_id, " +
+        "CAST(user_id % 2 AS BIGINT) AS arm, " +
+        "MIN(epoch_us(ts) // 86400000000) AS dayi FROM events " +
+        "GROUP BY 1, 2, 3), " +
+        "dd AS (SELECT event_type, dayi, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1 " +
+        "FROM fs GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, dayi, " +
+        "CAST(SUM(a0) OVER w AS BIGINT) AS n0, " +
+        "CAST(SUM(a1) OVER w AS BIGINT) AS n1 FROM dd " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY dayi " +
+        "ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT event_type, dayi, n0, n1, " +
+        "CAST((1000000 * CAST(n0 - n1 AS HUGEINT) * (n0 - n1)) " +
+        "// nullif(n0 + n1, 0) AS BIGINT) AS srm_micro, " +
+        "CAST((1000000 * CAST(n0 - n1 AS HUGEINT) * (n0 - n1)) " +
+        "// nullif(n0 + n1, 0) AS BIGINT) > 3841459 AS flagged " +
+        "FROM c ORDER BY event_type, dayi"),
     "stream_cusum" -> graft.operators.TimeSeries.cusumAlarmSql,
     "stream_session_tws" ->
       ("WITH flagged AS (SELECT user_id, ts, event_id, value, " +

@@ -240,6 +240,24 @@ class StreamingSpec extends SparkTestBase {
       s"batch/stream EWMA divergence: ${batch.length} vs ${stream.length}")
   }
 
+  test("stream_srm's last day equals the batch agg_srm guardrail") {
+    // the running trajectory must CLOSE on the batch answer: cumulative
+    // first-sight arm counts at the final day == total distinct users
+    val batch = SparkEntry.queries("agg_srm")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n0"),
+        r.getAs[Long]("n1"), r.getAs[Long]("srm_micro"))).toMap
+    val lastPerType = SparkEntry.queries("stream_srm")(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rs) => et -> rs.maxBy(_.getAs[Long]("dayi")) }
+    assert(lastPerType.keySet == batch.keySet)
+    lastPerType.foreach { case (et, r) =>
+      val (n0, n1, srm) = batch(et)
+      assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1,
+        s"$et cumulative arm counts must close on the batch totals")
+      assert(r.getAs[Long]("srm_micro") == srm, s"$et final chi-square")
+    }
+  }
+
   test("stream_neardup detects dups ACROSS micro-batches (state-path proof)") {
     // the staged docs replay runs 8 doc_id-range files at 4/trigger = 2
     // micro-batches with the range midpoint as the batch boundary; a dup
