@@ -751,7 +751,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Out-of-vocabulary rate per source against the reference vocabulary
+    * (the distinct tokens of the lexicographically first source) — the
+    * cross-domain tokenizer-coverage read a corpus owner takes before
+    * pointing an existing tokenizer at a new source: per source, token
+    * OCCURRENCES (not types) outside the reference vocab, in exact
+    * micro. The vocab side is vocabulary-sized — potentially millions —
+    * so the membership join is a token-key SHUFFLE join, deliberately
+    * not broadcast; the reference source row is the only broadcast. The
+    * reference source itself reads 0 — the built-in sanity anchor. */
+  private def textOov(s: SparkSession, d: String): DataFrame = {
+    val toks = U.track(docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .persist())
+    val ref = toks.agg(min(col("source")).as("rs"))
+    val vocab = toks.crossJoin(broadcast(ref))
+      .filter(col("source") === col("rs"))
+      .select(col("tok").as("vtok")).distinct()
+    toks.join(vocab, col("tok") === col("vtok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) DIV nullif(n_tokens, 0)").as("oov_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov" -> textOov _,
     "text_ccnet_buckets" -> ccnetBuckets _,
     "text_code_detect" -> codeDetect _,
     "text_hapax" -> hapaxCorpus _,
@@ -803,6 +830,19 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_oov" ->
+      (s"WITH toks AS (SELECT source, unnest(${sqlTokens("text")}) AS tok " +
+        "FROM documents), " +
+        "ref AS (SELECT MIN(source) AS rs FROM toks), " +
+        "vocab AS (SELECT DISTINCT tok AS vtok FROM toks CROSS JOIN ref " +
+        "WHERE source = rs) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_oov, " +
+        "CAST((1000000 * SUM(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END)) " +
+        "// nullif(COUNT(*), 0) AS BIGINT) AS oov_micro " +
+        "FROM toks LEFT JOIN vocab v ON toks.tok = v.vtok " +
+        "GROUP BY 1 ORDER BY 1"),
     "text_ccnet_buckets" ->
       (s"WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

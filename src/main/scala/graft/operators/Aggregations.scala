@@ -2555,7 +2555,52 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Delta-method CI for the ratio metric (spend per event, the shape
+    * revenue-per-session lives in) per type — the workhorse every
+    * experimentation stack needs because ratio metrics violate the
+    * per-user-iid assumption the plain t-test makes: per-user (X=spend
+    * cents, Y=events), R̂ = ΣX/ΣY shipped EXACT in micro, and the
+    * linearized variance (varX − 2R·covXY + R²·varY)/(n·ȳ²) from exact
+    * DECIMAL(38,0) power sums cast to doubles through one mirrored op
+    * tree (sqrt is IEEE-correctly-rounded, so the CI hash-matches). One
+    * per-user rollup + one per-type aggregate. */
+  private def aggRatioDelta(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = U.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        U.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("vc")).as("x"), count(lit(1)).as("y"))
+    val st = per.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxl"), sum(col("y")).as("syl"),
+        sum(col("x").cast(dec) * col("x")).cast(DoubleType).as("sxx"),
+        sum(col("x").cast(dec) * col("y")).cast(DoubleType).as("sxy"),
+        sum(col("y").cast(dec) * col("y")).cast(DoubleType).as("syy"))
+      .withColumn("nd", col("n_users").cast(DoubleType))
+      .withColumn("sx", col("sxl").cast(DoubleType))
+      .withColumn("sy", col("syl").cast(DoubleType))
+    val r = col("sx") / col("sy")
+    val vx = (col("sxx") - col("sx") * col("sx") / col("nd")) /
+      (col("nd") - lit(1.0))
+    val cxy = (col("sxy") - col("sx") * col("sy") / col("nd")) /
+      (col("nd") - lit(1.0))
+    val vy = (col("syy") - col("sy") * col("sy") / col("nd")) /
+      (col("nd") - lit(1.0))
+    val se = sqrt((vx - lit(2.0) * r * cxy + r * r * vy) /
+      (col("nd") * (col("sy") / col("nd")) * (col("sy") / col("nd"))))
+    val ok = col("n_users") > 1L && col("syl") > 0L
+    st.select(col("event_type"), col("n_users"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sxl) DIV " +
+          "nullif(syl, 0) AS BIGINT)").as("ratio_micro"),
+        when(ok, se).as("se"),
+        when(ok, r - lit(1.96) * se).as("ci_lo"),
+        when(ok, r + lit(1.96) * se).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ratio_delta" -> aggRatioDelta _,
     "agg_srm" -> aggSrm _,
     "agg_psi" -> aggPsi _,
     "agg_bh_fdr" -> aggBhFdr _,
@@ -2747,6 +2792,42 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_ratio_delta" -> {
+      val c = OSQL.cents("value")
+      s"WITH per AS (SELECT event_type, user_id, " +
+        s"CAST(SUM($c) AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(x) AS BIGINT) AS sxl, CAST(SUM(y) AS BIGINT) AS syl, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy " +
+        "FROM per GROUP BY 1), " +
+        "f AS (SELECT event_type, n_users, sxl, syl, " +
+        "CAST(n_users AS DOUBLE) AS nd, CAST(sxl AS DOUBLE) AS sx, " +
+        "CAST(syl AS DOUBLE) AS sy, sxx, sxy, syy FROM st) " +
+        "SELECT event_type, n_users, " +
+        "CAST((1000000 * CAST(sxl AS HUGEINT)) // nullif(syl, 0) " +
+        "AS BIGINT) AS ratio_micro, " +
+        "CASE WHEN n_users > 1 AND syl > 0 THEN " +
+        "sqrt(((sxx - sx * sx / nd) / (nd - 1.0) - " +
+        "2.0 * (sx / sy) * ((sxy - sx * sy / nd) / (nd - 1.0)) + " +
+        "(sx / sy) * (sx / sy) * ((syy - sy * sy / nd) / (nd - 1.0))) / " +
+        "(nd * (sy / nd) * (sy / nd))) END AS se, " +
+        "CASE WHEN n_users > 1 AND syl > 0 THEN " +
+        "sx / sy - 1.96 * " +
+        "sqrt(((sxx - sx * sx / nd) / (nd - 1.0) - " +
+        "2.0 * (sx / sy) * ((sxy - sx * sy / nd) / (nd - 1.0)) + " +
+        "(sx / sy) * (sx / sy) * ((syy - sy * sy / nd) / (nd - 1.0))) / " +
+        "(nd * (sy / nd) * (sy / nd))) END AS ci_lo, " +
+        "CASE WHEN n_users > 1 AND syl > 0 THEN " +
+        "sx / sy + 1.96 * " +
+        "sqrt(((sxx - sx * sx / nd) / (nd - 1.0) - " +
+        "2.0 * (sx / sy) * ((sxy - sx * sy / nd) / (nd - 1.0)) + " +
+        "(sx / sy) * (sx / sy) * ((syy - sy * sy / nd) / (nd - 1.0))) / " +
+        "(nd * (sy / nd) * (sy / nd))) END AS ci_hi " +
+        "FROM f ORDER BY 1"
+    },
     "agg_srm" ->
       ("WITH pu AS (SELECT DISTINCT event_type, user_id, " +
         "CAST(user_id % 2 AS BIGINT) AS arm FROM events), " +

@@ -31,7 +31,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "llm/Similarity.scala" -> 31,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
-    "llm/TextAnalysis.scala" -> 15,
+    "llm/TextAnalysis.scala" -> 16,
     "streaming/StreamingQueries.scala" -> 4)
 
   test("every broadcast() site in src/main is inventoried in SCALE.md") {

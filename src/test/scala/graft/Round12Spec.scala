@@ -339,6 +339,54 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("agg_ratio_delta: exact ratio recount, CI symmetric around R") {
+    val rows = SparkEntry.queries("agg_ratio_delta")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val per = U.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), U.cents(col("value")))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2).sum, vs.length.toLong)).toMap
+      .groupBy(_._1._1)
+    per.foreach { case (et, us) =>
+      val r = rows(et)
+      val sx = us.values.map(_._1).sum
+      val sy = us.values.map(_._2).sum
+      assert(r.getAs[Long]("n_users") == us.size.toLong)
+      assert(r.getAs[Long]("ratio_micro") ==
+        (BigInt(1000000) * sx / sy).toLong, s"$et ratio")
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      val rd = sx.toDouble / sy.toDouble
+      val se = r.getAs[Double]("se")
+      assert(se >= 0.0, s"$et se sign")
+      assert(math.abs((hi - rd) - (rd - lo)) < 1e-6 * math.max(1.0, rd),
+        s"$et CI must be symmetric around the ratio")
+      assert(lo <= rd && rd <= hi)
+    }
+  }
+
+  test("text_oov: reference source reads zero, recount on one source") {
+    val rows = SparkEntry.queries("text_oov")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    U.releaseTracked()
+    val docs = U.tbl(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq))
+    val ref = docs.map(_._1).min
+    val vocab = docs.filter(_._1 == ref).flatMap(_._2).toSet
+    assert(rows(ref).getAs[Long]("n_oov") == 0L,
+      "the reference source must be fully in-vocab")
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.count(!vocab.contains(_)).toLong
+      val r = rows(src)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_oov") == oov, s"$src oov")
+      assert(r.getAs[Long]("oov_micro") == 1000000L * oov / toks.length)
+    }
+  }
+
   test("agg_srm: distinct-user arm recount, chi-square identity") {
     val rows = SparkEntry.queries("agg_srm")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
