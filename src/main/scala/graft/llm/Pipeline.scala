@@ -1448,7 +1448,28 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Length-bucketed batching table — the dynamic-batching sizing read a
+    * training loader takes to kill padding waste: documents grouped into
+    * 128-token buckets, each bucket reporting its doc count, exact token
+    * total, the padding tokens burned batching to the bucket ceiling,
+    * and the waste fraction in micro. Pure per-row bucket key + one hash
+    * agg — the cheapest answer to "is sorting by length worth it?". */
+  private def pipelineLengthBuckets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens DIV 128"))
+      .withColumn("cap", (col("bucket") + 1L) * 128L)
+      .groupBy(col("bucket"), col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("cap") - col("n_tokens")).as("pad_tokens"))
+      .select(col("bucket"), col("cap"), col("n_docs"), col("sum_tokens"),
+        col("pad_tokens"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * pad_tokens) DIV " +
+          "(n_docs * cap) AS BIGINT)").as("waste_micro"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_length_buckets" -> pipelineLengthBuckets _,
     "sample_ess" -> sampleEss _,
     "pipeline_dpo_pairs" -> pipelineDpoPairs _,
     "pipeline_best_of_k" -> pipelineBestOfK _,
@@ -1559,6 +1580,17 @@ object Pipeline {
       "AS score FROM documents WHERE n_chars > 0"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_length_buckets" ->
+      (s"WITH t AS (SELECT CAST(len(${graft.llm.TextUtil.sqlTokens("text")}) " +
+        "AS BIGINT) AS n_tokens FROM documents), " +
+        "b AS (SELECT n_tokens, n_tokens // 128 AS bucket, " +
+        "(n_tokens // 128 + 1) * 128 AS cap FROM t) " +
+        "SELECT bucket, cap, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "CAST(SUM(cap - n_tokens) AS BIGINT) AS pad_tokens, " +
+        "CAST((1000000 * SUM(cap - n_tokens)) // (COUNT(*) * cap) " +
+        "AS BIGINT) AS waste_micro " +
+        "FROM b GROUP BY 1, 2 ORDER BY 1"),
     "sample_ess" ->
       ("WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs " +
         "FROM documents GROUP BY 1), " +

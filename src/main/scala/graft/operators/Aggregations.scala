@@ -2599,7 +2599,35 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Conditional value-at-risk (expected shortfall) of the value
+    * distribution per type — the TAIL MEAN a cost/SLA owner reads where
+    * a percentile only gives the tail EDGE: k = ⌈0.05·n⌉, the k largest
+    * values' exact integral mean in micro plus the k-th order statistic
+    * as the VaR threshold beside it. One rank window per type; sums
+    * through DECIMAL(38,0). Order-statistic discipline: ties cannot
+    * change the selected SUM because the k selected VALUES are unique up
+    * to permutation. */
+  private def aggCvar(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d).select(col("event_type"),
+      U.cents(col("value")).as("vc"))
+    val nn = ev.groupBy(col("event_type").as("nt"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vc").desc)
+    ev.withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(nn), col("event_type") === col("nt"))
+      .withColumn("k", expr("(n + 19) DIV 20"))
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        min(col("vc")).as("var_cents"),
+        expr("CAST((CAST(SUM(vc) AS DECIMAL(38,0)) * 10000) DIV COUNT(*) " +
+          "AS BIGINT)").as("cvar_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cvar" -> aggCvar _,
     "agg_ratio_delta" -> aggRatioDelta _,
     "agg_srm" -> aggSrm _,
     "agg_psi" -> aggPsi _,
@@ -2792,6 +2820,20 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_cvar" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, $c AS vc FROM events), " +
+        "nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM ev GROUP BY 1), " +
+        "rk AS (SELECT ev.event_type, vc, row_number() OVER " +
+        "(PARTITION BY ev.event_type ORDER BY vc DESC) AS rn, nn.n, " +
+        "(nn.n + 19) // 20 AS k FROM ev JOIN nn USING (event_type)) " +
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(MAX(k) AS BIGINT) AS k, CAST(MIN(vc) AS BIGINT) " +
+        "AS var_cents, " +
+        "CAST((10000 * SUM(vc)) // COUNT(*) AS BIGINT) AS cvar_micro " +
+        "FROM rk WHERE rn <= k GROUP BY 1 ORDER BY 1"
+    },
     "agg_ratio_delta" -> {
       val c = OSQL.cents("value")
       s"WITH per AS (SELECT event_type, user_id, " +

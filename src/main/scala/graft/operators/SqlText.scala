@@ -369,7 +369,21 @@ object SqlText {
       "FROM IDENTIFIER('orders') GROUP BY 1 ORDER BY 1")
   }
 
+  /** EXECUTE IMMEDIATE (Spark 4) — SQL-from-a-string with a USING bind
+    * parameter, the stored-procedure-style dynamic dispatch migrated
+    * warehouse code expects: the statement text and its typed argument
+    * travel separately (no string splicing), and the plan is the static
+    * one. */
+  private def sqlExecImmediate(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "nation").createOrReplaceTempView("nation")
+    s.sql("EXECUTE IMMEDIATE " +
+      "'SELECT n_regionkey, COUNT(*) AS n, " +
+      "MIN(n_name) AS first_name FROM nation " +
+      "WHERE n_nationkey >= ? GROUP BY 1 ORDER BY 1' USING 5")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exec_immediate" -> sqlExecImmediate _,
     "sql_identifier" -> sqlIdentifier _,
     "sql_pipe_syntax" -> sqlPipeSyntax _,
     "sql_order_by_all" -> sqlOrderByAll _,
@@ -392,6 +406,9 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_exec_immediate" ->
+      ("SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name " +
+        "FROM nation WHERE n_nationkey >= 5 GROUP BY 1 ORDER BY 1"),
     "sql_identifier" ->
       ("SELECT o_orderpriority AS pri, COUNT(*) AS n, " +
         s"CAST(SUM(${OSQL.cents("o_totalprice")}) AS BIGINT) AS total_c " +

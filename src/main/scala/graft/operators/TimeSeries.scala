@@ -3684,7 +3684,36 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** SRE error-budget burn-down over the daily event stream — the
+    * on-call dashboard read behind every SLO: against a 1% error-rate
+    * objective, each day ships its exact error rate, its burn rate
+    * (rate/SLO — >1e6 means burning faster than budgeted), and the
+    * cumulative fraction of the whole-span error budget consumed, with
+    * the exhaustion flag. Entirely integer (the SLO is a ratio, so
+    * every division is integral micro); one daily rollup + one prefix
+    * window over the calendar. */
+  private def tsErrorBudget(s: SparkSession, d: String): DataFrame = {
+    val daily = U.events(s, d)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy(col("dayi"))
+      .agg(count(lit(1)).as("n_events"), sum(col("e")).as("n_errors"))
+    val tot = daily.agg(sum(col("n_events")).as("total_n"))
+    val w = Window.orderBy(col("dayi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("cum_err", sum(col("n_errors")).over(w))
+      .select(col("dayi"), col("n_events"), col("n_errors"),
+        expr("(1000000 * n_errors) DIV n_events").as("rate_micro"),
+        expr("(100000000 * n_errors) DIV n_events").as("burn_micro"),
+        expr("CAST((CAST(100000000 AS DECIMAL(38,0)) * cum_err) DIV " +
+          "total_n AS BIGINT)").as("consumed_micro"))
+      .withColumn("exhausted", col("consumed_micro") > 1000000L)
+      .orderBy("dayi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_error_budget" -> tsErrorBudget _,
     "ts_ses_grid" -> tsSesGrid _,
     "ts_its" -> tsIts _,
     "ts_croston" -> tsCroston _,
@@ -3955,6 +3984,26 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_error_budget" ->
+      ("WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_errors FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_n " +
+        "FROM daily), " +
+        "c AS (SELECT dayi, n_events, n_errors, " +
+        "CAST(SUM(n_errors) OVER (ORDER BY dayi ROWS UNBOUNDED " +
+        "PRECEDING) AS BIGINT) AS cum_err, total_n " +
+        "FROM daily CROSS JOIN tot) " +
+        "SELECT dayi, n_events, n_errors, " +
+        "CAST((1000000 * n_errors) // n_events AS BIGINT) AS rate_micro, " +
+        "CAST((100000000 * n_errors) // n_events AS BIGINT) " +
+        "AS burn_micro, " +
+        "CAST((100000000 * CAST(cum_err AS HUGEINT)) // total_n " +
+        "AS BIGINT) AS consumed_micro, " +
+        "CAST((100000000 * CAST(cum_err AS HUGEINT)) // total_n " +
+        "AS BIGINT) > 1000000 AS exhausted " +
+        "FROM c ORDER BY dayi"),
     "ts_ses_grid" ->
       ("WITH RECURSIVE daily AS (SELECT event_type, " +
         "epoch_us(ts) // 86400000000 AS dayi, " +

@@ -21,8 +21,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
-    "operators/TimeSeries.scala" -> 25,
-    "operators/Aggregations.scala" -> 66,
+    "operators/TimeSeries.scala" -> 26,
+    "operators/Aggregations.scala" -> 67,
     "operators/Graphs.scala" -> 14,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

@@ -339,6 +339,76 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("agg_cvar: tail-mean recount, CVaR >= VaR") {
+    val rows = SparkEntry.queries("agg_cvar")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value"))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (et, vs) =>
+      val sorted = vs.map(_._2).sorted(Ordering[Long].reverse)
+      val k = (sorted.length + 19) / 20
+      val tail = sorted.take(k)
+      val r = rows(et)
+      assert(r.getAs[Long]("n") == sorted.length.toLong)
+      assert(r.getAs[Long]("k") == k.toLong)
+      assert(r.getAs[Long]("var_cents") == tail.last, s"$et VaR")
+      val cvar = (tail.map(BigInt(_)).sum * 10000 / k).toLong
+      assert(r.getAs[Long]("cvar_micro") == cvar, s"$et CVaR")
+      assert(r.getAs[Long]("cvar_micro") >=
+        r.getAs[Long]("var_cents") * 10000L, "tail mean >= tail edge")
+    }
+  }
+
+  test("ts_error_budget: daily recount; budget closes on the span total") {
+    val rows = SparkEntry.queries("ts_error_budget")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("dayi"))
+    val ev = U.events(spark, sfDir)
+      .select(unix_micros(col("ts")), col("event_type")).collect()
+      .map(r => (dayi(r.getLong(0)), r.getString(1) == "error"))
+    val byDay = ev.groupBy(_._1).view
+      .mapValues(es => (es.length.toLong, es.count(_._2).toLong)).toMap
+    val totalN = ev.length.toLong
+    var cum = 0L
+    rows.foreach { r =>
+      val (n, e) = byDay(r.getAs[Long]("dayi"))
+      cum += e
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_errors") == e)
+      assert(r.getAs[Long]("rate_micro") == 1000000L * e / n)
+      assert(r.getAs[Long]("burn_micro") == 100000000L * e / n)
+      assert(r.getAs[Long]("consumed_micro") ==
+        (BigInt(100000000) * cum / totalN).toLong)
+    }
+    // the final day's consumption is the whole-span error rate over SLO
+    val totErr = ev.count(_._2).toLong
+    assert(rows.last.getAs[Long]("consumed_micro") ==
+      (BigInt(100000000) * totErr / totalN).toLong)
+  }
+
+  test("pipeline_length_buckets: bucket recount, waste bounded by 128") {
+    val rows = SparkEntry.queries("pipeline_length_buckets")(spark, sfDir)
+      .collect()
+    val lens = U.tbl(spark, sfDir, "documents").select(col("text"))
+      .collect().map(_.getString(0).split(" ").count(_.nonEmpty).toLong)
+    val expect = lens.groupBy(_ / 128L)
+    assert(rows.map(_.getAs[Long]("bucket")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val g = expect(b)
+      val cap = (b + 1) * 128L
+      assert(r.getAs[Long]("cap") == cap)
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("sum_tokens") == g.sum)
+      val pad = g.map(cap - _).sum
+      assert(r.getAs[Long]("pad_tokens") == pad)
+      assert(r.getAs[Long]("waste_micro") ==
+        (BigInt(1000000) * pad / (g.length * cap)).toLong)
+      // every doc pads strictly less than one bucket width
+      assert(pad < 128L * g.length)
+    }
+  }
+
   test("agg_ratio_delta: exact ratio recount, CI symmetric around R") {
     val rows = SparkEntry.queries("agg_ratio_delta")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
