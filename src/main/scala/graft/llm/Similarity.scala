@@ -1349,7 +1349,50 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Recall@3 of int8-quantized cosine search against float ground truth
+    * — the quality gate that must pass BEFORE the 4× memory saving of
+    * int8 vectors ships (the measure-before-trusting discipline the
+    * PQ/IVF family established): vectors quantized by the emb_quantize
+    * per-vector symmetric rule (scale = max|x|/127), cosine on the int8
+    * codes (per-vector scales cancel in cosine — the reason int8 search
+    * works at all), exact integer dot products, top-3 vs the
+    * [[bruteforceTopk]] float answer. */
+  private def embInt8Recall(s: SparkSession, d: String): DataFrame = {
+    val q8 = U.track(U.tbl(s, d, "embeddings")
+      .withColumn("scale", nullif(
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+          / lit(127.0), lit(0.0)))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> least(CAST(127 AS BIGINT), " +
+          "greatest(CAST(-127 AS BIGINT), " +
+          "CAST(floor(cast(x as double) / scale + 0.5) AS BIGINT))))")
+          .as("qx"))
+      .withColumn("qn", fixed_dot(col("qx"), col("qx")))
+      .persist())
+    val qq = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qx").as("ax"),
+        col("qn").as("an"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    q8.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosCol(dotCol(col("ax"), col("qx")), col("an"), col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+      .join(bruteforceTopk(s, d).filter(col("rank") <= 3)
+          .select(col("q_id").as("bq"), col("vec_id").as("bv")),
+        col("q_id") === col("bq") && col("vec_id") === col("bv"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("bv")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(3.0)).as("recall"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_int8_recall" -> embInt8Recall _,
     "emb_isotropy" -> embIsotropy _,
     "emb_knn_label_purity" -> embKnnLabelPurity _,
     "emb_kmeans" -> embKmeans _,
@@ -1943,6 +1986,31 @@ object Similarity {
         "CAST(floor((1.0 + dist) * 1000000.0) AS BIGINT) >= 300000 " +
         "AS is_ood FROM a ORDER BY vec_id"),
     "sim_knn_graph" -> knnGraphSql,
+    "emb_int8_recall" ->
+      ("WITH s8 AS (SELECT vec_id, embedding, " +
+        "nullif(list_max(list_transform(embedding, " +
+        "y -> abs(CAST(y AS DOUBLE)))) / 127.0, 0.0) AS scale " +
+        "FROM embeddings), " +
+        "e8 AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> least(CAST(127 AS BIGINT), greatest(CAST(-127 AS BIGINT), " +
+        "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) " +
+        "AS qx FROM s8), " +
+        s"n8 AS (SELECT vec_id, qx, ${dotSql("qx", "qx")} AS qn FROM e8), " +
+        "q AS (SELECT vec_id AS q_id, qx AS ax, qn AS an FROM n8 " +
+        "WHERE vec_id < 10), " +
+        "scored AS (SELECT q_id, vec_id, " +
+        s"CAST(${dotSql("ax", "qx")} AS DOUBLE) / " +
+        "(sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))) AS cos " +
+        "FROM n8 CROSS JOIN q WHERE vec_id <> q_id), " +
+        "ranked AS (SELECT q_id, vec_id, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM scored), " +
+        "i8 AS (SELECT q_id, vec_id FROM ranked WHERE rank <= 3) " +
+        "SELECT i8.q_id, CAST(COUNT(bf.bv) AS BIGINT) AS n_hits, " +
+        "CAST(COUNT(bf.bv) AS DOUBLE) / 3.0 AS recall FROM i8 LEFT JOIN " +
+        s"(SELECT q_id AS bq, vec_id AS bv FROM ($bruteSql) " +
+        "WHERE rank <= 3) bf ON i8.q_id = bf.bq AND i8.vec_id = bf.bv " +
+        "GROUP BY i8.q_id ORDER BY i8.q_id"),
     "emb_isotropy" ->
       (s"WITH f AS (SELECT CAST(label AS BIGINT) AS label, $fxSql AS fx " +
         "FROM embeddings), " +

@@ -339,6 +339,21 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("emb_int8_recall: int8 cosine is near-lossless on the fixtures") {
+    val rows = SparkEntry.queries("emb_int8_recall")(spark, sfDir).collect()
+    U.releaseTracked()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 3L)
+      assert(math.abs(r.getAs[Double]("recall") - h.toDouble / 3.0) < 1e-12)
+    }
+    // the point of the gate: per-vector int8 barely loses (vs raw 4-bit
+    // PQ's ~0.2 measured in sim_pq_recall)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.8, s"int8 cosine must be near-lossless, got $mean")
+  }
+
   test("agg_cvar: tail-mean recount, CVaR >= VaR") {
     val rows = SparkEntry.queries("agg_cvar")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
