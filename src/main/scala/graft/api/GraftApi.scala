@@ -1102,6 +1102,51 @@ object GraftApi {
     graft.operators.Aggregations.logRankOnLife(
       lifeFrame(df, entryDay, deathDay, lastDay, arm))
 
+  /** Empirical-Bayes beta-binomial shrinkage of per-unit success rates
+    * on a caller trial frame — the `agg_eb_shrinkage` kernel lifted:
+    * `success` must be 0/1 per trial row; the prior strength is fitted
+    * by method of moments over the per-unit floored micro rates (fallback
+    * 20 on degenerate variance). Returns (<unit>, n, k, raw_micro,
+    * global_micro, m_prior, shrunk_micro). */
+  def ebShrinkage(df: DataFrame, unit: String, success: String): DataFrame =
+    graft.operators.Aggregations.ebShrinkageOn(
+        df.select(col(unit).cast(LongType).as("user_id"),
+          col(success).cast(LongType).as("succ")))
+      .withColumnRenamed("user_id", unit)
+
+  /** Non-normalized matrix profile (window m=7, exclusion zone 4) of a
+    * caller (key, index, value) series — the `ts_matrix_profile` kernel
+    * lifted: per key, each length-7 window's squared-Euclidean nearest
+    * non-trivial neighbor over the dense rank index. `value` must already
+    * be an exact integer domain. Returns (<key>, w_idx, nn_idx, mp_d2). */
+  def matrixProfile(df: DataFrame, key: String, idx: String,
+      value: String): DataFrame =
+    TimeSeries.matrixProfileOn(
+        df.select(col(key).as("event_type"),
+          col(idx).cast(LongType).as("dayi"),
+          col(value).cast(LongType).as("y")))
+      .withColumnRenamed("event_type", key)
+
+  /** Reciprocal-rank fusion of two caller ranking frames — the
+    * `sim_rrf_fusion` core lifted: each (query, item) scores
+    * Σ floor(10⁶/(k0+rank)) over the lists that surface it, re-ranked
+    * (fused DESC, item) to `topK` per query. Both frames need
+    * (<query>, <item>, <rank>) columns. Returns (<query>, <item>,
+    * rank_a, rank_b, rrf_micro, fused_rank). */
+  def rrfFuse(a: DataFrame, b: DataFrame, query: String, item: String,
+      rank: String, k0: Int = 60, topK: Int = 3): DataFrame = {
+    require(k0 >= 1 && topK >= 1)
+    def shape(f: DataFrame, r: String) =
+      f.select(col(query).cast(LongType).as("q_id"),
+        col(item).cast(LongType).as("vec_id"),
+        col(rank).cast(LongType).as(r))
+    graft.llm.Similarity.rrfOn(shape(a, "r1"), shape(b, "r2"), k0, topK)
+      .withColumnRenamed("q_id", query)
+      .withColumnRenamed("vec_id", item)
+      .withColumnRenamed("r1", "rank_a")
+      .withColumnRenamed("r2", "rank_b")
+  }
+
   /** Isotonic (monotone non-decreasing) fit of `y` against `x` per
     * `group` — the `ts_isotonic` minimax kernel lifted. `y` must already
     * be an exact integer domain (e.g. micro-units); returns one row per

@@ -1468,7 +1468,36 @@ object Pipeline {
           "(n_docs * cap) AS BIGINT)").as("waste_micro"))
       .orderBy("bucket")
 
+  /** Group-relative advantage estimation (the GRPO/RLOO shape) over the
+    * corpus: documents grouped by `source` play the prompt groups, the
+    * deterministic reward is the whitespace token count, and each doc's
+    * advantage is its reward against the group mean — exact integers:
+    * adv_micro = 10⁶·r − (10⁶·Σr DIV n), with NO σ division (the
+    * mean-baseline GRPO variant; a σ-normalized advantage needs sqrt,
+    * which is not oracle-stable). The within-group rank (reward desc,
+    * doc_id tiebreak) ships beside it — the best-of-group pick a
+    * rejection-sampling loop reads. One hash agg on the 20-value source
+    * column, broadcast back over the corpus scan — the advantage pass
+    * stays one shuffle at any SF. */
+  private def grpoAdvantages(s: SparkSession, d: String): DataFrame = {
+    val r = docs(s, d).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("reward"))
+    val g = r.groupBy(col("source").as("src"))
+      .agg(count(lit(1)).as("group_n"),
+        expr("CAST((CAST(SUM(reward) AS DECIMAL(38,0)) * 1000000) " +
+          "DIV COUNT(*) AS BIGINT)").as("mean_micro"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("reward").desc, col("doc_id"))
+    r.join(broadcast(g), col("source") === col("src"))
+      .select(col("doc_id"), col("source"), col("reward"), col("group_n"),
+        col("mean_micro"),
+        (col("reward") * lit(1000000L) - col("mean_micro")).as("adv_micro"),
+        row_number().over(w).cast(LongType).as("grp_rank"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_grpo_adv" -> grpoAdvantages _,
     "pipeline_length_buckets" -> pipelineLengthBuckets _,
     "sample_ess" -> sampleEss _,
     "pipeline_dpo_pairs" -> pipelineDpoPairs _,
@@ -1580,6 +1609,18 @@ object Pipeline {
       "AS score FROM documents WHERE n_chars > 0"
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_grpo_adv" ->
+      (s"WITH r AS (SELECT doc_id, source, " +
+        s"CAST(len(${graft.llm.TextUtil.sqlTokens("text")}) AS BIGINT) " +
+        "AS reward FROM documents), " +
+        "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS group_n, " +
+        "CAST((CAST(SUM(reward) AS DECIMAL(38,0)) * 1000000) // COUNT(*) " +
+        "AS BIGINT) AS mean_micro FROM r GROUP BY 1) " +
+        "SELECT doc_id, source, reward, group_n, mean_micro, " +
+        "reward * 1000000 - mean_micro AS adv_micro, " +
+        "CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY reward DESC, doc_id) AS BIGINT) AS grp_rank " +
+        "FROM r JOIN g USING (source) ORDER BY doc_id"),
     "pipeline_length_buckets" ->
       (s"WITH t AS (SELECT CAST(len(${graft.llm.TextUtil.sqlTokens("text")}) " +
         "AS BIGINT) AS n_tokens FROM documents), " +

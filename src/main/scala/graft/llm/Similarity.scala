@@ -1101,14 +1101,23 @@ object Similarity {
     * probe block over a single corpus stream (same shape as
     * sim_bruteforce_topk), and Hamming ranks agree with cosine ranks in
     * the high-similarity regime LlmSpec checks. */
-  private def hammingTopk(s: SparkSession, d: String): DataFrame = {
+  private def hammingTopk(s: SparkSession, d: String): DataFrame =
+    hammingRanked(s, d, nQueries = 8, k = 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"))
+      .orderBy("q_id", "rank")
+
+  /** The sign-signature Hamming ranker behind [[hammingTopk]] and
+    * [[rrfFusion]] — one definition of the signature words and the
+    * (hamming, vec_id) tiebreak so the two queries cannot drift. */
+  private def hammingRanked(s: SparkSession, d: String,
+      nQueries: Int, k: Int): DataFrame = {
     def word(lo: Int): String =
       s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), " +
         "(acc, i) -> acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), " +
         "shiftleft(CAST(1 AS BIGINT), i - " + lo + "), CAST(0 AS BIGINT)))"
     val sig = U.tbl(s, d, "embeddings").select(col("vec_id"),
       expr(word(0)).as("w0"), expr(word(32)).as("w1"))
-    val q = sig.filter(col("vec_id") < 8)
+    val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("vec_id"))
@@ -1117,9 +1126,51 @@ object Similarity {
       .withColumn("hamming",
         expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)"))
       .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"))
-      .orderBy("q_id", "rank")
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion (k₀=60) of the two cheapest rankers — exact
+    * cosine and Hamming-signature — for the 8 lowest-id queries: each
+    * candidate scores Σ floor(10⁶/(60+rank)) over the lists that surface
+    * it (depth 10 each), re-ranked by (fused DESC, vec_id) to a top 3.
+    * RRF is the standard zero-tuning hybrid-retrieval combiner; integer
+    * throughout (integral division, integer sum), so the fused table
+    * hash-matches. Shape: both rankers are the broadcast-probe-block
+    * corpus streams they already are; the fusion joins two ≤(queries×10)
+    * row frames — driver-scale work ends after two TakeOrdered-size
+    * windows. */
+  private def rrfFusion(s: SparkSession, d: String): DataFrame =
+    rrfOn(
+      scoredNeighbors(s, d, nQueries = 8, k = 10)
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast(LongType).as("r1")),
+      hammingRanked(s, d, nQueries = 8, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank").as("r2")),
+      k0 = 60, topK = 3)
+      .withColumnRenamed("r1", "cos_rank")
+      .withColumnRenamed("r2", "ham_rank")
+
+  /** The RRF fusion core over two (q_id, vec_id, r1)/(q_id, vec_id, r2)
+    * rank frames — shared by the declared query and
+    * [[graft.api.GraftApi.rrfFuse]]. Integer floor(10⁶/(k0+rank)) scores,
+    * FULL JOIN of the two lists, (fused DESC, vec_id) re-rank to topK. */
+  private[graft] def rrfOn(a: DataFrame, b: DataFrame, k0: Int,
+      topK: Int): DataFrame = {
+    val hamR = b.select(col("q_id").as("hq"), col("vec_id").as("hv"),
+      col("r2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("vec_id"))
+    a.join(hamR, col("q_id") === col("hq") && col("vec_id") === col("hv"),
+        "full")
+      .select(coalesce(col("q_id"), col("hq")).as("q_id"),
+        coalesce(col("vec_id"), col("hv")).as("vec_id"),
+        col("r1"), col("r2"))
+      .withColumn("rrf_micro",
+        expr(s"coalesce(1000000 DIV ($k0 + r1), 0) + " +
+          s"coalesce(1000000 DIV ($k0 + r2), 0)"))
+      .withColumn("fused_rank", row_number().over(w).cast(LongType))
+      .filter(col("fused_rank") <= topK)
+      .orderBy("q_id", "fused_rank")
   }
 
   /** Hard-negative mining for contrastive training (the SimCLR/DPR
@@ -1398,6 +1449,7 @@ object Similarity {
     "emb_kmeans" -> embKmeans _,
     "emb_kmeans_ari" -> embKmeansAri _,
     "emb_hard_negatives" -> hardNegatives _,
+    "sim_rrf_fusion" -> rrfFusion _,
     "sim_hamming_topk" -> hammingTopk _,
     "emb_matryoshka" -> embMatryoshka _,
     "sim_index_persist" -> indexPersist _,
@@ -2084,6 +2136,48 @@ object Similarity {
         "CAST(label AS BIGINT) AS pred_label, votes, " +
         "label = true_label AS is_correct FROM best WHERE rn = 1 ORDER BY q_id"),
     "sim_bruteforce_topk" -> bruteSql,
+    "sim_rrf_fusion" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "cq AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n " +
+        "WHERE vec_id < 8), " +
+        "cscored AS (SELECT q_id, vec_id, " +
+        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN cq WHERE vec_id <> q_id), " +
+        "cr AS (SELECT q_id, vec_id, r1 FROM (SELECT q_id, vec_id, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS BIGINT) AS r1 FROM cscored) " +
+        "WHERE r1 <= 10), " +
+        "sig AS (SELECT vec_id, " +
+        "list_reduce(list_transform(range(32), i -> CASE WHEN " +
+        "embedding[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) " +
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS w0, " +
+        "list_reduce(list_transform(range(32, 64), i -> CASE WHEN " +
+        "embedding[i+1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32)) " +
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS w1 " +
+        "FROM embeddings), " +
+        "hq AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM sig " +
+        "WHERE vec_id < 8), " +
+        "hscored AS (SELECT q_id, vec_id, " +
+        "CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) " +
+        "AS hamming FROM sig CROSS JOIN hq WHERE vec_id <> q_id), " +
+        "hr AS (SELECT q_id, vec_id, r2 FROM (SELECT q_id, vec_id, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY hamming, vec_id) AS BIGINT) AS r2 FROM hscored) " +
+        "WHERE r2 <= 10), " +
+        "fused AS (SELECT coalesce(cr.q_id, hr.q_id) AS q_id, " +
+        "coalesce(cr.vec_id, hr.vec_id) AS vec_id, " +
+        "cr.r1 AS cos_rank, hr.r2 AS ham_rank, " +
+        "coalesce(1000000 // (60 + cr.r1), 0) + " +
+        "coalesce(1000000 // (60 + hr.r2), 0) AS rrf_micro " +
+        "FROM cr FULL JOIN hr ON cr.q_id = hr.q_id " +
+        "AND cr.vec_id = hr.vec_id), " +
+        "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY rrf_micro DESC, vec_id) AS BIGINT) AS fused_rank " +
+        "FROM fused) " +
+        "SELECT q_id, vec_id, cos_rank, ham_rank, rrf_micro, fused_rank " +
+        "FROM rk WHERE fused_rank <= 3 ORDER BY q_id, fused_rank"),
     "sim_recall_at_k" ->
       (s"SELECT iv.q_id, CAST(COUNT(bf.bv) AS BIGINT) AS n_hits, " +
         "CAST(COUNT(bf.bv) AS DOUBLE) / 3.0 AS recall " +

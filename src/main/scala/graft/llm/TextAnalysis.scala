@@ -777,6 +777,54 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Monroe's "fightin' words" log-odds with an informative Dirichlet
+    * prior: which tokens distinguish src0's documents from src1's, with
+    * the WHOLE corpus as the prior (α_w = corpus count of w) so rare
+    * tokens can't dominate the way raw log-ratios let them. Every count
+    * is an exact integer; each side's log-odds ln((y+α)/(n+A−y−α))
+    * floors to micro-nats independently (one §5-safe ln of an
+    * exact-integer ratio per side) and δ is their integer difference.
+    * Ships the top 20 by |δ| (token tiebreak). Shape: one tokenize
+    * explode → token hash agg for the prior, one for the two sides,
+    * then vocabulary-keyed joins — the final top-k is one
+    * TakeOrderedAndProject, never a full sort. */
+  private def textLogOdds(s: SparkSession, d: String): DataFrame = {
+    val all = U.track(docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .persist())
+    val corpus = all.groupBy(col("token")).agg(count(lit(1)).as("alpha"))
+    val cnt = all.filter(col("source").isin("src0", "src1"))
+      .groupBy(col("token"), col("source")).agg(count(lit(1)).as("c"))
+    val y = corpus
+      .join(cnt.filter(col("source") === "src0")
+        .select(col("token").as("t0"), col("c").as("c0")),
+        col("token") === col("t0"), "left")
+      .join(cnt.filter(col("source") === "src1")
+        .select(col("token").as("t1"), col("c").as("c1")),
+        col("token") === col("t1"), "left")
+      .select(col("token"), col("alpha"),
+        coalesce(col("c0"), lit(0L)).as("y0"),
+        coalesce(col("c1"), lit(0L)).as("y1"))
+    val tot = y.agg(sum(col("y0")).as("n0"), sum(col("y1")).as("n1"),
+      sum(col("alpha")).as("aa"))
+    val top = y.crossJoin(broadcast(tot))
+      .withColumn("delta_micro_nats", expr(
+        "CAST(floor(1000000.0 * ln(CAST(y0 + alpha AS DOUBLE) / " +
+          "CAST(n0 + aa - y0 - alpha AS DOUBLE))) AS BIGINT) - " +
+          "CAST(floor(1000000.0 * ln(CAST(y1 + alpha AS DOUBLE) / " +
+          "CAST(n1 + aa - y1 - alpha AS DOUBLE))) AS BIGINT)"))
+      .select(col("token"), col("alpha"), col("y0"), col("y1"),
+        col("delta_micro_nats"))
+      .orderBy(abs(col("delta_micro_nats")).desc, col("token"))
+      .limit(20)
+    // rank assigned AFTER the top-k cut: the single-partition window only
+    // ever sees 20 rows; the corpus-wide selection above stays a
+    // TakeOrderedAndProject
+    val w = Window.orderBy(abs(col("delta_micro_nats")).desc, col("token"))
+    top.withColumn("rk", row_number().over(w).cast(LongType))
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_oov" -> textOov _,
     "text_ccnet_buckets" -> ccnetBuckets _,
@@ -807,6 +855,7 @@ object TextAnalysis {
     "text_quality_stats" -> qualityStats _,
     "text_langid" -> langid _,
     "text_langid_confusion" -> langidConfusion _,
+    "text_log_odds" -> textLogOdds _,
     "text_token_count" -> tokenCount _,
     "text_fingerprint" -> fingerprint _)
 
@@ -830,6 +879,31 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_log_odds" ->
+      (s"WITH al AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
+        "FROM documents), " +
+        "corpus AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS alpha " +
+        "FROM al GROUP BY 1), " +
+        "cnt AS (SELECT token, source, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM al WHERE source IN ('src0', 'src1') GROUP BY 1, 2), " +
+        "y AS (SELECT corpus.token, alpha, " +
+        "coalesce(c0.c, 0) AS y0, coalesce(c1.c, 0) AS y1 FROM corpus " +
+        "LEFT JOIN cnt c0 ON corpus.token = c0.token AND c0.source = 'src0' " +
+        "LEFT JOIN cnt c1 ON corpus.token = c1.token AND c1.source = 'src1'), " +
+        "tot AS (SELECT CAST(SUM(y0) AS BIGINT) AS n0, " +
+        "CAST(SUM(y1) AS BIGINT) AS n1, " +
+        "CAST(SUM(alpha) AS BIGINT) AS aa FROM y), " +
+        "dl AS (SELECT token, alpha, y0, y1, " +
+        "CAST(floor(1000000.0 * ln(CAST(y0 + alpha AS DOUBLE) / " +
+        "CAST(n0 + aa - y0 - alpha AS DOUBLE))) AS BIGINT) - " +
+        "CAST(floor(1000000.0 * ln(CAST(y1 + alpha AS DOUBLE) / " +
+        "CAST(n1 + aa - y1 - alpha AS DOUBLE))) AS BIGINT) " +
+        "AS delta_micro_nats FROM y CROSS JOIN tot), " +
+        "rk AS (SELECT *, CAST(row_number() OVER " +
+        "(ORDER BY abs(delta_micro_nats) DESC, token) AS BIGINT) AS rk " +
+        "FROM dl) " +
+        "SELECT token, alpha, y0, y1, delta_micro_nats, rk FROM rk " +
+        "WHERE rk <= 20 ORDER BY rk"),
     "text_oov" ->
       (s"WITH toks AS (SELECT source, unnest(${sqlTokens("text")}) AS tok " +
         "FROM documents), " +

@@ -2626,7 +2626,101 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of each
+    * user's high-value rate (share of events ≥ $50) toward the corpus
+    * rate — the estimator a feature store publishes instead of raw
+    * per-user rates, where low-n users would otherwise read 0% or 100%.
+    * The prior strength is FITTED from the data: m = (p̄(1−p̄) − s²)/s²
+    * over the per-user floored micro rates, falling back to 20 when the
+    * rate variance is 0 or exceeds the Bernoulli bound (one user, or
+    * over-dispersion so extreme the moment estimate is negative) — both
+    * arms CASE-mirrored in the oracle. Posterior mean = (10⁶k + m·p̄μ)
+    * DIV (n + m). Rates are DEFINED as floored micros so the statistic
+    * is identical under any aggregation order; cross terms ride in
+    * DECIMAL(38,0) (10⁶·Σk and Σp² overflow Long at large SF). One
+    * per-user hash agg + one 1-row global agg, broadcast back. */
+  private def aggEbShrinkage(s: SparkSession, d: String): DataFrame =
+    ebShrinkageOn(U.events(s, d)
+      .select(col("user_id"),
+        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("succ")))
+
+  /** The EB-shrinkage kernel over any (user_id, succ) trial frame —
+    * shared by the declared query and [[graft.api.GraftApi.ebShrinkage]]. */
+  private[graft] def ebShrinkageOn(ev: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("k"))
+      .withColumn("raw_micro", expr("(1000000 * k) DIV n"))
+    val g = per.agg(count(lit(1)).as("nu"), sum(col("n")).as("sn"),
+        sum(col("k")).as("sk"), sum(col("raw_micro")).as("sp"),
+        sum(col("raw_micro").cast(dec) * col("raw_micro")).as("spp"))
+      .withColumn("pbar", expr(
+        "CAST((CAST(sk AS DECIMAL(38,0)) * 1000000) DIV sn AS BIGINT)"))
+      .withColumn("s2", expr(
+        "CASE WHEN nu > 1 THEN CAST((nu * spp - " +
+          "CAST(sp AS DECIMAL(38,0)) * sp) DIV " +
+          "(CAST(nu AS DECIMAL(38,0)) * (nu - 1)) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("m_prior", expr(
+        "CASE WHEN s2 > 0 AND pbar * (1000000 - pbar) > s2 " +
+          "THEN (pbar * (1000000 - pbar) - s2) DIV s2 " +
+          "ELSE CAST(20 AS BIGINT) END"))
+      .select(col("pbar").as("global_micro"), col("m_prior"))
+    per.crossJoin(broadcast(g))
+      .select(col("user_id"), col("n"), col("k"), col("raw_micro"),
+        col("global_micro"), col("m_prior"),
+        expr("(1000000 * k + m_prior * global_micro) DIV (n + m_prior)")
+          .as("shrunk_micro"))
+      .orderBy("user_id")
+  }
+
+  /** Mutual information between event type and spend band (the agg_psi
+    * $10 bands) — "does WHAT a user does carry information about HOW MUCH
+    * they spend?" in one number, with both marginal entropies beside it
+    * for normalization. The micro-nat discipline end to end: each
+    * observed cell contributes floor(10⁶·(c/n)·ln(c·n/(cₓ·c_y))) — ln of
+    * exact-integer rationals (the §5-safe libm call), floored to an
+    * integer BEFORE the sum, so partial-aggregation order cannot move the
+    * result. Zero cells contribute exactly 0 (no smoothing — MI's own
+    * convention). Shape: one events hash agg to the ≤|types|×10 cell
+    * frame; everything after is taxonomy-bounded broadcast arithmetic. */
+  private def aggMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .select(col("event_type").as("x"),
+        expr("least(9, vc DIV 1000)").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .persist())
+    val mx = cells.groupBy(col("x").as("mxx")).agg(sum(col("cxy")).as("cx"))
+    val my = cells.groupBy(col("y").as("myy")).agg(sum(col("cxy")).as("cy"))
+    val nt = cells.agg(sum(col("cxy")).as("n"))
+    val mi = cells
+      .join(broadcast(mx), col("x") === col("mxx"))
+      .join(broadcast(my), col("y") === col("myy"))
+      .crossJoin(broadcast(nt))
+      .withColumn("term", expr(
+        "CAST(floor(1000000.0 * (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+          "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) AS BIGINT)"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("term")).as("mi_micro_nats"))
+    val hx = mx.crossJoin(broadcast(nt))
+      .agg(sum(expr(
+        "CAST(floor(1000000.0 * (CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE))) AS BIGINT)"))
+        .as("hx_micro_nats"))
+    val hy = my.crossJoin(broadcast(nt))
+      .agg(sum(expr(
+        "CAST(floor(1000000.0 * (CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE))) AS BIGINT)"))
+        .as("hy_micro_nats"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mutual_info" -> aggMutualInfo _,
+    "agg_eb_shrinkage" -> aggEbShrinkage _,
     "agg_cvar" -> aggCvar _,
     "agg_ratio_delta" -> aggRatioDelta _,
     "agg_srm" -> aggSrm _,
@@ -2820,6 +2914,62 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mutual_info" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type AS x, " +
+        s"least(9, $c // 1000) AS y FROM events), " +
+        "cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy " +
+        "FROM ev GROUP BY 1, 2), " +
+        "mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx " +
+        "FROM cells GROUP BY 1), " +
+        "my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy " +
+        "FROM cells GROUP BY 1), " +
+        "nt AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells), " +
+        "mi AS (SELECT CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "CAST(SUM(CAST(floor(1000000.0 * " +
+        "(CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+        "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) AS BIGINT)) " +
+        "AS BIGINT) AS mi_micro_nats " +
+        "FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt), " +
+        "hx AS (SELECT CAST(SUM(CAST(floor(1000000.0 * " +
+        "(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE))) AS BIGINT)) " +
+        "AS BIGINT) AS hx_micro_nats FROM mx CROSS JOIN nt), " +
+        "hy AS (SELECT CAST(SUM(CAST(floor(1000000.0 * " +
+        "(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE))) AS BIGINT)) " +
+        "AS BIGINT) AS hy_micro_nats FROM my CROSS JOIN nt) " +
+        "SELECT * FROM mi CROSS JOIN hx CROSS JOIN hy"
+    },
+    "agg_eb_shrinkage" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT user_id, CASE WHEN $c >= 5000 THEN 1 ELSE 0 " +
+        "END AS succ FROM events), " +
+        "per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(succ) AS BIGINT) AS k, " +
+        "(1000000 * CAST(SUM(succ) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) " +
+        "AS raw_micro FROM ev GROUP BY 1), " +
+        "g0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu, " +
+        "CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(k) AS BIGINT) AS sk, " +
+        "CAST(SUM(raw_micro) AS BIGINT) AS sp, " +
+        "SUM(CAST(raw_micro AS DECIMAL(38,0)) * raw_micro) AS spp " +
+        "FROM per), " +
+        "g1 AS (SELECT CAST((CAST(sk AS DECIMAL(38,0)) * 1000000) // sn " +
+        "AS BIGINT) AS pbar, " +
+        "CASE WHEN nu > 1 THEN CAST((nu * spp - " +
+        "CAST(sp AS DECIMAL(38,0)) * sp) // " +
+        "(CAST(nu AS DECIMAL(38,0)) * (nu - 1)) AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END AS s2 FROM g0), " +
+        "g2 AS (SELECT pbar AS global_micro, " +
+        "CASE WHEN s2 > 0 AND pbar * (1000000 - pbar) > s2 " +
+        "THEN (pbar * (1000000 - pbar) - s2) // s2 " +
+        "ELSE CAST(20 AS BIGINT) END AS m_prior FROM g1) " +
+        "SELECT user_id, n, k, raw_micro, global_micro, m_prior, " +
+        "(1000000 * k + m_prior * global_micro) // (n + m_prior) " +
+        "AS shrunk_micro FROM per, g2 ORDER BY user_id"
+    },
     "agg_cvar" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type, $c AS vc FROM events), " +

@@ -1647,7 +1647,137 @@ object Graphs {
           .as("transitivity_micro"))
   }
 
+  /** Bipartite projection of the user–event-type graph onto event types:
+    * for every type pair, the number of SHARED users plus the exact
+    * squared-cosine similarity of their user sets, 10⁶·w² DIV
+    * (deg_a·deg_b) — squared so no sqrt enters the oracle. The "which
+    * behaviors share an audience" projection a co-visitation analysis
+    * starts from, and the one-mode collapse every bipartite dataset
+    * (user×item, doc×token) eventually needs. Scale shape: the pair
+    * explosion generates MAP-SIDE from per-user type sets (collect_set,
+    * ≤|types| per user — the coPairs idiom, bounded fan-out, combines
+    * before the only wide exchange); degrees ride in on a broadcast of
+    * the |types|-row frame; the deg_a·deg_b product crosses Long at
+    * 10⁹-user scale so it rides in DECIMAL(38,0). */
+  private def bipartiteProj(s: SparkSession, d: String): DataFrame = {
+    val ud = U.track(U.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct().persist())
+    val deg = ud.groupBy(col("event_type")).agg(count(lit(1)).as("deg"))
+    val pairs = ud.groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("ts"))
+      .select(explode(col("ts")).as("a"), col("ts"))
+      .select(col("a"), explode(col("ts")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    pairs
+      .join(broadcast(deg.select(col("event_type").as("ta"),
+        col("deg").as("deg_a"))), col("a") === col("ta"))
+      .join(broadcast(deg.select(col("event_type").as("tb"),
+        col("deg").as("deg_b"))), col("b") === col("tb"))
+      .select(col("a").as("type_a"), col("b").as("type_b"), col("w"),
+        col("deg_a"), col("deg_b"),
+        expr("CAST((CAST(w AS DECIMAL(38,0)) * w * 1000000) DIV " +
+          "(CAST(deg_a AS DECIMAL(38,0)) * deg_b) AS BIGINT)")
+          .as("cos2_micro"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Eccentricity of the 5 smallest-id nodes on the support-filtered
+    * co-purchase graph: full BFS to FIXPOINT (not the closeness kernel's
+    * fixed 3 hops) — eccentricity = the farthest shortest-path distance,
+    * n_reached = the component size seen from the seed. The max
+    * eccentricity over seeds lower-bounds the graph diameter — the
+    * "how many Pregel supersteps will anything need" number. Driver loop
+    * with the closenessOnAdj posture (frontier ≤ |V| rows per seed,
+    * broadcast below the node cap, shuffle-hash above; first-discovery
+    * anti-join keeps every hop's frontier strictly new), terminating on
+    * an empty frontier with a 64-hop safety cap mirrored by the oracle's
+    * bounded recursion — identical up to diameter 64, far past any real
+    * co-purchase graph. Size-gated like [[kcoreOnAdj]]: below
+    * [[GraphIterEdgeCap]] the whole BFS runs as ONE in-memory task (a
+    * fixpoint driver loop pays per-round scheduling × diameter — measured
+    * 64 s at sf0.1 — for a graph that fits a single executor's memory);
+    * the distributed loop is the above-cap twin, parity-tested at cap=0
+    * in Round12Spec. */
+  private def graphEccentricity(s: SparkSession, d: String): DataFrame =
+    eccentricityImpl(s, d, GraphIterEdgeCap)
+
+  private[graft] def eccentricityImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+    val adj = wedgeFrames(s, d)._1
+    if (adj.count() <= cap) eccentricitySingleTask(adj)
+    else eccentricityOnAdj(adj, PrBroadcastNodeCap)
+  }
+
+  private def eccentricitySingleTask(adj: DataFrame): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    adj.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val nbrs = edges.groupBy(_._1)
+            .map { case (u, es) => u -> es.map(_._2) }
+          val seeds = nbrs.keys.toSeq.sorted.take(5)
+          seeds.iterator.map { seed =>
+            val dist = scala.collection.mutable.Map(seed -> 0L)
+            var frontier = Set(seed)
+            var h = 1L
+            while (frontier.nonEmpty && h <= 64L) {
+              frontier = frontier.iterator
+                .flatMap(n => nbrs.getOrElse(n, Array.empty[Long]))
+                .filter(n => !dist.contains(n)).toSet
+              frontier.foreach(n => dist(n) = h)
+              h += 1
+            }
+            (seed, dist.values.max, dist.size - 1L)
+          }
+        }
+      }
+      .toDF("seed", "eccentricity", "n_reached")
+      .orderBy("seed")
+  }
+
+  private[graft] def eccentricityOnAdj(adj: DataFrame,
+      broadcastCap: Long): DataFrame = {
+    val small = adj.select(col("u")).distinct().count() <= broadcastCap
+    def gate(f: DataFrame): DataFrame =
+      if (small) broadcast(f) else f.hint("shuffle_hash")
+    val seeds = adj.select(col("u").as("seed")).distinct()
+      .orderBy("seed").limit(5)
+    var reached = U.track(seeds
+      .select(col("seed"), col("seed").as("n"), lit(0L).as("dist"))
+      .persist())
+    var frontier = reached
+    var h = 1L
+    var growing = true
+    while (growing && h <= 64L) {
+      val next = adj
+        .join(gate(frontier.select(col("seed"), col("n").as("u"))),
+          Seq("u"))
+        .select(col("seed"), col("v").as("n")).distinct()
+        .join(gate(reached.select(col("seed"), col("n"))), Seq("seed", "n"),
+          "left_anti")
+        .withColumn("dist", lit(h))
+      val np = U.track(next.persist())
+      growing = np.count() > 0
+      if (growing) {
+        reached = U.track(reached.unionByName(np).persist())
+        frontier = np
+        h += 1
+      }
+    }
+    reached.groupBy(col("seed"))
+      .agg(max(col("dist")).as("eccentricity"),
+        (count(lit(1)) - lit(1L)).as("n_reached"))
+      .orderBy("seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_eccentricity" -> graphEccentricity _,
+    "graph_bipartite_proj" -> bipartiteProj _,
     "graph_triad_census" -> graphTriadCensus _,
     "graph_transitivity_dir" -> graphTransitivityDir _,
     "graph_walk_corpus" -> graphWalkCorpus _,
@@ -1680,6 +1810,37 @@ object Graphs {
     "graph_triangles" -> graphTriangles _)
 
   val oracleSql: Map[String, String] = Map(
+    "graph_eccentricity" ->
+      (supAdjCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+        "seeds AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM adj) " +
+        "ORDER BY seed LIMIT 5), " +
+        // bounded recursion: dist grows every level, so the 64-hop guard
+        // guarantees termination even through cycles; MIN(dist) below
+        // recovers the BFS shortest distance
+        "reach(seed, n, dist) AS (" +
+        "SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds " +
+        "UNION " +
+        "SELECT r.seed, a.v, r.dist + 1 FROM reach r " +
+        "JOIN adj a ON a.u = r.n WHERE r.dist < 64), " +
+        "md AS (SELECT seed, n, MIN(dist) AS d FROM reach GROUP BY 1, 2) " +
+        "SELECT seed, CAST(MAX(d) AS BIGINT) AS eccentricity, " +
+        "CAST(COUNT(*) - 1 AS BIGINT) AS n_reached " +
+        "FROM md GROUP BY 1 ORDER BY seed"),
+    "graph_bipartite_proj" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "deg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS deg " +
+        "FROM ud GROUP BY 1), " +
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS w FROM ud a JOIN ud b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, w, da.deg AS deg_a, db.deg AS deg_b, " +
+        "CAST((CAST(w AS DECIMAL(38,0)) * w * 1000000) // " +
+        "(CAST(da.deg AS DECIMAL(38,0)) * db.deg) AS BIGINT) " +
+        "AS cos2_micro FROM pr " +
+        "JOIN deg da ON pr.type_a = da.event_type " +
+        "JOIN deg db ON pr.type_b = db.event_type " +
+        "ORDER BY type_a, type_b"),
     "graph_triad_census" -> {
       val m = "ab_f*ab_r + ac_f*ac_r + bc_f*bc_r"
       val t = "ab_f*bc_f*ac_f + ac_f*bc_r*ab_f + ab_r*ac_f*bc_f + " +

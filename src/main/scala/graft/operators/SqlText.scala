@@ -374,6 +374,23 @@ object SqlText {
     * warehouse code expects: the statement text and its typed argument
     * travel separately (no string splicing), and the plan is the static
     * one. */
+  /** Spark 4 SQL session variables (DECLARE VARIABLE / SET VAR) — the
+    * stored-procedure-style session state a SQL-first ETL template uses
+    * to thread one threshold through many statements. The variable is
+    * declared with a default, reassigned with SET VAR, and consumed by
+    * name inside a plain aggregate; the oracle runs the same query with
+    * the final value inlined (DuckDB has no session variables — the
+    * RESOLVED query is the contract, like sql_exec_immediate). */
+  private def sqlSessionVars(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_price_cut DOUBLE DEFAULT 0.0")
+    s.sql("SET VAR graft_price_cut = 250000.0")
+    s.sql("SELECT o_orderpriority, COUNT(*) AS n_big, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+      "AS sum_price FROM orders WHERE o_totalprice > graft_price_cut " +
+      "GROUP BY 1 ORDER BY 1")
+  }
+
   private def sqlExecImmediate(s: SparkSession, d: String): DataFrame = {
     U.tbl(s, d, "nation").createOrReplaceTempView("nation")
     s.sql("EXECUTE IMMEDIATE " +
@@ -383,6 +400,7 @@ object SqlText {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_session_vars" -> sqlSessionVars _,
     "sql_exec_immediate" -> sqlExecImmediate _,
     "sql_identifier" -> sqlIdentifier _,
     "sql_pipe_syntax" -> sqlPipeSyntax _,
@@ -406,6 +424,11 @@ object SqlText {
     "sql_corr_subquery" -> sqlCorr _)
 
   val oracleSql: Map[String, String] = Map(
+    "sql_session_vars" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_big, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders WHERE o_totalprice > 250000.0 " +
+        "GROUP BY 1 ORDER BY 1"),
     "sql_exec_immediate" ->
       ("SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name " +
         "FROM nation WHERE n_nationkey >= 5 GROUP BY 1 ORDER BY 1"),

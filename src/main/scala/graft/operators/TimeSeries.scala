@@ -3712,7 +3712,175 @@ object TimeSeries {
       .orderBy("dayi")
   }
 
+  /** Matrix profile (non-normalized, m=7) of the per-type daily spend
+    * series — the all-pairs motif/discord scan: for every length-7 window
+    * over the dense day-rank index, the squared Euclidean distance to its
+    * nearest NON-TRIVIAL neighbor (exclusion zone |i−j| ≥ 4 = ⌈m/2⌉) with
+    * the neighbor's index beside it. The row with the largest profile
+    * value is the series' top discord (the week unlike any other), the
+    * smallest its motif (the repeated weekly shape). Distances are exact
+    * integer cents² (squares ride in DECIMAL(38,0) — daily sums square
+    * past Long at large SF); ties break to the smallest neighbor index
+    * via the (d2, j) rank, identical both engines. Scale shape: all work
+    * happens on the DAY-ranked frame — calendar²·m pair terms per type,
+    * bounded by the time domain at any SF, never by event count; the
+    * events scan is one hash agg. */
+  private def tsMatrixProfile(s: SparkSession, d: String): DataFrame =
+    matrixProfileOn(U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(U.cents(col("value"))).as("y")))
+
+  /** The matrix-profile kernel over any (event_type, dayi, y) series
+    * frame — shared by the declared query and
+    * [[graft.api.GraftApi.matrixProfile]]. */
+  private[graft] def matrixProfileOn(series: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val daily = U.track(series
+      .withColumn("r", row_number().over(wOrd).cast(LongType))
+      .withColumn("nr", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast(LongType))
+      .persist())
+    val starts = daily.filter(col("r") <= col("nr") - 6L)
+      .select(col("event_type").as("et"), col("r").as("i"))
+    val pairs = starts.join(
+        starts.select(col("et").as("et2"), col("i").as("j")),
+        col("et") === col("et2") && abs(col("i") - col("j")) >= 4L)
+      .select(col("et"), col("i"), col("j"))
+      .withColumn("k", explode(sequence(lit(0L), lit(6L))))
+    val a = daily.select(col("event_type").as("ea"), col("r").as("ra"),
+      col("y").as("ya"))
+    val b = daily.select(col("event_type").as("eb"), col("r").as("rb"),
+      col("y").as("yb"))
+    val d2 = pairs
+      .join(a, col("et") === col("ea") && col("i") + col("k") === col("ra"))
+      .join(b, col("et") === col("eb") && col("j") + col("k") === col("rb"))
+      .groupBy(col("et"), col("i"), col("j"))
+      .agg(sum((col("ya") - col("yb")).cast(dec) * (col("ya") - col("yb")))
+        .cast(LongType).as("d2"))
+    val wMin = Window.partitionBy(col("et"), col("i"))
+      .orderBy(col("d2"), col("j"))
+    d2.withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("et").as("event_type"), col("i").as("w_idx"),
+        col("j").as("nn_idx"), col("d2").as("mp_d2"))
+      .orderBy("event_type", "w_idx")
+  }
+
+  /** Sample entropy (m=2, Chebyshev tolerance r = range DIV 5) of the
+    * per-type daily spend series — the regularity screen (Richman &
+    * Moorman) an anomaly pipeline runs before trusting forecasts: B
+    * counts template pairs matching at length 2, A at length 3, and
+    * SampEn = −ln(A/B) ships as ln(B)−ln(A) in floored micro-nats — one
+    * ln of an exact-integer ratio (the §5-safe call; NULL when either
+    * count is 0, CASE-mirrored). The tolerance derives from the per-type
+    * exact cents range, so the statistic is self-scaling and fully
+    * integral up to the final ln. Shape: the pair frame is
+    * calendar²-bounded per type (the Hodges–Lehmann posture) — one
+    * events hash agg, then day² work that never grows with row count. */
+  private def tsSampen(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val daily = U.track(U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(U.cents(col("value"))).as("y"))
+      .withColumn("r", row_number().over(wOrd).cast(LongType))
+      .persist())
+    val st = daily.groupBy(col("event_type").as("set"))
+      .agg(count(lit(1)).as("n"),
+        expr("(MAX(y) - MIN(y)) DIV 5").as("rtol"))
+    val starts = daily
+      .join(broadcast(st), col("event_type") === col("set"))
+      .filter(col("r") <= col("n") - 2L)
+      .select(col("event_type").as("et"), col("r").as("i"),
+        col("n"), col("rtol"))
+    val pairs = starts.join(
+        starts.select(col("et").as("et2"), col("i").as("j")),
+        col("et") === col("et2") && col("i") < col("j"))
+      .select(col("et"), col("i"), col("j"), col("n"), col("rtol"))
+      .withColumn("k", explode(sequence(lit(0L), lit(2L))))
+    val a = daily.select(col("event_type").as("ea"), col("r").as("ra"),
+      col("y").as("ya"))
+    val b = daily.select(col("event_type").as("eb"), col("r").as("rb"),
+      col("y").as("yb"))
+    val m = pairs
+      .join(a, col("et") === col("ea") && col("i") + col("k") === col("ra"))
+      .join(b, col("et") === col("eb") && col("j") + col("k") === col("rb"))
+      .groupBy(col("et"), col("i"), col("j"))
+      .agg(max(col("n")).as("n"), max(col("rtol")).as("rtol"),
+        max(when(col("k") <= 1L, abs(col("ya") - col("yb")))).as("d2"),
+        max(abs(col("ya") - col("yb"))).as("d3"))
+    m.groupBy(col("et").as("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(col("rtol")).as("rtol_cents"),
+        sum(when(col("d2") <= col("rtol"), 1L).otherwise(0L)).as("b_count"),
+        sum(when(col("d3") <= col("rtol"), 1L).otherwise(0L)).as("a_count"))
+      .withColumn("sampen_micro_nats", expr(
+        "CASE WHEN a_count > 0 AND b_count > 0 THEN " +
+          "CAST(floor(1000000.0 * ln(CAST(b_count AS DOUBLE) / " +
+          "CAST(a_count AS DOUBLE))) AS BIGINT) END"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic RANSAC trend fit of the per-type daily series — the
+    * robust alternative to OLS when outlier days would drag the slope:
+    * 5 candidate lines through fixed anchor pairs (day-rank c ↔ rank
+    * n−5+c, c = 1..5 — deterministic, never sampled), each scored by its
+    * inlier count under the cross-multiplied band test
+    * |(y−y1)(x2−x1) − (x−x1)(y2−y1)| ≤ tol·(x2−x1) with tol = range DIV
+    * 10 — NO division anywhere in the consensus loop, so inlier counts
+    * are exact integers. The winner (max inliers, smallest candidate
+    * tiebreak) ships with its slope in micro-cents/day; the slope can be
+    * negative, so its integral division rides the DECIMAL(38,0) DIV ↔
+    * HUGEINT // pairing (both truncate toward zero — BIGINT // would
+    * floor and diverge). Calendar-bounded: 5 candidates × |days| tests
+    * per type after one events hash agg. */
+  private def tsRansacTrend(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
+    val daily = U.track(U.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+      .agg(sum(U.cents(col("value"))).as("y"))
+      .withColumn("r", row_number().over(wOrd).cast(LongType))
+      .persist())
+    val st = daily.groupBy(col("event_type").as("set"))
+      .agg(count(lit(1)).as("n"),
+        expr("(MAX(y) - MIN(y)) DIV 10").as("tol"))
+    val cand = st.withColumn("c", explode(sequence(lit(1L), lit(5L))))
+      .select(col("set").as("et"), col("c"), col("c").as("x1"),
+        (col("n") - lit(5L) + col("c")).as("x2"), col("n"), col("tol"))
+      .filter(col("x2") > col("x1"))
+      .join(daily.select(col("event_type").as("e1"), col("r").as("r1"),
+        col("y").as("y1")), col("et") === col("e1") && col("x1") === col("r1"))
+      .join(daily.select(col("event_type").as("e2"), col("r").as("r2"),
+        col("y").as("y2")), col("et") === col("e2") && col("x2") === col("r2"))
+      .select(col("et"), col("c"), col("x1"), col("x2"), col("y1"),
+        col("y2"), col("n"), col("tol"))
+    val scored = daily.join(broadcast(cand),
+        col("event_type") === col("et"))
+      .withColumn("inlier",
+        when(abs((col("y") - col("y1")) * (col("x2") - col("x1")) -
+          (col("r") - col("x1")) * (col("y2") - col("y1"))) <=
+          col("tol") * (col("x2") - col("x1")), 1L).otherwise(0L))
+      .groupBy(col("et"), col("c"), col("x1"), col("x2"), col("y1"),
+        col("y2"), col("n"))
+      .agg(sum(col("inlier")).as("n_inliers"))
+    val wBest = Window.partitionBy(col("et"))
+      .orderBy(col("n_inliers").desc, col("c"))
+    scored.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("et").as("event_type"), col("c").as("cand"),
+        col("x1"), col("x2"), col("n").as("n_days"), col("n_inliers"),
+        expr("CAST(CAST(1000000 * (y2 - y1) AS DECIMAL(38,0)) DIV " +
+          "(x2 - x1) AS BIGINT)").as("slope_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ransac_trend" -> tsRansacTrend _,
+    "ts_sampen" -> tsSampen _,
+    "ts_matrix_profile" -> tsMatrixProfile _,
     "ts_error_budget" -> tsErrorBudget _,
     "ts_ses_grid" -> tsSesGrid _,
     "ts_its" -> tsIts _,
@@ -3984,6 +4152,94 @@ object TimeSeries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ts_ransac_trend" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily0 AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($c) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "daily AS (SELECT event_type, y, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dayi) AS BIGINT) AS r " +
+        "FROM daily0), " +
+        "st AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "(MAX(y) - MIN(y)) // 10 AS tol FROM daily GROUP BY 1), " +
+        "cand AS (SELECT st.et, t.range AS c, t.range AS x1, " +
+        "st.n - 5 + t.range AS x2, st.n, st.tol, d1.y AS y1, d2.y AS y2 " +
+        "FROM st CROSS JOIN range(1, 6) t " +
+        "JOIN daily d1 ON st.et = d1.event_type AND t.range = d1.r " +
+        "JOIN daily d2 ON st.et = d2.event_type " +
+        "AND st.n - 5 + t.range = d2.r " +
+        "WHERE st.n - 5 + t.range > t.range), " +
+        "scored AS (SELECT cand.et, cand.c, cand.x1, cand.x2, cand.y1, " +
+        "cand.y2, cand.n, CAST(SUM(CASE WHEN " +
+        "abs((d.y - cand.y1) * (cand.x2 - cand.x1) - " +
+        "(d.r - cand.x1) * (cand.y2 - cand.y1)) <= " +
+        "cand.tol * (cand.x2 - cand.x1) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_inliers FROM daily d JOIN cand ON d.event_type = cand.et " +
+        "GROUP BY 1, 2, 3, 4, 5, 6, 7), " +
+        "best AS (SELECT *, row_number() OVER (PARTITION BY et " +
+        "ORDER BY n_inliers DESC, c) AS rk FROM scored) " +
+        "SELECT et AS event_type, c AS cand, x1, x2, n AS n_days, " +
+        "n_inliers, CAST(CAST(1000000 * (y2 - y1) AS HUGEINT) // " +
+        "(x2 - x1) AS BIGINT) AS slope_micro " +
+        "FROM best WHERE rk = 1 ORDER BY event_type"
+    },
+    "ts_sampen" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily0 AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($c) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "daily AS (SELECT event_type, y, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dayi) AS BIGINT) AS r " +
+        "FROM daily0), " +
+        "st AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "(MAX(y) - MIN(y)) // 5 AS rtol FROM daily GROUP BY 1), " +
+        "starts AS (SELECT d.event_type AS et, d.r AS i, st.n, st.rtol " +
+        "FROM daily d JOIN st ON d.event_type = st.et " +
+        "WHERE d.r <= st.n - 2), " +
+        "pr AS (SELECT a.et, a.i, b.i AS j, a.n, a.rtol, k.range AS k " +
+        "FROM starts a JOIN starts b ON a.et = b.et AND a.i < b.i " +
+        "CROSS JOIN range(3) k), " +
+        "m AS (SELECT pr.et, pr.i, pr.j, MAX(pr.n) AS n, " +
+        "MAX(pr.rtol) AS rtol, " +
+        "MAX(CASE WHEN pr.k <= 1 THEN abs(da.y - db.y) END) AS d2, " +
+        "MAX(abs(da.y - db.y)) AS d3 FROM pr " +
+        "JOIN daily da ON pr.et = da.event_type AND pr.i + pr.k = da.r " +
+        "JOIN daily db ON pr.et = db.event_type AND pr.j + pr.k = db.r " +
+        "GROUP BY 1, 2, 3), " +
+        "agg AS (SELECT et AS event_type, CAST(MAX(n) AS BIGINT) " +
+        "AS n_days, CAST(MAX(rtol) AS BIGINT) AS rtol_cents, " +
+        "CAST(SUM(CASE WHEN d2 <= rtol THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS b_count, " +
+        "CAST(SUM(CASE WHEN d3 <= rtol THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS a_count FROM m GROUP BY 1) " +
+        "SELECT event_type, n_days, rtol_cents, b_count, a_count, " +
+        "CASE WHEN a_count > 0 AND b_count > 0 THEN " +
+        "CAST(floor(1000000.0 * ln(CAST(b_count AS DOUBLE) / " +
+        "CAST(a_count AS DOUBLE))) AS BIGINT) END AS sampen_micro_nats " +
+        "FROM agg ORDER BY event_type"
+    },
+    "ts_matrix_profile" -> {
+      val c = OSQL.cents("value")
+      s"WITH daily0 AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, CAST(SUM($c) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "daily AS (SELECT event_type, y, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dayi) AS BIGINT) AS r, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nr " +
+        "FROM daily0), " +
+        "starts AS (SELECT event_type AS et, r AS i FROM daily " +
+        "WHERE r <= nr - 6), " +
+        "pairs AS (SELECT a.et, a.i, b.i AS j, k.range AS k " +
+        "FROM starts a JOIN starts b ON a.et = b.et " +
+        "AND abs(a.i - b.i) >= 4 CROSS JOIN range(7) k), " +
+        "d2 AS (SELECT p.et, p.i, p.j, " +
+        "CAST(SUM(CAST(da.y - db.y AS DECIMAL(38,0)) * (da.y - db.y)) " +
+        "AS BIGINT) AS d2 FROM pairs p " +
+        "JOIN daily da ON p.et = da.event_type AND p.i + p.k = da.r " +
+        "JOIN daily db ON p.et = db.event_type AND p.j + p.k = db.r " +
+        "GROUP BY 1, 2, 3), " +
+        "mp AS (SELECT et, i, j, d2, row_number() OVER " +
+        "(PARTITION BY et, i ORDER BY d2, j) AS rn FROM d2) " +
+        "SELECT et AS event_type, i AS w_idx, j AS nn_idx, d2 AS mp_d2 " +
+        "FROM mp WHERE rn = 1 ORDER BY event_type, w_idx"
+    },
     "ts_error_budget" ->
       ("WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +
         "CAST(COUNT(*) AS BIGINT) AS n_events, " +

@@ -786,6 +786,67 @@ class ApiSpec extends SparkTestBase {
     assert(viaApi.sameElements(declared))
   }
 
+  test("ebShrinkage shrinks low-n units on a planted caller frame") {
+    import spark.implicits._
+    // unit 1: 1/1 success (raw 100%); unit 2: 50/100; units 3-6 add rate
+    // spread so the moment estimate of the prior is positive
+    val trials = Seq.fill(1)((1L, 1L)) ++
+      (1 to 100).map(i => (2L, if (i <= 50) 1L else 0L)) ++
+      (1 to 40).map(i => (3L, if (i <= 10) 1L else 0L)) ++
+      (1 to 40).map(i => (4L, if (i <= 30) 1L else 0L)) ++
+      (1 to 40).map(i => (5L, if (i <= 20) 1L else 0L)) ++
+      (1 to 40).map(i => (6L, if (i <= 36) 1L else 0L))
+    val df = trials.toDF("unit", "won")
+    val got = GraftApi.ebShrinkage(df, "unit", "won")
+      .collect().map(r => r.getAs[Long]("unit") -> r).toMap
+    // the 1-trial unit moves far toward the global rate; the 100-trial
+    // unit barely moves
+    val g = got(1L).getAs[Long]("global_micro")
+    val move1 = math.abs(got(1L).getAs[Long]("shrunk_micro") - 1000000L)
+    val move2 = math.abs(got(2L).getAs[Long]("shrunk_micro") - 500000L)
+    assert(move1 > 10 * move2,
+      s"1-trial unit must shrink much harder (moved $move1 vs $move2)")
+    assert(math.abs(got(1L).getAs[Long]("shrunk_micro") - g) <
+      math.abs(1000000L - g), "shrunk lies between raw and global")
+  }
+
+  test("matrixProfile finds the planted discord on a caller series") {
+    import spark.implicits._
+    // 30-point series: a repeating 3-period sawtooth, with a large spike
+    // window starting at index 15
+    val ys = (1 to 30).map { i =>
+      val base = (i % 3) * 100L
+      if (i >= 15 && i <= 17) base + 10000L else base
+    }
+    val df = ys.zipWithIndex.map { case (y, i) => ("s", i.toLong, y) }
+      .toDF("series", "t", "v")
+    val got = GraftApi.matrixProfile(df, "series", "t", "v").collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("series") == "s"))
+    val discord = got.maxBy(_.getAs[Long]("mp_d2"))
+    // the discord window must contain the spike (windows 9..17 overlap it)
+    val wi = discord.getAs[Long]("w_idx")
+    assert(wi >= 9L && wi <= 17L, s"discord at $wi not over the spike")
+    // sawtooth windows far from the spike see an exact repeat → mp = 0
+    assert(got.count(_.getAs[Long]("mp_d2") == 0L) >= 4)
+  }
+
+  test("rrfFuse blends two caller rank lists; singletons count once") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("q", "doc", "pos")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("q", "doc", "pos")
+    val got = GraftApi.rrfFuse(a, b, "q", "doc", "pos", k0 = 60, topK = 4)
+      .orderBy("fused_rank").collect()
+    assert(got.map(_.getAs[Long]("doc")).toSeq == Seq(11L, 10L, 13L, 12L))
+    val top = got.head
+    assert(top.getAs[Long]("rrf_micro") ==
+      1000000L / 62 + 1000000L / 61, "doc 11 sums both lists' terms")
+    assert(got(1).getAs[Long]("rrf_micro") == 1000000L / 61)
+    assert(got(1).isNullAt(got(1).fieldIndex("rank_b")))
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal

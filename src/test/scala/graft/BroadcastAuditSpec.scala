@@ -21,17 +21,17 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
-    "operators/TimeSeries.scala" -> 26,
-    "operators/Aggregations.scala" -> 67,
-    "operators/Graphs.scala" -> 14,
+    "operators/TimeSeries.scala" -> 28,
+    "operators/Aggregations.scala" -> 75,
+    "operators/Graphs.scala" -> 17,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 23,
+    "llm/Pipeline.scala" -> 24,
     "llm/Similarity.scala" -> 32,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
-    "llm/TextAnalysis.scala" -> 16,
+    "llm/TextAnalysis.scala" -> 17,
     "streaming/StreamingQueries.scala" -> 4)
 
   test("every broadcast() site in src/main is inventoried in SCALE.md") {

@@ -601,4 +601,305 @@ class Round12Spec extends SparkTestBase {
       assert(r.getAs[Long]("ln_eta_micro") == xbar - 1000000L * ybar / beta)
     }
   }
+
+  test("agg_eb_shrinkage: posterior mean recount + shrinkage laws") {
+    val rows = SparkEntry.queries("agg_eb_shrinkage")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), U.cents(col("value")).as("vc"))
+      .collect().map(r => (r.getLong(0), if (r.getLong(1) >= 5000L) 1L else 0L))
+    val per = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong, es.map(_._2).sum)
+    }
+    val (sn, sk) = (per.map(_._2).sum, per.map(_._3).sum)
+    val pbar = 1000000L * sk / sn
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
+      val m = r.getAs[Long]("m_prior")
+      assert(r.getAs[Long]("global_micro") == pbar)
+      assert(r.getAs[Long]("raw_micro") == 1000000L * k / n)
+      val shrunk = r.getAs[Long]("shrunk_micro")
+      assert(shrunk == (1000000L * k + m * pbar) / (n + m))
+      // shrinkage law: the posterior mean lies between raw and global
+      val (lo, hi) = (math.min(1000000L * k / n, pbar),
+        math.max(1000000L * k / n, pbar))
+      assert(shrunk >= lo - 1 && shrunk <= hi + 1,
+        s"user ${r.getLong(0)}: $shrunk outside [$lo, $hi]")
+    }
+    // prior strength is shared and positive
+    assert(rows.map(_.getAs[Long]("m_prior")).distinct.length == 1)
+    assert(rows.head.getAs[Long]("m_prior") > 0L)
+  }
+
+  test("ts_matrix_profile: brute-force nearest-neighbor recount") {
+    val rows = SparkEntry.queries("ts_matrix_profile")(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect().map(r => (r.getString(0), dayi(r.getLong(1)), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).map { case ((et, dy), es) =>
+        (et, dy, es.map(_._3).sum)
+      }.toSeq
+    rows.foreach { case (et, rs) =>
+      val ys = daily.filter(_._1 == et).sortBy(_._2).map(_._3).toArray
+      val nWin = ys.length - 6
+      def d2(i: Int, j: Int): BigInt = (0 until 7).map { k =>
+        val d = BigInt(ys(i + k) - ys(j + k)); d * d
+      }.sum
+      assert(rs.length == nWin, s"$et window count")
+      rs.foreach { r =>
+        val i = r.getAs[Long]("w_idx").toInt - 1
+        val cands = (0 until nWin).filter(j => math.abs(i - j) >= 4)
+        val best = cands.map(j => (d2(i, j), j)).min
+        assert(BigInt(r.getAs[Long]("mp_d2")) == best._1, s"$et window $i d2")
+        assert(r.getAs[Long]("nn_idx").toInt - 1 == best._2, s"$et window $i nn")
+      }
+    }
+  }
+
+  test("pipeline_grpo_adv: advantages sum to ~0 per group, rank bijects") {
+    val rows = SparkEntry.queries("pipeline_grpo_adv")(spark, sfDir)
+      .collect().groupBy(_.getAs[String]("source"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      assert(rs.head.getAs[Long]("group_n") == n)
+      // mean-baseline law: Σ adv ∈ [0, n) micro (floor of the group mean)
+      val sumAdv = rs.map(r => BigInt(r.getAs[Long]("adv_micro"))).sum
+      assert(sumAdv >= 0 && sumAdv < BigInt(n), s"$src sum adv $sumAdv")
+      // ranks are a permutation of 1..n and order by reward desc
+      val byRank = rs.sortBy(_.getAs[Long]("grp_rank"))
+      assert(byRank.map(_.getAs[Long]("grp_rank")).toSeq == (1L to n).toSeq)
+      byRank.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getAs[Long]("reward") >= w(1).getAs[Long]("reward"))
+      }
+    }
+  }
+
+  test("agg_mutual_info: MI bounds and scalar recount") {
+    val r = SparkEntry.queries("agg_mutual_info")(spark, sfDir)
+      .collect().head
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+      .collect().map(x => (x.getString(0), math.min(9L, x.getLong(1) / 1000L)))
+    val n = ev.length.toDouble
+    val cells = ev.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cx = ev.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val cy = ev.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val mi = cells.map { case ((x, y), c) =>
+      math.floor(1e6 * (c / n) *
+        math.log(c * n / (cx(x).toDouble * cy(y).toDouble))).toLong
+    }.sum
+    val hx = cx.values.map(c =>
+      math.floor(1e6 * (c / n) * math.log(n / c)).toLong).sum
+    assert(r.getAs[Long]("n") == ev.length.toLong)
+    assert(r.getAs[Long]("n_cells") == cells.size.toLong)
+    assert(r.getAs[Long]("mi_micro_nats") == mi)
+    assert(r.getAs[Long]("hx_micro_nats") == hx)
+    // information laws (floored-term slack: one micro-nat per cell)
+    val slack = r.getAs[Long]("n_cells")
+    assert(r.getAs[Long]("mi_micro_nats") >= -slack)
+    assert(r.getAs[Long]("mi_micro_nats") <=
+      math.min(r.getAs[Long]("hx_micro_nats"),
+        r.getAs[Long]("hy_micro_nats")) + slack)
+  }
+
+  test("ts_sampen: template-match recount and m-monotonicity") {
+    val rows = SparkEntry.queries("ts_sampen")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect().map(r => (r.getString(0), dayi(r.getLong(1)), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).map { case ((et, dy), es) =>
+        (et, dy, es.map(_._3).sum)
+      }.toSeq
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val ys = daily.filter(_._1 == et).sortBy(_._2).map(_._3).toArray
+      val rtol = (ys.max - ys.min) / 5
+      assert(r.getAs[Long]("rtol_cents") == rtol)
+      val nT = ys.length - 2
+      var b = 0L; var a = 0L
+      for (i <- 0 until nT; j <- i + 1 until nT) {
+        val d01 = math.max(math.abs(ys(i) - ys(j)),
+          math.abs(ys(i + 1) - ys(j + 1)))
+        val d012 = math.max(d01, math.abs(ys(i + 2) - ys(j + 2)))
+        if (d01 <= rtol) b += 1
+        if (d012 <= rtol) a += 1
+      }
+      assert(r.getAs[Long]("b_count") == b, s"$et B")
+      assert(r.getAs[Long]("a_count") == a, s"$et A")
+      assert(a <= b, s"$et extendability")
+      if (a > 0 && b > 0)
+        assert(r.getAs[Long]("sampen_micro_nats") ==
+          math.floor(1e6 * math.log(b.toDouble / a.toDouble)).toLong)
+    }
+  }
+
+  test("text_log_odds: prior/count recount for the top token") {
+    val rows = SparkEntry.queries("text_log_odds")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    // |δ| is non-increasing down the ranks
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(math.abs(w(0).getAs[Long]("delta_micro_nats")) >=
+          math.abs(w(1).getAs[Long]("delta_micro_nats")))
+    }
+    val toks = U.tbl(spark, sfDir, "documents")
+      .select(col("source"), explode(graft.llm.TextUtil.tokens(col("text")))
+        .as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = toks.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val y0 = toks.filter(_._1 == "src0").groupBy(_._2)
+      .map { case (t, v) => t -> v.length.toLong }
+    val y1 = toks.filter(_._1 == "src1").groupBy(_._2)
+      .map { case (t, v) => t -> v.length.toLong }
+    val n0 = y0.values.sum; val n1 = y1.values.sum
+    val aa = corpus.values.sum
+    rows.foreach { r =>
+      val t = r.getAs[String]("token")
+      assert(r.getAs[Long]("alpha") == corpus(t))
+      assert(r.getAs[Long]("y0") == y0.getOrElse(t, 0L))
+      assert(r.getAs[Long]("y1") == y1.getOrElse(t, 0L))
+      val d = math.floor(1e6 * math.log((y0.getOrElse(t, 0L) + corpus(t))
+          .toDouble / (n0 + aa - y0.getOrElse(t, 0L) - corpus(t)))).toLong -
+        math.floor(1e6 * math.log((y1.getOrElse(t, 0L) + corpus(t))
+          .toDouble / (n1 + aa - y1.getOrElse(t, 0L) - corpus(t)))).toLong
+      assert(r.getAs[Long]("delta_micro_nats") == d, s"token $t")
+    }
+  }
+
+  test("graph_eccentricity: scalar BFS recount on the support graph") {
+    val rows = SparkEntry.queries("graph_eccentricity")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    // rebuild the support-filtered symmetric adjacency independently
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, ls) =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val seeds = adj.keys.toSeq.sorted.take(5)
+    assert(rows.map(_.getLong(0)).toSeq == seeds)
+    rows.foreach { r =>
+      val seed = r.getLong(0)
+      var dist = Map(seed -> 0L)
+      var frontier = Set(seed)
+      var h = 1L
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(dist.keySet)
+        next.foreach(n => dist += n -> h)
+        frontier = next
+        h += 1
+      }
+      assert(r.getAs[Long]("eccentricity") == dist.values.max, s"seed $seed")
+      assert(r.getAs[Long]("n_reached") == dist.size - 1L, s"seed $seed n")
+    }
+  }
+
+  test("graph_eccentricity: cap=0 distributed twin matches the kernel") {
+    val fast = SparkEntry.queries("graph_eccentricity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = graft.operators.Graphs.eccentricityImpl(spark, sfDir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.sorted.toSeq == dist.sorted.toSeq)
+  }
+
+  test("sim_rrf_fusion: fused score recount from the two shipped rankers") {
+    val fused = SparkEntry.queries("sim_rrf_fusion")(spark, sfDir).collect()
+    assert(fused.nonEmpty)
+    // rebuild both rank lists from the library's own declared rankers is
+    // circular; instead check the RRF laws: scores decompose into the two
+    // reciprocal terms, ranks within [1,10], 3 rows per query descending
+    fused.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q row count")
+      val sorted = rs.sortBy(_.getAs[Long]("fused_rank"))
+      assert(sorted.map(_.getAs[Long]("fused_rank")).toSeq == Seq(1L, 2L, 3L))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getAs[Long]("rrf_micro") >= w(1).getAs[Long]("rrf_micro"))
+      }
+      sorted.foreach { r =>
+        val c = Option(r.getAs[Any]("cos_rank")).map(_.asInstanceOf[Long])
+        val h = Option(r.getAs[Any]("ham_rank")).map(_.asInstanceOf[Long])
+        assert(c.nonEmpty || h.nonEmpty)
+        c.foreach(x => assert(x >= 1 && x <= 10))
+        h.foreach(x => assert(x >= 1 && x <= 10))
+        val expect = c.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+          h.map(x => 1000000L / (60 + x)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_micro") == expect)
+      }
+    }
+  }
+
+  test("ts_ransac_trend: consensus recount; RANSAC beats no line") {
+    val rows = SparkEntry.queries("ts_ransac_trend")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = U.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect().map(r => (r.getString(0), dayi(r.getLong(1)), r.getLong(2)))
+      .groupBy(e => (e._1, e._2)).map { case ((et, dy), es) =>
+        (et, dy, es.map(_._3).sum)
+      }.toSeq
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val ys = daily.filter(_._1 == et).sortBy(_._2).map(_._3).toArray
+      val n = ys.length
+      val tol = (ys.max - ys.min) / 10
+      def inliers(c: Int): Long = {
+        val (x1, x2) = (c.toLong, n - 5L + c)
+        val (y1, y2) = (ys(c - 1), ys((n - 5 + c) - 1))
+        (1 to n).count { x =>
+          math.abs((ys(x - 1) - y1) * (x2 - x1) -
+            (x - x1) * (y2 - y1)) <= tol * (x2 - x1)
+        }.toLong
+      }
+      val best = (1 to 5).map(c => (-inliers(c), c)).min
+      assert(r.getAs[Long]("cand") == best._2.toLong, s"$et cand")
+      assert(r.getAs[Long]("n_inliers") == -best._1, s"$et inliers")
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      // the consensus line must cover its own two anchors at least
+      assert(r.getAs[Long]("n_inliers") >= 2L)
+      val c = best._2
+      val slope = BigInt(1000000L) * (ys((n - 5 + c) - 1) - ys(c - 1)) /
+        (n - 5L)
+      assert(BigInt(r.getAs[Long]("slope_micro")) == slope, s"$et slope")
+    }
+  }
+
+  test("graph_bipartite_proj: shared-user recount + cosine bounds") {
+    val rows = SparkEntry.queries("graph_bipartite_proj")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ud = U.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ud.groupBy(_._2).map { case (t, es) =>
+      t -> es.map(_._1).toSet
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (ua, ub) = (byType(a), byType(b))
+      assert(r.getAs[Long]("w") == (ua & ub).size.toLong)
+      assert(r.getAs[Long]("deg_a") == ua.size.toLong)
+      assert(r.getAs[Long]("deg_b") == ub.size.toLong)
+      val c2 = r.getAs[Long]("cos2_micro")
+      assert(c2 >= 0L && c2 <= 1000000L)
+      assert(c2 == BigInt(r.getAs[Long]("w")) * r.getAs[Long]("w") *
+        1000000L / (BigInt(ua.size) * ub.size))
+    }
+  }
 }

@@ -26,7 +26,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "operators/Graphs.scala" -> 1,
     "llm/Pipeline.scala" -> 7,
     "llm/Similarity.scala" -> 1,
-    "llm/TextAnalysis.scala" -> 2,
+    "llm/TextAnalysis.scala" -> 3,
     "api/GraftApi.scala" -> 2)
 
   test("every Window.orderBy site in src/main is inventoried in SCALE.md") {
