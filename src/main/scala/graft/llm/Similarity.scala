@@ -1332,6 +1332,39 @@ object Similarity {
             lit(2.0) - exp)).as("ari"))
   }
 
+  /** SemDeDup (semantic deduplication, the Abbas et al. recipe): cluster
+    * the corpus with the SAME deterministic k-means the emb_kmeans query
+    * ships, then WITHIN each cluster drop every vector whose cosine to a
+    * smaller-id cluster-mate reaches 0.95 — the survivor set a pretraining
+    * mix keeps. The threshold never leaves the integer domain: cos ≥ 0.95
+    * ⟺ dot > 0 ∧ 400·dot² ≥ 361·‖a‖²·‖b‖² (361/400 = 0.95²), products in
+    * DECIMAL(38,0)/HUGEINT. Scale shape: the quadratic pair scan is
+    * WITHIN-CLUSTER only — the SemDeDup design point: k grows with the
+    * corpus so cluster size (and the per-bucket pair work) stays bounded;
+    * the oracle nests kmeansCtes so assignment and dedup cannot drift. */
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (asg, _) = kmeansAssignments(s, d)
+    val m = U.track(asg.select(col("vec_id"), col("cid"), col("fx"))
+      .withColumn("nrm", fixed_dot(col("fx"), col("fx"))).persist())
+    val b = m.select(col("cid").as("bc"), col("vec_id").as("kb"),
+      col("fx").as("bfx"), col("nrm").as("nb"))
+    val dup = m.join(b, col("cid") === col("bc") && col("vec_id") < col("kb"))
+      .withColumn("dot", fixed_dot(col("fx"), col("bfx")))
+      .filter(col("dot") > 0L &&
+        lit(400L).cast(dec) * col("dot").cast(dec) * col("dot") >=
+          lit(361L).cast(dec) * col("nrm").cast(dec) * col("nb"))
+      .select(col("bc").as("dc"), col("kb")).distinct()
+    m.join(dup, col("cid") === col("dc") && col("vec_id") === col("kb"),
+        "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), count(col("kb")).as("n_dropped"))
+      .select(col("cid"), col("n_vecs"), col("n_dropped"),
+        expr("(1000000 * (n_vecs - n_dropped)) DIV n_vecs")
+          .as("keep_ratio_micro"))
+      .orderBy("cid")
+  }
+
   private def embKmeans(s: SparkSession, d: String): DataFrame = {
     val (asg, cent) = kmeansAssignments(s, d)
     val checks = cent
@@ -1449,6 +1482,7 @@ object Similarity {
     "emb_kmeans" -> embKmeans _,
     "emb_kmeans_ari" -> embKmeansAri _,
     "emb_hard_negatives" -> hardNegatives _,
+    "pipeline_semdedup" -> semDedup _,
     "sim_rrf_fusion" -> rrfFusion _,
     "sim_hamming_topk" -> hammingTopk _,
     "emb_matryoshka" -> embMatryoshka _,
@@ -1895,6 +1929,24 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans" -> kmeansSql,
     "emb_kmeans_ari" -> kmeansAriSql,
+    "pipeline_semdedup" ->
+      (s"WITH $kmeansCtes, " +
+        s"nm AS (SELECT f.vec_id, fx, ${dotSql("fx", "fx")} AS nrm " +
+        "FROM f), " +
+        "m AS (SELECT asg3.vec_id, asg3.cid, nm.fx, nm.nrm " +
+        "FROM asg3 JOIN nm ON asg3.vec_id = nm.vec_id), " +
+        "pr AS (SELECT a.cid, b.vec_id AS kb, " +
+        s"${dotSql("a.fx", "b.fx")} AS dot, a.nrm AS na, b.nrm AS nb " +
+        "FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id), " +
+        "dup AS (SELECT DISTINCT cid, kb FROM pr WHERE dot > 0 AND " +
+        "400 * CAST(dot AS HUGEINT) * dot >= " +
+        "361 * CAST(na AS HUGEINT) * nb) " +
+        "SELECT m.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(COUNT(dup.kb) AS BIGINT) AS n_dropped, " +
+        "(1000000 * (COUNT(*) - COUNT(dup.kb))) // COUNT(*) " +
+        "AS keep_ratio_micro " +
+        "FROM m LEFT JOIN dup ON m.cid = dup.cid AND m.vec_id = dup.kb " +
+        "GROUP BY 1 ORDER BY 1"),
     "emb_mmr" -> mmrSql,
     "sim_hamming_topk" ->
       ("WITH sig AS (SELECT vec_id, " +

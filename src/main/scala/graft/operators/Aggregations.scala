@@ -2718,7 +2718,140 @@ object Aggregations {
     mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
   }
 
+  /** Two-sample Anderson–Darling statistic (Scholz–Stephens tie-adjusted
+    * form), click vs view values — the third member of the EDF-test
+    * family beside agg_ks_test (sup metric) and agg_cvm (L² metric): A²
+    * weights the tails, where KS and CvM are blind. The half-integer
+    * midranks clear by DOUBLING: with 2B_j = 2·cum_j − l_j and 2M_j =
+    * 2·cumₐ_j − lₐ_j, the quarters cancel and term_j = l_j·u_j²/v_j with
+    * u = N·(2M) − n·(2B), v = 2B·(2N−2B) − N·l — exact integers end to
+    * end, each term floored to micro BEFORE the sum (v > 0 whenever the
+    * block is not the whole pooled sample — guarded CASE 0 both
+    * engines). Same value-domain collapse as agg_cvm: the windowed pass
+    * runs over the ≤|distinct cents| support, never over rows. */
+  private def aggAndersonDarling(s: SparkSession, d: String): DataFrame = {
+    val counts = U.track(U.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("vc"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cm"))
+      .persist())
+    val tot = counts.groupBy()
+      .agg(sum(col("cn")).as("n"), sum(col("cm")).as("m"))
+    val w = Window.orderBy(col("vc"))
+    counts
+      .withColumn("l", col("cn") + col("cm"))
+      .withColumn("c2", lit(2L) * sum(col("cn") + col("cm")).over(w) - col("l"))
+      .withColumn("a2m", lit(2L) * sum(col("cn")).over(w) - col("cn"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bn", col("n") + col("m"))
+      .withColumn("u", expr(
+        "CAST(bn AS DECIMAL(38,0)) * a2m - CAST(n AS DECIMAL(38,0)) * c2"))
+      .withColumn("v", expr(
+        "CAST(c2 AS DECIMAL(38,0)) * (2 * bn - c2) - " +
+          "CAST(bn AS DECIMAL(38,0)) * l"))
+      .withColumn("t", expr(
+        "CASE WHEN v > 0 THEN CAST((1000000 * CAST(l AS DECIMAL(38,0)) " +
+          "* u * u) DIV v AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("n"), col("m"))
+      .agg(count(lit(1)).as("n_support"), sum(col("t")).as("tsum"))
+      .select(col("n"), col("m"), col("n_support"),
+        expr("CAST(tsum DIV (n + m) AS BIGINT)").as("a2_micro"))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test across the five
+    * event types taken in ALPHABETICAL order as the dose ordering (the
+    * fixture's stand-in for severity grades): J = Σ_{a<b} U_ab with the
+    * ½-tie convention shipped as exact 2J. Value-domain formulation: per
+    * ordered pair of groups, Σ_v [count_b(v) · (2·#{a < v} + #{a = v})]
+    * over the shared distinct-cents grid — the pair scan is
+    * |support|·|types|² work, never row². E[4J] = n² − Σnᵢ² and 72·Var(J)
+    * ship as exact integers; z closes through one mirrored double tree
+    * (sqrt is IEEE-exact, the cosCol precedent). */
+  private def aggJonckheere(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cnt = U.track(U.events(s, d)
+      .withColumn("vc", U.cents(col("value")))
+      .groupBy(col("event_type"), col("vc")).agg(count(lit(1)).as("c"))
+      .persist())
+    val grid = cnt.select(col("vc")).distinct()
+      .crossJoin(cnt.select(col("event_type")).distinct())
+      .join(cnt, Seq("event_type", "vc"), "left")
+      .select(col("event_type"), col("vc"), coalesce(col("c"), lit(0L)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+    val g = grid.withColumn("cumlt", sum(col("c")).over(wCum) - col("c"))
+    val j2 = g.select(col("event_type").as("ta"), col("vc"),
+        col("c").as("ca"), col("cumlt"))
+      .join(g.select(col("event_type").as("tb"), col("vc"),
+        col("c").as("cb")), Seq("vc"))
+      .filter(col("ta") < col("tb"))
+      .agg(sum(col("cb").cast(dec) *
+        (lit(2L) * col("cumlt") + col("ca"))).cast(LongType).as("j2"))
+    val per = cnt.groupBy(col("event_type")).agg(sum(col("c")).as("nt"))
+    val moments = per.agg(sum(col("nt")).as("n"),
+        sum(col("nt").cast(dec) * col("nt")).as("sn2"),
+        sum(col("nt").cast(dec) * col("nt") *
+          (lit(2L) * col("nt") + lit(3L))).as("sn23"))
+      .select(col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * n - sn2 AS BIGINT)")
+          .as("ej4"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - sn23 " +
+          "AS BIGINT)").as("v72"))
+    j2.crossJoin(broadcast(moments))
+      .select(col("n"), col("j2"), col("ej4"), col("v72"),
+        expr("(CAST(j2 AS DOUBLE) / 2.0 - CAST(ej4 AS DOUBLE) / 4.0) / " +
+          "sqrt(CAST(v72 AS DOUBLE) / 72.0)").as("z"))
+  }
+
+  /** Fleiss' kappa over a 3-rater design read off the stream: each user's
+    * FIRST three events (by ts, event_id — deterministic) rate the user
+    * into spend bands (<$10 / $10–50 / ≥$50), and κ asks whether those
+    * repeated measurements agree beyond chance — the inter-annotator
+    * readout a labeling pipeline runs on triple-annotated batches. Exact:
+    * 6·ΣP_i = Σ(Σn_ij² − 3) and Pe's ΣC_j² stay integers, and κ =
+    * (3N·s6 − 2ΣC²)/(2(9N² − ΣC²)) ships in micro through the
+    * DECIMAL DIV ↔ HUGEINT // pairing (κ < 0 = worse than chance is
+    * legal). One window pass for the first-3 pick + two hash aggs. */
+  private def aggFleissKappa(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val items = U.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        U.cents(col("value")).as("vc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("vc") < 1000L, 1L).otherwise(0L)).as("b0"),
+        sum(when(col("vc") >= 1000L && col("vc") < 5000L, 1L)
+          .otherwise(0L)).as("b1"),
+        sum(when(col("vc") >= 5000L, 1L).otherwise(0L)).as("b2"))
+      .filter(col("nr") === 3L)
+    items.agg(count(lit(1)).as("n_items"),
+        sum(col("b0") * col("b0") + col("b1") * col("b1") +
+          col("b2") * col("b2") - lit(3L)).as("s6"),
+        sum(col("b0")).as("c0"), sum(col("b1")).as("c1"),
+        sum(col("b2")).as("c2"))
+      .select(col("n_items"), col("s6"), col("c0"), col("c1"), col("c2"),
+        expr("CASE WHEN 9 * CAST(n_items AS DECIMAL(38,0)) * n_items - " +
+          "(CAST(c0 AS DECIMAL(38,0)) * c0 + CAST(c1 AS DECIMAL(38,0)) " +
+          "* c1 + CAST(c2 AS DECIMAL(38,0)) * c2) > 0 THEN " +
+          "CAST((1000000 * (3 * CAST(n_items AS DECIMAL(38,0)) * s6 - " +
+          "2 * (CAST(c0 AS DECIMAL(38,0)) * c0 + " +
+          "CAST(c1 AS DECIMAL(38,0)) * c1 + " +
+          "CAST(c2 AS DECIMAL(38,0)) * c2))) DIV " +
+          "(2 * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items - " +
+          "(CAST(c0 AS DECIMAL(38,0)) * c0 + " +
+          "CAST(c1 AS DECIMAL(38,0)) * c1 + " +
+          "CAST(c2 AS DECIMAL(38,0)) * c2))) AS BIGINT) END")
+          .as("kappa_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_anderson_darling" -> aggAndersonDarling _,
+    "agg_jonckheere" -> aggJonckheere _,
+    "agg_fleiss_kappa" -> aggFleissKappa _,
     "agg_mutual_info" -> aggMutualInfo _,
     "agg_eb_shrinkage" -> aggEbShrinkage _,
     "agg_cvar" -> aggCvar _,
@@ -2914,6 +3047,91 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_anderson_darling" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, $c AS vc FROM events " +
+        "WHERE event_type IN ('click', 'view')), " +
+        "counts AS (SELECT vc, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cn, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS cm FROM ev GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS n, " +
+        "CAST(SUM(cm) AS BIGINT) AS m FROM counts), " +
+        "cum AS (SELECT vc, cn, cm, cn + cm AS l, " +
+        "2 * SUM(cn + cm) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) " +
+        "- (cn + cm) AS c2, " +
+        "2 * SUM(cn) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) - cn " +
+        "AS a2m FROM counts), " +
+        "terms AS (SELECT l, n, m, n + m AS bn, " +
+        "CAST(n + m AS HUGEINT) * a2m - CAST(n AS HUGEINT) * c2 AS u, " +
+        "CAST(c2 AS HUGEINT) * (2 * (n + m) - c2) - " +
+        "CAST(n + m AS HUGEINT) * l AS v " +
+        "FROM cum CROSS JOIN tot) " +
+        "SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(m) AS BIGINT) AS m, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_support, " +
+        "CAST(SUM(CASE WHEN v > 0 THEN CAST((1000000 * " +
+        "CAST(l AS HUGEINT) * u * u) // v AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END) // MAX(bn) AS BIGINT) AS a2_micro " +
+        "FROM terms"
+    },
+    "agg_jonckheere" -> {
+      val c = OSQL.cents("value")
+      s"WITH cnt AS (SELECT event_type, $c AS vc, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT t.event_type, v.vc, coalesce(cnt.c, 0) AS c " +
+        "FROM (SELECT DISTINCT vc FROM cnt) v " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t " +
+        "LEFT JOIN cnt ON cnt.event_type = t.event_type " +
+        "AND cnt.vc = v.vc), " +
+        "g AS (SELECT event_type, vc, c, SUM(c) OVER " +
+        "(PARTITION BY event_type ORDER BY vc ROWS UNBOUNDED PRECEDING) " +
+        "- c AS cumlt FROM grid), " +
+        "j AS (SELECT CAST(SUM(CAST(b.c AS HUGEINT) * " +
+        "(2 * a.cumlt + a.c)) AS BIGINT) AS j2 " +
+        "FROM g a JOIN g b ON a.vc = b.vc " +
+        "AND a.event_type < b.event_type), " +
+        "per AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS nt " +
+        "FROM cnt GROUP BY 1), " +
+        "mo AS (SELECT CAST(SUM(nt) AS BIGINT) AS n, " +
+        "CAST(CAST(SUM(nt) AS HUGEINT) * SUM(nt) - " +
+        "SUM(CAST(nt AS HUGEINT) * nt) AS BIGINT) AS ej4, " +
+        "CAST(CAST(SUM(nt) AS HUGEINT) * SUM(nt) * " +
+        "(2 * SUM(nt) + 3) - SUM(CAST(nt AS HUGEINT) * nt * " +
+        "(2 * nt + 3)) AS BIGINT) AS v72 FROM per) " +
+        "SELECT n, j2, ej4, v72, " +
+        "(CAST(j2 AS DOUBLE) / 2.0 - CAST(ej4 AS DOUBLE) / 4.0) / " +
+        "sqrt(CAST(v72 AS DOUBLE) / 72.0) AS z " +
+        "FROM j CROSS JOIN mo"
+    },
+    "agg_fleiss_kappa" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT user_id, ts, event_id, $c AS vc FROM events), " +
+        "rk AS (SELECT user_id, vc, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev), " +
+        "items AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nr, " +
+        "CAST(SUM(CASE WHEN vc < 1000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS b0, " +
+        "CAST(SUM(CASE WHEN vc >= 1000 AND vc < 5000 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS b1, " +
+        "CAST(SUM(CASE WHEN vc >= 5000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS b2 FROM rk WHERE rn <= 3 GROUP BY 1 HAVING COUNT(*) = 3), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(b0 * b0 + b1 * b1 + b2 * b2 - 3) AS BIGINT) AS s6, " +
+        "CAST(SUM(b0) AS BIGINT) AS c0, CAST(SUM(b1) AS BIGINT) AS c1, " +
+        "CAST(SUM(b2) AS BIGINT) AS c2 FROM items) " +
+        "SELECT n_items, s6, c0, c1, c2, " +
+        "CASE WHEN 9 * CAST(n_items AS HUGEINT) * n_items - " +
+        "(CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1 + " +
+        "CAST(c2 AS HUGEINT) * c2) > 0 THEN " +
+        "CAST((1000000 * (3 * CAST(n_items AS HUGEINT) * s6 - " +
+        "2 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1 + " +
+        "CAST(c2 AS HUGEINT) * c2))) // " +
+        "(2 * (9 * CAST(n_items AS HUGEINT) * n_items - " +
+        "(CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1 + " +
+        "CAST(c2 AS HUGEINT) * c2))) AS BIGINT) END AS kappa_micro " +
+        "FROM g"
+    },
     "agg_mutual_info" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type AS x, " +

@@ -808,6 +808,109 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("agg_anderson_darling: scalar recount of the tie-adjusted A2") {
+    val r = SparkEntry.queries("agg_anderson_darling")(spark, sfDir)
+      .collect().head
+    val ev = U.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), U.cents(col("value")))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = ev.count(_._1 == "click").toLong
+    val m = ev.count(_._1 == "view").toLong
+    val bigN = n + m
+    val blocks = ev.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, es) =>
+      (es.count(_._1 == "click").toLong, es.length.toLong)
+    }
+    var (cumA, cum) = (0L, 0L)
+    var tsum = BigInt(0)
+    blocks.foreach { case (cn, l) =>
+      cumA += cn; cum += l
+      val a2m = 2 * cumA - cn
+      val c2 = 2 * cum - l
+      val u = BigInt(bigN) * a2m - BigInt(n) * c2
+      val v = BigInt(c2) * (2 * bigN - c2) - BigInt(bigN) * l
+      if (v > 0) tsum += BigInt(1000000) * l * u * u / v
+    }
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("m") == m)
+    assert(r.getAs[Long]("n_support") == blocks.length.toLong)
+    assert(BigInt(r.getAs[Long]("a2_micro")) == tsum / bigN)
+    // A2 is positive on these (different-scale) distributions
+    assert(r.getAs[Long]("a2_micro") > 0L)
+  }
+
+  test("agg_jonckheere: brute-force pair recount of 2J and moments") {
+    val r = SparkEntry.queries("agg_jonckheere")(spark, sfDir)
+      .collect().head
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val types = ev.map(_._1).distinct.sorted
+    var j2 = BigInt(0)
+    for (a <- types.indices; b <- (a + 1) until types.length) {
+      val xs = ev.filter(_._1 == types(a)).map(_._2)
+      val ys = ev.filter(_._1 == types(b)).map(_._2)
+      // value-domain recount (the O(n·m) loop is fine at sf0.001)
+      for (x <- xs; y <- ys) {
+        if (x < y) j2 += 2 else if (x == y) j2 += 1
+      }
+    }
+    val n = ev.length.toLong
+    val nts = types.map(t => ev.count(_._1 == t).toLong)
+    assert(BigInt(r.getAs[Long]("j2")) == j2)
+    assert(r.getAs[Long]("n") == n)
+    assert(BigInt(r.getAs[Long]("ej4")) ==
+      BigInt(n) * n - nts.map(x => BigInt(x) * x).sum)
+    assert(BigInt(r.getAs[Long]("v72")) ==
+      BigInt(n) * n * (2 * n + 3) -
+        nts.map(x => BigInt(x) * x * (2 * x + 3)).sum)
+  }
+
+  test("agg_fleiss_kappa: confusion recount; kappa in [-1, 1]") {
+    val r = SparkEntry.queries("agg_fleiss_kappa")(spark, sfDir)
+      .collect().head
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        U.cents(col("value")))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val items = ev.groupBy(_._1).filter(_._2.length >= 3).map { case (_, es) =>
+      val f3 = es.sortBy(e => (e._2, e._3)).take(3).map(_._4)
+      (f3.count(_ < 1000L).toLong,
+        f3.count(v => v >= 1000L && v < 5000L).toLong,
+        f3.count(_ >= 5000L).toLong)
+    }.toSeq
+    val nI = items.length.toLong
+    val s6 = items.map { case (a, b, c) => a * a + b * b + c * c - 3 }.sum
+    val cs = Seq(items.map(_._1).sum, items.map(_._2).sum,
+      items.map(_._3).sum)
+    assert(r.getAs[Long]("n_items") == nI)
+    assert(r.getAs[Long]("s6") == s6)
+    assert(Seq(r.getAs[Long]("c0"), r.getAs[Long]("c1"),
+      r.getAs[Long]("c2")) == cs)
+    val sumC2 = cs.map(x => BigInt(x) * x).sum
+    val k = BigInt(1000000) * (3 * nI * s6 - 2 * sumC2) /
+      (2 * (BigInt(9) * nI * nI - sumC2))
+    assert(BigInt(r.getAs[Long]("kappa_micro")) == k)
+    assert(math.abs(r.getAs[Long]("kappa_micro")) <= 1000000L)
+  }
+
+  test("pipeline_semdedup: cluster counts close on emb_kmeans; ratios") {
+    val rows = SparkEntry.queries("pipeline_semdedup")(spark, sfDir)
+      .collect()
+    val km = SparkEntry.queries("emb_kmeans")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_members")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cid = r.getLong(0)
+      assert(r.getAs[Long]("n_vecs") == km(cid),
+        s"cluster $cid size must equal the shipped k-means assignment")
+      val (nv, nd) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dropped"))
+      assert(nd >= 0L && nd < nv)
+      assert(r.getAs[Long]("keep_ratio_micro") ==
+        1000000L * (nv - nd) / nv)
+    }
+  }
+
   test("graph_eccentricity: cap=0 distributed twin matches the kernel") {
     val fast = SparkEntry.queries("graph_eccentricity")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
