@@ -2848,7 +2848,116 @@ object Aggregations {
           .as("kappa_micro"))
   }
 
+  /** The shared temporal-split prediction frame behind the model-eval
+    * family (agg_auc / agg_pr_curve / agg_ece): each user's PRE-period
+    * high-value rate (≥ $50, floored micro — the aggCuped split-day
+    * design) is the SCORE, and whether they convert in the POST period is
+    * the LABEL. Honest evaluation: the score never sees the labeled
+    * period. Users need ≥1 event on each side. One per-user rollup. */
+  private def predFrame(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+      when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("succ"))
+    val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("dayi") < col("sd"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("dayi") < col("sd"), col("succ")).otherwise(0L))
+          .as("k_pre"),
+        sum(when(col("dayi") >= col("sd"), 1L).otherwise(0L)).as("n_post"),
+        max(when(col("dayi") >= col("sd"), col("succ")).otherwise(0L))
+          .as("label"))
+      .filter(col("n_pre") > 0L && col("n_post") > 0L)
+      .select(col("user_id"),
+        expr("(1000000 * k_pre) DIV n_pre").as("score"), col("label"))
+  }
+
+  /** AUC-ROC of the temporal-split predictor, computed EXACTLY as the
+    * normalized Mann–Whitney U with the ½-tie convention: 2U =
+    * Σ 2·[s⁺>s⁻] + [s⁺=s⁻] over the positive×negative pairs, by the
+    * value-domain cumulative (scores are floored micro rates — at most
+    * 10⁶+1 distinct values at ANY user count, so the windowed pass is
+    * value-domain-bounded, never user²). auc_micro = 10⁶·2U DIV
+    * (2·n⁺·n⁻); NULL when a class is empty (CASE both engines). */
+  private def aggAuc(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cnt = U.track(predFrame(s, d)
+      .groupBy(col("score"))
+      .agg(sum(col("label")).as("p"),
+        sum(lit(1L) - col("label")).as("q"))
+      .persist())
+    val w = Window.orderBy(col("score"))
+    val u2 = cnt
+      .withColumn("cumq_lt", sum(col("q")).over(w) - col("q"))
+      .agg(sum(col("p").cast(dec) *
+        (lit(2L) * col("cumq_lt") + col("q"))).as("u2"),
+        sum(col("p")).as("npos"), sum(col("q")).as("nneg"))
+    u2.select(col("npos"), col("nneg"),
+      expr("CAST(u2 AS BIGINT)").as("u2"),
+      expr("CASE WHEN npos > 0 AND nneg > 0 THEN " +
+        "CAST((1000000 * u2) DIV (2 * CAST(npos AS DECIMAL(38,0)) * nneg) " +
+        "AS BIGINT) END").as("auc_micro"))
+  }
+
+  /** Precision/recall/F1 of the temporal-split predictor at the nine
+    * fixed micro-rate thresholds 0.1 … 0.9 — the operating-point table a
+    * deployment reads where AUC gives one number. All integral: counts
+    * by threshold comparison, P/R/F1 as integral micro divisions (F1
+    * from counts directly: 2·10⁶·tp DIV (2tp+fp+fn) — never a ratio of
+    * floored ratios). One scan of the per-user frame against a 9-row
+    * threshold literal. */
+  private def aggPrCurve(s: SparkSession, d: String): DataFrame = {
+    val pf = predFrame(s, d)
+    val thr = (1 to 9).map(k => lit(k * 100000L))
+    pf.withColumn("thr", explode(array(thr: _*)))
+      .groupBy(col("thr"))
+      .agg(sum(when(col("score") >= col("thr") && col("label") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr") && col("label") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr") && col("label") === 1L, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN (1000000 * tp) DIV (tp + fp) " +
+          "END").as("precision_micro"),
+        expr("CASE WHEN tp + fn > 0 THEN (1000000 * tp) DIV (tp + fn) " +
+          "END").as("recall_micro"),
+        expr("CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+          "(2000000 * tp) DIV (2 * tp + fp + fn) END").as("f1_micro"))
+      .orderBy("thr")
+  }
+
+  /** Expected calibration error of the temporal-split predictor over ten
+    * equal-width score buckets — "when the score says 70%, does it happen
+    * 70% of the time?": per bucket the mean confidence and empirical
+    * accuracy in exact micro, the |gap|, and the corpus ECE =
+    * Σ n_b·|acc−conf| DIV n replicated beside every bucket row. All
+    * integral divisions; the bucket table is ≤10 rows at any scale. */
+  private def aggEce(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val b = U.track(predFrame(s, d)
+      .withColumn("bucket", expr("least(9, score DIV 100000)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("ssum"),
+        sum(col("label")).as("npos"))
+      .withColumn("conf_micro", expr(
+        "CAST(CAST(ssum AS DECIMAL(38,0)) DIV n AS BIGINT)"))
+      .withColumn("acc_micro", expr("(1000000 * npos) DIV n"))
+      .withColumn("gap_micro", abs(col("acc_micro") - col("conf_micro")))
+      .persist())
+    val tot = b.agg(expr(
+      "CAST(CAST(SUM(CAST(n AS DECIMAL(38,0)) * gap_micro) AS " +
+        "DECIMAL(38,0)) DIV SUM(n) AS BIGINT)").as("ece_micro"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("conf_micro"), col("acc_micro"),
+        col("gap_micro"), col("ece_micro"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_auc" -> aggAuc _,
+    "agg_pr_curve" -> aggPrCurve _,
+    "agg_ece" -> aggEce _,
     "agg_anderson_darling" -> aggAndersonDarling _,
     "agg_jonckheere" -> aggJonckheere _,
     "agg_fleiss_kappa" -> aggFleissKappa _,
@@ -3046,7 +3155,75 @@ object Aggregations {
         "FROM pm JOIN t0 USING (event_type) GROUP BY 1 ORDER BY 1"
   }
 
+  /** The predFrame CTE chain, shared by the three model-eval oracles. */
+  private lazy val predFrameSql: String = {
+    val c = OSQL.cents("value")
+    s"ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dayi, " +
+      s"CASE WHEN $c >= 5000 THEN 1 ELSE 0 END AS succ FROM events), " +
+      "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd FROM ev), " +
+      "pf0 AS (SELECT user_id, " +
+      "CAST(SUM(CASE WHEN dayi < sd THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_pre, " +
+      "CAST(SUM(CASE WHEN dayi < sd THEN succ ELSE 0 END) AS BIGINT) " +
+      "AS k_pre, " +
+      "CAST(SUM(CASE WHEN dayi >= sd THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_post, " +
+      "CAST(MAX(CASE WHEN dayi >= sd THEN succ ELSE 0 END) AS BIGINT) " +
+      "AS label FROM ev CROSS JOIN sp GROUP BY 1), " +
+      "pf AS (SELECT user_id, (1000000 * k_pre) // n_pre AS score, label " +
+      "FROM pf0 WHERE n_pre > 0 AND n_post > 0)"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_auc" ->
+      (s"WITH $predFrameSql, " +
+        "cnt AS (SELECT score, CAST(SUM(label) AS BIGINT) AS p, " +
+        "CAST(SUM(1 - label) AS BIGINT) AS q FROM pf GROUP BY 1), " +
+        "cum AS (SELECT p, q, SUM(q) OVER (ORDER BY score " +
+        "ROWS UNBOUNDED PRECEDING) - q AS cumq_lt FROM cnt), " +
+        "ag AS (SELECT CAST(SUM(CAST(p AS HUGEINT) * " +
+        "(2 * cumq_lt + q)) AS BIGINT) AS u2, " +
+        "CAST(SUM(p) AS BIGINT) AS npos, " +
+        "CAST(SUM(q) AS BIGINT) AS nneg FROM cum) " +
+        "SELECT npos, nneg, u2, " +
+        "CASE WHEN npos > 0 AND nneg > 0 THEN " +
+        "CAST((1000000 * CAST(u2 AS HUGEINT)) // " +
+        "(2 * CAST(npos AS HUGEINT) * nneg) AS BIGINT) END AS auc_micro " +
+        "FROM ag"),
+    "agg_pr_curve" ->
+      (s"WITH $predFrameSql, " +
+        "thr AS (SELECT CAST(unnest([100000, 200000, 300000, 400000, " +
+        "500000, 600000, 700000, 800000, 900000]) AS BIGINT) AS thr), " +
+        "ct AS (SELECT thr, " +
+        "CAST(SUM(CASE WHEN score >= thr AND label = 1 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN score >= thr AND label = 0 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN score < thr AND label = 1 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS fn FROM pf CROSS JOIN thr GROUP BY 1) " +
+        "SELECT thr, tp, fp, fn, " +
+        "CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END " +
+        "AS precision_micro, " +
+        "CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END " +
+        "AS recall_micro, " +
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN (2000000 * tp) // " +
+        "(2 * tp + fp + fn) END AS f1_micro " +
+        "FROM ct ORDER BY thr"),
+    "agg_ece" ->
+      (s"WITH $predFrameSql, " +
+        "b AS (SELECT least(9, score // 100000) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(score) AS BIGINT) AS ssum, " +
+        "CAST(SUM(label) AS BIGINT) AS npos FROM pf GROUP BY 1), " +
+        "g AS (SELECT bucket, n, " +
+        "CAST(CAST(ssum AS HUGEINT) // n AS BIGINT) AS conf_micro, " +
+        "(1000000 * npos) // n AS acc_micro FROM b), " +
+        "g2 AS (SELECT *, abs(acc_micro - conf_micro) AS gap_micro " +
+        "FROM g), " +
+        "tot AS (SELECT CAST(SUM(CAST(n AS HUGEINT) * gap_micro) // " +
+        "SUM(n) AS BIGINT) AS ece_micro FROM g2) " +
+        "SELECT bucket, n, conf_micro, acc_micro, gap_micro, ece_micro " +
+        "FROM g2 CROSS JOIN tot ORDER BY bucket"),
     "agg_anderson_darling" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type, $c AS vc FROM events " +

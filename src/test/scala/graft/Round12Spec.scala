@@ -808,6 +808,96 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  private def predPairs(): Seq[(Long, Long)] = {
+    // independent rebuild of the temporal-split (score, label) frame
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect()
+      .map(r => (r.getLong(0), dayi(r.getLong(1)),
+        if (r.getLong(2) >= 5000L) 1L else 0L))
+    val days = ev.map(_._2)
+    val sd = {
+      val (lo, hi) = (days.min, days.max)
+      val s = lo + hi + 1
+      if (s >= 0 || s % 2 == 0) s / 2 else s / 2 - 1
+    }
+    ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val pre = es.filter(_._2 < sd)
+      val post = es.filter(_._2 >= sd)
+      if (pre.nonEmpty && post.nonEmpty)
+        Some((1000000L * pre.map(_._3).sum / pre.length,
+          post.map(_._3).max))
+      else None
+    }
+  }
+
+  test("agg_auc: pairwise Mann-Whitney recount, AUC in [0, 1]") {
+    val r = SparkEntry.queries("agg_auc")(spark, sfDir).collect().head
+    val pf = predPairs()
+    val pos = pf.filter(_._2 == 1L).map(_._1)
+    val neg = pf.filter(_._2 == 0L).map(_._1)
+    assert(r.getAs[Long]("npos") == pos.length.toLong)
+    assert(r.getAs[Long]("nneg") == neg.length.toLong)
+    var u2 = BigInt(0)
+    for (p <- pos; q <- neg) {
+      if (p > q) u2 += 2 else if (p == q) u2 += 1
+    }
+    assert(BigInt(r.getAs[Long]("u2")) == u2)
+    if (pos.nonEmpty && neg.nonEmpty) {
+      val auc = BigInt(1000000) * u2 /
+        (BigInt(2) * pos.length * neg.length)
+      assert(BigInt(r.getAs[Long]("auc_micro")) == auc)
+      assert(r.getAs[Long]("auc_micro") >= 0L &&
+        r.getAs[Long]("auc_micro") <= 1000000L)
+    }
+  }
+
+  test("agg_pr_curve: recall is monotone non-increasing in threshold") {
+    val rows = SparkEntry.queries("agg_pr_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("thr"))
+    assert(rows.length == 9)
+    val pf = predPairs()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("thr")
+      assert(r.getAs[Long]("tp") ==
+        pf.count(p => p._1 >= t && p._2 == 1L).toLong)
+      assert(r.getAs[Long]("fp") ==
+        pf.count(p => p._1 >= t && p._2 == 0L).toLong)
+      assert(r.getAs[Long]("fn") ==
+        pf.count(p => p._1 < t && p._2 == 1L).toLong)
+    }
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        def rec(x: org.apache.spark.sql.Row): Long =
+          Option(x.getAs[Any]("recall_micro"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        assert(rec(w(0)) >= rec(w(1)), "recall must fall as thr rises")
+      }
+    }
+  }
+
+  test("agg_ece: bucket recount; ECE is the weighted gap mean") {
+    val rows = SparkEntry.queries("agg_ece")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pf = predPairs()
+    val byB = pf.groupBy(p => math.min(9L, p._1 / 100000L))
+    assert(rows.length == byB.size)
+    var wsum = BigInt(0); var n = 0L
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val grp = byB(b)
+      assert(r.getAs[Long]("n") == grp.length.toLong)
+      assert(r.getAs[Long]("conf_micro") ==
+        (grp.map(x => BigInt(x._1)).sum / grp.length).toLong)
+      assert(r.getAs[Long]("acc_micro") ==
+        1000000L * grp.count(_._2 == 1L) / grp.length)
+      wsum += BigInt(grp.length) * r.getAs[Long]("gap_micro")
+      n += grp.length
+    }
+    assert(BigInt(rows.head.getAs[Long]("ece_micro")) == wsum / n)
+  }
+
   test("agg_anderson_darling: scalar recount of the tie-adjusted A2") {
     val r = SparkEntry.queries("agg_anderson_darling")(spark, sfDir)
       .collect().head
