@@ -1147,6 +1147,34 @@ object GraftApi {
       .withColumnRenamed("r2", "rank_b")
   }
 
+  /** Shape a caller predictions frame to the model-eval kernels' (score,
+    * label) contract: `score` must be (or cast to) an integer micro-rate
+    * in [0, 10⁶], `label` 0/1. */
+  private def scored(df: DataFrame, score: String, label: String) =
+    df.select(col(score).cast(LongType).as("score"),
+      col(label).cast(LongType).as("label"))
+
+  /** Exact AUC-ROC on a caller (score, label) frame — the `agg_auc`
+    * kernel lifted: the normalized Mann–Whitney 2U with the ½-tie
+    * convention, via the value-domain cumulative (work scales with
+    * DISTINCT scores, not rows). Returns (npos, nneg, u2, auc_micro). */
+  def aucRoc(df: DataFrame, score: String, label: String): DataFrame =
+    graft.operators.Aggregations.aucOn(scored(df, score, label))
+
+  /** Precision/recall/F1 at the nine fixed micro-rate thresholds on a
+    * caller (score, label) frame — the `agg_pr_curve` kernel lifted.
+    * Returns (thr, tp, fp, fn, precision_micro, recall_micro,
+    * f1_micro). */
+  def prCurve(df: DataFrame, score: String, label: String): DataFrame =
+    graft.operators.Aggregations.prCurveOn(scored(df, score, label))
+
+  /** Ten-bucket expected calibration error on a caller (score, label)
+    * frame — the `agg_ece` kernel lifted. Returns one row per non-empty
+    * bucket plus the corpus ECE beside each. */
+  def calibrationError(df: DataFrame, score: String,
+      label: String): DataFrame =
+    graft.operators.Aggregations.eceOn(scored(df, score, label))
+
   /** Isotonic (monotone non-decreasing) fit of `y` against `x` per
     * `group` — the `ts_isotonic` minimax kernel lifted. `y` must already
     * be an exact integer domain (e.g. micro-units); returns one row per

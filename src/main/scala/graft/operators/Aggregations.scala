@@ -2879,9 +2879,14 @@ object Aggregations {
     * 10⁶+1 distinct values at ANY user count, so the windowed pass is
     * value-domain-bounded, never user²). auc_micro = 10⁶·2U DIV
     * (2·n⁺·n⁻); NULL when a class is empty (CASE both engines). */
-  private def aggAuc(s: SparkSession, d: String): DataFrame = {
+  private def aggAuc(s: SparkSession, d: String): DataFrame =
+    aucOn(predFrame(s, d))
+
+  /** The exact-AUC kernel over any (score, label) frame — shared by the
+    * declared query and [[graft.api.GraftApi.aucRoc]]. */
+  private[graft] def aucOn(pf: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val cnt = U.track(predFrame(s, d)
+    val cnt = U.track(pf
       .groupBy(col("score"))
       .agg(sum(col("label")).as("p"),
         sum(lit(1L) - col("label")).as("q"))
@@ -2906,8 +2911,12 @@ object Aggregations {
     * from counts directly: 2·10⁶·tp DIV (2tp+fp+fn) — never a ratio of
     * floored ratios). One scan of the per-user frame against a 9-row
     * threshold literal. */
-  private def aggPrCurve(s: SparkSession, d: String): DataFrame = {
-    val pf = predFrame(s, d)
+  private def aggPrCurve(s: SparkSession, d: String): DataFrame =
+    prCurveOn(predFrame(s, d))
+
+  /** The PR-operating-point kernel over any (score, label) frame —
+    * shared by the declared query and [[graft.api.GraftApi.prCurve]]. */
+  private[graft] def prCurveOn(pf: DataFrame): DataFrame = {
     val thr = (1 to 9).map(k => lit(k * 100000L))
     pf.withColumn("thr", explode(array(thr: _*)))
       .groupBy(col("thr"))
@@ -2933,9 +2942,14 @@ object Aggregations {
     * accuracy in exact micro, the |gap|, and the corpus ECE =
     * Σ n_b·|acc−conf| DIV n replicated beside every bucket row. All
     * integral divisions; the bucket table is ≤10 rows at any scale. */
-  private def aggEce(s: SparkSession, d: String): DataFrame = {
+  private def aggEce(s: SparkSession, d: String): DataFrame =
+    eceOn(predFrame(s, d))
+
+  /** The calibration kernel over any (score, label) frame — shared by
+    * the declared query and [[graft.api.GraftApi.calibrationError]]. */
+  private[graft] def eceOn(pf: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val b = U.track(predFrame(s, d)
+    val b = U.track(pf
       .withColumn("bucket", expr("least(9, score DIV 100000)"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("score")).as("ssum"),

@@ -531,7 +531,56 @@ object Graphs {
     * them below the cap and pins a shuffle-hash join above it, exactly
     * like [[pagerankOnEdges]]; StressSpec drives both paths. */
   private def graphClosenessK(s: SparkSession, d: String): DataFrame =
-    closenessOnAdj(wedgeFrames(s, d)._1, PrBroadcastNodeCap)
+    closenessImpl(s, d, GraphIterEdgeCap)
+
+  /** Size gate for the 3-hop closeness walk — the [[eccentricityImpl]]
+    * recipe: below [[GraphIterEdgeCap]] the whole bounded BFS runs as one
+    * in-memory task (the 3-round driver loop paid ~5 s of per-round
+    * persist/count scheduling at sf0.1 for a graph that fits one
+    * executor); above, the gated-frontier loop. Round12Spec pins cap=0
+    * parity. */
+  private[graft] def closenessImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+    val adj = wedgeFrames(s, d)._1
+    if (adj.count() <= cap) closenessSingleTask(adj)
+    else closenessOnAdj(adj, PrBroadcastNodeCap)
+  }
+
+  private def closenessSingleTask(adj: DataFrame): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    adj.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val nbrs = edges.groupBy(_._1)
+            .map { case (u, es) => u -> es.map(_._2) }
+          val seeds = nbrs.keys.toSeq.sorted.take(5)
+          val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+          seeds.foreach { seed =>
+            val dist = scala.collection.mutable.Map(seed -> 0L)
+            var frontier = Set(seed)
+            for (h <- 1L to 3L) {
+              frontier = frontier.iterator
+                .flatMap(n => nbrs.getOrElse(n, Array.empty[Long]))
+                .filter(n => !dist.contains(n)).toSet
+              frontier.foreach(n => dist(n) = h)
+            }
+            dist.foreach { case (n, dd) =>
+              if (dd > 0) {
+                val (c, hsum) = acc.getOrElse(n, (0L, 0L))
+                acc(n) = (c + 1, hsum + 1000000L / dd)
+              }
+            }
+          }
+          acc.iterator.map { case (n, (c, hsum)) => (n, c, hsum) }
+        }
+      }
+      .toDF("node", "n_seeds", "harmonic_micro")
+      .orderBy(col("harmonic_micro").desc, col("node")).limit(50)
+  }
 
   private[graft] def closenessOnAdj(adj: DataFrame,
       broadcastCap: Long): DataFrame = {

@@ -847,6 +847,35 @@ class ApiSpec extends SparkTestBase {
     assert(got(1).isNullAt(got(1).fieldIndex("rank_b")))
   }
 
+  test("aucRoc/prCurve/calibrationError on a planted predictions frame") {
+    import spark.implicits._
+    // perfect separation above/below 0.5 except one swapped pair
+    val df = Seq(
+      (900000L, 1L), (800000L, 1L), (700000L, 0L), // one FP high score
+      (600000L, 1L), (300000L, 0L), (200000L, 0L), (100000L, 0L))
+      .toDF("p", "y")
+    val auc = GraftApi.aucRoc(df, "p", "y").collect().head
+    U.releaseTracked()
+    assert(auc.getAs[Long]("npos") == 3L && auc.getAs[Long]("nneg") == 4L)
+    // pairs: pos beats neg in 11 of 12 (u2 = 22), auc = 11/12
+    assert(auc.getAs[Long]("u2") == 22L)
+    assert(auc.getAs[Long]("auc_micro") == 1000000L * 22 / 24)
+    val pr = GraftApi.prCurve(df, "p", "y").collect()
+      .map(r => r.getAs[Long]("thr") -> r).toMap
+    assert(pr(500000L).getAs[Long]("tp") == 3L)
+    assert(pr(500000L).getAs[Long]("fp") == 1L)
+    assert(pr(500000L).getAs[Long]("precision_micro") == 750000L)
+    assert(pr(500000L).getAs[Long]("recall_micro") == 1000000L)
+    val ece = GraftApi.calibrationError(df, "p", "y").collect()
+    U.releaseTracked()
+    // bucket 9 (score 900k): conf 900000, acc 1e6 → gap 100000
+    val b9 = ece.find(_.getAs[Long]("bucket") == 9L).get
+    assert(b9.getAs[Long]("conf_micro") == 900000L)
+    assert(b9.getAs[Long]("acc_micro") == 1000000L)
+    assert(b9.getAs[Long]("gap_micro") == 100000L)
+    assert(ece.map(_.getAs[Long]("ece_micro")).distinct.length == 1)
+  }
+
   test("mmrSelect prefers diversity over redundancy on a planted corpus") {
     import spark.implicits._
     // query on e1; ids 1 and 2 are IDENTICAL off-axis vectors (equal

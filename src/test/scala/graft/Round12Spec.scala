@@ -1001,6 +1001,14 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("graph_closeness_k: cap=0 distributed twin matches the kernel") {
+    val fast = SparkEntry.queries("graph_closeness_k")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = graft.operators.Graphs.closenessImpl(spark, sfDir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == dist.toSeq)
+  }
+
   test("graph_eccentricity: cap=0 distributed twin matches the kernel") {
     val fast = SparkEntry.queries("graph_eccentricity")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
