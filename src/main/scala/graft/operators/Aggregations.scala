@@ -2968,7 +2968,32 @@ object Aggregations {
       .orderBy("bucket")
   }
 
+  /** Brier score of the temporal-split predictor — the PROPER scoring
+    * rule beside AUC's rank-only view: mean (score − label)² in exact
+    * micro² (scores are micro-rates, so d = score − 10⁶·label is exact),
+    * the climatology baseline p̄(1−p̄) in micro² from exact counts, and
+    * the Brier skill score 1 − B/B_base in micro — each an integral
+    * division of exact integers. One hash agg over the shared
+    * predFrame. */
+  private def aggBrier(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    predFrame(s, d)
+      .withColumn("dv", col("score") - lit(1000000L) * col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("npos"),
+        sum(col("dv").cast(dec) * col("dv")).as("sq"))
+      .select(col("n"), col("npos"),
+        expr("CAST(sq DIV n AS BIGINT)").as("brier_micro2"),
+        expr("CAST((CAST(npos AS DECIMAL(38,0)) * (n - npos) * " +
+          "1000000000000) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("base_micro2"))
+      .withColumn("bss_micro", expr(
+        "CASE WHEN base_micro2 > 0 THEN 1000000 - " +
+          "CAST((CAST(brier_micro2 AS DECIMAL(38,0)) * 1000000) DIV " +
+          "base_micro2 AS BIGINT) END"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_brier" -> aggBrier _,
     "agg_auc" -> aggAuc _,
     "agg_pr_curve" -> aggPrCurve _,
     "agg_ece" -> aggEce _,
@@ -3189,6 +3214,19 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_brier" ->
+      (s"WITH $predFrameSql, " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(label) AS BIGINT) AS npos, " +
+        "SUM(CAST(score - 1000000 * label AS HUGEINT) * " +
+        "(score - 1000000 * label)) AS sq FROM pf), " +
+        "o AS (SELECT n, npos, CAST(sq // n AS BIGINT) AS brier_micro2, " +
+        "CAST((CAST(npos AS HUGEINT) * (n - npos) * 1000000000000) // " +
+        "(CAST(n AS HUGEINT) * n) AS BIGINT) AS base_micro2 FROM g) " +
+        "SELECT n, npos, brier_micro2, base_micro2, " +
+        "CASE WHEN base_micro2 > 0 THEN 1000000 - " +
+        "CAST((CAST(brier_micro2 AS HUGEINT) * 1000000) // base_micro2 " +
+        "AS BIGINT) END AS bss_micro FROM o"),
     "agg_auc" ->
       (s"WITH $predFrameSql, " +
         "cnt AS (SELECT score, CAST(SUM(label) AS BIGINT) AS p, " +

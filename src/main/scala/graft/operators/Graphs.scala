@@ -188,7 +188,53 @@ object Graphs {
     * iteration cost is O(|E|) map-side + an O(|V|) rollup regardless of
     * scale. Scores stay within Long: max_deg·1e12 per rescale. */
   private def graphHits(s: SparkSession, d: String): DataFrame =
-    hitsOnEdges(coPairs(s, d).select(col("u"), col("v")), PrBroadcastNodeCap)
+    hitsImpl(s, d, GraphIterEdgeCap)
+
+  /** Size gate for HITS — the [[eccentricityImpl]] recipe: below
+    * [[GraphIterEdgeCap]] the 2-round power iteration runs as one
+    * in-memory task with IDENTICAL Long arithmetic (each 1e6 DIV
+    * max-rescale truncation preserved), above it the gated
+    * broadcast↔shuffle-hash frame loop. The driver loop pays 4
+    * max-normalization barriers × per-round scheduling (measured ~4.8 s
+    * at sf0.1) on a graph that fits one executor. Round12Spec pins cap=0
+    * parity. */
+  private[graft] def hitsImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+    val e = coPairs(s, d).select(col("u"), col("v"))
+    if (e.count() <= cap) hitsSingleTask(e)
+    else hitsOnEdges(e, PrBroadcastNodeCap)
+  }
+
+  private def hitsSingleTask(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val out = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+          val in = edges.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+          var araw = in.map { case (v, us) => v -> 1000000L * us.length }
+          var auth: Map[Long, Long] = null
+          var hub: Map[Long, Long] = null
+          for (i <- 0 until 2) {
+            if (i > 0)
+              araw = in.map { case (v, us) => v -> us.map(hub).sum }
+            val am = araw.values.max
+            auth = araw.map { case (v, ar) => v -> ar * 1000000L / am }
+            val hraw = out.map { case (u, vs) => u -> vs.map(auth).sum }
+            val hm = hraw.values.max
+            hub = hraw.map { case (u, hr) => u -> hr * 1000000L / hm }
+          }
+          hub.keysIterator.filter(auth.contains)
+            .map(n => (n, hub(n), auth(n)))
+        }
+      }
+      .toDF("node", "h", "a")
+      .orderBy(col("a").desc, col("node")).limit(50)
+  }
 
   /** The HITS kernel over an arbitrary directed (u, v) edge frame, gated
     * like [[pagerankOnEdges]]: below `broadcastCap` nodes the score frames

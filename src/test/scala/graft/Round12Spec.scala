@@ -1001,6 +1001,41 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("graph_hits: cap=0 distributed twin matches the kernel") {
+    val fast = SparkEntry.queries("graph_hits")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = graft.operators.Graphs.hitsImpl(spark, sfDir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == dist.toSeq)
+  }
+
+  test("agg_brier: scalar recount; BSS consistent with Brier and base") {
+    val r = SparkEntry.queries("agg_brier")(spark, sfDir).collect().head
+    val pf = predPairs()
+    val n = pf.length.toLong
+    val npos = pf.count(_._2 == 1L).toLong
+    val sq = pf.map { case (s0, l) =>
+      val d = BigInt(s0 - 1000000L * l); d * d
+    }.sum
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("npos") == npos)
+    assert(BigInt(r.getAs[Long]("brier_micro2")) == sq / n)
+    val base = BigInt(npos) * (n - npos) * BigInt("1000000000000") /
+      (BigInt(n) * n)
+    assert(BigInt(r.getAs[Long]("base_micro2")) == base)
+    if (base > 0) {
+      assert(r.getAs[Long]("bss_micro") ==
+        1000000L - (BigInt(r.getAs[Long]("brier_micro2")) * 1000000 /
+          base).toLong)
+      // the pre-period rate must beat climatology on a non-degenerate mix
+      assert(r.getAs[Long]("brier_micro2") <= r.getAs[Long]("base_micro2"))
+    } else {
+      // all (or no) users convert post-period: climatology is perfect and
+      // the skill score is undefined — the kernel must return NULL
+      assert(r.isNullAt(r.fieldIndex("bss_micro")))
+    }
+  }
+
   test("graph_closeness_k: cap=0 distributed twin matches the kernel") {
     val fast = SparkEntry.queries("graph_closeness_k")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
