@@ -323,6 +323,47 @@ class EwmaProcessor
   }
 }
 
+case class PsiEvent(event_type: String, us: Long, event_id: Long,
+  band: Long, dayi: Long)
+case class PsiState(counts: Array[Long], curDay: Long)
+case class PsiSnap(event_type: String, dayi: Long, band: Long, cnt: Long)
+
+/** Live band-histogram tracker behind the streaming PSI drift monitor —
+  * ten Longs of state per event type: rows ride the staged replay's
+  * event-time order, a day boundary closes the previous day with a
+  * 10-band cumulative snapshot, and each batch also emits the current
+  * (possibly partial) day — the epilogue keeps the LAST emission per
+  * (type, day, band) (counts are monotone, max = final), so every
+  * observed day ends with its exact cumulative histogram and the PSI
+  * trajectory is exactly oracle-able. */
+class PsiBandTracker
+    extends StatefulProcessor[String, PsiEvent, PsiSnap] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[PsiState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PsiState]("bands",
+      Encoders.product[PsiState], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[PsiEvent],
+      tv: TimerValues): Iterator[PsiSnap] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+    var cur = if (st.exists()) st.get()
+      else PsiState(Array.fill(10)(0L), Long.MinValue)
+    val out = scala.collection.mutable.ArrayBuffer[PsiSnap]()
+    def snap(day: Long): Unit =
+      (0 until 10).foreach(b =>
+        out += PsiSnap(key, day, b.toLong, cur.counts(b)))
+    sorted.foreach { e =>
+      if (cur.curDay != Long.MinValue && e.dayi > cur.curDay)
+        snap(cur.curDay)
+      cur = PsiState(cur.counts, e.dayi)
+      cur.counts(e.band.toInt) += 1L
+    }
+    if (cur.curDay != Long.MinValue) snap(cur.curDay)
+    st.update(cur)
+    out.iterator
+  }
+}
+
 case class QuotaEvent(doc_id: Long, source: String, n_tokens: Long)
 case class QuotaOut(doc_id: Long, source: String, n_tokens: Long,
   cum_tokens: Long, admitted: Boolean)
@@ -1356,7 +1397,77 @@ object StreamingQueries {
     }
   }
 
+  /** The PSI drift monitor LIVE — the third member of the streaming
+    * guardrail trio (stream_srm, stream_sprt): [[PsiBandTracker]] keeps
+    * one 10-band histogram per event type in RocksDB state; the epilogue
+    * fixes the reference window at the batch split day (the agg_psi
+    * design), differences each post day's cumulative snapshot against
+    * it, and walks the identical Laplace-smoothed micro-nat term tree —
+    * so the trajectory's last day CLOSES on the batch agg_psi answer
+    * (StreamingSpec-pinned). */
+  private def psiTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val snaps0 = runStream(s, d, "append", filesPerTrigger = 4) { in =>
+        import in.sparkSession.implicits._
+        in.withColumn("vc", U.cents(col("value")))
+          .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+            col("event_id"),
+            expr("least(9, vc DIV 1000)").as("band"),
+            expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+          .as[PsiEvent]
+          .groupByKey(_.event_type)
+          .transformWithState(new PsiBandTracker,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }
+      val snaps = U.track(snaps0
+        .groupBy(col("event_type"), col("dayi"), col("band"))
+        .agg(max(col("cnt")).as("cnt"))
+        .persist())
+      val sp = snaps.agg(
+        expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+      val preDay = snaps.crossJoin(broadcast(sp))
+        .filter(col("dayi") < col("sd"))
+        .groupBy(col("event_type").as("pt"))
+        .agg(max(col("dayi")).as("pd"))
+      val pre = snaps.join(broadcast(preDay),
+          col("event_type") === col("pt") && col("dayi") === col("pd"))
+        .select(col("event_type").as("qt"), col("band").as("qb"),
+          col("cnt").as("c0"))
+      val post = snaps.crossJoin(broadcast(sp))
+        .filter(col("dayi") >= col("sd"))
+        .join(broadcast(pre), col("event_type") === col("qt") &&
+          col("band") === col("qb"), "left")
+        .select(col("event_type"), col("dayi"), col("band"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          (col("cnt") - coalesce(col("c0"), lit(0L))).as("c1"))
+      val tot = post.groupBy(col("event_type").as("tt"), col("dayi").as("td"))
+        .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      post.join(broadcast(tot), col("event_type") === col("tt") &&
+          col("dayi") === col("td"))
+        .withColumn("term", expr("CAST(floor(1000000.0 * " +
+          "((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)) - " +
+          "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))) * " +
+          "ln((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)) / " +
+          "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE)))) " +
+          "AS BIGINT)"))
+        .groupBy(col("event_type"), col("dayi"))
+        .agg(max(col("n0")).as("n_pre"), max(col("n1")).as("n_post"),
+          sum(col("term")).as("psi_micro"))
+        .withColumn("flagged", col("psi_micro") > 200000L)
+        .orderBy("event_type", "dayi")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_psi" -> psiTws _,
     "stream_srm" -> srmTws _,
     "stream_ewma" -> ewmaTws _,
     "stream_neardup" -> neardupStream _,
@@ -1433,6 +1544,49 @@ object StreamingQueries {
     "stream_ewma" -> graft.operators.TimeSeries.oracleSql("ts_ewma"),
     // first-sight day == MIN(day) per (type, user) because the staged
     // replay is event-time ordered; the trajectory is a window cumsum
+    "stream_psi" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+        s"AS dayi, least(9, $c // 1000) AS band FROM events), " +
+        "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd FROM ev), " +
+        "cts AS (SELECT event_type, dayi, band, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2, 3), " +
+        "days AS (SELECT DISTINCT event_type, dayi FROM ev), " +
+        "bands AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) " +
+        "AS band), " +
+        "grid AS (SELECT d.event_type, d.dayi, b.band, " +
+        "coalesce(cts.n, 0) AS n FROM days d CROSS JOIN bands b " +
+        "LEFT JOIN cts ON cts.event_type = d.event_type " +
+        "AND cts.dayi = d.dayi AND cts.band = b.band), " +
+        "cum AS (SELECT event_type, dayi, band, " +
+        "CAST(SUM(n) OVER (PARTITION BY event_type, band ORDER BY dayi " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnt FROM grid), " +
+        "pd AS (SELECT event_type, MAX(dayi) AS pd FROM days " +
+        "CROSS JOIN sp WHERE dayi < sd GROUP BY 1), " +
+        "pre AS (SELECT cum.event_type, cum.band, cum.cnt AS c0 " +
+        "FROM cum JOIN pd ON cum.event_type = pd.event_type " +
+        "AND cum.dayi = pd.pd), " +
+        "post AS (SELECT cum.event_type, cum.dayi, cum.band, " +
+        "coalesce(pre.c0, 0) AS c0, " +
+        "cum.cnt - coalesce(pre.c0, 0) AS c1 FROM cum CROSS JOIN sp " +
+        "LEFT JOIN pre ON cum.event_type = pre.event_type " +
+        "AND cum.band = pre.band WHERE cum.dayi >= sd), " +
+        "tot AS (SELECT event_type, dayi, CAST(SUM(c0) AS BIGINT) AS n0, " +
+        "CAST(SUM(c1) AS BIGINT) AS n1 FROM post GROUP BY 1, 2), " +
+        "t AS (SELECT post.event_type, post.dayi, n0, n1, " +
+        "CAST(floor(1000000.0 * " +
+        "((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)) - " +
+        "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))) * " +
+        "ln((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)) / " +
+        "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE)))) " +
+        "AS BIGINT) AS term FROM post JOIN tot " +
+        "ON post.event_type = tot.event_type AND post.dayi = tot.dayi) " +
+        "SELECT event_type, dayi, CAST(MAX(n0) AS BIGINT) AS n_pre, " +
+        "CAST(MAX(n1) AS BIGINT) AS n_post, " +
+        "CAST(SUM(term) AS BIGINT) AS psi_micro, " +
+        "CAST(SUM(term) AS BIGINT) > 200000 AS flagged " +
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
+    },
     "stream_srm" ->
       ("WITH fs AS (SELECT event_type, user_id, " +
         "CAST(user_id % 2 AS BIGINT) AS arm, " +

@@ -258,6 +258,31 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream_psi's last day closes on the batch agg_psi drift score") {
+    val batch = SparkEntry.queries("agg_psi")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_pre"),
+        r.getAs[Long]("n_post"), r.getAs[Long]("psi_micro"))).toMap
+    val lastPerType = SparkEntry.queries("stream_psi")(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rs) => et -> rs.maxBy(_.getAs[Long]("dayi")) }
+    assert(lastPerType.keySet == batch.keySet)
+    lastPerType.foreach { case (et, r) =>
+      val (np, nq, psi) = batch(et)
+      assert(r.getAs[Long]("n_pre") == np && r.getAs[Long]("n_post") == nq,
+        s"$et cumulative band totals must close on the batch window sizes")
+      assert(r.getAs[Long]("psi_micro") == psi, s"$et final PSI")
+    }
+    // the trajectory is genuinely cumulative: n_post never decreases
+    SparkEntry.queries("stream_psi")(spark, sfDir).collect()
+      .groupBy(_.getString(0)).foreach { case (et, rs) =>
+        rs.sortBy(_.getAs[Long]("dayi")).sliding(2).foreach { w =>
+          if (w.length == 2)
+            assert(w(0).getAs[Long]("n_post") <= w(1).getAs[Long]("n_post"),
+              s"$et n_post must be monotone")
+        }
+      }
+  }
+
   test("stream_neardup detects dups ACROSS micro-batches (state-path proof)") {
     // the staged docs replay runs 8 doc_id-range files at 4/trigger = 2
     // micro-batches with the range midpoint as the batch boundary; a dup
