@@ -2992,7 +2992,37 @@ object Aggregations {
           "base_micro2 AS BIGINT) END"))
   }
 
+  /** Cumulative gains / lift table of the temporal-split predictor —
+    * the campaign-targeting readout beside AUC: walking score buckets
+    * from the most to the least confident, what share of all converters
+    * is captured (gain) and how much better than random the captured
+    * prefix converts (lift). Exact integral micro: gain = 10⁶·cumPos DIV
+    * totPos, lift = 10⁶·cumPos·n DIV (totPos·cumN) through DECIMAL(38,0)
+    * cross terms; the descending window runs over the ≤10-row bucket
+    * frame (constant at any scale). */
+  private def aggGainChart(s: SparkSession, d: String): DataFrame = {
+    val b = predFrame(s, d)
+      .withColumn("bucket", expr("least(9, score DIV 100000)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+    val w = Window.orderBy(col("bucket").desc)
+    val tot = b.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    b.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("pos"), col("cum_n"),
+        col("cum_pos"),
+        expr("CASE WHEN pt > 0 THEN (1000000 * cum_pos) DIV pt END")
+          .as("gain_micro"),
+        expr("CASE WHEN pt > 0 AND cum_n > 0 THEN " +
+          "CAST((CAST(cum_pos AS DECIMAL(38,0)) * nt * 1000000) DIV " +
+          "(CAST(pt AS DECIMAL(38,0)) * cum_n) AS BIGINT) END")
+          .as("lift_micro"))
+      .orderBy(col("bucket").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gain_chart" -> aggGainChart _,
     "agg_brier" -> aggBrier _,
     "agg_auc" -> aggAuc _,
     "agg_pr_curve" -> aggPrCurve _,
@@ -3214,6 +3244,25 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_gain_chart" ->
+      (s"WITH $predFrameSql, " +
+        "b AS (SELECT least(9, score // 100000) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(label) AS BIGINT) AS pos FROM pf GROUP BY 1), " +
+        "c AS (SELECT bucket, n, pos, " +
+        "CAST(SUM(n) OVER (ORDER BY bucket DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n, " +
+        "CAST(SUM(pos) OVER (ORDER BY bucket DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos FROM b), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, " +
+        "CAST(SUM(pos) AS BIGINT) AS pt FROM b) " +
+        "SELECT bucket, n, pos, cum_n, cum_pos, " +
+        "CASE WHEN pt > 0 THEN (1000000 * cum_pos) // pt END " +
+        "AS gain_micro, " +
+        "CASE WHEN pt > 0 AND cum_n > 0 THEN " +
+        "CAST((CAST(cum_pos AS HUGEINT) * nt * 1000000) // " +
+        "(CAST(pt AS HUGEINT) * cum_n) AS BIGINT) END AS lift_micro " +
+        "FROM c CROSS JOIN tot ORDER BY bucket DESC"),
     "agg_brier" ->
       (s"WITH $predFrameSql, " +
         "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +

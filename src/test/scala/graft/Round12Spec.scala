@@ -898,6 +898,35 @@ class Round12Spec extends SparkTestBase {
     assert(BigInt(rows.head.getAs[Long]("ece_micro")) == wsum / n)
   }
 
+  test("agg_gain_chart: cumulative recount; gain ends at 100%") {
+    val rows = SparkEntry.queries("agg_gain_chart")(spark, sfDir)
+      .collect().sortBy(-_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    val pf = predPairs()
+    val nt = pf.length.toLong
+    val pt = pf.count(_._2 == 1L).toLong
+    var (cumN, cumP) = (0L, 0L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val grp = pf.filter(p => math.min(9L, p._1 / 100000L) == b)
+      assert(r.getAs[Long]("n") == grp.length.toLong)
+      assert(r.getAs[Long]("pos") == grp.count(_._2 == 1L).toLong)
+      cumN += grp.length; cumP += grp.count(_._2 == 1L)
+      assert(r.getAs[Long]("cum_n") == cumN)
+      assert(r.getAs[Long]("cum_pos") == cumP)
+      if (pt > 0) {
+        assert(r.getAs[Long]("gain_micro") == 1000000L * cumP / pt)
+        assert(BigInt(r.getAs[Long]("lift_micro")) ==
+          BigInt(cumP) * nt * 1000000 / (BigInt(pt) * cumN))
+      }
+    }
+    // the full population captures every converter
+    if (pt > 0) {
+      assert(rows.last.getAs[Long]("gain_micro") == 1000000L)
+      assert(rows.last.getAs[Long]("lift_micro") == 1000000L)
+    }
+  }
+
   test("agg_anderson_darling: scalar recount of the tie-adjusted A2") {
     val r = SparkEntry.queries("agg_anderson_darling")(spark, sfDir)
       .collect().head

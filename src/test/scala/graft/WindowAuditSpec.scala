@@ -22,7 +22,7 @@ class WindowAuditSpec extends AnyFunSuite {
   // keep in lockstep with the SCALE.md table
   private val audited = Map(
     "operators/TimeSeries.scala" -> 4,
-    "operators/Aggregations.scala" -> 9,
+    "operators/Aggregations.scala" -> 10,
     "operators/Graphs.scala" -> 1,
     "llm/Pipeline.scala" -> 7,
     "llm/Similarity.scala" -> 1,
