@@ -629,7 +629,7 @@ object Pipeline {
     * as `Graphs.pairCache`; shared caches stay untracked by design. */
   private val gramCache =
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
-  private def gram(s: SparkSession, d: String): DataFrame = synchronized {
+  private[llm] def gram(s: SparkSession, d: String): DataFrame = synchronized {
     gramCache.get(d) match {
       case Some((sess, df)) if sess eq s => df
       case stale =>
@@ -1562,7 +1562,7 @@ object Pipeline {
   /** The fixed-point power-iteration CTE chain, shared by the eigvector
     * oracle and the projection oracle built on top of it — one definition
     * so the two cannot drift. */
-  private val eigvecCtes =
+  private[llm] val eigvecCtes =
     "fx AS (SELECT vec_id, list_transform(embedding, x -> " +
       "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f " +
       "FROM embeddings), " +

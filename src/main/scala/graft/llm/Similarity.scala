@@ -1365,6 +1365,43 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Linear CKA (centered-kernel-alignment family, uncentered linear
+    * variant) between the FIRST and SECOND 32-dim halves of the
+    * embedding — "do two representations of the same items agree?", the
+    * similarity-of-representations readout a distillation/MRL pipeline
+    * tracks. CKA² = ‖XᵀY‖²_F / (‖XᵀX‖_F·‖YᵀY‖_F) squared so no sqrt
+    * enters the oracle. Reads the SHARED per-(session, sfDir) Gram cache
+    * (the emb_top_eigvec/emb_pca2 shuffle-free map-side outer-product
+    * build, cells pre-truncated by 10⁹ — its oracle CTE is nested here
+    * verbatim so the two definitions cannot drift); the Frobenius sums
+    * ride DECIMAL(38,0) and the final ratio is one integral division.
+    * Marginal cost over the cache: a 4096-row aggregate. */
+  private def embCka(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // the SHARED per-(session, sfDir) Gram cache (the emb_top_eigvec /
+    // emb_pca2 build: shuffle-free map-side outer products, cells
+    // pre-truncated by 1e9) — 0-based dims, halves split at i < 32
+    val cells = graft.llm.Pipeline.gram(s, d)
+      .select(col("i").as("da"), col("j").as("db"), col("c").as("cd"))
+    val f = cells.agg(
+      sum(when(col("da") < 32 && col("db") < 32,
+        col("cd").cast(dec) * col("cd")).otherwise(lit(0L).cast(dec)))
+        .as("fxx"),
+      sum(when(col("da") < 32 && col("db") >= 32,
+        col("cd").cast(dec) * col("cd")).otherwise(lit(0L).cast(dec)))
+        .as("fxy"),
+      sum(when(col("da") >= 32 && col("db") >= 32,
+        col("cd").cast(dec) * col("cd")).otherwise(lit(0L).cast(dec)))
+        .as("fyy"))
+    f.select(expr("CAST(fxx AS BIGINT)").as("fxx"),
+      expr("CAST(fxy AS BIGINT)").as("fxy"),
+      expr("CAST(fyy AS BIGINT)").as("fyy"),
+      expr("CASE WHEN fxx > 0 AND fyy > 0 THEN " +
+        "CAST((CAST(fxy AS DECIMAL(38,0)) * fxy * 1000000) DIV " +
+        "(CAST(fxx AS DECIMAL(38,0)) * fyy) AS BIGINT) END")
+        .as("cka2_micro"))
+  }
+
   private def embKmeans(s: SparkSession, d: String): DataFrame = {
     val (asg, cent) = kmeansAssignments(s, d)
     val checks = cent
@@ -1482,6 +1519,7 @@ object Similarity {
     "emb_kmeans" -> embKmeans _,
     "emb_kmeans_ari" -> embKmeansAri _,
     "emb_hard_negatives" -> hardNegatives _,
+    "emb_cka" -> embCka _,
     "pipeline_semdedup" -> semDedup _,
     "sim_rrf_fusion" -> rrfFusion _,
     "sim_hamming_topk" -> hammingTopk _,
@@ -1929,6 +1967,21 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans" -> kmeansSql,
     "emb_kmeans_ari" -> kmeansAriSql,
+    "emb_cka" ->
+      (s"WITH ${graft.llm.Pipeline.eigvecCtes}, " +
+        "f AS (SELECT " +
+        "CAST(SUM(CASE WHEN i < 32 AND j < 32 THEN " +
+        "CAST(c AS HUGEINT) * c ELSE 0 END) AS BIGINT) AS fxx, " +
+        "CAST(SUM(CASE WHEN i < 32 AND j >= 32 THEN " +
+        "CAST(c AS HUGEINT) * c ELSE 0 END) AS BIGINT) AS fxy, " +
+        "CAST(SUM(CASE WHEN i >= 32 AND j >= 32 THEN " +
+        "CAST(c AS HUGEINT) * c ELSE 0 END) AS BIGINT) AS fyy " +
+        "FROM gram) " +
+        "SELECT fxx, fxy, fyy, " +
+        "CASE WHEN fxx > 0 AND fyy > 0 THEN " +
+        "CAST((CAST(fxy AS HUGEINT) * fxy * 1000000) // " +
+        "(CAST(fxx AS HUGEINT) * fyy) AS BIGINT) END AS cka2_micro " +
+        "FROM f"),
     "pipeline_semdedup" ->
       (s"WITH $kmeansCtes, " +
         s"nm AS (SELECT f.vec_id, fx, ${dotSql("fx", "fx")} AS nrm " +

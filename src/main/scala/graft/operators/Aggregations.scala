@@ -3021,7 +3021,58 @@ object Aggregations {
       .orderBy(col("bucket").desc)
   }
 
+  /** Cochran–Mantel–Haenszel test of the arm × high-value association
+    * STRATIFIED BY DAY — the confounder-proof reading agg_two_prop_z
+    * can't give when the daily mix shifts (Simpson's-paradox
+    * insurance), plus the Mantel–Haenszel common odds ratio. Per
+    * stratum the 2×2 margins are exact integers and E, V, ad/n, bc/n
+    * floor to micro via integral division (V through DECIMAL(38,0) —
+    * the four-margin product crosses Long); the statistic closes as
+    * χ²_micro = (Σ(10⁶a − E_μ))² DIV ΣV_μ, numerator possibly negative
+    * so its square rides DECIMAL. Calendar-bounded: everything after
+    * one events hash agg is |days| work. */
+  private def aggCmh(s: SparkSession, d: String): DataFrame = {
+    val strata = U.events(s, d)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("hv"))
+      .groupBy(col("dayi"))
+      .agg(sum(when(col("arm") === 0L && col("hv") === 1L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0L && col("hv") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1L && col("hv") === 1L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1L && col("hv") === 0L, 1L)
+          .otherwise(0L)).as("dd"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+      .filter(col("n") > 1L)
+      .withColumn("e_micro", expr(
+        "CAST((CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000) DIV n " +
+          "AS BIGINT)"))
+      .withColumn("v_micro", expr(
+        "CAST((CAST(a + b AS DECIMAL(38,0)) * (c + dd) * (a + c) * " +
+          "(b + dd) * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n * " +
+          "(n - 1)) AS BIGINT)"))
+      .withColumn("ad_micro", expr(
+        "CAST((CAST(a AS DECIMAL(38,0)) * dd * 1000000) DIV n AS BIGINT)"))
+      .withColumn("bc_micro", expr(
+        "CAST((CAST(b AS DECIMAL(38,0)) * c * 1000000) DIV n AS BIGINT)"))
+    strata.agg(count(lit(1)).as("n_strata"),
+        sum(lit(1000000L) * col("a") - col("e_micro")).as("num_micro"),
+        sum(col("v_micro")).as("den_micro"),
+        sum(col("ad_micro")).as("sad"), sum(col("bc_micro")).as("sbc"))
+      .select(col("n_strata"), col("num_micro"), col("den_micro"),
+        expr("CASE WHEN den_micro > 0 THEN " +
+          "CAST((CAST(num_micro AS DECIMAL(38,0)) * num_micro) DIV " +
+          "den_micro AS BIGINT) END").as("chi2_micro"),
+        expr("CASE WHEN sbc > 0 THEN " +
+          "CAST((CAST(sad AS DECIMAL(38,0)) * 1000000) DIV sbc " +
+          "AS BIGINT) END").as("or_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cmh" -> aggCmh _,
     "agg_gain_chart" -> aggGainChart _,
     "agg_brier" -> aggBrier _,
     "agg_auc" -> aggAuc _,
@@ -3244,6 +3295,45 @@ object Aggregations {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "agg_cmh" -> {
+      val c = OSQL.cents("value")
+      s"WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS dayi, " +
+        "CAST(user_id % 2 AS BIGINT) AS arm, " +
+        s"CASE WHEN $c >= 5000 THEN 1 ELSE 0 END AS hv FROM events), " +
+        "st0 AS (SELECT dayi, " +
+        "CAST(SUM(CASE WHEN arm = 0 AND hv = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS a, " +
+        "CAST(SUM(CASE WHEN arm = 0 AND hv = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS b, " +
+        "CAST(SUM(CASE WHEN arm = 1 AND hv = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS c, " +
+        "CAST(SUM(CASE WHEN arm = 1 AND hv = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS dd FROM ev GROUP BY 1), " +
+        "st AS (SELECT *, a + b + c + dd AS n FROM st0 " +
+        "WHERE a + b + c + dd > 1), " +
+        "t AS (SELECT a, " +
+        "CAST((CAST(a + b AS HUGEINT) * (a + c) * 1000000) // n " +
+        "AS BIGINT) AS e_micro, " +
+        "CAST((CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd) * " +
+        "1000000) // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) " +
+        "AS v_micro, " +
+        "CAST((CAST(a AS HUGEINT) * dd * 1000000) // n AS BIGINT) " +
+        "AS ad_micro, " +
+        "CAST((CAST(b AS HUGEINT) * c * 1000000) // n AS BIGINT) " +
+        "AS bc_micro FROM st), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata, " +
+        "CAST(SUM(1000000 * a - e_micro) AS BIGINT) AS num_micro, " +
+        "CAST(SUM(v_micro) AS BIGINT) AS den_micro, " +
+        "CAST(SUM(ad_micro) AS BIGINT) AS sad, " +
+        "CAST(SUM(bc_micro) AS BIGINT) AS sbc FROM t) " +
+        "SELECT n_strata, num_micro, den_micro, " +
+        "CASE WHEN den_micro > 0 THEN " +
+        "CAST((CAST(num_micro AS HUGEINT) * num_micro) // den_micro " +
+        "AS BIGINT) END AS chi2_micro, " +
+        "CASE WHEN sbc > 0 THEN " +
+        "CAST((CAST(sad AS HUGEINT) * 1000000) // sbc AS BIGINT) END " +
+        "AS or_micro FROM g"
+    },
     "agg_gain_chart" ->
       (s"WITH $predFrameSql, " +
         "b AS (SELECT least(9, score // 100000) AS bucket, " +

@@ -898,6 +898,65 @@ class Round12Spec extends SparkTestBase {
     assert(BigInt(rows.head.getAs[Long]("ece_micro")) == wsum / n)
   }
 
+  test("agg_cmh: per-stratum recount of the 2x2 margins and terms") {
+    val r = SparkEntry.queries("agg_cmh")(spark, sfDir).collect().head
+    val ev = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")),
+        U.cents(col("value")))
+      .collect().map(x => (dayi(x.getLong(1)), x.getLong(0) % 2,
+        if (x.getLong(2) >= 5000L) 1L else 0L))
+    val strata = ev.groupBy(_._1).values.map { es =>
+      val a = es.count(e => e._2 == 0 && e._3 == 1).toLong
+      val b = es.count(e => e._2 == 0 && e._3 == 0).toLong
+      val c = es.count(e => e._2 == 1 && e._3 == 1).toLong
+      val dd = es.count(e => e._2 == 1 && e._3 == 0).toLong
+      (a, b, c, dd, a + b + c + dd)
+    }.filter(_._5 > 1).toSeq
+    assert(r.getAs[Long]("n_strata") == strata.length.toLong)
+    var (num, den, sad, sbc) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    strata.foreach { case (a, b, c, dd, n) =>
+      num += BigInt(1000000) * a - BigInt(a + b) * (a + c) * 1000000 / n
+      den += BigInt(a + b) * (c + dd) * (a + c) * (b + dd) * 1000000 /
+        (BigInt(n) * n * (n - 1))
+      sad += BigInt(a) * dd * 1000000 / n
+      sbc += BigInt(b) * c * 1000000 / n
+    }
+    assert(BigInt(r.getAs[Long]("num_micro")) == num)
+    assert(BigInt(r.getAs[Long]("den_micro")) == den)
+    assert(BigInt(r.getAs[Long]("chi2_micro")) == num * num / den)
+    assert(BigInt(r.getAs[Long]("or_micro")) == sad * 1000000 / sbc)
+    // id-parity arms on iid values: no real association, chi2 modest
+    assert(r.getAs[Long]("chi2_micro") >= 0L)
+  }
+
+  test("emb_cka: Frobenius recount off the shared gram; CKA2 in [0,1]") {
+    val r = SparkEntry.queries("emb_cka")(spark, sfDir).collect().head
+    val emb = U.tbl(spark, sfDir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 1e6).toLong).toArray)
+    val dims = 64
+    var (fxx, fxy, fyy) = (BigInt(0), BigInt(0), BigInt(0))
+    for (i <- 0 until dims; j <- 0 until dims) {
+      var cell = BigInt(0)
+      emb.foreach(v => cell += BigInt(v(i)) * v(j))
+      // the gram cache's BIGINT truncation (cells are non-negative on
+      // this fixture — verified by the eigvec family's green oracles)
+      val cd = cell / 1000000000L
+      val sq = cd * cd
+      if (i < 32 && j < 32) fxx += sq
+      else if (i < 32 && j >= 32) fxy += sq
+      else if (i >= 32 && j >= 32) fyy += sq
+    }
+    assert(BigInt(r.getAs[Long]("fxx")) == fxx)
+    assert(BigInt(r.getAs[Long]("fxy")) == fxy)
+    assert(BigInt(r.getAs[Long]("fyy")) == fyy)
+    val cka2 = r.getAs[Long]("cka2_micro")
+    assert(BigInt(cka2) == fxy * fxy * 1000000 / (fxx * fyy))
+    // Cauchy–Schwarz: ||X'Y||_F^2 <= ||X'X||_F ||Y'Y||_F => CKA2 <= 1
+    assert(cka2 >= 0L && cka2 <= 1000000L)
+  }
+
   test("agg_gain_chart: cumulative recount; gain ends at 100%") {
     val rows = SparkEntry.queries("agg_gain_chart")(spark, sfDir)
       .collect().sortBy(-_.getAs[Long]("bucket"))
