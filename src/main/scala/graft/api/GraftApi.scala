@@ -780,6 +780,29 @@ object GraftApi {
     * fixed-point domain. Returns (cid, n_members, inertia, checksum). */
   def kmeansTrain(df: DataFrame, id: String, vec: String, k: Int = 4,
       iters: Int = 3): DataFrame = {
+    val asg = kmeansAsg(df, id, vec, k, iters)
+    val checks = lastCent
+      .select(col("__cid").as("__ccid"),
+        posexplode(col("__cx")).as(Seq("__pos", "__c")))
+      .groupBy(col("__ccid"))
+      .agg(sum((col("__pos") + 1).cast(LongType) * col("__c")).as("checksum"))
+    asg.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
+      .join(checks, col("__cid") === col("__ccid"))
+      .select(col("__cid").as("cid"), col("n_members"), col("inertia"),
+        col("checksum"))
+      .orderBy("cid")
+  }
+
+  // the final centroid frame of the last kmeansAsg call (same thread —
+  // the facade is driver-side); only kmeansTrain's checksum reads it
+  @transient private var lastCent: DataFrame = _
+
+  /** The deterministic Lloyd assignment loop shared by [[kmeansTrain]]
+    * and [[semDedup]] — seeds are the k smallest-id vectors, per-round
+    * ties break (dist, cid). Returns (__id, __cid, __d2, __fx). */
+  private def kmeansAsg(df: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1)
     val v = fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
       .select(col("__id"), col("__fx"), col("__nrm"))
@@ -812,17 +835,45 @@ object GraftApi {
           .localCheckpoint()
       }
     }
-    val checks = cent
-      .select(col("__cid").as("__ccid"),
-        posexplode(col("__cx")).as(Seq("__pos", "__c")))
-      .groupBy(col("__ccid"))
-      .agg(sum((col("__pos") + 1).cast(LongType) * col("__c")).as("checksum"))
-    asg.groupBy(col("__cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
-      .join(checks, col("__cid") === col("__ccid"))
-      .select(col("__cid").as("cid"), col("n_members"), col("inertia"),
-        col("checksum"))
-      .orderBy("cid")
+    lastCent = cent
+    asg
+  }
+
+  /** SemDeDup on a caller embedding frame — the `pipeline_semdedup`
+    * recipe lifted: k-means-cluster via [[kmeansAsg]] (k smallest-id
+    * seeds, deterministic ties), then WITHIN each cluster mark every
+    * vector whose cosine to a smaller-id cluster-mate reaches
+    * `simMilli`/1000 (default 0.95) as a duplicate. The threshold never
+    * leaves the integer domain: cos ≥ τ ⟺ dot > 0 ∧ 10⁶·dot² ≥
+    * simMilli²·‖a‖²·‖b‖², products in DECIMAL(38,0). Returns one row per
+    * input vector: (<id>, cid, kept). The quadratic scan is
+    * within-cluster only — raise k with the corpus so buckets stay
+    * bounded (the SemDeDup design point). */
+  def semDedup(df: DataFrame, id: String, vec: String, k: Int = 4,
+      simMilli: Int = 950): DataFrame = {
+    require(simMilli >= 1 && simMilli <= 1000)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = graft.U.track(kmeansAsg(df, id, vec, k, iters = 3)
+      .select(col("__id"), col("__cid"), col("__fx"))
+      .withColumn("__nrm",
+        graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__fx")))
+      .persist())
+    val b = m.select(col("__cid").as("__bc"), col("__id").as("__kb"),
+      col("__fx").as("__bfx"), col("__nrm").as("__nb"))
+    val thr2 = simMilli.toLong * simMilli
+    val dup = m.join(b, col("__cid") === col("__bc") &&
+        col("__id") < col("__kb"))
+      .withColumn("__dot",
+        graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__bfx")))
+      .filter(col("__dot") > 0L &&
+        lit(1000000L).cast(dec) * col("__dot").cast(dec) * col("__dot") >=
+          lit(thr2).cast(dec) * col("__nrm").cast(dec) * col("__nb"))
+      .select(col("__bc").as("__dc"), col("__kb")).distinct()
+    m.join(dup, col("__cid") === col("__dc") && col("__id") === col("__kb"),
+        "left")
+      .select(col("__id").as(id), col("__cid").as("cid"),
+        col("__kb").isNull.as("kept"))
+      .orderBy(id)
   }
 
   /** The `nCut` smallest ids of a persisted (vec_id, ...) frame, sorted

@@ -847,6 +847,29 @@ class ApiSpec extends SparkTestBase {
     assert(got(1).isNullAt(got(1).fieldIndex("rank_b")))
   }
 
+  test("semDedup drops the larger id of each planted near-dup pair") {
+    import spark.implicits._
+    def vec(a: Double, b: Double): Seq[Float] =
+      (Seq(a, b) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val df = Seq(
+      (0L, vec(1.0, 0.0)),   // seed, region A
+      (1L, vec(0.0, 1.0)),   // seed, region B
+      (2L, vec(0.99, 0.01)), // near-copy of 0 -> dropped
+      (3L, vec(0.01, 0.99)), // near-copy of 1 -> dropped
+      (4L, vec(0.7, 0.7)))   // 45 deg off both -> kept
+      .toDF("vid", "emb")
+    val got = GraftApi.semDedup(df, "vid", "emb", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    U.releaseTracked()
+    assert(got == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false,
+      4L -> true))
+    // a stricter threshold keeps everything
+    val strict = GraftApi.semDedup(df, "vid", "emb", k = 2,
+      simMilli = 1000).collect().map(_.getBoolean(2))
+    U.releaseTracked()
+    assert(strict.forall(identity))
+  }
+
   test("aucRoc/prCurve/calibrationError on a planted predictions frame") {
     import spark.implicits._
     // perfect separation above/below 0.5 except one swapped pair
