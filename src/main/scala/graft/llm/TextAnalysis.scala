@@ -825,7 +825,58 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Burrows' Delta between every source pair — the classic stylometric
+    * authorship distance: relative frequencies of the corpus's top-20
+    * words (count desc, token tiebreak), z-scored ACROSS sources, and
+    * Delta = mean |z_a − z_b|. Exactness: frequencies floor to micro by
+    * integral division, the z numerator (ns·f − Σf) and variance
+    * numerator (ns·Σf² − (Σf)²) stay exact integers below 2⁵³ so ONE
+    * double tree (with IEEE-exact sqrt) computes z identically on both
+    * engines, and each |Δz| floors to micro BEFORE the integer sum —
+    * the micro-nat discipline. Shape: one tokenize hash agg, a top-20
+    * TakeOrdered, then taxonomy²-bounded pair work (|sources|² × 20). */
+  private def burrowsDelta(s: SparkSession, d: String): DataFrame = {
+    val tok = U.track(docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .persist())
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("ctot"))
+      .orderBy(col("ctot").desc, col("token")).limit(20)
+      .select(col("token"))
+    val nt = tok.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+    val cnt = tok.join(broadcast(top), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val ns = nt.agg(count(lit(1)).as("ns"))
+    val grid = nt.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        expr("(1000000 * coalesce(c, 0)) DIV nt").as("f"))
+    val st = grid.groupBy(col("token").as("tw"))
+      .agg(sum(col("f")).as("sf"),
+        sum(col("f") * col("f")).as("sff"))
+    val z = grid
+      .join(broadcast(st), col("token") === col("tw"))
+      .crossJoin(broadcast(ns))
+      .withColumn("z", expr(
+        "CASE WHEN ns * sff - sf * sf > 0 THEN " +
+          "(CAST(ns * f - sf AS DOUBLE) / CAST(ns AS DOUBLE)) / " +
+          "sqrt(CAST(ns * sff - sf * sf AS DOUBLE) / " +
+          "(CAST(ns AS DOUBLE) * (CAST(ns AS DOUBLE) - 1.0))) " +
+          "ELSE 0.0 END"))
+      .select(col("source"), col("token"), col("z"))
+    z.select(col("source").as("src_a"), col("token"), col("z").as("za"))
+      .join(z.select(col("source").as("src_b"), col("token"),
+        col("z").as("zb")), Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("term",
+        expr("CAST(floor(1000000.0 * abs(za - zb)) AS BIGINT)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(expr("CAST(SUM(term) DIV COUNT(*) AS BIGINT)")
+        .as("delta_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_burrows_delta" -> burrowsDelta _,
     "text_oov" -> textOov _,
     "text_ccnet_buckets" -> ccnetBuckets _,
     "text_code_detect" -> codeDetect _,
@@ -879,6 +930,34 @@ object TextAnalysis {
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_burrows_delta" ->
+      (s"WITH tok AS (SELECT source, unnest(${sqlTokens("text")}) " +
+        "AS token FROM documents), " +
+        "top AS (SELECT token FROM (SELECT token, COUNT(*) AS ctot " +
+        "FROM tok GROUP BY 1 ORDER BY ctot DESC, token LIMIT 20)), " +
+        "nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nt " +
+        "FROM tok GROUP BY 1), " +
+        "cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM tok JOIN top USING (token) GROUP BY 1, 2), " +
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nt), " +
+        "grid AS (SELECT nt.source, top.token, " +
+        "(1000000 * coalesce(cnt.c, 0)) // nt.nt AS f " +
+        "FROM nt CROSS JOIN top LEFT JOIN cnt " +
+        "ON cnt.source = nt.source AND cnt.token = top.token), " +
+        "st AS (SELECT token, CAST(SUM(f) AS BIGINT) AS sf, " +
+        "CAST(SUM(f * f) AS BIGINT) AS sff FROM grid GROUP BY 1), " +
+        "z AS (SELECT grid.source, grid.token, " +
+        "CASE WHEN ns * sff - sf * sf > 0 THEN " +
+        "(CAST(ns * f - sf AS DOUBLE) / CAST(ns AS DOUBLE)) / " +
+        "sqrt(CAST(ns * sff - sf * sf AS DOUBLE) / " +
+        "(CAST(ns AS DOUBLE) * (CAST(ns AS DOUBLE) - 1.0))) " +
+        "ELSE 0.0 END AS z FROM grid JOIN st USING (token) " +
+        "CROSS JOIN ns) " +
+        "SELECT a.source AS src_a, b.source AS src_b, " +
+        "CAST(SUM(CAST(floor(1000000.0 * abs(a.z - b.z)) AS BIGINT)) // " +
+        "COUNT(*) AS BIGINT) AS delta_micro " +
+        "FROM z a JOIN z b ON a.token = b.token AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "text_log_odds" ->
       (s"WITH al AS (SELECT source, unnest(${sqlTokens("text")}) AS token " +
         "FROM documents), " +

@@ -3877,7 +3877,29 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** Dominant period per event type — "is this series hourly-cyclic,
+    * and at what period?" answered as the argmax of the shared
+    * [[acfMicroFrame]] correlogram over lags 1..12 (ties to the
+    * smallest lag), with the winning autocorrelation and a
+    * significance read against the ±2/√n white-noise band (squared
+    * comparison — no sqrt: n·acf_μ² ≥ 4·10¹² ⟺ |acf| ≥ 2/√n). Pure
+    * epilogue over the taxonomy×12-row ACF frame — the
+    * period detector a resampler runs before choosing its window. */
+  private def tsDominantPeriod(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("acf_micro").desc, col("lag"))
+    acfMicroFrame(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("lag").as("best_lag"),
+        col("acf_micro"), col("n_pairs"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * acf_micro * acf_micro >= " +
+          "CAST(4000000000000 AS DECIMAL(38,0))").as("significant"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_dominant_period" -> tsDominantPeriod _,
     "ts_ransac_trend" -> tsRansacTrend _,
     "ts_sampen" -> tsSampen _,
     "ts_matrix_profile" -> tsMatrixProfile _,
@@ -5224,6 +5246,13 @@ object TimeSeries {
         s"$sd WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / $sd " +
         "ELSE 0.0 END AS z FROM v ORDER BY event_type"
     },
+    "ts_dominant_period" -> (acfSqlCore +
+      ", rk AS (SELECT event_type, lag AS best_lag, acf_micro, n_pairs, " +
+      "n, CAST(n AS HUGEINT) * acf_micro * acf_micro >= 4000000000000 " +
+      "AS significant, row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY acf_micro DESC, lag) AS r FROM acf) " +
+      "SELECT event_type, best_lag, acf_micro, n_pairs, n, significant " +
+      "FROM rk WHERE r = 1 ORDER BY event_type"),
     "ts_acf_lags" -> (acfSqlCore +
       " SELECT event_type, lag, n_pairs, acf_micro FROM acf " +
       "ORDER BY event_type, lag"),

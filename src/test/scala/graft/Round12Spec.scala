@@ -898,6 +898,43 @@ class Round12Spec extends SparkTestBase {
     assert(BigInt(rows.head.getAs[Long]("ece_micro")) == wsum / n)
   }
 
+  test("ts_dominant_period: argmax consistency with ts_acf_lags") {
+    val best = SparkEntry.queries("ts_dominant_period")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val acf = SparkEntry.queries("ts_acf_lags")(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+    assert(best.keySet == acf.keySet)
+    best.foreach { case (et, r) =>
+      val rows = acf(et)
+      val top = rows.map(x =>
+        (-x.getAs[Long]("acf_micro"), x.getAs[Long]("lag"))).min
+      assert(r.getAs[Long]("best_lag") == top._2, s"$et lag")
+      assert(r.getAs[Long]("acf_micro") == -top._1, s"$et acf")
+      // significance equals the squared-band rule on (acf, n)
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Boolean]("significant") ==
+        (BigInt(n) * r.getAs[Long]("acf_micro") * r.getAs[Long]("acf_micro")
+          >= BigInt("4000000000000")))
+    }
+  }
+
+  test("text_burrows_delta: symmetry-free pairs, self-consistent scale") {
+    val rows = SparkEntry.queries("text_burrows_delta")(spark, sfDir)
+      .collect()
+    val nSrc = U.tbl(spark, sfDir, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length == (nSrc * (nSrc - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getAs[Long]("delta_micro") >= 0L)
+    }
+    // z-scores are standardized: the mean pairwise delta of a z-scored
+    // feature set is O(1) — a loose magnitude sanity band (not ~0, not
+    // orders of magnitude off)
+    val mean = rows.map(_.getAs[Long]("delta_micro")).sum / rows.length
+    assert(mean > 100000L && mean < 5000000L, s"mean delta $mean")
+  }
+
   test("agg_cmh: per-stratum recount of the 2x2 margins and terms") {
     val r = SparkEntry.queries("agg_cmh")(spark, sfDir).collect().head
     val ev = U.events(spark, sfDir)
