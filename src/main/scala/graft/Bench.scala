@@ -53,6 +53,7 @@ object Bench {
       if (wants("sim_i")) graft.llm.Similarity.warm(spark, sfDir)
       if (wants("sim_pq")) graft.llm.Similarity.warmPq(spark, sfDir)
       if (wants("sim_ivfpq")) graft.llm.Similarity.warmIvfPq(spark, sfDir)
+      if (wants("multimodal_phash")) graft.llm.Multimodal.warm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
     }
@@ -66,7 +67,12 @@ object Bench {
     // figure and the raw runs ship alongside so any spike stays visible.
     // Local subset iteration can set SPARK_GRAFT_BENCH_RUNS=1.
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results = SparkEntry.queries
+    // SORTED name order, not map order: map iteration reshuffles whenever
+    // the registry grows, which re-attributes any residual shared-cache
+    // cost to a different first consumer every round (r12: four queries
+    // swung >3x on unchanged code). Sorted order + the warm hooks above
+    // make per-query medians comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
@@ -102,7 +108,7 @@ object Bench {
       s"\"" + k + "\":" + rs.map(_._1).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total =
-      if (medians.nonEmpty) medians.values.flatten.sum else 0.0
+      if (medians.nonEmpty) medians.flatMap(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nRuns","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver's stdout parse failed four rounds running ("parsed": null):

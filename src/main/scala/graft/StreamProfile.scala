@@ -22,7 +22,8 @@ object StreamProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val picks = Seq("stream_pipeline", "stream_chained_agg", "stream_session",
-      "stream_tumbling_watermark", "stream_stateful_tws", "stream_dedup")
+      "stream_tumbling_watermark", "stream_stateful_tws", "stream_dedup",
+      "stream_psi")
     for (name <- picks) {
       val t0 = System.nanoTime()
       val n = graft.streaming.StreamingQueries.queries(name)(spark, sfDir).count()

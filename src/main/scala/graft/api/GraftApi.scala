@@ -780,8 +780,8 @@ object GraftApi {
     * fixed-point domain. Returns (cid, n_members, inertia, checksum). */
   def kmeansTrain(df: DataFrame, id: String, vec: String, k: Int = 4,
       iters: Int = 3): DataFrame = {
-    val asg = kmeansAsg(df, id, vec, k, iters)
-    val checks = lastCent
+    val (asg, cent) = kmeansAsg(df, id, vec, k, iters)
+    val checks = cent
       .select(col("__cid").as("__ccid"),
         posexplode(col("__cx")).as(Seq("__pos", "__c")))
       .groupBy(col("__ccid"))
@@ -794,15 +794,14 @@ object GraftApi {
       .orderBy("cid")
   }
 
-  // the final centroid frame of the last kmeansAsg call (same thread —
-  // the facade is driver-side); only kmeansTrain's checksum reads it
-  @transient private var lastCent: DataFrame = _
-
   /** The deterministic Lloyd assignment loop shared by [[kmeansTrain]]
     * and [[semDedup]] — seeds are the k smallest-id vectors, per-round
-    * ties break (dist, cid). Returns (__id, __cid, __d2, __fx). */
+    * ties break (dist, cid). Returns the assignment frame
+    * (__id, __cid, __d2, __fx) together with the final centroid frame
+    * (__cid, __cx, __cn) — a tuple, so concurrent driver threads never
+    * share mutable state between the two results. */
   private def kmeansAsg(df: DataFrame, id: String, vec: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val v = fixedVec(df.select(col(id).as("__id"), col(vec)), vec)
       .select(col("__id"), col("__fx"), col("__nrm"))
@@ -835,8 +834,7 @@ object GraftApi {
           .localCheckpoint()
       }
     }
-    lastCent = cent
-    asg
+    (asg, cent)
   }
 
   /** SemDeDup on a caller embedding frame — the `pipeline_semdedup`
@@ -853,7 +851,7 @@ object GraftApi {
       simMilli: Int = 950): DataFrame = {
     require(simMilli >= 1 && simMilli <= 1000)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val m = graft.U.track(kmeansAsg(df, id, vec, k, iters = 3)
+    val m = graft.U.track(kmeansAsg(df, id, vec, k, iters = 3)._1
       .select(col("__id"), col("__cid"), col("__fx"))
       .withColumn("__nrm",
         graft.plans.CustomExprs.fixed_dot(col("__fx"), col("__fx")))
@@ -1225,6 +1223,89 @@ object GraftApi {
   def calibrationError(df: DataFrame, score: String,
       label: String): DataFrame =
     graft.operators.Aggregations.eceOn(scored(df, score, label))
+
+  /** CUPED variance reduction on a caller per-unit frame — the
+    * `agg_cuped` kernel lifted: one row per randomization unit with an
+    * exact-integer pre-period covariate `pre`, post-period outcome
+    * `post`, and 0/1 `arm`. θ = cov(pre, post)/var(pre) from exact
+    * DECIMAL(38,0) power sums; degenerate inputs (zero pre-variance,
+    * empty arm) return NULL fields, never throw. Returns (n_users,
+    * theta, rho2, diff_raw, diff_cuped) — diffs in the `pre`/`post`
+    * unit ÷ 100 (the cents→currency convention of the declared twin). */
+  def cupedAdjust(df: DataFrame, pre: String, post: String,
+      arm: String): DataFrame =
+    graft.operators.Aggregations.cupedOn(
+      df.select(col(pre).cast(LongType).as("x"),
+        col(post).cast(LongType).as("y"),
+        col(arm).cast(LongType).as("arm")))
+
+  /** Wald's SPRT over caller Bernoulli trials — the `agg_sprt` kernel
+    * lifted: rows are (group, epoch, 0/1 success); per group the
+    * cumulative LLR of H1: p=`p1` vs H0: p=`p0` updates per epoch and
+    * each epoch carries its decision at the ±ln 19 (α=β=0.05)
+    * boundaries. Returns (<group>, <epoch>, cum_n, cum_k, llr,
+    * decision). */
+  def sprt(df: DataFrame, group: String, epoch: String, success: String,
+      p0: Double = 0.4, p1: Double = 0.5): DataFrame =
+    graft.operators.Aggregations.sprtOn(
+        df.select(col(group).as("event_type"),
+          col(epoch).cast(LongType).as("dayi"),
+          col(success).cast(LongType).as("succ")), p0, p1)
+      .withColumnRenamed("event_type", group)
+      .withColumnRenamed("dayi", epoch)
+
+  /** Sample-ratio-mismatch guardrail on a caller exposure frame — the
+    * `agg_srm` kernel lifted: rows are (group, unit, 0/1 arm); units
+    * dedupe before counting (the randomization unit counts once however
+    * many exposure rows it has), χ² = (n₀−n₁)²/(n₀+n₁) in exact micro,
+    * flagged at the 5% critical value. Returns (<group>, n0, n1,
+    * srm_micro, flagged). */
+  def srmCheck(df: DataFrame, group: String, unit: String,
+      arm: String): DataFrame =
+    graft.operators.Aggregations.srmOn(
+        df.select(col(group).as("event_type"), col(unit).as("user_id"),
+          col(arm).cast(LongType).as("arm")))
+      .withColumnRenamed("event_type", group)
+
+  /** Population Stability Index on a caller banded frame — the `agg_psi`
+    * kernel lifted: rows are (group, epoch, band ∈ [0, 9]); the CALLER
+    * picks the banding (PSI is only comparable under a fixed band
+    * taxonomy), the kernel splits pre/post at the observed epoch
+    * midpoint, Laplace-smooths the shares, and floors each (p−q)·ln(p/q)
+    * term to micro-nats. Returns (<group>, n_pre, n_post, psi_micro,
+    * flagged) — flagged at the standard 0.2 rule. */
+  def psiDrift(df: DataFrame, group: String, epoch: String,
+      band: String): DataFrame =
+    graft.operators.Aggregations.psiOn(
+        df.select(col(group).as("event_type"),
+          col(epoch).cast(LongType).as("dayi"),
+          col(band).cast(LongType).as("band")))
+      .withColumnRenamed("event_type", group)
+
+  /** Cochran–Mantel–Haenszel test on a caller stratified trial frame —
+    * the `agg_cmh` kernel lifted: rows are (stratum, 0/1 arm, 0/1
+    * outcome); per stratum the 2×2 margins stay exact integers,
+    * E/V/ad/bc floor to micro through DECIMAL(38,0), and the statistic
+    * closes as one χ² plus the Mantel–Haenszel common odds ratio.
+    * Returns (n_strata, num_micro, den_micro, chi2_micro, or_micro). */
+  def cmh(df: DataFrame, stratum: String, arm: String,
+      outcome: String): DataFrame =
+    graft.operators.Aggregations.cmhOn(
+      df.select(col(stratum).cast(LongType).as("dayi"),
+        col(arm).cast(LongType).as("arm"),
+        col(outcome).cast(LongType).as("hv")))
+
+  /** Community conductance on caller edge + label frames — the
+    * `graph_conductance` kernel lifted: `edges` must be the MIRRORED
+    * adjacency (both directions present — conductance counts edge
+    * endpoints), `labels` one (node, community) row per node. φ(C) =
+    * cut(C) / min(vol(C), M − vol(C)) in exact integer micro. Returns
+    * (community, n_nodes, vol, cut, conductance_micro). */
+  def conductance(edges: DataFrame, labels: DataFrame, u: String,
+      v: String, node: String, community: String): DataFrame =
+    graft.operators.Graphs.conductanceOn(
+      edges.select(col(u).as("u"), col(v).as("v")),
+      labels.select(col(node).as("node"), col(community).as("lbl")))
 
   /** Isotonic (monotone non-decreasing) fit of `y` against `x` per
     * `group` — the `ts_isotonic` minimax kernel lifted. `y` must already

@@ -246,6 +246,53 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Incremental (cross-snapshot) dedup against a PERSISTED MinHash band
+    * index — the nightly-ingest shape production runs: yesterday's corpus
+    * (doc_id % 10 != 7) has its (band, bkey, doc_id) LSH index WRITTEN to
+    * parquet once (the `sim_index_persist` discipline applied to MinHash
+    * bands), and tonight's batch (doc_id % 10 == 7) computes its own bands
+    * fresh and probes the LOADED index — history documents are never
+    * re-shingled at probe time. Candidates (batch doc × indexed doc
+    * sharing any band key) verify by exact Jaccard over the shingle sets,
+    * kept at jac >= 0.2. Within-batch pairs are deliberately absent: the
+    * incremental contract dedups tonight AGAINST history only
+    * (`dedup_minhash` is the full-corpus pass). Scale shape: the index
+    * probe is an equijoin on the band key — only (band, bkey, doc_id)
+    * tuples shuffle, never signatures or shingles; at 100 TB the parquet
+    * index is the accumulating nightly artifact and each batch's probe
+    * cost is |batch|·bands, independent of history size. */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val nPerm = 16
+    val base = U.track(shingled(s, d).persist())
+    val signed = base.select(col("doc_id"),
+      graft.plans.CustomExprs.minhash_sigs(col("hs"), nPerm).as("sigs"))
+    val bands = (0 until 4).map { bIdx =>
+      signed.select(col("doc_id"), lit(bIdx.toLong).as("band"),
+        concat_ws(":", (0 until 4).map(r =>
+          element_at(col("sigs"), bIdx * 4 + r + 1)): _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    val path = U.scratch(d, "minhash_band_index")
+    bands.filter(col("doc_id") % 10 =!= 7)
+      .write.mode("overwrite").parquet(path)
+    val idx = s.read.parquet(path)
+    val cand = bands.filter(col("doc_id") % 10 === 7)
+      .join(idx.select(col("band").as("ib"), col("bkey").as("ik"),
+          col("doc_id").as("hist_id")),
+        col("band") === col("ib") && col("bkey") === col("ik"))
+      .select(col("doc_id").as("da"), col("hist_id").as("db"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
+      .join(base.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
+      .withColumn("common",
+        size(array_intersect(col("ssa"), col("ssb"))).cast(LongType))
+      .withColumn("jac", col("common").cast(DoubleType) /
+        (size(col("ssa")) + size(col("ssb")) - col("common")).cast(DoubleType))
+      .filter(col("jac") >= 0.2)
+      .select(col("da"), col("db"), col("common"), col("jac"))
+      .orderBy("da", "db")
+  }
+
   /** 60-bit SimHash per doc + hamming<=3 pairs, via 4x15-bit band blocking.
     * Hashed over 3-gram SHINGLES, not tokens: the fixture vocab is shared
     * across all docs, so token-level simhashes collapse together; shingle
@@ -604,6 +651,7 @@ object Dedup {
     "dedup_jaccard" -> jaccardPairs _,
     "dedup_containment" -> containmentPairs _,
     "dedup_minhash" -> minhashPairs _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_soft_weights" -> softWeights _,
     "dedup_clusters" -> clusterAssign _)
@@ -877,7 +925,30 @@ object Dedup {
         "CAST(SUM(n_chars) AS BIGINT) FROM documents JOIN pk USING (doc_id) " +
         "ORDER BY strategy"),
     "dedup_simhash" -> simhashSql,
-    "dedup_minhash" -> minhashSql)
+    "dedup_minhash" -> minhashSql,
+    // the minhashSql chain with the snapshot split: candidates pair
+    // tonight's batch (da % 10 = 7) against the indexed history only
+    "dedup_incremental" -> {
+      val toks = sqlTokens("text")
+      val shingles = sqlShingles3(toks)
+      val ph = sqlPolyHash("t", 13L)
+      s"WITH sh AS (SELECT doc_id, $shingles AS ss FROM documents), " +
+        "sized AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0), " +
+        s"hs AS (SELECT doc_id, ss, list_transform(ss, t -> $ph) AS hl FROM sized), " +
+        "sig AS (SELECT doc_id, list_transform(range(0, 16), k -> " +
+        "list_min(list_transform(hl, h -> (h*(2*k+1) + k*12345 + 7) % 1000000007))) AS sigs FROM hs), " +
+        "bands AS (SELECT doc_id, b, list_slice(sigs, CAST(b*4+1 AS INTEGER), " +
+        "CAST(b*4+4 AS INTEGER)) AS bkey FROM sig CROSS JOIN range(0, 4) t(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+        "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey " +
+        "AND x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7), " +
+        "scored AS (SELECT da, db, CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS common, " +
+        "CAST(len(a.ss) AS BIGINT) AS na, CAST(len(b.ss) AS BIGINT) AS nb " +
+        "FROM cand JOIN hs a ON cand.da = a.doc_id JOIN hs b ON cand.db = b.doc_id) " +
+        "SELECT da, db, common, CAST(common AS DOUBLE)/CAST(na + nb - common AS DOUBLE) AS jac " +
+        "FROM scored WHERE CAST(common AS DOUBLE)/CAST(na + nb - common AS DOUBLE) >= 0.2 " +
+        "ORDER BY da, db"
+    })
 
   /** Shared CTE chain producing the exact-Jaccard candidate `pairs` —
     * dedup_jaccard scores them; dedup_clusters closes over them. */

@@ -850,6 +850,41 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Recall gate for the corpus kNN graph (the one ANN shape that shipped
+    * without its own recall number, while `emb_knn_label_purity` builds ON
+    * the graph): exact cosine top-3 by brute force for the 10 lowest-id
+    * probes (one broadcast of 10 queries against a single corpus stream —
+    * linear, the [[pqRecall]] discipline) joined against the graph's
+    * top-3 for the same probes; `recall` = hits/3 per probe. nprobe=1
+    * means a probe whose true neighbor sits across a cell boundary pays
+    * in THIS number — the measured trade the graph's scaladoc promises.
+    * Exact at any SF: both sides are deterministic integer/identical-
+    * double trees, so the oracle recomputes graph AND truth. */
+  private def knnRecall(s: SparkSession, d: String): DataFrame = {
+    val all = U.track(
+      fixed(s, d).select(col("vec_id"), col("fx"), col("nrm")).persist())
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("bq_id"), col("fx").as("qx"), col("nrm").as("qn"))
+    val wb = Window.partitionBy(col("bq_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("bq_id"))
+      .withColumn("cos",
+        cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 3)
+      .select(col("bq_id"), col("vec_id").as("bv"))
+    knnGraph(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("nbr_id"))
+      .join(exact,
+        col("q_id") === col("bq_id") && col("nbr_id") === col("bv"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("bv")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / lit(3.0)).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** LSH bucket-balance histogram — the index-health diagnostic behind
     * [[lshAnn]]: occupancy of every occupied 8-plane bucket. A healthy
     * random-hyperplane index spreads the corpus across its 256 buckets;
@@ -1543,6 +1578,7 @@ object Similarity {
     "sim_ivfpq_recall" -> ivfPqRecall _,
     "sim_pq_distortion" -> pqDistortion _,
     "sim_knn_graph" -> knnGraph _,
+    "sim_knn_recall" -> knnRecall _,
     "emb_ood_score" -> embOod _,
     "sim_lsh_balance" -> lshBalance _)
 
@@ -2143,6 +2179,14 @@ object Similarity {
         "CAST(floor((1.0 + dist) * 1000000.0) AS BIGINT) >= 300000 " +
         "AS is_ood FROM a ORDER BY vec_id"),
     "sim_knn_graph" -> knnGraphSql,
+    "sim_knn_recall" ->
+      (s"WITH kg AS (SELECT vec_id, nbr_id FROM ($knnGraphSql) " +
+        "WHERE vec_id < 10) " +
+        "SELECT kg.vec_id AS q_id, CAST(COUNT(bf.bv) AS BIGINT) AS n_hits, " +
+        "CAST(COUNT(bf.bv) AS DOUBLE) / 3.0 AS recall FROM kg LEFT JOIN " +
+        s"(SELECT q_id AS bq, vec_id AS bv FROM ($bruteSql) " +
+        "WHERE rank <= 3) bf ON kg.vec_id = bf.bq AND kg.nbr_id = bf.bv " +
+        "GROUP BY 1 ORDER BY 1"),
     "emb_int8_recall" ->
       ("WITH s8 AS (SELECT vec_id, embedding, " +
         "nullif(list_max(list_transform(embedding, " +

@@ -2204,17 +2204,24 @@ object Aggregations {
     * 1-row aggregates; every double derives from exact cents sums with
     * the covPowerSums tree. */
   private def aggCuped(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 0)
     val ev = U.events(s, d).select(col("user_id"),
       expr("unix_micros(ts) DIV 86400000000").as("dayi"),
       U.cents(col("value")).as("vc"))
     val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
-    val per = U.track(ev.crossJoin(broadcast(split))
+    cupedOn(ev.crossJoin(broadcast(split))
       .groupBy(col("user_id"))
       .agg(sum(when(col("dayi") < col("sd"), col("vc")).otherwise(0L)).as("x"),
         sum(when(col("dayi") >= col("sd"), col("vc")).otherwise(0L)).as("y"))
-      .withColumn("arm", pmod(col("user_id"), lit(2L)))
-      .persist())
+      .withColumn("arm", pmod(col("user_id"), lit(2L))))
+  }
+
+  /** The CUPED kernel over any per-unit (x, y, arm) frame — one row per
+    * randomization unit, x/y exact integer pre/post outcomes, arm 0/1 —
+    * shared by the declared query and
+    * [[graft.api.GraftApi.cupedAdjust]]. */
+  private[graft] def cupedOn(perRaw: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = U.track(perRaw.persist())
     val g = per.agg(count(lit(1)).cast(DoubleType).as("nd"),
       sum(col("x")).cast(DoubleType).as("sx"),
       sum(col("y")).cast(DoubleType).as("sy"),
@@ -2256,15 +2263,24 @@ object Aggregations {
     * at the ±ln 19 boundaries (α = β = 0.05). Counts are exact windows;
     * the LLR is two exact integers times two shared ln literals — ln()
     * agrees cross-engine, so the whole trajectory hash-matches. */
-  private def aggSprt(s: SparkSession, d: String): DataFrame = {
-    val daily = U.events(s, d).select(col("event_type"),
-        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
-        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("succ"))
+  private def aggSprt(s: SparkSession, d: String): DataFrame =
+    sprtOn(U.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+      when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("succ")))
+
+  /** Wald's-SPRT kernel over any Bernoulli trial frame (event_type =
+    * group, dayi = decision epoch, succ 0/1) — shared by the declared
+    * query and [[graft.api.GraftApi.sprt]]. H0: p=p0 vs H1: p=p1 at the
+    * symmetric ±ln((1−β)/α) boundaries (defaults 0.4/0.5, α=β=0.05). */
+  private[graft] def sprtOn(trials: DataFrame, p0: Double = 0.4,
+      p1: Double = 0.5): DataFrame = {
+    require(p0 > 0.0 && p0 < 1.0 && p1 > 0.0 && p1 < 1.0 && p0 != p1)
+    val daily = trials
       .groupBy(col("event_type"), col("dayi"))
       .agg(count(lit(1)).as("n"), sum(col("succ")).as("k"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("dayi"))
-    val la = log(lit(0.5) / lit(0.4))
-    val lb = log(lit(0.5) / lit(0.6))
+    val la = log(lit(p1) / lit(p0))
+    val lb = log(lit(1.0 - p1) / lit(1.0 - p0))
     val thr = log(lit(19.0))
     daily.withColumn("cum_n", sum(col("n")).over(w))
       .withColumn("cum_k", sum(col("k")).over(w))
@@ -2281,12 +2297,17 @@ object Aggregations {
   /** Hodges–Lehmann location estimate of the per-type daily spend — the
     * robust center a reporting pipeline quotes when means are
     * outlier-poisoned and medians discard too much: the median of all
-    * pairwise day-mean averages (i ≤ j, Walsh averages). Days are the
-    * pair domain, so the self-join is calendar²-bounded per type (≤ ~500
-    * pairs on a month of days) — never row-count-bounded; the median is
-    * an order statistic over exact values: Walsh sums stay integer
-    * (yi + yj in cents) and ship in exact half-cent milli-units
-    * (×500), so the selection hash-matches. */
+    * pairwise averages of the per-day spend TOTALS (i ≤ j Walsh
+    * averages of `sum(cents)` per day — daily sums, not day means).
+    * Days are the pair domain, so the self-join is calendar²-bounded
+    * per type (≤ ~500 pairs on a month of days) — never
+    * row-count-bounded; the median is an order statistic over exact
+    * values: Walsh sums stay integer (yi + yj in cents) and ship in
+    * exact half-cent milli-units (×500), so the selection hash-matches.
+    * Median convention: rank `(n_pairs + 1) DIV 2` — for EVEN pair
+    * counts this selects the LOWER of the two middle Walsh values (a
+    * deliberate exact-integer deviation from the textbook two-middle
+    * average, which would leave the half-cent domain). */
   private def aggHodgesLehmann(s: SparkSession, d: String): DataFrame = {
     val daily = U.track(U.events(s, d)
       .groupBy(col("event_type"),
@@ -2493,9 +2514,17 @@ object Aggregations {
     * exact micro via a DECIMAL(38,0) cross term, flagged at the 5%
     * critical value 3.841459. One distinct + one hash agg. */
   private def aggSrm(s: SparkSession, d: String): DataFrame =
-    U.events(s, d)
+    srmOn(U.events(s, d)
       .select(col("event_type"), col("user_id"),
-        pmod(col("user_id"), lit(2L)).as("arm"))
+        pmod(col("user_id"), lit(2L)).as("arm")))
+
+  /** The SRM kernel over any (event_type = group, user_id = unit,
+    * arm 0/1) exposure frame — shared by the declared query and
+    * [[graft.api.GraftApi.srmCheck]]. Rows dedupe to distinct units
+    * first (the randomization unit is counted once however many
+    * exposure rows it has). */
+  private[graft] def srmOn(exposures: DataFrame): DataFrame =
+    exposures
       .distinct()
       .groupBy(col("event_type"))
       .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
@@ -2515,12 +2544,20 @@ object Aggregations {
     * to micro-nats (each term ≥ 0, ln agrees cross-engine, the double
     * tree is mirrored operand-for-operand). Flagged at the standard 0.2
     * rule. One events scan + a |types|×2×10-row epilogue. */
-  private def aggPsi(s: SparkSession, d: String): DataFrame = {
-    val ev = U.events(s, d).select(col("event_type"),
+  private def aggPsi(s: SparkSession, d: String): DataFrame =
+    psiOn(U.events(s, d).select(col("event_type"),
       expr("unix_micros(ts) DIV 86400000000").as("dayi"),
       least(lit(9L), expr(
         "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 1000"))
-        .as("band"))
+        .as("band")))
+
+  /** The PSI kernel over any banded observation frame (event_type =
+    * group, dayi = time index, band ∈ [0, 9] — the CALLER picks the
+    * banding, which is the honest contract: PSI is only comparable
+    * under a fixed band taxonomy) — shared by the declared query and
+    * [[graft.api.GraftApi.psiDrift]]. Splits at the observed midpoint
+    * of the time index. */
+  private[graft] def psiOn(ev: DataFrame): DataFrame = {
     val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
     val cnt = U.track(ev.crossJoin(broadcast(split))
       .withColumn("seg", when(col("dayi") < col("sd"), 0L).otherwise(1L))
@@ -3031,11 +3068,17 @@ object Aggregations {
     * χ²_micro = (Σ(10⁶a − E_μ))² DIV ΣV_μ, numerator possibly negative
     * so its square rides DECIMAL. Calendar-bounded: everything after
     * one events hash agg is |days| work. */
-  private def aggCmh(s: SparkSession, d: String): DataFrame = {
-    val strata = U.events(s, d)
+  private def aggCmh(s: SparkSession, d: String): DataFrame =
+    cmhOn(U.events(s, d)
       .select(expr("unix_micros(ts) DIV 86400000000").as("dayi"),
         pmod(col("user_id"), lit(2L)).as("arm"),
-        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("hv"))
+        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("hv")))
+
+  /** The CMH kernel over any stratified 0/1-trial frame (dayi = stratum,
+    * arm 0/1, hv 0/1 outcome) — shared by the declared query and
+    * [[graft.api.GraftApi.cmh]]. */
+  private[graft] def cmhOn(rows: DataFrame): DataFrame = {
+    val strata = rows
       .groupBy(col("dayi"))
       .agg(sum(when(col("arm") === 0L && col("hv") === 1L, 1L)
           .otherwise(0L)).as("a"),

@@ -3719,8 +3719,10 @@ object TimeSeries {
     * the neighbor's index beside it. The row with the largest profile
     * value is the series' top discord (the week unlike any other), the
     * smallest its motif (the repeated weekly shape). Distances are exact
-    * integer cents² (squares ride in DECIMAL(38,0) — daily sums square
-    * past Long at large SF); ties break to the smallest neighbor index
+    * integer cents² and ship as DECIMAL(38,0) END-TO-END (daily sums
+    * square past Long at large SF; a Long cast here would silently NULL
+    * under non-ANSI Spark while the oracle errors — the cast is banned
+    * from this kernel); ties break to the smallest neighbor index
     * via the (d2, j) rank, identical both engines. Scale shape: all work
     * happens on the DAY-ranked frame — calendar²·m pair terms per type,
     * bounded by the time domain at any SF, never by event count; the
@@ -3758,7 +3760,7 @@ object TimeSeries {
       .join(b, col("et") === col("eb") && col("j") + col("k") === col("rb"))
       .groupBy(col("et"), col("i"), col("j"))
       .agg(sum((col("ya") - col("yb")).cast(dec) * (col("ya") - col("yb")))
-        .cast(LongType).as("d2"))
+        .cast(dec).as("d2"))
     val wMin = Window.partitionBy(col("et"), col("i"))
       .orderBy(col("d2"), col("j"))
     d2.withColumn("rn", row_number().over(wMin))
@@ -4253,7 +4255,7 @@ object TimeSeries {
         "AND abs(a.i - b.i) >= 4 CROSS JOIN range(7) k), " +
         "d2 AS (SELECT p.et, p.i, p.j, " +
         "CAST(SUM(CAST(da.y - db.y AS DECIMAL(38,0)) * (da.y - db.y)) " +
-        "AS BIGINT) AS d2 FROM pairs p " +
+        "AS DECIMAL(38,0)) AS d2 FROM pairs p " +
         "JOIN daily da ON p.et = da.event_type AND p.i + p.k = da.r " +
         "JOIN daily db ON p.et = db.event_type AND p.j + p.k = db.r " +
         "GROUP BY 1, 2, 3), " +

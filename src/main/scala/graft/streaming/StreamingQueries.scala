@@ -484,6 +484,26 @@ object StreamingQueries {
   private val nameCounter = new AtomicInteger(0)
   private val prepared = scala.collection.mutable.Set[String]()
 
+  /** Allocate a memory-sink table name AND evict stale sinks: a memory
+    * sink pins its rows in the driver for the session's lifetime, so a
+    * 552-query bench (3 runs each) accumulates hundreds of dead
+    * 10⁴-10⁵-row tables — measured as streaming replays getting SLOWER
+    * run-over-run in one JVM (r12: stream_session triple [2.44, 5.24,
+    * 4.79] with run 1 the fastest — heap pressure, not state). Every
+    * declared query consumes its sink table immediately (count / parquet
+    * dump / collect), so only the 4 most recent are kept live. */
+  private val sinkNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def newSinkName(s: SparkSession): String = {
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    sinkNames.add(name)
+    while (sinkNames.size > 4) {
+      val old = sinkNames.poll()
+      if (old != null)
+        try s.catalog.dropTempView(old) catch { case _: Throwable => }
+    }
+    name
+  }
+
   /** Split events into 8 sequentially-written ts-range files (once per JVM
     * per sfDir); returns (dir, schema-carrying batch frame). */
   private def stage(s: SparkSession, d: String, doubled: Boolean): String = synchronized {
@@ -619,7 +639,7 @@ object StreamingQueries {
       doubled: Boolean = false, filesPerTrigger: Int = 2)
       (build: DataFrame => DataFrame): DataFrame = withReplayShuffle(s) {
     val in = stagedSource(s, d, doubled, filesPerTrigger)
-    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val name = newSinkName(s)
     val q = build(in).writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
@@ -949,7 +969,7 @@ object StreamingQueries {
             .as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"),
             col("bb.bkey").as("bkey"))
-        val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+        val name = newSinkName(s)
         val q = bands.as[NDEvent]
           .groupByKey(e => (e.band, e.bkey))
           .transformWithState(new NearDupProcessor,
@@ -1022,7 +1042,7 @@ object StreamingQueries {
         val in = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "4").parquet(dir)
         import s.implicits._
-        val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+        val name = newSinkName(s)
         val q = in.select(col("doc_id"), col("source"),
             size(graft.llm.TextUtil.tokens(col("text"))).cast("long")
               .as("n_tokens"))
@@ -1165,7 +1185,7 @@ object StreamingQueries {
       .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value").as("p_value"))
       .withWatermark("p_ts", "60 days")
-    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val name = newSinkName(s)
     val q = clicks.join(purchases,
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
@@ -1204,7 +1224,7 @@ object StreamingQueries {
       .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value").as("p_value"))
       .withWatermark("p_ts", "1 hour")
-    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val name = newSinkName(s)
     val q = clicks.join(purchases,
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
@@ -1223,7 +1243,7 @@ object StreamingQueries {
     * complete-mode aggregate => final state equals the batch read => the
     * same generator-arithmetic oracle as scan_custom_source. */
   private def customSourceStream(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
-    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val name = newSinkName(s)
     val q = s.readStream.format("graft.sources.DeterministicSource")
       .option("rows", "20000").option("slices", "8").option("batchRows", "5000")
       .load()
@@ -1407,9 +1427,18 @@ object StreamingQueries {
     * (StreamingSpec-pinned). */
   private def psiTws(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.getOption(key)
+    val prevCl = s.conf.getOption(clKey)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state here is ONE 10-long array per event_type, yet full-snapshot
+    // checkpointing costs ~400 ms per commit round (zip + upload of the
+    // whole RocksDB instance, 8 rounds = 3.1 s measured) — changelog
+    // checkpointing writes just the delta, the right mode for tiny
+    // fast-commit state
+    s.conf.set(clKey, "true")
     try {
       val snaps0 = runStream(s, d, "append", filesPerTrigger = 4) { in =>
         import in.sparkSession.implicits._
@@ -1460,9 +1489,15 @@ object StreamingQueries {
           sum(col("term")).as("psi_micro"))
         .withColumn("flagged", col("psi_micro") > 200000L)
         .orderBy("event_type", "dayi")
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      prevCl match {
+        case Some(v) => s.conf.set(clKey, v)
+        case None => s.conf.unset(clKey)
+      }
     }
   }
 

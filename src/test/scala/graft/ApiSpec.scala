@@ -823,12 +823,14 @@ class ApiSpec extends SparkTestBase {
     val got = GraftApi.matrixProfile(df, "series", "t", "v").collect()
     assert(got.nonEmpty)
     assert(got.forall(_.getAs[String]("series") == "s"))
-    val discord = got.maxBy(_.getAs[Long]("mp_d2"))
+    def mpD2(r: org.apache.spark.sql.Row): BigInt =
+      BigInt(r.getAs[java.math.BigDecimal]("mp_d2").toBigInteger)
+    val discord = got.maxBy(mpD2)
     // the discord window must contain the spike (windows 9..17 overlap it)
     val wi = discord.getAs[Long]("w_idx")
     assert(wi >= 9L && wi <= 17L, s"discord at $wi not over the spike")
     // sawtooth windows far from the spike see an exact repeat → mp = 0
-    assert(got.count(_.getAs[Long]("mp_d2") == 0L) >= 4)
+    assert(got.count(r => mpD2(r) == BigInt(0)) >= 4)
   }
 
   test("rrfFuse blends two caller rank lists; singletons count once") {

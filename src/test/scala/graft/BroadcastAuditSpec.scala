@@ -28,7 +28,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
     "llm/Pipeline.scala" -> 24,
-    "llm/Similarity.scala" -> 32,
+    "llm/Similarity.scala" -> 33,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
     "llm/TextAnalysis.scala" -> 21,

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.api.GraftApi
+
+/** Semantic laws for the round-13 additions: the kNN-graph recall gate,
+  * incremental dedup against the persisted band index, and the
+  * A/B-guardrail facade lifts (each pinned against its declared twin on
+  * the SAME fixture projection — the r12 model-eval discipline). */
+class Round13Spec extends SparkTestBase {
+
+  test("sim_knn_recall: hits bounded by k, recall exact, floor holds") {
+    val rows = SparkEntry.queries("sim_knn_recall")(spark, sfDir).collect()
+    U.releaseTracked()
+    assert(rows.length == 10, "one row per probe")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 3L)
+      assert(r.getAs[Double]("recall") == h.toDouble / 3.0)
+    }
+    // the graph's nprobe=1 boundary trade, measured: mean recall on the
+    // fixture corpus must clear 0.6 (measured 0.833 at sf0.001, 0.9 at
+    // sf0.01) — a quantizer/tiebreak regression would crater this
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble / (3.0 * 10)
+    assert(mean >= 0.6, s"mean recall $mean under the 0.6 floor")
+  }
+
+  test("dedup_incremental: batch-vs-history orientation + minhash recount") {
+    val inc = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    U.releaseTracked()
+    assert(inc.nonEmpty, "fixture plants cross-snapshot near-dups")
+    inc.foreach { case (da, db, _, jac) =>
+      assert(da % 10 == 7, s"$da must be in tonight's batch")
+      assert(db % 10 != 7, s"$db must be in the indexed history")
+      assert(jac >= 0.2)
+    }
+    // exactly the full-corpus minhash pairs with ONE side in the batch,
+    // batch doc first — the incremental split changes orientation and
+    // membership, never scores
+    val full = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    U.releaseTracked()
+    val expected = full.collect {
+      case (a, b, c, j) if a % 10 == 7 && b % 10 != 7 => (a, b, c, j)
+      case (a, b, c, j) if a % 10 != 7 && b % 10 == 7 => (b, a, c, j)
+    }.sortBy(p => (p._1, p._2))
+    assert(inc.sortBy(p => (p._1, p._2)).toSeq == expected.toSeq)
+  }
+
+  test("cupedAdjust facade matches the declared agg_cuped twin") {
+    val ev = U.events(spark, sfDir).select(col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+      U.cents(col("value")).as("vc"))
+    val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    val per = ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("dayi") < col("sd"), col("vc")).otherwise(0L))
+          .as("pre"),
+        sum(when(col("dayi") >= col("sd"), col("vc")).otherwise(0L))
+          .as("post"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val got = GraftApi.cupedAdjust(per, "pre", "post", "arm").collect()
+    val twin = SparkEntry.queries("agg_cuped")(spark, sfDir).collect()
+    U.releaseTracked()
+    assert(got.map(_.toString).toSeq == twin.map(_.toString).toSeq)
+  }
+
+  test("sprt/srmCheck/psiDrift/cmh facades match their declared twins") {
+    val ev = U.events(spark, sfDir)
+    val sprtGot = GraftApi.sprt(
+      ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("s")),
+      "event_type", "dayi", "s").collect()
+    val sprtTwin = SparkEntry.queries("agg_sprt")(spark, sfDir).collect()
+    assert(sprtGot.map(_.toString).toSeq == sprtTwin.map(_.toString).toSeq)
+    val srmGot = GraftApi.srmCheck(
+      ev.select(col("event_type"), col("user_id"),
+        pmod(col("user_id"), lit(2L)).as("arm")),
+      "event_type", "user_id", "arm").collect()
+    val srmTwin = SparkEntry.queries("agg_srm")(spark, sfDir).collect()
+    assert(srmGot.map(_.toString).toSeq == srmTwin.map(_.toString).toSeq)
+    val psiGot = GraftApi.psiDrift(
+      ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        least(lit(9L), expr(
+          "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 1000"))
+          .as("band")),
+      "event_type", "dayi", "band").collect()
+    val psiTwin = SparkEntry.queries("agg_psi")(spark, sfDir).collect()
+    assert(psiGot.map(_.toString).toSeq == psiTwin.map(_.toString).toSeq)
+    val cmhGot = GraftApi.cmh(
+      ev.select(expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        when(U.cents(col("value")) >= 5000L, 1L).otherwise(0L).as("hv")),
+      "dayi", "arm", "hv").collect()
+    val cmhTwin = SparkEntry.queries("agg_cmh")(spark, sfDir).collect()
+    assert(cmhGot.map(_.toString).toSeq == cmhTwin.map(_.toString).toSeq)
+    U.releaseTracked()
+  }
+
+  test("sprt facade respects caller hypotheses (p0, p1)") {
+    import spark.implicits._
+    // 20 successes in 20 trials over 4 epochs: under H0 p=0.1 vs
+    // H1 p=0.9 the LLR crosses +ln 19 almost immediately
+    val df = (1 to 20).map(i => ("g", (i % 4).toLong, 1L))
+      .toDF("g", "t", "s")
+    val out = GraftApi.sprt(df, "g", "t", "s", p0 = 0.1, p1 = 0.9)
+      .orderBy("t").collect()
+    U.releaseTracked()
+    assert(out.length == 4)
+    assert(out.last.getAs[String]("decision") == "accept_h1")
+    val llr = out.last.getAs[Double]("llr")
+    assert(math.abs(llr - 20.0 * math.log(0.9 / 0.1)) < 1e-9)
+  }
+
+  test("conductance facade: planted two-community graph, exact phi") {
+    import spark.implicits._
+    // two 3-cliques joined by one bridge edge (mirrored adjacency):
+    // vol(A) = 2*3 + 1 = 7 endpoints, cut(A) = 1, M = 14 directed rows
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("n", "c")
+    val got = GraftApi.conductance(edges, labels, "a", "b", "n", "c")
+      .collect().map(r => r.getAs[Long]("community") -> r).toMap
+    U.releaseTracked()
+    assert(got.keySet == Set(10L, 20L))
+    Seq(10L, 20L).foreach { cmm =>
+      val r = got(cmm)
+      assert(r.getAs[Long]("n_nodes") == 3L)
+      assert(r.getAs[Long]("vol") == 7L)
+      assert(r.getAs[Long]("cut") == 1L)
+      // phi = 1e6 * 1 DIV min(7, 14-7) = 142857
+      assert(r.getAs[Long]("conductance_micro") == 142857L)
+    }
+  }
+}
