@@ -30,6 +30,9 @@ case class Features(doc_id: Long, n_distinct: Long, modal_byte: Long,
 case class PHash(doc_id: Long, w0: Long, w1: Long, n_ones: Long)
 case class WavStats(doc_id: Long, n_samples: Long, sample_rate: Long,
   riff_ok: Boolean, peak: Long, sum_sq: Long)
+case class ImgPatch(doc_id: Long, patch_id: Long, patch_y: Long,
+  patch_x: Long, gray_sum: Long, gray_mean: Long)
+case class WavFrame(doc_id: Long, frame: Long, energy: Long)
 
 object Multimodal {
 
@@ -401,7 +404,121 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** ViT-style patchification THROUGH the real codec — the tokenization
+    * step every vision-language training pipeline runs on its image
+    * column: each deterministic synthetic PNG decodes via ImageIO, the
+    * decoded pixels tile into non-overlapping 2×2 patches (the ragged
+    * right/bottom edge drops, the standard crop-to-multiple), and each
+    * patch ships as one row with its grid position and exact integer
+    * luma sum/mean — the (batch, seq, feature) shape a patch embedder
+    * consumes, flattened relationally. PNG is lossless and the pixels
+    * are a closed form of doc_id, so the oracle recomputes every patch
+    * arithmetically — one altered pixel fails the hash. Partition-wise
+    * decode, no shuffle until the declared ORDER BY. */
+  private def patches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 7) % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val k = y * w + x
+          val r = ((id * 31 + k) % 256).toInt
+          val g = ((id * 17 + y * 3 + x * 5) % 256).toInt
+          val b = ((id * 13 + y * 7 + x * 11) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val (pw, ph) = (back.getWidth / 2, back.getHeight / 2)
+        for (py <- 0 until ph; px <- 0 until pw) yield {
+          var sum = 0L
+          for (oy <- 0 until 2; ox <- 0 until 2) {
+            val p = back.getRGB(px * 2 + ox, py * 2 + oy)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          }
+          ImgPatch(id, (py * pw + px).toLong, py.toLong, px.toLong,
+            sum, sum / 4)
+        }
+      }
+    }.toDF().orderBy("doc_id", "patch_id")
+  }
+
+  /** Energy-based voice-activity detection THROUGH the real WAV codec —
+    * the speech-data curation pass an audio-training pipeline runs
+    * before transcription: the synthetic PCM16 round-trips
+    * AudioSystem (the wavStats path), the DECODED samples frame into
+    * non-overlapping 16-sample windows, a frame is voiced when its
+    * energy crosses the clip mean by integer cross-multiplication
+    * (energy·n_frames > Σenergy — no division, no float), and
+    * consecutive voiced frames merge into segments by the gaps-islands
+    * rule. One row per segment: (doc_id, seg_id, f_start, f_end,
+    * n_frames, energy). The segmentation window partitions by doc
+    * (≤ 7 frames per doc at ANY corpus size — clip-length-bounded);
+    * the oracle recomputes everything from the closed-form samples. */
+  private def vad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    val frames = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = (64 + id % 64).toInt
+        val pcm = new Array[Byte](n * 2)
+        for (k <- 0 until n) {
+          val v = (((id * 31 + k.toLong * 17) % 65536) - 32768).toInt
+          pcm(2 * k) = (v & 0xff).toByte
+          pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val out = back.readAllBytes()
+        val nFrames = (out.length / 2) / 16
+        (0 until nFrames).map { f =>
+          var e = 0L
+          for (k <- 0 until 16) {
+            val i = (f * 16 + k) * 2
+            val v = ((out(i) & 0xff) | (out(i + 1) << 8)).toShort.toLong
+            e += v * v
+          }
+          WavFrame(id, f.toLong, e)
+        }
+      }
+    }.toDF()
+    val tot = frames.groupBy(col("doc_id").as("td"))
+      .agg(count(lit(1)).as("nf"), sum(col("energy")).as("te"))
+    val voiced = frames
+      .join(tot, col("doc_id") === col("td"))
+      .filter(col("energy") * col("nf") > col("te"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    voiced
+      .withColumn("isl", col("frame") -
+        (row_number().over(wd).cast(LongType) - 1L))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("frame")).as("f_start"), max(col("frame")).as("f_end"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("energy"))
+      .withColumn("seg_id", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f_start")))
+        .cast(LongType))
+      .select(col("doc_id"), col("seg_id"), col("f_start"), col("f_end"),
+        col("n_frames"), col("energy"))
+      .orderBy("doc_id", "seg_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_patches" -> patches _,
+    "multimodal_vad" -> vad _,
     "multimodal_resize_nn" -> resizeNn _,
     "multimodal_wav_stats" -> wavStats _,
     "multimodal_codec_roundtrip" -> codecRoundtrip _,
@@ -438,6 +555,57 @@ object Multimodal {
       "FROM bits GROUP BY doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    // patches: closed-form pixel recomputation (the codec_roundtrip rule —
+    // PNG is lossless, so decoded patch sums must equal the arithmetic)
+    "multimodal_patches" ->
+      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS w, " +
+        "4 + (doc_id * 7) % 5 AS h FROM documents), " +
+        "g AS (SELECT doc_id, w, h, w // 2 AS pw, h // 2 AS ph FROM b), " +
+        "p AS (SELECT doc_id, w, pw, unnest(range(0, pw * ph)) AS pid " +
+        "FROM g), " +
+        "q AS (SELECT doc_id, w, pw, pid, pid % pw AS px, pid // pw AS py " +
+        "FROM p), " +
+        "o AS (SELECT doc_id, w, pid, px, py, unnest(range(0, 4)) AS oo " +
+        "FROM q), " +
+        "xy AS (SELECT doc_id, w, pid, px, py, py * 2 + oo // 2 AS y, " +
+        "px * 2 + oo % 2 AS x FROM o), " +
+        "gr AS (SELECT doc_id, pid, px, py, " +
+        "(doc_id * 31 + y * w + x) % 256 + " +
+        "(doc_id * 17 + y * 3 + x * 5) % 256 + " +
+        "(doc_id * 13 + y * 7 + x * 11) % 256 AS gray FROM xy) " +
+        "SELECT doc_id, CAST(pid AS BIGINT) AS patch_id, " +
+        "CAST(py AS BIGINT) AS patch_y, CAST(px AS BIGINT) AS patch_x, " +
+        "CAST(SUM(gray) AS BIGINT) AS gray_sum, " +
+        "CAST(SUM(gray) // 4 AS BIGINT) AS gray_mean " +
+        "FROM gr GROUP BY 1, 2, 3, 4 ORDER BY doc_id, patch_id"),
+    // vad: the wav_stats closed-form samples, framed and segmented with
+    // the identical integer voiced rule + gaps-islands merge
+    "multimodal_vad" ->
+      ("WITH ks AS (SELECT doc_id, k, " +
+        "((doc_id * 31 + k * 17) % 65536) - 32768 AS s " +
+        "FROM documents CROSS JOIN range(0, 128) t(k) " +
+        "WHERE k < 64 + doc_id % 64), " +
+        "fr AS (SELECT doc_id, k // 16 AS frame, " +
+        "CAST(SUM(s * s) AS BIGINT) AS energy FROM ks " +
+        "WHERE k // 16 < (64 + doc_id % 64) // 16 GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS nf, SUM(energy) AS te " +
+        "FROM fr GROUP BY 1), " +
+        "v AS (SELECT fr.doc_id, fr.frame, fr.energy FROM fr " +
+        "JOIN tot ON fr.doc_id = tot.doc_id " +
+        "WHERE fr.energy * tot.nf > tot.te), " +
+        "i AS (SELECT doc_id, frame, energy, frame - " +
+        "(row_number() OVER (PARTITION BY doc_id ORDER BY frame) - 1) " +
+        "AS isl FROM v), " +
+        "seg AS (SELECT doc_id, isl, MIN(frame) AS f_start, " +
+        "MAX(frame) AS f_end, COUNT(*) AS n_frames, SUM(energy) AS energy " +
+        "FROM i GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY f_start) AS BIGINT) AS seg_id, " +
+        "CAST(f_start AS BIGINT) AS f_start, " +
+        "CAST(f_end AS BIGINT) AS f_end, " +
+        "CAST(n_frames AS BIGINT) AS n_frames, " +
+        "CAST(energy AS BIGINT) AS energy " +
+        "FROM seg ORDER BY doc_id, seg_id"),
     // the oracle never touches the WAV container: PCM16 is lossless and
     // the samples are a deterministic function of doc_id, so the stats of
     // the DECODED samples must equal the closed-form recomputation —

@@ -1152,6 +1152,48 @@ object Aggregations {
           "(CAST(ssw AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)").as("f_micro"))
   }
 
+  /** Tukey's HSD post-hoc over the per-type spend means — the pairwise
+    * drill-down agg_anova's single F cannot give ("WHICH types differ"),
+    * with the familywise error held at 5% by the studentized-range
+    * critical value (q ≈ 3.858 for k=5 groups at df→∞ — the fixture df
+    * is ~10⁴⁺, where the ∞ row of the published table is exact to 3
+    * decimals; the constant ships as one shared literal like the z/t
+    * families). Sufficient statistics are the agg_anova exact power
+    * sums; MSW and the per-pair HSD run in ONE mirrored double tree
+    * (sqrt is IEEE-correctly-rounded), pairs are the taxonomy² ≤10-row
+    * broadcast frame. ssw rides the anova BIGINT contract. */
+  private def aggTukeyHsd(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = U.track(U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("vc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("vc")).as("sg"),
+        sum((col("vc") * col("vc")).cast(dec)).as("qg"))
+      .persist())
+    val tot = g.select(col("ng"),
+        expr("(CAST(ng AS DECIMAL(38,0)) * qg - CAST(sg AS DECIMAL(38,0)) * sg) DIV " +
+          "CAST(ng AS DECIMAL(38,0))").as("ssw_t"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("ssw_t")).cast(LongType).as("ssw"))
+    val a = g.select(col("event_type").as("type_a"), col("ng").as("na"),
+      col("sg").as("sa"))
+    val b = g.select(col("event_type").as("type_b"), col("ng").as("nb"),
+      col("sg").as("sb"))
+    val meanA = col("sa") / (lit(100.0) * col("na"))
+    val meanB = col("sb") / (lit(100.0) * col("nb"))
+    val hsd = lit(3.858) * sqrt(
+      col("ssw").cast(DoubleType) / (col("n") - col("k")).cast(DoubleType) /
+        lit(2.0) * (lit(1.0) / col("na").cast(DoubleType) +
+          lit(1.0) / col("nb").cast(DoubleType))) / lit(100.0)
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        meanA.as("mean_a"), meanB.as("mean_b"),
+        (meanA - meanB).as("diff"), hsd.as("hsd"),
+        (abs(meanA - meanB) > hsd).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Cohen's kappa between two five-level ratings of each event — the
     * value band (fixed 100-unit widths, top-coded at band 4) vs the
     * props.k metadata band (k DIV 20) — chance-corrected agreement over
@@ -3058,6 +3100,76 @@ object Aggregations {
       .orderBy(col("bucket").desc)
   }
 
+  /** Difference-in-differences of the id-parity A/B design per type —
+    * the causal readout when treatment lands mid-experiment: event-level
+    * mean spend in the four (arm × pre/post) cells at the observed day
+    * midpoint, each arm's post−pre trend, and DiD = trend(1) − trend(0)
+    * — the parallel-trends estimate that survives a level difference
+    * between arms. Counts and cents sums are exact from one hash agg;
+    * the means/diffs are ONE mirrored double tree (sum/(100·n), the
+    * aggCuped convention); any empty cell NULLs the estimate instead of
+    * throwing (ANSI divide guard, CASE-mirrored). */
+  private def aggDid(s: SparkSession, d: String): DataFrame = {
+    val ev = U.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+      pmod(col("user_id"), lit(2L)).as("arm"),
+      U.cents(col("value")).as("vc"))
+    val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
+    def cell(a: Int, p: Int) =
+      col("arm") === a.toLong && col("post") === p.toLong
+    val g = ev.crossJoin(broadcast(split))
+      .withColumn("post", when(col("dayi") >= col("sd"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(cell(0, 0), 1L).otherwise(0L)).as("n00"),
+        sum(when(cell(0, 0), col("vc")).otherwise(0L)).as("s00"),
+        sum(when(cell(0, 1), 1L).otherwise(0L)).as("n01"),
+        sum(when(cell(0, 1), col("vc")).otherwise(0L)).as("s01"),
+        sum(when(cell(1, 0), 1L).otherwise(0L)).as("n10"),
+        sum(when(cell(1, 0), col("vc")).otherwise(0L)).as("s10"),
+        sum(when(cell(1, 1), 1L).otherwise(0L)).as("n11"),
+        sum(when(cell(1, 1), col("vc")).otherwise(0L)).as("s11"))
+    def m(i: String) = col(s"s$i") / (lit(100.0) * col(s"n$i"))
+    val ok = col("n00") > 0L && col("n01") > 0L &&
+      col("n10") > 0L && col("n11") > 0L
+    g.select(col("event_type"), col("n00"), col("n01"), col("n10"),
+        col("n11"),
+        when(ok, m("01") - m("00")).as("trend_control"),
+        when(ok, m("11") - m("10")).as("trend_treat"),
+        when(ok, (m("11") - m("10")) - (m("01") - m("00"))).as("did"))
+      .orderBy("event_type")
+  }
+
+  /** Quantile treatment effects of the id-parity A/B design — where in
+    * the outcome DISTRIBUTION the arms differ (a mean-only readout hides
+    * a tail-only effect): per arm the nine decile boundaries of the
+    * spend distribution as exact order statistics over the
+    * (arm, distinct-cents) support (the aggQqDeciles value-domain
+    * recipe — the cumulative window runs on the collapsed support,
+    * PARTITIONED by arm, never on rows), QTE_q = q_treat − q_control in
+    * exact cents. */
+  private def aggQte(s: SparkSession, d: String): DataFrame = {
+    val cnt = U.events(s, d)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        U.cents(col("value")).as("vc"))
+      .groupBy(col("arm"), col("vc")).agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("arm")).orderBy(col("vc"))
+    val tots = cnt.groupBy(col("arm").as("ta")).agg(sum(col("c")).as("n"))
+    val qs = cnt.withColumn("cum", sum(col("c")).over(wv))
+      .join(broadcast(tots), col("arm") === col("ta"))
+      .select(col("arm"), col("vc"), col("cum"), col("n"),
+        explode(array((1 to 9).map(q => lit(q.toLong)): _*)).as("q"))
+      .filter(col("cum") * 10 >= col("q") * col("n"))
+      .groupBy(col("arm"), col("q")).agg(min(col("vc")).as("qv"))
+    qs.filter(col("arm") === 0L).select(col("q"), col("qv").as("q_control_c"))
+      .join(qs.filter(col("arm") === 1L)
+        .select(col("q").as("q1"), col("qv").as("q_treat_c")),
+        col("q") === col("q1"))
+      .select(col("q"), col("q_control_c"), col("q_treat_c"),
+        (col("q_treat_c") - col("q_control_c")).as("qte_c"))
+      .orderBy("q")
+  }
+
   /** Cochran–Mantel–Haenszel test of the arm × high-value association
     * STRATIFIED BY DAY — the confounder-proof reading agg_two_prop_z
     * can't give when the daily mix shifts (Simpson's-paradox
@@ -3115,6 +3227,8 @@ object Aggregations {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_did" -> aggDid _,
+    "agg_qte" -> aggQte _,
     "agg_cmh" -> aggCmh _,
     "agg_gain_chart" -> aggGainChart _,
     "agg_brier" -> aggBrier _,
@@ -3167,6 +3281,7 @@ object Aggregations {
     "agg_levene" -> aggLevene _,
     "agg_winsorized_mean" -> aggWinsorizedMean _,
     "agg_anova" -> aggAnova _,
+    "agg_tukey_hsd" -> aggTukeyHsd _,
     "agg_cohen_kappa" -> aggCohenKappa _,
     "agg_mad" -> aggMad _,
     "agg_cohens_d" -> aggCohensD _,
@@ -3648,6 +3763,56 @@ object Aggregations {
         "(sx / sy) * (sx / sy) * ((syy - sy * sy / nd) / (nd - 1.0))) / " +
         "(nd * (sy / nd) * (sy / nd))) END AS ci_hi " +
         "FROM f ORDER BY 1"
+    },
+    "agg_did" -> {
+      val vc = OSQL.cents("value")
+      def n(a: Int, p: Int) =
+        s"CAST(SUM(CASE WHEN arm = $a AND post = $p THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS n$a$p"
+      def sm(a: Int, p: Int) =
+        s"CAST(SUM(CASE WHEN arm = $a AND post = $p THEN vc ELSE 0 END) " +
+          s"AS BIGINT) AS s$a$p"
+      s"WITH ev AS (SELECT event_type, " +
+        "epoch_us(ts) // 86400000000 AS dayi, " +
+        s"CAST(user_id % 2 AS BIGINT) AS arm, $vc AS vc FROM events), " +
+        "sp AS (SELECT (MIN(dayi) + MAX(dayi) + 1) // 2 AS sd FROM ev), " +
+        "c AS (SELECT event_type, arm, " +
+        "CASE WHEN dayi >= sd THEN 1 ELSE 0 END AS post, vc " +
+        "FROM ev CROSS JOIN sp), " +
+        s"g AS (SELECT event_type, ${n(0, 0)}, ${sm(0, 0)}, ${n(0, 1)}, " +
+        s"${sm(0, 1)}, ${n(1, 0)}, ${sm(1, 0)}, ${n(1, 1)}, ${sm(1, 1)} " +
+        "FROM c GROUP BY 1) " +
+        "SELECT event_type, n00, n01, n10, n11, " +
+        "CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN " +
+        "CAST(s01 AS DOUBLE) / (100.0 * n01) - " +
+        "CAST(s00 AS DOUBLE) / (100.0 * n00) END AS trend_control, " +
+        "CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN " +
+        "CAST(s11 AS DOUBLE) / (100.0 * n11) - " +
+        "CAST(s10 AS DOUBLE) / (100.0 * n10) END AS trend_treat, " +
+        "CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN " +
+        "(CAST(s11 AS DOUBLE) / (100.0 * n11) - " +
+        "CAST(s10 AS DOUBLE) / (100.0 * n10)) - " +
+        "(CAST(s01 AS DOUBLE) / (100.0 * n01) - " +
+        "CAST(s00 AS DOUBLE) / (100.0 * n00)) END AS did " +
+        "FROM g ORDER BY event_type"
+    },
+    "agg_qte" -> {
+      val vc = OSQL.cents("value")
+      s"WITH cnt AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm, " +
+        s"$vc AS vc, CAST(COUNT(*) AS BIGINT) AS c FROM events " +
+        "GROUP BY 1, 2), " +
+        "cum AS (SELECT arm, vc, SUM(c) OVER (PARTITION BY arm " +
+        "ORDER BY vc) AS cum FROM cnt), " +
+        "tt AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n FROM cnt " +
+        "GROUP BY 1), " +
+        "qs AS (SELECT cum.arm, q, CAST(MIN(vc) AS BIGINT) AS qv " +
+        "FROM cum JOIN tt ON cum.arm = tt.arm " +
+        "CROSS JOIN range(1, 10) t(q) WHERE cum * 10 >= q * n " +
+        "GROUP BY 1, 2) " +
+        "SELECT CAST(a.q AS BIGINT) AS q, a.qv AS q_control_c, " +
+        "b.qv AS q_treat_c, b.qv - a.qv AS qte_c " +
+        "FROM qs a JOIN qs b ON a.q = b.q AND a.arm = 0 AND b.arm = 1 " +
+        "ORDER BY q"
     },
     "agg_srm" ->
       ("WITH pu AS (SELECT DISTINCT event_type, user_id, " +
@@ -4436,6 +4601,27 @@ object Aggregations {
         "SELECT event_type, n, lo, hi, " +
         "CAST(mid_sum + (n // 10) * (lo + hi) AS DOUBLE) / (100.0 * n) " +
         "AS winsorized_mean FROM a ORDER BY event_type"
+    },
+    "agg_tukey_hsd" -> {
+      val c = OSQL.cents("value")
+      s"WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng, " +
+        s"CAST(SUM($c) AS BIGINT) AS sg, " +
+        s"SUM(CAST($c AS HUGEINT) * $c) AS qg FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, " +
+        "CAST(SUM(ng) AS BIGINT) AS n, " +
+        "CAST(SUM((CAST(ng AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg) " +
+        "// CAST(ng AS HUGEINT)) AS BIGINT) AS ssw FROM g) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "a.ng AS na, b.ng AS nb, " +
+        "a.sg / (100.0 * a.ng) AS mean_a, b.sg / (100.0 * b.ng) AS mean_b, " +
+        "a.sg / (100.0 * a.ng) - b.sg / (100.0 * b.ng) AS diff, " +
+        "3.858 * sqrt(CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE) / 2.0 * " +
+        "(1.0 / a.ng + 1.0 / b.ng)) / 100.0 AS hsd, " +
+        "abs(a.sg / (100.0 * a.ng) - b.sg / (100.0 * b.ng)) > " +
+        "3.858 * sqrt(CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE) / 2.0 * " +
+        "(1.0 / a.ng + 1.0 / b.ng)) / 100.0 AS significant " +
+        "FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN tot " +
+        "ORDER BY type_a, type_b"
     },
     "agg_anova" -> {
       val c = OSQL.cents("value")

@@ -22,7 +22,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
     "operators/TimeSeries.scala" -> 28,
-    "operators/Aggregations.scala" -> 80,
+    "operators/Aggregations.scala" -> 84,
     "operators/Graphs.scala" -> 17,
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,

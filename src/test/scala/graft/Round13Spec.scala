@@ -51,6 +51,149 @@ class Round13Spec extends SparkTestBase {
     assert(inc.sortBy(p => (p._1, p._2)).toSeq == expected.toSeq)
   }
 
+  test("agg_did: four-cell recount and the parallel-trends identity") {
+    val rows = SparkEntry.queries("agg_did")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000"),
+        pmod(col("user_id"), lit(2L)), U.cents(col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    U.releaseTracked()
+    val sd = {
+      val ds = ev.map(_._2); (ds.min + ds.max + 1) / 2
+    }
+    rows.foreach { case (et, r) =>
+      val g = ev.filter(_._1 == et)
+      def cell(a: Long, p: Long) = g.filter { case (_, dy, arm, _) =>
+        arm == a && (if (p == 1L) dy >= sd else dy < sd)
+      }
+      def m(a: Long, p: Long): Double = {
+        val c = cell(a, p); c.map(_._4).sum / (100.0 * c.length)
+      }
+      assert(r.getAs[Long]("n00") == cell(0, 0).length.toLong)
+      assert(r.getAs[Long]("n11") == cell(1, 1).length.toLong)
+      val did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+      assert(r.getAs[Double]("did") == did, s"$et did")
+      assert(r.getAs[Double]("trend_treat") - r.getAs[Double]("trend_control")
+        == r.getAs[Double]("did"), s"$et identity")
+    }
+  }
+
+  test("agg_qte: decile boundaries recount per arm") {
+    val rows = SparkEntry.queries("agg_qte")(spark, sfDir).collect()
+    assert(rows.length == 9)
+    val ev = U.events(spark, sfDir)
+      .select(pmod(col("user_id"), lit(2L)), U.cents(col("value")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    U.releaseTracked()
+    def decile(arm: Long, q: Long): Long = {
+      val xs = ev.filter(_._1 == arm).map(_._2).sorted
+      // min value whose cumulative count reaches q/10 of n — the
+      // exact value-domain rule both engines implement
+      xs(((q * xs.length + 9) / 10 - 1).toInt)
+    }
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q")
+      assert(r.getAs[Long]("q_control_c") == decile(0, q), s"q$q control")
+      assert(r.getAs[Long]("q_treat_c") == decile(1, q), s"q$q treat")
+      assert(r.getAs[Long]("qte_c") ==
+        r.getAs[Long]("q_treat_c") - r.getAs[Long]("q_control_c"))
+    }
+  }
+
+  test("multimodal_patches: closed-form patch recount + grid laws") {
+    val rows = SparkEntry.queries("multimodal_patches")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    U.releaseTracked()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ps) =>
+      val w = (4 + id % 5).toInt; val h = (4 + (id * 7) % 5).toInt
+      val (pw, ph) = (w / 2, h / 2)
+      assert(ps.length == pw * ph, s"doc $id patch count")
+      def gray(x: Int, y: Int): Long =
+        (id * 31 + y.toLong * w + x) % 256 +
+          (id * 17 + y * 3L + x * 5L) % 256 +
+          (id * 13 + y * 7L + x * 11L) % 256
+      ps.foreach { r =>
+        val (py, px) = (r.getAs[Long]("patch_y").toInt,
+          r.getAs[Long]("patch_x").toInt)
+        val sum = (for (oy <- 0 until 2; ox <- 0 until 2)
+          yield gray(px * 2 + ox, py * 2 + oy)).sum
+        assert(r.getAs[Long]("patch_id") == py.toLong * pw + px)
+        assert(r.getAs[Long]("gray_sum") == sum, s"doc $id patch ($py,$px)")
+        assert(r.getAs[Long]("gray_mean") == sum / 4)
+      }
+    }
+  }
+
+  test("multimodal_vad: segment recount from closed-form samples") {
+    val rows = SparkEntry.queries("multimodal_vad")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    U.releaseTracked()
+    assert(rows.nonEmpty)
+    // recount every doc that produced segments, plus assert contiguity
+    rows.foreach { case (id, segs) =>
+      val n = (64 + id % 64).toInt
+      val samples = (0 until n).map(k =>
+        ((id * 31 + k.toLong * 17) % 65536) - 32768)
+      val nf = n / 16
+      val energies = (0 until nf).map(f =>
+        (0 until 16).map(k => samples(f * 16 + k)).map(v => v * v).sum)
+      val te = energies.sum
+      val voiced = energies.zipWithIndex
+        .filter { case (e, _) => e * nf > te }.map(_._2)
+      // islands of consecutive voiced frames
+      val expSegs = voiced.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: tl, f) if f == e + 1 => (s, f) :: tl
+        case (acc, f) => (f, f) :: acc
+      }.reverse
+      assert(segs.length == expSegs.length, s"doc $id segment count")
+      segs.sortBy(_.getAs[Long]("seg_id")).zip(expSegs).foreach {
+        case (r, (fs, fe)) =>
+          assert(r.getAs[Long]("f_start") == fs.toLong, s"doc $id start")
+          assert(r.getAs[Long]("f_end") == fe.toLong, s"doc $id end")
+          assert(r.getAs[Long]("n_frames") == (fe - fs + 1).toLong)
+          assert(r.getAs[Long]("energy") ==
+            (fs to fe).map(energies(_)).sum, s"doc $id energy")
+      }
+    }
+  }
+
+  test("agg_tukey_hsd: pairwise recount + anova consistency") {
+    val rows = SparkEntry.queries("agg_tukey_hsd")(spark, sfDir).collect()
+    U.releaseTracked()
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = ev.map(_._1).distinct.sorted
+    assert(rows.length == types.length * (types.length - 1) / 2)
+    val k = types.length
+    val n = ev.length
+    // within-group SS via the same integral-division per-group terms
+    val ssw = types.map { t =>
+      val xs = ev.filter(_._1 == t).map(_._2)
+      val (ng, sg) = (BigInt(xs.length), xs.map(BigInt(_)).sum)
+      val qg = xs.map(x => BigInt(x) * x).sum
+      (ng * qg - sg * sg) / ng
+    }.sum.toLong
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(ta < tb, "pairs are ordered, no mirror duplicates")
+      val xa = ev.filter(_._1 == ta).map(_._2)
+      val xb = ev.filter(_._1 == tb).map(_._2)
+      val meanA = xa.sum / (100.0 * xa.length)
+      val meanB = xb.sum / (100.0 * xb.length)
+      assert(r.getAs[Double]("diff") == meanA - meanB, s"$ta-$tb diff")
+      val hsd = 3.858 * math.sqrt(ssw.toDouble / (n - k) / 2.0 *
+        (1.0 / xa.length + 1.0 / xb.length)) / 100.0
+      assert(r.getAs[Double]("hsd") == hsd, s"$ta-$tb hsd")
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs(meanA - meanB) > hsd))
+    }
+  }
+
   test("cupedAdjust facade matches the declared agg_cuped twin") {
     val ev = U.events(spark, sfDir).select(col("user_id"),
       expr("unix_micros(ts) DIV 86400000000").as("dayi"),
