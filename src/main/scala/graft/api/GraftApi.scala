@@ -1295,6 +1295,47 @@ object GraftApi {
         col(arm).cast(LongType).as("arm"),
         col(outcome).cast(LongType).as("hv")))
 
+  /** Difference-in-differences on a caller observation frame — the
+    * `agg_did` kernel lifted: rows are (group, epoch, 0/1 arm,
+    * exact-integer outcome); the kernel splits pre/post at the observed
+    * epoch midpoint, takes the four cell means through ONE mirrored
+    * double tree, and DiD = trend(arm 1) − trend(arm 0). Empty cells
+    * NULL the estimate. Returns (<group>, n00, n01, n10, n11,
+    * trend_control, trend_treat, did) — trends in outcome-unit ÷ 100. */
+  def didEstimate(df: DataFrame, group: String, epoch: String,
+      arm: String, outcome: String): DataFrame =
+    graft.operators.Aggregations.didOn(
+        df.select(col(group).as("event_type"),
+          col(epoch).cast(LongType).as("dayi"),
+          col(arm).cast(LongType).as("arm"),
+          col(outcome).cast(LongType).as("vc")))
+      .withColumnRenamed("event_type", group)
+
+  /** Quantile treatment effects on a caller trial frame — the `agg_qte`
+    * kernel lifted: rows are (0/1 arm, exact-integer outcome); per arm
+    * the nine decile boundaries as exact value-domain order statistics,
+    * QTE = q_treat − q_control per decile. Returns (q, q_control_c,
+    * q_treat_c, qte_c). */
+  def qte(df: DataFrame, arm: String, outcome: String): DataFrame =
+    graft.operators.Aggregations.qteOn(
+      df.select(col(arm).cast(LongType).as("arm"),
+        col(outcome).cast(LongType).as("vc")))
+
+  /** Tukey's HSD post-hoc on a caller observation frame — the
+    * `agg_tukey_hsd` kernel lifted: rows are (group, exact-integer
+    * outcome); all group pairs compare against HSD =
+    * qCrit·√(MSW/2·(1/nᵢ+1/nⱼ)). Pass the studentized-range critical
+    * value for YOUR k and df (default 3.858 = k=5, df→∞, α=0.05).
+    * Returns (type_a, type_b, na, nb, mean_a, mean_b, diff, hsd,
+    * significant). */
+  def tukeyHsd(df: DataFrame, group: String, outcome: String,
+      qCrit: Double = 3.858): DataFrame =
+    graft.operators.Aggregations.tukeyOn(
+      df.select(col(group).as("event_type"),
+        col(outcome).cast(LongType).as("vc")), qCrit)
+      .withColumnRenamed("type_a", s"${group}_a")
+      .withColumnRenamed("type_b", s"${group}_b")
+
   /** Community conductance on caller edge + label frames — the
     * `graph_conductance` kernel lifted: `edges` must be the MIRRORED
     * adjacency (both directions present — conductance counts edge

@@ -293,6 +293,42 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** MinHash estimator quality MEASURED per candidate pair — the check a
+    * deployment runs before trusting signature agreement as a Jaccard
+    * proxy: for every LSH band candidate, the classic estimator
+    * ĵ = (#agreeing signature positions)/16 beside the exact Jaccard,
+    * with |ĵ − j| in micro-units (E[ĵ] = j; the per-pair error at
+    * nPerm=16 is what this table makes visible — dedup_lsh_recall gates
+    * WHICH pairs surface, THIS gates how well their scores estimate).
+    * Everything integer: agreement counts, exact intersection, floored
+    * micro errors; the oracle recomputes signatures AND truth. Same
+    * banded candidate shape as dedup_minhash — no new pair frame. */
+  private def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val nPerm = 16
+    val base = U.track(shingled(s, d).persist())
+    val signed = base.select(col("doc_id"),
+      graft.plans.CustomExprs.minhash_sigs(col("hs"), nPerm).as("sigs"))
+    val cand = bandCandidates(s, d)
+    val agree = (1 to nPerm).map(i =>
+      when(element_at(col("siga"), i) === element_at(col("sigb"), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(signed.select(col("doc_id").as("da"), col("sigs").as("siga")), "da")
+      .join(signed.select(col("doc_id").as("db"), col("sigs").as("sigb")), "db")
+      .join(base.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
+      .join(base.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
+      .withColumn("n_agree", agree)
+      .withColumn("common",
+        size(array_intersect(col("ssa"), col("ssb"))).cast(LongType))
+      .select(col("da"), col("db"), col("n_agree"),
+        expr("(1000000 * n_agree) DIV 16").as("est_micro"),
+        expr("CAST((1000000 * common) DIV " +
+          "(size(ssa) + size(ssb) - common) AS BIGINT)").as("jac_micro"))
+      .withColumn("abs_err_micro",
+        abs(col("est_micro") - col("jac_micro")))
+      .orderBy("da", "db")
+  }
+
   /** 60-bit SimHash per doc + hamming<=3 pairs, via 4x15-bit band blocking.
     * Hashed over 3-gram SHINGLES, not tokens: the fixture vocab is shared
     * across all docs, so token-level simhashes collapse together; shingle
@@ -652,6 +688,7 @@ object Dedup {
     "dedup_containment" -> containmentPairs _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_minhash_estimate" -> minhashEstimate _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_soft_weights" -> softWeights _,
     "dedup_clusters" -> clusterAssign _)
@@ -926,6 +963,38 @@ object Dedup {
         "ORDER BY strategy"),
     "dedup_simhash" -> simhashSql,
     "dedup_minhash" -> minhashSql,
+    // the minhashSql chain up to `cand`, then signature agreement vs the
+    // exact Jaccard per candidate — estimator error in floored micro
+    "dedup_minhash_estimate" -> {
+      val toks = sqlTokens("text")
+      val shingles = sqlShingles3(toks)
+      val ph = sqlPolyHash("t", 13L)
+      s"WITH sh AS (SELECT doc_id, $shingles AS ss FROM documents), " +
+        "sized AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0), " +
+        s"hs AS (SELECT doc_id, ss, list_transform(ss, t -> $ph) AS hl FROM sized), " +
+        "sig AS (SELECT doc_id, list_transform(range(0, 16), k -> " +
+        "list_min(list_transform(hl, h -> (h*(2*k+1) + k*12345 + 7) % 1000000007))) AS sigs FROM hs), " +
+        "bands AS (SELECT doc_id, b, list_slice(sigs, CAST(b*4+1 AS INTEGER), " +
+        "CAST(b*4+4 AS INTEGER)) AS bkey FROM sig CROSS JOIN range(0, 4) t(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+        "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+        "sc AS (SELECT cand.da, cand.db, " +
+        "CAST(list_sum(list_transform(range(1, 17), i -> " +
+        "CASE WHEN a.sigs[CAST(i AS INTEGER)] = b.sigs[CAST(i AS INTEGER)] " +
+        "THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree, " +
+        "CAST(len(list_intersect(ha.ss, hb.ss)) AS BIGINT) AS common, " +
+        "CAST(len(ha.ss) AS BIGINT) AS na, CAST(len(hb.ss) AS BIGINT) AS nb " +
+        "FROM cand JOIN sig a ON cand.da = a.doc_id " +
+        "JOIN sig b ON cand.db = b.doc_id " +
+        "JOIN hs ha ON cand.da = ha.doc_id " +
+        "JOIN hs hb ON cand.db = hb.doc_id) " +
+        "SELECT da, db, n_agree, " +
+        "CAST((1000000 * n_agree) // 16 AS BIGINT) AS est_micro, " +
+        "CAST((1000000 * common) // (na + nb - common) AS BIGINT) AS jac_micro, " +
+        "CAST(abs((1000000 * n_agree) // 16 - " +
+        "(1000000 * common) // (na + nb - common)) AS BIGINT) AS abs_err_micro " +
+        "FROM sc ORDER BY da, db"
+    },
     // the minhashSql chain with the snapshot split: candidates pair
     // tonight's batch (da % 10 = 7) against the indexed history only
     "dedup_incremental" -> {

@@ -1162,10 +1162,18 @@ object Aggregations {
     * sums; MSW and the per-pair HSD run in ONE mirrored double tree
     * (sqrt is IEEE-correctly-rounded), pairs are the taxonomy² ≤10-row
     * broadcast frame. ssw rides the anova BIGINT contract. */
-  private def aggTukeyHsd(s: SparkSession, d: String): DataFrame = {
+  private def aggTukeyHsd(s: SparkSession, d: String): DataFrame =
+    tukeyOn(U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("vc")), 3.858)
+
+  /** The Tukey-HSD kernel over any (event_type = group, vc =
+    * exact-integer outcome) frame — shared by the declared query and
+    * [[graft.api.GraftApi.tukeyHsd]]. `qCrit` is the studentized-range
+    * critical value for the CALLER's k and df (the declared query's
+    * 3.858 is k=5, df→∞, α=0.05). */
+  private[graft] def tukeyOn(rows: DataFrame, qCrit: Double): DataFrame = {
     val dec = DecimalType(38, 0)
-    val g = U.track(U.events(s, d)
-      .select(col("event_type"), U.cents(col("value")).as("vc"))
+    val g = U.track(rows
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("ng"), sum(col("vc")).as("sg"),
         sum((col("vc") * col("vc")).cast(dec)).as("qg"))
@@ -1181,7 +1189,7 @@ object Aggregations {
       col("sg").as("sb"))
     val meanA = col("sa") / (lit(100.0) * col("na"))
     val meanB = col("sb") / (lit(100.0) * col("nb"))
-    val hsd = lit(3.858) * sqrt(
+    val hsd = lit(qCrit) * sqrt(
       col("ssw").cast(DoubleType) / (col("n") - col("k")).cast(DoubleType) /
         lit(2.0) * (lit(1.0) / col("na").cast(DoubleType) +
           lit(1.0) / col("nb").cast(DoubleType))) / lit(100.0)
@@ -2235,6 +2243,40 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Required sample size per arm at 80% power — the pre-experiment
+    * planner dual to [[aggMde]] ("how many units must each arm see to
+    * detect a 1/2/5/10% lift"): n = 2σ²·(z₀.₉₇₅+z₀.₈)²/Δ² with Δ the
+    * relative effect × the observed per-type mean, σ² from the SAME
+    * exact power sums, and the z-sum the shared aggMde literal. Four
+    * planning rows per type (relative effect in micro — a constant
+    * 4-element taxonomy, exploded after the one hash agg); n ships as
+    * the IEEE-exact ceil. Degenerate inputs (single row, zero mean)
+    * NULL the requirement, CASE-mirrored. */
+  private def aggSampleSize(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val st = U.events(s, d)
+      .select(col("event_type"), U.cents(col("value")).as("xc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+        sum(col("xc")).cast(DoubleType).as("sx"),
+        sum(col("xc").cast(dec) * col("xc").cast(dec)).cast(DoubleType)
+          .as("sxx"))
+    val v = U.covPowerSums(col("sxx"), col("sx"), col("sx"), col("nd"))
+    st.select(col("event_type"), col("nd"), col("sx"), col("sxx"),
+        explode(array(Seq(10000L, 20000L, 50000L, 100000L).map(lit): _*))
+          .as("rel_micro"))
+      .withColumn("mean", col("sx") / (lit(100.0) * col("nd")))
+      .withColumn("delta",
+        col("rel_micro").cast(DoubleType) / lit(1000000.0) * col("mean"))
+      .select(col("event_type"), col("rel_micro"), col("mean"),
+        col("delta"),
+        when(col("nd") > 1.0 && col("mean") =!= 0.0,
+          ceil(lit(2.0) * v * lit(2.8015852181129683) *
+            lit(2.8015852181129683) / (col("delta") * col("delta")))
+            .cast(LongType)).as("n_required"))
+      .orderBy("event_type", "rel_micro")
+  }
+
   /** CUPED variance reduction for the id-parity A/B design — the
     * covariate-adjustment step every experimentation stack runs before
     * reading a lift: each user's PRE-period spend (days before the
@@ -3109,11 +3151,16 @@ object Aggregations {
     * the means/diffs are ONE mirrored double tree (sum/(100·n), the
     * aggCuped convention); any empty cell NULLs the estimate instead of
     * throwing (ANSI divide guard, CASE-mirrored). */
-  private def aggDid(s: SparkSession, d: String): DataFrame = {
-    val ev = U.events(s, d).select(col("event_type"),
+  private def aggDid(s: SparkSession, d: String): DataFrame =
+    didOn(U.events(s, d).select(col("event_type"),
       expr("unix_micros(ts) DIV 86400000000").as("dayi"),
       pmod(col("user_id"), lit(2L)).as("arm"),
-      U.cents(col("value")).as("vc"))
+      U.cents(col("value")).as("vc")))
+
+  /** The DiD kernel over any (event_type = group, dayi = epoch,
+    * arm 0/1, vc = exact-integer outcome) frame — shared by the declared
+    * query and [[graft.api.GraftApi.didEstimate]]. */
+  private[graft] def didOn(ev: DataFrame): DataFrame = {
     val split = ev.agg(expr("(min(dayi) + max(dayi) + 1) DIV 2").as("sd"))
     def cell(a: Int, p: Int) =
       col("arm") === a.toLong && col("post") === p.toLong
@@ -3148,10 +3195,16 @@ object Aggregations {
     * recipe — the cumulative window runs on the collapsed support,
     * PARTITIONED by arm, never on rows), QTE_q = q_treat − q_control in
     * exact cents. */
-  private def aggQte(s: SparkSession, d: String): DataFrame = {
-    val cnt = U.events(s, d)
+  private def aggQte(s: SparkSession, d: String): DataFrame =
+    qteOn(U.events(s, d)
       .select(pmod(col("user_id"), lit(2L)).as("arm"),
-        U.cents(col("value")).as("vc"))
+        U.cents(col("value")).as("vc")))
+
+  /** The QTE kernel over any (arm 0/1, vc = exact-integer outcome)
+    * frame — shared by the declared query and
+    * [[graft.api.GraftApi.qte]]. */
+  private[graft] def qteOn(rows: DataFrame): DataFrame = {
+    val cnt = rows
       .groupBy(col("arm"), col("vc")).agg(count(lit(1)).as("c"))
     val wv = Window.partitionBy(col("arm")).orderBy(col("vc"))
     val tots = cnt.groupBy(col("arm").as("ta")).agg(sum(col("c")).as("n"))
@@ -3229,6 +3282,7 @@ object Aggregations {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_did" -> aggDid _,
     "agg_qte" -> aggQte _,
+    "agg_sample_size" -> aggSampleSize _,
     "agg_cmh" -> aggCmh _,
     "agg_gain_chart" -> aggGainChart _,
     "agg_brier" -> aggBrier _,
@@ -3813,6 +3867,26 @@ object Aggregations {
         "b.qv AS q_treat_c, b.qv - a.qv AS qte_c " +
         "FROM qs a JOIN qs b ON a.q = b.q AND a.arm = 0 AND b.arm = 1 " +
         "ORDER BY q"
+    },
+    "agg_sample_size" -> {
+      val c = OSQL.cents("value")
+      val v = OSQL.covPowerSums("sxx", "sx", "sx", "nd")
+      s"WITH st AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+        s"CAST(SUM($c) AS DOUBLE) AS sx, " +
+        s"CAST(SUM(CAST($c AS HUGEINT) * $c) AS DOUBLE) AS sxx " +
+        "FROM events GROUP BY 1), " +
+        "e AS (SELECT event_type, nd, sx, sxx, " +
+        "CAST(q AS BIGINT) AS rel_micro FROM st CROSS JOIN " +
+        "(VALUES (10000), (20000), (50000), (100000)) t(q)), " +
+        "m AS (SELECT event_type, rel_micro, nd, sx, sxx, " +
+        "sx / (100.0 * nd) AS mean FROM e), " +
+        "dd AS (SELECT *, CAST(rel_micro AS DOUBLE) / 1000000.0 * mean " +
+        "AS delta FROM m) " +
+        "SELECT event_type, rel_micro, mean, delta, " +
+        "CASE WHEN nd > 1.0 AND mean <> 0.0 THEN " +
+        s"CAST(ceil(2.0 * $v * 2.8015852181129683 * 2.8015852181129683 " +
+        "/ (delta * delta)) AS BIGINT) END AS n_required " +
+        "FROM dd ORDER BY event_type, rel_micro"
     },
     "agg_srm" ->
       ("WITH pu AS (SELECT DISTINCT event_type, user_id, " +

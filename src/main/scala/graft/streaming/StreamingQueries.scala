@@ -323,6 +323,67 @@ class EwmaProcessor
   }
 }
 
+case class GapEvent(user_id: Long, us: Long, event_id: Long)
+case class GapOut(user_id: Long, prev_us: Long, us: Long)
+
+/** Live sensor-dropout detector behind the streaming gap monitor — ONE
+  * Long of state per user (the last-seen event time): a gap over the
+  * 2-hour threshold emits the moment the closing event arrives, exactly
+  * the batch `ts_gap_detect` lag-window rows (which is why the twin
+  * shares that oracle VERBATIM). The alert a maintenance pipeline wants
+  * live, not at the nightly rollup. */
+class GapProcessor
+    extends StatefulProcessor[Long, GapEvent, GapOut] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("last_us",
+      Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[GapEvent],
+      tv: TimerValues): Iterator[GapOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+    var last = if (st.exists()) st.get() else Long.MinValue
+    val out = scala.collection.mutable.ArrayBuffer[GapOut]()
+    sorted.foreach { e =>
+      if (last != Long.MinValue && e.us - last > 7200000000L)
+        out += GapOut(key, last, e.us)
+      last = e.us
+    }
+    st.update(last)
+    out.iterator
+  }
+}
+
+case class DrawEvent(user_id: Long, us: Long, event_id: Long, c: Long)
+case class DrawOut(user_id: Long, event_id: Long, c: Long, peak_c: Long)
+
+/** Live per-user running-peak tracker behind the streaming drawdown
+  * monitor — ONE Long of state per user: rows ride the staged replay's
+  * event-time order (sorted per batch on (us, event_id), state carries
+  * the peak across batches), each event emits its running peak, and the
+  * post-stream projection divides to currency — so the output is
+  * row-for-row the batch `ts_drawdown` window, which is why the twin
+  * shares that oracle VERBATIM. */
+class DrawdownProcessor
+    extends StatefulProcessor[Long, DrawEvent, DrawOut] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("peak",
+      Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[DrawEvent],
+      tv: TimerValues): Iterator[DrawOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+    var peak = if (st.exists()) st.get() else Long.MinValue
+    val out = sorted.map { e =>
+      if (e.c > peak) peak = e.c
+      DrawOut(key, e.event_id, e.c, peak)
+    }
+    st.update(peak)
+    out.iterator
+  }
+}
+
 case class PsiEvent(event_type: String, us: Long, event_id: Long,
   band: Long, dayi: Long)
 case class PsiState(counts: Array[Long], curDay: Long)
@@ -1351,6 +1412,66 @@ object StreamingQueries {
     * (the stream_sprt discipline). State is one (count, Double) per
     * user; the running emission per batch rolls up by the monotone
     * count. */
+  /** [[DrawdownProcessor]] end-to-end: the per-user running-peak
+    * drawdown LIVE — the risk/degradation trajectory `ts_drawdown`
+    * computes in batch, emitted per event as it arrives. Exactly the
+    * batch window row-for-row (one Long of state per user), so the twin
+    * shares the `ts_drawdown` oracle VERBATIM. */
+  /** [[GapProcessor]] end-to-end: per-user sensor-dropout gaps LIVE —
+    * exactly the batch `ts_gap_detect` rows, emitted the moment the
+    * closing event arrives (one Long of state per user; verbatim-shared
+    * oracle). */
+  private def gapDetectTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"))
+        .as[GapEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new GapProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.select(col("user_id"),
+      timestamp_micros(col("prev_us")).as("gap_start"),
+      timestamp_micros(col("us")).as("gap_end"),
+      ((col("us") - col("prev_us")).cast(DoubleType) / lit(1000000.0))
+        .as("gap_seconds"))
+      .orderBy("user_id", "gap_start")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def drawdownTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
+      import in.sparkSession.implicits._
+      in.select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), graft.U.cents(col("value")).as("c"))
+        .as[DrawEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new DrawdownProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.select(col("user_id"), col("event_id"),
+      (col("peak_c") / lit(100.0)).cast(DoubleType).as("running_peak"),
+      ((col("peak_c") - col("c")) / lit(100.0)).cast(DoubleType)
+        .as("drawdown"))
+      .orderBy("event_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def ewmaTws(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
@@ -1505,6 +1626,8 @@ object StreamingQueries {
     "stream_psi" -> psiTws _,
     "stream_srm" -> srmTws _,
     "stream_ewma" -> ewmaTws _,
+    "stream_drawdown" -> drawdownTws _,
+    "stream_gap_detect" -> gapDetectTws _,
     "stream_neardup" -> neardupStream _,
     "stream_token_quota" -> tokenQuotaStream _,
     "stream_sprt" -> sprtTws _,
@@ -1577,6 +1700,11 @@ object StreamingQueries {
     // the batch ts_ewma oracle, verbatim — the stream's per-user fold is
     // the same double chain in the same (ts, event_id) order
     "stream_ewma" -> graft.operators.TimeSeries.oracleSql("ts_ewma"),
+    // the live drawdown IS the batch window row-for-row — one shared
+    // oracle so the twins cannot drift
+    "stream_drawdown" -> graft.operators.TimeSeries.oracleSql("ts_drawdown"),
+    "stream_gap_detect" ->
+      graft.operators.TimeSeries.oracleSql("ts_gap_detect"),
     // first-sight day == MIN(day) per (type, user) because the staged
     // replay is event-time ordered; the trajectory is a window cumsum
     "stream_psi" -> {

@@ -194,6 +194,54 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  test("dedup_minhash_estimate: estimator law + unbiasedness direction") {
+    val rows = SparkEntry.queries("dedup_minhash_estimate")(spark, sfDir)
+      .collect()
+    U.releaseTracked()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_agree")
+      assert(na >= 1L && na <= 16L,
+        "a band candidate agrees on at least one full band")
+      assert(r.getAs[Long]("est_micro") == 1000000L * na / 16)
+      assert(r.getAs[Long]("abs_err_micro") ==
+        math.abs(r.getAs[Long]("est_micro") - r.getAs[Long]("jac_micro")))
+    }
+    // near-identical docs (jac >= 0.9) must estimate high — the regime
+    // LSH banding is built for
+    val hi = rows.filter(_.getAs[Long]("jac_micro") >= 900000L)
+    assert(hi.forall(_.getAs[Long]("est_micro") >= 500000L))
+  }
+
+  test("agg_sample_size: planner recount + inverse-square law") {
+    val rows = SparkEntry.queries("agg_sample_size")(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+    U.releaseTracked()
+    val ev = U.events(spark, sfDir)
+      .select(col("event_type"), U.cents(col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (et, rs) =>
+      val xs = ev.filter(_._1 == et).map(_._2)
+      val nd = xs.length.toDouble
+      val sx = xs.map(_.toDouble).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val v = (sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / nd) / (nd - 1.0)
+      val mean = sx / (100.0 * nd)
+      val z = 2.8015852181129683
+      val byRel = rs.map(r => r.getAs[Long]("rel_micro") -> r).toMap
+      assert(byRel.keySet == Set(10000L, 20000L, 50000L, 100000L))
+      byRel.foreach { case (rel, r) =>
+        val delta = rel.toDouble / 1000000.0 * mean
+        val n = math.ceil(2.0 * v * z * z / (delta * delta)).toLong
+        assert(r.getAs[Long]("n_required") == n, s"$et rel=$rel")
+      }
+      // halving the effect quadruples (±ceil slack) the requirement
+      val n1 = byRel(10000L).getAs[Long]("n_required")
+      val n2 = byRel(20000L).getAs[Long]("n_required")
+      assert(n1 >= 4 * n2 - 4 && n1 <= 4 * n2 + 4)
+    }
+  }
+
   test("cupedAdjust facade matches the declared agg_cuped twin") {
     val ev = U.events(spark, sfDir).select(col("user_id"),
       expr("unix_micros(ts) DIV 86400000000").as("dayi"),
@@ -246,6 +294,29 @@ class Round13Spec extends SparkTestBase {
     U.releaseTracked()
   }
 
+  test("didEstimate/qte/tukeyHsd facades match their declared twins") {
+    val ev = U.events(spark, sfDir)
+    val didGot = GraftApi.didEstimate(
+      ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayi"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        U.cents(col("value")).as("vc")),
+      "event_type", "dayi", "arm", "vc").collect()
+    val didTwin = SparkEntry.queries("agg_did")(spark, sfDir).collect()
+    assert(didGot.map(_.toString).toSeq == didTwin.map(_.toString).toSeq)
+    val qteGot = GraftApi.qte(
+      ev.select(pmod(col("user_id"), lit(2L)).as("arm"),
+        U.cents(col("value")).as("vc")), "arm", "vc").collect()
+    val qteTwin = SparkEntry.queries("agg_qte")(spark, sfDir).collect()
+    assert(qteGot.map(_.toString).toSeq == qteTwin.map(_.toString).toSeq)
+    val tkGot = GraftApi.tukeyHsd(
+      ev.select(col("event_type"), U.cents(col("value")).as("vc")),
+      "event_type", "vc").collect()
+    val tkTwin = SparkEntry.queries("agg_tukey_hsd")(spark, sfDir).collect()
+    U.releaseTracked()
+    assert(tkGot.map(_.toString).toSeq == tkTwin.map(_.toString).toSeq)
+  }
+
   test("sprt facade respects caller hypotheses (p0, p1)") {
     import spark.implicits._
     // 20 successes in 20 trials over 4 epochs: under H0 p=0.1 vs
@@ -259,6 +330,29 @@ class Round13Spec extends SparkTestBase {
     assert(out.last.getAs[String]("decision") == "accept_h1")
     val llr = out.last.getAs[Double]("llr")
     assert(math.abs(llr - 20.0 * math.log(0.9 / 0.1)) < 1e-9)
+  }
+
+  test("stream_drawdown: row-for-row parity with the batch ts_drawdown") {
+    val live = SparkEntry.queries("stream_drawdown")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val batch = SparkEntry.queries("ts_drawdown")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(live.length == batch.length && live.nonEmpty)
+    assert(live.toSeq == batch.toSeq,
+      "the live trajectory must BE the batch window")
+  }
+
+  test("stream_gap_detect: row-for-row parity with the batch ts_gap_detect") {
+    val live = SparkEntry.queries("stream_gap_detect")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    val batch = SparkEntry.queries("ts_gap_detect")(spark, sfDir)
+      .collect().map(_.toString)
+    U.releaseTracked()
+    assert(live.length == batch.length && live.nonEmpty)
+    assert(live.toSeq == batch.toSeq)
   }
 
   test("conductance facade: planted two-community graph, exact phi") {
