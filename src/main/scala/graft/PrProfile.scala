@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   * HITS (same session): run 1 8.8 s, runs 2-3 6.5-7.6 s — its floor is
   * genuinely higher: 4 data-dependent max-normalization barriers (each a
   * persist + 1-row max job, inherent to max-norm HITS in exact integers)
-  * plus 3 scans of the 2.4M-row cached edge frame; not a posture bug. */
+  * plus 3 scans of the 2.4M-row cached edge frame; not a posture bug.
+  * r13 re-measure after the prCache + real-plan-warm fixes (the
+  * deg-joined edge frame builds once per JVM, and Graphs.warm compiles
+  * the REAL iteration plan): pagerank runs 2.67/2.59/2.44 s here and
+  * ~0.6 s bench median at 4 threads — the per-call ~2 s frame rebuild
+  * is gone (BASELINE.md round-13 notes). */
 object PrProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

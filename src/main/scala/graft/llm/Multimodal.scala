@@ -211,7 +211,11 @@ object Multimodal {
     phashCache.synchronized {
       phashCache.get(d) match {
         case Some((sess, df)) if sess eq s => df
-        case _ =>
+        case stale =>
+          // release a superseded session's cached blocks (the
+          // shingleCache discipline) before rebuilding
+          stale.foreach { case (_, old) =>
+            try old.unpersist() catch { case _: Throwable => () } }
           val df = phashBuild(s, d).persist()
           df.count()
           phashCache(d) = (s, df)

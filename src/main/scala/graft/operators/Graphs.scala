@@ -130,7 +130,11 @@ object Graphs {
     prCache.synchronized {
       prCache.get(d) match {
         case Some((sess, t)) if sess eq s => t
-        case _ =>
+        case stale =>
+          // release a superseded session's cached blocks (the
+          // shingleCache discipline) before rebuilding
+          stale.foreach { case (_, (old, _)) =>
+            try old.unpersist() catch { case _: Throwable => () } }
           val edges = coPairs(s, d).select(col("u"), col("v"))
           val deg = edges.groupBy(col("u").as("du"))
             .agg(count(lit(1)).as("deg")).persist()
