@@ -1239,6 +1239,22 @@ object GraftApi {
         col(post).cast(LongType).as("y"),
         col(arm).cast(LongType).as("arm")))
 
+  /** Renames kernel output columns back to the caller's names, failing
+    * LOUDLY when the renamed frame would carry duplicate column names
+    * (r13 ADVICE: a caller group column named like a kernel output —
+    * "n0", "cum_n" — used to silently yield duplicate columns). */
+  private def renameOut(df: DataFrame,
+      renames: (String, String)*): DataFrame = {
+    val fromSet = renames.map(_._1).toSet
+    val finalCols =
+      df.columns.filterNot(fromSet) ++ renames.map(_._2)
+    require(finalCols.distinct.length == finalCols.length,
+      s"caller column name collides with a kernel output column: result " +
+        s"would be (${finalCols.mkString(", ")}); rename the input " +
+        "column before calling this facade")
+    renames.foldLeft(df) { case (acc, (f, t)) => acc.withColumnRenamed(f, t) }
+  }
+
   /** Wald's SPRT over caller Bernoulli trials — the `agg_sprt` kernel
     * lifted: rows are (group, epoch, 0/1 success); per group the
     * cumulative LLR of H1: p=`p1` vs H0: p=`p0` updates per epoch and
@@ -1251,8 +1267,7 @@ object GraftApi {
         df.select(col(group).as("event_type"),
           col(epoch).cast(LongType).as("dayi"),
           col(success).cast(LongType).as("succ")), p0, p1)
-      .withColumnRenamed("event_type", group)
-      .withColumnRenamed("dayi", epoch)
+      .transform(renameOut(_, "event_type" -> group, "dayi" -> epoch))
 
   /** Sample-ratio-mismatch guardrail on a caller exposure frame — the
     * `agg_srm` kernel lifted: rows are (group, unit, 0/1 arm); units
@@ -1265,7 +1280,7 @@ object GraftApi {
     graft.operators.Aggregations.srmOn(
         df.select(col(group).as("event_type"), col(unit).as("user_id"),
           col(arm).cast(LongType).as("arm")))
-      .withColumnRenamed("event_type", group)
+      .transform(renameOut(_, "event_type" -> group))
 
   /** Population Stability Index on a caller banded frame — the `agg_psi`
     * kernel lifted: rows are (group, epoch, band ∈ [0, 9]); the CALLER
@@ -1280,7 +1295,7 @@ object GraftApi {
         df.select(col(group).as("event_type"),
           col(epoch).cast(LongType).as("dayi"),
           col(band).cast(LongType).as("band")))
-      .withColumnRenamed("event_type", group)
+      .transform(renameOut(_, "event_type" -> group))
 
   /** Cochran–Mantel–Haenszel test on a caller stratified trial frame —
     * the `agg_cmh` kernel lifted: rows are (stratum, 0/1 arm, 0/1
@@ -1309,7 +1324,7 @@ object GraftApi {
           col(epoch).cast(LongType).as("dayi"),
           col(arm).cast(LongType).as("arm"),
           col(outcome).cast(LongType).as("vc")))
-      .withColumnRenamed("event_type", group)
+      .transform(renameOut(_, "event_type" -> group))
 
   /** Quantile treatment effects on a caller trial frame — the `agg_qte`
     * kernel lifted: rows are (0/1 arm, exact-integer outcome); per arm
@@ -1333,8 +1348,8 @@ object GraftApi {
     graft.operators.Aggregations.tukeyOn(
       df.select(col(group).as("event_type"),
         col(outcome).cast(LongType).as("vc")), qCrit)
-      .withColumnRenamed("type_a", s"${group}_a")
-      .withColumnRenamed("type_b", s"${group}_b")
+      .transform(renameOut(_,
+        "type_a" -> s"${group}_a", "type_b" -> s"${group}_b"))
 
   /** Community conductance on caller edge + label frames — the
     * `graph_conductance` kernel lifted: `edges` must be the MIRRORED

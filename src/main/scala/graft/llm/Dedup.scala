@@ -261,6 +261,48 @@ object Dedup {
     * tuples shuffle, never signatures or shingles; at 100 TB the parquet
     * index is the accumulating nightly artifact and each batch's probe
     * cost is |batch|·bands, independent of history size. */
+  /** The persisted history band index, built ONCE per (session, sfDir)
+    * and write-if-absent on disk (r13 ADVICE: the kernel used to
+    * rebuild+overwrite the parquet index on every invocation — history
+    * was re-shingled per call, and two JVMs sharing an sfDir could race
+    * overwrite-delete against a lazy re-read). A missing index builds
+    * under a JVM-unique temp name and renames atomically into place; a
+    * lost race discards the temp — the winner's bytes are the same
+    * deterministic function of the corpus. */
+  private val bandIdxCache =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
+  private def bandIndexFrame(s: SparkSession, d: String,
+      histBands: => DataFrame): DataFrame = bandIdxCache.synchronized {
+    bandIdxCache.get(d) match {
+      case Some((sess, df)) if sess eq s => df
+      case stale =>
+        stale.foreach { case (_, old) =>
+          try old.unpersist() catch { case _: Throwable => () } }
+        // the tag carries a version: bump it whenever the shingle/minhash
+        // kernel changes so a pre-existing on-disk index can never serve
+        // stale bytes (write-if-absent trusts whatever is there)
+        val path = U.scratch(d, "minhash_band_index_v2")
+        val dir = new java.io.File(path)
+        if (!dir.exists()) {
+          val tmp = path + ".tmp" + java.lang.ProcessHandle.current().pid()
+          histBands.write.mode("overwrite").parquet(tmp)
+          val t = new java.io.File(tmp)
+          if (!t.renameTo(dir)) rmTree(t) // lost the race: same bytes won
+        }
+        val idx = s.read.parquet(path).persist()
+        idx.count()
+        bandIdxCache(d) = (s, idx)
+        idx
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete()
+    ()
+  }
+
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val nPerm = 16
     val base = U.track(shingled(s, d).persist())
@@ -271,10 +313,7 @@ object Dedup {
         concat_ws(":", (0 until 4).map(r =>
           element_at(col("sigs"), bIdx * 4 + r + 1)): _*).as("bkey"))
     }.reduce(_ unionByName _)
-    val path = U.scratch(d, "minhash_band_index")
-    bands.filter(col("doc_id") % 10 =!= 7)
-      .write.mode("overwrite").parquet(path)
-    val idx = s.read.parquet(path)
+    val idx = bandIndexFrame(s, d, bands.filter(col("doc_id") % 10 =!= 7))
     val cand = bands.filter(col("doc_id") % 10 === 7)
       .join(idx.select(col("band").as("ib"), col("bkey").as("ik"),
           col("doc_id").as("hist_id")),

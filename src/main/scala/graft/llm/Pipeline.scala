@@ -328,16 +328,43 @@ object Pipeline {
     * aggregation over Σ|word| symbols + a broadcast scalar; no step
     * grows with corpus size beyond the vocab rollup. */
   /** The 3-round training loop, shared by `pipeline_bpe_train` (its merge
-    * table) and `pipeline_bpe_apply` (its final encoded vocabulary). */
+    * table), `pipeline_tokenizer_bpe` (merge table + merged token +
+    * corpus token count after each round), `pipeline_bpe_apply` (final
+    * encoded vocabulary) and `pipeline_bpe_doc_tokens` (per-doc encoded
+    * lengths — the vocab keeps `w` through the merges for that join). */
+  private val bpeCache = scala.collection.mutable
+    .Map[String, (SparkSession, (Seq[DataFrame], DataFrame))]()
   private def bpeRounds(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = bpeCache.synchronized {
+    bpeCache.get(d) match {
+      case Some((sess, t)) if sess eq s => t
+      case stale =>
+        stale.foreach { case (_, (_, old)) =>
+          try old.unpersist() catch { case _: Throwable => () } }
+        // four consumers (train / tokenizer report / apply / doc tokens)
+        // share the training loop — the permPvals lesson applied at birth:
+        // materialize once per (session, sfDir); tops are 1-row frames,
+        // the vocab is Heaps-law bounded (localCheckpoint cuts the
+        // 3-round crossJoin lineage so no consumer re-runs a pair agg)
+        val (tops, vocab) = bpeRoundsBuild(s, d)
+        val t = (tops.map(_.localCheckpoint()), vocab.persist())
+        t._2.count()
+        bpeCache(d) = (s, t)
+        t
+    }
+  }
+
+  private def bpeRoundsBuild(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
     import graft.llm.TextUtil.tokens
+    val nSyms = size(filter(split(col("sym"), "\\|"),
+      x => length(x) > 0)).cast(LongType)
     var vocab = U.tbl(s, d, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("sym",
         concat(regexp_replace(col("w"), "(.)", "|$1"), lit("|")))
-      .select(col("freq"), col("sym"))
+      .select(col("w"), col("freq"), col("sym"))
     val tops = (1 to 3).map { r =>
       val pairs = vocab
         .withColumn("syms", filter(split(col("sym"), "\\|"),
@@ -355,16 +382,66 @@ object Pipeline {
         .withColumn("pat", concat(lit("|"), col("a"), lit("|"), col("b"),
           lit("|")))
         .withColumn("rep", concat(lit("|"), col("a"), col("b"), lit("|")))
-        .select(col("freq"),
+        .select(col("w"), col("freq"),
           expr("replace(replace(sym, pat, rep), pat, rep)").as("sym"))
+        // each round's vocab has THREE consumers (next pairs, the count
+        // below, the next merge): eager-checkpoint so the pair agg and
+        // argmax of round r run exactly once (the emb_pca2 lesson)
+        .localCheckpoint()
+      // corpus token count AFTER this round's merge: the conservation
+      // quantity (before − applications) a tokenizer report tracks
+      val cnt = vocab.agg(sum(col("freq") * nSyms).as("corpus_tokens_after"))
       top.select(lit(r.toLong).as("round"), col("a").as("merge_left"),
-        col("b").as("merge_right"), col("pair_freq"))
+        col("b").as("merge_right"), col("pair_freq"),
+        concat(col("a"), col("b")).as("merged_token"))
+        .crossJoin(broadcast(cnt))
     }
     (tops, vocab)
   }
 
   private def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeRounds(s, d)._1.reduce(_.unionByName(_))
+      .select(col("round"), col("merge_left"), col("merge_right"),
+        col("pair_freq"))
+      .orderBy("round")
+
+  /** Tokenizer TRAINING, the full per-round report (r13 verdict "What's
+    * missing #2", extending [[bpeTrain]]'s merge table): each of the 3
+    * deterministic BPE rounds ships its argmax pair (corpus-frequency
+    * tiebroken (freq DESC, a, b)), the resulting merged token, and the
+    * corpus-wide token count AFTER applying the merge — the
+    * compression-curve row a tokenizer-training log emits. The merge is
+    * the delimited double string-replace (leftmost non-overlapping, both
+    * engines' replace semantics); Round14Spec recounts the whole loop
+    * with an independent local fold and checks merge-count conservation
+    * (tokens_after = tokens_before − applications). Scale shape: all
+    * work runs on the DISTINCT-WORD frequency table (vocabulary-bounded,
+    * Heaps-law sublinear in corpus size), never on raw docs; each round
+    * is one pair explosion + hash agg + 1-row broadcast. */
+  private def tokenizerBpe(s: SparkSession, d: String): DataFrame =
     bpeRounds(s, d)._1.reduce(_.unionByName(_)).orderBy("round")
+
+  /** Tokenizer application at the DOCUMENT grain (the other half of the
+    * r13 ask): each doc's whitespace token count beside its encoded
+    * length under the 3 learned merges — the tokens-per-doc histogram
+    * input every context-budget planner needs. One tokenize pass joined
+    * to the per-word encoded lengths on the word key (token-key shuffle;
+    * the vocab side is Heaps-law bounded but NOT assumed broadcastable
+    * at 100 TB). */
+  private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.TextUtil.tokens
+    val (_, vocab) = bpeRounds(s, d)
+    val wt = vocab.select(col("w"),
+      size(filter(split(col("sym"), "\\|"), x => length(x) > 0))
+        .cast(LongType).as("n_sym"))
+    U.tbl(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(wt, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_ws"),
+        sum(col("n_sym")).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+  }
 
   /** Tokenizer APPLICATION: the corpus encoded with the 3 learned merges,
     * reduced to the top-20 resulting tokens by corpus occurrence — the
@@ -654,6 +731,11 @@ object Pipeline {
     * first. */
   private[graft] def warm(s: SparkSession, d: String): Unit =
     { gram(s, d).count(); embTopEigvec(s, d); () }
+
+  /** Pre-builds the shared BPE training loop (4 consumers) so sorted
+    * bench order doesn't attribute the build to pipeline_bpe_apply. */
+  private[graft] def warmBpe(s: SparkSession, d: String): Unit =
+    { bpeRounds(s, d); () }
 
   /** Projection of every embedding onto the top principal direction (the
     * PCA rung above [[embTopEigvec]]): proj = Σ fxᵢ·vᵢ DIV 1e6, then a
@@ -1535,6 +1617,8 @@ object Pipeline {
     "emb_standardize" -> embStandardize _,
     "pipeline_dataset_card" -> datasetCard _,
     "pipeline_bpe_train" -> bpeTrain _,
+    "pipeline_tokenizer_bpe" -> tokenizerBpe _,
+    "pipeline_bpe_doc_tokens" -> bpeDocTokens _,
     "pipeline_bpe_apply" -> bpeApply _,
     "emb_label_centroid" -> embLabelCentroid _,
     "emb_label_outlier" -> embLabelOutlier _,
@@ -1607,6 +1691,45 @@ object Pipeline {
     "SELECT doc_id, source, " +
       "(1000 * length(regexp_replace(text, ' ', '', 'g'))) // n_chars " +
       "AS score FROM documents WHERE n_chars > 0"
+
+  /** Shared CTE builders for the four BPE oracles (train, tokenizer
+    * report, apply, per-doc tokens) — one definition so the chains can
+    * never drift. The vocab CTEs carry `w` through the merges for the
+    * per-doc join; extra columns in a CTE change nothing downstream. */
+  private def bpePairsCte(v: String, p: String): String =
+    s"$p AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (" +
+      "SELECT t.freq, u.a, t.syms[CAST(u.i + 1 AS INTEGER)] AS b " +
+      "FROM (SELECT freq, list_filter(string_split(sym, '|'), " +
+      s"x -> len(x) > 0) AS syms FROM $v) t, " +
+      "LATERAL (SELECT UNNEST(t.syms) AS a, " +
+      "generate_subscripts(t.syms, 1) AS i) u " +
+      "WHERE u.i < len(t.syms)) GROUP BY a, b)"
+  private def bpeTopCte(p: String, t: String): String =
+    s"$t AS (SELECT a, b, pf FROM $p ORDER BY pf DESC, a, b LIMIT 1)"
+  private def bpeMergeCte(v: String, t: String, vout: String): String =
+    s"$vout AS (SELECT w, freq, replace(replace(sym, " +
+      s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
+      s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|'), " +
+      s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
+      s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|') " +
+      s"AS sym FROM $v)"
+  /** The 3-round chain through the last argmax (t3). */
+  private val bpeBaseCtes: String =
+    "v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, " +
+      "regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS sym FROM " +
+      "(SELECT unnest(list_filter(string_split(text, ' '), " +
+      "x -> length(x) > 0)) AS w FROM documents) GROUP BY w), " +
+      s"${bpePairsCte("v0", "p1")}, ${bpeTopCte("p1", "t1")}, " +
+      s"${bpeMergeCte("v0", "t1", "v1")}, " +
+      s"${bpePairsCte("v1", "p2")}, ${bpeTopCte("p2", "t2")}, " +
+      s"${bpeMergeCte("v1", "t2", "v2")}, " +
+      s"${bpePairsCte("v2", "p3")}, ${bpeTopCte("p3", "t3")}"
+  /** ... plus the final merged vocab (v3). */
+  private val bpeFullCtes: String =
+    s"$bpeBaseCtes, ${bpeMergeCte("v2", "t3", "v3")}"
+  private def bpeCountCte(v: String, c: String): String =
+    s"$c AS (SELECT CAST(SUM(freq * len(list_filter(string_split(sym, " +
+      s"'|'), x -> len(x) > 0))) AS BIGINT) AS corpus_tokens_after FROM $v)"
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_grpo_adv" ->
@@ -2057,76 +2180,41 @@ object Pipeline {
         "CAST(SUM(CAST(floor(abs(xd - CAST(q AS DOUBLE) * scale) * 1000000000.0) " +
         "AS BIGINT)) AS BIGINT) AS sum_abs_err_nano " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
-    "pipeline_bpe_train" -> {
-      // one round: pair explosion from the delimited vocab, top pair by
-      // (freq DESC, a, b), then the double literal-replace merge applied
-      // through scalar subqueries — unrolled three times
-      def pairsCte(v: String, p: String): String =
-        s"$p AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (" +
-          "SELECT t.freq, u.a, t.syms[CAST(u.i + 1 AS INTEGER)] AS b " +
-          "FROM (SELECT freq, list_filter(string_split(sym, '|'), " +
-          s"x -> len(x) > 0) AS syms FROM $v) t, " +
-          "LATERAL (SELECT UNNEST(t.syms) AS a, " +
-          "generate_subscripts(t.syms, 1) AS i) u " +
-          "WHERE u.i < len(t.syms)) GROUP BY a, b)"
-      def topCte(p: String, t: String): String =
-        s"$t AS (SELECT a, b, pf FROM $p ORDER BY pf DESC, a, b LIMIT 1)"
-      def mergeCte(v: String, t: String, vout: String): String =
-        s"$vout AS (SELECT freq, replace(replace(sym, " +
-          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
-          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|'), " +
-          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
-          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|') " +
-          s"AS sym FROM $v)"
-      "WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, " +
-        "regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS sym FROM " +
-        "(SELECT unnest(list_filter(string_split(text, ' '), " +
-        "x -> length(x) > 0)) AS w FROM documents) GROUP BY w), " +
-        s"${pairsCte("v0", "p1")}, ${topCte("p1", "t1")}, " +
-        s"${mergeCte("v0", "t1", "v1")}, " +
-        s"${pairsCte("v1", "p2")}, ${topCte("p2", "t2")}, " +
-        s"${mergeCte("v1", "t2", "v2")}, " +
-        s"${pairsCte("v2", "p3")}, ${topCte("p3", "t3")} " +
+    "pipeline_bpe_train" ->
+      (s"WITH $bpeBaseCtes " +
         "SELECT * FROM (" +
         "SELECT CAST(1 AS BIGINT) AS round, a AS merge_left, " +
         "b AS merge_right, pf AS pair_freq FROM t1 " +
         "UNION ALL SELECT CAST(2 AS BIGINT), a, b, pf FROM t2 " +
         "UNION ALL SELECT CAST(3 AS BIGINT), a, b, pf FROM t3) " +
+        "ORDER BY round"),
+    "pipeline_tokenizer_bpe" -> {
+      def row(r: Int, t: String, v: String): String =
+        s"SELECT CAST($r AS BIGINT) AS round, a AS merge_left, " +
+          s"b AS merge_right, pf AS pair_freq, a || b AS merged_token, " +
+          s"(SELECT corpus_tokens_after FROM c$r) AS corpus_tokens_after " +
+          s"FROM $t"
+      s"WITH $bpeFullCtes, ${bpeCountCte("v1", "c1")}, " +
+        s"${bpeCountCte("v2", "c2")}, ${bpeCountCte("v3", "c3")} " +
+        s"SELECT * FROM (${row(1, "t1", "v1")} UNION ALL " +
+        s"${row(2, "t2", "v2")} UNION ALL ${row(3, "t3", "v3")}) " +
         "ORDER BY round"
     },
-    "pipeline_bpe_apply" -> {
-      def pairsCte(v: String, p: String): String =
-        s"$p AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (" +
-          "SELECT t.freq, u.a, t.syms[CAST(u.i + 1 AS INTEGER)] AS b " +
-          "FROM (SELECT freq, list_filter(string_split(sym, '|'), " +
-          s"x -> len(x) > 0) AS syms FROM $v) t, " +
-          "LATERAL (SELECT UNNEST(t.syms) AS a, " +
-          "generate_subscripts(t.syms, 1) AS i) u " +
-          "WHERE u.i < len(t.syms)) GROUP BY a, b)"
-      def topCte(p: String, t: String): String =
-        s"$t AS (SELECT a, b, pf FROM $p ORDER BY pf DESC, a, b LIMIT 1)"
-      def mergeCte(v: String, t: String, vout: String): String =
-        s"$vout AS (SELECT freq, replace(replace(sym, " +
-          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
-          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|'), " +
-          s"'|' || (SELECT a FROM $t) || '|' || (SELECT b FROM $t) || '|', " +
-          s"'|' || (SELECT a FROM $t) || (SELECT b FROM $t) || '|') " +
-          s"AS sym FROM $v)"
-      "WITH v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, " +
-        "regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS sym FROM " +
-        "(SELECT unnest(list_filter(string_split(text, ' '), " +
-        "x -> length(x) > 0)) AS w FROM documents) GROUP BY w), " +
-        s"${pairsCte("v0", "p1")}, ${topCte("p1", "t1")}, " +
-        s"${mergeCte("v0", "t1", "v1")}, " +
-        s"${pairsCte("v1", "p2")}, ${topCte("p2", "t2")}, " +
-        s"${mergeCte("v1", "t2", "v2")}, " +
-        s"${pairsCte("v2", "p3")}, ${topCte("p3", "t3")}, " +
-        s"${mergeCte("v2", "t3", "v3")} " +
+    "pipeline_bpe_doc_tokens" ->
+      (s"WITH $bpeFullCtes, " +
+        "wt AS (SELECT w, CAST(len(list_filter(string_split(sym, '|'), " +
+        "x -> len(x) > 0)) AS BIGINT) AS n_sym FROM v3), " +
+        "dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> length(x) > 0)) AS w FROM documents) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws, " +
+        "CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe " +
+        "FROM dw JOIN wt USING (w) GROUP BY doc_id ORDER BY doc_id"),
+    "pipeline_bpe_apply" ->
+      (s"WITH $bpeFullCtes " +
         "SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences FROM " +
         "(SELECT freq, unnest(list_filter(string_split(sym, '|'), " +
         "x -> len(x) > 0)) AS token FROM v3) " +
-        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"
-    },
+        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"),
     "pipeline_dataset_card" ->
       (s"WITH ${graft.llm.TextAnalysis.gopherCtes}, " +
         "per AS (SELECT gf.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

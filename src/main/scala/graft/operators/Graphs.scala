@@ -1461,14 +1461,90 @@ object Graphs {
     * steps; the next hop is the neighbor at rank (node·31 + step·17) mod
     * degree under the sorted-neighbor order — a hash-indexed pick both
     * engines compute identically, standing in for the RNG draw (which
-    * could never be oracle-matched). Each step is one equi-join of the
-    * ranked adjacency against a ≤|seeds|-row broadcast frontier; the walk
-    * length bounds the join count, never the data. */
-  private def graphWalkCorpus(s: SparkSession, d: String): DataFrame = {
+    * could never be oracle-matched). Size-gated like [[eccentricityImpl]]
+    * (the r13 verdict's prescription): below [[GraphIterEdgeCap]] the
+    * whole 20-seed × 6-step walk runs as ONE in-memory task over the
+    * sorted CSR adjacency with IDENTICAL Long arithmetic — the frame loop
+    * pays 6 rounds of {broadcast-semi filter → window rank → join →
+    * localCheckpoint} scheduling latency for a ≤20-row frontier (4.7 s
+    * idle-warm at sf0.1, the r13 suite's slowest warm query). Above the
+    * cap the distributed loop below is the twin: each step is one
+    * equi-join of the ranked adjacency against a ≤|seeds|-row broadcast
+    * frontier; the walk length bounds the join count, never the data.
+    * Round14Spec pins cap=0 parity. */
+  private def graphWalkCorpus(s: SparkSession, d: String): DataFrame =
+    walkCorpusImpl(s, d, GraphIterEdgeCap)
+
+  private[graft] def walkCorpusImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+    val sym = coPairs(s, d).select(col("u"), col("v"))
+    if (sym.count() <= cap) walkCorpusSingleTask(sym)
+    else walkCorpusOnEdges(sym)
+  }
+
+  private def walkCorpusSingleTask(sym: DataFrame): DataFrame = {
+    val s = sym.sparkSession
+    import s.implicits._
+    // one sequential task over the raw pair tuples, primitive CSR with
+    // per-node SORTED segments (the transitiveTriplesSingleTask layout;
+    // sorted order is exactly the frame loop's window rank — coPairs
+    // rows are distinct). A distributed collect_list pre-grouping was
+    // measured SLOWER (2.0 vs 1.1 s warm at sf0.1): the ObjectHashAgg +
+    // array encoder costs more than one task's tuple deserialization.
+    sym.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val m = edges.length
+          val idx = scala.collection.mutable.LongMap.empty[Int]
+          val ids = scala.collection.mutable.ArrayBuffer[Long]()
+          val eu = new Array[Int](m); val ev = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            eu(i) = idx.getOrElseUpdate(edges(i)._1,
+              { ids += edges(i)._1; ids.size - 1 })
+            ev(i) = edges(i)._2
+            i += 1
+          }
+          val n = ids.size
+          val off = new Array[Int](n + 1)
+          i = 0; while (i < m) { off(eu(i) + 1) += 1; i += 1 }
+          i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+          val adj = new Array[Long](m)
+          val p = off.clone()
+          i = 0
+          while (i < m) { adj(p(eu(i))) = ev(i); p(eu(i)) += 1; i += 1 }
+          i = 0
+          while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+          val seeds = (0 until n)
+            .sortBy(j => (-(off(j + 1) - off(j)).toLong, ids(j)))
+            .take(20).map(ids(_))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          seeds.foreach { wid =>
+            var node = wid
+            out += ((wid, node, 0L))
+            var k = 1
+            while (k <= 6) {
+              val j = idx(node)
+              val deg = (off(j + 1) - off(j)).toLong
+              val rk = (node * 31L + k.toLong * 17L) % deg
+              node = adj(off(j) + rk.toInt)
+              out += ((wid, node, k.toLong))
+              k += 1
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("wid", "node", "step")
+      .orderBy("wid", "step")
+  }
+
+  private def walkCorpusOnEdges(sym: DataFrame): DataFrame = {
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("v"))
     val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-    val sym = coPairs(s, d).select(col("u"), col("v"))
     val seeds = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
       .orderBy(col("dg").desc, col("u")).limit(20)
       .select(col("u").as("wid"), col("u").as("node"), lit(0L).as("step"))

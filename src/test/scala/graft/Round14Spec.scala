@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 pins: the r13 verdict's carried items (ts_matrix_profile
+  * determinism + DECIMAL(38,0) canary, graph_walk_corpus single-task
+  * gate parity, permPvals cache coherence) and the r13 ADVICE fixes
+  * (facade rename-collision guard, Tukey-HSD taxonomy pin). */
+class Round14Spec extends SparkTestBase {
+
+  // --- r13 "What's wrong #1": the driver's one red row ---------------
+
+  test("ts_matrix_profile: two runs in one session are row-identical") {
+    // the r13 driver flagged a hash mismatch this judge reproduced in 0
+    // of 7 configurations; this pin makes within-session determinism a
+    // CI fact, so a future red driver row is provably the compare side
+    val fn = SparkEntry.queries("ts_matrix_profile")
+    def snap() = fn(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger.toString))
+    val a = snap().toSeq
+    val b = snap().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("fn_decimal38_canary: closed-form decimal128 values recount") {
+    val rows = SparkEntry.queries("fn_decimal38_canary")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val nines = BigInt("9" * 38)
+    val unit = BigInt("12345678901234567890123456789")
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(BigInt(r.getDecimal(1).toBigInteger) == nines)
+      assert(BigInt(r.getDecimal(2).toBigInteger) == -nines)
+      assert(BigInt(r.getDecimal(3).toBigInteger) == BigInt(0))
+      assert(BigInt(r.getDecimal(4).toBigInteger) ==
+        BigInt("12345678901234567890123456789012345678"))
+      assert(BigInt(r.getDecimal(5).toBigInteger) == (BigInt(k) + 1) * unit)
+    }
+  }
+
+  // --- r13 "What's wrong #2": the walk gate ---------------------------
+
+  test("graph_walk_corpus: cap=0 distributed twin matches the kernel") {
+    val fast = SparkEntry.queries("graph_walk_corpus")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = graft.operators.Graphs.walkCorpusImpl(spark, sfDir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == dist.toSeq)
+    assert(fast.length == 20 * 7) // 20 seeds x steps 0..6
+  }
+
+  // --- r13 "What's wrong #3": the shared permutation kernel ----------
+
+  test("agg_bh_fdr corrects EXACTLY the p-values agg_perm_test ships") {
+    // the shared-kernel law, now through the per-JVM cache: the FDR
+    // frame's p_micro column must be the test's, row for row
+    val p = SparkEntry.queries("agg_perm_test")(spark, sfDir)
+      .select(col("event_type"), col("p_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val f = SparkEntry.queries("agg_bh_fdr")(spark, sfDir)
+      .select(col("event_type"), col("p_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(p == f)
+    // cache coherence: a second resolve in the same session returns the
+    // SAME persisted frame (no rebuild — the r13 attribution fix)
+    val a = graft.operators.Aggregations.permPvals(spark, sfDir)
+    val b = graft.operators.Aggregations.permPvals(spark, sfDir)
+    assert(a eq b)
+  }
+
+  // --- r13 ADVICE: facade rename-collision guard ----------------------
+
+  test("facades fail loudly when caller names collide with kernel output") {
+    val api = graft.api.GraftApi
+    val df = U.tbl(spark, sfDir, "events")
+      .select(col("event_type").as("n0"), col("user_id").as("unit"),
+        pmod(col("user_id"), lit(2L)).as("arm"))
+    // group column named "n0" collides with srmOn's n0 output column
+    val e = intercept[IllegalArgumentException] {
+      api.srmCheck(df, "n0", "unit", "arm")
+    }
+    assert(e.getMessage.contains("collides"))
+    // the happy path still renames cleanly
+    val ok = api.srmCheck(df.withColumnRenamed("n0", "grp"),
+      "grp", "unit", "arm")
+    assert(ok.columns.contains("grp") && ok.columns.count(_ == "grp") == 1)
+  }
+
+  // --- r13 verdict item 5: the tokenizer-training step ----------------
+
+  /** Plain-Scala BPE fold over the collected corpus — same declared
+    * semantics as the kernel (freq-weighted pair counts on the distinct-
+    * word table; argmax tiebroken (freq DESC, a, b); delimited DOUBLE
+    * String.replace merge = leftmost non-overlapping in both engines)
+    * but a completely independent execution path. */
+  private def localBpe(): (Seq[(Long, String, String, Long, String, Long)],
+      Map[String, (Long, Int)]) = {
+    val freq = scala.collection.mutable.Map[String, Long]()
+    U.tbl(spark, sfDir, "documents").select("text").collect()
+      .map(_.getString(0))
+      .foreach(_.split(" ").filter(_.nonEmpty)
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    var vocab: Map[String, (Long, String)] = freq.toMap.map { case (w, f) =>
+      w -> (f, w.map(c => s"|$c").mkString + "|")
+    }
+    def syms(sym: String): Array[String] = sym.split('|').filter(_.nonEmpty)
+    def corpusTokens: Long =
+      vocab.valuesIterator.map { case (f, sym) => f * syms(sym).length }.sum
+    val rounds = (1 to 3).map { r =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.values.foreach { case (f, sym) =>
+        val ss = syms(sym)
+        var i = 0
+        while (i < ss.length - 1) {
+          pc((ss(i), ss(i + 1))) = pc.getOrElse((ss(i), ss(i + 1)), 0L) + f
+          i += 1
+        }
+      }
+      val ((a, b), pf) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      val before = corpusTokens
+      val pat = s"|$a|$b|"; val rep = s"|$a$b|"
+      vocab = vocab.map { case (w, (f, sym)) =>
+        w -> (f, sym.replace(pat, rep).replace(pat, rep))
+      }
+      val after = corpusTokens
+      // conservation: each application removes exactly one token, and
+      // applications can never exceed the (overlap-counting) pair freq
+      assert(after < before && before - after <= pf,
+        s"round $r conservation: $before -> $after vs pair_freq $pf")
+      (r.toLong, a, b, pf, a + b, after)
+    }
+    (rounds, vocab.map { case (w, (f, sym)) => w -> (f, syms(sym).length) })
+  }
+
+  test("pipeline_tokenizer_bpe: independent local fold recounts all 3 " +
+      "rounds + merge-count conservation") {
+    val (expect, _) = localBpe()
+    val got = SparkEntry.queries("pipeline_tokenizer_bpe")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("pipeline_bpe_doc_tokens: per-doc encoded lengths recount") {
+    val (_, wordLen) = localBpe()
+    val expect = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .map { case (id, ws) =>
+        (id, ws.length.toLong, ws.map(w => wordLen(w)._2.toLong).sum)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("pipeline_bpe_doc_tokens")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  // --- r13 ADVICE: Tukey-HSD critical value is k=5-specific ----------
+
+  test("agg_tukey_hsd: fixture taxonomy is exactly the k=5 the 3.858 " +
+      "critical value assumes") {
+    val k = U.events(spark, sfDir).select(col("event_type")).distinct().count()
+    assert(k == 5L,
+      s"event_type taxonomy changed to k=$k: agg_tukey_hsd's studentized-" +
+        "range constant 3.858 is k=5/df=inf — update the literal (and " +
+        "this pin) together")
+    val rows = SparkEntry.queries("agg_tukey_hsd")(spark, sfDir).count()
+    assert(rows == 10L) // k(k-1)/2 pairs
+  }
+}

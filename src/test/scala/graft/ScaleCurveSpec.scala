@@ -48,6 +48,21 @@ class ScaleCurveSpec extends SparkTestBase {
     e
   }
 
+  /** Wall-clock exponents on a host whose ambient load swings bench
+    * totals 207-324 s can spike past the bound with no code change (r13
+    * ADVICE), so a failing measurement earns ONE full fresh re-measure —
+    * a genuine super-linear kernel fails both; a load spike during one
+    * leg almost never repeats across two independent 6-run protocols. */
+  private def exponentChecked(name: String, bound: Double,
+      label: String): Unit = {
+    val e1 = exponent(name)
+    if (e1 > bound) {
+      val e2 = exponent(name)
+      assert(math.min(e1, e2) <= bound,
+        s"$name $label: exponent $e1 (retry $e2) over sf0.001->sf0.1")
+    }
+  }
+
   test("heaviest-family representatives scale at most ~linearly (100x span)") {
     // one data-scaling pick per heavy family; bound 1.35 (see header)
     val picks = Seq(
@@ -56,17 +71,11 @@ class ScaleCurveSpec extends SparkTestBase {
       "ts_zscore",                 // ts: linear window kernel
       "agg_basic",                 // agg: one hash aggregate
       "sql_q9_profit")             // sql: the multi-join TPC-H heavyweight
-    picks.foreach { q =>
-      val e = exponent(q)
-      assert(e <= 1.35, s"$q super-linear: exponent $e over sf0.001->sf0.1")
-    }
+    picks.foreach(q => exponentChecked(q, 1.35, "super-linear"))
   }
 
   test("calendar-bounded pair kernels stay near-flat across 100x data") {
-    Seq("ts_matrix_profile", "agg_hodges_lehmann").foreach { q =>
-      val e = exponent(q)
-      assert(e <= 0.7,
-        s"$q claims a calendar-bounded pair domain but scaled at exponent $e")
-    }
+    Seq("ts_matrix_profile", "agg_hodges_lehmann").foreach(q =>
+      exponentChecked(q, 0.7, "claims a calendar-bounded pair domain"))
   }
 }

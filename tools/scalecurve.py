@@ -16,6 +16,31 @@ Prints a markdown table ready for SCALE.md.
 """
 import json, math, sys, collections
 
+# Ambient-load guard (r13 verdict "What's missing #3"): the 32-cpu host
+# idles around loadavg 2; bench totals at one HEAD have swung 207->343 s
+# purely from co-tenant load. A scale-curve table fitted on a loaded run
+# is noise, so refuse any input whose recorded 1-min load ever exceeded
+# this bound during the run (override with --force for diagnostics).
+LOAD_BOUND = 8.0
+
+def check_load(path, force):
+    b = json.load(open(path))
+    seen = []
+    for key in ("load_start", "load_end"):
+        if key in b:
+            seen.append(b[key][0])
+    for pair in b.get("load", {}).values():
+        seen.extend(pair)
+    peak = max([x for x in seen if x >= 0], default=None)
+    if peak is not None and peak > LOAD_BOUND:
+        msg = (f"REFUSING {path}: peak 1-min loadavg {peak:.1f} > "
+               f"{LOAD_BOUND} during the bench run - re-run on an idle host")
+        if force:
+            print("WARNING (--force) " + msg, file=sys.stderr)
+        else:
+            print(msg, file=sys.stderr)
+            sys.exit(2)
+
 def fam_totals(path):
     b = json.load(open(path))
     fam = collections.Counter()
@@ -27,7 +52,11 @@ def fam_totals(path):
     return fam, n, b.get("failed", [])
 
 def main():
-    lo, mid, hi = sys.argv[1], sys.argv[2], sys.argv[3]
+    force = "--force" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    lo, mid, hi = args[0], args[1], args[2]
+    for p in (lo, mid, hi):
+        check_load(p, force)
     flo, nlo, xlo = fam_totals(lo)
     fmid, _, xmid = fam_totals(mid)
     fhi, nhi, xhi = fam_totals(hi)
