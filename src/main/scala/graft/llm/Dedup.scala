@@ -58,7 +58,7 @@ object Dedup {
     * per-query bench numbers stop depending on map iteration order (whoever
     * runs first otherwise pays the build). */
   private[graft] def warm(s: SparkSession, d: String): Unit =
-    { jaccardPairsShared(s, d).count(); () }
+    { jaccardPairsShared(s, d).count(); bandCandidates(s, d); () }
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -171,8 +171,28 @@ object Dedup {
     * pairs are deduped as bare (da, db) BEFORE the shingle arrays join back
     * in, so the banding shuffle never carries arrays. */
   /** The LSH band-candidate pairs (pre-verification) — the ONE definition
-    * [[minhashPairs]] verifies and [[lshRecall]] measures. */
-  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
+    * [[minhashPairs]] verifies and [[lshRecall]] measures. FOUR consumers
+    * (recall gate, estimator gate, edit verify, containment), so the
+    * frame is per-(session, sfDir) cached like permPvals — each call used
+    * to rebuild signatures + the band self-join (~1.5 s of every
+    * consumer's warm time at sf0.1). */
+  private val candCache =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
+  private def bandCandidates(s: SparkSession, d: String): DataFrame =
+    candCache.synchronized {
+      candCache.get(d) match {
+        case Some((sess, df)) if sess eq s => df
+        case stale =>
+          stale.foreach { case (_, old) =>
+            try old.unpersist() catch { case _: Throwable => () } }
+          val df = bandCandidatesBuild(s, d).persist()
+          df.count()
+          candCache(d) = (s, df)
+          df
+      }
+    }
+
+  private def bandCandidatesBuild(s: SparkSession, d: String): DataFrame = {
     val nPerm = 16
     val signed = shingled(s, d).select(col("doc_id"),
       graft.plans.CustomExprs.minhash_sigs(col("hs"), nPerm).as("sigs"))
@@ -188,6 +208,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance verification of the LSH band candidates — the
+    * character-level second opinion a near-dup pipeline keeps beside
+    * shingle Jaccard (small in-place edits crater 3-shingle overlap while
+    * barely moving edit distance, and vice versa for reorderings):
+    * every banded candidate pair ships levenshtein(text_a, text_b)
+    * (exact integer; cross-engine builtin parity proven by fn_string's
+    * lev_to_type column) and the normalized similarity
+    * (maxlen − lev)·1e6 DIV maxlen. The text join touches ONLY the
+    * candidate pairs — the band-key equijoin output, never corpus² —
+    * and candidate counts are LSH-bounded at any corpus size. */
+  private def dedupEditVerify(s: SparkSession, d: String): DataFrame = {
+    val txt = U.tbl(s, d, "documents").select(col("doc_id"), col("text"))
+    bandCandidates(s, d)
+      .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast(LongType))
+      .withColumn("maxlen",
+        greatest(length(col("ta")), length(col("tb"))).cast(LongType))
+      .select(col("da"), col("db"), col("lev"), col("maxlen"),
+        expr("(1000000 * (maxlen - lev)) DIV maxlen").as("editsim_micro"))
+      .orderBy("da", "db")
+  }
+
   /** LSH candidate recall MEASURED: of the pairs the df-capped exact
     * index scores at jaccard >= 0.2 (the dedup_jaccard truth set), what
     * share did MinHash banding surface as candidates? — the quality gate
@@ -199,7 +242,7 @@ object Dedup {
   private def lshRecall(s: SparkSession, d: String): DataFrame = {
     val truth = jaccardPairsShared(s, d).filter(col("jac") >= 0.2)
       .select(col("da"), col("db"))
-    val cand = U.track(bandCandidates(s, d).persist())
+    val cand = bandCandidates(s, d)
     val hit = truth.join(
       cand.select(col("da").as("ca"), col("db").as("cb")),
       col("da") === col("ca") && col("db") === col("cb"), "left_semi")
@@ -728,6 +771,7 @@ object Dedup {
     "dedup_minhash" -> minhashPairs _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_minhash_estimate" -> minhashEstimate _,
+    "dedup_edit_verify" -> dedupEditVerify _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_soft_weights" -> softWeights _,
     "dedup_clusters" -> clusterAssign _)
@@ -1004,6 +1048,28 @@ object Dedup {
     "dedup_minhash" -> minhashSql,
     // the minhashSql chain up to `cand`, then signature agreement vs the
     // exact Jaccard per candidate — estimator error in floored micro
+    "dedup_edit_verify" -> {
+      val toks = sqlTokens("text")
+      val shingles = sqlShingles3(toks)
+      val ph = sqlPolyHash("t", 13L)
+      s"WITH sh AS (SELECT doc_id, $shingles AS ss FROM documents), " +
+        "sized AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0), " +
+        s"hs AS (SELECT doc_id, ss, list_transform(ss, t -> $ph) AS hl FROM sized), " +
+        "sig AS (SELECT doc_id, list_transform(range(0, 16), k -> " +
+        "list_min(list_transform(hl, h -> (h*(2*k+1) + k*12345 + 7) % 1000000007))) AS sigs FROM hs), " +
+        "bands AS (SELECT doc_id, b, list_slice(sigs, CAST(b*4+1 AS INTEGER), " +
+        "CAST(b*4+4 AS INTEGER)) AS bkey FROM sig CROSS JOIN range(0, 4) t(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+        "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
+        "SELECT cand.da, cand.db, " +
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev, " +
+        "CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS maxlen, " +
+        "CAST((1000000 * (greatest(length(a.text), length(b.text)) - " +
+        "levenshtein(a.text, b.text))) // " +
+        "greatest(length(a.text), length(b.text)) AS BIGINT) AS editsim_micro " +
+        "FROM cand JOIN documents a ON cand.da = a.doc_id " +
+        "JOIN documents b ON cand.db = b.doc_id ORDER BY da, db"
+    },
     "dedup_minhash_estimate" -> {
       val toks = sqlTokens("text")
       val shingles = sqlShingles3(toks)

@@ -33,6 +33,7 @@ case class WavStats(doc_id: Long, n_samples: Long, sample_rate: Long,
 case class ImgPatch(doc_id: Long, patch_id: Long, patch_y: Long,
   patch_x: Long, gray_sum: Long, gray_mean: Long)
 case class WavFrame(doc_id: Long, frame: Long, energy: Long)
+case class ZcrFrame(doc_id: Long, frame: Long, n_zc: Long, energy: Long)
 
 object Multimodal {
 
@@ -520,8 +521,61 @@ object Multimodal {
       .orderBy("doc_id", "seg_id")
   }
 
+  /** Framewise zero-crossing rate THROUGH the real WAV codec — the other
+    * half of the classic speech/music/noise discriminator beside
+    * [[vad]]'s energy (high ZCR + low energy = fricatives/noise, low ZCR
+    * + high energy = voiced speech): the same synthetic PCM16 round-trips
+    * AudioSystem, the DECODED samples frame into the same non-overlapping
+    * 16-sample windows, and each frame ships its sign-transition count
+    * (boundary k−1→k crosses when the two samples' ≥0 flags differ — an
+    * exact integer, no float anywhere) beside its energy. One row per
+    * frame; frames per doc are clip-length-bounded (≤ 7) at ANY corpus
+    * size, and the codec work is partition-local (the vad posture). The
+    * oracle recomputes both columns from the closed-form samples. */
+  private def zcr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = U.tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = (64 + id % 64).toInt
+        val pcm = new Array[Byte](n * 2)
+        for (k <- 0 until n) {
+          val v = (((id * 31 + k.toLong * 17) % 65536) - 32768).toInt
+          pcm(2 * k) = (v & 0xff).toByte
+          pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val out = back.readAllBytes()
+        val nFrames = (out.length / 2) / 16
+        (0 until nFrames).map { f =>
+          var e = 0L; var zc = 0L
+          var prevNonNeg = false
+          for (k <- 0 until 16) {
+            val i = (f * 16 + k) * 2
+            val v = ((out(i) & 0xff) | (out(i + 1) << 8)).toShort.toLong
+            e += v * v
+            val nonNeg = v >= 0L
+            if (k > 0 && nonNeg != prevNonNeg) zc += 1L
+            prevNonNeg = nonNeg
+          }
+          ZcrFrame(id, f.toLong, zc, e)
+        }
+      }
+    }.toDF()
+      .orderBy("doc_id", "frame")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_patches" -> patches _,
+    "multimodal_zcr" -> zcr _,
     "multimodal_vad" -> vad _,
     "multimodal_resize_nn" -> resizeNn _,
     "multimodal_wav_stats" -> wavStats _,
@@ -584,6 +638,20 @@ object Multimodal {
         "FROM gr GROUP BY 1, 2, 3, 4 ORDER BY doc_id, patch_id"),
     // vad: the wav_stats closed-form samples, framed and segmented with
     // the identical integer voiced rule + gaps-islands merge
+    "multimodal_zcr" ->
+      ("WITH ks AS (SELECT doc_id, k, " +
+        "((doc_id * 31 + k * 17) % 65536) - 32768 AS s " +
+        "FROM documents CROSS JOIN range(0, 128) t(k) " +
+        "WHERE k < 64 + doc_id % 64), " +
+        "fr AS (SELECT doc_id, k // 16 AS frame, k % 16 AS pos, s " +
+        "FROM ks WHERE k // 16 < (64 + doc_id % 64) // 16), " +
+        "z AS (SELECT doc_id, frame, s, CASE WHEN pos > 0 AND " +
+        "(s >= 0) <> (lag(s) OVER (PARTITION BY doc_id, frame " +
+        "ORDER BY pos) >= 0) THEN 1 ELSE 0 END AS c FROM fr) " +
+        "SELECT doc_id, CAST(frame AS BIGINT) AS frame, " +
+        "CAST(SUM(c) AS BIGINT) AS n_zc, " +
+        "CAST(SUM(s * s) AS BIGINT) AS energy " +
+        "FROM z GROUP BY 1, 2 ORDER BY doc_id, frame"),
     "multimodal_vad" ->
       ("WITH ks AS (SELECT doc_id, k, " +
         "((doc_id * 31 + k * 17) % 65536) - 32768 AS s " +

@@ -358,6 +358,46 @@ object TextAnalysis {
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
   }
 
+  /** Skip-gram PMI within a ±2 window — the word2vec/SGNS co-occurrence
+    * statistic ([[pmi]]'s adjacent bigrams detect PHRASES; this unordered
+    * window-2 table is the distributional signal embeddings train on):
+    * every position pair |i−j| ∈ {1, 2} contributes both directions (the
+    * SGNS objective is symmetric), counts stay exact integers, and
+    * pmi = ln(c_xy·N_uni² / (N_sg·c_x·c_y)) ships floored to micro-nats
+    * through ONE ln of a rational with the identical operand tree both
+    * engines (the unigramLp doctrine). Pairs seen < 10 times filter out,
+    * bounding the table by the heavy vocab² head, not the corpus. Shapes:
+    * two offset projections + hash aggs — token-key shuffles only. */
+  private def skipgramPmi(s: SparkSession, d: String): DataFrame = {
+    val base = U.track(docs(s, d)
+      .select(tokens(col("text")).as("toks")).persist())
+    val tok = base.select(explode(col("toks")).as("token"))
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val nu = tok.agg(count(lit(1)).as("n_uni"))
+    def offPairs(off: Int): DataFrame = base
+      .filter(size(col("toks")) >= off + 1)
+      .select(explode(expr(s"transform(sequence(1, size(toks) - $off), " +
+        s"i -> struct(element_at(toks, i) AS wa, " +
+        s"element_at(toks, CAST(i + $off AS INT)) AS wb))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val dir = offPairs(1).unionByName(offPairs(2))
+    val sym = dir.unionByName(
+      dir.select(col("wb").as("wa"), col("wa").as("wb")))
+    val nsg = sym.agg(count(lit(1)).as("n_sg"))
+    val cSg = sym.groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("cb")).filter(col("cb") >= 10)
+    cSg
+      .join(uni.select(col("token").as("wa"), col("c1").as("ca")), Seq("wa"))
+      .join(uni.select(col("token").as("wb"), col("c1").as("cc")), Seq("wb"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nsg))
+      .select(col("wa").as("center"), col("wb").as("context"),
+        col("cb").as("n_cooc"),
+        expr("CAST(floor(ln((CAST(cb AS DOUBLE) * n_uni * n_uni) / " +
+          "(CAST(n_sg AS DOUBLE) * ca * cc)) * 1000000.0) AS BIGINT)")
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("center"), col("context"))
+  }
+
   /** Zipf rank-frequency fit over the top-1000 vocabulary (the corpus
     * health check — natural text slopes ≈ −1, templated/synthetic text
     * drifts): least-squares of ln(tf) on ln(rank). Both logs floor to
@@ -892,6 +932,7 @@ object TextAnalysis {
     "text_gopher_rules" -> gopherRules _,
     "text_boilerplate" -> boilerplate _,
     "text_pmi" -> pmi _,
+    "text_skipgram_pmi" -> skipgramPmi _,
     "text_zipf" -> zipf _,
     "text_repetition" -> repetition _,
     "text_novelty" -> novelty _,
@@ -1187,6 +1228,35 @@ object TextAnalysis {
         "(1000000 * CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) " +
         "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS boiler_micro " +
         "FROM sent JOIN cnt USING (sent) GROUP BY doc_id ORDER BY doc_id"),
+    "text_skipgram_pmi" ->
+      (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "tok AS (SELECT unnest(toks) AS token FROM base), " +
+        "uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok " +
+        "GROUP BY token), " +
+        "nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM tok), " +
+        "d1 AS (SELECT toks[CAST(i AS INTEGER)] AS wa, " +
+        "toks[CAST(i + 1 AS INTEGER)] AS wb " +
+        "FROM base, unnest(range(1, len(toks))) AS t(i) " +
+        "WHERE len(toks) >= 2), " +
+        "d2 AS (SELECT toks[CAST(i AS INTEGER)] AS wa, " +
+        "toks[CAST(i + 2 AS INTEGER)] AS wb " +
+        "FROM base, unnest(range(1, len(toks) - 1)) AS t(i) " +
+        "WHERE len(toks) >= 3), " +
+        "sym AS (SELECT wa, wb FROM d1 UNION ALL SELECT wb, wa FROM d1 " +
+        "UNION ALL SELECT wa, wb FROM d2 UNION ALL SELECT wb, wa FROM d2), " +
+        "nsg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sg FROM sym), " +
+        "csg AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS cb FROM sym " +
+        "GROUP BY wa, wb HAVING COUNT(*) >= 10) " +
+        "SELECT csg.wa AS center, csg.wb AS context, cb AS n_cooc, " +
+        "CAST(floor(ln((CAST(cb AS DOUBLE) * n_uni * n_uni) / " +
+        "(CAST(n_sg AS DOUBLE) * ca * cc)) * 1000000.0) AS BIGINT) " +
+        "AS pmi_micro " +
+        "FROM csg " +
+        "JOIN (SELECT token AS wa, c1 AS ca FROM uni) ua USING (wa) " +
+        "JOIN (SELECT token AS wb, c1 AS cc FROM uni) ub USING (wb) " +
+        "CROSS JOIN nu CROSS JOIN nsg " +
+        "ORDER BY pmi_micro DESC, center, context"),
     "text_pmi" ->
       (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

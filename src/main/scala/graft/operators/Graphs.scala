@@ -1541,6 +1541,29 @@ object Graphs {
       .orderBy("wid", "step")
   }
 
+  /** Skip-gram training pairs from the deterministic walk corpus — the
+    * node2vec/DeepWalk step AFTER [[graphWalkCorpus]] (walks are
+    * "sentences"; this emits the (center, context) co-occurrence table
+    * an SGNS embedding trains on): every node pair within window 2 on
+    * the same walk, both offset signs (the objective is symmetric),
+    * counted across walks. The frame under the self-join is the
+    * |walks|·(length+1) ≤ 140-row corpus — bounded by the walk design,
+    * never by graph size — so the pair table is ≤ 140·4 rows at any
+    * scale; the heavy lifting (the walk itself) reuses the size-gated
+    * kernel. */
+  private def graphSkipgramPairs(s: SparkSession, d: String): DataFrame = {
+    val wk = walkCorpusImpl(s, d, GraphIterEdgeCap)
+    val a = wk.select(col("wid"), col("step").as("sa"),
+      col("node").as("center"))
+    val b = wk.select(col("wid").as("wb"), col("step").as("sb"),
+      col("node").as("context"))
+    a.join(b, col("wid") === col("wb") &&
+        abs(col("sa") - col("sb")) >= 1L && abs(col("sa") - col("sb")) <= 2L)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy("center", "context")
+  }
+
   private def walkCorpusOnEdges(sym: DataFrame): DataFrame = {
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("v"))
@@ -2013,6 +2036,7 @@ object Graphs {
     "graph_triad_census" -> graphTriadCensus _,
     "graph_transitivity_dir" -> graphTransitivityDir _,
     "graph_walk_corpus" -> graphWalkCorpus _,
+    "graph_skipgram_pairs" -> graphSkipgramPairs _,
     "graph_rich_club" -> graphRichClub _,
     "graph_knn_degree" -> graphKnnDegree _,
     "graph_scc" -> graphScc _,
@@ -2040,6 +2064,31 @@ object Graphs {
     "graph_degree_dist" -> graphDegreeDist _,
     "graph_cc" -> graphCc _,
     "graph_triangles" -> graphTriangles _)
+
+  /** The walk-corpus CTE chain ending at `walk(wid, step, node)` —
+    * shared by the graph_walk_corpus and graph_skipgram_pairs oracles so
+    * the corpus being embedded and its training pairs cannot drift. */
+  private val walkCtes: String = {
+    def hop(k: Int): String =
+      s"s$k AS (SELECT wid, CAST($k AS BIGINT) AS step, r.v AS node " +
+        s"FROM s${k - 1} p JOIN radj r ON r.u = p.node " +
+        s"AND r.rk = (p.node * 31 + $k * 17) % r.deg)"
+    "li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+      "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+      "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), " +
+      "radj AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u " +
+      "ORDER BY v) - 1 AS BIGINT) AS rk, " +
+      "CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg FROM sym), " +
+      "seeds AS (SELECT u FROM (SELECT u, COUNT(*) AS dg FROM sym " +
+      "GROUP BY 1 ORDER BY dg DESC, u LIMIT 20)), " +
+      "s0 AS (SELECT u AS wid, CAST(0 AS BIGINT) AS step, u AS node " +
+      "FROM seeds), " +
+      (1 to 6).map(hop).mkString(", ") + ", " +
+      "walk AS (" +
+      (0 to 6).map(k => s"SELECT wid, step, node FROM s$k")
+        .mkString(" UNION ALL ") + ")"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "graph_eccentricity" ->
@@ -2113,27 +2162,16 @@ object Graphs {
         // once — a semi-join expressed as a plain join
         "(SELECT CAST(COUNT(*) AS BIGINT) AS n_closed FROM w " +
         "JOIN e ON w.u = e.u AND w.w = e.v)"),
-    "graph_walk_corpus" -> {
-      def hop(k: Int): String =
-        s"s$k AS (SELECT wid, CAST($k AS BIGINT) AS step, r.v AS node " +
-          s"FROM s${k - 1} p JOIN radj r ON r.u = p.node " +
-          s"AND r.rk = (p.node * 31 + $k * 17) % r.deg)"
-      "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
-        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
-        "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), " +
-        "radj AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u " +
-        "ORDER BY v) - 1 AS BIGINT) AS rk, " +
-        "CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg FROM sym), " +
-        "seeds AS (SELECT u FROM (SELECT u, COUNT(*) AS dg FROM sym " +
-        "GROUP BY 1 ORDER BY dg DESC, u LIMIT 20)), " +
-        "s0 AS (SELECT u AS wid, CAST(0 AS BIGINT) AS step, u AS node " +
-        "FROM seeds), " +
-        (1 to 6).map(hop).mkString(", ") + " " +
-        (0 to 6).map(k => s"SELECT wid, step, node FROM s$k")
-          .mkString("", " UNION ALL ", " ") +
-        "ORDER BY wid, step"
-    },
+    "graph_walk_corpus" ->
+      (s"WITH $walkCtes " +
+        "SELECT wid, step, node FROM walk ORDER BY wid, step"),
+    "graph_skipgram_pairs" ->
+      (s"WITH $walkCtes " +
+        "SELECT a.node AS center, b.node AS context, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cooc " +
+        "FROM walk a JOIN walk b ON a.wid = b.wid " +
+        "AND abs(a.step - b.step) BETWEEN 1 AND 2 " +
+        "GROUP BY 1, 2 ORDER BY center, context"),
     "graph_knn_degree" ->
       ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +

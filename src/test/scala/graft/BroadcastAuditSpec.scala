@@ -31,7 +31,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "llm/Similarity.scala" -> 33,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
-    "llm/TextAnalysis.scala" -> 21,
+    "llm/TextAnalysis.scala" -> 23,
     "streaming/StreamingQueries.scala" -> 9)
 
   test("every broadcast() site in src/main is inventoried in SCALE.md") {

@@ -157,6 +157,95 @@ class Round14Spec extends SparkTestBase {
     assert(got == expect)
   }
 
+  // --- r14 expansion laws ---------------------------------------------
+
+  test("multimodal_zcr: closed-form sample recount (codec-free path)") {
+    // the kernel counts sign transitions on CODEC-DECODED samples; this
+    // recount derives them straight from the generator — equality proves
+    // the WAV round-trip is lossless AND the transition rule is right
+    val got = SparkEntry.queries("multimodal_zcr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expect = U.tbl(spark, sfDir, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq.flatMap { id =>
+      val n = (64 + id % 64).toInt
+      val s0 = (0 until n).map(k =>
+        (((id * 31 + k.toLong * 17) % 65536) - 32768))
+      (0 until n / 16).map { f =>
+        val fr = s0.slice(f * 16, f * 16 + 16)
+        val zc = (1 until 16).count(k => (fr(k) >= 0) != (fr(k - 1) >= 0))
+        (id, f.toLong, zc.toLong, fr.map(v => v * v).sum)
+      }
+    }
+    assert(got == expect)
+  }
+
+  test("graph_skipgram_pairs: symmetric table with exact pair mass") {
+    val rows = SparkEntry.queries("graph_skipgram_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 20 walks x (6 offset-1 + 5 offset-2) positions x 2 directions
+    assert(rows.map(_._3).sum == 20L * (6 + 5) * 2)
+    val m = rows.map { case (c, x, n) => (c, x) -> n }.toMap
+    rows.foreach { case (c, x, n) => assert(m((x, c)) == n) }
+  }
+
+  test("dedup_edit_verify: independent DP levenshtein recount on every " +
+      "candidate pair") {
+    val txt = U.tbl(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(_.toLong)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val rows = SparkEntry.queries("dedup_edit_verify")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (da, db, l, ml, sim) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(da < db)
+      assert(l == lev(txt(da), txt(db)))
+      assert(ml == math.max(txt(da).length, txt(db).length).toLong)
+      assert(sim == 1000000L * (ml - l) / ml)
+    }
+  }
+
+  test("text_skipgram_pmi: full local recount of counts and micro-nat " +
+      "scores") {
+    val docs = U.tbl(spark, sfDir, "documents").select("text")
+      .collect().map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val uni = scala.collection.mutable.Map[String, Long]()
+    docs.foreach(_.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L))
+    val nUni = uni.values.sum
+    val cooc = scala.collection.mutable.Map[(String, String), Long]()
+    var nSg = 0L
+    docs.foreach { ws =>
+      for (i <- ws.indices; off <- 1 to 2 if i + off < ws.length;
+           p <- Seq((ws(i), ws(i + off)), (ws(i + off), ws(i)))) {
+        cooc(p) = cooc.getOrElse(p, 0L) + 1L
+        nSg += 1L
+      }
+    }
+    val expect = cooc.toSeq.filter(_._2 >= 10L).map { case ((a, b), cb) =>
+      val pmi = math.floor(math.log((cb.toDouble * nUni * nUni) /
+        (nSg.toDouble * uni(a) * uni(b))) * 1000000.0).toLong
+      (a, b, cb, pmi)
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }
+    val got = SparkEntry.queries("text_skipgram_pmi")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
   // --- r13 ADVICE: Tukey-HSD critical value is k=5-specific ----------
 
   test("agg_tukey_hsd: fixture taxonomy is exactly the k=5 the 3.858 " +
