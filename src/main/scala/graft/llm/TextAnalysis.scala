@@ -358,6 +358,48 @@ object TextAnalysis {
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
   }
 
+  /** Bigram Kneser–Ney smoothing — THE n-gram LM estimator (absolute
+    * discount d = 3/4 with continuation-probability backoff; the
+    * [[bigramLp]] MLE assigns unseen bigrams −∞, KN is what production
+    * n-gram LMs actually ship): for each bigram seen ≥ 5 times,
+    * P_KN(w2|w1) = max(c₁₂ − d, 0)/c₁· + d·N₁₊(w1,•)/c₁· · P_cont(w2)
+    * with P_cont(w2) = N₁₊(•,w2)/N₁₊(••). Everything stays exact
+    * integers: d = 3/4 enters by the ×4 clearing (max(4c₁₂ − 3, 0)), the
+    * three probabilities ship as explicit micro DIV trees mirrored
+    * operand-for-operand in the oracle (sum-of-two-DIVs is the DECLARED
+    * quantization, identical both engines), and every input is a count.
+    * Shapes: one bigram explosion + four hash aggs — token-key shuffles;
+    * the two scalar totals broadcast. */
+  private def kneserNey(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = U.track(base
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, " +
+        "element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist())
+    val cBg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cPrefix = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"),
+      countDistinct(col("w2")).as("n1_fwd"))
+    val cont = pairs.select(col("w1"), col("w2")).distinct()
+      .groupBy(col("w2")).agg(count(lit(1)).as("n1_back"))
+    val nTypes = pairs.select(col("w1"), col("w2")).distinct()
+      .agg(count(lit(1)).as("n_types"))
+    cBg.filter(col("cb") >= 5)
+      .join(cPrefix, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nTypes))
+      .withColumn("pcont_micro",
+        expr("(1000000 * n1_back) DIV n_types"))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("n1_fwd"),
+        col("n1_back"), col("pcont_micro"),
+        expr("(1000000 * greatest(4 * cb - 3, 0)) DIV (4 * c1) + " +
+          "(3 * n1_fwd * pcont_micro) DIV (4 * c1)").as("pkn_micro"))
+      .orderBy("w1", "w2")
+  }
+
   /** Skip-gram PMI within a ±2 window — the word2vec/SGNS co-occurrence
     * statistic ([[pmi]]'s adjacent bigrams detect PHRASES; this unordered
     * window-2 table is the distributional signal embeddings train on):
@@ -933,6 +975,7 @@ object TextAnalysis {
     "text_boilerplate" -> boilerplate _,
     "text_pmi" -> pmi _,
     "text_skipgram_pmi" -> skipgramPmi _,
+    "text_kneser_ney" -> kneserNey _,
     "text_zipf" -> zipf _,
     "text_repetition" -> repetition _,
     "text_novelty" -> novelty _,
@@ -1228,6 +1271,29 @@ object TextAnalysis {
         "(1000000 * CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) " +
         "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS boiler_micro " +
         "FROM sent JOIN cnt USING (sent) GROUP BY doc_id ORDER BY doc_id"),
+    "text_kneser_ney" ->
+      (s"WITH base AS (SELECT ${sqlTokens("text")} AS toks " +
+        "FROM documents WHERE len(list_filter(string_split(text, ' '), " +
+        "x -> length(x) > 0)) >= 2), " +
+        "pairs AS (SELECT toks[CAST(i AS INTEGER)] AS w1, " +
+        "toks[CAST(i + 1 AS INTEGER)] AS w2 " +
+        "FROM base, unnest(range(1, len(toks))) AS t(i)), " +
+        "cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs " +
+        "GROUP BY w1, w2), " +
+        "cpre AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1, " +
+        "CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1_fwd FROM pairs " +
+        "GROUP BY w1), " +
+        "dist AS (SELECT DISTINCT w1, w2 FROM pairs), " +
+        "cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_back " +
+        "FROM dist GROUP BY w2), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM dist) " +
+        "SELECT w1, w2, cb, c1, n1_fwd, n1_back, " +
+        "(1000000 * n1_back) // n_types AS pcont_micro, " +
+        "(1000000 * greatest(4 * cb - 3, 0)) // (4 * c1) + " +
+        "(3 * n1_fwd * ((1000000 * n1_back) // n_types)) // (4 * c1) " +
+        "AS pkn_micro " +
+        "FROM cbg JOIN cpre USING (w1) JOIN cont USING (w2) " +
+        "CROSS JOIN nt WHERE cb >= 5 ORDER BY w1, w2"),
     "text_skipgram_pmi" ->
       (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

@@ -2622,6 +2622,36 @@ object Aggregations {
       .orderBy("event_type")
   }
 
+  /** Holm–Bonferroni step-down correction at α = 5% over the SAME
+    * permutation p-values ([[permPvals]], the shared cached kernel) that
+    * [[aggBhFdr]] corrects at FDR — the FWER-strict sibling a regulated
+    * readout reports beside BH: p-values ranked ascending, rank i tests
+    * pᵢ·(m−i+1) ≤ α by integer cross-multiplication, and rejection stops
+    * at the FIRST failing rank (the step-down rule BH's step-up
+    * inverts — every rank past the first failure accepts regardless of
+    * its own test). Same |types|-row broadcast rank join as BH; the
+    * first-failure cut is one 1-row aggregate. */
+  private def aggHolm(s: SparkSession, d: String): DataFrame = {
+    val base = U.track(permPvals(s, d)
+      .select(col("event_type"), col("p_micro")).persist())
+    val m = base.agg(count(lit(1)).as("m"))
+    val rk = base.select(col("event_type").as("re"), col("p_micro").as("rp"))
+    val ranked = base.crossJoin(broadcast(m))
+      .join(broadcast(rk), col("rp") < col("p_micro") ||
+        (col("rp") === col("p_micro") && col("re") <= col("event_type")),
+        "left")
+      .groupBy(col("event_type"), col("p_micro"), col("m"))
+      .agg(count(col("re")).as("p_rank"))
+      .withColumn("ok",
+        col("p_micro") * (col("m") - col("p_rank") + 1L) <= lit(50000L))
+    val ff = ranked.agg(min(when(!col("ok"), col("p_rank"))).as("ff"))
+    ranked.crossJoin(broadcast(ff))
+      .select(col("event_type"), col("p_micro"), col("p_rank"),
+        (col("m") - col("p_rank") + 1L).as("holm_mult"),
+        (col("p_rank") < coalesce(col("ff"), col("m") + 1L)).as("rejected"))
+      .orderBy("event_type")
+  }
+
   /** Sample-ratio-mismatch guardrail per type — the FIRST check any
     * experiment readout runs (a skewed split invalidates every
     * downstream stat): distinct USERS per parity arm (the randomization
@@ -3330,6 +3360,7 @@ object Aggregations {
     "agg_srm" -> aggSrm _,
     "agg_psi" -> aggPsi _,
     "agg_bh_fdr" -> aggBhFdr _,
+    "agg_holm" -> aggHolm _,
     "agg_perm_test" -> aggPermTest _,
     "agg_bootstrap_ci" -> aggBootstrapCi _,
     "agg_mcnemar" -> aggMcnemar _,
@@ -3979,6 +4010,19 @@ object Aggregations {
         "CAST((p_rank * 200000) // m AS BIGINT) AS threshold_micro, " +
         "p_rank <= coalesce(kk.k, 0) AS rejected " +
         "FROM ranked CROSS JOIN kk ORDER BY event_type"),
+    "agg_holm" ->
+      (s"WITH pv AS (SELECT event_type, p_micro FROM ($permTestSql)), " +
+        "m0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv), " +
+        "ranked AS (SELECT a.event_type, a.p_micro, m0.m, " +
+        "CAST((SELECT COUNT(*) FROM pv b WHERE b.p_micro < a.p_micro " +
+        "OR (b.p_micro = a.p_micro AND b.event_type <= a.event_type)) " +
+        "AS BIGINT) AS p_rank FROM pv a CROSS JOIN m0), " +
+        "ff AS (SELECT MIN(CASE WHEN p_micro * (m - p_rank + 1) > 50000 " +
+        "THEN p_rank END) AS ff FROM ranked) " +
+        "SELECT event_type, p_micro, p_rank, " +
+        "CAST(m - p_rank + 1 AS BIGINT) AS holm_mult, " +
+        "p_rank < coalesce(ff.ff, m + 1) AS rejected " +
+        "FROM ranked CROSS JOIN ff ORDER BY event_type"),
     "agg_bootstrap_ci" -> {
       val c = OSQL.cents("value")
       s"WITH ev AS (SELECT event_type, $c AS vc, event_id FROM events), " +

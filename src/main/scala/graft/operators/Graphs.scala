@@ -1541,6 +1541,165 @@ object Graphs {
       .orderBy("wid", "step")
   }
 
+  /** SECOND-ORDER (node2vec) biased walk corpus — the p/q walk the
+    * first-order [[graphWalkCorpus]] approximates (p = q = 2, cleared to
+    * integer weights ×2: return-to-previous 1, common-neighbor-of-
+    * previous 2, farther 1 — the in-out/return bias that interpolates
+    * BFS-like and DFS-like exploration): same 20 top-degree seeds, step 1
+    * is the first-order hash pick (no previous node yet), steps 2..6
+    * pick the neighbor whose CUMULATIVE-WEIGHT interval under the sorted
+    * order contains (node·31 + step·17) mod total-weight — the
+    * deterministic stand-in for the weighted RNG draw, computed
+    * identically by both engines. Size-gated exactly like
+    * [[graphWalkCorpus]]: one-task sorted-CSR walk with binary-search
+    * common-neighbor tests below [[GraphIterEdgeCap]], the distributed
+    * frame loop above (weights via one left join of the ≤|frontier-adj|
+    * rows against the pair frame on (prev, v)); Round14Spec pins cap=0
+    * parity and recounts the whole walk locally. */
+  private def graphWalkBiased(s: SparkSession, d: String): DataFrame =
+    walkBiasedImpl(s, d, GraphIterEdgeCap)
+
+  private[graft] def walkBiasedImpl(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+    val sym = coPairs(s, d).select(col("u"), col("v"))
+    if (sym.count() <= cap) walkBiasedSingleTask(sym)
+    else walkBiasedOnEdges(sym)
+  }
+
+  private def walkBiasedSingleTask(sym: DataFrame): DataFrame = {
+    val s = sym.sparkSession
+    import s.implicits._
+    sym.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val m = edges.length
+          val idx = scala.collection.mutable.LongMap.empty[Int]
+          val ids = scala.collection.mutable.ArrayBuffer[Long]()
+          val eu = new Array[Int](m); val ev = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            eu(i) = idx.getOrElseUpdate(edges(i)._1,
+              { ids += edges(i)._1; ids.size - 1 })
+            ev(i) = edges(i)._2
+            i += 1
+          }
+          val n = ids.size
+          val off = new Array[Int](n + 1)
+          i = 0; while (i < m) { off(eu(i) + 1) += 1; i += 1 }
+          i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+          val adj = new Array[Long](m)
+          val p = off.clone()
+          i = 0
+          while (i < m) { adj(p(eu(i))) = ev(i); p(eu(i)) += 1; i += 1 }
+          i = 0
+          while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+          def hasEdge(a: Long, b: Long): Boolean = {
+            val j = idx(a)
+            java.util.Arrays.binarySearch(adj, off(j), off(j + 1), b) >= 0
+          }
+          val seeds = (0 until n)
+            .sortBy(j => (-(off(j + 1) - off(j)).toLong, ids(j)))
+            .take(20).map(ids(_))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          seeds.foreach { wid =>
+            var node = wid
+            var prev = -1L
+            out += ((wid, node, 0L))
+            // step 1: first-order pick (no previous node)
+            val j1 = idx(node)
+            val deg1 = (off(j1 + 1) - off(j1)).toLong
+            prev = node
+            node = adj(off(j1) + ((node * 31L + 17L) % deg1).toInt)
+            out += ((wid, node, 1L))
+            var k = 2
+            while (k <= 6) {
+              val j = idx(node)
+              var tot = 0L
+              var t = off(j)
+              while (t < off(j + 1)) {
+                val v = adj(t)
+                tot += (if (v == prev) 1L
+                        else if (hasEdge(prev, v)) 2L else 1L)
+                t += 1
+              }
+              val r = (node * 31L + k.toLong * 17L) % tot
+              var cum = 0L
+              var pick = -1L
+              t = off(j)
+              while (t < off(j + 1) && pick < 0L) {
+                val v = adj(t)
+                cum += (if (v == prev) 1L
+                        else if (hasEdge(prev, v)) 2L else 1L)
+                if (r < cum) pick = v
+                t += 1
+              }
+              prev = node
+              node = pick
+              out += ((wid, node, k.toLong))
+              k += 1
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("wid", "node", "step")
+      .orderBy("wid", "step")
+  }
+
+  private def walkBiasedOnEdges(sym: DataFrame): DataFrame = {
+    val seeds = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(20)
+      .select(col("u").as("wid"), col("u").as("node"), lit(0L).as("step"))
+    // step 1: the first-order rule (no previous node)
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val sub1 = sym.join(
+      broadcast(seeds.select(col("node").as("fn")).distinct()),
+      col("u") === col("fn"), "left_semi")
+    var cur = sub1
+      .withColumn("rk", (row_number().over(wAdj) - 1).cast(LongType))
+      .withColumn("deg", count(lit(1)).over(wCnt))
+      .join(broadcast(seeds.select(col("wid"), col("node").as("cu"))),
+        col("u") === col("cu") &&
+          col("rk") === (col("cu") * 31 + 17) % col("deg"))
+      .select(col("wid"), col("v").as("node"), col("u").as("prev"),
+        lit(1L).as("step"))
+      .localCheckpoint()
+    var acc = seeds.unionByName(
+      cur.select(col("wid"), col("node"), col("step")))
+    for (k <- 2 to 6) {
+      val sub = sym.join(
+        broadcast(cur.select(col("node").as("fn")).distinct()),
+        col("u") === col("fn"), "left_semi")
+      // weight each frontier-adjacency row by the second-order rule: one
+      // left join against the pair frame probes (prev, v) membership
+      val wtd = sub
+        .join(broadcast(cur.select(col("wid"), col("node").as("cu"),
+          col("prev").as("pv"))), col("u") === col("cu"))
+        .join(sym.select(col("u").as("ce_u"), col("v").as("ce_v")),
+          col("ce_u") === col("pv") && col("ce_v") === col("v"), "left")
+        .withColumn("w", when(col("v") === col("pv"), 1L)
+          .otherwise(when(col("ce_v").isNotNull, 2L).otherwise(1L)))
+      val wWid = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wid")).orderBy(col("v"))
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wid"))
+      cur = wtd
+        .withColumn("cw", sum(col("w")).over(wWid))
+        .withColumn("tw", sum(col("w")).over(wTot))
+        .withColumn("r", (col("u") * 31 + k * 17) % col("tw"))
+        .filter(col("cw") - col("w") <= col("r") && col("r") < col("cw"))
+        .select(col("wid"), col("v").as("node"), col("u").as("prev"),
+          lit(k.toLong).as("step"))
+        .localCheckpoint()
+      acc = acc.unionByName(cur.select(col("wid"), col("node"), col("step")))
+    }
+    acc.orderBy("wid", "step")
+  }
+
   /** Skip-gram training pairs from the deterministic walk corpus — the
     * node2vec/DeepWalk step AFTER [[graphWalkCorpus]] (walks are
     * "sentences"; this emits the (center, context) co-occurrence table
@@ -2037,6 +2196,7 @@ object Graphs {
     "graph_transitivity_dir" -> graphTransitivityDir _,
     "graph_walk_corpus" -> graphWalkCorpus _,
     "graph_skipgram_pairs" -> graphSkipgramPairs _,
+    "graph_walk_biased" -> graphWalkBiased _,
     "graph_rich_club" -> graphRichClub _,
     "graph_knn_degree" -> graphKnnDegree _,
     "graph_scc" -> graphScc _,
@@ -2165,6 +2325,39 @@ object Graphs {
     "graph_walk_corpus" ->
       (s"WITH $walkCtes " +
         "SELECT wid, step, node FROM walk ORDER BY wid, step"),
+    "graph_walk_biased" -> {
+      def hop(k: Int): String =
+        s"w$k AS (SELECT p.wid, p.node AS cur, p.prev, r.v, " +
+          "CASE WHEN r.v = p.prev THEN 1 " +
+          "WHEN ce.v IS NOT NULL THEN 2 ELSE 1 END AS w " +
+          s"FROM b${k - 1} p JOIN sym r ON r.u = p.node " +
+          "LEFT JOIN sym ce ON ce.u = p.prev AND ce.v = r.v), " +
+          s"c$k AS (SELECT wid, cur, v, w, " +
+          "SUM(w) OVER (PARTITION BY wid ORDER BY v) AS cw, " +
+          s"SUM(w) OVER (PARTITION BY wid) AS tw FROM w$k), " +
+          s"b$k AS (SELECT wid, CAST($k AS BIGINT) AS step, v AS node, " +
+          s"cur AS prev FROM c$k WHERE cw - w <= (cur * 31 + $k * 17) % tw " +
+          s"AND (cur * 31 + $k * 17) % tw < cw)"
+      "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), " +
+        "radj AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u " +
+        "ORDER BY v) - 1 AS BIGINT) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg FROM sym), " +
+        "seeds AS (SELECT u FROM (SELECT u, COUNT(*) AS dg FROM sym " +
+        "GROUP BY 1 ORDER BY dg DESC, u LIMIT 20)), " +
+        "b0 AS (SELECT u AS wid, CAST(0 AS BIGINT) AS step, u AS node " +
+        "FROM seeds), " +
+        "b1 AS (SELECT p.wid, CAST(1 AS BIGINT) AS step, r.v AS node, " +
+        "p.node AS prev FROM b0 p JOIN radj r ON r.u = p.node " +
+        "AND r.rk = (p.node * 31 + 17) % r.deg), " +
+        (2 to 6).map(hop).mkString(", ") + " " +
+        "SELECT wid, step, node FROM b0 " +
+        (1 to 6).map(k => s"UNION ALL SELECT wid, step, node FROM b$k")
+          .mkString(" ", " ", " ") +
+        "ORDER BY wid, step"
+    },
     "graph_skipgram_pairs" ->
       (s"WITH $walkCtes " +
         "SELECT a.node AS center, b.node AS context, " +

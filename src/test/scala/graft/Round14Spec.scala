@@ -246,6 +246,111 @@ class Round14Spec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("graph_walk_biased: cap=0 distributed twin matches the kernel") {
+    val fast = SparkEntry.queries("graph_walk_biased")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = graft.operators.Graphs.walkBiasedImpl(spark, sfDir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == dist.toSeq)
+    assert(fast.length == 20 * 7)
+  }
+
+  test("graph_walk_biased: full local recount of the second-order rule") {
+    // independent path: rebuild the symmetric co-purchase pairs straight
+    // from lineitem and fold the p=q=2 weighted walk in plain Scala
+    val li = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.toSeq
+      .map(_.map(_._2).distinct.toSeq)
+    val und = byOrder.flatMap(ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)).toSet
+    val nbrs = (und.toSeq ++ und.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).sorted }
+    val seeds = nbrs.toSeq.map { case (u, vs) => (u, vs.length) }
+      .sortBy { case (u, dg) => (-dg, u) }.take(20).map(_._1)
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    seeds.foreach { wid =>
+      var node = wid; var prev = -1L
+      expect += ((wid, node, 0L))
+      val vs1 = nbrs(node)
+      prev = node
+      node = vs1(((node * 31 + 17) % vs1.length).toInt)
+      expect += ((wid, node, 1L))
+      for (k <- 2 to 6) {
+        val vs = nbrs(node)
+        def w(v: Long): Long =
+          if (v == prev) 1L
+          else if (java.util.Arrays.binarySearch(
+            nbrs(prev).toArray, v) >= 0) 2L else 1L
+        val tot = vs.map(w).sum
+        val r = (node * 31 + k.toLong * 17) % tot
+        var cum = 0L; var pick = -1L
+        vs.foreach { v =>
+          if (pick < 0) { cum += w(v); if (r < cum) pick = v } }
+        prev = node; node = pick
+        expect += ((wid, node, k.toLong))
+      }
+    }
+    val got = SparkEntry.queries("graph_walk_biased")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect.toSeq.sortBy(t => (t._1, t._3)))
+  }
+
+  test("text_kneser_ney: local recount; probabilities sum below one " +
+      "per context") {
+    val docs = U.tbl(spark, sfDir, "documents").select("text")
+      .collect().map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+      .filter(_.length >= 2)
+    val cBg = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach(ws => ws.sliding(2).foreach { p =>
+      cBg((p(0), p(1))) = cBg.getOrElse((p(0), p(1)), 0L) + 1L })
+    val c1 = cBg.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1Fwd = cBg.keys.toSeq.groupBy(_._1)
+      .map { case (w, ks) => w -> ks.size.toLong }
+    val n1Back = cBg.keys.toSeq.groupBy(_._2)
+      .map { case (w, ks) => w -> ks.size.toLong }
+    val nTypes = cBg.size.toLong
+    val expect = cBg.toSeq.filter(_._2 >= 5L).map { case ((a, b), cb) =>
+      val pc = 1000000L * n1Back(b) / nTypes
+      val pkn = 1000000L * math.max(4 * cb - 3, 0L) / (4 * c1(a)) +
+        3 * n1Fwd(a) * pc / (4 * c1(a))
+      (a, b, cb, c1(a), n1Fwd(a), n1Back(b), pc, pkn)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("text_kneser_ney")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == expect)
+    // the KN law this smoothing exists for: per context, the shipped
+    // (quantized) probabilities can never exceed one in total
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._8).sum <= 1000000L)
+    }
+  }
+
+  test("agg_holm: step-down rejections are a rank prefix and recount " +
+      "from the shipped p-values") {
+    val ps = SparkEntry.queries("agg_perm_test")(spark, sfDir)
+      .select(col("event_type"), col("p_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val m = ps.length.toLong
+    val ranked = ps.sortBy { case (t, p) => (p, t) }.zipWithIndex
+      .map { case ((t, p), i) => (t, p, i + 1L) }
+    val ff = ranked.collectFirst {
+      case (_, p, rk) if p * (m - rk + 1) > 50000L => rk }
+    val expect = ranked.map { case (t, p, rk) =>
+      (t, p, rk, m - rk + 1, rk < ff.getOrElse(m + 1L))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("agg_holm")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expect)
+    // prefix law: no rejected row may rank above an accepted one
+    val rej = got.filter(_._5).map(_._3)
+    assert(rej.sorted == (1L to rej.length.toLong))
+  }
+
   // --- r13 ADVICE: Tukey-HSD critical value is k=5-specific ----------
 
   test("agg_tukey_hsd: fixture taxonomy is exactly the k=5 the 3.858 " +
