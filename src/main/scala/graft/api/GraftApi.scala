@@ -1239,6 +1239,50 @@ object GraftApi {
         col(post).cast(LongType).as("y"),
         col(arm).cast(LongType).as("arm")))
 
+  /** Holm–Bonferroni step-down correction on a caller p-value frame —
+    * the `agg_holm` kernel lifted: rows are (key, p-micro); p-values
+    * rank ascending, rank i tests pᵢ·(m−i+1) ≤ `alphaMicro` by integer
+    * cross-multiplication, and rejection stops at the first failing
+    * rank. Returns (<key>, p_micro, p_rank, holm_mult, rejected). */
+  def holmCorrect(df: DataFrame, key: String, pMicro: String,
+      alphaMicro: Long = 50000L): DataFrame =
+    renameOut(graft.operators.Aggregations.holmOn(
+        df.select(col(key).as("event_type"),
+          col(pMicro).cast(LongType).as("p_micro")), alphaMicro),
+      "event_type" -> key)
+
+  /** Bigram Kneser–Ney smoothing on a caller bigram-occurrence frame —
+    * the `text_kneser_ney` kernel lifted: one row per bigram OCCURRENCE
+    * (w1, w2); d = 3/4 absolute discounting with continuation-probability
+    * backoff, everything exact-integer micro. Returns (w1, w2, cb, c1,
+    * n1_fwd, n1_back, pcont_micro, pkn_micro) for bigrams seen ≥
+    * `minCount` times. */
+  def kneserNey(df: DataFrame, w1: String, w2: String,
+      minCount: Long = 5L): DataFrame =
+    renameOut(graft.llm.TextAnalysis.kneserNeyOn(
+        df.select(col(w1).as("w1"), col(w2).as("w2")), minCount),
+      "w1" -> w1, "w2" -> w2)
+
+  /** Skip-gram (center, context) pair counts on a caller walk/sentence
+    * frame — the `graph_skipgram_pairs` kernel lifted: rows are (walk
+    * id, step, node); every pair within `window` steps on the same walk
+    * counts once per direction. Returns (center, context, n_cooc). */
+  def skipgramPairs(df: DataFrame, walkId: String, step: String,
+      node: String, window: Long = 2L): DataFrame =
+    graft.operators.Graphs.skipgramPairsOn(
+      df.select(col(walkId).as("wid"), col(step).cast(LongType).as("step"),
+        col(node).as("node")), window)
+
+  /** Edit-distance verification on caller candidate pairs — the
+    * `dedup_edit_verify` kernel lifted: `pairs` is (da, db) id pairs
+    * (e.g. an LSH candidate table), `docs` the (id, text) corpus.
+    * Returns (da, db, lev, maxlen, editsim_micro). */
+  def editVerify(pairs: DataFrame, docs: DataFrame, da: String,
+      db: String, id: String, text: String): DataFrame =
+    graft.llm.Dedup.editVerifyOn(
+      pairs.select(col(da).as("da"), col(db).as("db")),
+      docs.select(col(id).as("doc_id"), col(text).as("text")))
+
   /** Renames kernel output columns back to the caller's names, failing
     * LOUDLY when the renamed frame would carry duplicate column names
     * (r13 ADVICE: a caller group column named like a kernel output —

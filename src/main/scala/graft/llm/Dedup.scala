@@ -218,9 +218,16 @@ object Dedup {
     * (maxlen − lev)·1e6 DIV maxlen. The text join touches ONLY the
     * candidate pairs — the band-key equijoin output, never corpus² —
     * and candidate counts are LSH-bounded at any corpus size. */
-  private def dedupEditVerify(s: SparkSession, d: String): DataFrame = {
-    val txt = U.tbl(s, d, "documents").select(col("doc_id"), col("text"))
-    bandCandidates(s, d)
+  private def dedupEditVerify(s: SparkSession, d: String): DataFrame =
+    editVerifyOn(bandCandidates(s, d),
+      U.tbl(s, d, "documents").select(col("doc_id"), col("text")))
+
+  /** The edit-verification kernel over any (da, db) candidate frame +
+    * (doc_id, text) corpus — shared by the declared query and
+    * [[graft.api.GraftApi.editVerify]]. */
+  private[graft] def editVerifyOn(cand: DataFrame,
+      txt: DataFrame): DataFrame = {
+    cand
       .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), "da")
       .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       .withColumn("lev", levenshtein(col("ta"), col("tb")).cast(LongType))

@@ -374,12 +374,19 @@ object TextAnalysis {
     val base = docs(s, d)
       .select(tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val pairs = U.track(base
+    kneserNeyOn(base
       .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
         "i -> struct(element_at(toks, i) AS w1, " +
         "element_at(toks, i + 1) AS w2))")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist())
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")), 5L)
+  }
+
+  /** The Kneser–Ney kernel over any (w1, w2) bigram-occurrence frame —
+    * shared by the declared query and
+    * [[graft.api.GraftApi.kneserNey]]. `minCount` is the caller's
+    * bigram-count floor (the declared query's 5). */
+  private[graft] def kneserNeyOn(bg: DataFrame, minCount: Long): DataFrame = {
+    val pairs = U.track(bg.persist())
     val cBg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cPrefix = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"),
       countDistinct(col("w2")).as("n1_fwd"))
@@ -387,7 +394,7 @@ object TextAnalysis {
       .groupBy(col("w2")).agg(count(lit(1)).as("n1_back"))
     val nTypes = pairs.select(col("w1"), col("w2")).distinct()
       .agg(count(lit(1)).as("n_types"))
-    cBg.filter(col("cb") >= 5)
+    cBg.filter(col("cb") >= minCount)
       .join(cPrefix, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(nTypes))

@@ -2631,8 +2631,16 @@ object Aggregations {
     * inverts — every rank past the first failure accepts regardless of
     * its own test). Same |types|-row broadcast rank join as BH; the
     * first-failure cut is one 1-row aggregate. */
-  private def aggHolm(s: SparkSession, d: String): DataFrame = {
-    val base = U.track(permPvals(s, d)
+  private def aggHolm(s: SparkSession, d: String): DataFrame =
+    holmOn(permPvals(s, d).select(col("event_type"), col("p_micro")),
+      50000L)
+
+  /** The Holm step-down kernel over any (event_type = key, p_micro)
+    * frame — shared by the declared query and
+    * [[graft.api.GraftApi.holmCorrect]]. `alphaMicro` is the caller's
+    * familywise α in micro (the declared query's 50000 = 5%). */
+  private[graft] def holmOn(pv: DataFrame, alphaMicro: Long): DataFrame = {
+    val base = U.track(pv
       .select(col("event_type"), col("p_micro")).persist())
     val m = base.agg(count(lit(1)).as("m"))
     val rk = base.select(col("event_type").as("re"), col("p_micro").as("rp"))
@@ -2643,7 +2651,7 @@ object Aggregations {
       .groupBy(col("event_type"), col("p_micro"), col("m"))
       .agg(count(col("re")).as("p_rank"))
       .withColumn("ok",
-        col("p_micro") * (col("m") - col("p_rank") + 1L) <= lit(50000L))
+        col("p_micro") * (col("m") - col("p_rank") + 1L) <= lit(alphaMicro))
     val ff = ranked.agg(min(when(!col("ok"), col("p_rank"))).as("ff"))
     ranked.crossJoin(broadcast(ff))
       .select(col("event_type"), col("p_micro"), col("p_rank"),

@@ -1710,14 +1710,22 @@ object Graphs {
     * never by graph size — so the pair table is ≤ 140·4 rows at any
     * scale; the heavy lifting (the walk itself) reuses the size-gated
     * kernel. */
-  private def graphSkipgramPairs(s: SparkSession, d: String): DataFrame = {
-    val wk = walkCorpusImpl(s, d, GraphIterEdgeCap)
+  private def graphSkipgramPairs(s: SparkSession, d: String): DataFrame =
+    skipgramPairsOn(walkCorpusImpl(s, d, GraphIterEdgeCap), 2L)
+
+  /** The skip-gram pair kernel over any (wid, step, node) walk frame —
+    * shared by the declared query and
+    * [[graft.api.GraftApi.skipgramPairs]]. `window` is the caller's
+    * context radius (the declared query's 2). */
+  private[graft] def skipgramPairsOn(wk: DataFrame,
+      window: Long): DataFrame = {
     val a = wk.select(col("wid"), col("step").as("sa"),
       col("node").as("center"))
     val b = wk.select(col("wid").as("wb"), col("step").as("sb"),
       col("node").as("context"))
     a.join(b, col("wid") === col("wb") &&
-        abs(col("sa") - col("sb")) >= 1L && abs(col("sa") - col("sb")) <= 2L)
+        abs(col("sa") - col("sb")) >= 1L &&
+        abs(col("sa") - col("sb")) <= window)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_cooc"))
       .orderBy("center", "context")

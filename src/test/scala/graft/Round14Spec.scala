@@ -351,6 +351,57 @@ class Round14Spec extends SparkTestBase {
     assert(rej.sorted == (1L to rej.length.toLong))
   }
 
+  // --- r14 facade lifts pinned against their declared twins -----------
+
+  test("holmCorrect facade equals agg_holm on the fixture p-values") {
+    val pv = SparkEntry.queries("agg_perm_test")(spark, sfDir)
+      .select(col("event_type").as("metric"), col("p_micro").as("p"))
+    val got = graft.api.GraftApi.holmCorrect(pv, "metric", "p")
+      .orderBy("metric").collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("agg_holm")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("kneserNey facade equals text_kneser_ney on the fixture bigrams") {
+    import graft.llm.TextUtil.tokens
+    val bg = U.tbl(spark, sfDir, "documents")
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS a, " +
+        "element_at(toks, i + 1) AS b))")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val got = graft.api.GraftApi.kneserNey(bg, "a", "b")
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("text_kneser_ney")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("skipgramPairs facade equals graph_skipgram_pairs on the walk") {
+    val wk = SparkEntry.queries("graph_walk_corpus")(spark, sfDir)
+      .withColumnRenamed("wid", "walk").withColumnRenamed("step", "pos")
+    val got = graft.api.GraftApi.skipgramPairs(wk, "walk", "pos", "node")
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("graph_skipgram_pairs")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("editVerify facade equals dedup_edit_verify on its own pairs") {
+    val pairs = SparkEntry.queries("dedup_edit_verify")(spark, sfDir)
+      .select(col("da").as("x"), col("db").as("y"))
+    val docs = U.tbl(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val got = graft.api.GraftApi
+      .editVerify(pairs, docs, "x", "y", "id", "body")
+      .collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("dedup_edit_verify")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   // --- r13 ADVICE: Tukey-HSD critical value is k=5-specific ----------
 
   test("agg_tukey_hsd: fixture taxonomy is exactly the k=5 the 3.858 " +
