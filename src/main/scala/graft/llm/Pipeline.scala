@@ -1508,6 +1508,55 @@ object Pipeline {
     * like far fewer documents and the mix needs real data, not weights.
     * All integer: two taxonomy-sized aggregates, DECIMAL(38,0) cross
     * terms, nothing touches the documents twice. */
+  /** DSIR-style importance-resampling weights (Xie et al.'s hashed-
+    * n-gram data-selection step — the published way a pretraining
+    * pipeline upweights raw documents that look like a target domain
+    * without training a classifier): every doc's unigrams + bigrams hash
+    * into 64 buckets, the target distribution is the `src0` slice (the
+    * deterministic stand-in for "high-quality domain sample"), and each
+    * doc scores Σ_b n_b·ln(p̂_target(b)/p̂_raw(b)) with Laplace-smoothed
+    * bucket probabilities. Counts stay exact; each bucket's log-ratio is
+    * ONE ln of an exact rational floored to micro-nats (the unigramLp
+    * doctrine) and doc scores are exact integer dot products against
+    * the 64-row broadcast score table. Scale shape: one feature
+    * explosion + hash aggs; the score table is hash-domain-bounded (64
+    * rows at any corpus size). */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val base = U.tbl(s, d, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val uni = base.select(col("doc_id"), col("source"),
+      explode(col("toks")).as("f"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), '_', " +
+          "element_at(toks, i + 1)))")).as("f"))
+    // codegen'd PolyHash, not the interpreted HOF fold (the §4 lesson:
+    // interpreted lambdas over millions of feature strings dominate)
+    val fe = U.track(uni.unionByName(bi)
+      .withColumn("b",
+        pmod(graft.plans.CustomExprs.poly_hash(col("f"), 17L), lit(64L)))
+      .persist())
+    val tgt = fe.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = fe.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tt = fe.filter(col("source") === "src0")
+      .agg(count(lit(1)).as("t"))
+    val rt = fe.agg(count(lit(1)).as("r"))
+    val sc = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("b"),
+        expr("CAST(floor(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) * " +
+          "(r + 64)) / (CAST(cr + 1 AS DOUBLE) * (t + 64))) * " +
+          "1000000.0) AS BIGINT)").as("sb"))
+    fe.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("nb"))
+      .join(broadcast(sc), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nb")).as("n_features"),
+        sum(col("nb") * col("sb")).as("dsir_micro"))
+      .orderBy("doc_id")
+  }
+
   private def sampleEss(s: SparkSession, d: String): DataFrame = {
     val per = docs(s, d).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1582,6 +1631,7 @@ object Pipeline {
     "pipeline_grpo_adv" -> grpoAdvantages _,
     "pipeline_length_buckets" -> pipelineLengthBuckets _,
     "sample_ess" -> sampleEss _,
+    "pipeline_dsir_weights" -> dsirWeights _,
     "pipeline_dpo_pairs" -> pipelineDpoPairs _,
     "pipeline_best_of_k" -> pipelineBestOfK _,
     "pipeline_mix_schedule" -> pipelineMixSchedule _,
@@ -2161,6 +2211,34 @@ object Pipeline {
         "FROM embeddings) " +
         "SELECT label, rn, vec_id FROM r CROSS JOIN k WHERE rn <= k " +
         "ORDER BY label, rn"),
+    "pipeline_dsir_weights" -> {
+      val toks = sqlTokens("text")
+      val ph = sqlPolyHash("f", 17L)
+      s"WITH base AS (SELECT doc_id, source, $toks AS toks FROM documents), " +
+        "f1 AS (SELECT doc_id, source, unnest(toks) AS f FROM base), " +
+        "f2 AS (SELECT doc_id, source, toks[CAST(i AS INTEGER)] || '_' || " +
+        "toks[CAST(i + 1 AS INTEGER)] AS f " +
+        "FROM base, unnest(range(1, len(toks))) AS t(i) " +
+        "WHERE len(toks) >= 2), " +
+        s"fe AS (SELECT doc_id, source, $ph % 64 AS b " +
+        "FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)), " +
+        "tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM fe " +
+        "WHERE source = 'src0' GROUP BY b), " +
+        "raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fe " +
+        "GROUP BY b), " +
+        "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM fe " +
+        "WHERE source = 'src0'), " +
+        "rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM fe), " +
+        "sc AS (SELECT b, CAST(floor(ln((CAST(coalesce(ct, 0) + 1 " +
+        "AS DOUBLE) * (r + 64)) / (CAST(cr + 1 AS DOUBLE) * (t + 64))) " +
+        "* 1000000.0) AS BIGINT) AS sb " +
+        "FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN rt), " +
+        "db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS nb " +
+        "FROM fe GROUP BY doc_id, b) " +
+        "SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_features, " +
+        "CAST(SUM(nb * sb) AS BIGINT) AS dsir_micro " +
+        "FROM db JOIN sc USING (b) GROUP BY doc_id ORDER BY doc_id"
+    },
     "sample_reservoir" ->
       ("SELECT event_type, rn, event_id, user_id, value FROM (" +
         "SELECT event_type, event_id, user_id, value, " +

@@ -407,6 +407,32 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Distinct-n diversity per source (the generation-diversity metric —
+    * distinct-1/distinct-2 of Li et al.: distinct n-grams over total
+    * n-grams; templated or mode-collapsed text craters it while natural
+    * text stays high): exact token/bigram counts and distinct counts per
+    * source, ratios in integer micro via DIV. Two explode→hash-agg
+    * passes, taxonomy-bounded output. */
+  private def distinctN(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("source"), tokens(col("text")).as("toks"))
+    val uni = base.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), countDistinct(col("g")).as("d1"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("source"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), '_', " +
+          "element_at(toks, i + 1)))")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("d2"))
+    uni.join(bi, Seq("source"))
+      .select(col("source"), col("n1"), col("d1"), col("n2"), col("d2"),
+        expr("(1000000 * d1) DIV n1").as("distinct1_micro"),
+        expr("(1000000 * d2) DIV n2").as("distinct2_micro"))
+      .orderBy("source")
+  }
+
   /** Skip-gram PMI within a ±2 window — the word2vec/SGNS co-occurrence
     * statistic ([[pmi]]'s adjacent bigrams detect PHRASES; this unordered
     * window-2 table is the distributional signal embeddings train on):
@@ -983,6 +1009,7 @@ object TextAnalysis {
     "text_pmi" -> pmi _,
     "text_skipgram_pmi" -> skipgramPmi _,
     "text_kneser_ney" -> kneserNey _,
+    "text_distinct_n" -> distinctN _,
     "text_zipf" -> zipf _,
     "text_repetition" -> repetition _,
     "text_novelty" -> novelty _,
@@ -1278,6 +1305,22 @@ object TextAnalysis {
         "(1000000 * CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) " +
         "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS boiler_micro " +
         "FROM sent JOIN cnt USING (sent) GROUP BY doc_id ORDER BY doc_id"),
+    "text_distinct_n" ->
+      (s"WITH base AS (SELECT source, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "uni AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1, " +
+        "CAST(COUNT(DISTINCT g) AS BIGINT) AS d1 FROM " +
+        "(SELECT source, unnest(toks) AS g FROM base) GROUP BY source), " +
+        "bi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n2, " +
+        "CAST(COUNT(DISTINCT g) AS BIGINT) AS d2 FROM " +
+        "(SELECT source, toks[CAST(i AS INTEGER)] || '_' || " +
+        "toks[CAST(i + 1 AS INTEGER)] AS g " +
+        "FROM base, unnest(range(1, len(toks))) AS t(i) " +
+        "WHERE len(toks) >= 2) GROUP BY source) " +
+        "SELECT source, n1, d1, n2, d2, " +
+        "(1000000 * d1) // n1 AS distinct1_micro, " +
+        "(1000000 * d2) // n2 AS distinct2_micro " +
+        "FROM uni JOIN bi USING (source) ORDER BY source"),
     "text_kneser_ney" ->
       (s"WITH base AS (SELECT ${sqlTokens("text")} AS toks " +
         "FROM documents WHERE len(list_filter(string_split(text, ' '), " +

@@ -27,7 +27,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 25,
+    "llm/Pipeline.scala" -> 28,
     "llm/Similarity.scala" -> 33,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,

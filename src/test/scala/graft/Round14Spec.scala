@@ -351,6 +351,62 @@ class Round14Spec extends SparkTestBase {
     assert(rej.sorted == (1L to rej.length.toLong))
   }
 
+  test("pipeline_dsir_weights: full local recount of buckets, smoothing " +
+      "and scores") {
+    val rows = U.tbl(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    def ph(f: String): Long =
+      f.foldLeft(17L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def feats(ws: Seq[String]): Seq[Long] =
+      (ws ++ ws.sliding(2).filter(_.length == 2).map(p => p(0) + "_" + p(1)))
+        .map(f => ph(f) % 64L)
+    val all = rows.flatMap { case (id, src, ws) =>
+      feats(ws).map(b => (id, src, b)) }
+    val cr = all.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val ct = all.filter(_._2 == "src0").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val rTot = all.length.toLong
+    val tTot = all.count(_._2 == "src0").toLong
+    val sc = cr.map { case (b, c) =>
+      b -> math.floor(math.log(((ct.getOrElse(b, 0L) + 1).toDouble *
+        (rTot + 64)) / ((c + 1).toDouble * (tTot + 64))) * 1000000.0).toLong
+    }
+    val expect = all.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.length.toLong, xs.map(x => sc(x._3)).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("pipeline_dsir_weights")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the selection law DSIR exists for: target-slice docs must average
+    // a higher importance weight than the raw corpus
+    val bySrc = rows.map(r => r._1 -> r._2).toMap
+    val (tgtW, restW) = got.partition(g => bySrc(g._1) == "src0")
+    assert(tgtW.map(_._3).sum / tgtW.size >
+      restW.map(_._3).sum / restW.size)
+  }
+
+  test("text_distinct_n: local recount per source") {
+    val rows = U.tbl(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq))
+    val expect = rows.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2)
+      val bis = ds.flatMap(_._2.sliding(2).filter(_.length == 2)
+        .map(p => p(0) + "_" + p(1)))
+      (src, toks.length.toLong, toks.distinct.length.toLong,
+        bis.length.toLong, bis.distinct.length.toLong,
+        1000000L * toks.distinct.length / toks.length,
+        1000000L * bis.distinct.length / bis.length)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("text_distinct_n")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect)
+  }
+
   // --- r14 facade lifts pinned against their declared twins -----------
 
   test("holmCorrect facade equals agg_holm on the fixture p-values") {
