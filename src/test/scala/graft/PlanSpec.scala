@@ -864,6 +864,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-14 sweep: new operators plan no cartesian product") {
+    // the skip-gram/bigram/feature joins ride their key equijoins, the
+    // candidate scorers their band keys, DSIR its 64-row broadcast score
+    // table — a CartesianProduct anywhere is the n^2 shape these kernels
+    // exist to avoid (1-row broadcast cross joins plan as
+    // BroadcastNestedLoop, which is fine and not matched here)
+    for (name <- Seq("pipeline_tokenizer_bpe", "pipeline_bpe_doc_tokens",
+        "graph_skipgram_pairs", "graph_walk_biased", "text_skipgram_pmi",
+        "text_kneser_ney", "text_distinct_n", "dedup_edit_verify",
+        "pipeline_dsir_weights", "agg_holm", "multimodal_zcr",
+        "fn_decimal38_canary")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      U.releaseTracked()
+    }
+  }
+
   test("emb_ood_score broadcasts the 16-row quantizer against one stream") {
     val p = plan("emb_ood_score")
     assert(p.contains("BroadcastNestedLoopJoin") ||
