@@ -407,6 +407,44 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** HTML boilerplate stripping — the text-EXTRACTION rung every
+    * web-corpus pipeline runs before any quality filter (the simplified
+    * trafilatura step): each doc is wrapped in a deterministic synthetic
+    * HTML shell (title header, paragraph tags, an entity-escaped phrase,
+    * a comment — the closed-form-fixture discipline of the multimodal
+    * codecs, since no raw-HTML column exists), and the operator under
+    * test strips comments then tags, unescapes the four core entities,
+    * collapses whitespace and trims. Output ships tag/entity counts and
+    * the recovered text; Round14Spec pins the ROUNDTRIP law (recovered
+    * text = a closed-form normalization of the original). Pure per-row
+    * projection — zero shuffles before the output sort. */
+  private def htmlStrip(s: SparkSession, d: String): DataFrame = {
+    val html = concat(lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"),
+      regexp_replace(col("text"), "data", "&quot;data&quot;"),
+      lit("</p><!-- footer --><div class=\"nav\">menu &amp; links</div>" +
+        "</body></html>"))
+    docs(s, d).select(col("doc_id"), html.as("html"))
+      .withColumn("no_comment",
+        regexp_replace(col("html"), "<!--.*?-->", " "))
+      .withColumn("n_tags",
+        regexp_count(col("no_comment"), lit("<[^>]*>")).cast(LongType))
+      .withColumn("stripped",
+        regexp_replace(col("no_comment"), "<[^>]*>", " "))
+      .withColumn("n_entities",
+        regexp_count(col("stripped"),
+          lit("&(quot|amp|lt|gt);")).cast(LongType))
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("stripped"), "&quot;", "\""), "&amp;", "&"), "&lt;", "<"),
+          "&gt;", ">"),
+        "\\s+", " ")))
+      .select(col("doc_id"), col("n_tags"), col("n_entities"),
+        length(col("clean")).cast(LongType).as("clean_len"), col("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct-n diversity per source (the generation-diversity metric —
     * distinct-1/distinct-2 of Li et al.: distinct n-grams over total
     * n-grams; templated or mode-collapsed text craters it while natural
@@ -1010,6 +1048,7 @@ object TextAnalysis {
     "text_skipgram_pmi" -> skipgramPmi _,
     "text_kneser_ney" -> kneserNey _,
     "text_distinct_n" -> distinctN _,
+    "text_html_strip" -> htmlStrip _,
     "text_zipf" -> zipf _,
     "text_repetition" -> repetition _,
     "text_novelty" -> novelty _,
@@ -1305,6 +1344,27 @@ object TextAnalysis {
         "(1000000 * CAST(SUM(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END) " +
         "AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS boiler_micro " +
         "FROM sent JOIN cnt USING (sent) GROUP BY doc_id ORDER BY doc_id"),
+    "text_html_strip" ->
+      ("WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || " +
+        "'</title></head><body><h1>Doc ' || doc_id || '</h1><p>' || " +
+        "regexp_replace(text, 'data', '&quot;data&quot;', 'g') || " +
+        "'</p><!-- footer --><div class=\"nav\">menu &amp; links</div>" +
+        "</body></html>' AS html FROM documents), " +
+        "nc AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', ' ', " +
+        "'g') AS no_comment FROM h), " +
+        "st AS (SELECT doc_id, CAST(len(regexp_extract_all(no_comment, " +
+        "'<[^>]*>')) AS BIGINT) AS n_tags, " +
+        "regexp_replace(no_comment, '<[^>]*>', ' ', 'g') AS stripped " +
+        "FROM nc), " +
+        "cl AS (SELECT doc_id, n_tags, " +
+        "CAST(len(regexp_extract_all(stripped, '&(quot|amp|lt|gt);')) " +
+        "AS BIGINT) AS n_entities, " +
+        "trim(regexp_replace(replace(replace(replace(replace(stripped, " +
+        "'&quot;', '\"'), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), " +
+        "'\\s+', ' ', 'g')) AS clean FROM st) " +
+        "SELECT doc_id, n_tags, n_entities, " +
+        "CAST(length(clean) AS BIGINT) AS clean_len, clean " +
+        "FROM cl ORDER BY doc_id"),
     "text_distinct_n" ->
       (s"WITH base AS (SELECT source, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

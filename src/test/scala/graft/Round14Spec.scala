@@ -407,6 +407,29 @@ class Round14Spec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("text_html_strip: the extraction roundtrip recovers the document") {
+    val raw = U.tbl(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("text_html_strip")(spark, sfDir).collect()
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val (id, nTags, nEnt, len, clean) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getString(4))
+      // closed-form expectation straight from the raw text: the shell
+      // contributes the two headers and the nav line; entity unescape
+      // restores & and turns the escaped phrase into a quoted one
+      val expect = (s"Doc $id Doc $id " +
+        raw(id).replace("data", "\"data\"") +
+        " menu & links").replaceAll("\\s+", " ").trim
+      assert(clean == expect, s"doc $id roundtrip")
+      assert(len == clean.length.toLong)
+      assert(nTags == 14L, s"doc $id tag count") // the shell's tag census
+      // two entities per 'data' hit plus the nav &amp;
+      val hits = raw(id).sliding(4).count(_ == "data")
+      assert(nEnt == 2L * hits + 1L, s"doc $id entity count")
+    }
+  }
+
   // --- r14 facade lifts pinned against their declared twins -----------
 
   test("holmCorrect facade equals agg_holm on the fixture p-values") {
