@@ -12,7 +12,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN (r14 verdict "What's missing #2"): the driver tails
+    // this process's output and BENCH_r13/r14 both came back parsed:null —
+    // the contract JSON line drowned in thousands of WindowExec WARNs
+    // (the unpartitioned-window posture is already CI-audited in
+    // WindowAuditSpec; the runtime warning adds nothing to a bench run).
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/scan paths once so the first timed query doesn't
     // absorb session bring-up (~3-4s JIT + filesystem metadata), including a
     // collation comparison (fn_collation measured 13.5 s as the FIRST
@@ -45,7 +50,7 @@ object Bench {
       only.forall(names => prefixes.exists(p => names.exists(_.startsWith(p))))
     try {
       if (wants("graph_")) graft.operators.Graphs.warm(spark, sfDir)
-      if (wants("agg_perm_test", "agg_bh_fdr"))
+      if (wants("agg_perm_test", "agg_bh_fdr", "agg_holm"))
         graft.operators.Aggregations.warm(spark, sfDir)
       if (wants("dedup_", "text_novelty")) graft.llm.Dedup.warm(spark, sfDir)
       if (wants("emb_top_eigvec", "emb_project_eigvec", "emb_pca2"))
@@ -58,6 +63,8 @@ object Bench {
       if (wants("sim_pq")) graft.llm.Similarity.warmPq(spark, sfDir)
       if (wants("sim_ivfpq")) graft.llm.Similarity.warmIvfPq(spark, sfDir)
       if (wants("multimodal_phash")) graft.llm.Multimodal.warm(spark, sfDir)
+      else if (wants("multimodal_"))
+        graft.llm.Multimodal.warmAudio(spark)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
     }
@@ -124,8 +131,12 @@ object Bench {
     val runsJson = results.map { case (k, (rs, _, _)) =>
       s"\"" + k + "\":" + rs.map(_._1).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // raw Double.toString, not the f-interpolator: %.2f uses the JVM
+    // default locale and a comma-decimal locale would emit "3,14" —
+    // invalid JSON that breaks scalecurve.py's load gate (r14 ADVICE);
+    // /proc/loadavg values carry at most 2 decimals already
     val loadJson = results.map { case (k, (_, lb, la)) =>
-      f""""$k":[$lb%.2f,$la%.2f]""" }
+      s""""$k":[$lb,$la]""" }
       .mkString("{", ",", "}")
     val loadEnv = {
       val le = loadavg()
@@ -153,7 +164,9 @@ object Bench {
       } catch { case _: Throwable => }
     }
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"queries_file":"/tmp/graft_bench.json","sf":"$sfDir"}"""
-    println(compact)
+    // stop FIRST, print LAST: the contract line must be the absolute tail
+    // of stdout so the driver's tail-parse cannot lose it to shutdown logs
     spark.stop()
+    println(compact)
   }
 }

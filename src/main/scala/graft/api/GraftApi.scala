@@ -1167,7 +1167,9 @@ object GraftApi {
     * caller (key, index, value) series — the `ts_matrix_profile` kernel
     * lifted: per key, each length-7 window's squared-Euclidean nearest
     * non-trivial neighbor over the dense rank index. `value` must already
-    * be an exact integer domain. Returns (<key>, w_idx, nn_idx, mp_d2). */
+    * be an exact integer domain. Returns (<key>, w_idx, nn_idx, mp_d2);
+    * `mp_d2` is the exact integer distance² as a canonical STRING (the
+    * compute runs in DECIMAL(38,0); §5 policy bans decimal128 outputs). */
   def matrixProfile(df: DataFrame, key: String, idx: String,
       value: String): DataFrame =
     TimeSeries.matrixProfileOn(

@@ -261,22 +261,28 @@ object ScalarFns {
     * constant-literal decimal128 values spanning the type's range (full
     * 38-nines positive and negative, zero, a mid-range constant) plus one
     * row-varying product in the same value domain ts_matrix_profile's
-    * squared-cents sums occupy. Rows/values are closed-form — if THIS row
-    * ever hash-mismatches, the disagreement is in the compare pipeline
-    * (parquet decimal128 vs DuckDB decimal hashing), not in any engine. */
+    * squared-cents sums occupy. The r14 round ADJUDICATED the axis: the
+    * driver reds exactly the decimal128-output queries (this canary +
+    * ts_matrix_profile, the only two in 574 dumps) while rows/schema
+    * match and the local driver-mimic passes on the same parquet bytes.
+    * Per the resulting SURVEY §5 policy (no decimal128 in final output
+    * schemas) the values ship as STRING — still exercising the full
+    * decimal128 COMPUTE path (the products and literals stay
+    * DECIMAL(38,0) internally; decimal→string is exact and canonical in
+    * both engines), now testing the STRING output path end-to-end. */
   private def fnDecimal38Canary(s: SparkSession, d: String): DataFrame =
     U.tbl(s, d, "region").select(
       col("r_regionkey").cast(LongType).as("r_regionkey"),
       expr("CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0))")
-        .as("dec_max"),
+        .cast(StringType).as("dec_max"),
       expr("CAST('-99999999999999999999999999999999999999' AS DECIMAL(38,0))")
-        .as("dec_min"),
-      expr("CAST(0 AS DECIMAL(38,0))").as("dec_zero"),
+        .cast(StringType).as("dec_min"),
+      expr("CAST(0 AS DECIMAL(38,0))").cast(StringType).as("dec_zero"),
       expr("CAST('12345678901234567890123456789012345678' AS DECIMAL(38,0))")
-        .as("dec_mid"),
+        .cast(StringType).as("dec_mid"),
       expr("CAST(CAST(r_regionkey + 1 AS DECIMAL(9,0)) * " +
         "CAST('12345678901234567890123456789' AS DECIMAL(29,0)) " +
-        "AS DECIMAL(38,0))").as("dec_rowvar"))
+        "AS DECIMAL(38,0))").cast(StringType).as("dec_rowvar"))
       .orderBy("r_regionkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,16 +323,16 @@ object ScalarFns {
   val oracleSql: Map[String, String] = Map(
     "fn_decimal38_canary" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, " +
-        "CAST('99999999999999999999999999999999999999' AS DECIMAL(38,0)) " +
-        "AS dec_max, " +
-        "CAST('-99999999999999999999999999999999999999' AS DECIMAL(38,0)) " +
-        "AS dec_min, " +
-        "CAST(0 AS DECIMAL(38,0)) AS dec_zero, " +
-        "CAST('12345678901234567890123456789012345678' AS DECIMAL(38,0)) " +
-        "AS dec_mid, " +
-        "CAST(CAST(r_regionkey + 1 AS DECIMAL(9,0)) * " +
+        "CAST(CAST('99999999999999999999999999999999999999' " +
+        "AS DECIMAL(38,0)) AS VARCHAR) AS dec_max, " +
+        "CAST(CAST('-99999999999999999999999999999999999999' " +
+        "AS DECIMAL(38,0)) AS VARCHAR) AS dec_min, " +
+        "CAST(CAST(0 AS DECIMAL(38,0)) AS VARCHAR) AS dec_zero, " +
+        "CAST(CAST('12345678901234567890123456789012345678' " +
+        "AS DECIMAL(38,0)) AS VARCHAR) AS dec_mid, " +
+        "CAST(CAST(CAST(r_regionkey + 1 AS DECIMAL(9,0)) * " +
         "CAST('12345678901234567890123456789' AS DECIMAL(29,0)) " +
-        "AS DECIMAL(38,0)) AS dec_rowvar " +
+        "AS DECIMAL(38,0)) AS VARCHAR) AS dec_rowvar " +
         "FROM region ORDER BY r_regionkey"),
     "fn_crypto" ->
       ("SELECT doc_id, text AS aes_roundtrip, sha256(text) AS digest256, " +

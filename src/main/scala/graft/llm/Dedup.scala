@@ -319,6 +319,21 @@ object Dedup {
     * under a JVM-unique temp name and renames atomically into place; a
     * lost race discards the temp — the winner's bytes are the same
     * deterministic function of the corpus. */
+  /** Cheap corpus fingerprint for persisted-index scratch tags: a stable
+    * hash of every file's (name, length, mtime) under the sfDir's
+    * documents.parquet — pure filesystem metadata, no data read. Two
+    * generations of the same logical corpus produce different tags, so a
+    * write-if-absent index can never outlive the bytes it indexed. */
+  private def corpusFingerprint(d: String): String = {
+    val dir = new java.io.File(s"$d/documents.parquet")
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .sorted.mkString("|")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(parts.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
   private val bandIdxCache =
     scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
   private def bandIndexFrame(s: SparkSession, d: String,
@@ -328,10 +343,16 @@ object Dedup {
       case stale =>
         stale.foreach { case (_, old) =>
           try old.unpersist() catch { case _: Throwable => () } }
-        // the tag carries a version: bump it whenever the shingle/minhash
-        // kernel changes so a pre-existing on-disk index can never serve
-        // stale bytes (write-if-absent trusts whatever is there)
-        val path = U.scratch(d, "minhash_band_index_v2")
+        // the tag carries a version (bump on shingle/minhash kernel
+        // changes) AND a corpus fingerprint (r14 ADVICE): the on-disk
+        // index survives JVM restarts, so if the parquet under an sfDir
+        // path is ever REGENERATED the manual version tag alone would
+        // silently serve candidates from the stale index. The
+        // fingerprint folds each documents.parquet part-file's name,
+        // length, and mtime into the tag — a data change invalidates
+        // the index automatically, no human bump required.
+        val path = U.scratch(d,
+          s"minhash_band_index_v2_${corpusFingerprint(d)}")
         val dir = new java.io.File(path)
         if (!dir.exists()) {
           val tmp = path + ".tmp" + java.lang.ProcessHandle.current().pid()

@@ -227,9 +227,43 @@ object Multimodal {
   /** Bench warm-up: materialize the shared phash frame (and first-use
     * ImageIO/codec JIT) so per-query bench numbers measure the query,
     * not whichever consumer ran first (the r12 attribution lesson —
-    * `multimodal_phash` swung 0.8→4.0 s with zero code change). */
-  private[graft] def warm(s: SparkSession, d: String): Unit =
-    { phashFrame(s, d); () }
+    * `multimodal_phash` swung 0.8→4.0 s with zero code change). Also
+    * runs one dummy WAV encode/decode: AudioSystem's first use triggers
+    * a full SPI provider scan that otherwise lands on the first audio
+    * consumer (r14 verdict "What's missing #3" — driver run-1 measured
+    * `multimodal_vad` 14.3 s / `multimodal_zcr` 17.4 s vs ~1.9 s warm).
+    * The warm encode runs on EXECUTOR threads too (one mapPartitions
+    * pass), because local-mode tasks share the JVM but the scan cost is
+    * per-classloader-first-touch, and the real codecs run inside tasks. */
+  private[graft] def warm(s: SparkSession, d: String): Unit = {
+    phashFrame(s, d)
+    warmAudio(s)
+  }
+
+  /** The audio half of [[warm]], separately callable so an audio-only
+    * bench subset warms the AudioSystem SPI scan without paying the
+    * phash frame build. */
+  private[graft] def warmAudio(s: SparkSession): Unit = {
+    import s.implicits._
+    s.range(1L, 3L).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val pcm = Array.tabulate(160)(i => ((i * id) % 251).toByte)
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val buf = new Array[Byte](pcm.length)
+        back.read(buf)
+        buf.length.toLong
+      }
+    }.reduce(_ + _)
+    ()
+  }
 
   /** The (doc_id, w0, w1, n_ones) aHash build — the ONE codec-backed
     * definition [[phash]] declares and [[phashTopk]] ranks over, always

@@ -407,6 +407,60 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Perplexity quality filter (the CCNet/Gopher LM-filter rung): each
+    * document's bigram cross-entropy under the SHARED [[kneserNey]] model
+    * — ONE model definition (this calls the declared query's builder;
+    * the oracle nests the same KN CTE chain), so filter and model cannot
+    * drift. Per doc: every adjacent bigram left-joins the model; covered
+    * bigrams contribute floor(ln(10⁶ / max(pkn_micro, 1)) · 10⁶)
+    * micro-nats (one ln of an exact rational — the §5-safe call; pkn ≤
+    * 10⁶ so every term is ≥ 0), uncovered bigrams are counted but not
+    * scored (coverage ships beside the score — a doc the model has never
+    * seen is a coverage signal, not a zero-perplexity pass). The verdict:
+    * keep = avg micro-nats ≤ the corpus average (both sides the same DIV
+    * quantization), NULL when nothing scored — low cross-entropy means
+    * the doc looks like the corpus the model was trained on, exactly the
+    * CCNet selection direction. Scale shape: token-key shuffles for the
+    * model (vocabulary-bounded, minCount-floored), one doc_id hash agg
+    * for the scores, and the corpus threshold rides in as a 1-row
+    * broadcast scalar — nothing is ever corpus². */
+  private def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val model = kneserNey(s, d).select(col("w1"), col("w2"), col("pkn_micro"))
+    val bg = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, " +
+          "element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = bg.join(model, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("pkn_micro").isNotNull, 1L).otherwise(0L))
+          .as("n_scored"),
+        sum(when(col("pkn_micro").isNotNull,
+            expr("CAST(floor(ln(1000000.0 / greatest(pkn_micro, 1)) * " +
+              "1000000.0) AS BIGINT)"))
+          .otherwise(0L)).as("nll_sum_micro"))
+    val thr = scored.agg(sum(col("nll_sum_micro")).as("tot_nll"),
+      sum(col("n_scored")).as("tot_n"))
+    docs(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("nll_sum_micro"), lit(0L)).as("nll_sum_micro"),
+        expr("CASE WHEN coalesce(n_scored, 0) > 0 " +
+          "THEN nll_sum_micro DIV n_scored END").as("avg_nll_micro"),
+        expr("tot_nll DIV tot_n").as("corpus_avg_micro"),
+        expr("CASE WHEN coalesce(n_scored, 0) > 0 THEN " +
+          "(nll_sum_micro DIV n_scored) <= (tot_nll DIV tot_n) END")
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** HTML boilerplate stripping — the text-EXTRACTION rung every
     * web-corpus pipeline runs before any quality filter (the simplified
     * trafilatura step): each doc is wrapped in a deterministic synthetic
@@ -1047,6 +1101,7 @@ object TextAnalysis {
     "text_pmi" -> pmi _,
     "text_skipgram_pmi" -> skipgramPmi _,
     "text_kneser_ney" -> kneserNey _,
+    "pipeline_perplexity_filter" -> perplexityFilter _,
     "text_distinct_n" -> distinctN _,
     "text_html_strip" -> htmlStrip _,
     "text_zipf" -> zipf _,
@@ -1085,6 +1140,36 @@ object TextAnalysis {
       "CAST(word_chars AS DOUBLE) / n_tokens >= 4.0 AND " +
       "CAST(word_chars AS DOUBLE) / n_tokens <= 5.0 AND " +
       "CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AND n_stop >= 2)"
+
+  /** The Kneser–Ney model CTE chain, shared VERBATIM by the
+    * `text_kneser_ney` oracle and the `pipeline_perplexity_filter`
+    * oracle (which nests it) — one definition, so the filter can never
+    * score under a model that drifted from the declared one. Ends at
+    * `knmodel(w1, w2, cb, c1, n1_fwd, n1_back, pcont_micro, pkn_micro)`.
+    * `def`, not `val`: object-init order must not matter. */
+  private def knModelCtes: String =
+    s"knbase AS (SELECT ${sqlTokens("text")} AS toks " +
+      "FROM documents WHERE len(list_filter(string_split(text, ' '), " +
+      "x -> length(x) > 0)) >= 2), " +
+      "knpairs AS (SELECT toks[CAST(i AS INTEGER)] AS w1, " +
+      "toks[CAST(i + 1 AS INTEGER)] AS w2 " +
+      "FROM knbase, unnest(range(1, len(toks))) AS t(i)), " +
+      "kncbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb " +
+      "FROM knpairs GROUP BY w1, w2), " +
+      "kncpre AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1, " +
+      "CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1_fwd FROM knpairs " +
+      "GROUP BY w1), " +
+      "kndist AS (SELECT DISTINCT w1, w2 FROM knpairs), " +
+      "kncont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_back " +
+      "FROM kndist GROUP BY w2), " +
+      "knnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM kndist), " +
+      "knmodel AS (SELECT w1, w2, cb, c1, n1_fwd, n1_back, " +
+      "(1000000 * n1_back) // n_types AS pcont_micro, " +
+      "(1000000 * greatest(4 * cb - 3, 0)) // (4 * c1) + " +
+      "(3 * n1_fwd * ((1000000 * n1_back) // n_types)) // (4 * c1) " +
+      "AS pkn_micro " +
+      "FROM kncbg JOIN kncpre USING (w1) JOIN kncont USING (w2) " +
+      "CROSS JOIN knnt WHERE cb >= 5)"
 
   val oracleSql: Map[String, String] = Map(
     "text_burrows_delta" ->
@@ -1382,28 +1467,36 @@ object TextAnalysis {
         "(1000000 * d2) // n2 AS distinct2_micro " +
         "FROM uni JOIN bi USING (source) ORDER BY source"),
     "text_kneser_ney" ->
-      (s"WITH base AS (SELECT ${sqlTokens("text")} AS toks " +
-        "FROM documents WHERE len(list_filter(string_split(text, ' '), " +
-        "x -> length(x) > 0)) >= 2), " +
-        "pairs AS (SELECT toks[CAST(i AS INTEGER)] AS w1, " +
+      (s"WITH $knModelCtes " +
+        "SELECT w1, w2, cb, c1, n1_fwd, n1_back, pcont_micro, pkn_micro " +
+        "FROM knmodel ORDER BY w1, w2"),
+    "pipeline_perplexity_filter" ->
+      (s"WITH $knModelCtes, " +
+        s"dbase AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
+        "FROM documents), " +
+        "dbg AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, " +
         "toks[CAST(i + 1 AS INTEGER)] AS w2 " +
-        "FROM base, unnest(range(1, len(toks))) AS t(i)), " +
-        "cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs " +
-        "GROUP BY w1, w2), " +
-        "cpre AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1, " +
-        "CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1_fwd FROM pairs " +
-        "GROUP BY w1), " +
-        "dist AS (SELECT DISTINCT w1, w2 FROM pairs), " +
-        "cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_back " +
-        "FROM dist GROUP BY w2), " +
-        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM dist) " +
-        "SELECT w1, w2, cb, c1, n1_fwd, n1_back, " +
-        "(1000000 * n1_back) // n_types AS pcont_micro, " +
-        "(1000000 * greatest(4 * cb - 3, 0)) // (4 * c1) + " +
-        "(3 * n1_fwd * ((1000000 * n1_back) // n_types)) // (4 * c1) " +
-        "AS pkn_micro " +
-        "FROM cbg JOIN cpre USING (w1) JOIN cont USING (w2) " +
-        "CROSS JOIN nt WHERE cb >= 5 ORDER BY w1, w2"),
+        "FROM dbase, unnest(range(1, len(toks))) AS t(i) " +
+        "WHERE len(toks) >= 2), " +
+        "sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN pkn_micro IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_scored, " +
+        "CAST(SUM(CASE WHEN pkn_micro IS NOT NULL THEN " +
+        "CAST(floor(ln(1000000.0 / greatest(pkn_micro, 1)) * 1000000.0) " +
+        "AS BIGINT) ELSE 0 END) AS BIGINT) AS nll_sum_micro " +
+        "FROM dbg LEFT JOIN knmodel USING (w1, w2) GROUP BY doc_id), " +
+        "thr AS (SELECT CAST(SUM(nll_sum_micro) AS BIGINT) AS tot_nll, " +
+        "CAST(SUM(n_scored) AS BIGINT) AS tot_n FROM sc) " +
+        "SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(n_scored, 0) AS n_scored, " +
+        "COALESCE(nll_sum_micro, 0) AS nll_sum_micro, " +
+        "CASE WHEN COALESCE(n_scored, 0) > 0 " +
+        "THEN nll_sum_micro // n_scored END AS avg_nll_micro, " +
+        "tot_nll // tot_n AS corpus_avg_micro, " +
+        "CASE WHEN COALESCE(n_scored, 0) > 0 THEN " +
+        "(nll_sum_micro // n_scored) <= (tot_nll // tot_n) END AS keep " +
+        "FROM (SELECT doc_id FROM documents) d " +
+        "LEFT JOIN sc USING (doc_id) CROSS JOIN thr ORDER BY doc_id"),
     "text_skipgram_pmi" ->
       (s"WITH base AS (SELECT doc_id, ${sqlTokens("text")} AS toks " +
         "FROM documents), " +

@@ -3719,10 +3719,14 @@ object TimeSeries {
     * the neighbor's index beside it. The row with the largest profile
     * value is the series' top discord (the week unlike any other), the
     * smallest its motif (the repeated weekly shape). Distances are exact
-    * integer cents² and ship as DECIMAL(38,0) END-TO-END (daily sums
-    * square past Long at large SF; a Long cast here would silently NULL
-    * under non-ANSI Spark while the oracle errors — the cast is banned
-    * from this kernel); ties break to the smallest neighbor index
+    * integer cents² computed in DECIMAL(38,0) (daily sums square past
+    * Long at large SF; a Long cast here would silently NULL under
+    * non-ANSI Spark while the oracle errors — the cast is banned from
+    * this kernel) and SHIP as STRING: the r14 canary proved the driver's
+    * hash pipeline diverges on decimal128 output columns (SURVEY §5
+    * policy: no decimal128 in final output schemas; decimal→string is
+    * exact and canonical in both engines); ties break to the smallest
+    * neighbor index
     * via the (d2, j) rank, identical both engines. Scale shape: all work
     * happens on the DAY-ranked frame — calendar²·m pair terms per type,
     * bounded by the time domain at any SF, never by event count; the
@@ -3766,7 +3770,7 @@ object TimeSeries {
     d2.withColumn("rn", row_number().over(wMin))
       .filter(col("rn") === 1)
       .select(col("et").as("event_type"), col("i").as("w_idx"),
-        col("j").as("nn_idx"), col("d2").as("mp_d2"))
+        col("j").as("nn_idx"), col("d2").cast(StringType).as("mp_d2"))
       .orderBy("event_type", "w_idx")
   }
 
@@ -4261,7 +4265,8 @@ object TimeSeries {
         "GROUP BY 1, 2, 3), " +
         "mp AS (SELECT et, i, j, d2, row_number() OVER " +
         "(PARTITION BY et, i ORDER BY d2, j) AS rn FROM d2) " +
-        "SELECT et AS event_type, i AS w_idx, j AS nn_idx, d2 AS mp_d2 " +
+        "SELECT et AS event_type, i AS w_idx, j AS nn_idx, " +
+        "CAST(d2 AS VARCHAR) AS mp_d2 " +
         "FROM mp WHERE rn = 1 ORDER BY event_type, w_idx"
     },
     "ts_error_budget" ->

@@ -824,7 +824,7 @@ class ApiSpec extends SparkTestBase {
     assert(got.nonEmpty)
     assert(got.forall(_.getAs[String]("series") == "s"))
     def mpD2(r: org.apache.spark.sql.Row): BigInt =
-      BigInt(r.getAs[java.math.BigDecimal]("mp_d2").toBigInteger)
+      BigInt(r.getAs[String]("mp_d2"))
     val discord = got.maxBy(mpD2)
     // the discord window must contain the spike (windows 9..17 overlap it)
     val wi = discord.getAs[Long]("w_idx")

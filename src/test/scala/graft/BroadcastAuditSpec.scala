@@ -31,7 +31,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "llm/Similarity.scala" -> 33,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
-    "llm/TextAnalysis.scala" -> 24,
+    "llm/TextAnalysis.scala" -> 25,
     "streaming/StreamingQueries.scala" -> 9)
 
   test("every broadcast() site in src/main is inventoried in SCALE.md") {

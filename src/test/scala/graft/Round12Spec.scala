@@ -653,8 +653,8 @@ class Round12Spec extends SparkTestBase {
         val i = r.getAs[Long]("w_idx").toInt - 1
         val cands = (0 until nWin).filter(j => math.abs(i - j) >= 4)
         val best = cands.map(j => (d2(i, j), j)).min
-        assert(BigInt(r.getAs[java.math.BigDecimal]("mp_d2")
-          .toBigInteger) == best._1, s"$et window $i d2")
+        assert(BigInt(r.getAs[String]("mp_d2")) == best._1,
+          s"$et window $i d2")
         assert(r.getAs[Long]("nn_idx").toInt - 1 == best._2, s"$et window $i nn")
       }
     }

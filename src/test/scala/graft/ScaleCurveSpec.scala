@@ -50,15 +50,18 @@ class ScaleCurveSpec extends SparkTestBase {
 
   /** Wall-clock exponents on a host whose ambient load swings bench
     * totals 207-324 s can spike past the bound with no code change (r13
-    * ADVICE), so a failing measurement earns ONE full fresh re-measure —
-    * a genuine super-linear kernel fails both; a load spike during one
-    * leg almost never repeats across two independent 6-run protocols. */
+    * ADVICE), so a failing measurement earns ONE full fresh re-measure.
+    * The RE-MEASURE itself must pass (r14 ADVICE: min(e1, e2) <= bound
+    * let a borderline super-linear kernel through whenever EITHER noisy
+    * run dipped under — halving the tripwire's power; requiring e2 to
+    * pass keeps one-leg load-spike absorption without the blind spot —
+    * a genuine super-linear kernel exceeds the bound on both runs). */
   private def exponentChecked(name: String, bound: Double,
       label: String): Unit = {
     val e1 = exponent(name)
     if (e1 > bound) {
       val e2 = exponent(name)
-      assert(math.min(e1, e2) <= bound,
+      assert(e2 <= bound,
         s"$name $label: exponent $e1 (retry $e2) over sf0.001->sf0.1")
     }
   }
