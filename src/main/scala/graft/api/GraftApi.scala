@@ -1265,6 +1265,19 @@ object GraftApi {
         df.select(col(w1).as("w1"), col(w2).as("w2")), minCount),
       "w1" -> w1, "w2" -> w2)
 
+  /** Perplexity quality filter on a caller (id, text) corpus — the
+    * `pipeline_perplexity_filter` kernel lifted: a bigram Kneser–Ney
+    * model trains on the SAME frame (minCount 5) and every document is
+    * scored by its covered-bigram cross-entropy in floored micro-nats;
+    * keep = at-or-below the corpus average (the CCNet selection
+    * direction). Returns (<id>, n_bigrams, n_scored, nll_sum_micro,
+    * avg_nll_micro, corpus_avg_micro, keep) — the avg and keep fields
+    * are NULL for documents with zero model coverage. */
+  def perplexityFilter(df: DataFrame, id: String, text: String): DataFrame =
+    renameOut(graft.llm.TextAnalysis.perplexityFilterOn(
+        df.select(col(id).as("doc_id"), col(text).as("text"))),
+      "doc_id" -> id)
+
   /** Skip-gram (center, context) pair counts on a caller walk/sentence
     * frame — the `graph_skipgram_pairs` kernel lifted: rows are (walk
     * id, step, node); every pair within `window` steps on the same walk

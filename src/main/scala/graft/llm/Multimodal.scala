@@ -607,7 +607,36 @@ object Multimodal {
       .orderBy("doc_id", "frame")
   }
 
+  /** Letterbox resize PLAN into a 224×224 model canvas — the geometry
+    * pass every vision-model ingest runs per record BEFORE any decode
+    * (aspect-preserving floored scale, centered padding): at 100 TB the
+    * plan is computed from metadata columns alone (here the corpus's
+    * deterministic per-doc dims, the phash fixture contract), so the
+    * expensive byte-level resize executes exactly once per image with
+    * its target geometry already decided. All integer: the scale is a
+    * floored micro-ratio, output dims floor from it (the constrained
+    * side lands on 224, or 223 when 224·10⁶ isn't divisible by the
+    * source dim — the standard floor-scale letterbox behavior), and the
+    * pad split is DIV 2 left/top with the remainder right/bottom. Pure
+    * projection, zero shuffles before the output sort. */
+  private def letterbox(s: SparkSession, d: String): DataFrame =
+    U.tbl(s, d, "documents").select(col("doc_id"),
+        expr("4 + doc_id % 5").as("src_w"),
+        expr("4 + (doc_id * 7) % 5").as("src_h"))
+      .withColumn("scale_micro", expr(
+        "least((224 * 1000000) DIV src_w, (224 * 1000000) DIV src_h)"))
+      .withColumn("out_w", expr("(src_w * scale_micro) DIV 1000000"))
+      .withColumn("out_h", expr("(src_h * scale_micro) DIV 1000000"))
+      .select(col("doc_id"), col("src_w"), col("src_h"), col("scale_micro"),
+        col("out_w"), col("out_h"),
+        expr("(224 - out_w) DIV 2").as("pad_left"),
+        expr("224 - out_w - (224 - out_w) DIV 2").as("pad_right"),
+        expr("(224 - out_h) DIV 2").as("pad_top"),
+        expr("224 - out_h - (224 - out_h) DIV 2").as("pad_bottom"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_letterbox" -> letterbox _,
     "multimodal_patches" -> patches _,
     "multimodal_zcr" -> zcr _,
     "multimodal_vad" -> vad _,
@@ -647,6 +676,21 @@ object Multimodal {
       "FROM bits GROUP BY doc_id)"
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_letterbox" ->
+      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS src_w, " +
+        "4 + (doc_id * 7) % 5 AS src_h FROM documents), " +
+        "sc AS (SELECT doc_id, src_w, src_h, " +
+        "least((224 * 1000000) // src_w, (224 * 1000000) // src_h) " +
+        "AS scale_micro FROM b), " +
+        "o AS (SELECT doc_id, src_w, src_h, scale_micro, " +
+        "(src_w * scale_micro) // 1000000 AS out_w, " +
+        "(src_h * scale_micro) // 1000000 AS out_h FROM sc) " +
+        "SELECT doc_id, src_w, src_h, scale_micro, out_w, out_h, " +
+        "(224 - out_w) // 2 AS pad_left, " +
+        "224 - out_w - (224 - out_w) // 2 AS pad_right, " +
+        "(224 - out_h) // 2 AS pad_top, " +
+        "224 - out_h - (224 - out_h) // 2 AS pad_bottom " +
+        "FROM o ORDER BY doc_id"),
     // patches: closed-form pixel recomputation (the codec_roundtrip rule —
     // PNG is lossless, so decoded patch sums must equal the arithmetic)
     "multimodal_patches" ->

@@ -1203,6 +1203,33 @@ object Pipeline {
         substring(col("rendered"), 1, 64).as("rendered_head"))
       .orderBy("doc_id")
 
+  /** SFT loss-mask span table — the per-turn consumable the packer and
+    * trainer actually read (where [[pipelineChatTemplate]] reports the
+    * per-doc ACCOUNTING, this ships the spans): one row per 24-token
+    * turn of the same alternating user/assistant split, with the
+    * 1-based token span, its length, and the trained flag (assistant
+    * turns carry loss; user turns are masked). Same turn arithmetic as
+    * the template render — Round15Spec pins the cross-query law (the
+    * trained spans sum to the template's n_assistant_tokens and the
+    * spans exactly partition [1, n_tokens]). Pure per-row explode —
+    * no shuffle before the output sort; span count is bounded by max
+    * doc length, never corpus size. */
+  private def pipelineLossMask(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      .filter(col("n_tokens") >= 1L)
+      .withColumn("n_turns", expr("(n_tokens + 23) DIV 24"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0L, n_turns - 1)")).as("turn_idx"))
+      .select(col("doc_id"), col("turn_idx"),
+        expr("IF(turn_idx % 2 = 0, 'user', 'assistant')").as("role"),
+        expr("turn_idx * 24 + 1").as("tok_start"),
+        expr("least(turn_idx * 24 + 24, n_tokens)").as("tok_end"),
+        expr("least(turn_idx * 24 + 24, n_tokens) - turn_idx * 24")
+          .as("n_turn_tokens"),
+        expr("turn_idx % 2 = 1").as("trained"))
+      .orderBy("doc_id", "turn_idx")
+
   /** Tokenizer-fertility profile per source — the diagnostic a corpus
     * owner reads before/after switching tokenizers (chars per token,
     * tokens per doc): per-source exact totals with floored micro-unit
@@ -1638,6 +1665,7 @@ object Pipeline {
     "pipeline_epoch_shuffle" -> pipelineEpochShuffle _,
     "pipeline_curriculum" -> pipelineCurriculum _,
     "pipeline_chat_template" -> pipelineChatTemplate _,
+    "pipeline_loss_mask" -> pipelineLossMask _,
     "pipeline_fertility" -> pipelineFertility _,
     "pipeline_context_fit" -> pipelineContextFit _,
     "emb_dim_variance" -> embDimVariance _,
@@ -1940,6 +1968,22 @@ object Pipeline {
         "CAST(length(rendered) AS BIGINT) AS rendered_len, " +
         "substring(rendered, 1, 64) AS rendered_head " +
         "FROM z ORDER BY doc_id"),
+    "pipeline_loss_mask" ->
+      (s"WITH t AS (SELECT doc_id, ${TextUtil.sqlTokens("text")} AS tk " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens " +
+        "FROM t WHERE len(tk) >= 1), " +
+        "e AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS turn_idx " +
+        "FROM b, unnest(range(0, (n_tokens + 23) // 24)) AS u(i)) " +
+        "SELECT doc_id, turn_idx, " +
+        "CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END " +
+        "AS role, " +
+        "turn_idx * 24 + 1 AS tok_start, " +
+        "least(turn_idx * 24 + 24, n_tokens) AS tok_end, " +
+        "least(turn_idx * 24 + 24, n_tokens) - turn_idx * 24 " +
+        "AS n_turn_tokens, " +
+        "turn_idx % 2 = 1 AS trained " +
+        "FROM e ORDER BY doc_id, turn_idx"),
     "pipeline_fertility" ->
       (s"WITH t AS (SELECT source, CAST(length(text) AS BIGINT) AS nc, " +
         s"CAST(len(${TextUtil.sqlTokens("text")}) AS BIGINT) AS nt " +

@@ -424,9 +424,16 @@ object TextAnalysis {
     * model (vocabulary-bounded, minCount-floored), one doc_id hash agg
     * for the scores, and the corpus threshold rides in as a 1-row
     * broadcast scalar — nothing is ever corpus². */
-  private def perplexityFilter(s: SparkSession, d: String): DataFrame = {
-    val model = kneserNey(s, d).select(col("w1"), col("w2"), col("pkn_micro"))
-    val bg = docs(s, d)
+  private def perplexityFilter(s: SparkSession, d: String): DataFrame =
+    perplexityFilterOn(docs(s, d).select(col("doc_id"), col("text")))
+
+  /** The perplexity-filter kernel over any (doc_id, text) frame — shared
+    * by the declared query and [[graft.api.GraftApi.perplexityFilter]].
+    * Trains the KN model on the SAME frame through [[kneserNeyOn]]
+    * (minCount 5, the declared query's floor), so the model is always
+    * the corpus's own — the self-scoring CCNet shape. */
+  private[graft] def perplexityFilterOn(docsDf: DataFrame): DataFrame = {
+    val bg = U.track(docsDf
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
@@ -434,6 +441,9 @@ object TextAnalysis {
           "i -> struct(element_at(toks, i) AS w1, " +
           "element_at(toks, i + 1) AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist())
+    val model = kneserNeyOn(bg.select(col("w1"), col("w2")), 5L)
+      .select(col("w1"), col("w2"), col("pkn_micro"))
     val scored = bg.join(model, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -445,7 +455,7 @@ object TextAnalysis {
           .otherwise(0L)).as("nll_sum_micro"))
     val thr = scored.agg(sum(col("nll_sum_micro")).as("tot_nll"),
       sum(col("n_scored")).as("tot_n"))
-    docs(s, d).select(col("doc_id"))
+    docsDf.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(thr))
       .select(col("doc_id"),

@@ -881,6 +881,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-15 sweep: new operators plan no cartesian product") {
+    // the perplexity filter's doc-bigram × model join rides the (w1, w2)
+    // equijoin and its 1-row threshold broadcast plans as
+    // BroadcastNestedLoop (fine, unmatched here); loss_mask and
+    // letterbox are pure projections that must not touch a join at all
+    for (name <- Seq("pipeline_perplexity_filter", "pipeline_loss_mask",
+        "multimodal_letterbox")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      U.releaseTracked()
+    }
+  }
+
   test("emb_ood_score broadcasts the 16-row quantizer against one stream") {
     val p = plan("emb_ood_score")
     assert(p.contains("BroadcastNestedLoopJoin") ||

@@ -100,4 +100,70 @@ class Round15Spec extends SparkTestBase {
       s"docs of common bigrams must score more corpus-like " +
         s"(common $commonNll vs rare $rareNll micro-nats)")
   }
+
+  test("perplexityFilter facade equals the declared query on the fixture corpus") {
+    val declared = SparkEntry.queries("pipeline_perplexity_filter")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    val lifted = graft.api.GraftApi.perplexityFilter(
+      U.tbl(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text").collect().map(_.toSeq).toSeq
+    assert(lifted == declared)
+  }
+
+  test("pipeline_loss_mask: spans partition every doc and sum to the template's mask accounting") {
+    val spans = SparkEntry.queries("pipeline_loss_mask")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    val tmpl = SparkEntry.queries("pipeline_chat_template")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(spans.keySet == tmpl.keySet, "one span set per template doc")
+    spans.foreach { case (id, rs) =>
+      val (nTurns, nTokens, nAssistant) = tmpl(id)
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.length.toLong == nTurns, s"doc $id turn count")
+      // spans tile [1, n_tokens] exactly: consecutive, gap-free, in order
+      var next = 1L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == next, s"doc $id span start")
+        assert(r.getLong(4) >= r.getLong(3), s"doc $id span order")
+        assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1,
+          s"doc $id span length")
+        // roles alternate user/assistant and trained marks assistant
+        val isAssistant = r.getLong(1) % 2 == 1
+        assert(r.getString(2) == (if (isAssistant) "assistant" else "user"))
+        assert(r.getBoolean(6) == isAssistant, s"doc $id trained flag")
+        next = r.getLong(4) + 1
+      }
+      assert(next == nTokens + 1, s"doc $id spans must cover all tokens")
+      // the cross-query law: trained span mass == the template's
+      // n_assistant_tokens accounting, doc for doc
+      val trainedSum = sorted.filter(_.getBoolean(6)).map(_.getLong(5)).sum
+      assert(trainedSum == nAssistant, s"doc $id assistant-token mass")
+    }
+  }
+
+  test("multimodal_letterbox: geometry laws of the floored-scale plan") {
+    val rows = SparkEntry.queries("multimodal_letterbox")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(w == 4 + id % 5 && h == 4 + (id * 7) % 5, "fixture dims")
+      val (outW, outH) = (r.getLong(4), r.getLong(5))
+      // never exceeds the canvas; the CONSTRAINED side lands on 224 or
+      // 223 (the floored-micro-scale letterbox contract)
+      assert(outW <= 224 && outH <= 224, s"doc $id overflow")
+      val constrained = if (w >= h) outW else outH
+      assert(constrained == 224 || constrained == 223,
+        s"doc $id constrained side $constrained")
+      // aspect order is preserved by the shared scale
+      assert((w >= h) == (outW >= outH), s"doc $id aspect flip")
+      // pads reconstruct the canvas exactly, centered to within 1px
+      assert(r.getLong(6) + r.getLong(7) == 224 - outW, s"doc $id pad w")
+      assert(r.getLong(8) + r.getLong(9) == 224 - outH, s"doc $id pad h")
+      assert((r.getLong(7) - r.getLong(6)).abs <= 1 &&
+        (r.getLong(9) - r.getLong(8)).abs <= 1, s"doc $id centering")
+    }
+  }
 }
