@@ -86,6 +86,29 @@ object Similarity {
         col("rank").cast(LongType).as("rank"))
       .orderBy("q_id", "rank")
 
+  /** Radius (range) search — the OTHER exact vector-query shape next to
+    * [[bruteforceTopk]]'s top-k: every corpus neighbor within cosine ≥
+    * 0.35 of each of the 10 probe vectors. Same broadcast-probe /
+    * one-corpus-stream scan and the same fixed-point cosine tree, but
+    * NO per-query rank window at all — a radius cut is a pure filter,
+    * so at 100 TB this is strictly cheaper than top-k (no per-probe
+    * sort state, map-side end to end before the output sort). The 0.35
+    * threshold compares the identical double both engines (the
+    * `dedup_embedding` cos ≥ 0.4 precedent). */
+  private def radiusSearch(s: SparkSession, d: String): DataFrame = {
+    val all = fixed(s, d)
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("fx").as("qx"),
+        col("nrm").as("qn"))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosCol(dotCol(col("qx"), col("fx")), col("qn"), col("nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "vec_id")
+  }
+
   /** kNN majority-vote label prediction (the label-quality rung above
     * `sim_bruteforce_topk`): each of the 100 query vectors is classified by
     * the modal label of its 10 exact-cosine nearest neighbors, with a
@@ -1565,6 +1588,7 @@ object Similarity {
     "emb_rand_proj" -> embRandProj _,
     "emb_mmr" -> embMmr _,
     "sim_bruteforce_topk" -> bruteforceTopk _,
+    "sim_radius_search" -> radiusSearch _,
     "sim_recall_at_k" -> simRecallAtK _,
     "emb_knn_classify" -> knnClassify _,
     "dedup_embedding" -> embeddingPairs _,
@@ -2285,6 +2309,17 @@ object Similarity {
         "CAST(label AS BIGINT) AS pred_label, votes, " +
         "label = true_label AS is_correct FROM best WHERE rn = 1 ORDER BY q_id"),
     "sim_bruteforce_topk" -> bruteSql,
+    "sim_radius_search" ->
+      (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
+        s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +
+        "q AS (SELECT vec_id AS q_id, fx AS qx, nrm AS qn FROM n " +
+        "WHERE vec_id < 10), " +
+        "scored AS (SELECT q_id, vec_id, " +
+        s"CAST(${dotSql("qx", "fx")} AS DOUBLE) / " +
+        "(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos " +
+        "FROM n CROSS JOIN q WHERE vec_id <> q_id) " +
+        "SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.35 " +
+        "ORDER BY q_id, vec_id"),
     "sim_rrf_fusion" ->
       (s"WITH f AS (SELECT vec_id, $fxSql AS fx FROM embeddings), " +
         s"n AS (SELECT vec_id, fx, ${dotSql("fx", "fx")} AS nrm FROM f), " +

@@ -28,7 +28,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
     "llm/Pipeline.scala" -> 28,
-    "llm/Similarity.scala" -> 33,
+    "llm/Similarity.scala" -> 34,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
     "llm/TextAnalysis.scala" -> 25,

@@ -143,6 +143,42 @@ class Round15Spec extends SparkTestBase {
     }
   }
 
+  test("sim_radius_search: full local recount and top-k consistency") {
+    // independent fold: the same floor-to-micro fixed-point dot and the
+    // same double cosine division, in plain Scala over the raw vectors
+    val vecs = U.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong)
+          .toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val expected = (for {
+      (qid, qx) <- vecs.filter(_._1 < 10)
+      (vid, fx) <- vecs if vid != qid
+      cos = dot(qx, fx).toDouble /
+        (math.sqrt(dot(qx, qx).toDouble) * math.sqrt(dot(fx, fx).toDouble))
+      if cos >= 0.35
+    } yield ((qid, vid), cos)).toMap
+    val rows = SparkEntry.queries("sim_radius_search")(spark, sfDir)
+      .collect()
+    assert(rows.length == expected.size, "radius set size")
+    assert(rows.nonEmpty, "fixture must have neighbors inside the radius")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(expected.contains(k), s"unexpected pair $k")
+      assert(r.getDouble(2) == expected(k), s"cos drift at $k")
+    }
+    // cross-query law: every top-5 neighbor at cos >= 0.35 must appear in
+    // the radius set (top-k and range answer the same geometry)
+    val radius = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    SparkEntry.queries("sim_bruteforce_topk")(spark, sfDir)
+      .collect().filter(_.getDouble(2) >= 0.35)
+      .foreach(r => assert(radius.contains((r.getLong(0), r.getLong(1))),
+        s"top-k neighbor missing from radius set"))
+  }
+
   test("multimodal_letterbox: geometry laws of the floored-scale plan") {
     val rows = SparkEntry.queries("multimodal_letterbox")(spark, sfDir)
       .collect()
