@@ -620,6 +620,13 @@ object Multimodal {
     * pad split is DIV 2 left/top with the remainder right/bottom. Pure
     * projection, zero shuffles before the output sort. */
   private def letterbox(s: SparkSession, d: String): DataFrame =
+    letterboxPlan(s, d).orderBy("doc_id")
+
+  /** The un-sorted letterbox plan frame — ONE geometry definition shared
+    * by [[letterbox]] and [[patchMask]] (the oracles share the mirrored
+    * `lbCtes` chain the same way), so the padding arithmetic the patch
+    * mask derives from can never drift from the declared plan. */
+  private def letterboxPlan(s: SparkSession, d: String): DataFrame =
     U.tbl(s, d, "documents").select(col("doc_id"),
         expr("4 + doc_id % 5").as("src_w"),
         expr("4 + (doc_id * 7) % 5").as("src_h"))
@@ -633,10 +640,40 @@ object Multimodal {
         expr("224 - out_w - (224 - out_w) DIV 2").as("pad_right"),
         expr("(224 - out_h) DIV 2").as("pad_top"),
         expr("224 - out_h - (224 - out_h) DIV 2").as("pad_bottom"))
-      .orderBy("doc_id")
+
+  /** ViT patch grid + attention mask over the letterbox plan: the 224
+    * canvas tiles into 14×14 patches of 16 px (raster-ordered patch
+    * ids, the position-embedding index), and a patch is CONTENT when
+    * its 16×16 cell intersects the letterboxed content box — pad-only
+    * patches are the ones a trainer attention-masks, so their count is
+    * the real sequence-length saving of masked ViT ingestion. Derived
+    * entirely from [[letterboxPlan]]'s integer geometry (one shared
+    * definition, see there) by a per-row 196-element explode: no
+    * shuffle before the output sort, patch count constant per record.
+    * Ships per (doc, patch): raster id, cell coords, the intersection
+    * flag — plus the per-doc content-patch count beside each row (the
+    * window is per-doc, partitioned — never global). */
+  private def patchMask(s: SparkSession, d: String): DataFrame =
+    letterboxPlan(s, d)
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+        col("pad_left"), col("pad_top"),
+        explode(expr("sequence(0L, 195L)")).as("patch_id"))
+      .withColumn("px", expr("patch_id % 14"))
+      .withColumn("py", expr("patch_id DIV 14"))
+      .withColumn("is_content", expr(
+        "px * 16 < pad_left + out_w AND (px + 1) * 16 > pad_left AND " +
+          "py * 16 < pad_top + out_h AND (py + 1) * 16 > pad_top"))
+      .withColumn("n_content", sum(when(col("is_content"), 1L)
+          .otherwise(0L))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("patch_id"), col("px"), col("py"),
+        col("is_content"), col("n_content"))
+      .orderBy("doc_id", "patch_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_letterbox" -> letterbox _,
+    "multimodal_patch_mask" -> patchMask _,
     "multimodal_patches" -> patches _,
     "multimodal_zcr" -> zcr _,
     "multimodal_vad" -> vad _,
@@ -675,22 +712,46 @@ object Multimodal {
       "CAST(SUM(bit) AS BIGINT) AS n_ones " +
       "FROM bits GROUP BY doc_id)"
 
+  /** The letterbox-plan CTE chain ending at `lbplan(doc_id, src_w,
+    * src_h, scale_micro, out_w, out_h, pad_left, pad_right, pad_top,
+    * pad_bottom)` — shared VERBATIM by the letterbox and patch-mask
+    * oracles (the knModelCtes discipline: one geometry, no drift). */
+  private val lbCtes: String =
+    "lbb AS (SELECT doc_id, 4 + doc_id % 5 AS src_w, " +
+      "4 + (doc_id * 7) % 5 AS src_h FROM documents), " +
+      "lbsc AS (SELECT doc_id, src_w, src_h, " +
+      "least((224 * 1000000) // src_w, (224 * 1000000) // src_h) " +
+      "AS scale_micro FROM lbb), " +
+      "lbo AS (SELECT doc_id, src_w, src_h, scale_micro, " +
+      "(src_w * scale_micro) // 1000000 AS out_w, " +
+      "(src_h * scale_micro) // 1000000 AS out_h FROM lbsc), " +
+      "lbplan AS (SELECT doc_id, src_w, src_h, scale_micro, out_w, " +
+      "out_h, (224 - out_w) // 2 AS pad_left, " +
+      "224 - out_w - (224 - out_w) // 2 AS pad_right, " +
+      "(224 - out_h) // 2 AS pad_top, " +
+      "224 - out_h - (224 - out_h) // 2 AS pad_bottom FROM lbo)"
+
   val oracleSql: Map[String, String] = Map(
     "multimodal_letterbox" ->
-      ("WITH b AS (SELECT doc_id, 4 + doc_id % 5 AS src_w, " +
-        "4 + (doc_id * 7) % 5 AS src_h FROM documents), " +
-        "sc AS (SELECT doc_id, src_w, src_h, " +
-        "least((224 * 1000000) // src_w, (224 * 1000000) // src_h) " +
-        "AS scale_micro FROM b), " +
-        "o AS (SELECT doc_id, src_w, src_h, scale_micro, " +
-        "(src_w * scale_micro) // 1000000 AS out_w, " +
-        "(src_h * scale_micro) // 1000000 AS out_h FROM sc) " +
+      (s"WITH $lbCtes " +
         "SELECT doc_id, src_w, src_h, scale_micro, out_w, out_h, " +
-        "(224 - out_w) // 2 AS pad_left, " +
-        "224 - out_w - (224 - out_w) // 2 AS pad_right, " +
-        "(224 - out_h) // 2 AS pad_top, " +
-        "224 - out_h - (224 - out_h) // 2 AS pad_bottom " +
-        "FROM o ORDER BY doc_id"),
+        "pad_left, pad_right, pad_top, pad_bottom " +
+        "FROM lbplan ORDER BY doc_id"),
+    "multimodal_patch_mask" ->
+      (s"WITH $lbCtes, " +
+        "e AS (SELECT doc_id, out_w, out_h, pad_left, pad_top, " +
+        "CAST(i AS BIGINT) AS patch_id " +
+        "FROM lbplan, unnest(range(0, 196)) AS u(i)), " +
+        "m AS (SELECT doc_id, patch_id, patch_id % 14 AS px, " +
+        "patch_id // 14 AS py, " +
+        "(patch_id % 14) * 16 < pad_left + out_w AND " +
+        "((patch_id % 14) + 1) * 16 > pad_left AND " +
+        "(patch_id // 14) * 16 < pad_top + out_h AND " +
+        "((patch_id // 14) + 1) * 16 > pad_top AS is_content FROM e) " +
+        "SELECT doc_id, patch_id, px, py, is_content, " +
+        "CAST(SUM(CASE WHEN is_content THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id) AS BIGINT) AS n_content " +
+        "FROM m ORDER BY doc_id, patch_id"),
     // patches: closed-form pixel recomputation (the codec_roundtrip rule —
     // PNG is lossless, so decoded patch sums must equal the arithmetic)
     "multimodal_patches" ->

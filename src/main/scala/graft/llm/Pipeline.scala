@@ -543,6 +543,33 @@ object Pipeline {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Temperature (α = 0.5) language-balance factors — the multilingual
+    * mixing step (the mT5/XLM-R sampling rule) that [[datasetMix]]'s
+    * per-SOURCE factors don't cover: per language, exact token share
+    * and the upsampling factor ∝ √(1/share), so low-resource languages
+    * repeat more without letting any language dominate. The factor is
+    * per-row independent — floor(10⁶·√(total/n_tokens)) — deliberately
+    * avoiding any cross-language float SUM (aggregation order differs
+    * between engines); √ itself is IEEE-754 correctly rounded, the same
+    * cross-engine guarantee every cosine oracle already rides. One
+    * explode-free token-count agg over one scan, |langs| output rows,
+    * 1-row total broadcast. */
+  private def pipelineLangBalance(s: SparkSession, d: String): DataFrame = {
+    val perLang = docs(s, d)
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot_tokens"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_tokens) DIV tot_tokens").as("share_micro"),
+        expr("CAST(floor(1000000.0 * sqrt(CAST(tot_tokens AS DOUBLE) / " +
+          "CAST(n_tokens AS DOUBLE))) AS BIGINT)").as("upsample_micro"))
+      .withColumn("balanced_tokens",
+        expr("(n_tokens * upsample_micro) DIV 1000000"))
+      .orderBy("lang")
+  }
+
   /** Overlapping fixed-width chunking (context-window preparation): each doc
     * becomes ceil-spaced 200-char windows at stride 150, indexed and carrying
     * their text. The chunk count is closed-form from the length, so the op
@@ -1666,6 +1693,7 @@ object Pipeline {
     "pipeline_curriculum" -> pipelineCurriculum _,
     "pipeline_chat_template" -> pipelineChatTemplate _,
     "pipeline_loss_mask" -> pipelineLossMask _,
+    "pipeline_lang_balance" -> pipelineLangBalance _,
     "pipeline_fertility" -> pipelineFertility _,
     "pipeline_context_fit" -> pipelineContextFit _,
     "emb_dim_variance" -> embDimVariance _,
@@ -1968,6 +1996,22 @@ object Pipeline {
         "CAST(length(rendered) AS BIGINT) AS rendered_len, " +
         "substring(rendered, 1, 64) AS rendered_head " +
         "FROM z ORDER BY doc_id"),
+    "pipeline_lang_balance" ->
+      (s"WITH t AS (SELECT lang, " +
+        s"CAST(len(${TextUtil.sqlTokens("text")}) AS BIGINT) AS nt " +
+        "FROM documents), " +
+        "pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t GROUP BY lang), " +
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens " +
+        "FROM pl) " +
+        "SELECT lang, n_docs, n_tokens, " +
+        "(1000000 * n_tokens) // tot_tokens AS share_micro, " +
+        "CAST(floor(1000000.0 * sqrt(CAST(tot_tokens AS DOUBLE) / " +
+        "CAST(n_tokens AS DOUBLE))) AS BIGINT) AS upsample_micro, " +
+        "(n_tokens * CAST(floor(1000000.0 * " +
+        "sqrt(CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))) " +
+        "AS BIGINT)) // 1000000 AS balanced_tokens " +
+        "FROM pl CROSS JOIN tot ORDER BY lang"),
     "pipeline_loss_mask" ->
       (s"WITH t AS (SELECT doc_id, ${TextUtil.sqlTokens("text")} AS tk " +
         "FROM documents), " +

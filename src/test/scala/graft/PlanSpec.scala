@@ -887,7 +887,8 @@ class PlanSpec extends SparkTestBase {
     // BroadcastNestedLoop (fine, unmatched here); loss_mask and
     // letterbox are pure projections that must not touch a join at all
     for (name <- Seq("pipeline_perplexity_filter", "pipeline_loss_mask",
-        "multimodal_letterbox")) {
+        "multimodal_letterbox", "multimodal_patch_mask",
+        "pipeline_lang_balance", "sim_radius_search")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
       U.releaseTracked()

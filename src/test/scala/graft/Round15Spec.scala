@@ -179,6 +179,61 @@ class Round15Spec extends SparkTestBase {
         s"top-k neighbor missing from radius set"))
   }
 
+  test("multimodal_patch_mask: mask recounts from the letterbox plan") {
+    val plan = SparkEntry.queries("multimodal_letterbox")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8))).toMap
+    val rows = SparkEntry.queries("multimodal_patch_mask")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.keySet == plan.keySet, "one grid per planned image")
+    rows.foreach { case (id, rs) =>
+      val (outW, outH, padL, padT) = plan(id)
+      assert(rs.length == 196, s"doc $id grid size")
+      // independent recount of the content rectangle in PATCH units:
+      // first/last 16px cell the content box [padL, padL+outW) touches
+      val firstX = padL / 16
+      val lastX = (padL + outW - 1) / 16
+      val firstY = padT / 16
+      val lastY = (padT + outH - 1) / 16
+      val expected = (lastX - firstX + 1) * (lastY - firstY + 1)
+      val nContent = rs.count(_.getBoolean(4)).toLong
+      assert(nContent == expected, s"doc $id content-patch count")
+      assert(rs.forall(_.getLong(5) == expected), s"doc $id n_content col")
+      rs.foreach { r =>
+        val (pid, px, py) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(px == pid % 14 && py == pid / 14, s"doc $id raster order")
+        val inside = px >= firstX && px <= lastX && py >= firstY && py <= lastY
+        assert(r.getBoolean(4) == inside, s"doc $id patch $pid flag")
+      }
+    }
+  }
+
+  test("pipeline_lang_balance: inverse-share factors flatten the mixture") {
+    val rows = SparkEntry.queries("pipeline_lang_balance")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.length >= 2, "fixture needs a language taxonomy")
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (lang, nt, share, up, bal) =>
+      assert(share == 1000000L * nt / tot, s"$lang share")
+      // independent recount of the α = 0.5 temperature factor
+      assert(up == math.floor(1000000.0 *
+        math.sqrt(tot.toDouble / nt.toDouble)).toLong, s"$lang factor")
+      assert(bal == nt * up / 1000000L, s"$lang balanced tokens")
+    }
+    // the law: factors order INVERSELY to share, and the balanced
+    // mixture is strictly flatter than the raw one (max/min ratio)
+    val factorsByShare = rows.sortBy(_._3).map(_._4).toSeq
+    assert(factorsByShare == factorsByShare.sorted.reverse,
+      "upsample factors must decrease as share grows")
+    def spread(xs: Seq[Long]): Double =
+      xs.max.toDouble / xs.min.toDouble
+    assert(spread(rows.map(_._5).toSeq) < spread(rows.map(_._2).toSeq),
+      "balanced token mass must be flatter than raw")
+  }
+
   test("multimodal_letterbox: geometry laws of the floored-scale plan") {
     val rows = SparkEntry.queries("multimodal_letterbox")(spark, sfDir)
       .collect()
