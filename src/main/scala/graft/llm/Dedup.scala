@@ -782,7 +782,58 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Content-defined chunking dedup (the FastCDC/storage-dedup rung the
+    * shingle family doesn't cover): chunk boundaries fall where a 4-char
+    * polynomial rolling hash (base 31, the shared TextUtil base) hits
+    * h % 32 == 0 — boundaries depend only on LOCAL content, so an
+    * insertion early in a document shifts at most one chunk instead of
+    * re-keying every fixed-width block (the property that makes CDC the
+    * standard storage dedup split). Per doc: the boundary set (plus the
+    * end-of-doc sentinel) tiles the text exactly; chunks then dedup
+    * corpus-wide BY TEXT (engine-portable — no engine-native hash in the
+    * output), and each doc reports its chunk count and how many of its
+    * chars live in chunks occurring elsewhere too. Shape: the position
+    * explode is linear in corpus bytes (the tokenizer's cost class); the
+    * chunk-count groupBy and both joins key doc_id / chunk text —
+    * data-sized shuffles, never broadcast. At 100 TB the chunk-text join
+    * key would widen to a 16-byte digest of the chunk; the grouping
+    * structure is unchanged. */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+    val bounds = base
+      .filter(col("n_chars") >= 4)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(CAST(4 AS BIGINT), n_chars)")).as("pos"))
+      .withColumn("h", expr(
+        "ascii(substring(text, CAST(pos - 3 AS INT), 1)) * 29791 + " +
+          "ascii(substring(text, CAST(pos - 2 AS INT), 1)) * 961 + " +
+          "ascii(substring(text, CAST(pos - 1 AS INT), 1)) * 31 + " +
+          "ascii(substring(text, CAST(pos AS INT), 1))"))
+      .filter(col("h") % 32 === 0)
+      .select(col("doc_id"), col("pos"))
+      .union(base.select(col("doc_id"), col("n_chars").as("pos")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = bounds
+      .withColumn("cstart",
+        coalesce(lag(col("pos"), 1).over(w), lit(0L)) + 1)
+      .join(base.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("substring(text, CAST(cstart AS INT), " +
+          "CAST(pos - cstart + 1 AS INT))").as("chunk"),
+        (col("pos") - col("cstart") + 1).as("clen"))
+    val cc = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(cc, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("sum_len"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("n_occ") > 1, col("clen")).otherwise(0L))
+          .as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> cdcChunks _,
     "dedup_cluster_purity" -> clusterPurity _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_substring_spans" -> substringSpans _,
@@ -867,6 +918,33 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      ("WITH p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+        "ord(substr(text, CAST(i - 3 AS INTEGER), 1)) * 29791 + " +
+        "ord(substr(text, CAST(i - 2 AS INTEGER), 1)) * 961 + " +
+        "ord(substr(text, CAST(i - 1 AS INTEGER), 1)) * 31 + " +
+        "ord(substr(text, CAST(i AS INTEGER), 1)) AS h " +
+        "FROM documents, unnest(range(4, n_chars + 1)) AS u(i)), " +
+        "bb AS (SELECT doc_id, pos FROM p WHERE h % 32 = 0 " +
+        "UNION SELECT doc_id, n_chars FROM documents), " +
+        "sp AS (SELECT doc_id, pos AS cend, " +
+        "coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 " +
+        "AS cstart FROM bb), " +
+        "ch AS (SELECT sp.doc_id, " +
+        "substr(d.text, CAST(cstart AS INTEGER), " +
+        "CAST(cend - cstart + 1 AS INTEGER)) AS chunk, " +
+        "cend - cstart + 1 AS clen " +
+        "FROM sp JOIN documents d ON sp.doc_id = d.doc_id), " +
+        "cc AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ " +
+        "FROM ch GROUP BY chunk) " +
+        "SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(clen) AS BIGINT) AS sum_len, " +
+        "CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_chunks, " +
+        "CAST(SUM(CASE WHEN n_occ > 1 THEN clen ELSE 0 END) AS BIGINT) " +
+        "AS dup_chars " +
+        "FROM ch JOIN cc ON ch.chunk = cc.chunk " +
+        "GROUP BY ch.doc_id ORDER BY ch.doc_id"),
     "dedup_cluster_purity" ->
       (s"WITH RECURSIVE $jaccardCtes, " +
         "pr AS (SELECT da, db FROM pairs " +

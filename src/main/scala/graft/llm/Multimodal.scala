@@ -671,9 +671,52 @@ object Multimodal {
         col("is_content"), col("n_content"))
       .orderBy("doc_id", "patch_id")
 
+  /** AnyRes tile-grid selection — the multi-crop planning step a
+    * high-resolution VLM ingest (the LLaVA-NeXT recipe) runs before any
+    * decode: from six candidate grids of 336 px tiles (1×1 … 3×1), pick
+    * per image the grid that maximizes EFFECTIVE resolution (the fitted
+    * area, capped at the source area — upscaling buys nothing) and, on
+    * ties, wastes the least canvas. Source dims are metadata-synthesized
+    * (200–799 px — the [[letterboxPlan]] discipline at crop scale);
+    * geometry is the same floored micro-scale integer arithmetic, so the
+    * whole selection hash-matches. Shape: a per-row 6-candidate explode +
+    * one PER-DOC rank window (partitioned — never global), no joins: the
+    * plan is a single scan at any corpus size, and n_tiles = gw·gh is
+    * the token-budget input the packer consumes downstream. */
+  private def tileGrid(s: SparkSession, d: String): DataFrame = {
+    val cand = "array(" +
+      Seq((1, 1), (1, 2), (2, 1), (2, 2), (1, 3), (3, 1)).map { case (w, h) =>
+        s"named_struct('gw', CAST($w AS BIGINT), 'gh', CAST($h AS BIGINT))"
+      }.mkString(", ") + ")"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("effective").desc, col("waste"), col("gw"), col("gh"))
+    U.tbl(s, d, "documents").select(col("doc_id"),
+        expr("200 + (doc_id * 13) % 600").as("src_w"),
+        expr("200 + (doc_id * 29) % 600").as("src_h"),
+        explode(expr(cand)).as("g"))
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        col("g.gw").as("gw"), col("g.gh").as("gh"))
+      .withColumn("can_w", expr("gw * 336"))
+      .withColumn("can_h", expr("gh * 336"))
+      .withColumn("scale_micro", expr(
+        "least((can_w * 1000000) DIV src_w, (can_h * 1000000) DIV src_h)"))
+      .withColumn("fit_w", expr("(src_w * scale_micro) DIV 1000000"))
+      .withColumn("fit_h", expr("(src_h * scale_micro) DIV 1000000"))
+      .withColumn("effective", expr("least(fit_w * fit_h, src_w * src_h)"))
+      .withColumn("waste", expr("can_w * can_h - effective"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("src_w"), col("src_h"), col("gw"),
+        col("gh"), col("can_w"), col("can_h"), col("scale_micro"),
+        col("fit_w"), col("fit_h"), expr("gw * gh").as("n_tiles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_letterbox" -> letterbox _,
     "multimodal_patch_mask" -> patchMask _,
+    "multimodal_tile_grid" -> tileGrid _,
     "multimodal_patches" -> patches _,
     "multimodal_zcr" -> zcr _,
     "multimodal_vad" -> vad _,
@@ -752,6 +795,25 @@ object Multimodal {
         "CAST(SUM(CASE WHEN is_content THEN 1 ELSE 0 END) " +
         "OVER (PARTITION BY doc_id) AS BIGINT) AS n_content " +
         "FROM m ORDER BY doc_id, patch_id"),
+    "multimodal_tile_grid" ->
+      ("WITH dims AS (SELECT doc_id, 200 + (doc_id * 13) % 600 AS src_w, " +
+        "200 + (doc_id * 29) % 600 AS src_h FROM documents), " +
+        "cand AS (SELECT CAST(gw AS BIGINT) AS gw, CAST(gh AS BIGINT) AS gh " +
+        "FROM (VALUES (1,1),(1,2),(2,1),(2,2),(1,3),(3,1)) g(gw, gh)), " +
+        "sc AS (SELECT doc_id, src_w, src_h, gw, gh, gw * 336 AS can_w, " +
+        "gh * 336 AS can_h FROM dims CROSS JOIN cand), " +
+        "fit AS (SELECT *, least((can_w * 1000000) // src_w, " +
+        "(can_h * 1000000) // src_h) AS scale_micro FROM sc), " +
+        "f2 AS (SELECT *, (src_w * scale_micro) // 1000000 AS fit_w, " +
+        "(src_h * scale_micro) // 1000000 AS fit_h FROM fit), " +
+        "ob AS (SELECT *, least(fit_w * fit_h, src_w * src_h) AS effective, " +
+        "can_w * can_h - least(fit_w * fit_h, src_w * src_h) AS waste " +
+        "FROM f2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY effective DESC, waste, gw, gh) AS rk FROM ob) " +
+        "SELECT doc_id, src_w, src_h, gw, gh, can_w, can_h, scale_micro, " +
+        "fit_w, fit_h, gw * gh AS n_tiles FROM r WHERE rk = 1 " +
+        "ORDER BY doc_id"),
     // patches: closed-form pixel recomputation (the codec_roundtrip rule —
     // PNG is lossless, so decoded patch sums must equal the arithmetic)
     "multimodal_patches" ->

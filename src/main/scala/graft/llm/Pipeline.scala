@@ -570,6 +570,45 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Data-constrained epoch planning — the repeat-budget step (the
+    * "Scaling Data-Constrained Language Models" recipe) that decides how
+    * many epochs each SOURCE runs when the token budget (here 4× the
+    * corpus) exceeds the unique data: targets allocated by α = 0.5
+    * temperature weights (√n_tokens, the [[pipelineLangBalance]] rule at
+    * source granularity), epochs capped at 4 — repetition beyond ~4
+    * epochs is measured near-worthless, so a capped source reports its
+    * shortfall (budget the mixer must redistribute) instead of
+    * over-repeating. All integer micro arithmetic; the one budget×weight
+    * product is widened internally (DECIMAL(38,0) / HUGEINT — exact,
+    * never in the output schema per the §5 policy) so the plan survives
+    * 100 TB token counts. One token-count agg over one scan, |sources|
+    * output rows, 1-row total broadcast. */
+  private def pipelineEpochPlan(s: SparkSession, d: String): DataFrame = {
+    val perSrc = docs(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w_micro",
+        expr("CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_micro")).as("tot_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(
+        "CAST((4 * CAST(tot_tokens AS DECIMAL(38,0)) * w_micro) DIV tot_w " +
+          "AS BIGINT)"))
+      .withColumn("epochs_micro", expr(
+        "least(CAST(4000000 AS BIGINT), (1000000 * target_tokens) DIV n_tokens)"))
+      .withColumn("capped",
+        expr("(1000000 * target_tokens) DIV n_tokens > 4000000"))
+      .withColumn("tokens_served",
+        expr("(n_tokens * epochs_micro) DIV 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_micro"),
+        col("target_tokens"), col("epochs_micro"), col("capped"),
+        col("tokens_served"),
+        expr("target_tokens - tokens_served").as("shortfall"))
+      .orderBy("source")
+  }
+
   /** Overlapping fixed-width chunking (context-window preparation): each doc
     * becomes ceil-spaced 200-char windows at stride 150, indexed and carrying
     * their text. The chunk count is closed-form from the length, so the op
@@ -1694,6 +1733,7 @@ object Pipeline {
     "pipeline_chat_template" -> pipelineChatTemplate _,
     "pipeline_loss_mask" -> pipelineLossMask _,
     "pipeline_lang_balance" -> pipelineLangBalance _,
+    "pipeline_epoch_plan" -> pipelineEpochPlan _,
     "pipeline_fertility" -> pipelineFertility _,
     "pipeline_context_fit" -> pipelineContextFit _,
     "emb_dim_variance" -> embDimVariance _,
@@ -1996,6 +2036,28 @@ object Pipeline {
         "CAST(length(rendered) AS BIGINT) AS rendered_len, " +
         "substring(rendered, 1, 64) AS rendered_head " +
         "FROM z ORDER BY doc_id"),
+    "pipeline_epoch_plan" ->
+      (s"WITH t AS (SELECT source, " +
+        s"CAST(len(${TextUtil.sqlTokens("text")}) AS BIGINT) AS nt " +
+        "FROM documents), " +
+        "ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t GROUP BY source), " +
+        "w AS (SELECT *, CAST(floor(1000000.0 * " +
+        "sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_micro FROM ps), " +
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, " +
+        "CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w), " +
+        "tgt AS (SELECT source, n_docs, n_tokens, w_micro, " +
+        "CAST((4 * CAST(tot_tokens AS HUGEINT) * w_micro) // tot_w " +
+        "AS BIGINT) AS target_tokens FROM w CROSS JOIN tot), " +
+        "ep AS (SELECT *, least(CAST(4000000 AS BIGINT), " +
+        "(1000000 * target_tokens) // n_tokens) AS epochs_micro, " +
+        "(1000000 * target_tokens) // n_tokens > 4000000 AS capped " +
+        "FROM tgt) " +
+        "SELECT source, n_docs, n_tokens, w_micro, target_tokens, " +
+        "epochs_micro, capped, " +
+        "(n_tokens * epochs_micro) // 1000000 AS tokens_served, " +
+        "target_tokens - (n_tokens * epochs_micro) // 1000000 AS shortfall " +
+        "FROM ep ORDER BY source"),
     "pipeline_lang_balance" ->
       (s"WITH t AS (SELECT lang, " +
         s"CAST(len(${TextUtil.sqlTokens("text")}) AS BIGINT) AS nt " +

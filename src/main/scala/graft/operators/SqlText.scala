@@ -399,6 +399,31 @@ object SqlText {
       "WHERE n_nationkey >= ? GROUP BY 1 ORDER BY 1' USING 5")
   }
 
+  /** GROUP BY CUBE + GROUPING() — the multi-level rollup surface (detail
+    * rows, both one-column subtotals, grand total in ONE aggregate) a
+    * reporting layer runs instead of four separate GROUP BYs. One shuffle:
+    * Spark expands the cube map-side (Expand node) so the 4 grouping sets
+    * ride a single exchange — exactly the plan a 100 TB rollup needs, vs
+    * 4 scans for the UNION ALL spelling. GROUPING() flags (cast to BIGINT
+    * in both dialects) disambiguate "NULL because aggregated away" from a
+    * data NULL; sums ride exact integer cents; the same text runs on
+    * DuckDB verbatim (NULLS FIRST pinned — the engines' null-sort
+    * defaults differ). */
+  private val groupingSets =
+    "SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, " +
+      "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls, " +
+      "l_returnflag, l_linestatus, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      s"CAST(SUM(${OSQL.cents("l_quantity")}) AS BIGINT) AS sum_qty_c, " +
+      s"CAST(SUM(${OSQL.cents("l_extendedprice")}) AS BIGINT) AS sum_price_c " +
+      "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+
+  private def sqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    U.tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(groupingSets)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_session_vars" -> sqlSessionVars _,
     "sql_exec_immediate" -> sqlExecImmediate _,
@@ -417,6 +442,7 @@ object SqlText {
     "sql_set_ops" -> sqlSetOps _,
     "sql_recursive_cte" -> sqlRecursive _,
     "sql_group_by_all" -> sqlGroupByAll _,
+    "sql_grouping_sets" -> sqlGroupingSets _,
     "sql_lateral_topk" -> sqlLateral _,
     "sql_q3_shipping" -> sqlQ3 _,
     "sql_q5_local_supplier" -> sqlQ5 _,
@@ -485,6 +511,7 @@ object SqlText {
     "sql_set_ops" -> setOps,
     "sql_recursive_cte" -> recursiveCte,
     "sql_group_by_all" -> groupByAll,
+    "sql_grouping_sets" -> groupingSets,
     "sql_lateral_topk" -> lateral,
     "sql_q3_shipping" -> q3,
     "sql_q5_local_supplier" -> q5,

@@ -888,11 +888,36 @@ class PlanSpec extends SparkTestBase {
     // letterbox are pure projections that must not touch a join at all
     for (name <- Seq("pipeline_perplexity_filter", "pipeline_loss_mask",
         "multimodal_letterbox", "multimodal_patch_mask",
-        "pipeline_lang_balance", "sim_radius_search")) {
+        "pipeline_lang_balance", "sim_radius_search",
+        // second batch: cube rides one Expand+shuffle, the tile grid is a
+        // join-free explode+window, epoch plan is a 1-row broadcast total,
+        // CDC dedup keys its joins on doc_id / chunk text (shuffle, data-
+        // sized — broadcasting either side would be the 100 TB mistake)
+        "sql_grouping_sets", "multimodal_tile_grid",
+        "pipeline_epoch_plan", "dedup_cdc_chunks")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
       U.releaseTracked()
     }
+  }
+
+  test("dedup_cdc_chunks: the chunk-text dedup join shuffles, never broadcasts") {
+    // the doc_id text re-join MAY auto-broadcast at tiny SF (stats-driven,
+    // no hint in source — at 100 TB stats flip it to shuffle); the
+    // chunk-COUNT join keys corpus-scaled text and must never broadcast
+    val p = plan("dedup_cdc_chunks")
+    assert(!p.contains("BroadcastHashJoin [chunk"),
+      s"cdc chunk-count join must not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin [chunk") ||
+      p.contains("ShuffledHashJoin [chunk"),
+      s"cdc chunk-count join must be a shuffle join:\n$p")
+    U.releaseTracked()
+  }
+
+  test("multimodal_tile_grid plans join-free with a partitioned rank window") {
+    val p = plan("multimodal_tile_grid")
+    assert(!p.contains("Join"), s"tile grid must not join:\n$p")
+    U.releaseTracked()
   }
 
   test("emb_ood_score broadcasts the 16-row quantizer against one stream") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.math.BigDecimal.RoundingMode
 
 /** Round-15 pins: the r14 verdict's carried items — the decimal128
   * output re-typing (STRING canary path, covered in Round14Spec's
@@ -256,5 +257,139 @@ class Round15Spec extends SparkTestBase {
       assert((r.getLong(7) - r.getLong(6)).abs <= 1 &&
         (r.getLong(9) - r.getLong(8)).abs <= 1, s"doc $id centering")
     }
+  }
+
+  test("sql_grouping_sets: cube levels recount from raw lineitem") {
+    def cents(x: Double): Long =
+      (BigDecimal(x).setScale(2, RoundingMode.HALF_UP) * 100).toLongExact
+    val base = U.tbl(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        cents(r.getDouble(2)), cents(r.getDouble(3))))
+    def roll(rows: Seq[(String, String, Long, Long)]) =
+      (rows.size.toLong, rows.map(_._3).sum, rows.map(_._4).sum)
+    val detail = base.groupBy(r => (r._1, r._2)).view.mapValues(roll(_)).toMap
+    val byRf = base.groupBy(_._1).view.mapValues(roll(_)).toMap
+    val byLs = base.groupBy(_._2).view.mapValues(roll(_)).toMap
+    val grand = roll(base.toSeq)
+    val out = SparkEntry.queries("sql_grouping_sets")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        Option(r.getString(3))), (r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // one row per grouping set member, nothing else
+    assert(out.size ==
+      detail.size + byRf.size + byLs.size + 1, "cube cardinality")
+    detail.foreach { case ((rf, ls), v) =>
+      assert(out((0L, 0L, Some(rf), Some(ls))) == v, s"detail $rf/$ls") }
+    byRf.foreach { case (rf, v) =>
+      assert(out((0L, 1L, Some(rf), None)) == v, s"subtotal rf=$rf") }
+    byLs.foreach { case (ls, v) =>
+      assert(out((1L, 0L, None, Some(ls))) == v, s"subtotal ls=$ls") }
+    assert(out((1L, 1L, None, None)) == grand, "grand total")
+  }
+
+  test("pipeline_epoch_plan: sqrt-allocation and repeat-cap recount") {
+    val perSrc = U.tbl(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val totTokens = perSrc.values.map(_._2).sum
+    val wOf = perSrc.view.mapValues { case (_, nt) =>
+      math.floor(1000000.0 * math.sqrt(nt.toDouble)).toLong }.toMap
+    val totW = wOf.values.sum
+    val rows = SparkEntry.queries("pipeline_epoch_plan")(spark, sfDir)
+      .collect()
+    assert(rows.length == perSrc.size, "one plan row per source")
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (nDocs, nt) = perSrc(src)
+      val target = (BigInt(4) * totTokens * wOf(src) / totW).toLong
+      val rawEpochs = 1000000L * target / nt
+      val epochs = math.min(4000000L, rawEpochs)
+      val served = nt * epochs / 1000000L
+      assert(r.getLong(1) == nDocs && r.getLong(2) == nt, s"$src counts")
+      assert(r.getLong(3) == wOf(src), s"$src weight")
+      assert(r.getLong(4) == target, s"$src target")
+      assert(r.getLong(5) == epochs, s"$src epochs")
+      assert(r.getBoolean(6) == (rawEpochs > 4000000L), s"$src capped")
+      assert(r.getLong(7) == served, s"$src served")
+      assert(r.getLong(8) == target - served, s"$src shortfall")
+      // the law: a capped source's shortfall is exactly the tokens the
+      // 4-epoch ceiling refuses; an uncapped source loses at most the
+      // one-token micro-floor residue
+      if (r.getBoolean(6))
+        assert(r.getLong(8) == target - 4L * nt, s"$src capped shortfall")
+      else assert(r.getLong(8) <= 1L, s"$src uncapped residue")
+    }
+    // α = 0.5 temperature: epoch factors order inversely to source size
+    val bySize = rows.sortBy(_.getLong(2)).map(_.getLong(5)).toSeq
+    assert(bySize == bySize.sorted.reverse,
+      "epoch factors must decrease as source size grows")
+  }
+
+  test("multimodal_tile_grid: argmax recount over all six candidate grids") {
+    val cands = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (1L, 3L), (3L, 1L))
+    val rows = SparkEntry.queries("multimodal_tile_grid")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (200 + (id * 13) % 600, 200 + (id * 29) % 600)
+      assert(r.getLong(1) == w && r.getLong(2) == h, s"doc $id dims")
+      val scored = cands.map { case (gw, gh) =>
+        val (cw, ch) = (gw * 336, gh * 336)
+        val scale = math.min(cw * 1000000L / w, ch * 1000000L / h)
+        val (fw, fh) = (w * scale / 1000000L, h * scale / 1000000L)
+        val eff = math.min(fw * fh, w * h)
+        (gw, gh, cw, ch, scale, fw, fh, eff, cw * ch - eff)
+      }
+      val best = scored.minBy(c => (-c._8, c._9, c._1, c._2))
+      assert((r.getLong(3), r.getLong(4)) == (best._1, best._2),
+        s"doc $id grid choice")
+      assert((r.getLong(5), r.getLong(6)) == (best._3, best._4) &&
+        r.getLong(7) == best._5 &&
+        (r.getLong(8), r.getLong(9)) == (best._6, best._7),
+        s"doc $id geometry")
+      assert(r.getLong(10) == best._1 * best._2, s"doc $id n_tiles")
+    }
+  }
+
+  test("dedup_cdc_chunks: boundary fold and corpus dup recount") {
+    val docs = U.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunksOf(text: String): Seq[String] = {
+      val n = text.length
+      val bounds = (4 to n).filter { i =>
+        val h = text(i - 4).toInt * 29791 + text(i - 3).toInt * 961 +
+          text(i - 2).toInt * 31 + text(i - 1).toInt
+        h % 32 == 0
+      }.map(_.toLong) :+ n.toLong
+      bounds.distinct.sorted.foldLeft((0L, Seq.empty[String])) {
+        case ((prev, acc), b) =>
+          (b, acc :+ text.substring(prev.toInt, b.toInt))
+      }._2
+    }
+    val perDoc = docs.map { case (id, t) => id -> chunksOf(t) }.toMap
+    val occ = perDoc.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rows = SparkEntry.queries("dedup_cdc_chunks")(spark, sfDir).collect()
+    assert(rows.length == docs.length, "one row per document")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val cs = perDoc(id)
+      assert(r.getLong(1) == cs.size.toLong, s"doc $id chunk count")
+      // the CDC tiling law: chunks cover the text exactly, no gap/overlap
+      assert(r.getLong(2) == perDoc(id).map(_.length.toLong).sum &&
+        cs.mkString == docs.toMap.apply(id), s"doc $id tiling")
+      val dup = cs.filter(c => occ(c) > 1)
+      assert(r.getLong(3) == dup.size.toLong, s"doc $id dup chunks")
+      assert(r.getLong(4) == dup.map(_.length.toLong).sum, s"doc $id dup chars")
+    }
+    // the fixture must actually exercise the dedup signal
+    assert(rows.map(_.getLong(3)).sum > 0, "corpus has duplicate chunks")
   }
 }
