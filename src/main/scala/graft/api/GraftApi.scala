@@ -1278,6 +1278,45 @@ object GraftApi {
         df.select(col(id).as("doc_id"), col(text).as("text"))),
       "doc_id" -> id)
 
+  /** Data-constrained epoch planning on a caller (source, text) corpus —
+    * the `pipeline_epoch_plan` kernel lifted: per-source whitespace-token
+    * mass, α = 0.5 temperature targets over a 4× token budget, epochs
+    * capped at 4 with the capped shortfall reported. Returns (<source>,
+    * n_docs, n_tokens, w_micro, target_tokens, epochs_micro, capped,
+    * tokens_served, shortfall). */
+  def epochPlan(df: DataFrame, source: String, text: String): DataFrame =
+    renameOut(graft.llm.Pipeline.epochPlanOn(
+        df.select(col(source).as("source"), col(text).as("text"))),
+      "source" -> source)
+
+  /** AnyRes tile-grid selection on a caller (id, width, height) image
+    * dimension frame — the `multimodal_tile_grid` kernel lifted: per
+    * image the 336 px candidate grid (1×1 … 3×1) maximizing effective
+    * resolution, min-waste tiebreak. Returns (<id>, <width>, <height>,
+    * gw, gh, can_w, can_h, scale_micro, fit_w, fit_h, n_tiles). */
+  def tileGrid(df: DataFrame, id: String, width: String,
+      height: String): DataFrame =
+    renameOut(graft.llm.Multimodal.tileGridOn(
+        df.select(col(id).as("doc_id"),
+          col(width).cast(LongType).as("src_w"),
+          col(height).cast(LongType).as("src_h"))),
+      "doc_id" -> id, "src_w" -> width, "src_h" -> height)
+
+  /** Adaptive keyframe planning on a caller (video, totalFrames, frame,
+    * motion) frame-score table — the `multimodal_video_keyframe` kernel
+    * lifted: frame 0 plus every frame with motion ≥ `threshold` is a
+    * keyframe; per video the plan reports keyframe count, density and
+    * the worst inter-keyframe gap. Returns (<video>, n_frames,
+    * n_keyframes, kf_density_micro, max_gap). */
+  def keyframes(df: DataFrame, video: String, totalFrames: String,
+      frame: String, motion: String, threshold: Long = 900L): DataFrame =
+    renameOut(graft.llm.Multimodal.keyframesOn(
+        df.select(col(video).as("doc_id"),
+          col(totalFrames).cast(LongType).as("n_frames"),
+          col(frame).cast(LongType).as("frame_id"),
+          col(motion).cast(LongType).as("motion")), threshold),
+      "doc_id" -> video)
+
   /** Skip-gram (center, context) pair counts on a caller walk/sentence
     * frame — the `graph_skipgram_pairs` kernel lifted: rows are (walk
     * id, step, node); every pair within `window` steps on the same walk

@@ -683,7 +683,15 @@ object Multimodal {
     * one PER-DOC rank window (partitioned — never global), no joins: the
     * plan is a single scan at any corpus size, and n_tiles = gw·gh is
     * the token-budget input the packer consumes downstream. */
-  private def tileGrid(s: SparkSession, d: String): DataFrame = {
+  private def tileGrid(s: SparkSession, d: String): DataFrame =
+    tileGridOn(U.tbl(s, d, "documents").select(col("doc_id"),
+      expr("200 + (doc_id * 13) % 600").as("src_w"),
+      expr("200 + (doc_id * 29) % 600").as("src_h")))
+
+  /** The AnyRes selection kernel on a caller (doc_id, src_w, src_h)
+    * dimension frame — one definition for the declared query and the
+    * [[graft.api.GraftApi]] lift. */
+  private[graft] def tileGridOn(dims: DataFrame): DataFrame = {
     val cand = "array(" +
       Seq((1, 1), (1, 2), (2, 1), (2, 2), (1, 3), (3, 1)).map { case (w, h) =>
         s"named_struct('gw', CAST($w AS BIGINT), 'gh', CAST($h AS BIGINT))"
@@ -691,9 +699,7 @@ object Multimodal {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("effective").desc, col("waste"), col("gw"), col("gh"))
-    U.tbl(s, d, "documents").select(col("doc_id"),
-        expr("200 + (doc_id * 13) % 600").as("src_w"),
-        expr("200 + (doc_id * 29) % 600").as("src_h"),
+    dims.select(col("doc_id"), col("src_w"), col("src_h"),
         explode(expr(cand)).as("g"))
       .select(col("doc_id"), col("src_w"), col("src_h"),
         col("g.gw").as("gw"), col("g.gh").as("gh"))
@@ -713,10 +719,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Adaptive keyframe selection — the content-aware companion to
+    * [[frameSample]]'s uniform stride: a video ingest keeps frame 0 plus
+    * every scene-cut frame (motion score over threshold), and the
+    * keyframe density + worst inter-keyframe gap decide whether the clip
+    * needs a denser uniform fallback. Frame metadata is synthesized per
+    * video (48–119 frames; integer hash motion score — the
+    * deterministic stand-in the §1 fixture note prescribes while no
+    * binary fixture ships); the scan is one explode linear in total
+    * frame count (the decode-manifest cost class), the gap window is
+    * per-video (partitioned), and the output is |videos| rows. */
+  private def videoKeyframe(s: SparkSession, d: String): DataFrame =
+    keyframesOn(U.tbl(s, d, "documents")
+      .select(col("doc_id"), expr("48 + (doc_id * 11) % 72").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1)"))
+          .as("frame_id"))
+      .withColumn("motion",
+        expr("(doc_id * 7919 + frame_id * 104729) % 1000")), 900L)
+
+  /** The keyframe-plan kernel on a caller (doc_id, n_frames, frame_id,
+    * motion) frame-score frame — one definition for the declared query
+    * and the [[graft.api.GraftApi]] lift. */
+  private[graft] def keyframesOn(frames: DataFrame,
+      threshold: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    frames
+      .filter(col("frame_id") === 0 || col("motion") >= threshold)
+      .withColumn("nxt", lead(col("frame_id"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_keyframes"),
+        max(coalesce(col("nxt"), col("n_frames")) - col("frame_id"))
+          .as("max_gap"))
+      .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
+        expr("(1000000 * n_keyframes) DIV n_frames").as("kf_density_micro"),
+        col("max_gap"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_letterbox" -> letterbox _,
     "multimodal_patch_mask" -> patchMask _,
     "multimodal_tile_grid" -> tileGrid _,
+    "multimodal_video_keyframe" -> videoKeyframe _,
     "multimodal_patches" -> patches _,
     "multimodal_zcr" -> zcr _,
     "multimodal_vad" -> vad _,
@@ -795,6 +842,21 @@ object Multimodal {
         "CAST(SUM(CASE WHEN is_content THEN 1 ELSE 0 END) " +
         "OVER (PARTITION BY doc_id) AS BIGINT) AS n_content " +
         "FROM m ORDER BY doc_id, patch_id"),
+    "multimodal_video_keyframe" ->
+      ("WITH vid AS (SELECT doc_id, 48 + (doc_id * 11) % 72 AS n_frames " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, n_frames, CAST(i AS BIGINT) AS frame_id " +
+        "FROM vid, unnest(range(0, n_frames)) AS u(i) " +
+        "WHERE i = 0 OR (doc_id * 7919 + i * 104729) % 1000 >= 900), " +
+        "g AS (SELECT doc_id, n_frames, frame_id, " +
+        "lead(frame_id) OVER (PARTITION BY doc_id ORDER BY frame_id) " +
+        "AS nxt FROM f) " +
+        "SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_keyframes, " +
+        "(1000000 * COUNT(*)) // MAX(n_frames) AS kf_density_micro, " +
+        "CAST(MAX(coalesce(nxt, n_frames) - frame_id) AS BIGINT) " +
+        "AS max_gap " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id"),
     "multimodal_tile_grid" ->
       ("WITH dims AS (SELECT doc_id, 200 + (doc_id * 13) % 600 AS src_w, " +
         "200 + (doc_id * 29) % 600 AS src_h FROM documents), " +

@@ -583,8 +583,14 @@ object Pipeline {
     * never in the output schema per the §5 policy) so the plan survives
     * 100 TB token counts. One token-count agg over one scan, |sources|
     * output rows, 1-row total broadcast. */
-  private def pipelineEpochPlan(s: SparkSession, d: String): DataFrame = {
-    val perSrc = docs(s, d)
+  private def pipelineEpochPlan(s: SparkSession, d: String): DataFrame =
+    epochPlanOn(docs(s, d).select(col("source"), col("text")))
+
+  /** The epoch-plan kernel on a caller (source, text) frame — one
+    * definition for the declared query and the [[graft.api.GraftApi]]
+    * lift. */
+  private[graft] def epochPlanOn(docsDf: DataFrame): DataFrame = {
+    val perSrc = docsDf
       .select(col("source"), size(tokens(col("text"))).cast(LongType).as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))

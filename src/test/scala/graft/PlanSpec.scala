@@ -894,7 +894,8 @@ class PlanSpec extends SparkTestBase {
         // CDC dedup keys its joins on doc_id / chunk text (shuffle, data-
         // sized — broadcasting either side would be the 100 TB mistake)
         "sql_grouping_sets", "multimodal_tile_grid",
-        "pipeline_epoch_plan", "dedup_cdc_chunks")) {
+        "pipeline_epoch_plan", "dedup_cdc_chunks",
+        "multimodal_video_keyframe")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
       U.releaseTracked()

@@ -392,4 +392,46 @@ class Round15Spec extends SparkTestBase {
     // the fixture must actually exercise the dedup signal
     assert(rows.map(_.getLong(3)).sum > 0, "corpus has duplicate chunks")
   }
+
+  test("multimodal_video_keyframe: keyframe set and gap recount") {
+    val rows = SparkEntry.queries("multimodal_video_keyframe")(spark, sfDir)
+      .collect()
+    val docs = U.tbl(spark, sfDir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getLong(0)).toSeq == docs.toSeq, "one plan per video")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val nf = 48 + (id * 11) % 72
+      val kfs = (0L until nf).filter(f =>
+        f == 0L || (id * 7919 + f * 104729) % 1000 >= 900)
+      val gaps = (kfs :+ nf).sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(r.getLong(1) == nf, s"video $id frame count")
+      assert(r.getLong(2) == kfs.size.toLong, s"video $id keyframes")
+      assert(r.getLong(3) == 1000000L * kfs.size / nf, s"video $id density")
+      assert(r.getLong(4) == gaps.max, s"video $id max gap")
+    }
+  }
+
+  test("round-15 facades equal their declared twins on the fixture corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.api.GraftApi.epochPlan(
+        U.tbl(spark, sfDir, "documents").select(col("source"), col("text")),
+        "source", "text")) ==
+      rows(SparkEntry.queries("pipeline_epoch_plan")(spark, sfDir)))
+    assert(rows(graft.api.GraftApi.tileGrid(
+        U.tbl(spark, sfDir, "documents").select(col("doc_id"),
+          expr("200 + (doc_id * 13) % 600").as("w"),
+          expr("200 + (doc_id * 29) % 600").as("h")),
+        "doc_id", "w", "h").orderBy("doc_id")) ==
+      rows(SparkEntry.queries("multimodal_tile_grid")(spark, sfDir)))
+    assert(rows(graft.api.GraftApi.keyframes(
+        U.tbl(spark, sfDir, "documents")
+          .select(col("doc_id"), expr("48 + (doc_id * 11) % 72").as("nf"))
+          .select(col("doc_id"), col("nf"),
+            explode(expr("sequence(CAST(0 AS BIGINT), nf - 1)")).as("fid"))
+          .withColumn("m", expr("(doc_id * 7919 + fid * 104729) % 1000")),
+        "doc_id", "nf", "fid", "m").orderBy("doc_id")) ==
+      rows(SparkEntry.queries("multimodal_video_keyframe")(spark, sfDir)))
+  }
 }
