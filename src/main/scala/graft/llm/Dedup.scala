@@ -792,38 +792,48 @@ object Dedup {
     * end-of-doc sentinel) tiles the text exactly; chunks then dedup
     * corpus-wide BY TEXT (engine-portable — no engine-native hash in the
     * output), and each doc reports its chunk count and how many of its
-    * chars live in chunks occurring elsewhere too. Shape: the position
-    * explode is linear in corpus bytes (the tokenizer's cost class); the
-    * chunk-count groupBy and both joins key doc_id / chunk text —
-    * data-sized shuffles, never broadcast. At 100 TB the chunk-text join
-    * key would widen to a 16-byte digest of the chunk; the grouping
-    * structure is unchanged. */
+    * chars live in chunks occurring elsewhere too. Shape: the boundary
+    * fold and chunk extraction are per-row higher-order functions
+    * (linear in corpus bytes — the tokenizer's cost class), then exactly
+    * TWO data-sized shuffles: the chunk-keyed window for the corpus
+    * occurrence count and the doc_id re-aggregation; no join, nothing
+    * broadcast. At 100 TB the chunk-text shuffle key would widen to a
+    * 16-byte digest of the chunk; the structure is unchanged. */
   private def cdcChunks(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("text"), col("n_chars"))
-    val bounds = base
-      .filter(col("n_chars") >= 4)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(CAST(4 AS BIGINT), n_chars)")).as("pos"))
-      .withColumn("h", expr(
-        "ascii(substring(text, CAST(pos - 3 AS INT), 1)) * 29791 + " +
-          "ascii(substring(text, CAST(pos - 2 AS INT), 1)) * 961 + " +
-          "ascii(substring(text, CAST(pos - 1 AS INT), 1)) * 31 + " +
-          "ascii(substring(text, CAST(pos AS INT), 1))"))
-      .filter(col("h") % 32 === 0)
-      .select(col("doc_id"), col("pos"))
-      .union(base.select(col("doc_id"), col("n_chars").as("pos")))
-      .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val chunks = bounds
-      .withColumn("cstart",
-        coalesce(lag(col("pos"), 1).over(w), lit(0L)) + 1)
-      .join(base.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"),
-        expr("substring(text, CAST(cstart AS INT), " +
-          "CAST(pos - cstart + 1 AS INT))").as("chunk"),
-        (col("pos") - col("cstart") + 1).as("clen"))
-    val cc = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
-    chunks.join(cc, Seq("chunk"))
+    // Boundary detection and chunk extraction are PER-ROW higher-order
+    // functions over a once-materialized char-code array — no per-char
+    // explode (a first cut exploded every position and re-joined the
+    // text back: 4 substring() seeks per char are O(pos) each on
+    // UTF8String, so the hash pass alone was O(n²)/doc and the query
+    // benched 5.6 s at sf0.1; the HOF form keeps the whole boundary
+    // fold inside one codegen'd projection and explodes only the ~n/32
+    // chunks). The first shuffle this query does is the one the
+    // OPERATOR needs: the corpus-wide chunk-text count.
+    val prev = "CASE WHEN j = 1 THEN CAST(0 AS BIGINT) " +
+      "ELSE element_at(bs, CAST(j - 1 AS INT)) END"
+    val chunks = docs(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("bs", expr(
+        "array_sort(array_distinct(concat(CASE WHEN n_chars >= 4 THEN " +
+          "filter(sequence(CAST(4 AS BIGINT), n_chars), i -> " +
+          "(element_at(cs, CAST(i - 3 AS INT)) * 29791 + " +
+          "element_at(cs, CAST(i - 2 AS INT)) * 961 + " +
+          "element_at(cs, CAST(i - 1 AS INT)) * 31 + " +
+          "element_at(cs, CAST(i AS INT))) % 32 = 0) " +
+          "ELSE array() END, array(n_chars))))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(bs)), j -> named_struct(" +
+          s"'chunk', substring(text, CAST($prev + 1 AS INT), " +
+          s"CAST(element_at(bs, CAST(j AS INT)) - $prev AS INT)), " +
+          s"'clen', element_at(bs, CAST(j AS INT)) - $prev))")).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("chunk"),
+        col("c.clen").as("clen"))
+    // corpus-wide occurrence count as ONE chunk-keyed shuffle (a window
+    // over the chunk partition), not groupBy + re-join (two exchanges)
+    chunks
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("chunk"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("sum_len"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),

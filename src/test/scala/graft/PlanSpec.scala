@@ -902,16 +902,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("dedup_cdc_chunks: the chunk-text dedup join shuffles, never broadcasts") {
-    // the doc_id text re-join MAY auto-broadcast at tiny SF (stats-driven,
-    // no hint in source — at 100 TB stats flip it to shuffle); the
-    // chunk-COUNT join keys corpus-scaled text and must never broadcast
+  test("dedup_cdc_chunks: one chunk-keyed shuffle, no join, no broadcast") {
+    // the corpus dup count is a window over the chunk partition — ONE
+    // chunk-keyed exchange; the boundary fold is per-row HOFs, so the
+    // plan must contain no join (and hence no broadcast) at all
     val p = plan("dedup_cdc_chunks")
-    assert(!p.contains("BroadcastHashJoin [chunk"),
-      s"cdc chunk-count join must not broadcast:\n$p")
-    assert(p.contains("SortMergeJoin [chunk") ||
-      p.contains("ShuffledHashJoin [chunk"),
-      s"cdc chunk-count join must be a shuffle join:\n$p")
+    assert(!p.contains("Join"), s"cdc must not join:\n$p")
+    assert(p.contains("hashpartitioning(chunk"),
+      s"cdc dup count must shuffle on the chunk key:\n$p")
     U.releaseTracked()
   }
 
