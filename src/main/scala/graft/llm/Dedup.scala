@@ -736,15 +736,17 @@ object Dedup {
     * the declared query and [[graft.api.GraftApi.spanDupStats]]. */
   private[graft] def spanDupOn(docs: DataFrame, spanTokens: Int): DataFrame = {
     val w = spanTokens
-    val sp = U.track(docs
+    docs
       .select(col("doc_id"), TextUtil.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= w)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(tk) - ${w - 1}), " +
           s"i -> concat_ws(' ', slice(tk, i, $w)))")).as("span"))
-      .persist())
-    val occ = sp.groupBy(col("span")).agg(count(lit(1)).as("occ"))
-    sp.join(occ, Seq("span"))
+      // corpus occurrence count as ONE span-keyed shuffle (window over
+      // the span partition) — the dedup_cdc_chunks recipe, replacing the
+      // earlier groupBy + re-join (two exchanges + a persisted frame)
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("span"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("occ") >= 2L, 1L).otherwise(0L)).as("n_dup_spans"))
