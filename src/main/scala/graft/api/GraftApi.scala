@@ -1278,6 +1278,17 @@ object GraftApi {
         df.select(col(id).as("doc_id"), col(text).as("text"))),
       "doc_id" -> id)
 
+  /** Content-defined chunking dedup on a caller (id, text) corpus — the
+    * `dedup_cdc_chunks` kernel lifted: rolling-hash boundaries (base-31
+    * 4-char window, cut at h % 32 == 0) tile every document exactly,
+    * chunks dedup corpus-wide by text, and each document reports how
+    * many of its chars live in chunks that occur elsewhere too. Returns
+    * (<id>, n_chunks, sum_len, n_dup_chunks, dup_chars). */
+  def cdcChunkStats(df: DataFrame, id: String, text: String): DataFrame =
+    renameOut(graft.llm.Dedup.cdcChunkStatsOn(
+        df.select(col(id).as("doc_id"), col(text).as("text"))),
+      "doc_id" -> id)
+
   /** Data-constrained epoch planning on a caller (source, text) corpus —
     * the `pipeline_epoch_plan` kernel lifted: per-source whitespace-token
     * mass, α = 0.5 temperature targets over a 4× token budget, epochs

@@ -801,7 +801,13 @@ object Dedup {
     * occurrence count and the doc_id re-aggregation; no join, nothing
     * broadcast. At 100 TB the chunk-text shuffle key would widen to a
     * 16-byte digest of the chunk; the structure is unchanged. */
-  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+  private def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunkStatsOn(docs(s, d).select(col("doc_id"), col("text")))
+
+  /** The CDC kernel on any (doc_id, text) frame — one definition for the
+    * declared query, the [[graft.api.GraftApi.cdcChunkStats]] lift and
+    * the StressSpec volume laws. */
+  private[graft] def cdcChunkStatsOn(docsDf: DataFrame): DataFrame = {
     // Boundary detection and chunk extraction are PER-ROW higher-order
     // functions over a once-materialized char-code array — no per-char
     // explode (a first cut exploded every position and re-joined the
@@ -813,8 +819,9 @@ object Dedup {
     // OPERATOR needs: the corpus-wide chunk-text count.
     val prev = "CASE WHEN j = 1 THEN CAST(0 AS BIGINT) " +
       "ELSE element_at(bs, CAST(j - 1 AS INT)) END"
-    val chunks = docs(s, d)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    val chunks = docsDf
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast(LongType).as("n_chars"))
       .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
       .withColumn("bs", expr(
         "array_sort(array_distinct(concat(CASE WHEN n_chars >= 4 THEN " +

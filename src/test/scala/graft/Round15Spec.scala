@@ -415,6 +415,10 @@ class Round15Spec extends SparkTestBase {
   test("round-15 facades equal their declared twins on the fixture corpus") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.api.GraftApi.cdcChunkStats(
+        U.tbl(spark, sfDir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")) ==
+      rows(SparkEntry.queries("dedup_cdc_chunks")(spark, sfDir)))
     assert(rows(graft.api.GraftApi.epochPlan(
         U.tbl(spark, sfDir, "documents").select(col("source"), col("text")),
         "source", "text")) ==

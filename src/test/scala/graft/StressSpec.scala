@@ -483,4 +483,36 @@ class StressSpec extends SparkTestBase {
     bands.unpersist()
     U.releaseTracked()
   }
+
+  test("CDC chunking tiles and dedups a 60k-doc corpus with planted clones") {
+    // the dedup_cdc_chunks scale shape 120x past the fixture: per-row HOF
+    // boundary folds + one chunk-keyed shuffle must (a) tile EVERY text
+    // exactly and (b) flag every chunk of a planted clone pair as dup.
+    // Docs 0..999 are cloned verbatim at ids 30000..30999; all other ids
+    // get id-unique text (an id-seeded word suffix in every 8-word line).
+    val n = 60000L
+    val docs = spark.range(0L, n)
+      .select(col("id").as("doc_id"), expr(
+        // ~15 words of base text + the id woven in so non-clones differ
+        "concat_ws(' ', transform(sequence(1, 15), j -> " +
+          "concat('w', (id % 30000) * 31 + j, " +
+          "CASE WHEN j % 8 = 0 AND id % 30000 >= 1000 " +
+          "THEN concat('u', id) ELSE '' END)))").as("text"))
+    val got = graft.llm.Dedup.cdcChunkStatsOn(docs).collect()
+    assert(got.length == n, "one row per document")
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r.getLong(2) == lens(r.getLong(0)),
+        s"doc ${r.getLong(0)} tiling at volume")
+    }
+    // planted clones: every chunk of both twins occurs >= 2 times
+    val cloned = got.filter(r => r.getLong(0) % 30000 < 1000)
+    assert(cloned.length == 2000)
+    cloned.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(2),
+        s"clone ${r.getLong(0)}: all chunks must be corpus-dups")
+    }
+    U.releaseTracked()
+  }
 }
