@@ -89,8 +89,12 @@ object Bench {
     // 1-minute /proc/loadavg before and after each query's triple ships in
     // the artifact so a loaded-host run is self-evident from the JSON —
     // a noise dispute becomes a table lookup, not a re-measure session.
+    // Files.readString, not io.Source: Source leaks its descriptor until
+    // finalization, and this runs twice per benched query — enough to
+    // trip a 1024 ulimit mid-run on a low-GC-pressure driver
     def loadavg(): Array[Double] =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).map(_.toDouble)
       catch { case _: Throwable => Array(-1.0, -1.0, -1.0) }
     val loadStart = loadavg()

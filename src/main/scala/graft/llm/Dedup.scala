@@ -320,13 +320,18 @@ object Dedup {
     * lost race discards the temp — the winner's bytes are the same
     * deterministic function of the corpus. */
   /** Cheap corpus fingerprint for persisted-index scratch tags: a stable
-    * hash of every file's (name, length, mtime) under the sfDir's
-    * documents.parquet — pure filesystem metadata, no data read. Two
+    * hash of (name, length, mtime) for the sfDir's documents.parquet —
+    * its part files when it is a directory, the file ITSELF when it is a
+    * plain single-file parquet (every shipped fixture is; listFiles()
+    * returns null there, and an early cut hashed the empty string for
+    * every generation, which silently disabled the staleness guard this
+    * exists to provide). Pure filesystem metadata, no data read. Two
     * generations of the same logical corpus produce different tags, so a
     * write-if-absent index can never outlive the bytes it indexed. */
   private def corpusFingerprint(d: String): String = {
     val dir = new java.io.File(s"$d/documents.parquet")
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+    val files = Option(dir.listFiles()).getOrElse(Array(dir))
+    val parts = files
       .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
       .sorted.mkString("|")
     val md = java.security.MessageDigest.getInstance("SHA-256")

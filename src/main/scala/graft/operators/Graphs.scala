@@ -97,6 +97,8 @@ object Graphs {
     // plan: measured run 1 still paid +1.4 s of compile over steady state)
     val (pe, psmall) = prFrames(s, d)
     pagerankKernel(pe, psmall, seedMod = None).count()
+    // the shared walk frame (graph_walk_corpus + graph_skipgram_pairs)
+    walkFrame(s, d).count()
     graft.U.releaseTracked()
   }
 
@@ -1473,7 +1475,31 @@ object Graphs {
     * frontier; the walk length bounds the join count, never the data.
     * Round14Spec pins cap=0 parity. */
   private def graphWalkCorpus(s: SparkSession, d: String): DataFrame =
-    walkCorpusImpl(s, d, GraphIterEdgeCap)
+    walkFrame(s, d)
+
+  /** Per-(session, sfDir) cache of the DEFAULT-cap walk frame — shared
+    * by `graph_walk_corpus` and `graph_skipgram_pairs` (which previously
+    * re-ran the whole coPairs count + CSR walk per consumer — the exact
+    * rebuild-per-consumer attribution hole the permPvals/bpeRounds
+    * caches closed; the frame is ≤ |seeds|·walkLen rows, trivially
+    * persistable). Cap-overriding callers (the Round14Spec cap=0 parity
+    * pins) bypass the cache and exercise the real kernels. Pre-built in
+    * [[warm]]. */
+  private val walkCache =
+    scala.collection.mutable.Map[String, (SparkSession, DataFrame)]()
+  private[graft] def walkFrame(s: SparkSession, d: String): DataFrame =
+    walkCache.synchronized {
+      walkCache.get(d) match {
+        case Some((sess, df)) if sess eq s => df
+        case stale =>
+          stale.foreach { case (_, old) =>
+            try old.unpersist() catch { case _: Throwable => () } }
+          val df = walkCorpusImpl(s, d, GraphIterEdgeCap).persist()
+          df.count()
+          walkCache(d) = (s, df)
+          df
+      }
+    }
 
   private[graft] def walkCorpusImpl(s: SparkSession, d: String,
       cap: Long): DataFrame = {
@@ -1482,44 +1508,59 @@ object Graphs {
     else walkCorpusOnEdges(sym)
   }
 
+  /** Sorted-CSR build + top-degree seed pick shared by BOTH single-task
+    * walk kernels (the transitiveTriplesSingleTask layout): node-id
+    * interning, offset/adjacency fill, per-node sorted segments (sorted
+    * order IS the frame loop's window rank — coPairs rows are distinct)
+    * and the (-degree, id) 20-seed tie-break. One definition so the
+    * adjacency layout and seed rule — which both walk oracles mirror —
+    * cannot drift between the uniform and the node2vec walker. */
+  private[operators] final case class WalkCsr(
+      idx: scala.collection.mutable.LongMap[Int], ids: IndexedSeq[Long],
+      off: Array[Int], adj: Array[Long], seeds: Seq[Long])
+  private[operators] def walkCsr(edges: Array[(Long, Long)]): WalkCsr = {
+    val m = edges.length
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    val eu = new Array[Int](m); val ev = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      eu(i) = idx.getOrElseUpdate(edges(i)._1,
+        { ids += edges(i)._1; ids.size - 1 })
+      ev(i) = edges(i)._2
+      i += 1
+    }
+    val n = ids.size
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < m) { off(eu(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Long](m)
+    val p = off.clone()
+    i = 0
+    while (i < m) { adj(p(eu(i))) = ev(i); p(eu(i)) += 1; i += 1 }
+    i = 0
+    while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+    val seeds = (0 until n)
+      .sortBy(j => (-(off(j + 1) - off(j)).toLong, ids(j)))
+      .take(20).map(ids(_))
+    WalkCsr(idx, ids.toIndexedSeq, off, adj, seeds)
+  }
+
   private def walkCorpusSingleTask(sym: DataFrame): DataFrame = {
     val s = sym.sparkSession
     import s.implicits._
-    // one sequential task over the raw pair tuples, primitive CSR with
-    // per-node SORTED segments (the transitiveTriplesSingleTask layout;
-    // sorted order is exactly the frame loop's window rank — coPairs
-    // rows are distinct). A distributed collect_list pre-grouping was
-    // measured SLOWER (2.0 vs 1.1 s warm at sf0.1): the ObjectHashAgg +
-    // array encoder costs more than one task's tuple deserialization.
+    // one sequential task over the raw pair tuples, primitive CSR (see
+    // walkCsr). A distributed collect_list pre-grouping was measured
+    // SLOWER (2.0 vs 1.1 s warm at sf0.1): the ObjectHashAgg + array
+    // encoder costs more than one task's tuple deserialization.
     sym.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
       .mapPartitions { it =>
         val edges = it.toArray
         if (edges.isEmpty) Iterator.empty
         else {
-          val m = edges.length
-          val idx = scala.collection.mutable.LongMap.empty[Int]
-          val ids = scala.collection.mutable.ArrayBuffer[Long]()
-          val eu = new Array[Int](m); val ev = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            eu(i) = idx.getOrElseUpdate(edges(i)._1,
-              { ids += edges(i)._1; ids.size - 1 })
-            ev(i) = edges(i)._2
-            i += 1
-          }
-          val n = ids.size
-          val off = new Array[Int](n + 1)
-          i = 0; while (i < m) { off(eu(i) + 1) += 1; i += 1 }
-          i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
-          val adj = new Array[Long](m)
-          val p = off.clone()
-          i = 0
-          while (i < m) { adj(p(eu(i))) = ev(i); p(eu(i)) += 1; i += 1 }
-          i = 0
-          while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
-          val seeds = (0 until n)
-            .sortBy(j => (-(off(j + 1) - off(j)).toLong, ids(j)))
-            .take(20).map(ids(_))
+          val csr = walkCsr(edges)
+          val idx = csr.idx; val off = csr.off
+          val adj = csr.adj; val seeds = csr.seeds
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
           seeds.foreach { wid =>
             var node = wid
@@ -1574,34 +1615,13 @@ object Graphs {
         val edges = it.toArray
         if (edges.isEmpty) Iterator.empty
         else {
-          val m = edges.length
-          val idx = scala.collection.mutable.LongMap.empty[Int]
-          val ids = scala.collection.mutable.ArrayBuffer[Long]()
-          val eu = new Array[Int](m); val ev = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            eu(i) = idx.getOrElseUpdate(edges(i)._1,
-              { ids += edges(i)._1; ids.size - 1 })
-            ev(i) = edges(i)._2
-            i += 1
-          }
-          val n = ids.size
-          val off = new Array[Int](n + 1)
-          i = 0; while (i < m) { off(eu(i) + 1) += 1; i += 1 }
-          i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
-          val adj = new Array[Long](m)
-          val p = off.clone()
-          i = 0
-          while (i < m) { adj(p(eu(i))) = ev(i); p(eu(i)) += 1; i += 1 }
-          i = 0
-          while (i < n) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+          val csr = walkCsr(edges)
+          val idx = csr.idx; val off = csr.off
+          val adj = csr.adj; val seeds = csr.seeds
           def hasEdge(a: Long, b: Long): Boolean = {
             val j = idx(a)
             java.util.Arrays.binarySearch(adj, off(j), off(j + 1), b) >= 0
           }
-          val seeds = (0 until n)
-            .sortBy(j => (-(off(j + 1) - off(j)).toLong, ids(j)))
-            .take(20).map(ids(_))
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
           seeds.foreach { wid =>
             var node = wid
@@ -1711,7 +1731,7 @@ object Graphs {
     * scale; the heavy lifting (the walk itself) reuses the size-gated
     * kernel. */
   private def graphSkipgramPairs(s: SparkSession, d: String): DataFrame =
-    skipgramPairsOn(walkCorpusImpl(s, d, GraphIterEdgeCap), 2L)
+    skipgramPairsOn(walkFrame(s, d), 2L)
 
   /** The skip-gram pair kernel over any (wid, step, node) walk frame —
     * shared by the declared query and
