@@ -535,10 +535,18 @@ object Multimodal {
         }
       }
     }.toDF()
-    val tot = frames.groupBy(col("doc_id").as("td"))
-      .agg(count(lit(1)).as("nf"), sum(col("energy")).as("te"))
+    // per-clip totals as a WINDOW over the same doc_id partitioning the
+    // segmentation below already needs — the r15 rewrite: the previous
+    // groupBy + self-join consumed the unpersisted codec frame TWICE
+    // (every WAV encode/decode ran two times) and paid two extra
+    // exchanges; one doc_id exchange now serves totals, the voiced
+    // filter, and the gaps-islands window (guide §2.4: operations keyed
+    // the same way share one exchange). Values are identical: same
+    // count/sum per doc, same exact-integer threshold comparison.
+    val wdoc = Window.partitionBy(col("doc_id"))
     val voiced = frames
-      .join(tot, col("doc_id") === col("td"))
+      .withColumn("nf", count(lit(1)).over(wdoc))
+      .withColumn("te", sum(col("energy")).over(wdoc))
       .filter(col("energy") * col("nf") > col("te"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
     voiced

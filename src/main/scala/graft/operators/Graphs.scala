@@ -261,28 +261,91 @@ object Graphs {
   private def hitsSingleTask(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    // id-indexed CSR arrays, not boxed groupBy Maps (the
+    // transitiveTriplesSingleTask discipline): the boxed form allocated
+    // a Map entry + array per node and hash-looked-up every edge twice
+    // per half-step — measured as the bulk of graph_hits' 2.0 s at sf0.1
+    // on the ~1.9M-row co-pair frame. Arithmetic is unchanged: exact
+    // Long sums per node (order-free), max-rescale via the same
+    // truncating 1e6 division, output = nodes with BOTH an out- and an
+    // in-edge, identically to the hub/auth key intersection before.
     e.as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
         val edges = it.toArray
         if (edges.isEmpty) Iterator.empty
         else {
-          val out = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
-          val in = edges.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
-          var araw = in.map { case (v, us) => v -> 1000000L * us.length }
-          var auth: Map[Long, Long] = null
-          var hub: Map[Long, Long] = null
-          for (i <- 0 until 2) {
-            if (i > 0)
-              araw = in.map { case (v, us) => v -> us.map(hub).sum }
-            val am = araw.values.max
-            auth = araw.map { case (v, ar) => v -> ar * 1000000L / am }
-            val hraw = out.map { case (u, vs) => u -> vs.map(auth).sum }
-            val hm = hraw.values.max
-            hub = hraw.map { case (u, hr) => u -> hr * 1000000L / hm }
+          val m = edges.length
+          val idx = scala.collection.mutable.LongMap.empty[Int]
+          val eu = new Array[Int](m); val ev = new Array[Int](m)
+          var i = 0
+          while (i < m) {
+            eu(i) = idx.getOrElseUpdate(edges(i)._1, idx.size)
+            ev(i) = idx.getOrElseUpdate(edges(i)._2, idx.size)
+            i += 1
           }
-          hub.keysIterator.filter(auth.contains)
-            .map(n => (n, hub(n), auth(n)))
+          val n = idx.size
+          val ids = new Array[Long](n)
+          idx.foreach { case (id, j) => ids(j) = id }
+          val inOff = new Array[Int](n + 1); val outOff = new Array[Int](n + 1)
+          i = 0
+          while (i < m) { inOff(ev(i) + 1) += 1; outOff(eu(i) + 1) += 1; i += 1 }
+          i = 0
+          while (i < n) {
+            inOff(i + 1) += inOff(i); outOff(i + 1) += outOff(i); i += 1
+          }
+          val inAdj = new Array[Int](m); val outAdj = new Array[Int](m)
+          val ip = inOff.clone(); val op = outOff.clone()
+          i = 0
+          while (i < m) {
+            inAdj(ip(ev(i))) = eu(i); ip(ev(i)) += 1
+            outAdj(op(eu(i))) = ev(i); op(eu(i)) += 1
+            i += 1
+          }
+          val araw = new Array[Long](n); val auth = new Array[Long](n)
+          val hraw = new Array[Long](n); val hub = new Array[Long](n)
+          var r = 0
+          while (r < 2) {
+            i = 0
+            while (i < n) {
+              araw(i) =
+                if (r == 0) 1000000L * (inOff(i + 1) - inOff(i))
+                else {
+                  var acc = 0L; var p = inOff(i)
+                  while (p < inOff(i + 1)) { acc += hub(inAdj(p)); p += 1 }
+                  acc
+                }
+              i += 1
+            }
+            // max over in-nodes only — indeg-0 rows hold 0 and a
+            // non-negative in-node max dominates them, but an all-zero
+            // in-node set must divide by 0 exactly as the Map form did
+            var am = Long.MinValue
+            i = 0
+            while (i < n) {
+              if (inOff(i + 1) > inOff(i) && araw(i) > am) am = araw(i)
+              i += 1
+            }
+            i = 0; while (i < n) { auth(i) = araw(i) * 1000000L / am; i += 1 }
+            i = 0
+            while (i < n) {
+              var acc = 0L; var p = outOff(i)
+              while (p < outOff(i + 1)) { acc += auth(outAdj(p)); p += 1 }
+              hraw(i) = acc
+              i += 1
+            }
+            var hm = Long.MinValue
+            i = 0
+            while (i < n) {
+              if (outOff(i + 1) > outOff(i) && hraw(i) > hm) hm = hraw(i)
+              i += 1
+            }
+            i = 0; while (i < n) { hub(i) = hraw(i) * 1000000L / hm; i += 1 }
+            r += 1
+          }
+          (0 until n).iterator
+            .filter(j => outOff(j + 1) > outOff(j) && inOff(j + 1) > inOff(j))
+            .map(j => (ids(j), hub(j), auth(j)))
         }
       }
       .toDF("node", "h", "a")
@@ -2008,40 +2071,51 @@ object Graphs {
           bits.update(k, bits.getOrElse(k, 0) | bit)
           i += 1
         }
-        // CSR of id-ascending support neighbors hi > lo
+        // CSR of id-ascending support neighbors hi > lo, each entry
+        // PACKED as (hi << 2 | direction bits) so the triangle loop
+        // below never hash-probes the pair map (r15: the previous form
+        // tested every wedge pair (b, c) of every a-adjacency with a
+        // LongMap lookup — Σ C(deg, 2) probes, the measured bulk of the
+        // query's 2.2 s warm at sf0.1; sorted-merge intersection of
+        // adj(a)>b with adj(b) enumerates exactly the same a<b<c
+        // support triangles in Σ (deg(a)+deg(b)) comparisons, the
+        // transitiveTriplesSingleTask discipline, with all six bits
+        // read off the two merge cursors)
         val off = new Array[Int](n + 1)
         bits.foreachKey { k => off((k / n).toInt + 1) += 1 }
         i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
-        val adj = new Array[Int](bits.size)
+        val padj = new Array[Long](bits.size)
         val pos = off.clone()
-        bits.foreachKey { k =>
-          val lo = (k / n).toInt; adj(pos(lo)) = (k % n).toInt; pos(lo) += 1
+        bits.foreach { case (k, b) =>
+          val lo = (k / n).toInt
+          padj(pos(lo)) = ((k % n) << 2) | b.toLong; pos(lo) += 1
         }
         i = 0
         while (i < n) {
-          java.util.Arrays.sort(adj, off(i), off(i + 1))
+          java.util.Arrays.sort(padj, off(i), off(i + 1))
           i += 1
         }
-        def pb(x: Int, y: Int): Int = bits.getOrElse(x.toLong * n + y, 0)
         // accumulate counts per 6-bit pattern (ab_f ab_r ac_f ac_r bc_f bc_r)
         val acc = new Array[Long](64)
         var a = 0
         while (a < n) {
           var p = off(a)
           while (p < off(a + 1)) {
-            val b = adj(p)
+            val b = (padj(p) >>> 2).toInt
+            val ab = (padj(p) & 3L).toInt
             var q = p + 1
-            while (q < off(a + 1)) {
-              val c = adj(q)
-              val bcb = pb(b, c)
-              if (bcb != 0) {
-                val ab = pb(a, b); val ac = pb(a, c)
+            var r = off(b)
+            val qEnd = off(a + 1); val rEnd = off(b + 1)
+            while (q < qEnd && r < rEnd) {
+              val c1 = padj(q) >>> 2; val c2 = padj(r) >>> 2
+              if (c1 == c2) {
+                val ac = (padj(q) & 3L).toInt; val bc = (padj(r) & 3L).toInt
                 val pat = ((ab & 1) << 5) | ((ab >> 1) << 4) |
                   ((ac & 1) << 3) | ((ac >> 1) << 2) |
-                  ((bcb & 1) << 1) | (bcb >> 1)
+                  ((bc & 1) << 1) | (bc >> 1)
                 acc(pat) += 1L
-              }
-              q += 1
+                q += 1; r += 1
+              } else if (c1 < c2) q += 1 else r += 1
             }
             p += 1
           }
@@ -2057,32 +2131,128 @@ object Graphs {
 
   private def graphTransitivityDir(s: SparkSession, d: String): DataFrame = {
     val e = orderSeqEdges(s, d).select(col("u"), col("v"))
-    // wedge COUNT needs no wedge frame: paths of length 2 = Σ_v in·out,
-    // and the u = w ones are exactly the reciprocal edge pairs — two
-    // degree rollups + one semi count instead of a 54M-row enumeration
-    // (the enumerate-then-count first cut spent 38 s at sf0.1 sorting the
-    // wedge frame through a merge join; this shape is ~1 s)
-    val ind = e.groupBy(col("v").as("nd")).agg(count(lit(1)).as("ind"))
-    val outd = e.groupBy(col("u").as("nd")).agg(count(lit(1)).as("outd"))
-    val paths2 = ind.join(outd, Seq("nd"))
-      .agg(sum(col("ind") * col("outd")).as("paths2"))
-    val recip = e.join(e.select(col("v").as("ru"), col("u").as("rv")),
-        col("u") === col("ru") && col("v") === col("rv"), "left_semi")
-      .agg(count(lit(1)).as("n_recip"))
-    // closure count: every closed wedge u→v→w (u→w present) has all three
-    // underlying UNDIRECTED pairs present, i.e. it lives inside a triangle
-    // of the undirected support graph — so enumerate support triangles
-    // with the degree-ordered orientation (per-node oriented fan-out
-    // O(√m), the graph_triangles discipline) and count, per triangle, how
-    // many of its 6 vertex orderings are transitive from the three pairs'
-    // direction bits. This replaces the r8 shape that streamed the FULL
-    // directed wedge frame (Σ in·out = 54M rows at sf0.1, 12.75 s idle,
-    // super-linear on skewed hubs) through a shuffle into a left-semi
-    // probe; the oriented wedge stream is Σ C(d⁺,2) with d⁺ bounded by
-    // orientation — 100×-scale-safe where the wedge stream was not.
-    val closed = transitiveTriplesCount(e)
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(paths2).crossJoin(recip).crossJoin(closed)
+    // Below the iteration cap ALL FOUR scalars (edge count, Σ in·out,
+    // reciprocal-edge count, closed-wedge count) come out of ONE
+    // in-memory CSR pass (r15): the distributed assembly ran four
+    // separate sub-jobs — two degree rollups + a sort-merge left-semi
+    // self-join + the gated closure kernel — and three crossJoins, ~2 s
+    // of pure stage latency at sf0.1 on a graph that fits one task.
+    // Identical Long arithmetic, StressSpec-pinned parity with the
+    // distributed twin below. Above the cap the distributed shape is
+    // unchanged (degree rollups + semi join + oriented triangle stream
+    // — each piece 100×-scale-safe, see the r8/r12 notes).
+    if (e.count() <= GraphIterEdgeCap) transitivityDirSingleTask(e)
+    else {
+      // wedge COUNT needs no wedge frame: paths of length 2 = Σ_v in·out,
+      // and the u = w ones are exactly the reciprocal edge pairs — two
+      // degree rollups + one semi count instead of a 54M-row enumeration
+      // (the enumerate-then-count first cut spent 38 s at sf0.1 sorting the
+      // wedge frame through a merge join; this shape is ~1 s)
+      val ind = e.groupBy(col("v").as("nd")).agg(count(lit(1)).as("ind"))
+      val outd = e.groupBy(col("u").as("nd")).agg(count(lit(1)).as("outd"))
+      val paths2 = ind.join(outd, Seq("nd"))
+        .agg(sum(col("ind") * col("outd")).as("paths2"))
+      val recip = e.join(e.select(col("v").as("ru"), col("u").as("rv")),
+          col("u") === col("ru") && col("v") === col("rv"), "left_semi")
+        .agg(count(lit(1)).as("n_recip"))
+      // closure count: every closed wedge u→v→w (u→w present) has all three
+      // underlying UNDIRECTED pairs present, i.e. it lives inside a triangle
+      // of the undirected support graph — so enumerate support triangles
+      // with the degree-ordered orientation (per-node oriented fan-out
+      // O(√m), the graph_triangles discipline) and count, per triangle, how
+      // many of its 6 vertex orderings are transitive from the three pairs'
+      // direction bits. This replaces the r8 shape that streamed the FULL
+      // directed wedge frame (Σ in·out = 54M rows at sf0.1, 12.75 s idle,
+      // super-linear on skewed hubs) through a shuffle into a left-semi
+      // probe; the oriented wedge stream is Σ C(d⁺,2) with d⁺ bounded by
+      // orientation — 100×-scale-safe where the wedge stream was not.
+      val closed = transitiveTriplesCount(e)
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(paths2).crossJoin(recip).crossJoin(closed)
+        .select(col("n_edges"),
+          (col("paths2") - col("n_recip")).as("n_wedges"), col("n_closed"),
+          expr("(1000000 * n_closed) DIV (paths2 - n_recip)")
+            .as("transitivity_micro"))
+    }
+  }
+
+  /** The below-the-cap fused kernel: one task, one CSR build, all four
+    * scalars — n_edges = m; paths2 = Σ_v indeg·outdeg (zero terms where
+    * either degree is 0, exactly the distributed inner join's row set);
+    * n_recip = directed edges whose reverse exists (each direction
+    * counted once, the left-semi's semantics on the distinct edge
+    * frame); n_closed = the per-edge out(u)∩in(v) merge count, verbatim
+    * from [[transitiveTriplesSingleTask]]. The final projection reuses
+    * the IDENTICAL integer expression tree as the distributed branch. */
+  private def transitivityDirSingleTask(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val m = edges.length
+        val idx = scala.collection.mutable.LongMap.empty[Int]
+        val eu = new Array[Int](m); val ev = new Array[Int](m)
+        var i = 0
+        while (i < m) {
+          eu(i) = idx.getOrElseUpdate(edges(i)._1, idx.size)
+          ev(i) = idx.getOrElseUpdate(edges(i)._2, idx.size)
+          i += 1
+        }
+        val n = idx.size
+        val eset = scala.collection.mutable.LongMap.empty[Boolean]
+        i = 0
+        while (i < m) { eset.update(eu(i).toLong * n + ev(i), true); i += 1 }
+        val outOff = new Array[Int](n + 1); val inOff = new Array[Int](n + 1)
+        i = 0
+        while (i < m) { outOff(eu(i) + 1) += 1; inOff(ev(i) + 1) += 1; i += 1 }
+        i = 0
+        while (i < n) {
+          outOff(i + 1) += outOff(i); inOff(i + 1) += inOff(i); i += 1
+        }
+        val outAdj = new Array[Int](m); val inAdj = new Array[Int](m)
+        val op = outOff.clone(); val ip = inOff.clone()
+        i = 0
+        while (i < m) {
+          outAdj(op(eu(i))) = ev(i); op(eu(i)) += 1
+          inAdj(ip(ev(i))) = eu(i); ip(ev(i)) += 1
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          java.util.Arrays.sort(outAdj, outOff(i), outOff(i + 1))
+          java.util.Arrays.sort(inAdj, inOff(i), inOff(i + 1))
+          i += 1
+        }
+        var paths2 = 0L
+        i = 0
+        while (i < n) {
+          paths2 += (inOff(i + 1) - inOff(i)).toLong *
+            (outOff(i + 1) - outOff(i))
+          i += 1
+        }
+        var recip = 0L
+        i = 0
+        while (i < m) {
+          if (eset.contains(ev(i).toLong * n + eu(i))) recip += 1
+          i += 1
+        }
+        var closed = 0L
+        i = 0
+        while (i < m) {
+          var a = outOff(eu(i)); val aEnd = outOff(eu(i) + 1)
+          var b = inOff(ev(i)); val bEnd = inOff(ev(i) + 1)
+          while (a < aEnd && b < bEnd) {
+            val x = outAdj(a); val y = inAdj(b)
+            if (x == y) { closed += 1; a += 1; b += 1 }
+            else if (x < y) a += 1
+            else b += 1
+          }
+          i += 1
+        }
+        Iterator.single((m.toLong, paths2, recip, closed))
+      }
+      .toDF("n_edges", "paths2", "n_recip", "n_closed")
       .select(col("n_edges"),
         (col("paths2") - col("n_recip")).as("n_wedges"), col("n_closed"),
         expr("(1000000 * n_closed) DIV (paths2 - n_recip)")

@@ -1648,10 +1648,16 @@ object TimeSeries {
     val hourly = U.events(s, d)
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
       .agg(count(lit(1)).as("nb"))
-    val tot = hourly.groupBy(col("event_type").as("et"))
-      .agg(sum(col("nb")).as("s"), count(lit(1)).as("c"))
+    // per-type totals as a WINDOW over the event_type partitioning the
+    // islands pass below already needs (r15, guide §2.4): the previous
+    // groupBy + broadcast-join re-aggregated the UNPERSISTED hourly frame
+    // from a second full events scan; same exact sums/counts, one scan,
+    // one shared exchange
+    val wt = Window.partitionBy(col("event_type"))
     val wr = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
-    hourly.join(broadcast(tot), col("event_type") === col("et"))
+    hourly
+      .withColumn("s", sum(col("nb")).over(wt))
+      .withColumn("c", count(lit(1)).over(wt))
       .filter(lit(3L) * col("nb") * col("c") >= lit(4L) * col("s"))
       .withColumn("hidx", expr("unix_micros(h) DIV 3600000000"))
       .withColumn("grp", col("hidx") - row_number().over(wr))
@@ -2036,9 +2042,12 @@ object TimeSeries {
       .withColumn("vc", U.cents(col("value")))
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("vc")).as("xc"))
-    val market = daily.groupBy(col("day").as("mday"))
-      .agg(sum(col("xc")).as("mc"))
-    val ps = daily.join(broadcast(market), col("day") === col("mday"))
+    // the market total as a WINDOW over the day partition (r15, guide
+    // §2.4): the previous day-keyed groupBy + broadcast-join re-aggregated
+    // the UNPERSISTED daily frame from a second full events scan; the
+    // window form computes the identical per-day Long sum in one pass
+    val ps = daily
+      .withColumn("mc", sum(col("xc")).over(Window.partitionBy(col("day"))))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast(DoubleType).as("nd"),
         sum(col("xc")).cast(DoubleType).as("sx"),

@@ -677,12 +677,21 @@ object StreamingQueries {
     * cluster cores × state volume instead — it is per-pipeline, not global. */
   private def withReplayShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.getOption(key)
+    val prevCk = s.conf.getOption(ck)
     s.conf.set(key, "4")
+    s.conf.set(ck, "true")
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      prevCk match {
+        case Some(v) => s.conf.set(ck, v)
+        case None => s.conf.unset(ck)
+      }
     }
   }
 

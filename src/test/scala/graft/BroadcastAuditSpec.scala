@@ -21,7 +21,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     // (no call parens), so it is intentionally absent from this map
     "PrProfile.scala" -> 1,
     "api/GraftApi.scala" -> 7,
-    "operators/TimeSeries.scala" -> 28,
+    "operators/TimeSeries.scala" -> 26,
     "operators/Aggregations.scala" -> 87,
     "operators/Graphs.scala" -> 21,
     "operators/Joins.scala" -> 2,
