@@ -744,9 +744,11 @@ object Dedup {
     docs
       .select(col("doc_id"), TextUtil.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(tk) - ${w - 1}), " +
-          s"i -> concat_ws(' ', slice(tk, i, $w)))")).as("span"))
+      // one codegen'd window pass ([[graft.plans.SpansW]], r15) — the
+      // interpreted transform(sequence → slice → concat_ws) re-sliced
+      // the token array per span; same span strings, duplicates kept
+      .select(col("doc_id"),
+        explode(graft.plans.CustomExprs.spans_w(col("tk"), w)).as("span"))
       // corpus occurrence count as ONE span-keyed shuffle (window over
       // the span partition) — the dedup_cdc_chunks recipe, replacing the
       // earlier groupBy + re-join (two exchanges + a persisted frame)
@@ -813,36 +815,23 @@ object Dedup {
     * declared query, the [[graft.api.GraftApi.cdcChunkStats]] lift and
     * the StressSpec volume laws. */
   private[graft] def cdcChunkStatsOn(docsDf: DataFrame): DataFrame = {
-    // Boundary detection and chunk extraction are PER-ROW higher-order
-    // functions over a once-materialized char-code array — no per-char
-    // explode (a first cut exploded every position and re-joined the
-    // text back: 4 substring() seeks per char are O(pos) each on
-    // UTF8String, so the hash pass alone was O(n²)/doc and the query
-    // benched 5.6 s at sf0.1; the HOF form keeps the whole boundary
-    // fold inside one codegen'd projection and explodes only the ~n/32
-    // chunks). The first shuffle this query does is the one the
-    // OPERATOR needs: the corpus-wide chunk-text count.
-    val prev = "CASE WHEN j = 1 THEN CAST(0 AS BIGINT) " +
-      "ELSE element_at(bs, CAST(j - 1 AS INT)) END"
+    // Boundary detection and chunk extraction are ONE codegen'd pass
+    // per row — the custom [[graft.plans.CdcChunks]] expression (r15):
+    // the r14 HOF form (split('') → ascii → filter(sequence) with four
+    // element_at calls per position → array_sort/array_distinct → one
+    // substring per chunk) allocated a UTF8String per CHARACTER and ran
+    // the boundary lambda interpreted — measured as the bulk of the
+    // query's 1.1 s warm at sf0.1. (The r13 first cut was worse still:
+    // per-position explode + re-join, O(n²)/doc, 5.6 s.) Identical
+    // chunks by construction — same rolling hash, same %32 rule, same
+    // end-of-doc sentinel, empty-doc and no-boundary cases preserved.
+    // The first shuffle this query does is the one the OPERATOR needs:
+    // the corpus-wide chunk-text count.
     val chunks = docsDf
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast(LongType).as("n_chars"))
-      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
-      .withColumn("bs", expr(
-        "array_sort(array_distinct(concat(CASE WHEN n_chars >= 4 THEN " +
-          "filter(sequence(CAST(4 AS BIGINT), n_chars), i -> " +
-          "(element_at(cs, CAST(i - 3 AS INT)) * 29791 + " +
-          "element_at(cs, CAST(i - 2 AS INT)) * 961 + " +
-          "element_at(cs, CAST(i - 1 AS INT)) * 31 + " +
-          "element_at(cs, CAST(i AS INT))) % 32 = 0) " +
-          "ELSE array() END, array(n_chars))))"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(bs)), j -> named_struct(" +
-          s"'chunk', substring(text, CAST($prev + 1 AS INT), " +
-          s"CAST(element_at(bs, CAST(j AS INT)) - $prev AS INT)), " +
-          s"'clen', element_at(bs, CAST(j AS INT)) - $prev))")).as("c"))
-      .select(col("doc_id"), col("c.chunk").as("chunk"),
-        col("c.clen").as("clen"))
+      .select(col("doc_id"),
+        explode(graft.plans.CustomExprs.cdc_chunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), col("chunk"),
+        length(col("chunk")).cast(LongType).as("clen"))
     // corpus-wide occurrence count as ONE chunk-keyed shuffle (a window
     // over the chunk partition), not groupBy + re-join (two exchanges)
     chunks

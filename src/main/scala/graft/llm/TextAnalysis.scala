@@ -715,14 +715,24 @@ object TextAnalysis {
     * so the join fan-out per shingle is a constant, never corpus-scale.
     * The \|sources\|-row size frames broadcast (taxonomy bound). */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val ss = U.track(Dedup.shingled(s, d)
+    // ONE sg-keyed shuffle builds per-shingle source SETS (collect_set
+    // dedups (source, sg) by construction, absorbing the former
+    // distinct()'s exchange), and pairs explode MAP-SIDE from each set —
+    // the coPairs idiom (r15, guide §2.3/§2.4): the previous shape
+    // shuffled the distinct (source, shingle) frame once for distinct
+    // and twice more through a shingle-keyed self-join. Posting lists
+    // are bounded by |sources|, so the per-shingle fan-out stays
+    // C(|sources|, 2) — a taxonomy constant at any corpus size.
+    val bySg = U.track(Dedup.shingled(s, d)
       .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("ss")).as("sg"))
-      .distinct()
+      .groupBy(col("sg")).agg(collect_set(col("source")).as("srcs"))
       .persist())
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    ss.select(col("source").as("src_a"), col("sg"))
-      .join(ss.select(col("source").as("src_b"), col("sg")), Seq("sg"))
+    val sizes = bySg.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    bySg
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("common"))
       .join(broadcast(sizes.select(col("source").as("sa"),

@@ -493,6 +493,13 @@ object Aggregations {
     * sort per group and a hash agg: the same shape at any scale. */
   private def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r15 note: a two-level scan-prefix variant (price-band blocks +
+    // offset broadcast, the graphDegreeGini discipline) was built and
+    // MEASURED at sf0.1 — warm 0.75 → 1.70 s: the rollup's second
+    // lineitem scan + the offset join cost more than the 3-partition
+    // window saves at local scale. Reverted; the banding recipe is on
+    // record here for the cluster regime where a 3-task window over the
+    // full table would dominate instead.
     val w = U.tbl(s, d, "lineitem").select(col("l_returnflag").as("rf"),
       U.cents(col("l_extendedprice")).as("pc"),
       col("l_quantity").cast(LongType).as("wt"))

@@ -166,6 +166,42 @@ object Shingles3 {
   }
 }
 
+/** All width-w token windows, space-joined, duplicates PRESERVED (unlike
+  * [[Shingles3]], whose consumers want the distinct set) — one codegen'd
+  * pass replacing the interpreted transform(sequence, i -> concat_ws(' ',
+  * slice(tk, i, w))) chain, which re-sliced the token array and re-ran
+  * the lambda per span (r15; the dedup_substring_spans hot path). Returns
+  * the empty array below w tokens, exactly like the sequence form after
+  * its size(tk) >= w guard. */
+case class SpansW(child: Expression, w: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SpansW.compute(v.asInstanceOf[ArrayData], w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SpansW.compute($c, $w)")
+  override protected def withNewChildInternal(c: Expression): SpansW =
+    copy(child = c)
+}
+
+object SpansW {
+  private val SP = UTF8String.fromString(" ")
+  def compute(toks: ArrayData, w: Int): GenericArrayData = {
+    val n = toks.numElements()
+    val m = math.max(0, n - w + 1)
+    val out = new Array[AnyRef](m)
+    val win = new Array[UTF8String](w)
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < w) { win(k) = toks.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(SP, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** MinHash signature vector in one pass: sig_k = min over the input hashes
   * of (h*(2k+1) + k*12345+7) mod 1e9+7, for k in [0, nPerm). Replaces
   * nPerm interpreted transform/array_min scans with one codegen'd loop. */
@@ -236,6 +272,51 @@ case class ZOrder2(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Content-defined-chunk splitter (r15): boundaries fall where the
+  * 4-char rolling polynomial (base 31, the TextUtil base) hits
+  * h % 32 == 0, with the end-of-doc sentinel — ONE pass over the chars
+  * replacing the interpreted per-char HOF chain (split('') allocated a
+  * UTF8String PER CHARACTER, then ascii → filter(sequence) with four
+  * element_at calls per position → array_sort/array_distinct → one
+  * substring per chunk; measured as the bulk of dedup_cdc_chunks' 1.1 s
+  * warm at sf0.1). Semantics identical to the declarative form for any
+  * BMP text (charAt == code point there; the fixture corpus is ASCII —
+  * the PolyHash note), including the single-empty-chunk row for an
+  * empty document and the whole-text chunk when no boundary fires. */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CdcChunks.compute(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CdcChunks.compute($c)")
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+object CdcChunks {
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    if (n == 0)
+      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
+    val out = new java.util.ArrayList[AnyRef]()
+    var prev = 0
+    var i = 4
+    while (i <= n) {
+      val h = s.charAt(i - 4) * 29791 + s.charAt(i - 3) * 961 +
+        s.charAt(i - 2) * 31 + s.charAt(i - 1)
+      if (h % 32 == 0) {
+        out.add(UTF8String.fromString(s.substring(prev, i)))
+        prev = i
+      }
+      i += 1
+    }
+    if (prev < n) out.add(UTF8String.fromString(s.substring(prev, n)))
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 object CustomExprs {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -248,6 +329,8 @@ object CustomExprs {
   def minhash_sigs(hs: Column, nPerm: Int): Column = c(MinHashSigs(e(hs), nPerm))
   def shingles3_fast(toks: Column): Column = c(Shingles3(e(toks)))
   def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
+  def cdc_chunks(text: Column): Column = c(CdcChunks(e(text)))
+  def spans_w(toks: Column, w: Int): Column = c(SpansW(e(toks), w))
 
   /** Unrolled SQL mirror of [[ZOrder2]] (both engines): Σ over bit i of
     * ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). */
