@@ -60,6 +60,8 @@ object Bench {
       if (wants("scan_", "join_dpp", "sink_"))
         graft.operators.Scans.warm(spark, sfDir)
       if (wants("sim_i")) graft.llm.Similarity.warm(spark, sfDir)
+      if (wants("sim_knn", "emb_knn_label_purity"))
+        graft.llm.Similarity.warmKnn(spark, sfDir)
       if (wants("sim_pq")) graft.llm.Similarity.warmPq(spark, sfDir)
       if (wants("sim_ivfpq")) graft.llm.Similarity.warmIvfPq(spark, sfDir)
       if (wants("multimodal_phash")) graft.llm.Multimodal.warm(spark, sfDir)

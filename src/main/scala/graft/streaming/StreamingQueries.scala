@@ -674,7 +674,18 @@ object StreamingQueries {
     * session's 32 without changing any result (hash partitioning is
     * key-exact at any width — r9 re-measured 8 → 4: same oracle rows, ~35%
     * less family wall-clock). A production deployment sizes this knob to
-    * cluster cores × state volume instead — it is per-pipeline, not global. */
+    * cluster cores × state volume instead — it is per-pipeline, not global.
+    *
+    * r15 measured updates: RocksDB CHANGELOG checkpointing is ON for the
+    * replay (commits write a changelog instead of uploading a full
+    * snapshot per (operator, partition, batch) — family subset 66.3 →
+    * 60.0 s at sf0.1, stream_hysteresis −2.4 s; the production-
+    * recommended RocksDB posture at any scale, persistence format only,
+    * results byte-identical — 30/30 oracle PASS). Two further knobs were
+    * measured and REJECTED: partitions 4 → 2 (66.3 → 69.0 s — commit
+    * rounds are already latency-bound at 4) and
+    * rocksdb.trackTotalNumberOfRows=false (37.1 → 43.1 s on the TWS
+    * subset, no win worth the lost state-row metrics). */
   private def withReplayShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
