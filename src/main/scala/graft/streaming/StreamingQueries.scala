@@ -659,10 +659,17 @@ object StreamingQueries {
     * (4 batches — enough watermark advances to exercise finalization);
     * batch-boundary-INDEPENDENT queries may replay at 4 (fewer state-store
     * commit rounds, same result by construction). */
+  private val stagedSchemas =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
   private def stagedSource(s: SparkSession, d: String, doubled: Boolean,
       filesPerTrigger: Int = 2): DataFrame = {
     val dir = stage(s, d, doubled)
-    val schema = s.read.parquet(dir).schema
+    // footer-derived schema cached per staged dir: the staging is immutable
+    // once its marker exists, and re-inferring it costs a driver-side footer
+    // read per SOURCE per query run (the two-source joins paid it twice)
+    val schema = synchronized {
+      stagedSchemas.getOrElseUpdate(dir, s.read.parquet(dir).schema)
+    }
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(dir)
   }
@@ -703,6 +710,18 @@ object StreamingQueries {
         case Some(v) => s.conf.set(ck, v)
         case None => s.conf.unset(ck)
       }
+      // r16 measured: a terminated replay only DEACTIVATES its state-store
+      // providers; the unload (RocksDB close + working-dir delete) waits for
+      // the 60 s maintenance cycle, so back-to-back replays pile up dead
+      // providers until the cycle fires an unload/snapshot storm mid-bench
+      // (subset A/B: the family's late-alphabet queries ran 3-7x their
+      // isolated cost exactly once the first cycle landed). Unloading
+      // eagerly after each replay keeps the cost inside the query that
+      // incurred it; a provider a LIVE query still needs would simply be
+      // reloaded from its checkpoint (the executor-loss path), so this is
+      // safe at any concurrency.
+      try org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
+      catch { case _: Throwable => }
     }
   }
 
@@ -1195,7 +1214,14 @@ object StreamingQueries {
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runStream(s, d, "append") { in =>
+    // 4 files/batch (the family default): the alert set is batch-boundary-
+    // invariant by construction — gap alerts are pure functions of
+    // consecutive (user, ts) pairs in the event-time-ordered replay, timer
+    // alerts of last_ts + the FINAL watermark (the AvailableNow pending-
+    // timer batch), and the distinct() absorbs the only race — so halving
+    // the batches (r16: 5 -> 3, ~0.45 s/batch at sf0.1) cannot perturb the
+    // result; oracle re-proven at all three SFs.
+    try runStream(s, d, "append", filesPerTrigger = 4) { in =>
       import in.sparkSession.implicits._
       in.withWatermark("ts", "10 minutes")
         .select(col("user_id"), col("ts")).as[IdleEvent]
@@ -1252,7 +1278,39 @@ object StreamingQueries {
     * The 60-day watermark delay exceeds the 30-day replay span, so no state
     * is evicted mid-replay and the inner join emits EXACTLY the batch
     * answer regardless of micro-batch boundaries => full DuckDB oracle. */
-  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
+  /** Run `body` with the streaming JOIN state kept in ONE RocksDB store per
+    * partition (virtual column families, state format v3) instead of the
+    * four separate stores of format v2 — the commit rounds per batch per
+    * partition drop 4x, which at replay scale is the dominant cost of the
+    * two stream-stream joins. Persistence format only (the keyToNumValues /
+    * keyWithIndexToValue layout inside the store is unchanged), results
+    * byte-identical — oracle re-proven at all three SFs. Set+restore, the
+    * withReplayShuffle discipline. */
+  private def withJoinStateV3[T](s: SparkSession)(body: => T): T = {
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val vk = "spark.sql.streaming.join.stateFormatVersion"
+    val prevP = s.conf.getOption(pk)
+    val prevV = s.conf.getOption(vk)
+    s.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(vk, "3")
+    try body
+    finally {
+      prevP match {
+        case Some(v) => s.conf.set(pk, v)
+        case None => s.conf.unset(pk)
+      }
+      prevV match {
+        case Some(v) => s.conf.set(vk, v)
+        case None => s.conf.unset(vk)
+      }
+    }
+  }
+
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    withJoinStateV3(s) { streamStreamJoinImpl(s, d) }
+
+  private def streamStreamJoinImpl(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
     // inner join + no mid-replay eviction => batch-boundary-independent,
     // so replay at 4 files/batch (2 batches): join state is committed to
     // the state store once per batch per partition, the dominant cost
@@ -1294,7 +1352,10 @@ object StreamingQueries {
     * moved exactly with the per-type maxima, not the global max). Clicks
     * within ~5 h of stream end stay in state — their window never provably
     * closes — mirrored in the oracle's cutoff. */
-  private def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
+  private def streamStreamLeftJoin(s: SparkSession, d: String): DataFrame =
+    withJoinStateV3(s) { streamStreamLeftJoinImpl(s, d) }
+
+  private def streamStreamLeftJoinImpl(s: SparkSession, d: String): DataFrame = withReplayShuffle(s) {
     val clicks = stagedSource(s, d, doubled = false, filesPerTrigger = 4)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),

@@ -16,4 +16,13 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unload every state-store provider held by this JVM. A finished
+    * streaming query only DEACTIVATES its providers; the actual unload
+    * (closing RocksDB instances, deleting their working dirs) waits for the
+    * 60 s maintenance cycle, so a dense replay sequence accumulates dozens
+    * of dead providers and then pays an unload/snapshot storm mid-run.
+    * `StateStore.unloadAll` is `private[sql]`, hence this bridge. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
