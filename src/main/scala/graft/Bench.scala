@@ -62,6 +62,8 @@ object Bench {
       if (wants("sim_i")) graft.llm.Similarity.warm(spark, sfDir)
       if (wants("sim_knn", "emb_knn_label_purity"))
         graft.llm.Similarity.warmKnn(spark, sfDir)
+      if (wants("dedup_embedding_ann"))
+        graft.llm.Similarity.warmAnnPairs(spark, sfDir)
       if (wants("sim_pq")) graft.llm.Similarity.warmPq(spark, sfDir)
       if (wants("sim_ivfpq")) graft.llm.Similarity.warmIvfPq(spark, sfDir)
       if (wants("multimodal_phash")) graft.llm.Multimodal.warm(spark, sfDir)

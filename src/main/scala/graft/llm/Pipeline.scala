@@ -1636,14 +1636,18 @@ object Pipeline {
       .withColumn("b",
         pmod(graft.plans.CustomExprs.poly_hash(col("f"), 17L), lit(64L)))
       .persist())
-    val tgt = fe.filter(col("source") === "src0")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val raw = fe.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tt = fe.filter(col("source") === "src0")
-      .agg(count(lit(1)).as("t"))
-    val rt = fe.agg(count(lit(1)).as("r"))
-    val sc = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+    // r16 (guide §2.4): ONE pass over the cached feature frame builds both
+    // per-bucket counts (raw, and target as a conditional sum — a bucket
+    // with no src0 rows folds to 0, exactly the old left-join coalesce),
+    // and the corpus totals fold over the 64-row bucket frame instead of
+    // re-scanning fe twice more. 4 fe-wide jobs -> 1; the ln input values
+    // are bit-identical, so the floored micro-nat scores cannot move.
+    val perB = U.track(fe.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      .persist())
+    val tots = perB.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val sc = perB.crossJoin(broadcast(tots))
       .select(col("b"),
         expr("CAST(floor(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) * " +
           "(r + 64)) / (CAST(cr + 1 AS DOUBLE) * (t + 64))) * " +

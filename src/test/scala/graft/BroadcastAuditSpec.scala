@@ -27,7 +27,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     "operators/Joins.scala" -> 2,
     "operators/Scans.scala" -> 2,
     "operators/TypedApi.scala" -> 1,
-    "llm/Pipeline.scala" -> 30,
+    "llm/Pipeline.scala" -> 29,
     "llm/Similarity.scala" -> 34,
     "llm/Dedup.scala" -> 2,
     "llm/Multimodal.scala" -> 1,
