@@ -101,12 +101,26 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).map(_.toDouble)
       catch { case _: Throwable => Array(-1.0, -1.0, -1.0) }
+    // Hypervisor STEAL telemetry (r16): /proc/stat cpu field 9, cumulative
+    // stolen jiffies. Direct 20 s sampling during a bench measured bursts
+    // of ~3.7 CPUs stolen continuously with the guest otherwise idle — the
+    // recurring "spike parked on one alphabetical block" that loadavg alone
+    // could not attribute (the graph family's own task churn also raises
+    // loadavg). Per-query stolen jiffies make external-contention rows
+    // self-evident: steal ≈ 0 plus high load = self-generated parallelism;
+    // steal >> 0 = co-tenant interference, judge from the other run.
+    def stealJiffies(): Long =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        .lift(7).getOrElse(-1L) // cpu: user nice sys idle iowait irq softirq STEAL
+      catch { case _: Throwable => -1L }
     val loadStart = loadavg()
     val tStartMs = System.currentTimeMillis()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val laBefore = loadavg()(0)
+      val stBefore = stealJiffies()
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -122,13 +136,13 @@ object Bench {
         U.releaseTracked()
         (dt, ok)
       }
-      name -> (runs, laBefore, loadavg()(0))
+      name -> (runs, laBefore, loadavg()(0), stBefore, stealJiffies())
     }
     // failed runs are excluded from the median: a plan-time crash takes
     // milliseconds, so letting it vote would make a query failing 2 of 3
     // runs look CHEAPER than a working one. All-runs-failed reports null
     // (the name is in `failed` either way); raw triples stay complete.
-    val medians = results.map { case (k, (rs, _, _)) =>
+    val medians = results.map { case (k, (rs, _, _, _, _)) =>
       val ok = rs.collect { case (dt, true) => dt }
       k -> (if (ok.nonEmpty) Some(ok.sorted.apply((ok.length - 1) / 2))
             else None)
@@ -136,15 +150,20 @@ object Bench {
     val qs = medians.map { case (k, v) =>
         s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, (rs, _, _)) =>
+    val runsJson = results.map { case (k, (rs, _, _, _, _)) =>
       s"\"" + k + "\":" + rs.map(_._1).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // raw Double.toString, not the f-interpolator: %.2f uses the JVM
     // default locale and a comma-decimal locale would emit "3,14" —
     // invalid JSON that breaks scalecurve.py's load gate (r14 ADVICE);
     // /proc/loadavg values carry at most 2 decimals already
-    val loadJson = results.map { case (k, (_, lb, la)) =>
+    val loadJson = results.map { case (k, (_, lb, la, _, _)) =>
       s""""$k":[$lb,$la]""" }
+      .mkString("{", ",", "}")
+    // per-query hypervisor-stolen jiffies (delta over the triple); -1 =
+    // /proc/stat unreadable on this platform
+    val stealJson = results.map { case (k, (_, _, _, sb, sa)) =>
+      s""""$k":${if (sb < 0 || sa < 0) -1L else sa - sb}""" }
       .mkString("{", ",", "}")
     val loadEnv = {
       val le = loadavg()
@@ -155,7 +174,7 @@ object Bench {
     val total =
       if (medians.nonEmpty) medians.flatMap(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nRuns","queries":$qs,"runs":$runsJson,"load":$loadJson,$loadEnv,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median_of_$nRuns","queries":$qs,"runs":$runsJson,"load":$loadJson,"steal_jiffies":$stealJson,$loadEnv,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver's stdout parse failed four rounds running ("parsed": null):
     // the ~10 KB per-query map gets truncated mid-JSON in the captured tail.
     // Contract fix: the FULL json goes only to stable files; stdout's final
